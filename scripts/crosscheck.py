@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: crosscheck.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<query>/ parquet (written by graft.Verify), runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB against the same
+parquet tables, canonicalizes both (columns sorted by name, rows sorted by all
+columns), and diffs exactly. Dev tool only — the shipped library never depends
+on Python.
+"""
+import duckdb, json, os, sys
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    npass = nfail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            mine = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            nfail += 1
+            continue
+        try:
+            ora = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            nfail += 1
+            continue
+        a, b = canon(mine), canon(ora)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            nfail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            nfail += 1
+            continue
+        diffs = []
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            try:
+                neq = ~(av.eq(bv) | (av.isna() & bv.isna()))
+            except Exception:
+                neq = av.astype(str) != bv.astype(str)
+            if neq.any():
+                i = int(neq.idxmax())
+                diffs.append((c, i, av.iloc[i], bv.iloc[i], int(neq.sum())))
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)} differing column(s)")
+            for c, i, x, y, n in diffs[:4]:
+                print(f"    col={c} row={i} spark={x!r} oracle={y!r} ({n} rows differ)")
+            nfail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            npass += 1
+    print(f"== {npass} pass, {nfail} fail")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** J1–J6 — the join surface (SURVEY.md §2.4). All shapes are Catalyst
+  * built-ins; the engine's job is picking scale-correct physical strategies:
+  * dimension tables (region/nation/customer/part at these ratios) are
+  * broadcast so the 100 TB fact side never shuffles for the join; the
+  * range/as-of self-joins pre-filter both sides before the equi-join on the
+  * key so the range predicate runs on a co-partitioned pair.
+  */
+object JoinQueries extends QueryGroup {
+  import H._
+
+  val q03 = QueryDef(
+    "q03_join_star_revenue",
+    "4-way star join lineitem→orders→customer→nation→region; revenue per region",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    },
+    Some(s"""SELECT r_name,
+             ${oMsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name ORDER BY r_name"""))
+
+  val q04 = QueryDef(
+    "q04_join_broadcast_part",
+    "fact ⋈ broadcast(dim): lineitem ⋈ part, price stats per brand",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          msum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some(s"""SELECT p_brand, COUNT(*) AS n_items,
+             ${oDavg("l_extendedprice")} AS avg_price,
+             ${oMsum("l_quantity")} AS sum_qty
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY p_brand ORDER BY p_brand"""))
+
+  val q05 = QueryDef(
+    "q05_join_left_outer_orders",
+    "customer LEFT OUTER JOIN orders: per-customer order count incl. zero-order customers",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(msum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             COALESCE(${oMsum("o_totalprice")}, 0.0) AS total_spent
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  val q06 = QueryDef(
+    "q06_join_semi_customers",
+    "LEFT SEMI: customers having at least one order (EXISTS)",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  val q07 = QueryDef(
+    "q07_join_anti_customers",
+    "LEFT ANTI: customers with no orders (NOT EXISTS)",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  val q08 = QueryDef(
+    "q08_join_theta_region_nation",
+    "cross/theta join (BroadcastNestedLoopJoin): region × nation pairs with differing keys",
+    (s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      r.crossJoin(broadcast(n))
+        .filter(col("n_regionkey") =!= col("r_regionkey"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name FROM region, nation
+            WHERE n_regionkey <> r_regionkey
+            ORDER BY r_name, n_name"""))
+
+  val q09 = QueryDef(
+    "q09_join_range_events",
+    "range join: per purchase, clicks of the same user in the preceding hour",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), us(col("ts")).as("pts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), us(col("ts")).as("cts"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("cts") >= col("pts") - lit(3600000000L) && col("cts") < col("pts"))
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("pid")
+    },
+    Some("""SELECT p.event_id AS pid, COUNT(*) AS n_clicks
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             AND epoch_us(c.ts) < epoch_us(p.ts)
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY pid"""))
+
+  val q10 = QueryDef(
+    "q10_join_asof_events",
+    "as-of join: most recent prior click per purchase (max/max_by idiom)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), us(col("ts")).as("pts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), us(col("ts")).as("cts"), col("value").as("c_value"))
+      p.join(c, col("user_id") === col("c_user") && col("cts") < col("pts"))
+        .groupBy("pid")
+        .agg(
+          max(col("cts")).as("asof_ts_us"),
+          max_by(col("c_value"), col("cts")).as("asof_value"))
+        .orderBy("pid")
+    },
+    Some("""SELECT p.event_id AS pid,
+            MAX(epoch_us(c.ts)) AS asof_ts_us,
+            MAX_BY(c.value, epoch_us(c.ts)) AS asof_value
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND epoch_us(c.ts) < epoch_us(p.ts)
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY pid"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q03, q04, q05, q06, q07, q08, q09, q10)
+}

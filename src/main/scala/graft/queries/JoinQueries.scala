@@ -21,8 +21,12 @@ object JoinQueries extends QueryGroup {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
+      // customer scales with SF — no forced broadcast hint; the 32MB
+      // autoBroadcastJoinThreshold / AQE picks broadcast at small SF and
+      // falls back to shuffle join at 100TB scale. nation/region are
+      // fixed-size dims, always safe to hint.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
@@ -43,11 +47,13 @@ object JoinQueries extends QueryGroup {
 
   val q04 = QueryDef(
     "q04_join_broadcast_part",
-    "fact ⋈ broadcast(dim): lineitem ⋈ part, price stats per brand",
+    "fact ⋈ dim: lineitem ⋈ part, price stats per brand (auto-broadcast under threshold)",
     (s, dir) => {
       val l = t(s, dir, "lineitem")
+      // part scales with SF: rely on autoBroadcastJoinThreshold/AQE rather
+      // than a forced hint that would OOM at the 100TB design point.
       val p = t(s, dir, "part")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("n_items"),
@@ -148,29 +154,44 @@ object JoinQueries extends QueryGroup {
 
   val q10 = QueryDef(
     "q10_join_asof_events",
-    "as-of join: most recent prior click per purchase (max/max_by idiom)",
+    "as-of join: most recent prior click per purchase — union + per-user ordered window scan " +
+      "(single shuffle on user_id, linear per-user work; no purchases×clicks fan-out)",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "events")
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id"), us(col("ts")).as("pts"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), us(col("ts")).as("cts"), col("value").as("c_value"))
-      p.join(c, col("user_id") === col("c_user") && col("cts") < col("pts"))
-        .groupBy("pid")
-        .agg(
-          max(col("cts")).as("asof_ts_us"),
-          max_by(col("c_value"), col("cts")).as("asof_value"))
+      // One pass: interleave purchases and clicks per user in time order.
+      // At a purchase row, the preceding frame holds exactly the clicks with
+      // cts < pts (equal-ts clicks sort AFTER the purchase via is_click), and
+      // the LAST click row in (tus, is_click, click_value) order is the
+      // latest one, max-value on cts ties — a deterministic tie-break, per
+      // the FIXTURES determinism contract.
+      val ev = e.filter(col("event_type").isin("purchase", "click"))
+        .select(
+          col("event_id"), col("user_id"), us(col("ts")).as("tus"),
+          (col("event_type") === "click").cast("int").as("is_click"),
+          when(col("event_type") === "click", col("value")).as("click_value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("is_click"), col("click_value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("asof_ts_us",
+          last(when(col("is_click") === 1, col("tus")), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("click_value"), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 0 && col("asof_value").isNotNull)
+        .select(col("event_id").as("pid"), col("asof_ts_us"), col("asof_value"))
         .orderBy("pid")
     },
-    Some("""SELECT p.event_id AS pid,
-            MAX(epoch_us(c.ts)) AS asof_ts_us,
-            MAX_BY(c.value, epoch_us(c.ts)) AS asof_value
-            FROM events p JOIN events c
-              ON c.user_id = p.user_id
-             AND c.event_type = 'click'
-             AND epoch_us(c.ts) < epoch_us(p.ts)
-            WHERE p.event_type = 'purchase'
-            GROUP BY p.event_id ORDER BY pid"""))
+    Some("""WITH j AS (
+              SELECT p.event_id AS pid, epoch_us(c.ts) AS cts, c.value AS cval
+              FROM events p JOIN events c
+                ON c.user_id = p.user_id
+               AND c.event_type = 'click'
+               AND epoch_us(c.ts) < epoch_us(p.ts)
+              WHERE p.event_type = 'purchase'
+            ), m AS (SELECT pid, MAX(cts) AS asof_ts_us FROM j GROUP BY pid)
+            SELECT m.pid, m.asof_ts_us, MAX(j.cval) AS asof_value
+            FROM m JOIN j ON j.pid = m.pid AND j.cts = m.asof_ts_us
+            GROUP BY m.pid, m.asof_ts_us
+            ORDER BY m.pid"""))
 
   override def queries: Seq[QueryDef] =
     Seq(q03, q04, q05, q06, q07, q08, q09, q10)

@@ -7,7 +7,9 @@ package graft.queries
 object Registry {
   def groups: Seq[QueryGroup] = Seq(
     ScanQueries,
-    JoinQueries)
+    JoinQueries,
+    AggQueries,
+    WindowFnQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = groups.flatMap(_.queries)

@@ -9,7 +9,8 @@ object Registry {
     ScanQueries,
     JoinQueries,
     AggQueries,
-    WindowFnQueries)
+    WindowFnQueries,
+    SetScalarQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = groups.flatMap(_.queries)

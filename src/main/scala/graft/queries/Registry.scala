@@ -10,7 +10,8 @@ object Registry {
     JoinQueries,
     AggQueries,
     WindowFnQueries,
-    SetScalarQueries)
+    SetScalarQueries,
+    TimeWindowQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = groups.flatMap(_.queries)

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for the LLM-data-pipeline surface (SURVEY.md
+  * §2.10 L3): tokenization, shingling, stopword statistics, a language-ID
+  * heuristic, a quality score, and a rolling-hash document fingerprint.
+  *
+  * Everything is a Catalyst expression over built-ins (split / filter /
+  * transform / aggregate) so it runs distributed with no UDF; every
+  * function here is also expressible verbatim in the DuckDB oracle
+  * dialect, which is how the q31–q34 queries gate it.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (regex `\s+`, consistent with the oracle's
+    * string_split_regex). */
+  def tokenize(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokenize(text)).cast(LongType)
+
+  /** Distinct word n-gram shingles; empty array when the document has
+    * fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val tk = tokenize(text)
+    when(size(tk) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Tiny per-language stopword lists for the language-ID heuristic.
+    * Deliberately minimal: the heuristic's *shape* (n-gram/stopword hit
+    * counting with a deterministic argmax) is the deliverable; real
+    * deployments swap in fuller lists. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "zu", "mit", "von", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "des", "du", "est", "dans"))
+
+  /** Number of tokens (with multiplicity) that appear in `words` —
+    * mirrors the oracle's list_filter + list_contains 1:1. */
+  def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokenize(text), t => array_contains(typedLit(words), t))).cast(LongType)
+
+  /** Deterministic-argmax language guess from stopword hits; 'und' when no
+    * list scores a hit. Tie-break order: en > es > de > fr. */
+  def languageId(text: Column): Column = {
+    val hits = Seq("en", "es", "de", "fr").map(l => l -> hitCount(text, stopwords(l)))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((lang, h), other) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(other)
+    }
+  }
+
+  /** Quality score in [0,1]: length signal + stopword-ratio signal + word-
+    * length signal (SURVEY.md §2.10; the standard cheap pre-filter shape
+    * for pretraining corpora). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val stopRatio = hitCount(text, stopwords("en")).cast("double") / nTok
+    val avgTokLen = (length(text) - (nTok - 1)).cast("double") / nTok
+    round(
+      least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - abs(stopRatio - 0.4)) * 0.3 +
+        least(avgTokLen / 8.0, lit(1.0)) * 0.2,
+      4)
+  }
+
+  /** Order-sensitive rolling polynomial fingerprint of the token stream:
+    * h = (h*131 + ascii(first char)*31 + len(token)) mod 1e9+7. Character-
+    * code arithmetic only, so the oracle reproduces it exactly with
+    * list_reduce. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokenize(text), t => (ascii(t) * 31 + length(t)).cast(LongType)),
+      lit(0L),
+      (h, v) => pmod(h * 131 + v, lit(1000000007L)))
+}

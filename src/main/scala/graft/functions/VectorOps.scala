@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector algebra over `ArrayType(FloatType)` embedding columns in pure
+  * Catalyst higher-order functions (SURVEY.md §2.10 L2) — no UDF, no
+  * serialization boundary, evaluated row-at-a-time inside the generated
+  * plan alongside codegen'd neighbors.
+  *
+  * Determinism: [[dot]] folds left in array order after widening each
+  * element to double, so both engines of the correctness gate (Spark and
+  * the DuckDB oracle over `CAST(v AS DOUBLE[])`) see the same operand
+  * sequence; residual last-ulp differences are absorbed by the queries'
+  * explicit ROUND.
+  */
+object VectorOps {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (s, v) => s + v)
+
+  /** Euclidean norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]; NaN when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** L2-normalized copy of the vector (double elements). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns (SURVEY.md
+  * §2.10 L2): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale design: brute force is probes × corpus — fine when probes are a
+  * broadcastable batch (the plan is a BroadcastNestedLoopJoin streaming
+  * the corpus once, no shuffle of the big side; ranking shuffles only
+  * (pid, nid, sim) tuples). At 100 TB corpus you cap the streamed work by
+  * bucketing both sides with [[hyperplaneBucketExpr]]: the join becomes a
+  * hash equi-join on the bucket id, touching ~corpus/2^planes vectors per
+  * probe, recall traded via `planes` (fewer planes = bigger buckets =
+  * higher recall). Hyperplane weights derive from xxhash64, so bucketing
+  * is deterministic across runs and engines — no RNG state to ship.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * Output: (pid, rank, nid, sim) with sim rounded to `roundTo` before
+    * ranking so rank order is stable across float-summation orders. */
+  def topKBruteForce(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val p = probes.select(col(idCol).as("pid"), col(vecCol).as("pvec"))
+    val scored = broadcast(p).crossJoin(v)
+      .filter(col("pid") =!= col("nid"))
+      .withColumn("sim", round(VectorOps.cosine(col("pvec"), col("nvec")), roundTo))
+    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("pid", "rank", "nid", "sim")
+  }
+
+  /** Deterministic random-hyperplane bucket id (LSH for cosine): bit p of
+    * the id is the sign of ⟨vec, plane_p⟩ where plane_p's component d is a
+    * pseudo-random weight in [-1, 1] derived from xxhash64(p, d). */
+  def hyperplaneBucketExpr(vecCol: String, planes: Int): org.apache.spark.sql.Column =
+    expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
+      acc * 2 + IF(
+        aggregate(
+          zip_with($vecCol, sequence(0, size($vecCol) - 1),
+            (x, d) -> cast(x as double) *
+              ((pmod(xxhash64(p, d), 2001) - 1000) / 1000.0)),
+          cast(0 as double), (s, v) -> s + v) >= 0, 1L, 0L))""")
+
+  /** LSH-bucketed approximate top-k: candidates share the probe's bucket.
+    * Recall < 1 by construction; validate against [[topKBruteForce]]. */
+  def topKLsh(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      planes: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      hyperplaneBucketExpr(vecCol, planes).as("bucket"))
+    val p = probes.select(col(idCol).as("pid"), col(vecCol).as("pvec"),
+      hyperplaneBucketExpr(vecCol, planes).as("pbucket"))
+    val scored = p.join(v, col("pbucket") === col("bucket") && col("pid") =!= col("nid"))
+      .withColumn("sim", round(VectorOps.cosine(col("pvec"), col("nvec")), roundTo))
+    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("pid", "rank", "nid", "sim")
+  }
+
+  /** All within-group pairs (ia < ib) with cosine ≥ minSim — the
+    * embedding-space near-dup detector. `groupCol` bounds the pair space
+    * (a cluster/label/bucket column; use hyperplaneBucketExpr output for
+    * unlabeled corpora). */
+  def nearDupPairs(
+      vectors: DataFrame,
+      groupCol: String,
+      minSim: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    val a = vectors.select(col(groupCol).as("g"), col(idCol).as("ia"), col(vecCol).as("va"))
+    val b = vectors.select(col(groupCol).as("g2"), col(idCol).as("ib"), col(vecCol).as("vb"))
+    a.join(b, col("g") === col("g2") && col("ia") < col("ib"))
+      .withColumn("sim", round(VectorOps.cosine(col("va"), col("vb")), roundTo))
+      .filter(col("sim") >= minSim)
+      .select(col("g"), col("ia"), col("ib"), col("sim"))
+  }
+}

@@ -89,7 +89,7 @@ object AggQueries extends QueryGroup {
         // detector (the rollup Expand duplicates the tagged attributes)
         .rollup(expr("rname"), expr("nname"))
         .agg(
-          grouping_id().as("gid"),
+          grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n_cust"),
           msum(col("c_acctbal")).as("sum_acctbal"))
         .withColumnRenamed("rname", "r_name")
@@ -115,7 +115,7 @@ object AggQueries extends QueryGroup {
       val o = t(s, dir, "orders")
       o.cube("o_orderstatus", "o_orderpriority")
         .agg(
-          grouping_id().as("gid"),
+          grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n_orders"),
           msum(col("o_totalprice")).as("sum_price"),
           davg(col("o_totalprice")).as("avg_price"))

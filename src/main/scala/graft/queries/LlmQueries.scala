@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.functions.TextOps
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** L1–L5 — the LLM-data-pipeline surface (SURVEY.md §2.10): dedup families,
+  * similarity search, text analysis, multimodal binary plumbing. Queries
+  * delegate to the reusable operators in graft.operators / graft.functions
+  * so the oracle gate exercises the same code paths a library user calls.
+  *
+  * q38/q39/q41 have no DuckDB oracle (xxhash64-based signatures and typed
+  * mapPartitions are not expressible there) — the driver records the
+  * weaker rows-only check; their semantics are unit-tested against exact
+  * Jaccard / brute-force baselines in ScalaTest instead.
+  */
+object LlmQueries extends QueryGroup {
+  import H._
+
+  private val ORACLE_SHINGLES =
+    """SELECT doc_id AS id,
+      |       list_distinct([array_to_string(t[i:i+2], ' ')
+      |                      for i in generate_series(1, len(t) - 2)]) AS sh
+      |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+      |WHERE len(t) >= 3""".stripMargin
+
+  val q30 = QueryDef(
+    "q30_dedup_exact_sha2",
+    "exact dedup: canonical doc per sha2-256 content hash + copy count " +
+      "(single hash-groupBy; only (hash,id) shuffles, never text)",
+    (s, dir) => Dedup.exact(t(s, dir, "documents")).orderBy("text_sha"),
+    Some("""SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY sha256(text) ORDER BY text_sha"""))
+
+  val q31 = QueryDef(
+    "q31_text_token_stats",
+    "token statistics per language: docs, tokens, avg tokens, distinct sources",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+          round(avg(TextOps.tokenCount(col("text"))), 4).as("avg_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+              SUM(len(string_split_regex(text, '\s+'))) AS n_tokens,
+              ROUND(AVG(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens,
+              COUNT(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  val q32 = QueryDef(
+    "q32_text_quality_score",
+    "per-doc quality signals: token count, stopword ratio, avg token length, " +
+      "composite score — the cheap pretraining-corpus pre-filter",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTok = TextOps.tokenCount(col("text"))
+      val hits = TextOps.hitCount(col("text"), TextOps.stopwords("en"))
+      d.select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          hits.as("stop_hits"),
+          round(hits.cast("double") / nTok, 4).as("stop_ratio"),
+          round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 4).as("avg_tok_len"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH x AS (
+              SELECT doc_id, text,
+                CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt,
+                CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t)))
+                  AS BIGINT) AS hits
+              FROM documents)
+            SELECT doc_id, nt AS n_tokens, hits AS stop_hits,
+              ROUND(hits * 1.0 / nt, 4) AS stop_ratio,
+              ROUND((length(text) - (nt - 1)) * 1.0 / nt, 4) AS avg_tok_len,
+              ROUND(LEAST(nt / 50.0, 1.0) * 0.5
+                    + (1.0 - ABS(hits * 1.0 / nt - 0.4)) * 0.3
+                    + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2,
+                    4) AS quality
+            FROM x ORDER BY doc_id"""))
+
+  val q33 = QueryDef(
+    "q33_text_langid",
+    "language-ID heuristic (stopword-hit argmax) tabulated against the labeled lang",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("lang"), TextOps.languageId(col("text")).as("guess"))
+        .groupBy("lang", "guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")
+    },
+    Some("""WITH h AS (
+              SELECT lang,
+                len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t))) AS en,
+                len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['el','la','los','de','que','y','en','un','una','por'], t))) AS es,
+                len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['der','die','das','und','ein','eine','zu','mit','von','ist'], t))) AS de,
+                len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['le','la','les','et','un','une','des','du','est','dans'], t))) AS fr
+              FROM documents),
+            g AS (
+              SELECT lang,
+                CASE WHEN en > 0 AND en >= GREATEST(en, es, de, fr) THEN 'en'
+                     WHEN es > 0 AND es >= GREATEST(en, es, de, fr) THEN 'es'
+                     WHEN de > 0 AND de >= GREATEST(en, es, de, fr) THEN 'de'
+                     WHEN fr > 0 AND fr >= GREATEST(en, es, de, fr) THEN 'fr'
+                     ELSE 'und' END AS guess
+              FROM h)
+            SELECT lang, guess, COUNT(*) AS n FROM g
+            GROUP BY lang, guess ORDER BY lang, guess"""))
+
+  val q34 = QueryDef(
+    "q34_text_fingerprint",
+    "order-sensitive rolling-hash document fingerprint (mod 1e9+7) + boundary tokens",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = TextOps.tokenize(col("text"))
+      d.select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split_regex(text, '\s+'),
+                    t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+                (h, v) -> (h * 131 + v) % 1000000007) AS fp,
+              string_split_regex(text, '\s+')[1] AS first_tok,
+              string_split_regex(text, '\s+')[-1] AS last_tok
+            FROM documents ORDER BY doc_id"""))
+
+  val q35 = QueryDef(
+    "q35_neardup_jaccard_3gram",
+    "exact 3-gram Jaccard near-dup pairs (candidates share ≥1 shingle) ≥ 0.4",
+    (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), minJaccard = 0.4)
+        .select(col("ia"), col("ib"), col("shared"), col("na"), col("nb"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("ia", "ib"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+                    FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+              sz AS (SELECT id, CAST(len(sh) AS BIGINT) AS nsh FROM docs)
+             SELECT ia, ib, shared, na.nsh AS na, nb.nsh AS nb,
+               ROUND(shared * 1.0 / (na.nsh + nb.nsh - shared), 4) AS jaccard
+             FROM p JOIN sz na ON na.id = p.ia JOIN sz nb ON nb.id = p.ib
+             WHERE shared * 1.0 / (na.nsh + nb.nsh - shared) >= 0.4
+             ORDER BY ia, ib"""))
+
+  val q36 = QueryDef(
+    "q36_ann_cosine_topk",
+    "brute-force cosine top-5 neighbors for probes vec_id<10 (broadcast probes, " +
+      "corpus streamed once, rank on rounded sim for cross-engine stability)",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.topKBruteForce(v, v.filter(col("vec_id") < 10), k = 5)
+        .orderBy("pid", "rank")
+    },
+    Some("""WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                       FROM embeddings WHERE vec_id < 10),
+              v AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+              s AS (SELECT pid, nid, ROUND(list_cosine_similarity(pv, nv), 4) AS sim
+                    FROM p CROSS JOIN v WHERE pid <> nid),
+              r AS (SELECT pid, nid, sim,
+                      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sim DESC, nid) AS rank
+                    FROM s)
+            SELECT pid, rank, nid, sim FROM r WHERE rank <= 5 ORDER BY pid, rank"""))
+
+  val q37 = QueryDef(
+    "q37_neardup_cosine_label",
+    "embedding-space near-dup pairs within label groups (rounded cosine ≥ 0.3)",
+    (s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), groupCol = "label", minSim = 0.3)
+        .select(col("g").cast(LongType).as("label"), col("ia"), col("ib"), col("sim"))
+        .orderBy("label", "ia", "ib"),
+    Some("""WITH v AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+                         CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+              ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.3
+            ORDER BY a.label, ia, ib"""))
+
+  val q38 = QueryDef(
+    "q38_dedup_minhash_lsh",
+    "MinHash(32)+LSH(16 bands) near-dup candidates verified by exact Jaccard ≥ 0.4 " +
+      "(no oracle: xxhash64 signatures; ScalaTest checks candidates ⊆ exact pairs)",
+    (s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"),
+          numHashes = 32, bands = 16, minJaccard = 0.4)
+        .select(col("ia"), col("ib"), col("shared"),
+          round(col("jaccard"), 4).as("jaccard"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("ia", "ib"),
+    None)
+
+  val q39 = QueryDef(
+    "q39_text_simhash",
+    "64-bit SimHash signature + 16-bit band keys per document " +
+      "(no oracle: xxhash64 bit votes; pair semantics unit-tested)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+          col("doc_id"),
+          Dedup.simHash64("text").as("simhash"))
+        .withColumn("band0", expr("simhash & 65535"))
+        .withColumn("band1", expr("(simhash >> 16) & 65535"))
+        .withColumn("band2", expr("(simhash >> 32) & 65535"))
+        .withColumn("band3", expr("(simhash >> 48) & 65535"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val q40 = QueryDef(
+    "q40_multimodal_binary",
+    "binary payload plumbing on the relational path: byte length, content " +
+      "hash, base64 prefix over text-as-bytes payloads",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val bin = col("text").cast("binary")
+      d.select(
+          col("doc_id"),
+          length(bin).cast(LongType).as("n_bytes"),
+          sha2(bin, 256).as("payload_sha"),
+          substring(base64(bin), 1, 16).as("b64_prefix"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              sha256(text) AS payload_sha,
+              substring(to_base64(encode(text)), 1, 16) AS b64_prefix
+            FROM documents ORDER BY doc_id"""))
+
+  val q41 = QueryDef(
+    "q41_multimodal_features",
+    "typed partition-wise media featurization (stubbed decode → byte " +
+      "histogram): per-kind feature stats (no oracle: typed mapPartitions)",
+    (s, dir) =>
+      Multimodal.featurize(Multimodal.fromDocuments(s, dir)).toDF()
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(element_at(col("histogram"), 1)), 4).as("avg_hist0"),
+          round(avg(element_at(col("histogram"), 8)), 4).as("avg_hist7"))
+        .orderBy("kind"),
+    None)
+
+  override def queries: Seq[QueryDef] =
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+}

@@ -11,7 +11,8 @@ object Registry {
     AggQueries,
     WindowFnQueries,
     SetScalarQueries,
-    TimeWindowQueries)
+    TimeWindowQueries,
+    LlmQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = groups.flatMap(_.queries)

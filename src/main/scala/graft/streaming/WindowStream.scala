@@ -1,0 +1,154 @@
+package graft.streaming
+
+import java.util.concurrent.{Executors, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable.ArrayBuffer
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's pub/sub facade (SURVEY.md §2.1 S1–S7), re-expressed on
+  * Structured Streaming. API contract mirrors WindowPublisher:
+  *
+  *  - `publish` blocks when the bounded ingest buffer is full — lossless,
+  *    backpressured ingest (the reference spins on emitNext failure,
+  *    WindowPublisher.java:31,80-82; we block on a bounded queue — same
+  *    guarantee, no busy-wait).
+  *  - `asyncPublish` try-offers and reports success per item
+  *    (WindowPublisher.java:100-111; returns Seq of pairs, not the
+  *    reference's Map, which threw on duplicate elements — SURVEY §2.1 S4).
+  *  - `subscribe(consumer[, errorConsumer])` — at most one subscriber
+  *    (unicast contract, WindowPublisher.java:68), batches delivered on a
+  *    consumer pool of `consumerParallelism` threads, per-batch errors
+  *    routed to `errorConsumer` (WindowPublisher.java:142-150).
+  *  - queue introspection (WindowPublisher.java:116-125).
+  *
+  * Mechanism is redesigned per SURVEY.md §7.4: a pump thread drains the
+  * bounded queue into a MemoryStream in admission-capped slices (the
+  * maxOffsetsPerTrigger analogue), a ProcessingTime trigger provides the
+  * time axis, and chunking to `windowMaxBatchSize` provides the count
+  * axis, so every delivered batch has size ∈ [1, windowMaxBatchSize] —
+  * the reference's count-or-time window contract (bufferTimeout,
+  * WindowPublisher.java:70-72) with empty windows suppressed. Batches for
+  * the exact per-key count-or-time semantics go through
+  * [[CountOrTimeWindow]] instead.
+  */
+class WindowStream[T: Encoder](
+    spark: SparkSession,
+    queueCapacity: Int = WindowStream.DefaultQueueSize,
+    windowMaxBatchSize: Int = 15,
+    windowDuration: FiniteDuration = 100.millis,
+    consumerParallelism: Int = Runtime.getRuntime.availableProcessors()) {
+
+  require(queueCapacity > 0 && windowMaxBatchSize > 0 && consumerParallelism > 0)
+
+  /** Capacity normalized up to the next power of two, like the reference's
+    * Queues.ceilingNextPowerOfTwo (WindowPublisher.java:66). */
+  private val capacity: Int =
+    if (Integer.bitCount(queueCapacity) == 1) queueCapacity
+    else Integer.highestOneBit(queueCapacity) * 2
+
+  private val queue = new LinkedBlockingQueue[T](capacity)
+  private val source = MemoryStream[T](spark)
+  private val subscribed = new AtomicBoolean(false)
+  private val running = new AtomicBoolean(true)
+  @volatile private var query: StreamingQuery = _
+  @volatile private var pumpThread: Thread = _
+
+  // ---- ingest (S1–S4) ----
+
+  /** Blocking, lossless single-item ingest. */
+  def publish(item: T): Unit = queue.put(item)
+
+  /** Blocking batch ingest, iteration order preserved. */
+  def publish(items: Iterable[T]): Unit = items.foreach(queue.put)
+
+  /** Non-blocking ingest: false when the buffer is full (caller retries). */
+  def asyncPublish(item: T): Boolean = queue.offer(item)
+
+  /** Per-item non-blocking ingest results, in order (duplicate-safe). */
+  def asyncPublish(items: Iterable[T]): Seq[(T, Boolean)] =
+    items.map(i => i -> queue.offer(i)).toSeq
+
+  // ---- introspection (S7) ----
+
+  def getQueueSize: Int = queue.size()
+  def getQueueCapacity: Int = capacity
+
+  // ---- consumption (S5–S6) ----
+
+  /** Subscribe with errors escalated to stderr (the no-error-consumer
+    * overload; unlike the reference, failures are at least visible). */
+  def subscribe(consumer: Seq[T] => Unit): StreamingQuery =
+    subscribe(consumer, (batch, e) =>
+      System.err.println(s"[WindowStream] batch of ${batch.size} failed: $e"))
+
+  /** Subscribe with an error channel; at most one subscriber per stream. */
+  def subscribe(consumer: Seq[T] => Unit, errorConsumer: (Seq[T], Throwable) => Unit): StreamingQuery = {
+    if (!subscribed.compareAndSet(false, true))
+      throw new IllegalStateException(
+        "WindowStream is unicast: already subscribed (WindowPublisher.java:68 contract)")
+
+    val pool = Executors.newFixedThreadPool(consumerParallelism)
+
+    query = source.toDS().writeStream
+      .queryName(s"window-stream-${source.id}")
+      .trigger(Trigger.ProcessingTime(windowDuration.toMillis))
+      .outputMode("append")
+      .foreachBatch { (ds: Dataset[T], _: Long) =>
+        val items = ds.collect().toSeq
+        if (items.nonEmpty) {
+          // count axis + empty-window suppression; parallel delivery on the
+          // consumer pool, awaited so trigger cadence backpressures the pump
+          val tasks = items.grouped(windowMaxBatchSize).map { chunk =>
+            new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit =
+                try consumer(chunk)
+                catch { case e: Exception => errorConsumer(chunk, e) }
+            }
+          }.toSeq
+          pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+        }
+      }
+      .start()
+
+    pumpThread = new Thread(() => {
+      // admission control: at most `capacity` items move per pump cycle —
+      // the maxOffsetsPerTrigger analogue keeping micro-batches bounded
+      while (running.get()) {
+        val drained = new java.util.ArrayList[T](capacity)
+        val first = queue.poll(windowDuration.toMillis / 2 + 1, TimeUnit.MILLISECONDS)
+        if (first != null) {
+          drained.add(first)
+          queue.drainTo(drained, capacity - 1)
+          val buf = new ArrayBuffer[T](drained.size)
+          drained.forEach(e => buf += e)
+          source.addData(buf.toSeq)
+        }
+      }
+    }, s"window-stream-pump-${source.id}")
+    pumpThread.setDaemon(true)
+    pumpThread.start()
+    query
+  }
+
+  /** Drain what's already queued, then stop the query. */
+  def stop(): Unit = {
+    val deadline = System.nanoTime() + 10.seconds.toNanos
+    while (queue.size() > 0 && System.nanoTime() < deadline) Thread.sleep(10)
+    if (query != null) {
+      query.processAllAvailable()
+      query.stop()
+    }
+    running.set(false)
+  }
+}
+
+object WindowStream {
+  /** The reference's DEFAULT_QUEUE_SIZE = 1 << 4 (WindowPublisher.java:22). */
+  val DefaultQueueSize: Int = 16
+}

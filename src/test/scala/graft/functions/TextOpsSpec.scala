@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpecBase {
+
+  private def one(colv: org.apache.spark.sql.Column, text: String): Any = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text").select(colv).collect().head.get(0)
+  }
+
+  test("tokenize + shingles: counts and short-doc guard") {
+    assert(one(TextOps.tokenCount(col("text")), "a b  c") === 3L)
+    assert(one(size(TextOps.shingles(col("text"), 3)), "a b c d") === 2)
+    assert(one(size(TextOps.shingles(col("text"), 3)), "a b") === 0)
+    assert(one(TextOps.shingles(col("text"), 2), "a b c") ===
+      Seq("a b", "b c"))
+  }
+
+  test("fingerprint: rolling-hash reference value") {
+    // h0=0; t1="ab": 97*31+2=3009; t2="cde": 99*31+3=3072
+    // h1 = 3009; h2 = (3009*131 + 3072) % 1000000007 = 397251
+    assert(one(TextOps.fingerprint(col("text")), "ab cde") === 397251L)
+  }
+
+  test("languageId: deterministic argmax with priority tie-break") {
+    assert(one(TextOps.languageId(col("text")), "the cat and dog") === "en")
+    assert(one(TextOps.languageId(col("text")), "el gato que y") === "es")
+    assert(one(TextOps.languageId(col("text")), "zzz qqq") === "und")
+    // 'la' is in both es and fr lists: single hit each -> es wins by priority
+    assert(one(TextOps.languageId(col("text")), "la xxx") === "es")
+  }
+
+  test("qualityScore stays in [0,1]") {
+    for (t <- Seq("a", "the a of to and in is on for", ("w " * 100).trim))
+      assert({ val q = one(TextOps.qualityScore(col("text")), t).asInstanceOf[Double]
+        q >= 0.0 && q <= 1.0 })
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+
+  test("exact dedup: canonical min-id per identical text, copy counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((3L, "a b c"), (1L, "a b c"), (2L, "x y z"), (7L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("jaccardPairs: exact 3-gram jaccard on a known pair") {
+    val s = spark
+    import s.implicits._
+    // d1 shingles {w1w2w3, w2w3w4}; d2 adds w3w4w5 -> shared 2, union 3
+    val df = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4 w5"), (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.jaccardPairs(df, minJaccard = 0.5).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 2L)))
+    assert(math.abs(r.getDouble(5) - 2.0 / 3.0) < 1e-9)
+  }
+
+  test("jaccardPairs: maxShingleDf prunes hot shingles from candidacy") {
+    val s = spark
+    import s.implicits._
+    // "c c c" shingle appears in all 4 docs -> pruned at maxDf=3, so the
+    // only surviving candidate link is the identical pair (1,2)
+    val df = Seq(
+      (1L, "a b c c c"), (2L, "a b c c c"),
+      (3L, "z y c c c"), (4L, "m n c c c")).toDF("doc_id", "text")
+    val all = Dedup.jaccardPairs(df, minJaccard = 0.01).collect()
+    val pruned = Dedup.jaccardPairs(df, minJaccard = 0.01, maxShingleDf = Some(3)).collect()
+    assert(all.length > pruned.length)
+    assert(pruned.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("minHashLshPairs finds the fixture near-dups (subset of exact, high recall)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = Dedup.jaccardPairs(docs, minJaccard = 0.4)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashLshPairs(docs, numHashes = 32, bands = 16, minJaccard = 0.4)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture corpus must contain planted near-dups")
+    assert(mh.subsetOf(exact), "verify step guarantees candidates ⊆ exact pairs")
+    assert(mh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("simHash: identical docs collide, near-identical docs land within small hamming") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val oneOff = ((1 to 29).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val other = (100 to 130).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, oneOff), (4L, other)).toDF("doc_id", "text")
+
+    val sigs = df.select(col("doc_id"), Dedup.simHash64("text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L), "identical text -> identical simhash")
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16,
+      "one-token change stays within small hamming distance")
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 16,
+      "unrelated text is far in hamming space")
+
+    val pairs = Dedup.simHashPairs(df, maxHamming = 16)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+
+  test("VectorOps cosine: orthogonal -> 0, parallel -> 1, known angle") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f), Array(0f, 1f)),
+      (2L, Array(1f, 2f), Array(2f, 4f)),
+      (3L, Array(1f, 0f), Array(1f, 1f))).toDF("id", "a", "b")
+    val out = df.select(col("id"), VectorOps.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L)) < 1e-12)
+    assert(math.abs(out(2L) - 1.0) < 1e-12)
+    assert(math.abs(out(3L) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("topKBruteForce: k rows per probe, descending sims, no self-pairs") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.topKBruteForce(v, v.filter(col("vec_id") < 5), k = 3)
+      .collect()
+    assert(out.length === 15)
+    out.groupBy(_.getLong(0)).foreach { case (pid, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+      assert(byRank.forall(_.getLong(2) != pid), "no self-neighbor")
+      val sims = byRank.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending")
+    }
+  }
+
+  test("topKLsh: structure holds and sims agree with brute force on shared pairs") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val probes = v.filter(col("vec_id") < 5)
+    val brute = Similarity.topKBruteForce(v, probes, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.topKLsh(v, probes, k = 3, planes = 4).collect()
+    assert(lsh.nonEmpty, "probe buckets must not be empty at 4 planes / 500 vecs")
+    lsh.foreach { r =>
+      assert(r.getLong(1) <= 3)
+      assert(r.getLong(2) !== r.getLong(0))
+      assert(math.abs(brute((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9,
+        "bucketed scoring must equal brute-force scoring for the same pair")
+    }
+  }
+
+  test("nearDupPairs: threshold and ordering discipline") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.nearDupPairs(v, groupCol = "label", minSim = 0.3).collect()
+    assert(out.forall(_.getDouble(3) >= 0.3))
+    assert(out.forall(r => r.getLong(1) < r.getLong(2)), "ia < ib canonical order")
+  }
+}

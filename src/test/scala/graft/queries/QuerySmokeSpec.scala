@@ -1,0 +1,26 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Every registered query builds and executes on sf0.001; the DuckDB hash
+  * gate (driver-side) is the real correctness check — this catches plan-
+  * time regressions early and keeps the registry self-consistent. */
+class QuerySmokeSpec extends SparkSpecBase {
+
+  test("registry is well-formed: unique names, oracle coverage documented") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size)
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.toSet === Set(
+      "q38_dedup_minhash_lsh", "q39_text_simhash", "q41_multimodal_features"),
+      "every new query needs a DuckDB oracle unless provably inexpressible")
+  }
+
+  for (q <- Registry.all) {
+    test(s"${q.name} executes on sf0.001") {
+      val n = q.builder(spark, sfDir).count()
+      // q07 (anti join) is legitimately empty on dense fixtures
+      if (q.name != "q07_join_anti_customers") assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpecBase
+
+/** The reference's own test shape (WindowPublisherTest.java:20-47): multi-
+  * threaded producers, bounded ingest queue, count-or-time windows, assert
+  * zero loss and zero duplication under contention. */
+class WindowStreamSpec extends SparkSpecBase {
+
+  test("lossless multi-producer soak: no loss, no dup, batch bounds hold") {
+    val s = spark
+    import s.implicits._
+    val nThreads = 10
+    val perThread = 2000
+    val total = nThreads * perThread
+    val maxBatch = 15
+
+    val ws = new WindowStream[Int](s, queueCapacity = 256,
+      windowMaxBatchSize = maxBatch, windowDuration = 100.millis,
+      consumerParallelism = 4)
+
+    val received = new ConcurrentLinkedQueue[Int]()
+    val oversize = new AtomicInteger(0)
+    val empties = new AtomicInteger(0)
+    ws.subscribe { batch =>
+      if (batch.size > maxBatch) oversize.incrementAndGet()
+      if (batch.isEmpty) empties.incrementAndGet()
+      batch.foreach(received.add)
+    }
+
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => (0 until perThread).foreach(i => ws.publish(t * perThread + i)))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    ws.stop()
+
+    val got = received.asScala.toSeq
+    assert(got.size === total, "every published element delivered exactly once")
+    assert(got.toSet.size === total, "no duplicates")
+    assert(oversize.get() === 0, s"batches must respect maxBatchSize=$maxBatch")
+    assert(empties.get() === 0, "empty windows are suppressed")
+  }
+
+  test("unicast: second subscribe throws") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, windowDuration = 200.millis)
+    val q = ws.subscribe(_ => ())
+    try {
+      intercept[IllegalStateException] { ws.subscribe(_ => ()) }
+    } finally { q.stop(); ws.stop() }
+  }
+
+  test("bounded buffer: asyncPublish reports rejection when full; capacity is pow2") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 20) // -> 32
+    assert(ws.getQueueCapacity === 32)
+    val results = ws.asyncPublish(1 to 40)
+    assert(results.count(_._2) === 32, "exactly capacity items accepted")
+    assert(results.drop(32).forall(!_._2), "overflow rejected, not dropped silently")
+    assert(ws.getQueueSize === 32)
+  }
+}

@@ -22,15 +22,22 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokenize(text)).cast(LongType)
 
   /** Distinct word n-gram shingles; empty array when the document has
-    * fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val tk = tokenize(text)
+    * fewer than n tokens.
+    *
+    * PERF: `text` should be a plain attribute and, in hot paths, tokenize
+    * first into its own projection and use [[shinglesFromTokens]] —
+    * Catalyst does not CSE non-attribute expressions into lambda bodies,
+    * so passing `split(...)` here re-runs the split once per shingle. */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokenize(text), n)
+
+  /** Shingles from an already-materialized token-array column (cheap bound
+    * reference inside the lambda — evaluate tokenize in a prior projection). */
+  def shinglesFromTokens(tk: Column, n: Int): Column =
     when(size(tk) >= n,
       array_distinct(
         transform(sequence(lit(1), size(tk) - (n - 1)),
           i => concat_ws(" ", slice(tk, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Tiny per-language stopword lists for the language-ID heuristic.
     * Deliberately minimal: the heuristic's *shape* (n-gram/stopword hit

@@ -16,8 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns, accumulated in double.
+    * Backed by the codegen'd [[graft.expressions.FloatDotProduct]] kernel;
+    * bit-identical to [[dotHof]] (left-to-right double fold). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(graft.expressions.FloatDotProduct(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
+
+  /** Declarative higher-order-function form of [[dot]] — the reference
+    * implementation the native kernel is verified against, and the
+    * fallback for non-float array types. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

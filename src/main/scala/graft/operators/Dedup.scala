@@ -32,10 +32,23 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle sets per doc: (id, sh) with empty-set docs dropped. */
+  /** Distinct-shingle sets per doc: (id, sh) with short docs dropped.
+    * Structured for one-shot evaluation: (1) tokens materialize as an
+    * attribute before the shingle lambda touches them — Catalyst does not
+    * CSE into lambda bodies, so an inlined split() would re-run per
+    * shingle; (2) the emptiness filter runs on size(toks) BEFORE the
+    * shingle projection — filtering on size(sh) afterwards gets pushed
+    * below the projection and re-inlines the entire shingle expression
+    * into the scan filter. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    df.select(col(idCol).as("id"), col(textCol).as("text_"))
+      // fan-out barrier: a compact doc table often arrives in one or few
+      // input splits; everything downstream (shingling, explode, the pair
+      // join) inherits that parallelism unless rows spread first
+      .repartition(col("id"))
+      .select(col("id"), TextOps.tokenize(col("text_")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs (ia < ib, jaccard ≥ minJaccard).
     * Candidates = pairs sharing at least one shingle; shared-shingle count
@@ -61,9 +74,16 @@ object Dedup {
         ex0.join(keep.select("s"), "s")
       case None => ex0
     }
-    val left = ex.select(col("id").as("ia"), col("s"))
-    val right = ex.select(col("id").as("ib"), col("s").as("s2"))
-    val shared = left.join(right, col("s") === col("s2") && col("ia") < col("ib"))
+    // Self-join discipline: shuffle by the join key BELOW the renames so
+    // both sides canonicalize to one identical exchange (computed once,
+    // ReusedExchange on the other side), and force a shuffled join — both
+    // sides scale with the corpus, broadcasting either would collect an
+    // exploded corpus-sized stream to the driver.
+    val exS = ex.repartition(col("s"))
+    val left = exS.select(col("id").as("ia"), col("s"))
+    val right = exS.select(col("id").as("ib"), col("s").as("s2"))
+    val shared = left.hint("shuffle_hash")
+      .join(right, col("s") === col("s2") && col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("shared"))
     val sizes = docs.select(col("id"), size(col("sh")).cast(LongType).as("nsh"))
     shared
@@ -75,11 +95,17 @@ object Dedup {
       .select("ia", "ib", "shared", "na", "nb", "jaccard")
   }
 
-  /** MinHash signature column: for hash i, min over shingles of
-    * xxhash64(shingle, i). Deterministic (xxhash64 is seed-fixed). */
-  private def minHashSig(sh: String, numHashes: Int): String =
-    s"""transform(sequence(0, ${numHashes - 1}),
-       |  i -> array_min(transform($sh, s -> xxhash64(s, i))))""".stripMargin
+  /** MinHash signatures as (id, sig array): min over shingles of
+    * xxhash64(shingle, i) per hash i, computed as numHashes codegen'd MIN
+    * aggregates over the exploded shingle stream — whole-stage-codegen
+    * hash aggregation, not interpreted per-element lambdas. Deterministic
+    * (xxhash64 is seed-fixed). */
+  private def minHashSigs(docs: DataFrame, numHashes: Int): DataFrame = {
+    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    ex.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH near-dup pairs: banded signature buckets generate
     * candidates, exact Jaccard (on the true shingle sets) verifies them.
@@ -97,22 +123,29 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val docs = shingleSets(df, idCol, textCol, n)
-      .withColumn("sig", expr(minHashSig("sh", numHashes)))
-    // band key: hash of each r-slice of the signature, salted by band index
-    val banded = docs.select(
-      col("id"), col("sh"), col("sig"),
+    val sigs = minHashSigs(docs, numHashes)
+    // Band join carries (id, sig, band, bkey) — sig is numHashes longs, a
+    // constant few hundred bytes; the variable-width shingle arrays never
+    // ride the shuffle, they rejoin by id only for surviving candidates.
+    val banded = sigs.select(
+      col("id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> xxhash64(slice(sig, j * $r + 1, $r), j))"))
         .as(Seq("band", "bkey")))
-    val a = banded.select(col("id").as("ia"), col("sh").as("sha"), col("sig").as("siga"),
-      col("band"), col("bkey"))
-    val b = banded.select(col("id").as("ib"), col("sh").as("shb"), col("sig").as("sigb"),
+    // same self-join discipline as jaccardPairs: one shared exchange under
+    // both renamed sides + shuffled join (both sides are corpus-sized)
+    val bandedS = banded.repartition(col("band"), col("bkey"))
+    val a = bandedS.select(col("id").as("ia"), col("sig").as("siga"), col("band"), col("bkey"))
+    val b = bandedS.select(col("id").as("ib"), col("sig").as("sigb"),
       col("band").as("band2"), col("bkey").as("bkey2"))
-    val cand = a.join(b,
+    val cand = a.hint("shuffle_hash")
+      .join(b,
         col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
-      .select("ia", "ib", "sha", "shb", "siga", "sigb")
+      .select("ia", "ib", "siga", "sigb")
       .dropDuplicates("ia", "ib")
     cand
+      .join(docs.select(col("id").as("ia"), col("sh").as("sha")), "ia")
+      .join(docs.select(col("id").as("ib"), col("sh").as("shb")), "ib")
       .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("shared")))
@@ -123,17 +156,42 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the whitespace token stream: per bit, sign of the
-    * ±1 vote sum across token hashes. Pure Catalyst expression. */
+    * ±1 vote sum across token hashes. Pure Catalyst expression; tokens are
+    * hashed ONCE up front (inner transform) — hashing inside the per-bit
+    * lambda would xxhash each token 64 times. */
   def simHash64(textCol: String): org.apache.spark.sql.Column =
     expr(s"""aggregate(
       zip_with(
-        aggregate(split($textCol, '\\\\s+'),
+        aggregate(transform(split($textCol, '\\\\s+'), t -> xxhash64(t)),
           transform(sequence(0, 63), b -> 0L),
-          (acc, t) -> zip_with(acc, sequence(0, 63),
-            (c, b) -> c + IF(((xxhash64(t) >> b) & 1) = 1, 1L, -1L))),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+            (c, b) -> c + IF(((h >> b) & 1) = 1, 1L, -1L))),
         sequence(0, 63),
         (c, b) -> IF(c >= 0, shiftleft(1L, cast(b as int)), 0L)),
       0L, (h, x) -> h | x)""")
+
+  /** SimHash signatures as (id, simhash) via codegen'd vote aggregation:
+    * explode tokens, hash each once, 64 SUM aggregates of ±1 bit votes,
+    * fold sign bits into one long. Bit-identical to [[simHash64]]
+    * (unit-tested); this is the scale path — whole-stage codegen instead
+    * of per-token-per-bit interpreted lambdas. */
+  def simHashSignatures(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .repartition(col("id")) // spread single-split doc tables before the fan-out
+      .select(col("id"), explode(col("toks")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(expr(s"((h >> $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"c$b"))
+    ex.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64)
+          .map(b => when(col(s"c$b") >= 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * from 4×16-bit band equality (pigeonhole-complete for distance ≤ 3). */
@@ -142,7 +200,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), simHash64(textCol).as("sim"))
+    val docs = simHashSignatures(df, idCol, textCol)
+      .select(col("id"), col("simhash").as("sim"))
     val banded = docs.select(col("id"), col("sim"),
       posexplode(expr("transform(sequence(0, 3), j -> (sim >> (j * 16)) & 65535)"))
         .as(Seq("band", "bkey")))

@@ -18,8 +18,19 @@ import org.apache.spark.sql.functions._
   * probe, recall traded via `planes` (fewer planes = bigger buckets =
   * higher recall). Hyperplane weights derive from xxhash64, so bucketing
   * is deterministic across runs and engines — no RNG state to ship.
+  *
+  * PERF: each side's L2 norm is materialized once per row in its own
+  * projection; per candidate pair only the dot product is evaluated.
+  * Norms inside the pair-scoring expression would re-run the O(dim)
+  * aggregate per pair (Catalyst does not CSE across a join).
   */
 object Similarity {
+
+  private def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
+    df.withColumn(normName, VectorOps.l2Norm(col(vecCol)))
+
+  private def pairSim(roundTo: Int) =
+    round(VectorOps.dot(col("pvec"), col("nvec")) / (col("pnorm") * col("nnorm")), roundTo)
 
   /** Exact top-k cosine neighbors for each probe row.
     * Output: (pid, rank, nid, sim) with sim rounded to `roundTo` before
@@ -31,11 +42,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4): DataFrame = {
-    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val p = probes.select(col(idCol).as("pid"), col(vecCol).as("pvec"))
+    val v = withNorm(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nvec", "nnorm")
+    val p = withNorm(probes.select(col(idCol).as("pid"), col(vecCol).as("pvec")), "pvec", "pnorm")
     val scored = broadcast(p).crossJoin(v)
       .filter(col("pid") =!= col("nid"))
-      .withColumn("sim", round(VectorOps.cosine(col("pvec"), col("nvec")), roundTo))
+      .withColumn("sim", pairSim(roundTo))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -64,12 +75,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4): DataFrame = {
-    val v = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      hyperplaneBucketExpr(vecCol, planes).as("bucket"))
-    val p = probes.select(col(idCol).as("pid"), col(vecCol).as("pvec"),
-      hyperplaneBucketExpr(vecCol, planes).as("pbucket"))
+    val v = withNorm(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        hyperplaneBucketExpr(vecCol, planes).as("bucket")), "nvec", "nnorm")
+    val p = withNorm(
+      probes.select(col(idCol).as("pid"), col(vecCol).as("pvec"),
+        hyperplaneBucketExpr(vecCol, planes).as("pbucket")), "pvec", "pnorm")
     val scored = p.join(v, col("pbucket") === col("bucket") && col("pid") =!= col("nid"))
-      .withColumn("sim", round(VectorOps.cosine(col("pvec"), col("nvec")), roundTo))
+      .withColumn("sim", pairSim(roundTo))
     val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -87,10 +100,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4): DataFrame = {
-    val a = vectors.select(col(groupCol).as("g"), col(idCol).as("ia"), col(vecCol).as("va"))
-    val b = vectors.select(col(groupCol).as("g2"), col(idCol).as("ib"), col(vecCol).as("vb"))
+    val a = withNorm(
+      vectors.select(col(groupCol).as("g"), col(idCol).as("ia"), col(vecCol).as("pvec")),
+      "pvec", "pnorm")
+    val b = withNorm(
+      vectors.select(col(groupCol).as("g2"), col(idCol).as("ib"), col(vecCol).as("nvec")),
+      "nvec", "nnorm")
     a.join(b, col("g") === col("g2") && col("ia") < col("ib"))
-      .withColumn("sim", round(VectorOps.cosine(col("va"), col("vb")), roundTo))
+      .withColumn("sim", pairSim(roundTo))
       .filter(col("sim") >= minSim)
       .select(col("g"), col("ia"), col("ib"), col("sim"))
   }

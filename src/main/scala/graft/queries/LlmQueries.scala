@@ -207,9 +207,8 @@ object LlmQueries extends QueryGroup {
       "(no oracle: xxhash64 bit votes; pair semantics unit-tested)",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(
-          col("doc_id"),
-          Dedup.simHash64("text").as("simhash"))
+      Dedup.simHashSignatures(d)
+        .select(col("id").as("doc_id"), col("simhash"))
         .withColumn("band0", expr("simhash & 65535"))
         .withColumn("band1", expr("(simhash >> 16) & 65535"))
         .withColumn("band2", expr("(simhash >> 32) & 65535"))

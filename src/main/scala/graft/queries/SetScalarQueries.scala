@@ -132,14 +132,15 @@ object SetScalarQueries extends QueryGroup {
     "JSON parsing of events.props: get_json_object scalar probe + from_json map keys",
     (s, dir) => {
       val e = t(s, dir, "events")
-      e.select(
+      // stage the parsed map as an attribute: one from_json per row, and
+      // map_keys against the bound reference twice for free
+      e.select(col("event_id"), col("props"),
+          from_json(col("props"), MapType(StringType, StringType)).as("m"))
+        .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k_value"),
-          array_join(
-            array_sort(map_keys(from_json(col("props"), MapType(StringType, StringType)))),
-            ",").as("keys_sorted"),
-          size(map_keys(from_json(col("props"), MapType(StringType, StringType))))
-            .cast(LongType).as("n_keys"))
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+          size(map_keys(col("m"))).cast(LongType).as("n_keys"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id,

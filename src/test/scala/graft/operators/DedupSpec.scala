@@ -53,6 +53,15 @@ class DedupSpec extends SparkSpecBase {
     assert(mh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("simHashSignatures (codegen agg path) is bit-identical to simHash64 (lambda path)") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val lambda = docs.select(col("doc_id").as("id"), Dedup.simHash64("text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simHashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg === lambda)
+  }
+
   test("simHash: identical docs collide, near-identical docs land within small hamming") {
     val s = spark
     import s.implicits._

@@ -21,6 +21,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(out(3L) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("native FloatDotProduct kernel is bit-identical to the HOF fold") {
+    val v = Tables.load(spark, sfDir, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding").as("a"), reverse(col("embedding")).as("b"))
+    val out = v.select(
+        VectorOps.dot(col("a"), col("b")).as("native"),
+        VectorOps.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("topKBruteForce: k rows per probe, descending sims, no self-pairs") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.topKBruteForce(v, v.filter(col("vec_id") < 5), k = 3)

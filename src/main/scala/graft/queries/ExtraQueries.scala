@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Coverage completers for SURVEY.md §2: flatMap/explode as a relational
+  * operator (P3), the full ranking-function family (F1), the math scalar
+  * family (§2.8), and statistical aggregates (A8). */
+object ExtraQueries extends QueryGroup {
+  import H._
+
+  val q42 = QueryDef(
+    "q42_explode_token_counts",
+    "flatMap/explode (lateral view): token frequencies per language, top-10 " +
+      "per lang by (count desc, token) via explode + window rank",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val counts = d
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+      counts.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 10)
+        .orderBy("lang", "rk")
+    },
+    Some("""WITH c AS (
+              SELECT lang, UNNEST(string_split_regex(text, '\s+')) AS token
+              FROM documents),
+            g AS (SELECT lang, token, COUNT(*) AS n FROM c GROUP BY lang, token),
+            r AS (SELECT lang, token, n,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+                  FROM g)
+            SELECT lang, token, n, rk FROM r WHERE rk <= 10
+            ORDER BY lang, rk"""))
+
+  val q43 = QueryDef(
+    "q43_window_rank_family",
+    "full ranking family over orders per customer: rank, dense_rank, ntile, " +
+      "percent_rank, cume_dist",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast(LongType).as("rnk"),
+          dense_rank().over(w).cast(LongType).as("drnk"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              RANK() OVER w AS rnk,
+              DENSE_RANK() OVER w AS drnk,
+              NTILE(4) OVER w AS quartile,
+              ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+              ROUND(CUME_DIST() OVER w, 6) AS cdist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  val q44 = QueryDef(
+    "q44_math_functions",
+    "math scalar family over part: floor/ceil/abs/pow/sqrt/ln/log10/pmod/greatest/least",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+          col("p_partkey"),
+          floor(col("p_retailprice")).cast(LongType).as("price_floor"),
+          ceil(col("p_retailprice")).cast(LongType).as("price_ceil"),
+          abs(col("p_size") - 25).cast(LongType).as("size_dev"),
+          round(pow(col("p_size"), 2.0), 4).as("size_sq"),
+          round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+          round(log(col("p_retailprice")), 4).as("price_ln"),
+          round(log10(col("p_retailprice")), 4).as("price_log10"),
+          pmod(col("p_partkey"), lit(7)).cast(LongType).as("key_mod7"),
+          greatest(col("p_size"), lit(10)).cast(LongType).as("size_hi"),
+          least(col("p_size"), lit(40)).cast(LongType).as("size_lo"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+              CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+              CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+              CAST(ABS(p_size - 25) AS BIGINT) AS size_dev,
+              ROUND(POW(p_size, 2.0), 4) AS size_sq,
+              ROUND(SQRT(p_retailprice), 4) AS price_sqrt,
+              ROUND(LN(p_retailprice), 4) AS price_ln,
+              ROUND(LOG10(p_retailprice), 4) AS price_log10,
+              CAST(p_partkey % 7 AS BIGINT) AS key_mod7,
+              CAST(GREATEST(p_size, 10) AS BIGINT) AS size_hi,
+              CAST(LEAST(p_size, 40) AS BIGINT) AS size_lo
+            FROM part ORDER BY p_partkey"""))
+
+  val q45 = QueryDef(
+    "q45_stats_variance_corr",
+    "statistical aggregates per event_type: stddev_samp, var_samp, corr(value, hour)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(col("event_type"), col("value"),
+          hour(col("ts")).cast("double").as("hr"))
+        .groupBy("event_type")
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(var_samp(col("value")), 4).as("var_value"),
+          round(corr(col("value"), col("hr")), 4).as("corr_value_hour"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+              ROUND(stddev_samp(value), 4) AS sd_value,
+              ROUND(var_samp(value), 4) AS var_value,
+              ROUND(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 4) AS corr_value_hour
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45)
+}

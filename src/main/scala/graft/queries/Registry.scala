@@ -12,7 +12,8 @@ object Registry {
     WindowFnQueries,
     SetScalarQueries,
     TimeWindowQueries,
-    LlmQueries)
+    LlmQueries,
+    ExtraQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = groups.flatMap(_.queries)

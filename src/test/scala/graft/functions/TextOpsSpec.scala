@@ -33,6 +33,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(one(TextOps.languageId(col("text")), "la xxx") === "es")
   }
 
+  test("WelfordVariance typed Aggregator matches the built-in var_samp") {
+    val s = spark
+    import s.implicits._
+    val e = graft.core.Tables.load(s, sfDir, "events")
+    val vs = udaf(WelfordVariance)
+    val out = e.groupBy("event_type")
+      .agg(vs(col("value")).as("welford"), var_samp(col("value")).as("builtin"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(2) < 1e-9,
+        s"variance mismatch for ${r.getString(0)}")
+    }
+  }
+
   test("qualityScore stays in [0,1]") {
     for (t <- Seq("a", "the a of to and in is on for", ("w " * 100).trim))
       assert({ val q = one(TextOps.qualityScore(col("text")), t).asInstanceOf[Double]

@@ -44,8 +44,10 @@ object Dedup {
     df.select(col(idCol).as("id"), col(textCol).as("text_"))
       // fan-out barrier: a compact doc table often arrives in one or few
       // input splits; everything downstream (shingling, explode, the pair
-      // join) inherits that parallelism unless rows spread first
-      .repartition(col("id"))
+      // join) inherits that parallelism unless rows spread first. Explicit
+      // N pins the fan-out — REPARTITION_BY_COL is AQE-coalescible and a
+      // few-MB doc table would fold back to ~1 partition.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"), TextOps.tokenize(col("text_")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
@@ -79,7 +81,7 @@ object Dedup {
     // ReusedExchange on the other side), and force a shuffled join — both
     // sides scale with the corpus, broadcasting either would collect an
     // exploded corpus-sized stream to the driver.
-    val exS = ex.repartition(col("s"))
+    val exS = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, col("s"))
     val left = exS.select(col("id").as("ia"), col("s"))
     val right = exS.select(col("id").as("ib"), col("s").as("s2"))
     val shared = left.hint("shuffle_hash")
@@ -134,7 +136,8 @@ object Dedup {
         .as(Seq("band", "bkey")))
     // same self-join discipline as jaccardPairs: one shared exchange under
     // both renamed sides + shuffled join (both sides are corpus-sized)
-    val bandedS = banded.repartition(col("band"), col("bkey"))
+    val bandedS = banded.repartition(
+      banded.sparkSession.sparkContext.defaultParallelism, col("band"), col("bkey"))
     val a = bandedS.select(col("id").as("ia"), col("sig").as("siga"), col("band"), col("bkey"))
     val b = bandedS.select(col("id").as("ib"), col("sig").as("sigb"),
       col("band").as("band2"), col("bkey").as("bkey2"))
@@ -181,7 +184,9 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val ex = df
       .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
-      .repartition(col("id")) // spread single-split doc tables before the fan-out
+      // spread single-split doc tables before the fan-out (explicit N —
+      // see shingleSets)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"), explode(col("toks")).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map(b =>

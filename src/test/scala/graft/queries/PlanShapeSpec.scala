@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Physical-plan regression guards: the properties that make these plans
+  * survive a 100× scale-up (SURVEY.md §4.2) are asserted, not assumed —
+  * pushdown reaching the parquet scan, column pruning, broadcast only for
+  * fixed-size dims, no broadcast of corpus-sized self-join sides, native
+  * kernel in the ANN path. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    Registry.all.find(_.name == name).get.builder(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: shipdate range predicate is pushed into the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "filter must reach the scan")
+  }
+
+  test("q01: scan is column-pruned to the referenced columns") {
+    val p = plan("q01_scan_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"scan reads more than needed: $readSchema")
+  }
+
+  test("q03: fixed-size dims broadcast; no forced broadcast on SF-scaling tables") {
+    val p = plan("q03_join_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dim joins should broadcast at this SF")
+    // the plan text records join strategy hints only for forced sides; the
+    // logical plan must not carry hints for customer/orders
+    val logical = Registry.all.find(_.name == "q03_join_star_revenue").get
+      .builder(spark, sfDir).queryExecution.optimizedPlan.toString
+    assert(!logical.contains("UnresolvedHint"), "hints must resolve")
+  }
+
+  test("q35: corpus-sized self-join must not broadcast either side") {
+    val p = plan("q35_neardup_jaccard_3gram")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    val pairJoin = joinLines.find(_.contains("ShuffledHashJoin"))
+    assert(pairJoin.isDefined,
+      s"shingle pair join must be a shuffled join, got: ${joinLines.mkString(" | ")}")
+  }
+
+  test("q36: ANN scoring uses the native float_dot kernel, probes broadcast") {
+    val p = plan("q36_ann_cosine_topk")
+    assert(p.contains("float_dot"), "native kernel must be in the plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "small probe side should broadcast, streaming the corpus once")
+  }
+
+  test("q26: tumbling window is a single partial+final aggregation (one shuffle)") {
+    val p = plan("q26_window_tumbling_1h")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one shuffle for the group-by, one singlePartition for the final sort
+    assert(exchanges <= 3, s"unexpected shuffle count: $exchanges")
+  }
+}

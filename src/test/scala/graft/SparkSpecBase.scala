@@ -8,7 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * sbt's single forked test JVM). */
 object SparkSpecBase {
   lazy val spark: SparkSession = {
-    val s = GraftSession.local(4)
+    // keep saveAsTable artifacts (BucketedJoinSpec) out of the repo dir
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    System.setProperty("derby.system.home", wh)
+    val s = GraftSession
+      .configure(SparkSession.builder().master("local[4]"), 4)
+      .config("spark.sql.warehouse.dir", wh)
+      .appName("graft-test")
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -23,7 +23,8 @@ object GraftSession {
 
   /** Apply the engine's standard configuration to a builder. */
   def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cores.toString)
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

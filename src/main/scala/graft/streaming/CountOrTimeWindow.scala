@@ -33,6 +33,37 @@ case class CotState[E](buf: Seq[E], openedAtMs: Long)
   */
 object CountOrTimeWindow {
 
+  /** The pure state transition for one flatMapGroupsWithState invocation:
+    * given the buffered state, newly-arrived elements, and "now", returns
+    * (count-closed emissions, next state). Extracted so the W1 invariants
+    * are property-testable without a streaming harness (SURVEY.md §5.2.3):
+    * losslessness, batch-size bounds, arrival-order preservation.
+    *
+    * @return (full batches to emit, Some((tailBuffer, openedAtMs)) if a
+    *         partial buffer remains, else None)
+    */
+  def step[E](
+      old: Option[(Seq[E], Long)],
+      incoming: Seq[E],
+      maxBatchSize: Int,
+      nowMs: Long): (Seq[Seq[E]], Option[(Seq[E], Long)]) = {
+    val buf = old.map(_._1).getOrElse(Seq.empty) ++ incoming
+    val chunks = buf.grouped(maxBatchSize).toSeq
+    val (full, tail) =
+      if (chunks.nonEmpty && chunks.last.size < maxBatchSize)
+        (chunks.dropRight(1), chunks.last)
+      else (chunks, Seq.empty[E])
+    val next =
+      if (tail.isEmpty) None
+      else {
+        // window-open time carries over iff the tail still holds elements
+        // of the previously open buffer (nothing emitted)
+        val openedAt = if (full.isEmpty) old.map(_._2).getOrElse(nowMs) else nowMs
+        Some((tail, openedAt))
+      }
+    (full, next)
+  }
+
   def apply[K, E](
       ds: Dataset[E],
       keyFn: E => K,
@@ -56,24 +87,15 @@ object CountOrTimeWindow {
             else Iterator.empty
           } else {
             val now = state.getCurrentProcessingTimeMs()
-            val old = state.getOption
-            val buf = old.map(_.buf).getOrElse(Seq.empty) ++ values
-            // count axis: every full chunk closes immediately, in order
-            val chunks = buf.grouped(maxBatchSize).toSeq
-            val (full, tail) =
-              if (chunks.nonEmpty && chunks.last.size < maxBatchSize)
-                (chunks.dropRight(1), chunks.last)
-              else (chunks, Seq.empty[E])
-            if (tail.nonEmpty) {
-              // window-open time: carried over iff the tail still holds
-              // elements of the previously open buffer (nothing emitted);
-              // otherwise this tail opened a fresh window "now"
-              val openedAt =
-                if (full.isEmpty) old.map(_.openedAtMs).getOrElse(now) else now
-              state.update(CotState(tail, openedAt))
-              state.setTimeoutDuration(math.max(1L, openedAt + windowMs - now))
-            } else {
-              state.remove()
+            val (full, next) = step(
+              state.getOption.map(s => (s.buf, s.openedAtMs)), values.toSeq,
+              maxBatchSize, now)
+            next match {
+              case Some((tail, openedAt)) =>
+                state.update(CotState(tail, openedAt))
+                state.setTimeoutDuration(math.max(1L, openedAt + windowMs - now))
+              case None =>
+                state.remove()
             }
             full.iterator.map(b => WindowBatch(key, b, "count"))
           }

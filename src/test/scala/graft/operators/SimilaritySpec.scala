@@ -32,6 +32,13 @@ class SimilaritySpec extends SparkSpecBase {
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("float_dot is SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT float_dot(cast(array(1.0, 2.0) as array<float>), " +
+        "cast(array(3.0, 4.0) as array<float>))").collect().head.getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("topKBruteForce: k rows per probe, descending sims, no self-pairs") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.topKBruteForce(v, v.filter(col("vec_id") < 5), k = 3)

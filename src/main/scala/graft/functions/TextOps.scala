@@ -21,6 +21,18 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokenize(text)).cast(LongType)
 
+  /** BPE-style pre-tokenization (SURVEY.md §2.10 L3): letter runs, digit
+    * runs, and single punctuation marks — the GPT-2-shaped split rule
+    * reduced to a regex that means the same thing in Java regex (Spark)
+    * and RE2 (DuckDB's regexp_extract_all). Counts the units a subword
+    * tokenizer would start from. */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
+
   /** Distinct word n-gram shingles; empty array when the document has
     * fewer than n tokens.
     *

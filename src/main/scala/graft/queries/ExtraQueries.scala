@@ -113,5 +113,27 @@ object ExtraQueries extends QueryGroup {
               ROUND(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 4) AS corr_value_hour
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45)
+  val q46 = QueryDef(
+    "q46_text_bpe_tokens",
+    "token counting both ways (whitespace vs BPE-style regex pre-tokenizer): " +
+      "per-lang totals and expansion ratio",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = graft.functions.TextOps.tokenCount(col("text"))
+      val bpe = graft.functions.TextOps.bpeTokenCount(col("text"))
+      d.groupBy("lang")
+        .agg(
+          sum(ws).as("ws_tokens"),
+          sum(bpe).as("bpe_tokens"),
+          round(sum(bpe).cast("double") / sum(ws), 4).as("expansion"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang,
+              SUM(len(string_split_regex(text, '\s+'))) AS ws_tokens,
+              SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+              ROUND(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1.0
+                    / SUM(len(string_split_regex(text, '\s+'))), 4) AS expansion
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46)
 }

@@ -68,6 +68,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("topKIvf: full-probe search degenerates to exact brute force") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val probes = v.filter(col("vec_id") < 5)
+    val brute = Similarity.topKBruteForce(v, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ivfAll = Similarity.topKIvf(v, probes, k = 5, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivfAll === brute, "probing every cell must equal brute force")
+  }
+
+  test("topKIvf: partial probe returns a subset with exact scores") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val probes = v.filter(col("vec_id") < 5)
+    val brute = Similarity.topKBruteForce(v, probes, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.topKIvf(v, probes, k = 5, nCentroids = 8, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(r.getLong(1) <= 5 && r.getLong(2) != r.getLong(0))
+      assert(math.abs(brute((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9,
+        "cell routing must never change pair scores")
+    }
+  }
+
   test("nearDupPairs: threshold and ordering discipline") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.nearDupPairs(v, groupCol = "label", minSim = 0.3).collect()

@@ -31,6 +31,12 @@ object AggQueries extends QueryGroup {
             <= countDistinct(col("user_id")) * 0.15).as("approx_ok"),
           round(percentile(col("value"), lit(0.5)), 4).as("p50_value"),
           round(percentile(col("value"), lit(0.9)), 4).as("p90_value"),
+          // KLL-style sketch gated the same way as the HLL flag: the
+          // approx p50 must land within ±5% of the value range around the
+          // exact p50 (accuracy 100 ⇒ rank error ≤ 1%)
+          (abs(percentile_approx(col("value"), lit(0.5), lit(100)) -
+              percentile(col("value"), lit(0.5)))
+            <= (max(col("value")) - min(col("value"))) * 0.05).as("approx_p50_ok"),
           sum_distinct(dec(col("value"))).cast("double").as("sum_distinct_value"))
         .orderBy("event_type")
     },
@@ -39,6 +45,7 @@ object AggQueries extends QueryGroup {
             TRUE AS approx_ok,
             ROUND(quantile_cont(value, 0.5), 4) AS p50_value,
             ROUND(quantile_cont(value, 0.9), 4) AS p90_value,
+            TRUE AS approx_p50_ok,
             CAST(SUM(DISTINCT CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_distinct_value
             FROM events GROUP BY event_type ORDER BY event_type"""))
 

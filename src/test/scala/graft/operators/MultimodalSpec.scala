@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("featurize: typed partition-wise features are deterministic and normalized") {
+    val ds = Multimodal.fromDocuments(spark, sfDir)
+    val feats = Multimodal.featurize(ds).collect()
+    assert(feats.length === ds.count())
+    feats.foreach { f =>
+      assert(f.histogram.length === 16)
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9, "L1-normalized histogram")
+      assert(f.n_bytes > 0)
+    }
+    // deterministic across runs
+    val again = Multimodal.featurize(ds).collect()
+      .map(f => f.media_id -> f.histogram.toSeq).toMap
+    feats.foreach(f => assert(again(f.media_id) === f.histogram.toSeq))
+  }
+
+  test("frameSample: n binary frames of the requested size") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abcdefghijkl")).toDF("id", "text")
+      .select(col("id"), col("text").cast("binary").as("payload"))
+    val frames = df.select(Multimodal.frameSample(col("payload"), n = 3, frameBytes = 4).as("f"))
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(frames.map(new String(_)) === Seq("abcd", "efgh", "ijkl"))
+  }
+}

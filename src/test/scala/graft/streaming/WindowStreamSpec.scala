@@ -48,6 +48,27 @@ class WindowStreamSpec extends SparkSpecBase {
     assert(empties.get() === 0, "empty windows are suppressed")
   }
 
+  test("error channel: a poisoned batch routes to errorConsumer, the stream continues") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 64,
+      windowMaxBatchSize = 5, windowDuration = 100.millis, consumerParallelism = 2)
+    val good = new ConcurrentLinkedQueue[Int]()
+    val failed = new ConcurrentLinkedQueue[Int]()
+    ws.subscribe(
+      batch => {
+        if (batch.contains(13)) throw new RuntimeException("poison")
+        batch.foreach(good.add)
+      },
+      (batch, _) => batch.foreach(failed.add))
+    ws.publish(1 to 100)
+    ws.stop()
+    assert(failed.asScala.toSet.contains(13), "poisoned batch reaches the error channel")
+    assert(good.asScala.size + failed.asScala.size === 100,
+      "every element lands in exactly one channel — delivery survives consumer failure")
+    assert(!good.asScala.toSet.contains(13))
+  }
+
   test("unicast: second subscribe throws") {
     val s = spark
     import s.implicits._

@@ -52,6 +52,28 @@ object Multimodal {
     })
   }
 
+  /** STUB resize: deterministic stride resampling of the payload bytes to
+    * the target pixel count with metadata updated — the plumbing shape of
+    * a real image scaler (payload transform + width/height rewrite) with
+    * the codec swapped for arithmetic. */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    require(w > 0 && h > 0)
+    ds.mapPartitions(_.map { r =>
+      val target = w * h
+      val src = r.payload
+      val out = new Array[Byte](target)
+      if (src.nonEmpty) {
+        var i = 0
+        while (i < target) {
+          out(i) = src(((i.toLong * src.length) / target).toInt % src.length)
+          i += 1
+        }
+      }
+      r.copy(payload = out, width = w, height = h)
+    })
+  }
+
   /** Fake frame sampling on the relational path: n equal binary slices of
     * the payload column (substring works on BinaryType), as an array
     * column — the batch shape a real video pipeline would produce. */

@@ -20,6 +20,20 @@ class MultimodalSpec extends SparkSpecBase {
     feats.foreach(f => assert(again(f.media_id) === f.histogram.toSeq))
   }
 
+  test("resize: payload rescaled to target pixel count, metadata rewritten") {
+    val ds = Multimodal.fromDocuments(spark, sfDir)
+    val out = Multimodal.resize(ds, 8, 6).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.payload.length === 48)
+      assert(r.width === 8 && r.height === 6)
+    }
+    // deterministic
+    val again = Multimodal.resize(ds, 8, 6).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    out.foreach(r => assert(again(r.media_id) === r.payload.toSeq))
+  }
+
   test("frameSample: n binary frames of the requested size") {
     val s = spark
     import s.implicits._

@@ -173,6 +173,59 @@ object Dedup {
         (c, b) -> IF(c >= 0, shiftleft(1L, cast(b as int)), 0L)),
       0L, (h, x) -> h | x)""")
 
+  /** MinHash+LSH with an engine-portable hash family, so the WHOLE
+    * pipeline (signatures → bands → candidates → exact-Jaccard verify) is
+    * replayable in ANSI-ish SQL and hash-gated by the DuckDB oracle (q47)
+    * — the cross-engine-verifiable counterpart of [[minHashLshPairs]]
+    * (whose xxhash64 family is faster but Spark-only).
+    *
+    * Hash family: shingle hash h = polynomial char hash mod P (P=1e9+7);
+    * permutation i = (Aᵢ·h + Bᵢ) mod P with Aᵢ = 2i+3, Bᵢ = 1000i+7;
+    * band key = base-131 fold of the band's signature slice mod P. */
+  def portableMinHashPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val P = 1000000007L
+    val r = numHashes / bands
+    val docs = shingleSets(df, idCol, textCol, n)
+    // native byte-loop kernel; identical to the declarative char fold
+    //   aggregate(transform(split(s,''), ascii), 0L, (h,v) -> (h*31+v)%P)
+    // for the ASCII corpus contract (unit-tested equivalence)
+    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("h", {
+        import org.apache.spark.sql.graftglue.ColumnGlue
+        ColumnGlue.column(graft.expressions.AsciiPolyHash(ColumnGlue.expression(col("s"))))
+      })
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(col("h") * (2 * i + 3) + (1000 * i + 7), lit(P))).as(s"m$i"))
+    val sig = ex.groupBy("id").agg(mins.head, mins.tail: _*)
+    def bandKey(j: Int) =
+      (0 until r).map(i => col(s"m${j * r + i}"))
+        .reduce((acc, m) => pmod(acc * 131 + m, lit(P)))
+    val banded = sig.select(col("id"),
+        posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "bkey")))
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism, col("band"), col("bkey"))
+    val a = banded.select(col("id").as("ia"), col("band"), col("bkey"))
+    val b = banded.select(col("id").as("ib"), col("band").as("band2"), col("bkey").as("bkey2"))
+    val cand = a.hint("shuffle_hash")
+      .join(b, col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
+      .select("ia", "ib").dropDuplicates("ia", "ib")
+    cand
+      .join(docs.select(col("id").as("ia"), col("sh").as("sha")), "ia")
+      .join(docs.select(col("id").as("ib"), col("sh").as("shb")), "ib")
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ia", "ib", "shared", "jaccard")
+  }
+
   /** SimHash signatures as (id, simhash) via codegen'd vote aggregation:
     * explode tokens, hash each once, 64 SUM aggregates of ±1 bit votes,
     * fold sign bits into one long. Bit-identical to [[simHash64]]

@@ -252,6 +252,53 @@ object LlmQueries extends QueryGroup {
         .orderBy("kind"),
     None)
 
+  val q47 = QueryDef(
+    "q47_dedup_minhash_portable",
+    "MinHash(8)+LSH(2 bands) with an engine-portable hash family — the full " +
+      "signature→band→candidate→verify pipeline hash-gated by the oracle",
+    (s, dir) =>
+      Dedup.portableMinHashPairs(t(s, dir, "documents"), minJaccard = 0.4)
+        .select(col("ia"), col("ib"), col("shared"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("ia", "ib"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              hh AS (SELECT id,
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                         (h, v) -> (h * 31 + v) % 1000000007) AS h
+                     FROM e),
+              sig AS (SELECT id,
+                        MIN((h * 3 + 7) % 1000000007) AS m0,
+                        MIN((h * 5 + 1007) % 1000000007) AS m1,
+                        MIN((h * 7 + 2007) % 1000000007) AS m2,
+                        MIN((h * 9 + 3007) % 1000000007) AS m3,
+                        MIN((h * 11 + 4007) % 1000000007) AS m4,
+                        MIN((h * 13 + 5007) % 1000000007) AS m5,
+                        MIN((h * 15 + 6007) % 1000000007) AS m6,
+                        MIN((h * 17 + 7007) % 1000000007) AS m7
+                      FROM hh GROUP BY id),
+              band AS (
+                SELECT id, 0 AS j,
+                  ((((m0 * 131 + m1) % 1000000007) * 131 + m2) % 1000000007 * 131 + m3)
+                    % 1000000007 AS bk FROM sig
+                UNION ALL
+                SELECT id, 1,
+                  ((((m4 * 131 + m5) % 1000000007) * 131 + m6) % 1000000007 * 131 + m7)
+                    % 1000000007 FROM sig),
+              cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+                       FROM band a JOIN band b
+                         ON a.j = b.j AND a.bk = b.bk AND a.id < b.id),
+              p AS (SELECT ia, ib,
+                      CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS shared,
+                      len(da.sh) AS na, len(db.sh) AS nb
+                    FROM cand JOIN docs da ON da.id = cand.ia
+                              JOIN docs db ON db.id = cand.ib)
+             SELECT ia, ib, shared,
+               ROUND(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+             FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
+             ORDER BY ia, ib"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47)
 }

@@ -53,6 +53,30 @@ class DedupSpec extends SparkSpecBase {
     assert(mh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("AsciiPolyHash kernel equals the declarative char fold on the corpus") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(100)
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val out = docs.select(
+        ColumnGlue.column(graft.expressions.AsciiPolyHash(
+          ColumnGlue.expression(col("text")))).as("native"),
+        expr("aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)), " +
+          "0L, (h, v) -> pmod(h * 31 + v, 1000000007L))").as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("portableMinHashPairs equals the xxhash64 variant's verified pair set on the fixture") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fast = Dedup.minHashLshPairs(docs, numHashes = 32, bands = 16, minJaccard = 0.4)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = Dedup.portableMinHashPairs(docs, minJaccard = 0.4)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(portable.nonEmpty)
+    // both are exact-Jaccard-verified subsets of the same truth; on the
+    // planted fixture both families reach full recall
+    assert(portable === fast)
+  }
+
   test("simHashSignatures (codegen agg path) is bit-identical to simHash64 (lambda path)") {
     val docs = Tables.load(spark, sfDir, "documents").limit(50)
     val lambda = docs.select(col("doc_id").as("id"), Dedup.simHash64("text").as("h"))

@@ -51,6 +51,17 @@ object Dedup {
       .select(col("id"), TextOps.tokenize(col("text_")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
+      // Lineage cut, for two reasons measured at sf0.1 (~6s each):
+      // (1) InferFiltersFromGenerate synthesizes `size(sh) > 0` above the
+      //     downstream explode and pushdown re-inlines the WHOLE shingle
+      //     expression into the single-split parquet scan (single-task);
+      // (2) the pair pipelines reference this frame from 3-4 branches
+      //     (explode sides, size/verify joins), each re-deriving it.
+      // A lazy local checkpoint materializes the shingle sets once at
+      // their computed partitioning and serves every branch. Trade-off
+      // (documented): executor-local storage, no lineage-based recovery
+      // for this fragment at cluster scale.
+      .localCheckpoint(false)
 
   /** Exact n-gram Jaccard near-dup pairs (ia < ib, jaccard ≥ minJaccard).
     * Candidates = pairs sharing at least one shingle; shared-shingle count

@@ -74,7 +74,7 @@ object AggQueries extends QueryGroup {
               FROM events GROUP BY user_id, event_type)
             SELECT user_id,
               string_agg(event_type, ',' ORDER BY event_type) AS types_sorted,
-              SUM(cnt) AS n_events,
+              CAST(SUM(cnt) AS BIGINT) AS n_events,
               COALESCE(MAX(CASE WHEN event_type = 'click' THEN cnt END), 0) AS n_click,
               COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN cnt END), 0) AS n_purchase,
               COALESCE(MAX(CASE WHEN event_type = 'error' THEN cnt END), 0) AS n_error

@@ -129,8 +129,8 @@ object ExtraQueries extends QueryGroup {
         .orderBy("lang")
     },
     Some("""SELECT lang,
-              SUM(len(string_split_regex(text, '\s+'))) AS ws_tokens,
-              SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+              CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS ws_tokens,
+              CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
               ROUND(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1.0
                     / SUM(len(string_split_regex(text, '\s+'))), 4) AS expansion
             FROM documents GROUP BY lang ORDER BY lang"""))

@@ -47,7 +47,7 @@ object LlmQueries extends QueryGroup {
         .orderBy("lang")
     },
     Some("""SELECT lang, COUNT(*) AS n_docs,
-              SUM(len(string_split_regex(text, '\s+'))) AS n_tokens,
+              CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
               ROUND(AVG(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens,
               COUNT(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang ORDER BY lang"""))

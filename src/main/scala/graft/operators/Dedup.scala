@@ -4,6 +4,7 @@ import graft.functions.TextOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for the LLM-pipeline surface (SURVEY.md §2.10 L1/
   * L2): exact (content hash), n-gram Jaccard (exact, candidate-pruned),
@@ -51,17 +52,23 @@ object Dedup {
       .select(col("id"), TextOps.tokenize(col("text_")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
-      // Lineage cut, for two reasons measured at sf0.1 (~6s each):
+      // Optimizer barrier + one-shot materialization, for two reasons
+      // measured at sf0.1 (~6s each):
       // (1) InferFiltersFromGenerate synthesizes `size(sh) > 0` above the
       //     downstream explode and pushdown re-inlines the WHOLE shingle
       //     expression into the single-split parquet scan (single-task);
       // (2) the pair pipelines reference this frame from 3-4 branches
       //     (explode sides, size/verify joins), each re-deriving it.
-      // A lazy local checkpoint materializes the shingle sets once at
-      // their computed partitioning and serves every branch. Trade-off
-      // (documented): executor-local storage, no lineage-based recovery
-      // for this fragment at cluster scale.
-      .localCheckpoint(false)
+      // The InMemoryRelation substitution happens on the analyzed plan,
+      // before optimization, so (1) cannot reach the scan; the cache is
+      // computed once and serves every branch, giving (2).
+      // DISK_ONLY, not memory and not localCheckpoint: shingle-set blocks
+      // held on-heap across a many-query session are pure GC pressure
+      // (the round-2 driver bench degraded 56s -> 95s under exactly that),
+      // while local shuffle-grade disk reads are a rounding error next to
+      // the pair join. Unlike localCheckpoint this also keeps lineage, so
+      // a lost executor recomputes instead of failing the job.
+      .persist(StorageLevel.DISK_ONLY)
 
   /** Exact n-gram Jaccard near-dup pairs (ia < ib, jaccard ≥ minJaccard).
     * Candidates = pairs sharing at least one shingle; shared-shingle count

@@ -54,10 +54,15 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane bucket id (LSH for cosine): bit p of
-    * the id is the sign of ⟨vec, plane_p⟩ where plane_p's component d is a
-    * pseudo-random weight in [-1, 1] derived from xxhash64(p, d). */
-  def hyperplaneBucketExpr(vecCol: String, planes: Int): org.apache.spark.sql.Column =
-    expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
+    * the id is the sign of ⟨vec, plane_{offset+p}⟩ where a plane's
+    * component d is a pseudo-random weight in [-1, 1] derived from
+    * xxhash64(planeIndex, d). `offset` selects an independent plane
+    * family, so OR-amplified callers (bands) draw disjoint planes. */
+  def hyperplaneBucketExpr(
+      vecCol: String,
+      planes: Int,
+      offset: Int = 0): org.apache.spark.sql.Column =
+    expr(s"""aggregate(sequence($offset, ${offset + planes - 1}), 0L, (acc, p) ->
       acc * 2 + IF(
         aggregate(
           zip_with($vecCol, sequence(0, size($vecCol) - 1),
@@ -138,24 +143,71 @@ object Similarity {
       .select("pid", "rank", "nid", "sim")
   }
 
-  /** All within-group pairs (ia < ib) with cosine ≥ minSim — the
-    * embedding-space near-dup detector. `groupCol` bounds the pair space
-    * (a cluster/label/bucket column; use hyperplaneBucketExpr output for
-    * unlabeled corpora). */
+  /** Within-group near-dup pairs (ia < ib, rounded cosine ≥ minSim) with
+    * LSH-bucketed pair generation: candidates come from `bands`
+    * independent hyperplane-bucket joins keyed on
+    * (group, band, bucket) — never from an all-pairs join on the group
+    * alone, whose key is low-cardinality (skewed shuffle) and whose pair
+    * fan-out is O(n²/k) as group sizes grow with the corpus. Scoring is
+    * exact: candidates rejoin their vectors by id and the true cosine is
+    * computed per surviving pair, so every emitted pair is correct; only
+    * candidacy is probabilistic.
+    *
+    * Recall = 1 - (1 - p^planesPerBand)^bands with p = 1 - θ/π per plane
+    * (θ = acos(minSim)). Tune planesPerBand to the threshold: at a
+    * production near-dup threshold (cosine ≥ 0.9, p ≈ 0.86), 8 planes per
+    * band prune buckets to ~1/256 of the group while 16 bands hold the
+    * miss rate at ~4e-6. At permissive thresholds (0.3, p ≈ 0.6) keep
+    * planesPerBand = 1 and buy recall with bands — pruning is inherently
+    * weak when "similar" is barely above random.
+    *
+    * `bands = 0` falls back to the exact all-pairs-per-group join — only
+    * for corpora whose group sizes are known-bounded. */
   def nearDupPairs(
       vectors: DataFrame,
       groupCol: String,
       minSim: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      roundTo: Int = 4): DataFrame = {
-    val a = withNorm(
-      vectors.select(col(groupCol).as("g"), col(idCol).as("ia"), col(vecCol).as("pvec")),
-      "pvec", "pnorm")
-    val b = withNorm(
-      vectors.select(col(groupCol).as("g2"), col(idCol).as("ib"), col(vecCol).as("nvec")),
-      "nvec", "nnorm")
-    a.join(b, col("g") === col("g2") && col("ia") < col("ib"))
+      roundTo: Int = 4,
+      bands: Int = 12,
+      planesPerBand: Int = 1): DataFrame = {
+    val base = withNorm(
+      vectors.select(col(groupCol).as("g"), col(idCol).as("id"), col(vecCol).as("vec")),
+      "vec", "norm")
+    val cand =
+      if (bands == 0) {
+        base.select(col("g"), col("id").as("ia"))
+          .join(base.select(col("g").as("g2"), col("id").as("ib")),
+            col("g") === col("g2") && col("ia") < col("ib"))
+          .select("g", "ia", "ib")
+      } else {
+        // bucket keys via the codegen'd kernel (weights cached per
+        // partition; bit-identical to hyperplaneBucketExpr, unit-tested),
+        // computed in this branch only; the rejoin sides below never
+        // evaluate it
+        import org.apache.spark.sql.graftglue.ColumnGlue
+        val bandKeys = ColumnGlue.column(graft.expressions.HyperplaneBands(
+          ColumnGlue.expression(col("vec")), bands, planesPerBand))
+        val banded = base.select(col("g"), col("id"),
+            posexplode(bandKeys).as(Seq("band", "bkey")))
+          // same self-join discipline as Dedup: one exchange on the join
+          // key below both renames (computed once, ReusedExchange on the
+          // other side), shuffled join — both sides are corpus-sized
+          .repartition(base.sparkSession.sparkContext.defaultParallelism,
+            col("g"), col("band"), col("bkey"))
+        val l = banded.select(col("g"), col("band"), col("bkey"), col("id").as("ia"))
+        val r = banded.select(col("g").as("g2"), col("band").as("band2"),
+          col("bkey").as("bkey2"), col("id").as("ib"))
+        l.hint("shuffle_hash")
+          .join(r, col("g") === col("g2") && col("band") === col("band2") &&
+            col("bkey") === col("bkey2") && col("ia") < col("ib"))
+          .select("g", "ia", "ib")
+          .dropDuplicates("ia", "ib")
+      }
+    cand
+      .join(base.select(col("id").as("ia"), col("vec").as("pvec"), col("norm").as("pnorm")), "ia")
+      .join(base.select(col("id").as("ib"), col("vec").as("nvec"), col("norm").as("nnorm")), "ib")
       .withColumn("sim", pairSim(roundTo))
       .filter(col("sim") >= minSim)
       .select(col("g"), col("ia"), col("ib"), col("sim"))

@@ -98,4 +98,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.forall(_.getDouble(3) >= 0.3))
     assert(out.forall(r => r.getLong(1) < r.getLong(2)), "ia < ib canonical order")
   }
+
+  test("HyperplaneBands kernel is bit-identical to the declarative bucket expr") {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val bands = 6
+    val planes = 2
+    val v = Tables.load(spark, sfDir, "embeddings").limit(200)
+    val kernel = ColumnGlue.column(graft.expressions.HyperplaneBands(
+      ColumnGlue.expression(col("embedding")), bands, planes))
+    val declarative = array((0 until bands).map(j =>
+      Similarity.hyperplaneBucketExpr("embedding", planes, offset = j * planes)): _*)
+    val out = v.select(kernel.as("k"), declarative.as("d")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("nearDupPairs: LSH-bucketed candidacy equals exact all-pairs on the fixture") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    def pairs(bands: Int) =
+      Similarity.nearDupPairs(v, groupCol = "label", minSim = 0.3, bands = bands)
+        .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exact = pairs(bands = 0)
+    val lsh = pairs(bands = 12)
+    assert(lsh.keySet.subsetOf(exact.keySet), "bucketed path must never invent pairs")
+    assert(exact.keySet === lsh.keySet,
+      s"missed pairs at 12×1 planes: ${(exact.keySet -- lsh.keySet).take(5)}")
+    lsh.foreach { case (k, sim) =>
+      assert(sim === exact(k), "bucketing must never change pair scores")
+    }
+  }
 }

@@ -44,6 +44,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"shingle pair join must be a shuffled join, got: ${joinLines.mkString(" | ")}")
   }
 
+  test("q37: pair generation is keyed on the LSH bucket, not the label alone") {
+    val p = plan("q37_neardup_cosine_label")
+    val pairJoin = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("ia") && l.contains("ib"))
+    assert(pairJoin.isDefined, "candidate pair join not found in plan")
+    assert(pairJoin.get.contains("bkey"),
+      s"pair join key must include the hyperplane bucket: ${pairJoin.get}")
+  }
+
   test("q36: ANN scoring uses the native float_dot kernel, probes broadcast") {
     val p = plan("q36_ann_cosine_topk")
     assert(p.contains("float_dot"), "native kernel must be in the plan")

@@ -244,6 +244,73 @@ object Dedup {
       .select("ia", "ib", "shared", "jaccard")
   }
 
+  /** SimHash with an engine-portable hash family — the cross-engine-
+    * verifiable counterpart of [[simHashSignatures]] (q48), mirroring what
+    * [[portableMinHashPairs]] is to [[minHashLshPairs]]: token hash
+    * h = polynomial char hash mod P (the same [[graft.expressions.AsciiPolyHash]]
+    * kernel as q47); bit b's vote is the parity of g² mod P with
+    * g = (h + 131b + 7) mod P — the squaring is the nonlinearity that
+    * decorrelates bits (an affine permutation's parity is constant across
+    * b between mod-wraps: consecutive b differ by an even step, so a
+    * linear family hands every token near-identical votes on all 64 bits
+    * and the signature degenerates); bit b = 1 iff the vote sum is ≥ 0.
+    * Output: (id, band0..band3), the 64-bit signature as 4×16-bit band
+    * keys (little-endian bit order within a band) — the LSH join keys,
+    * kept as 4 BIGINTs so the whole pipeline stays in ANSI-ish SQL with no
+    * 64-bit sign-bit gymnastics on either engine. */
+  def portableSimHashSignatures(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val P = 1000000007L
+    val ex = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), explode(col("toks")).as("t"))
+      .withColumn("h", {
+        import org.apache.spark.sql.graftglue.ColumnGlue
+        ColumnGlue.column(graft.expressions.AsciiPolyHash(ColumnGlue.expression(col("t"))))
+      })
+    // 64 codegen'd SUM aggregates (whole-stage codegen hash aggregation),
+    // one per bit — same scale shape as simHashSignatures; g < P ≈ 2^30,
+    // so g² < 2^60 — ANSI arithmetic cannot overflow on either engine
+    val votes = (0 until 64).map { b =>
+      val g = (col("h") + (131 * b + 7)) % P
+      sum(when((g * g % P) % 2 === 1, 1L).otherwise(-1L)).as(s"c$b")
+    }
+    ex.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id") +: (0 until 4).map { j =>
+        (0 until 16)
+          .map(i => when(col(s"c${16 * j + i}") >= 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as(s"band$j")
+      }: _*)
+  }
+
+  /** Near-dup pairs over the portable SimHash: candidates share at least
+    * one 16-bit band (pigeonhole-complete for Hamming distance ≤ 3),
+    * verified by the exact Hamming distance across the 4 band keys. */
+  def portableSimHashPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = portableSimHashSignatures(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("band0"), col("band1"), col("band2"), col("band3"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("id").as("ia"), col("band0").as("a0"), col("band1").as("a1"),
+      col("band2").as("a2"), col("band3").as("a3"), col("band"), col("bkey"))
+    val b = banded.select(col("id").as("ib"), col("band0").as("b0"), col("band1").as("b1"),
+      col("band2").as("b2"), col("band3").as("b3"),
+      col("band").as("band2_"), col("bkey").as("bkey2"))
+    a.join(b, col("band") === col("band2_") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
+      .dropDuplicates("ia", "ib")
+      .withColumn("hamming",
+        (0 until 4).map(j => expr(s"bit_count(a$j ^ b$j)").cast(LongType)).reduce(_ + _))
+      .filter(col("hamming") <= maxHamming)
+      .select("ia", "ib", "hamming")
+  }
+
   /** SimHash signatures as (id, simhash) via codegen'd vote aggregation:
     * explode tokens, hash each once, 64 SUM aggregates of ±1 bit votes,
     * fold sign bits into one long. Bit-identical to [[simHash64]]

@@ -299,6 +299,44 @@ object LlmQueries extends QueryGroup {
              FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
              ORDER BY ia, ib"""))
 
+  val q48 = QueryDef(
+    "q48_text_simhash_portable",
+    "64-bit SimHash with an engine-portable hash family (polynomial token " +
+      "hash, 64 parity-vote SUMs, 4×16-bit band keys) — the whole signature " +
+      "pipeline hash-gated by the oracle, closing q39's cross-engine gap",
+    (s, dir) =>
+      Dedup.portableSimHashSignatures(t(s, dir, "documents"))
+        .select(col("id").as("doc_id"),
+          col("band0"), col("band1"), col("band2"), col("band3"))
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (
+              SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS t
+              FROM documents),
+            hh AS (SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+                       (h, v) -> (h * 31 + v) % 1000000007) AS h
+                   FROM tok),
+            votes AS (SELECT doc_id, b,
+                        SUM(CASE WHEN ((((h + 131*b + 7) % 1000000007)
+                                      * ((h + 131*b + 7) % 1000000007))
+                                      % 1000000007) % 2 = 1
+                                 THEN 1 ELSE -1 END) AS c
+                      FROM hh, range(0, 64) r(b)
+                      GROUP BY doc_id, b),
+            band AS (SELECT doc_id, b // 16 AS j,
+                       CAST(SUM(CASE WHEN c >= 0
+                                     THEN 1::BIGINT << CAST(b % 16 AS INT)
+                                     ELSE 0 END) AS BIGINT) AS bk
+                     FROM votes GROUP BY doc_id, b // 16)
+            SELECT doc_id,
+              MAX(CASE WHEN j = 0 THEN bk END) AS band0,
+              MAX(CASE WHEN j = 1 THEN bk END) AS band1,
+              MAX(CASE WHEN j = 2 THEN bk END) AS band2,
+              MAX(CASE WHEN j = 3 THEN bk END) AS band3
+            FROM band GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48)
 }

@@ -86,6 +86,32 @@ class DedupSpec extends SparkSpecBase {
     assert(agg === lambda)
   }
 
+  test("portableSimHash: band keys are 16-bit, pairs found by Hamming verify") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val oneOff = ((1 to 39).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val other = (100 to 140).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, oneOff), (4L, other)).toDF("doc_id", "text")
+
+    val sigs = Dedup.portableSimHashSignatures(df).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    sigs.values.foreach(bands =>
+      bands.foreach(b => assert(b >= 0 && b <= 65535, "band keys must be 16-bit")))
+    assert(sigs(1L) === sigs(2L), "identical text -> identical signature")
+
+    def hamming(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(hamming(sigs(1L), sigs(3L)) <= 16, "one-token change stays close")
+    assert(hamming(sigs(1L), sigs(4L)) > 16, "unrelated text is far")
+
+    val pairs = Dedup.portableSimHashPairs(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet.contains((1L, 2L)), "identical pair must band-collide (pigeonhole)")
+    assert(pairs((1L, 2L)) === 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simHash: identical docs collide, near-identical docs land within small hamming") {
     val s = spark
     import s.implicits._

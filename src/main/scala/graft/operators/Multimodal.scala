@@ -52,6 +52,40 @@ object Multimodal {
     })
   }
 
+  /** The byte-histogram featurization computed RELATIONALLY — the same
+    * 16-bin high-nibble histogram as [[featurize]]'s stub, but in pure
+    * Catalyst expressions, so the pipeline is ANSI-expressible and the
+    * DuckDB oracle hash-gates it (q41). Cross-checked bin-for-bin against
+    * the typed path in ScalaTest.
+    *
+    * ASCII contract (same as [[graft.expressions.AsciiPolyHash]]): byte
+    * values are read as `ascii(substr(payload-as-text, i, 1))`, which
+    * equals the raw byte only for single-byte code points — the
+    * oracle-facing semantics are defined over ASCII payloads; binary
+    * media stays on the typed path. */
+  def featurizeRelational(
+      df: DataFrame,
+      idCol: String = "media_id",
+      kindCol: String = "kind",
+      payloadCol: String = "payload"): DataFrame = {
+    // staged projections (Catalyst does not CSE into lambda bodies): the
+    // payload→string cast and the nibble array each materialize as an
+    // attribute before the next lambda references them
+    df.select(col(idCol), col(kindCol),
+        octet_length(col(payloadCol)).cast("long").as("n_bytes"),
+        col(payloadCol).cast("string").as("txt_"))
+      .withColumn("nibs_",
+        when(length(col("txt_")) === 0, expr("cast(array() as array<int>)"))
+          // explicit guard: sequence(1, 0) is DESCENDING [1, 0] in Spark,
+          // not empty as in the oracle's generate_series
+          .otherwise(expr(
+            "transform(sequence(1, length(txt_)), i -> ascii(substr(txt_, i, 1)) div 16)")))
+      .select(col(idCol), col(kindCol), col("n_bytes"),
+        expr("""transform(sequence(0, 15),
+                 k -> size(filter(nibs_, v -> v = k))
+                      / cast(greatest(n_bytes, 1) as double))""").as("histogram"))
+  }
+
   /** STUB resize: deterministic stride resampling of the payload bytes to
     * the target pixel count with metadata updated — the plumbing shape of
     * a real image scaler (payload transform + width/height rewrite) with

@@ -239,10 +239,11 @@ object LlmQueries extends QueryGroup {
 
   val q41 = QueryDef(
     "q41_multimodal_features",
-    "typed partition-wise media featurization (stubbed decode → byte " +
-      "histogram): per-kind feature stats (no oracle: typed mapPartitions)",
+    "media featurization (stubbed decode → 16-bin byte histogram) on the " +
+      "relational path, per-kind feature stats — hash-gated; the typed " +
+      "mapPartitions path is asserted bin-identical in ScalaTest",
     (s, dir) =>
-      Multimodal.featurize(Multimodal.fromDocuments(s, dir)).toDF()
+      Multimodal.featurizeRelational(Multimodal.fromDocuments(s, dir).toDF())
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n_media"),
@@ -250,7 +251,25 @@ object LlmQueries extends QueryGroup {
           round(avg(element_at(col("histogram"), 1)), 4).as("avg_hist0"),
           round(avg(element_at(col("histogram"), 8)), 4).as("avg_hist7"))
         .orderBy("kind"),
-    None)
+    Some("""WITH m AS (
+              SELECT doc_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                text,
+                octet_length(encode(text)) AS nb
+              FROM documents),
+            h AS (SELECT kind, nb,
+                    len(list_filter(
+                      [ord(substring(text, i, 1)) // 16 for i in generate_series(1, len(text))],
+                      x -> x = 0)) * 1.0 / greatest(nb, 1) AS h0,
+                    len(list_filter(
+                      [ord(substring(text, i, 1)) // 16 for i in generate_series(1, len(text))],
+                      x -> x = 7)) * 1.0 / greatest(nb, 1) AS h7
+                  FROM m)
+            SELECT kind, COUNT(*) AS n_media,
+              CAST(SUM(nb) AS BIGINT) AS total_bytes,
+              ROUND(AVG(h0), 4) AS avg_hist0,
+              ROUND(AVG(h7), 4) AS avg_hist7
+            FROM h GROUP BY kind ORDER BY kind"""))
 
   val q47 = QueryDef(
     "q47_dedup_minhash_portable",

@@ -20,6 +20,21 @@ class MultimodalSpec extends SparkSpecBase {
     feats.foreach(f => assert(again(f.media_id) === f.histogram.toSeq))
   }
 
+  test("featurizeRelational is bin-identical to the typed mapPartitions path") {
+    val ds = Multimodal.fromDocuments(spark, sfDir)
+    val typed = Multimodal.featurize(ds).collect()
+      .map(f => f.media_id -> ((f.kind, f.n_bytes, f.histogram.toSeq))).toMap
+    val rel = Multimodal.featurizeRelational(ds.toDF()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getSeq[Double](3)))).toMap
+    assert(rel.keySet === typed.keySet)
+    rel.foreach { case (id, (kind, nb, hist)) =>
+      val (tKind, tNb, tHist) = typed(id)
+      assert(kind === tKind && nb === tNb)
+      assert(hist === tHist, s"histogram mismatch for media_id=$id")
+    }
+  }
+
   test("resize: payload rescaled to target pixel count, metadata rewritten") {
     val ds = Multimodal.fromDocuments(spark, sfDir)
     val out = Multimodal.resize(ds, 8, 6).collect()

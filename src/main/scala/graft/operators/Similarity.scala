@@ -123,10 +123,25 @@ object Similarity {
       val scored = side.join(broadcast(cents), lit(true))
         .withColumn("csim",
           VectorOps.dot(col(outVec), col("cvec")) / (col(s"${outVec}norm") * col("cnorm")))
-      val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cid"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(outId), col(outVec), col(s"${outVec}norm"), col("cid").as("cell"))
+      if (keep == 1) {
+        // corpus-side keep-1 as a max_by aggregation, NOT a row_number
+        // window: partial aggregation collapses the n×nCentroids scored
+        // rows map-side, so only ~n (id, vec, norm, cell) rows ride the
+        // shuffle — a window would shuffle every scored row first. The
+        // (csim, -cid) ordering struct reproduces the window's
+        // (csim desc, cid asc) tie-break exactly.
+        scored.groupBy(col(outId))
+          .agg(
+            max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cell"),
+            any_value(col(outVec)).as(outVec),
+            any_value(col(s"${outVec}norm")).as(s"${outVec}norm"))
+          .select(col(outId), col(outVec), col(s"${outVec}norm"), col("cell"))
+      } else {
+        val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cid"))
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= keep)
+          .select(col(outId), col(outVec), col(s"${outVec}norm"), col("cid").as("cell"))
+      }
     }
 
     val v = assign(corpus, "nid", "nvec", keep = 1)

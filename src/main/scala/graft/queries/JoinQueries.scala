@@ -173,11 +173,18 @@ object JoinQueries extends QueryGroup {
       val w = Window.partitionBy("user_id")
         .orderBy(col("tus"), col("is_click"), col("click_value"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("asof_ts_us",
-          last(when(col("is_click") === 1, col("tus")), ignoreNulls = true).over(w))
-        .withColumn("asof_value", last(col("click_value"), ignoreNulls = true).over(w))
-        .filter(col("is_click") === 0 && col("asof_value").isNotNull)
-        .select(col("event_id").as("pid"), col("asof_ts_us"), col("asof_value"))
+      // ts and value come from the SAME click row (one last() over a
+      // struct): two independent last(..., ignoreNulls) calls would pair
+      // the newest timestamp with a value from an OLDER click whenever the
+      // newest click's value is NULL, and existence-filtering on the value
+      // would drop purchases whose only prior clicks carry NULL values —
+      // the oracle keeps them with a NULL asof_value
+      ev.withColumn("asof",
+          last(when(col("is_click") === 1, struct(col("tus"), col("click_value"))),
+            ignoreNulls = true).over(w))
+        .filter(col("is_click") === 0 && col("asof").isNotNull)
+        .select(col("event_id").as("pid"),
+          col("asof.tus").as("asof_ts_us"), col("asof.click_value").as("asof_value"))
         .orderBy("pid")
     },
     Some("""WITH j AS (

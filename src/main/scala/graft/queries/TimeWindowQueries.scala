@@ -73,14 +73,14 @@ object TimeWindowQueries extends QueryGroup {
         .orderBy("user_id", "session_start")
     },
     Some(s"""WITH x AS (
-               SELECT user_id, ts, value,
+               SELECT user_id, ts, value, event_id,
                  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                       >= 1800000000 THEN 1 ELSE 0 END AS new_s
                FROM events),
              y AS (
                SELECT user_id, ts, value,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                                   ROWS UNBOUNDED PRECEDING) AS sid
                FROM x)
              SELECT user_id, ${oTsStr("MIN(ts)")} AS session_start,

@@ -58,6 +58,7 @@ class WindowStream[T: Encoder](
   private val running = new AtomicBoolean(true)
   @volatile private var query: StreamingQuery = _
   @volatile private var pumpThread: Thread = _
+  @volatile private var pool: java.util.concurrent.ExecutorService = _
 
   // ---- ingest (S1–S4) ----
 
@@ -93,7 +94,7 @@ class WindowStream[T: Encoder](
       throw new IllegalStateException(
         "WindowStream is unicast: already subscribed (WindowPublisher.java:68 contract)")
 
-    val pool = Executors.newFixedThreadPool(consumerParallelism)
+    pool = Executors.newFixedThreadPool(consumerParallelism)
 
     query = source.toDS().writeStream
       .queryName(s"window-stream-${source.id}")
@@ -136,15 +137,31 @@ class WindowStream[T: Encoder](
     query
   }
 
-  /** Drain what's already queued, then stop the query. */
+  /** Drain what's already queued, then stop the query. Ordering carries
+    * the lossless contract: the pump thread may hold drained items
+    * between `queue.drainTo` and `source.addData`, so a queue-empty wait
+    * alone can declare victory while up to `capacity` items are in the
+    * pump's hands. Halt and JOIN the pump first — after the join, every
+    * item is either in the queue or already in the MemoryStream — then
+    * move the queue remainder on the caller thread, and only then run the
+    * final batches and stop. */
   def stop(): Unit = {
-    val deadline = System.nanoTime() + 10.seconds.toNanos
-    while (queue.size() > 0 && System.nanoTime() < deadline) Thread.sleep(10)
+    running.set(false)
+    if (pumpThread != null) pumpThread.join()
+    val rest = new java.util.ArrayList[T]()
+    while (!queue.isEmpty) queue.drainTo(rest)
+    if (!rest.isEmpty) {
+      val buf = new ArrayBuffer[T](rest.size)
+      rest.forEach(e => buf += e)
+      source.addData(buf.toSeq)
+    }
     if (query != null) {
       query.processAllAvailable()
       query.stop()
     }
-    running.set(false)
+    // consumer pool threads are non-daemon; without this every stopped
+    // stream leaks consumerParallelism threads for the JVM's lifetime
+    if (pool != null) pool.shutdown()
   }
 }
 

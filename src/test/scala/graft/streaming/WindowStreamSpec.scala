@@ -48,6 +48,48 @@ class WindowStreamSpec extends SparkSpecBase {
     assert(empties.get() === 0, "empty windows are suppressed")
   }
 
+  test("stop() immediately after publish loses nothing (pump in-flight race)") {
+    val s = spark
+    import s.implicits._
+    // small capacity + long window: stop() very likely lands while the
+    // pump holds a drained slice it has not yet addData'd — the exact
+    // window of the stop() race (drain-join-then-flush must cover it)
+    for (round <- 1 to 5) {
+      val ws = new WindowStream[Int](s, queueCapacity = 16,
+        windowMaxBatchSize = 15, windowDuration = 300.millis, consumerParallelism = 2)
+      val received = new ConcurrentLinkedQueue[Int]()
+      ws.subscribe(batch => batch.foreach(received.add))
+      val n = 200
+      val t = new Thread(() => (0 until n).foreach(ws.publish))
+      t.start()
+      t.join(30000)
+      ws.stop() // no settle wait: everything queued or in the pump's hands
+      assert(received.asScala.size === n, s"round $round: loss across stop()")
+      assert(received.asScala.toSet.size === n, s"round $round: duplicates")
+    }
+  }
+
+  test("stop() shuts the consumer pool down (no thread leak per stream)") {
+    val s = spark
+    import s.implicits._
+    def consumerThreads() = Thread.getAllStackTraces.keySet.asScala
+      .count(_.getName.startsWith("pool-"))
+    val before = consumerThreads()
+    val streams = (1 to 3).map { _ =>
+      val ws = new WindowStream[Int](s, windowDuration = 100.millis, consumerParallelism = 4)
+      ws.subscribe(_ => ())
+      ws.publish(1 to 10)
+      ws
+    }
+    streams.foreach(_.stop())
+    // shutdown() lets in-flight tasks finish; give the pools a moment
+    val deadline = System.currentTimeMillis() + 10000
+    while (consumerThreads() > before && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(consumerThreads() <= before,
+      "stopped streams must not leave consumer-pool threads behind")
+  }
+
   test("error channel: a poisoned batch routes to errorConsumer, the stream continues") {
     val s = spark
     import s.implicits._

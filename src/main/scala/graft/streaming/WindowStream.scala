@@ -59,6 +59,7 @@ class WindowStream[T: Encoder](
   @volatile private var query: StreamingQuery = _
   @volatile private var pumpThread: Thread = _
   @volatile private var pool: java.util.concurrent.ExecutorService = _
+  private val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---- ingest (S1–S4) ----
 
@@ -79,6 +80,21 @@ class WindowStream[T: Encoder](
 
   def getQueueSize: Int = queue.size()
   def getQueueCapacity: Int = capacity
+
+  /** Items handed to the consumer (or error consumer) so far — the
+    * delivery-side counter pairing the ingest-side queue gauges. */
+  def getDeliveredCount: Long = delivered.get()
+
+  /** Latest micro-batch progress of the delivery query (SURVEY.md §2.1
+    * S7 depth: rows/batch and engine timings surfaced through the facade,
+    * not just queue gauges). None before the first trigger. */
+  def lastProgress: Option[WindowStream.Progress] =
+    Option(query).flatMap(q => Option(q.lastProgress)).map(WindowStream.progressOf)
+
+  /** Ring buffer of recent micro-batch progress samples, oldest first. */
+  def recentProgress: Seq[WindowStream.Progress] =
+    Option(query).map(_.recentProgress.toSeq.map(WindowStream.progressOf))
+      .getOrElse(Seq.empty)
 
   // ---- consumption (S5–S6) ----
 
@@ -113,6 +129,8 @@ class WindowStream[T: Encoder](
             }
           }.toSeq
           pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+          delivered.addAndGet(items.size.toLong)
+          ()
         }
       }
       .start()
@@ -168,4 +186,25 @@ class WindowStream[T: Encoder](
 object WindowStream {
   /** The reference's DEFAULT_QUEUE_SIZE = 1 << 4 (WindowPublisher.java:22). */
   val DefaultQueueSize: Int = 16
+
+  /** One micro-batch progress sample of the delivery query — the facade's
+    * stable projection of `StreamingQueryProgress` (rows per batch, batch
+    * timing, total stateful-operator rows; 0 for this stateless sink). */
+  case class Progress(
+      batchId: Long,
+      numInputRows: Long,
+      inputRowsPerSecond: Double,
+      processedRowsPerSecond: Double,
+      batchDurationMs: Long,
+      stateRowsTotal: Long)
+
+  private[streaming] def progressOf(
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Progress =
+    Progress(
+      batchId = p.batchId,
+      numInputRows = p.numInputRows,
+      inputRowsPerSecond = p.inputRowsPerSecond,
+      processedRowsPerSecond = p.processedRowsPerSecond,
+      batchDurationMs = p.batchDuration,
+      stateRowsTotal = p.stateOperators.map(_.numRowsTotal).sum)
 }

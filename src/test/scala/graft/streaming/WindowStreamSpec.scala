@@ -121,6 +121,28 @@ class WindowStreamSpec extends SparkSpecBase {
     } finally { q.stop(); ws.stop() }
   }
 
+  test("S7 depth: delivery progress (rows/batch, timings) surfaces through the facade") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 64,
+      windowMaxBatchSize = 10, windowDuration = 100.millis, consumerParallelism = 2)
+    ws.subscribe(_ => ())
+    val n = 120
+    ws.publish(1 to n)
+    val deadline = System.currentTimeMillis() + 30000
+    while (ws.getDeliveredCount < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(ws.getDeliveredCount === n.toLong, "delivered counter tracks every item")
+    assert(ws.lastProgress.isDefined, "progress visible after the first trigger")
+    val progress = ws.recentProgress
+    assert(progress.map(_.numInputRows).sum === n.toLong,
+      "micro-batch input rows across recent progress account for all items")
+    assert(progress.map(_.batchId).distinct.size === progress.size, "one sample per batch")
+    assert(progress.forall(_.batchDurationMs >= 0))
+    assert(progress.forall(_.stateRowsTotal === 0L), "delivery sink is stateless")
+    ws.stop()
+  }
+
   test("bounded buffer: asyncPublish reports rejection when full; capacity is pow2") {
     val s = spark
     import s.implicits._

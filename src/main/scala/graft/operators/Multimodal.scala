@@ -74,12 +74,19 @@ object Multimodal {
     df.select(col(idCol), col(kindCol),
         octet_length(col(payloadCol)).cast("long").as("n_bytes"),
         col(payloadCol).cast("string").as("txt_"))
+      // fan-out barrier before the CPU-heavy histogram lambdas: a compact
+      // single-split media table would otherwise run them in one task
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .withColumn("nibs_",
         when(length(col("txt_")) === 0, expr("cast(array() as array<int>)"))
-          // explicit guard: sequence(1, 0) is DESCENDING [1, 0] in Spark,
-          // not empty as in the oracle's generate_series
-          .otherwise(expr(
-            "transform(sequence(1, length(txt_)), i -> ascii(substr(txt_, i, 1)) div 16)")))
+          // split(txt, ''), NOT sequence+substr: substr(txt, i, 1) seeks
+          // from the string head — O(len²) per doc — and sequence(1, 0)
+          // on an empty string is DESCENDING [1, 0], not empty. The char
+          // split is one linear pass, so even when CollapseProject
+          // inlines this single-referenced array into the 16-bin
+          // histogram lambda (16 re-evaluations), the cost stays
+          // O(16·len), not O(16·len²)
+          .otherwise(expr("transform(split(txt_, ''), c -> ascii(c) div 16)")))
       .select(col(idCol), col(kindCol), col("n_bytes"),
         expr("""transform(sequence(0, 15),
                  k -> size(filter(nibs_, v -> v = k))

@@ -47,9 +47,11 @@ object Similarity {
     val scored = broadcast(p).crossJoin(v)
       .filter(col("pid") =!= col("nid"))
       .withColumn("sim", pairSim(roundTo))
-    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // ranking via the custom heap operator (graft.plans.TopKPerKey), not a
+    // window: the partial phase trims each partition to k rows per probe
+    // BEFORE the exchange, so the shuffle moves ~k·partitions rows per
+    // probe instead of the whole scored corpus
+    graft.plans.TopK.perKey(scored, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
       .select("pid", "rank", "nid", "sim")
   }
 
@@ -88,9 +90,7 @@ object Similarity {
         hyperplaneBucketExpr(vecCol, planes).as("pbucket")), "pvec", "pnorm")
     val scored = p.join(v, col("pbucket") === col("bucket") && col("pid") =!= col("nid"))
       .withColumn("sim", pairSim(roundTo))
-    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perKey(scored, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
       .select("pid", "rank", "nid", "sim")
   }
 
@@ -150,11 +150,9 @@ object Similarity {
       .withColumnRenamed("pvecnorm", "pnorm").withColumnRenamed("cell", "pcell")
     val scored = p.join(v, col("pcell") === col("cell") && col("pid") =!= col("nid"))
       .withColumn("sim", pairSim(roundTo))
-    val w = Window.partitionBy("pid").orderBy(col("sim").desc, col("nid"))
     // each corpus vector lives in exactly one cell (keep = 1), so a
     // (pid, nid) pair occurs at most once across the probed cells
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perKey(scored, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
       .select("pid", "rank", "nid", "sim")
   }
 

@@ -60,6 +60,13 @@ class PlanShapeSpec extends SparkSpecBase {
       "small probe side should broadcast, streaming the corpus once")
   }
 
+  test("q36: ranking runs on the custom heap operator (partial + final), not a window sort") {
+    val p = plan("q36_ann_cosine_topk")
+    assert(p.linesIterator.count(_.contains("TopKPerKey")) === 2,
+      "partial + final heap phases must replace the window rank")
+    assert(!p.contains("Window"), "no window operator in the ANN ranking path")
+  }
+
   test("q26: tumbling window is a single partial+final aggregation (one shuffle)") {
     val p = plan("q26_window_tumbling_1h")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))

@@ -12,8 +12,9 @@ class QuerySmokeSpec extends SparkSpecBase {
     assert(names.distinct.size === names.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet === Set(
-      "q38_dedup_minhash_lsh", "q39_text_simhash", "q41_multimodal_features"),
-      "every new query needs a DuckDB oracle unless provably inexpressible")
+      "q38_dedup_minhash_lsh", "q39_text_simhash"),
+      "every new query needs a DuckDB oracle unless provably inexpressible " +
+        "(q38/q39: xxhash64 signatures; their portable twins q47/q48 are gated)")
   }
 
   for (q <- Registry.all) {

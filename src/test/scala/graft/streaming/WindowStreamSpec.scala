@@ -130,7 +130,11 @@ class WindowStreamSpec extends SparkSpecBase {
     val n = 120
     ws.publish(1 to n)
     val deadline = System.currentTimeMillis() + 30000
-    while (ws.getDeliveredCount < n && System.currentTimeMillis() < deadline)
+    // progress is posted by the engine AFTER foreachBatch returns, so wait
+    // for the per-batch accounting to catch up with the delivered counter
+    while ((ws.getDeliveredCount < n ||
+        ws.recentProgress.map(_.numInputRows).sum < n) &&
+        System.currentTimeMillis() < deadline)
       Thread.sleep(100)
     assert(ws.getDeliveredCount === n.toLong, "delivered counter tracks every item")
     assert(ws.lastProgress.isDefined, "progress visible after the first trigger")

@@ -94,10 +94,59 @@ object Similarity {
       .select("pid", "rank", "nid", "sim")
   }
 
+  /** Spherical k-means coarse quantizer for [[topKIvf]] (Lloyd's
+    * iterations over cosine): deterministic init (first k vectors by id),
+    * E-step = max-cosine cell assignment as a map-side max_by aggregation
+    * (the [[topKIvf]] assign shape), M-step = per-cell elementwise mean
+    * of the L2-normalized vectors via posexplode + (cell, dim) partial
+    * aggregation. Per iteration only k×dim aggregated doubles reach the
+    * driver — centroids are model state, the corpus never moves. Returns
+    * (cid, cvec) with float vectors, ready to pass as `quantizer`.
+    *
+    * Training on normalized vectors makes the M-step the exact maximizer
+    * of the within-cell cosine sum, so the 1−cos objective is
+    * non-increasing across iterations (property-tested). */
+  def kMeansCentroids(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val spark = corpus.sparkSession
+    val vn = corpus
+      .select(col(idCol).as("id"), VectorOps.l2Normalize(col(vecCol)).as("vn"))
+      .withColumn("vnf", col("vn").cast("array<float>"))
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"),
+        VectorOps.l2Normalize(col(vecCol)).cast("array<float>").as("cvec"))
+    for (_ <- 0 until iters) {
+      val scored = vn.join(broadcast(cents), lit(true))
+        .withColumn("csim", VectorOps.dot(col("vnf"), col("cvec")) /
+          (lit(1.0) * VectorOps.l2Norm(col("cvec"))))
+      val assigned = scored.groupBy(col("id"))
+        .agg(
+          max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cell"),
+          any_value(col("vn")).as("vn"))
+      val dims = assigned
+        .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = dims.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(r => r.getDouble(2).toFloat))
+      }
+      import spark.implicits._
+      cents = byCell.toSeq.sortBy(_._1)
+        .map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+        .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the data-dependent scale
-    * path next to the random-hyperplane LSH: a deterministic coarse
-    * quantizer (the first nCentroids vectors by id — swap for k-means
-    * output in production) partitions the corpus into cells; each probe
+    * path next to the random-hyperplane LSH: a coarse quantizer (the
+    * first nCentroids vectors by id, or a trained [[kMeansCentroids]]
+    * model via `quantizer`) partitions the corpus into cells; each probe
     * searches only its nProbe nearest cells. Corpus side does
     * n×nCentroids native-kernel dots once (a broadcast join), search cost
     * drops to ~corpus·nProbe/nCentroids per probe batch.
@@ -111,10 +160,12 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      quantizer: Option[DataFrame] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val cents = quantizer.getOrElse(
+        corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
       .withColumn("cnorm", VectorOps.l2Norm(col("cvec")))
 
     def assign(df: DataFrame, outId: String, outVec: String, keep: Int): DataFrame = {

@@ -92,6 +92,35 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("kMeansCentroids: 1-cos objective non-increasing; IVF full-probe stays exact") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      v.select(col("vec_id").as("id"),
+          VectorOps.l2Normalize(col("embedding")).cast("array<float>").as("vnf"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("csim",
+          VectorOps.dot(col("vnf"), col("cvec")) / VectorOps.l2Norm(col("cvec")))
+        .groupBy("id").agg(max(col("csim")).as("best"))
+        .agg(sum(lit(1.0) - col("best"))).collect().head.getDouble(0)
+
+    val objs = (0 to 3).map(i =>
+      objective(Similarity.kMeansCentroids(v, k = 8, iters = i)))
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"objective must not increase: $objs")
+    }
+    assert(objs.last < objs.head, "training must actually improve the quantizer")
+
+    val trained = Similarity.kMeansCentroids(v, k = 8, iters = 3)
+    val nCells = trained.count().toInt
+    val probes = v.filter(col("vec_id") < 5)
+    val brute = Similarity.topKBruteForce(v, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ivf = Similarity.topKIvf(v, probes, k = 5, nCentroids = nCells, nProbe = nCells,
+        quantizer = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivf === brute, "probing every trained cell must equal brute force")
+  }
+
   test("nearDupPairs: threshold and ordering discipline") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.nearDupPairs(v, groupCol = "label", minSim = 0.3).collect()

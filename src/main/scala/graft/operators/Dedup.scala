@@ -244,6 +244,72 @@ object Dedup {
       .select("ia", "ib", "shared", "jaccard")
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: comp(v) starts at v and contracts to the
+    * minimum id reachable — the clustering step that turns near-dup PAIRS
+    * into dedup GROUPS (each group keeps its min-id canonical doc).
+    *
+    * Scale shape: each iteration is one (edge ⋈ label) shuffle join + a
+    * map-side min aggregation; convergence needs graph-diameter rounds,
+    * and near-dup components are overwhelmingly pairs/triangles in
+    * practice, so 2–3 rounds close the fixpoint (at extreme diameters
+    * you'd switch to large-star/small-star, same join shape). The sum of
+    * labels is strictly decreasing until the fixpoint, so convergence is
+    * detected with a cheap scalar aggregate instead of a change-count
+    * join. */
+  def connectedComponents(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
+      .union(pairs.select(col("ib").as("u"), col("ia").as("v")))
+      // referenced once per iteration: without the cut, every round would
+      // re-run the (possibly expensive) pair pipeline upstream
+      .persist(StorageLevel.DISK_ONLY)
+    var comp = nodes.select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.DISK_ONLY)
+    var sum = comp.agg(org.apache.spark.sql.functions.sum("comp")).collect().head.getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(comp, edges("v") === comp("id"))
+        .groupBy(col("u")).agg(min(col("comp")).as("nbr_comp"))
+      val next = comp.join(nbrMin, comp("id") === nbrMin("u"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist(StorageLevel.DISK_ONLY)
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum("comp")).collect().head.getLong(0)
+      comp.unpersist()
+      comp = next
+      converged = nextSum == sum
+      sum = nextSum
+      it += 1
+    }
+    edges.unpersist()
+    comp
+  }
+
+  /** End-to-end near-dup clustering: n-gram Jaccard pairs → connected
+    * components → (doc_id, cluster_id, keep) for every document, where
+    * cluster_id is the min doc id of the component (self for singletons)
+    * and keep marks the canonical representative. This is the actual
+    * corpus-dedup decision output — downstream filters on `keep`. */
+  def dedupClusters(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, minJaccard, maxShingleDf)
+      .select("ia", "ib")
+      .persist(StorageLevel.DISK_ONLY)
+    val nodes = df.select(col(idCol).as("id"))
+    connectedComponents(pairs, nodes)
+      .select(col("id").as(idCol), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("keep"))
+  }
+
   /** SimHash with an engine-portable hash family — the cross-engine-
     * verifiable counterpart of [[simHashSignatures]] (q48), mirroring what
     * [[portableMinHashPairs]] is to [[minHashLshPairs]]: token hash

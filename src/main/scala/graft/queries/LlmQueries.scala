@@ -356,6 +356,34 @@ object LlmQueries extends QueryGroup {
               MAX(CASE WHEN j = 3 THEN bk END) AS band3
             FROM band GROUP BY doc_id ORDER BY doc_id"""))
 
+  val q49 = QueryDef(
+    "q49_dedup_clusters",
+    "near-dup CLUSTERING: 3-gram Jaccard ≥ 0.4 pairs → connected components " +
+      "(iterative min-label propagation) → per-doc cluster id + canonical " +
+      "keep flag — the corpus-dedup decision output; oracle replays the " +
+      "closure with a recursive CTE",
+    (s, dir) =>
+      Dedup.dedupClusters(t(s, dir, "documents"), minJaccard = 0.4)
+        .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+                    FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+              sz AS (SELECT id, CAST(len(sh) AS BIGINT) AS nsh FROM docs),
+              pr AS (SELECT ia, ib
+                     FROM p JOIN sz na ON na.id = p.ia JOIN sz nb ON nb.id = p.ib
+                     WHERE shared * 1.0 / (na.nsh + nb.nsh - shared) >= 0.4),
+              ed AS (SELECT ia AS u, ib AS v FROM pr
+                     UNION ALL SELECT ib, ia FROM pr),
+              reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.src, ed.v FROM reach JOIN ed ON reach.dst = ed.u)
+             SELECT src AS doc_id,
+               MIN(dst) AS cluster_id,
+               (src = MIN(dst)) AS keep
+             FROM reach GROUP BY src ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49)
 }

@@ -53,6 +53,40 @@ class DedupSpec extends SparkSpecBase {
     assert(mh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("connectedComponents: chain, triangle, and singleton resolve to min labels") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // triangle 10-11-12, singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("ia", "ib")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val comp = Dedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("dedupClusters: fixture near-dup pairs collapse to clusters, canonical keep flags") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, minJaccard = 0.4)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = Dedup.dedupClusters(docs, minJaccard = 0.4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size === docs.count())
+    // every paired doc shares its cluster with its partner; canonical = min
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._1 === out(b)._1, s"pair ($a,$b) must share a cluster")
+      assert(out(a)._1 <= math.min(a, b), "cluster id is the component minimum")
+    }
+    // keep flag marks exactly the cluster representative
+    out.foreach { case (id, (cid, keep)) => assert(keep === (id == cid)) }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.filterNot { case (id, _) => clustered(id) }.foreach { case (id, (cid, keep)) =>
+      assert(cid === id && keep, "singletons keep themselves")
+    }
+  }
+
   test("AsciiPolyHash kernel equals the declarative char fold on the corpus") {
     val docs = Tables.load(spark, sfDir, "documents").limit(100)
     import org.apache.spark.sql.graftglue.ColumnGlue

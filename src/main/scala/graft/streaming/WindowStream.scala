@@ -136,17 +136,30 @@ class WindowStream[T: Encoder](
       .start()
 
     pumpThread = new Thread(() => {
-      // admission control: at most `capacity` items move per pump cycle —
-      // the maxOffsetsPerTrigger analogue keeping micro-batches bounded
+      // admission control, two bounds: (1) at most `capacity` items move
+      // per pump cycle — the maxOffsetsPerTrigger analogue; (2) at most
+      // `maxInFlight` items may sit in the MemoryStream undelivered —
+      // foreachBatch collects each micro-batch to the driver (the
+      // reference contract hands List<T> to an in-process lambda), and
+      // without this high-water mark a stalled trigger would let the pump
+      // accumulate an unbounded micro-batch. Publishers block on the
+      // bounded queue meanwhile, so the guard is backpressure, not loss.
+      val maxInFlight = capacity.toLong * 4
+      var pumped = 0L
       while (running.get()) {
-        val drained = new java.util.ArrayList[T](capacity)
-        val first = queue.poll(windowDuration.toMillis / 2 + 1, TimeUnit.MILLISECONDS)
-        if (first != null) {
-          drained.add(first)
-          queue.drainTo(drained, capacity - 1)
-          val buf = new ArrayBuffer[T](drained.size)
-          drained.forEach(e => buf += e)
-          source.addData(buf.toSeq)
+        if (pumped - delivered.get() >= maxInFlight) {
+          Thread.sleep(windowDuration.toMillis / 2 + 1)
+        } else {
+          val drained = new java.util.ArrayList[T](capacity)
+          val first = queue.poll(windowDuration.toMillis / 2 + 1, TimeUnit.MILLISECONDS)
+          if (first != null) {
+            drained.add(first)
+            queue.drainTo(drained, capacity - 1)
+            val buf = new ArrayBuffer[T](drained.size)
+            drained.forEach(e => buf += e)
+            source.addData(buf.toSeq)
+            pumped += drained.size
+          }
         }
       }
     }, s"window-stream-pump-${source.id}")

@@ -37,6 +37,30 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("property: random tables across skews match the window formulation") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      // skewed key space: trial 1 has 1 key (everything collides), later
+      // trials spread; values collide often to exercise tie-breaking
+      val nKeys = Seq(1, 2, 7, 50, 500)(trial - 1)
+      val n = 2000
+      val rows = (0 until n).map { i =>
+        (rng.nextInt(nKeys).toLong, i.toLong, rng.nextInt(20).toLong)
+      }
+      val df = rows.toDF("k", "id", "v")
+      val k = 1 + rng.nextInt(7)
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val got = TopK.perKey(df, Seq(col("k")), Seq(col("v").desc, col("id")), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got === expected, s"trial $trial (nKeys=$nKeys, k=$k)")
+    }
+  }
+
   test("plans as partial -> exchange -> final heap, with no sort operator") {
     val plan = TopK.perKey(events,
         Seq(col("user_id")), Seq(col("value").desc, col("event_id")), 5)

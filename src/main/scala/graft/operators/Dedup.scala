@@ -266,9 +266,17 @@ object Dedup {
       // referenced once per iteration: without the cut, every round would
       // re-run the (possibly expensive) pair pipeline upstream
       .persist(StorageLevel.DISK_ONLY)
-    var comp = nodes.select(col("id"), col("id").as("comp"))
+    // iterate only over nodes that occur in the pair graph — near-dup
+    // graphs are sparse (≪ corpus), so the propagation rounds touch
+    // O(pairs) rows, never the corpus; singletons rejoin at the end
+    var comp = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.DISK_ONLY)
-    var sum = comp.agg(org.apache.spark.sql.functions.sum("comp")).collect().head.getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(org.apache.spark.sql.functions.sum("comp")).collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null on an edgeless graph
+    }
+    var sum = labelSum(comp)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -278,7 +286,7 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .persist(StorageLevel.DISK_ONLY)
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum("comp")).collect().head.getLong(0)
+      val nextSum = labelSum(next)
       comp.unpersist()
       comp = next
       converged = nextSum == sum
@@ -286,7 +294,9 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    comp
+    nodes.select(col("id"))
+      .join(comp.withColumnRenamed("comp", "comp_"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp_"), col("id")).as("comp"))
   }
 
   /** End-to-end near-dup clustering: n-gram Jaccard pairs → connected

@@ -276,7 +276,10 @@ object Dedup {
       val r = df.agg(org.apache.spark.sql.functions.sum("comp")).collect().head
       if (r.isNullAt(0)) 0L else r.getLong(0) // null on an edgeless graph
     }
-    var sum = labelSum(comp)
+    // labels only ever decrease, so a non-decreasing sum == fixpoint; the
+    // MaxValue sentinel spares the initial sum job (every saved action is
+    // a saved plan+codegen cycle in this iterative operator)
+    var sum = Long.MaxValue
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {

@@ -268,18 +268,24 @@ object Dedup {
       .persist(StorageLevel.DISK_ONLY)
     // iterate only over nodes that occur in the pair graph — near-dup
     // graphs are sparse (≪ corpus), so the propagation rounds touch
-    // O(pairs) rows, never the corpus; singletons rejoin at the end
-    var comp = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // O(pairs) rows, never the corpus; singletons rejoin at the end.
+    // Seeding with least(id, min neighbor) IS the first propagation round
+    // as a single aggregation (no join against a label table), so
+    // pair/triangle components — the overwhelming near-dup case — are
+    // already at their fixpoint before the loop starts.
+    var comp = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .persist(StorageLevel.DISK_ONLY)
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(org.apache.spark.sql.functions.sum("comp")).collect().head
       if (r.isNullAt(0)) 0L else r.getLong(0) // null on an edgeless graph
     }
     // labels only ever decrease, so a non-decreasing sum == fixpoint; the
-    // MaxValue sentinel spares the initial sum job (every saved action is
-    // a saved plan+codegen cycle in this iterative operator)
-    var sum = Long.MaxValue
+    // seed's sum is the baseline — worth its small job, because the seed
+    // is already the fixpoint for pair/triangle components and the first
+    // loop round then detects convergence immediately
+    var sum = labelSum(comp)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {

@@ -43,7 +43,11 @@ case class HyperplaneBands(child: Expression, bands: Int, planesPerBand: Int)
   @transient private var cachedW: Array[Array[Double]] = _
 
   private def weights(dim: Int): Array[Array[Double]] = {
-    if (cachedDim != dim) {
+    // null check, not just dim: Java deserialization on an executor
+    // resets the transient fields to (0, null) without re-running
+    // initializers, so a zero-length first row would otherwise match the
+    // reset cachedDim and read a null cache
+    if (cachedW == null || cachedDim != dim) {
       cachedW = Array.tabulate(bands * planesPerBand, dim)((p, d) =>
         HyperplaneBands.weight(p, d))
       cachedDim = dim

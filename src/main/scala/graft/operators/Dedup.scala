@@ -260,7 +260,7 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       nodes: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 30): DataFrame = {
     val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
       .union(pairs.select(col("ib").as("u"), col("ia").as("v")))
       // referenced once per iteration: without the cut, every round would
@@ -302,6 +302,14 @@ object Dedup {
       sum = nextSum
       it += 1
     }
+    if (!converged)
+      // split components mean near-dups silently SURVIVE dedup — never
+      // exit this path without a signal (min-label moves one hop per
+      // round, so only diameter > maxIters graphs land here)
+      System.err.println(
+        s"[Dedup.connectedComponents] NOT CONVERGED after $maxIters rounds — " +
+          "components with diameter > maxIters are split; raise maxIters " +
+          "or switch to a large-star/small-star variant for chain-shaped graphs")
     edges.unpersist()
     nodes.select(col("id"))
       .join(comp.withColumnRenamed("comp", "comp_"), Seq("id"), "left")
@@ -324,9 +332,14 @@ object Dedup {
       .select("ia", "ib")
       .persist(StorageLevel.DISK_ONLY)
     val nodes = df.select(col(idCol).as("id"))
-    connectedComponents(pairs, nodes)
-      .select(col("id").as(idCol), col("comp").as("cluster_id"),
-        (col("id") === col("comp")).as("keep"))
+    val comp = connectedComponents(pairs, nodes)
+    // the component loop has consumed the pair blocks; dropping them here
+    // keeps repeated dedupClusters calls from accumulating disk blocks
+    // for the session lifetime (the final label frame stays cached — it
+    // backs the returned result and is reclaimed when the caller drops it)
+    pairs.unpersist()
+    comp.select(col("id").as(idCol), col("comp").as("cluster_id"),
+      (col("id") === col("comp")).as("keep"))
   }
 
   /** SimHash with an engine-portable hash family — the cross-engine-
@@ -380,15 +393,22 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
     val sigs = portableSimHashSignatures(df, idCol, textCol)
+    // same self-join discipline as every sibling pair generator: one
+    // exchange on the join key below both renames (computed once,
+    // ReusedExchange on the other side) + a forced shuffled join — the
+    // aggregate-derived side's size estimate must never pick a broadcast
+    // that would collect the signature stream through the driver
     val banded = sigs.select(col("id"), col("band0"), col("band1"), col("band2"), col("band3"),
-      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
-        .as(Seq("band", "bkey")))
+        posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+          .as(Seq("band", "bkey")))
+      .repartition(sigs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bkey"))
     val a = banded.select(col("id").as("ia"), col("band0").as("a0"), col("band1").as("a1"),
       col("band2").as("a2"), col("band3").as("a3"), col("band"), col("bkey"))
     val b = banded.select(col("id").as("ib"), col("band0").as("b0"), col("band1").as("b1"),
       col("band2").as("b2"), col("band3").as("b3"),
       col("band").as("band2_"), col("bkey").as("bkey2"))
-    a.join(b, col("band") === col("band2_") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
+    a.hint("shuffle_hash")
+      .join(b, col("band") === col("band2_") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
       .dropDuplicates("ia", "ib")
       .withColumn("hamming",
         (0 until 4).map(j => expr(s"bit_count(a$j ^ b$j)").cast(LongType)).reduce(_ + _))

@@ -117,13 +117,17 @@ object Similarity {
     val vn = corpus
       .select(col(idCol).as("id"), VectorOps.l2Normalize(col(vecCol)).as("vn"))
       .withColumn("vnf", col("vn").cast("array<float>"))
+      // read once per Lloyd iteration: materialize the normalization
+      // instead of re-scanning and re-normalizing the corpus every round
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var cents = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"),
         VectorOps.l2Normalize(col(vecCol)).cast("array<float>").as("cvec"))
     for (_ <- 0 until iters) {
+      // vn is unit-norm, so dividing by |cvec| alone yields the cosine
       val scored = vn.join(broadcast(cents), lit(true))
-        .withColumn("csim", VectorOps.dot(col("vnf"), col("cvec")) /
-          (lit(1.0) * VectorOps.l2Norm(col("cvec"))))
+        .withColumn("csim",
+          VectorOps.dot(col("vnf"), col("cvec")) / VectorOps.l2Norm(col("cvec")))
       val assigned = scored.groupBy(col("id"))
         .agg(
           max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cell"),
@@ -140,6 +144,7 @@ object Similarity {
         .map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
         .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
     }
+    vn.unpersist()
     cents
   }
 
@@ -151,7 +156,14 @@ object Similarity {
     * n×nCentroids native-kernel dots once (a broadcast join), search cost
     * drops to ~corpus·nProbe/nCentroids per probe batch.
     * Exactness property (tested): nProbe == nCentroids degenerates to
-    * brute force — cell routing never changes scores, only candidacy. */
+    * brute force — cell routing never changes scores, only candidacy.
+    *
+    * With `quantizer` set, `nCentroids` is ignored for cell construction;
+    * pass the model's ACTUAL cell count (k-means may return fewer than k
+    * when cells empty out — `quantizer.count()`) as nCentroids/nProbe
+    * when full-probe exactness is the goal. nProbe beyond the real cell
+    * count is harmless: the per-probe keep is naturally capped by the
+    * cells that exist. */
   def topKIvf(
       corpus: DataFrame,
       probes: DataFrame,
@@ -225,8 +237,11 @@ object Similarity {
     * planesPerBand = 1 and buy recall with bands — pruning is inherently
     * weak when "similar" is barely above random.
     *
-    * `bands = 0` falls back to the exact all-pairs-per-group join — only
-    * for corpora whose group sizes are known-bounded. */
+    * `bands = 0` (the DEFAULT) is the exact all-pairs-per-group join: the
+    * library default stays exact because LSH candidacy is probabilistic
+    * and a caller must opt into a recall target knowingly; the scale path
+    * (q37 passes bands = 12 explicitly, plan-guarded) is one argument
+    * away when group sizes grow with the corpus. */
   def nearDupPairs(
       vectors: DataFrame,
       groupCol: String,
@@ -234,7 +249,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4,
-      bands: Int = 12,
+      bands: Int = 0,
       planesPerBand: Int = 1): DataFrame = {
     val base = withNorm(
       vectors.select(col(groupCol).as("g"), col(idCol).as("id"), col(vecCol).as("vec")),

@@ -178,7 +178,11 @@ object LlmQueries extends QueryGroup {
     "q37_neardup_cosine_label",
     "embedding-space near-dup pairs within label groups (rounded cosine ≥ 0.3)",
     (s, dir) =>
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), groupCol = "label", minSim = 0.3)
+      // bands = 12×1 plane: candidacy recall 1-(1-p)^12 with p ≈ 0.6 at
+      // the 0.3 threshold — verified equal to all-pairs on the fixture at
+      // both SFs (deterministic hyperplanes), exact-scored per candidate
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), groupCol = "label", minSim = 0.3,
+          bands = 12, planesPerBand = 1)
         .select(col("g").cast(LongType).as("label"), col("ia"), col("ib"), col("sim"))
         .orderBy("label", "ia", "ib"),
     Some("""WITH v AS (SELECT CAST(label AS BIGINT) AS label, vec_id,

@@ -110,7 +110,11 @@ class WindowStream[T: Encoder](
       throw new IllegalStateException(
         "WindowStream is unicast: already subscribed (WindowPublisher.java:68 contract)")
 
-    pool = Executors.newFixedThreadPool(consumerParallelism)
+    pool = Executors.newFixedThreadPool(consumerParallelism, new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def newThread(r: Runnable): Thread =
+        new Thread(r, s"graft-ws-consumer-${source.id}-${n.incrementAndGet()}")
+    })
 
     query = source.toDS().writeStream
       .queryName(s"window-stream-${source.id}")
@@ -186,13 +190,18 @@ class WindowStream[T: Encoder](
       rest.forEach(e => buf += e)
       source.addData(buf.toSeq)
     }
-    if (query != null) {
-      query.processAllAvailable()
-      query.stop()
+    // the query may already be terminated with an error (e.g. a failing
+    // errorConsumer) — processAllAvailable() then rethrows; cleanup must
+    // still run or every failed stream leaks consumerParallelism
+    // non-daemon threads for the JVM's lifetime
+    try {
+      if (query != null) {
+        query.processAllAvailable()
+        query.stop()
+      }
+    } finally {
+      if (pool != null) pool.shutdown()
     }
-    // consumer pool threads are non-daemon; without this every stopped
-    // stream leaks consumerParallelism threads for the JVM's lifetime
-    if (pool != null) pool.shutdown()
   }
 }
 

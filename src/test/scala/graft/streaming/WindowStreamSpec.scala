@@ -73,7 +73,7 @@ class WindowStreamSpec extends SparkSpecBase {
     val s = spark
     import s.implicits._
     def consumerThreads() = Thread.getAllStackTraces.keySet.asScala
-      .count(_.getName.startsWith("pool-"))
+      .count(_.getName.startsWith("graft-ws-consumer-"))
     val before = consumerThreads()
     val streams = (1 to 3).map { _ =>
       val ws = new WindowStream[Int](s, windowDuration = 100.millis, consumerParallelism = 4)

@@ -53,44 +53,36 @@ object Multimodal {
   }
 
   /** The byte-histogram featurization computed RELATIONALLY — the same
-    * 16-bin high-nibble histogram as [[featurize]]'s stub, but in pure
-    * Catalyst expressions, so the pipeline is ANSI-expressible and the
-    * DuckDB oracle hash-gates it (q41). Cross-checked bin-for-bin against
-    * the typed path in ScalaTest.
+    * 16-bin high-nibble histogram as [[featurize]]'s stub, via the fused
+    * [[graft.expressions.NibbleHistogram]] byte-loop kernel: each payload
+    * byte is read exactly ONCE per row (the round-3 declarative form let
+    * CollapseProject inline the single-referenced nibble array into the
+    * 16-bin lambda — 16 re-evaluations per row, the slowest query in
+    * BENCH_r03). The count→ratio division stays declarative, so the
+    * DuckDB oracle still hash-gates the full pipeline (q41), and the
+    * typed [[featurize]] path is asserted bin-identical in ScalaTest.
     *
-    * ASCII contract (same as [[graft.expressions.AsciiPolyHash]]): byte
-    * values are read as `ascii(substr(payload-as-text, i, 1))`, which
-    * equals the raw byte only for single-byte code points — the
-    * oracle-facing semantics are defined over ASCII payloads; binary
-    * media stays on the typed path. */
+    * Bins are computed on the RAW bytes ((b & 0xFF) >> 4), matching
+    * [[decodeStub]] on any payload; the oracle's `ord(char)` form agrees
+    * on the ASCII corpus contract. No fan-out repartition: the kernel is
+    * one linear pass, so plain scan-split parallelism suffices — the
+    * round-3 shuffle existed only to spread the interpreted lambdas. */
   def featurizeRelational(
       df: DataFrame,
       idCol: String = "media_id",
       kindCol: String = "kind",
       payloadCol: String = "payload"): DataFrame = {
-    // staged projections (Catalyst does not CSE into lambda bodies): the
-    // payload→string cast and the nibble array each materialize as an
-    // attribute before the next lambda references them
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val counts = ColumnGlue.column(graft.expressions.NibbleHistogram(
+      ColumnGlue.expression(col(payloadCol).cast("binary"))))
     df.select(col(idCol), col(kindCol),
-        octet_length(col(payloadCol)).cast("long").as("n_bytes"),
-        col(payloadCol).cast("string").as("txt_"))
-      // fan-out barrier before the CPU-heavy histogram lambdas: a compact
-      // single-split media table would otherwise run them in one task
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .withColumn("nibs_",
-        when(length(col("txt_")) === 0, expr("cast(array() as array<int>)"))
-          // split(txt, ''), NOT sequence+substr: substr(txt, i, 1) seeks
-          // from the string head — O(len²) per doc — and sequence(1, 0)
-          // on an empty string is DESCENDING [1, 0], not empty. The char
-          // split is one linear pass, so even when CollapseProject
-          // inlines this single-referenced array into the 16-bin
-          // histogram lambda (16 re-evaluations), the cost stays
-          // O(16·len), not O(16·len²)
-          .otherwise(expr("transform(split(txt_, ''), c -> ascii(c) div 16)")))
+        octet_length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
+        counts.as("cnt_"))
+      // cnt_ is the transform's INPUT (evaluated once), not a lambda-body
+      // reference — safe against the CollapseProject single-ref inline
       .select(col(idCol), col(kindCol), col("n_bytes"),
-        expr("""transform(sequence(0, 15),
-                 k -> size(filter(nibs_, v -> v = k))
-                      / cast(greatest(n_bytes, 1) as double))""").as("histogram"))
+        transform(col("cnt_"),
+          c => c / greatest(col("n_bytes"), lit(1L)).cast("double")).as("histogram"))
   }
 
   /** STUB resize: deterministic stride resampling of the payload bytes to

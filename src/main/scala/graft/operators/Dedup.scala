@@ -115,17 +115,37 @@ object Dedup {
       .select("ia", "ib", "shared", "na", "nb", "jaccard")
   }
 
-  /** MinHash signatures as (id, sig array): min over shingles of
-    * xxhash64(shingle, i) per hash i, computed as numHashes codegen'd MIN
-    * aggregates over the exploded shingle stream — whole-stage-codegen
-    * hash aggregation, not interpreted per-element lambdas. Deterministic
-    * (xxhash64 is seed-fixed). */
-  private def minHashSigs(docs: DataFrame, numHashes: Int): DataFrame = {
-    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
-    ex.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  /** MinHash signatures as (id, sig array) via the fused
+    * [[graft.expressions.MinHashSigKernel]] byte loop: the whole signature
+    * is computed in ONE pass over the document — no shingle explode, no
+    * numHashes-column aggregation, no shuffle. Short docs (< n tokens)
+    * yield null and are dropped, reproducing the shingle-set rule.
+    * Bit-identical to the round-3 explode+MIN-aggregate form
+    * (min over all shingles == min over distinct; unit-tested). */
+  private def minHashSigsNative(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, portable: Boolean): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val kernel = ColumnGlue.column(graft.expressions.MinHashSigKernel(
+      ColumnGlue.expression(col(textCol)), n, numHashes, portable))
+    df.select(col(idCol).as("id"), kernel.as("sig"))
+      .filter(col("sig").isNotNull)
   }
+
+  /** Exact-Jaccard verification shingle sets for the CANDIDATE ids only —
+    * the corpus-wide shingle materialization (and its DISK_ONLY persist)
+    * is gone from the LSH paths; shingles are recomputed just for docs
+    * that survive banding. The repartition below both renames gives the
+    * two verify joins one canonicalized exchange (computed once,
+    * ReusedExchange on the other side), so the corpus is scanned once. */
+  private def candidateShingles(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      candIds: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("text_"))
+      .join(candIds, "id")
+      .select(col("id"), TextOps.tokenize(col("text_")).as("toks"))
+      .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
 
   /** MinHash + LSH near-dup pairs: banded signature buckets generate
     * candidates, exact Jaccard (on the true shingle sets) verifies them.
@@ -142,8 +162,7 @@ object Dedup {
       minJaccard: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = shingleSets(df, idCol, textCol, n)
-    val sigs = minHashSigs(docs, numHashes)
+    val sigs = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = false)
     // Band join carries (id, sig, band, bkey) — sig is numHashes longs, a
     // constant few hundred bytes; the variable-width shingle arrays never
     // ride the shuffle, they rejoin by id only for surviving candidates.
@@ -164,9 +183,12 @@ object Dedup {
         col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
       .select("ia", "ib", "siga", "sigb")
       .dropDuplicates("ia", "ib")
+    val candIds = cand.select(col("ia").as("id"))
+      .union(cand.select(col("ib").as("id"))).distinct()
+    val sh = candidateShingles(df, idCol, textCol, n, candIds)
     cand
-      .join(docs.select(col("id").as("ia"), col("sh").as("sha")), "ia")
-      .join(docs.select(col("id").as("ib"), col("sh").as("shb")), "ib")
+      .join(sh.select(col("id").as("ia"), col("sh").as("sha")), "ia")
+      .join(sh.select(col("id").as("ib"), col("sh").as("shb")), "ib")
       .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("shared")))
@@ -211,20 +233,14 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val P = 1000000007L
     val r = numHashes / bands
-    val docs = shingleSets(df, idCol, textCol, n)
-    // native byte-loop kernel; identical to the declarative char fold
-    //   aggregate(transform(split(s,''), ascii), 0L, (h,v) -> (h*31+v)%P)
-    // for the ASCII corpus contract (unit-tested equivalence)
-    val ex = docs.select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("h", {
-        import org.apache.spark.sql.graftglue.ColumnGlue
-        ColumnGlue.column(graft.expressions.AsciiPolyHash(ColumnGlue.expression(col("s"))))
-      })
-    val mins = (0 until numHashes).map(i =>
-      min(pmod(col("h") * (2 * i + 3) + (1000 * i + 7), lit(P))).as(s"m$i"))
-    val sig = ex.groupBy("id").agg(mins.head, mins.tail: _*)
+    // one-pass fused signature (shingle poly-hash × numHashes affine
+    // permutations — see MinHashSigKernel(portable = true)); the band
+    // keys fold declaratively over the constant-width sig array, which is
+    // referenced numHashes times and therefore stays a materialized
+    // attribute (CollapseProject's multi-reference guard)
+    val sig = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = true)
     def bandKey(j: Int) =
-      (0 until r).map(i => col(s"m${j * r + i}"))
+      (0 until r).map(i => element_at(col("sig"), j * r + i + 1))
         .reduce((acc, m) => pmod(acc * 131 + m, lit(P)))
     val banded = sig.select(col("id"),
         posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "bkey")))
@@ -234,9 +250,12 @@ object Dedup {
     val cand = a.hint("shuffle_hash")
       .join(b, col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
       .select("ia", "ib").dropDuplicates("ia", "ib")
+    val candIds = cand.select(col("ia").as("id"))
+      .union(cand.select(col("ib").as("id"))).distinct()
+    val sh = candidateShingles(df, idCol, textCol, n, candIds)
     cand
-      .join(docs.select(col("id").as("ia"), col("sh").as("sha")), "ia")
-      .join(docs.select(col("id").as("ib"), col("sh").as("shb")), "ib")
+      .join(sh.select(col("id").as("ia"), col("sh").as("sha")), "ia")
+      .join(sh.select(col("id").as("ib"), col("sh").as("shb")), "ib")
       .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("shared")))
@@ -360,28 +379,18 @@ object Dedup {
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val P = 1000000007L
-    val ex = df
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .select(col("id"), explode(col("toks")).as("t"))
-      .withColumn("h", {
-        import org.apache.spark.sql.graftglue.ColumnGlue
-        ColumnGlue.column(graft.expressions.AsciiPolyHash(ColumnGlue.expression(col("t"))))
-      })
-    // 64 codegen'd SUM aggregates (whole-stage codegen hash aggregation),
-    // one per bit — same scale shape as simHashSignatures; g < P ≈ 2^30,
-    // so g² < 2^60 — ANSI arithmetic cannot overflow on either engine
-    val votes = (0 until 64).map { b =>
-      val g = (col("h") + (131 * b + 7)) % P
-      sum(when((g * g % P) % 2 === 1, 1L).otherwise(-1L)).as(s"c$b")
-    }
-    ex.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id") +: (0 until 4).map { j =>
-        (0 until 16)
-          .map(i => when(col(s"c${16 * j + i}") >= 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as(s"band$j")
-      }: _*)
+    // one fused byte loop per document (PortableSimHashBandsKernel) — the
+    // round-3 token explode + 64 SUM aggregates computed the same votes
+    // but allocated a row per token and a 64-column aggregation buffer
+    // per doc; signatures are now a pure codegen'd map, no shuffle. The
+    // bands_ array is referenced 4× below, so it stays a materialized
+    // attribute (one kernel evaluation per row).
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val kernel = ColumnGlue.column(graft.expressions.PortableSimHashBandsKernel(
+      ColumnGlue.expression(col(textCol))))
+    df.select(col(idCol).as("id"), kernel.as("bands_"))
+      .select(col("id") +:
+        (0 until 4).map(j => element_at(col("bands_"), j + 1).as(s"band$j")): _*)
   }
 
   /** Near-dup pairs over the portable SimHash: candidates share at least
@@ -416,29 +425,20 @@ object Dedup {
       .select("ia", "ib", "hamming")
   }
 
-  /** SimHash signatures as (id, simhash) via codegen'd vote aggregation:
-    * explode tokens, hash each once, 64 SUM aggregates of ±1 bit votes,
-    * fold sign bits into one long. Bit-identical to [[simHash64]]
-    * (unit-tested); this is the scale path — whole-stage codegen instead
-    * of per-token-per-bit interpreted lambdas. */
+  /** SimHash signatures as (id, simhash) via the fused
+    * [[graft.expressions.SimHash64Kernel]] byte loop: the whole 64-bit
+    * signature is one pass over the document — no token explode, no
+    * 64-column vote aggregation, no shuffle; a pure codegen'd map.
+    * Bit-identical to [[simHash64]] (unit-tested); this is the scale
+    * path — constant memory per row, embarrassingly partition-parallel. */
   def simHashSignatures(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ex = df
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
-      // spread single-split doc tables before the fan-out (explicit N —
-      // see shingleSets)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .select(col("id"), explode(col("toks")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(expr(s"((h >> $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"c$b"))
-    ex.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64)
-          .map(b => when(col(s"c$b") >= 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ bitwiseOR _).as("simhash"))
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val kernel = ColumnGlue.column(graft.expressions.SimHash64Kernel(
+      ColumnGlue.expression(col(textCol))))
+    df.select(col(idCol).as("id"), kernel.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates

@@ -146,6 +146,63 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("signature kernels equal the declarative forms on whitespace edge cases") {
+    val s = spark
+    import s.implicits._
+    // leading/trailing/multiple whitespace exercise the split-with-limit(-1)
+    // token contract (empty boundary tokens); tabs/newlines the \s class
+    val df = Seq(
+      (1L, "a b c d"), (2L, " a b c d "), (3L, "a\tb\nc d"),
+      (4L, "x  y   z w"), (5L, ""), (6L, " "), (7L, "a b"),
+      (8L, "w1 w2 w3 w4 w5 w1 w2 w3")).toDF("doc_id", "text")
+
+    // SimHash kernel vs the per-row lambda expression
+    df.select(Dedup.simHash64("text").as("l"),
+        {
+          import org.apache.spark.sql.graftglue.ColumnGlue
+          ColumnGlue.column(graft.expressions.SimHash64Kernel(
+            ColumnGlue.expression(col("text")))).as("k")
+        })
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+
+    // MinHash kernel vs array_min over the declarative shingle set
+    val withSh = df.select(col("doc_id"), col("text"),
+        graft.functions.TextOps.shingles(col("text"), 3).as("sh"))
+      .filter(size(split(col("text"), "\\s+")) >= 3)
+    val declared = withSh.select(col("doc_id"),
+        array((0 until 8).map(i =>
+          expr(s"array_min(transform(sh, s -> xxhash64(s, $i)))")): _*).as("dsig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kerneled = {
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      df.select(col("doc_id"), ColumnGlue.column(graft.expressions.MinHashSigKernel(
+          ColumnGlue.expression(col("text")), 3, 8, portable = false)).as("sig"))
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    assert(kerneled.keySet === declared.keySet, "short docs drop identically")
+    declared.foreach { case (id, sig) => assert(kerneled(id) === sig, s"doc $id") }
+
+    // portable MinHash kernel vs the declarative poly-hash permutation mins
+    val P = 1000000007L
+    val declaredP = withSh.select(col("doc_id"),
+        array((0 until 8).map(i =>
+          expr(s"""array_min(transform(sh, s ->
+             (aggregate(transform(split(s, ''), c -> cast(ascii(c) as bigint)),
+               0L, (h, v) -> pmod(h * 31 + v, ${P}L)) * ${2 * i + 3} + ${1000 * i + 7}) % ${P}L))""")): _*)
+          .as("dsig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kerneledP = {
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      df.select(col("doc_id"), ColumnGlue.column(graft.expressions.MinHashSigKernel(
+          ColumnGlue.expression(col("text")), 3, 8, portable = true)).as("sig"))
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    assert(kerneledP.keySet === declaredP.keySet)
+    declaredP.foreach { case (id, sig) => assert(kerneledP(id) === sig, s"doc $id") }
+  }
+
   test("simHash: identical docs collide, near-identical docs land within small hamming") {
     val s = spark
     import s.implicits._

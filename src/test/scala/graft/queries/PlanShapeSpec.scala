@@ -67,6 +67,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Window"), "no window operator in the ANN ranking path")
   }
 
+  test("q39/q48: SimHash signatures are a pure kernel map — no explode, no aggregation") {
+    val p39 = plan("q39_text_simhash")
+    assert(p39.contains("simhash64"), "native kernel must be in the q39 plan")
+    assert(!p39.contains("Generate"), "no token explode in the signature path")
+    assert(!p39.contains("HashAggregate"), "no vote aggregation in the signature path")
+    val p48 = plan("q48_text_simhash_portable")
+    assert(p48.contains("portable_simhash_bands"), "native kernel must be in the q48 plan")
+    assert(!p48.contains("Generate") && !p48.contains("HashAggregate"),
+      "portable signature path must be a pure map")
+  }
+
+  test("q38: MinHash signatures come from the kernel; pair join stays shuffled") {
+    val p = plan("q38_dedup_minhash_lsh")
+    assert(p.contains("minhash_sig"), "native kernel must be in the q38 plan")
+    assert(p.linesIterator.exists(_.contains("ShuffledHashJoin")),
+      "band self-join must be a shuffled join (corpus-sized sides)")
+  }
+
   test("q26: tumbling window is a single partial+final aggregation (one shuffle)") {
     val p = plan("q26_window_tumbling_1h")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))

@@ -200,6 +200,32 @@ object JoinQueries extends QueryGroup {
             GROUP BY m.pid, m.asof_ts_us
             ORDER BY m.pid"""))
 
+  val q51 = QueryDef(
+    "q51_join_salted_skew",
+    "skew-salted join: a synthetic 75%-hot key (three quarters of lineitem " +
+      "land on key 0) joined to nation through Skew.saltedJoin, which fans " +
+      "the hot key across saltFactor reducers; revenue aggregated per " +
+      "nation — results identical to the plain join (the oracle IS the " +
+      "plain join)",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("hk",
+          when(pmod(col("l_orderkey"), lit(1000)) < 750, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(25))))
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      graft.operators.Skew.saltedJoin(li, n, "hk", "nk", saltFactor = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_rows"), msum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, COUNT(*) AS n_rows,
+              ${oMsum("l_extendedprice")} AS sum_price
+            FROM lineitem JOIN nation
+              ON (CASE WHEN l_orderkey % 1000 < 750 THEN 0
+                       ELSE l_orderkey % 25 END) = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q03, q04, q05, q06, q07, q08, q09, q10)
+    Seq(q03, q04, q05, q06, q07, q08, q09, q10, q51)
 }

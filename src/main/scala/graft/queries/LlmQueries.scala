@@ -388,6 +388,30 @@ object LlmQueries extends QueryGroup {
                (src = MIN(dst)) AS keep
              FROM reach GROUP BY src ORDER BY doc_id"""))
 
+  val q50 = QueryDef(
+    "q50_ann_ivf_full_probe",
+    "IVF ANN end-to-end — quantizer construction, corpus cell assignment " +
+      "(map-side max_by keep-1), probe cell routing, cell-keyed candidate " +
+      "equi-join, heap-operator ranking — at nProbe = nCentroids, where " +
+      "cell routing provably changes nothing (full probe ≡ brute force, " +
+      "property-tested), so q36's brute-force oracle hash-gates the whole " +
+      "quantizer + routing machinery",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.topKIvf(v, v.filter(col("vec_id") < 10), k = 5,
+          nCentroids = 16, nProbe = 16)
+        .orderBy("pid", "rank")
+    },
+    Some("""WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                       FROM embeddings WHERE vec_id < 10),
+              v AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+              s AS (SELECT pid, nid, ROUND(list_cosine_similarity(pv, nv), 4) AS sim
+                    FROM p CROSS JOIN v WHERE pid <> nid),
+              r AS (SELECT pid, nid, sim,
+                      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sim DESC, nid) AS rank
+                    FROM s)
+            SELECT pid, rank, nid, sim FROM r WHERE rank <= 5 ORDER BY pid, rank"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50)
 }

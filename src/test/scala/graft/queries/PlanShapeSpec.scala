@@ -85,6 +85,22 @@ class PlanShapeSpec extends SparkSpecBase {
       "band self-join must be a shuffled join (corpus-sized sides)")
   }
 
+  test("q50: IVF candidate generation is an equi-join on the quantizer cell") {
+    val p = plan("q50_ann_ivf_full_probe")
+    val cellJoin = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("pcell") && l.contains("cell"))
+    assert(cellJoin.isDefined,
+      s"probe-cell/corpus-cell equi-join not found in: $p")
+    assert(p.linesIterator.count(_.contains("TopKPerKey")) === 2,
+      "ranking must run on the heap operator (partial + final)")
+  }
+
+  test("q51: salted join carries the salt in the join keys") {
+    val p = plan("q51_join_salted_skew")
+    val saltJoin = p.linesIterator.find(l => l.contains("Join") && l.contains("__salt"))
+    assert(saltJoin.isDefined, s"salt must be part of the join keys: $p")
+  }
+
   test("q26: tumbling window is a single partial+final aggregation (one shuffle)") {
     val p = plan("q26_window_tumbling_1h")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))

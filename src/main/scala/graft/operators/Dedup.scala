@@ -85,7 +85,22 @@ object Dedup {
       textCol: String = "text",
       n: Int = 3,
       minJaccard: Double = 0.8,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None): DataFrame =
+    jaccardPairsImpl(df, idCol, textCol, n, minJaccard, maxShingleDf)._1
+
+  /** [[jaccardPairs]] plus a handle on the per-call shingle cache, so
+    * eager consumers ([[dedupClusters]]) can unpersist it once the pair
+    * graph is materialized. The public [[jaccardPairs]] result is lazy and
+    * keeps referencing the cache — its blocks live until the caller drops
+    * the session cache (`spark.catalog.clearCache()`); that is the
+    * documented cost of a lazy result over a shared scan. */
+  private def jaccardPairsImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
     val docs = shingleSets(df, idCol, textCol, n)
     val ex0 = docs.select(col("id"), explode(col("sh")).as("s"))
     val ex = maxShingleDf match {
@@ -106,13 +121,14 @@ object Dedup {
       .join(right, col("s") === col("s2") && col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("shared"))
     val sizes = docs.select(col("id"), size(col("sh")).cast(LongType).as("nsh"))
-    shared
+    val pairs = shared
       .join(sizes.select(col("id").as("ia"), col("nsh").as("na")), "ia")
       .join(sizes.select(col("id").as("ib"), col("nsh").as("nb")), "ib")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= minJaccard)
       .select("ia", "ib", "shared", "na", "nb", "jaccard")
+    (pairs, docs)
   }
 
   /** MinHash signatures as (id, sig array) via the fused
@@ -292,10 +308,17 @@ object Dedup {
     // as a single aggregation (no join against a label table), so
     // pair/triangle components — the overwhelming near-dup case — are
     // already at their fixpoint before the loop starts.
+    // Per-round frames are LINEAGE-TRUNCATED (eager DISK_ONLY local
+    // checkpoint), not merely persisted: every round references the prior
+    // round's frame 2+ times, so keeping lineage would double the logical
+    // plan per round — exponential plan trees long before the data is big
+    // (the cache-name treeString alone OOMs around round ~15). DISK_ONLY
+    // keeps the blocks off-heap; the ContextCleaner reaps each round's
+    // blocks once the loop drops its reference.
     var comp = edges.groupBy(col("u").as("id"))
       .agg(min(col("v")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("comp"))
-      .persist(StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(org.apache.spark.sql.functions.sum("comp")).collect().head
       if (r.isNullAt(0)) 0L else r.getLong(0) // null on an edgeless graph
@@ -313,26 +336,102 @@ object Dedup {
       val next = comp.join(nbrMin, comp("id") === nbrMin("u"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .persist(StorageLevel.DISK_ONLY)
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
       val nextSum = labelSum(next)
-      comp.unpersist()
       comp = next
       converged = nextSum == sum
       sum = nextSum
       it += 1
     }
-    if (!converged)
-      // split components mean near-dups silently SURVIVE dedup — never
-      // exit this path without a signal (min-label moves one hop per
-      // round, so only diameter > maxIters graphs land here)
-      System.err.println(
-        s"[Dedup.connectedComponents] NOT CONVERGED after $maxIters rounds — " +
-          "components with diameter > maxIters are split; raise maxIters " +
-          "or switch to a large-star/small-star variant for chain-shaped graphs")
+    // both branches are already materialized lineage-free: the loop
+    // checkpoints each round, and the fallback checkpoints its result —
+    // dropping the edge cache here leaves no live reference to the pair
+    // pipeline, so repeated calls cannot accumulate session-lifetime blocks
+    val labels =
+      if (converged) comp
+      else {
+        // split components mean near-dups silently SURVIVE dedup — min-label
+        // moves one hop per round, so diameter > maxIters graphs (chain-shaped
+        // templated spam) land here; escalate to the O(log d) alternation
+        // instead of warning and returning split labels
+        System.err.println(
+          s"[Dedup.connectedComponents] min-label propagation did not converge " +
+            s"after $maxIters rounds (graph diameter > maxIters); switching to " +
+            "the large-star/small-star alternation (O(log d) rounds)")
+        largeStarSmallStarLabels(edges)
+      }
     edges.unpersist()
     nodes.select(col("id"))
-      .join(comp.withColumnRenamed("comp", "comp_"), Seq("id"), "left")
+      .join(labels.withColumnRenamed("comp", "comp_"), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp_"), col("id")).as("comp"))
+  }
+
+  /** Connected-component labels by the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * the high-diameter-robust path — O(log d) rounds against min-label
+    * propagation's O(d), with the SAME join shape per round (one edge ⋈
+    * per-node-min join + a map-side min aggregation).
+    *
+    *  - large-star: every neighbor LARGER than u is re-pointed at
+    *    min(Γ(u) ∪ u) — halves the depth of tall subtrees;
+    *  - small-star: edges oriented (larger, smaller); the smaller
+    *    neighbors and u itself point at the minimum — flattens stars.
+    *
+    * Both preserve connectivity; the fixpoint is one star per component
+    * centered on its minimum id. Convergence is detected by an edge-set
+    * (count, bit_xor-of-hash) checksum — an O(1)-per-round scalar action,
+    * like the label-sum check in [[connectedComponents]].
+    *
+    * Returns (id, comp) for every non-root node of the pair graph; roots
+    * and singletons are absent (callers coalesce id). */
+  private[operators] def largeStarSmallStarLabels(
+      edges: DataFrame,
+      maxRounds: Int = 60): DataFrame = {
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // per-round lineage truncation, same reasoning as the min-label loop:
+    // each round references e several times (sym union, two min joins) —
+    // kept lineage would grow the plan ~4× per round
+    var e = edges.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    var sum = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxRounds) {
+      // large-star
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val ls = sym.join(lsMins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star
+      val oriented = ls
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+      val ssMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val next = oriented.join(ssMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      val nextSum = checksum(next)
+      e = next
+      converged = nextSum == sum
+      sum = nextSum
+      it += 1
+    }
+    if (!converged)
+      // 60 log-rounds cover any physically possible diameter; landing here
+      // means a logic regression, and split components must never ship
+      throw new IllegalStateException(
+        s"[Dedup.largeStarSmallStarLabels] not converged after $maxRounds rounds")
+    // fixpoint edges are (node, component-min) stars
+    e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
   }
 
   /** End-to-end near-dup clustering: n-gram Jaccard pairs → connected
@@ -347,16 +446,17 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val pairs = jaccardPairs(df, idCol, textCol, n, minJaccard, maxShingleDf)
-      .select("ia", "ib")
-      .persist(StorageLevel.DISK_ONLY)
+    val (pairsAll, shingleCache) =
+      jaccardPairsImpl(df, idCol, textCol, n, minJaccard, maxShingleDf)
+    val pairs = pairsAll.select("ia", "ib").persist(StorageLevel.DISK_ONLY)
     val nodes = df.select(col(idCol).as("id"))
     val comp = connectedComponents(pairs, nodes)
-    // the component loop has consumed the pair blocks; dropping them here
-    // keeps repeated dedupClusters calls from accumulating disk blocks
-    // for the session lifetime (the final label frame stays cached — it
-    // backs the returned result and is reclaimed when the caller drops it)
+    // connectedComponents returns with its labels materialized lineage-free,
+    // so nothing downstream references the pair pipeline anymore: drop BOTH
+    // per-call caches here — repeated dedupClusters calls must not
+    // accumulate disk blocks for the session lifetime
     pairs.unpersist()
+    shingleCache.unpersist()
     comp.select(col("id").as(idCol), col("comp").as("cluster_id"),
       (col("id") === col("comp")).as("keep"))
   }

@@ -67,6 +67,36 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents: 300-node chain exceeds maxIters and converges via large-star/small-star") {
+    val s = spark
+    import s.implicits._
+    // diameter 299 ≫ maxIters=5: min-label propagation cannot close this,
+    // the O(log d) fallback must
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val nodes = (1L to 300L).toDF("id")
+    val comp = Dedup.connectedComponents(pairs, nodes, maxIters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 300)
+    assert(comp.values.forall(_ == 1L), "chain must collapse to the minimum id")
+  }
+
+  test("large-star/small-star labels equal min-label propagation on a random graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    val edges = (1 to 150)
+      .map(_ => (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      .filter(p => p._1 != p._2)
+    val pairs = edges.toDF("ia", "ib")
+    val nodes = (1L to n.toLong).toDF("id")
+    val viaMinLabel = Dedup.connectedComponents(pairs, nodes, maxIters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFallback = Dedup.connectedComponents(pairs, nodes, maxIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback === viaMinLabel)
+  }
+
   test("dedupClusters: fixture near-dup pairs collapse to clusters, canonical keep flags") {
     val docs = Tables.load(spark, sfDir, "documents")
     val pairs = Dedup.jaccardPairs(docs, minJaccard = 0.4)

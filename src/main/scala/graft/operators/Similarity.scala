@@ -123,6 +123,10 @@ object Similarity {
     var cents = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"),
         VectorOps.l2Normalize(col(vecCol)).cast("array<float>").as("cvec"))
+      // zero-norm seeds would make csim = dot/0 = NaN below, and NaN
+      // compares greatest in Spark orderings — every point would route to
+      // the degenerate cell on the next iteration
+      .filter(VectorOps.l2Norm(col("cvec")) > 0)
     for (_ <- 0 until iters) {
       // vn is unit-norm, so dividing by |cvec| alone yields the cosine
       val scored = vn.join(broadcast(cents), lit(true))
@@ -138,7 +142,7 @@ object Similarity {
         .collect()
       val byCell = dims.groupBy(_.getLong(0)).map { case (cell, rows) =>
         (cell, rows.sortBy(_.getInt(1)).map(r => r.getDouble(2).toFloat))
-      }
+      }.filter(_._2.exists(_ != 0f)) // drop degenerate zero-mean cells (NaN guard)
       import spark.implicits._
       cents = byCell.toSeq.sortBy(_._1)
         .map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
@@ -179,6 +183,9 @@ object Similarity {
         corpus.orderBy(col(idCol)).limit(nCentroids)
           .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
       .withColumn("cnorm", VectorOps.l2Norm(col("cvec")))
+      // a zero-norm centroid scores csim = NaN against every vector, and
+      // NaN wins max_by — it would swallow whole cells; drop it up front
+      .filter(col("cnorm") > 0)
 
     def assign(df: DataFrame, outId: String, outVec: String, keep: Int): DataFrame = {
       val side = withNorm(
@@ -282,7 +289,11 @@ object Similarity {
           .join(r, col("g") === col("g2") && col("band") === col("band2") &&
             col("bkey") === col("bkey2") && col("ia") < col("ib"))
           .select("g", "ia", "ib")
-          .dropDuplicates("ia", "ib")
+          // g is part of the dedup key: when groupCol is not a partition of
+          // the rows (multi-bucket/exploded membership), an id pair can
+          // legitimately co-occur in several groups, and the exact bands=0
+          // path emits it once per group — the LSH path must match
+          .dropDuplicates("g", "ia", "ib")
       }
     cand
       .join(base.select(col("id").as("ia"), col("vec").as("pvec"), col("norm").as("pnorm")), "ia")

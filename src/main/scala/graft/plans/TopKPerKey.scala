@@ -157,6 +157,14 @@ object TopK {
       rankName: String = "rank"): DataFrame = {
     import org.apache.spark.sql.graftglue.PlanGlue
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    // fail fast when the strategy is not injected: without it the node
+    // only surfaces later as an opaque "No plan for TopKPerKeyNode"
+    // planner assertion deep inside execution
+    if (!PlanGlue.plannerStrategies(df.sparkSession).exists(_ eq TopKPerKeyStrategy))
+      throw new IllegalStateException(
+        "TopK.perKey requires the TopKPerKey planner strategy; create the session " +
+          "with spark.sql.extensions=graft.GraftExtensions (GraftSession does), or " +
+          "use a row_number window instead")
     // Spark 4 Columns carry unresolved ColumnNodes; resolve them by
     // analyzing throwaway select/sortWithinPartitions plans over the SAME
     // analyzed child, so the expressions come back bound to the child's

@@ -62,19 +62,31 @@ class WindowStream[T: Encoder](
   private val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---- ingest (S1–S4) ----
+  //
+  // All ingest is gated on `running`: once stop() flips it, publish throws
+  // and asyncPublish reports false, so the lossless contract has a sharp
+  // boundary — every item ACCEPTED (gate passed) before stop() is
+  // delivered; items offered after are rejected loudly, never dropped
+  // silently. (A caller that passed the gate concurrently with stop() is
+  // covered by stop()'s drain-until-empty loop below.)
 
-  /** Blocking, lossless single-item ingest. */
-  def publish(item: T): Unit = queue.put(item)
+  private def ensureOpen(): Unit =
+    if (!running.get()) throw new IllegalStateException(
+      "WindowStream is stopped: publish after stop() would be silently dropped")
 
-  /** Blocking batch ingest, iteration order preserved. */
-  def publish(items: Iterable[T]): Unit = items.foreach(queue.put)
+  /** Blocking, lossless single-item ingest; throws once stopped. */
+  def publish(item: T): Unit = { ensureOpen(); queue.put(item) }
 
-  /** Non-blocking ingest: false when the buffer is full (caller retries). */
-  def asyncPublish(item: T): Boolean = queue.offer(item)
+  /** Blocking batch ingest, iteration order preserved; throws once stopped. */
+  def publish(items: Iterable[T]): Unit = items.foreach(publish)
+
+  /** Non-blocking ingest: false when the buffer is full or the stream is
+    * stopped (caller retries / gives up). */
+  def asyncPublish(item: T): Boolean = running.get() && queue.offer(item)
 
   /** Per-item non-blocking ingest results, in order (duplicate-safe). */
   def asyncPublish(items: Iterable[T]): Seq[(T, Boolean)] =
-    items.map(i => i -> queue.offer(i)).toSeq
+    items.map(i => i -> asyncPublish(i)).toSeq
 
   // ---- introspection (S7) ----
 
@@ -181,14 +193,16 @@ class WindowStream[T: Encoder](
     * move the queue remainder on the caller thread, and only then run the
     * final batches and stop. */
   def stop(): Unit = {
-    running.set(false)
+    running.set(false) // new publishers now throw / get false
     if (pumpThread != null) pumpThread.join()
-    val rest = new java.util.ArrayList[T]()
-    while (!queue.isEmpty) queue.drainTo(rest)
-    if (!rest.isEmpty) {
-      val buf = new ArrayBuffer[T](rest.size)
-      rest.forEach(e => buf += e)
-      source.addData(buf.toSeq)
+    def drainRemainder(): Unit = {
+      val rest = new java.util.ArrayList[T]()
+      while (!queue.isEmpty) queue.drainTo(rest)
+      if (!rest.isEmpty) {
+        val buf = new ArrayBuffer[T](rest.size)
+        rest.forEach(e => buf += e)
+        source.addData(buf.toSeq)
+      }
     }
     // the query may already be terminated with an error (e.g. a failing
     // errorConsumer) — processAllAvailable() then rethrows; cleanup must
@@ -196,7 +210,19 @@ class WindowStream[T: Encoder](
     // non-daemon threads for the JVM's lifetime
     try {
       if (query != null) {
+        // drain-until-empty: a publisher that passed the running gate
+        // concurrently with stop() may insert after a drain pass (e.g. a
+        // put() that was parked on a full queue and woke when the drain
+        // freed space). Every drain frees capacity and wakes such
+        // publishers, so they land while the queue is observed non-empty
+        // and the loop picks them up; once the queue reads empty after a
+        // full process cycle, no accepted item can still be pending.
+        drainRemainder()
         query.processAllAvailable()
+        while (!queue.isEmpty) {
+          drainRemainder()
+          query.processAllAvailable()
+        }
         query.stop()
       }
     } finally {

@@ -28,4 +28,13 @@ object PlanGlue {
 
   def logicalPlan(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** The session's active planner strategies (sessionState is private[sql]
+    * — this subpackage is inside the boundary). Lets library entry points
+    * fail fast with a clear message when a required injected strategy is
+    * absent, instead of dying later on an opaque planner assertion. */
+  def plannerStrategies(
+      spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.strategies
 }

@@ -69,6 +69,22 @@ class WindowStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("ingest is gated after stop(): publish throws, asyncPublish reports false") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, windowDuration = 100.millis, consumerParallelism = 2)
+    val received = new ConcurrentLinkedQueue[Int]()
+    ws.subscribe(batch => batch.foreach(received.add))
+    ws.publish(1 to 5)
+    ws.stop()
+    intercept[IllegalStateException](ws.publish(6))
+    intercept[IllegalStateException](ws.publish(Seq(7, 8)))
+    assert(!ws.asyncPublish(9), "asyncPublish after stop must report rejection")
+    assert(ws.asyncPublish(Seq(10, 11)).forall(!_._2))
+    assert(received.asScala.toSet === (1 to 5).toSet,
+      "accepted-before-stop items delivered; gated items never slip in")
+  }
+
   test("stop() shuts the consumer pool down (no thread leak per stream)") {
     val s = spark
     import s.implicits._

@@ -27,8 +27,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // per-query isolation: drop any caches a query left behind so (a)
+      // every timing is self-contained (no cross-query cache reuse) and
+      // (b) blocks cannot accumulate across the 51-query session — the
+      // contended-box failure mode. Cleanup time is excluded from the
+      // query's own number but the whole run stays honest end-to-end.
+      spark.catalog.clearCache()
       // A crashed query must not read as a fast success: report -1.
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, if (ok) elapsed else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -97,6 +97,33 @@ class DedupSpec extends SparkSpecBase {
     assert(viaFallback === viaMinLabel)
   }
 
+  test("large-star/small-star matches union-find across graph shapes and seeds") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      // chain + star + random edges: mixes the diameters and fan-outs the
+      // two star operations treat differently
+      val edges = ((1L until 20L).map(i => (i, i + 1)) ++
+        (22L until 30L).map(i => (21L, i)) ++
+        (1 to 40).map(_ => (rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))).filter(p => p._1 != p._2)
+      // union-find truth with union-by-min, so every root IS its component min
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = Dedup.largeStarSmallStarLabels(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1 to n).foreach { i =>
+        assert(labels.getOrElse(i.toLong, i.toLong) === find(i).toLong,
+          s"seed $seed node $i")
+      }
+    }
+  }
+
   test("dedupClusters: fixture near-dup pairs collapse to clusters, canonical keep flags") {
     val docs = Tables.load(spark, sfDir, "documents")
     val pairs = Dedup.jaccardPairs(docs, minJaccard = 0.4)

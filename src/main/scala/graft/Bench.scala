@@ -20,6 +20,9 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // the warm-up may have registered caches (e.g. shingle-set persists);
+    // drop them so the FIRST measured query is as cold as the rest
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

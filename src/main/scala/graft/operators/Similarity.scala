@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Materialize the row's L2 norm and DROP zero-norm vectors: cosine is
+    * undefined for them, and under ANSI mode the norm division would throw
+    * DIVIDE_BY_ZERO on the first degenerate embedding instead of scoring
+    * the rest of the corpus. Dropping (rather than NaN/NULL scores) is the
+    * documented contract of every similarity entry point here. */
   private def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
     df.withColumn(normName, VectorOps.l2Norm(col(vecCol)))
+      .filter(col(normName) > 0)
 
   private def pairSim(roundTo: Int) =
     round(VectorOps.dot(col("pvec"), col("nvec")) / (col("pnorm") * col("nnorm")), roundTo)
@@ -115,18 +121,25 @@ object Similarity {
     require(k >= 1 && iters >= 0)
     val spark = corpus.sparkSession
     val vn = corpus
+      // zero-norm vectors have no direction: they cannot participate in
+      // cosine clustering, and l2Normalize would throw DIVIDE_BY_ZERO
+      // under ANSI — excluded from training, like every similarity path
+      .filter(VectorOps.l2Norm(col(vecCol)) > 0)
       .select(col(idCol).as("id"), VectorOps.l2Normalize(col(vecCol)).as("vn"))
       .withColumn("vnf", col("vn").cast("array<float>"))
       // read once per Lloyd iteration: materialize the normalization
       // instead of re-scanning and re-normalizing the corpus every round
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    var cents = corpus.orderBy(col(idCol)).limit(k)
+    // zero-norm seeds would make csim = dot/0 = NaN below, and NaN
+    // compares greatest in Spark orderings — every point would route to
+    // the degenerate cell on the next iteration. Filter on the RAW vector
+    // BEFORE normalizing: a zero vector normalizes to all-NaN, whose norm
+    // is NaN, and `NaN > 0` is TRUE under Spark's NaN-greatest comparison
+    // semantics — a post-normalization guard would wave it through.
+    var cents = corpus.filter(VectorOps.l2Norm(col(vecCol)) > 0)
+      .orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"),
         VectorOps.l2Normalize(col(vecCol)).cast("array<float>").as("cvec"))
-      // zero-norm seeds would make csim = dot/0 = NaN below, and NaN
-      // compares greatest in Spark orderings — every point would route to
-      // the degenerate cell on the next iteration
-      .filter(VectorOps.l2Norm(col("cvec")) > 0)
     for (_ <- 0 until iters) {
       // vn is unit-norm, so dividing by |cvec| alone yields the cosine
       val scored = vn.join(broadcast(cents), lit(true))

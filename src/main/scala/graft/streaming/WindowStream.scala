@@ -67,22 +67,34 @@ class WindowStream[T: Encoder](
   // and asyncPublish reports false, so the lossless contract has a sharp
   // boundary — every item ACCEPTED (gate passed) before stop() is
   // delivered; items offered after are rejected loudly, never dropped
-  // silently. (A caller that passed the gate concurrently with stop() is
-  // covered by stop()'s drain-until-empty loop below.)
+  // silently. The gate is NOT a bare check-then-act: each ingest holds the
+  // read side of `gate` across check+insert, and stop() acquires the write
+  // side after flipping `running` — a barrier guaranteeing no gate-passing
+  // publisher is still mid-insert when the final drain runs.
+
+  private val gate = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   private def ensureOpen(): Unit =
     if (!running.get()) throw new IllegalStateException(
       "WindowStream is stopped: publish after stop() would be silently dropped")
 
   /** Blocking, lossless single-item ingest; throws once stopped. */
-  def publish(item: T): Unit = { ensureOpen(); queue.put(item) }
+  def publish(item: T): Unit = {
+    val rl = gate.readLock()
+    rl.lock()
+    try { ensureOpen(); queue.put(item) } finally rl.unlock()
+  }
 
   /** Blocking batch ingest, iteration order preserved; throws once stopped. */
-  def publish(items: Iterable[T]): Unit = items.foreach(publish)
+  def publish(items: Iterable[T]): Unit = items.foreach(publish(_))
 
   /** Non-blocking ingest: false when the buffer is full or the stream is
     * stopped (caller retries / gives up). */
-  def asyncPublish(item: T): Boolean = running.get() && queue.offer(item)
+  def asyncPublish(item: T): Boolean = {
+    val rl = gate.readLock()
+    rl.lock()
+    try running.get() && queue.offer(item) finally rl.unlock()
+  }
 
   /** Per-item non-blocking ingest results, in order (duplicate-safe). */
   def asyncPublish(items: Iterable[T]): Seq[(T, Boolean)] =
@@ -204,25 +216,22 @@ class WindowStream[T: Encoder](
         source.addData(buf.toSeq)
       }
     }
+    // Barrier: wait until every publisher that passed the running gate has
+    // finished its insert, so the final drain cannot race a mid-flight
+    // put(). A parked put (full queue) holds the read lock, so a plain
+    // write-lock wait could deadlock — drain between tryLock attempts to
+    // free capacity and let those publishers complete.
+    val wl = gate.writeLock()
+    while (!wl.tryLock(10, TimeUnit.MILLISECONDS)) drainRemainder()
+    wl.unlock() // gate closed + no in-flight inserts; new calls fail on `running`
     // the query may already be terminated with an error (e.g. a failing
     // errorConsumer) — processAllAvailable() then rethrows; cleanup must
     // still run or every failed stream leaks consumerParallelism
     // non-daemon threads for the JVM's lifetime
     try {
       if (query != null) {
-        // drain-until-empty: a publisher that passed the running gate
-        // concurrently with stop() may insert after a drain pass (e.g. a
-        // put() that was parked on a full queue and woke when the drain
-        // freed space). Every drain frees capacity and wakes such
-        // publishers, so they land while the queue is observed non-empty
-        // and the loop picks them up; once the queue reads empty after a
-        // full process cycle, no accepted item can still be pending.
         drainRemainder()
         query.processAllAvailable()
-        while (!queue.isEmpty) {
-          drainRemainder()
-          query.processAllAvailable()
-        }
         query.stop()
       }
     } finally {

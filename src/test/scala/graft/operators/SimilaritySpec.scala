@@ -121,6 +121,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf === brute, "probing every trained cell must equal brute force")
   }
 
+  test("kMeansCentroids: zero-norm vectors never become (NaN) seeds") {
+    val s = spark
+    import s.implicits._
+    // a zero vector among the first k would normalize to all-NaN, and NaN
+    // compares greatest — the raw-norm pre-filter must drop it from seeding
+    val rows = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cents = Similarity.kMeansCentroids(rows, k = 3, iters = 2).collect()
+    assert(cents.nonEmpty)
+    cents.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      assert(vec.forall(x => !x.isNaN), s"NaN centroid: $vec")
+    }
+  }
+
   test("nearDupPairs: threshold and ordering discipline") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.nearDupPairs(v, groupCol = "label", minSim = 0.3).collect()

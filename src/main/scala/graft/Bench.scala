@@ -23,7 +23,14 @@ object Bench {
     // the warm-up may have registered caches (e.g. shingle-set persists);
     // drop them so the FIRST measured query is as cold as the rest
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q38,q47 restricts the run to queries whose
+    // name starts with one of the comma-separated prefixes. Unset in the
+    // driver's full runs, so the published metric is never filtered.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

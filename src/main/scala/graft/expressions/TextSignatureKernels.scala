@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -166,6 +166,47 @@ private[graft] object TextSignatureKernels {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Distinct n-gram shingle set of `b`'s token stream, keyed by the
+    * space-joined shingle bytes (UTF8String equality == string equality).
+    * Empty for docs with fewer than n tokens — the shingle-set drop rule. */
+  private def shingleSet(b: Array[Byte], n: Int): java.util.HashSet[UTF8String] = {
+    val set = new java.util.HashSet[UTF8String]()
+    val (starts, ends, nTok) = tokenize(b)
+    if (nTok < n) return set
+    val buf = new Array[Byte](b.length + n)
+    var i = 0
+    while (i <= nTok - n) {
+      var len = 0
+      var j = i
+      while (j < i + n) {
+        if (j > i) { buf(len) = ' '; len += 1 }
+        val tl = ends(j) - starts(j)
+        System.arraycopy(b, starts(j), buf, len, tl)
+        len += tl
+        j += 1
+      }
+      set.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len)))
+      i += 1
+    }
+    set
+  }
+
+  /** Exact distinct-shingle overlap of two documents in one fused pass:
+    * [shared, |A|, |B|] with shared = |A ∩ B| over the SAME shingle sets
+    * the declarative `shinglesFromTokens` + `array_intersect` pipeline
+    * builds (string-exact, not hash-sketched) — jaccard is then
+    * shared / (|A|+|B|-shared). This is the LSH verify step collapsed to
+    * a scalar kernel: candidates join their two texts and verify locally,
+    * instead of materializing corpus shingle arrays and joining them. */
+  def jaccardShingles(a: UTF8String, b: UTF8String, n: Int): ArrayData = {
+    val sa = shingleSet(a.getBytes, n)
+    val sb = shingleSet(b.getBytes, n)
+    var shared = 0L
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) shared += 1
+    UnsafeArrayData.fromPrimitiveArray(Array(shared, sa.size.toLong, sb.size.toLong))
+  }
+
   /** Portable MinHash signature (q47's engine-portable hash family):
     * shingle hash h = AsciiPolyHash fold of the space-joined shingle,
     * permutation i = (h·(2i+3) + (1000i+7)) mod P. The fold runs straight
@@ -238,6 +279,36 @@ case class PortableSimHashBandsKernel(child: Expression) extends StringKernelExp
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen'd exact pairwise shingle-Jaccard counters — array<long>
+  * [shared, na, nb] over the distinct n-gram shingle sets of two texts.
+  * See [[TextSignatureKernels.jaccardShingles]]. */
+case class JaccardShinglesKernel(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "jaccard_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextSignatureKernels.jaccardShingles(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.expressions.TextSignatureKernels.jaccardShingles($x, $y, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd MinHash signature; null for docs with fewer than n tokens

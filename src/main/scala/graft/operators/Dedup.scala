@@ -148,20 +148,47 @@ object Dedup {
       .filter(col("sig").isNotNull)
   }
 
-  /** Exact-Jaccard verification shingle sets for the CANDIDATE ids only —
-    * the corpus-wide shingle materialization (and its DISK_ONLY persist)
-    * is gone from the LSH paths; shingles are recomputed just for docs
-    * that survive banding. The repartition below both renames gives the
-    * two verify joins one canonicalized exchange (computed once,
-    * ReusedExchange on the other side), so the corpus is scanned once. */
-  private def candidateShingles(
+  /** Exact-Jaccard verification of banded candidate pairs via the fused
+    * [[graft.expressions.JaccardShinglesKernel]]: candidates rejoin their
+    * raw TEXT by id and the distinct-shingle overlap [shared,|A|,|B|] is
+    * computed locally in one pass per pair — no shingle arrays ever
+    * materialize or ride a shuffle (the round-3..5 form built per-doc
+    * shingle arrays for the candidates and verified with array_intersect;
+    * allocation-profiled as the signature family's contended-box cost).
+    * The candIds semi-join keeps the corpus streamed ONCE (candIds
+    * broadcast into the scan); the repartition below both renames gives
+    * the two verify joins one canonicalized exchange (computed once,
+    * ReusedExchange on the other side). `keep` columns ride through.
+    * Emits `shared` (long) and exact `jaccard`, filtered to minJaccard.
+    * Bit-equality of the kernel against the declarative
+    * shinglesFromTokens + array_intersect form is unit-tested (DedupSpec). */
+  private def verifyCandidatesExact(
       df: DataFrame, idCol: String, textCol: String, n: Int,
-      candIds: DataFrame): DataFrame =
-    df.select(col(idCol).as("id"), col(textCol).as("text_"))
+      cand: DataFrame, minJaccard: Double, keep: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val candIds = cand.select(col("ia").as("id"))
+      .union(cand.select(col("ib").as("id"))).distinct()
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("text_"))
       .join(candIds, "id")
-      .select(col("id"), TextOps.tokenize(col("text_")).as("toks"))
-      .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val jc = ColumnGlue.column(graft.expressions.JaccardShinglesKernel(
+      ColumnGlue.expression(col("ta")), ColumnGlue.expression(col("tb")), n))
+    val keepCols = Seq("ia", "ib") ++ keep
+    cand
+      .join(txt.select(col("id").as("ia"), col("text_").as("ta")), "ia")
+      .join(txt.select(col("id").as("ib"), col("text_").as("tb")), "ib")
+      // jc_ is referenced 3× by the next projection, so the kernel stays a
+      // materialized attribute (CollapseProject's multi-reference guard) —
+      // one evaluation per pair
+      .select(keepCols.map(col) :+ jc.as("jc_"): _*)
+      .select(keepCols.map(col) ++ Seq(
+        element_at(col("jc_"), 1).as("shared"),
+        element_at(col("jc_"), 2).as("na_"),
+        element_at(col("jc_"), 3).as("nb_")): _*)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na_") + col("nb_") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+  }
 
   /** MinHash + LSH near-dup pairs: banded signature buckets generate
     * candidates, exact Jaccard (on the true shingle sets) verifies them.

@@ -226,18 +226,9 @@ object Dedup {
         col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
       .select("ia", "ib", "siga", "sigb")
       .dropDuplicates("ia", "ib")
-    val candIds = cand.select(col("ia").as("id"))
-      .union(cand.select(col("ib").as("id"))).distinct()
-    val sh = candidateShingles(df, idCol, textCol, n, candIds)
-    cand
-      .join(sh.select(col("id").as("ia"), col("sh").as("sha")), "ia")
-      .join(sh.select(col("id").as("ib"), col("sh").as("shb")), "ib")
-      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("shared")))
+    verifyCandidatesExact(df, idCol, textCol, n, cand, minJaccard, Seq("siga", "sigb"))
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b)) / cast($numHashes as double)"))
-      .filter(col("jaccard") >= minJaccard)
       .select("ia", "ib", "shared", "jaccard", "est_jaccard")
   }
 
@@ -293,16 +284,7 @@ object Dedup {
     val cand = a.hint("shuffle_hash")
       .join(b, col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
       .select("ia", "ib").dropDuplicates("ia", "ib")
-    val candIds = cand.select(col("ia").as("id"))
-      .union(cand.select(col("ib").as("id"))).distinct()
-    val sh = candidateShingles(df, idCol, textCol, n, candIds)
-    cand
-      .join(sh.select(col("id").as("ia"), col("sh").as("sha")), "ia")
-      .join(sh.select(col("id").as("ib"), col("sh").as("shb")), "ib")
-      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("shared")))
-      .filter(col("jaccard") >= minJaccard)
+    verifyCandidatesExact(df, idCol, textCol, n, cand, minJaccard, Seq.empty)
       .select("ia", "ib", "shared", "jaccard")
   }
 

@@ -26,14 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Materialize the row's L2 norm and DROP zero-norm vectors: cosine is
-    * undefined for them, and under ANSI mode the norm division would throw
-    * DIVIDE_BY_ZERO on the first degenerate embedding instead of scoring
-    * the rest of the corpus. Dropping (rather than NaN/NULL scores) is the
-    * documented contract of every similarity entry point here. */
+  /** Materialize the row's L2 norm and DROP degenerate vectors — zero
+    * norm (cosine undefined; under ANSI the division would throw
+    * DIVIDE_BY_ZERO on the first such row) and NaN norm (a single NaN
+    * component poisons the sum; Spark orders NaN GREATEST, so `NaN > 0`
+    * passes a bare positivity filter and a NaN sim then wins every
+    * max_by/rank downstream). Dropping (rather than NaN/NULL scores) is
+    * the documented contract of every similarity entry point here. */
   private def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
     df.withColumn(normName, VectorOps.l2Norm(col(vecCol)))
-      .filter(col(normName) > 0)
+      .filter(!isnan(col(normName)) && col(normName) > 0)
 
   private def pairSim(roundTo: Int) =
     round(VectorOps.dot(col("pvec"), col("nvec")) / (col("pnorm") * col("nnorm")), roundTo)
@@ -123,8 +125,9 @@ object Similarity {
     val vn = corpus
       // zero-norm vectors have no direction: they cannot participate in
       // cosine clustering, and l2Normalize would throw DIVIDE_BY_ZERO
-      // under ANSI — excluded from training, like every similarity path
-      .filter(VectorOps.l2Norm(col(vecCol)) > 0)
+      // under ANSI — excluded from training, like every similarity path;
+      // NaN norms (NaN component) order GREATEST so they too pass `> 0`
+      .filter(!isnan(VectorOps.l2Norm(col(vecCol))) && VectorOps.l2Norm(col(vecCol)) > 0)
       .select(col(idCol).as("id"), VectorOps.l2Normalize(col(vecCol)).as("vn"))
       .withColumn("vnf", col("vn").cast("array<float>"))
       // read once per Lloyd iteration: materialize the normalization
@@ -136,7 +139,8 @@ object Similarity {
     // BEFORE normalizing: a zero vector normalizes to all-NaN, whose norm
     // is NaN, and `NaN > 0` is TRUE under Spark's NaN-greatest comparison
     // semantics — a post-normalization guard would wave it through.
-    var cents = corpus.filter(VectorOps.l2Norm(col(vecCol)) > 0)
+    var cents = corpus
+      .filter(!isnan(VectorOps.l2Norm(col(vecCol))) && VectorOps.l2Norm(col(vecCol)) > 0)
       .orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"),
         VectorOps.l2Normalize(col(vecCol)).cast("array<float>").as("cvec"))
@@ -196,9 +200,10 @@ object Similarity {
         corpus.orderBy(col(idCol)).limit(nCentroids)
           .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
       .withColumn("cnorm", VectorOps.l2Norm(col("cvec")))
-      // a zero-norm centroid scores csim = NaN against every vector, and
-      // NaN wins max_by — it would swallow whole cells; drop it up front
-      .filter(col("cnorm") > 0)
+      // a zero- or NaN-norm centroid scores csim = NaN against every
+      // vector, and NaN wins max_by — it would swallow whole cells (NaN
+      // orders GREATEST, so `> 0` alone waves a NaN norm through)
+      .filter(!isnan(col("cnorm")) && col("cnorm") > 0)
 
     def assign(df: DataFrame, outId: String, outVec: String, keep: Int): DataFrame = {
       val side = withNorm(

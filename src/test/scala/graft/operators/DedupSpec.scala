@@ -260,6 +260,39 @@ class DedupSpec extends SparkSpecBase {
     declaredP.foreach { case (id, sig) => assert(kerneledP(id) === sig, s"doc $id") }
   }
 
+  test("jaccardShingles kernel is bit-equal to the declarative array_intersect form") {
+    val s = spark
+    import s.implicits._
+    // multi-space, leading/trailing whitespace, tabs/newlines, duplicate
+    // shingles, short and empty docs — the full split-with-limit(-1) edge set
+    val texts = Seq(
+      "a b c d", " a b c d ", "a\tb\nc d", "x  y   z w", "", " ", "a b",
+      "w1 w2 w3 w4 w5 w1 w2 w3", "a b c a b c a b c", "q r s t")
+    val pairsIn = for { (ta, i) <- texts.zipWithIndex; (tb, j) <- texts.zipWithIndex }
+      yield (i.toLong, j.toLong, ta, tb)
+    val df = pairsIn.toDF("i", "j", "ta", "tb")
+    val declared = df.select(col("i"), col("j"),
+        graft.functions.TextOps.shingles(col("ta"), 3).as("sa"),
+        graft.functions.TextOps.shingles(col("tb"), 3).as("sb"))
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("shared"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val kerneled = {
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      df.select(col("i"), col("j"),
+          ColumnGlue.column(graft.expressions.JaccardShinglesKernel(
+            ColumnGlue.expression(col("ta")), ColumnGlue.expression(col("tb")), 3)).as("jc"))
+        .collect()
+        .map { r => val a = r.getSeq[Long](2); (r.getLong(0), r.getLong(1)) -> ((a(0), a(1), a(2))) }
+        .toMap
+    }
+    assert(kerneled === declared)
+  }
+
   test("simHash: identical docs collide, near-identical docs land within small hamming") {
     val s = spark
     import s.implicits._

@@ -347,6 +347,10 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
       val nextSum = labelSum(next)
+      // next is eagerly materialized and lineage-free: the prior round's
+      // checkpoint blocks are now unreachable — release them instead of
+      // letting every round's blocks pile up until the driver GCs the RDDs
+      org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(comp)
       comp = next
       converged = nextSum == sum
       sum = nextSum
@@ -367,7 +371,10 @@ object Dedup {
           s"[Dedup.connectedComponents] min-label propagation did not converge " +
             s"after $maxIters rounds (graph diameter > maxIters); switching to " +
             "the large-star/small-star alternation (O(log d) rounds)")
-        largeStarSmallStarLabels(edges)
+        val fallback = largeStarSmallStarLabels(edges)
+        // the abandoned min-label frame's blocks have no further reader
+        org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(comp)
+        fallback
       }
     edges.unpersist()
     nodes.select(col("id"))
@@ -387,26 +394,25 @@ object Dedup {
     *    neighbors and u itself point at the minimum — flattens stars.
     *
     * Both preserve connectivity; the fixpoint is one star per component
-    * centered on its minimum id. Convergence is detected by an edge-set
-    * (count, bit_xor-of-hash) checksum — an O(1)-per-round scalar action,
-    * like the label-sum check in [[connectedComponents]].
+    * centered on its minimum id. Convergence is detected EXACTLY: equal
+    * edge counts plus an empty anti-join prove set equality between
+    * rounds (both frames are materialized distinct sets). A hash
+    * checksum here could collide and declare a still-moving graph
+    * converged — shipping split components — so correctness buys one
+    * cheap join over checkpointed blocks per round.
     *
     * Returns (id, comp) for every non-root node of the pair graph; roots
     * and singletons are absent (callers coalesce id). */
   private[operators] def largeStarSmallStarLabels(
       edges: DataFrame,
       maxRounds: Int = 60): DataFrame = {
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect().head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
     // per-round lineage truncation, same reasoning as the min-label loop:
     // each round references e several times (sym union, two min joins) —
     // kept lineage would grow the plan ~4× per round
     var e = edges.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    var sum = checksum(e)
+    var eCount = e.count()
     var converged = false
     var it = 0
     while (!converged && it < maxRounds) {
@@ -427,10 +433,14 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
-      val nextSum = checksum(next)
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      // anti-join done — the superseded round's checkpoint blocks are now
+      // unreachable; release them instead of accumulating one set per round
+      org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(e)
       e = next
-      converged = nextSum == sum
-      sum = nextSum
+      eCount = nextCount
       it += 1
     }
     if (!converged)
@@ -439,8 +449,10 @@ object Dedup {
       throw new IllegalStateException(
         s"[Dedup.largeStarSmallStarLabels] not converged after $maxRounds rounds")
     // fixpoint edges are (node, component-min) stars
-    e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
+    val stars = e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(e)
+    stars
   }
 
   /** End-to-end near-dup clustering: n-gram Jaccard pairs → connected

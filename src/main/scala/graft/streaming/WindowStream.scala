@@ -66,8 +66,9 @@ class WindowStream[T: Encoder](
   // All ingest is gated on `running`: once stop() flips it, publish throws
   // and asyncPublish reports false, so the lossless contract has a sharp
   // boundary — every item ACCEPTED (gate passed) before stop() is
-  // delivered; items offered after are rejected loudly, never dropped
-  // silently. The gate is NOT a bare check-then-act: each ingest holds the
+  // delivered ONCE A SUBSCRIBER EXISTS (see stop() for the unsubscribed
+  // teardown contract); items offered after are rejected loudly, never
+  // dropped silently. The gate is NOT a bare check-then-act: each ingest holds the
   // read side of `gate` across check+insert, and stop() acquires the write
   // side after flipping `running` — a barrier guaranteeing no gate-passing
   // publisher is still mid-insert when the final drain runs.
@@ -130,6 +131,10 @@ class WindowStream[T: Encoder](
 
   /** Subscribe with an error channel; at most one subscriber per stream. */
   def subscribe(consumer: Seq[T] => Unit, errorConsumer: (Seq[T], Throwable) => Unit): StreamingQuery = {
+    if (!running.get())
+      throw new IllegalStateException(
+        "WindowStream is stopped: subscribe() after stop() would start a " +
+          "delivery query no publisher can ever feed")
     if (!subscribed.compareAndSet(false, true))
       throw new IllegalStateException(
         "WindowStream is unicast: already subscribed (WindowPublisher.java:68 contract)")
@@ -203,17 +208,30 @@ class WindowStream[T: Encoder](
     * pump's hands. Halt and JOIN the pump first — after the join, every
     * item is either in the queue or already in the MemoryStream — then
     * move the queue remainder on the caller thread, and only then run the
-    * final batches and stop. */
+    * final batches and stop.
+    *
+    * UNSUBSCRIBED stop(): the lossless delivery contract is conditional
+    * on a subscriber existing — the stream is unicast
+    * (WindowPublisher.java:68) and there is nobody to hand batches to.
+    * stop() on a never-subscribed stream DISCARDS any accepted items and
+    * says so on stderr with the count (never silently): publishers that
+    * outlive their consumer's existence are a caller bug, and blocking
+    * stop() forever waiting for a subscriber that will never come would
+    * turn teardown into a hang. */
   def stop(): Unit = {
     running.set(false) // new publishers now throw / get false
     if (pumpThread != null) pumpThread.join()
+    var orphaned = 0L
     def drainRemainder(): Unit = {
       val rest = new java.util.ArrayList[T]()
       while (!queue.isEmpty) queue.drainTo(rest)
       if (!rest.isEmpty) {
-        val buf = new ArrayBuffer[T](rest.size)
-        rest.forEach(e => buf += e)
-        source.addData(buf.toSeq)
+        if (query == null) orphaned += rest.size
+        else {
+          val buf = new ArrayBuffer[T](rest.size)
+          rest.forEach(e => buf += e)
+          source.addData(buf.toSeq)
+        }
       }
     }
     // Barrier: wait until every publisher that passed the running gate has
@@ -233,6 +251,11 @@ class WindowStream[T: Encoder](
         drainRemainder()
         query.processAllAvailable()
         query.stop()
+      } else {
+        drainRemainder()
+        if (orphaned > 0) System.err.println(
+          s"[WindowStream] stop() before subscribe(): discarding $orphaned " +
+            "accepted item(s) — the unicast stream has no consumer to deliver to")
       }
     } finally {
       if (pool != null) pool.shutdown()

@@ -37,4 +37,21 @@ object PlanGlue {
       spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.planner.strategies
+
+  /** Release the storage blocks behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only reaches CacheManager entries (`.persist`/
+    * `.cache`); a local checkpoint's blocks belong to the RDD inside the
+    * plan's `LogicalRDD` leaf and otherwise live until the driver GCs the
+    * RDD and the ContextCleaner reaps it — iterative algorithms that
+    * checkpoint per round would accumulate every round's blocks for the
+    * loop's lifetime. Callers release a SUPERSEDED frame only: after the
+    * successor is eagerly materialized, nothing re-reads these blocks
+    * (and the truncated lineage means a re-read could not recompute). */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

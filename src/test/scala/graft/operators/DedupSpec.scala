@@ -168,6 +168,23 @@ class DedupSpec extends SparkSpecBase {
     assert(portable === fast)
   }
 
+  test("CC releases each round's checkpoint blocks (no accumulation across rounds)") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-...-12: diameter 11 forces ~11 min-label rounds, each with
+    // its own localCheckpoint — an unreleased round would leave one
+    // persistent RDD per round for the session lifetime
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val nodes = (1L to 12L).toDF("id")
+    val before = s.sparkContext.getPersistentRDDs.size
+    val out = Dedup.connectedComponents(pairs, nodes).collect()
+    assert(out.length === 12 && out.forall(_.getLong(1) === 1L))
+    val after = s.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"per-round checkpoint blocks accumulated: $before -> $after (only the " +
+        "final label frame may remain — the lazy result still references it)")
+  }
+
   test("simHashSignatures (codegen agg path) is bit-identical to simHash64 (lambda path)") {
     val docs = Tables.load(spark, sfDir, "documents").limit(50)
     val lambda = docs.select(col("doc_id").as("id"), Dedup.simHash64("text").as("h"))

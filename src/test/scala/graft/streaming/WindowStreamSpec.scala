@@ -85,6 +85,20 @@ class WindowStreamSpec extends SparkSpecBase {
       "accepted-before-stop items delivered; gated items never slip in")
   }
 
+  test("unsubscribed stop(): returns (no hang), discards loudly, gates ingest") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 16,
+      windowDuration = 100.millis, consumerParallelism = 2)
+    ws.publish(1 to 5) // accepted, but no subscriber will ever exist
+    assert(ws.getQueueSize === 5)
+    ws.stop() // must neither hang waiting for a subscriber nor throw
+    assert(ws.getQueueSize === 0, "teardown drains the orphaned items")
+    intercept[IllegalStateException](ws.publish(6))
+    assert(!ws.asyncPublish(7), "stream is gated after unsubscribed stop()")
+    intercept[IllegalStateException](ws.subscribe(_ => ()))
+  }
+
   test("stop() shuts the consumer pool down (no thread leak per stream)") {
     val s = spark
     import s.implicits._

@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSigKernel(args.head, litInt(args(1), "n"), litInt(args(2), "numHashes"),
         portable = false)
     })
+    reg(ext, "shingle_hashes", classOf[ShingleHashesKernel], args => {
+      require(args.length == 2, "shingle_hashes(text, n)")
+      ShingleHashesKernel(args.head, litInt(args(1), "n"))
+    })
     reg(ext, "jaccard_shingles", classOf[JaccardShinglesKernel], args => {
       require(args.length == 3, "jaccard_shingles(textA, textB, n)")
       JaccardShinglesKernel(args.head, args(1), litInt(args(2), "n"))

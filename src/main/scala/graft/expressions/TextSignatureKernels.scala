@@ -207,6 +207,40 @@ private[graft] object TextSignatureKernels {
     UnsafeArrayData.fromPrimitiveArray(Array(shared, sa.size.toLong, sb.size.toLong))
   }
 
+  /** Distinct xxhash64 shingle hashes of the token stream — seed 42 over
+    * the space-joined shingle bytes, exactly `xxhash64(shingle)` applied
+    * to the declarative shingle set (bit-equality unit-tested). Empty for
+    * docs with fewer than n tokens (the shingle-set drop rule), so an
+    * `explode` drops them. This is [[graft.operators.Dedup.jaccardPairs]]'s
+    * candidate-generation currency: pairs join on the 8-byte hash instead
+    * of the variable-width shingle string, and a collision can only ADD a
+    * candidate the exact verify then rejects — never lose one. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val (starts, ends, nTok) = tokenize(b)
+    if (nTok < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](nTok - n + 1)
+    var m = 0
+    val buf = new Array[Byte](b.length + n)
+    var i = 0
+    while (i <= nTok - n) {
+      var len = 0
+      var j = i
+      while (j < i + n) {
+        if (j > i) { buf(len) = ' '; len += 1 }
+        val tl = ends(j) - starts(j)
+        System.arraycopy(b, starts(j), buf, len, tl)
+        len += tl
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOfRange(out, 0, m))
+  }
+
   /** Portable MinHash signature (q47's engine-portable hash family):
     * shingle hash h = AsciiPolyHash fold of the space-joined shingle,
     * permutation i = (h·(2i+3) + (1000i+7)) mod P. The fold runs straight
@@ -276,6 +310,25 @@ case class PortableSimHashBandsKernel(child: Expression) extends StringKernelExp
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.expressions.TextSignatureKernels.portableSimHashBands($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd distinct shingle-hash set — see
+  * [[TextSignatureKernels.shingleHashes]]. */
+case class ShingleHashesKernel(child: Expression, n: Int) extends StringKernelExpr {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextSignatureKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.TextSignatureKernels.shingleHashes($x, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -13,10 +12,12 @@ import org.apache.spark.storage.StorageLevel
   * Scale design (the 100 TB story):
   *  - exact dedup is one hash-groupBy — a single shuffle on the 256-bit
   *    content hash; no text ever shuffles, only (hash, id).
-  *  - jaccardPairs prunes to pairs sharing ≥1 shingle. The optional
-  *    `maxShingleDf` drops shingles present in more than that many docs
-  *    before the self-join — the standard hot-key guard: a shingle shared
-  *    by 1M docs would otherwise emit 10^12 candidate rows.
+  *  - jaccardPairs prunes to pairs sharing ≥1 shingle HASH (8 bytes on
+  *    the wire, never the shingle string; a collision only adds a
+  *    candidate the exact verify rejects). The optional `maxShingleDf`
+  *    drops shingle hashes present in more than that many docs before
+  *    the self-join — the standard hot-key guard: a shingle shared by 1M
+  *    docs would otherwise emit 10^12 candidate rows.
   *  - minHashLshPairs replaces the shingle join with a (numHashes)-int
   *    signature + banded bucket join: candidate volume is governed by the
   *    band collision probability (~j^rowsPerBand per band), independent of
@@ -33,51 +34,53 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle sets per doc: (id, sh) with short docs dropped.
-    * Structured for one-shot evaluation: (1) tokens materialize as an
-    * attribute before the shingle lambda touches them — Catalyst does not
-    * CSE into lambda bodies, so an inlined split() would re-run per
-    * shingle; (2) the emptiness filter runs on size(toks) BEFORE the
-    * shingle projection — filtering on size(sh) afterwards gets pushed
-    * below the projection and re-inlines the entire shingle expression
-    * into the scan filter. */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** Distinct shingle-hash sets per doc: (id, hs) via the fused
+    * [[graft.expressions.ShingleHashesKernel]] one-pass byte loop — no
+    * token/shingle string arrays ever materialize. Docs with fewer than n
+    * tokens yield an empty array: `explode` drops them and their size-0
+    * never reaches a pair (no exploded rows → no candidacy), reproducing
+    * the shingle-set drop rule with no filter (a size filter above the
+    * projection would get pushed below it and re-inline the kernel into
+    * the scan filter — the round-2 double-evaluation trap). */
+  private def shingleHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val hashes = ColumnGlue.column(graft.expressions.ShingleHashesKernel(
+      ColumnGlue.expression(col("text_")), n))
     df.select(col(idCol).as("id"), col(textCol).as("text_"))
       // fan-out barrier: a compact doc table often arrives in one or few
-      // input splits; everything downstream (shingling, explode, the pair
-      // join) inherits that parallelism unless rows spread first. Explicit
-      // N pins the fan-out — REPARTITION_BY_COL is AQE-coalescible and a
-      // few-MB doc table would fold back to ~1 partition.
+      // input splits, and the kernel+explode would otherwise run single-
+      // task. Explicit N pins the fan-out — REPARTITION_BY_COL is AQE-
+      // coalescible and a few-MB doc table would fold back to ~1 partition.
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .select(col("id"), TextOps.tokenize(col("text_")).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("id"), TextOps.shinglesFromTokens(col("toks"), n).as("sh"))
-      // Optimizer barrier + one-shot materialization, for two reasons
-      // measured at sf0.1 (~6s each):
-      // (1) InferFiltersFromGenerate synthesizes `size(sh) > 0` above the
-      //     downstream explode and pushdown re-inlines the WHOLE shingle
-      //     expression into the single-split parquet scan (single-task);
-      // (2) the pair pipelines reference this frame from 3-4 branches
-      //     (explode sides, size/verify joins), each re-deriving it.
-      // The InMemoryRelation substitution happens on the analyzed plan,
-      // before optimization, so (1) cannot reach the scan; the cache is
-      // computed once and serves every branch, giving (2).
-      // DISK_ONLY, not memory and not localCheckpoint: shingle-set blocks
-      // held on-heap across a many-query session are pure GC pressure
-      // (the round-2 driver bench degraded 56s -> 95s under exactly that),
-      // while local shuffle-grade disk reads are a rounding error next to
-      // the pair join. Unlike localCheckpoint this also keeps lineage, so
-      // a lost executor recomputes instead of failing the job.
+      .select(col("id"), hashes.as("hs"))
+      // one-shot materialization: the pair pipeline references this frame
+      // from 3 branches (explode + two size joins), each re-deriving it
+      // otherwise. DISK_ONLY, not memory: signature blocks held on-heap
+      // across a many-query session are pure GC pressure (the round-2
+      // driver bench degraded 56s -> 95s under exactly that); lineage is
+      // kept, so a lost executor recomputes instead of failing the job.
       .persist(StorageLevel.DISK_ONLY)
+  }
 
   /** Exact n-gram Jaccard near-dup pairs (ia < ib, jaccard ≥ minJaccard).
-    * Candidates = pairs sharing at least one shingle; shared-shingle count
-    * per pair comes from one self-equi-join on the shingle, sizes join
-    * back from the per-doc sets, so Jaccard is exact:
-    * |A∩B| / (|A|+|B|-|A∩B|).
+    * Candidates = pairs sharing at least one 64-bit shingle hash;
+    * shared-hash count per pair comes from one self-equi-join on the hash
+    * + a map-side-combining count aggregation (NEVER per-pair document
+    * re-verification: candidate volume is quadratic in hot-shingle doc
+    * frequency, and counting is O(join rows) with partial aggregation,
+    * while re-shingling both texts per pair measured 10-50× slower at
+    * sf0.1). Sizes join back from the per-doc hash sets, so Jaccard is
+    * exact over distinct shingle hashes: |A∩B| / (|A|+|B|-|A∩B|) —
+    * identical to string-shingle Jaccard unless two distinct shingles of
+    * the same doc pair collide in 64 bits (~2^-64 per pair; the DuckDB
+    * oracle cross-check computes the string form and agrees).
     *
-    * @param maxShingleDf drop shingles occurring in more than this many
-    *   docs before pairing (hot-key guard; None = keep all, exact result).
+    * The join currency is 8 bytes per shingle — variable-width shingle
+    * strings never ride a shuffle and never materialize at all.
+    *
+    * @param maxShingleDf drop shingle hashes occurring in more than this
+    *   many docs before pairing (hot-key guard; None = keep all, exact
+    *   result).
     */
   def jaccardPairs(
       df: DataFrame,
@@ -88,7 +91,7 @@ object Dedup {
       maxShingleDf: Option[Int] = None): DataFrame =
     jaccardPairsImpl(df, idCol, textCol, n, minJaccard, maxShingleDf)._1
 
-  /** [[jaccardPairs]] plus a handle on the per-call shingle cache, so
+  /** [[jaccardPairs]] plus a handle on the per-call hash-set cache, so
     * eager consumers ([[dedupClusters]]) can unpersist it once the pair
     * graph is materialized. The public [[jaccardPairs]] result is lazy and
     * keeps referencing the cache — its blocks live until the caller drops
@@ -101,12 +104,12 @@ object Dedup {
       n: Int,
       minJaccard: Double,
       maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
-    val docs = shingleSets(df, idCol, textCol, n)
-    val ex0 = docs.select(col("id"), explode(col("sh")).as("s"))
+    val docs = shingleHashSets(df, idCol, textCol, n)
+    val ex0 = docs.select(col("id"), explode(col("hs")).as("h"))
     val ex = maxShingleDf match {
       case Some(m) =>
-        val keep = ex0.groupBy("s").agg(count(lit(1)).as("df_")).filter(col("df_") <= m)
-        ex0.join(keep.select("s"), "s")
+        val keep = ex0.groupBy("h").agg(count(lit(1)).as("df_")).filter(col("df_") <= m)
+        ex0.join(keep.select("h"), "h")
       case None => ex0
     }
     // Self-join discipline: shuffle by the join key BELOW the renames so
@@ -114,13 +117,13 @@ object Dedup {
     // ReusedExchange on the other side), and force a shuffled join — both
     // sides scale with the corpus, broadcasting either would collect an
     // exploded corpus-sized stream to the driver.
-    val exS = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, col("s"))
-    val left = exS.select(col("id").as("ia"), col("s"))
-    val right = exS.select(col("id").as("ib"), col("s").as("s2"))
+    val exS = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism, col("h"))
+    val left = exS.select(col("id").as("ia"), col("h"))
+    val right = exS.select(col("id").as("ib"), col("h").as("h2"))
     val shared = left.hint("shuffle_hash")
-      .join(right, col("s") === col("s2") && col("ia") < col("ib"))
+      .join(right, col("h") === col("h2") && col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("shared"))
-    val sizes = docs.select(col("id"), size(col("sh")).cast(LongType).as("nsh"))
+    val sizes = docs.select(col("id"), size(col("hs")).cast(LongType).as("nsh"))
     val pairs = shared
       .join(sizes.select(col("id").as("ia"), col("nsh").as("na")), "ia")
       .join(sizes.select(col("id").as("ib"), col("nsh").as("nb")), "ib")
@@ -166,6 +169,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, n: Int,
       cand: DataFrame, minJaccard: Double, keep: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftglue.ColumnGlue
+    // cand is referenced three times (both candIds branches + the verify
+    // join): affordable because every caller's candidate pipeline is a
+    // cheap BAND join (LSH-limited). Do NOT route a corpus-wide candidate
+    // generator through here unpersisted — and never per-pair-verify an
+    // unbanded candidate stream at all (see jaccardPairs, which counts
+    // shared hashes by aggregation instead: 10-50× faster at sf0.1).
     val candIds = cand.select(col("ia").as("id"))
       .union(cand.select(col("ib").as("id"))).distinct()
     val txt = df.select(col(idCol).as("id"), col(textCol).as("text_"))
@@ -183,26 +192,24 @@ object Dedup {
       .select(keepCols.map(col) :+ jc.as("jc_"): _*)
       .select(keepCols.map(col) ++ Seq(
         element_at(col("jc_"), 1).as("shared"),
-        element_at(col("jc_"), 2).as("na_"),
-        element_at(col("jc_"), 3).as("nb_")): _*)
+        element_at(col("jc_"), 2).as("na"),
+        element_at(col("jc_"), 3).as("nb")): _*)
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("na_") + col("nb_") - col("shared")))
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash + LSH near-dup pairs: banded signature buckets generate
-    * candidates, exact Jaccard (on the true shingle sets) verifies them.
-    * Result ⊆ jaccardPairs(minJaccard); recall is the LSH S-curve
-    * 1-(1-j^r)^b (r = numHashes/bands rows per band, b = bands).
-    * Also returns `est_jaccard`, the signature-agreement estimate. */
-  def minHashLshPairs(
+  /** Banded-bucket candidate pairs for [[minHashLshPairs]] — exposed at
+    * package level so the geometry property tests can measure CANDIDATE
+    * volume (the scale-governing quantity) directly, not just the
+    * verified survivors. Output: (ia, ib, siga, sigb), deduplicated. */
+  private[operators] def minHashCandidates(
       df: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      n: Int = 3,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      minJaccard: Double = 0.8): DataFrame = {
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = false)
@@ -221,11 +228,48 @@ object Dedup {
     val a = bandedS.select(col("id").as("ia"), col("sig").as("siga"), col("band"), col("bkey"))
     val b = bandedS.select(col("id").as("ib"), col("sig").as("sigb"),
       col("band").as("band2"), col("bkey").as("bkey2"))
-    val cand = a.hint("shuffle_hash")
+    a.hint("shuffle_hash")
       .join(b,
         col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
       .select("ia", "ib", "siga", "sigb")
       .dropDuplicates("ia", "ib")
+  }
+
+  /** MinHash + LSH near-dup pairs: banded signature buckets generate
+    * candidates, exact Jaccard (on the true shingle sets) verifies them.
+    * Result ⊆ jaccardPairs(minJaccard); recall is the LSH S-curve
+    * 1-(1-j^r)^b (r = numHashes/bands rows per band, b = bands).
+    * Also returns `est_jaccard`, the signature-agreement estimate.
+    *
+    * GEOMETRY CONTRACT: r governs how sharply dissimilar pairs are
+    * suppressed from candidacy. At r ≤ 2 with a permissive threshold the
+    * curve admits a noticeable fraction of ALL pairs (r=2, b=16 admits
+    * ~15% at j≈0.1) — a QUADRATIC candidate stream at corpus scale.
+    * Correctness survives any geometry (the exact verify rejects false
+    * candidates); the shuffle does not. Such configs warn on stderr and
+    * must be a deliberate recall choice (q38 opts in: the fixture's
+    * planted pairs sit just above j=0.4, where r=4 recall is only ~19%).
+    * The default 32/8 (r=4) is the defensible corpus-scale geometry. */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    if (r <= 2 && minJaccard < 0.5) {
+      val admittedAtJ01 = 100.0 * (1 - math.pow(1 - math.pow(0.1, r), bands))
+      System.err.println(
+        f"[Dedup.minHashLshPairs] permissive LSH geometry: rowsPerBand=$r with " +
+          f"minJaccard=$minJaccard%.2f admits $admittedAtJ01%.1f%% of ALL pairs at " +
+          "j=0.1 (S-curve 1-(1-j^r)^b) — candidate volume grows quadratically " +
+          "with the corpus; prefer rowsPerBand >= 4 (e.g. numHashes=32, bands=8) " +
+          "unless this recall choice is deliberate")
+    }
+    val cand = minHashCandidates(df, idCol, textCol, n, numHashes, bands)
     verifyCandidatesExact(df, idCol, textCol, n, cand, minJaccard, Seq("siga", "sigb"))
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b)) / cast($numHashes as double)"))
@@ -467,7 +511,7 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val (pairsAll, shingleCache) =
+    val (pairsAll, hashCache) =
       jaccardPairsImpl(df, idCol, textCol, n, minJaccard, maxShingleDf)
     val pairs = pairsAll.select("ia", "ib").persist(StorageLevel.DISK_ONLY)
     val nodes = df.select(col(idCol).as("id"))
@@ -477,7 +521,7 @@ object Dedup {
     // per-call caches here — repeated dedupClusters calls must not
     // accumulate disk blocks for the session lifetime
     pairs.unpersist()
-    shingleCache.unpersist()
+    hashCache.unpersist()
     comp.select(col("id").as(idCol), col("comp").as("cluster_id"),
       (col("id") === col("comp")).as("keep"))
   }
@@ -571,13 +615,20 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val docs = simHashSignatures(df, idCol, textCol)
       .select(col("id"), col("simhash").as("sim"))
+    // same self-join discipline as every sibling pair generator: one
+    // exchange on the join key below both renames (computed once,
+    // ReusedExchange on the other side) + a forced shuffled join — the
+    // aggregate-derived side's size estimate must never pick a broadcast
+    // that would collect the corpus-scale signature stream via the driver
     val banded = docs.select(col("id"), col("sim"),
-      posexplode(expr("transform(sequence(0, 3), j -> (sim >> (j * 16)) & 65535)"))
-        .as(Seq("band", "bkey")))
+        posexplode(expr("transform(sequence(0, 3), j -> (sim >> (j * 16)) & 65535)"))
+          .as(Seq("band", "bkey")))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("band"), col("bkey"))
     val a = banded.select(col("id").as("ia"), col("sim").as("sima"), col("band"), col("bkey"))
     val b = banded.select(col("id").as("ib"), col("sim").as("simb"),
       col("band").as("band2"), col("bkey").as("bkey2"))
-    a.join(b, col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
+    a.hint("shuffle_hash")
+      .join(b, col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
       .select("ia", "ib", "sima", "simb")
       .dropDuplicates("ia", "ib")
       .withColumn("hamming", expr("bit_count(sima ^ simb)").cast(LongType))

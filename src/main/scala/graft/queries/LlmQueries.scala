@@ -201,7 +201,10 @@ object LlmQueries extends QueryGroup {
   val q38 = QueryDef(
     "q38_dedup_minhash_lsh",
     "MinHash(32)+LSH(16 bands) near-dup candidates verified by exact Jaccard ≥ 0.4 " +
-      "(no oracle: xxhash64 signatures; ScalaTest checks candidates ⊆ exact pairs)",
+      "(no oracle: xxhash64 signatures; ScalaTest checks candidates ⊆ exact pairs). " +
+      "bands=16 (r=2) is an EXPLICIT permissive-geometry recall choice for the " +
+      "j≈0.4 planted pairs — the library default r=4 would recall ~19% there; " +
+      "the operator warns on this config by contract (geometry property-tested)",
     (s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"),
           numHashes = 32, bands = 16, minJaccard = 0.4)

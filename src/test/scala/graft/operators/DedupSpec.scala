@@ -53,6 +53,21 @@ class DedupSpec extends SparkSpecBase {
     assert(mh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("LSH geometry property: r=4 candidacy is nested inside r=2 (candidate volume shrinks)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // bands=16 (r=2) is q38's explicit permissive recall choice; bands=8
+    // (r=4) is the library default. An r=4 band is the concatenation of
+    // two r=2 bands, so an r=4 collision implies both r=2 collisions:
+    // candidates must be a subset and the candidate stream — the quantity
+    // that scales quadratically under a permissive geometry — no larger.
+    val loose = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 32, 16)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 32, 8)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(loose), "r=4 candidacy must nest inside r=2")
+    assert(loose.nonEmpty, "fixture corpus must produce candidates")
+  }
+
   test("connectedComponents: chain, triangle, and singleton resolve to min labels") {
     val s = spark
     import s.implicits._
@@ -275,6 +290,30 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(kerneledP.keySet === declaredP.keySet)
     declaredP.foreach { case (id, sig) => assert(kerneledP(id) === sig, s"doc $id") }
+  }
+
+  test("shingleHashes kernel is bit-equal to xxhash64 over the declarative shingle set") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d"), (2L, " a b c d "), (3L, "a\tb\nc d"),
+      (4L, "x  y   z w"), (5L, ""), (6L, " "), (7L, "a b"),
+      (8L, "w1 w2 w3 w4 w5 w1 w2 w3")).toDF("doc_id", "text")
+    // declarative: distinct shingle strings -> xxhash64 each (order kept)
+    val declared = df.select(col("doc_id"),
+        expr("transform(" +
+          "CASE WHEN size(split(text, '\\\\s+')) >= 3 THEN array_distinct(" +
+          "  transform(sequence(1, size(split(text, '\\\\s+')) - 2)," +
+          "    i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, 3))))" +
+          "ELSE array() END, s -> xxhash64(s))").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kerneled = {
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      df.select(col("doc_id"), ColumnGlue.column(graft.expressions.ShingleHashesKernel(
+          ColumnGlue.expression(col("text")), 3)).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    assert(kerneled === declared)
   }
 
   test("jaccardShingles kernel is bit-equal to the declarative array_intersect form") {

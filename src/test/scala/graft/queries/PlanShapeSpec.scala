@@ -44,6 +44,16 @@ class PlanShapeSpec extends SparkSpecBase {
       s"shingle pair join must be a shuffled join, got: ${joinLines.mkString(" | ")}")
   }
 
+  test("simHashPairs: band self-join is shuffled on both sides, never broadcast") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val p = graft.operators.Dedup.simHashPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      "band join must be a shuffled hash join")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "neither corpus-scale signature side may broadcast via the driver")
+  }
+
   test("q37: pair generation is keyed on the LSH bucket, not the label alone") {
     val p = plan("q37_neardup_cosine_label")
     val pairJoin = p.linesIterator

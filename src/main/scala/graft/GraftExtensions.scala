@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSigKernel(args.head, litInt(args(1), "n"), litInt(args(2), "numHashes"),
         portable = false)
     })
+    // SQL-exposed table function (Catalyst Generator): SELECT/LATERAL VIEW
+    reg(ext, "explode_shingles", classOf[ShingleExplode], args => {
+      require(args.length == 2, "explode_shingles(text, n)")
+      ShingleExplode(args.head, litInt(args(1), "n"))
+    })
     reg(ext, "shingle_hashes", classOf[ShingleHashesKernel], args => {
       require(args.length == 2, "shingle_hashes(text, n)")
       ShingleHashesKernel(args.head, litInt(args(1), "n"))

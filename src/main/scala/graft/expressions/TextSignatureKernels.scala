@@ -191,6 +191,33 @@ private[graft] object TextSignatureKernels {
     set
   }
 
+  /** Distinct n-gram shingle STRINGS in first-occurrence order (the
+    * deterministic order `array_distinct` over the declarative shingle
+    * array yields) — the [[graft.expressions.ShingleExplode]] generator's
+    * row source. Empty for docs with fewer than n tokens. */
+  def shingleStrings(s: UTF8String, n: Int): Array[UTF8String] = {
+    val b = s.getBytes
+    val set = new java.util.LinkedHashSet[UTF8String]()
+    val (starts, ends, nTok) = tokenize(b)
+    if (nTok < n) return Array.empty
+    val buf = new Array[Byte](b.length + n)
+    var i = 0
+    while (i <= nTok - n) {
+      var len = 0
+      var j = i
+      while (j < i + n) {
+        if (j > i) { buf(len) = ' '; len += 1 }
+        val tl = ends(j) - starts(j)
+        System.arraycopy(b, starts(j), buf, len, tl)
+        len += tl
+        j += 1
+      }
+      set.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len)))
+      i += 1
+    }
+    set.toArray(new Array[UTF8String](set.size))
+  }
+
   /** Exact distinct-shingle overlap of two documents in one fused pass:
     * [shared, |A|, |B|] with shared = |A ∩ B| over the SAME shingle sets
     * the declarative `shinglesFromTokens` + `array_intersect` pipeline

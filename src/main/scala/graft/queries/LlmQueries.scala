@@ -420,6 +420,24 @@ object LlmQueries extends QueryGroup {
                     FROM s)
             SELECT pid, rank, nid, sim FROM r WHERE rank <= 5 ORDER BY pid, rank"""))
 
+  val q52 = QueryDef(
+    "q52_udtf_shingle_explode",
+    "SQL-registered table function (Catalyst Generator, SURVEY §2.11 UDTF): " +
+      "explode_shingles(text, 3) resolved through the session function " +
+      "registry; shingle document frequency for shingles shared by ≥2 docs",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(expr("explode_shingles(text, 3)").as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("shingle")),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT UNNEST(sh) AS shingle FROM docs)
+             SELECT shingle, COUNT(*) AS df FROM e
+             GROUP BY shingle HAVING COUNT(*) >= 2
+             ORDER BY df DESC, shingle"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
+      q52)
 }

@@ -201,6 +201,25 @@ class WindowStream[T: Encoder](
     query
   }
 
+  /** Register a JVM shutdown hook that runs [[stop]]'s full lossless
+    * drain on normal JVM termination. The reference lists exactly this as
+    * its own open gap and remediation ("no savepoint; a crash loses the
+    * buffer queue and consumer-pool data; remediation: add a Java Hook" —
+    * README.md:100): here the hook rides the drain contract, so every
+    * item accepted before shutdown is delivered before the JVM exits.
+    * Returns the hook thread so callers can deregister
+    * (`Runtime.getRuntime.removeShutdownHook`) when they stop the stream
+    * themselves first. Kill -9 / power loss is still lossy — that is
+    * inherent to an in-memory ingest buffer; durable ingest belongs to a
+    * replayable source in front of the stream, not this facade. */
+  def stopOnJvmShutdown(): Thread = {
+    val hook = new Thread(
+      () => try stop() catch { case _: InterruptedException => () },
+      s"window-stream-shutdown-${source.id}")
+    Runtime.getRuntime.addShutdownHook(hook)
+    hook
+  }
+
   /** Drain what's already queued, then stop the query. Ordering carries
     * the lossless contract: the pump thread may hold drained items
     * between `queue.drainTo` and `source.addData`, so a queue-empty wait

@@ -53,6 +53,42 @@ class DedupSpec extends SparkSpecBase {
     assert(mh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("jaccardPairs equals driver-side brute-force set Jaccard on a randomized corpus") {
+    val s = spark
+    import s.implicits._
+    // small vocab forces heavy shingle sharing — the stress case for the
+    // hash-currency candidate join (hot shingles, high candidate volume);
+    // seeded so the property is a deterministic regression gate
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val corpus = (1L to 60L).map { id =>
+      val len = 3 + rnd.nextInt(10)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Dedup.jaccardPairs(corpus.toDF("doc_id", "text"), n = 3, minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val sets = corpus.map { case (id, t) =>
+      val tk = t.split("\\s+", -1).toSeq
+      id -> (if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String])
+    }.toMap
+    val expect = (for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      shared = sa.intersect(sb).size if shared > 0
+      j = shared.toDouble / (sa.size + sb.size - shared) if j >= 0.3
+    } yield (ia, ib) -> ((shared.toLong, sa.size.toLong, sb.size.toLong, j))).toMap
+    assert(expect.nonEmpty, "the corpus must exercise the threshold")
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, (sh, na, nb, j)) =>
+      val (gs, gna, gnb, gj) = got(k)
+      assert(gs === sh && gna === na && gnb === nb, s"pair $k counters")
+      assert(math.abs(gj - j) < 1e-12, s"pair $k jaccard")
+    }
+  }
+
   test("LSH geometry property: r=4 candidacy is nested inside r=2 (candidate volume shrinks)") {
     val docs = Tables.load(spark, sfDir, "documents")
     // bands=16 (r=2) is q38's explicit permissive recall choice; bands=8

@@ -85,6 +85,25 @@ class WindowStreamSpec extends SparkSpecBase {
       "accepted-before-stop items delivered; gated items never slip in")
   }
 
+  test("shutdown hook runs the lossless drain (the reference's own listed remediation)") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 16,
+      windowDuration = 200.millis, consumerParallelism = 2)
+    val received = new ConcurrentLinkedQueue[Int]()
+    ws.subscribe(batch => batch.foreach(received.add))
+    val hook = ws.stopOnJvmShutdown()
+    (1 to 50).foreach(ws.publish)
+    // run the hook body directly (the thread is never start()ed, so it
+    // stays deregisterable) — exactly what the JVM does at shutdown
+    hook.run()
+    assert(received.asScala.toSet === (1 to 50).toSet,
+      "every item accepted before shutdown is delivered by the hook's drain")
+    intercept[IllegalStateException](ws.publish(51))
+    assert(Runtime.getRuntime.removeShutdownHook(hook),
+      "hook must stay deregisterable for callers that stop first")
+  }
+
   test("unsubscribed stop(): returns (no hang), discards loudly, gates ingest") {
     val s = spark
     import s.implicits._

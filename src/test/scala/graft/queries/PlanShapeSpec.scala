@@ -44,6 +44,14 @@ class PlanShapeSpec extends SparkSpecBase {
       s"shingle pair join must be a shuffled join, got: ${joinLines.mkString(" | ")}")
   }
 
+  test("q52: generator UDTF prunes the scan to the text column") {
+    val p = plan("q52_udtf_shingle_explode")
+    assert(p.contains("Generate"), "UDTF must plan through GenerateExec")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("struct<text:string>"),
+      s"scan must read only text: $readSchema")
+  }
+
   test("simHashPairs: band self-join is shuffled on both sides, never broadcast") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val p = graft.operators.Dedup.simHashPairs(docs)

@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+class FileSourcesSpec extends SparkSpecBase {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_fs_$tag").toString
+
+  test("CSV round-trip: fixture table -> csv -> back, schema-exact and value-exact") {
+    val nation = Tables.load(spark, sfDir, "nation").orderBy("n_nationkey")
+    val dir = tmpDir("csv")
+    nation.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = FileSources.csv(spark, dir, nation.schema).orderBy("n_nationkey")
+    assert(back.schema === nation.schema)
+    assert(back.collect().toSeq === nation.collect().toSeq)
+  }
+
+  test("JSON-lines round-trip: fixture table -> jsonl -> back, value-exact") {
+    val region = Tables.load(spark, sfDir, "region").orderBy("r_regionkey")
+    val dir = tmpDir("json")
+    region.write.mode("overwrite").json(dir)
+    val back = FileSources.jsonLines(spark, dir, region.schema).orderBy("r_regionkey")
+    assert(back.schema === region.schema)
+    assert(back.collect().toSeq === region.collect().toSeq)
+  }
+
+  test("malformed CSV rows: PERMISSIVE quarantines via _corrupt_record, FAILFAST throws") {
+    val dir = tmpDir("bad")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.csv"),
+      "k,v\n1,a\nnot_a_number,b\n2,c\n".getBytes("UTF-8"))
+    val schema = new StructType()
+      .add("k", "long").add("v", StringType).add("_corrupt_record", StringType)
+    val rows = FileSources.csv(spark, dir, schema).collect()
+    val bad = rows.filter(!_.isNullAt(2))
+    assert(rows.length === 3)
+    assert(bad.length === 1 && bad.head.getString(2).startsWith("not_a_number"))
+    val e = intercept[Exception] {
+      FileSources.csv(spark, dir,
+        new StructType().add("k", "long").add("v", StringType),
+        mode = "FAILFAST").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
+  test("streaming CSV source delivers the same rows (AvailableNow batch parity)") {
+    val supplier = Tables.load(spark, sfDir, "supplier")
+    val dir = tmpDir("stream")
+    supplier.write.mode("overwrite").option("header", "true").csv(dir)
+    val stream = FileSources.csvStream(spark, dir, supplier.schema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream
+      .format("memory").queryName("fs_csv_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val got = spark.table("fs_csv_stream").orderBy("s_suppkey").collect().toSeq
+    assert(got === supplier.orderBy("s_suppkey").collect().toSeq)
+  }
+}

@@ -131,7 +131,7 @@ private[graft] object TextSignatureKernels {
   /** MinHash signature over word n-gram shingles with the xxhash64 family
     * (permutation i = xxhash64(shingle, i), exactly `xxhash64(col, lit(i))`:
     * hash the shingle bytes with seed 42, then fold i in as an int).
-    * Null when the doc has fewer than n tokens — the shingleSets drop
+    * Null when the doc has fewer than n tokens — the shingle-set drop
     * rule. Min over all shingles == min over distinct shingles, so the
     * array_distinct in the declarative path needs no replication. */
   def minHashSig(s: UTF8String, n: Int, numHashes: Int): ArrayData = {

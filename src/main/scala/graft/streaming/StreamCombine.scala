@@ -39,6 +39,10 @@ import scala.concurrent.duration._
   */
 object StreamCombine {
 
+  /** Active query names must be unique per session; identity hashes can
+    * collide after GC address reuse — a counter cannot. */
+  private val nameSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Handle over the two delivery queries plus the combination state. */
   final class WithLatestFromHandle[B] private[streaming] (
       val primaryQuery: StreamingQuery,
@@ -82,9 +86,10 @@ object StreamCombine {
       pick: Seq[B] => B = (b: Seq[B]) => b.last): WithLatestFromHandle[B] = {
     val register = new AtomicReference[Option[B]](None)
     val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
+    val id = nameSeq.incrementAndGet()
 
     val secondaryQuery = secondary.writeStream
-      .queryName(s"with-latest-from-secondary-${System.identityHashCode(register)}")
+      .queryName(s"with-latest-from-secondary-$id")
       .trigger(Trigger.ProcessingTime(trigger.toMillis))
       .outputMode("append")
       .foreachBatch { (ds: Dataset[B], _: Long) =>
@@ -95,7 +100,7 @@ object StreamCombine {
       .start()
 
     val primaryQuery = primary.writeStream
-      .queryName(s"with-latest-from-primary-${System.identityHashCode(register)}")
+      .queryName(s"with-latest-from-primary-$id")
       .trigger(Trigger.ProcessingTime(trigger.toMillis))
       .outputMode("append")
       .foreachBatch { (ds: Dataset[A], _: Long) =>

@@ -415,12 +415,16 @@ object Dedup {
           s"[Dedup.connectedComponents] min-label propagation did not converge " +
             s"after $maxIters rounds (graph diameter > maxIters); switching to " +
             "the large-star/small-star alternation (O(log d) rounds)")
-        val fallback = largeStarSmallStarLabels(edges)
-        // the abandoned min-label frame's blocks have no further reader
-        org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(comp)
-        fallback
+        try largeStarSmallStarLabels(edges)
+        finally {
+          // the abandoned min-label frame's blocks have no further reader —
+          // released even when the fallback throws, so a failed run doesn't
+          // pin checkpoint blocks for the session lifetime
+          org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(comp)
+          edges.unpersist()
+        }
       }
-    edges.unpersist()
+    if (converged) edges.unpersist()
     nodes.select(col("id"))
       .join(labels.withColumnRenamed("comp", "comp_"), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp_"), col("id")).as("comp"))
@@ -487,11 +491,14 @@ object Dedup {
       eCount = nextCount
       it += 1
     }
-    if (!converged)
+    if (!converged) {
       // 60 log-rounds cover any physically possible diameter; landing here
-      // means a logic regression, and split components must never ship
+      // means a logic regression, and split components must never ship —
+      // but release the final round's checkpoint blocks before failing
+      org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(e)
       throw new IllegalStateException(
         s"[Dedup.largeStarSmallStarLabels] not converged after $maxRounds rounds")
+    }
     // fixpoint edges are (node, component-min) stars
     val stars = e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)

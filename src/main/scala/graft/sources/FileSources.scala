@@ -28,15 +28,16 @@ object FileSources {
       schema: StructType,
       header: Boolean = true,
       delimiter: String = ",",
-      mode: String = "PERMISSIVE"): DataFrame =
+      mode: String = "PERMISSIVE",
+      timestampNTZFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
     spark.read
       .schema(schema)
       .option("header", header.toString)
       .option("sep", delimiter)
       .option("mode", mode)
-      // fixture timestamps are timezone-naive; preferDate off keeps DATE
-      // columns from being re-guessed under permissive parsing
-      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      // how TIMESTAMP_NTZ schema columns parse their (timezone-naive)
+      // text; overridable per call like header/delimiter/mode
+      .option("timestampNTZFormat", timestampNTZFormat)
       .csv(path)
 
   /** JSON Lines (one object per line — the splittable layout; multiline
@@ -59,11 +60,13 @@ object FileSources {
       path: String,
       schema: StructType,
       header: Boolean = true,
-      delimiter: String = ","): DataFrame =
+      delimiter: String = ",",
+      timestampNTZFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
     spark.readStream
       .schema(schema)
       .option("header", header.toString)
       .option("sep", delimiter)
+      .option("timestampNTZFormat", timestampNTZFormat)
       .csv(path)
 
   def jsonLinesStream(spark: SparkSession, path: String, schema: StructType): DataFrame =

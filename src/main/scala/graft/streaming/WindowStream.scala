@@ -129,8 +129,24 @@ class WindowStream[T: Encoder](
     subscribe(consumer, (batch, e) =>
       System.err.println(s"[WindowStream] batch of ${batch.size} failed: $e"))
 
-  /** Subscribe with an error channel; at most one subscriber per stream. */
+  /** Subscribe with an error channel; at most one subscriber per stream.
+    *
+    * The whole setup (running check → unicast CAS → pool + query + pump
+    * start) holds the read side of `gate`, the lock stop() write-acquires
+    * after flipping `running` — so subscribe-vs-stop is atomic: either
+    * this call completes first and stop() sees the live query and drains
+    * it, or stop() wins and the running check here throws. Without the
+    * gate, a subscribe() racing stop() could pass the check, then start a
+    * delivery query (and consumer pool) AFTER stop() observed `query ==
+    * null` and returned — a live query on a stopped stream. */
   def subscribe(consumer: Seq[T] => Unit, errorConsumer: (Seq[T], Throwable) => Unit): StreamingQuery = {
+    val rl = gate.readLock()
+    rl.lock()
+    try subscribeLocked(consumer, errorConsumer) finally rl.unlock()
+  }
+
+  private def subscribeLocked(
+      consumer: Seq[T] => Unit, errorConsumer: (Seq[T], Throwable) => Unit): StreamingQuery = {
     if (!running.get())
       throw new IllegalStateException(
         "WindowStream is stopped: subscribe() after stop() would start a " +
@@ -239,7 +255,6 @@ class WindowStream[T: Encoder](
     * turn teardown into a hang. */
   def stop(): Unit = {
     running.set(false) // new publishers now throw / get false
-    if (pumpThread != null) pumpThread.join()
     var orphaned = 0L
     def drainRemainder(): Unit = {
       val rest = new java.util.ArrayList[T]()
@@ -261,6 +276,12 @@ class WindowStream[T: Encoder](
     val wl = gate.writeLock()
     while (!wl.tryLock(10, TimeUnit.MILLISECONDS)) drainRemainder()
     wl.unlock() // gate closed + no in-flight inserts; new calls fail on `running`
+    // join the pump only AFTER the barrier: subscribe() starts the pump
+    // under the read lock, so a concurrent subscribe could set pumpThread
+    // after an earlier join-first check saw null — past the barrier the
+    // reference is final, and the joined pump has flushed its in-hand
+    // items to the MemoryStream (they'd otherwise dodge drainRemainder)
+    if (pumpThread != null) pumpThread.join()
     // the query may already be terminated with an error (e.g. a failing
     // errorConsumer) — processAllAvailable() then rethrows; cleanup must
     // still run or every failed stream leaks consumerParallelism

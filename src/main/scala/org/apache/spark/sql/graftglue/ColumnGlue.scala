@@ -46,12 +46,25 @@ object PlanGlue {
     * checkpoint per round would accumulate every round's blocks for the
     * loop's lifetime. Callers release a SUPERSEDED frame only: after the
     * successor is eagerly materialized, nothing re-reads these blocks
-    * (and the truncated lineage means a re-read could not recompute). */
+    * (and the truncated lineage means a re-read could not recompute).
+    *
+    * Requires the frame to BE the checkpoint — its analyzed plan must be a
+    * single `LogicalRDD` leaf (what `localCheckpoint` returns), not a plan
+    * derived from one. A derived plan could share its leaf with a still-live
+    * sibling dataset, and because checkpointing truncated lineage, dropping
+    * the shared blocks would make the sibling's next read FAIL (checkpoint
+    * block not found) rather than recompute — so misuse fails fast here. */
   def releaseLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.analyzed.foreach {
+      .queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other =>
+        throw new IllegalArgumentException(
+          "[PlanGlue.releaseLocalCheckpoint] expected a bare localCheckpoint " +
+            "frame (a single LogicalRDD leaf); got a derived plan rooted at " +
+            s"${other.nodeName}. Releasing a derived frame could unpersist a " +
+            "LogicalRDD shared with a live dataset, whose truncated lineage " +
+            "then cannot recompute — pass the checkpointed frame itself.")
     }
 }

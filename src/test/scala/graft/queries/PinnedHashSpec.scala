@@ -17,7 +17,9 @@ class PinnedHashSpec extends SparkSpecBase {
 
   private def md5Of(df: DataFrame): String = {
     val rendered = df.collect().map(_.toSeq.map {
-      case d: Double => f"$d%.4f"
+      // Locale.ROOT: the default-locale f-interpolator would render 0.5 as
+      // "0,5000" on comma-decimal JVMs and break the pins spuriously
+      case d: Double => String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
       case x => String.valueOf(x)
     }.mkString("|")).mkString("\n")
     java.security.MessageDigest.getInstance("MD5").digest(rendered.getBytes("UTF-8"))

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.expressions.AsciiPolyHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.ColumnGlue
+
+/** Deterministic corpus sampling — the selection half of a training-data
+  * pipeline (domain mixing, source re-weighting, train/holdout splits).
+  *
+  * Why not `df.sample(fraction)`: Spark's sampler draws per-partition RNG
+  * streams, so the selected row SET changes with partitioning, task
+  * retries, and scale-up — a re-run of the same pipeline on the same data
+  * ships a different corpus, and no other engine can reproduce the split.
+  * Hash-gated sampling instead derives each row's fate from its stable id:
+  * keep iff `polyhash(id ++ salt) mod B < fraction·B`. Properties:
+  *
+  *  - deterministic and engine-portable (the [[AsciiPolyHash]] fold is
+  *    plain integer arithmetic, replayable in any SQL engine);
+  *  - a pure narrow filter — no shuffle, no RNG state, pushes down to the
+  *    scan like any predicate, trivially correct at any parallelism;
+  *  - consistent across tables: the same id draws the same bucket
+  *    everywhere, so sampling two fact tables by a shared key yields
+  *    JOINABLE samples (per-partition RNG cannot do that);
+  *  - `salt` decorrelates: different salts give independent samples
+  *    (rerolls), the same salt gives nested samples — `fraction = 0.1` is
+  *    a subset of `fraction = 0.2` at equal salt, which is exactly what
+  *    incremental scale-up runs want.
+  *
+  * Bucket granularity is 1/10000: fractions are honored to 0.01%.
+  */
+object Sampling {
+
+  /** Bucket count — fractions quantize to 1/B. */
+  val Buckets = 10000L
+
+  private val P = 1000000007L
+  // ~sqrt(P·Buckets)-sized odd constants: the finalizer's product spans
+  // ~1e17, i.e. ~1e8 wraps of P, regardless of how small h is
+  private val MixA = 479001599L
+  private val MixB = 987654323L
+
+  /** The row's stable sampling bucket in [0, B): polyhash of the id
+    * rendered as a string (cross-engine canonical form) plus the salt,
+    * then an avalanche finalizer `((h+A)·(h+B)) mod P` before the bucket
+    * mod. The finalizer matters: short keys (a 3-digit id) fold to h in
+    * the tens of thousands, so `h mod B` alone would barely wrap and the
+    * low buckets would over-select (an 80% split drew 60% on small-int
+    * ids). The quadratic blow-up pushes every key through ~1e8 mod-P
+    * wraps; all arithmetic stays < 2^63, exact in any engine's int64. */
+  def bucket(idCol: Column, salt: String = ""): Column = {
+    val h = ColumnGlue.column(AsciiPolyHash(ColumnGlue.expression(
+      concat(idCol.cast("string"), lit(salt)))))
+    ((h + MixA) * (h + MixB)) % P % Buckets
+  }
+
+  /** Deterministic Bernoulli(fraction) sample keyed on `idCol`. */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    df.where(bucket(col(idCol), salt) < math.round(fraction * Buckets))
+  }
+
+  /** Per-stratum deterministic rates — domain mixing: each stratum value
+    * (language, source, quality band…) keeps its own fraction; strata not
+    * listed keep `defaultFraction`. The per-row threshold is a literal
+    * CASE chain over the (small, driver-side) rate map — a projection, not
+    * a join, so the scan stays a single narrow pass. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    (defaultFraction +: fractions.values.toSeq).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f outside [0,1]"))
+    // deterministic chain order — Map iteration order must not leak into
+    // the plan (strata are disjoint, but plan stability matters for tests)
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * Buckets))) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit(math.round(f * Buckets))).otherwise(acc)
+    }
+    df.where(bucket(col(idCol), salt) < threshold)
+  }
+
+  /** Disjoint train/validation/test assignment: adds `outputCol` with the
+    * split name chosen by the row's bucket against cumulative weight
+    * boundaries. Weights must sum to 1 (±1 bucket of rounding slack); the
+    * last split absorbs the rounding remainder so every row is assigned.
+    * Same determinism contract as the samplers: the assignment is a pure
+    * projection, stable under re-partitioning, retries, and engines. */
+  def withSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "",
+      outputCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split names")
+    splits.foreach { case (n, w) =>
+      require(w > 0.0 && w <= 1.0, s"split '$n' weight $w outside (0,1]") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) * Buckets <= 1.0,
+      s"split weights sum to $total, expected 1.0")
+    val b = bucket(col(idCol), salt)
+    val bounds = splits.init.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Buckets) }.tail
+    val assigned = splits.init.zip(bounds).reverse.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), upper)) =>
+      when(b < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outputCol, assigned)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextOps
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -437,7 +437,87 @@ object LlmQueries extends QueryGroup {
              GROUP BY shingle HAVING COUNT(*) >= 2
              ORDER BY df DESC, shingle"""))
 
+  val q53 = QueryDef(
+    "q53_sample_stratified_split",
+    "deterministic corpus selection: per-language hash-gated sampling rates " +
+      "(domain mixing: en 50%, de 20%, rest 10%) + disjoint train/val/test " +
+      "assignment (90/5/5) — pure narrow filters/projections, no RNG state, " +
+      "the same corpus on every run, partitioning, and engine",
+    (s, dir) => {
+      val sampled = Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1)
+      Sampling.withSplit(sampled, "doc_id",
+          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), salt = "v1")
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id, lang,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                  (a, v) -> (a * 31 + v) % 1000000007) AS h,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(CAST(doc_id AS VARCHAR) || 'v1', ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                  (a, v) -> (a * 31 + v) % 1000000007) AS hs
+              FROM documents),
+            h AS (
+              SELECT doc_id, lang,
+                ((h + 479001599) * (h + 987654323)) % 1000000007 % 10000 AS b,
+                ((hs + 479001599) * (hs + 987654323)) % 1000000007 % 10000 AS bs
+              FROM raw)
+            SELECT doc_id, lang,
+              CASE WHEN bs < 9000 THEN 'train'
+                   WHEN bs < 9500 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM h
+            WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                                ELSE 1000 END
+            ORDER BY doc_id"""))
+
+  val q54 = QueryDef(
+    "q54_tfidf_keywords",
+    "per-document top-3 TF-IDF keywords — corpus vocabulary statistics " +
+      "(document frequency) joined back to per-doc term frequency; rank on " +
+      "the ROUNDED score with term tie-break (cross-engine determinism)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("score"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                   WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (SELECT tf.doc_id, tf.term,
+                         ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0
+                                          / dfreq.df), 4) AS score
+                       FROM tf JOIN dfreq USING (term)),
+            ranked AS (SELECT doc_id, term, score,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS rk
+                       FROM scored)
+            SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score
+            FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52)
+      q52, q53, q54)
 }

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Parquet writers — the landing half of the pipeline (FileSources /
+  * Tables are the reading half). Three shapes, each sized for a corpus:
+  *
+  *  - [[writePartitioned]]: hive-partitioned batch layout (the standard
+  *    lake output: `path/lang=en/part-*.parquet`), with the two knobs
+  *    that decide whether the layout survives scale — task routing and
+  *    file sizing. Without routing, EVERY task holding rows of a
+  *    partition value opens a file there: 32 tasks × 200 partition
+  *    values = 6,400 files per write (the small-files problem, which
+  *    punishes every later scan's split planning). Repartitioning on the
+  *    partition columns first routes each value to one task — one file
+  *    per value per `maxRecordsPerFile` window.
+  *  - [[writeBucketed]]: bucketed+sorted table layout; downstream
+  *    equi-joins and aggregations on the bucket columns skip their
+  *    exchange entirely (plan-asserted in BucketedJoinSpec).
+  *  - [[streamParquet]]: the streaming file sink — exactly-once via the
+  *    sink's commit log, the durable landing for `readStream` pipelines.
+  */
+object ParquetSink {
+
+  /** Hive-partitioned batch write.
+    *
+    * @param maxRecordsPerFile caps rows per file (0 = uncapped): with the
+    *   one-task-per-value routing, a hot partition value would otherwise
+    *   produce one giant file; the cap splits it into scan-parallel
+    *   chunks without re-introducing the small-files problem.
+    * @param sortCols optional within-file sort (e.g. a timestamp or id):
+    *   buys parquet min/max-statistics pruning and better compression on
+    *   the sorted columns for every future scan of this output.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L,
+      sortCols: Seq[String] = Seq.empty,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val routed = df.repartition(partitionCols.map(col): _*)
+    val laidOut =
+      if (sortCols.isEmpty) routed
+      else routed.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    laidOut.write
+      .mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Bucketed (+ sorted) managed-table write: pre-shuffles once at write
+    * time so every downstream equi-join/agg on `bucketCols` reads
+    * co-located data and skips its exchange. Bucketing requires the table
+    * catalog (`saveAsTable`) — a bare path cannot carry bucket metadata. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      numBuckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Seq.empty,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numBuckets > 0 && bucketCols.nonEmpty)
+    val w = df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+    ws.saveAsTable(table)
+  }
+
+  /** Streaming parquet landing: append-mode file sink, exactly-once by
+    * the sink's commit log (a restarted query never double-writes a
+    * batch). Pass `Trigger.AvailableNow()` for a drain-and-stop backfill,
+    * a ProcessingTime trigger for continuous landing. */
+  def streamParquet[T](
+      ds: Dataset[T],
+      path: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      partitionCols: Seq[String] = Seq.empty): StreamingQuery = {
+    val w = ds.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).start()
+  }
+}

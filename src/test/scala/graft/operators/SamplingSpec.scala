@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Contracts of the deterministic samplers: reproducibility, nesting,
+  * salt decorrelation, stratified rates, and total/disjoint splits. */
+class SamplingSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("deterministicSample is reproducible and nested across fractions") {
+    val s10a = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10b = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10a === s10b)                 // same run-to-run
+    assert(s10a.subsetOf(s30))            // smaller fraction nests in larger
+    assert(s10a.nonEmpty && s30.size > s10a.size)
+  }
+
+  test("sampled fraction is near the requested rate (hash uniformity)") {
+    val n = docs.count().toDouble
+    val kept = Sampling.deterministicSample(docs, "doc_id", 0.5).count().toDouble
+    // 500 ids, p=0.5: 3-sigma binomial band is ±~0.067
+    assert(math.abs(kept / n - 0.5) < 0.1, s"kept ${kept / n}")
+  }
+
+  test("a different salt draws an (almost surely) different sample") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.2, salt = "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.2, salt = "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+  }
+
+  test("stratifiedSample applies each stratum's rate and the default") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.5)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === totals("en"))       // rate 1.0 keeps everything
+    assert(!byLang.contains("de"))              // rate 0.0 keeps nothing
+    val restKept = (byLang - "en").values.sum.toDouble
+    val restAll = (totals - "en" - "de").values.sum.toDouble
+    assert(math.abs(restKept / restAll - 0.5) < 0.15)
+    // per-stratum selection ≡ the plain sampler filtered to that stratum
+    val enOnly = Sampling.deterministicSample(
+      docs.where(col("lang") === "en"), "doc_id", 1.0)
+    assert(sampled.where(col("lang") === "en").count() === enOnly.count())
+  }
+
+  test("withSplit assigns every row to exactly one split, near its weight") {
+    val split = Sampling.withSplit(docs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(split.count() === docs.count())      // total: nothing dropped
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.1)
+    // deterministic: re-running yields the identical assignment
+    val again = Sampling.withSplit(docs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(split.except(again).isEmpty && again.except(split).isEmpty)
+  }
+
+  test("invalid configurations fail fast") {
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSample(docs, "doc_id", 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.withSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.withSplit(docs, "doc_id", Seq(("a", 0.5), ("a", 0.5)))
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text cleanup for corpus ingestion — normalization and PII redaction
+  * as pure `Column → Column` transforms (codegen'd `regexp_replace` /
+  * `translate` chains, no UDFs): the scrub pass that runs between raw
+  * scrape and every analysis/dedup operator in this package.
+  *
+  * The regex subset is deliberately conservative — character classes,
+  * alternation and bounded quantifiers only (no lookaround, no
+  * backreferences) — so the same patterns run unchanged on RE2-family
+  * engines (DuckDB, Go) for cross-engine verification.
+  *
+  * The test fixture corpus contains no PII by construction, so this
+  * family is gated by literal-input unit tests (CleanSpec) rather than a
+  * driver query — the honest gate for semantics the fixture cannot
+  * exercise (the same stance as the multimodal decode stub).
+  */
+object Clean {
+
+  /** Collapse runs of whitespace (incl. tabs/newlines) to single spaces
+    * and trim the ends — the canonical form every tokenizer in this
+    * package assumes. */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Strip C0 control characters (except tab/newline, which are
+    * whitespace and belong to [[normalizeWhitespace]]'s jurisdiction)
+    * and the DEL char — scrape noise that breaks downstream parsers. */
+  def stripControlChars(c: Column): Column =
+    regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+
+  /** Redact email addresses → `[EMAIL]`. */
+  def redactEmails(c: Column): Column =
+    regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+
+  /** Redact http(s) URLs → `[URL]`. */
+  def redactUrls(c: Column): Column =
+    regexp_replace(c, "https?://[^\\s<>\"]+", "[URL]")
+
+  /** Redact IPv4 literals → `[IP]`. */
+  def redactIpv4(c: Column): Column =
+    regexp_replace(c,
+      "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+        "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b", "[IP]")
+
+  /** Redact phone-shaped digit runs (7+ digits allowing separators,
+    * optional +country prefix) → `[PHONE]`. Runs AFTER [[redactIpv4]] in
+    * [[redactPii]] so dotted quads aren't half-eaten as phone numbers. */
+  def redactPhones(c: Column): Column =
+    regexp_replace(c, "(?:\\+[0-9]{1,3}[ .-]?)?(?:\\(?[0-9]{2,4}\\)?[ .-]?){2,4}[0-9]{3,4}", "[PHONE]")
+
+  /** The full scrub: URLs first (they may embed emails/digits), then
+    * emails, IPs, phones — order matters, each later pass must not see
+    * text a broader earlier pattern should have claimed. */
+  def redactPii(c: Column): Column =
+    redactPhones(redactIpv4(redactEmails(redactUrls(c))))
+
+  /** Full ingest normalization: control-char strip then whitespace
+    * collapse (strip first — a control char between spaces would
+    * otherwise leave a double space behind). */
+  def normalize(c: Column): Column =
+    normalizeWhitespace(stripControlChars(c))
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Repetition-based quality signals — the "repetitious text" family of
+  * pretraining-corpus filters (cf. the repetition heuristics published
+  * with the Gopher/MassiveText and C4 corpus work): excessive within-
+  * document repetition is the single strongest cheap signal of boiler-
+  * plate, scraped spam, and degenerate generations, and corpus pipelines
+  * filter on it before anything model-based runs.
+  *
+  * Metrics per document (all over whitespace tokens):
+  *  - `ttr` — type-token ratio, |distinct tokens| / |tokens|; low means a
+  *    small vocabulary looped over a long document;
+  *  - `dup2_frac` / `dup3_frac` — fraction of 2-/3-gram occurrences that
+  *    are repeats of an earlier occurrence (1 − distinct/total); catches
+  *    phrase-level looping that per-token TTR misses;
+  *  - `top2_frac` — the most frequent 2-gram's share of all 2-gram
+  *    occurrences; catches a single boilerplate phrase dominating an
+  *    otherwise varied document.
+  *
+  * Scale shape: TTR and the dup fractions are NARROW — per-row array
+  * arithmetic over a staged token array (`size(array_distinct(...))`),
+  * no shuffle at all. The top-gram share needs a per-(doc, gram) mode, so
+  * it takes the one shuffle in the operator: grams ride it as 64-bit
+  * xxhash64 values (8 bytes each, never strings — a hash collision folds
+  * two gram types together at ~2⁻⁶⁴ per doc pair, the same accepted
+  * currency as [[Dedup.jaccardPairs]]), partially aggregated map-side,
+  * then one co-partitioned join back to the narrow metrics on the doc id.
+  */
+object Quality {
+
+  /** Staged (id, toks) projection — tokens must be a named attribute
+    * BEFORE any lambda references them (lambda bodies get no CSE; an
+    * inlined split would re-run once per array element). */
+  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+
+  /** Array of xxhash64 values of the doc's k-grams, in order (empty when
+    * the doc has fewer than k tokens — `sequence` with a negative end
+    * would count DOWN, so the short-doc case is guarded explicitly). */
+  private def gramHashes(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64((0 until k).map(j => element_at(toks, i + j + lit(1))): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Per-document repetition metrics:
+    * (idCol, n_tokens, ttr, dup2_frac, dup3_frac, top2_frac), fractions
+    * rounded to 4 decimals (genuine quotients — cross-engine safe). */
+  def repetitionMetrics(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = tokens(df, idCol, textCol)
+      // single-split guard: a compact doc table arrives in few input
+      // splits and the gram fan-out would otherwise run single-task
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      // grams staged as attributes: each is referenced twice below, which
+      // is exactly the multi-reference shape CollapseProject won't inline
+      .select(col("id"), col("toks"),
+        gramHashes(col("toks"), 2).as("g2"),
+        gramHashes(col("toks"), 3).as("g3"))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4))
+        .otherwise(lit(0.0))
+    val narrow = base.select(
+      col("id"),
+      size(col("toks")).cast(LongType).as("n_tokens"),
+      round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4)
+        .as("ttr"),
+      dupFrac(col("g2")).as("dup2_frac"),
+      dupFrac(col("g3")).as("dup3_frac"))
+    // the one shuffle: (id, gram-hash) pairs, map-side combined; the join
+    // back is id-to-id and co-partitions with the narrow frame.
+    // explode_OUTER + null-filter, not plain explode: a non-outer Generate
+    // triggers InferFiltersFromGenerate, whose inferred size(...)>0 filter
+    // re-inlines the whole gram transform into the scan filter with the
+    // token split re-evaluated PER LAMBDA ELEMENT — O(tokens²) per doc
+    // (measured 10.3 s vs 0.6 s warm on 5 k docs at sf0.1). The rule
+    // skips outer generates; the cheap isNotNull on the OUTPUT attribute
+    // restores plain-explode semantics (short docs contribute no gram).
+    val top2 = base.select(col("id"), explode_outer(col("g2")).as("h"))
+      .where(col("h").isNotNull)
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("top2_frac"))
+    narrow.join(top2, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"), col("ttr"),
+        col("dup2_frac"), col("dup3_frac"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"))
+  }
+
+  /** [[repetitionMetrics]] plus a `keep` verdict — the actual corpus
+    * filter decision. Defaults are calibrated loose (repetition filters
+    * drop outliers, not the median document); every threshold is a knob.
+    */
+  def repetitionFilter(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTtr: Double = 0.3,
+      maxDup3: Double = 0.05,
+      maxTop2: Double = 0.12): DataFrame =
+    repetitionMetrics(df, idCol, textCol)
+      .withColumn("keep",
+        col("ttr") >= minTtr && col("dup3_frac") <= maxDup3 &&
+          col("top2_frac") <= maxTop2)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextOps
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Chunker, Decontaminate, Dedup, Multimodal, Quality, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -517,7 +517,115 @@ object LlmQueries extends QueryGroup {
             SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score
             FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  val q55 = QueryDef(
+    "q55_quality_repetition_filter",
+    "Gopher-style repetition quality filter: per-doc type-token ratio, " +
+      "duplicate 2-/3-gram fractions (narrow array arithmetic, no shuffle), " +
+      "top-bigram share (the one shuffle, 8-byte gram hashes), keep verdict",
+    (s, dir) =>
+      Quality.repetitionFilter(t(s, dir, "documents")).orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, toks,
+                    CASE WHEN len(toks) >= 2 THEN
+                      [array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks)-1)]
+                    ELSE [] END AS g2,
+                    CASE WHEN len(toks) >= 3 THEN
+                      [array_to_string(toks[i:i+2], ' ')
+                       for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END AS g3
+                  FROM t),
+            m AS (SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+                    CASE WHEN len(g2) > 0 THEN
+                      ROUND(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 4)
+                    ELSE 0.0 END AS dup2_frac,
+                    CASE WHEN len(g3) > 0 THEN
+                      ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4)
+                    ELSE 0.0 END AS dup3_frac
+                  FROM g),
+            e AS (SELECT doc_id, unnest(g2) AS b FROM g),
+            c AS (SELECT doc_id, b, COUNT(*) AS c FROM e GROUP BY doc_id, b),
+            tp AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top2_frac
+                   FROM c GROUP BY doc_id)
+            SELECT m.doc_id, m.n_tokens, m.ttr, m.dup2_frac, m.dup3_frac,
+                   COALESCE(tp.top2_frac, 0.0) AS top2_frac,
+                   (m.ttr >= 0.3 AND m.dup3_frac <= 0.05
+                    AND COALESCE(tp.top2_frac, 0.0) <= 0.12) AS keep
+            FROM m LEFT JOIN tp USING (doc_id) ORDER BY m.doc_id"""))
+
+  val q56 = QueryDef(
+    "q56_decontaminate_ngram_overlap",
+    "train/eval decontamination: deterministic 90/5/5 split (Sampling." +
+      "withSplit, salt v1) then every test doc flagged by distinct 5-gram " +
+      "overlap with the train corpus — distinct-ed train grams, 64-bit " +
+      "hash join currency, shuffle-hash discipline on both sides",
+    (s, dir) => {
+      val lab = Sampling.withSplit(t(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), salt = "v1")
+      Decontaminate.overlap(
+          lab.where(col("split") === "train"),
+          lab.where(col("split") === "test"), n = 5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH raw AS (
+              SELECT doc_id, text,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(CAST(doc_id AS VARCHAR) || 'v1', ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                  (a, v) -> (a * 31 + v) % 1000000007) AS hs
+              FROM documents),
+            lab AS (
+              SELECT doc_id, text,
+                CASE WHEN ((hs + 479001599) * (hs + 987654323))
+                          % 1000000007 % 10000 < 9000 THEN 'train'
+                     WHEN ((hs + 479001599) * (hs + 987654323))
+                          % 1000000007 % 10000 < 9500 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM raw),
+            g AS (SELECT doc_id, split,
+                    CASE WHEN len(t) >= 5 THEN
+                      list_distinct([array_to_string(t[i:i+4], ' ')
+                                     for i in generate_series(1, len(t)-4)])
+                    ELSE [] END AS g5
+                  FROM (SELECT doc_id, split,
+                          string_split_regex(text, '\s+') AS t FROM lab)),
+            tr AS (SELECT DISTINCT unnest(g5) AS ng FROM g WHERE split = 'train'),
+            te AS (SELECT doc_id, unnest(g5) AS ng FROM g WHERE split = 'test'),
+            ov AS (SELECT te.doc_id, COUNT(*) AS shared
+                   FROM te JOIN tr USING (ng) GROUP BY te.doc_id)
+            SELECT g.doc_id,
+                   CAST(COALESCE(ov.shared, 0) AS BIGINT) AS shared_ngrams,
+                   COALESCE(ov.shared, 0) >= 1 AS contaminated
+            FROM g LEFT JOIN ov USING (doc_id)
+            WHERE g.split = 'test' ORDER BY g.doc_id"""))
+
+  val q57 = QueryDef(
+    "q57_chunk_token_windows",
+    "context-window chunking: 32-token windows, stride 24 (8-token " +
+      "overlap), short docs pass through whole, last window reaches the " +
+      "doc end unpadded — pure narrow transform + posexplode, no shuffle",
+    (s, dir) =>
+      Chunker.tokenChunks(t(s, dir, "documents"), size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                       FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, toks, n,
+                    CASE WHEN n <= 32 THEN 1
+                         ELSE CAST(ceil((n - 32) * 1.0 / 24) AS BIGINT) + 1
+                    END AS nc
+                  FROM n),
+            x AS (SELECT doc_id, toks, n,
+                    unnest(generate_series(0, nc - 1)) AS i FROM c)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(least(32, n - i * 24) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+            FROM x ORDER BY doc_id, chunk_idx"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54)
+      q52, q53, q54, q55, q56, q57)
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.col
+
+/** Literal-input contracts for the cleanup/redaction family — the
+  * fixture corpus contains no PII by construction, so this surface is
+  * gated here rather than by a driver query. */
+class CleanSpec extends SparkSpecBase {
+  private val s_ = spark
+  import s_.implicits._
+
+  private def apply1(f: Column => Column, s: String): String =
+    Seq(Tuple1(s)).toDF("t").select(f(col("t")).as("r")).collect().head.getString(0)
+
+  test("normalizeWhitespace collapses runs and trims") {
+    assert(apply1(Clean.normalizeWhitespace, "  a\t\tb \n c  ") === "a b c")
+    assert(apply1(Clean.normalizeWhitespace, "already clean") === "already clean")
+  }
+
+  test("stripControlChars removes C0/DEL noise but keeps tab/newline") {
+    assert(apply1(Clean.stripControlChars, "a\u0000b\u0007c\u007fd") === "abcd")
+    assert(apply1(Clean.stripControlChars, "a\tb\nc") === "a\tb\nc")
+  }
+
+  test("redactEmails") {
+    assert(apply1(Clean.redactEmails, "mail me at jane.doe+x@sub.example.org ok")
+      === "mail me at [EMAIL] ok")
+    assert(apply1(Clean.redactEmails, "no at-sign here") === "no at-sign here")
+  }
+
+  test("redactUrls claims the whole URL including query strings") {
+    assert(apply1(Clean.redactUrls, "see https://ex.com/a?b=c&d=e#f and more")
+      === "see [URL] and more")
+    assert(apply1(Clean.redactUrls, "plain http text") === "plain http text")
+  }
+
+  test("redactIpv4 matches real quads only") {
+    assert(apply1(Clean.redactIpv4, "host 192.168.1.254 up") === "host [IP] up")
+    assert(apply1(Clean.redactIpv4, "version 999.1.2.3 is not an ip")
+      === "version 999.1.2.3 is not an ip")
+  }
+
+  test("redactPhones catches international and separator forms") {
+    assert(apply1(Clean.redactPhones, "call +1 415-555-0199 today")
+      === "call [PHONE] today")
+    assert(apply1(Clean.redactPhones, "call (020) 7946 0958 today")
+      === "call [PHONE] today")
+  }
+
+  test("redactPii composes without passes eating each other's matches") {
+    val in = "from a@b.co via https://c.dd/e at 10.0.0.1 or +44 20 7946 0958"
+    assert(apply1(Clean.redactPii, in) === "from [EMAIL] via [URL] at [IP] or [PHONE]")
+  }
+
+  test("normalize is idempotent") {
+    val once = apply1(Clean.normalize, " a\u0000  b\u0007\t c ")
+    assert(once === "a b c")
+    assert(apply1(Clean.normalize, once) === once)
+  }
+}

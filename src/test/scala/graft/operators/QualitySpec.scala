@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** Repetition-metric contracts, checked against brute-force Scala
+  * computations over the same texts (the metrics are exact set/count
+  * arithmetic — the only engine-side approximation is the 64-bit gram
+  * hash currency, whose collision odds are ~2⁻⁶⁴ per doc). */
+class QualitySpec extends SparkSpecBase {
+  private val s_ = spark
+  import s_.implicits._
+
+  private def brute(text: String): (Long, Double, Double, Double, Double) = {
+    val toks = text.split("\\s+").toSeq
+    def grams(k: Int): Seq[String] =
+      if (toks.size < k) Seq.empty else toks.sliding(k).map(_.mkString(" ")).toSeq
+    def dup(g: Seq[String]): Double =
+      if (g.isEmpty) 0.0
+      else BigDecimal(1.0 - g.distinct.size.toDouble / g.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g2 = grams(2)
+    val top2 =
+      if (g2.isEmpty) 0.0
+      else BigDecimal(g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ttr = BigDecimal(toks.distinct.size.toDouble / toks.size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (toks.size.toLong, ttr, dup(g2), dup(grams(3)), top2)
+  }
+
+  test("metrics match a brute-force computation on varied texts") {
+    val texts = Seq(
+      "a a a a",                                    // maximal repetition
+      "the quick brown fox jumps over the lazy dog",
+      "spam spam spam spam spam ham spam spam",
+      "one two three one two three one two three",  // phrase loop
+      "solo",                                       // 1 token: no grams
+      "x y")                                        // 2 tokens: g2 only
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Quality.repetitionMetrics(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === brute(t), s"doc $i: '$t'")
+    }
+  }
+
+  test("repetitionFilter keeps varied text and drops degenerate text") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over a lazy dog while birds sing"),
+      (1L, "buy now buy now buy now buy now buy now buy now")
+    ).toDF("doc_id", "text")
+    val verdicts = Quality.repetitionFilter(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(verdicts(0L), "varied text should pass")
+    assert(!verdicts(1L), "looped text should fail")
+  }
+
+  test("fixture metrics land in [0,1] and every doc gets a row") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val rows = Quality.repetitionFilter(docs).collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      Seq(2, 3, 4, 5).foreach { c =>
+        val v = r.getDouble(c)
+        assert(v >= 0.0 && v <= 1.0, s"metric col $c out of range: $v")
+      }
+    }
+  }
+}

@@ -147,6 +147,17 @@ object Dedup {
     import org.apache.spark.sql.graftglue.ColumnGlue
     val kernel = ColumnGlue.column(graft.expressions.MinHashSigKernel(
       ColumnGlue.expression(col(textCol)), n, numHashes, portable))
+    // Known, deliberate 2× kernel cost: predicate pushdown rewrites the
+    // null-drop `isnotnull(sig)` by alias substitution, shipping
+    // `isnotnull(minhash_sig(text))` into the scan filter — one extra
+    // kernel pass per row (and even with the filter removed, the band
+    // join's key constraints would infer the same isnotnull). Measured
+    // both ways at sf0.1: a DISK_ONLY persist barrier on the projection
+    // removes the duplicate eval but costs MORE (q38 2.3 → 5.7 s,
+    // q47 1.6 → 2.6 s — stage barrier + materialization + lost
+    // pipelining vs one cheap fused byte loop), the same verdict as the
+    // round-7 candidate-frame measurement. A constant-factor CPU cost
+    // that scales linearly, not a shuffle or a scale cliff.
     df.select(col(idCol).as("id"), kernel.as("sig"))
       .filter(col("sig").isNotNull)
   }

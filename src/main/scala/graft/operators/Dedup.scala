@@ -34,6 +34,27 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the ingest-time form: keep only rows of
+    * `incoming` whose content hash does NOT appear in the historical
+    * corpus. `incoming` may be a STREAMING frame (stream–static left-anti
+    * joins are append-mode legal), which makes this the standing
+    * new-content gate of an incremental ingest pipeline; the static side
+    * is reduced to its distinct hash set (32 bytes per distinct text —
+    * corpus text never enters the join). Duplicates WITHIN the incoming
+    * stream are deliberately out of scope here: that is [[exact]] for
+    * batches and the watermarked `dropDuplicates` surface for streams
+    * (SessionDedupStreamSpec) — unbounded cross-batch state is a choice
+    * the caller must make explicitly, not a default this helper hides. */
+  def newContentOnly(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val seen = corpus.select(sha2(col(textCol), 256).as("text_sha_")).distinct()
+    incoming.withColumn("text_sha_", sha2(col(textCol), 256))
+      .join(seen, Seq("text_sha_"), "left_anti")
+      .drop("text_sha_")
+  }
+
   /** Distinct shingle-hash sets per doc: (id, hs) via the fused
     * [[graft.expressions.ShingleHashesKernel]] one-pass byte loop — no
     * token/shingle string arrays ever materialize. Docs with fewer than n

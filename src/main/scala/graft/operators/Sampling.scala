@@ -87,6 +87,48 @@ object Sampling {
     df.where(bucket(col(idCol), salt) < threshold)
   }
 
+  /** Token-budget domain mixing — downsample each stratum (language,
+    * source, quality band…) to a target WEIGHT budget rather than a row
+    * fraction: the form corpus-mixing actually takes (pretraining mixes
+    * are specified in tokens per domain, not document counts). Strata
+    * with a budget keep rate `min(1, budget / total_weight)`; strata
+    * without one pass through whole. Selection is the same hash-gated
+    * deterministic Bernoulli as [[deterministicSample]], so the kept
+    * token mass lands on the budget in expectation and the selected SET
+    * is stable across runs, partitioning, and engines.
+    *
+    * Scale shape: one map-side-combining aggregation over (stratum,
+    * weight) — output is |strata| rows — broadcast back, then a pure
+    * narrow filter. No corpus-sized shuffle anywhere.
+    *
+    * Thresholds use `floor(frac · B)` explicitly: both engines compute
+    * the identical IEEE quotient, and floor (unlike a double→int cast)
+    * has one cross-engine rounding semantics.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weight: Column,
+      budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "at least one stratum budget required")
+    budgets.foreach { case (k, b) =>
+      require(b >= 0L, s"stratum '$k' budget $b must be >= 0") }
+    val totals = df.groupBy(col(strataCol)).agg(sum(weight).as("total_w_"))
+    // literal CASE chain in sorted key order (plan stability), null for
+    // unbudgeted strata => keep-all
+    val budgetD = budgets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (k, b)) =>
+        when(col(strataCol) === lit(k), lit(b.toDouble)).otherwise(acc)
+    }
+    val frac = when(budgetD.isNull, lit(1.0))
+      .otherwise(least(lit(1.0), budgetD / col("total_w_")))
+    df.join(broadcast(totals), Seq(strataCol))
+      .where(bucket(col(idCol), salt) < floor(frac * Buckets))
+      .drop("total_w_")
+  }
+
   /** Disjoint train/validation/test assignment: adds `outputCol` with the
     * split name chosen by the row's bucket against cumulative weight
     * boundaries. Weights must sum to 1 (±1 bucket of rounding slack); the

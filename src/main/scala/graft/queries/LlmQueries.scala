@@ -625,7 +625,46 @@ object LlmQueries extends QueryGroup {
                    array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
             FROM x ORDER BY doc_id, chunk_idx"""))
 
+  val q58 = QueryDef(
+    "q58_mixing_token_budget",
+    "token-budget domain mixing: per-language token totals (one small " +
+      "agg, broadcast back) set hash-gated keep rates min(1, budget/total) " +
+      "— en capped at 4000 tokens, de at 2000, es over-budgeted (no-op), " +
+      "fr/zh unbudgeted (pass through); then the kept-mass summary",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = Sampling.tokenBudgetSample(d, "doc_id", "lang",
+        TextOps.tokenCount(col("text")),
+        Map("en" -> 4000L, "de" -> 2000L, "es" -> 999999L), salt = "mix1")
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(TextOps.tokenCount(col("text"))).as("tokens_kept"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, lang,
+                len(string_split_regex(text, '\s+')) AS w,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(CAST(doc_id AS VARCHAR) || 'mix1', ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                  (a, v) -> (a * 31 + v) % 1000000007) AS h
+              FROM documents),
+            b AS (SELECT doc_id, lang, w,
+                    ((h + 479001599) * (h + 987654323)) % 1000000007 % 10000 AS bk
+                  FROM d),
+            tot AS (SELECT lang, SUM(w) AS tw FROM b GROUP BY lang),
+            j AS (SELECT b.*,
+                    CASE WHEN lang = 'de' THEN LEAST(1.0, 2000.0 / tw)
+                         WHEN lang = 'en' THEN LEAST(1.0, 4000.0 / tw)
+                         WHEN lang = 'es' THEN LEAST(1.0, 999999.0 / tw)
+                         ELSE 1.0 END AS frac
+                  FROM b JOIN tot USING (lang))
+            SELECT lang, COUNT(*) AS n_docs_kept,
+                   CAST(SUM(w) AS BIGINT) AS tokens_kept
+            FROM j WHERE bk < floor(frac * 10000)
+            GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57)
+      q52, q53, q54, q55, q56, q57, q58)
 }

@@ -70,9 +70,39 @@ class SamplingSpec extends SparkSpecBase {
     assert(split.except(again).isEmpty && again.except(split).isEmpty)
   }
 
+  test("tokenBudgetSample lands near each budget and spares the rest") {
+    val w = size(split(col("text"), "\\s+"))
+    val totals = docs.groupBy("lang").agg(sum(w).cast("long").as("tw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lang = totals.keys.head
+    val budget = totals(lang) / 3
+    val kept = Sampling.tokenBudgetSample(docs, "doc_id", "lang", w,
+      Map(lang -> budget), salt = "t")
+    val keptTok = kept.groupBy("lang").agg(sum(w).cast("long").as("kw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budgeted stratum: within ±60% of target (small-N binomial slack)
+    assert(math.abs(keptTok(lang).toDouble / budget - 1.0) < 0.6,
+      s"$lang kept ${keptTok(lang)} vs budget $budget")
+    // unbudgeted strata pass through untouched
+    (totals.keySet - lang).foreach(l => assert(keptTok(l) === totals(l), l))
+    // over-budget means keep-all
+    val keptAll = Sampling.tokenBudgetSample(docs, "doc_id", "lang", w,
+      Map(lang -> totals(lang) * 10), salt = "t")
+    assert(keptAll.count() === docs.count())
+    // deterministic run-to-run
+    val again = Sampling.tokenBudgetSample(docs, "doc_id", "lang", w,
+      Map(lang -> budget), salt = "t")
+    assert(kept.select("doc_id").except(again.select("doc_id")).isEmpty)
+    assert(again.select("doc_id").except(kept.select("doc_id")).isEmpty)
+  }
+
   test("invalid configurations fail fast") {
     intercept[IllegalArgumentException] {
       Sampling.deterministicSample(docs, "doc_id", 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(docs, "doc_id", "lang",
+        size(split(col("text"), "\\s+")), Map.empty)
     }
     intercept[IllegalArgumentException] {
       Sampling.withSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4)))

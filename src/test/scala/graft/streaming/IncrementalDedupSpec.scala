@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpecBase
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The ingest-time new-content gate: a streaming source anti-joined
+  * against the historical corpus's hash set must pass exactly the docs
+  * whose content was never seen — across micro-batch boundaries, with
+  * the static side fixed at query start. */
+class IncrementalDedupSpec extends SparkSpecBase {
+
+  test("stream-static anti join passes only never-seen content") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "seen text alpha"),
+      (2L, "seen text beta"),
+      (3L, "seen text gamma")).toDF("doc_id", "text")
+
+    val ms = MemoryStream[(Long, String)](s)
+    val got = new ConcurrentHashMap[Long, String]()
+    val q = Dedup.newContentOnly(ms.toDS().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => got.put(r.getLong(0), r.getString(1)))
+        ()
+      }
+      .start()
+    try {
+      // batch 1: one dup of the corpus, one genuinely new
+      ms.addData((10L, "seen text beta"), (11L, "fresh text one"))
+      q.processAllAvailable()
+      // batch 2: dup of the corpus again + new + repeat of batch-1 new
+      // content (passes: within-stream dedup is explicitly out of scope)
+      ms.addData((12L, "seen text alpha"), (13L, "fresh text two"),
+        (14L, "fresh text one"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.asScala.toMap === Map(
+      11L -> "fresh text one",
+      13L -> "fresh text two",
+      14L -> "fresh text one"))
+  }
+
+  test("batch form: schema preserved, seen content dropped") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "old")).toDF("doc_id", "text")
+    val incoming = Seq((2L, "old"), (3L, "new")).toDF("doc_id", "text")
+    val out = Dedup.newContentOnly(incoming, corpus)
+    assert(out.columns.toSeq === Seq("doc_id", "text"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((3L, "new")))
+  }
+}

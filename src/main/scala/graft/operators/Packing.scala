@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing — the concat-and-split step between chunking and
+  * tokenization: lay every chunk's tokens on one global tape (in a total
+  * deterministic order) and cut the tape every `windowTokens` tokens.
+  * Each chunk learns its global token offset, its pack (context window)
+  * id, its position inside the pack, and whether it straddles a cut.
+  *
+  * The primitive underneath is a GLOBAL running sum, and the obvious
+  * Spark spelling — `sum(w).over(Window.orderBy(...))` with no partition
+  * key — collapses the whole dataset into ONE task (Spark warns and then
+  * does exactly that), the textbook scale cliff. [[withGlobalOffset]]
+  * instead uses the classic two-pass prefix shape:
+  *
+  *   1. range-repartition + sort within partitions on the order key
+  *      (a real distributed sort — every partition holds a contiguous
+  *      key range);
+  *   2. one pass computing each partition's weight sum — numPartitions
+  *      SCALARS to the driver (bounded, not data-sized);
+  *   3. one pass adding each partition's exclusive prefix to a running
+  *      local sum.
+  *
+  * The offsets depend only on the total order, not on where partition
+  * boundaries happen to fall, so the result is deterministic even though
+  * range partitioning samples its boundaries. This is one of the rare
+  * genuinely per-partition-imperative operators (SURVEY §2.11's
+  * "mapPartitions as a last resort" case): the running sum needs
+  * row-order state no declarative expression provides at scale.
+  */
+object Packing {
+
+  /** Add `outputCol` = sum of `weightCol` over all rows strictly before
+    * this one in `orderCols` order (an exclusive prefix sum). `orderCols`
+    * must be a total order (unique keys) for the offsets to be
+    * well-defined; `weightCol` must be integral (int/long). */
+  def withGlobalOffset(
+      df: DataFrame,
+      orderCols: Seq[String],
+      weightCol: String,
+      outputCol: String = "offset"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val sorted = df.repartitionByRange(par, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema
+    val wIdx = schema.fieldIndex(weightCol)
+    val getW: Row => Long = schema.fields(wIdx).dataType match {
+      case LongType    => r => r.getLong(wIdx)
+      case IntegerType => r => r.getInt(wIdx).toLong
+      case other => throw new IllegalArgumentException(
+        s"weight column '$weightCol' must be integral, got $other")
+    }
+    // the sorted RDD is traversed twice (partition sums, then the offset
+    // pass) — persist so the sort runs once. DISK_ONLY as everywhere: no
+    // heap residency across a long session. The blocks live until the
+    // caller's session drops them (documented lazy-result cache cost,
+    // same as the dedup signature frames).
+    val rdd = sorted.rdd.persist(StorageLevel.DISK_ONLY)
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(r => s += getW(r)); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val prefix = partSums.scanLeft(0L)(_ + _) // exclusive; length = nParts+1
+    val out = rdd.mapPartitionsWithIndex({ case (i, it) =>
+      var run = prefix(i)
+      it.map { r =>
+        val o = run
+        run += getW(r)
+        Row.fromSeq(r.toSeq :+ o)
+      }
+    }, preservesPartitioning = true)
+    spark.createDataFrame(out, schema.add(outputCol, LongType, nullable = false))
+  }
+
+  /** Concat-and-split packing over [[withGlobalOffset]]: adds
+    *  - `offset`   — global token offset of the chunk's first token;
+    *  - `pack_id`  — which `windowTokens`-sized context window that
+    *    first token lands in (integer division, exact on int64);
+    *  - `pack_pos` — position inside that window;
+    *  - `crosses_pack` — true when the chunk's tokens straddle a cut
+    *    (the caller splits or discards those per its padding policy —
+    *    this operator reports the geometry, it does not edit text).
+    */
+  def packSequences(
+      chunks: DataFrame,
+      orderCols: Seq[String],
+      weightCol: String,
+      windowTokens: Long): DataFrame = {
+    require(windowTokens >= 1L, s"windowTokens $windowTokens must be >= 1")
+    withGlobalOffset(chunks, orderCols, weightCol, "offset")
+      .withColumn("pack_id", expr(s"offset DIV ${windowTokens}L"))
+      .withColumn("pack_pos", pmod(col("offset"), lit(windowTokens)))
+      .withColumn("crosses_pack",
+        expr(s"(offset + $weightCol - 1L) DIV ${windowTokens}L") > col("pack_id"))
+  }
+}

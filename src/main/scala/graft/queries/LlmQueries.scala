@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextOps
-import graft.operators.{Chunker, Decontaminate, Dedup, Multimodal, Quality, Sampling, Similarity}
+import graft.operators.{Chunker, Decontaminate, Dedup, Multimodal, Packing, Quality, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -664,7 +664,46 @@ object LlmQueries extends QueryGroup {
             FROM j WHERE bk < floor(frac * 10000)
             GROUP BY lang ORDER BY lang"""))
 
+  val q59 = QueryDef(
+    "q59_pack_sequences",
+    "concat-and-split sequence packing: non-overlapping 32-token chunks " +
+      "laid on one global tape in (doc_id, chunk_idx) order, cut every " +
+      "256 tokens — global offsets via the two-pass prefix-sum operator " +
+      "(a bare Window.orderBy would collapse to a single task), then " +
+      "pack id / in-pack position / boundary-straddle geometry",
+    (s, dir) => {
+      val chunks = Chunker.tokenChunks(t(s, dir, "documents"),
+        size = 32, stride = 32)
+      Packing.packSequences(chunks, Seq("doc_id", "chunk_idx"),
+          "n_chunk_tokens", 256L)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("offset"), col("pack_id"), col("pack_pos"), col("crosses_pack"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                       FROM documents),
+            n AS (SELECT doc_id, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, n,
+                    CASE WHEN n <= 32 THEN 1
+                         ELSE CAST(ceil((n - 32) * 1.0 / 32) AS BIGINT) + 1
+                    END AS nc
+                  FROM n),
+            x AS (SELECT doc_id, n, unnest(generate_series(0, nc - 1)) AS i
+                  FROM c),
+            ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(least(32, n - i * 32) AS BIGINT) AS w
+                   FROM x),
+            o AS (SELECT doc_id, chunk_idx, w,
+                    CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id, chunk_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS "offset"
+                  FROM ch)
+            SELECT doc_id, chunk_idx, w AS n_chunk_tokens, "offset",
+                   "offset" // 256 AS pack_id, "offset" % 256 AS pack_pos,
+                   (("offset" + w - 1) // 256) > ("offset" // 256) AS crosses_pack
+            FROM o ORDER BY doc_id, chunk_idx"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58)
+      q52, q53, q54, q55, q56, q57, q58, q59)
 }

@@ -703,7 +703,85 @@ object LlmQueries extends QueryGroup {
                    (("offset" + w - 1) // 256) > ("offset" // 256) AS crosses_pack
             FROM o ORDER BY doc_id, chunk_idx"""))
 
+  val q60 = QueryDef(
+    "q60_corpus_curation_manifest",
+    "end-to-end curation manifest: normalize → exact-dedup canonical " +
+      "(keep the min doc per content hash) → repetition-quality verdict → " +
+      "deterministic train/val/test split — the composed per-document " +
+      "decision record a corpus build ships, every stage reusing the " +
+      "library operator the standalone queries gate individually",
+    (s, dir) => {
+      import graft.functions.Clean
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), Clean.normalize(col("text")).as("text"))
+      val canon = Dedup.exact(d)
+      val withSha = d.withColumn("text_sha", sha2(col("text"), 256))
+        .join(canon.select(col("text_sha"), col("keep_id")), "text_sha")
+        .withColumn("keep_exact", col("doc_id") === col("keep_id"))
+      val qual = Quality.repetitionFilter(d)
+        .select(col("doc_id"), col("keep").as("keep_quality"))
+      Sampling.withSplit(withSha.join(qual, "doc_id"), "doc_id",
+          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)), salt = "v1")
+        .withColumn("final_keep", col("keep_exact") && col("keep_quality"))
+        .select(col("doc_id"), col("lang"), col("keep_exact"),
+          col("keep_quality"), col("split"), col("final_keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+                         trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+                       FROM documents),
+            sha AS (SELECT doc_id, lang, text, sha256(text) AS text_sha FROM d),
+            canon AS (SELECT text_sha, MIN(doc_id) AS keep_id
+                      FROM sha GROUP BY text_sha),
+            t2 AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM d),
+            g AS (SELECT doc_id, toks,
+                    CASE WHEN len(toks) >= 2 THEN
+                      [array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks)-1)]
+                    ELSE [] END AS g2,
+                    CASE WHEN len(toks) >= 3 THEN
+                      [array_to_string(toks[i:i+2], ' ')
+                       for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END AS g3
+                  FROM t2),
+            m AS (SELECT doc_id,
+                    ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+                    CASE WHEN len(g3) > 0 THEN
+                      ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4)
+                    ELSE 0.0 END AS dup3_frac
+                  FROM g),
+            e AS (SELECT doc_id, unnest(g2) AS b FROM g),
+            c AS (SELECT doc_id, b, COUNT(*) AS c FROM e GROUP BY doc_id, b),
+            tp AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top2_frac
+                   FROM c GROUP BY doc_id),
+            qual AS (SELECT m.doc_id,
+                       (m.ttr >= 0.3 AND m.dup3_frac <= 0.05
+                        AND COALESCE(tp.top2_frac, 0.0) <= 0.12) AS keep_quality
+                     FROM m LEFT JOIN tp USING (doc_id)),
+            hs AS (SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(CAST(doc_id AS VARCHAR) || 'v1', ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                       (a, v) -> (a * 31 + v) % 1000000007) AS h
+                   FROM d),
+            sp AS (SELECT doc_id,
+                     CASE WHEN ((h + 479001599) * (h + 987654323))
+                               % 1000000007 % 10000 < 9000 THEN 'train'
+                          WHEN ((h + 479001599) * (h + 987654323))
+                               % 1000000007 % 10000 < 9500 THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM hs)
+            SELECT sha.doc_id, sha.lang,
+                   (sha.doc_id = canon.keep_id) AS keep_exact,
+                   qual.keep_quality, sp.split,
+                   ((sha.doc_id = canon.keep_id) AND qual.keep_quality) AS final_keep
+            FROM sha
+            JOIN canon USING (text_sha)
+            JOIN qual ON qual.doc_id = sha.doc_id
+            JOIN sp ON sp.doc_id = sha.doc_id
+            ORDER BY sha.doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58, q59)
+      q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

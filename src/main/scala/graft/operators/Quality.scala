@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.LongType
   *    occurrences; catches a single boilerplate phrase dominating an
   *    otherwise varied document.
   *
-  * Scale shape: TTR and the dup fractions are NARROW — per-row array
-  * arithmetic over a staged token array (`size(array_distinct(...))`),
-  * no shuffle at all. The top-gram share needs a per-(doc, gram) mode, so
+  * Scale shape: TTR and the dup fractions are per-row array arithmetic
+  * over a staged token array (`size(array_distinct(...))`) — narrow
+  * after the one explicit fan-out repartition every compact-table
+  * pipeline here pins. The top-gram share needs a per-(doc, gram) mode, so
   * it takes the one shuffle in the operator: grams ride it as 64-bit
   * xxhash64 values (8 bytes each, never strings — a hash collision folds
   * two gram types together at ~2⁻⁶⁴ per doc pair, the same accepted

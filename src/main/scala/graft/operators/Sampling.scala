@@ -104,6 +104,10 @@ object Sampling {
     * Thresholds use `floor(frac · B)` explicitly: both engines compute
     * the identical IEEE quotient, and floor (unlike a double→int cast)
     * has one cross-engine rounding semantics.
+    *
+    * Rows with a NULL stratum are dropped (the totals join is an inner
+    * equi-join and null keys never match) — a null domain label has no
+    * budget semantics; coalesce upstream if such rows must survive.
     */
   def tokenBudgetSample(
       df: DataFrame,

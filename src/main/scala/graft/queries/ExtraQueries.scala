@@ -17,7 +17,10 @@ object ExtraQueries extends QueryGroup {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val counts = d
-        .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+        // outer + null-filter dodges InferFiltersFromGenerate's inferred
+        // size(split(...))>0 scan filter (an extra split eval per row)
+        .select(col("lang"), explode_outer(split(col("text"), "\\s+")).as("token"))
+        .where(col("token").isNotNull)
         .groupBy("lang", "token")
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))

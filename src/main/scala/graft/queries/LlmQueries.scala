@@ -484,8 +484,9 @@ object LlmQueries extends QueryGroup {
       "the ROUNDED score with term tie-break (cross-engine determinism)",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
-        .where(col("term") =!= "")
+      // outer explode for the same InferFiltersFromGenerate reason as q42
+      val tok = d.select(col("doc_id"), explode_outer(split(col("text"), "\\s+")).as("term"))
+        .where(col("term").isNotNull && col("term") =!= "")
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = d.agg(count(lit(1)).as("n"))

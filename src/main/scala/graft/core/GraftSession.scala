@@ -21,19 +21,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  // The CC loops intentionally unpersist superseded localCheckpoint frames
-  // (PlanGlue.releaseLocalCheckpoint); Spark warns on every such release
-  // that the truncated lineage "cannot be recomputed" — correct and by
-  // design (the successor frame is already materialized), but it would
-  // print once per iteration round for the driver's whole lifetime.
-  // Narrowly mute that one logger; everything else stays at WARN.
-  private lazy val muteCheckpointReleaseWarn: Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
-
   /** Apply the engine's standard configuration to a builder. */
   def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = {
-    muteCheckpointReleaseWarn
     b.config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -26,11 +26,14 @@ object Clean {
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  /** Strip C0 control characters (except tab/newline, which are
-    * whitespace and belong to [[normalizeWhitespace]]'s jurisdiction)
-    * and the DEL char — scrape noise that breaks downstream parsers. */
+  /** Strip C0 control characters and DEL — scrape noise that breaks
+    * downstream parsers. The five `\s`-class controls (tab, LF, VT, FF,
+    * CR) are exempt: they are WHITESPACE and belong to
+    * [[normalizeWhitespace]]'s jurisdiction — deleting them here would
+    * merge the words they separate ("one\ftwo" → "onetwo") instead of
+    * letting the collapse turn them into a single space. */
   def stripControlChars(c: Column): Column =
-    regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    regexp_replace(c, "[\\x00-\\x08\\x0e-\\x1f\\x7f]", "")
 
   /** Redact email addresses → `[EMAIL]`. */
   def redactEmails(c: Column): Column =

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
-import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing — the concat-and-split step between chunking and
   * tokenization: lay every chunk's tokens on one global tape (in a total
@@ -56,12 +55,17 @@ object Packing {
       case other => throw new IllegalArgumentException(
         s"weight column '$weightCol' must be integral, got $other")
     }
-    // the sorted RDD is traversed twice (partition sums, then the offset
-    // pass) — persist so the sort runs once. DISK_ONLY as everywhere: no
-    // heap residency across a long session. The blocks live until the
-    // caller's session drops them (documented lazy-result cache cost,
-    // same as the dedup signature frames).
-    val rdd = sorted.rdd.persist(StorageLevel.DISK_ONLY)
+    // ONE RDD instance traversed twice (partition sums, then the offset
+    // pass): the range boundaries are baked into this single physical
+    // plan's exchange, and the second traversal re-reads the exchange's
+    // already-written shuffle files (redoing only the cheap in-partition
+    // sort) — so no persist is needed for either correctness (boundaries
+    // cannot re-sample between passes) or the scan (the corpus is not
+    // re-read). Deliberately NOT persisted: an operator-internal persist
+    // here would pin a sorted corpus copy with no release path (catalog
+    // .clearCache() does not reach raw RDD persists), the exact storage
+    // leak the dedup loops go out of their way to avoid.
+    val rdd = sorted.rdd
     val partSums = rdd
       .mapPartitionsWithIndex { case (i, it) =>
         var s = 0L; it.foreach(r => s += getW(r)); Iterator((i, s))

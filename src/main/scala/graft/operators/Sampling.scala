@@ -159,6 +159,13 @@ object Sampling {
       lit(splits.last._1)) { case (acc, ((name, _), upper)) =>
       when(b < upper, lit(name)).otherwise(acc)
     }
-    df.withColumn(outputCol, assigned)
+    // A NULL id hashes to a NULL bucket, every `b < upper` is null, and
+    // the fold's base would silently shovel all null-id rows into the
+    // LAST split (usually the eval set — the worst place for undefined
+    // rows). Assign NULL instead, consistent with the samplers' null-drop
+    // semantics: a row with no identity has no deterministic fate, and
+    // the caller must decide, visibly. (The DuckDB oracles need no
+    // null branch — fixture ids are non-null by contract.)
+    df.withColumn(outputCol, when(col(idCol).isNotNull, assigned))
   }
 }

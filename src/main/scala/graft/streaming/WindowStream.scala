@@ -255,18 +255,18 @@ class WindowStream[T: Encoder](
     * turn teardown into a hang. */
   def stop(): Unit = {
     running.set(false) // new publishers now throw / get false
-    var orphaned = 0L
+    // Items drained during the barrier are BUFFERED, not routed: the
+    // barrier loop can run while a subscribe() still holds the read lock
+    // with `query` not yet assigned (query.start() takes far longer than
+    // one tryLock window), and deciding orphaned-vs-deliverable at drain
+    // time would silently discard items whose subscriber is mid-attach.
+    // Routing happens once, after the barrier + pump join, against the
+    // FINAL query state.
+    val pending = new ArrayBuffer[T]()
     def drainRemainder(): Unit = {
       val rest = new java.util.ArrayList[T]()
       while (!queue.isEmpty) queue.drainTo(rest)
-      if (!rest.isEmpty) {
-        if (query == null) orphaned += rest.size
-        else {
-          val buf = new ArrayBuffer[T](rest.size)
-          rest.forEach(e => buf += e)
-          source.addData(buf.toSeq)
-        }
-      }
+      rest.forEach(e => pending += e)
     }
     // Barrier: wait until every publisher that passed the running gate has
     // finished its insert, so the final drain cannot race a mid-flight
@@ -287,14 +287,14 @@ class WindowStream[T: Encoder](
     // still run or every failed stream leaks consumerParallelism
     // non-daemon threads for the JVM's lifetime
     try {
+      drainRemainder() // pump joined: whatever remains is queue-resident
       if (query != null) {
-        drainRemainder()
+        if (pending.nonEmpty) source.addData(pending.toSeq)
         query.processAllAvailable()
         query.stop()
-      } else {
-        drainRemainder()
-        if (orphaned > 0) System.err.println(
-          s"[WindowStream] stop() before subscribe(): discarding $orphaned " +
+      } else if (pending.nonEmpty) {
+        System.err.println(
+          s"[WindowStream] stop() before subscribe(): discarding ${pending.size} " +
             "accepted item(s) — the unicast stream has no consumer to deliver to")
       }
     } finally {

@@ -38,6 +38,48 @@ object PlanGlue {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.planner.strategies
 
+  /** Every release below makes Spark WARN that the truncated lineage
+    * "cannot be recomputed" — correct and by design (the successor frame
+    * is already materialized), but it would print once per CC round for
+    * the driver's whole lifetime. Deny exactly that MESSAGE with a
+    * filter, not a logger-level change: nearly every Dataset-derived RDD
+    * is a MapPartitionsRDD, so muting that logger would also swallow
+    * unrelated real warnings (persist-level conflicts, "local
+    * checkpointing is NOT fault tolerant" under dynamic allocation).
+    * Installed lazily on the FIRST release — SparkContext startup
+    * reconfigures log4j (the default-profile load), wiping anything
+    * added before the session exists. Best effort: if the log4j core
+    * API is absent or changes, the warning prints, which is harmless. */
+  private lazy val checkpointWarnFilter: Unit =
+    try {
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.AbstractFilter
+      val deny = new AbstractFilter(Filter.Result.DENY, Filter.Result.NEUTRAL) {
+        override def filter(event: LogEvent): Filter.Result =
+          if (event.getMessage.getFormattedMessage.contains(
+            "lineage has been truncated and cannot be recomputed")) onMatch
+          else onMismatch
+      }
+      deny.start()
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val existing = conf.getLoggerConfig(name)
+      val target =
+        if (existing.getName == name) existing
+        else {
+          // inherit the effective level observed at setup (a null level
+          // here breaks the config); additive so root appenders still run
+          val lc = new LoggerConfig(name, existing.getLevel, true)
+          conf.addLogger(name, lc)
+          lc
+        }
+      target.addFilter(deny)
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () }
+
   /** Release the storage blocks behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only reaches CacheManager entries (`.persist`/
     * `.cache`); a local checkpoint's blocks belong to the RDD inside the
@@ -58,6 +100,7 @@ object PlanGlue {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        checkpointWarnFilter
         lr.rdd.unpersist(blocking = false)
       case other =>
         throw new IllegalArgumentException(

@@ -19,9 +19,13 @@ class CleanSpec extends SparkSpecBase {
     assert(apply1(Clean.normalizeWhitespace, "already clean") === "already clean")
   }
 
-  test("stripControlChars removes C0/DEL noise but keeps tab/newline") {
+  test("stripControlChars removes C0/DEL noise but keeps \\s-class controls") {
     assert(apply1(Clean.stripControlChars, "a\u0000b\u0007c\u007fd") === "abcd")
     assert(apply1(Clean.stripControlChars, "a\tb\nc") === "a\tb\nc")
+    // VT/FF/CR are whitespace: stripping them would merge words
+    assert(apply1(Clean.stripControlChars, "one\u000btwo\u000cthree\rfour")
+      === "one\u000btwo\u000cthree\rfour")
+    assert(apply1(Clean.normalize, "page one\u000ctwo") === "page one two")
   }
 
   test("redactEmails") {

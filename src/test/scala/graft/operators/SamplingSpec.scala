@@ -96,6 +96,19 @@ class SamplingSpec extends SparkSpecBase {
     assert(again.select("doc_id").except(kept.select("doc_id")).isEmpty)
   }
 
+  test("withSplit assigns NULL (not the last split) to null ids") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val out = Sampling.withSplit(df, "doc_id",
+        Seq(("train", 0.9), ("test", 0.1))).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(2)).toMap
+    assert(out(Some(1L)) != null && out(Some(2L)) != null)
+    assert(out(None) === null,
+      "a row with no identity has no deterministic split — never default it into the eval set")
+  }
+
   test("invalid configurations fail fast") {
     intercept[IllegalArgumentException] {
       Sampling.deterministicSample(docs, "doc_id", 1.5)

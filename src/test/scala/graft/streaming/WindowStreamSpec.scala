@@ -118,6 +118,33 @@ class WindowStreamSpec extends SparkSpecBase {
     intercept[IllegalStateException](ws.subscribe(_ => ()))
   }
 
+  test("stop() racing an in-flight subscribe() loses nothing") {
+    // The hazardous window: subscribe() holds the gate read lock through
+    // query.start() (well over one 10 ms tryLock slice) with `query`
+    // still null, while stop()'s barrier loop drains the queue. Items
+    // accepted BEFORE stop() whose subscriber successfully attaches must
+    // still be delivered — the drain may not discard them just because
+    // it ran before the query reference was assigned.
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 64,
+      windowDuration = 50.millis, consumerParallelism = 2)
+    ws.publish(1 to 20) // queued before any subscriber exists
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val subscriber = new Thread(() =>
+      try ws.subscribe(batch => batch.foreach(received.add))
+      catch { case _: IllegalStateException => () }) // stop() won the race
+    subscriber.start()
+    Thread.sleep(5) // land stop() inside subscribe's query.start() window
+    ws.stop()
+    subscriber.join()
+    // invariant: the subscriber either never attached (stop reported the
+    // discard) or attached and then EVERY pre-stop item arrived
+    if (!received.isEmpty)
+      assert(received.asScala.toSet === (1 to 20).toSet,
+        "items drained mid-subscribe must be routed to the attached query")
+  }
+
   test("stop() shuts the consumer pool down (no thread leak per stream)") {
     val s = spark
     import s.implicits._

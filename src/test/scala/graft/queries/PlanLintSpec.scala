@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Registry-wide physical-plan lint — the standing guard against
+  * scale-cliff join shapes sneaking into ANY registered query. Every
+  * query must plan successfully (a registry-wide smoke at plan level),
+  * contain no CartesianProduct anywhere, and use a
+  * BroadcastNestedLoopJoin only where one is the deliberate, documented
+  * choice:
+  *
+  *  - q08: the theta (non-equi) region×nation join — 5×25 rows by
+  *    contract, BNLJ over a broadcast 5-row side IS the right plan;
+  *  - q54: `crossJoin(broadcast(n))` attaching the 1-row corpus count
+  *    to every TF row — a broadcast of exactly one row;
+  *  - q36/q50: the ANN brute-force baseline — broadcast PROBES × the
+  *    streamed corpus; probes are a small query batch by the operator's
+  *    contract (Similarity's documented broadcast-probe path), and the
+  *    corpus side streams once, never collects.
+  *
+  * Growing this allowlist is a reviewable act: a new entry means a new
+  * query deliberately chose a nested-loop join and must justify its
+  * bounded build side the way these four do. */
+class PlanLintSpec extends SparkSpecBase {
+
+  private val bnljAllowed = Set(
+    "q08_join_theta_region_nation", "q54_tfidf_keywords",
+    "q36_ann_cosine_topk", "q50_ann_ivf_full_probe")
+
+  test("every registered query plans; no cartesian; BNLJ only where documented") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct in the physical plan"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+          failures += s"$name: undocumented BroadcastNestedLoopJoin"
+      } catch {
+        case e: Throwable => failures += s"$name: failed to plan — ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    spark.catalog.clearCache() // some builders persist; leave the suite clean
+  }
+}

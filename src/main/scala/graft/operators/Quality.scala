@@ -95,6 +95,49 @@ object Quality {
         coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"))
   }
 
+  /** Per-document mean unigram surprisal — the relational analogue of
+    * the LM-perplexity corpus filter (CCNet-style): score each document
+    * by the average −ln(corpus frequency) of its tokens. Gibberish and
+    * rare-token noise score HIGH (surprising under the corpus unigram
+    * model); boilerplate scores LOW. Two shuffles at corpus scale: the
+    * vocabulary frequency aggregation and the token→frequency join, both
+    * on 8-byte token hashes with map-side partial aggregation; the final
+    * per-doc average co-partitions on the doc id. The frequency side is
+    * vocabulary-sized, not corpus-sized, but is NOT assumed
+    * broadcastable — AQE decides from its actual size.
+    *
+    * Output: (idCol, n_tokens, surprisal), surprisal rounded to 4 (a
+    * genuine quotient of logs — cross-engine safe under the repo's
+    * rounding rule). */
+  def unigramSurprisal(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(df, idCol, textCol)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), explode_outer(col("toks")).as("tok"))
+      .where(col("tok").isNotNull)
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    // persist the VOCABULARY-sized frame, never the corpus-sized token
+    // stream: freq is read twice (the join and the total), and without
+    // the barrier each read would re-traverse the whole corpus. The
+    // token stream itself is traversed twice (freq build + join side),
+    // each pipelined straight off the scan — cheaper at scale than
+    // materializing a corpus-sized token table. DISK_ONLY as everywhere;
+    // blocks are session-cache managed (catalog.clearCache reclaims).
+    val freq = toks.groupBy("h").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val total = freq.agg(sum(col("tf")).as("n_total"))
+    toks.join(freq, "h")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("tf").cast("double") / col("n_total"))), 4)
+          .as("surprisal"))
+      .select(col("id").as(idCol), col("n_tokens"), col("surprisal"))
+  }
+
   /** [[repetitionMetrics]] plus a `keep` verdict — the actual corpus
     * filter decision. Defaults are calibrated loose (repetition filters
     * drop outliers, not the median document); every threshold is a knob.

@@ -782,7 +782,24 @@ object LlmQueries extends QueryGroup {
             JOIN sp ON sp.doc_id = sha.doc_id
             ORDER BY sha.doc_id"""))
 
+  val q61 = QueryDef(
+    "q61_quality_unigram_surprisal",
+    "corpus-statistics quality scoring: per-doc mean unigram surprisal " +
+      "-avg ln(tf/total) — the relational analogue of the LM-perplexity " +
+      "filter; vocabulary frequencies joined back on 8-byte token hashes",
+    (s, dir) =>
+      Quality.unigramSurprisal(t(s, dir, "documents")).orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents),
+            f AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+            t AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM f)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(-ln(tf * 1.0 / n_total)), 4) AS surprisal
+            FROM tok JOIN f USING (tok) CROSS JOIN t
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58, q59, q60)
+      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }

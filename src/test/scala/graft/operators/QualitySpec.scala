@@ -58,6 +58,28 @@ class QualitySpec extends SparkSpecBase {
     assert(!verdicts(1L), "looped text should fail")
   }
 
+  test("unigramSurprisal matches brute force and orders rarity correctly") {
+    val texts = Seq(
+      (0L, "common common common common"),       // all high-freq tokens
+      (1L, "common common rareword oddity"),     // half rare
+      (2L, "zyx qwv plk mnb"))                   // all singletons
+    val df = texts.toDF("doc_id", "text")
+    val toks = texts.flatMap(_._2.split("\\s+"))
+    val total = toks.size.toDouble
+    val freq = toks.groupBy(identity).view.mapValues(_.size).toMap
+    def brute(t: String): Double = {
+      val ts = t.split("\\s+")
+      BigDecimal(ts.map(w => -math.log(freq(w) / total)).sum / ts.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Quality.unigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    texts.foreach { case (id, t) =>
+      assert(math.abs(got(id) - brute(t)) <= 0.0001, s"doc $id") }
+    assert(got(0L) < got(1L) && got(1L) < got(2L),
+      "rarer vocabulary must score more surprising")
+  }
+
   test("fixture metrics land in [0,1] and every doc gets a row") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val rows = Quality.repetitionFilter(docs).collect()

@@ -320,4 +320,32 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("g"), col("ia"), col("ib"), col("sim"))
   }
+
+  /** End-to-end embedding near-dup clustering — the vector-space
+    * counterpart of [[Dedup.dedupClusters]]: [[nearDupPairs]] edges →
+    * connected components → (idCol, cluster_id, keep) for EVERY vector
+    * (cluster_id = min id of the component, self for singletons; keep
+    * marks the canonical representative). Same decision-output shape as
+    * the text path, so downstream corpus filters are interchangeable.
+    * The pair frame rides the same per-call persist + eager-release
+    * discipline as dedupClusters: connectedComponents returns its labels
+    * lineage-free, so the pair pipeline's cache is dropped before
+    * returning. */
+  def nearDupClusters(
+      vectors: DataFrame,
+      groupCol: String,
+      minSim: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bands: Int = 0,
+      planesPerBand: Int = 1): DataFrame = {
+    val pairs = nearDupPairs(vectors, groupCol, minSim, idCol, vecCol,
+        bands = bands, planesPerBand = planesPerBand)
+      .select("ia", "ib")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val comp = Dedup.connectedComponents(pairs, vectors.select(col(idCol).as("id")))
+    pairs.unpersist()
+    comp.select(col("id").as(idCol), col("comp").as("cluster_id"),
+      (col("id") === col("comp")).as("keep"))
+  }
 }

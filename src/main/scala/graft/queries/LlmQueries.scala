@@ -799,7 +799,36 @@ object LlmQueries extends QueryGroup {
             FROM tok JOIN f USING (tok) CROSS JOIN t
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  val q62 = QueryDef(
+    "q62_embedding_dedup_clusters",
+    "embedding near-dup CLUSTERING — the vector-space counterpart of q49: " +
+      "within-label cosine ≥ 0.3 pairs (LSH-banded candidates, exact " +
+      "rejoin scoring) → connected components → per-vector cluster id + " +
+      "canonical keep flag; oracle replays the closure recursively",
+    (s, dir) =>
+      Similarity.nearDupClusters(t(s, dir, "embeddings"), groupCol = "label",
+          minSim = 0.3, bands = 12, planesPerBand = 1)
+        .orderBy("vec_id"),
+    Some("""WITH RECURSIVE v AS (SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS e,
+                     CAST(label AS BIGINT) AS label
+                   FROM embeddings),
+            pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                   FROM v a JOIN v b
+                     ON a.label = b.label AND a.vec_id < b.vec_id
+                   WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.3),
+            ed AS (SELECT ia AS u, ib AS w FROM pr
+                   UNION ALL SELECT ib, ia FROM pr),
+            reach(src, dst) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT reach.src, ed.w FROM reach JOIN ed ON reach.dst = ed.u)
+            SELECT src AS vec_id,
+                   MIN(dst) AS cluster_id,
+                   (src = MIN(dst)) AS keep
+            FROM reach GROUP BY src ORDER BY vec_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }

@@ -179,4 +179,24 @@ class SimilaritySpec extends SparkSpecBase {
       assert(sim === exact(k), "bucketing must never change pair scores")
     }
   }
+
+  test("nearDupClusters: every vector labeled, min-id canonical, banded ≡ exact") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    def clusters(bands: Int) =
+      Similarity.nearDupClusters(v, groupCol = "label", minSim = 0.3, bands = bands)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val exact = clusters(bands = 0)
+    assert(exact.size === v.count(), "every vector gets a cluster row")
+    exact.foreach { case (id, (cid, keep)) =>
+      assert(cid <= id, "cluster id is the component minimum")
+      assert(keep === (cid == id), "keep marks exactly the canonical member")
+    }
+    // components must be consistent: the canonical member of any cluster
+    // maps to itself
+    exact.values.map(_._1).toSet.foreach { cid: Long =>
+      assert(exact(cid)._1 === cid, s"canonical $cid must be its own cluster")
+    }
+    assert(clusters(bands = 12) === exact,
+      "banded candidacy reproduces the exact clustering on the fixture")
+  }
 }

@@ -380,12 +380,54 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       nodes: DataFrame,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
       .union(pairs.select(col("ib").as("u"), col("ia").as("v")))
       // referenced once per iteration: without the cut, every round would
       // re-run the (possibly expensive) pair pipeline upstream
       .persist(StorageLevel.DISK_ONLY)
+    // Adaptive small-graph path — the same small-side rule Spark applies
+    // to broadcast joins: near-dup edge sets are usually ≪ corpus (sparse
+    // by construction), and each distributed propagation round costs a
+    // fixed plan+codegen+job round-trip that dwarfs the data work on a
+    // small graph. Below the threshold (default 2^20 pairs ≈ 16 MB of
+    // longs — bounded driver memory, NOT corpus-scale) the component
+    // labels come from one collect + union-find; every label is exact and
+    // identical to the distributed fixpoint (min id per component). Larger
+    // graphs take the distributed rounds below, so the 100 TB path never
+    // collects. Set localEdgeThreshold = 0 to force distribution.
+    val nDirected = edges.count() // one cheap job; also materializes the cache
+    if (nDirected <= 2 * localEdgeThreshold) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by min id: the root IS the component label
+        if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+      }
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      val labelRows = {
+        val it = parent.keySet().iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        while (it.hasNext) { val id = it.next(); buf += ((id, find(id))) }
+        buf.toSeq
+      }
+      edges.unpersist()
+      val labels = labelRows.toDF("id", "comp")
+      return nodes.select(col("id"))
+        .join(labels.withColumnRenamed("comp", "comp_"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp_"), col("id")).as("comp"))
+    }
     // iterate only over nodes that occur in the pair graph — near-dup
     // graphs are sparse (≪ corpus), so the propagation rounds touch
     // O(pairs) rows, never the corpus; singletons rejoin at the end.
@@ -673,5 +715,80 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sima ^ simb)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select("ia", "ib", "sima", "simb", "hamming")
+  }
+
+  /** Substring-level duplicated-span coverage — the within/cross-document
+    * form of training-data dedup (ref behavior: whole-doc dedup only; this
+    * is the standard corpus-curation extension): every n-token window whose
+    * content occurs at least `minOccurrences` times in the corpus marks its
+    * span duplicated; overlapping spans merge; output is one row per doc
+    * with (n_tokens, dup_tokens, dup_frac).
+    *
+    * Scale design: the join currency is (id, pos, window-hash) — 8-byte
+    * xxhash64 of the window, never the window string (a 64-bit collision
+    * only merges two windows' occurrence counts, perturbing coverage with
+    * probability ~2^-64 — same contract as [[jaccardPairs]]). Unlike the
+    * pair generators, a hot window (boilerplate duplicated in 10^6 docs)
+    * is NOT quadratic here: occurrence counting is one map-side-combining
+    * aggregation and the mark-back join emits exactly one row per
+    * occurrence — total work stays linear in corpus token count, which is
+    * why span-level dedup scales where all-pairs near-dup cannot.
+    * Interval merge is a per-doc lag window (docs are bounded, so the
+    * per-id sort is bounded); with fixed window length the merged
+    * coverage is sum(min(n, pos - prev_pos)).
+    */
+  def duplicatedSpanStats(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      minOccurrences: Int = 2): DataFrame = {
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    import org.apache.spark.sql.expressions.Window
+    val sess = df.sparkSession
+    // tokens staged as an attribute (no CSE into lambda bodies) behind an
+    // explicit fan-out: a compact doc table often arrives in one split and
+    // the per-window slice+hash loop would otherwise run single-task
+    val toks = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("tk"))
+      .repartition(sess.sparkContext.defaultParallelism, col("id"))
+    // sequence(0, -k) is DESCENDING, not empty — short docs must take the
+    // empty-array branch explicitly. posexplode_outer + isNotNull on the
+    // OUTPUT attribute keeps InferFiltersFromGenerate from re-inlining the
+    // whole transform (token split re-run per element) into a scan filter.
+    val grams = toks.select(
+      col("id"),
+      when(size(col("tk")) >= n,
+        transform(
+          sequence(lit(0), size(col("tk")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>")).as("gh"))
+    val occurrences = grams
+      .select(col("id"), posexplode_outer(col("gh")).as(Seq("pos", "g")))
+      .where(col("g").isNotNull)
+    // duplicated windows: one partial-aggregated count per distinct hash;
+    // the mark-back join reuses the same key — forced shuffled join (the
+    // aggregate side's size estimate must never broadcast a corpus-scale
+    // distinct-window set)
+    val dup = occurrences.groupBy("g").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOccurrences)
+      .select("g")
+    val covered = occurrences.hint("shuffle_hash").join(dup, Seq("g"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val perDoc = covered
+      .select(col("id"),
+        least(lit(n), coalesce(col("pos") - lag("pos", 1).over(w), lit(n))).as("add_cov"))
+      .groupBy("id")
+      .agg(sum("add_cov").cast(LongType).as("dup_tokens"))
+    // doc sizes via the fused one-pass counter — cheaper than persisting
+    // the token-array frame for a second branch
+    val sizes = df.select(col(idCol).as("id"),
+      graft.functions.TextOps.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+    sizes.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("dup_frac"))
   }
 }

@@ -828,7 +828,34 @@ object LlmQueries extends QueryGroup {
                    (src = MIN(dst)) AS keep
             FROM reach GROUP BY src ORDER BY vec_id"""))
 
+  val q63 = QueryDef(
+    "q63_dedup_duplicated_spans",
+    "substring-level duplicated-span coverage (the Lee-et-al training-data " +
+      "dedup form): 8-token windows occurring >= 2x in the corpus mark " +
+      "their span; overlaps merge via a per-doc lag window; per-doc " +
+      "duplicated-token fraction. Linear in corpus tokens, never " +
+      "pair-quadratic",
+    (s, dir) =>
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), n = 8).orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+                        FROM d WHERE len(t) >= 8)),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            cov AS (SELECT doc_id, pos,
+                      LEAST(8, COALESCE(pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), 8)) AS add_cov
+                    FROM g JOIN dup USING (gram)),
+            per AS (SELECT doc_id, CAST(SUM(add_cov) AS BIGINT) AS dup_tokens
+                    FROM cov GROUP BY doc_id)
+            SELECT s.doc_id, s.n_tokens,
+                   COALESCE(per.dup_tokens, 0) AS dup_tokens,
+                   ROUND(COALESCE(per.dup_tokens, 0) * 1.0 / s.n_tokens, 4) AS dup_frac
+            FROM (SELECT doc_id,
+                    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+                  FROM documents) s
+            LEFT JOIN per USING (doc_id) ORDER BY s.doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }

@@ -112,10 +112,16 @@ class DedupSpec extends SparkSpecBase {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("ia", "ib")
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
-    val comp = Dedup.connectedComponents(pairs, nodes)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
+    // default threshold routes this tiny graph to the union-find path;
+    // localEdgeThreshold = 0 forces the distributed propagation — both
+    // must land on the identical fixpoint
+    for (thr <- Seq(1L << 20, 0L)) {
+      val comp = Dedup.connectedComponents(pairs, nodes, localEdgeThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp === expected, s"localEdgeThreshold=$thr")
+    }
   }
 
   test("connectedComponents: 300-node chain exceeds maxIters and converges via large-star/small-star") {
@@ -125,7 +131,7 @@ class DedupSpec extends SparkSpecBase {
     // the O(log d) fallback must
     val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("ia", "ib")
     val nodes = (1L to 300L).toDF("id")
-    val comp = Dedup.connectedComponents(pairs, nodes, maxIters = 5)
+    val comp = Dedup.connectedComponents(pairs, nodes, maxIters = 5, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size === 300)
     assert(comp.values.forall(_ == 1L), "chain must collapse to the minimum id")
@@ -141,11 +147,15 @@ class DedupSpec extends SparkSpecBase {
       .filter(p => p._1 != p._2)
     val pairs = edges.toDF("ia", "ib")
     val nodes = (1L to n.toLong).toDF("id")
-    val viaMinLabel = Dedup.connectedComponents(pairs, nodes, maxIters = 50)
+    val viaMinLabel = Dedup.connectedComponents(pairs, nodes, maxIters = 50, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaFallback = Dedup.connectedComponents(pairs, nodes, maxIters = 1)
+    val viaFallback = Dedup.connectedComponents(pairs, nodes, maxIters = 1, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaFallback === viaMinLabel)
+    val viaUnionFind = Dedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUnionFind === viaMinLabel,
+      "the adaptive union-find path must reproduce the distributed fixpoint")
   }
 
   test("large-star/small-star matches union-find across graph shapes and seeds") {
@@ -228,7 +238,7 @@ class DedupSpec extends SparkSpecBase {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("ia", "ib")
     val nodes = (1L to 12L).toDF("id")
     val before = s.sparkContext.getPersistentRDDs.size
-    val out = Dedup.connectedComponents(pairs, nodes).collect()
+    val out = Dedup.connectedComponents(pairs, nodes, localEdgeThreshold = 0L).collect()
     assert(out.length === 12 && out.forall(_.getLong(1) === 1L))
     val after = s.sparkContext.getPersistentRDDs.size
     assert(after - before <= 1,
@@ -405,5 +415,48 @@ class DedupSpec extends SparkSpecBase {
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("duplicatedSpanStats: hand-computed coverage incl. overlap merge and within-doc repeat") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // doc 0 windows pos {0,1,2} all occur in doc 5 too -> merged coverage
+      // 8 + 1 + 1 = 10 of 10 tokens
+      (0L, "a b c d e f g h i j"),
+      // doc 1 shares only window "a b c d e f g h" (its pos 2) -> 8 of 11
+      (1L, "x x a b c d e f g h z"),
+      // unique content, no duplicated window
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      // shorter than the window: no candidacy, still one output row
+      (3L, "s1 s2 s3"),
+      // WITHIN-doc repeat: "p q r s t u v w" at pos 0 and 8 -> 8 + 8 = 16
+      (4L, "p q r s t u v w p q r s t u v w"),
+      // superstring of doc 0: dup windows pos {0,1,2} -> 10 of 11
+      (5L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(df, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      0L -> ((10L, 10L, 1.0)),
+      1L -> ((11L, 8L, 0.7273)),
+      2L -> ((9L, 0L, 0.0)),
+      3L -> ((3L, 0L, 0.0)),
+      4L -> ((16L, 16L, 1.0)),
+      5L -> ((11L, 10L, 0.9091))))
+  }
+
+  test("duplicatedSpanStats: minOccurrences raises the duplication bar") {
+    val s = spark
+    import s.implicits._
+    // the window occurs twice -> flagged at minOccurrences=2, clean at 3
+    val df = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    def fracs(minOcc: Int) =
+      Dedup.duplicatedSpanStats(df, n = 8, minOccurrences = minOcc).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(fracs(2) === Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0))
+    assert(fracs(3) === Map(0L -> 0.0, 1L -> 0.0, 2L -> 0.0))
   }
 }

@@ -737,15 +737,17 @@ object Dedup {
     * per-id sort is bounded); with fixed window length the merged
     * coverage is sum(min(n, pos - prev_pos)).
     */
-  def duplicatedSpanStats(
+  /** Start positions (id, pos) of every n-token window occurring at least
+    * `minOccurrences` times corpus-wide — the shared candidate pipeline of
+    * [[duplicatedSpanStats]] and [[removeDuplicatedSpans]]. */
+  private def dupWindowStarts(
       df: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      n: Int = 8,
-      minOccurrences: Int = 2): DataFrame = {
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOccurrences: Int): DataFrame = {
     require(n >= 2, s"window must span at least 2 tokens, got $n")
     require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
-    import org.apache.spark.sql.expressions.Window
     val sess = df.sparkSession
     // tokens staged as an attribute (no CSE into lambda bodies) behind an
     // explicit fan-out: a compact doc table often arrives in one split and
@@ -774,7 +776,17 @@ object Dedup {
     val dup = occurrences.groupBy("g").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= minOccurrences)
       .select("g")
-    val covered = occurrences.hint("shuffle_hash").join(dup, Seq("g"))
+    occurrences.hint("shuffle_hash").join(dup, Seq("g")).select("id", "pos")
+  }
+
+  def duplicatedSpanStats(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val covered = dupWindowStarts(df, idCol, textCol, n, minOccurrences)
     val w = Window.partitionBy("id").orderBy("pos")
     val perDoc = covered
       .select(col("id"),
@@ -790,5 +802,55 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 4)
           .as("dup_frac"))
+  }
+
+  /** Cut the duplicated spans OUT of the corpus — the curation action on
+    * top of [[duplicatedSpanStats]]'s measurement (Lee et al. remove the
+    * repeated substring occurrences rather than dropping whole docs):
+    * output is one row per doc with the surviving text, duplicated-window
+    * token ranges deleted.
+    *
+    * Scale design: covered positions merge into per-doc interval structs
+    * FIRST (one lag window + one aggregation — intervals per doc are
+    * bounded by len/n), and tokens are filtered by an index lambda against
+    * that small array. The alternative — exploding each duplicated window
+    * into its n member positions — multiplies the shuffle by n on heavily
+    * duplicated corpora; the interval form ships each merged span as one
+    * 8-byte struct regardless of length. Tokens are re-derived from the
+    * text rather than persisted across the candidate pipeline: a DISK_ONLY
+    * barrier on the token arrays writes more bytes than the second
+    * columnar scan reads (same tradeoff as [[duplicatedSpanStats]]'s
+    * fused-counter sizes branch).
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val covered = dupWindowStarts(df, idCol, textCol, n, minOccurrences)
+    val w = Window.partitionBy("id").orderBy("pos")
+    // merged intervals [s, e): a window starting within n of the previous
+    // start overlaps-or-touches its span — same group; group id = running
+    // count of gap breaks
+    val grp = covered
+      .select(col("id"), col("pos"),
+        when(col("pos") - lag("pos", 1).over(w) <= n, lit(0)).otherwise(lit(1)).as("brk"))
+      .select(col("id"), col("pos"), sum("brk").over(w).as("grp"))
+    val ivs = grp.groupBy("id", "grp")
+      .agg(min("pos").as("s"), (max(col("pos")) + n).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("tk"))
+    toks.join(ivs, Seq("id"), "left")
+      .select(col("id"), col("tk"),
+        coalesce(col("ivs"), array().cast("array<struct<s:int,e:int>>")).as("iv"))
+      .select(col("id"), size(col("tk")).cast(LongType).as("n_tokens"),
+        filter(col("tk"), (tok, i) =>
+          !exists(col("iv"), v => v("s") <= i && i < v("e"))).as("kept_tk"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        size(col("kept_tk")).cast(LongType).as("kept_tokens"),
+        concat_ws(" ", col("kept_tk")).as("clean_text"))
   }
 }

@@ -459,4 +459,39 @@ class DedupSpec extends SparkSpecBase {
     assert(fracs(2) === Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0))
     assert(fracs(3) === Map(0L -> 0.0, 1L -> 0.0, 2L -> 0.0))
   }
+
+  test("removeDuplicatedSpans: surviving text hand-computed on the stats fixture") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x x a b c d e f g h z"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      (3L, "s1 s2 s3"),
+      (4L, "p q r s t u v w p q r s t u v w"),
+      (5L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      0L -> ((0L, "")),                       // fully covered
+      1L -> ((3L, "x x z")),                  // span [2,10) cut, flanks survive
+      2L -> ((9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")),
+      3L -> ((3L, "s1 s2 s3")),               // shorter than the window
+      4L -> ((0L, "")),                       // within-doc repeat covers all
+      5L -> ((1L, "k"))))                     // merged overlap [0,10) cut
+  }
+
+  test("removeDuplicatedSpans agrees with duplicatedSpanStats: kept = n_tokens - dup") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val stats = Dedup.duplicatedSpanStats(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val removed = Dedup.removeDuplicatedSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(removed.keySet === stats.keySet)
+    removed.foreach { case (id, kept) =>
+      val (nt, dup) = stats(id)
+      assert(kept === nt - dup, s"doc $id: kept $kept != $nt - $dup")
+    }
+    assert(stats.exists(_._2._2 > 0L), "fixture must contain duplicated spans")
+  }
 }

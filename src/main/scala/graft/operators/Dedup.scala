@@ -737,17 +737,15 @@ object Dedup {
     * per-id sort is bounded); with fixed window length the merged
     * coverage is sum(min(n, pos - prev_pos)).
     */
-  /** Start positions (id, pos) of every n-token window occurring at least
-    * `minOccurrences` times corpus-wide — the shared candidate pipeline of
-    * [[duplicatedSpanStats]] and [[removeDuplicatedSpans]]. */
-  private def dupWindowStarts(
+  /** Every n-token window occurrence as (id, pos, g) where g is the
+    * window's 64-bit content hash — the shared front of the span-dedup
+    * family. */
+  private def windowOccurrences(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int,
-      minOccurrences: Int): DataFrame = {
+      n: Int): DataFrame = {
     require(n >= 2, s"window must span at least 2 tokens, got $n")
-    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
     val sess = df.sparkSession
     // tokens staged as an attribute (no CSE into lambda bodies) behind an
     // explicit fan-out: a compact doc table often arrives in one split and
@@ -766,16 +764,46 @@ object Dedup {
           sequence(lit(0), size(col("tk")) - n),
           i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))))
         .otherwise(array().cast("array<bigint>")).as("gh"))
-    val occurrences = grams
+    grams
       .select(col("id"), posexplode_outer(col("gh")).as(Seq("pos", "g")))
       .where(col("g").isNotNull)
+  }
+
+  /** The duplicated-window hash set of a corpus: every n-token window
+    * content occurring at least `minOccurrences` times, as one 8-byte
+    * hash per distinct window. This is the STATIC side of ingest-time
+    * span dedup ([[removeSpansMatching]]) — precompute it over the
+    * historical corpus, persist it as a table, and cut matching spans
+    * out of every incoming batch, exactly as [[newContentOnly]] does for
+    * whole documents at the content-hash level. */
+  def duplicatedWindowHashes(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2, got $minOccurrences")
+    windowOccurrences(corpus, idCol, textCol, n)
+      .groupBy("g").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOccurrences)
+      .select("g")
+  }
+
+  /** Start positions (id, pos) of every n-token window occurring at least
+    * `minOccurrences` times corpus-wide — the shared candidate pipeline of
+    * [[duplicatedSpanStats]] and [[removeDuplicatedSpans]]. */
+  private def dupWindowStarts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOccurrences: Int): DataFrame = {
+    val occurrences = windowOccurrences(df, idCol, textCol, n)
+    val dup = duplicatedWindowHashes(df, idCol, textCol, n, minOccurrences)
     // duplicated windows: one partial-aggregated count per distinct hash;
     // the mark-back join reuses the same key — forced shuffled join (the
     // aggregate side's size estimate must never broadcast a corpus-scale
     // distinct-window set)
-    val dup = occurrences.groupBy("g").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= minOccurrences)
-      .select("g")
     occurrences.hint("shuffle_hash").join(dup, Seq("g")).select("id", "pos")
   }
 
@@ -827,9 +855,41 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 8,
-      minOccurrences: Int = 2): DataFrame = {
+      minOccurrences: Int = 2): DataFrame =
+    cutSpans(df, dupWindowStarts(df, idCol, textCol, n, minOccurrences),
+      idCol, textCol, n)
+
+  /** Cut spans of `docs` that match a PRECOMPUTED duplicated-window set
+    * (from [[duplicatedWindowHashes]], typically over the historical
+    * corpus) — the ingest-time counterpart of [[removeDuplicatedSpans]],
+    * usable per micro-batch inside `foreachBatch` (the interval merge is
+    * a window function, so the frame must be a batch frame; the
+    * stream-legal composition is foreachBatch, same as the rest of the
+    * curation family). The join is left UNHINTED on purpose: an incoming
+    * micro-batch is usually small against a corpus-scale window set, and
+    * Catalyst should be free to broadcast the BATCH side — forcing a
+    * shuffle here would re-shuffle the static set on every batch. */
+  def removeSpansMatching(
+      docs: DataFrame,
+      dupWindows: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val covered = windowOccurrences(docs, idCol, textCol, n)
+      .join(dupWindows.select(col(dupWindows.columns.head).as("g")), Seq("g"))
+      .select("id", "pos")
+    cutSpans(docs, covered, idCol, textCol, n)
+  }
+
+  /** Shared tail of the span-removal family: merge covered window starts
+    * into per-doc intervals and cut the spanned tokens out of the text. */
+  private def cutSpans(
+      df: DataFrame,
+      covered: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val covered = dupWindowStarts(df, idCol, textCol, n, minOccurrences)
     val w = Window.partitionBy("id").orderBy("pos")
     // merged intervals [s, e): a window starting within n of the previous
     // start overlaps-or-touches its span — same group; group id = running

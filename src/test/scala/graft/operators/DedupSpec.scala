@@ -494,4 +494,15 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(stats.exists(_._2._2 > 0L), "fixture must contain duplicated spans")
   }
+
+  test("removeSpansMatching(corpus, duplicatedWindowHashes(corpus)) == removeDuplicatedSpans") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val oneShot = keyed(Dedup.removeDuplicatedSpans(docs, n = 8))
+    val staged = keyed(Dedup.removeSpansMatching(docs,
+      Dedup.duplicatedWindowHashes(docs, n = 8), n = 8))
+    assert(staged === oneShot,
+      "the precomputed-window path must reproduce the one-shot removal")
+  }
 }

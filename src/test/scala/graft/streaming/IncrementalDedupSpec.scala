@@ -58,4 +58,42 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       === Set((3L, "new")))
   }
+
+  test("ingest-time span cut: streamed batches against a static window set == batch removal") {
+    val s = spark
+    import s.implicits._
+    // corpus plants one duplicated 4-token window: "a b c d"
+    val corpus = Seq(
+      (1L, "a b c d e1 e2"),
+      (2L, "f1 f2 a b c d"),
+      (3L, "g1 g2 g3 g4 g5")).toDF("doc_id", "text")
+    val dupWindows = Dedup.duplicatedWindowHashes(corpus, n = 4).cache()
+
+    val incoming = Seq(
+      (10L, "x1 x2 a b c d x3"), // contains the corpus span -> cut
+      (11L, "y1 y2 y3 y4 y5"),   // clean -> untouched
+      (12L, "a b c d"))          // IS the span -> emptied
+    val expected = Dedup.removeSpansMatching(incoming.toDF("doc_id", "text"),
+        dupWindows, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(expected === Map(10L -> "x1 x2 x3", 11L -> "y1 y2 y3 y4 y5", 12L -> ""))
+
+    val ms = MemoryStream[(Long, String)](s)
+    val got = new ConcurrentHashMap[Long, String]()
+    val q = ms.toDS().toDF("doc_id", "text").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.removeSpansMatching(batch, dupWindows, n = 4)
+          .collect().foreach(r => got.put(r.getLong(0), r.getString(3)))
+        ()
+      }
+      .start()
+    try {
+      ms.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(incoming.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.asScala.toMap === expected,
+      "micro-batched span cut must equal the batch form against the same static set")
+  }
 }

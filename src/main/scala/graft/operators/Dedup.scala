@@ -391,39 +391,45 @@ object Dedup {
     // to broadcast joins: near-dup edge sets are usually ≪ corpus (sparse
     // by construction), and each distributed propagation round costs a
     // fixed plan+codegen+job round-trip that dwarfs the data work on a
-    // small graph. Below the threshold (default 2^20 pairs ≈ 16 MB of
-    // longs — bounded driver memory, NOT corpus-scale) the component
-    // labels come from one collect + union-find; every label is exact and
-    // identical to the distributed fixpoint (min id per component). Larger
-    // graphs take the distributed rounds below, so the 100 TB path never
-    // collects. Set localEdgeThreshold = 0 to force distribution.
+    // small graph. Below the threshold the component labels come from one
+    // collect + union-find over primitive arrays; every label is exact
+    // and identical to the distributed fixpoint (min id per component).
+    // Driver footprint at the default 2^20-pair cap: one specialized
+    // (Long,Long) tuple array (~32 B/edge ≈ 34 MB) + sorted id array
+    // (8 B) and int parent array (4 B) per vertex (≤ 2^21 vertices
+    // ≈ 25 MB) — ~60 MB transient, bounded and far below driver heap,
+    // but NOT free: raise localEdgeThreshold with that math in mind.
+    // Larger graphs take the distributed rounds below, so the 100 TB
+    // path never collects. Set localEdgeThreshold = 0 to force
+    // distribution.
     val nDirected = edges.count() // one cheap job; also materializes the cache
     if (nDirected <= 2 * localEdgeThreshold) {
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x // path compression
-        while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
-        r
-      }
-      edges.collect().foreach { row =>
-        val (u, v) = (row.getLong(0), row.getLong(1))
-        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
-        val (ru, rv) = (find(u), find(v))
-        // union by min id: the root IS the component label
-        if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
-      }
       val sess = pairs.sparkSession
       import sess.implicits._
-      val labelRows = {
-        val it = parent.keySet().iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        while (it.hasNext) { val id = it.next(); buf += ((id, find(id))) }
-        buf.toSeq
+      // one direction suffices (read back from the cache, pairs upstream
+      // never re-runs); Tuple2[Long,Long] is @specialized — no boxing
+      val collected: Array[(Long, Long)] =
+        edges.where(col("u") < col("v")).as[(Long, Long)].collect()
+      val ids: Array[Long] =
+        collected.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct.sorted
+      val parent = Array.range(0, ids.length)
+      def find(i: Int): Int = {
+        var r = i
+        while (parent(r) != r) r = parent(r)
+        var c = i // path compression
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      collected.foreach { case (u, v) =>
+        val ru = find(java.util.Arrays.binarySearch(ids, u))
+        val rv = find(java.util.Arrays.binarySearch(ids, v))
+        // ids is sorted, so union by min INDEX is union by min id: the
+        // root IS the component label
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
       }
       edges.unpersist()
-      val labels = labelRows.toDF("id", "comp")
+      val labels = Array.tabulate(ids.length)(i => (ids(i), ids(find(i)))).toSeq
+        .toDF("id", "comp")
       return nodes.select(col("id"))
         .join(labels.withColumnRenamed("comp", "comp_"), Seq("id"), "left")
         .select(col("id"), coalesce(col("comp_"), col("id")).as("comp"))
@@ -801,10 +807,13 @@ object Dedup {
     val occurrences = windowOccurrences(df, idCol, textCol, n)
     val dup = duplicatedWindowHashes(df, idCol, textCol, n, minOccurrences)
     // duplicated windows: one partial-aggregated count per distinct hash;
-    // the mark-back join reuses the same key — forced shuffled join (the
-    // aggregate side's size estimate must never broadcast a corpus-scale
-    // distinct-window set)
-    occurrences.hint("shuffle_hash").join(dup, Seq("g")).select("id", "pos")
+    // the mark-back join reuses the same key. The shuffle_hash hint rides
+    // the DUP side: it forces a shuffled join (the aggregate side's size
+    // estimate must never broadcast a corpus-scale distinct-window set)
+    // AND makes dup the hash-BUILD side — strictly smaller than the
+    // per-occurrence stream it joins against (hinting the occurrence side
+    // would build the hash map over the largest frame in the query)
+    occurrences.join(dup.hint("shuffle_hash"), Seq("g")).select("id", "pos")
   }
 
   def duplicatedSpanStats(

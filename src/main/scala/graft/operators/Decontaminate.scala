@@ -92,4 +92,23 @@ object Decontaminate {
         coalesce(col("shared_"), lit(0L)).cast(LongType).as("shared_ngrams"),
         (coalesce(col("shared_"), lit(0L)) >= minShared).as("contaminated"))
   }
+
+  /** The complementary decontamination ACTION: cut every training span
+    * whose n-token window occurs anywhere in the eval/benchmark set —
+    * the "remove any overlapping n-gram from train" recipe (GPT-3 cut
+    * 13-gram collisions out of TRAIN, the inverse direction of
+    * [[overlap]]'s eval flagging). One benchmark occurrence is already
+    * contamination, so the window set carries NO occurrence threshold
+    * ([[Dedup.windowHashes]], distinct windows of eval); the cut itself
+    * is [[Dedup.removeSpansMatching]] — merged intervals, surviving text
+    * per train doc. The eval set is benchmark-sized (≪ corpus), so the
+    * unhinted mark-back join lets Catalyst broadcast it. */
+  def cutEvalSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 13): DataFrame =
+    Dedup.removeSpansMatching(train,
+      Dedup.windowHashes(eval, idCol, textCol, n), idCol, textCol, n)
 }

@@ -795,6 +795,21 @@ object Dedup {
       .select("g")
   }
 
+  /** The DISTINCT n-token window hash set of a corpus (one 8-byte hash
+    * per distinct window, no occurrence threshold) — the static side for
+    * cross-corpus span matching ([[Decontaminate.cutEvalSpans]] cuts
+    * every training span whose window occurs ANYWHERE in the eval set,
+    * where a ≥2 occurrence bar would be wrong: one benchmark occurrence
+    * is already contamination). Hashing is the same declarative
+    * xxhash64-of-joined-tokens as the whole span family, so sets from
+    * different corpora are joinable. */
+  def windowHashes(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame =
+    windowOccurrences(df, idCol, textCol, n).select("g").distinct()
+
   /** Start positions (id, pos) of every n-token window occurring at least
     * `minOccurrences` times corpus-wide — the shared candidate pipeline of
     * [[duplicatedSpanStats]] and [[removeDuplicatedSpans]]. */

@@ -885,7 +885,46 @@ object LlmQueries extends QueryGroup {
                   FROM documents) s
             LEFT JOIN kept USING (doc_id) ORDER BY s.doc_id"""))
 
+  val q65 = QueryDef(
+    "q65_decontaminate_span_cut",
+    "span-cut decontamination — the inverse direction of q56: every " +
+      "8-token train window occurring ANYWHERE in the held-out eval set " +
+      "(doc_id % 10 = 0) is cut out of the train text (no occurrence " +
+      "threshold: one benchmark hit is already contamination)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.cutEvalSpans(
+          d.where(col("doc_id") % 10 =!= 0),
+          d.where(col("doc_id") % 10 === 0), n = 8)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+            ev AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+                   FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+                         FROM d WHERE doc_id % 10 = 0 AND len(t) >= 8)),
+            g AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+                        FROM d WHERE doc_id % 10 != 0 AND len(t) >= 8)),
+            cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS ci
+                    FROM (SELECT doc_id, pos FROM g JOIN ev USING (gram))),
+            tok AS (SELECT doc_id, i - 1 AS idx, t[i] AS tok
+                    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                          FROM d WHERE doc_id % 10 != 0)),
+            kept AS (SELECT tok.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                       string_agg(tok.tok, ' ' ORDER BY tok.idx) AS clean_text
+                     FROM tok LEFT JOIN cov
+                       ON tok.doc_id = cov.doc_id AND tok.idx = cov.ci
+                     WHERE cov.ci IS NULL GROUP BY tok.doc_id)
+            SELECT s.doc_id, s.n_tokens,
+                   COALESCE(kept.kept_tokens, 0) AS kept_tokens,
+                   COALESCE(kept.clean_text, '') AS clean_text
+            FROM (SELECT doc_id,
+                    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+                  FROM documents WHERE doc_id % 10 != 0) s
+            LEFT JOIN kept USING (doc_id) ORDER BY s.doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }

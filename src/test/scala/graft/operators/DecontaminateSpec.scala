@@ -74,4 +74,21 @@ class DecontaminateSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Decontaminate.overlap(train, test_, minShared = 0L))
   }
+
+  test("cutEvalSpans: a single benchmark occurrence cuts the train span") {
+    val tr = Seq(
+      (0L, "t1 t2 bench phrase one here t3 t4"), // eval 4-gram at pos 2 -> cut
+      (1L, "clean content with no overlap at all"),
+      (2L, "bench phrase one here"))             // train doc IS the eval text
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "bench phrase one here")).toDF("doc_id", "text")
+    val out = Decontaminate.cutEvalSpans(tr, ev, n = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      0L -> ((4L, "t1 t2 t3 t4")),
+      1L -> ((7L, "clean content with no overlap at all")),
+      2L -> ((0L, ""))))
+    // no threshold: the window occurred ONCE in eval and was still cut —
+    // the whole point vs duplicatedWindowHashes' minOccurrences >= 2 bar
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Lexical retrieval over the document corpus — the search-side
+  * counterpart of the curation operators (ref behavior: none; EXT per
+  * SURVEY §2.10): score documents against a bag-of-words query with
+  * Okapi BM25 and return the top-k.
+  *
+  * Scale design: the query term set is tiny by contract (a user query),
+  * so the per-token stream is filtered to query terms IMMEDIATELY after
+  * tokenization — the corpus-wide explode never shuffles (tf aggregation
+  * shuffles only rows whose token is a query term, ≤ |terms| rows per
+  * doc). Document frequencies are |terms| rows (broadcast join), corpus
+  * N/avgdl is one scalar aggregate (broadcast), and the final top-k is a
+  * distributed TakeOrdered — no global sort materializes.
+  *
+  * Determinism: each term's contribution is rounded to 6 decimals and
+  * summed as DECIMAL(30,6) (order-independent — Spark's aggregation
+  * order is not deterministic and double addition is not associative),
+  * then the doc score is rounded to 4; ordering ties break on doc id.
+  */
+object Retrieval {
+
+  def bm25(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val terms = queryTerms.distinct
+    val sess = docs.sparkSession
+    // (id, len) once per doc via the fused one-pass counter
+    val lens = docs.select(col(idCol).as("id"),
+      graft.functions.TextOps.tokenCount(col(textCol)).cast(LongType).as("dl"))
+    // corpus scalars: one row, broadcast by the join planner
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // per-(doc, term) tf: the isin filter runs inside the exploded
+    // stream, so only query-term hits reach the aggregation shuffle
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode_outer(split(col(textCol), "\\s+")).as("tok"))
+      .where(col("tok").isNotNull && col("tok").isin(terms: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(dfreq, Seq("tok"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        round(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * (lit(k1) + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+          6).as("c"))
+    contrib.groupBy("id")
+      .agg(round(sum(col("c").cast(DecimalType(30, 6))).cast(DoubleType), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as(idCol), col("score"))
+  }
+}

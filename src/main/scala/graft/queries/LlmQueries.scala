@@ -924,7 +924,37 @@ object LlmQueries extends QueryGroup {
                   FROM documents WHERE doc_id % 10 != 0) s
             LEFT JOIN kept USING (doc_id) ORDER BY s.doc_id"""))
 
+  val q66 = QueryDef(
+    "q66_retrieval_bm25",
+    "Okapi BM25 lexical retrieval — top-10 docs for a 3-term query; " +
+      "query-term filter inside the exploded stream (the corpus-wide " +
+      "explode never shuffles), decimal-accumulated term contributions " +
+      "for order-independent scores, rank ties broken on doc id",
+    (s, dir) =>
+      graft.operators.Retrieval.bm25(t(s, dir, "documents"),
+          Seq("key", "table", "hash"), topK = 10)
+        .orderBy(col("score").desc, col("doc_id")),
+    Some("""WITH lens AS (SELECT doc_id,
+                     CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                   FROM documents),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+            tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents)
+                   WHERE tok IN ('key', 'table', 'hash') GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+            c AS (SELECT tf.doc_id,
+                    ROUND(ln((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                          * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / st.avgdl)),
+                      6) AS c
+                  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN st)
+            SELECT doc_id,
+                   ROUND(CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE), 4) AS score
+            FROM c GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.core.Tables
+
+class RetrievalSpec extends SparkSpecBase {
+
+  private def round(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25 matches a driver-side brute-force computation on the fixture") {
+    val terms = Seq("key", "table", "hash")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+
+    val n = raw.size.toLong
+    val avgdl = raw.values.map(_.size.toLong).sum.toDouble / n
+    val df = terms.map(t => t -> raw.values.count(_.contains(t)).toLong).toMap
+    val scores = raw.flatMap { case (id, toks) =>
+      val contribs = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0L) None
+        else {
+          val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+          val c = idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * (1.0 - b + b * toks.size / avgdl))
+          Some(BigDecimal(round(c, 6)))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> round(contribs.sum.toDouble, 4))
+    }
+    val expected = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+
+    val got = Retrieval.bm25(docs, terms, topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got === expected)
+    assert(got.size === 10, "fixture corpus must fill the top-10")
+  }
+
+  test("bm25: rarer terms out-score common ones at equal tf") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "rare common filler1 filler2"),
+      (2L, "common filler3 filler4 filler5"),
+      (3L, "common filler6 filler7 filler8")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, Seq("rare", "common"), topK = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) > out(2L), "doc with the rare term must rank first")
+    assert(out(2L) === out(3L), "identical docs w.r.t. the query tie exactly")
+  }
+
+  test("bm25: contract checks") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Retrieval.bm25(docs, Seq.empty))
+    intercept[IllegalArgumentException](Retrieval.bm25(docs, Seq("a"), topK = 0))
+  }
+}

@@ -24,6 +24,68 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object Retrieval {
 
+  /** A materialized lexical index: `postings` (tok, id, tf, dl) — one row
+    * per (document, distinct token); `dictionary` (tok, df) — corpus
+    * document frequency per token; `stats` — a single (n_docs, avgdl)
+    * row. Write the three with [[graft.sources.ParquetSink]] (postings
+    * bucketed by `tok`) and every later query reads back only the
+    * postings of its terms — an `isin` filter on the bucket/sort column
+    * that reaches the parquet scan as a pushed-down predicate. */
+  final case class Bm25Index(postings: DataFrame, dictionary: DataFrame, stats: DataFrame)
+
+  /** Build the [[Bm25Index]] once — the amortization path for repeated
+    * queries: [[bm25]] re-derives tokenization, document frequencies and
+    * corpus stats per call (right for one-off queries), while an index
+    * pays that corpus pass once. `dl` is denormalized onto each posting
+    * (8 bytes/row) so query time joins no per-doc side table. */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Bm25Index = {
+    val sess = docs.sparkSession
+    val postings = docs
+      .select(col(idCol).as("id"),
+        graft.functions.TextOps.tokenCount(col(textCol)).cast(LongType).as("dl"),
+        explode_outer(split(col(textCol), "\\s+")).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dictionary = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(graft.functions.TextOps.tokenCount(col(textCol)).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    Bm25Index(postings, dictionary, stats)
+  }
+
+  /** Score a query against a prebuilt [[Bm25Index]] — identical output
+    * to [[bm25]] over the indexed corpus (spec-asserted). Only the query
+    * terms' postings and dictionary rows enter the plan; over a bucketed
+    * parquet index the term filter prunes at the scan. */
+  def bm25FromIndex(
+      index: Bm25Index,
+      queryTerms: Seq[String],
+      idCol: String = "doc_id",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val terms = queryTerms.distinct
+    val contrib = index.postings.where(col("tok").isin(terms: _*))
+      .join(index.dictionary.where(col("tok").isin(terms: _*)), Seq("tok"))
+      .crossJoin(broadcast(index.stats))
+      .select(col("id"),
+        round(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * (lit(k1) + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+          6).as("c"))
+    contrib.groupBy("id")
+      .agg(round(sum(col("c").cast(DecimalType(30, 6))).cast(DoubleType), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as(idCol), col("score"))
+  }
+
   def bm25(
       docs: DataFrame,
       queryTerms: Seq[String],

@@ -954,7 +954,19 @@ object LlmQueries extends QueryGroup {
             FROM c GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 10"""))
 
+  val q67 = QueryDef(
+    "q67_retrieval_bm25_indexed",
+    "BM25 over a MATERIALIZED index — build postings/dictionary/stats " +
+      "once, query by term filter (the amortization path for repeated " +
+      "queries); must produce exactly q66's ranking, same oracle",
+    (s, dir) =>
+      graft.operators.Retrieval.bm25FromIndex(
+          graft.operators.Retrieval.buildIndex(t(s, dir, "documents")),
+          Seq("key", "table", "hash"), topK = 10)
+        .orderBy(col("score").desc, col("doc_id")),
+    q66.oracle)
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }

@@ -54,6 +54,28 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out(2L) === out(3L), "identical docs w.r.t. the query tie exactly")
   }
 
+  test("bm25FromIndex over a round-tripped parquet index equals direct bm25") {
+    val terms = Seq("key", "table", "hash")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val direct = Retrieval.bm25(docs, terms, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // materialize the index the way a real deployment would — parquet out,
+    // read back — so the equality also covers the write/read round-trip
+    val ix = Retrieval.buildIndex(docs)
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    ix.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    ix.dictionary.write.mode("overwrite").parquet(s"$dir/dictionary")
+    ix.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val reloaded = Retrieval.Bm25Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/dictionary"),
+      spark.read.parquet(s"$dir/stats"))
+    val indexed = Retrieval.bm25FromIndex(reloaded, terms, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === direct)
+  }
+
   test("bm25: contract checks") {
     val s = spark
     import s.implicits._

@@ -11,7 +11,7 @@ import graft.SparkSpecBase
   *
   *  - q08: the theta (non-equi) region×nation join — 5×25 rows by
   *    contract, BNLJ over a broadcast 5-row side IS the right plan;
-  *  - q54/q61/q66: `crossJoin` attaching a 1-row corpus-stats frame
+  *  - q54/q61/q66/q67: `crossJoin` attaching a 1-row corpus-stats frame
   *    (total / N+avgdl) to every row — a broadcast of exactly one row;
   *  - q36/q50: the ANN brute-force baseline — broadcast PROBES × the
   *    streamed corpus; probes are a small query batch by the operator's
@@ -26,6 +26,7 @@ class PlanLintSpec extends SparkSpecBase {
   private val bnljAllowed = Set(
     "q08_join_theta_region_nation", "q54_tfidf_keywords",
     "q61_quality_unigram_surprisal", "q66_retrieval_bm25",
+    "q67_retrieval_bm25_indexed",
     "q36_ann_cosine_topk", "q50_ann_ivf_full_probe")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {

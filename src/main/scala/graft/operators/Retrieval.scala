@@ -42,11 +42,15 @@ object Retrieval {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): Bm25Index = {
-    val sess = docs.sparkSession
     val postings = docs
-      .select(col(idCol).as("id"),
-        graft.functions.TextOps.tokenCount(col(textCol)).cast(LongType).as("dl"),
-        explode_outer(split(col(textCol), "\\s+")).as("tok"))
+      .select(col(idCol).as("id"), col(textCol).as("text_"))
+      // single-split guard (same reasoning as the dedup family): a
+      // compact doc table would otherwise tokenize the whole corpus on
+      // one task
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"),
+        graft.functions.TextOps.tokenCount(col("text_")).cast(LongType).as("dl"),
+        explode_outer(split(col("text_"), "\\s+")).as("tok"))
       .where(col("tok").isNotNull)
       .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
     val dictionary = postings.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -97,7 +101,6 @@ object Retrieval {
     require(queryTerms.nonEmpty, "queryTerms must not be empty")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val terms = queryTerms.distinct
-    val sess = docs.sparkSession
     // (id, len) once per doc via the fused one-pass counter
     val lens = docs.select(col(idCol).as("id"),
       graft.functions.TextOps.tokenCount(col(textCol)).cast(LongType).as("dl"))
@@ -105,10 +108,13 @@ object Retrieval {
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     // per-(doc, term) tf: the isin filter runs inside the exploded
-    // stream, so only query-term hits reach the aggregation shuffle
+    // stream, so only query-term hits reach the aggregation shuffle;
+    // single-split fan-out guard as everywhere tokenization fans out
     val tf = docs
-      .select(col(idCol).as("id"),
-        explode_outer(split(col(textCol), "\\s+")).as("tok"))
+      .select(col(idCol).as("id"), col(textCol).as("text_"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"),
+        explode_outer(split(col("text_"), "\\s+")).as("tok"))
       .where(col("tok").isNotNull && col("tok").isin(terms: _*))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))

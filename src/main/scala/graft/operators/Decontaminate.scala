@@ -70,16 +70,29 @@ object Decontaminate {
       maxTrainDf: Option[Int] = None): DataFrame = {
     require(n >= 1, s"n-gram order $n must be >= 1")
     require(minShared >= 1, s"minShared $minShared must be >= 1")
-    val par = train.sparkSession.sparkContext.defaultParallelism
     // kernel emits per-doc DISTINCT hashes, so counting rows per hash here
     // is document frequency — the maxTrainDf guard reads it directly
     val trainDf = gramRows(train, idCol, textCol, n)
       .groupBy("h").agg(count(lit(1)).as("tdf"))
+    overlapTail(trainDf, gramRows(test, idCol, textCol, n),
+      test, idCol, minShared, maxTrainDf)
+  }
+
+  /** Shared join tail of [[overlap]]/[[overlapBloomPruned]]: df-guard the
+    * per-gram train frequencies, shuffle-hash join the two gram streams on
+    * the 64-bit hash, count per test doc, mark back onto every test row. */
+  private def overlapTail(
+      trainDf: DataFrame,
+      testGrams: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      minShared: Long,
+      maxTrainDf: Option[Int]): DataFrame = {
+    val par = test.sparkSession.sparkContext.defaultParallelism
     val trainGrams = (maxTrainDf match {
       case Some(m) => trainDf.filter(col("tdf") <= m)
       case None    => trainDf
     }).select("h")
-    val testGrams = gramRows(test, idCol, textCol, n)
     val shared = testGrams
       .repartition(par, col("h"))
       .hint("shuffle_hash")
@@ -91,6 +104,81 @@ object Decontaminate {
         col("id").as(idCol),
         coalesce(col("shared_"), lit(0L)).cast(LongType).as("shared_ngrams"),
         (coalesce(col("shared_"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
+  /** [[overlap]] with the TRAIN-side gram stream pruned map-side by a
+    * Bloom filter over the eval set's n-gram vocabulary — the 100 TB
+    * shape of this check. The exact join is asymmetric in the worst way:
+    * the train side's distinct-gram aggregation shuffles the corpus
+    * VOCABULARY (hundreds of billions of 8-byte hashes at pretraining
+    * scale) even though only the tiny fraction colliding with the eval
+    * set can ever match. A Bloom filter of the eval vocabulary (benchmark
+    * sets are thousands of documents — a few million grams, a handful of
+    * MB at the default 3% false-positive rate: bits = n·ln(1/p)/ln²2 ≈
+    * 7.3 bits/gram) rides into every train-side scan task as a constant
+    * and discards non-colliding grams BEFORE the distinct aggregation and
+    * the join, shrinking both from corpus-vocabulary to ~eval-vocabulary
+    * volume.
+    *
+    * False positives only let extra train grams through to the exact
+    * join, where they match nothing — the output is bit-identical to
+    * [[overlap]] for every fpp (equivalence property-tested in
+    * DecontaminateSpec; the driver gate runs it against the same exact
+    * SQL oracle). The bloom itself is driver-held model state of the
+    * same kind as [[Similarity.kMeansCentroids]]' centroid matrix — its
+    * size is set by the EVAL set, which benchmark suites keep small, not
+    * by the corpus.
+    *
+    * Built on Spark's own sketch machinery (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`, the expression pair behind AQE runtime
+    * filters) so both the distributed build and the codegen'd probe are
+    * stock Tungsten paths; the aggregate's input is the same 64-bit
+    * [[graft.expressions.ShingleHashesKernel]] hash the join shuffles.
+    */
+  def overlapBloomPruned(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 13,
+      minShared: Long = 1L,
+      maxTrainDf: Option[Int] = None,
+      bloomFpp: Double = 0.03): DataFrame = {
+    require(n >= 1, s"n-gram order $n must be >= 1")
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp $bloomFpp must be in (0,1)")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    // the eval side is read twice (bloom build now, join later) — both
+    // passes over the benchmark-sized set; a persist barrier would have
+    // to outlive this call's laziness, so the double read is the honest
+    // cost and it is bounded by the eval set's size, not the corpus's
+    val evalVocab = gramRows(test, idCol, textCol, n).select("h").distinct()
+    val nGrams = evalVocab.count()
+    if (nGrams == 0L)
+      // every eval doc is shorter than n tokens: nothing can collide
+      return test.select(
+        col(idCol),
+        lit(0L).cast(LongType).as("shared_ngrams"),
+        lit(false).as("contaminated"))
+    val numBits = math.ceil(
+      nGrams * math.log(1.0 / bloomFpp) / (math.log(2) * math.log(2))).toLong
+    val bloom = evalVocab.select(ColumnGlue.column(
+        new BloomFilterAggregate(ColumnGlue.expression(col("h")),
+          Literal(nGrams), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightCollide = ColumnGlue.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), ColumnGlue.expression(col("h"))))
+    // prune BEFORE the distinct aggregation: surviving grams keep their
+    // full per-gram df count (the filter is on the gram itself, never on
+    // its occurrences), so the maxTrainDf guard semantics are unchanged
+    val trainDf = gramRows(train, idCol, textCol, n)
+      .where(mightCollide)
+      .groupBy("h").agg(count(lit(1)).as("tdf"))
+    overlapTail(trainDf, gramRows(test, idCol, textCol, n),
+      test, idCol, minShared, maxTrainDf)
   }
 
   /** The complementary decontamination ACTION: cut every training span

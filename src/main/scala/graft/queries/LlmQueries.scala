@@ -966,7 +966,141 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("score").desc, col("doc_id")),
     q66.oracle)
 
+  val q68 = QueryDef(
+    "q68_source_quota_topk",
+    "per-source crawl quota: keep the top-5 docs per source by " +
+      "(n_chars desc, doc_id) through the TopKPerKey heap operator — the " +
+      "domain-cap every crawl pipeline applies so no single site dominates " +
+      "the corpus; the map-side partial heap trims each input partition " +
+      "to ≤ k rows per source BEFORE the exchange, so the shuffle moves " +
+      "k·partitions rows per source instead of the corpus (the window-" +
+      "function idiom would sort and shuffle every row)",
+    (s, dir) =>
+      graft.plans.TopK.perKey(t(s, dir, "documents"),
+          Seq(col("source")), Seq(col("n_chars").desc, col("doc_id")),
+          k = 5, rankName = "rank")
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rank"))
+        .orderBy("source", "rank"),
+    Some("""SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT source, doc_id, n_chars,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id) AS rank
+                  FROM documents)
+            WHERE rank <= 5 ORDER BY source, rank"""))
+
+  val q69 = QueryDef(
+    "q69_pii_redaction",
+    "PII scrub through the production redaction chain (urls → emails → " +
+      "ipv4 → phones, all codegen'd regexp_replace, RE2-safe patterns). " +
+      "The fixture corpus carries no PII by construction, so the query " +
+      "grafts deterministic doc_id-derived email/url/ip/phone text onto " +
+      "each document and the DuckDB oracle re-runs the identical chain — " +
+      "upgrading the Clean family from unit-only to hash-gated",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val pii = concat(
+        lit("contact user"), col("doc_id"),
+        lit("@mail"), pmod(col("doc_id"), lit(7)),
+        lit(".example.com via https://site"), pmod(col("doc_id"), lit(13)),
+        lit(".org/p?id="), col("doc_id"),
+        lit(" from 10."), pmod(col("doc_id"), lit(200)),
+        lit(".0."), pmod(col("doc_id"), lit(250)),
+        lit(" call +1 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" -- "), col("text"))
+      d.select(col("doc_id"), graft.functions.Clean.redactPii(pii).as("redacted"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                'contact user' || doc_id || '@mail' || (doc_id % 7) ||
+                  '.example.com via https://site' || (doc_id % 13) ||
+                  '.org/p?id=' || doc_id ||
+                  ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) ||
+                  ' call +1 415-555-' ||
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                  ' -- ' || text,
+                'https?://[^\s<>"]+', '[URL]', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '[IP]', 'g'),
+                '(?:\+[0-9]{1,3}[ .-]?)?(?:\(?[0-9]{2,4}\)?[ .-]?){2,4}[0-9]{3,4}', '[PHONE]', 'g')
+                AS redacted
+            FROM documents ORDER BY doc_id"""))
+
+  val q70 = QueryDef(
+    "q70_decontaminate_bloom",
+    "bloom-pruned decontamination: the eval set's 5-gram vocabulary " +
+      "becomes a driver-built Bloom filter (Spark's own BloomFilter" +
+      "Aggregate) probed map-side inside the train-side scan, discarding " +
+      "non-colliding grams before the distinct aggregation and join — at " +
+      "corpus scale the shuffle shrinks from corpus-vocabulary to ~eval-" +
+      "vocabulary; false positives die in the exact join, so the result " +
+      "is bit-identical to q56's exact shape (same oracle SQL form)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.overlapBloomPruned(
+          d.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          d.where(pmod(col("doc_id"), lit(10)) === 0), n = 5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                       FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(t) >= 5 THEN
+                      list_distinct([array_to_string(t[i:i+4], ' ')
+                                     for i in generate_series(1, len(t)-4)])
+                    ELSE [] END AS g5
+                  FROM d),
+            tr AS (SELECT DISTINCT unnest(g5) AS ng FROM g WHERE doc_id % 10 != 0),
+            te AS (SELECT doc_id, unnest(g5) AS ng FROM g WHERE doc_id % 10 = 0),
+            ov AS (SELECT te.doc_id, COUNT(*) AS shared
+                   FROM te JOIN tr USING (ng) GROUP BY te.doc_id)
+            SELECT g.doc_id,
+                   CAST(COALESCE(ov.shared, 0) AS BIGINT) AS shared_ngrams,
+                   COALESCE(ov.shared, 0) >= 1 AS contaminated
+            FROM g LEFT JOIN ov USING (doc_id)
+            WHERE g.doc_id % 10 = 0 ORDER BY g.doc_id"""))
+
+  val q71 = QueryDef(
+    "q71_quality_calibrated_filter",
+    "per-language calibrated quality gate: the composite quality score " +
+      "percent-ranked WITHIN each language, keep the top half — an " +
+      "absolute threshold would gut languages whose score distribution " +
+      "sits lower (shorter stopword lists, different length norms); " +
+      "ranking per group is the standard calibration fix. Uses the " +
+      "windowed rank (one sort-shuffle per group set); the heap operator " +
+      "(q68) is the scale path when only a fixed quota is needed",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      d.select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .where(col("pr") <= 0.5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH x AS (SELECT doc_id, lang, text,
+                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t)))
+                   AS BIGINT) AS hits
+               FROM documents),
+            q AS (SELECT doc_id, lang,
+                    ROUND(LEAST(nt / 50.0, 1.0) * 0.5
+                          + (1.0 - ABS(hits * 1.0 / nt - 0.4)) * 0.3
+                          + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2,
+                          4) AS quality
+                  FROM x),
+            r AS (SELECT doc_id, lang, quality,
+                    ROUND(percent_rank() OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id), 4) AS pr
+                  FROM q)
+            SELECT doc_id, lang, quality, pr FROM r
+            WHERE pr <= 0.5 ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
-      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+      q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
+      q68, q69, q70, q71)
 }

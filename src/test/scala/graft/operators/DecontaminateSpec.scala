@@ -75,6 +75,43 @@ class DecontaminateSpec extends SparkSpecBase {
       Decontaminate.overlap(train, test_, minShared = 0L))
   }
 
+  test("overlapBloomPruned is bit-identical to the exact overlap") {
+    for (n <- Seq(2, 3); fpp <- Seq(0.5, 0.03)) {
+      // fpp 0.5 forces a tiny bloom with heavy false positives — the
+      // equivalence must hold anyway, because FPs only feed extra train
+      // grams into the exact join where nothing matches them
+      val exact = Decontaminate.overlap(train, test_, n = n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+      val pruned = Decontaminate.overlapBloomPruned(
+          train, test_, n = n, bloomFpp = fpp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+      assert(pruned === exact, s"n=$n fpp=$fpp")
+    }
+  }
+
+  test("overlapBloomPruned with the df guard matches the guarded exact path") {
+    val tr = Seq(
+      (0L, "common phrase one filler"),
+      (1L, "common phrase two filler"),
+      (2L, "unique signal run here")
+    ).toDF("doc_id", "text")
+    val te = Seq((10L, "common phrase borrowed"), (11L, "unique signal run stolen"))
+      .toDF("doc_id", "text")
+    val exact = Decontaminate.overlap(tr, te, n = 2, maxTrainDf = Some(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val pruned = Decontaminate.overlapBloomPruned(
+        tr, te, n = 2, maxTrainDf = Some(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(pruned === exact)
+  }
+
+  test("overlapBloomPruned: an eval set below the gram order contaminates nothing") {
+    val te = Seq((10L, "shorty"), (11L, "two toks")).toDF("doc_id", "text")
+    val out = Decontaminate.overlapBloomPruned(train, te, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out === Array((10L, 0L, false), (11L, 0L, false)))
+  }
+
   test("cutEvalSpans: a single benchmark occurrence cuts the train span") {
     val tr = Seq(
       (0L, "t1 t2 bench phrase one here t3 t4"), // eval 4-gram at pos 2 -> cut

@@ -244,6 +244,166 @@ object Similarity {
       .select("pid", "rank", "nid", "sim")
   }
 
+  // ---- Product quantization (PQ / ADC) ----
+  // Jégou, Douze, Schmid — "Product Quantization for Nearest Neighbor
+  // Search" (TPAMI 2011): split the (L2-normalized) vector into m
+  // subspaces, learn a ksub-entry codebook per subspace, store each
+  // corpus vector as m small codes. A probe then scores a candidate in
+  // O(m) table lookups (ADC — asymmetric distance computation) instead of
+  // O(dim) multiplies, and the corpus rides the scan as n·m codes
+  // instead of n·dim floats — at 100 TB that is the difference between
+  // streaming the embedding matrix and streaming ~1/64 of it. On
+  // normalized vectors, L2² = 2 − 2·cos, so ascending ADC distance is
+  // descending approximate cosine; the final ranking is EXACT cosine over
+  // the re-ranked candidate pool, so PQ (like IVF's cell routing) only
+  // ever changes candidacy, never scores — with topC ≥ corpus the output
+  // provably equals [[topKBruteForce]] (property-tested; q72 hash-gates
+  // it against the brute-force oracle).
+
+  /** Stage (outId, vn): L2-normalized double vector with the norm staged
+    * as an attribute first — lambda bodies get no CSE, so dividing by an
+    * inline `l2Norm` would re-run the O(dim) fold per element. */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String, outId: String): DataFrame =
+    withNorm(df.select(col(idCol).as(outId), col(vecCol).as("v_")), "v_", "n_")
+      .select(col(outId), transform(col("v_"), x => x.cast("double") / col("n_")).as("vn"))
+
+  /** Squared L2 distance between two double-array columns. */
+  private def l2dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, v) => s + v)
+
+  /** (id, m, sub): the m contiguous dsub-wide subvectors of each row. */
+  private def subRows(vn: DataFrame, idName: String, m: Int, dsub: Int): DataFrame =
+    vn.select(col(idName), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          mi => slice(col("vn"), mi * lit(dsub) + 1, lit(dsub))))
+      .as(Seq("m", "sub")))
+
+  /** (id, m, c): nearest codebook entry per (row, subspace); min_by on
+    * (distance, c) so ties break on the lower code deterministically.
+    * The codebook is model state (m·ksub·dsub doubles) — broadcast; the
+    * per-(id, m) argmin collapses map-side before its shuffle. */
+  private def assignCodes(
+      vn: DataFrame, books: DataFrame, m: Int, dsub: Int, idName: String): DataFrame =
+    subRows(vn, idName, m, dsub)
+      .join(broadcast(books), "m")
+      .withColumn("d", l2dist2(col("sub"), col("cvec")))
+      .groupBy(col(idName), col("m"))
+      .agg(min_by(col("c"), struct(col("d"), col("c"))).as("c"),
+        any_value(col("sub")).as("sub"))
+
+  /** Per-subspace codebooks (m, c, cvec: array<double>) trained on the
+    * L2-normalized corpus. Deterministic seed: the subvectors of the
+    * first ksub valid vectors by id (the [[topKIvf]] default-quantizer
+    * convention). `iters` Lloyd rounds refine with exact L2 means;
+    * per round only m·ksub·dsub aggregated doubles reach the driver —
+    * codebooks are model state, the corpus never moves (the
+    * [[kMeansCentroids]] contract). Cells that empty out are dropped
+    * (codes simply never reference them). */
+  def pqCodebooks(
+      corpus: DataFrame,
+      m: Int = 4,
+      ksub: Int = 16,
+      iters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && ksub >= 1 && iters >= 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vn = normalized(corpus, idCol, vecCol, "id")
+    val head = vn.select(size(col("vn"))).head()
+    val dim = head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    var books = vn.orderBy(col("id")).limit(ksub)
+      .withColumn("c",
+        row_number().over(Window.orderBy(col("id"))).cast("int") - 1)
+      .select(col("c"), posexplode(
+          transform(sequence(lit(0), lit(m - 1)),
+            mi => slice(col("vn"), mi * lit(dsub) + 1, lit(dsub))))
+        .as(Seq("m", "sub")))
+      .select(col("m"), col("c"), col("sub").as("cvec"))
+    for (_ <- 0 until iters) {
+      val dims = assignCodes(vn, books, m, dsub, "id")
+        .select(col("m"), col("c"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("m", "c", "pos").agg(avg("x").as("mu"))
+        .collect()
+      books = dims.groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+        .map { case ((mi, c), rows) =>
+          (mi, c, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq) }
+        .sortBy(t => (t._1, t._2))
+        .toDF("m", "c", "cvec")
+    }
+    books
+  }
+
+  /** Encode each corpus vector as its m-code array (id, codes) against a
+    * trained codebook — the materialized compact index ([[topKPqAdc]]
+    * builds it inline; persist the result to amortize across queries the
+    * way [[Retrieval.buildIndex]] does for BM25 postings). */
+  def pqEncode(
+      corpus: DataFrame,
+      books: DataFrame,
+      m: Int,
+      dsub: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignCodes(normalized(corpus, idCol, vecCol, "nid"), books, m, dsub, "nid")
+      .groupBy("nid")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("c")))),
+        s => s.getField("c")).as("codes"))
+
+  /** PQ/ADC approximate top-k with exact re-rank: corpus travels as
+    * codes, each probe carries its m·ksub distance table (keyed map —
+    * robust to dropped cells), candidates are the topC best ADC rows per
+    * probe (heap operator: partial trim before the exchange), and the
+    * final top-k comes from the TRUE rounded cosine over the candidate
+    * pool. ADC therefore only prunes; every emitted (rank, sim) is
+    * exact. topC ≥ corpus degenerates to [[topKBruteForce]] — the
+    * property the oracle gate pins; production callers trade recall for
+    * the O(corpus·m/dim) scan via topC ≪ corpus. */
+  def topKPqAdc(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      topC: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      iters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && topC >= k)
+    val books = codebooks.getOrElse(pqCodebooks(corpus, m, ksub, iters, idCol, vecCol))
+    val dsub = books.select(size(col("cvec"))).head().getInt(0)
+    val codes = pqEncode(corpus, books, m, dsub, idCol, vecCol)
+    // per-probe ADC table as a (m·ksub + c) → d² map: one small row per
+    // probe, broadcast against the streamed code list
+    val pn = normalized(probes, idCol, vecCol, "pid")
+    val tabs = subRows(pn, "pid", m, dsub)
+      .join(broadcast(books), "m")
+      .withColumn("d", l2dist2(col("sub"), col("cvec")))
+      .groupBy("pid")
+      .agg(map_from_entries(collect_list(
+        struct((col("m") * lit(ksub) + col("c")).cast("int"), col("d")))).as("tab"))
+    val scored = codes.crossJoin(broadcast(tabs))
+      .filter(col("pid") =!= col("nid"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, mi) => acc + element_at(col("tab"),
+          (mi * lit(ksub) + element_at(col("codes"), mi + 1)).cast("int"))))
+    val cand = graft.plans.TopK
+      .perKey(scored, Seq(col("pid")), Seq(col("adc"), col("nid")), topC)
+      .select("pid", "nid")
+    // exact re-rank over the candidate pool (same scoring frame as the
+    // brute-force baseline; probes are a small batch by contract)
+    val v = withNorm(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nvec", "nnorm")
+    val p = withNorm(probes.select(col(idCol).as("pid"), col(vecCol).as("pvec")), "pvec", "pnorm")
+    val exact = cand.join(v, "nid").join(broadcast(p), "pid")
+      .withColumn("sim", pairSim(roundTo))
+    graft.plans.TopK.perKey(exact, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
+      .select("pid", "rank", "nid", "sim")
+  }
+
   /** Within-group near-dup pairs (ia < ib, rounded cosine ≥ minSim) with
     * LSH-bucketed pair generation: candidates come from `bands`
     * independent hyperplane-bucket joins keyed on

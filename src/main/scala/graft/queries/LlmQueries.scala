@@ -1099,8 +1099,25 @@ object LlmQueries extends QueryGroup {
             SELECT doc_id, lang, quality, pr FROM r
             WHERE pr <= 0.5 ORDER BY doc_id"""))
 
+  val q72 = QueryDef(
+    "q72_ann_pq_adc_rerank",
+    "product-quantization ANN (PQ/ADC, Jégou et al. 2011): 4 subspaces × " +
+      "16-entry codebooks (2 Lloyd rounds over exact subspace means), " +
+      "corpus encoded to 4 codes/vector (the ~1/64-width scan at scale), " +
+      "per-probe distance-table scoring, exact cosine re-rank of the " +
+      "candidate pool — with topC = corpus candidacy is provably complete " +
+      "(property-tested), so q36's brute-force oracle hash-gates the " +
+      "whole codebook/encode/ADC/re-rank machinery, the q50 pattern",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.topKPqAdc(v, v.filter(col("vec_id") < 10), k = 5,
+          topC = v.count().toInt, iters = 2)
+        .orderBy("pid", "rank")
+    },
+    q36.oracle)
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71)
+      q68, q69, q70, q71, q72)
 }

@@ -92,6 +92,66 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("topKPqAdc: complete candidacy (topC = corpus) equals brute force") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val probes = v.filter(col("vec_id") < 5)
+    val n = v.count().toInt
+    val brute = Similarity.topKBruteForce(v, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    for (iters <- Seq(0, 2)) {
+      val pq = Similarity.topKPqAdc(v, probes, k = 5, topC = n, iters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(pq === brute, s"iters=$iters: full candidacy must equal brute force")
+    }
+  }
+
+  test("topKPqAdc: pruned candidacy keeps exact scores and sane recall") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val probes = v.filter(col("vec_id") < 5)
+    val brute = Similarity.topKBruteForce(v, probes, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteTop = Similarity.topKBruteForce(v, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.topKPqAdc(v, probes, k = 5, topC = 20, iters = 2).collect()
+    assert(pq.nonEmpty)
+    pq.foreach { r =>
+      assert(r.getLong(1) <= 5 && r.getLong(2) != r.getLong(0))
+      assert(math.abs(brute((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9,
+        "ADC pruning must never change emitted pair scores")
+    }
+    val hits = pq.map(r => (r.getLong(0), r.getLong(2))).count(bruteTop)
+    assert(hits >= bruteTop.size / 2,
+      s"recall@5 with topC=20: $hits/${bruteTop.size} — below the sanity floor")
+  }
+
+  test("pqCodebooks: shape contract and non-increasing quantization error") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val seed = Similarity.pqCodebooks(v, m = 4, ksub = 8, iters = 0)
+    val rows = seed.collect()
+    assert(rows.length === 4 * 8)
+    assert(rows.forall(_.getSeq[Double](2).length === 16), "64 dims / m=4 -> dsub=16")
+    // Lloyd on the subspaces: mean squared quantization error must not
+    // increase with training (same monotonicity contract as the spherical
+    // k-means used by IVF)
+    def mse(books: org.apache.spark.sql.DataFrame): Double = {
+      val bc = books.collect().map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      val byM = bc.keys.groupBy(_._1)
+      val vecs = v.limit(200).collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val errs = for (vec <- vecs; norm = math.sqrt(vec.map(x => x * x).sum); if norm > 0;
+                      mi <- 0 until 4) yield {
+        val sub = vec.slice(mi * 16, mi * 16 + 16).map(_ / norm)
+        byM(mi).map { key =>
+          val c = bc(key); sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.min
+      }
+      errs.sum / errs.length
+    }
+    val trained = Similarity.pqCodebooks(v, m = 4, ksub = 8, iters = 3)
+    assert(mse(trained) <= mse(seed) + 1e-12,
+      "training must not increase quantization error")
+  }
+
   test("kMeansCentroids: 1-cos objective non-increasing; IVF full-probe stays exact") {
     val v = Tables.load(spark, sfDir, "embeddings")
     def objective(cents: org.apache.spark.sql.DataFrame): Double =

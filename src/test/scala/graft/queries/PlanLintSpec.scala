@@ -27,7 +27,12 @@ class PlanLintSpec extends SparkSpecBase {
     "q08_join_theta_region_nation", "q54_tfidf_keywords",
     "q61_quality_unigram_surprisal", "q66_retrieval_bm25",
     "q67_retrieval_bm25_indexed",
-    "q36_ann_cosine_topk", "q50_ann_ivf_full_probe")
+    "q36_ann_cosine_topk", "q50_ann_ivf_full_probe",
+    // q72: PQ/ADC — the per-probe distance-table frame (one small row
+    // per probe) broadcast against the streamed corpus code list, plus
+    // the codebook seed/rerank joins; same bounded-build-side class as
+    // the q36/q50 broadcast-probe paths
+    "q72_ann_pq_adc_rerank")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

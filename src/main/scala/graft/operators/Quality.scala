@@ -138,6 +138,58 @@ object Quality {
       .select(col("id").as(idCol), col("n_tokens"), col("surprisal"))
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023, reduced to
+    * its unigram form): per-document mean log-likelihood ratio between a
+    * TARGET domain's unigram LM and the corpus-wide LM,
+    *
+    *   importance(d) = (1/|d|) · Σ_tok [ ln p̂_target(tok) − ln p̂_corpus(tok) ]
+    *
+    * with add-one smoothing over the corpus vocabulary on both models (a
+    * target count of zero must stay finite). Documents that look like the
+    * target domain score high; resampling/filtering on this weight tilts
+    * a generic crawl toward the domain without a trained classifier.
+    *
+    * Scale shape is [[unigramSurprisal]]'s: both LMs are VOCABULARY-sized
+    * frames persisted once (never the corpus-sized token stream), tokens
+    * ride joins as 8-byte xxhash64 values, and the per-doc mean is a
+    * map-side-combining aggregation. The target set is typically a small
+    * curated sample, but nothing here requires that — both sides stream.
+    *
+    * Output: (idCol, n_tokens, importance), importance rounded to 4 (a
+    * genuine quotient — cross-engine safe). */
+  def importanceWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    def tokHashes(df: DataFrame): DataFrame =
+      tokens(df, idCol, textCol)
+        .repartition(par, col("id"))
+        .select(col("id"), explode_outer(col("toks")).as("tok"))
+        .where(col("tok").isNotNull)
+        .select(col("id"), xxhash64(col("tok")).as("h"))
+    val toks = tokHashes(corpus)
+    val cf = toks.groupBy("h").agg(count(lit(1)).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val tf = tokHashes(target).groupBy("h").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // scalar model constants: corpus size, vocab size, target size (an
+    // empty target degenerates to the uniform model via smoothing)
+    val stats = cf.agg(sum(col("cf")).as("nc"), count(lit(1)).as("v"))
+      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("nt")))
+    val lw = cf.join(tf, Seq("h"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("h"),
+        (log((coalesce(col("tf"), lit(0L)) + lit(1.0)) / (col("nt") + col("v"))) -
+          log((col("cf") + lit(1.0)) / (col("nc") + col("v")))).as("lw"))
+    toks.join(lw, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("lw")), 4).as("importance"))
+      .select(col("id").as(idCol), col("n_tokens"), col("importance"))
+  }
+
   /** [[repetitionMetrics]] plus a `keep` verdict — the actual corpus
     * filter decision. Defaults are calibrated loose (repetition filters
     * drop outliers, not the median document); every threshold is a knob.

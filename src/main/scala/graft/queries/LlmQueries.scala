@@ -1116,8 +1116,39 @@ object LlmQueries extends QueryGroup {
     },
     q36.oracle)
 
+  val q73 = QueryDef(
+    "q73_dsir_importance",
+    "DSIR-style domain importance weighting (unigram form): per-doc mean " +
+      "log-ratio between the en-labeled target LM and the corpus LM, " +
+      "add-one smoothed — the classifier-free domain-tilt signal; both " +
+      "LMs are vocabulary-sized frames, tokens join as 8-byte hashes",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Quality.importanceWeights(d, d.where(col("lang") === "en"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents),
+            cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+                   FROM tok GROUP BY tok),
+            tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents WHERE lang = 'en') GROUP BY tok),
+            st AS (SELECT (SELECT SUM(cf) FROM cf) AS nc,
+                          (SELECT COUNT(*) FROM cf) AS v,
+                          (SELECT COALESCE(SUM(tf), 0) FROM tf) AS nt),
+            lw AS (SELECT cf.tok,
+                     ln((COALESCE(tf.tf, 0) + 1.0) / (st.nt + st.v))
+                       - ln((cf.cf + 1.0) / (st.nc + st.v)) AS lw
+                   FROM cf LEFT JOIN tf USING (tok) CROSS JOIN st)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(lw), 4) AS importance
+            FROM tok JOIN lw USING (tok)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72)
+      q68, q69, q70, q71, q72, q73)
 }

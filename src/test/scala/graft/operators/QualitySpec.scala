@@ -80,6 +80,35 @@ class QualitySpec extends SparkSpecBase {
       "rarer vocabulary must score more surprising")
   }
 
+  test("importanceWeights: target == corpus is exactly zero everywhere") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    // identical LMs (tf == cf, nt == nc) make every token's log-ratio
+    // exactly 0.0 — not approximately: both ln() calls see the same double
+    val out = Quality.importanceWeights(df, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 2)
+    out.foreach { case (_, _, w) => assert(w === 0.0) }
+  }
+
+  test("importanceWeights: in-domain documents outrank out-of-domain") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "physics quantum field theory lattice"),
+      (1L, "recipe butter sugar flour oven"),
+      (2L, "quantum lattice physics papers")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "quantum physics lattice field"))
+      .toDF("doc_id", "text")
+    val w = Quality.importanceWeights(corpus, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(0L) > w(1L) && w(2L) > w(1L),
+      s"physics docs must outscore the recipe: $w")
+  }
+
   test("fixture metrics land in [0,1] and every doc gets a row") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val rows = Quality.repetitionFilter(docs).collect()

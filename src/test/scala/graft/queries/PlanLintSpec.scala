@@ -27,6 +27,9 @@ class PlanLintSpec extends SparkSpecBase {
     "q08_join_theta_region_nation", "q54_tfidf_keywords",
     "q61_quality_unigram_surprisal", "q66_retrieval_bm25",
     "q67_retrieval_bm25_indexed",
+    // q73: the 1-row LM-constants frame (corpus/target totals + vocab
+    // size) attached to the vocabulary frame — same class as q61's total
+    "q73_dsir_importance",
     "q36_ann_cosine_topk", "q50_ann_ivf_full_probe",
     // q72: PQ/ADC — the per-probe distance-table frame (one small row
     // per probe) broadcast against the streamed corpus code list, plus

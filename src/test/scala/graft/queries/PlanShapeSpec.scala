@@ -125,4 +125,36 @@ class PlanShapeSpec extends SparkSpecBase {
     // one shuffle for the group-by, one singlePartition for the final sort
     assert(exchanges <= 3, s"unexpected shuffle count: $exchanges")
   }
+
+  test("q68: quota capping runs on the heap operator, never a window sort") {
+    val p = plan("q68_source_quota_topk")
+    assert(p.linesIterator.count(_.contains("TopKPerKey")) === 2,
+      "partial + final heap phases expected")
+    val beforeFinalSort = p.linesIterator.dropWhile(!_.contains("TopKPerKey")).mkString("\n")
+    assert(!beforeFinalSort.contains("WindowExec") && !beforeFinalSort.contains("Sort ["),
+      s"no sort may feed the heap phases:\n$beforeFinalSort")
+  }
+
+  test("q70: the bloom probe prunes the train gram stream BELOW its exchange") {
+    val p = plan("q70_decontaminate_bloom")
+    val lines = p.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(probeIdx >= 0, s"bloom probe missing from the plan:\n$p")
+    // the filter must sit on the scan side of every GRAM-keyed shuffle:
+    // below the probe only the deliberate single-split fan-out repartition
+    // (keyed on the doc id) may appear — an h-keyed exchange under the
+    // probe would mean the full corpus vocabulary shipped before pruning
+    val below = lines.drop(probeIdx + 1).takeWhile(!_.contains("FileScan"))
+    assert(!below.exists(l => l.contains("Exchange") && l.contains("(h#")),
+      s"bloom probe must run before any gram-hash shuffle:\n${below.mkString("\n")}")
+    assert(p.contains("ShuffledHashJoin"), "gram join must stay shuffled")
+  }
+
+  test("q72: PQ scoring streams codes against broadcast probe tables; re-rank exact") {
+    val p = plan("q72_ann_pq_adc_rerank")
+    assert(p.contains("float_dot"),
+      "exact re-rank must use the native dot kernel")
+    assert(p.linesIterator.count(_.contains("TopKPerKey")) === 4,
+      "candidate trim + final rank, each partial+final, on the heap operator")
+  }
 }

@@ -168,4 +168,47 @@ object Sampling {
     // null branch — fixture ids are non-null by contract.)
     df.withColumn(outputCol, when(col(idCol).isNotNull, assigned))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006), the
+    * deterministic form: each row draws u ∈ (0,1) from its stable id
+    * (the same engine-portable [[bucket]] machinery as every sampler
+    * here, u = (bucket + 0.5)/B — never 0, so the log is finite) and is
+    * ranked by key = ln(u)/w; the k largest keys per group are the
+    * sample. Heavier rows win proportionally more often — the exact
+    * inclusion semantics pretraining mixes want when upsampling curated
+    * domains — yet the selected SET is a pure function of (ids, weights,
+    * salt): stable across runs, partitioning, and engines.
+    *
+    * The key is ROUNDED to 9 decimals before ranking (ties then break on
+    * the id): both engines compute ln and the divide in IEEE doubles,
+    * and the round absorbs the last-ulp libm differences that could
+    * otherwise flip a rank at the selection boundary — the same
+    * "rank on rounded score" discipline as the ANN family.
+    *
+    * Ranking runs on the TopKPerKey heap operator: the map-side partial
+    * trim keeps k rows per group per partition, so the exchange never
+    * moves the corpus ([[graft.plans.TopK]]; with `groupCols` empty the
+    * sample is global — a single constant key, fine for small k, use
+    * groups when k·|groups| is the real budget). Rows with weight ≤ 0 or
+    * NULL are dropped: they have no sampling mass.
+    *
+    * Output: the surviving rows plus `es_rank` (1-based within group). */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      groupCols: Seq[String] = Nil,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val w = col(weightCol).cast("double")
+    val u = (bucket(col(idCol), salt).cast("double") + 0.5) / Buckets
+    val base = df.filter(w.isNotNull && w > 0)
+      .withColumn("es_key_", round(log(u) / w, 9))
+    val keys = if (groupCols.isEmpty) Seq(lit(1)) else groupCols.map(col)
+    graft.plans.TopK
+      .perKey(base, keys, Seq(col("es_key_").desc, col(idCol)), k, "es_rank")
+      .drop("es_key_")
+  }
 }

@@ -1147,8 +1147,40 @@ object LlmQueries extends QueryGroup {
             FROM tok JOIN lw USING (tok)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  val q74 = QueryDef(
+    "q74_weighted_sample",
+    "Efraimidis–Spirakis weighted sampling without replacement, " +
+      "deterministic form: u drawn from the engine-portable id hash, " +
+      "rank by rounded ln(u)/weight on the heap operator, top-3 per " +
+      "source by n_chars weight — heavier docs win proportionally more " +
+      "often, the selected set is a pure function of (ids, weights, salt)",
+    (s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          k = 3, groupCols = Seq("source"), salt = "w1")
+        .select(col("source"), col("doc_id"), col("n_chars"), col("es_rank"))
+        .orderBy("source", "es_rank"),
+    Some("""WITH raw AS (SELECT doc_id, source, n_chars,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(CAST(doc_id AS VARCHAR) || 'w1', ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                      (a, v) -> (a * 31 + v) % 1000000007) AS hs
+                  FROM documents),
+            b AS (SELECT doc_id, source, n_chars,
+                    ((hs + 479001599) * (hs + 987654323))
+                      % 1000000007 % 10000 AS bk
+                  FROM raw),
+            kd AS (SELECT doc_id, source, n_chars,
+                     ROUND(ln((bk + 0.5) / 10000) / n_chars, 9) AS key
+                   FROM b),
+            r AS (SELECT doc_id, source, n_chars,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY key DESC, doc_id) AS es_rank
+                  FROM kd)
+            SELECT source, doc_id, n_chars, CAST(es_rank AS BIGINT) AS es_rank
+            FROM r WHERE es_rank <= 3 ORDER BY source, es_rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72, q73)
+      q68, q69, q70, q71, q72, q73, q74)
 }

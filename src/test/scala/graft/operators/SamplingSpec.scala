@@ -109,6 +109,60 @@ class SamplingSpec extends SparkSpecBase {
       "a row with no identity has no deterministic split — never default it into the eval set")
   }
 
+  test("weightedSample: deterministic, k per group, zero/null weights dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    def run() = Sampling.weightedSample(docs, "doc_id", "n_chars",
+        k = 3, groupCols = Seq("source"), salt = "w1")
+      .select("source", "doc_id", "es_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run()
+    assert(a === run(), "same inputs and salt must select the same set")
+    a.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.size <= 3, s"quota exceeded for $src")
+      assert(rows.map(_._3) === (1L to rows.size).toSet, s"ranks not 1..k for $src")
+    }
+    val weighted = Seq((1L, "a", 10L), (2L, "a", 0L), (3L, "a", -5L),
+        (4L, null.asInstanceOf[String], 7L))
+      .toDF("doc_id", "src", "w")
+    val kept = Sampling.weightedSample(weighted, "doc_id", "w", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L), "non-positive weights carry no sampling mass")
+  }
+
+  test("weightedSample: equal weights reduce to the unweighted hash order") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map(i => (i, 1L)).toDF("doc_id", "w")
+    val es = Sampling.weightedSample(df, "doc_id", "w", k = 5, salt = "eq")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // with w constant, ln(u)/w is monotone in u: the winners must be the
+    // k largest buckets (ties impossible here: 200 ids over 10000 buckets
+    // collide rarely, and the id tie-break makes even that deterministic)
+    val byBucket = df.select(col("doc_id"),
+        Sampling.bucket(col("doc_id"), "eq").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, b) => (-b, id) }.take(5).map(_._1).toSet
+    assert(es === byBucket)
+  }
+
+  test("weightedSample: heavier rows are selected more often across salts") {
+    val s = spark
+    import s.implicits._
+    // two populations with 10x weight ratio; count selections over many
+    // independent salts — the heavy population must dominate
+    val df = (0L until 100L).map(i => (i, if (i < 50) 100L else 10L))
+      .toDF("doc_id", "w")
+    val wins = (0 until 20).flatMap { r =>
+      Sampling.weightedSample(df, "doc_id", "w", k = 10, salt = s"s$r")
+        .select("doc_id").collect().map(_.getLong(0))
+    }
+    val heavy = wins.count(_ < 50)
+    assert(heavy > wins.size / 2,
+      s"10x-weighted rows won only $heavy/${wins.size} slots")
+  }
+
   test("invalid configurations fail fast") {
     intercept[IllegalArgumentException] {
       Sampling.deterministicSample(docs, "doc_id", 1.5)

@@ -71,4 +71,32 @@ object FileSources {
 
   def jsonLinesStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)
+
+  /** Raw text shards, one row per LINE: (value, src_file) — the landing
+    * format of line-delimited crawl dumps. Line splitting is Hadoop's
+    * splittable TextInputFormat, so a shard bigger than a split is read
+    * by several tasks in parallel; `input_file_name` rides along because
+    * provenance (which shard a line came from) is the first thing a
+    * curation pipeline needs for audits and re-drives. No schema
+    * parameter: the format has exactly one column by construction. */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .withColumn("src_file", org.apache.spark.sql.functions.input_file_name())
+
+  /** One row per FILE: (value = whole contents, src_file) — the
+    * document-per-file layout (scraped pages, markdown corpora).
+    * `wholetext` makes the FILE the record, so a file is never split
+    * across tasks — parallelism comes from file count, which is exactly
+    * right for this layout (and why big corpora should prefer line- or
+    * parquet-sharded landing; this reader exists for the long tail that
+    * arrives as files). */
+  def wholeTextDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .withColumn("src_file", org.apache.spark.sql.functions.input_file_name())
+
+  /** Streaming variant of [[textLines]] — tail a landing directory of
+    * text shards into the curation pipeline (same provenance column). */
+  def textLinesStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path)
+      .withColumn("src_file", org.apache.spark.sql.functions.input_file_name())
 }

@@ -62,4 +62,62 @@ class FileSourcesSpec extends SparkSpecBase {
     val got = spark.table("fs_csv_stream").orderBy("s_suppkey").collect().toSeq
     assert(got === supplier.orderBy("s_suppkey").collect().toSeq)
   }
+
+  test("textLines: every line lands as a row with shard provenance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "shard-0.txt").toPath,
+        "alpha doc one\nbeta doc two\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(dir, "shard-1.txt").toPath,
+        "gamma doc three\n".getBytes("UTF-8"))
+      val rows = FileSources.textLines(spark, dir.getAbsolutePath)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length === 3)
+      assert(rows.map(_._1).toSet ===
+        Set("alpha doc one", "beta doc two", "gamma doc three"))
+      rows.foreach { case (line, f) =>
+        val expectShard = if (line.startsWith("gamma")) "shard-1" else "shard-0"
+        assert(f.contains(expectShard), s"wrong provenance for '$line': $f")
+      }
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("wholeTextDocs: the file is the record, newlines preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_whole").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.md").toPath,
+        "title\n\nbody line\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(dir, "b.md").toPath,
+        "second doc".getBytes("UTF-8"))
+      val rows = FileSources.wholeTextDocs(spark, dir.getAbsolutePath)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length === 2)
+      val byFile = rows.map { case (v, f) => f.split('/').last -> v }.toMap
+      assert(byFile("a.md") === "title\n\nbody line\n")
+      assert(byFile("b.md") === "second doc")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("streaming text source tails a landing dir (AvailableNow parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text_stream").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "s0.txt").toPath,
+        "line one\nline two\n".getBytes("UTF-8"))
+      val q = FileSources.textLinesStream(spark, dir.getAbsolutePath)
+        .writeStream.format("memory").queryName("fs_text_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+      val got = spark.table("fs_text_stream").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got.map(_._1).toSet === Set("line one", "line two"))
+      assert(got.forall(_._2.contains("s0.txt")))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }

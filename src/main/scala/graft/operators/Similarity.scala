@@ -309,7 +309,11 @@ object Similarity {
     require(m >= 1 && ksub >= 1 && iters >= 0)
     val spark = corpus.sparkSession
     import spark.implicits._
+    // one read per Lloyd round (assign) plus the seed and dim probe:
+    // materialize the normalization once instead of re-scanning and
+    // re-normalizing the corpus every round (the kMeansCentroids barrier)
     val vn = normalized(corpus, idCol, vecCol, "id")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val head = vn.select(size(col("vn"))).head()
     val dim = head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
@@ -333,6 +337,11 @@ object Similarity {
         .sortBy(t => (t._1, t._2))
         .toDF("m", "c", "cvec")
     }
+    // trained codebooks are driver-built literal frames with no plan
+    // reference to vn; the iters = 0 seed re-derives lazily (plain
+    // persist — lineage intact, recompute is correct). Either way the
+    // cache must not outlive the call.
+    vn.unpersist()
     books
   }
 

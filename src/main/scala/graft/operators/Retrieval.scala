@@ -90,6 +90,59 @@ object Retrieval {
       .select(col("id").as(idCol), col("score"))
   }
 
+  /** Batched retrieval: score MANY queries in ONE pass over the index —
+    * the production shape of retrieval mining (building RAG / contrastive
+    * training pairs runs thousands of queries, and re-scanning postings
+    * per query is the difference between one job and thousands).
+    *
+    * `queries` is a (queryIdCol, termCol) table, small by contract (it is
+    * the query workload, not the corpus) — it broadcasts into the
+    * postings join, so the postings stream is read once and only rows
+    * whose token appears in SOME query survive; the per-(query, doc)
+    * score aggregation then shuffles only those hits, and the final
+    * top-k per query runs on the heap operator (map-side partial trim —
+    * no global sort, no per-query job). The collected term list is also
+    * applied as an `isin` prefilter so a bucketed parquet index still
+    * prunes at the scan (a join alone would not push down).
+    *
+    * Per-query output is IDENTICAL to [[bm25FromIndex]] with that
+    * query's terms (spec-asserted): document frequencies come from the
+    * corpus-wide dictionary either way. Output: (queryIdCol, idCol,
+    * score, rank), rank 1-based per query. */
+  def bm25BatchFromIndex(
+      index: Bm25Index,
+      queries: DataFrame,
+      queryIdCol: String = "query_id",
+      termCol: String = "term",
+      idCol: String = "doc_id",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val q = queries.select(col(queryIdCol).as("qid"), col(termCol).as("tok")).distinct()
+    // the workload's distinct terms, driver-side: the query table is
+    // small by contract and the list exists to reach the parquet scan
+    // as a pushed-down predicate on a bucketed index
+    val termList = q.select("tok").distinct().collect().map(_.getString(0)).toSeq
+    require(termList.nonEmpty, "queries must carry at least one term")
+    val termDf = index.dictionary.where(col("tok").isin(termList: _*))
+    val contrib = index.postings.where(col("tok").isin(termList: _*))
+      .join(broadcast(q), Seq("tok"))
+      .join(broadcast(termDf), Seq("tok"))
+      .crossJoin(broadcast(index.stats))
+      .select(col("qid"), col("id"),
+        round(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * (lit(k1) + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+          6).as("c"))
+    val scored = contrib.groupBy("qid", "id")
+      .agg(round(sum(col("c").cast(DecimalType(30, 6))).cast(DoubleType), 4).as("score"))
+    graft.plans.TopK
+      .perKey(scored, Seq(col("qid")), Seq(col("score").desc, col("id")), topK, "rank")
+      .select(col("qid").as(queryIdCol), col("id").as(idCol), col("score"), col("rank"))
+  }
+
   def bm25(
       docs: DataFrame,
       queryTerms: Seq[String],

@@ -1179,8 +1179,55 @@ object LlmQueries extends QueryGroup {
             SELECT source, doc_id, n_chars, CAST(es_rank AS BIGINT) AS es_rank
             FROM r WHERE es_rank <= 3 ORDER BY source, es_rank"""))
 
+  val q75 = QueryDef(
+    "q75_retrieval_bm25_batch",
+    "batched BM25: two bag-of-words queries scored in ONE pass over the " +
+      "materialized index (the retrieval-mining shape — per-query jobs " +
+      "do not scale to workloads of thousands), query table broadcast " +
+      "into the postings join, top-5 per query on the heap operator; " +
+      "per-query output identical to the single-query path",
+    (s, dir) => {
+      import s.implicits._
+      val qtab = Seq(
+        (1L, "key"), (1L, "table"), (1L, "hash"),
+        (2L, "window"), (2L, "batch"), (2L, "spark"))
+        .toDF("query_id", "term")
+      graft.operators.Retrieval.bm25BatchFromIndex(
+          graft.operators.Retrieval.buildIndex(t(s, dir, "documents")),
+          qtab, topK = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q(qid, tok) AS (VALUES (1, 'key'), (1, 'table'), (1, 'hash'),
+                 (2, 'window'), (2, 'batch'), (2, 'spark')),
+            lens AS (SELECT doc_id,
+                       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                     FROM documents),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+            tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents)
+                   WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+            c AS (SELECT q.qid, tf.doc_id,
+                    ROUND(ln((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                          * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / st.avgdl)),
+                      6) AS c
+                  FROM q JOIN tf USING (tok) JOIN dfreq USING (tok)
+                    JOIN lens USING (doc_id) CROSS JOIN st),
+            s AS (SELECT qid, doc_id,
+                    ROUND(CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE), 4) AS score
+                  FROM c GROUP BY qid, doc_id),
+            r AS (SELECT qid, doc_id, score,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, doc_id) AS rank
+                  FROM s)
+            SELECT CAST(qid AS BIGINT) AS query_id, doc_id, score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72, q73, q74)
+      q68, q69, q70, q71, q72, q73, q74, q75)
 }

@@ -76,6 +76,39 @@ class RetrievalSpec extends SparkSpecBase {
     assert(indexed === direct)
   }
 
+  test("bm25BatchFromIndex: each query's ranking equals the single-query path") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val index = Retrieval.buildIndex(docs)
+    val workload = Map(
+      1L -> Seq("key", "table", "hash"),
+      2L -> Seq("window", "batch", "spark"))
+    val qtab = workload.toSeq
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("query_id", "term")
+    val batch = Retrieval.bm25BatchFromIndex(index, qtab, topK = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    workload.foreach { case (qid, terms) =>
+      val single = Retrieval.bm25FromIndex(index, terms, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single, s"query $qid diverged from the single path")
+    }
+  }
+
+  test("bm25BatchFromIndex: contract checks") {
+    val s = spark
+    import s.implicits._
+    val index = Retrieval.buildIndex(Seq((1L, "a b c")).toDF("doc_id", "text"))
+    val empty = Seq.empty[(Long, String)].toDF("query_id", "term")
+    intercept[IllegalArgumentException](Retrieval.bm25BatchFromIndex(index, empty))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25BatchFromIndex(index,
+        Seq((1L, "a")).toDF("query_id", "term"), topK = 0))
+  }
+
   test("bm25: contract checks") {
     val s = spark
     import s.implicits._

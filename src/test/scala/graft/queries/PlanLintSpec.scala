@@ -26,7 +26,7 @@ class PlanLintSpec extends SparkSpecBase {
   private val bnljAllowed = Set(
     "q08_join_theta_region_nation", "q54_tfidf_keywords",
     "q61_quality_unigram_surprisal", "q66_retrieval_bm25",
-    "q67_retrieval_bm25_indexed",
+    "q67_retrieval_bm25_indexed", "q75_retrieval_bm25_batch",
     // q73: the 1-row LM-constants frame (corpus/target totals + vocab
     // size) attached to the vocabulary frame — same class as q61's total
     "q73_dsir_importance",

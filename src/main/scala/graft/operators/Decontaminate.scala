@@ -151,10 +151,12 @@ object Decontaminate {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
 
-    // the eval side is read twice (bloom build now, join later) — both
-    // passes over the benchmark-sized set; a persist barrier would have
-    // to outlive this call's laziness, so the double read is the honest
-    // cost and it is bounded by the eval set's size, not the corpus's
+    // the eval side is read three times (vocabulary count — the bloom's
+    // size parameter must be a literal before the aggregate runs — then
+    // the bloom build, then the join side later); every pass is over the
+    // benchmark-sized set, and a persist barrier would have to outlive
+    // this call's laziness, so the repeated read is the honest cost and
+    // it is bounded by the eval set's size, not the corpus's
     val evalVocab = gramRows(test, idCol, textCol, n).select("h").distinct()
     val nGrams = evalVocab.count()
     if (nGrams == 0L)

@@ -403,7 +403,10 @@ object Dedup {
     // path never collects. Set localEdgeThreshold = 0 to force
     // distribution.
     val nDirected = edges.count() // one cheap job; also materializes the cache
-    if (nDirected <= 2 * localEdgeThreshold) {
+    // divide the count, never double the threshold: 2 * Long.MaxValue
+    // wraps negative and would silently disable the local path for a
+    // caller who passed the max to mean "always local"
+    if (nDirected / 2 <= localEdgeThreshold) {
       val sess = pairs.sparkSession
       import sess.implicits._
       // one direction suffices (read back from the cache, pairs upstream
@@ -602,13 +605,14 @@ object Dedup {
       jaccardPairsImpl(df, idCol, textCol, n, minJaccard, maxShingleDf)
     val pairs = pairsAll.select("ia", "ib").persist(StorageLevel.DISK_ONLY)
     val nodes = df.select(col(idCol).as("id"))
-    val comp = connectedComponents(pairs, nodes)
     // connectedComponents returns with its labels materialized lineage-free,
     // so nothing downstream references the pair pipeline anymore: drop BOTH
-    // per-call caches here — repeated dedupClusters calls must not
-    // accumulate disk blocks for the session lifetime
-    pairs.unpersist()
-    hashCache.unpersist()
+    // per-call caches — in a finally, so a throwing clustering (non-
+    // convergence, cancelled jobs) cannot pin corpus-scale blocks either;
+    // repeated dedupClusters calls must not accumulate session disk blocks
+    val comp =
+      try connectedComponents(pairs, nodes)
+      finally { pairs.unpersist(); hashCache.unpersist() }
     comp.select(col("id").as(idCol), col("comp").as("cluster_id"),
       (col("id") === col("comp")).as("keep"))
   }
@@ -899,8 +903,16 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 8): DataFrame = {
+    // select the hash column by NAME (both producers emit `g`): a
+    // positional pick would silently join on the wrong values when a
+    // caller's persisted window set carries extra columns ordered first —
+    // matches would vanish and contaminated spans survive with no error
+    require(dupWindows.columns.contains("g"),
+      s"dupWindows must carry the window-hash column 'g' " +
+        s"(duplicatedWindowHashes/windowHashes output); got " +
+        s"[${dupWindows.columns.mkString(", ")}]")
     val covered = windowOccurrences(docs, idCol, textCol, n)
-      .join(dupWindows.select(col(dupWindows.columns.head).as("g")), Seq("g"))
+      .join(dupWindows.select(col("g")), Seq("g"))
       .select("id", "pos")
     cutSpans(docs, covered, idCol, textCol, n)
   }

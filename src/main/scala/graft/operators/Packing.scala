@@ -98,10 +98,15 @@ object Packing {
       weightCol: String,
       windowTokens: Long): DataFrame = {
     require(windowTokens >= 1L, s"windowTokens $windowTokens must be >= 1")
+    // weightCol rides inside a SQL string for DIV (no Column operator for
+    // integer division) — backtick-quote it, doubling embedded backticks,
+    // so names that aren't bare identifiers ("n-chunk-tokens") resolve as
+    // one column instead of parsing as arithmetic or throwing
+    val w = "`" + weightCol.replace("`", "``") + "`"
     withGlobalOffset(chunks, orderCols, weightCol, "offset")
       .withColumn("pack_id", expr(s"offset DIV ${windowTokens}L"))
       .withColumn("pack_pos", pmod(col("offset"), lit(windowTokens)))
       .withColumn("crosses_pack",
-        expr(s"(offset + $weightCol - 1L) DIV ${windowTokens}L") > col("pack_id"))
+        expr(s"(offset + $w - 1L) DIV ${windowTokens}L") > col("pack_id"))
   }
 }

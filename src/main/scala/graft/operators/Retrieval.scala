@@ -24,6 +24,24 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object Retrieval {
 
+  /** The Okapi BM25 per-(doc, term) contribution — expects tf, df, dl,
+    * n_docs, avgdl in scope, emits the 6-decimal-rounded term score. The
+    * ONE definition every entry point shares: the spec-asserted identity
+    * between the direct, indexed, and batched paths rests on there being
+    * no second copy to drift. */
+  private def bm25Contribution(k1: Double, b: Double): org.apache.spark.sql.Column =
+    round(
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * (lit(k1) + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+      6).as("c")
+
+  /** Order-independent doc score: decimal-accumulated sum of the `c`
+    * contributions, rounded to 4 (aggregation order must not perturb
+    * the ranking). */
+  private def bm25Score: org.apache.spark.sql.Column =
+    round(sum(col("c").cast(DecimalType(30, 6))).cast(DoubleType), 4).as("score")
+
   /** A materialized lexical index: `postings` (tok, id, tf, dl) — one row
     * per (document, distinct token); `dictionary` (tok, df) — corpus
     * document frequency per token; `stats` — a single (n_docs, avgdl)
@@ -77,14 +95,9 @@ object Retrieval {
     val contrib = index.postings.where(col("tok").isin(terms: _*))
       .join(index.dictionary.where(col("tok").isin(terms: _*)), Seq("tok"))
       .crossJoin(broadcast(index.stats))
-      .select(col("id"),
-        round(
-          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-            (col("tf") * (lit(k1) + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
-          6).as("c"))
+      .select(col("id"), bm25Contribution(k1, b))
     contrib.groupBy("id")
-      .agg(round(sum(col("c").cast(DecimalType(30, 6))).cast(DoubleType), 4).as("score"))
+      .agg(bm25Score)
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
       .select(col("id").as(idCol), col("score"))
@@ -130,14 +143,8 @@ object Retrieval {
       .join(broadcast(q), Seq("tok"))
       .join(broadcast(termDf), Seq("tok"))
       .crossJoin(broadcast(index.stats))
-      .select(col("qid"), col("id"),
-        round(
-          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-            (col("tf") * (lit(k1) + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
-          6).as("c"))
-    val scored = contrib.groupBy("qid", "id")
-      .agg(round(sum(col("c").cast(DecimalType(30, 6))).cast(DoubleType), 4).as("score"))
+      .select(col("qid"), col("id"), bm25Contribution(k1, b))
+    val scored = contrib.groupBy("qid", "id").agg(bm25Score)
     graft.plans.TopK
       .perKey(scored, Seq(col("qid")), Seq(col("score").desc, col("id")), topK, "rank")
       .select(col("qid").as(queryIdCol), col("id").as(idCol), col("score"), col("rank"))
@@ -175,14 +182,9 @@ object Retrieval {
       .join(dfreq, Seq("tok"))
       .join(lens, Seq("id"))
       .crossJoin(broadcast(stats))
-      .select(col("id"),
-        round(
-          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-            (col("tf") * (lit(k1) + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
-          6).as("c"))
+      .select(col("id"), bm25Contribution(k1, b))
     contrib.groupBy("id")
-      .agg(round(sum(col("c").cast(DecimalType(30, 6))).cast(DoubleType), 4).as("score"))
+      .agg(bm25Score)
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
       .select(col("id").as(idCol), col("score"))

@@ -311,9 +311,13 @@ object Similarity {
     import spark.implicits._
     // one read per Lloyd round (assign) plus the seed and dim probe:
     // materialize the normalization once instead of re-scanning and
-    // re-normalizing the corpus every round (the kMeansCentroids barrier)
+    // re-normalizing the corpus every round (the kMeansCentroids barrier).
+    // try/finally below: a failing dim check, empty-corpus head() or
+    // failed Lloyd collect must not pin a corpus-sized cache entry for
+    // the session lifetime (the connectedComponents release discipline)
     val vn = normalized(corpus, idCol, vecCol, "id")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
     val head = vn.select(size(col("vn"))).head()
     val dim = head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
@@ -337,12 +341,14 @@ object Similarity {
         .sortBy(t => (t._1, t._2))
         .toDF("m", "c", "cvec")
     }
-    // trained codebooks are driver-built literal frames with no plan
-    // reference to vn; the iters = 0 seed re-derives lazily (plain
-    // persist — lineage intact, recompute is correct). Either way the
-    // cache must not outlive the call.
-    vn.unpersist()
     books
+    } finally {
+      // trained codebooks are driver-built literal frames with no plan
+      // reference to vn; the iters = 0 seed re-derives lazily (plain
+      // persist — lineage intact, recompute is correct). Either way the
+      // cache must not outlive the call, success or failure.
+      vn.unpersist()
+    }
   }
 
   /** Encode each corpus vector as its m-code array (id, codes) against a
@@ -512,8 +518,12 @@ object Similarity {
         bands = bands, planesPerBand = planesPerBand)
       .select("ia", "ib")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val comp = Dedup.connectedComponents(pairs, vectors.select(col(idCol).as("id")))
-    pairs.unpersist()
+    // release even when connectedComponents throws (non-convergence,
+    // cancelled jobs) — a failed clustering must not pin corpus-scale
+    // pair blocks for the session lifetime
+    val comp =
+      try Dedup.connectedComponents(pairs, vectors.select(col(idCol).as("id")))
+      finally pairs.unpersist()
     comp.select(col("id").as(idCol), col("comp").as("cluster_id"),
       (col("id") === col("comp")).as("keep"))
   }

@@ -505,4 +505,23 @@ class DedupSpec extends SparkSpecBase {
     assert(staged === oneShot,
       "the precomputed-window path must reproduce the one-shot removal")
   }
+
+  test("removeSpansMatching selects the hash column by name, never position") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val windows = Dedup.duplicatedWindowHashes(docs, n = 8)
+    // a persisted window set often carries audit columns ordered FIRST;
+    // a positional pick would join on the audit column and silently let
+    // every duplicated span survive
+    val withAudit = windows
+      .select(org.apache.spark.sql.functions.lit("corpus-v1").as("snapshot"),
+        org.apache.spark.sql.functions.col("g"))
+    assert(keyed(Dedup.removeSpansMatching(docs, withAudit, n = 8)) ===
+      keyed(Dedup.removeSpansMatching(docs, windows, n = 8)))
+    val noHash = windows.withColumnRenamed("g", "window_hash")
+    val e = intercept[IllegalArgumentException](
+      Dedup.removeSpansMatching(docs, noHash, n = 8))
+    assert(e.getMessage.contains("'g'"), "missing hash column must fail fast, by name")
+  }
 }

@@ -56,6 +56,21 @@ class PackingSpec extends SparkSpecBase {
     assert(packed.map(t => t._2 + t._1).max === total)
   }
 
+  test("pack geometry survives a non-identifier weight column name") {
+    val b = 64L
+    val renamed = chunks.withColumnRenamed("n_chunk_tokens", "n-chunk-tokens")
+    val packed = Packing.packSequences(
+        renamed, Seq("doc_id", "chunk_idx"), "n-chunk-tokens", b)
+      .select("n-chunk-tokens", "offset", "pack_id", "crosses_pack")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(packed.nonEmpty)
+    // the dashed name must resolve as ONE column inside the DIV
+    // expression, not parse as n - chunk - tokens
+    packed.foreach { case (w, off, pid, crosses) =>
+      assert(crosses === ((off + w - 1) / b > pid), s"offset $off width $w")
+    }
+  }
+
   test("non-integral weight column fails fast") {
     intercept[IllegalArgumentException] {
       Packing.withGlobalOffset(

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed BPE tokenizer TRAINING — merge-rule induction (Sennrich,
+  * Haddow, Birch — "Neural Machine Translation of Rare Words with Subword
+  * Units", ACL 2016). [[graft.functions.TextOps.bpeTokens]] is the apply
+  * side's PRE-tokenizer (q46); this is the other half a training-data
+  * pipeline needs: learning the merge table itself from the corpus.
+  *
+  * Scale shape, in order:
+  *  1. corpus → word vocabulary with occurrence weights — ONE corpus-wide
+  *     aggregation, the only step that ever touches 100 TB; everything
+  *     after runs on the vocabulary (≪ corpus: ~10⁷ distinct words for a
+  *     web-scale crawl), which is also why weighting by word count is not
+  *     an approximation — it IS the corpus pair count.
+  *  2. per merge round: adjacent-pair counts over the vocab (one small
+  *     aggregation), a TakeOrdered(1) argmax to the driver (the only
+  *     driver traffic: ONE row per round), and a narrow fold that applies
+  *     the merge to each word's symbol array.
+  * Rounds are lineage-truncated like the connected-components loop
+  * (eager DISK_ONLY localCheckpoint per round, prior round's blocks
+  * released) — numMerges can reach vocabulary scale without the logical
+  * plan growing per round.
+  *
+  * Determinism: the argmax orders by (count DESC, left ASC, right ASC) —
+  * a total order over pairs, so the merge table is a pure function of the
+  * corpus, at any parallelism.
+  */
+object BpeTrain {
+
+  /** One learned rule: at `rank` (0-based), adjacent (`left`, `right`)
+    * symbols — `count` weighted occurrences at learn time — fuse. */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** Word vocabulary with occurrence weights — the corpus→vocab
+    * reduction (step 1 above). `explode_outer` + null-filter on the
+    * generator OUTPUT: the non-outer form triggers
+    * InferFiltersFromGenerate, whose inferred scan filter re-evaluates
+    * the tokenizer regex per element (the q55 lesson, BASELINE.md). */
+  def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode_outer(TextOps.bpeTokens(col(textCol))).as("word"))
+      .where(col("word").isNotNull && col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("w"))
+
+  /** `word` (string) → `syms` (array of single-character strings). */
+  def charSyms(word: Column): Column =
+    regexp_extract_all(word, lit("."), lit(0))
+
+  /** Adjacent symbol-pair counts over a (`syms`, `w`) vocabulary,
+    * weighted by word occurrence — columns (l, r, cnt). */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val n = size(col("syms"))
+    val pairs = zip_with(
+      slice(col("syms"), lit(1), n - 1),
+      slice(col("syms"), lit(2), n - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+    vocab.where(n >= 2)
+      .select(col("w"), explode_outer(pairs).as("p"))
+      .where(col("p").isNotNull)
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("w")).as("cnt"))
+  }
+
+  /** One greedy left-to-right merge round over a `syms` array: every
+    * non-overlapping adjacent (left, right) becomes left+right. A fold is
+    * exactly the greedy scan: a merged element's VALUE is left+right ≠
+    * left (symbols are non-empty), so the fold never re-merges an element
+    * it just created — "aaa" under (a,a) yields [aa, a], not [aa, aa]. */
+  def mergeExpr(syms: Column, left: String, right: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(left) && s === lit(right),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Learn up to `numMerges` merge rules from the corpus. Stops early
+    * when the best remaining pair's weighted count drops below
+    * `minPairCount` (vocabulary exhausted / noise floor). */
+  def trainMerges(
+      docs: DataFrame,
+      textCol: String = "text",
+      numMerges: Int = 50,
+      minPairCount: Long = 2L): Seq[Merge] =
+    trainMergesFromVocab(wordVocab(docs, textCol), numMerges, minPairCount)
+
+  /** Same, from a prepared (`word`, `w`) vocabulary — lets callers train
+    * several tokenizers (per language, per domain) off one corpus pass. */
+  def trainMergesFromVocab(
+      wordWeights: DataFrame,
+      numMerges: Int,
+      minPairCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    require(minPairCount >= 1L, s"minPairCount $minPairCount must be >= 1")
+    val merges = Seq.newBuilder[Merge]
+    var vocab = wordWeights
+      .select(charSyms(col("word")).as("syms"), col("w"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    try {
+      var rank = 0
+      var exhausted = false
+      while (rank < numMerges && !exhausted) {
+        // TakeOrdered(1): the per-partition heads meet at the driver —
+        // one row of traffic, no full sort of the pair frame
+        val top = pairCounts(vocab)
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+        if (top.isEmpty || top.head.getLong(2) < minPairCount) exhausted = true
+        else {
+          val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+          merges += Merge(rank, l, r, c)
+          val next = vocab
+            .withColumn("syms", mergeExpr(col("syms"), l, r))
+            .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(vocab)
+          vocab = next
+          rank += 1
+        }
+      }
+      merges.result()
+    } finally {
+      // the merge table is the model; the working frame's blocks have no
+      // further reader on ANY exit path (normal or throwing)
+      org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(vocab)
+    }
+  }
+
+  // ---- encode (apply a trained merge table) ----
+
+  /** [[mergeExpr]]'s greedy scan, driver-side — shared by the reference
+    * encoder and the specs' equivalence checks. */
+  def applyMerge(syms: List[String], left: String, right: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = syms
+    while (rest.nonEmpty) {
+      rest match {
+        case a :: b :: tail if a == left && b == right =>
+          out += left + right; rest = tail
+        case a :: tail => out += a; rest = tail
+        case Nil => ()
+      }
+    }
+    out.result()
+  }
+
+  /** Segment one pre-token with a trained merge table, applying rules in
+    * rank order, one full greedy pass each. For TRAINED tables this
+    * equals the priority-queue BPE encoder: a rule's constituent symbols
+    * only ever come from strictly earlier-ranked rules (that is how they
+    * entered the vocabulary), so a later rule can never create a match
+    * for an earlier one — rank order is already priority order. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString).toList) {
+      case (syms, (l, r)) => applyMerge(syms, l, r)
+    }
+
+  /** text → BPE token array under a trained merge table: pre-tokenize
+    * with [[TextOps.BpeTokenPattern]] (the q46 apply side), then segment
+    * each pre-token. A Scala UDF, deliberately — the per-word rule loop
+    * is iterative with data-dependent trip count; the codegen'd
+    * alternative is a numMerges-deep nested HOF expression (SURVEY §2.11
+    * places UDFs below native expressions, above everything else). The
+    * merge table rides the closure — model state, like the k-means
+    * centroids, broadcast once per stage. */
+  def encodeUdf(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val pattern = TextOps.BpeTokenPattern.r
+    udf { (text: String) =>
+      if (text == null) null
+      else pattern.findAllIn(text.toLowerCase).flatMap(w => encodeWord(w, merges)).toSeq
+    }
+  }
+}

@@ -211,4 +211,41 @@ object Sampling {
       .perKey(base, keys, Seq(col("es_key_").desc, col(idCol)), k, "es_rank")
       .drop("es_key_")
   }
+
+  /** Deterministic global shuffle + shard assignment — the EXPORT step of
+    * a training pipeline. Data loaders want the corpus pre-shuffled and
+    * cut into shard files whose contents and ORDER are reproducible
+    * run-over-run (resumable training, bit-identical re-exports). A
+    * global `ORDER BY random()` is wrong twice at 100 TB: the RNG ties
+    * the order to partitioning/retries, and a total sort is an all-data
+    * range exchange. This is the scalable shape instead:
+    *
+    *  - `shard` = avalanched id hash mod `nShards` — a narrow projection;
+    *  - `pos`   = rank of a SECOND, decorrelated id hash within the
+    *    shard — one hash-partitioned exchange on `shard`, then each shard
+    *    sorts locally (the classic shuffle-by-shard / sort-within-shard
+    *    export).
+    *
+    * Each shard is ordered by an id-derived hash, so concatenating the
+    * shards is a uniform permutation of the corpus; the whole layout is a
+    * pure function of (ids, nShards, salt). One task sorts one shard —
+    * size `nShards` so a shard fits a task comfortably (≈ ≤1 GiB of
+    * payload; at 100 TB that is nShards ≈ 100k, far above any practical
+    * parallelism floor). Salt rerolls the permutation per epoch.
+    *
+    * Output: input columns + `shard` (long in [0, nShards)) + `pos`
+    * (1-based long within shard, in shard order). */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord_"), col(idCol))
+    df.withColumn("shard", bucket(col(idCol), salt + "#s") % nShards)
+      .withColumn("ord_", bucket(col(idCol), salt + "#o"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("ord_")
+  }
 }

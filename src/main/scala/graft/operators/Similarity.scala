@@ -194,7 +194,9 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4,
-      quantizer: Option[DataFrame] = None): DataFrame = {
+      quantizer: Option[DataFrame] = None,
+      routeRoundTo: Option[Int] = None,
+      corpusSizedProbes: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCentroids)
     val cents = quantizer.getOrElse(
         corpus.orderBy(col(idCol)).limit(nCentroids)
@@ -208,9 +210,16 @@ object Similarity {
     def assign(df: DataFrame, outId: String, outVec: String, keep: Int): DataFrame = {
       val side = withNorm(
         df.select(col(idCol).as(outId), col(vecCol).as(outVec)), outVec, s"${outVec}norm")
+      val rawCsim =
+        VectorOps.dot(col(outVec), col("cvec")) / (col(s"${outVec}norm") * col("cnorm"))
       val scored = side.join(broadcast(cents), lit(true))
+        // routeRoundTo quantizes the ROUTING score (not the output score):
+        // cell choice then depends on ~6 decimal digits instead of the
+        // final ulp of a double, so another engine replaying the routing
+        // with its own float-op order picks the same cells — what makes
+        // the approximate path itself oracle-checkable (q77)
         .withColumn("csim",
-          VectorOps.dot(col(outVec), col("cvec")) / (col(s"${outVec}norm") * col("cnorm")))
+          routeRoundTo.map(d => round(rawCsim, d)).getOrElse(rawCsim))
       if (keep == 1) {
         // corpus-side keep-1 as a max_by aggregation, NOT a row_number
         // window: partial aggregation collapses the n×nCentroids scored
@@ -236,13 +245,49 @@ object Similarity {
       .withColumnRenamed("nvecnorm", "nnorm")
     val p = assign(probes, "pid", "pvec", keep = nProbe)
       .withColumnRenamed("pvecnorm", "pnorm").withColumnRenamed("cell", "pcell")
-    val scored = p.join(v, col("pcell") === col("cell") && col("pid") =!= col("nid"))
+    // probe batches leave the planner free to broadcast the small side;
+    // with corpus-sized probes (the kNN-graph shape) BOTH sides are
+    // corpus-scale and an estimate-driven broadcast would ship the corpus
+    // to every task — force the cell-keyed shuffle-hash join instead
+    val (pj, vj) =
+      if (corpusSizedProbes) (p.hint("shuffle_hash"), v.hint("shuffle_hash"))
+      else (p, v)
+    val scored = pj.join(vj, col("pcell") === col("cell") && col("pid") =!= col("nid"))
       .withColumn("sim", pairSim(roundTo))
     // each corpus vector lives in exactly one cell (keep = 1), so a
     // (pid, nid) pair occurs at most once across the probed cells
     graft.plans.TopK.perKey(scored, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
       .select("pid", "rank", "nid", "sim")
   }
+
+  /** Corpus kNN GRAPH — every vector's top-k neighbors, the workhorse of
+    * semantic dedup / clustering / curriculum pipelines — via IVF cell
+    * routing at PRODUCTION geometry (nProbe ≪ nCentroids), i.e. the
+    * approximate path, not the full-probe degenerate case q50 gates.
+    *
+    * Shape at 100 TB: candidate volume is n·(n·nProbe/nCentroids) spread
+    * over cell-keyed shuffle-hash joins — never all-pairs, never a
+    * broadcast of either corpus-sized side ([[topKIvf]]'s
+    * `corpusSizedProbes`). Routing scores are rounded (`routeRoundTo`) so
+    * cell candidacy is engine-portable: with the default deterministic
+    * quantizer (first-nCentroids vectors; pass a k-means model via
+    * `quantizer` in production) the ENTIRE approximate pipeline — cell
+    * assignment, probe routing, candidate generation, heap ranking — is
+    * replayable in ANSI SQL, which is how q77 hash-gates it. Probes whose
+    * cells hold no other vector emit no rows (the documented recall
+    * trade; raise nProbe for coverage). */
+  def knnGraph(
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6,
+      quantizer: Option[DataFrame] = None): DataFrame =
+    topKIvf(corpus, corpus, k, nCentroids, nProbe, idCol, vecCol, roundTo,
+      quantizer, routeRoundTo = Some(routeRoundTo), corpusSizedProbes = true)
 
   // ---- Product quantization (PQ / ADC) ----
   // Jégou, Douze, Schmid — "Product Quantization for Nearest Neighbor

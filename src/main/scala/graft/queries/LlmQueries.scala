@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextOps
-import graft.operators.{Chunker, Decontaminate, Dedup, Multimodal, Packing, Quality, Sampling, Similarity}
+import graft.operators.{BpeTrain, Chunker, Decontaminate, Dedup, Multimodal, Packing, Quality, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -1226,8 +1226,115 @@ object LlmQueries extends QueryGroup {
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  val q76 = QueryDef(
+    "q76_shuffle_shards",
+    "deterministic corpus shuffle + shard export layout: shard = avalanched " +
+      "id-hash mod 8, pos = rank of a second decorrelated id-hash within the " +
+      "shard — one hash exchange + per-shard local sort (never a global " +
+      "range sort), the whole layout a pure function of (ids, nShards, salt)",
+    (s, dir) =>
+      Sampling.shuffleShards(t(s, dir, "documents"), "doc_id", nShards = 8,
+          salt = "v1")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos"),
+    Some("""WITH raw AS (SELECT doc_id,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(CAST(doc_id AS VARCHAR) || 'v1#s', ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                      (a, v) -> (a * 31 + v) % 1000000007) AS hsh,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(CAST(doc_id AS VARCHAR) || 'v1#o', ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                      (a, v) -> (a * 31 + v) % 1000000007) AS hor
+                  FROM documents),
+            b AS (SELECT doc_id,
+                    ((hsh + 479001599) * (hsh + 987654323)) % 1000000007 % 10000 % 8 AS shard,
+                    ((hor + 479001599) * (hor + 987654323)) % 1000000007 % 10000 AS ord
+                  FROM raw)
+            SELECT doc_id, shard,
+              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+            FROM b ORDER BY shard, pos"""))
+
+  val q77 = QueryDef(
+    "q77_knn_graph_ivf",
+    "corpus kNN graph (every vector's top-3 neighbors) via IVF at " +
+      "PRODUCTION geometry — nProbe=2 of 16 cells, the approximate path " +
+      "itself, not the full-probe degenerate case q50 gates: rounded " +
+      "routing scores make cell candidacy engine-portable, so the oracle " +
+      "replays assignment, probe routing, candidate generation and " +
+      "ranking; both sides corpus-sized ⇒ cell-keyed shuffle-hash join, " +
+      "no broadcast",
+    (s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, nCentroids = 16,
+          nProbe = 2)
+        .orderBy("pid", "rank"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            c AS (SELECT vec_id AS cid, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+            cs AS (SELECT v.vec_id, c.cid,
+                     ROUND(list_cosine_similarity(v.ev, c.cv), 6) AS csim
+                   FROM v CROSS JOIN c),
+            rk AS (SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cid) AS r
+                   FROM cs),
+            vc AS (SELECT vec_id AS nid, cid AS cell FROM rk WHERE r = 1),
+            pc AS (SELECT vec_id AS pid, cid AS pcell FROM rk WHERE r <= 2),
+            cand AS (SELECT pc.pid, vc.nid FROM pc
+                     JOIN vc ON pc.pcell = vc.cell AND pc.pid <> vc.nid),
+            s AS (SELECT cand.pid, cand.nid,
+                    ROUND(list_cosine_similarity(p.ev, n.ev), 4) AS sim
+                  FROM cand JOIN v p ON p.vec_id = cand.pid
+                    JOIN v n ON n.vec_id = cand.nid),
+            r AS (SELECT pid, nid, sim,
+                    ROW_NUMBER() OVER (PARTITION BY pid
+                                       ORDER BY sim DESC, nid) AS rank
+                  FROM s)
+            SELECT pid, rank, nid, sim FROM r WHERE rank <= 3
+            ORDER BY pid, rank"""))
+
+  val q78 = QueryDef(
+    "q78_bpe_train_merges",
+    "BPE tokenizer TRAINING (merge-rule induction, Sennrich 2016): one " +
+      "corpus→vocabulary aggregation, then 16 rounds of vocab-sized " +
+      "pair-count + TakeOrdered(1) argmax + narrow greedy-merge fold — " +
+      "lineage-truncated per round like the CC loop; the merge table is " +
+      "the model. No DuckDB oracle (iterative argmax is not ANSI-SQL-" +
+      "expressible): rows-only here; the pair-count machinery is hash-" +
+      "gated by the q79 portable twin and the trainer is equivalence-" +
+      "tested against a sequential reference implementation in BpeTrainSpec",
+    (s, dir) => {
+      import s.implicits._
+      BpeTrain.trainMerges(t(s, dir, "documents"), numMerges = 16)
+        .toDF().orderBy("rank")
+    },
+    None)
+
+  val q79 = QueryDef(
+    "q79_bpe_pair_counts",
+    "portable twin of q78's training round: weighted adjacent character-" +
+      "pair counts over the word vocabulary, top-20 under the trainer's " +
+      "exact argmax order (count DESC, pair ASC) — hash-gates the " +
+      "corpus→vocab reduction and the pair-count aggregation that every " +
+      "BPE round replays",
+    (s, dir) => {
+      val vocab = BpeTrain.wordVocab(t(s, dir, "documents"))
+        .select(BpeTrain.charSyms(col("word")).as("syms"), col("w"))
+      BpeTrain.pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(20)
+    },
+    Some("""WITH wds AS (SELECT unnest(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS word FROM documents),
+            wv AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM wds
+                   WHERE word <> '' GROUP BY word),
+            cl AS (SELECT string_split(word, '') AS cs, w FROM wv),
+            pr AS (SELECT unnest(cs[1:len(cs)-1]) AS l,
+                     unnest(cs[2:len(cs)]) AS r, w
+                   FROM cl WHERE len(cs) >= 2)
+            SELECT l, r, CAST(SUM(w) AS BIGINT) AS cnt FROM pr
+            GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72, q73, q74, q75)
+      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

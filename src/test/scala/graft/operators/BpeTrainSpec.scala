@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** BPE training gates: the distributed trainer against an independent
+  * sequential reference, the Catalyst merge fold against the driver-side
+  * greedy scan, pair-count weighting, rank-order encode equivalence, and
+  * partition invariance. */
+class BpeTrainSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  /** Independent sequential BPE trainer: its own pre-tokenize, pair
+    * count, and argmax (shares only [[BpeTrain.applyMerge]], which the
+    * fold-equivalence test below gates separately). Returns the merge
+    * list and the final per-word segmentation. */
+  private def refTrain(
+      texts: Seq[String], numMerges: Int, minPairCount: Long)
+      : (Seq[(String, String, Long)], Map[String, List[String]]) = {
+    val pat = TextOps.BpeTokenPattern.r
+    val wc = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach(t => pat.findAllIn(t.toLowerCase).foreach(w => wc(w) += 1L))
+    var syms: Map[String, List[String]] =
+      wc.keysIterator.map(w => w -> w.map(_.toString).toList).toMap
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    var rank = 0
+    while (rank < numMerges && !done) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, c) <- wc; s = syms(w); i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) += c
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minPairCount) done = true
+        else {
+          out += ((l, r, c))
+          syms = syms.map { case (w, s) => w -> BpeTrain.applyMerge(s, l, r) }
+          rank += 1
+        }
+      }
+    }
+    (out.result(), syms)
+  }
+
+  private lazy val fixtureTexts =
+    docs.select("text").collect().map(_.getString(0)).toSeq
+  private lazy val reference = refTrain(fixtureTexts, 24, 2L)
+  private lazy val trained = BpeTrain.trainMerges(docs, numMerges = 24)
+
+  test("trainMerges equals the sequential reference trainer on the fixture corpus") {
+    val got = trained.map(m => (m.left, m.right, m.count))
+    assert(got === reference._1)
+    assert(trained.map(_.rank) === trained.indices.toSeq)
+  }
+
+  test("mergeExpr (Catalyst fold) equals the driver-side greedy scan, overlaps included") {
+    val s = spark; import s.implicits._
+    val words = Seq("aaaa", "aab", "ababab", "ba", "a", "", "abba", "aabbaabb")
+    val cases = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("ab", "c"))
+    for ((l, r) <- cases) {
+      val got = words.toDF("word")
+        .select(BpeTrain.mergeExpr(BpeTrain.charSyms(col("word")), l, r).as("m"))
+        .collect().map(_.getSeq[String](0).toList)
+      val want = words.map(w => BpeTrain.applyMerge(w.map(_.toString).toList, l, r))
+      assert(got.toSeq === want, s"merge ($l,$r)")
+    }
+  }
+
+  test("pairCounts weights adjacent pairs by word occurrence") {
+    val s = spark; import s.implicits._
+    val vocab = Seq(("ab", 3L), ("abc", 2L), ("x", 9L))
+      .toDF("word", "w")
+      .select(BpeTrain.charSyms(col("word")).as("syms"), col("w"))
+    val got = BpeTrain.pairCounts(vocab).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === Map(("a", "b") -> 5L, ("b", "c") -> 2L))
+  }
+
+  test("encodeWord in rank order reproduces the trainer's final segmentation") {
+    val merges = trained.map(m => (m.left, m.right))
+    val (_, finalSyms) = reference
+    finalSyms.foreach { case (w, want) =>
+      assert(BpeTrain.encodeWord(w, merges) === want, s"word '$w'")
+    }
+  }
+
+  test("encodeUdf segments text with the trained table") {
+    val s = spark; import s.implicits._
+    val merges = trained.map(m => (m.left, m.right))
+    val enc = BpeTrain.encodeUdf(merges)
+    val got = Seq("Hello, world!").toDF("text")
+      .select(enc(col("text")).as("toks")).collect().head.getSeq[String](0)
+    val pat = TextOps.BpeTokenPattern.r
+    val want = pat.findAllIn("hello, world!").toSeq
+      .flatMap(w => BpeTrain.encodeWord(w, merges))
+    assert(got === want)
+    assert(got.mkString === "hello, world!".replace(" ", ""))
+  }
+
+  test("training is invariant to input partitioning") {
+    val again = BpeTrain.trainMerges(docs.repartition(7), numMerges = 8)
+    assert(again.map(m => (m.left, m.right, m.count)) ===
+      trained.take(8).map(m => (m.left, m.right, m.count)))
+  }
+}

@@ -163,6 +163,42 @@ class SamplingSpec extends SparkSpecBase {
       s"10x-weighted rows won only $heavy/${wins.size} slots")
   }
 
+  test("shuffleShards: total partition, contiguous 1-based positions per shard") {
+    val n = docs.count()
+    val out = Sampling.shuffleShards(docs, "doc_id", nShards = 8, salt = "v1")
+      .select("doc_id", "shard", "pos")
+    assert(out.count() === n, "every row lands in exactly one shard")
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        countDistinct("pos").as("d"), min("pos").as("mn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(perShard.forall(_._5 === 1L), "pos starts at 1")
+    assert(perShard.forall(t => t._3 === t._2), "pos is contiguous (max == count)")
+    assert(perShard.forall(t => t._4 === t._2), "pos is unique (distinct == count)")
+    val shards = perShard.map(_._1)
+    assert(shards.forall(s => s >= 0 && s < 8))
+    assert(shards.length > 1, "500 ids must spread over multiple shards")
+  }
+
+  test("shuffleShards: layout is deterministic, partition-invariant, salt-rerolled") {
+    def layout(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.shuffleShards(df, "doc_id", nShards = 8, salt = salt)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val a = layout(docs, "v1")
+    assert(layout(docs.repartition(13), "v1") === a,
+      "same layout at any parallelism")
+    assert(layout(docs, "v2") !== a, "salt rerolls the permutation")
+    // shard ordering is by a hash DECORRELATED from the id: within some
+    // shard, positions must not simply follow doc_id order
+    val byShard = a.toSeq.groupBy(_._2._1)
+    assert(byShard.exists { case (_, rows) =>
+      val inPosOrder = rows.sortBy(_._2._2).map(_._1)
+      inPosOrder !== inPosOrder.sorted
+    }, "shard order must not be id order")
+  }
+
   test("invalid configurations fail fast") {
     intercept[IllegalArgumentException] {
       Sampling.deterministicSample(docs, "doc_id", 1.5)

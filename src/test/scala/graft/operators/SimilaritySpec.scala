@@ -92,6 +92,34 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("knnGraph: full probe equals brute-force self-kNN; rounded routing changes nothing there") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val brute = Similarity.topKBruteForce(v, v, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val graph = Similarity.knnGraph(v, k = 3, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(graph === brute, "full-probe kNN graph must equal brute force")
+  }
+
+  test("knnGraph: production geometry keeps exact scores; candidate join never broadcasts") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val brute = Similarity.topKBruteForce(v, v, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val g = Similarity.knnGraph(v, k = 3, nCentroids = 8, nProbe = 2)
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 3 && r.getLong(2) != r.getLong(0))
+      assert(math.abs(brute((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9,
+        "cell routing must never change pair scores")
+    }
+    // both sides corpus-sized: the cell-keyed candidate join must be a
+    // shuffled hash join, never an estimate-driven broadcast
+    val p = g.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"candidate join must shuffle-hash, plan: ${p.linesIterator.filter(_.contains("Join")).mkString(" | ")}")
+  }
+
   test("topKPqAdc: complete candidacy (topC = corpus) equals brute force") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val probes = v.filter(col("vec_id") < 5)

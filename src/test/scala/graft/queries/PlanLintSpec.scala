@@ -35,7 +35,12 @@ class PlanLintSpec extends SparkSpecBase {
     // per probe) broadcast against the streamed corpus code list, plus
     // the codebook seed/rerank joins; same bounded-build-side class as
     // the q36/q50 broadcast-probe paths
-    "q72_ann_pq_adc_rerank")
+    "q72_ann_pq_adc_rerank",
+    // q77: kNN graph — the nCentroids-row quantizer frame broadcast
+    // against the streamed corpus for cell assignment (model state, like
+    // q50/q72's centroid joins); the corpus×corpus CANDIDATE join is
+    // shuffle-hash, asserted in SimilaritySpec
+    "q77_knn_graph_ivf")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

@@ -12,9 +12,11 @@ class QuerySmokeSpec extends SparkSpecBase {
     assert(names.distinct.size === names.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet === Set(
-      "q38_dedup_minhash_lsh", "q39_text_simhash"),
+      "q38_dedup_minhash_lsh", "q39_text_simhash", "q78_bpe_train_merges"),
       "every new query needs a DuckDB oracle unless provably inexpressible " +
-        "(q38/q39: xxhash64 signatures; their portable twins q47/q48 are gated)")
+        "(q38/q39: xxhash64 signatures, portable twins q47/q48 gated; " +
+        "q78: iterative argmax, pair-count twin q79 gated + reference-" +
+        "equivalence spec)")
   }
 
   for (q <- Registry.all) {

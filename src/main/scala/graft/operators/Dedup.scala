@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
@@ -332,6 +332,120 @@ object Dedup {
     * Hash family: shingle hash h = polynomial char hash mod P (P=1e9+7);
     * permutation i = (Aᵢ·h + Bᵢ) mod P with Aᵢ = 2i+3, Bᵢ = 1000i+7;
     * band key = base-131 fold of the band's signature slice mod P. */
+  /** Per-band LSH key columns over the materialized `sig` array: base-131
+    * fold of the band's signature slice mod P — shared by every portable
+    * banding path so self-join and cross-corpus candidacy are identical. */
+  private def portableBandKeyCols(numHashes: Int, bands: Int): Seq[Column] = {
+    val P = 1000000007L
+    val r = numHashes / bands
+    (0 until bands).map { j =>
+      (0 until r).map(i => element_at(col("sig"), j * r + i + 1))
+        .reduce((acc, m) => pmod(acc * 131 + m, lit(P)))
+    }
+  }
+
+  /** Engine-portable banded MinHash rows (id, band, bkey) — the reusable
+    * LSH artifact. One-pass fused signature (shingle poly-hash ×
+    * numHashes affine permutations — MinHashSigKernel(portable = true));
+    * the band keys fold declaratively over the constant-width sig array,
+    * which is referenced numHashes times and therefore stays a
+    * materialized attribute (CollapseProject's multi-reference guard).
+    * Persist the CORPUS's rows once (bands·8 bytes + key per doc) and
+    * reuse them across ingest batches via [[nearDupAgainst]]'s
+    * `corpusBands` — the same precompute-once contract as
+    * [[duplicatedWindowHashes]] for spans and [[newContentOnly]]'s sha set. */
+  def minHashBandsPortable(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = true)
+    sig.select(col("id"),
+      posexplode(array(portableBandKeyCols(numHashes, bands): _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Ingest-time NEAR-dup gate — the fuzzy counterpart of
+    * [[newContentOnly]]: every (incoming, corpus) pair whose n-gram
+    * Jaccard reaches `minJaccard`, found by banded MinHash so the two
+    * sides meet only inside shared LSH buckets, never all-against-all.
+    * Uses the engine-portable hash family ([[portableMinHashPairs]]):
+    * an ingest ADMISSION decision should be auditable outside the
+    * engine, and q81 replays the whole pipeline in SQL.
+    *
+    * Scale shape: band the corpus ONCE ([[minHashBandsPortable]], pass
+    * it via `corpusBands`) — then each batch pays banding the batch, one
+    * band-keyed shuffle-hash join against the corpus bands, and the
+    * fused exact verify on candidate texts only. Geometry discipline
+    * applies (rowsPerBand ≥ 4 for low thresholds — the S-curve lint).
+    *
+    * Output: (in_id, corpus_id, shared, jaccard). */
+  def nearDupAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      minJaccard: Double = 0.8,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val bIn = minHashBandsPortable(incoming, idCol, textCol, n, numHashes, bands)
+      .select(col("id").as("in_id"), col("band"), col("bkey"))
+      .repartition(par, col("band"), col("bkey"))
+    val bC = corpusBands
+      .getOrElse(minHashBandsPortable(corpus, idCol, textCol, n, numHashes, bands))
+      .select(col("id").as("corpus_id"), col("band").as("band2"), col("bkey").as("bkey2"))
+    // both sides can be corpus-scale: forbid an estimate-driven broadcast
+    val cand = bIn.hint("shuffle_hash")
+      .join(bC.hint("shuffle_hash"),
+        col("band") === col("band2") && col("bkey") === col("bkey2"))
+      .select("in_id", "corpus_id").dropDuplicates("in_id", "corpus_id")
+    // exact verify on candidate texts only, one fused pairwise kernel pass
+    val txtIn = incoming.select(col(idCol).as("in_id"), col(textCol).as("ta_"))
+      .join(cand.select("in_id").distinct(), "in_id")
+      .repartition(par, col("in_id"))
+    val txtC = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("tb_"))
+      .join(cand.select("corpus_id").distinct(), "corpus_id")
+      .repartition(par, col("corpus_id"))
+    val jc = ColumnGlue.column(graft.expressions.JaccardShinglesKernel(
+      ColumnGlue.expression(col("ta_")), ColumnGlue.expression(col("tb_")), n))
+    cand.join(txtIn, "in_id").join(txtC, "corpus_id")
+      // jc_ is referenced 3× below, so the kernel stays a materialized
+      // attribute — one evaluation per candidate pair
+      .select(col("in_id"), col("corpus_id"), jc.as("jc_"))
+      .select(col("in_id"), col("corpus_id"),
+        element_at(col("jc_"), 1).as("shared"),
+        element_at(col("jc_"), 2).as("na"),
+        element_at(col("jc_"), 3).as("nb"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("in_id", "corpus_id", "shared", "jaccard")
+  }
+
+  /** Fuzzy [[newContentOnly]]: drop incoming rows that NEAR-duplicate any
+    * corpus doc (identical text is jaccard 1.0, so exact dups go too). */
+  def newContentOnlyNear(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      minJaccard: Double = 0.8,
+      corpusBands: Option[DataFrame] = None): DataFrame =
+    incoming.join(
+      nearDupAgainst(corpus, incoming, idCol, textCol, n, numHashes, bands,
+          minJaccard, corpusBands)
+        .select(col("in_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   def portableMinHashPairs(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -340,21 +454,8 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 2,
       minJaccard: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val P = 1000000007L
-    val r = numHashes / bands
-    // one-pass fused signature (shingle poly-hash × numHashes affine
-    // permutations — see MinHashSigKernel(portable = true)); the band
-    // keys fold declaratively over the constant-width sig array, which is
-    // referenced numHashes times and therefore stays a materialized
-    // attribute (CollapseProject's multi-reference guard)
-    val sig = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = true)
-    def bandKey(j: Int) =
-      (0 until r).map(i => element_at(col("sig"), j * r + i + 1))
-        .reduce((acc, m) => pmod(acc * 131 + m, lit(P)))
-    val banded = sig.select(col("id"),
-        posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "bkey")))
-      .repartition(sig.sparkSession.sparkContext.defaultParallelism, col("band"), col("bkey"))
+    val banded = minHashBandsPortable(df, idCol, textCol, n, numHashes, bands)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("band"), col("bkey"))
     val a = banded.select(col("id").as("ia"), col("band"), col("bkey"))
     val b = banded.select(col("id").as("ib"), col("band").as("band2"), col("bkey").as("bkey2"))
     val cand = a.hint("shuffle_hash")

@@ -138,5 +138,28 @@ object ExtraQueries extends QueryGroup {
                     / SUM(len(string_split_regex(text, '\s+'))), 4) AS expansion
             FROM documents GROUP BY lang ORDER BY lang"""))
 
-  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46)
+  val q80 = QueryDef(
+    "q80_zip_positional",
+    "positional zip (ReactiveX `zip` for tables): pair the i-th order by " +
+      "o_orderkey with the i-th customer by c_custkey — index derived by " +
+      "one range exchange + two-pass contiguous numbering (never a " +
+      "single-task global window), inner join on the index trims to the " +
+      "shorter side, shuffle-hash forced on both comparably-sized sides",
+    (s, dir) =>
+      graft.operators.Zip.zipByOrder(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_orderkey")),
+          t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          Seq(col("c_custkey")))
+        .orderBy("seq"),
+    Some("""WITH a AS (SELECT o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS seq
+                  FROM orders),
+            b AS (SELECT c_custkey, c_name,
+                    ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS seq
+                  FROM customer)
+            SELECT seq, o_orderkey, o_totalprice, c_custkey, c_name
+            FROM a JOIN b USING (seq) ORDER BY seq"""))
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q80)
 }

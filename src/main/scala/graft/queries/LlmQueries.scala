@@ -1333,8 +1333,65 @@ object LlmQueries extends QueryGroup {
             SELECT l, r, CAST(SUM(w) AS BIGINT) AS cnt FROM pr
             GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 20"""))
 
+  val q81 = QueryDef(
+    "q81_neardup_ingest_gate",
+    "ingest-time NEAR-dup admission gate, the fuzzy newContentOnly: every " +
+      "(incoming, corpus) pair at 3-gram Jaccard ≥ 0.4 via portable banded " +
+      "MinHash (incoming bands meet precomputable corpus bands only inside " +
+      "shared LSH buckets, shuffle-hash, never all-against-all) + fused " +
+      "exact verify on candidates — the whole cross-corpus pipeline " +
+      "replayed by the oracle; incoming = doc_id ≡ 0 (mod 5), corpus = rest",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.nearDupAgainst(
+          corpus = d.filter(col("doc_id") % 5 =!= 0),
+          incoming = d.filter(col("doc_id") % 5 === 0),
+          minJaccard = 0.4)
+        .select(col("in_id"), col("corpus_id"), col("shared"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("in_id", "corpus_id")
+    },
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              hh AS (SELECT id,
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                         (h, v) -> (h * 31 + v) % 1000000007) AS h
+                     FROM e),
+              sig AS (SELECT id,
+                        MIN((h * 3 + 7) % 1000000007) AS m0,
+                        MIN((h * 5 + 1007) % 1000000007) AS m1,
+                        MIN((h * 7 + 2007) % 1000000007) AS m2,
+                        MIN((h * 9 + 3007) % 1000000007) AS m3,
+                        MIN((h * 11 + 4007) % 1000000007) AS m4,
+                        MIN((h * 13 + 5007) % 1000000007) AS m5,
+                        MIN((h * 15 + 6007) % 1000000007) AS m6,
+                        MIN((h * 17 + 7007) % 1000000007) AS m7
+                      FROM hh GROUP BY id),
+              band AS (
+                SELECT id, 0 AS j,
+                  ((((m0 * 131 + m1) % 1000000007) * 131 + m2) % 1000000007 * 131 + m3)
+                    % 1000000007 AS bk FROM sig
+                UNION ALL
+                SELECT id, 1,
+                  ((((m4 * 131 + m5) % 1000000007) * 131 + m6) % 1000000007 * 131 + m7)
+                    % 1000000007 FROM sig),
+              cand AS (SELECT DISTINCT a.id AS in_id, b.id AS corpus_id
+                       FROM band a JOIN band b ON a.j = b.j AND a.bk = b.bk
+                       WHERE a.id % 5 = 0 AND b.id % 5 <> 0),
+              p AS (SELECT in_id, corpus_id,
+                      CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS shared,
+                      len(da.sh) AS na, len(db.sh) AS nb
+                    FROM cand JOIN docs da ON da.id = cand.in_id
+                              JOIN docs db ON db.id = cand.corpus_id)
+             SELECT in_id, corpus_id, shared,
+               ROUND(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+             FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
+             ORDER BY in_id, corpus_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81)
 }

@@ -120,4 +120,100 @@ object StreamCombine {
 
     new WithLatestFromHandle[B](primaryQuery, secondaryQuery, register, dropped)
   }
+
+  /** Handle over a [[zip]]'s two delivery queries plus its pairing state. */
+  final class ZipHandle[A, B] private[streaming] (
+      val primaryQuery: StreamingQuery,
+      val secondaryQuery: StreamingQuery,
+      bufA: scala.collection.mutable.Queue[A],
+      bufB: scala.collection.mutable.Queue[B],
+      lock: AnyRef) {
+
+    /** Unpaired overhang currently buffered on each side. */
+    def buffered: (Int, Int) = lock.synchronized((bufA.size, bufB.size))
+
+    def processAllAvailable(): Unit = {
+      primaryQuery.processAllAvailable()
+      secondaryQuery.processAllAvailable()
+    }
+
+    def stop(): Unit = {
+      primaryQuery.stop()
+      secondaryQuery.stop()
+    }
+  }
+
+  /** ReactiveX `zip`: pair the i-th element of `primary` with the i-th
+    * element of `secondary` — lockstep, order-paired combination.
+    *
+    * Spark-first mapping: a distributed engine has no global arrival
+    * order, so zip's index is DEFINED, not observed — each stream's
+    * order is micro-batch order × within-batch row order (deterministic
+    * for replayable sources: MemoryStream addData order, file sources
+    * under AvailableNow). Pairing then happens at the delivery edge, the
+    * same driver-held-state pattern as [[withLatestFrom]]: each side's
+    * foreachBatch appends to a queue; whenever both queues are
+    * non-empty, matched prefixes emit to `sink` in index order. This is
+    * the reference's in-process delivery scale (the WindowStream
+    * contract), NOT a cluster operator — for cluster-scale positional
+    * pairing of two large datasets use [[graft.operators.Zip.zipByOrder]],
+    * where the index is derived from an explicit sort order.
+    *
+    * Lockstep backpressure, fail-fast form: rate-mismatched streams grow
+    * the faster side's buffer without bound in ReactiveX too (zip's
+    * documented hazard) — rather than silently eat the driver heap, the
+    * buffer is capped at `maxBuffer` and overflow throws inside the
+    * offending side's query (visible via its StreamingQuery exception,
+    * never a silent drop). */
+  def zip[A, B, C](
+      primary: Dataset[A],
+      secondary: Dataset[B],
+      combine: (A, B) => C,
+      sink: Seq[C] => Unit,
+      trigger: FiniteDuration = 100.millis,
+      maxBuffer: Int = 1 << 16): ZipHandle[A, B] = {
+    require(maxBuffer >= 1, s"maxBuffer $maxBuffer must be >= 1")
+    val bufA = scala.collection.mutable.Queue.empty[A]
+    val bufB = scala.collection.mutable.Queue.empty[B]
+    val lock = new AnyRef
+    val id = nameSeq.incrementAndGet()
+
+    def drainLocked(): Unit = {
+      if (bufA.nonEmpty && bufB.nonEmpty) {
+        val n = math.min(bufA.size, bufB.size)
+        val out = Seq.newBuilder[C]
+        var i = 0
+        while (i < n) { out += combine(bufA.dequeue(), bufB.dequeue()); i += 1 }
+        sink(out.result())
+      }
+      val over = math.max(bufA.size, bufB.size)
+      if (over > maxBuffer) throw new IllegalStateException(
+        s"zip buffer overflow: $over unpaired elements (cap $maxBuffer) — " +
+          "streams are rate-mismatched; raise maxBuffer or repair the rates")
+    }
+
+    val primaryQuery = primary.writeStream
+      .queryName(s"zip-primary-$id")
+      .trigger(Trigger.ProcessingTime(trigger.toMillis))
+      .outputMode("append")
+      .foreachBatch { (ds: Dataset[A], _: Long) =>
+        val rows = ds.collect()
+        if (rows.nonEmpty) lock.synchronized { bufA ++= rows; drainLocked() }
+        ()
+      }
+      .start()
+
+    val secondaryQuery = secondary.writeStream
+      .queryName(s"zip-secondary-$id")
+      .trigger(Trigger.ProcessingTime(trigger.toMillis))
+      .outputMode("append")
+      .foreachBatch { (ds: Dataset[B], _: Long) =>
+        val rows = ds.collect()
+        if (rows.nonEmpty) lock.synchronized { bufB ++= rows; drainLocked() }
+        ()
+      }
+      .start()
+
+    new ZipHandle[A, B](primaryQuery, secondaryQuery, bufA, bufB, lock)
+  }
 }

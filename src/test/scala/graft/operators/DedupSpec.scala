@@ -524,4 +524,49 @@ class DedupSpec extends SparkSpecBase {
       Dedup.removeSpansMatching(docs, noHash, n = 8))
     assert(e.getMessage.contains("'g'"), "missing hash column must fail fast, by name")
   }
+
+  test("nearDupAgainst equals the self-join pipeline restricted to cross pairs") {
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val incoming = d.filter(col("doc_id") % 5 === 0)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    // banding is per-doc, so banding all docs together and keeping only
+    // cross-split bucket collisions must equal banding each side alone
+    val self = Dedup.portableMinHashPairs(d, minJaccard = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .collect {
+        case (a, b, sh, j) if a % 5 == 0 && b % 5 != 0 => (a, b, sh, j)
+        case (a, b, sh, j) if b % 5 == 0 && a % 5 != 0 => (b, a, sh, j)
+      }.toSet
+    val cross = Dedup.nearDupAgainst(corpus, incoming, minJaccard = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(cross === self)
+  }
+
+  test("nearDupAgainst: precomputed corpus bands give identical output") {
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val incoming = d.filter(col("doc_id") % 5 === 0)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val pre = Dedup.minHashBandsPortable(corpus)
+    val a = Dedup.nearDupAgainst(corpus, incoming, minJaccard = 0.4)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.nearDupAgainst(corpus, incoming, minJaccard = 0.4,
+        corpusBands = Some(pre))
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("newContentOnlyNear drops exactly the flagged incoming ids") {
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val incoming = d.filter(col("doc_id") % 5 === 0)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val flagged = Dedup.nearDupAgainst(corpus, incoming, minJaccard = 0.4)
+      .select("in_id").distinct().collect().map(_.getLong(0)).toSet
+    val kept = Dedup.newContentOnlyNear(incoming, corpus, minJaccard = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- flagged)
+    assert(flagged.nonEmpty, "fixture must exercise the gate (near-dups exist)")
+  }
 }

@@ -58,4 +58,53 @@ class StreamCombineSpec extends SparkSpecBase {
       assert(out.asScala.toSet === Set("7-c"))
     } finally h.stop()
   }
+
+  test("zip: index-paired lockstep combination; overhang buffers, never drops") {
+    val s = spark
+    import s.implicits._
+    val a = MemoryStream[Int](s)
+    val b = MemoryStream[String](s)
+    val out = new ConcurrentLinkedQueue[String]()
+    val h = StreamCombine.zip[Int, String, String](
+      a.toDS(), b.toDS(), (x, y) => s"$x-$y", batch => batch.foreach(out.add))
+    try {
+      // primary runs ahead: nothing emits, overhang is buffered and visible
+      a.addData(1, 2, 3)
+      h.processAllAvailable()
+      assert(out.isEmpty && h.buffered === ((3, 0)))
+
+      // secondary catches up partially: pairs emit in index order
+      b.addData("x", "y")
+      h.processAllAvailable()
+      assert(out.asScala.toSeq === Seq("1-x", "2-y"))
+      assert(h.buffered === ((1, 0)))
+
+      // now the secondary runs ahead; the old overhang pairs first
+      b.addData("z", "w")
+      h.processAllAvailable()
+      assert(out.asScala.toSeq === Seq("1-x", "2-y", "3-z"))
+      assert(h.buffered === ((0, 1)))
+
+      a.addData(4)
+      h.processAllAvailable()
+      assert(out.asScala.toSeq === Seq("1-x", "2-y", "3-z", "4-w"))
+      assert(h.buffered === ((0, 0)))
+    } finally h.stop()
+  }
+
+  test("zip: rate-mismatch beyond maxBuffer fails the offending query, not silently") {
+    val s = spark
+    import s.implicits._
+    val a = MemoryStream[Int](s)
+    val b = MemoryStream[String](s)
+    val h = StreamCombine.zip[Int, String, String](
+      a.toDS(), b.toDS(), (x, y) => s"$x-$y", _ => (), maxBuffer = 2)
+    try {
+      a.addData(1, 2, 3, 4, 5)
+      intercept[Exception] { h.processAllAvailable() }
+      assert(h.primaryQuery.exception.isDefined,
+        "overflow must surface as the query's failure")
+      assert(h.primaryQuery.exception.get.toString.contains("zip buffer overflow"))
+    } finally h.stop()
+  }
 }

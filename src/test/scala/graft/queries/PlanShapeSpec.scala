@@ -157,4 +157,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.linesIterator.count(_.contains("TopKPerKey")) === 4,
       "candidate trim + final rank, each partial+final, on the heap operator")
   }
+
+  test("shuffleShards: exactly ONE exchange (shard hash), no global range sort") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val p = graft.operators.Sampling.shuffleShards(docs, "doc_id", nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1,
+      s"one shard exchange expected:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      "the export layout must never globally range-sort the corpus")
+  }
+
+  test("q81: cross-corpus band join is shuffled on both sides, never broadcast") {
+    val p = plan("q81_neardup_ingest_gate")
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.exists(_.contains("ShuffledHashJoin")),
+      s"band join must shuffle-hash: ${joins.mkString(" | ")}")
+    assert(p.contains("minhash_sig"),
+      "both sides must band through the fused portable signature kernel")
+  }
 }

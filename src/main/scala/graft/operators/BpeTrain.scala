@@ -69,15 +69,24 @@ object BpeTrain {
     * non-overlapping adjacent (left, right) becomes left+right. A fold is
     * exactly the greedy scan: a merged element's VALUE is left+right ≠
     * left (symbols are non-empty), so the fold never re-merges an element
-    * it just created — "aaa" under (a,a) yields [aa, a], not [aa, aa]. */
-  def mergeExpr(syms: Column, left: String, right: String): Column =
+    * it just created — "aaa" under (a,a) yields [aa, a], not [aa, aa].
+    *
+    * The pair arrives as COLUMNS, not literals: the training loop feeds
+    * it from a broadcast 1-row frame, so every round compiles to the
+    * structurally identical plan and whole-stage codegen's cache serves
+    * rounds 2..n — with per-round literals each round generated and
+    * JIT-compiled a fresh class, which dominated small-vocab round time. */
+  def mergeExpr(syms: Column, left: Column, right: Column): Column =
     aggregate(
       syms,
       array().cast("array<string>"),
       (acc, s) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(left) && s === lit(right),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        when(size(acc) > 0 && element_at(acc, -1) === left && s === right,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(left, right))))
           .otherwise(concat(acc, array(s))))
+
+  def mergeExpr(syms: Column, left: String, right: String): Column =
+    mergeExpr(syms, lit(left), lit(right))
 
   /** Learn up to `numMerges` merge rules from the corpus. Stops early
     * when the best remaining pair's weighted count drops below
@@ -88,6 +97,16 @@ object BpeTrain {
       numMerges: Int = 50,
       minPairCount: Long = 2L): Seq[Merge] =
     trainMergesFromVocab(wordVocab(docs, textCol), numMerges, minPairCount)
+
+  /** Lineage-truncate every this-many merge rounds. Between checkpoints
+    * rounds only PERSIST: unlike the CC loop (which references each
+    * round's frame twice, doubling the plan per round), a merge round
+    * references its predecessor once, so the plan grows LINEARLY and a
+    * cache is enough — the argmax job materializes it as a side effect,
+    * halving the jobs per round. The periodic checkpoint still bounds
+    * plan depth, so numMerges can reach vocabulary scale (thousands)
+    * without analyzer-stack or treeString blowup. */
+  private val CheckpointEvery = 8
 
   /** Same, from a prepared (`word`, `w`) vocabulary — lets callers train
     * several tokenizers (per language, per domain) off one corpus pass. */
@@ -101,31 +120,59 @@ object BpeTrain {
     var vocab = wordWeights
       .select(charSyms(col("word")).as("syms"), col("w"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    var vocabIsCheckpoint = true
+    // a lazily-persisted round still READS its predecessor's blocks when
+    // the next argmax first materializes it — the predecessor's release
+    // must wait until after that job, or every round would recompute the
+    // whole segment since the last checkpoint
+    var lagged: Option[(DataFrame, Boolean)] = None
+    def release(df: DataFrame, isCheckpoint: Boolean): Unit =
+      if (isCheckpoint) org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(df)
+      else { df.unpersist(false); () }
     try {
       var rank = 0
       var exhausted = false
       while (rank < numMerges && !exhausted) {
         // TakeOrdered(1): the per-partition heads meet at the driver —
-        // one row of traffic, no full sort of the pair frame
+        // one row of traffic, no full sort of the pair frame; this job
+        // also materializes the round's lazily-persisted vocab, after
+        // which the lagged predecessor has no reader left
         val top = pairCounts(vocab)
           .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+        lagged.foreach { case (df, ck) => release(df, ck) }
+        lagged = None
         if (top.isEmpty || top.head.getLong(2) < minPairCount) exhausted = true
         else {
           val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
           merges += Merge(rank, l, r, c)
-          val next = vocab
-            .withColumn("syms", mergeExpr(col("syms"), l, r))
-            .localCheckpoint(true, StorageLevel.DISK_ONLY)
-          org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(vocab)
+          val checkpointRound = (rank + 1) % CheckpointEvery == 0
+          // the round's pair as a broadcast 1-row frame (see mergeExpr:
+          // identical plan per round ⇒ codegen cache hit)
+          val sess = vocab.sparkSession
+          val mrow = sess.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(l, r)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("ml_", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("mr_", org.apache.spark.sql.types.StringType))))
+          val transformed = vocab.crossJoin(broadcast(mrow))
+            .withColumn("syms", mergeExpr(col("syms"), col("ml_"), col("mr_")))
+            .drop("ml_", "mr_")
+          val next =
+            if (checkpointRound) transformed.localCheckpoint(true, StorageLevel.DISK_ONLY)
+            else transformed.persist(StorageLevel.DISK_ONLY)
+          if (checkpointRound) release(vocab, vocabIsCheckpoint) // next is eager
+          else lagged = Some((vocab, vocabIsCheckpoint))
           vocab = next
+          vocabIsCheckpoint = checkpointRound
           rank += 1
         }
       }
       merges.result()
     } finally {
-      // the merge table is the model; the working frame's blocks have no
-      // further reader on ANY exit path (normal or throwing)
-      org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(vocab)
+      // the merge table is the model; the working frames have no further
+      // reader on ANY exit path (normal or throwing)
+      lagged.foreach { case (df, ck) => release(df, ck) }
+      release(vocab, vocabIsCheckpoint)
     }
   }
 

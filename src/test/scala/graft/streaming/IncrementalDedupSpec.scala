@@ -96,4 +96,47 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(got.asScala.toMap === expected,
       "micro-batched span cut must equal the batch form against the same static set")
   }
+
+  test("ingest-time NEAR-dup gate: streamed batches against precomputed corpus bands == batch form") {
+    val s = spark
+    import s.implicits._
+    // near-identical pairs must cross the 3-gram Jaccard bar, exact
+    // matches too; the clean doc shares nothing
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different corpus content about spark windows"),
+      (3L, "shared prefix tokens one two three four five six seven")).toDF("doc_id", "text")
+    // precompute-once contract: the corpus bands are the static artifact
+    val bands = Dedup.minHashBandsPortable(corpus).cache()
+
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),  // exact dup -> drop
+      (11L, "the quick brown fox jumps over the lazy cat tonight"),  // near dup -> drop
+      (12L, "entirely novel text with no overlap whatsoever here"),  // clean -> pass
+      (13L, "shared prefix tokens one two three four five six eight")) // near dup -> drop
+    val expected = Dedup.newContentOnlyNear(
+        incoming.toDF("doc_id", "text"), corpus, minJaccard = 0.4,
+        corpusBands = Some(bands))
+      .collect().map(_.getLong(0)).toSet
+    assert(expected === Set(12L), "gate must drop exact + near dups, pass clean")
+
+    val ms = MemoryStream[(Long, String)](s)
+    val got = new ConcurrentHashMap[Long, String]()
+    val q = ms.toDS().toDF("doc_id", "text").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.newContentOnlyNear(batch, corpus, minJaccard = 0.4,
+            corpusBands = Some(bands))
+          .collect().foreach(r => got.put(r.getLong(0), r.getString(1)))
+        ()
+      }
+      .start()
+    try {
+      ms.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(incoming.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.asScala.keySet === expected,
+      "micro-batched near-dup gate must equal the batch form against the same bands")
+  }
 }

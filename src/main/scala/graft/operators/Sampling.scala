@@ -212,6 +212,34 @@ object Sampling {
       .drop("es_key_")
   }
 
+  /** Temperature-scaled domain mixing rates (the mC4/multilingual-LM
+    * recipe): sampling probability per stratum ∝ mass^alpha, so alpha = 1
+    * keeps natural proportions, alpha = 0 equalizes strata, and values
+    * between up-weight the tail without drowning the head. Input is the
+    * per-stratum mass map (token counts from one aggregation — driver
+    * state the size of the domain list); output is a per-stratum KEEP
+    * RATE for [[stratifiedSample]] such that expected kept mass ≈
+    * `budget` overall: rate_d = min(1, p_d·budget / mass_d). Rates that
+    * cap at 1 leave the residual budget unclaimed deliberately —
+    * redistribution would over-sample heads, the standard fixed-point
+    * refinement callers can iterate if they need the budget exact. */
+  def temperatureRates(
+      massByStratum: Map[String, Long],
+      alpha: Double,
+      budget: Long): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0,1]")
+    require(budget >= 0L, s"budget $budget must be >= 0")
+    require(massByStratum.values.forall(_ > 0L), "strata must have positive mass")
+    if (massByStratum.isEmpty) Map.empty
+    else {
+      val pw = massByStratum.view.mapValues(m => math.pow(m.toDouble, alpha)).toMap
+      val z = pw.values.sum
+      massByStratum.map { case (d, m) =>
+        d -> math.min(1.0, pw(d) / z * budget / m.toDouble)
+      }
+    }
+  }
+
   /** Deterministic global shuffle + shard assignment — the EXPORT step of
     * a training pipeline. Data loaders want the corpus pre-shuffled and
     * cut into shard files whose contents and ORDER are reproducible

@@ -163,6 +163,27 @@ class SamplingSpec extends SparkSpecBase {
       s"10x-weighted rows won only $heavy/${wins.size} slots")
   }
 
+  test("temperatureRates: alpha=1 is one uniform rate, alpha=0 equalizes expected mass") {
+    val mass = Map("en" -> 8000L, "de" -> 1600L, "sw" -> 400L)
+    val budget = 1000L
+    val a1 = Sampling.temperatureRates(mass, alpha = 1.0, budget)
+    // natural proportions: every stratum keeps the same fraction
+    assert(a1.values.map(v => math.round(v * 1e9)).toSet.size === 1)
+    assert(math.abs(a1("en") - budget.toDouble / mass.values.sum) < 1e-12)
+    val a0 = Sampling.temperatureRates(mass, alpha = 0.0, budget)
+    // equal expected mass per stratum: rate_d * mass_d constant (uncapped)
+    val kept0 = a0.map { case (d, r) => r * mass(d) }
+    assert(kept0.forall(k => math.abs(k - kept0.head) < 1e-9))
+    // intermediate alpha up-weights the tail monotonically
+    val a5 = Sampling.temperatureRates(mass, alpha = 0.5, budget)
+    assert(a5("sw") > a1("sw") && a5("sw") < a0("sw"))
+    assert(a5("en") < a1("en") * 1.5 && a5("en") > 0)
+    // caps: a tiny stratum under alpha=0 cannot exceed rate 1
+    val tiny = Sampling.temperatureRates(Map("big" -> 100000L, "tiny" -> 3L),
+      alpha = 0.0, budget = 1000L)
+    assert(tiny("tiny") === 1.0)
+  }
+
   test("shuffleShards: total partition, contiguous 1-based positions per shard") {
     val n = docs.count()
     val out = Sampling.shuffleShards(docs, "doc_id", nShards = 8, salt = "v1")

@@ -262,15 +262,21 @@ object Sampling {
     * parallelism floor). Salt rerolls the permutation per epoch.
     *
     * Output: input columns + `shard` (long in [0, nShards)) + `pos`
-    * (1-based long within shard, in shard order). */
+    * (1-based long within shard, in shard order).
+    *
+    * `groupCols` shards WITHIN each group independently (the per-SPLIT
+    * export: train shards never interleave val/test rows) — positions
+    * restart per (group, shard), one exchange either way. */
   def shuffleShards(
       df: DataFrame,
       idCol: String,
       nShards: Int,
-      salt: String = ""): DataFrame = {
+      salt: String = "",
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col("ord_"), col(idCol))
+    val w = Window.partitionBy(groupCols.map(col) :+ col("shard"): _*)
+      .orderBy(col("ord_"), col(idCol))
     df.withColumn("shard", bucket(col(idCol), salt + "#s") % nShards)
       .withColumn("ord_", bucket(col(idCol), salt + "#o"))
       .withColumn("pos", row_number().over(w).cast("long"))

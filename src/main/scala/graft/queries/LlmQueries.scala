@@ -1390,8 +1390,92 @@ object LlmQueries extends QueryGroup {
              FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
              ORDER BY in_id, corpus_id"""))
 
+  val q82 = QueryDef(
+    "q82_curation_export_layout",
+    "the corpus build's FINAL step composed onto q60's manifest: " +
+      "survivors (final_keep) receive their deterministic per-SPLIT " +
+      "shard + position layout (train shards never interleave val/test " +
+      "rows, positions restart per (split, shard)) — normalize → dedup → " +
+      "quality → split → export as ONE declarative cross-engine-checked " +
+      "plan",
+    (s, dir) =>
+      Sampling.shuffleShards(
+          q60.builder(s, dir).filter(col("final_keep"))
+            .select("doc_id", "lang", "split"),
+          "doc_id", nShards = 4, salt = "exp", groupCols = Seq("split"))
+        .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+        .orderBy("split", "shard", "pos"),
+    Some("""WITH d AS (SELECT doc_id, lang,
+                         trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+                       FROM documents),
+            sha AS (SELECT doc_id, lang, text, sha256(text) AS text_sha FROM d),
+            canon AS (SELECT text_sha, MIN(doc_id) AS keep_id
+                      FROM sha GROUP BY text_sha),
+            t2 AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM d),
+            g AS (SELECT doc_id, toks,
+                    CASE WHEN len(toks) >= 2 THEN
+                      [array_to_string(toks[i:i+1], ' ')
+                       for i in generate_series(1, len(toks)-1)]
+                    ELSE [] END AS g2,
+                    CASE WHEN len(toks) >= 3 THEN
+                      [array_to_string(toks[i:i+2], ' ')
+                       for i in generate_series(1, len(toks)-2)]
+                    ELSE [] END AS g3
+                  FROM t2),
+            m AS (SELECT doc_id,
+                    ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+                    CASE WHEN len(g3) > 0 THEN
+                      ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4)
+                    ELSE 0.0 END AS dup3_frac
+                  FROM g),
+            e AS (SELECT doc_id, unnest(g2) AS b FROM g),
+            c AS (SELECT doc_id, b, COUNT(*) AS c FROM e GROUP BY doc_id, b),
+            tp AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top2_frac
+                   FROM c GROUP BY doc_id),
+            qual AS (SELECT m.doc_id,
+                       (m.ttr >= 0.3 AND m.dup3_frac <= 0.05
+                        AND COALESCE(tp.top2_frac, 0.0) <= 0.12) AS keep_quality
+                     FROM m LEFT JOIN tp USING (doc_id)),
+            hs AS (SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(CAST(doc_id AS VARCHAR) || 'v1', ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                       (a, v) -> (a * 31 + v) % 1000000007) AS h
+                   FROM d),
+            sp AS (SELECT doc_id,
+                     CASE WHEN ((h + 479001599) * (h + 987654323))
+                               % 1000000007 % 10000 < 9000 THEN 'train'
+                          WHEN ((h + 479001599) * (h + 987654323))
+                               % 1000000007 % 10000 < 9500 THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM hs),
+            surv AS (SELECT sha.doc_id, sp.split
+                     FROM sha
+                     JOIN canon USING (text_sha)
+                     JOIN qual ON qual.doc_id = sha.doc_id
+                     JOIN sp ON sp.doc_id = sha.doc_id
+                     WHERE sha.doc_id = canon.keep_id AND qual.keep_quality),
+            eh AS (SELECT doc_id, split,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(CAST(doc_id AS VARCHAR) || 'exp#s', ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                       (a, v) -> (a * 31 + v) % 1000000007) AS hsd,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(CAST(doc_id AS VARCHAR) || 'exp#o', ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                       (a, v) -> (a * 31 + v) % 1000000007) AS hod
+                   FROM surv),
+            lay AS (SELECT doc_id, split,
+                      ((hsd + 479001599) * (hsd + 987654323)) % 1000000007 % 10000 % 4 AS shard,
+                      ((hod + 479001599) * (hod + 987654323)) % 1000000007 % 10000 AS ord
+                    FROM eh)
+            SELECT doc_id, split, shard,
+              CAST(ROW_NUMBER() OVER (PARTITION BY split, shard
+                                      ORDER BY ord, doc_id) AS BIGINT) AS pos
+            FROM lay ORDER BY split, shard, pos"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81)
+      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82)
 }

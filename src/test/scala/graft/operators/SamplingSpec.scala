@@ -202,6 +202,15 @@ class SamplingSpec extends SparkSpecBase {
     assert(shards.length > 1, "500 ids must spread over multiple shards")
   }
 
+  test("shuffleShards: groupCols shard within each group, positions restart per (group, shard)") {
+    val out = Sampling.shuffleShards(docs, "doc_id", nShards = 4, salt = "g",
+      groupCols = Seq("lang"))
+    val bad = out.groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= lit(1L)).count()
+    assert(bad === 0L, "every (lang, shard) must hold contiguous 1-based positions")
+  }
+
   test("shuffleShards: layout is deterministic, partition-invariant, salt-rerolled") {
     def layout(df: org.apache.spark.sql.DataFrame, salt: String) =
       Sampling.shuffleShards(df, "doc_id", nShards = 8, salt = salt)

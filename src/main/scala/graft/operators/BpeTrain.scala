@@ -46,9 +46,13 @@ object BpeTrain {
       .where(col("word").isNotNull && col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("w"))
 
-  /** `word` (string) → `syms` (array of single-character strings). */
+  /** `word` (string) → `syms` (array of single-character strings).
+    * DOTALL: a pre-token can be a lone control char (the `[^a-z0-9 ]`
+    * class matches "\n"), and plain `.` would drop it — giving the
+    * distributed trainer an empty symbol array where [[encodeWord]]'s
+    * `word.map(_.toString)` keeps the char. */
   def charSyms(word: Column): Column =
-    regexp_extract_all(word, lit("."), lit(0))
+    regexp_extract_all(word, lit("(?s)."), lit(0))
 
   /** Adjacent symbol-pair counts over a (`syms`, `w`) vocabulary,
     * weighted by word occurrence — columns (l, r, cnt). */

@@ -71,6 +71,14 @@ class BpeTrainSpec extends SparkSpecBase {
     }
   }
 
+  test("charSyms keeps control characters (DOTALL), matching the driver-side split") {
+    val s = spark; import s.implicits._
+    val got = Seq("a\nb", "\n", "xy").toDF("word")
+      .select(BpeTrain.charSyms(col("word")).as("cs"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got.toSeq === Seq(List("a", "\n", "b"), List("\n"), List("x", "y")))
+  }
+
   test("pairCounts weights adjacent pairs by word occurrence") {
     val s = spark; import s.implicits._
     val vocab = Seq(("ab", 3L), ("abc", 2L), ("x", 9L))

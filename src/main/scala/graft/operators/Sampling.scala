@@ -54,6 +54,18 @@ object Sampling {
     ((h + MixA) * (h + MixB)) % P % Buckets
   }
 
+  /** The avalanched hash WITHOUT the bucket quantization — ~1e9 distinct
+    * values. Sampling rates only need 1/10000 granularity ([[bucket]]);
+    * shard COUNTS and permutation ORDER keys must not collapse to 10⁴
+    * values (a 100 TB export wants ~10⁵ shards, and an order key with
+    * 10⁴ distinct values would tie-break almost every pair by raw id —
+    * no longer a uniform permutation). */
+  private def avalanche(idCol: Column, salt: String): Column = {
+    val h = ColumnGlue.column(AsciiPolyHash(ColumnGlue.expression(
+      concat(idCol.cast("string"), lit(salt)))))
+    ((h + MixA) * (h + MixB)) % P
+  }
+
   /** Deterministic Bernoulli(fraction) sample keyed on `idCol`. */
   def deterministicSample(
       df: DataFrame,
@@ -277,8 +289,10 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col) :+ col("shard"): _*)
       .orderBy(col("ord_"), col(idCol))
-    df.withColumn("shard", bucket(col(idCol), salt + "#s") % nShards)
-      .withColumn("ord_", bucket(col(idCol), salt + "#o"))
+    // both keys from the UN-quantized avalanche: shard counts beyond 10⁴
+    // and an order key that almost never ties (see [[avalanche]])
+    df.withColumn("shard", avalanche(col(idCol), salt + "#s") % nShards)
+      .withColumn("ord_", avalanche(col(idCol), salt + "#o"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("ord_")
   }

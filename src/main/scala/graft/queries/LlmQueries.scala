@@ -1248,8 +1248,8 @@ object LlmQueries extends QueryGroup {
                       (a, v) -> (a * 31 + v) % 1000000007) AS hor
                   FROM documents),
             b AS (SELECT doc_id,
-                    ((hsh + 479001599) * (hsh + 987654323)) % 1000000007 % 10000 % 8 AS shard,
-                    ((hor + 479001599) * (hor + 987654323)) % 1000000007 % 10000 AS ord
+                    ((hsh + 479001599) * (hsh + 987654323)) % 1000000007 % 8 AS shard,
+                    ((hor + 479001599) * (hor + 987654323)) % 1000000007 AS ord
                   FROM raw)
             SELECT doc_id, shard,
               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
@@ -1466,8 +1466,8 @@ object LlmQueries extends QueryGroup {
                        (a, v) -> (a * 31 + v) % 1000000007) AS hod
                    FROM surv),
             lay AS (SELECT doc_id, split,
-                      ((hsd + 479001599) * (hsd + 987654323)) % 1000000007 % 10000 % 4 AS shard,
-                      ((hod + 479001599) * (hod + 987654323)) % 1000000007 % 10000 AS ord
+                      ((hsd + 479001599) * (hsd + 987654323)) % 1000000007 % 4 AS shard,
+                      ((hod + 479001599) * (hod + 987654323)) % 1000000007 AS ord
                     FROM eh)
             SELECT doc_id, split, shard,
               CAST(ROW_NUMBER() OVER (PARTITION BY split, shard

@@ -198,6 +198,22 @@ object BpeTrain {
     out.result()
   }
 
+  /** One string per CODE POINT — the driver-side twin of [[charSyms]]
+    * (whose `(?s).` regex matches code points). `word.map(_.toString)`
+    * would split by UTF-16 code units, cutting every non-BMP char
+    * (emoji, astral CJK) into two lone surrogates — symbols the trainer
+    * never produced, so trained merges could never match at encode time. */
+  def codePointSyms(word: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Segment one pre-token with a trained merge table, applying rules in
     * rank order, one full greedy pass each. For TRAINED tables this
     * equals the priority-queue BPE encoder: a rule's constituent symbols
@@ -205,7 +221,7 @@ object BpeTrain {
     * entered the vocabulary), so a later rule can never create a match
     * for an earlier one — rank order is already priority order. */
   def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
-    merges.foldLeft(word.map(_.toString).toList) {
+    merges.foldLeft(codePointSyms(word)) {
       case (syms, (l, r)) => applyMerge(syms, l, r)
     }
 

@@ -429,7 +429,12 @@ object Dedup {
   }
 
   /** Fuzzy [[newContentOnly]]: drop incoming rows that NEAR-duplicate any
-    * corpus doc (identical text is jaccard 1.0, so exact dups go too). */
+    * corpus doc. The exact sha gate composes FIRST, deliberately: a doc
+    * with fewer than n tokens has no shingles and therefore no bands —
+    * the near path alone would wave a byte-identical short doc through;
+    * the sha anti-join catches every exact dup regardless of length, and
+    * the near path then only has to judge the already-novel remainder
+    * (which also shrinks its banding input). */
   def newContentOnlyNear(
       incoming: DataFrame,
       corpus: DataFrame,
@@ -439,12 +444,14 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 2,
       minJaccard: Double = 0.8,
-      corpusBands: Option[DataFrame] = None): DataFrame =
-    incoming.join(
-      nearDupAgainst(corpus, incoming, idCol, textCol, n, numHashes, bands,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
+    val novel = newContentOnly(incoming, corpus, textCol)
+    novel.join(
+      nearDupAgainst(corpus, novel, idCol, textCol, n, numHashes, bands,
           minJaccard, corpusBands)
         .select(col("in_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+  }
 
   def portableMinHashPairs(
       df: DataFrame,

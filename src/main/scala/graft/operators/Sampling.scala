@@ -48,11 +48,8 @@ object Sampling {
     * low buckets would over-select (an 80% split drew 60% on small-int
     * ids). The quadratic blow-up pushes every key through ~1e8 mod-P
     * wraps; all arithmetic stays < 2^63, exact in any engine's int64. */
-  def bucket(idCol: Column, salt: String = ""): Column = {
-    val h = ColumnGlue.column(AsciiPolyHash(ColumnGlue.expression(
-      concat(idCol.cast("string"), lit(salt)))))
-    ((h + MixA) * (h + MixB)) % P % Buckets
-  }
+  def bucket(idCol: Column, salt: String = ""): Column =
+    avalanche(idCol, salt) % Buckets
 
   /** The avalanched hash WITHOUT the bucket quantization — ~1e9 distinct
     * values. Sampling rates only need 1/10000 granularity ([[bucket]]);
@@ -286,6 +283,9 @@ object Sampling {
       salt: String = "",
       groupCols: Seq[String] = Nil): DataFrame = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
+    Seq("shard", "pos", "ord_").foreach(c =>
+      require(!df.columns.contains(c),
+        s"column '$c' already exists — rename it before shuffleShards"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col) :+ col("shard"): _*)
       .orderBy(col("ord_"), col(idCol))

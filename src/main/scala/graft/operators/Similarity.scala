@@ -241,10 +241,39 @@ object Similarity {
       }
     }
 
-    val v = assign(corpus, "nid", "nvec", keep = 1)
-      .withColumnRenamed("nvecnorm", "nnorm")
-    val p = assign(probes, "pid", "pvec", keep = nProbe)
-      .withColumnRenamed("pvecnorm", "pnorm").withColumnRenamed("cell", "pcell")
+    val (v, p) =
+      if (corpusSizedProbes) {
+        // corpus == probes (the kNN-graph shape): ONE normalized scan,
+        // ONE quantizer dot pass, ONE narrow ranking — two assign() calls
+        // would score the corpus against every centroid twice (the
+        // dominant scan cost) and push vectors through the probe-side
+        // window exchange. The ranking is (nid, cid, csim) only; vectors
+        // rejoin from the persisted normalized frame afterwards.
+        val side = withNorm(
+            corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nvec", "nnorm")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val rawCsim =
+          VectorOps.dot(col("nvec"), col("cvec")) / (col("nnorm") * col("cnorm"))
+        val csim = routeRoundTo.map(d => round(rawCsim, d)).getOrElse(rawCsim)
+        val wRank = Window.partitionBy("nid").orderBy(col("csim").desc, col("cid"))
+        val ranked = side.join(broadcast(cents), lit(true))
+          .select(col("nid"), col("cid"), csim.as("csim"))
+          .withColumn("crank", row_number().over(wRank))
+          .filter(col("crank") <= nProbe)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // crank == 1 reproduces the keep-1 max_by tie-break exactly:
+        // max (csim, -cid) == first of (csim desc, cid asc)
+        val vv = side.join(
+          ranked.filter(col("crank") === 1).select(col("nid"), col("cid").as("cell")), "nid")
+        val pp = side
+          .select(col("nid").as("pid"), col("nvec").as("pvec"), col("nnorm").as("pnorm"))
+          .join(ranked.select(col("nid").as("pid"), col("cid").as("pcell")), "pid")
+        (vv, pp)
+      } else {
+        (assign(corpus, "nid", "nvec", keep = 1).withColumnRenamed("nvecnorm", "nnorm"),
+          assign(probes, "pid", "pvec", keep = nProbe)
+            .withColumnRenamed("pvecnorm", "pnorm").withColumnRenamed("cell", "pcell"))
+      }
     // probe batches leave the planner free to broadcast the small side;
     // with corpus-sized probes (the kNN-graph shape) BOTH sides are
     // corpus-scale and an estimate-driven broadcast would ship the corpus

@@ -25,7 +25,7 @@ class BpeTrainSpec extends SparkSpecBase {
     val wc = mutable.Map.empty[String, Long].withDefaultValue(0L)
     texts.foreach(t => pat.findAllIn(t.toLowerCase).foreach(w => wc(w) += 1L))
     var syms: Map[String, List[String]] =
-      wc.keysIterator.map(w => w -> w.map(_.toString).toList).toMap
+      wc.keysIterator.map(w => w -> BpeTrain.codePointSyms(w)).toMap
     val out = Seq.newBuilder[(String, String, Long)]
     var done = false
     var rank = 0
@@ -66,7 +66,7 @@ class BpeTrainSpec extends SparkSpecBase {
       val got = words.toDF("word")
         .select(BpeTrain.mergeExpr(BpeTrain.charSyms(col("word")), l, r).as("m"))
         .collect().map(_.getSeq[String](0).toList)
-      val want = words.map(w => BpeTrain.applyMerge(w.map(_.toString).toList, l, r))
+      val want = words.map(w => BpeTrain.applyMerge(BpeTrain.codePointSyms(w), l, r))
       assert(got.toSeq === want, s"merge ($l,$r)")
     }
   }
@@ -77,6 +77,17 @@ class BpeTrainSpec extends SparkSpecBase {
       .select(BpeTrain.charSyms(col("word")).as("cs"))
       .collect().map(_.getSeq[String](0).toList)
     assert(got.toSeq === Seq(List("a", "\n", "b"), List("\n"), List("x", "y")))
+  }
+
+  test("charSyms and codePointSyms agree on non-BMP text (no lone surrogates)") {
+    val s = spark; import s.implicits._
+    val words = Seq("a\ud83d\ude42b", "\ud83d\ude00", "mixed\ud83c\udf55slice")
+    val got = words.toDF("word")
+      .select(BpeTrain.charSyms(col("word")).as("cs"))
+      .collect().map(_.getSeq[String](0).toList)
+    val want = words.map(BpeTrain.codePointSyms)
+    assert(got.toSeq === want, "distributed and driver-side splits must agree")
+    assert(want.head === List("a", "\ud83d\ude42", "b"), "emoji stays one symbol")
   }
 
   test("pairCounts weights adjacent pairs by word occurrence") {

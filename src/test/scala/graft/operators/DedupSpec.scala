@@ -557,16 +557,32 @@ class DedupSpec extends SparkSpecBase {
     assert(a === b)
   }
 
-  test("newContentOnlyNear drops exactly the flagged incoming ids") {
+  test("newContentOnlyNear drops exact dups, near dups, and nothing else") {
     val d = graft.core.Tables.load(spark, sfDir, "documents")
     val incoming = d.filter(col("doc_id") % 5 === 0)
     val corpus = d.filter(col("doc_id") % 5 =!= 0)
-    val flagged = Dedup.nearDupAgainst(corpus, incoming, minJaccard = 0.4)
+    val nearFlagged = Dedup.nearDupAgainst(corpus, incoming, minJaccard = 0.4)
       .select("in_id").distinct().collect().map(_.getLong(0)).toSet
+    val exactDups = incoming.select("doc_id").collect().map(_.getLong(0)).toSet --
+      Dedup.newContentOnly(incoming, corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
     val kept = Dedup.newContentOnlyNear(incoming, corpus, minJaccard = 0.4)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val all = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept === all -- flagged)
-    assert(flagged.nonEmpty, "fixture must exercise the gate (near-dups exist)")
+    assert(kept === all -- nearFlagged -- exactDups)
+    assert(nearFlagged.nonEmpty, "fixture must exercise the gate (near-dups exist)")
+  }
+
+  test("newContentOnlyNear catches exact dups SHORTER than the shingle width") {
+    val s2 = spark; import s2.implicits._
+    // "hi there" has < 3 tokens: no shingles, no bands, invisible to the
+    // near path — the composed sha gate must still drop the exact copy
+    val corpus = Seq((1L, "hi there"), (2L, "a long corpus document with many tokens"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, "hi there"), (11L, "ok"), (12L, "novel words"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.newContentOnlyNear(incoming, corpus, minJaccard = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L), "byte-identical short doc must not pass the gate")
   }
 }

@@ -189,4 +189,37 @@ object Retrieval {
       .limit(topK)
       .select(col("id").as(idCol), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher — SIGIR 2009):
+    * combine N ranked lists into one, score(d) = Σ over lists of
+    * 1/(k0 + rank_d). Rank-based, so a lexical BM25 list and a dense
+    * cosine list fuse without any score calibration — the standard
+    * hybrid-retrieval combiner. Inputs are already top-k sized (each a
+    * retrieval output), so fusion is a narrow union + one tiny
+    * aggregation; nothing here scales with the corpus. Scores are
+    * rounded to 6 — each addend is identical IEEE arithmetic in any
+    * engine, so the fused ordering is engine-portable (q83).
+    *
+    * Output: (idCol, rrf, n_lists) — n_lists makes "found by both
+    * retrievers" visible, the usual confidence signal. */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      idCol: String = "doc_id",
+      rankCol: String = "rank",
+      k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    lists
+      .map(_.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(k0) + col(rankCol))).as("rr")))
+      .reduce(_.union(_))
+      .groupBy("id")
+      .agg(round(sum(col("rr")), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as(idCol), col("rrf"), col("n_lists"))
+  }
 }

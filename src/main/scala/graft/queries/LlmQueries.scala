@@ -1474,8 +1474,66 @@ object LlmQueries extends QueryGroup {
                                       ORDER BY ord, doc_id) AS BIGINT) AS pos
             FROM lay ORDER BY split, shard, pos"""))
 
+  val q83 = QueryDef(
+    "q83_retrieval_hybrid_rrf",
+    "hybrid retrieval: BM25 lexical top-10 (q66's query) fused with dense " +
+      "cosine top-10 (probe = vec 0) by reciprocal-rank fusion " +
+      "1/(60+rank) — rank-based, no score calibration across modalities; " +
+      "both rankings and the fusion replayed by the oracle, n_lists marks " +
+      "docs found by both retrievers",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = graft.operators.Retrieval.bm25(t(s, dir, "documents"),
+          Seq("key", "table", "hash"), topK = 10)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.topKBruteForce(emb,
+          emb.filter(col("vec_id") === 0), k = 10)
+        .select(col("nid").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, dense), topK = 10)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    Some("""WITH lens AS (SELECT doc_id,
+                     CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                   FROM documents),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+            tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents)
+                   WHERE tok IN ('key', 'table', 'hash') GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+            c AS (SELECT tf.doc_id,
+                    ROUND(ln((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                          * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / st.avgdl)),
+                      6) AS c
+                  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN st),
+            s66 AS (SELECT doc_id,
+                      ROUND(CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE), 4) AS score
+                    FROM c GROUP BY doc_id
+                    ORDER BY score DESC, doc_id LIMIT 10),
+            lex AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+                    FROM s66),
+            p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+                  WHERE vec_id = 0),
+            v AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+                  FROM embeddings),
+            sc AS (SELECT nid, ROUND(list_cosine_similarity(pv, nv), 4) AS sim
+                   FROM p CROSS JOIN v WHERE nid <> 0),
+            dense AS (SELECT nid AS doc_id,
+                        ROW_NUMBER() OVER (ORDER BY sim DESC, nid) AS rank
+                      FROM sc QUALIFY rank <= 10),
+            u AS (SELECT doc_id, 1.0/(60+rank) AS rr FROM lex
+                  UNION ALL SELECT doc_id, 1.0/(60+rank) FROM dense)
+            SELECT doc_id, ROUND(SUM(rr), 6) AS rrf,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists
+            FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82)
+      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83)
 }

@@ -116,4 +116,23 @@ class RetrievalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Retrieval.bm25(docs, Seq.empty))
     intercept[IllegalArgumentException](Retrieval.bm25(docs, Seq("a"), topK = 0))
   }
+
+  test("rrfFuse: hand-computed fusion, overlap counted, contract checks") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def rr(rank: Long) = 1.0 / (60 + rank)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // doc 2 appears in both lists and must lead
+    assert(got.toSeq === Seq(
+      (2L, r6(rr(2) + rr(1)), 2L),
+      (1L, r6(rr(1)), 1L),
+      (3L, r6(rr(2)), 1L)))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k0 = 0))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), topK = 0))
+  }
 }

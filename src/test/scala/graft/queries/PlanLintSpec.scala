@@ -40,7 +40,11 @@ class PlanLintSpec extends SparkSpecBase {
     // against the streamed corpus for cell assignment (model state, like
     // q50/q72's centroid joins); the corpus×corpus CANDIDATE join is
     // shuffle-hash, asserted in SimilaritySpec
-    "q77_knn_graph_ivf")
+    "q77_knn_graph_ivf",
+    // q83: hybrid fusion composes q66's BM25 (1-row corpus-stats
+    // crossJoin) and q36's broadcast-probe brute-force baseline — both
+    // BNLJs documented above; the fusion itself is a narrow union + agg
+    "q83_retrieval_hybrid_rrf")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

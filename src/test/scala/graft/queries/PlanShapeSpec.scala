@@ -168,6 +168,15 @@ class PlanShapeSpec extends SparkSpecBase {
       "the export layout must never globally range-sort the corpus")
   }
 
+  test("q82: the manifest barrier holds — layout reads the cache, not a re-inlined filter") {
+    val p = plan("q82_curation_export_layout")
+    assert(p.contains("InMemoryTableScan"),
+      "final_keep must filter the MATERIALIZED manifest: pushing it below " +
+        "q60's projections re-inlines the token pipeline ~30× " +
+        "(Filter-below-Project substitution has no lambda CSE)")
+    spark.catalog.clearCache()
+  }
+
   test("q81: cross-corpus band join is shuffled on both sides, never broadcast") {
     val p = plan("q81_neardup_ingest_gate")
     val joins = p.linesIterator.filter(_.contains("Join")).toSeq

@@ -193,7 +193,14 @@ object Quality {
   /** [[repetitionMetrics]] plus a `keep` verdict — the actual corpus
     * filter decision. Defaults are calibrated loose (repetition filters
     * drop outliers, not the median document); every threshold is a knob.
-    */
+    *
+    * PUSHDOWN HAZARD: `keep` (and the metrics) are projections over the
+    * token pipeline, and a downstream `.filter(col("keep"))` gets pushed
+    * BELOW the projection — Filter-below-Project substitution has no
+    * lambda CSE, so the whole token pipeline re-inlines into the filter
+    * condition (measured ~30× on q82's manifest composition, see
+    * BASELINE.md). When filtering on the verdict, materialize first:
+    * `repetitionFilter(df).persist(DISK_ONLY).filter(col("keep"))`. */
   def repetitionFilter(
       df: DataFrame,
       idCol: String = "doc_id",

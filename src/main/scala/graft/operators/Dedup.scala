@@ -445,7 +445,13 @@ object Dedup {
       bands: Int = 2,
       minJaccard: Double = 0.8,
       corpusBands: Option[DataFrame] = None): DataFrame = {
+    // `novel` is referenced three times downstream (banding, the text
+    // verify, the outer anti-join) — unpersisted, each reference would
+    // re-run the sha gate over the incoming side. Batch-scale DISK_ONLY
+    // blocks, live until the session cache clears (the jaccardPairs
+    // lazy-result contract).
     val novel = newContentOnly(incoming, corpus, textCol)
+      .persist(StorageLevel.DISK_ONLY)
     novel.join(
       nearDupAgainst(corpus, novel, idCol, textCol, n, numHashes, bands,
           minJaccard, corpusBands)

@@ -196,9 +196,12 @@ object Retrieval {
     * cosine list fuse without any score calibration — the standard
     * hybrid-retrieval combiner. Inputs are already top-k sized (each a
     * retrieval output), so fusion is a narrow union + one tiny
-    * aggregation; nothing here scales with the corpus. Scores are
-    * rounded to 6 — each addend is identical IEEE arithmetic in any
-    * engine, so the fused ordering is engine-portable (q83).
+    * aggregation; nothing here scales with the corpus. Determinism is
+    * the [[bm25Score]] discipline: each addend rounds to 9 (identical
+    * IEEE arithmetic in any engine), the sum accumulates as exact
+    * DECIMAL — aggregation order cannot perturb a fused ranking even
+    * with many lists (a raw double sum is non-associative; two addends
+    * happen to be safe, N are not) — and the final score rounds to 6.
     *
     * Output: (idCol, rrf, n_lists) — n_lists makes "found by both
     * retrievers" visible, the usual confidence signal. */
@@ -213,10 +216,10 @@ object Retrieval {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     lists
       .map(_.select(col(idCol).as("id"),
-        (lit(1.0) / (lit(k0) + col(rankCol))).as("rr")))
+        round(lit(1.0) / (lit(k0) + col(rankCol)), 9).as("rr")))
       .reduce(_.union(_))
       .groupBy("id")
-      .agg(round(sum(col("rr")), 6).as("rrf"),
+      .agg(round(sum(col("rr").cast(DecimalType(30, 9))).cast(DoubleType), 6).as("rrf"),
         count(lit(1)).as("n_lists"))
       .orderBy(col("rrf").desc, col("id"))
       .limit(topK)

@@ -241,6 +241,13 @@ object Similarity {
       }
     }
 
+    // the fast path substitutes `corpus` for BOTH sides — it is only
+    // sound when the caller passed the same frame twice (knnGraph);
+    // a corpus-SIZED but different probe set must fail loudly, not
+    // silently search the wrong vectors
+    require(!corpusSizedProbes || (probes eq corpus),
+      "corpusSizedProbes requires probes eq corpus (the self-kNN-graph " +
+        "shape); for a large distinct probe set call topKIvf without it")
     val (v, p) =
       if (corpusSizedProbes) {
         // corpus == probes (the kNN-graph shape): ONE normalized scan,
@@ -248,7 +255,10 @@ object Similarity {
         // would score the corpus against every centroid twice (the
         // dominant scan cost) and push vectors through the probe-side
         // window exchange. The ranking is (nid, cid, csim) only; vectors
-        // rejoin from the persisted normalized frame afterwards.
+        // rejoin from the persisted normalized frame afterwards. Both
+        // persists back a LAZY result, so their blocks live until the
+        // session cache clears — the documented jaccardPairs contract
+        // (`spark.catalog.clearCache()` releases them).
         val side = withNorm(
             corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nvec", "nnorm")
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)

@@ -124,8 +124,12 @@ class RetrievalSpec extends SparkSpecBase {
     val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
     val got = Retrieval.rrfFuse(Seq(a, b), topK = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
-    def rr(rank: Long) = 1.0 / (60 + rank)
-    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // mirror the operator's determinism discipline: addends round to 9,
+    // exact decimal sum, final round to 6
+    def rr(rank: Long) =
+      BigDecimal(1.0 / (60 + rank)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // doc 2 appears in both lists and must lead
     assert(got.toSeq === Seq(
       (2L, r6(rr(2) + rr(1)), 2L),

@@ -1297,7 +1297,7 @@ object LlmQueries extends QueryGroup {
     "BPE tokenizer TRAINING (merge-rule induction, Sennrich 2016): one " +
       "corpus→vocabulary aggregation, then 16 rounds of vocab-sized " +
       "pair-count + TakeOrdered(1) argmax + narrow greedy-merge fold — " +
-      "lineage-truncated per round like the CC loop; the merge table is " +
+      "persisted per round, lineage-truncated every 8th; the merge table is " +
       "the model. No DuckDB oracle (iterative argmax is not ANSI-SQL-" +
       "expressible): rows-only here; the pair-count machinery is hash-" +
       "gated by the q79 portable twin and the trainer is equivalence-" +

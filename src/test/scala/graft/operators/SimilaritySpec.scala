@@ -120,6 +120,36 @@ class SimilaritySpec extends SparkSpecBase {
       s"candidate join must shuffle-hash, plan: ${p.linesIterator.filter(_.contains("Join")).mkString(" | ")}")
   }
 
+  test("knnGraph with a trained k-means quantizer: exact scores; full probe exact; misuse fails fast") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val trained = Similarity.kMeansCentroids(v, k = 8, iters = 2)
+    val nCells = trained.count().toInt
+    val brute = Similarity.topKBruteForce(v, v, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // production geometry through the single-pass fast path
+    val g = Similarity.knnGraph(v, k = 3, nCentroids = nCells,
+        nProbe = math.max(1, nCells / 4), quantizer = Some(trained))
+      .collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(math.abs(brute((r.getLong(0), r.getLong(2))) - r.getDouble(3)) < 1e-9,
+        "trained cell routing must never change pair scores")
+    }
+    // full probe over the trained quantizer degenerates to brute force
+    val bruteTop = Similarity.topKBruteForce(v, v, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = Similarity.knnGraph(v, k = 3, nCentroids = nCells,
+        nProbe = nCells, quantizer = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full === bruteTop)
+    // the fast path substitutes corpus for both sides: a DIFFERENT
+    // corpus-sized probe frame must be rejected, not silently ignored
+    intercept[IllegalArgumentException] {
+      Similarity.topKIvf(v, v.filter(col("vec_id") >= 0), k = 3,
+        nCentroids = 8, nProbe = 2, corpusSizedProbes = true)
+    }
+  }
+
   test("topKPqAdc: complete candidacy (topC = corpus) equals brute force") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val probes = v.filter(col("vec_id") < 5)

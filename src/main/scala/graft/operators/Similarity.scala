@@ -328,6 +328,36 @@ object Similarity {
     topKIvf(corpus, corpus, k, nCentroids, nProbe, idCol, vecCol, roundTo,
       quantizer, routeRoundTo = Some(routeRoundTo), corpusSizedProbes = true)
 
+  /** SEMANTIC ingest admission gate — the vector-space member of the
+    * newContentOnly family (exact sha → [[graft.operators.Dedup.newContentOnly]],
+    * fuzzy text → [[graft.operators.Dedup.newContentOnlyNear]], THIS →
+    * embedding cosine): drop incoming vectors whose similarity to ANY
+    * corpus vector within the probed IVF cells reaches `minCos` (the
+    * SemDeDup-style duplicate definition). k = 1 suffices — the heap
+    * keeps the MAX-similarity candidate, and max ≥ τ ⇔ some candidate
+    * ≥ τ. Routing is rounded, so with a deterministic quantizer the
+    * whole gate (assignment → routing → candidacy → threshold →
+    * anti-join) replays in SQL (q84). nProbe bounds recall exactly as
+    * in [[topKIvf]]: a near-dup hiding in an unprobed cell survives —
+    * the documented approximate-gate trade; raise nProbe to tighten. */
+  def semanticNewContentOnly(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      minCos: Double,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      routeRoundTo: Int = 6,
+      quantizer: Option[DataFrame] = None): DataFrame = {
+    require(minCos >= -1.0 && minCos <= 1.0, s"minCos $minCos outside [-1,1]")
+    val hits = topKIvf(corpus, incoming, k = 1, nCentroids, nProbe, idCol,
+        vecCol, roundTo = 4, quantizer, routeRoundTo = Some(routeRoundTo))
+      .filter(col("sim") >= minCos)
+    incoming.join(hits.select(col("pid").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   // ---- Product quantization (PQ / ADC) ----
   // Jégou, Douze, Schmid — "Product Quantization for Nearest Neighbor
   // Search" (TPAMI 2011): split the (L2-normalized) vector into m

@@ -1545,8 +1545,58 @@ object LlmQueries extends QueryGroup {
                    CAST(COUNT(*) AS BIGINT) AS n_lists
             FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10"""))
 
+  val q84 = QueryDef(
+    "q84_semantic_ingest_gate",
+    "SEMANTIC ingest admission gate — the vector-space member of the " +
+      "newContentOnly family: incoming vectors (vec_id ≡ 0 mod 10) whose " +
+      "cosine to any corpus vector within their 4 probed IVF cells " +
+      "reaches 0.4 are dropped, survivors pass; rounded routing + the " +
+      "deterministic quantizer make assignment, routing, candidacy, " +
+      "threshold and anti-join all SQL-replayable",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.semanticNewContentOnly(
+          incoming = v.filter(col("vec_id") % 10 === 0),
+          corpus = v.filter(col("vec_id") % 10 =!= 0),
+          minCos = 0.4, nCentroids = 16, nProbe = 4)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+                       FROM embeddings),
+            corp AS (SELECT vec_id, ev FROM v WHERE vec_id % 10 <> 0),
+            inc AS (SELECT vec_id, label, ev FROM v WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id AS cid, ev AS cv FROM corp
+                  ORDER BY vec_id LIMIT 16),
+            ccs AS (SELECT corp.vec_id, c.cid,
+                      ROUND(list_cosine_similarity(corp.ev, c.cv), 6) AS csim
+                    FROM corp CROSS JOIN c),
+            crk AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS r
+                    FROM ccs),
+            vc AS (SELECT vec_id AS nid, cid AS cell FROM crk WHERE r = 1),
+            ics AS (SELECT inc.vec_id, c.cid,
+                      ROUND(list_cosine_similarity(inc.ev, c.cv), 6) AS csim
+                    FROM inc CROSS JOIN c),
+            irk AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS r
+                    FROM ics),
+            pc AS (SELECT vec_id AS pid, cid AS pcell FROM irk WHERE r <= 4),
+            cand AS (SELECT pc.pid, vc.nid FROM pc
+                     JOIN vc ON pc.pcell = vc.cell AND pc.pid <> vc.nid),
+            s AS (SELECT cand.pid,
+                    ROUND(list_cosine_similarity(p.ev, n.ev), 4) AS sim
+                  FROM cand JOIN v p ON p.vec_id = cand.pid
+                    JOIN corp n ON n.vec_id = cand.nid),
+            hit AS (SELECT DISTINCT pid FROM s WHERE sim >= 0.4)
+            SELECT vec_id, label FROM inc
+            WHERE vec_id NOT IN (SELECT pid FROM hit)
+            ORDER BY vec_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83)
+      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84)
 }

@@ -150,6 +150,29 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("semanticNewContentOnly: full probe equals the brute-force gate; partial probe only spares, never over-drops") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val incoming = v.filter(col("vec_id") % 10 === 0)
+    val corpus = v.filter(col("vec_id") % 10 =!= 0)
+    val tau = 0.35
+    // brute-force expectation: survivors have NO corpus neighbor >= tau
+    val maxSim = Similarity.topKBruteForce(corpus, incoming, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val allIn = incoming.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = allIn.filter(id => maxSim.get(id).forall(_ < tau))
+    val full = Similarity.semanticNewContentOnly(incoming, corpus, tau,
+        nCentroids = 8, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === expected, "full probe must equal the exact gate")
+    assert(expected.size < allIn.size, "fixture must drop someone at this tau")
+    // approximate geometry can only MISS dups (more survivors), never
+    // drop clean content
+    val part = Similarity.semanticNewContentOnly(incoming, corpus, tau,
+        nCentroids = 8, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(expected.subsetOf(part), "partial probe must never over-drop")
+  }
+
   test("topKPqAdc: complete candidacy (topC = corpus) equals brute force") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val probes = v.filter(col("vec_id") < 5)

@@ -44,7 +44,11 @@ class PlanLintSpec extends SparkSpecBase {
     // q83: hybrid fusion composes q66's BM25 (1-row corpus-stats
     // crossJoin) and q36's broadcast-probe brute-force baseline — both
     // BNLJs documented above; the fusion itself is a narrow union + agg
-    "q83_retrieval_hybrid_rrf")
+    "q83_retrieval_hybrid_rrf",
+    // q84: the semantic ingest gate rides topKIvf — the nCentroids-row
+    // quantizer broadcast for cell assignment (q50/q77's class); the
+    // candidate join is the cell equi-join
+    "q84_semantic_ingest_gate")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

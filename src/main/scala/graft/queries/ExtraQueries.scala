@@ -161,5 +161,30 @@ object ExtraQueries extends QueryGroup {
             SELECT seq, o_orderkey, o_totalprice, c_custkey, c_name
             FROM a JOIN b USING (seq) ORDER BY seq"""))
 
-  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q80)
+  val q85 = QueryDef(
+    "q85_distinct_until_changed",
+    "distinctUntilChanged (ReactiveX, batch form): collapse each user's " +
+      "event stream to its event_type transitions — one window exchange, " +
+      "null-safe lag comparison; a value may recur later and is kept again " +
+      "(unlike distinct, only consecutive repeats drop)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Changes.distinctUntilChanged(
+          e.select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+          keyCols = Seq(col("user_id")),
+          orderCols = Seq(col("ts"), col("event_id")),
+          valueCols = Seq(col("event_type")))
+        .select(col("user_id"), col("event_id"), tsStr(col("ts")).as("ts_s"), col("event_type"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""WITH w AS (
+              SELECT user_id, event_id, ts, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT user_id, event_id, ${oTsStr("ts")} AS ts_s, event_type
+              FROM w
+             WHERE prev IS DISTINCT FROM event_type
+             ORDER BY user_id, event_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q80, q85)
 }

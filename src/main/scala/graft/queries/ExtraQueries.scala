@@ -186,5 +186,36 @@ object ExtraQueries extends QueryGroup {
              WHERE prev IS DISTINCT FROM event_type
              ORDER BY user_id, event_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q80, q85)
+  val q86 = QueryDef(
+    "q86_snapshot_delta",
+    "recrawl/snapshot delta: classify every doc across two snapshot frames " +
+      "as added/removed/changed/unchanged — each side reduced map-side to " +
+      "(id, sha256), one full-outer id exchange of ~40 B/row, text never " +
+      "shuffles (snapshots derived deterministically from the fixture: " +
+      "old drops id%11==3, new drops id%13==5 and revises id%7==0)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 11 =!= 3).select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Changes.snapshotDelta(oldSnap, newSnap)
+        .orderBy("doc_id")
+    },
+    Some("""WITH olds AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+              news AS (SELECT doc_id,
+                              CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+                       FROM documents WHERE doc_id % 13 <> 5),
+              oh AS (SELECT doc_id, sha256(text) AS old_sha FROM olds),
+              nh AS (SELECT doc_id, sha256(text) AS new_sha FROM news)
+            SELECT doc_id, old_sha, new_sha,
+                   CASE WHEN old_sha IS NULL THEN 'added'
+                        WHEN new_sha IS NULL THEN 'removed'
+                        WHEN old_sha <> new_sha THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM oh FULL JOIN nh USING (doc_id)
+            ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q80, q85, q86)
 }

@@ -125,6 +125,52 @@ object Dedup {
       n: Int,
       minJaccard: Double,
       maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
+    val (base, docs) = sharedPairCounts(df, idCol, textCol, n, maxShingleDf)
+    val pairs = base
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ia", "ib", "shared", "na", "nb", "jaccard")
+    (pairs, docs)
+  }
+
+  /** Asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A| over
+    * distinct n-gram shingle hashes, emitted per unordered pair (ia < ib)
+    * as `c_ab` (smaller-id doc inside larger-id doc) and `c_ba`, kept
+    * when either direction ≥ `minContainment`. The quote/subset detector
+    * Jaccard structurally misses: a 50-token doc verbatim inside a
+    * 5000-token doc has J ≈ 0.01 but C ≈ 1.0 — resemblance vs containment
+    * is Broder's original distinction (syntactic clustering, 1997).
+    *
+    * Same exchange discipline and cost shape as [[jaccardPairs]] (shared
+    * candidate/count machinery): one hash self-join with map-side
+    * combining, 8-byte shingle currency, size joins over the per-doc
+    * sets. The measure is a row-local projection over (shared, na, nb) —
+    * no extra shuffle versus Jaccard. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val (base, _) = sharedPairCounts(df, idCol, textCol, n, maxShingleDf)
+    base
+      .withColumn("c_ab", col("shared").cast("double") / col("na"))
+      .withColumn("c_ba", col("shared").cast("double") / col("nb"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+      .select("ia", "ib", "shared", "na", "nb", "c_ab", "c_ba")
+  }
+
+  /** Candidate pairs sharing ≥1 shingle hash, with the shared-hash count
+    * and both set sizes — the measure-agnostic core of [[jaccardPairs]] /
+    * [[containmentPairs]]. Returns (pairs, docs-cache handle). */
+  private def sharedPairCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
     val docs = shingleHashSets(df, idCol, textCol, n)
     val ex0 = docs.select(col("id"), explode(col("hs")).as("h"))
     val ex = maxShingleDf match {
@@ -145,14 +191,10 @@ object Dedup {
       .join(right, col("h") === col("h2") && col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("shared"))
     val sizes = docs.select(col("id"), size(col("hs")).cast(LongType).as("nsh"))
-    val pairs = shared
+    val base = shared
       .join(sizes.select(col("id").as("ia"), col("nsh").as("na")), "ia")
       .join(sizes.select(col("id").as("ib"), col("nsh").as("nb")), "ib")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("ia", "ib", "shared", "na", "nb", "jaccard")
-    (pairs, docs)
+    (base, docs)
   }
 
   /** MinHash signatures as (id, sig array) via the fused

@@ -1595,8 +1595,33 @@ object LlmQueries extends QueryGroup {
             WHERE vec_id NOT IN (SELECT pid FROM hit)
             ORDER BY vec_id"""))
 
+  val q87 = QueryDef(
+    "q87_neardup_containment",
+    "asymmetric containment near-dup pairs: C(A→B) = |A∩B|/|A| over 3-gram " +
+      "shingle sets, either direction ≥ 0.5 — the quote/subset detector " +
+      "Jaccard structurally misses (Broder's resemblance-vs-containment " +
+      "distinction); same 8-byte-shingle self-join machinery as q35, the " +
+      "measure is a row-local projection so no extra shuffle",
+    (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), minContainment = 0.5)
+        .select(col("ia"), col("ib"), col("shared"), col("na"), col("nb"),
+          round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
+        .orderBy("ia", "ib"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+                    FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+              sz AS (SELECT id, CAST(len(sh) AS BIGINT) AS nsh FROM docs)
+             SELECT ia, ib, shared, na.nsh AS na, nb.nsh AS nb,
+               ROUND(shared * 1.0 / na.nsh, 4) AS c_ab,
+               ROUND(shared * 1.0 / nb.nsh, 4) AS c_ba
+             FROM p JOIN sz na ON na.id = p.ia JOIN sz nb ON nb.id = p.ib
+             WHERE GREATEST(shared * 1.0 / na.nsh, shared * 1.0 / nb.nsh) >= 0.5
+             ORDER BY ia, ib"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84)
+      q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
+      q87)
 }

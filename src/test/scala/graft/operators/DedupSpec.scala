@@ -28,6 +28,45 @@ class DedupSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(5) - 2.0 / 3.0) < 1e-9)
   }
 
+  test("containmentPairs: verbatim-subset doc scores C=1.0 where jaccard is low") {
+    val s = spark
+    import s.implicits._
+    // d1 is verbatim inside d2's long tail: containment(A→B)=1.0 but
+    // jaccard = 4/13 ≈ 0.31 — the pair Jaccard@0.5 misses and containment catches
+    val small = "w1 w2 w3 w4 w5 w6"                    // 4 3-gram shingles
+    val big = small + " x1 x2 x3 x4 x5 x6 x7 x8 x9"    // 13 shingles, all 4 of d1's
+    val df = Seq((1L, small), (2L, big), (3L, "q r s t u v")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(df, minJaccard = 0.5).count() === 0)
+    val rows = Dedup.containmentPairs(df, minContainment = 0.9).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((1L, 2L, 4L, 4L, 13L)))
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-9)            // c_ab = shared/na
+    assert(math.abs(r.getDouble(6) - 4.0 / 13.0) < 1e-9)     // c_ba = shared/nb
+  }
+
+  test("containmentPairs equals driver-side brute-force set containment on a randomized corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(87)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (0L until 40L).map { i =>
+      i -> Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def sh(t: String): Set[String] =
+      t.split("\\s+").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      sa = sh(ta); sb = sh(tb); shared = (sa & sb).size
+      if shared > 0 && math.max(shared.toDouble / sa.size, shared.toDouble / sb.size) >= 0.6
+    } yield (ia, ib, shared.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"), minContainment = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === want)
+  }
+
   test("jaccardPairs: maxShingleDf prunes hot shingles from candidacy") {
     val s = spark
     import s.implicits._

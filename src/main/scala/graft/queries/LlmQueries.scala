@@ -1619,9 +1619,79 @@ object LlmQueries extends QueryGroup {
              WHERE GREATEST(shared * 1.0 / na.nsh, shared * 1.0 / nb.nsh) >= 0.5
              ORDER BY ia, ib"""))
 
+  val q88 = QueryDef(
+    "q88_knn_centrality",
+    "PageRank centrality over the corpus kNN graph (3 power-iteration " +
+      "rounds on the q77 edge set) — the data-selection signal for dense " +
+      "semantic regions; per round one src-keyed shuffle join + one " +
+      "map-side-combining mass sum over E=n·k edges, never n²; " +
+      "DECIMAL(28,14) contribution accumulation + per-round rank rounding " +
+      "make the whole iteration replayable in SQL",
+    (s, dir) => {
+      val edges = Similarity.knnGraph(t(s, dir, "embeddings"), k = 3,
+        nCentroids = 16, nProbe = 2).select("pid", "nid")
+      graft.operators.Graph.pageRank(edges, rounds = 3).orderBy("node")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            c AS (SELECT vec_id AS cid, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+            cs AS (SELECT v.vec_id, c.cid,
+                     ROUND(list_cosine_similarity(v.ev, c.cv), 6) AS csim
+                   FROM v CROSS JOIN c),
+            rk AS (SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cid) AS r
+                   FROM cs),
+            vc AS (SELECT vec_id AS nid, cid AS cell FROM rk WHERE r = 1),
+            pc AS (SELECT vec_id AS pid, cid AS pcell FROM rk WHERE r <= 2),
+            cand AS (SELECT pc.pid, vc.nid FROM pc
+                     JOIN vc ON pc.pcell = vc.cell AND pc.pid <> vc.nid),
+            sc AS (SELECT cand.pid, cand.nid,
+                    ROUND(list_cosine_similarity(p.ev, n.ev), 4) AS sim
+                  FROM cand JOIN v p ON p.vec_id = cand.pid
+                    JOIN v n ON n.vec_id = cand.nid),
+            rr AS (SELECT pid, nid, sim,
+                    ROW_NUMBER() OVER (PARTITION BY pid
+                                       ORDER BY sim DESC, nid) AS rank
+                  FROM sc),
+            ed AS (SELECT pid AS src, nid AS dst FROM rr WHERE rank <= 3),
+            nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
+            od AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
+            r0 AS (SELECT node,
+                     ROUND(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 10) AS rnk
+                   FROM nd),
+            c1 AS (SELECT e.dst AS node,
+                     CAST(r0.rnk / od.outdeg AS DECIMAL(28,14)) AS c
+                   FROM ed e JOIN od USING (src) JOIN r0 ON r0.node = e.src),
+            s1 AS (SELECT node, SUM(c) AS mass FROM c1 GROUP BY node),
+            r1 AS (SELECT nd.node,
+                     ROUND((CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(s1.mass AS DOUBLE), 0.0), 10) AS rnk
+                   FROM nd LEFT JOIN s1 USING (node)),
+            c2 AS (SELECT e.dst AS node,
+                     CAST(r1.rnk / od.outdeg AS DECIMAL(28,14)) AS c
+                   FROM ed e JOIN od USING (src) JOIN r1 ON r1.node = e.src),
+            s2 AS (SELECT node, SUM(c) AS mass FROM c2 GROUP BY node),
+            r2 AS (SELECT nd.node,
+                     ROUND((CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(s2.mass AS DOUBLE), 0.0), 10) AS rnk
+                   FROM nd LEFT JOIN s2 USING (node)),
+            c3 AS (SELECT e.dst AS node,
+                     CAST(r2.rnk / od.outdeg AS DECIMAL(28,14)) AS c
+                   FROM ed e JOIN od USING (src) JOIN r2 ON r2.node = e.src),
+            s3 AS (SELECT node, SUM(c) AS mass FROM c3 GROUP BY node),
+            r3 AS (SELECT nd.node,
+                     ROUND((CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE)
+                         * COALESCE(CAST(s3.mass AS DOUBLE), 0.0), 10) AS rnk
+                   FROM nd LEFT JOIN s3 USING (node))
+            SELECT node, rnk AS rank FROM r3 ORDER BY node"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87)
+      q87, q88)
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** [[Graph.pageRank]] gates: equality with a driver-side reference power
+  * iteration under the operator's exact rounding rules, partition
+  * invariance, and the teleport/dangling-leak semantics. */
+class GraphSpec extends SparkSpecBase {
+
+  private val s_ = spark
+  import s_.implicits._
+
+  /** Reference power iteration replicating the operator's determinism
+    * contract: DECIMAL(28,14) HALF_UP per-edge contributions, exact
+    * decimal accumulation, rank rounded HALF_UP to `roundTo` per round,
+    * teleport = (1.0 - damping) / n in double. */
+  private def refPageRank(
+      edges: Seq[(Long, Long)], rounds: Int, damping: Double, roundTo: Int)
+      : Map[Long, Double] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val teleport = (1.0 - damping) / n
+    def rnd(x: Double, s: Int): Double =
+      new JBD(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
+    var rank: Map[Long, Double] = nodes.map(_ -> rnd(1.0 / n, roundTo)).toMap
+    (1 to rounds).foreach { _ =>
+      val mass = scala.collection.mutable.Map.empty[Long, JBD]
+      edges.foreach { case (u, v) =>
+        val c = new JBD(rank(u) / outdeg(u)).setScale(14, RoundingMode.HALF_UP)
+        mass(v) = mass.get(v).map(_.add(c)).getOrElse(c)
+      }
+      rank = nodes.map { v =>
+        val m = mass.get(v).map(_.doubleValue()).getOrElse(0.0)
+        v -> rnd(teleport + damping * m, roundTo)
+      }.toMap
+    }
+    rank
+  }
+
+  private val g = Seq(
+    (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 2L), (4L, 3L), (5L, 1L))
+
+  test("matches the reference power iteration exactly (rounded ranks in/out)") {
+    val got = Graph.pageRank(g.toDF("pid", "nid"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === refPageRank(g, rounds = 4, damping = 0.85, roundTo = 10))
+  }
+
+  test("partition-invariant: a reshuffled edge list yields identical ranks") {
+    val base = Graph.pageRank(g.toDF("pid", "nid"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val shuffled = Graph.pageRank(
+        g.reverse.toDF("pid", "nid").repartition(7, col("nid")), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(base === shuffled)
+  }
+
+  test("sink-less nodes keep only teleport mass; incoming mass raises rank") {
+    // 4 and 5 have no in-edges: rank = teleport exactly after round 1+
+    val out = Graph.pageRank(g.toDF("pid", "nid"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val teleport = 0.15 / 5
+    assert(math.abs(out(4L) - teleport) < 1e-9)
+    assert(math.abs(out(5L) - teleport) < 1e-9)
+    // 1 receives from 2,3,5 — strictly more central than the sources-only nodes
+    assert(out(1L) > out(4L) && out(2L) > out(4L) && out(3L) > out(4L))
+    // dangling leak: total mass strictly below 1 once a dangling node
+    // (none here: every node has out-edges) — with this graph mass is
+    // conserved up to rounding, so the sum stays near 1
+    assert(math.abs(out.values.sum - 1.0) < 1e-3)
+  }
+}

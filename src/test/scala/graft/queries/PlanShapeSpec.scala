@@ -185,4 +185,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("minhash_sig"),
       "both sides must band through the fused portable signature kernel")
   }
+
+  test("q86: snapshot delta joins digests, never broadcast (full outer ⇒ shuffled)") {
+    val p = plan("q86_snapshot_delta")
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    // Spark plans equi full-outer only as SMJ / shuffled-hash — both sides
+    // are corpus-sized, so a broadcast here would be a planner regression
+    assert(joins.exists(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+      s"delta join must be a shuffled join: ${joins.mkString(" | ")}")
+    assert(!joins.exists(_.contains("Broadcast")),
+      s"corpus-sized snapshot sides must not broadcast: ${joins.mkString(" | ")}")
+  }
+
+  test("q87: containment rides the shared pair core — shuffled self-join, no broadcast") {
+    val p = plan("q87_neardup_containment")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(_.contains("ShuffledHashJoin")),
+      s"shingle pair join must be a shuffled join: ${joinLines.mkString(" | ")}")
+  }
+
+  test("q88: centrality rounds reuse the persisted edge frame; no cartesian anywhere") {
+    val p = plan("q88_knn_centrality")
+    assert(p.contains("InMemoryTableScan"),
+      "edge+outdeg frame must be persisted and reread per round, not recomputed")
+    assert(!p.contains("CartesianProduct"),
+      "PageRank must never plan an all-pairs product")
+  }
 }

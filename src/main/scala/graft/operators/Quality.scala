@@ -212,4 +212,34 @@ object Quality {
       .withColumn("keep",
         col("ttr") >= minTtr && col("dup3_frac") <= maxDup3 &&
           col("top2_frac") <= maxTop2)
+
+  /** Corpus boilerplate AUDIT: the k n-grams appearing in the most
+    * documents, by document frequency (C4/Gopher-style boilerplate
+    * detection — navigation chrome, license banners, cookie notices
+    * surface here; the removal ACTION on what the audit flags is
+    * [[Dedup.removeSpansMatching]]).
+    *
+    * Scale shape: tokenize → per-doc DISTINCT shingle strings → explode
+    * is all NARROW ([[graft.functions.TextOps.shinglesFromTokens]] — the
+    * per-doc distinct makes the count a document frequency with no
+    * (doc, gram) dedup shuffle); then ONE map-side-combining aggregation
+    * keyed by gram (zipfian hot grams collapse to one partial row per
+    * partition before the exchange) and a TakeOrdered top-k (per-
+    * partition heaps, k rows to the driver — never a global sort).
+    * (df DESC, gram) totally orders, so the cut at k is deterministic. */
+  def boilerplateNgrams(
+      df: DataFrame,
+      n: Int = 3,
+      k: Int = 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextOps
+    val base = tokens(df, idCol, textCol)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    base
+      .select(explode(TextOps.shinglesFromTokens(col("toks"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(k)
+  }
 }

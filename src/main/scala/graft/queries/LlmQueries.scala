@@ -1689,9 +1689,23 @@ object LlmQueries extends QueryGroup {
                    FROM nd LEFT JOIN s3 USING (node))
             SELECT node, rnk AS rank FROM r3 ORDER BY node"""))
 
+  val q89 = QueryDef(
+    "q89_boilerplate_ngrams",
+    "corpus boilerplate audit: top-20 3-grams by DOCUMENT frequency " +
+      "(C4/Gopher-style boilerplate detection; the removal action is " +
+      "removeSpansMatching) — narrow per-doc distinct shingles, ONE " +
+      "map-side-combining gram aggregation, TakeOrdered top-k (k rows to " +
+      "the driver, never a global sort)",
+    (s, dir) =>
+      Quality.boilerplateNgrams(t(s, dir, "documents"), n = 3, k = 20),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              g AS (SELECT UNNEST(sh) AS gram FROM docs)
+             SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+             ORDER BY df DESC, gram LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88)
+      q87, q88, q89)
 }

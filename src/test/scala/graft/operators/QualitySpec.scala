@@ -109,6 +109,35 @@ class QualitySpec extends SparkSpecBase {
       s"physics docs must outscore the recipe: $w")
   }
 
+  test("boilerplateNgrams: planted banner tops the audit with exact document frequency") {
+    val s = spark
+    import s.implicits._
+    val banner = "subscribe to our newsletter"
+    // body tokens all embed the doc id, so every gram crossing the
+    // banner/body boundary is unique to its doc — only the banner's own
+    // 4-gram repeats across docs
+    val docs = (0L until 10L).map { i =>
+      val body = s"u$i v$i w$i x$i y$i"
+      i -> (if (i < 7) s"$banner $body" else body)
+    }.toDF("doc_id", "text")
+    val top = Quality.boilerplateNgrams(docs, n = 4, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // the banner's single 4-gram appears in 7 docs; everything else is unique (df=1)
+    assert(top.head === (banner -> 7L))
+    assert(top.tail.forall(_._2 === 1L))
+    // per-doc DISTINCT: repeating the banner twice in one doc must not inflate df
+    val rep = Seq((0L, s"$banner x $banner"), (1L, banner)).toDF("doc_id", "text")
+    val df = Quality.boilerplateNgrams(rep, n = 4, k = 1).collect().head.getLong(1)
+    assert(df === 2L)
+  }
+
+  test("boilerplateNgrams: top-k plans as TakeOrdered, not a global sort exchange") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val p = Quality.boilerplateNgrams(docs).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must use per-partition heaps: ${p.linesIterator.take(5).mkString(" | ")}")
+  }
+
   test("fixture metrics land in [0,1] and every doc gets a row") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val rows = Quality.repetitionFilter(docs).collect()

@@ -641,4 +641,62 @@ object Similarity {
     comp.select(col("id").as(idCol), col("comp").as("cluster_id"),
       (col("id") === col("comp")).as("keep"))
   }
+
+  /** Per-vector cosine to its LABEL CENTROID — the embedding-space
+    * outlier signal (CLIP-style filtering, mislabel pruning: a vector far
+    * from its group's center is a curation candidate; thresholding /
+    * percent-ranking the score is the caller's policy).
+    *
+    * Determinism contract: components are QUANTIZED to integers at
+    * `quantDecimals` decimals (round-half-away-from-zero, the rule both
+    * engines share), so every cross-row sum — centroid component sums,
+    * per-vector dot and norm — is EXACT integer/decimal arithmetic with
+    * no accumulation-order or decimal-tie sensitivity. Cosine is
+    * invariant under positive scaling, so scoring against the
+    * un-normalized quantized centroid SUM vector equals scoring against
+    * the mean centroid exactly; the 1e-`quantDecimals` component
+    * quantization is the operator's stated precision (q90 replays the
+    * identical pipeline in SQL).
+    *
+    * Scale shape: posexplode is narrow (corpus × dim rows, colocated per
+    * vector); the centroid aggregation exchanges only labels × dim
+    * partial rows (map-side combined); the tiny centroid frame
+    * broadcasts back; the per-vector aggregation collapses to one row
+    * per vector map-side (a vector's components share a partition), so
+    * its exchange moves n rows. Nothing corpus-sized shuffles wide. */
+  def labelCentroidCos(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      quantDecimals: Int = 6,
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val DEC = DecimalType(38, 0)
+    val scale = math.pow(10.0, quantDecimals)
+    val ex = df
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("id"), col("lbl"), col("pos"),
+        round(col("v").cast(DoubleType) * scale).cast(LongType).as("vq"))
+    val cent = ex.groupBy("lbl", "pos")
+      .agg(sum(col("vq")).as("cq")) // exact integer centroid-sum component
+    val cn = cent.groupBy("lbl")
+      .agg(sum((col("cq").cast(DEC) * col("cq").cast(DEC))).as("nc2"))
+    ex.join(broadcast(cent), Seq("lbl", "pos"))
+      .groupBy("id", "lbl")
+      .agg(
+        sum(col("vq").cast(DEC) * col("cq").cast(DEC)).as("dot"),
+        sum(col("vq") * col("vq")).as("nx2")) // ≤ dim·(scale·|v|)²: long-safe
+      .join(broadcast(cn), "lbl")
+      // withNorm's degenerate-vector drop rule, in quantized space: a
+      // zero vector (or zero centroid sum) has no defined cosine — drop
+      // rather than divide by zero (ANSI) or emit NaN
+      .filter(col("nx2") > 0 && col("nc2") > 0)
+      .select(col("id").as(idCol), col("lbl").as(labelCol),
+        round(
+          col("dot").cast(DoubleType) /
+            (sqrt(col("nx2").cast(DoubleType)) * sqrt(col("nc2").cast(DoubleType))),
+          roundTo).as("cos_centroid"))
+  }
 }

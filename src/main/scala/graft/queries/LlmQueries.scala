@@ -1703,9 +1703,45 @@ object LlmQueries extends QueryGroup {
              SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
              ORDER BY df DESC, gram LIMIT 20"""))
 
+  val q90 = QueryDef(
+    "q90_embedding_centroid_cos",
+    "embedding-space outlier signal: per-vector cosine to its LABEL " +
+      "centroid (CLIP-style filtering / mislabel pruning) — components " +
+      "quantized to integers so every cross-row sum is exact (no " +
+      "accumulation-order sensitivity); cosine is scale-invariant so the " +
+      "quantized centroid-SUM vector scores identically to the mean; " +
+      "centroid agg moves labels×dim rows, per-vector agg collapses " +
+      "map-side to one row per vector",
+    (s, dir) =>
+      Similarity.labelCentroidCos(
+          t(s, dir, "embeddings").withColumn("label", col("label").cast("long")))
+        .orderBy("vec_id"),
+    Some("""WITH v0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            ex AS (SELECT vec_id, label, i AS pos,
+                     CAST(ROUND(e[i] * 1000000) AS BIGINT) AS vq
+                   FROM (SELECT vec_id, label, e,
+                           unnest(generate_series(1, len(e))) AS i FROM v0)),
+            cent AS (SELECT label, pos, CAST(SUM(vq) AS BIGINT) AS cq
+                     FROM ex GROUP BY 1, 2),
+            cn AS (SELECT label, SUM(CAST(cq AS HUGEINT) * cq) AS nc2
+                   FROM cent GROUP BY 1),
+            pd AS (SELECT ex.vec_id, ex.label,
+                     SUM(CAST(ex.vq AS HUGEINT) * cent.cq) AS dot,
+                     SUM(CAST(ex.vq AS HUGEINT) * ex.vq) AS nx2
+                   FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+                   GROUP BY 1, 2)
+            SELECT pd.vec_id, pd.label,
+                   ROUND(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(nx2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE))), 4)
+                     AS cos_centroid
+            FROM pd JOIN cn USING (label)
+            WHERE nx2 > 0 AND nc2 > 0
+            ORDER BY pd.vec_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89)
+      q87, q88, q89, q90)
 }

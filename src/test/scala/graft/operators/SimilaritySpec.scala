@@ -340,4 +340,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(clusters(bands = 12) === exact,
       "banded candidacy reproduces the exact clustering on the fixture")
   }
+
+  test("labelCentroidCos: hand-computed centroids, outlier ranks lowest, degenerates drop") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // label 0: two identical vectors + one orthogonal outlier
+      (1L, Seq(1.0f, 0.0f), 0L),
+      (2L, Seq(1.0f, 0.0f), 0L),
+      (3L, Seq(0.0f, 1.0f), 0L),
+      // label 1: single vector — centroid is itself, cos = 1
+      (4L, Seq(0.5f, 0.5f), 1L),
+      // label 2: zero vector — no defined cosine, must drop
+      (5L, Seq(0.0f, 0.0f), 2L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidCos(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // label-0 centroid sum = (2e6, 1e6): cos(v1) = 2/sqrt(5), cos(v3) = 1/sqrt(5)
+    assert(out(1L) === math.rint(2.0 / math.sqrt(5) * 1e4) / 1e4)
+    assert(out(2L) === out(1L))
+    assert(out(3L) === math.rint(1.0 / math.sqrt(5) * 1e4) / 1e4)
+    assert(out(3L) < out(1L), "the outlier must score below the cluster core")
+    assert(out(4L) === 1.0)
+    assert(!out.contains(5L), "zero vectors have no defined cosine and must drop")
+  }
+
+  test("labelCentroidCos: fixture scores are in [-1,1] and every non-degenerate vector scored") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("label", org.apache.spark.sql.functions.col("label").cast("long"))
+    val rows = Similarity.labelCentroidCos(v).collect()
+    assert(rows.length === v.count(), "fixture has no degenerate vectors")
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0001 && c <= 1.0001, s"cosine out of range: $c")
+    }
+  }
 }

@@ -48,7 +48,11 @@ class PlanLintSpec extends SparkSpecBase {
     // q84: the semantic ingest gate rides topKIvf — the nCentroids-row
     // quantizer broadcast for cell assignment (q50/q77's class); the
     // candidate join is the cell equi-join
-    "q84_semantic_ingest_gate")
+    "q84_semantic_ingest_gate",
+    // q88: centrality runs ON the q77 kNN graph, so its plan contains
+    // q77's quantizer-broadcast BNLJ verbatim; pageRank's own joins are
+    // shuffled/broadcast-hash (asserted in PlanShapeSpec)
+    "q88_knn_centrality")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

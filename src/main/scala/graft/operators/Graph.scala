@@ -53,7 +53,12 @@ object Graph {
       roundTo: Int = 10): DataFrame = {
     require(rounds >= 1, "pageRank needs at least one round")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // cut the upstream pipeline ONCE: e is read by nodes (counted below,
+    // materializing this cache), outdeg, and eDeg — without the persist
+    // the possibly-expensive edge producer (a kNN graph in q88) would
+    // re-run for each derivation
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.DISK_ONLY)
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("long").as("outdeg"))
     // both sides scale with the corpus: shuffle join on src, no broadcast
     val eDeg = e.join(outdeg, "src").persist(StorageLevel.DISK_ONLY)

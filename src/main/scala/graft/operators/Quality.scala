@@ -213,6 +213,52 @@ object Quality {
         col("ttr") >= minTtr && col("dup3_frac") <= maxDup3 &&
           col("top2_frac") <= maxTop2)
 
+  /** Per-slice distribution DRIFT: KL(P_slice ‖ P_corpus) between each
+    * slice's unigram token distribution and the whole corpus's — the
+    * corpus-mix monitor (a source whose language suddenly shifts — spam
+    * influx, scraper breakage, domain takeover — jumps here long before
+    * downstream evals move; also the audit for recrawl deltas via
+    * [[Changes.snapshotDelta]]'s changed slice vs the old corpus).
+    * KL = Σ_tok p·ln(p/q) over tokens PRESENT in the slice (p > 0); q > 0
+    * always since every slice token is a corpus token.
+    *
+    * Scale shape: tokens ride as 8-byte xxhash64 values
+    * ([[unigramSurprisal]]'s currency); ONE corpus-wide (slice, token)
+    * aggregation (map-side combined) is the only 100 TB-touching step
+    * and is persisted VOCABULARY×slices-sized; slice totals and the
+    * corpus LM derive from it, never from a second corpus pass. Each KL
+    * contribution is cast to DECIMAL(28,14) before the sum (exact,
+    * order-insensitive accumulation — transcendental values, no decimal
+    * tie surface), so the whole statistic replays in SQL (q91). */
+  def distributionDrift(
+      df: DataFrame,
+      sliceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val toks = df
+      .select(col(sliceCol).as("slice"), col(idCol).as("id"),
+        split(col(textCol), "\\s+").as("toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("slice"), explode(col("toks")).as("tok"))
+      .select(col("slice"), xxhash64(col("tok")).as("h"))
+    val sf = toks.groupBy("slice", "h").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sn = sf.groupBy("slice").agg(sum("c").cast(LongType).as("ns"))
+    val cf = sf.groupBy("h").agg(sum("c").cast(LongType).as("ct"))
+    val cn = cf.agg(sum("ct").cast(LongType).as("nt"))
+    sf.join(cf, "h")
+      .join(broadcast(sn), "slice")
+      .crossJoin(broadcast(cn))
+      .select(col("slice"),
+        ((col("c") / col("ns")) * log((col("c") / col("ns")) / (col("ct") / col("nt"))))
+          .cast(DecimalType(28, 14)).as("kld"))
+      .groupBy("slice")
+      .agg(round(sum("kld").cast(DoubleType), roundTo).as("kl"))
+      .select(col("slice").as(sliceCol), col("kl"))
+  }
+
   /** Corpus boilerplate AUDIT: the k n-grams appearing in the most
     * documents, by document frequency (C4/Gopher-style boilerplate
     * detection — navigation chrome, license banners, cookie notices

@@ -1739,9 +1739,32 @@ object LlmQueries extends QueryGroup {
             WHERE nx2 > 0 AND nc2 > 0
             ORDER BY pd.vec_id"""))
 
+  val q91 = QueryDef(
+    "q91_source_distribution_drift",
+    "per-source distribution drift: KL(source ‖ corpus) over unigram " +
+      "token LMs — the corpus-mix monitor (spam influx / scraper " +
+      "breakage surfaces here); one (source, token-hash) aggregation is " +
+      "the only corpus-touching step, slice totals and the corpus LM " +
+      "derive from it; DECIMAL(28,14) contribution accumulation makes " +
+      "the statistic order-insensitive and SQL-replayable",
+    (s, dir) =>
+      Quality.distributionDrift(t(s, dir, "documents")).orderBy("source"),
+    Some("""WITH tok AS (SELECT source AS slice,
+                           unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents),
+              sf AS (SELECT slice, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+              sn AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS ns FROM sf GROUP BY 1),
+              cf AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM sf GROUP BY 1),
+              cn AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM cf)
+            SELECT slice AS source,
+                   ROUND(CAST(SUM(CAST((c / ns) * ln((c / ns) / (ct / nt))
+                     AS DECIMAL(28,14))) AS DOUBLE), 6) AS kl
+            FROM sf JOIN cf USING (tok) JOIN sn USING (slice) CROSS JOIN cn
+            GROUP BY slice ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90)
+      q87, q88, q89, q90, q91)
 }

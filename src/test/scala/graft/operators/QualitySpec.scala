@@ -138,6 +138,42 @@ class QualitySpec extends SparkSpecBase {
       s"top-k must use per-partition heaps: ${p.linesIterator.take(5).mkString(" | ")}")
   }
 
+  test("distributionDrift: corpus-identical slices score exactly zero") {
+    val s = spark
+    import s.implicits._
+    // every slice has the same distribution, so slice = corpus token-wise:
+    // p = q ⇒ every contribution is p·ln(1) = 0 exactly (no float residue)
+    val docs = Seq(
+      (1L, "x x y", "a"), (2L, "x x y", "b"), (3L, "x x y", "c")
+    ).toDF("doc_id", "text", "source")
+    val drift = Quality.distributionDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(drift === Map("a" -> 0.0, "b" -> 0.0, "c" -> 0.0))
+  }
+
+  test("distributionDrift: symmetric slices score identically; skew scores positive") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x x y", "a"), (2L, "x x y", "b"),
+      (3L, "z z z", "c"), (4L, "x y z", "c")
+    ).toDF("doc_id", "text", "source")
+    val drift = Quality.distributionDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(drift("a") === drift("b"), "interchangeable slices must score identically")
+    assert(drift("c") > 0.0, "a skewed slice must show positive drift")
+    // Gibbs: KL(p‖q) ≥ 0 up to the output rounding
+    drift.values.foreach(v => assert(v >= -1e-6, s"negative KL: $v"))
+  }
+
+  test("distributionDrift: fixture drift is non-negative with one row per source") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val n = docs.select("source").distinct().count()
+    val rows = Quality.distributionDrift(docs).collect()
+    assert(rows.length === n)
+    rows.foreach(r => assert(r.getDouble(1) >= -1e-6))
+  }
+
   test("fixture metrics land in [0,1] and every doc gets a row") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val rows = Quality.repetitionFilter(docs).collect()

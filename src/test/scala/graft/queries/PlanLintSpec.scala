@@ -52,7 +52,10 @@ class PlanLintSpec extends SparkSpecBase {
     // q88: centrality runs ON the q77 kNN graph, so its plan contains
     // q77's quantizer-broadcast BNLJ verbatim; pageRank's own joins are
     // shuffled/broadcast-hash (asserted in PlanShapeSpec)
-    "q88_knn_centrality")
+    "q88_knn_centrality",
+    // q91: the 1-row corpus-total frame crossJoined onto the vocabulary
+    // frame — q61's documented one-row-broadcast class
+    "q91_source_distribution_drift")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

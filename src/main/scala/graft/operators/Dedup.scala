@@ -197,6 +197,31 @@ object Dedup {
     (base, docs)
   }
 
+  /** Survivor selection per dedup cluster — the curation ACTION on
+    * [[dedupClusters]] / [[Similarity.nearDupClusters]]'s decision
+    * output. The clustering's `keep` flag marks the MIN-ID member
+    * (deterministic but arbitrary); production pipelines keep the
+    * BEST member — highest quality score, longest, freshest — so this
+    * re-selects the survivor by `scoreCol` (desc, id-tiebroken).
+    *
+    * Scale shape: one id-keyed shuffle join attaching scores to cluster
+    * labels, then the [[graft.plans.TopK]] heap operator at k=1 — the
+    * map-side partial heap trims every input partition to one row per
+    * cluster BEFORE the exchange, so the shuffle moves ≤ partitions rows
+    * per cluster, never the corpus (the window idiom would sort and
+    * shuffle every row). */
+  def clusterSurvivors(
+      clusters: DataFrame,
+      scored: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "quality"): DataFrame =
+    graft.plans.TopK.perKey(
+        clusters.select(col(idCol), col("cluster_id")).join(scored, idCol),
+        Seq(col("cluster_id")),
+        Seq(col(scoreCol).desc, col(idCol)),
+        k = 1, rankName = "rank")
+      .select(col("cluster_id"), col(idCol), col(scoreCol))
+
   /** MinHash signatures as (id, sig array) via the fused
     * [[graft.expressions.MinHashSigKernel]] byte loop: the whole signature
     * is computed in ONE pass over the document — no shingle explode, no

@@ -1762,9 +1762,58 @@ object LlmQueries extends QueryGroup {
             FROM sf JOIN cf USING (tok) JOIN sn USING (slice) CROSS JOIN cn
             GROUP BY slice ORDER BY source"""))
 
+  val q92 = QueryDef(
+    "q92_cluster_survivors",
+    "survivor selection per near-dup cluster — the curation action on " +
+      "q49's decision output: keep the BEST-quality member of each " +
+      "cluster (score desc, id-tiebroken), not the arbitrary min-id " +
+      "canonical; one id join + the k=1 heap operator (map-side trim to " +
+      "one row per cluster before the exchange, never a window sort)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(d, minJaccard = 0.4)
+      val scored = d.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      Dedup.clusterSurvivors(clusters, scored).orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+                    FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+              sz AS (SELECT id, CAST(len(sh) AS BIGINT) AS nsh FROM docs),
+              pr AS (SELECT ia, ib
+                     FROM p JOIN sz na ON na.id = p.ia JOIN sz nb ON nb.id = p.ib
+                     WHERE shared * 1.0 / (na.nsh + nb.nsh - shared) >= 0.4),
+              ed AS (SELECT ia AS u, ib AS v FROM pr
+                     UNION ALL SELECT ib, ia FROM pr),
+              reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.src, ed.v FROM reach JOIN ed ON reach.dst = ed.u),
+              cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              x AS (SELECT doc_id, text,
+                      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+                      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t)))
+                        AS BIGINT) AS hits
+                    FROM documents),
+              qs AS (SELECT doc_id,
+                       ROUND(LEAST(nt / 50.0, 1.0) * 0.5
+                         + (1.0 - ABS(hits * 1.0 / nt - 0.4)) * 0.3
+                         + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2,
+                         4) AS quality
+                     FROM x),
+              j AS (SELECT cl.cluster_id, cl.doc_id, qs.quality,
+                      row_number() OVER (PARTITION BY cl.cluster_id
+                                         ORDER BY qs.quality DESC, cl.doc_id) AS rn
+                    FROM cl JOIN qs USING (doc_id))
+            SELECT cluster_id, doc_id, quality FROM j WHERE rn = 1
+            ORDER BY cluster_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91)
+      q87, q88, q89, q90, q91, q92)
 }

@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("clusterSurvivors: best score wins per cluster, ties break to min id") {
+    val s = spark
+    import s.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (4L, 4L), (5L, 4L),           // cluster 4
+      (6L, 6L)                      // singleton
+    ).toDF("doc_id", "cluster_id")
+    val scored = Seq(
+      1L -> 0.2, 2L -> 0.9, 3L -> 0.9, // 2 and 3 tie — min id 2 survives
+      4L -> 0.5, 5L -> 0.8,
+      6L -> 0.1
+    ).toDF("doc_id", "quality")
+    val out = Dedup.clusterSurvivors(clusters, scored).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(1L -> ((2L, 0.9)), 4L -> ((5L, 0.8)), 6L -> ((6L, 0.1))))
+  }
+
   test("jaccardPairs: maxShingleDf prunes hot shingles from candidacy") {
     val s = spark
     import s.implicits._

@@ -259,6 +259,65 @@ object Quality {
       .select(col("slice").as(sliceCol), col("kl"))
   }
 
+  /** Unigram LM frame — (token-hash `h`, count `ct`) — for
+    * [[distributionDriftAgainst]]: compute ONCE over the reference
+    * corpus, persist, and probe per incoming slice/micro-batch (the
+    * precompute-and-reuse contract of `minHashBandsPortable` /
+    * `newContentOnly`'s sha set, in LM space). */
+  def unigramLm(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(explode(col("toks")).as("tok"))
+      .select(xxhash64(col("tok")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("ct"))
+
+  /** [[distributionDrift]] against a FIXED reference LM — the recrawl
+    * audit (a [[Changes.snapshotDelta]] `added+changed` slice vs the old
+    * corpus) and the streaming monitor (per micro-batch vs the landed
+    * corpus; composes under foreachBatch exactly like the ingest gates).
+    *
+    * Unlike the self-corpus form, an incoming token may be ABSENT from
+    * the reference — q is add-one smoothed over the reference
+    * vocabulary: q(tok) = (ct(tok)+1) / (nt+V), ct=0 when unseen (the
+    * [[importanceWeights]] smoothing rule), so unseen tokens contribute
+    * large-but-finite drift. KL = Σ p·ln(p/q) over incoming tokens,
+    * DECIMAL(28,14)-accumulated; the reference LM is touched only
+    * through its (h, ct) frame and two scalar stats — the reference
+    * corpus itself never re-scans. */
+  def distributionDriftAgainst(
+      df: DataFrame,
+      referenceLm: DataFrame,
+      sliceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val toks = df
+      .select(col(sliceCol).as("slice"), col(idCol).as("id"),
+        split(col(textCol), "\\s+").as("toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("slice"), explode(col("toks")).as("tok"))
+      .select(col("slice"), xxhash64(col("tok")).as("h"))
+    val sf = toks.groupBy("slice", "h").agg(count(lit(1)).as("c"))
+    val sn = sf.groupBy("slice").agg(sum("c").cast(LongType).as("ns"))
+    val stats = referenceLm.agg(
+      sum("ct").cast(LongType).as("nt"), count(lit(1)).cast(LongType).as("vsz"))
+    sf.join(referenceLm, Seq("h"), "left_outer")
+      .join(broadcast(sn), "slice")
+      .crossJoin(broadcast(stats))
+      .select(col("slice"),
+        ((col("c") / col("ns")) *
+          log((col("c") / col("ns")) /
+            ((coalesce(col("ct"), lit(0L)) + lit(1L)) / (col("nt") + col("vsz")))))
+          .cast(DecimalType(28, 14)).as("kld"))
+      .groupBy("slice")
+      .agg(round(sum("kld").cast(DoubleType), roundTo).as("kl"))
+      .select(col("slice").as(sliceCol), col("kl"))
+  }
+
   /** Corpus boilerplate AUDIT: the k n-grams appearing in the most
     * documents, by document frequency (C4/Gopher-style boilerplate
     * detection — navigation chrome, license banners, cookie notices

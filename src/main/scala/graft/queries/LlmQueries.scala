@@ -1811,9 +1811,40 @@ object LlmQueries extends QueryGroup {
             SELECT cluster_id, doc_id, quality FROM j WHERE rn = 1
             ORDER BY cluster_id"""))
 
+  val q93 = QueryDef(
+    "q93_drift_against_reference",
+    "distribution drift of an incoming slice vs a FIXED reference LM " +
+      "(the recrawl-audit / streaming-monitor form of q91): docs id%5==0 " +
+      "stream in, the id%5<>0 corpus is touched only through its " +
+      "precomputable (token-hash, count) LM frame plus two scalar stats; " +
+      "q is add-one smoothed over the reference vocabulary so unseen " +
+      "tokens contribute large-but-finite drift",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = Quality.unigramLm(d.filter(col("doc_id") % 5 =!= 0))
+      Quality.distributionDriftAgainst(d.filter(col("doc_id") % 5 === 0), lm)
+        .orderBy("source")
+    },
+    Some("""WITH rt AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                        FROM documents WHERE doc_id % 5 <> 0),
+              lm AS (SELECT tok, COUNT(*) AS ct FROM rt GROUP BY 1),
+              st AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                            CAST(COUNT(*) AS BIGINT) AS vsz FROM lm),
+              inc AS (SELECT source AS slice,
+                             unnest(string_split_regex(text, '\s+')) AS tok
+                      FROM documents WHERE doc_id % 5 = 0),
+              sf AS (SELECT slice, tok, COUNT(*) AS c FROM inc GROUP BY 1, 2),
+              sn AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS ns FROM sf GROUP BY 1)
+            SELECT slice AS source,
+                   ROUND(CAST(SUM(CAST((c / ns) * ln((c / ns)
+                     / ((COALESCE(ct, 0) + 1) / (nt + vsz)))
+                     AS DECIMAL(28,14))) AS DOUBLE), 6) AS kl
+            FROM sf LEFT JOIN lm USING (tok) JOIN sn USING (slice) CROSS JOIN st
+            GROUP BY slice ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92)
+      q87, q88, q89, q90, q91, q92, q93)
 }

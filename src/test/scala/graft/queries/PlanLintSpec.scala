@@ -55,7 +55,9 @@ class PlanLintSpec extends SparkSpecBase {
     "q88_knn_centrality",
     // q91: the 1-row corpus-total frame crossJoined onto the vocabulary
     // frame — q61's documented one-row-broadcast class
-    "q91_source_distribution_drift")
+    "q91_source_distribution_drift",
+    // q93: same class — the 1-row reference-LM stats frame (nt, vsz)
+    "q93_drift_against_reference")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

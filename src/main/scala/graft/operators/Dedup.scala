@@ -197,6 +197,33 @@ object Dedup {
     (base, docs)
   }
 
+  /** SOFT exact dedup: keep up to `maxCopies` members of each identical-
+    * content group (id-ordered), not just one — the data-constrained-
+    * scaling policy (Muennighoff et al. 2023: repeating data up to ~4
+    * epochs retains most of its value, so capped duplication beats full
+    * dedup when tokens are scarce). `maxCopies = 1` degenerates to
+    * [[exact]]'s keep-one decision.
+    *
+    * Scale shape: content reduces map-side to its sha256 before any
+    * exchange (the [[exact]]/[[Changes.snapshotDelta]] digest currency),
+    * then the [[graft.plans.TopK]] heap operator at k = maxCopies trims
+    * every input partition to ≤ k rows per digest BEFORE the shuffle —
+    * the window idiom would sort and shuffle every copy of every hot
+    * duplicate (exactly the skewed key a crawl's boilerplate produces). */
+  def exactCapped(
+      df: DataFrame,
+      maxCopies: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxCopies >= 1, s"maxCopies must be >= 1, got $maxCopies")
+    graft.plans.TopK.perKey(
+        df.select(col(idCol), sha2(col(textCol), 256).as("text_sha")),
+        Seq(col("text_sha")),
+        Seq(col(idCol)),
+        k = maxCopies, rankName = "copy_rank")
+      .select(col("text_sha"), col(idCol), col("copy_rank"))
+  }
+
   /** Survivor selection per dedup cluster — the curation ACTION on
     * [[dedupClusters]] / [[Similarity.nearDupClusters]]'s decision
     * output. The clustering's `keep` flag marks the MIN-ID member

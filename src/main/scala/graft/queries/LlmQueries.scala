@@ -1842,9 +1842,27 @@ object LlmQueries extends QueryGroup {
             FROM sf LEFT JOIN lm USING (tok) JOIN sn USING (slice) CROSS JOIN st
             GROUP BY slice ORDER BY source"""))
 
+  val q94 = QueryDef(
+    "q94_dedup_capped_copies",
+    "SOFT exact dedup: keep up to 2 id-ordered copies per identical-" +
+      "content group (the data-constrained-scaling policy — capped " +
+      "repetition beats full dedup when tokens are scarce); digest " +
+      "currency map-side, then the heap operator trims every partition " +
+      "to <= k rows per sha BEFORE the exchange — the window idiom would " +
+      "shuffle every copy of every hot boilerplate duplicate",
+    (s, dir) =>
+      Dedup.exactCapped(t(s, dir, "documents"), maxCopies = 2)
+        .orderBy("text_sha", "copy_rank"),
+    Some("""SELECT text_sha, doc_id, CAST(copy_rank AS BIGINT) AS copy_rank
+            FROM (SELECT sha256(text) AS text_sha, doc_id,
+                    row_number() OVER (PARTITION BY sha256(text)
+                                       ORDER BY doc_id) AS copy_rank
+                  FROM documents)
+            WHERE copy_rank <= 2 ORDER BY text_sha, copy_rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92, q93)
+      q87, q88, q89, q90, q91, q92, q93, q94)
 }

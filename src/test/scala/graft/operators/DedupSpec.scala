@@ -67,6 +67,21 @@ class DedupSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("exactCapped: keeps maxCopies id-ordered members; k=1 matches exact's keep set") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((3L, "a b c"), (1L, "a b c"), (7L, "a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.exactCapped(df, maxCopies = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(capped.toSet === Set((1L, 1L), (3L, 2L), (2L, 1L)),
+      "lowest-id 2 copies survive with their ranks; 7 is cut")
+    val keepOne = Dedup.exactCapped(df, maxCopies = 1)
+      .collect().map(_.getLong(1)).toSet
+    val exact = Dedup.exact(df).collect().map(_.getLong(1)).toSet
+    assert(keepOne === exact, "k=1 must reproduce exact dedup's keep set")
+  }
+
   test("clusterSurvivors: best score wins per cluster, ties break to min id") {
     val s = spark
     import s.implicits._

@@ -162,6 +162,38 @@ object Dedup {
       .select("ia", "ib", "shared", "na", "nb", "c_ab", "c_ba")
   }
 
+  /** Subset PRUNING — the curation action on [[containmentPairs]]: drop
+    * every doc that is near-contained (containment ≥ `minContainment`)
+    * in a LARGER doc, keeping the superset (the quote/aggregator page
+    * survives, its embedded snippets go). Decision rule per flagged pair,
+    * made deterministic by (size, id): drop the smaller shingle set; on
+    * equal sizes drop the larger id (mutual near-containment of
+    * equal-sized sets ⇒ the pair is an ordinary near-dup, min-id keep —
+    * [[exact]]'s rule). Transitive chains resolve conservatively: a doc
+    * is dropped if ANY flagged pair condemns it, so A⊂B⊂C drops A and B
+    * even if the A–C pair fell below candidacy.
+    *
+    * Scale shape: [[containmentPairs]]'s self-join machinery + one
+    * left-anti join of the corpus against the (typically tiny) condemned
+    * id set — the anti join shuffles (id, id) pairs, never text. */
+  def removeContained(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val pairs = containmentPairs(df, idCol, textCol, n, minContainment, maxShingleDf)
+    val dropA = col("c_ab") >= minContainment &&
+      (col("na") < col("nb") || (col("na") === col("nb") && col("ib") < col("ia")))
+    val dropB = col("c_ba") >= minContainment &&
+      (col("nb") < col("na") || (col("na") === col("nb") && col("ia") < col("ib")))
+    val condemned = pairs.filter(dropA).select(col("ia").as("cid"))
+      .union(pairs.filter(dropB).select(col("ib").as("cid")))
+      .distinct()
+    df.join(condemned, df(idCol) === condemned("cid"), "left_anti")
+  }
+
   /** Candidate pairs sharing ≥1 shingle hash, with the shared-hash count
     * and both set sizes — the measure-agnostic core of [[jaccardPairs]] /
     * [[containmentPairs]]. Returns (pairs, docs-cache handle). */

@@ -1860,9 +1860,39 @@ object LlmQueries extends QueryGroup {
                   FROM documents)
             WHERE copy_rank <= 2 ORDER BY text_sha, copy_rank"""))
 
+  val q95 = QueryDef(
+    "q95_remove_contained",
+    "subset pruning — the curation action on q87's containment measure: " +
+      "drop every doc near-contained (C >= 0.5) in a LARGER doc, keep the " +
+      "superset; smaller shingle set condemned, equal sizes fall back to " +
+      "min-id keep; corpus anti-joined against the condemned id set " +
+      "((id,id) currency, text never shuffles)",
+    (s, dir) =>
+      Dedup.removeContained(t(s, dir, "documents"), minContainment = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+                    FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+              sz AS (SELECT id, CAST(len(sh) AS BIGINT) AS nsh FROM docs),
+              m AS (SELECT ia, ib, shared, na.nsh AS na, nb.nsh AS nb
+                    FROM p JOIN sz na ON na.id = p.ia JOIN sz nb ON nb.id = p.ib),
+              cond AS (
+                SELECT ia AS cid FROM m
+                WHERE shared * 1.0 / na >= 0.5
+                  AND (na < nb OR (na = nb AND ib < ia))
+                UNION
+                SELECT ib FROM m
+                WHERE shared * 1.0 / nb >= 0.5
+                  AND (nb < na OR (na = nb AND ia < ib)))
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT cid FROM cond)
+            ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92, q93, q94)
+      q87, q88, q89, q90, q91, q92, q93, q94, q95)
 }

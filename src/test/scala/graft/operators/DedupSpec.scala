@@ -46,6 +46,25 @@ class DedupSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(6) - 4.0 / 13.0) < 1e-9)     // c_ba = shared/nb
   }
 
+  test("removeContained: subset dropped, superset kept; equal-size dups keep min id") {
+    val s = spark
+    import s.implicits._
+    val small = "w1 w2 w3 w4 w5 w6"
+    val big = small + " x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    val df = Seq(
+      (1L, small), (2L, big),            // 1 ⊂ 2: drop 1, keep 2
+      (3L, "q r s t u v"), (4L, "q r s t u v"), // equal near-dups: keep 3, drop 4
+      (5L, "totally separate words here")       // untouched
+    ).toDF("doc_id", "text")
+    val kept = Dedup.removeContained(df, minContainment = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 5L))
+    // below threshold nothing drops
+    val all = Dedup.removeContained(df, minContainment = 1.01)
+      .collect().map(_.getLong(0)).toSet
+    assert(all === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("containmentPairs equals driver-side brute-force set containment on a randomized corpus") {
     val s = spark
     import s.implicits._

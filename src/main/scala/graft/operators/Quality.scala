@@ -138,6 +138,68 @@ object Quality {
       .select(col("id").as(idCol), col("n_tokens"), col("surprisal"))
   }
 
+  /** Per-document mean bigram surprisal — the next model up from
+    * [[unigramSurprisal]] in the CCNet-style perplexity-filter family:
+    * score each document by the average −ln P(w_i | w_{i−1}) under an
+    * add-one-smoothed corpus bigram LM,
+    *
+    *   P(w2|w1) = (c(w1,w2) + 1) / (c(w1→·) + V)
+    *
+    * where c(w1→·) is w1's CONTEXT count (occurrences followed by
+    * another token) and V the corpus vocabulary (distinct tokens seen in
+    * any bigram position). The unigram filter scores rare WORDS;
+    * this scores improbable TRANSITIONS — shuffled/garbled text built
+    * from common words sails through a unigram model and spikes here.
+    * Perplexity is exp(surprisal) (monotone — filter on either).
+    *
+    * Scale shape: ONE (h1, h2) pair aggregation over the corpus bigram
+    * stream is the only corpus-touching step (16-byte hash-pair
+    * currency, zipfian pairs collapse map-side; persisted
+    * vocabulary²-bounded, in practice ≪ that). Context counts and the
+    * vocabulary DERIVE from that frame — no second corpus pass. Scoring
+    * joins each bigram occurrence back on (h1, h2), then (h1); every
+    * occurrence hits (its own pair is in the LM), so the joins are
+    * inner. Contributions are rounded into DECIMAL(28,14) before the
+    * per-doc sum (order-insensitive, SQL-replayable — the
+    * [[distributionDrift]] accumulation rule).
+    *
+    * Output: (idCol, n_bigrams, bigram_surprisal) rounded to 4; docs
+    * with fewer than two tokens have no transitions and are absent. */
+  def bigramSurprisal(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val bi = tokens(df, idCol, textCol)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      // (h1, h2) hash pairs in doc order; size-guarded like gramHashes
+      // (sequence with a negative end would count DOWN)
+      .select(col("id"),
+        explode_outer(when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(
+              xxhash64(element_at(col("toks"), i + lit(1))).as("h1"),
+              xxhash64(element_at(col("toks"), i + lit(2))).as("h2"))))
+          .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("id"), col("g.h1").as("h1"), col("g.h2").as("h2"))
+    val bf = bi.groupBy("h1", "h2").agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val uf = bf.groupBy("h1").agg(sum("cb").as("cu"))
+    val vocab = bf.select(col("h1").as("h")).union(bf.select(col("h2").as("h")))
+      .agg(count_distinct(col("h")).as("v"))
+    bi.join(bf, Seq("h1", "h2"))
+      .join(uf, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        (-log((col("cb") + lit(1.0)) / (col("cu") + col("v"))))
+          .cast(DecimalType(28, 14)).as("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("s").cast(DoubleType) / count(lit(1)), 4).as("bigram_surprisal"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("bigram_surprisal"))
+  }
+
   /** DSIR-style importance weighting (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023, reduced to
     * its unigram form): per-document mean log-likelihood ratio between a

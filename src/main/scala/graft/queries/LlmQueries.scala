@@ -1890,9 +1890,38 @@ object LlmQueries extends QueryGroup {
             WHERE doc_id NOT IN (SELECT cid FROM cond)
             ORDER BY doc_id"""))
 
+  val q96 = QueryDef(
+    "q96_quality_bigram_surprisal",
+    "bigram-LM perplexity filter (CCNet family, one model up from q61's " +
+      "unigram): per-doc mean -ln P(w2|w1) under the add-one-smoothed " +
+      "corpus bigram LM — garbled text built from common words passes a " +
+      "unigram filter and spikes here; ONE (h1,h2) pair aggregation " +
+      "touches the corpus, context counts and vocabulary derive from it; " +
+      "DECIMAL(28,14) contribution accumulation replays in SQL",
+    (s, dir) =>
+      Quality.bigramSurprisal(t(s, dir, "documents")).orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id AS id,
+                         string_split_regex(text, '\s+') AS toks
+                       FROM documents),
+              bi AS (SELECT id, toks[i] AS w1, toks[i + 1] AS w2
+                     FROM (SELECT id, toks,
+                             unnest(generate_series(1, len(toks) - 1)) AS i
+                           FROM t)),
+              bf AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+              uf AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM bf GROUP BY 1),
+              vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
+                          (SELECT w1 AS w FROM bf UNION SELECT w2 FROM bf)),
+              sc AS (SELECT bi.id,
+                       CAST(-ln((bf.cb + 1.0) / (uf.cu + (SELECT v FROM vocab)))
+                         AS DECIMAL(28,14)) AS s
+                     FROM bi JOIN bf USING (w1, w2) JOIN uf USING (w1))
+            SELECT id AS doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 4) AS bigram_surprisal
+            FROM sc GROUP BY 1 ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92, q93, q94, q95)
+      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
 }

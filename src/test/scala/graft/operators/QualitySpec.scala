@@ -80,6 +80,38 @@ class QualitySpec extends SparkSpecBase {
       "rarer vocabulary must score more surprising")
   }
 
+  test("bigramSurprisal matches brute force; garbled transitions outscore natural ones") {
+    val texts = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a c"),     // hand-checkable tiny LM
+      (3L, "the cat sat the cat sat the cat sat"),
+      (4L, "sat the cat cat sat the sat cat the"), // same words, shuffled
+      (5L, "solo"))                               // <2 tokens: absent
+    val df = texts.toDF("doc_id", "text")
+    val bigrams = texts.flatMap(_._2.split("\\s+").sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq)
+    val bf = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val cu = bigrams.groupBy(_._1).view.mapValues(_.size).toMap
+    val v = bigrams.flatMap(p => Seq(p._1, p._2)).distinct.size
+    def brute(t: String): Double = {
+      val bs = t.split("\\s+").sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq
+      val s = bs.map(b => BigDecimal(-math.log((bf(b) + 1.0) / (cu(b._1) + v)))
+        .setScale(14, BigDecimal.RoundingMode.HALF_UP)).sum
+      (s / bs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Quality.bigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 0: one bigram (a,b): cb=2, cu(a)=3, V=6 (whole-corpus vocab)
+    // -> -ln((2+1)/(3+6)) = ln 3
+    assert(got(0L)._1 === 1L)
+    assert(math.abs(got(0L)._2 - math.log(3.0)) <= 0.0001)
+    texts.filter(_._2.split("\\s+").length >= 2).foreach { case (id, t) =>
+      assert(math.abs(got(id)._2 - brute(t)) <= 0.0001, s"doc $id") }
+    assert(!got.contains(5L), "single-token doc has no transitions")
+    assert(got(4L)._2 > got(3L)._2,
+      "shuffled word order must score more surprising than the natural loop")
+  }
+
   test("importanceWeights: target == corpus is exactly zero everywhere") {
     val s = spark
     import s.implicits._

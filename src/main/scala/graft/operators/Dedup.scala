@@ -194,6 +194,89 @@ object Dedup {
     df.join(condemned, df(idCol) === condemned("cid"), "left_anti")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS fingerprint): slide a window of `w` consecutive n-gram hashes
+    * and keep each window's MINIMUM; the distinct kept values are the
+    * document's fingerprint set. The winnowing GUARANTEE: any token run
+    * of ≥ w+n−1 tokens shared by two docs shares ≥1 fingerprint — a
+    * LOCALITY guarantee MinHash does not give (MinHash samples the
+    * whole-doc set and can miss a short plagiarized span entirely;
+    * winnowing covers every span). Expected density ~2/(w+1) of the gram
+    * volume, so `w` tunes index size against the guarantee length. Docs
+    * with 0 < grams < w keep the min over all their grams.
+    *
+    * Engine-portable by construction: gram hash = `ascii_poly_hash` (the
+    * q47 family) and window-min needs no tie-break on VALUES (equal mins
+    * select the same value), so the pipeline replays in SQL (q97).
+    *
+    * Scale shape: ALL NARROW — tokenize → ordered grams → per-gram hash
+    * → window mins → distinct, one projection chain per document; rows
+    * leave as (id, 8-byte fp) pairs. */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(w >= 1, "window must be >= 1")
+    val staged = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("tk"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      // ordered, NON-distinct grams — winnowing is positional (the
+      // distinct set of shinglesFromTokens would break window geometry)
+      .select(col("id"),
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+      .select(col("id"), expr("transform(sh, s -> ascii_poly_hash(s))").as("g"))
+    // explode_OUTER + null-filter, not plain explode: a non-outer
+    // Generate's inferred size(...)>0 filter re-inlines the whole token
+    // pipeline into the scan filter with per-element re-evaluation — the
+    // O(tokens²) hazard documented at Quality.repetitionMetrics.
+    staged
+      .select(col("id"),
+        explode_outer(
+          when(size(col("g")) >= w,
+            array_distinct(transform(sequence(lit(1), size(col("g")) - (w - 1)),
+              i => array_min(slice(col("g"), i, lit(w))))))
+          .otherwise(when(size(col("g")) > 0, array(array_min(col("g"))))
+            .otherwise(array().cast("array<bigint>")))).as("fp"))
+      .where(col("fp").isNotNull)
+  }
+
+  /** Local-overlap candidate pairs over [[winnowingFingerprints]]: docs
+    * sharing ≥ `minShared` fingerprints, with the shared count — the
+    * MOSS-style plagiarism/quote detector (by the guarantee, any shared
+    * run of ≥ w+n−1 tokens surfaces; rank by `shared` to triage). One
+    * fp-keyed self-join on 8-byte currency; `maxFpDf` drops fingerprints
+    * in more than that many docs before the join — the corpus-scale
+    * guard against a boilerplate banner's fingerprint joining
+    * quadratically ([[jaccardPairs]]'s maxShingleDf rule). */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      w: Int = 4,
+      minShared: Long = 1L,
+      maxFpDf: Option[Int] = None): DataFrame = {
+    val fps0 = winnowingFingerprints(df, idCol, textCol, n, w)
+    val fps = maxFpDf match {
+      case Some(cap) =>
+        val hot = fps0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("fp")
+        fps0.join(hot, Seq("fp"), "left_anti")
+      case None => fps0
+    }
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Candidate pairs sharing ≥1 shingle hash, with the shared-hash count
     * and both set sizes — the measure-agnostic core of [[jaccardPairs]] /
     * [[containmentPairs]]. Returns (pairs, docs-cache handle). */

@@ -1919,9 +1919,40 @@ object LlmQueries extends QueryGroup {
                    ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 4) AS bigram_surprisal
             FROM sc GROUP BY 1 ORDER BY doc_id"""))
 
+  val q97 = QueryDef(
+    "q97_winnowing_overlap",
+    "winnowing fingerprint overlap (Schleimer et al. SIGMOD 2003, the " +
+      "MOSS detector): window-min over consecutive 3-gram poly-hashes, " +
+      "pairs sharing a fingerprint with the shared count — the LOCALITY " +
+      "guarantee MinHash lacks (any shared run of >= w+n-1 tokens " +
+      "surfaces); all narrow until the fp-keyed 8-byte self-join",
+    (s, dir) =>
+      Dedup.winnowingPairs(t(s, dir, "documents"), n = 3, w = 4)
+        .orderBy("ia", "ib"),
+    Some("""WITH t AS (SELECT doc_id AS id,
+                         string_split_regex(text, '\s+') AS tk FROM documents),
+              sh AS (SELECT id, [array_to_string(tk[i:i+2], ' ')
+                                 for i in generate_series(1, len(tk) - 2)] AS sh
+                     FROM t WHERE len(tk) >= 3),
+              g AS (SELECT id, list_transform(sh, s -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(s, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                      (h, v) -> (h * 31 + v) % 1000000007)) AS g
+                    FROM sh),
+              fp AS (SELECT id, UNNEST(list_distinct(
+                       CASE WHEN len(g) >= 4
+                            THEN [list_min(g[i:i+3])
+                                  for i in generate_series(1, len(g) - 3)]
+                            ELSE [list_min(g)] END)) AS fp
+                     FROM g WHERE len(g) > 0)
+            SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY 1, 2 ORDER BY ia, ib"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }

@@ -65,6 +65,41 @@ class DedupSpec extends SparkSpecBase {
     assert(all === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("winnowingFingerprints match a brute-force reference; local-overlap guarantee holds") {
+    val s = spark
+    import s.implicits._
+    val P = 1000000007L
+    def polyhash(str: String): Long =
+      str.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % P)
+    def brute(text: String, n: Int = 3, w: Int = 4): Set[Long] = {
+      val tk = text.split("\\s+").toSeq
+      val g = if (tk.size < n) Seq.empty
+        else tk.sliding(n).map(s0 => polyhash(s0.mkString(" "))).toSeq
+      if (g.isEmpty) Set.empty
+      else if (g.size < w) Set(g.min)
+      else g.sliding(w).map(_.min).toSet
+    }
+    val sharedRun = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+n-1
+    val texts = Seq(
+      (1L, s"unrelated lead-in $sharedRun totally different tail here"),
+      (2L, s"other document begins $sharedRun and then diverges wildly"),
+      (3L, "no overlap with anything else in this tiny corpus at all"),
+      (4L, "tiny doc"),          // < n tokens: no grams, no fingerprints
+      (5L, "just four tokens here"))  // grams < w: single whole-array min
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(df).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) === brute(t), s"doc $id") }
+    // the winnowing guarantee: a shared w+n-1 token run => >= 1 shared fp
+    assert((got(1L) & got(2L)).nonEmpty, "shared 6-token run must share a fingerprint")
+    val pairs = Dedup.winnowingPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) === (got(1L) & got(2L)).size.toLong)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("containmentPairs equals driver-side brute-force set containment on a randomized corpus") {
     val s = spark
     import s.implicits._

@@ -178,6 +178,39 @@ object Sampling {
     df.withColumn(outputCol, when(col(idCol).isNotNull, assigned))
   }
 
+  /** Leakage-safe split: [[withSplit]] keyed by a GROUP label instead of
+    * the row id, so every member of a near-dup cluster lands in the SAME
+    * split. Splitting on the row id leaks: near-identical documents
+    * straddle train and eval, and the eval score measures memorization
+    * of the train-side twin, not generalization — the overlap failure
+    * the decontamination family (L8/L17) scrubs AFTER assignment, here
+    * prevented AT assignment. `groups` is any (idCol, groupCol) frame;
+    * [[Dedup.dedupClusters]]' labels are the canonical source. Rows
+    * absent from `groups` key on their own id (a singleton is its own
+    * group), so the assignment stays total, and because
+    * [[Dedup.dedupClusters]] labels a cluster by its MIN member id, a
+    * singleton's label equals its id — present and absent singletons
+    * draw identical buckets and pre-pruned group frames change nothing.
+    *
+    * Scale shape: ONE id-keyed join against the (id, label) frame
+    * (16-byte currency); the split itself stays [[withSplit]]'s pure
+    * narrow projection on the label. */
+  def splitByGroup(
+      df: DataFrame,
+      groups: DataFrame,
+      idCol: String = "doc_id",
+      groupCol: String = "cluster_id",
+      splits: Seq[(String, Double)] =
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+      salt: String = "",
+      outputCol: String = "split"): DataFrame = {
+    val g = groups.select(col(idCol).as("gid_"), col(groupCol).as("glabel_"))
+    val joined = df.join(g, df(idCol) === col("gid_"), "left")
+      .withColumn("split_key_", coalesce(col("glabel_"), df(idCol)))
+    withSplit(joined, "split_key_", splits, salt, outputCol)
+      .drop("gid_", "glabel_", "split_key_")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
     * "Weighted random sampling with a reservoir", IPL 2006), the
     * deterministic form: each row draws u ∈ (0,1) from its stable id

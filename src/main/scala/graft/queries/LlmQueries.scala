@@ -1950,9 +1950,59 @@ object LlmQueries extends QueryGroup {
             FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
             GROUP BY 1, 2 ORDER BY ia, ib"""))
 
+  val q98 = QueryDef(
+    "q98_leakage_safe_split",
+    "leakage-safe train/val/test split: assignment keyed by the near-dup " +
+      "CLUSTER label (q49's connected components), not the row id — " +
+      "near-identical docs can never straddle train and eval (the " +
+      "overlap the decontamination family scrubs after the fact, " +
+      "prevented at assignment); one id-keyed (id,label) join + the " +
+      "engine-portable bucket projection",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(d, minJaccard = 0.4)
+      Sampling.splitByGroup(d, clusters,
+          splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "v1")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+                    FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+              sz AS (SELECT id, CAST(len(sh) AS BIGINT) AS nsh FROM docs),
+              pr AS (SELECT ia, ib
+                     FROM p JOIN sz na ON na.id = p.ia JOIN sz nb ON nb.id = p.ib
+                     WHERE shared * 1.0 / (na.nsh + nb.nsh - shared) >= 0.4),
+              ed AS (SELECT ia AS u, ib AS v FROM pr
+                     UNION ALL SELECT ib, ia FROM pr),
+              reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.src, ed.v FROM reach JOIN ed ON reach.dst = ed.u),
+              cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                     FROM reach GROUP BY src),
+              raw AS (
+                SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      string_split(CAST(cluster_id AS VARCHAR) || 'v1', ''),
+                      c -> CAST(ascii(c) AS BIGINT))),
+                    (a, v) -> (a * 31 + v) % 1000000007) AS hs
+                FROM cl),
+              b AS (SELECT doc_id,
+                      ((hs + 479001599) * (hs + 987654323)) % 1000000007
+                        % 10000 AS bs
+                    FROM raw)
+            SELECT doc_id,
+              CASE WHEN bs < 8000 THEN 'train'
+                   WHEN bs < 9000 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM b ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
+      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
 }

@@ -70,6 +70,29 @@ class SamplingSpec extends SparkSpecBase {
     assert(split.except(again).isEmpty && again.except(split).isEmpty)
   }
 
+  test("splitByGroup: cluster members land in the same split; singletons match id-keyed") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: (1,2,3) share label 1, (10,11) share label 10, rest absent
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val split = Sampling.splitByGroup(df, groups, salt = "s1")
+    assert(split.count() === 200L)
+    val m = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === m(2L) && m(2L) === m(3L), "cluster must not straddle splits")
+    assert(m(10L) === m(11L))
+    // absent rows fall back to their own id — identical to a row whose
+    // group frame lists it as a singleton (label = own id, the
+    // dedupClusters min-member labeling)
+    val withSingleton = Sampling.splitByGroup(
+      df, groups.union(Seq((42L, 42L)).toDF("doc_id", "cluster_id")), salt = "s1")
+    val m2 = withSingleton.collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("split")))).toMap
+    assert(m2 === m, "listing a singleton explicitly must change nothing")
+  }
+
   test("tokenBudgetSample lands near each budget and spares the rest") {
     val w = size(split(col("text"), "\\s+"))
     val totals = docs.groupBy("lang").agg(sum(w).cast("long").as("tw")).collect()

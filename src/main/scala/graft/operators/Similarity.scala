@@ -699,4 +699,56 @@ object Similarity {
             (sqrt(col("nx2").cast(DoubleType)) * sqrt(col("nc2").cast(DoubleType))),
           roundTo).as("cos_centroid"))
   }
+
+  /** Sparse-free random projection (Achlioptas, "Database-friendly random
+    * projections", PODS 2001: a ±1 sign matrix satisfies the
+    * Johnson–Lindenstrauss lemma — no Gaussians needed): project each
+    * vector to `outDim` components proj_j = Σ_i v_i·s(i,j), s(i,j) ∈
+    * {−1, +1}. The dimensionality-reduction front end for ANN at scale:
+    * a 64-d corpus projected to 16-d quarters every downstream distance
+    * computation while JL-preserving pairwise geometry in expectation.
+    *
+    * Deterministic and engine-portable end to end: components are
+    * quantized to integers ([[labelCentroidCos]]'s rule — half-away-
+    * from-zero on both engines), the sign matrix derives from the
+    * engine-portable [[Sampling.bucket]] parity of "i:j"+salt (no RNG
+    * state, any engine replays it), and the projection is then EXACT
+    * integer arithmetic — q99 hash-gates the full pipeline. `salt`
+    * rerolls the matrix per epoch ([[Sampling.shuffleShards]]'s reroll
+    * contract).
+    *
+    * Scale shape: the sign matrix is dim×outDim rows (model-sized,
+    * broadcast); the corpus streams once as (id, pos, component) and the
+    * fan-out to outDim products collapses map-side in the (id, j) sum —
+    * n·outDim rows cross the exchange, never n·dim·outDim.
+    *
+    * Output: (idCol, j, proj) — quantized projection components;
+    * divide by the quantum (10^quantDecimals) to recover float space. */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      outDim: Int = 16,
+      salt: String = "",
+      quantDecimals: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val spark = df.sparkSession
+    val scale = math.pow(10.0, quantDecimals)
+    val ex = df
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col("id"), col("i"),
+        round(col("v").cast(DoubleType) * scale).cast(LongType).as("vq"))
+    // model-state-only driver traffic: one scalar (the input dimension)
+    val dim = df.select(max(size(col(vecCol)))).head().getInt(0)
+    val signs = spark.range(dim).select(col("id").cast("int").as("i"))
+      .crossJoin(spark.range(outDim).select(col("id").cast("int").as("j")))
+      .select(col("i"), col("j"),
+        when(Sampling.bucket(
+            concat_ws(":", col("i"), col("j")), salt) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+    ex.join(broadcast(signs), "i")
+      .groupBy("id", "j")
+      .agg(sum(col("vq") * col("s")).as("proj"))
+      .select(col("id").as(idCol), col("j"), col("proj"))
+  }
 }

@@ -2000,9 +2000,48 @@ object LlmQueries extends QueryGroup {
                    ELSE 'test' END AS split
             FROM b ORDER BY doc_id"""))
 
+  val q99 = QueryDef(
+    "q99_random_projection",
+    "JL random projection (Achlioptas PODS 2001, database-friendly ±1 " +
+      "signs): 64-d embeddings to 16-d — the ANN front end that quarters " +
+      "every downstream distance; quantized components + bucket-parity " +
+      "sign matrix make the projection EXACT integer arithmetic, " +
+      "hash-gated end to end; model-sized sign matrix broadcast, " +
+      "n*outDim rows cross the exchange",
+    (s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"), salt = "v1")
+        .orderBy("vec_id", "j"),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+              ex AS (SELECT vec_id, i - 1 AS i,
+                       CAST(ROUND(e[i] * 1000000) AS BIGINT) AS vq
+                     FROM (SELECT vec_id, e,
+                             unnest(generate_series(1, len(e))) AS i FROM v)),
+              dims AS (SELECT MAX(len(e)) AS d FROM v),
+              sj AS (SELECT ii.i, jj.j FROM
+                       (SELECT unnest(generate_series(0,
+                          (SELECT d FROM dims) - 1)) AS i) ii
+                     CROSS JOIN
+                       (SELECT unnest(generate_series(0, 15)) AS j) jj),
+              sg AS (SELECT i, j,
+                       CASE WHEN ((h + 479001599) * (h + 987654323))
+                              % 1000000007 % 10000 % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                     FROM (SELECT i, j,
+                             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(
+                                 CAST(i AS VARCHAR) || ':' ||
+                                   CAST(j AS VARCHAR) || 'v1', ''),
+                                 c -> CAST(ascii(c) AS BIGINT))),
+                               (a, x) -> (a * 31 + x) % 1000000007) AS h
+                           FROM sj))
+            SELECT ex.vec_id, sg.j, CAST(SUM(ex.vq * sg.s) AS BIGINT) AS proj
+            FROM ex JOIN sg ON ex.i = sg.i
+            GROUP BY 1, 2 ORDER BY vec_id, j"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
+      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
 }

@@ -173,6 +173,46 @@ class SimilaritySpec extends SparkSpecBase {
     assert(expected.subsetOf(part), "partial probe must never over-drop")
   }
 
+  test("randomProjection: brute-force integer equality; JL cosine preservation on fixture pairs") {
+    val s = spark
+    import s.implicits._
+    val v = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 40)
+    val got = Similarity.randomProjection(v, outDim = 16, salt = "v1").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    // brute force: same quantization, same bucket-parity sign matrix
+    val P = 1000000007L
+    def polyhash(str: String): Long =
+      str.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % P)
+    def sign(i: Int, j: Int): Long = {
+      val h = polyhash(s"$i:${j}v1")
+      if (((h + 479001599L) * (h + 987654323L)) % P % 10000L % 2L == 0L) 1L else -1L
+    }
+    val vecs = v.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray)
+    vecs.foreach { case (id, vq) =>
+      val expect = (0 until 16).map(j =>
+        vq.indices.map(i => vq(i) * sign(i, j)).sum)
+      assert(got(id) === expect, s"vec $id")
+    }
+    // JL, loosely: projected cosine tracks original cosine (fixed salt —
+    // deterministic, so the tolerance cannot flake)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val full = vecs.toMap.view.mapValues(_.map(_.toDouble)).toMap
+    val proj = got.view.mapValues(_.map(_.toDouble).toArray).toMap
+    val ids = full.keys.toSeq.sorted
+    val errs = for (a <- ids; b <- ids if a < b)
+      yield math.abs(cos(full(a), full(b)) - cos(proj(a), proj(b)))
+    // expected |error| for a ±1 JL projection is Θ(1/√k) ≈ 0.2 at k=16
+    // (measured 0.192 on this fixture); 0.25 bounds it without demanding
+    // more accuracy than the lemma provides
+    assert(errs.sum / errs.size < 0.25,
+      f"mean cosine distortion ${errs.sum / errs.size}%.3f too large for JL at 16 dims")
+  }
+
   test("topKPqAdc: complete candidacy (topC = corpus) equals brute force") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val probes = v.filter(col("vec_id") < 5)

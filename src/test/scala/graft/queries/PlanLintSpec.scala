@@ -57,7 +57,14 @@ class PlanLintSpec extends SparkSpecBase {
     // frame — q61's documented one-row-broadcast class
     "q91_source_distribution_drift",
     // q93: same class — the 1-row reference-LM stats frame (nt, vsz)
-    "q93_drift_against_reference")
+    "q93_drift_against_reference",
+    // q96: the 1-row vocabulary-size frame crossJoined onto the bigram
+    // occurrence stream — q61's documented one-row-broadcast class
+    "q96_quality_bigram_surprisal",
+    // q99: range(dim)×range(outDim) BUILDING the sign matrix — a
+    // dim·outDim model-state frame (64×16 here), both sides literal
+    // ranges; the corpus itself joins the result by equi-key
+    "q99_random_projection")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling and constraint verification — the corpus QA
+  * step a training pipeline runs before anything trains on a new drop
+  * (the idea popularized by the unit-testing-for-data literature, e.g.
+  * Schelter et al., "Automating Large-Scale Data Quality Verification",
+  * VLDB 2018): measure completeness / cardinality / bounds per column in
+  * ONE pass, then assert machine-checkable expectations against the
+  * measurements, so a half-written parquet drop or a scraper that
+  * started emitting nulls fails the gate instead of poisoning a run.
+  */
+object Profile {
+
+  /** Per-column profile over ONE aggregation pass: for each column its
+    * non-null count, completeness (non-null fraction), exact distinct
+    * count, and min/max rendered as strings (the uniform cross-type
+    * schema). Output: (column, n_rows, n_nonnull, completeness,
+    * n_distinct, min_value, max_value), one row per profiled column.
+    *
+    * Scale shape: a single aggregation traverses the table once; the
+    * multiple exact COUNT(DISTINCT)s make Catalyst plan an Expand (one
+    * stream replica per distinct aggregate) — the audit-grade choice,
+    * gated in SQL. `approxDistinct = true` swaps in
+    * approx_count_distinct (HLL, one stream, no Expand) — the routine
+    * 100 TB profile where ±2% cardinality is fine and the oracle gate
+    * does not apply. Everything after the one pass is a 1-row frame
+    * unpivoted driver-side-free via `stack`. */
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      approxDistinct: Boolean = false,
+      roundTo: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    def distinctAgg(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c))
+      else count_distinct(col(c))
+    val aggs = count(lit(1)).as("n_rows_") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        distinctAgg(c).as(s"${c}__d"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__n`, `${c}__d`, `${c}__min`, `${c}__max`").mkString(", ")
+    row.select(
+        expr(s"stack(${cols.size}, $stackArgs) " +
+          "as (column, n_nonnull, n_distinct, min_value, max_value)"),
+        col("n_rows_"))
+      .select(col("column"), col("n_rows_").as("n_rows"), col("n_nonnull"),
+        round(col("n_nonnull").cast("double") / col("n_rows_"), roundTo)
+          .as("completeness"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
+  /** A machine-checkable expectation against one profiled column. */
+  sealed trait Constraint { def column: String; def describe: String }
+  /** Non-null fraction ≥ `atLeast`. */
+  case class Complete(column: String, atLeast: Double = 1.0) extends Constraint {
+    def describe = s"completeness($column) >= $atLeast"
+  }
+  /** Every non-null value distinct (a key column). */
+  case class Unique(column: String) extends Constraint {
+    def describe = s"unique($column)"
+  }
+  /** Distinct count within [lo, hi] — catches an enum column exploding
+    * (scraper breakage) or collapsing (a constant-filled drop). */
+  case class DistinctBetween(column: String, lo: Long, hi: Long) extends Constraint {
+    def describe = s"n_distinct($column) in [$lo, $hi]"
+  }
+
+  /** Evaluate constraints against [[profile]]'s measurements: one row
+    * per constraint — (column, constraint, passed, observed). The table
+    * is traversed ONCE (every constraint reads the single profile pass:
+    * the verdicts are one join of the columns-sized profile frame
+    * against a constraints-sized literal frame — a per-constraint
+    * filter-and-union would re-plan the aggregation per constraint). */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "at least one constraint")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prof = profile(df, constraints.map(_.column).distinct)
+    val cdf = constraints.map {
+      case c @ Complete(n, atLeast) => (n, "complete", atLeast, 0L, 0L, c.describe)
+      case c @ Unique(n) => (n, "unique", 0.0, 0L, 0L, c.describe)
+      case c @ DistinctBetween(n, lo, hi) =>
+        (n, "distinct_between", 0.0, lo, hi, c.describe)
+    }.toDF("column", "kind_", "p_frac_", "p_lo_", "p_hi_", "constraint")
+    prof.join(cdf, "column")
+      .select(col("column"), col("constraint"),
+        when(col("kind_") === "complete", col("completeness") >= col("p_frac_"))
+          .when(col("kind_") === "unique", col("n_distinct") === col("n_nonnull"))
+          .otherwise(col("n_distinct").between(col("p_lo_"), col("p_hi_")))
+          .as("passed"),
+        when(col("kind_") === "complete", col("completeness").cast("string"))
+          .when(col("kind_") === "unique",
+            concat_ws("/", col("n_distinct"), col("n_nonnull")))
+          .otherwise(col("n_distinct").cast("string")).as("observed"))
+  }
+}

@@ -2039,9 +2039,49 @@ object LlmQueries extends QueryGroup {
             FROM ex JOIN sg ON ex.i = sg.i
             GROUP BY 1, 2 ORDER BY vec_id, j"""))
 
+  val q100 = QueryDef(
+    "q100_profile_columns",
+    "data-quality profiling (the unit-tests-for-data gate a pipeline " +
+      "runs before training on a new drop): per-column completeness, " +
+      "exact cardinality, min/max in ONE aggregation pass over the " +
+      "table; constraint verdicts (Profile.check) join these " +
+      "measurements against a constraints-sized literal frame",
+    (s, dir) =>
+      graft.operators.Profile.profile(
+          t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column"),
+    Some("""WITH r AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT * FROM (
+              SELECT 'doc_id' AS "column", (SELECT n FROM r) AS n_rows,
+                     COUNT(doc_id) AS n_nonnull,
+                     ROUND(COUNT(doc_id) * 1.0 / (SELECT n FROM r), 4) AS completeness,
+                     COUNT(DISTINCT doc_id) AS n_distinct,
+                     CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+                     CAST(MAX(doc_id) AS VARCHAR) AS max_value
+              FROM documents
+              UNION ALL
+              SELECT 'lang', (SELECT n FROM r), COUNT(lang),
+                     ROUND(COUNT(lang) * 1.0 / (SELECT n FROM r), 4),
+                     COUNT(DISTINCT lang),
+                     CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'source', (SELECT n FROM r), COUNT(source),
+                     ROUND(COUNT(source) * 1.0 / (SELECT n FROM r), 4),
+                     COUNT(DISTINCT source),
+                     CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars', (SELECT n FROM r), COUNT(n_chars),
+                     ROUND(COUNT(n_chars) * 1.0 / (SELECT n FROM r), 4),
+                     COUNT(DISTINCT n_chars),
+                     CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+              FROM documents)
+            ORDER BY "column""""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
+      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Profile/check contracts on a hand-built table with known nulls,
+  * duplicates, and bounds — the measurements are exact count arithmetic,
+  * so every expectation is an equality. */
+class ProfileSpec extends SparkSpecBase {
+  private val s_ = spark
+  import s_.implicits._
+
+  private def fixture = Seq(
+    (1L, Some("en"), 10L),
+    (2L, Some("en"), 20L),
+    (3L, None, 30L),
+    (4L, Some("de"), 20L),
+    (5L, Some("fr"), 50L)
+  ).toDF("id", "lang", "n")
+
+  test("profile: completeness, distinct, bounds exact on a known table") {
+    val p = Profile.profile(fixture, Seq("id", "lang", "n")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "lang", "n"))
+    p.values.foreach(r => assert(r.getLong(1) === 5L)) // n_rows everywhere
+    val lang = p("lang")
+    assert(lang.getLong(2) === 4L)                     // n_nonnull
+    assert(lang.getDouble(3) === 0.8)                  // completeness
+    assert(lang.getLong(4) === 3L)                     // distinct: en, de, fr
+    assert(lang.getString(5) === "de" && lang.getString(6) === "fr")
+    val id = p("id")
+    assert(id.getLong(2) === 5L && id.getLong(4) === 5L)
+    assert(id.getString(5) === "1" && id.getString(6) === "5")
+    assert(p("n").getLong(4) === 4L)                   // 10,20,30,50
+  }
+
+  test("check: verdicts over one shared pass; pass and fail both observed") {
+    val verdicts = Profile.check(fixture, Seq(
+        Profile.Unique("id"),
+        Profile.Unique("n"),                    // fails: 20 duplicated
+        Profile.Complete("lang", atLeast = 0.9), // fails: 0.8
+        Profile.Complete("lang", atLeast = 0.5),
+        Profile.DistinctBetween("lang", 2, 5)))
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(verdicts("unique(id)") === true)
+    assert(verdicts("unique(n)") === false)
+    assert(verdicts("completeness(lang) >= 0.9") === false)
+    assert(verdicts("completeness(lang) >= 0.5") === true)
+    assert(verdicts("n_distinct(lang) in [2, 5]") === true)
+  }
+
+  test("approxDistinct profile still returns one row per column with sane cardinality") {
+    val p = Profile.profile(fixture, Seq("id", "lang"), approxDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // HLL at this size is exact in practice; allow slack anyway
+    assert(math.abs(p("id") - 5L) <= 1L)
+    assert(math.abs(p("lang") - 3L) <= 1L)
+  }
+}

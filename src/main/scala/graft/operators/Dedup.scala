@@ -277,6 +277,37 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Ingest-time LOCAL-overlap gate — [[winnowingPairs]] across two
+    * corpora, completing the admission-gate family ([[newContentOnly]]
+    * exact, [[nearDupAgainst]] whole-doc fuzzy, this one span-local):
+    * every (incoming, corpus) pair sharing ≥ `minShared` winnowing
+    * fingerprints. By the winnowing guarantee, an incoming doc that
+    * QUOTES ≥ w+n−1 consecutive tokens of a landed doc surfaces here
+    * even when its whole-doc Jaccard is far below any MinHash threshold
+    * — the copy-paste/aggregator case the q81 gate structurally misses.
+    *
+    * Scale shape: fingerprint the corpus ONCE ([[winnowingFingerprints]],
+    * pass it via `corpusFps` — the precompute-once contract of
+    * `minHashBandsPortable` / `newContentOnly`'s sha set); each batch
+    * pays fingerprinting itself (all narrow) + one fp-keyed shuffle-hash
+    * join on 8-byte currency. Output: (in_id, corpus_id, shared). */
+  def overlapAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      w: Int = 4,
+      minShared: Long = 1L,
+      corpusFps: Option[DataFrame] = None): DataFrame = {
+    val cf = corpusFps.getOrElse(winnowingFingerprints(corpus, idCol, textCol, n, w))
+    val inf = winnowingFingerprints(incoming, idCol, textCol, n, w)
+    inf.as("a").join(cf.as("b"), Seq("fp"))
+      .groupBy(col("a.id").as("in_id"), col("b.id").as("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Candidate pairs sharing ≥1 shingle hash, with the shared-hash count
     * and both set sizes — the measure-agnostic core of [[jaccardPairs]] /
     * [[containmentPairs]]. Returns (pairs, docs-cache handle). */

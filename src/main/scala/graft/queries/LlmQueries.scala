@@ -2079,9 +2079,47 @@ object LlmQueries extends QueryGroup {
               FROM documents)
             ORDER BY "column""""))
 
+  val q101 = QueryDef(
+    "q101_overlap_ingest_gate",
+    "ingest-time LOCAL-overlap gate: incoming docs sharing a winnowing " +
+      "fingerprint with the landed corpus (quote/copy-paste admission " +
+      "check — surfaces a >= w+n-1 token quote even at near-zero " +
+      "whole-doc Jaccard, the case q81's MinHash gate structurally " +
+      "misses); corpus fingerprints precomputable, one fp-keyed 8-byte " +
+      "join; incoming = doc_id ≡ 0 (mod 5), corpus = rest",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.overlapAgainst(
+          corpus = d.filter(col("doc_id") % 5 =!= 0),
+          incoming = d.filter(col("doc_id") % 5 === 0))
+        .orderBy("in_id", "corpus_id")
+    },
+    Some("""WITH t AS (SELECT doc_id AS id,
+                         string_split_regex(text, '\s+') AS tk FROM documents),
+              sh AS (SELECT id, [array_to_string(tk[i:i+2], ' ')
+                                 for i in generate_series(1, len(tk) - 2)] AS sh
+                     FROM t WHERE len(tk) >= 3),
+              g AS (SELECT id, list_transform(sh, s -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(s, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                      (h, v) -> (h * 31 + v) % 1000000007)) AS g
+                    FROM sh),
+              fp AS (SELECT id, UNNEST(list_distinct(
+                       CASE WHEN len(g) >= 4
+                            THEN [list_min(g[i:i+3])
+                                  for i in generate_series(1, len(g) - 3)]
+                            ELSE [list_min(g)] END)) AS fp
+                     FROM g WHERE len(g) > 0)
+            SELECT a.id AS in_id, b.id AS corpus_id, COUNT(*) AS shared
+            FROM fp a JOIN fp b ON a.fp = b.fp
+            WHERE a.id % 5 = 0 AND b.id % 5 <> 0
+            GROUP BY 1, 2 ORDER BY in_id, corpus_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
-      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+      q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
+      q101)
 }

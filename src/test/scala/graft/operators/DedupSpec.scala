@@ -100,6 +100,35 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("overlapAgainst: a short quote surfaces at near-zero Jaccard; precomputed fps identical") {
+    val s = spark
+    import s.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+n-1
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $quote"),       // long landed doc containing the quote
+      (2L, "wholly unrelated landed content nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, s"brand new submission that quotes $quote inside otherwise new text"),
+      (101L, "completely novel incoming doc sharing nothing with the corpus")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.overlapAgainst(corpus, incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((100L, 1L)), "the quote must surface")
+    assert(!hits.exists(_._1 == 101L), "novel doc must pass the gate")
+    // whole-doc Jaccard of the quoting pair is tiny — q81's gate at any
+    // reasonable threshold would admit it; the locality gate catches it
+    val jac = Dedup.jaccardPairs(corpus.union(incoming), minJaccard = 0.0)
+      .filter(col("ia") === 1L && col("ib") === 100L).collect()
+    assert(jac.isEmpty || jac.head.getDouble(jac.head.fieldIndex("jaccard")) < 0.1)
+    // the precompute-once contract: passing corpus fingerprints is identical
+    val pre = Dedup.winnowingFingerprints(corpus)
+    val viaPre = Dedup.overlapAgainst(corpus, incoming, corpusFps = Some(pre))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPre === hits)
+  }
+
   test("containmentPairs equals driver-side brute-force set containment on a randomized corpus") {
     val s = spark
     import s.implicits._

@@ -282,6 +282,53 @@ object Sampling {
     }
   }
 
+  /** Relational mixture/epoch PLAN — the artifact a training run is
+    * configured from (the relational form of [[temperatureRates]], which
+    * is driver-side model arithmetic): per stratum, available token
+    * mass, temperature-scaled target share (∝ mass^α — α=1 natural,
+    * α=0 equalized), target tokens under `budget`, planned tokens capped
+    * at `maxEpochs`·mass (the data-constrained-scaling regime: repeating
+    * a small high-quality source beats overweighting a big one, but only
+    * up to a few epochs — the L34 rationale at mixture level), the
+    * implied epoch count, and the shortfall the cap leaves unfilled
+    * (surfaced, not silently redistributed — reallocation is a POLICY
+    * decision the caller makes by re-running with adjusted α/budget).
+    *
+    * Scale shape: ONE corpus-touching aggregation (mass per stratum,
+    * map-side combined); everything after is arithmetic on the
+    * strata-sized frame. pow(mass, α) is transcendental — contributions
+    * round into DECIMAL(28,14) before the share normalization (the
+    * drift-family accumulation rule), so the plan replays in SQL. */
+  def mixturePlan(
+      df: DataFrame,
+      strataCol: String,
+      weight: Column,
+      alpha: Double,
+      budget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0,1]")
+    require(budget >= 0L, s"budget $budget must be >= 0")
+    require(maxEpochs > 0.0, s"maxEpochs $maxEpochs must be > 0")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val mass = df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(weight).cast(LongType).as("tokens_available"))
+    val pw = mass.select(col("stratum"), col("tokens_available"),
+      pow(col("tokens_available").cast(DoubleType), lit(alpha))
+        .cast(DecimalType(28, 14)).as("pw"))
+    val z = pw.agg(sum("pw").as("z_"))
+    pw.crossJoin(broadcast(z))
+      .select(col("stratum").as(strataCol), col("tokens_available"),
+        round((col("pw") / col("z_")).cast(DoubleType), 6).as("share"),
+        round((col("pw") / col("z_")).cast(DoubleType) * budget)
+          .cast(LongType).as("target_tokens"))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"),
+          round(col("tokens_available") * maxEpochs).cast(LongType)))
+      .withColumn("epochs",
+        round(col("planned_tokens").cast(DoubleType) / col("tokens_available"), 4))
+      .withColumn("shortfall", col("target_tokens") - col("planned_tokens"))
+  }
+
   /** Deterministic global shuffle + shard assignment — the EXPORT step of
     * a training pipeline. Data loaders want the corpus pre-shuffled and
     * cut into shard files whose contents and ORDER are reproducible

@@ -2116,10 +2116,44 @@ object LlmQueries extends QueryGroup {
             WHERE a.id % 5 = 0 AND b.id % 5 <> 0
             GROUP BY 1, 2 ORDER BY in_id, corpus_id"""))
 
+  val q102 = QueryDef(
+    "q102_mixture_epoch_plan",
+    "relational mixture/epoch plan (the artifact a run is configured " +
+      "from): per-source token mass, temperature share (mass^0.5), " +
+      "target under a 200k budget, planned capped at 3 epochs (the " +
+      "data-constrained regime), shortfall surfaced not redistributed; " +
+      "ONE corpus aggregation, then strata-sized decimal arithmetic",
+    (s, dir) =>
+      Sampling.mixturePlan(t(s, dir, "documents"), "source",
+          TextOps.tokenCount(col("text")), alpha = 0.5,
+          budget = 200000L, maxEpochs = 3.0)
+        .orderBy("source"),
+    Some("""WITH m AS (SELECT source,
+                         CAST(SUM(len(string_split_regex(text, '\s+')))
+                           AS BIGINT) AS ta
+                       FROM documents GROUP BY 1),
+              p AS (SELECT source, ta,
+                      CAST(pow(ta, 0.5) AS DECIMAL(28,14)) AS pw FROM m),
+              z AS (SELECT SUM(pw) AS z FROM p),
+              tgt AS (SELECT source, ta,
+                        ROUND(CAST(pw / z AS DOUBLE), 6) AS share,
+                        CAST(ROUND(CAST(pw / z AS DOUBLE) * 200000) AS BIGINT)
+                          AS target_tokens
+                      FROM p CROSS JOIN z),
+              pl AS (SELECT source, ta, share, target_tokens,
+                       LEAST(target_tokens,
+                             CAST(ROUND(ta * 3.0) AS BIGINT)) AS planned_tokens
+                     FROM tgt)
+            SELECT source, ta AS tokens_available, share, target_tokens,
+                   planned_tokens,
+                   ROUND(planned_tokens * 1.0 / ta, 4) AS epochs,
+                   target_tokens - planned_tokens AS shortfall
+            FROM pl ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101)
+      q101, q102)
 }

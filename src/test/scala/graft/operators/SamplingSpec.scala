@@ -93,6 +93,37 @@ class SamplingSpec extends SparkSpecBase {
     assert(m2 === m, "listing a singleton explicitly must change nothing")
   }
 
+  test("mixturePlan: alpha=1 shares proportional; cap binds small stratum; budget conserved when uncapped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(90)(i => ("big", 100L, i.toLong)) ++
+      Seq.tabulate(10)(i => ("small", 100L, (1000 + i).toLong)) match {
+      case rows => rows.toDF("source", "ntok", "id")
+    }
+    // alpha=1: shares are 0.9/0.1 exactly; budget 20000 => small's target
+    // 2000 exceeds 1 epoch (1000 tokens) but not maxEpochs=4
+    val plan = Sampling.mixturePlan(df, "source", col("ntok"),
+        alpha = 1.0, budget = 20000L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan("big").getDouble(2) === 0.9 && plan("small").getDouble(2) === 0.1)
+    assert(plan("big").getLong(3) === 18000L && plan("small").getLong(3) === 2000L)
+    assert(plan("small").getLong(4) === 2000L)         // uncapped at 4 epochs
+    assert(plan("small").getDouble(5) === 2.0)         // 2 epochs of repetition
+    assert(plan.values.map(_.getLong(6)).sum === 0L)   // no shortfall
+    // tighter cap: 1.5 epochs binds the small stratum, shortfall surfaces
+    val capped = Sampling.mixturePlan(df, "source", col("ntok"),
+        alpha = 1.0, budget = 20000L, maxEpochs = 1.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(capped("small").getLong(4) === 1500L)
+    assert(capped("small").getDouble(5) === 1.5)
+    assert(capped("small").getLong(6) === 500L)
+    // alpha=0 equalizes shares regardless of mass
+    val eq = Sampling.mixturePlan(df, "source", col("ntok"),
+        alpha = 0.0, budget = 20000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(eq("big") === 0.5 && eq("small") === 0.5)
+  }
+
   test("tokenBudgetSample lands near each budget and spares the rest") {
     val w = size(split(col("text"), "\\s+"))
     val totals = docs.groupBy("lang").agg(sum(w).cast("long").as("tw")).collect()

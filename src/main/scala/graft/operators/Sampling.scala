@@ -329,6 +329,39 @@ object Sampling {
       .withColumn("shortfall", col("target_tokens") - col("planned_tokens"))
   }
 
+  /** Materialize a [[mixturePlan]]: emit each document `epochs` times —
+    * the integer part as whole copies, the fractional epoch as a
+    * hash-gated extra copy (the same engine-portable [[bucket]] decision
+    * as every sampler here: epochs = 2.3 means every doc appears twice
+    * and a deterministic 30% of docs appear a third time). The output
+    * feeds the packer/shard export directly; `epoch` (1-based copy
+    * index) lets a loader interleave epochs rather than concatenate
+    * them. Strata absent from the plan emit nothing — the plan IS the
+    * admission list.
+    *
+    * Scale shape: one broadcast join against the strata-sized plan, then
+    * a narrow per-row explode of at most ⌈epochs⌉ copies — no shuffle;
+    * the corpus is read once and amplified in place. */
+  def materializeEpochs(
+      df: DataFrame,
+      plan: DataFrame,
+      strataCol: String = "source",
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    val p = plan.select(col(strataCol), col("epochs"))
+    val full = floor(col("epochs")).cast("long")
+    val extra = (bucket(col(idCol), salt) <
+      round((col("epochs") - floor(col("epochs"))) * Buckets)).cast("long")
+    df.join(broadcast(p), Seq(strataCol))
+      .withColumn("copies_", full + extra)
+      .withColumn("epoch",
+        explode_outer(when(col("copies_") >= 1L,
+          sequence(lit(1L), col("copies_")))
+          .otherwise(array().cast("array<bigint>"))))
+      .where(col("epoch").isNotNull)
+      .drop("copies_", "epochs")
+  }
+
   /** Deterministic global shuffle + shard assignment — the EXPORT step of
     * a training pipeline. Data loaders want the corpus pre-shuffled and
     * cut into shard files whose contents and ORDER are reproducible

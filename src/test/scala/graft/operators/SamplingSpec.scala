@@ -124,6 +124,34 @@ class SamplingSpec extends SparkSpecBase {
     assert(eq("big") === 0.5 && eq("small") === 0.5)
   }
 
+  test("materializeEpochs: whole copies exact, fractional copies near rate, unplanned strata dropped") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).map(i =>
+      (if (i <= 500) "a" else "b", i)).toDF("source", "doc_id")
+    val plan = Seq(("a", 2.0), ("b", 1.3)).toDF("source", "epochs")
+    val out = Sampling.materializeEpochs(df, plan, salt = "e1")
+    val byDoc = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 500L).forall(byDoc(_) === 2L), "integral epochs: exactly 2 copies")
+    assert((501L to 1000L).forall(i => byDoc(i) == 1L || byDoc(i) == 2L))
+    val extras = (501L to 1000L).count(byDoc(_) == 2L)
+    assert(math.abs(extras / 500.0 - 0.3) < 0.08,
+      s"fractional epoch rate $extras/500 far from 0.3")
+    // epoch index is 1..copies — loaders can interleave epochs
+    val epochs = out.filter(col("doc_id") === 1L).select("epoch").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(epochs === Seq(1L, 2L))
+    // a stratum absent from the plan emits nothing
+    val partial = Sampling.materializeEpochs(df,
+      Seq(("a", 1.0)).toDF("source", "epochs"), salt = "e1")
+    assert(partial.filter(col("source") === "b").count() === 0L)
+    assert(partial.count() === 500L)
+    // deterministic: same salt, same corpus
+    val again = Sampling.materializeEpochs(df, plan, salt = "e1")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("tokenBudgetSample lands near each budget and spares the rest") {
     val w = size(split(col("text"), "\\s+"))
     val totals = docs.groupBy("lang").agg(sum(w).cast("long").as("tw")).collect()

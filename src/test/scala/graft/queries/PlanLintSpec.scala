@@ -64,7 +64,12 @@ class PlanLintSpec extends SparkSpecBase {
     // q99: range(dim)×range(outDim) BUILDING the sign matrix — a
     // dim·outDim model-state frame (64×16 here), both sides literal
     // ranges; the corpus itself joins the result by equi-key
-    "q99_random_projection")
+    "q99_random_projection",
+    // q102/q103: the 1-row share-normalization frame (sum of strata pow
+    // weights) crossJoined onto the strata-sized plan — q61's documented
+    // one-row-broadcast class; q103 inherits q102's plan subtree
+    "q102_mixture_epoch_plan",
+    "q103_materialize_epochs")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

@@ -57,6 +57,32 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Per-column heavy hitters: the k most frequent values of each
+    * profiled column, with counts — the skew audit run BEFORE a join or
+    * groupBy ships (a key taking >1/parallelism of the table forces the
+    * salted-join / AQE-skew path; this is how you find out on day 0, not
+    * from a straggler task at hour 3). Also the enum-drift eye: a
+    * "lang" column whose top value changed week-over-week is a scraper
+    * incident.
+    *
+    * Scale shape: ONE pass — each row explodes to (column, value)
+    * string pairs via `stack` (cols× amplification, map-side combined
+    * immediately), one (column, value) aggregation, then the heap
+    * operator trims to k per column BEFORE the exchange
+    * ([[graft.plans.TopK.perKey]] — k·partitions rows move, never the
+    * value histogram). (count DESC, value) totally orders, so the cut
+    * at k is deterministic. Output: (column, value, n, rank). */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int = 5): DataFrame = {
+    require(cols.nonEmpty, "at least one column to audit")
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val counts = df
+      .select(expr(s"stack(${cols.size}, $stackArgs) as (column, value)"))
+      .where(col("value").isNotNull)
+      .groupBy("column", "value").agg(count(lit(1)).as("n"))
+    graft.plans.TopK.perKey(counts,
+      Seq(col("column")), Seq(col("n").desc, col("value")), k)
+  }
+
   /** A machine-checkable expectation against one profiled column. */
   sealed trait Constraint { def column: String; def describe: String }
   /** Non-null fraction ≥ `atLeast`. */

@@ -200,6 +200,47 @@ object Quality {
       .select(col("id").as(idCol), col("n_bigrams"), col("bigram_surprisal"))
   }
 
+  /** Per-document token ENTROPY — −Σ p·ln p over the document's own
+    * token distribution (p = within-doc frequency). The information-
+    * density axis the repetition family approximates from the other
+    * side: TTR and dup-fractions count REPEATS, entropy weighs them —
+    * a doc looping a 5-word banner and a doc with one dominant token
+    * and a varied tail can tie on TTR but never on entropy. Low entropy
+    * = degenerate/boilerplate; entropy ≈ ln(n_tokens) = every token
+    * distinct. `norm_entropy` (entropy / ln n_tokens ∈ [0,1]) is the
+    * length-independent filter knob.
+    *
+    * Scale shape: one (doc, token-hash) aggregation with map-side
+    * combining (the [[repetitionMetrics]] top2 shuffle, 8-byte
+    * currency), then a per-doc sum co-partitioned on the doc id.
+    * Contributions round into DECIMAL(28,14) before the sum (the
+    * [[distributionDrift]] accumulation rule), so q104 replays the
+    * statistic in SQL. */
+  def tokenEntropy(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val tf = tokens(df, idCol, textCol)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), explode_outer(col("toks")).as("tok"))
+      .where(col("tok").isNotNull)
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+    val n = tf.groupBy("id").agg(sum("c").as("n_tokens"))
+    tf.join(n, "id")
+      .select(col("id"), col("n_tokens"),
+        (-(col("c") / col("n_tokens")) * log(col("c") / col("n_tokens")))
+          .cast(DecimalType(28, 14)).as("e"))
+      .groupBy("id", "n_tokens")
+      .agg(round(sum("e").cast(DoubleType), roundTo).as("entropy"))
+      .select(col("id").as(idCol), col("n_tokens"), col("entropy"),
+        when(col("n_tokens") > 1,
+          round(col("entropy") / log(col("n_tokens").cast(DoubleType)), roundTo))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
   /** DSIR-style importance weighting (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023, reduced to
     * its unigram form): per-document mean log-likelihood ratio between a

@@ -2200,10 +2200,66 @@ object LlmQueries extends QueryGroup {
             FROM cp WHERE copies >= 1
             ORDER BY doc_id, epoch"""))
 
+  val q104 = QueryDef(
+    "q104_token_entropy",
+    "per-doc token entropy (-sum p ln p over the doc's own distribution) " +
+      "+ length-normalized form — the information-density quality axis " +
+      "(TTR counts repeats, entropy weighs them); one (doc, token-hash) " +
+      "map-side-combining aggregation, DECIMAL(28,14) contribution " +
+      "accumulation replays in SQL",
+    (s, dir) =>
+      Quality.tokenEntropy(t(s, dir, "documents")).orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id,
+                           unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents),
+              tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+              n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens
+                    FROM tf GROUP BY 1),
+              e AS (SELECT tf.doc_id, n.n_tokens,
+                      CAST(-(c * 1.0 / n_tokens) * ln(c * 1.0 / n_tokens)
+                        AS DECIMAL(28,14)) AS e
+                    FROM tf JOIN n USING (doc_id)),
+              s AS (SELECT doc_id, n_tokens,
+                      ROUND(CAST(SUM(e) AS DOUBLE), 4) AS entropy
+                    FROM e GROUP BY 1, 2)
+            SELECT doc_id, n_tokens, entropy,
+                   CASE WHEN n_tokens > 1
+                        THEN ROUND(entropy / ln(n_tokens), 4)
+                        ELSE 0.0 END AS norm_entropy
+            FROM s ORDER BY doc_id"""))
+
+  val q105 = QueryDef(
+    "q105_profile_top_values",
+    "per-column heavy hitters (the pre-join skew audit + enum-drift " +
+      "eye): top-5 values of lang/source/n_chars by frequency — one " +
+      "stack-explode pass, one (column,value) aggregation, heap-operator " +
+      "trim to k per column before the exchange",
+    (s, dir) =>
+      graft.operators.Profile.topValues(
+          t(s, dir, "documents"), Seq("lang", "source", "n_chars"), k = 5)
+        .orderBy(col("column"), col("rank")),
+    Some("""WITH v AS (
+              SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value
+              FROM documents WHERE lang IS NOT NULL
+              UNION ALL
+              SELECT 'source', CAST(source AS VARCHAR)
+              FROM documents WHERE source IS NOT NULL
+              UNION ALL
+              SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+              FROM documents WHERE n_chars IS NOT NULL),
+            c AS (SELECT "column", value, COUNT(*) AS n
+                  FROM v GROUP BY 1, 2),
+            r AS (SELECT "column", value, n,
+                    ROW_NUMBER() OVER (PARTITION BY "column"
+                                       ORDER BY n DESC, value) AS rank
+                  FROM c)
+            SELECT "column", value, n, rank FROM r WHERE rank <= 5
+            ORDER BY "column", rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103)
+      q101, q102, q103, q104, q105)
 }

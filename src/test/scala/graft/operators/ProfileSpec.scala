@@ -49,6 +49,21 @@ class ProfileSpec extends SparkSpecBase {
     assert(verdicts("n_distinct(lang) in [2, 5]") === true)
   }
 
+  test("topValues: per-column heavy hitters with deterministic tie-break; nulls excluded") {
+    val df = Seq(
+      (Some("en"), "web"), (Some("en"), "web"), (Some("en"), "books"),
+      (Some("de"), "web"), (Some("de"), "news"), (None, "news")
+    ).toDF("lang", "source")
+    val top = Profile.topValues(df, Seq("lang", "source"), k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(top(("lang", 1L)) === (("en", 3L)))
+    assert(top(("lang", 2L)) === (("de", 2L)))   // null lang never ranks
+    assert(top(("source", 1L)) === (("web", 3L)))
+    assert(top(("source", 2L)) === (("news", 2L))) // null-lang row still counts here
+    assert(top.size === 4)
+  }
+
   test("approxDistinct profile still returns one row per column with sane cardinality") {
     val p = Profile.profile(fixture, Seq("id", "lang"), approxDistinct = true)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap

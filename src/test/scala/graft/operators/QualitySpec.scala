@@ -112,6 +112,33 @@ class QualitySpec extends SparkSpecBase {
       "shuffled word order must score more surprising than the natural loop")
   }
 
+  test("tokenEntropy: uniform doc hits ln(n); constant doc hits zero; brute force matches") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      (0L, "a b c d"),          // all distinct: entropy = ln 4, norm = 1
+      (1L, "x x x x x"),        // constant: entropy = 0
+      (2L, "a a b b b c"),      // mixed, hand-checkable
+      (3L, "solo"))             // 1 token: entropy 0, norm 0 by convention
+    val got = Quality.tokenEntropy(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def brute(t: String): Double = {
+      val ts = t.split("\\s+").toSeq
+      val n = ts.size.toDouble
+      val e = ts.groupBy(identity).values
+        .map(g => BigDecimal(-(g.size / n) * math.log(g.size / n))
+          .setScale(14, BigDecimal.RoundingMode.HALF_UP)).sum
+      e.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    texts.foreach { case (id, t) =>
+      assert(math.abs(got(id)._2 - brute(t)) <= 0.0001, s"doc $id") }
+    assert(math.abs(got(0L)._2 - math.log(4.0)) <= 0.0001)
+    assert(got(0L)._3 === 1.0, "all-distinct doc: normalized entropy 1")
+    assert(got(1L)._2 === 0.0 && got(1L)._3 === 0.0)
+    assert(got(3L) === ((1L, 0.0, 0.0)))
+    assert(got(2L)._2 > got(1L)._2 && got(2L)._2 < got(0L)._2 + 0.5)
+  }
+
   test("importanceWeights: target == corpus is exactly zero everywhere") {
     val s = spark
     import s.implicits._

@@ -85,6 +85,108 @@ object Multimodal {
           c => c / greatest(col("n_bytes"), lit(1L)).cast("double")).as("histogram"))
   }
 
+  /** Media NEAR-dup candidate pairs over the byte-histogram signature —
+    * multimodal dedup with the decode stub in place of a real
+    * perceptual feature (the plumbing — banding, candidate join, exact
+    * verify — is the production shape; swap the histogram for pHash/
+    * CLIP features when codecs exist). Same-kind payloads whose
+    * nibble-count cosine reaches `minCos`, found by LSH over the
+    * histogram: 16 bins → 4 bands of 4, band key = the band's ratios
+    * quantized to 1/16 — candidates must share ≥1 full band key
+    * (recall caveat: a pair straddling a quantization boundary in every
+    * band is missed — the standard LSH trade, tunable via band count).
+    *
+    * Scale shape: one fused-kernel featurize pass (integer counts, no
+    * normalization — cosine is scale-invariant, so RAW counts verify
+    * exactly with no float histogram anywhere); band keys narrow; one
+    * (kind, band, key)-keyed self-join; exact verify only on candidates.
+    * Dot/norms are exact int64 (≤ 16·n_bytes² per pair), the final
+    * cosine is the only float — q106 replays the whole pipeline. */
+  def histNearDupPairs(
+      df: DataFrame,
+      idCol: String = "media_id",
+      kindCol: String = "kind",
+      payloadCol: String = "payload",
+      minCos: Double = 0.995): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val cnt = ColumnGlue.column(graft.expressions.NibbleHistogram(
+      ColumnGlue.expression(col(payloadCol).cast("binary"))))
+    val feat = df.select(col(idCol).as("id"), col(kindCol).as("kind"),
+        octet_length(col(payloadCol).cast("binary")).cast("long").as("nb"),
+        cnt.as("cnt"))
+      .where(col("nb") > 0)
+    def bandKey(b: Int) = concat_ws("_",
+      (0 until 4).map(k =>
+        floor(element_at(col("cnt"), b * 4 + k + 1) * 16 / col("nb"))): _*)
+    val banded = feat.select(col("id"), col("kind"),
+      posexplode(array((0 until 4).map(bandKey): _*)).as(Seq("band", "bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib")).distinct()
+    val dotOf = (x: String, y: String) =>
+      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0L, (acc, v) -> acc + v)")
+    cand
+      .join(feat.select(col("id").as("ia"), col("cnt").as("ca")), Seq("ia"))
+      .join(feat.select(col("id").as("ib"), col("cnt").as("cb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        dotOf("ca", "cb").as("dot"),
+        dotOf("ca", "ca").as("na2"),
+        dotOf("cb", "cb").as("nb2"))
+      .where(col("na2") > 0 && col("nb2") > 0)
+      .select(col("ia"), col("ib"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
+          4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Signature-exact media dedup — [[graft.operators.Dedup.exact]] in
+    * FEATURE space: group same-kind payloads by their exact feature
+    * signature (here the L1 ratio pair (count vector reduced by its
+    * gcd)) instead of the raw-byte digest. Robust to what byte digests
+    * are not: the same decoded content re-encoded or concatenated with
+    * itself (any payload whose nibble counts are an integer multiple)
+    * lands in one group, while sha2 sees distinct blobs. With a real
+    * perceptual feature in place of the stub this is pHash-bucket
+    * dedup; the grouping/keep/count plumbing is identical.
+    *
+    * Scale shape: one fused-kernel featurize pass, gcd reduction narrow
+    * per row, ONE (kind, signature) aggregation — linear at any corpus
+    * size (the near-dup PAIR search, [[histNearDupPairs]], is the
+    * quadratic-output audit for bounded probe sets). Output: (kind,
+    * signature string, keep_id = min member, n_copies). */
+  def signatureDedup(
+      df: DataFrame,
+      idCol: String = "media_id",
+      kindCol: String = "kind",
+      payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val cnt = ColumnGlue.column(graft.expressions.NibbleHistogram(
+      ColumnGlue.expression(col(payloadCol).cast("binary"))))
+    // gcd of the 16 counts: fold Euclid over the array — 63 bounded mod
+    // steps per pair covers any int64 input (Fibonacci worst case);
+    // Spark has no gcd builtin, the oracle's DuckDB side uses its own
+    val gcdFold =
+      """aggregate(cnt, 0L, (g, x) ->
+        |  CASE WHEN x = 0 THEN g WHEN g = 0 THEN x ELSE
+        |    aggregate(sequence(1, 63),
+        |      named_struct('a', greatest(g, x), 'b', least(g, x)),
+        |      (st, i) -> IF(st.b = 0L, st, named_struct('a', st.b, 'b', st.a % st.b)),
+        |      st -> st.a)
+        |  END)""".stripMargin
+    df.select(col(idCol).as("id"), col(kindCol).as("kind"), cnt.as("cnt"))
+      .where(octet_length(col(payloadCol).cast("binary")) > 0)
+      // canonical ratio signature: the count vector divided by its gcd —
+      // exact integer arithmetic (no float ratios anywhere), so doubled
+      // payloads collapse to the same signature deterministically
+      .select(col("id"), col("kind"), col("cnt"), expr(gcdFold).as("g"))
+      .select(col("id"), col("kind"),
+        expr("array_join(transform(cnt, c -> c div g), '_')").as("signature"))
+      .groupBy("kind", "signature")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** STUB resize: deterministic stride resampling of the payload bytes to
     * the target pixel count with metadata updated — the plumbing shape of
     * a real image scaler (payload transform + width/height rewrite) with

@@ -2256,10 +2256,91 @@ object LlmQueries extends QueryGroup {
             SELECT "column", value, n, rank FROM r WHERE rank <= 5
             ORDER BY "column", rank"""))
 
+  val q106 = QueryDef(
+    "q106_multimodal_neardup",
+    "multimodal near-dup: same-kind payload pairs at byte-histogram " +
+      "cosine >= 0.995 via LSH banding (16 bins -> 4 bands quantized to " +
+      "1/16, candidates share a full band key) + exact integer-count " +
+      "cosine verify — the media-dedup plumbing shape with the decode " +
+      "stub standing in for perceptual features; mod-10 subset (the " +
+      "q36 bounded-probe pattern: the STUB histogram is near-constant " +
+      "on the synthetic corpus, so an unbounded pair query is " +
+      "output-quadratic by construction — real perceptual features " +
+      "separate; the full-corpus scale path is q107's signature dedup)",
+    (s, dir) =>
+      Multimodal.histNearDupPairs(
+          Multimodal.fromDocuments(s, dir).toDF()
+            .filter(col("media_id") % 10 === 0))
+        .orderBy("ia", "ib"),
+    Some("""WITH m AS (SELECT doc_id AS id,
+                         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+                           AS kind,
+                         text FROM documents WHERE doc_id % 10 = 0),
+              n AS (SELECT id, kind,
+                      [ord(substring(text, i, 1)) // 16
+                       for i in generate_series(1, len(text))] AS nibs,
+                      octet_length(encode(text)) AS nb FROM m),
+              c AS (SELECT id, kind, nb,
+                      [CAST(len(list_filter(nibs, x -> x = b)) AS BIGINT)
+                       for b in generate_series(0, 15)] AS cnt
+                    FROM n WHERE nb > 0),
+              bk AS (SELECT id, kind, bd.band,
+                       array_to_string(
+                         [CAST(CAST(FLOOR(cnt[bd.band * 4 + k] * 16.0 / nb)
+                            AS BIGINT) AS VARCHAR)
+                          for k in generate_series(1, 4)], '_') AS bkey
+                     FROM c CROSS JOIN
+                       (SELECT unnest(generate_series(0, 3)) AS band) bd),
+              cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+                       FROM bk a JOIN bk b
+                         ON a.kind = b.kind AND a.band = b.band
+                        AND a.bkey = b.bkey AND a.id < b.id),
+              v AS (SELECT cand.ia, cand.ib,
+                      ROUND(list_cosine_similarity(
+                        CAST(ca.cnt AS DOUBLE[]), CAST(cb.cnt AS DOUBLE[])), 4)
+                        AS cos
+                    FROM cand JOIN c ca ON ca.id = cand.ia
+                              JOIN c cb ON cb.id = cand.ib)
+            SELECT ia, ib, cos FROM v WHERE cos >= 0.995
+            ORDER BY ia, ib"""))
+
+  val q107 = QueryDef(
+    "q107_multimodal_signature_dedup",
+    "signature-exact media dedup — Dedup.exact in FEATURE space: " +
+      "same-kind payloads grouped by the gcd-reduced nibble-count " +
+      "ratio signature (a payload concatenated with itself collapses " +
+      "into the group; sha2 sees distinct blobs); one kernel pass + " +
+      "ONE (kind, signature) aggregation — the linear full-corpus " +
+      "media-dedup path (q106 is the bounded-probe pair audit)",
+    (s, dir) =>
+      Multimodal.signatureDedup(Multimodal.fromDocuments(s, dir).toDF())
+        .orderBy("kind", "signature"),
+    Some("""WITH m AS (SELECT doc_id AS id,
+                         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+                           AS kind,
+                         text FROM documents),
+              n AS (SELECT id, kind,
+                      [ord(substring(text, i, 1)) // 16
+                       for i in generate_series(1, len(text))] AS nibs,
+                      octet_length(encode(text)) AS nb FROM m),
+              c AS (SELECT id, kind,
+                      [CAST(len(list_filter(nibs, x -> x = b)) AS BIGINT)
+                       for b in generate_series(0, 15)] AS cnt
+                    FROM n WHERE nb > 0),
+              g AS (SELECT id, kind, cnt,
+                      list_reduce(cnt, (a, b) -> gcd(a, b)) AS g FROM c),
+              sig AS (SELECT id, kind,
+                        array_to_string(
+                          list_transform(cnt, x -> CAST(x // g AS VARCHAR)),
+                          '_') AS signature
+                      FROM g)
+            SELECT kind, signature, MIN(id) AS keep_id, COUNT(*) AS n_copies
+            FROM sig GROUP BY 1, 2 ORDER BY kind, signature"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105)
+      q101, q102, q103, q104, q105, q106, q107)
 }

@@ -35,6 +35,47 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("histNearDupPairs: exact copy and scaled copy found at cos 1; disjoint and cross-kind never pair") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "image", "aaabbbcccddd"),
+      (2L, "image", "aaabbbcccddd"),               // exact copy of 1
+      (3L, "image", "aaabbbcccddd" * 2),           // scaled: same ratios, cos 1
+      (4L, "image", "%%%%&&&&''''"),               // nibble 2 only: orthogonal to a-d (nibble 6)
+      (5L, "audio", "aaabbbcccddd")                // same bytes, other kind
+    ).map { case (i, k, t) => (i, k, t.getBytes("UTF-8")) }
+      .toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.histNearDupPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got ${pairs.keySet}")
+    assert(pairs.values.forall(_ === 1.0), "identical ratios verify at cosine 1")
+  }
+
+  test("signatureDedup: doubled payload collapses with the original; sha2-style dedup would not") {
+    val s = spark
+    import s.implicits._
+    val base = "aaabbbcccddd"
+    val df = Seq(
+      (1L, "image", base),
+      (2L, "image", base * 2),        // same ratios: one signature group
+      (3L, "image", "zzzzyyyy"),      // different distribution
+      (4L, "audio", base)             // other kind: never merged
+    ).map { case (i, k, t) => (i, k, t.getBytes("UTF-8")) }
+      .toDF("media_id", "kind", "payload")
+    val groups = Multimodal.signatureDedup(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+    val image = groups.filter(_._1._1 == "image").map(_._2).toSet
+    assert(image === Set((1L, 2L), (3L, 1L)),
+      s"doubled payload must share doc 1's group: $image")
+    assert(groups.count(_._1._1 == "audio") === 1)
+    // the sha2 digests differ even though the signature matches
+    val shas = df.filter(col("media_id").isin(1L, 2L))
+      .select(sha2(col("payload"), 256)).collect().map(_.getString(0)).toSet
+    assert(shas.size === 2, "raw-byte digests distinguish what the signature unifies")
+  }
+
   test("resize: payload rescaled to target pixel count, metadata rewritten") {
     val ds = Multimodal.fromDocuments(spark, sfDir)
     val out = Multimodal.resize(ds, 8, 6).collect()

@@ -718,6 +718,49 @@ object Dedup {
       .select("ia", "ib", "shared", "jaccard")
   }
 
+  /** Edit-similarity near-dup pairs — the ORIGINAL shingle→verify
+    * refinement (Broder's resemblance candidates re-scored by edit
+    * distance): LSH candidates from the engine-portable banded MinHash,
+    * verified by normalized Levenshtein similarity
+    * 1 − dist/max(len_a, len_b) ≥ `minSim`. Set-based Jaccard is
+    * order-blind — "a b c d" and "d c b a" tie at Jaccard 1.0; edit
+    * similarity restores the ORDER axis, splitting true re-encodings
+    * from shuffled boilerplate. Levenshtein is O(len²) per pair, so it
+    * NEVER runs corpus-wide — only inside the candidate set the banding
+    * already bounded (the cost discipline of every verify step here).
+    *
+    * Scale shape: banding + candidate join as [[portableMinHashPairs]];
+    * then ONE id-keyed join attaches the two texts to each candidate
+    * and Spark's codegen'd levenshtein scores them — texts move only
+    * for candidates, never all-against-all. */
+  def editSimilarityPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      minSim: Double = 0.8): DataFrame = {
+    val banded = minHashBandsPortable(df, idCol, textCol, n, numHashes, bands)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("band"), col("bkey"))
+    val a = banded.select(col("id").as("ia"), col("band"), col("bkey"))
+    val b = banded.select(col("id").as("ib"), col("band").as("band2"), col("bkey").as("bkey2"))
+    val cand = a.hint("shuffle_hash")
+      .join(b, col("band") === col("band2") && col("bkey") === col("bkey2") && col("ia") < col("ib"))
+      .select("ia", "ib").dropDuplicates("ia", "ib")
+    val texts = df.select(col(idCol).as("tid"), col(textCol).as("ttext"))
+    cand
+      .join(texts.select(col("tid").as("ia"), col("ttext").as("ta")), Seq("ia"))
+      .join(texts.select(col("tid").as("ib"), col("ttext").as("tb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("maxlen"))
+      .where(col("maxlen") > 0)
+      .select(col("ia"), col("ib"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double") / col("maxlen"), 4).as("edit_sim"))
+      .filter(col("edit_sim") >= minSim)
+  }
+
   /** Connected components over an undirected pair graph by iterative
     * min-label propagation: comp(v) starts at v and contracts to the
     * minimum id reachable — the clustering step that turns near-dup PAIRS

@@ -2337,10 +2337,60 @@ object LlmQueries extends QueryGroup {
             SELECT kind, signature, MIN(id) AS keep_id, COUNT(*) AS n_copies
             FROM sig GROUP BY 1, 2 ORDER BY kind, signature"""))
 
+  val q108 = QueryDef(
+    "q108_edit_similarity",
+    "edit-similarity near-dup refinement: portable-MinHash LSH " +
+      "candidates re-scored by normalized Levenshtein (1 - dist/maxlen " +
+      ">= 0.6) — the ORDER axis set-based Jaccard is blind to " +
+      "(shuffled boilerplate splits from true re-encodings); O(len^2) " +
+      "edit distance runs ONLY inside the banded candidate set, texts " +
+      "move only for candidates",
+    (s, dir) =>
+      Dedup.editSimilarityPairs(t(s, dir, "documents"), minSim = 0.6)
+        .orderBy("ia", "ib"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              hh AS (SELECT id,
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                         (h, v) -> (h * 31 + v) % 1000000007) AS h
+                     FROM e),
+              sig AS (SELECT id,
+                        MIN((h * 3 + 7) % 1000000007) AS m0,
+                        MIN((h * 5 + 1007) % 1000000007) AS m1,
+                        MIN((h * 7 + 2007) % 1000000007) AS m2,
+                        MIN((h * 9 + 3007) % 1000000007) AS m3,
+                        MIN((h * 11 + 4007) % 1000000007) AS m4,
+                        MIN((h * 13 + 5007) % 1000000007) AS m5,
+                        MIN((h * 15 + 6007) % 1000000007) AS m6,
+                        MIN((h * 17 + 7007) % 1000000007) AS m7
+                      FROM hh GROUP BY id),
+              band AS (
+                SELECT id, 0 AS j,
+                  ((((m0 * 131 + m1) % 1000000007) * 131 + m2) % 1000000007 * 131 + m3)
+                    % 1000000007 AS bk FROM sig
+                UNION ALL
+                SELECT id, 1,
+                  ((((m4 * 131 + m5) % 1000000007) * 131 + m6) % 1000000007 * 131 + m7)
+                    % 1000000007 FROM sig),
+              cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+                       FROM band a JOIN band b
+                         ON a.j = b.j AND a.bk = b.bk AND a.id < b.id),
+              v AS (SELECT ia, ib,
+                      CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+                      GREATEST(length(da.text), length(db.text)) AS maxlen
+                    FROM cand JOIN documents da ON da.doc_id = cand.ia
+                              JOIN documents db ON db.doc_id = cand.ib)
+            SELECT ia, ib, dist,
+                   ROUND(1.0 - dist * 1.0 / maxlen, 4) AS edit_sim
+            FROM v WHERE maxlen > 0 AND 1.0 - dist * 1.0 / maxlen >= 0.6
+            ORDER BY ia, ib"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q107)
+      q101, q102, q103, q104, q105, q106, q107, q108)
 }

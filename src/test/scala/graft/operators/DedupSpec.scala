@@ -129,6 +129,39 @@ class DedupSpec extends SparkSpecBase {
     assert(viaPre === hits)
   }
 
+  test("editSimilarityPairs: order restored — shuffled twin scores far below the true edit copy") {
+    val s = spark
+    import s.implicits._
+    val orig = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val edited = "alpha beta gamma delta epsilon zeta eta theta iota kappaX" // 1 char
+    val shuffled = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    val df = Seq((1L, orig), (2L, edited), (3L, shuffled)).toDF("doc_id", "text")
+    // all three are MinHash-candidate-equal at the token-set level (1,3
+    // share the full shingle set only if shingles match — they don't;
+    // force candidacy check on what banding actually yields)
+    val out = Dedup.editSimilarityPairs(df, minSim = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.contains((1L, 2L)), "one-char edit must be a candidate")
+    val simEdit = out((1L, 2L))
+    assert(simEdit > 0.98, s"1-char edit on ${orig.length} chars: got $simEdit")
+    out.get((1L, 3L)).foreach { simShuf =>
+      assert(simShuf < simEdit - 0.3,
+        s"shuffled twin ($simShuf) must score far below the edit copy ($simEdit)")
+    }
+    // brute-force the normalized similarity for the known pair
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = BigDecimal(1.0 - lev(orig, edited).toDouble /
+        math.max(orig.length, edited.length))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(simEdit === expect)
+  }
+
   test("containmentPairs equals driver-side brute-force set containment on a randomized corpus") {
     val s = spark
     import s.implicits._

@@ -761,6 +761,55 @@ object Dedup {
       .filter(col("edit_sim") >= minSim)
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández/Stolfo's merge/purge
+    * blocking, SIGMOD 1995) — the complementary BLOCKING family to LSH:
+    * sort the corpus by a discriminating key (default: token count,
+    * then text — near-dups have near-equal length and near-equal
+    * prefixes), then compare only rows within `window` positions of
+    * each other in that order, verified by exact n-gram Jaccard.
+    * Where LSH recall is probabilistic in the SIMILARITY, sorted-
+    * neighborhood recall is structural in the KEY: any near-dup pair
+    * whose keys land within `window` sorted positions is found with
+    * certainty, however low its Jaccard — and a pair with wildly
+    * different keys is never compared, however similar. Run both
+    * families and union when recall matters (the standard multi-pass
+    * merge/purge).
+    *
+    * Scale shape: the global sort-order index comes from
+    * [[Zip.seqByOrder]] (range exchange + two-pass contiguous
+    * numbering — never a one-task window), neighborhood candidacy is
+    * an EQUI-join on rank blocks of size `window` (each row probes its
+    * block and the next, so every ≤`window`-apart pair meets exactly
+    * once and no corpus-sized nested-loop join exists), and the exact
+    * verify runs on that linear (≤ n·window) candidate set. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      window: Int = 4,
+      minJaccard: Double = 0.4): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val keyed = Zip.seqByOrder(
+        df.select(col(idCol).as("id"), col(textCol).as("text_"),
+          size(split(col(textCol), "\\s+")).as("ntok_")),
+        Seq(col("ntok_"), col("text_"), col("id")), "rk")
+      .select("id", "rk")
+    val blocked = keyed.withColumn("blk", floor(col("rk") / window))
+    val probes = blocked.select(col("id"), col("rk"),
+      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
+    val cand = probes.as("a").hint("shuffle_hash")
+      .join(blocked.as("b"),
+        col("a.jblk") === col("b.blk") &&
+          col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + window)
+      .select(
+        least(col("a.id"), col("b.id")).as("ia"),
+        greatest(col("a.id"), col("b.id")).as("ib"))
+      .dropDuplicates("ia", "ib")
+    verifyCandidatesExact(df, idCol, textCol, n, cand, minJaccard, Seq.empty)
+      .select("ia", "ib", "shared", "jaccard")
+  }
+
   /** Connected components over an undirected pair graph by iterative
     * min-label propagation: comp(v) starts at v and contracts to the
     * minimum id reachable — the clustering step that turns near-dup PAIRS

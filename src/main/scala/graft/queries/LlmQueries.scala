@@ -2387,10 +2387,43 @@ object LlmQueries extends QueryGroup {
             FROM v WHERE maxlen > 0 AND 1.0 - dist * 1.0 / maxlen >= 0.6
             ORDER BY ia, ib"""))
 
+  val q109 = QueryDef(
+    "q109_sorted_neighborhood",
+    "sorted-neighborhood near-dup pairs (Hernandez/Stolfo merge/purge) " +
+      "— the blocking family complementary to LSH: corpus sorted by " +
+      "(token count, text, id), pairs within 16 sorted positions " +
+      "verified at 3-gram Jaccard >= 0.4; global index via the " +
+      "two-pass range-exchange numbering (never a one-task window), " +
+      "candidacy an EQUI-join on rank blocks",
+    (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), window = 16)
+        .select(col("ia"), col("ib"), col("shared"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("ia", "ib"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              keyed AS (SELECT doc_id AS id,
+                          ROW_NUMBER() OVER (ORDER BY
+                            len(string_split_regex(text, '\\s+')), text, doc_id)
+                            - 1 AS rk
+                        FROM documents),
+              cand AS (SELECT LEAST(a.id, b.id) AS ia,
+                              GREATEST(a.id, b.id) AS ib
+                       FROM keyed a JOIN keyed b
+                         ON b.rk > a.rk AND b.rk <= a.rk + 16),
+              p AS (SELECT cand.ia, cand.ib,
+                      CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS shared,
+                      len(da.sh) AS na, len(db.sh) AS nb
+                    FROM cand JOIN docs da ON da.id = cand.ia
+                              JOIN docs db ON db.id = cand.ib)
+            SELECT ia, ib, shared,
+                   ROUND(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+            FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
+            ORDER BY ia, ib"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q107, q108)
+      q101, q102, q103, q104, q105, q106, q107, q108, q109)
 }

@@ -162,6 +162,32 @@ class DedupSpec extends SparkSpecBase {
     assert(simEdit === expect)
   }
 
+  test("sortedNeighborhoodPairs: window-complete vs brute force; far-apart keys never compared") {
+    val s = spark
+    import s.implicits._
+    // equal-length docs sort adjacently; the long doc sorts far away
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delts"),   // near-dup of 1, same ntok
+      (3L, "alpha beta gamma delta"),   // exact dup of 1
+      (4L, "zz yy xx ww"),              // same ntok, different text
+      (5L, (1 to 50).map(i => s"w$i").mkString(" ")) // far key: never compared
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(df, window = 4, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 3L)), "exact dup within the window")
+    assert(got.contains((1L, 2L)) && got.contains((2L, 3L)),
+      "near-dups with adjacent sort keys")
+    assert(!got.exists { case (a, b) => a == 5L || b == 5L },
+      "a doc whose key is > window positions away is never compared")
+    // structural recall: at window >= corpus size this IS brute force
+    val all = Dedup.sortedNeighborhoodPairs(df, window = 5, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.jaccardPairs(df, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === brute, s"full-window sorted-neighborhood must equal brute force: $all vs $brute")
+  }
+
   test("containmentPairs equals driver-side brute-force set containment on a randomized corpus") {
     val s = spark
     import s.implicits._

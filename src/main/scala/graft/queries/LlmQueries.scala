@@ -2420,10 +2420,89 @@ object LlmQueries extends QueryGroup {
             FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
             ORDER BY ia, ib"""))
 
+  val q110 = QueryDef(
+    "q110_training_prep_e2e",
+    "end-to-end training-prep composition: mixture plan (q102) -> " +
+      "epoch materialization (q103) -> deterministic shuffle-shard " +
+      "export (q76) as ONE declarative cross-engine-checked plan — " +
+      "per-source temperature shares under a token budget, the corpus " +
+      "amplified to its planned epochs, every copy assigned its " +
+      "reproducible (shard, pos); copy identity = doc_id*100 + epoch",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val plan = Sampling.mixturePlan(d, "source",
+        TextOps.tokenCount(col("text")), alpha = 0.5,
+        budget = 200000L, maxEpochs = 3.0)
+      val mat = Sampling.materializeEpochs(d, plan, salt = "e1")
+        .withColumn("copy_id", col("doc_id") * 100 + col("epoch"))
+      Sampling.shuffleShards(mat, "copy_id", nShards = 8, salt = "s1")
+        .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+    Some("""WITH m AS (SELECT source,
+                         CAST(SUM(len(string_split_regex(text, '\s+')))
+                           AS BIGINT) AS ta
+                       FROM documents GROUP BY 1),
+              p AS (SELECT source, ta,
+                      CAST(pow(ta, 0.5) AS DECIMAL(28,14)) AS pw FROM m),
+              z AS (SELECT SUM(pw) AS z FROM p),
+              pl AS (SELECT source, ta,
+                       LEAST(CAST(ROUND(CAST(pw / z AS DOUBLE) * 200000)
+                               AS BIGINT),
+                             CAST(ROUND(ta * 3.0) AS BIGINT)) AS planned
+                     FROM p CROSS JOIN z),
+              ep AS (SELECT source,
+                       ROUND(planned * 1.0 / ta, 4) AS epochs FROM pl),
+              b0 AS (SELECT doc_id, source,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(
+                           string_split(CAST(doc_id AS VARCHAR) || 'e1', ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+                         (a, v) -> (a * 31 + v) % 1000000007) AS h
+                     FROM documents),
+              b AS (SELECT doc_id, b0.source, epochs,
+                      ((h + 479001599) * (h + 987654323))
+                        % 1000000007 % 10000 AS bk
+                    FROM b0 JOIN ep ON b0.source = ep.source),
+              cp AS (SELECT doc_id,
+                       CAST(FLOOR(epochs) AS BIGINT)
+                         + CASE WHEN bk < ROUND((epochs - FLOOR(epochs)) * 10000)
+                                THEN 1 ELSE 0 END AS copies
+                     FROM b),
+              mat AS (SELECT doc_id,
+                        UNNEST(generate_series(1, copies)) AS epoch
+                      FROM cp WHERE copies >= 1),
+              cid AS (SELECT doc_id, epoch,
+                        doc_id * 100 + epoch AS copy_id FROM mat),
+              raw AS (SELECT doc_id, epoch,
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(
+                            string_split(CAST(copy_id AS VARCHAR) || 's1#s', ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+                          (a, v) -> (a * 31 + v) % 1000000007) AS hsh,
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(
+                            string_split(CAST(copy_id AS VARCHAR) || 's1#o', ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+                          (a, v) -> (a * 31 + v) % 1000000007) AS hor,
+                        copy_id
+                      FROM cid),
+              sb AS (SELECT doc_id, epoch, copy_id,
+                       ((hsh + 479001599) * (hsh + 987654323))
+                         % 1000000007 % 8 AS shard,
+                       ((hor + 479001599) * (hor + 987654323))
+                         % 1000000007 AS ord
+                     FROM raw)
+            SELECT doc_id, epoch, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                           ORDER BY ord, copy_id) AS BIGINT)
+                     AS pos
+            FROM sb ORDER BY shard, pos"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q107, q108, q109)
+      q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
 }

@@ -69,7 +69,10 @@ class PlanLintSpec extends SparkSpecBase {
     // weights) crossJoined onto the strata-sized plan — q61's documented
     // one-row-broadcast class; q103 inherits q102's plan subtree
     "q102_mixture_epoch_plan",
-    "q103_materialize_epochs")
+    "q103_materialize_epochs",
+    // q110 composes q102's plan (same 1-row normalization crossJoin)
+    // into materialize + shard — the downstream joins are equi/broadcast
+    "q110_training_prep_e2e")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

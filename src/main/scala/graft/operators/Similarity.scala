@@ -700,6 +700,34 @@ object Similarity {
           roundTo).as("cos_centroid"))
   }
 
+  /** Ranking recall — the standard ANN quality harness: per probe, the
+    * fraction of the EXACT top-k an approximate ranking recovered
+    * (recall@k = |approx ∩ exact| / |exact|). This is how an IVF/PQ/LSH
+    * geometry gets tuned: sweep nProbe/topC/bands, read mean recall vs
+    * the candidate volume each geometry pays. Generic over any two
+    * (probe, item) rankings — retrieval eval (BM25 vs judged relevance)
+    * uses the same shape. Probes absent from `approx` score 0, not NULL
+    * (an empty result IS a recall failure).
+    *
+    * Scale shape: one (probe, item)-keyed join + two per-probe
+    * map-side-combining counts — rankings are already k·probes-sized,
+    * so nothing here touches the corpus. */
+  def rankingRecall(
+      approx: DataFrame,
+      exact: DataFrame,
+      probeCol: String = "pid",
+      itemCol: String = "nid"): DataFrame = {
+    val hits = approx.join(exact, Seq(probeCol, itemCol))
+      .groupBy(probeCol).agg(count(lit(1)).as("hits"))
+    exact.groupBy(probeCol).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(probeCol), "left")
+      .select(col(probeCol),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n_exact"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
+
   /** Sparse-free random projection (Achlioptas, "Database-friendly random
     * projections", PODS 2001: a ±1 sign matrix satisfies the
     * Johnson–Lindenstrauss lemma — no Gaussians needed): project each

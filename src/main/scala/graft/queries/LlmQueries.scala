@@ -2499,10 +2499,70 @@ object LlmQueries extends QueryGroup {
                      AS pos
             FROM sb ORDER BY shard, pos"""))
 
+  val q111 = QueryDef(
+    "q111_ann_recall_eval",
+    "ANN recall harness: per-probe recall@3 of the production-geometry " +
+      "IVF kNN graph (q77: nProbe=2 of 16 cells) against the exact " +
+      "brute-force top-3 — THE number an IVF/PQ/LSH geometry is tuned " +
+      "by (sweep nProbe, read recall vs candidate volume); probes the " +
+      "approximate path missed entirely score 0, not NULL; evaluated " +
+      "on the mod-10 probe SAMPLE (a recall estimate needs a sample, " +
+      "not a corpus-squared exact pass — the harness contract)",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val approx = Similarity.knnGraph(v, k = 3, nCentroids = 16, nProbe = 2)
+        .select(col("pid"), col("nid"))
+        .filter(col("pid") % 10 === 0)
+      val exact = Similarity.topKBruteForce(v, v.filter(col("vec_id") % 10 === 0), k = 3)
+        .select(col("pid"), col("nid"))
+      Similarity.rankingRecall(approx, exact).orderBy("pid")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            c AS (SELECT vec_id AS cid, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+            cs AS (SELECT v.vec_id, c.cid,
+                     ROUND(list_cosine_similarity(v.ev, c.cv), 6) AS csim
+                   FROM v CROSS JOIN c),
+            rk AS (SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cid) AS r
+                   FROM cs),
+            vc AS (SELECT vec_id AS nid, cid AS cell FROM rk WHERE r = 1),
+            pc AS (SELECT vec_id AS pid, cid AS pcell FROM rk WHERE r <= 2),
+            cand AS (SELECT pc.pid, vc.nid FROM pc
+                     JOIN vc ON pc.pcell = vc.cell AND pc.pid <> vc.nid),
+            sc AS (SELECT cand.pid, cand.nid,
+                    ROUND(list_cosine_similarity(p.ev, n.ev), 4) AS sim
+                  FROM cand JOIN v p ON p.vec_id = cand.pid
+                    JOIN v n ON n.vec_id = cand.nid),
+            rr AS (SELECT pid, nid, sim,
+                    ROW_NUMBER() OVER (PARTITION BY pid
+                                       ORDER BY sim DESC, nid) AS rank
+                  FROM sc),
+            approx AS (SELECT pid, nid FROM rr
+                       WHERE rank <= 3 AND pid % 10 = 0),
+            es AS (SELECT a.vec_id AS pid, b.vec_id AS nid,
+                     ROUND(list_cosine_similarity(a.ev, b.ev), 4) AS sim
+                   FROM v a CROSS JOIN v b
+                   WHERE a.vec_id <> b.vec_id AND a.vec_id % 10 = 0),
+            er AS (SELECT pid, nid,
+                     ROW_NUMBER() OVER (PARTITION BY pid
+                                        ORDER BY sim DESC, nid) AS rank
+                   FROM es),
+            exact AS (SELECT pid, nid FROM er WHERE rank <= 3),
+            h AS (SELECT approx.pid, COUNT(*) AS hits
+                  FROM approx JOIN exact
+                    ON approx.pid = exact.pid AND approx.nid = exact.nid
+                  GROUP BY 1),
+            t AS (SELECT pid, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+            SELECT t.pid, COALESCE(h.hits, 0) AS hits, t.n_exact,
+                   ROUND(COALESCE(h.hits, 0) * 1.0 / t.n_exact, 4) AS recall
+            FROM t LEFT JOIN h ON t.pid = h.pid
+            ORDER BY t.pid"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+      q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
 }

@@ -213,6 +213,28 @@ class SimilaritySpec extends SparkSpecBase {
       f"mean cosine distortion ${errs.sum / errs.size}%.3f too large for JL at 16 dims")
   }
 
+  test("rankingRecall: identical rankings score 1; disjoint score 0; missing probes score 0 not NULL") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("pid", "nid")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("pid", "nid") // probe 3 entirely missing
+    val got = Similarity.rankingRecall(approx, exact).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((1L, 2L, 0.5)))
+    assert(got(3L) === ((0L, 1L, 0.0)), "missing probe is a recall failure, not a NULL")
+    // full-probe IVF ≡ brute force ⇒ recall exactly 1 everywhere
+    val v = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 60)
+    val full = Similarity.knnGraph(v, k = 3, nCentroids = 8, nProbe = 8)
+      .select(col("pid"), col("nid"))
+    val bf = Similarity.topKBruteForce(v, v, k = 3).select(col("pid"), col("nid"))
+    val rec = Similarity.rankingRecall(full, bf).collect().map(_.getDouble(3))
+    assert(rec.nonEmpty && rec.forall(_ === 1.0),
+      "full-probe IVF must recover the exact top-k everywhere")
+  }
+
   test("topKPqAdc: complete candidacy (topC = corpus) equals brute force") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val probes = v.filter(col("vec_id") < 5)

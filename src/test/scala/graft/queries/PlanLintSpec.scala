@@ -72,7 +72,11 @@ class PlanLintSpec extends SparkSpecBase {
     "q103_materialize_epochs",
     // q110 composes q102's plan (same 1-row normalization crossJoin)
     // into materialize + shard — the downstream joins are equi/broadcast
-    "q110_training_prep_e2e")
+    "q110_training_prep_e2e",
+    // q111: the recall harness's EXACT side is q36's broadcast-probe
+    // brute force over the full (eval-sample-sized) probe set — an eval
+    // tool run on samples by contract, never a production corpus scan
+    "q111_ann_recall_eval")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

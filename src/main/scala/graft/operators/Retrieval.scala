@@ -225,4 +225,60 @@ object Retrieval {
       .limit(topK)
       .select(col("id").as(idCol), col("rrf"), col("n_lists"))
   }
+
+  /** Per-query ranking-quality metrics against graded relevance — the
+    * retrieval EVAL side ([[Similarity.rankingRecall]] is the unranked
+    * overlap form): reciprocal rank of the first relevant hit, DCG over
+    * the ranked list (grade / log₂(rank+1)), ideal DCG over the query's
+    * relevance set at the same depth, and nDCG = DCG/IDCG. One metrics
+    * row per query WITH relevance judgments (a query with no judged
+    * docs has no defined metric — absent, not zero; a judged query the
+    * ranking missed entirely scores rr = dcg = ndcg = 0).
+    *
+    * Scale shape: the join currency is (query, doc) over already
+    * k·queries-sized rankings and qrel-sized judgments — never the
+    * corpus; DCG contributions round into DECIMAL(28,14) before the
+    * per-query sum (the drift accumulation rule), IDCG ranks the
+    * relevance set with one qrel-sized window. */
+  def rankingMetrics(
+      ranked: DataFrame,
+      rels: DataFrame,
+      queryIdCol: String = "query_id",
+      idCol: String = "doc_id",
+      rankCol: String = "rank",
+      gradeCol: String = "grade",
+      depth: Int = 10): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    import org.apache.spark.sql.expressions.Window
+    val r = ranked.select(col(queryIdCol).as("qid"), col(idCol).as("did"),
+        col(rankCol).cast(LongType).as("rk"))
+      .filter(col("rk") <= depth)
+    val g = rels.select(col(queryIdCol).as("qid"), col(idCol).as("did"),
+        col(gradeCol).cast(LongType).as("grade"))
+      .filter(col("grade") > 0)
+    val hits = r.join(g, Seq("qid", "did"))
+    val rr = hits.groupBy("qid")
+      .agg(round(lit(1.0) / min(col("rk")), 6).as("rr"))
+    val dcg = hits
+      .select(col("qid"),
+        (col("grade") / log(2.0, col("rk") + 1))
+          .cast(DecimalType(28, 14)).as("c"))
+      .groupBy("qid").agg(sum("c").as("dcg_"))
+    val ideal = g
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("grade").desc, col("did"))))
+      .filter(col("pos") <= depth)
+      .select(col("qid"),
+        (col("grade") / log(2.0, col("pos") + 1))
+          .cast(DecimalType(28, 14)).as("c"))
+      .groupBy("qid").agg(sum("c").as("idcg_"))
+    ideal
+      .join(rr, Seq("qid"), "left")
+      .join(dcg, Seq("qid"), "left")
+      .select(col("qid").as(queryIdCol),
+        coalesce(col("rr"), lit(0.0)).as("rr"),
+        round(coalesce(col("dcg_"), lit(0)).cast(DoubleType), 6).as("dcg"),
+        round((coalesce(col("dcg_"), lit(0)) / col("idcg_")).cast(DoubleType), 6)
+          .as("ndcg"))
+  }
 }

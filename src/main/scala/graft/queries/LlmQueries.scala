@@ -2559,10 +2559,89 @@ object LlmQueries extends QueryGroup {
             FROM t LEFT JOIN h ON t.pid = h.pid
             ORDER BY t.pid"""))
 
+  val q112 = QueryDef(
+    "q112_retrieval_ranking_metrics",
+    "retrieval eval metrics: RR / DCG / nDCG of q75's batched BM25 " +
+      "top-5 against graded pseudo-qrels (grade = distinct query terms " +
+      "a doc contains, judged at >= 2) — the ranked counterpart of " +
+      "q111's recall; DCG contributions decimal-accumulated, IDCG " +
+      "ranks the qrel set at the same depth",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val qtab = Seq(
+        (1L, "key"), (1L, "table"), (1L, "hash"),
+        (2L, "window"), (2L, "batch"), (2L, "spark"))
+        .toDF("query_id", "term")
+      val ranked = graft.operators.Retrieval.bm25BatchFromIndex(
+        graft.operators.Retrieval.buildIndex(d), qtab, topK = 5)
+      val rels = d
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+        .join(broadcast(qtab.select(col("query_id"), col("term").as("tok"))), Seq("tok"))
+        .groupBy("query_id", "doc_id")
+        .agg(countDistinct(col("tok")).as("grade"))
+        .filter(col("grade") >= 2)
+      graft.operators.Retrieval.rankingMetrics(ranked, rels, depth = 5)
+        .orderBy("query_id")
+    },
+    Some("""WITH q(qid, tok) AS (VALUES (1, 'key'), (1, 'table'), (1, 'hash'),
+                 (2, 'window'), (2, 'batch'), (2, 'spark')),
+            lens AS (SELECT doc_id,
+                       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                     FROM documents),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+            tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents)
+                   WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+            c AS (SELECT q.qid, tf.doc_id,
+                    ROUND(ln((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                          * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / st.avgdl)),
+                      6) AS c
+                  FROM q JOIN tf USING (tok) JOIN dfreq USING (tok)
+                    JOIN lens USING (doc_id) CROSS JOIN st),
+            s AS (SELECT qid, doc_id,
+                    ROUND(CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE), 4) AS score
+                  FROM c GROUP BY qid, doc_id),
+            rnk AS (SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY score DESC, doc_id) AS rk
+                    FROM s),
+            ranked AS (SELECT qid, doc_id, rk FROM rnk WHERE rk <= 5),
+            rels AS (SELECT q.qid, tf.doc_id,
+                       CAST(COUNT(DISTINCT tf.tok) AS BIGINT) AS grade
+                     FROM tf JOIN q USING (tok)
+                     GROUP BY 1, 2 HAVING COUNT(DISTINCT tf.tok) >= 2),
+            hits AS (SELECT ranked.qid, ranked.doc_id, ranked.rk, rels.grade
+                     FROM ranked JOIN rels
+                       ON ranked.qid = rels.qid AND ranked.doc_id = rels.doc_id),
+            rr AS (SELECT qid, ROUND(1.0 / MIN(rk), 6) AS rr FROM hits GROUP BY 1),
+            dcg AS (SELECT qid,
+                      SUM(CAST(grade / log2(rk + 1) AS DECIMAL(28,14))) AS dcg_
+                    FROM hits GROUP BY 1),
+            ip AS (SELECT qid, grade,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY grade DESC, doc_id) AS pos
+                   FROM rels),
+            idcg AS (SELECT qid,
+                       SUM(CAST(grade / log2(pos + 1) AS DECIMAL(28,14))) AS idcg_
+                     FROM ip WHERE pos <= 5 GROUP BY 1)
+            SELECT CAST(idcg.qid AS BIGINT) AS query_id,
+                   COALESCE(rr.rr, 0.0) AS rr,
+                   ROUND(CAST(COALESCE(dcg.dcg_, 0) AS DOUBLE), 6) AS dcg,
+                   ROUND(CAST(COALESCE(dcg.dcg_, 0) / idcg.idcg_ AS DOUBLE), 6)
+                     AS ndcg
+            FROM idcg LEFT JOIN rr ON rr.qid = idcg.qid
+                      LEFT JOIN dcg ON dcg.qid = idcg.qid
+            ORDER BY query_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
-      q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
+      q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
+      q112)
 }

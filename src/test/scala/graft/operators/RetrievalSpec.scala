@@ -117,6 +117,28 @@ class RetrievalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Retrieval.bm25(docs, Seq("a"), topK = 0))
   }
 
+  test("rankingMetrics: hand-computed RR/DCG/nDCG; missed query zero; unjudged query absent") {
+    val s = spark
+    import s.implicits._
+    val ranked = Seq(
+      (1L, "b", 1L), (1L, "x", 2L), (1L, "a", 3L),
+      (2L, "y", 1L), (2L, "z", 2L),
+      (3L, "w", 1L)) // q3 has no judgments at all
+      .toDF("query_id", "doc_id", "rank")
+    val rels = Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "c", 1L))
+      .toDF("query_id", "doc_id", "grade")
+    val got = Retrieval.rankingMetrics(ranked, rels, depth = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L), "unjudged query has no defined metric")
+    // q1: b@1 (g1), a@3 (g2): dcg = 1/log2(2) + 2/log2(4) = 2.0
+    //     idcg = 2/log2(2) + 1/log2(3) = 2.630930
+    val (rr1, dcg1, ndcg1) = got(1L)
+    assert(rr1 === 1.0 && dcg1 === 2.0)
+    assert(math.abs(ndcg1 - 2.0 / (2.0 + 1.0 / (math.log(3) / math.log(2)))) < 1e-5)
+    assert(got(2L) === ((0.0, 0.0, 0.0)), "judged query the ranking missed scores zero")
+  }
+
   test("rrfFuse: hand-computed fusion, overlap counted, contract checks") {
     val s = spark
     import s.implicits._

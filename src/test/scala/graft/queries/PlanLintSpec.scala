@@ -76,7 +76,10 @@ class PlanLintSpec extends SparkSpecBase {
     // q111: the recall harness's EXACT side is q36's broadcast-probe
     // brute force over the full (eval-sample-sized) probe set — an eval
     // tool run on samples by contract, never a production corpus scan
-    "q111_ann_recall_eval")
+    "q111_ann_recall_eval",
+    // q112 rides q75's batched-BM25 machinery (1-row corpus-stats
+    // crossJoin); the metrics joins themselves are equi
+    "q112_retrieval_ranking_metrics")
 
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

@@ -83,6 +83,47 @@ object Profile {
       Seq(col("column")), Seq(col("n").desc, col("value")), k)
   }
 
+  /** Profile DRIFT between two snapshots of the same table — the
+    * metric-level recrawl audit ([[Changes.snapshotDelta]] classifies
+    * ROWS; this compares the MEASUREMENTS): per column, both profiles
+    * side by side plus the deltas a monitor alerts on — row-count
+    * ratio, completeness delta, distinct-count ratio. A scraper that
+    * started emitting nulls moves completeness_delta; an enum column
+    * exploding moves distinct_ratio; a half-written drop moves
+    * n_rows_ratio. Ratios are genuine quotients rounded to `roundTo`
+    * (cross-engine safe); a column absent/empty on one side yields a
+    * NULL ratio — surfaced, not defaulted.
+    *
+    * Scale shape: two single-pass [[profile]] aggregations (one per
+    * snapshot) joined on the columns-sized frame. */
+  def diff(
+      before: DataFrame,
+      after: DataFrame,
+      cols: Seq[String],
+      roundTo: Int = 4): DataFrame = {
+    val b = profile(before, cols, roundTo = roundTo)
+      .select(col("column"), col("n_rows").as("n_rows_before"),
+        col("completeness").as("completeness_before"),
+        col("n_distinct").as("n_distinct_before"))
+    val a = profile(after, cols, roundTo = roundTo)
+      .select(col("column"), col("n_rows").as("n_rows_after"),
+        col("completeness").as("completeness_after"),
+        col("n_distinct").as("n_distinct_after"))
+    b.join(a, Seq("column"))
+      .select(col("column"),
+        col("n_rows_before"), col("n_rows_after"),
+        when(col("n_rows_before") > 0,
+          round(col("n_rows_after").cast("double") / col("n_rows_before"), roundTo))
+          .as("n_rows_ratio"),
+        col("completeness_before"), col("completeness_after"),
+        round(col("completeness_after") - col("completeness_before"), roundTo)
+          .as("completeness_delta"),
+        col("n_distinct_before"), col("n_distinct_after"),
+        when(col("n_distinct_before") > 0,
+          round(col("n_distinct_after").cast("double") / col("n_distinct_before"),
+            roundTo)).as("distinct_ratio"))
+  }
+
   /** A machine-checkable expectation against one profiled column. */
   sealed trait Constraint { def column: String; def describe: String }
   /** Non-null fraction ≥ `atLeast`. */

@@ -2637,11 +2637,68 @@ object LlmQueries extends QueryGroup {
                       LEFT JOIN dcg ON dcg.qid = idcg.qid
             ORDER BY query_id"""))
 
+  val q113 = QueryDef(
+    "q113_profile_drift",
+    "metric-level recrawl audit: per-column profile drift between two " +
+      "snapshots (q86's fabrication: old drops id%11==3, new drops " +
+      "id%13==5 and nulls lang on id%7==0) — row-count ratio, " +
+      "completeness delta, distinct ratio; two single-pass profiles " +
+      "joined on the columns-sized frame",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val before = d.filter(col("doc_id") % 11 =!= 3)
+      val after = d.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit(null: String)).otherwise(col("lang")))
+      graft.operators.Profile.diff(before, after, Seq("doc_id", "lang", "source"))
+        .orderBy("column")
+    },
+    Some("""WITH olds AS (SELECT * FROM documents WHERE doc_id % 11 <> 3),
+              news AS (SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+                         source
+                       FROM documents WHERE doc_id % 13 <> 5),
+              ob AS (SELECT COUNT(*) AS n FROM olds),
+              nb AS (SELECT COUNT(*) AS n FROM news),
+              bp AS (
+                SELECT 'doc_id' AS "column", (SELECT n FROM ob) AS n_rows,
+                       COUNT(doc_id) AS nn, COUNT(DISTINCT doc_id) AS nd
+                FROM olds
+                UNION ALL
+                SELECT 'lang', (SELECT n FROM ob), COUNT(lang),
+                       COUNT(DISTINCT lang) FROM olds
+                UNION ALL
+                SELECT 'source', (SELECT n FROM ob), COUNT(source),
+                       COUNT(DISTINCT source) FROM olds),
+              ap AS (
+                SELECT 'doc_id' AS "column", (SELECT n FROM nb) AS n_rows,
+                       COUNT(doc_id) AS nn, COUNT(DISTINCT doc_id) AS nd
+                FROM news
+                UNION ALL
+                SELECT 'lang', (SELECT n FROM nb), COUNT(lang),
+                       COUNT(DISTINCT lang) FROM news
+                UNION ALL
+                SELECT 'source', (SELECT n FROM nb), COUNT(source),
+                       COUNT(DISTINCT source) FROM news)
+            SELECT bp."column",
+                   bp.n_rows AS n_rows_before, ap.n_rows AS n_rows_after,
+                   CASE WHEN bp.n_rows > 0
+                        THEN ROUND(ap.n_rows * 1.0 / bp.n_rows, 4) END
+                     AS n_rows_ratio,
+                   ROUND(bp.nn * 1.0 / bp.n_rows, 4) AS completeness_before,
+                   ROUND(ap.nn * 1.0 / ap.n_rows, 4) AS completeness_after,
+                   ROUND(ROUND(ap.nn * 1.0 / ap.n_rows, 4)
+                     - ROUND(bp.nn * 1.0 / bp.n_rows, 4), 4) AS completeness_delta,
+                   bp.nd AS n_distinct_before, ap.nd AS n_distinct_after,
+                   CASE WHEN bp.nd > 0
+                        THEN ROUND(ap.nd * 1.0 / bp.nd, 4) END AS distinct_ratio
+            FROM bp JOIN ap USING ("column") ORDER BY bp."column""""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112)
+      q112, q113)
 }

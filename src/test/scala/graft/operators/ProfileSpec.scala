@@ -64,6 +64,24 @@ class ProfileSpec extends SparkSpecBase {
     assert(top.size === 4)
   }
 
+  test("diff: null influx moves completeness_delta; row loss moves the ratio; empty side yields NULL ratio") {
+    val before = Seq(
+      (1L, Some("en")), (2L, Some("en")), (3L, Some("de")), (4L, Some("fr"))
+    ).toDF("id", "lang")
+    val after = Seq(
+      (1L, Some("en")), (2L, None: Option[String]), (3L, None: Option[String])
+    ).toDF("id", "lang")
+    val d = Profile.diff(before, after, Seq("id", "lang")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lang = d("lang")
+    assert(lang.getDouble(3) === 0.75)                 // n_rows 4 -> 3
+    assert(lang.getDouble(4) === 1.0 && lang.getDouble(5) === 0.3333)
+    assert(lang.getDouble(6) === -0.6667)              // the null-influx alarm
+    assert(lang.getLong(7) === 3L && lang.getLong(8) === 1L)
+    assert(lang.getDouble(9) === 0.3333)               // enum collapse
+    assert(d("id").getDouble(6) === 0.0, "key column unchanged in completeness")
+  }
+
   test("approxDistinct profile still returns one row per column with sane cardinality") {
     val p = Profile.profile(fixture, Seq("id", "lang"), approxDistinct = true)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap

@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, "ascii_poly_hash(str)")
       AsciiPolyHash(args.head)
     })
+    reg(ext, "deflate_size", classOf[DeflateSize], args => {
+      require(args.length == 1, "deflate_size(text_or_binary)")
+      DeflateSize(args.head)
+    })
     reg(ext, "nibble_hist", classOf[NibbleHistogram], args => {
       require(args.length == 1, "nibble_hist(binary)")
       NibbleHistogram(args.head)

@@ -241,6 +241,36 @@ object Quality {
           .otherwise(lit(0.0)).as("norm_entropy"))
   }
 
+  /** Per-document compression ratio — deflate(text).length / raw bytes,
+    * the byte-level redundancy signal (CCNet/RefinedWeb-family
+    * heuristic): repeated boilerplate, padded markup, and degenerate
+    * generations compress far below prose, and byte-level DEFLATE
+    * catches redundancy that token-level TTR ([[repetitionMetrics]])
+    * and [[tokenEntropy]] miss (character-level loops, markup chrome).
+    * Typical filters drop ratio < ~0.3 (extreme repetition) and
+    * > ~1.0 (already-compressed/binary junk).
+    *
+    * Scale shape: a pure codegen'd per-row kernel
+    * ([[graft.expressions.DeflateSize]]) — no shuffle, no state; the
+    * scan is the only corpus-touching step. Not DuckDB-expressible, so
+    * the q114 gate is rows-only; brute-force equality is spec-gated. */
+  def compressionRatio(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val dz = ColumnGlue.column(graft.expressions.DeflateSize(
+      ColumnGlue.expression(col(textCol))))
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        dz.as("deflate_bytes"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), roundTo))
+          .otherwise(lit(null)))
+  }
+
   /** DSIR-style importance weighting (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023, reduced to
     * its unigram form): per-document mean log-likelihood ratio between a

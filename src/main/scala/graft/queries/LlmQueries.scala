@@ -2694,11 +2694,22 @@ object LlmQueries extends QueryGroup {
                         THEN ROUND(ap.nd * 1.0 / bp.nd, 4) END AS distinct_ratio
             FROM bp JOIN ap USING ("column") ORDER BY bp."column""""))
 
+  val q114 = QueryDef(
+    "q114_compression_ratio",
+    "byte-level redundancy quality signal: per-doc DEFLATE ratio via " +
+      "the codegen'd deflate_size kernel — catches character-level " +
+      "loops and markup chrome that token-level TTR/entropy miss; pure " +
+      "per-row map, the scan is the only corpus-touching step (no " +
+      "DuckDB analogue: rows-only gate, brute-force-equality spec)",
+    (s, dir) =>
+      Quality.compressionRatio(t(s, dir, "documents")).orderBy("doc_id"),
+    None)
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113)
+      q112, q113, q114)
 }

@@ -139,6 +139,37 @@ class QualitySpec extends SparkSpecBase {
     assert(got(2L)._2 > got(1L)._2 && got(2L)._2 < got(0L)._2 + 0.5)
   }
 
+  test("compressionRatio: kernel equals driver-side Deflater; repetition compresses below prose") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      (0L, "a" * 400),                                       // degenerate loop
+      (1L, "the quick brown fox jumps over the lazy dog " * 8),
+      (2L, (1 to 60).map(i => s"unique$i word$i").mkString(" ")), // varied
+      (3L, ""))                                              // empty: NULL ratio
+    def brute(t: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(t.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+    val got = Quality.compressionRatio(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id).getLong(2) === brute(t), s"doc $id") }
+    assert(got(3L).isNullAt(3), "empty payload has no defined ratio")
+    val ratio = (id: Long) => got(id).getDouble(3)
+    assert(ratio(0L) < ratio(1L) && ratio(1L) < ratio(2L),
+      "more redundancy must compress further")
+    assert(ratio(0L) < 0.1 && ratio(2L) > 0.2)
+    // SQL-registered kernel reaches pure-SQL users
+    val viaSql = s.sql("SELECT deflate_size('aaaaaaaaaa')").head().getLong(0)
+    assert(viaSql === brute("aaaaaaaaaa"))
+  }
+
   test("importanceWeights: target == corpus is exactly zero everywhere") {
     val s = spark
     import s.implicits._

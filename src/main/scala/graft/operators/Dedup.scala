@@ -63,10 +63,15 @@ object Dedup {
     * the shingle-set drop rule with no filter (a size filter above the
     * projection would get pushed below it and re-inline the kernel into
     * the scan filter — the round-2 double-evaluation trap). */
-  private def shingleHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  private def shingleHashSets(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      sorted: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftglue.ColumnGlue
-    val hashes = ColumnGlue.column(graft.expressions.ShingleHashesKernel(
+    val kernel = ColumnGlue.column(graft.expressions.ShingleHashesKernel(
       ColumnGlue.expression(col("text_")), n))
+    // ascending order costs one per-row sort at build time and buys the
+    // allocation-free sorted-merge verify kernel (SortedLongIntersect)
+    val hashes = if (sorted) array_sort(kernel) else kernel
     df.select(col(idCol).as("id"), col(textCol).as("text_"))
       // fan-out barrier: a compact doc table often arrives in one or few
       // input splits, and the kernel+explode would otherwise run single-
@@ -132,6 +137,101 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("ia", "ib", "shared", "na", "nb", "jaccard")
     (pairs, docs)
+  }
+
+  /** PPJoin-style prefix-filtered exact Jaccard pairs — the same output
+    * contract as [[jaccardPairs]] (ia < ib over distinct n-gram shingle
+    * hashes, exact jaccard ≥ minJaccard) through the canonical scale
+    * path for set-similarity joins (SSJoin, Chaudhuri et al. ICDE 2006;
+    * PPJoin, Xiao et al. WWW 2008).
+    *
+    * Why a second exact path: [[jaccardPairs]]'s self-join emits a row
+    * per shared shingle per pair, Σ_h df(h)² over shingle document
+    * frequency — quadratic in the df head, and a crawl's head (template
+    * chrome, boilerplate banners) is exactly the shingles that never
+    * decide a match. `maxShingleDf` caps that by DROPPING hot shingles
+    * (approximate sizes). Prefix filtering keeps exactness: order the
+    * shingle universe by ascending global df (rarest first, ties on
+    * hash — any total order works, the frequency order minimizes
+    * candidates), and join only each doc's first |x| − ⌈t·|x|⌉ + 1
+    * ordered shingles. The prefix-filtering principle guarantees recall
+    * 1: if a qualifying pair (J ≥ t ⟹ shared ≥ ⌈t·max(na,nb)⌉) shared
+    * nothing across the two prefixes, its shared shingles would all sit
+    * in the ordered tails, at most ⌈t·na⌉−1 < t·na of them —
+    * contradiction. Every candidate is then verified on the FULL
+    * per-doc hash arrays (one sorted-merge intersection per pair, the
+    * [[sortedNeighborhoodPairs]] verify currency), so false candidates
+    * cost one array intersection, never a text re-shingle.
+    *
+    * Scale shape: the prefix under the HASH total order (`dfOrder =
+    * false`, default) is a pure per-row `array_sort` + `slice` over the
+    * persisted hash sets — ZERO passes beyond [[jaccardPairs]]'s own,
+    * and a candidate join whose volume is Σ_h df_prefix(h)²: at t = 0.8
+    * a 100-shingle doc joins on 21 shingles instead of 100 (~25× fewer
+    * self-join rows). `dfOrder = true` additionally computes global
+    * shingle document frequency (one 8-byte-key aggregation) and ranks
+    * each doc's shingles rarest-first (one window shuffle by id) —
+    * frequency order is the candidate-MINIMIZING order (the hot df head
+    * lands in every tail cut), worth the two extra exchanges exactly
+    * when the corpus shingle df is skewed (real crawls: boilerplate);
+    * hash order is the data-independent choice for near-uniform df. The
+    * length filter (⌈t·na⌉ ≤ nb ≤ na/t, a J ≥ t necessity) prunes at
+    * candidate time from sizes carried on the prefix rows. */
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      dfOrder: Boolean = false): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val t = minJaccard
+    val docs = shingleHashSets(df, idCol, textCol, n, sorted = true)
+    val prefixLen = (size(col("hs")) - ceil(lit(t) * size(col("hs"))) + 1).cast("int")
+    val prefix =
+      if (!dfOrder)
+        docs.select(col("id"), size(col("hs")).cast(LongType).as("nsh"),
+          explode(slice(col("hs"), lit(1), prefixLen)).as("h"))
+      else {
+        val ex = docs.select(col("id"), size(col("hs")).cast(LongType).as("nsh"),
+          explode(col("hs")).as("h"))
+        val dfreq = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+        ex.join(dfreq, "h")
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("id").orderBy(col("dfh"), col("h"))))
+          .filter(col("pos") <= col("nsh") - ceil(lit(t) * col("nsh")) + 1)
+          .select("id", "nsh", "h")
+      }
+    // Self-join discipline as in sharedPairCounts: one canonical
+    // exchange under both sides (ReusedExchange), forced shuffled join —
+    // both sides are corpus-scale.
+    val pS = prefix.repartition(
+      prefix.sparkSession.sparkContext.defaultParallelism, col("h"))
+    val left = pS.select(col("id").as("ia"), col("nsh").as("na_"), col("h"))
+    val right = pS.select(col("id").as("ib"), col("nsh").as("nb_"), col("h").as("h2"))
+    val cand = left.hint("shuffle_hash")
+      .join(right, col("h") === col("h2") && col("ia") < col("ib") &&
+        col("nb_") >= ceil(lit(t) * col("na_")) &&
+        col("na_") >= ceil(lit(t) * col("nb_")))
+      .select("ia", "ib")
+      .dropDuplicates("ia", "ib")
+    val intersect = org.apache.spark.sql.graftglue.ColumnGlue.column(
+      graft.expressions.SortedLongIntersect(
+        org.apache.spark.sql.graftglue.ColumnGlue.expression(col("ha")),
+        org.apache.spark.sql.graftglue.ColumnGlue.expression(col("hb"))))
+    cand
+      .join(docs.select(col("id").as("ia"), col("hs").as("ha")), Seq("ia"))
+      .join(docs.select(col("id").as("ib"), col("hs").as("hb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        intersect.as("shared"),
+        size(col("ha")).cast(LongType).as("na"),
+        size(col("hb")).cast(LongType).as("nb"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= t)
+      .select("ia", "ib", "shared", "na", "nb", "jaccard")
   }
 
   /** Asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A| over

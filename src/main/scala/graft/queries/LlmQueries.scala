@@ -2705,11 +2705,33 @@ object LlmQueries extends QueryGroup {
       Quality.compressionRatio(t(s, dir, "documents")).orderBy("doc_id"),
     None)
 
+  val q115 = QueryDef(
+    "q115_neardup_prefix_filter",
+    "PPJoin prefix-filtered exact Jaccard pairs ≥ 0.6 — q35's output " +
+      "contract at the strict-dedup threshold through the prefix-ordered " +
+      "candidate join (prefix-filtering principle: recall 1 by " +
+      "construction), oracle = the exact all-pairs SQL",
+    (s, dir) =>
+      Dedup.prefixFilterPairs(t(s, dir, "documents"), minJaccard = 0.6)
+        .select(col("ia"), col("ib"), col("shared"), col("na"), col("nb"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("ia", "ib"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+                    FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+              sz AS (SELECT id, CAST(len(sh) AS BIGINT) AS nsh FROM docs)
+             SELECT ia, ib, shared, na.nsh AS na, nb.nsh AS nb,
+               ROUND(shared * 1.0 / (na.nsh + nb.nsh - shared), 4) AS jaccard
+             FROM p JOIN sz na ON na.id = p.ia JOIN sz nb ON nb.id = p.ib
+             WHERE shared * 1.0 / (na.nsh + nb.nsh - shared) >= 0.6
+             ORDER BY ia, ib"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114)
+      q112, q113, q114, q115)
 }

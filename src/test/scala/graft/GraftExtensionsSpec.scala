@@ -25,6 +25,11 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(one("SELECT jaccard_shingles('a b c d', 'a b c', 3)")
       .getSeq[Long](0) === Seq(1L, 2L, 1L))
     assert(one("SELECT size(hyperplane_bands(array(1.0F, 0.5F), 2, 3))").getInt(0) === 2)
+    assert(one("SELECT sorted_long_intersect(array(1L, 3L, 7L, 9L), array(3L, 4L, 9L))")
+      .getLong(0) === 2L)
+    assert(one("SELECT sorted_long_intersect(array(1L, 2L), array(3L, 4L))").getLong(0) === 0L)
+    assert(one(
+      "SELECT sorted_long_intersect(shingle_hashes('', 3), array(1L))").getLong(0) === 0L)
     // generator UDTF in SELECT position
     assert(spark.sql("SELECT explode_shingles('a b c d', 3)").count() === 2L)
   }

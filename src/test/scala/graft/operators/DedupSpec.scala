@@ -799,4 +799,45 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(11L, 12L), "byte-identical short doc must not pass the gate")
   }
+
+  test("prefixFilterPairs: exact jaccard on a known pair, no spurious pairs") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4 w5"), (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.prefixFilterPairs(df, minJaccard = 0.5).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 2L)))
+    assert(math.abs(r.getDouble(5) - 2.0 / 3.0) < 1e-9)
+  }
+
+  test("prefixFilterPairs == jaccardPairs on the fixture corpus across thresholds") {
+    // recall-1 is the prefix-filtering theorem; this pins it empirically
+    // against the unpruned exact path at a permissive and a strict t
+    val docs = Tables.load(spark, sfDir, "documents")
+    for (t <- Seq(0.3, 0.6); byDf <- Seq(false, true)) {
+      val a = Dedup.jaccardPairs(docs, minJaccard = t)
+        .select("ia", "ib", "shared", "na", "nb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val b = Dedup.prefixFilterPairs(docs, minJaccard = t, dfOrder = byDf)
+        .select("ia", "ib", "shared", "na", "nb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(a === b, s"prefix-filtered pairs diverged from exact at t=$t dfOrder=$byDf")
+      assert(a.nonEmpty, s"vacuous equivalence at t=$t — fixture produced no pairs")
+    }
+  }
+
+  test("prefixFilterPairs: identical docs and sub-shingle-width docs behave") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "hi"), (4L, "hi"))
+      .toDF("doc_id", "text")
+    // identical docs: one pair at J=1.0; docs shorter than the shingle
+    // width have empty sets (J undefined) and must emit nothing
+    val rows = Dedup.prefixFilterPairs(df, minJaccard = 0.9).collect()
+    assert(rows.length === 1)
+    assert((rows.head.getLong(0), rows.head.getLong(1)) === ((1L, 2L)))
+    assert(rows.head.getDouble(5) === 1.0)
+  }
 }

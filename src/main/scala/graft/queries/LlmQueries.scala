@@ -2727,11 +2727,64 @@ object LlmQueries extends QueryGroup {
              WHERE shared * 1.0 / (na.nsh + nb.nsh - shared) >= 0.6
              ORDER BY ia, ib"""))
 
+  /** q116's pinned merge table — `BpeTrain.trainMerges` output on the
+    * sf0.001 documents fixture (16 rules, the q78 configuration; pinned
+    * so the DuckDB oracle can replay the greedy scan with a literal
+    * table). BpeTrainSpec asserts the pin still equals a fresh train. */
+  private[graft] val Q116Merges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"))
+
+  /** The SQL replay of [[BpeTrain.encodeWord]] for the pinned table: each
+    * pre-token `w` becomes a DOUBLE-space-boundary symbol string
+    * ("␣␣s1␣␣s2␣␣"), and each rank's one greedy left-to-right pass is one
+    * non-regex `replace(' l  r ' → ' lr ')` — a match consumes one space
+    * of each outer boundary and the replacement restores them, so the
+    * double-boundary invariant survives every rank, consecutive
+    * occurrences still meet ("abab" → "ab ab"), and a just-merged symbol
+    * is never re-matched inside the same pass ("aaa" → "aa a", the fold
+    * semantics). Symbols can never contain the boundary char: the
+    * pre-tokenizer classes ([a-z]+ | [0-9]+ | single non-alnum-non-space)
+    * all exclude the space. */
+  private val q116Fold: String = Q116Merges.foldLeft(
+    "' ' || ' ' || array_to_string(string_split(w, ''), '  ') || ' ' || ' '") {
+    case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
+  }
+
+  val q116 = QueryDef(
+    "q116_bpe_encode",
+    "BPE ENCODE under the pinned trained merge table (the apply side q78's " +
+      "training feeds): per-doc token count + full encoded token stream, " +
+      "oracle replays the rank-ordered greedy scan via boundary-encoded " +
+      "REPLACE folds",
+    (s, dir) => {
+      val enc = BpeTrain.encodeUdf(Q116Merges)
+      t(s, dir, "documents")
+        .select(col("doc_id"), enc(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          array_join(col("toks"), " ").as("toks_str"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH enc AS (SELECT doc_id,
+              [$q116Fold
+               for w in regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')] AS es
+              FROM documents),
+             c AS (SELECT doc_id,
+              array_to_string([replace(trim(e), '  ', ' ') for e in es], ' ') AS toks_str
+              FROM enc)
+            SELECT doc_id,
+              CAST(CASE WHEN toks_str = '' THEN 0
+                   ELSE len(string_split(toks_str, ' ')) END AS BIGINT) AS n_toks,
+              toks_str
+            FROM c ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114, q115)
+      q112, q113, q114, q115, q116)
 }

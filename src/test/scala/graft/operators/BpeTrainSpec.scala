@@ -126,4 +126,13 @@ class BpeTrainSpec extends SparkSpecBase {
     assert(again.map(m => (m.left, m.right, m.count)) ===
       trained.take(8).map(m => (m.left, m.right, m.count)))
   }
+
+  test("q116's pinned merge table equals a fresh train on the pin fixture") {
+    // the pin exists so q116's DuckDB oracle can replay the greedy scan
+    // with a literal table; a fixture regeneration would silently stale it
+    val fresh = BpeTrain.trainMerges(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"), numMerges = 16)
+    assert(fresh.map(m => (m.left, m.right)) === graft.queries.LlmQueries.Q116Merges,
+      "re-pin LlmQueries.Q116Merges from this train")
+  }
 }

@@ -480,4 +480,57 @@ object Quality {
       .orderBy(col("df").desc, col("gram"))
       .limit(k)
   }
+
+  /** Vocabulary coverage / OOV audit: take the top-`vocabSize` corpus
+    * tokens by frequency as THE vocabulary (ties broken by token — a
+    * total order, so the vocab is a pure function of the corpus), then
+    * per slice report how much of its token mass that vocabulary covers
+    * and how many distinct out-of-vocabulary types remain. The
+    * fixed-vocab tokenizer question every mixture decision hides: a
+    * source whose coverage lags the corpus burns its token budget on
+    * fragmented/unk encodings (the L42 mixer weighs token MASS; this is
+    * the audit that says whether that mass is spendable).
+    *
+    * Output: (sliceCol, total_toks, invocab_toks, coverage, oov_types),
+    * coverage a genuine quotient rounded to `roundTo`, ordered by slice.
+    *
+    * Scale shape: ONE (slice, token) aggregation touches the corpus
+    * (zipfian tokens collapse map-side; the persisted frame is
+    * slices×types-sized). Everything downstream derives from it: corpus
+    * counts by a second small aggregation, the vocabulary by
+    * TakeOrdered (top-k heap, never a full sort), membership by a
+    * BROADCAST join against the model-sized vocab — the corpus never
+    * moves again. */
+  def vocabCoverage(
+      df: DataFrame,
+      sliceCol: String = "lang",
+      textCol: String = "text",
+      vocabSize: Int = 100,
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(vocabSize >= 1, s"vocabSize $vocabSize must be >= 1")
+    val st = df
+      .select(col(sliceCol).as("slice"), explode(split(col(textCol), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("slice", "tok").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val vocab = st.groupBy("tok").agg(sum("n").as("cn"))
+      .orderBy(col("cn").desc, col("tok")).limit(vocabSize)
+      .select("tok")
+    val totals = st.groupBy("slice").agg(sum("n").cast(LongType).as("total_toks"))
+    val iv = st.join(broadcast(vocab), "tok")
+      .groupBy("slice").agg(sum("n").cast(LongType).as("invocab_toks"))
+    val oov = st.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("slice").agg(count(lit(1)).as("oov_types"))
+    totals
+      .join(iv, Seq("slice"), "left")
+      .join(oov, Seq("slice"), "left")
+      .select(col("slice").as(sliceCol),
+        col("total_toks"),
+        coalesce(col("invocab_toks"), lit(0L)).as("invocab_toks"),
+        round(coalesce(col("invocab_toks"), lit(0L)) / col("total_toks"), roundTo)
+          .as("coverage"),
+        coalesce(col("oov_types"), lit(0L)).as("oov_types"))
+      .orderBy(sliceCol)
+  }
 }

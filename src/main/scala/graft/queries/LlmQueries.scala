@@ -2780,11 +2780,37 @@ object LlmQueries extends QueryGroup {
               toks_str
             FROM c ORDER BY doc_id"""))
 
+  val q117 = QueryDef(
+    "q117_vocab_coverage",
+    "vocabulary coverage / OOV audit: top-12 corpus tokens as the fixed " +
+      "vocabulary (12 of the fixture's 31 types — a non-vacuous cut), " +
+      "per-lang covered token mass + distinct OOV types",
+    (s, dir) =>
+      Quality.vocabCoverage(t(s, dir, "documents"), sliceCol = "lang", vocabSize = 12),
+    Some("""WITH st AS (SELECT slice, tok, COUNT(*) AS n
+              FROM (SELECT lang AS slice, UNNEST(string_split_regex(text, '\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1, 2),
+             v AS (SELECT tok FROM (SELECT tok, SUM(n) AS cn FROM st GROUP BY tok
+                   ORDER BY cn DESC, tok LIMIT 12)),
+             tot AS (SELECT slice, CAST(SUM(n) AS BIGINT) AS total_toks FROM st GROUP BY slice),
+             iv AS (SELECT slice, CAST(SUM(n) AS BIGINT) AS invocab_toks
+                    FROM st JOIN v USING (tok) GROUP BY slice),
+             oov AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS oov_types
+                     FROM st ANTI JOIN v USING (tok) GROUP BY slice)
+            SELECT tot.slice AS lang, total_toks,
+              COALESCE(invocab_toks, 0) AS invocab_toks,
+              ROUND(COALESCE(invocab_toks, 0) * 1.0 / total_toks, 4) AS coverage,
+              COALESCE(oov_types, 0) AS oov_types
+            FROM tot LEFT JOIN iv ON tot.slice = iv.slice
+              LEFT JOIN oov ON tot.slice = oov.slice
+            ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114, q115, q116)
+      q112, q113, q114, q115, q116, q117)
 }

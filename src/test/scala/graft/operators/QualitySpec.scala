@@ -275,4 +275,33 @@ class QualitySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("vocabCoverage: hand-computed slices, frequency-then-token tie-break") {
+    val s2 = spark; import s2.implicits._
+    // corpus counts: b=5 (3+2), a=4 (3+1), c=2, d=1 -> top-2 vocab {b, a}
+    // (a beats c on count; b beats a on count)
+    val df = Seq(
+      ("s1", "a a a b b b"),          // 6 toks, all in vocab
+      ("s2", "a b b c c d"))          // 6 toks, in-vocab 3 (a,b,b), oov types {c,d}
+      .toDF("src", "text")
+    val rows = Quality.vocabCoverage(df, sliceCol = "src", vocabSize = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows === Array(("s1", 6L, 6L, 1.0, 0L), ("s2", 6L, 3L, 0.5, 2L)))
+  }
+
+  test("vocabCoverage: full-size vocab covers everything; coverage bounded") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val full = Quality.vocabCoverage(docs, vocabSize = 100000).collect()
+    full.foreach { r =>
+      assert(r.getDouble(3) === 1.0, s"full vocab must cover slice ${r.getString(0)}")
+      assert(r.getLong(4) === 0L)
+    }
+    val cut = Quality.vocabCoverage(docs, vocabSize = 12).collect()
+    cut.foreach { r =>
+      val cov = r.getDouble(3)
+      assert(cov > 0.0 && cov < 1.0, s"12-of-31 vocab should partially cover: $cov")
+      assert(r.getLong(4) > 0L)
+    }
+  }
 }

@@ -481,6 +481,70 @@ object Quality {
       .limit(k)
   }
 
+  /** Top-k PMI collocations: pointwise mutual information
+    * ln(p(ab) / (p(a)·p(b))) over adjacent token bigrams — the
+    * association audit (Church & Hanks, CL 1990). Boilerplate phrases
+    * ([[boilerplateNgrams]]) rank by raw document frequency — "of the"
+    * tops that list; PMI ranks by LIFT over independence, surfacing the
+    * multiword units ("new york") whose parts rarely occur apart. The
+    * `minCount` floor is the standard PMI guard: a hapax pair of two
+    * hapax tokens scores the maximal PMI, so unfloored rankings are
+    * noise (the 1990 paper's own caveat).
+    *
+    * Output: (w1, w2, c_ab, pmi) — the top `k` pairs with c_ab ≥
+    * `minCount` under the (pmi DESC, w1, w2) total order, pmi rounded to
+    * `roundTo` (the ranking runs on the ROUNDED value: cross-engine
+    * float-ordering stability, the q36 rule).
+    *
+    * Scale shape: one unigram + one bigram aggregation over the
+    * token-staged corpus (both zipf-collapse map-side; short-token pair
+    * keys make hash currency a wash, so the group keys ARE the strings
+    * and the oracle replays verbatim — a 2⁻⁶⁴-collision-free choice,
+    * unlike the hash-keyed drift frames). The `minCount` filter shrinks
+    * the pair frame BEFORE the two unigram-attach joins (AQE picks
+    * broadcast when the type dictionary fits, shuffle otherwise); the
+    * scalar totals ride 1-row broadcast cross joins; the final top-k is
+    * a TakeOrdered heap, never a full sort. */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 20,
+      minCount: Long = 5L,
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(k >= 1, s"k $k must be >= 1")
+    require(minCount >= 1L, s"minCount $minCount must be >= 1")
+    val base = tokens(df, idCol, textCol)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val uni = base.select(explode(col("toks")).as("tok")).where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val nt = uni.agg(sum("cu").cast(LongType).as("nt"))
+    // ALL adjacent occurrences — shinglesFromTokens would distinct per doc
+    val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    val bi = base.select(explode(bigrams).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    val np = bi.agg(sum("c").cast(LongType).as("np"))
+    bi.filter(col("c") >= minCount)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(np))
+      .select(col("w1"), col("w2"), col("c").cast(LongType).as("c_ab"),
+        round(log((col("c") * lit(1.0) / col("np")) /
+          ((col("c1") * lit(1.0) / col("nt")) * (col("c2") * lit(1.0) / col("nt")))),
+          roundTo).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Vocabulary coverage / OOV audit: take the top-`vocabSize` corpus
     * tokens by frequency as THE vocabulary (ties broken by token — a
     * total order, so the vocab is a pure function of the corpus), then

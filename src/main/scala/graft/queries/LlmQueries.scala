@@ -2806,11 +2806,40 @@ object LlmQueries extends QueryGroup {
               LEFT JOIN oov ON tot.slice = oov.slice
             ORDER BY lang"""))
 
+  val q118 = QueryDef(
+    "q118_pmi_collocations",
+    "top-20 PMI collocations (adjacent-bigram lift over independence, " +
+      "minCount=5 hapax guard, ranked on ROUNDED pmi + (w1,w2) total order)",
+    (s, dir) =>
+      Quality.pmiCollocations(t(s, dir, "documents"), k = 20, minCount = 5L)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+             u AS (SELECT tok, COUNT(*) AS cu
+                   FROM (SELECT UNNEST(toks) AS tok FROM t) WHERE tok <> '' GROUP BY tok),
+             nt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nt FROM u),
+             b AS (SELECT g, COUNT(*) AS c FROM (
+                     SELECT UNNEST(CASE WHEN len(toks) >= 2 THEN
+                       [array_to_string(toks[i:i+1], ' ')
+                        for i in generate_series(1, len(toks)-1)]
+                       ELSE [] END) AS g FROM t)
+                   GROUP BY g),
+             np AS (SELECT CAST(SUM(c) AS BIGINT) AS np FROM b),
+             h AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+                     CAST(c AS BIGINT) AS c_ab
+                   FROM b WHERE c >= 5),
+             s AS (SELECT w1, w2, c_ab,
+                     ROUND(ln((c_ab * 1.0 / np) /
+                       ((u1.cu * 1.0 / nt) * (u2.cu * 1.0 / nt))), 4) AS pmi
+                   FROM h JOIN u u1 ON u1.tok = h.w1 JOIN u u2 ON u2.tok = h.w2,
+                     nt, np)
+            SELECT w1, w2, c_ab, pmi FROM s
+            ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114, q115, q116, q117)
+      q112, q113, q114, q115, q116, q117, q118)
 }

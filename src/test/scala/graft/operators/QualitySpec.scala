@@ -276,6 +276,34 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  test("pmiCollocations: hand-computed lift on a planted collocation") {
+    val s2 = spark; import s2.implicits._
+    // "x y" always adjacent (5 times), filler "a" everywhere: x y beat
+    // independent expectation; a-pairs don't
+    val df = Seq(
+      (1L, "x y a a x y a a"),
+      (2L, "x y a a x y a a"),
+      (3L, "x y a a a a a a"))
+      .toDF("doc_id", "text")
+    val rows = Quality.pmiCollocations(df, k = 3, minCount = 5L).collect()
+    // bigram counts: per doc1/2: [x y, y a, a a, a x, x y, y a, a a] ...
+    // c(x y)=5, toks: nt=24, cu(x)=5, cu(y)=5; np = 3*7=21
+    // pmi(x,y) = ln((5/21)/((5/24)*(5/24))) = ln(5*24*24/(21*5*5))
+    val expected = math.log(5.0 / 21.0 / ((5.0 / 24.0) * (5.0 / 24.0)))
+    val xy = rows.find(r => r.getString(0) == "x" && r.getString(1) == "y").get
+    assert(xy.getLong(2) === 5L)
+    assert(math.abs(xy.getDouble(3) - expected) < 5e-5)
+    // planted collocation must outrank the filler pairs
+    assert((rows.head.getString(0), rows.head.getString(1)) === (("x", "y")))
+  }
+
+  test("pmiCollocations: minCount floors hapax pairs out") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((1L, "p q r s t u v w")).toDF("doc_id", "text")
+    // every bigram occurs once -> nothing survives minCount=2
+    assert(Quality.pmiCollocations(df, k = 10, minCount = 2L).count() === 0)
+  }
+
   test("vocabCoverage: hand-computed slices, frequency-then-token tie-break") {
     val s2 = spark; import s2.implicits._
     // corpus counts: b=5 (3+2), a=4 (3+1), c=2, d=1 -> top-2 vocab {b, a}

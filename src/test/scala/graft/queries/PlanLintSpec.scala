@@ -56,6 +56,10 @@ class PlanLintSpec extends SparkSpecBase {
     // q91: the 1-row corpus-total frame crossJoined onto the vocabulary
     // frame — q61's documented one-row-broadcast class
     "q91_source_distribution_drift",
+    // q118: the two 1-row totals frames (nt, np) crossJoined onto the
+    // minCount-trimmed collocation frame — q61's documented
+    // one-row-broadcast class
+    "q118_pmi_collocations",
     // q93: same class — the 1-row reference-LM stats frame (nt, vsz)
     "q93_drift_against_reference",
     // q96: the 1-row vocabulary-size frame crossJoined onto the bigram

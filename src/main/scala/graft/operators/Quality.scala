@@ -481,6 +481,58 @@ object Quality {
       .limit(k)
   }
 
+  /** Per-slice Zipf slope: OLS fit of ln(freq) on ln(rank) over the
+    * slice's token frequency spectrum — the distributional-health
+    * scalar (natural text sits near slope −1; templated/boilerplate
+    * slices flatten the head, spam/generated text fattens the tail).
+    * `r2` is the fit quality: a low r² says the spectrum isn't a power
+    * law at all, a drift signal no single quantile catches.
+    *
+    * Output: (sliceCol, n_types, zipf_slope, r2), slope/r² rounded
+    * (genuine quotients), ordered by slice.
+    *
+    * Scale shape: ONE (slice, token) aggregation touches the corpus;
+    * ranking is a window over the types-sized frame (partitioned by
+    * slice — rank must be global within slice, and types ≪ tokens).
+    * The OLS moments accumulate per-type ln contributions as
+    * DECIMAL(28,14) (the drift-family rule: transcendental sums are
+    * order-sensitive in double, exact in decimal), then the slope/r²
+    * arithmetic runs on five scalars — both engines evaluate the
+    * identical expression on identical inputs. */
+  def zipfSlope(
+      df: DataFrame,
+      sliceCol: String = "source",
+      textCol: String = "text",
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val st = df
+      .select(col(sliceCol).as("slice"), explode(split(col(textCol), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("slice", "tok").agg(count(lit(1)).as("c"))
+    val ranked = st.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("slice").orderBy(col("c").desc, col("tok"))))
+    val D = DecimalType(28, 14)
+    val x = log(col("rk").cast(DoubleType))
+    val y = log(col("c").cast(DoubleType))
+    val agg = ranked
+      .select(col("slice"), x.cast(D).as("x"), y.cast(D).as("y"),
+        (x * y).cast(D).as("xy"), (x * x).cast(D).as("xx"), (y * y).cast(D).as("yy"))
+      .groupBy("slice")
+      .agg(count(lit(1)).cast(LongType).as("n_types"),
+        sum("x").cast(DoubleType).as("sx"), sum("y").cast(DoubleType).as("sy"),
+        sum("xy").cast(DoubleType).as("sxy"), sum("xx").cast(DoubleType).as("sxx"),
+        sum("yy").cast(DoubleType).as("syy"))
+    val n = col("n_types").cast(DoubleType)
+    val covN = n * col("sxy") - col("sx") * col("sy")
+    val varXN = n * col("sxx") - col("sx") * col("sx")
+    val varYN = n * col("syy") - col("sy") * col("sy")
+    agg.select(col("slice").as(sliceCol), col("n_types"),
+        round(covN / nullif(varXN, lit(0.0)), roundTo).as("zipf_slope"),
+        round(covN * covN / nullif(varXN * varYN, lit(0.0)), roundTo).as("r2"))
+      .orderBy(sliceCol)
+  }
+
   /** Top-k PMI collocations: pointwise mutual information
     * ln(p(ab) / (p(a)·p(b))) over adjacent token bigrams — the
     * association audit (Church & Hanks, CL 1990). Boilerplate phrases

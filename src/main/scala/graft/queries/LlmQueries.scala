@@ -2835,11 +2835,40 @@ object LlmQueries extends QueryGroup {
             SELECT w1, w2, c_ab, pmi FROM s
             ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
 
+  val q119 = QueryDef(
+    "q119_zipf_slope",
+    "per-source Zipf slope + fit r2: OLS of ln(freq) on ln(rank) over the " +
+      "token spectrum, DECIMAL(28,14) moment accumulation (order-exact), " +
+      "scalar slope arithmetic identical in both engines",
+    (s, dir) =>
+      Quality.zipfSlope(t(s, dir, "documents"), sliceCol = "source"),
+    Some("""WITH st AS (SELECT slice, tok, COUNT(*) AS c
+              FROM (SELECT source AS slice, UNNEST(string_split_regex(text, '\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1, 2),
+             r AS (SELECT slice, c,
+                     ROW_NUMBER() OVER (PARTITION BY slice ORDER BY c DESC, tok) AS rk
+                   FROM st),
+             a AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_types,
+                     CAST(SUM(CAST(ln(rk) AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(ln(c) AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(ln(rk) * ln(c) AS DECIMAL(28,14))) AS DOUBLE) AS sxy,
+                     CAST(SUM(CAST(ln(rk) * ln(rk) AS DECIMAL(28,14))) AS DOUBLE) AS sxx,
+                     CAST(SUM(CAST(ln(c) * ln(c) AS DECIMAL(28,14))) AS DOUBLE) AS syy
+                   FROM r GROUP BY slice)
+            SELECT slice AS source, n_types,
+              ROUND((n_types * sxy - sx * sy)
+                    / NULLIF(n_types * sxx - sx * sx, 0), 4) AS zipf_slope,
+              ROUND((n_types * sxy - sx * sy) * (n_types * sxy - sx * sy)
+                    / NULLIF((n_types * sxx - sx * sx) * (n_types * syy - sy * sy), 0),
+                4) AS r2
+            FROM a ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114, q115, q116, q117, q118)
+      q112, q113, q114, q115, q116, q117, q118, q119)
 }

@@ -276,6 +276,28 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  test("zipfSlope: two-point spectrum fits exactly (hand-computed slope, r2=1)") {
+    val s2 = spark; import s2.implicits._
+    // two types: aa count 6 (rank 1), bb count 2 (rank 2) — OLS through
+    // two points is exact: slope = (ln2 − ln6)/(ln2 − ln1) = ln(1/3)/ln2
+    val df = Seq.fill(6)(("s1", "aa")) ++ Seq.fill(2)(("s1", "bb"))
+    val rows = Quality.zipfSlope(df.toDF("source", "text")).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(1) === 2L)
+    val want = math.log(2.0 / 6.0) / math.log(2.0)
+    assert(math.abs(r.getDouble(2) - want) < 5e-4, s"slope ${r.getDouble(2)} vs $want")
+    assert(r.getDouble(3) === 1.0, "two points fit exactly")
+  }
+
+  test("zipfSlope: single-type slice yields null slope, not NaN") {
+    val s2 = spark; import s2.implicits._
+    val rows = Quality.zipfSlope(
+      Seq(("s1", "aa aa aa")).toDF("source", "text")).collect()
+    assert(rows.length === 1)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3))
+  }
+
   test("pmiCollocations: hand-computed lift on a planted collocation") {
     val s2 = spark; import s2.implicits._
     // "x y" always adjacent (5 times), filler "a" everywhere: x y beat

@@ -109,4 +109,49 @@ object Packing {
       .withColumn("crosses_pack",
         expr(s"(offset + $w - 1L) DIV ${windowTokens}L") > col("pack_id"))
   }
+
+  /** Padding-waste audit — the quantified case FOR [[packSequences]]:
+    * per slice, the token cost of batching at `contextLen` under (a)
+    * pad-per-document (each doc occupies ⌈nt/L⌉ padded sequences — the
+    * naive loader) versus (b) concat-and-split packing (one tape per
+    * slice, ⌈Σnt/L⌉ sequences). `pad_waste` is the fraction of paid
+    * tokens that are padding; `pack_waste` is the same under packing
+    * (≤ one partial final sequence per slice — asymptotically 0). The
+    * number a context-length/packing decision is justified with.
+    *
+    * Output: (sliceCol, n_docs, total_toks, padded_cost, pad_waste,
+    * packed_cost, pack_waste), waste fractions rounded (genuine
+    * quotients), ordered by slice.
+    *
+    * Scale shape: a pure narrow map (token count + integer ceiling
+    * arithmetic — `DIV`, never float ceil: exact at any magnitude and
+    * engine-portable) into ONE slice aggregation. */
+  def paddingWaste(
+      df: DataFrame,
+      contextLen: Long,
+      sliceCol: String = "source",
+      textCol: String = "text",
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(contextLen >= 1L, s"contextLen $contextLen must be >= 1")
+    val L = contextLen
+    df.select(col(sliceCol).as("slice"),
+        graft.functions.TextOps.tokenCount(col(textCol)).as("nt"))
+      .select(col("slice"), col("nt"),
+        (expr(s"(nt + ${L - 1}L) DIV ${L}L") * L).as("pad_cost"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").cast(LongType).as("total_toks"),
+        sum("pad_cost").cast(LongType).as("padded_cost"))
+      .withColumn("packed_cost",
+        expr(s"((total_toks + ${L - 1}L) DIV ${L}L) * ${L}L"))
+      .select(col("slice").as(sliceCol), col("n_docs"), col("total_toks"),
+        col("padded_cost"),
+        round((col("padded_cost") - col("total_toks")) * lit(1.0) / col("padded_cost"),
+          roundTo).as("pad_waste"),
+        col("packed_cost"),
+        round((col("packed_cost") - col("total_toks")) * lit(1.0) / col("packed_cost"),
+          roundTo).as("pack_waste"))
+      .orderBy(sliceCol)
+  }
 }

@@ -2864,11 +2864,33 @@ object LlmQueries extends QueryGroup {
                 4) AS r2
             FROM a ORDER BY source"""))
 
+  val q120 = QueryDef(
+    "q120_packing_waste",
+    "padding-waste audit at context 128: per-source cost of pad-per-doc " +
+      "vs concat-and-split packing (integer ceiling arithmetic, DIV not " +
+      "float ceil) — the number q59's packing is justified with",
+    (s, dir) =>
+      Packing.paddingWaste(t(s, dir, "documents"), contextLen = 128L),
+    Some("""WITH d AS (SELECT source AS slice,
+                CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt
+              FROM documents),
+             p AS (SELECT slice, nt, ((nt + 127) // 128) * 128 AS pad_cost FROM d),
+             a AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(nt) AS BIGINT) AS total_toks,
+                     CAST(SUM(pad_cost) AS BIGINT) AS padded_cost
+                   FROM p GROUP BY slice)
+            SELECT slice AS source, n_docs, total_toks, padded_cost,
+              ROUND((padded_cost - total_toks) * 1.0 / padded_cost, 4) AS pad_waste,
+              ((total_toks + 127) // 128) * 128 AS packed_cost,
+              ROUND((((total_toks + 127) // 128) * 128 - total_toks) * 1.0
+                    / (((total_toks + 127) // 128) * 128), 4) AS pack_waste
+            FROM a ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114, q115, q116, q117, q118, q119)
+      q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

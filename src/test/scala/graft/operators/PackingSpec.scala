@@ -78,4 +78,30 @@ class PackingSpec extends SparkSpecBase {
         Seq("doc_id", "chunk_idx"), "wd")
     }
   }
+
+  test("paddingWaste: hand-computed pad vs pack costs at L=10") {
+    val s2 = spark; import s2.implicits._
+    // token counts 3, 12, 10 -> pad costs 10, 20, 10 (padded 40, waste
+    // 15/40); packed tape = ceil(25/10)*10 = 30 (waste 5/30)
+    val df = Seq(
+      ("s1", "a b c"),
+      ("s1", Seq.fill(12)("t").mkString(" ")),
+      ("s1", Seq.fill(10)("t").mkString(" ")))
+      .toDF("source", "text")
+    val r = Packing.paddingWaste(df, contextLen = 10L).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(5)) ===
+      ((3L, 25L, 40L, 30L)))
+    assert(row.getDouble(4) === 0.375)
+    assert(math.abs(row.getDouble(6) - 5.0 / 30.0) < 5e-5)
+  }
+
+  test("paddingWaste: exact-multiple docs waste nothing either way") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(("s1", Seq.fill(8)("t").mkString(" "))).toDF("source", "text")
+    val row = Packing.paddingWaste(df, contextLen = 4L).collect().head
+    assert(row.getDouble(4) === 0.0 && row.getDouble(6) === 0.0)
+    assert(row.getLong(3) === 8L && row.getLong(5) === 8L)
+  }
 }

@@ -823,6 +823,60 @@ object Dedup {
       .select("ia", "ib", "shared", "jaccard")
   }
 
+  /** MinHash calibration audit — [[Similarity.rankingRecall]]'s role for
+    * the MinHash geometry: per banded candidate pair, the SIGNATURE
+    * Jaccard estimate (matching positions / numHashes — the unbiased
+    * estimator the S-curve math assumes) next to the exact shingle
+    * Jaccard, plus the absolute error. The number a (numHashes, bands)
+    * choice is tuned by: estimator spread at the decision threshold
+    * tells you whether candidates are being admitted/rejected for the
+    * right reason, BEFORE a production sweep bets on the geometry.
+    * Engine-portable hash family throughout ([[portableMinHashPairs]]'s
+    * rationale: an audit is worthless if only the engine can replay it).
+    *
+    * Output: (ia, ib, est_jaccard, exact_jaccard, abs_err) per candidate
+    * pair — est is an exact multiple of 1/numHashes (no float hazard);
+    * exact/err rounded as genuine quotients.
+    *
+    * Scale shape: [[portableMinHashPairs]]'s banding + candidate join
+    * verbatim (signatures are numHashes longs on the wire); the
+    * estimate is a per-pair zip over the two signatures already carried
+    * by the candidate rows' id-joins, and the exact verify runs only on
+    * candidate texts ([[verifyCandidatesExact]]'s contract). */
+  def minHashCalibration(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      roundTo: Int = 4): DataFrame = {
+    val sig = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = true)
+      .persist(StorageLevel.DISK_ONLY)
+    val banded = sig.select(col("id"),
+        posexplode(array(portableBandKeyCols(numHashes, bands): _*))
+          .as(Seq("band", "bkey")))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("bkey"))
+    val a = banded.select(col("id").as("ia"), col("band"), col("bkey"))
+    val b = banded.select(col("id").as("ib"), col("band").as("band2"), col("bkey").as("bkey2"))
+    val cand = a.hint("shuffle_hash")
+      .join(b, col("band") === col("band2") && col("bkey") === col("bkey2") &&
+        col("ia") < col("ib"))
+      .select("ia", "ib").dropDuplicates("ia", "ib")
+    val withEst = cand
+      .join(sig.select(col("id").as("ia"), col("sig").as("sa")), Seq("ia"))
+      .join(sig.select(col("id").as("ib"), col("sig").as("sb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          m => m)) * lit(1.0) / numHashes).as("est"))
+    verifyCandidatesExact(df, idCol, textCol, n, withEst, 0.0, Seq("est"))
+      .select(col("ia"), col("ib"),
+        col("est").as("est_jaccard"),
+        round(col("jaccard"), roundTo).as("exact_jaccard"),
+        round(abs(col("est") - col("jaccard")), roundTo).as("abs_err"))
+  }
+
   /** Edit-similarity near-dup pairs — the ORIGINAL shingle→verify
     * refinement (Broder's resemblance candidates re-scored by edit
     * distance): LSH candidates from the engine-portable banded MinHash,
@@ -937,6 +991,49 @@ object Dedup {
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= minJaccard)
       .select("ia", "ib", "shared", "jaccard")
+  }
+
+  /** Dedup ACCOUNTING: what near-dup clustering would actually remove,
+    * as token mass per slice — the report a dedup decision ships with
+    * ("clustering at t removes X% of source Y's tokens") and the input
+    * to the L34 capped-copy tradeoff. Removal rule = [[dedupClusters]]'
+    * canonical policy (cluster member ≠ min-id canonical ⇒ removed);
+    * accounting is corpus-global (a doc's canonical may live in another
+    * slice — the cross-slice duplicate is precisely the interesting
+    * row).
+    *
+    * Output: (sliceCol, n_docs, n_removed, total_toks, removed_toks,
+    * removed_frac), frac a genuine quotient rounded, ordered by slice.
+    *
+    * Scale shape: the cluster frame is the [[dedupClusters]] pipeline
+    * (its cost dominates); accounting adds ONE id-keyed join of the
+    * (id, slice, token-count) projection against the (id, keep) frame —
+    * 16-byte-ish currency, text never moves — and one slice
+    * aggregation. */
+  def dedupAccounting(
+      df: DataFrame,
+      sliceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      roundTo: Int = 4): DataFrame = {
+    val clusters = dedupClusters(df, idCol, textCol, n, minJaccard)
+      .select(col(idCol).as("id_"), col("keep"))
+    df.select(col(idCol).as("id_"), col(sliceCol).as("slice"),
+        graft.functions.TextOps.tokenCount(col(textCol)).as("nt"))
+      .join(clusters, "id_")
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!col("keep"), lit(1))).as("n_removed"),
+        sum("nt").cast(LongType).as("total_toks"),
+        coalesce(sum(when(!col("keep"), col("nt"))), lit(0L)).cast(LongType)
+          .as("removed_toks"))
+      .select(col("slice").as(sliceCol), col("n_docs"), col("n_removed"),
+        col("total_toks"), col("removed_toks"),
+        round(col("removed_toks") * lit(1.0) / col("total_toks"), roundTo)
+          .as("removed_frac"))
+      .orderBy(sliceCol)
   }
 
   /** Connected components over an undirected pair graph by iterative

@@ -2886,11 +2886,108 @@ object LlmQueries extends QueryGroup {
                     / (((total_toks + 127) // 128) * 128), 4) AS pack_waste
             FROM a ORDER BY source"""))
 
+  val q121 = QueryDef(
+    "q121_dedup_accounting",
+    "dedup accounting: per-source docs/token mass q49's clustering " +
+      "(3-gram Jaccard ≥ 0.4, canonical keep) would remove — corpus-" +
+      "global removal, so cross-slice duplicates land on the copy's " +
+      "source; oracle replays the closure + the accounting joins",
+    (s, dir) =>
+      Dedup.dedupAccounting(t(s, dir, "documents"), minJaccard = 0.4),
+    Some(s"""WITH RECURSIVE docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              p AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS shared
+                    FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+              sz AS (SELECT id, CAST(len(sh) AS BIGINT) AS nsh FROM docs),
+              pr AS (SELECT ia, ib
+                     FROM p JOIN sz na ON na.id = p.ia JOIN sz nb ON nb.id = p.ib
+                     WHERE shared * 1.0 / (na.nsh + nb.nsh - shared) >= 0.4),
+              ed AS (SELECT ia AS u, ib AS v FROM pr
+                     UNION ALL SELECT ib, ia FROM pr),
+              reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.src, ed.v FROM reach JOIN ed ON reach.dst = ed.u),
+              cl AS (SELECT src AS doc_id, (src = MIN(dst)) AS keep
+                     FROM reach GROUP BY src),
+              d AS (SELECT doc_id, source,
+                      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+                    FROM documents),
+              a AS (SELECT source,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(COUNT(*) FILTER (NOT keep) AS BIGINT) AS n_removed,
+                      CAST(SUM(nt) AS BIGINT) AS total_toks,
+                      CAST(COALESCE(SUM(nt) FILTER (NOT keep), 0) AS BIGINT) AS removed_toks
+                    FROM d JOIN cl USING (doc_id) GROUP BY source)
+             SELECT source, n_docs, n_removed, total_toks, removed_toks,
+               ROUND(removed_toks * 1.0 / total_toks, 4) AS removed_frac
+             FROM a ORDER BY source"""))
+
+  val q122 = QueryDef(
+    "q122_minhash_calibration",
+    "MinHash calibration: per banded candidate pair, the signature " +
+      "Jaccard estimate (matching positions / 8 — exact multiples of " +
+      "1/8, no float hazard) vs exact shingle Jaccard + abs error — " +
+      "the estimator-spread audit a (numHashes, bands) geometry is " +
+      "tuned by, over the engine-portable q47 family",
+    (s, dir) =>
+      Dedup.minHashCalibration(t(s, dir, "documents"))
+        .orderBy("ia", "ib"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              hh AS (SELECT id,
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                         (h, v) -> (h * 31 + v) % 1000000007) AS h
+                     FROM e),
+              sig AS (SELECT id,
+                        MIN((h * 3 + 7) % 1000000007) AS m0,
+                        MIN((h * 5 + 1007) % 1000000007) AS m1,
+                        MIN((h * 7 + 2007) % 1000000007) AS m2,
+                        MIN((h * 9 + 3007) % 1000000007) AS m3,
+                        MIN((h * 11 + 4007) % 1000000007) AS m4,
+                        MIN((h * 13 + 5007) % 1000000007) AS m5,
+                        MIN((h * 15 + 6007) % 1000000007) AS m6,
+                        MIN((h * 17 + 7007) % 1000000007) AS m7
+                      FROM hh GROUP BY id),
+              band AS (
+                SELECT id, 0 AS j,
+                  ((((m0 * 131 + m1) % 1000000007) * 131 + m2) % 1000000007 * 131 + m3)
+                    % 1000000007 AS bk FROM sig
+                UNION ALL
+                SELECT id, 1,
+                  ((((m4 * 131 + m5) % 1000000007) * 131 + m6) % 1000000007 * 131 + m7)
+                    % 1000000007 FROM sig),
+              cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+                       FROM band a JOIN band b
+                         ON a.j = b.j AND a.bk = b.bk AND a.id < b.id),
+              est AS (SELECT ia, ib,
+                        ((CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END)
+                         + (CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END)
+                         + (CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END)
+                         + (CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END)
+                         + (CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END)
+                         + (CASE WHEN sa.m6 = sb.m6 THEN 1 ELSE 0 END)
+                         + (CASE WHEN sa.m7 = sb.m7 THEN 1 ELSE 0 END)) * 1.0 / 8 AS est
+                      FROM cand JOIN sig sa ON sa.id = cand.ia
+                                JOIN sig sb ON sb.id = cand.ib),
+              p AS (SELECT ia, ib, est,
+                      CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS shared,
+                      len(da.sh) AS na, len(db.sh) AS nb
+                    FROM est JOIN docs da ON da.id = est.ia
+                             JOIN docs db ON db.id = est.ib)
+             SELECT ia, ib, est AS est_jaccard,
+               ROUND(shared * 1.0 / (na + nb - shared), 4) AS exact_jaccard,
+               ROUND(abs(est - shared * 1.0 / (na + nb - shared)), 4) AS abs_err
+             FROM p ORDER BY ia, ib"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114, q115, q116, q117, q118, q119, q120)
+      q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

@@ -800,6 +800,53 @@ class DedupSpec extends SparkSpecBase {
     assert(kept === Set(11L, 12L), "byte-identical short doc must not pass the gate")
   }
 
+  test("dedupAccounting: cross-slice duplicate charges the copy's source") {
+    val s2 = spark; import s2.implicits._
+    // d2 duplicates d1 but lives in source B: global canonical keeps d1,
+    // so the removal lands on B — the cross-slice row the report is for
+    val df = Seq(
+      (1L, "A", "w1 w2 w3 w4 w5"),
+      (2L, "B", "w1 w2 w3 w4 w5"),
+      (3L, "B", "q r s t u v"))
+      .toDF("doc_id", "source", "text")
+    val rows = Dedup.dedupAccounting(df, minJaccard = 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows === Array(
+      ("A", 1L, 0L, 5L, 0L, 0.0),
+      ("B", 2L, 1L, 11L, 5L, 0.4545)))
+  }
+
+  test("minHashCalibration: identical docs estimate 1.0 exactly; est is k/8") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "w1 w2 w3 w4 x y"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minHashCalibration(df).collect()
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)), "identical docs must band together")
+    val dup = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(dup.getDouble(2) === 1.0 && dup.getDouble(3) === 1.0 && dup.getDouble(4) === 0.0)
+    rows.foreach { r =>
+      val est = r.getDouble(2)
+      assert((est * 8).isWhole, s"est $est must be an exact multiple of 1/8")
+      assert(math.abs(r.getDouble(4) - BigDecimal(math.abs(est - r.getDouble(3)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("minHashCalibration: candidates equal the portable pair pipeline's at j>=0") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cal = Dedup.minHashCalibration(docs)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.portableMinHashPairs(docs, minJaccard = 0.0)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cal === pairs, "calibration must audit exactly the production candidacy")
+    assert(cal.nonEmpty)
+  }
+
   test("prefixFilterPairs: exact jaccard on a known pair, no spurious pairs") {
     val s2 = spark; import s2.implicits._
     val df = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4 w5"), (3L, "q r s t"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -77,6 +77,73 @@ object Packing {
       it.map { r =>
         val o = run
         run += getW(r)
+        Row.fromSeq(r.toSeq :+ o)
+      }
+    }, preservesPartitioning = true)
+    spark.createDataFrame(out, schema.add(outputCol, LongType, nullable = false))
+  }
+
+  /** Per-GROUP exclusive prefix sum — [[withGlobalOffset]] generalized
+    * to independent running totals per `groupCols` key, with the same
+    * two-pass shape and the same reason: the window idiom
+    * (`Window.partitionBy(group).orderBy(...)`) puts each group's ENTIRE
+    * row set through one task — a 20-source corpus at 100 TB means 5 TB
+    * sorts on single tasks. Here the range exchange spreads (group,
+    * order) globally, so a big group spans MANY partitions; pass 1
+    * collects one (partition, group) subtotal per span (groups are
+    * contiguous under the range sort, so this frame is
+    * ≈ partitions + groups rows — driver-safe), pass 2 seeds each
+    * partition's per-group running totals from the collected exclusive
+    * prefixes. `orderCols` must totally order rows WITHIN each group
+    * (tie-break on a unique id) for offsets to be well-defined. */
+  def withGroupedOffset(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      weightCol: String,
+      outputCol: String = "offset"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val rangeCols = groupCols.map(col) ++ orderCols
+    val sorted = df.repartitionByRange(par, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    val schema = sorted.schema
+    val wIdx = schema.fieldIndex(weightCol)
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val getW: Row => Long = schema.fields(wIdx).dataType match {
+      case LongType    => r => r.getLong(wIdx)
+      case IntegerType => r => r.getInt(wIdx).toLong
+      case other => throw new IllegalArgumentException(
+        s"weight column '$weightCol' must be integral, got $other")
+    }
+    def gKey(r: Row): Seq[Any] = gIdx.map(r.get)
+    // single RDD instance traversed twice — the not-persisted rationale
+    // of withGlobalOffset applies verbatim (range boundaries baked into
+    // one exchange; second pass re-reads its shuffle files)
+    val rdd = sorted.rdd
+    val partGroupSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+      it.foreach { r =>
+        val k = gKey(r)
+        m.update(k, m.getOrElse(k, 0L) + getW(r))
+      }
+      m.toList.map { case (k, s) => (i, k, s) }.iterator
+    }.collect()
+    val offsets: Map[(Int, Seq[Any]), Long] =
+      partGroupSums.groupBy(_._2).flatMap { case (k, arr) =>
+        var run = 0L
+        arr.sortBy(_._1).map { case (i, _, s) =>
+          val entry = ((i, k), run); run += s; entry
+        }
+      }
+    val out = rdd.mapPartitionsWithIndex({ case (i, it) =>
+      val run = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+      it.map { r =>
+        val k = gKey(r)
+        val o = run.getOrElse(k, offsets.getOrElse((i, k), 0L))
+        run.update(k, o + getW(r))
         Row.fromSeq(r.toSeq :+ o)
       }
     }, preservesPartitioning = true)

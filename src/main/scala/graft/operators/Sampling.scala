@@ -409,4 +409,36 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("ord_")
   }
+
+  /** Quality-ordered token-budget selection — the deterministic
+    * best-first counterpart of [[tokenBudgetSample]] (which admits a
+    * hash-random subset at the budgeted RATE): per slice, rank docs by
+    * (quality DESC, id) and keep each doc whose cumulative token mass
+    * BEFORE it is still under `tokenBudget` — so the budget buys the
+    * best tokens, not a random sample, and the last admitted doc may
+    * overshoot by part of itself (the standard prefix-admission rule;
+    * a truncating variant is a filter on `cum_before + nt ≤ budget`).
+    *
+    * Output: the input projection + `nt`, `quality`, `cum_before`,
+    * `kept` — every doc scored and positioned, callers filter on
+    * `kept` (the decision record is the point, like q60's manifest).
+    *
+    * Scale shape: scoring is a narrow map; the per-slice exclusive
+    * prefix sum is [[Packing.withGroupedOffset]]'s two-pass range
+    * exchange — NEVER a `Window.partitionBy(slice)` (one 5 TB task per
+    * source at corpus scale). */
+  def budgetByQuality(
+      df: DataFrame,
+      tokenBudget: Long,
+      sliceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(tokenBudget >= 0L, s"tokenBudget $tokenBudget must be >= 0")
+    val staged = df.select(col(idCol), col(sliceCol),
+      graft.functions.TextOps.tokenCount(col(textCol)).as("nt"),
+      graft.functions.TextOps.qualityScore(col(textCol)).as("quality"))
+    Packing.withGroupedOffset(staged, Seq(sliceCol),
+        Seq(col("quality").desc, col(idCol)), "nt", "cum_before")
+      .withColumn("kept", col("cum_before") < tokenBudget)
+  }
 }

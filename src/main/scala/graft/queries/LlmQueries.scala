@@ -2983,11 +2983,43 @@ object LlmQueries extends QueryGroup {
                ROUND(abs(est - shared * 1.0 / (na + nb - shared)), 4) AS abs_err
              FROM p ORDER BY ia, ib"""))
 
+  val q123 = QueryDef(
+    "q123_budget_by_quality",
+    "quality-ordered token-budget selection at 800 tokens/source: " +
+      "best-first prefix admission per slice on the grouped two-pass " +
+      "prefix sum (never a per-source window task) — q58's budget " +
+      "spent on the BEST tokens instead of a random sample",
+    (s, dir) =>
+      Sampling.budgetByQuality(t(s, dir, "documents"), tokenBudget = 800L)
+        .orderBy("doc_id"),
+    Some("""WITH x AS (SELECT doc_id, source,
+                CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt,
+                CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t)))
+                  AS BIGINT) AS hits,
+                length(text) AS ln_
+              FROM documents),
+             q AS (SELECT doc_id, source, nt,
+                ROUND(LEAST(nt / 50.0, 1.0) * 0.5
+                      + (1.0 - ABS(hits * 1.0 / nt - 0.4)) * 0.3
+                      + LEAST(((ln_ - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2,
+                      4) AS quality
+              FROM x),
+             c AS (SELECT doc_id, source, nt, quality,
+                CAST(COALESCE(SUM(nt) OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS cum_before
+              FROM q)
+            SELECT doc_id, source, nt, quality, cum_before,
+              cum_before < 800 AS kept
+            FROM c ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+      q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

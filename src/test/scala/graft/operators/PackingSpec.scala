@@ -79,6 +79,34 @@ class PackingSpec extends SparkSpecBase {
     }
   }
 
+  test("withGroupedOffset equals the window exclusive cumsum per group") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(
+      ("a", 1L, 3L), ("a", 2L, 5L), ("a", 3L, 2L),
+      ("b", 4L, 7L), ("b", 5L, 1L),
+      ("c", 6L, 4L))
+      .toDF("g", "id", "w")
+    val got = Packing.withGroupedOffset(df.repartition(5), Seq("g"),
+        Seq(col("id")), "w", "off")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // exclusive per-group cumsum in id order
+    assert(got === Set(
+      ("a", 1L, 0L), ("a", 2L, 3L), ("a", 3L, 8L),
+      ("b", 4L, 0L), ("b", 5L, 7L),
+      ("c", 6L, 0L)))
+  }
+
+  test("withGroupedOffset is partition-invariant and matches the global form on one group") {
+    val s2 = spark; import s2.implicits._
+    val df = (1L to 200L).map(i => ("only", i, i % 7 + 1)).toDF("g", "id", "w")
+    val grouped = Packing.withGroupedOffset(df.repartition(13), Seq("g"),
+        Seq(col("id")), "w", "off")
+      .select("id", "off").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val global = Packing.withGlobalOffset(df, Seq("id"), "w", "off")
+      .select("id", "off").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grouped === global)
+  }
+
   test("paddingWaste: hand-computed pad vs pack costs at L=10") {
     val s2 = spark; import s2.implicits._
     // token counts 3, 12, 10 -> pad costs 10, 20, 10 (padded 40, waste

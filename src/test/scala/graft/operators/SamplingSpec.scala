@@ -326,4 +326,30 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.withSplit(docs, "doc_id", Seq(("a", 0.5), ("a", 0.5)))
     }
   }
+
+  test("budgetByQuality: best-first prefix admission, last doc may overshoot") {
+    val s2 = spark; import s2.implicits._
+    // qualities (by construction of the score): longer + stopword-mixed
+    // docs score higher; verify semantics structurally instead of
+    // hand-computing the score — keep set must be a prefix of the
+    // quality-desc order, and cum_before must be its exclusive prefix sum
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val rows = Sampling.budgetByQuality(docs, tokenBudget = 800L)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(0), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val ordered = g.sortBy(t => (-t._3, t._4)) // quality desc, id
+      var run = 0L
+      ordered.foreach { case (_, nt, _, id, cumBefore, kept) =>
+        assert(cumBefore === run, s"source $src doc $id cum_before")
+        assert(kept === (run < 800L), s"source $src doc $id kept flag")
+        run += nt
+      }
+      val keptFlags = ordered.map(_._6)
+      assert(!keptFlags.dropWhile(identity).contains(true),
+        s"source $src keep set must be a prefix of the quality order")
+      assert(keptFlags.head, "best doc is always admitted (budget > 0)")
+    }
+  }
 }

@@ -76,6 +76,22 @@ object TextOps {
     }
   }
 
+  /** [[hitCount]] over a pre-staged token ARRAY — callers computing
+    * several per-language counts stage the split ONCE (the lambda-CSE
+    * discipline: each `filter(tokenize(text), …)` re-splits the text). */
+  def hitCountToks(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(words), t))).cast(LongType)
+
+  /** [[languageId]] over a pre-staged token array (same argmax +
+    * tie-break contract). */
+  def languageIdToks(toks: Column): Column = {
+    val hits = Seq("en", "es", "de", "fr").map(l => l -> hitCountToks(toks, stopwords(l)))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((lang, h), other) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(other)
+    }
+  }
+
   /** Quality score in [0,1]: length signal + stopword-ratio signal + word-
     * length signal (SURVEY.md §2.10; the standard cheap pre-filter shape
     * for pretraining corpora). */

@@ -993,6 +993,43 @@ object Dedup {
       .select("ia", "ib", "shared", "jaccard")
   }
 
+  /** Corpus novelty: per doc, the fraction of its distinct shingles
+    * whose FIRST occurrence (min doc id over the corpus) is this doc —
+    * the redundancy-growth audit: as a crawl grows, marginal novelty
+    * decays, and the per-source novelty trend says which feeds still
+    * contribute new content vs re-serving what the corpus already has
+    * (the L60 accounting asks what dedup removes; this asks what ingest
+    * ADDS). Id order stands in for arrival order — with a time column,
+    * pass its rank as the id.
+    *
+    * Output: (idCol, n_shingles, n_novel, novelty_frac), frac a genuine
+    * quotient rounded, ordered by id. Docs shorter than the shingle
+    * width have no shingles and are ABSENT (novelty undefined).
+    *
+    * Scale shape: one (shingle-hash → min id) aggregation over the
+    * exploded distinct sets (8-byte currency, map-side min), one hash
+    * join back, one per-doc count aggregation — the [[jaccardPairs]]
+    * exchange discipline without the quadratic pair join. */
+  def noveltyPerDoc(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      roundTo: Int = 4): DataFrame = {
+    val docs = shingleHashSets(df, idCol, textCol, n)
+    val ex = docs.select(col("id"), explode(col("hs")).as("h"))
+    val firstSeen = ex.groupBy("h").agg(min("id").as("first_id"))
+    ex.join(firstSeen, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_id") === col("id"), lit(1))).as("n_novel"))
+      .select(col("id").as(idCol),
+        col("n_shingles"), col("n_novel"),
+        round(col("n_novel") * lit(1.0) / col("n_shingles"), roundTo)
+          .as("novelty_frac"))
+      .orderBy(idCol)
+  }
+
   /** Dedup ACCOUNTING: what near-dup clustering would actually remove,
     * as token mass per slice — the report a dedup decision ships with
     * ("clustering at t removes X% of source Y's tokens") and the input

@@ -3015,11 +3015,79 @@ object LlmQueries extends QueryGroup {
               cum_before < 800 AS kept
             FROM c ORDER BY doc_id"""))
 
+  val q124 = QueryDef(
+    "q124_corpus_novelty",
+    "corpus novelty: per doc, fraction of its distinct 3-gram shingles " +
+      "first seen in THIS doc (min-id first occurrence) — the marginal-" +
+      "novelty decay audit of a growing crawl; one min-aggregation + one " +
+      "hash join, never a pair join",
+    (s, dir) =>
+      Dedup.noveltyPerDoc(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              e AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              f AS (SELECT s, MIN(id) AS first_id FROM e GROUP BY s)
+             SELECT e.id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) FILTER (f.first_id = e.id) AS BIGINT) AS n_novel,
+               ROUND(COUNT(*) FILTER (f.first_id = e.id) * 1.0 / COUNT(*), 4)
+                 AS novelty_frac
+             FROM e JOIN f USING (s)
+             GROUP BY e.id ORDER BY doc_id"""))
+
+  val q125 = QueryDef(
+    "q125_langid_margin",
+    "language-ID confidence margin (CCNet-style confidence gating): per " +
+      "doc the argmax guess, top-two hit counts, token-normalized margin, " +
+      "and the ambiguity flag a confidence threshold would act on — " +
+      "tokens staged ONCE (4 per-language counts share one split)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), "\\s+").as("toks"))
+        .select(col("doc_id"), col("lang"), col("toks"),
+          TextOps.languageIdToks(col("toks")).as("guess"),
+          sort_array(array(
+            Seq("en", "es", "de", "fr").map(l =>
+              TextOps.hitCountToks(col("toks"), TextOps.stopwords(l))): _*),
+            asc = false).as("sorted_hits"))
+      d.select(col("doc_id"), col("lang"), col("guess"),
+          element_at(col("sorted_hits"), 1).as("best_hits"),
+          element_at(col("sorted_hits"), 2).as("second_hits"),
+          round((element_at(col("sorted_hits"), 1) - element_at(col("sorted_hits"), 2))
+            * lit(1.0) / size(col("toks")), 4).as("margin"),
+          (element_at(col("sorted_hits"), 1) === element_at(col("sorted_hits"), 2) ||
+            col("guess") === "und").as("ambiguous"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (
+              SELECT doc_id, lang,
+                CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t))) AS BIGINT) AS en,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['el','la','los','de','que','y','en','un','una','por'], t))) AS BIGINT) AS es,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['der','die','das','und','ein','eine','zu','mit','von','ist'], t))) AS BIGINT) AS de,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['le','la','les','et','un','une','des','du','est','dans'], t))) AS BIGINT) AS fr
+              FROM documents),
+             g AS (SELECT doc_id, lang, nt,
+                CASE WHEN en > 0 AND en >= GREATEST(en, es, de, fr) THEN 'en'
+                     WHEN es > 0 AND es >= GREATEST(en, es, de, fr) THEN 'es'
+                     WHEN de > 0 AND de >= GREATEST(en, es, de, fr) THEN 'de'
+                     WHEN fr > 0 AND fr >= GREATEST(en, es, de, fr) THEN 'fr'
+                     ELSE 'und' END AS guess,
+                list_sort([en, es, de, fr], 'DESC') AS sh
+              FROM h)
+            SELECT doc_id, lang, guess,
+              sh[1] AS best_hits, sh[2] AS second_hits,
+              ROUND((sh[1] - sh[2]) * 1.0 / nt, 4) AS margin,
+              (sh[1] = sh[2] OR guess = 'und') AS ambiguous
+            FROM g ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
       q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q81, q82, q83, q84,
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-      q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+      q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
+      q124, q125)
 }

@@ -53,4 +53,29 @@ class TextOpsSpec extends SparkSpecBase {
       assert({ val q = one(TextOps.qualityScore(col("text")), t).asInstanceOf[Double]
         q >= 0.0 && q <= 1.0 })
   }
+
+  test("token-array langid/hitCount variants agree with the text forms") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), "\\s+"))
+    val mismatch = docs.filter(
+      TextOps.languageIdToks(col("toks")) =!= TextOps.languageId(col("text")) ||
+        TextOps.hitCountToks(col("toks"), TextOps.stopwords("en")) =!=
+          TextOps.hitCount(col("text"), TextOps.stopwords("en"))).count()
+    assert(mismatch === 0L)
+  }
+
+  test("langid margin pieces: tie surfaces as equal top-two hits") {
+    // 'de la' hits es (la) and fr (la)... use explicit tie: en 'the' + es 'el'
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("the el")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .withColumn("toks", split(col("text"), "\\s+"))
+    val sorted = df.select(sort_array(array(
+        Seq("en", "es", "de", "fr").map(l =>
+          TextOps.hitCountToks(col("toks"), TextOps.stopwords(l))): _*),
+      asc = false).as("sh")).collect().head.getSeq[Long](0)
+    assert(sorted.take(2) === Seq(1L, 1L), "en and es tie at one hit each")
+  }
 }

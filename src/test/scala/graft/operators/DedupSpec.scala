@@ -817,6 +817,25 @@ class DedupSpec extends SparkSpecBase {
       ("B", 2L, 1L, 11L, 5L, 0.4545)))
   }
 
+  test("noveltyPerDoc: first doc all-novel, exact copy zero-novel, overlap partial") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5"),      // 3 shingles, all first here
+      (2L, "w1 w2 w3 w4 w5"),      // exact copy: 0 novel
+      (3L, "w3 w4 w5 w6"))         // shingles {w3w4w5, w4w5w6}: 1 novel
+      .toDF("doc_id", "text")
+    val rows = Dedup.noveltyPerDoc(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows === Array((1L, 3L, 3L, 1.0), (2L, 3L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
+  }
+
+  test("noveltyPerDoc: sub-shingle-width docs are absent, not zero-row'd") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "hi")).toDF("doc_id", "text")
+    val ids = Dedup.noveltyPerDoc(df).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
   test("minHashCalibration: identical docs estimate 1.0 exactly; est is k/8") {
     val s2 = spark; import s2.implicits._
     val df = Seq(

@@ -44,6 +44,16 @@ class PlanShapeSpec extends SparkSpecBase {
       s"shingle pair join must be a shuffled join, got: ${joinLines.mkString(" | ")}")
   }
 
+  test("q115: prefix candidate join is shuffled; verify runs the sorted-merge kernel") {
+    val p = plan("q115_neardup_prefix_filter")
+    assert(p.contains("ShuffledHashJoin"),
+      "prefix self-join must be a shuffled join (corpus-sized both sides)")
+    assert(p.contains("sorted_long_intersect"),
+      "verify must use the codegen'd sorted-merge kernel, not array_intersect")
+    assert(!p.contains("array_intersect"),
+      "boxed-hash array_intersect must not appear in the verify path")
+  }
+
   test("q52: generator UDTF prunes the scan to the text column") {
     val p = plan("q52_udtf_shingle_explode")
     assert(p.contains("Generate"), "UDTF must plan through GenerateExec")

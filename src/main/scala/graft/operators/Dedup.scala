@@ -413,6 +413,69 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** The corpus's distinct shingle-hash set — (h) frame for
+    * [[noveltyGate]]'s precompute-once contract (the `corpusFps` /
+    * `minHashBandsPortable` pattern in novelty space): compute over the
+    * historical corpus once, persist/materialize, probe per batch. */
+  def corpusShingles(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataFrame =
+    shingleHashSets(corpus, idCol, textCol, n)
+      .select(explode(col("hs")).as("h")).distinct()
+
+  /** Novelty-based ingest gate — the AGGREGATE-redundancy member of the
+    * admission family (L11 exact sha, L25 whole-doc fuzzy/semantic, L41
+    * span-local): score each incoming doc by the fraction of its
+    * distinct shingles ABSENT from the corpus's shingle set, admit at
+    * `minNovelty`. The case the pairwise gates structurally miss: a doc
+    * stitched from fragments of MANY corpus docs has near-zero Jaccard
+    * to each one and no long shared span, yet adds nothing — its
+    * novelty is ~0 here because membership is tested against the
+    * corpus's UNION of shingles, not per-pair.
+    *
+    * Output: (idCol, n_shingles, n_novel, novelty, admit) per incoming
+    * doc with ≥1 shingle; sub-shingle-width docs are ABSENT (novelty
+    * undefined — route them through the exact sha gate, the
+    * [[newContentOnlyNear]] composition rule).
+    *
+    * Scale shape: corpus touched only through its distinct-hash frame
+    * ([[corpusShingles]], precompute once); per batch one LEFT join of
+    * the incoming exploded shingles against it (8-byte currency) and a
+    * per-doc count aggregation. Streaming: stream-static left joins are
+    * append-legal, and per-micro-batch ≡ batch because each doc's score
+    * depends only on its own shingles and the STATIC corpus frame. */
+  def noveltyGate(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minNovelty: Double = 0.5,
+      corpusHashes: Option[DataFrame] = None,
+      roundTo: Int = 4): DataFrame = {
+    require(minNovelty >= 0.0 && minNovelty <= 1.0,
+      s"minNovelty $minNovelty must be in [0, 1]")
+    val ch = corpusHashes.getOrElse(corpusShingles(corpus, idCol, textCol, n))
+      .select(col("h"), lit(true).as("seen_"))
+    // inline kernel, no shingleHashSets: the incoming frame is referenced
+    // ONCE (no persist needed), and skipping the persist keeps this legal
+    // on a raw streaming frame, not just under foreachBatch
+    val hs = org.apache.spark.sql.graftglue.ColumnGlue.column(
+      graft.expressions.ShingleHashesKernel(
+        org.apache.spark.sql.graftglue.ColumnGlue.expression(col(textCol)), n))
+    incoming.select(col(idCol).as("id"), explode(hs).as("h"))
+      .join(ch, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("seen_").isNull, lit(1))).as("n_novel"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") * lit(1.0) / col("n_shingles"), roundTo).as("novelty"))
+      .withColumn("admit",
+        col("n_novel") * lit(1.0) / col("n_shingles") >= minNovelty)
+  }
+
   /** Candidate pairs sharing ≥1 shingle hash, with the shared-hash count
     * and both set sizes — the measure-agnostic core of [[jaccardPairs]] /
     * [[containmentPairs]]. Returns (pairs, docs-cache handle). */

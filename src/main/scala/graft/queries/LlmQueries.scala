@@ -3082,6 +3082,33 @@ object LlmQueries extends QueryGroup {
               (sh[1] = sh[2] OR guess = 'und') AS ambiguous
             FROM g ORDER BY doc_id"""))
 
+  val q126 = QueryDef(
+    "q126_novelty_ingest_gate",
+    "aggregate-novelty ingest gate: incoming docs scored by the fraction " +
+      "of their shingles absent from the corpus's shingle UNION, admitted " +
+      "at novelty >= 0.5 — catches the stitched-from-fragments doc every " +
+      "pairwise gate (q81 fuzzy, q84 semantic, q101 span) structurally " +
+      "misses; incoming = doc_id ≡ 0 (mod 5), corpus = rest",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.noveltyGate(
+          corpus = d.filter(col("doc_id") % 5 =!= 0),
+          incoming = d.filter(col("doc_id") % 5 === 0),
+          minNovelty = 0.5)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              corp AS (SELECT DISTINCT UNNEST(sh) AS h FROM docs WHERE id % 5 <> 0),
+              inc AS (SELECT id, UNNEST(sh) AS h FROM docs WHERE id % 5 = 0),
+              j AS (SELECT inc.id, inc.h, corp.h IS NOT NULL AS seen
+                    FROM inc LEFT JOIN corp ON inc.h = corp.h)
+             SELECT id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) FILTER (NOT seen) AS BIGINT) AS n_novel,
+               ROUND(COUNT(*) FILTER (NOT seen) * 1.0 / COUNT(*), 4) AS novelty,
+               (COUNT(*) FILTER (NOT seen) * 1.0 / COUNT(*)) >= 0.5 AS admit
+             FROM j GROUP BY id ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -3089,5 +3116,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125)
+      q124, q125, q126)
 }

@@ -817,6 +817,68 @@ class DedupSpec extends SparkSpecBase {
       ("B", 2L, 1L, 11L, 5L, 0.4545)))
   }
 
+  test("noveltyGate: stitched-from-fragments doc is rejected, fresh doc admitted") {
+    val s2 = spark; import s2.implicits._
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    // doc 10 stitches fragments of BOTH corpus docs: jaccard to each is
+    // low (2/7 with shingle sets of 3+3... per-pair << 0.5) but aggregate
+    // novelty is low too — 4 of its 6 shingles exist in the corpus union.
+    // doc 11 is entirely fresh.
+    val incoming = Seq(
+      (10L, "w1 w2 w3 w4 x1 x2 x3 x4"),
+      (11L, "f1 f2 f3 f4 f5"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.noveltyGate(corpus, incoming, minNovelty = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    // doc 10 shingles: w1w2w3 w2w3w4 (seen) w3w4x1 w4x1x2 (novel bridges)
+    // x1x2x3 x2x3x4 (seen) -> 2/6 novelty, rejected
+    assert(rows(0) === ((10L, 6L, 2L, 0.3333, false)))
+    assert(rows(1) === ((11L, 3L, 3L, 1.0, true)))
+    // and the pairwise fuzzy gate would NOT have caught doc 10: its
+    // jaccard to each single corpus doc is 2/(6+3-2) ≈ 0.29 < 0.4
+    val pairJac = Dedup.jaccardPairs(corpus.union(incoming), minJaccard = 0.4)
+      .filter(col("ib") >= 10L).count()
+    assert(pairJac === 0L, "per-pair jaccard must miss the stitched doc")
+  }
+
+  test("noveltyGate: precomputed corpus hashes give identical output; streaming composes") {
+    val s2 = spark; import s2.implicits._
+    val corpus = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    val pre = Dedup.corpusShingles(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    pre.count()
+    val incoming = Seq((10L, "w1 w2 w3 y z"), (11L, "a b c")).toDF("doc_id", "text")
+    val direct = Dedup.noveltyGate(corpus, incoming)
+      .collect().map(_.toSeq).toSet
+    val viaPre = Dedup.noveltyGate(corpus, incoming, corpusHashes = Some(pre))
+      .collect().map(_.toSeq).toSet
+    assert(direct === viaPre)
+    // per-micro-batch ≡ batch: each doc's score depends only on itself +
+    // the static corpus frame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, String)](s2)
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Set[Seq[Any]]]()
+    val q = ms.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        got.put(id, Dedup.noveltyGate(corpus, batch, corpusHashes = Some(pre))
+          .collect().map(_.toSeq).toSet)
+        ()
+      }
+      .start()
+    try {
+      ms.addData((10L, "w1 w2 w3 y z")); q.processAllAvailable()
+      ms.addData((11L, "a b c")); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.values.reduce(_ ++ _) === direct)
+    pre.unpersist()
+  }
+
   test("noveltyPerDoc: first doc all-novel, exact copy zero-novel, overlap partial") {
     val s2 = spark; import s2.implicits._
     val df = Seq(

@@ -957,6 +957,28 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("prefixFilterPairs equals jaccardPairs on randomized corpora, both orders") {
+    val s2 = spark; import s2.implicits._
+    // the recall-1 theorem, empirically: random small-vocab corpora make
+    // shingle collisions across docs dense, stressing prefix boundaries
+    for (seed <- Seq(11, 23); t <- Seq(0.25, 0.55, 0.85)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d")
+      val df = (0L until 30L).map { i =>
+        i -> Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }.toDF("doc_id", "text")
+      val exact = Dedup.jaccardPairs(df, minJaccard = t)
+        .select("ia", "ib", "shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      for (byDf <- Seq(false, true)) {
+        val got = Dedup.prefixFilterPairs(df, minJaccard = t, dfOrder = byDf)
+          .select("ia", "ib", "shared").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === exact, s"seed=$seed t=$t dfOrder=$byDf")
+      }
+    }
+  }
+
   test("prefixFilterPairs: identical docs and sub-shingle-width docs behave") {
     val s2 = spark; import s2.implicits._
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "hi"), (4L, "hi"))

@@ -107,6 +107,25 @@ class PackingSpec extends SparkSpecBase {
     assert(grouped === global)
   }
 
+  test("withGroupedOffset equals a driver-side grouped cumsum on randomized input") {
+    val s2 = spark; import s2.implicits._
+    for (seed <- Seq(5, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 150L).map(i =>
+        (s"g${rnd.nextInt(4)}", i, rnd.nextInt(9).toLong + 1L))
+      val expected = rows.groupBy(_._1).flatMap { case (_, g) =>
+        g.sortBy(_._2).foldLeft((0L, List.empty[(Long, Long)])) {
+          case ((run, acc), (_, id, w)) => (run + w, (id, run) :: acc)
+        }._2
+      }.toSet
+      val got = Packing.withGroupedOffset(
+          rows.toDF("g", "id", "w").repartition(1 + rnd.nextInt(16)),
+          Seq("g"), Seq(col("id")), "w", "off")
+        .select("id", "off").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("paddingWaste: hand-computed pad vs pack costs at L=10") {
     val s2 = spark; import s2.implicits._
     // token counts 3, 12, 10 -> pad costs 10, 20, 10 (padded 40, waste

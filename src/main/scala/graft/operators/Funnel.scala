@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Ordered event-sequence (funnel) analysis over an event log — the
+  * classic product/behavior query (view → click → purchase): how many
+  * users complete each PREFIX of the stage sequence IN ORDER, where each
+  * stage's event must occur strictly after the user's earliest completion
+  * of the previous prefix.
+  *
+  * Semantics: t₁(u) = min ts of a stage-1 event; tᵢ(u) = min ts of a
+  * stage-i event with ts > tᵢ₋₁(u). A user counts for stage i iff tᵢ
+  * exists — the earliest-completion chaining rule (greedy is optimal
+  * here: taking the earliest possible completion of each prefix can only
+  * enlarge the set of events eligible for the next stage, so if ANY
+  * in-order assignment completes the funnel, the greedy one does).
+  *
+  * Scale shape: one column-pruned, predicate-pushed scan of the event
+  * log per stage (the `event_type = s` filter reaches the parquet scan;
+  * k stages = k cheap scans), each reduced map-side to a users-sized
+  * (user, t) frame before its exchange; stage i joins stage i−1's frame
+  * by user id. The alternative single-pass shape — collect each user's
+  * full sorted event array and fold — shuffles the RAW log once and
+  * materializes per-user arrays; k filtered aggregations move strictly
+  * less for the small stage counts a funnel has. Scalar rates ride a
+  * 1-row broadcast cross join (the q61 class).
+  */
+object Funnel {
+
+  /** Per-stage funnel counts: (stage_idx, stage, users, rate) with
+    * `rate` = users / stage-1 users (rounded, a genuine quotient),
+    * ordered by stage_idx. `tsCol` must be orderable (epoch micros). */
+  def funnelCounts(
+      events: DataFrame,
+      stages: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "uts",
+      roundTo: Int = 4): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage required")
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("uts"))
+    val stageFrames = stages.foldLeft(List.empty[DataFrame]) { (acc, st) =>
+      val base = e.filter(col("et") === st)
+      val cur = acc match {
+        case Nil => base.groupBy("u").agg(min("uts").as("t"))
+        case prev :: _ =>
+          base.join(prev.select(col("u"), col("t").as("tp")), Seq("u"))
+            .filter(col("uts") > col("tp"))
+            .groupBy("u").agg(min("uts").as("t"))
+      }
+      cur :: acc
+    }.reverse
+    val counts = stageFrames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).cast(LongType).as("users"))
+        .select(lit(i + 1).as("stage_idx"),
+          lit(stages.take(i + 1).mkString(">")).as("stage"),
+          col("users"))
+    }
+    val top = counts.head.select(col("users").as("top_"))
+    counts.reduce(_ union _)
+      .crossJoin(broadcast(top))
+      .select(col("stage_idx"), col("stage"), col("users"),
+        round(col("users") * lit(1.0) / col("top_"), roundTo).as("rate"))
+      .orderBy("stage_idx")
+  }
+}

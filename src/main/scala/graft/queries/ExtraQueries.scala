@@ -217,5 +217,34 @@ object ExtraQueries extends QueryGroup {
             FROM oh FULL JOIN nh USING (doc_id)
             ORDER BY doc_id"""))
 
-  override def queries: Seq[QueryDef] = Seq(q42, q43, q44, q45, q46, q80, q85, q86)
+  val q127 = QueryDef(
+    "q127_event_funnel",
+    "ordered event funnel view → click → purchase: users completing each " +
+      "stage prefix IN ORDER under earliest-completion chaining (greedy " +
+      "is optimal), one pushed-predicate scan per stage reduced to " +
+      "users-sized (user, t) frames",
+    (s, dir) =>
+      graft.operators.Funnel.funnelCounts(
+        t(s, dir, "events").select(col("user_id"), col("event_type"),
+          us(col("ts")).as("uts")),
+        stages = Seq("view", "click", "purchase")),
+    Some("""WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS uts
+                       FROM events),
+             s1 AS (SELECT u, MIN(uts) AS t FROM e WHERE et = 'view' GROUP BY u),
+             s2 AS (SELECT e.u, MIN(uts) AS t FROM e JOIN s1 ON s1.u = e.u
+                    WHERE et = 'click' AND uts > s1.t GROUP BY e.u),
+             s3 AS (SELECT e.u, MIN(uts) AS t FROM e JOIN s2 ON s2.u = e.u
+                    WHERE et = 'purchase' AND uts > s2.t GROUP BY e.u),
+             c AS (SELECT 1 AS stage_idx, 'view' AS stage,
+                     CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+                   UNION ALL
+                   SELECT 2, 'view>click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+                   UNION ALL
+                   SELECT 3, 'view>click>purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+            SELECT stage_idx, stage, users,
+              ROUND(users * 1.0 / (SELECT COUNT(*) FROM s1), 4) AS rate
+            FROM c ORDER BY stage_idx"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127)
 }

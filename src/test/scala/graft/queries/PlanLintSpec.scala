@@ -60,6 +60,9 @@ class PlanLintSpec extends SparkSpecBase {
     // minCount-trimmed collocation frame — q61's documented
     // one-row-broadcast class
     "q118_pmi_collocations",
+    // q127: the 1-row stage-1 count crossJoined onto the 3-row funnel
+    // union for rates — q61's documented one-row-broadcast class
+    "q127_event_funnel",
     // q93: same class — the 1-row reference-LM stats frame (nt, vsz)
     "q93_drift_against_reference",
     // q96: the 1-row vocabulary-size frame crossJoined onto the bigram

@@ -66,4 +66,44 @@ object Funnel {
         round(col("users") * lit(1.0) / col("top_"), roundTo).as("rate"))
       .orderBy("stage_idx")
   }
+
+  /** Cohort retention — the funnel's sibling: bucket each user into the
+    * cohort of their FIRST event (floor(ts / bucket)), then for each
+    * (cohort, offset k) count users with ANY event in cohort + k buckets
+    * and the retention rate against the cohort's size. The
+    * who-comes-back curve every activity dashboard starts with.
+    *
+    * Output: (cohort, k, active_users, cohort_users, retention) for
+    * every (cohort, k) pair with activity, ordered. k = 0 rows equal the
+    * cohort size by construction (the first event is itself activity).
+    *
+    * Scale shape: one aggregation to the (user, cohort) first-event
+    * frame; one distinct over (user, bucket) — both users-×-buckets
+    * sized, both map-side combining; one user-keyed join between them
+    * and a (cohort, k) count. The raw log is scanned once per frame and
+    * never shuffled whole. `tsCol` must be epoch micros. */
+  def cohortRetention(
+      events: DataFrame,
+      bucketUs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "uts",
+      roundTo: Int = 4): DataFrame = {
+    require(bucketUs >= 1L, s"bucketUs $bucketUs must be >= 1")
+    // integer DIV, not float-divide-then-floor: exact at any magnitude
+    val ts = "`" + tsCol.replace("`", "``") + "`"
+    val e = events.select(col(userCol).as("u"),
+      expr(s"CAST($ts AS BIGINT) DIV ${bucketUs}L").as("b"))
+    val first = e.groupBy("u").agg(min("b").as("cohort"))
+    val active = e.distinct()
+    val cohortSizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+    active.join(first, Seq("u"))
+      .filter(col("b") >= col("cohort"))
+      .groupBy(col("cohort"), (col("b") - col("cohort")).as("k"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(cohortSizes, Seq("cohort"))
+      .select(col("cohort"), col("k"), col("active_users"), col("cohort_users"),
+        round(col("active_users") * lit(1.0) / col("cohort_users"), roundTo)
+          .as("retention"))
+      .orderBy("cohort", "k")
+  }
 }

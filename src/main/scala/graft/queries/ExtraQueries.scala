@@ -245,6 +245,30 @@ object ExtraQueries extends QueryGroup {
               ROUND(users * 1.0 / (SELECT COUNT(*) FROM s1), 4) AS rate
             FROM c ORDER BY stage_idx"""))
 
+  val q128 = QueryDef(
+    "q128_cohort_retention",
+    "daily cohort retention: users bucketed by first-event day, per " +
+      "(cohort, day-offset) active users + retention rate — users-sized " +
+      "frames throughout, integer DIV day buckets, the raw log never " +
+      "shuffles whole",
+    (s, dir) =>
+      graft.operators.Funnel.cohortRetention(
+        t(s, dir, "events").select(col("user_id"), us(col("ts")).as("uts")),
+        bucketUs = 86400000000L),
+    Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS b
+                       FROM events),
+             f AS (SELECT u, MIN(b) AS cohort FROM e GROUP BY u),
+             a AS (SELECT DISTINCT u, b FROM e),
+             j AS (SELECT cohort, b - cohort AS k,
+                     CAST(COUNT(*) AS BIGINT) AS active_users
+                   FROM a JOIN f USING (u) WHERE b >= cohort
+                   GROUP BY cohort, b - cohort),
+             cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+                    FROM f GROUP BY cohort)
+            SELECT cohort, k, active_users, cohort_users,
+              ROUND(active_users * 1.0 / cohort_users, 4) AS retention
+            FROM j JOIN cs USING (cohort) ORDER BY cohort, k"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127)
+    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128)
 }

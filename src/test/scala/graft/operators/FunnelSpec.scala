@@ -46,4 +46,25 @@ class FunnelSpec extends SparkSpecBase {
       .collect().map(r => (r.getInt(0), r.getLong(2)))
     assert(rows === Array((1, 1L), (2, 0L)))
   }
+
+  test("cohortRetention: hand-computed cohorts, k=0 equals cohort size") {
+    val s = spark; import s.implicits._
+    // bucket=10: u1 first in b0, active b0/b1/b2; u2 first b0, active b0;
+    // u3 first b1, active b1 and b2. Duplicate events in one bucket
+    // count once (distinct).
+    val e = Seq(
+      (1L, 5L), (1L, 7L), (1L, 15L), (1L, 25L),
+      (2L, 9L),
+      (3L, 12L), (3L, 22L))
+      .toDF("user_id", "uts")
+    val rows = Funnel.cohortRetention(e, bucketUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows === Array(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (0L, 2L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0),
+      (1L, 1L, 1L, 1L, 1.0)))
+  }
 }

@@ -26,14 +26,16 @@ case class SortedLongIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull arrays are rejected, not just undocumented:
+    // ArrayData.getLong reads a null slot as 0, a phantom match
     def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_long_intersect expects (array<bigint>, array<bigint>), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+      s"sorted_long_intersect expects (array<bigint not null>, array<bigint not null>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
   override def dataType: DataType = LongType

@@ -62,19 +62,15 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "un", "une", "des", "du", "est", "dans"))
 
   /** Number of tokens (with multiplicity) that appear in `words` —
-    * mirrors the oracle's list_filter + list_contains 1:1. */
+    * mirrors the oracle's list_filter + list_contains 1:1. Delegates to
+    * [[hitCountToks]] so the matching rule exists exactly once. */
   def hitCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokenize(text), t => array_contains(typedLit(words), t))).cast(LongType)
+    hitCountToks(tokenize(text), words)
 
   /** Deterministic-argmax language guess from stopword hits; 'und' when no
-    * list scores a hit. Tie-break order: en > es > de > fr. */
-  def languageId(text: Column): Column = {
-    val hits = Seq("en", "es", "de", "fr").map(l => l -> hitCount(text, stopwords(l)))
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und")) { case ((lang, h), other) =>
-      when(h > 0 && h === best, lit(lang)).otherwise(other)
-    }
-  }
+    * list scores a hit. Tie-break order: en > es > de > fr. Delegates to
+    * [[languageIdToks]] — one argmax/tie-break implementation. */
+  def languageId(text: Column): Column = languageIdToks(tokenize(text))
 
   /** [[hitCount]] over a pre-staged token ARRAY — callers computing
     * several per-language counts stage the split ONCE (the lambda-CSE

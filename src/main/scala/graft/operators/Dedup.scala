@@ -188,7 +188,15 @@ object Dedup {
       s"minJaccard must be in (0, 1], got $minJaccard")
     val t = minJaccard
     val docs = shingleHashSets(df, idCol, textCol, n, sorted = true)
-    val prefixLen = (size(col("hs")) - ceil(lit(t) * size(col("hs"))) + 1).cast("int")
+    // ⌈t·n⌉ with an epsilon guard: the IEEE product can overshoot an
+    // exact integer (0.55 × 100 = 55.000000000000007, ceil → 56), which
+    // would shorten the prefix and tighten the length filter past the
+    // true bound — dropping exactly-at-threshold pairs and breaking the
+    // recall-1 contract. Subtracting 1e-9 before ceil can only SLACKEN
+    // the bound by one in the genuinely-fractional cases it touches
+    // (extra candidates, which the exact verify rejects), never tighten.
+    def ceilT(x: org.apache.spark.sql.Column) = ceil(lit(t) * x - lit(1e-9))
+    val prefixLen = (size(col("hs")) - ceilT(size(col("hs"))) + 1).cast("int")
     val prefix =
       if (!dfOrder)
         docs.select(col("id"), size(col("hs")).cast(LongType).as("nsh"),
@@ -201,7 +209,7 @@ object Dedup {
           .withColumn("pos", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy("id").orderBy(col("dfh"), col("h"))))
-          .filter(col("pos") <= col("nsh") - ceil(lit(t) * col("nsh")) + 1)
+          .filter(col("pos") <= col("nsh") - ceilT(col("nsh")) + 1)
           .select("id", "nsh", "h")
       }
     // Self-join discipline as in sharedPairCounts: one canonical
@@ -213,8 +221,8 @@ object Dedup {
     val right = pS.select(col("id").as("ib"), col("nsh").as("nb_"), col("h").as("h2"))
     val cand = left.hint("shuffle_hash")
       .join(right, col("h") === col("h2") && col("ia") < col("ib") &&
-        col("nb_") >= ceil(lit(t) * col("na_")) &&
-        col("na_") >= ceil(lit(t) * col("nb_")))
+        col("nb_") >= ceilT(col("na_")) &&
+        col("na_") >= ceilT(col("nb_")))
       .select("ia", "ib")
       .dropDuplicates("ia", "ib")
     val intersect = org.apache.spark.sql.graftglue.ColumnGlue.column(
@@ -421,9 +429,15 @@ object Dedup {
       corpus: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 3): DataFrame =
-    shingleHashSets(corpus, idCol, textCol, n)
-      .select(explode(col("hs")).as("h")).distinct()
+      n: Int = 3): DataFrame = {
+    // inline kernel, not shingleHashSets: the per-doc frame has exactly
+    // one reader here, so its DISK_ONLY persist would leak corpus-scale
+    // blocks for nothing (callers persist the small distinct RESULT)
+    val hs = org.apache.spark.sql.graftglue.ColumnGlue.column(
+      graft.expressions.ShingleHashesKernel(
+        org.apache.spark.sql.graftglue.ColumnGlue.expression(col(textCol)), n))
+    corpus.select(explode(hs).as("h")).distinct()
+  }
 
   /** Novelty-based ingest gate — the AGGREGATE-redundancy member of the
     * admission family (L11 exact sha, L25 whole-doc fuzzy/semantic, L41
@@ -457,7 +471,11 @@ object Dedup {
       roundTo: Int = 4): DataFrame = {
     require(minNovelty >= 0.0 && minNovelty <= 1.0,
       s"minNovelty $minNovelty must be in [0, 1]")
+    // dropDuplicates defends against a caller-supplied frame built with a
+    // plain explode: duplicate hashes would inflate join multiplicity and
+    // deflate novelty (a no-op on corpusShingles output, which is distinct)
     val ch = corpusHashes.getOrElse(corpusShingles(corpus, idCol, textCol, n))
+      .select(col("h")).dropDuplicates("h")
       .select(col("h"), lit(true).as("seen_"))
     // inline kernel, no shingleHashSets: the incoming frame is referenced
     // ONCE (no persist needed), and skipping the persist keeps this legal
@@ -914,6 +932,7 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 2,
       roundTo: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val sig = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = true)
       .persist(StorageLevel.DISK_ONLY)
     val banded = sig.select(col("id"),

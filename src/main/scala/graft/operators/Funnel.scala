@@ -81,7 +81,10 @@ object Funnel {
     * frame; one distinct over (user, bucket) — both users-×-buckets
     * sized, both map-side combining; one user-keyed join between them
     * and a (cohort, k) count. The raw log is scanned once per frame and
-    * never shuffled whole. `tsCol` must be epoch micros. */
+    * never shuffled whole. `tsCol` must be NON-NEGATIVE epoch micros:
+    * `DIV` (like DuckDB's `//`) truncates toward zero, so pre-1970
+    * timestamps would fold buckets −1 and 0 together — out of contract
+    * here, not silently floored. */
   def cohortRetention(
       events: DataFrame,
       bucketUs: Long,
@@ -89,7 +92,8 @@ object Funnel {
       tsCol: String = "uts",
       roundTo: Int = 4): DataFrame = {
     require(bucketUs >= 1L, s"bucketUs $bucketUs must be >= 1")
-    // integer DIV, not float-divide-then-floor: exact at any magnitude
+    // integer DIV, not float-divide-then-floor: exact for the full
+    // non-negative epoch range (floats lose integers past 2^53)
     val ts = "`" + tsCol.replace("`", "``") + "`"
     val e = events.select(col(userCol).as("u"),
       expr(s"CAST($ts AS BIGINT) DIV ${bucketUs}L").as("b"))

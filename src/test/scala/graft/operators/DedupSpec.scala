@@ -957,6 +957,23 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("prefixFilterPairs: exactly-at-threshold pair survives the IEEE ceil overshoot") {
+    val s2 = spark; import s2.implicits._
+    // B's 55 shingles all inside A's 100: J = 55/100 = 0.55 == t exactly.
+    // 0.55*100 = 55.000000000000007 in IEEE double — an unguarded
+    // ceil(t*na) filter (nb >= 56) would silently drop the pair.
+    val a = (1 to 102).map(i => s"w$i").mkString(" ")   // 100 shingles
+    val b = (1 to 57).map(i => s"w$i").mkString(" ")    //  55 shingles
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    for (byDf <- Seq(false, true)) {
+      val rows = Dedup.prefixFilterPairs(df, minJaccard = 0.55, dfOrder = byDf).collect()
+      assert(rows.length === 1, s"dfOrder=$byDf: threshold pair must survive")
+      assert((rows.head.getLong(2), rows.head.getLong(3), rows.head.getLong(4)) ===
+        ((55L, 100L, 55L)))
+      assert(rows.head.getDouble(5) === 0.55)
+    }
+  }
+
   test("prefixFilterPairs equals jaccardPairs on randomized corpora, both orders") {
     val s2 = spark; import s2.implicits._
     // the recall-1 theorem, empirically: random small-vocab corpora make

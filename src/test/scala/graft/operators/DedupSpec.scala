@@ -879,6 +879,30 @@ class DedupSpec extends SparkSpecBase {
     pre.unpersist()
   }
 
+  test("noveltyGate equals driver-side set arithmetic on randomized corpora") {
+    val s2 = spark; import s2.implicits._
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      def doc(): String =
+        Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0L until 25L).map(i => i -> doc())
+      val incoming = (100L until 115L).map(i => i -> doc())
+      val union = corpus.flatMap(d => shingles(d._2)).toSet
+      val want = incoming.flatMap { case (id, t) =>
+        val sh = shingles(t)
+        if (sh.isEmpty) None
+        else Some((id, sh.size.toLong, (sh -- union).size.toLong))
+      }.toSet
+      val got = Dedup.noveltyGate(
+          corpus.toDF("doc_id", "text"), incoming.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("noveltyPerDoc: first doc all-novel, exact copy zero-novel, overlap partial") {
     val s2 = spark; import s2.implicits._
     val df = Seq(

@@ -47,6 +47,42 @@ class FunnelSpec extends SparkSpecBase {
     assert(rows === Array((1, 1L), (2, 0L)))
   }
 
+  test("funnelCounts equals a driver-side reference on randomized event logs") {
+    val s = spark; import s.implicits._
+    val stages = Seq("a", "b", "c")
+    def reference(events: Seq[(Long, String, Long)]): Map[Int, Long] = {
+      val byUser = events.groupBy(_._1)
+      val reachedCounts = byUser.values.map { evs =>
+        // greedy earliest-completion chain, mirroring the operator's rule
+        var prev = Long.MinValue
+        var reached = 0
+        var done = false
+        for (st <- stages if !done) {
+          val next = evs.filter(e => e._2 == st && e._3 > prev).map(_._3)
+          if (next.isEmpty) done = true
+          else { prev = next.min; reached += 1 }
+        }
+        reached
+      }.toSeq
+      (1 to stages.size).map(i =>
+        i -> reachedCounts.count(_ >= i).toLong).toMap
+    }
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val evs = (1 to 300).map { _ =>
+        (rnd.nextInt(25).toLong, Seq("a", "b", "c", "x")(rnd.nextInt(4)),
+          rnd.nextInt(50).toLong)
+      }
+      // reference chains strictly-after, so equal timestamps matter:
+      // keep them — that's exactly the edge worth fuzzing
+      val want = reference(evs)
+      val got = Funnel.funnelCounts(
+          evs.toDF("user_id", "event_type", "uts"), stages)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("cohortRetention: hand-computed cohorts, k=0 equals cohort size") {
     val s = spark; import s.implicits._
     // bucket=10: u1 first in b0, active b0/b1/b2; u2 first b0, active b0;

@@ -1059,15 +1059,22 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("ib"))
       .dropDuplicates("ia", "ib")
       .persist(StorageLevel.DISK_ONLY)
+    // sorted arrays + the sorted-merge kernel (the q115 verify currency):
+    // array_intersect hashes boxed Longs per pair, the merge is
+    // allocation-free over the unsafe words
     val hk = org.apache.spark.sql.graftglue.ColumnGlue.column(
       graft.expressions.ShingleHashesKernel(
         org.apache.spark.sql.graftglue.ColumnGlue.expression(col(textCol)), n))
-    val hashes = df.select(col(idCol).as("id"), hk.as("hs"))
+    val hashes = df.select(col(idCol).as("id"), array_sort(hk).as("hs"))
+    val intersect = org.apache.spark.sql.graftglue.ColumnGlue.column(
+      graft.expressions.SortedLongIntersect(
+        org.apache.spark.sql.graftglue.ColumnGlue.expression(col("ha")),
+        org.apache.spark.sql.graftglue.ColumnGlue.expression(col("hb"))))
     cand
       .join(hashes.select(col("id").as("ia"), col("hs").as("ha")), Seq("ia"))
       .join(hashes.select(col("id").as("ib"), col("hs").as("hb")), Seq("ib"))
       .select(col("ia"), col("ib"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long").as("shared"),
+        intersect.as("shared"),
         size(col("ha")).as("na"), size(col("hb")).as("nb"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))

@@ -427,16 +427,19 @@ object Dedup {
     * historical corpus once, persist/materialize, probe per batch. */
   def corpusShingles(
       corpus: DataFrame,
-      idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3): DataFrame = {
     // inline kernel, not shingleHashSets: the per-doc frame has exactly
     // one reader here, so its DISK_ONLY persist would leak corpus-scale
-    // blocks for nothing (callers persist the small distinct RESULT)
+    // blocks for nothing (callers persist the small distinct RESULT).
+    // The fan-out barrier stays: a compact corpus arrives in few input
+    // splits, and without it the kernel scan + distinct's partial
+    // aggregation would run single-task (shingleHashSets' rationale).
     val hs = org.apache.spark.sql.graftglue.ColumnGlue.column(
       graft.expressions.ShingleHashesKernel(
         org.apache.spark.sql.graftglue.ColumnGlue.expression(col(textCol)), n))
-    corpus.select(explode(hs).as("h")).distinct()
+    corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(hs).as("h")).distinct()
   }
 
   /** Novelty-based ingest gate — the AGGREGATE-redundancy member of the
@@ -474,7 +477,7 @@ object Dedup {
     // dropDuplicates defends against a caller-supplied frame built with a
     // plain explode: duplicate hashes would inflate join multiplicity and
     // deflate novelty (a no-op on corpusShingles output, which is distinct)
-    val ch = corpusHashes.getOrElse(corpusShingles(corpus, idCol, textCol, n))
+    val ch = corpusHashes.getOrElse(corpusShingles(corpus, textCol, n))
       .select(col("h")).dropDuplicates("h")
       .select(col("h"), lit(true).as("seen_"))
     // inline kernel, no shingleHashSets: the incoming frame is referenced
@@ -762,6 +765,10 @@ object Dedup {
     * fold of the band's signature slice mod P — shared by every portable
     * banding path so self-join and cross-corpus candidacy are identical. */
   private def portableBandKeyCols(numHashes: Int, bands: Int): Seq[Column] = {
+    // the guard lives HERE, once: every banded entry point funnels
+    // through this geometry, and a non-dividing bands value would
+    // silently drop trailing signature positions from candidacy
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val P = 1000000007L
     val r = numHashes / bands
     (0 until bands).map { j =>
@@ -787,7 +794,6 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 8,
       bands: Int = 2): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val sig = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = true)
     sig.select(col("id"),
       posexplode(array(portableBandKeyCols(numHashes, bands): _*)).as(Seq("band", "bkey")))
@@ -932,7 +938,6 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 2,
       roundTo: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val sig = minHashSigsNative(df, idCol, textCol, n, numHashes, portable = true)
       .persist(StorageLevel.DISK_ONLY)
     val banded = sig.select(col("id"),

@@ -11,6 +11,10 @@ final case class FunnelEvent(user: Long, etype: String, ts: Long)
   * the timestamp of the last completion (the strictly-after anchor). */
 final case class FunnelProgress(user: Long, reached: Int, lastT: Long)
 
+/** The stored state — exactly the two scalars the contract promises;
+  * the user id lives in the group key, never duplicated here. */
+final case class FunnelState(reached: Int, lastT: Long)
+
 /** STREAMING funnel — [[graft.operators.Funnel.funnelCounts]]'s
   * earliest-completion chaining as arbitrary keyed state
   * (SURVEY.md §2 T6, the flatMapGroupsWithState surface, in a second
@@ -53,28 +57,48 @@ object StreamingFunnel {
 
   /** Update-mode progress stream: one [[FunnelProgress]] row per user
     * per micro-batch in which that user's `reached` advanced (or the
-    * user was first observed). */
+    * user was first observed).
+    *
+    * `idleTimeoutMs` is REQUIRED, not defaulted: state per user is tiny
+    * but the user population is not, and unbounded cross-batch state is
+    * a choice the caller must make explicitly, never a default this
+    * helper hides (the `newContentOnly` rule). `Some(ms)` evicts a
+    * user's state after that much processing-time idleness — a
+    * returning user restarts the funnel from stage 0 (document the
+    * dashboard's horizon accordingly); `None` keeps every user forever
+    * and is the right call only for bounded key domains. */
   def apply(
       ds: Dataset[FunnelEvent],
-      stages: Seq[String])(
+      stages: Seq[String],
+      idleTimeoutMs: Option[Long])(
       implicit ke: Encoder[Long],
+      se: Encoder[FunnelState],
       pe: Encoder[FunnelProgress]): Dataset[FunnelProgress] = {
     require(stages.nonEmpty, "at least one funnel stage required")
+    idleTimeoutMs.foreach(ms => require(ms > 0, s"idleTimeoutMs $ms must be > 0"))
     val idx = stages.toIndexedSeq
+    val timeoutConf = if (idleTimeoutMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user)
-      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, timeoutConf) {
         (user, events, state) =>
-          val prev = state.getOption
-          val (reached, lastT) = step(
-            idx, prev.map(p => (p.reached, p.lastT)),
-            events.map(e => (e.etype, e.ts)).toSeq)
-          // vacuously true for a first-seen user (None.forall) — first
-          // observation always emits, even at reached = 0
-          val progressed = prev.forall(_.reached != reached)
-          state.update(FunnelProgress(user, reached, lastT))
-          if (progressed) Iterator.single(FunnelProgress(user, reached, lastT))
-          else Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            val (reached, lastT) = step(
+              idx, prev.map(p => (p.reached, p.lastT)),
+              events.map(e => (e.etype, e.ts)).toSeq)
+            // vacuously true for a first-seen user (None.forall) — first
+            // observation always emits, even at reached = 0
+            val progressed = prev.forall(_.reached != reached)
+            state.update(FunnelState(reached, lastT))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            if (progressed) Iterator.single(FunnelProgress(user, reached, lastT))
+            else Iterator.empty
+          }
       }
   }
 }

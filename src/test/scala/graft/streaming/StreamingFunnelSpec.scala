@@ -39,7 +39,7 @@ class StreamingFunnelSpec extends SparkSpecBase {
       FunnelEvent(3L, "error", 15L))
     val ms = MemoryStream[FunnelEvent](s)
     val latest = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
-    val q = StreamingFunnel(ms.toDS(), stages)
+    val q = StreamingFunnel(ms.toDS(), stages, idleTimeoutMs = None)
       .writeStream.outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
         batch.collect().foreach(p => latest.put(p.user, p.reached))
@@ -66,12 +66,45 @@ class StreamingFunnelSpec extends SparkSpecBase {
     }
   }
 
+  test("idle timeout evicts state: a returning user restarts from stage 0") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[FunnelEvent](s)
+    val latest = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
+    // NO processAllAvailable anywhere here: with ProcessingTimeTimeout the
+    // engine schedules batches continuously to evaluate timeouts, so that
+    // call never returns (the CountOrTimeWindowSpec lesson) — poll the
+    // sink with a deadline instead
+    val q = StreamingFunnel(ms.toDS(), stages, idleTimeoutMs = Some(1L))
+      .writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
+        batch.collect().foreach(p => latest.put(p.user, p.reached))
+        ()
+      }
+      .start()
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    try {
+      ms.addData(FunnelEvent(1L, "view", 10L), FunnelEvent(1L, "click", 20L))
+      await(latest.get(1L) == 2, "user 1 to reach stage 2")
+      Thread.sleep(300) // let the 1 ms idle deadline pass and fire
+      // a later batch sees user 1 as BRAND NEW: purchase alone cannot
+      // advance a restarted funnel past stage 0
+      ms.addData(FunnelEvent(1L, "purchase", 30L))
+      await(latest.get(1L) == 0, "evicted user 1 to restart from stage 0")
+    } finally q.stop()
+  }
+
   test("update stream emits only on progress (and on first observation)") {
     val s = spark
     import s.implicits._
     val ms = MemoryStream[FunnelEvent](s)
     val emitted = new java.util.concurrent.atomic.AtomicInteger(0)
-    val q = StreamingFunnel(ms.toDS(), stages)
+    val q = StreamingFunnel(ms.toDS(), stages, idleTimeoutMs = None)
       .writeStream.outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
         emitted.addAndGet(batch.collect().length)

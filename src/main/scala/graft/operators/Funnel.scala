@@ -67,6 +67,40 @@ object Funnel {
       .orderBy("stage_idx")
   }
 
+  /** Per-event sessionization: assign every event its (user, session)
+    * identity under the gap rule — a new session starts when the time
+    * since the user's PREVIOUS event exceeds `gapUs`. The row-level
+    * form of T4's session windows (q28 aggregates per session; this
+    * labels the events themselves, the shape downstream joins need),
+    * completing the events family next to the funnel and retention.
+    *
+    * Output: input projection + `session` (0-based per user, in time
+    * order) and `session_id` (user·2³² + session, a corpus-unique
+    * 64-bit label — callers with >2³² sessions per user have other
+    * problems). Ties on ts within a user are one session (gap 0 ≤ gap).
+    *
+    * Scale shape: ONE window over (user, ts) — partitioned by user,
+    * which is the WELL-distributed key (millions of users, bounded
+    * events each), unlike the per-source windows the grouped prefix sum
+    * exists for; lag + a running conditional sum inside the same window
+    * spec = one shuffle total. */
+  def sessionize(
+      events: DataFrame,
+      gapUs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "uts"): DataFrame = {
+    require(gapUs >= 1L, s"gapUs $gapUs must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val newSession =
+      when(col(tsCol) - lag(col(tsCol), 1).over(w) > gapUs, 1L).otherwise(0L)
+    events
+      .withColumn("session",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("session_id",
+        col(userCol).cast(LongType) * lit(1L << 32) + col("session"))
+  }
+
   /** Cohort retention — the funnel's sibling: bucket each user into the
     * cohort of their FIRST event (floor(ts / bucket)), then for each
     * (cohort, offset k) count users with ANY event in cohort + k buckets

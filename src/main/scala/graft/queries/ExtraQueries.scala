@@ -269,6 +269,37 @@ object ExtraQueries extends QueryGroup {
               ROUND(active_users * 1.0 / cohort_users, 4) AS retention
             FROM j JOIN cs USING (cohort) ORDER BY cohort, k"""))
 
+  val q129 = QueryDef(
+    "q129_sessionize_events",
+    "per-event sessionization at a 30-min gap: every event labeled with " +
+      "its (user, session) identity — the row-level form of q28's " +
+      "session windows, one user-partitioned window (the well-" +
+      "distributed key), session stats aggregated per (user, session)",
+    (s, dir) =>
+      graft.operators.Funnel.sessionize(
+          t(s, dir, "events").select(col("event_id"), col("user_id"),
+            us(col("ts")).as("uts")),
+          gapUs = 1800000000L)
+        .groupBy("user_id", "session")
+        .agg(count(lit(1)).as("n_events"),
+          min("uts").as("t_start"), max("uts").as("t_end"))
+        .orderBy("user_id", "session"),
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS uts FROM events),
+             g AS (SELECT user_id, uts,
+                     CASE WHEN uts - LAG(uts) OVER
+                       (PARTITION BY user_id ORDER BY uts) > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+                   FROM e),
+             sn AS (SELECT user_id, uts,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY uts
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+                   FROM g)
+            SELECT user_id, session,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(uts) AS t_start, MAX(uts) AS t_end
+            FROM sn GROUP BY user_id, session
+            ORDER BY user_id, session"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128)
+    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129)
 }

@@ -83,6 +83,28 @@ class FunnelSpec extends SparkSpecBase {
     }
   }
 
+  test("sessionize: gap rule, ties share a session, ids unique across users") {
+    val s = spark; import s.implicits._
+    // user 1: events at 10, 20, 100 with gap 50 -> sessions {10,20}, {100};
+    // user 2: tie at 10,10 then 200 -> {10,10}, {200}
+    val e = Seq(
+      (1L, 10L), (1L, 20L), (1L, 100L),
+      (2L, 10L), (2L, 10L), (2L, 200L))
+      .toDF("user_id", "uts")
+    val rows = Funnel.sessionize(e, gapUs = 50L)
+      .select("user_id", "uts", "session", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = rows.groupBy(_._1)
+    assert(byUser(1L).map(t => (t._2, t._3)).toSet ===
+      Set((10L, 0L), (20L, 0L), (100L, 1L)))
+    assert(byUser(2L).map(t => (t._2, t._3)).toSet ===
+      Set((10L, 0L), (200L, 1L)))
+    assert(byUser(2L).filter(_._2 == 10L).forall(_._3 == 0L), "ties share a session")
+    // session_id unique across users even for equal session ordinals
+    val ids = rows.map(_._4).toSet
+    assert(rows.groupBy(t => (t._1, t._3)).size === ids.size)
+  }
+
   test("cohortRetention: hand-computed cohorts, k=0 equals cohort size") {
     val s = spark; import s.implicits._
     // bucket=10: u1 first in b0, active b0/b1/b2; u2 first b0, active b0;

@@ -101,6 +101,52 @@ object Funnel {
         col(userCol).cast(LongType) * lit(1L << 32) + col("session"))
   }
 
+  /** Top-k event paths: the most common length-`n` consecutive
+    * event-type sequences across sessions — the third behavioral
+    * classic after the funnel (a KNOWN sequence) and retention: paths
+    * DISCOVER the sequences users actually take ("view>view>click"
+    * outnumbering "view>click>purchase" is the drop-off diagnosis).
+    * Sessions come from [[sessionize]]'s gap rule, so cross-session
+    * gaps never fabricate a path.
+    *
+    * Output: (path, n) — the top `k` under the (n DESC, path) total
+    * order, path a ">"-joined type sequence.
+    *
+    * Scale shape: one (session_id) aggregation collects each session's
+    * (ts, id, type) triples — sessions are bounded (a user's events in
+    * one gap-window), so per-group state is small where a per-USER
+    * collect would not be; the per-session sort + n-gram extraction is
+    * a narrow per-row map (deterministic under the (ts, event_id)
+    * total order), then one path-count aggregation and a TakeOrdered
+    * heap. The event log shuffles once, as (session, triple) pairs. */
+  def topPaths(
+      events: DataFrame,
+      gapUs: Long,
+      n: Int = 3,
+      k: Int = 20,
+      userCol: String = "user_id",
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+      tsCol: String = "uts"): DataFrame = {
+    require(n >= 1, s"path length $n must be >= 1")
+    require(k >= 1, s"k $k must be >= 1")
+    val sess = sessionize(events, gapUs, userCol, tsCol)
+      .select(col("session_id"),
+        struct(col(tsCol).as("ts"), col(idCol).as("id"), col(typeCol).as("et"))
+          .as("ev"))
+      .groupBy("session_id")
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+    val types = transform(col("evs"), e => e.getField("et"))
+    val paths = when(size(col("evs")) >= n,
+        transform(sequence(lit(1), size(col("evs")) - (n - 1)),
+          i => concat_ws(">", slice(types, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    sess.select(explode(paths).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cohort retention — the funnel's sibling: bucket each user into the
     * cohort of their FIRST event (floor(ts / bucket)), then for each
     * (cohort, offset k) count users with ANY event in cohort + k buckets

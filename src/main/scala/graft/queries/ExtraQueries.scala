@@ -300,6 +300,37 @@ object ExtraQueries extends QueryGroup {
             FROM sn GROUP BY user_id, session
             ORDER BY user_id, session"""))
 
+  val q130 = QueryDef(
+    "q130_top_event_paths",
+    "top-20 length-3 event-type paths across 30-min sessions — the " +
+      "discovery counterpart of q127's known-sequence funnel; sessions " +
+      "bound the collect (never per-user), paths extracted narrow under " +
+      "the (ts, event_id) total order",
+    (s, dir) =>
+      graft.operators.Funnel.topPaths(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), us(col("ts")).as("uts")),
+        gapUs = 1800000000L, n = 3, k = 20),
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS uts
+                       FROM events),
+             g AS (SELECT *, CASE WHEN uts - LAG(uts) OVER
+                     (PARTITION BY user_id ORDER BY uts) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+                   FROM e),
+             sn AS (SELECT user_id, event_id, event_type, uts,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY uts
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+                   FROM g),
+             p AS (SELECT user_id, session,
+                     list(event_type ORDER BY uts, event_id) AS types
+                   FROM sn GROUP BY user_id, session),
+             ng AS (SELECT UNNEST(CASE WHEN len(types) >= 3 THEN
+                      [array_to_string(types[i:i+2], '>')
+                       for i in generate_series(1, len(types)-2)]
+                      ELSE [] END) AS path FROM p)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM ng GROUP BY path
+            ORDER BY n DESC, path LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129)
+    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130)
 }

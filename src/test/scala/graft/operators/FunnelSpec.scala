@@ -105,6 +105,21 @@ class FunnelSpec extends SparkSpecBase {
     assert(rows.groupBy(t => (t._1, t._3)).size === ids.size)
   }
 
+  test("topPaths: session gaps cut paths; counts hand-computed") {
+    val s = spark; import s.implicits._
+    // user 1 session A: a,b,c,b (paths a>b>c, b>c>b); the gap to event 5
+    // starts session B: c,a (too short for n=3 — no path); user 2: a,b,c
+    val e = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "c", 30L), (4L, 1L, "b", 40L),
+      (5L, 1L, "c", 1000L), (6L, 1L, "a", 1010L),
+      (7L, 2L, "a", 10L), (8L, 2L, "b", 20L), (9L, 2L, "c", 30L))
+      .toDF("event_id", "user_id", "event_type", "uts")
+    val rows = Funnel.topPaths(e, gapUs = 100L, n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows === Array(("a>b>c", 2L), ("b>c>b", 1L)),
+      "a>b>c counted in both users' first sessions; the gap cut c,a off")
+  }
+
   test("cohortRetention: hand-computed cohorts, k=0 equals cohort size") {
     val s = spark; import s.implicits._
     // bucket=10: u1 first in b0, active b0/b1/b2; u2 first b0, active b0;

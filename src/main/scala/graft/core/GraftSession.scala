@@ -10,11 +10,13 @@ import org.apache.spark.sql.SparkSession
   *
   *  - UTC session timezone: the DuckDB oracle runs in UTC; timestamp bucketing
   *    must agree (FIXTURES.md).
-  *  - `spark.sql.legacy.parquet.nanosAsLong`: the driver-generated
-  *    `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: earlier driver-generated
+  *    `events.parquet` stored `ts` as parquet TIMESTAMP(NANOS) which Spark's
   *    vectorized reader rejects; with this flag it reads as nanos-since-epoch
   *    LongType and [[Tables]] converts to TIMESTAMP_NTZ (truncated to micros,
-  *    exactly matching DuckDB's nanos→micros truncation).
+  *    exactly matching DuckDB's nanos→micros truncation). Round-10 testdata
+  *    ships native TIMESTAMP(MICROS), where the flag is inert — kept so both
+  *    generations read correctly ([[Tables.load]] dispatches on the type).
   *  - shuffle partitions sized to the local core count (32 on the driver's
   *    bench box, not the 200 default). On a real cluster this would be left to
   *    AQE coalescing with a high initial partition number.

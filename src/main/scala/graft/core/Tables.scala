@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Loaders for the ten driver-generated test tables (TESTDATA.md / FIXTURES.md).
   *
   * All timestamps in the corpus are timezone-naive; orders/lineitem read
-  * natively as TIMESTAMP_NTZ. `events.ts` is parquet TIMESTAMP(NANOS) which
-  * Spark reads (under `nanosAsLong`) as a nanos LongType; we convert to
-  * TIMESTAMP_NTZ via floor-division to micros — the same truncation DuckDB
-  * applies when reading nanos into its microsecond TIMESTAMP, so the two
-  * engines see byte-identical instants.
+  * natively as TIMESTAMP_NTZ. `events.ts` has shipped in two generations of
+  * the driver's testdata: parquet TIMESTAMP(NANOS), which Spark reads (under
+  * `nanosAsLong`) as a nanos LongType and we floor-divide to micros — the
+  * same truncation DuckDB applies when reading nanos into its microsecond
+  * TIMESTAMP — and (round 10+) native TIMESTAMP(MICROS), which already
+  * arrives as TIMESTAMP_NTZ. The loader dispatches on the OBSERVED type, so
+  * both generations produce byte-identical TIMESTAMP_NTZ instants.
   */
 object Tables {
 
@@ -25,7 +27,13 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     name match {
       case "events" =>
-        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) gen
+            df.withColumn("ts",
+              expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+          case _ => // TIMESTAMP(MICROS) gen — already an NTZ instant
+            df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        }
       case _ => df
     }
   }

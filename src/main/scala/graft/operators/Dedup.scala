@@ -1190,6 +1190,10 @@ object Dedup {
       // referenced once per iteration: without the cut, every round would
       // re-run the (possibly expensive) pair pipeline upstream
       .persist(StorageLevel.DISK_ONLY)
+    // comp holds the live lineage-truncated label frame across rounds;
+    // hoisted so the failure path below can release its checkpoint blocks
+    var comp: DataFrame = null
+    try {
     // Adaptive small-graph path — the same small-side rule Spark applies
     // to broadcast joins: near-dup edge sets are usually ≪ corpus (sparse
     // by construction), and each distributed propagation round costs a
@@ -1254,7 +1258,7 @@ object Dedup {
     // (the cache-name treeString alone OOMs around round ~15). DISK_ONLY
     // keeps the blocks off-heap; the ContextCleaner reaps each round's
     // blocks once the loop drops its reference.
-    var comp = edges.groupBy(col("u").as("id"))
+    comp = edges.groupBy(col("u").as("id"))
       .agg(min(col("v")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
@@ -1314,6 +1318,18 @@ object Dedup {
     nodes.select(col("id"))
       .join(labels.withColumnRenamed("comp", "comp_"), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp_"), col("id")).as("comp"))
+    } catch {
+      // failure-path release (r9 advice): a job that dies mid-loop (lost
+      // executor, OOM on the collect) must not pin the edge cache or the
+      // current round's checkpoint blocks for the session lifetime —
+      // both releases are idempotent, so overlap with the happy-path
+      // unpersists above is harmless
+      case t: Throwable =>
+        edges.unpersist()
+        if (comp != null)
+          org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(comp)
+        throw t
+    }
   }
 
   /** Connected-component labels by the large-star/small-star alternation

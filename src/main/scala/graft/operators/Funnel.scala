@@ -76,8 +76,15 @@ object Funnel {
     *
     * Output: input projection + `session` (0-based per user, in time
     * order) and `session_id` (user·2³² + session, a corpus-unique
-    * 64-bit label — callers with >2³² sessions per user have other
-    * problems). Ties on ts within a user are one session (gap 0 ≤ gap).
+    * 64-bit label). The arithmetic pack is exact ONLY for a
+    * non-negative integral `userCol` < 2³¹ with < 2³² sessions per
+    * user: a user id ≥ 2³¹ overflows the Long product (silent
+    * collisions), and a non-numeric user column casts to NULL.
+    * Callers with string/UUID user keys should derive a surrogate id
+    * first (e.g. dense_rank over users) or key downstream work on the
+    * (`userCol`, `session`) pair, which is always exact — the pack
+    * exists so the SQL-oracle replay has a single comparable column.
+    * Ties on ts within a user are one session (gap 0 ≤ gap).
     *
     * Scale shape: ONE window over (user, ts) — partitioned by user,
     * which is the WELL-distributed key (millions of users, bounded

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Caller-supplied column names are interpolated into `stack(...)`
+    * SQL below; escape the two metacharacters so a name containing a
+    * backtick or quote profiles cleanly instead of dying in the parser
+    * (matches [[Funnel.cohortRetention]]'s tsCol escaping). */
+  private def sqlName(c: String): String = "`" + c.replace("`", "``") + "`"
+  private def sqlLit(c: String): String =
+    "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Per-column profile over ONE aggregation pass: for each column its
     * non-null count, completeness (non-null fraction), exact distinct
     * count, and min/max rendered as strings (the uniform cross-type
@@ -34,6 +42,8 @@ object Profile {
       approxDistinct: Boolean = false,
       roundTo: Int = 4): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
+    // see sqlName/sqlLit: caller-supplied names are escaped before SQL
+    // interpolation so a backtick/quote yields data, not a parse error
     def distinctAgg(c: String): Column =
       if (approxDistinct) approx_count_distinct(col(c))
       else count_distinct(col(c))
@@ -46,7 +56,8 @@ object Profile {
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', `${c}__n`, `${c}__d`, `${c}__min`, `${c}__max`").mkString(", ")
+      s"${sqlLit(c)}, ${sqlName(c + "__n")}, ${sqlName(c + "__d")}, " +
+        s"${sqlName(c + "__min")}, ${sqlName(c + "__max")}").mkString(", ")
     row.select(
         expr(s"stack(${cols.size}, $stackArgs) " +
           "as (column, n_nonnull, n_distinct, min_value, max_value)"),
@@ -74,7 +85,8 @@ object Profile {
     * at k is deterministic. Output: (column, value, n, rank). */
   def topValues(df: DataFrame, cols: Seq[String], k: Int = 5): DataFrame = {
     require(cols.nonEmpty, "at least one column to audit")
-    val stackArgs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val stackArgs =
+      cols.map(c => s"${sqlLit(c)}, cast(${sqlName(c)} as string)").mkString(", ")
     val counts = df
       .select(expr(s"stack(${cols.size}, $stackArgs) as (column, value)"))
       .where(col("value").isNotNull)

@@ -106,6 +106,12 @@ object Quality {
     * vocabulary-sized, not corpus-sized, but is NOT assumed
     * broadcastable — AQE decides from its actual size.
     *
+    * Each −ln(tf/total) contribution rounds into DECIMAL(28,14) before
+    * the per-doc sum (the [[distributionDrift]] accumulation rule):
+    * raw-double `avg` is partition-merge-order sensitive, and a mean
+    * within a half-ulp of the 4th-decimal rounding boundary would flip
+    * between parallelism configurations.
+    *
     * Output: (idCol, n_tokens, surprisal), surprisal rounded to 4 (a
     * genuine quotient of logs — cross-engine safe under the repo's
     * rounding rule). */
@@ -128,13 +134,16 @@ object Quality {
     val freq = toks.groupBy("h").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val total = freq.agg(sum(col("tf")).as("n_total"))
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     toks.join(freq, "h")
       .crossJoin(broadcast(total))
+      .select(col("id"),
+        (-log(col("tf").cast("double") / col("n_total")))
+          .cast(DecimalType(28, 14)).as("s"))
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(-log(col("tf").cast("double") / col("n_total"))), 4)
-          .as("surprisal"))
+        round(sum("s").cast(DoubleType) / count(lit(1)), 4).as("surprisal"))
       .select(col("id").as(idCol), col("n_tokens"), col("surprisal"))
   }
 
@@ -289,6 +298,13 @@ object Quality {
     * map-side-combining aggregation. The target set is typically a small
     * curated sample, but nothing here requires that — both sides stream.
     *
+    * Each log-ratio contribution rounds into DECIMAL(28,14) before the
+    * per-doc sum (the [[distributionDrift]] accumulation rule): a raw
+    * double sum's value depends on partition merge order, and a mean
+    * sitting within a half-ulp of a 4th-decimal rounding boundary flips
+    * between parallelism configurations — exact decimal accumulation
+    * makes the statistic order-insensitive and SQL-replayable.
+    *
     * Output: (idCol, n_tokens, importance), importance rounded to 4 (a
     * genuine quotient — cross-engine safe). */
   def importanceWeights(
@@ -312,14 +328,17 @@ object Quality {
     // empty target degenerates to the uniform model via smoothing)
     val stats = cf.agg(sum(col("cf")).as("nc"), count(lit(1)).as("v"))
       .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("nt")))
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val lw = cf.join(tf, Seq("h"), "left")
       .crossJoin(broadcast(stats))
       .select(col("h"),
         (log((coalesce(col("tf"), lit(0L)) + lit(1.0)) / (col("nt") + col("v"))) -
-          log((col("cf") + lit(1.0)) / (col("nc") + col("v")))).as("lw"))
+          log((col("cf") + lit(1.0)) / (col("nc") + col("v"))))
+          .cast(DecimalType(28, 14)).as("lw"))
     toks.join(lw, "h")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), round(avg(col("lw")), 4).as("importance"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("lw").cast(DoubleType) / count(lit(1)), 4).as("importance"))
       .select(col("id").as(idCol), col("n_tokens"), col("importance"))
   }
 

@@ -766,8 +766,13 @@ object Similarity {
       .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "v")))
       .select(col("id"), col("i"),
         round(col("v").cast(DoubleType) * scale).cast(LongType).as("vq"))
-    // model-state-only driver traffic: one scalar (the input dimension)
-    val dim = df.select(max(size(col(vecCol)))).head().getInt(0)
+    // model-state-only driver traffic: one scalar (the input dimension).
+    // max() over an empty frame is NULL — surface that as a clear
+    // contract error instead of an opaque NPE from the primitive read.
+    val dimRow = df.select(max(size(col(vecCol)))).head()
+    require(!dimRow.isNullAt(0),
+      s"randomProjection: input has no non-null '$vecCol' vectors (empty frame?)")
+    val dim = dimRow.getInt(0)
     val signs = spark.range(dim).select(col("id").cast("int").as("i"))
       .crossJoin(spark.range(outDim).select(col("id").cast("int").as("j")))
       .select(col("i"), col("j"),

@@ -255,13 +255,20 @@ object LlmQueries extends QueryGroup {
       "relational path, per-kind feature stats — hash-gated; the typed " +
       "mapPartitions path is asserted bin-identical in ScalaTest",
     (s, dir) =>
+      // histogram bins are raw-double ratios: contributions round into
+      // DECIMAL(28,14) before the sum (the distributionDrift accumulation
+      // rule) so the mean is partition-merge-order insensitive
       Multimodal.featurizeRelational(Multimodal.fromDocuments(s, dir).toDF())
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n_media"),
           sum(col("n_bytes")).as("total_bytes"),
-          round(avg(element_at(col("histogram"), 1)), 4).as("avg_hist0"),
-          round(avg(element_at(col("histogram"), 8)), 4).as("avg_hist7"))
+          round(sum(element_at(col("histogram"), 1)
+              .cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+            .cast("double") / count(lit(1)), 4).as("avg_hist0"),
+          round(sum(element_at(col("histogram"), 8)
+              .cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+            .cast("double") / count(lit(1)), 4).as("avg_hist7"))
         .orderBy("kind"),
     Some("""WITH m AS (
               SELECT doc_id,
@@ -279,8 +286,8 @@ object LlmQueries extends QueryGroup {
                   FROM m)
             SELECT kind, COUNT(*) AS n_media,
               CAST(SUM(nb) AS BIGINT) AS total_bytes,
-              ROUND(AVG(h0), 4) AS avg_hist0,
-              ROUND(AVG(h7), 4) AS avg_hist7
+              ROUND(CAST(SUM(CAST(h0 AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 4) AS avg_hist0,
+              ROUND(CAST(SUM(CAST(h7 AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 4) AS avg_hist7
             FROM h GROUP BY kind ORDER BY kind"""))
 
   val q47 = QueryDef(
@@ -793,11 +800,13 @@ object LlmQueries extends QueryGroup {
                            unnest(string_split_regex(text, '\s+')) AS tok
                          FROM documents),
             f AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
-            t AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM f)
+            t AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM f),
+            sc AS (SELECT doc_id,
+                     CAST(-ln(tf * 1.0 / n_total) AS DECIMAL(28,14)) AS s
+                   FROM tok JOIN f USING (tok) CROSS JOIN t)
             SELECT doc_id, COUNT(*) AS n_tokens,
-                   ROUND(AVG(-ln(tf * 1.0 / n_total)), 4) AS surprisal
-            FROM tok JOIN f USING (tok) CROSS JOIN t
-            GROUP BY doc_id ORDER BY doc_id"""))
+                   ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 4) AS surprisal
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
   val q62 = QueryDef(
     "q62_embedding_dedup_clusters",
@@ -1139,11 +1148,12 @@ object LlmQueries extends QueryGroup {
                           (SELECT COUNT(*) FROM cf) AS v,
                           (SELECT COALESCE(SUM(tf), 0) FROM tf) AS nt),
             lw AS (SELECT cf.tok,
-                     ln((COALESCE(tf.tf, 0) + 1.0) / (st.nt + st.v))
-                       - ln((cf.cf + 1.0) / (st.nc + st.v)) AS lw
+                     CAST(ln((COALESCE(tf.tf, 0) + 1.0) / (st.nt + st.v))
+                       - ln((cf.cf + 1.0) / (st.nc + st.v))
+                       AS DECIMAL(28,14)) AS lw
                    FROM cf LEFT JOIN tf USING (tok) CROSS JOIN st)
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   ROUND(AVG(lw), 4) AS importance
+                   ROUND(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 4) AS importance
             FROM tok JOIN lw USING (tok)
             GROUP BY doc_id ORDER BY doc_id"""))
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.Row
 
 /** Repetition-metric contracts, checked against brute-force Scala
   * computations over the same texts (the metrics are exact set/count
@@ -338,6 +339,30 @@ class QualitySpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getLong(4)))
     assert(rows === Array(("s1", 6L, 6L, 1.0, 0L), ("s2", 6L, 3L, 0.5, 2L)))
+  }
+
+  test("decimal-accumulation determinism: means identical across shuffle-partition counts") {
+    // The q73 regression class: a raw-double avg's partial sums merge in
+    // partition order, so a mean within a half-ulp of the 4th-decimal
+    // rounding boundary flips between parallelism configurations. The
+    // DECIMAL(28,14) contribution discipline makes the statistic exact —
+    // prove it by running the same queries under two different shuffle
+    // geometries and demanding bit-identical output.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): (Seq[Row], Seq[Row]) = (
+      Quality.importanceWeights(docs, docs.where(col("lang") === "en"))
+        .orderBy("doc_id").collect().toSeq,
+      Quality.unigramSurprisal(docs).orderBy("doc_id").collect().toSeq)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val (imp3, sur3) = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val (imp17, sur17) = run()
+      assert(imp3 === imp17, "importanceWeights must be shuffle-geometry invariant")
+      assert(sur3 === sur17, "unigramSurprisal must be shuffle-geometry invariant")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
 
   test("vocabCoverage: full-size vocab covers everything; coverage bounded") {

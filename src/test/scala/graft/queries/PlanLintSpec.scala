@@ -88,6 +88,49 @@ class PlanLintSpec extends SparkSpecBase {
     // crossJoin); the metrics joins themselves are equi
     "q112_retrieval_ranking_metrics")
 
+  /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
+    * partitionBy — a single-task sort at execution). Correct ONLY while
+    * the window's input is model-/types-sized, never corpus-sized; a
+    * corpus frame reaching one of these is a scale cliff (one task sorts
+    * everything). Each entry names its bounded input. */
+  private val globalWindowAllowed = Set(
+    // q83: the lexical rank column — row_number over bm25's TOP-10
+    // output (the upstream orderBy+limit bounds the window's input to
+    // topK rows by construction, so the single-task sort sorts 10 rows)
+    "q83_retrieval_hybrid_rrf")
+  // The OTHER deliberate no-partition windows (PQ codebook numbering at
+  // Similarity.buildCodebook, q112's qrel windows, q117/q119 vocabulary
+  // ranks) execute EAGERLY inside builders against model-/types-sized
+  // frames and never appear in a registered query's returned plan — the
+  // lint below still guards the real hazard: a corpus-sized frame
+  // flowing into a global window of the PLAN a user executes.
+
+  test("global (no-partition) windows only where the input is model-sized") {
+    // r9 verdict item 5: the deliberate Window.orderBy-no-partition
+    // sites are correct only while their inputs stay bounded — this
+    // gate makes a future corpus-sized frame reaching a global window
+    // fail the suite instead of shipping a one-task sort.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val global = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty && !globalWindowAllowed(name))
+          failures += s"$name: ${global.size} global window(s) not in the " +
+            "model-sized allowlist"
+        if (global.isEmpty && globalWindowAllowed(name))
+          failures += s"$name: allowlisted but plans no global window — " +
+            "stale entry, remove it"
+      } catch {
+        case e: Throwable => failures += s"$name: failed to plan — ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    spark.catalog.clearCache()
+  }
+
   test("every registered query plans; no cartesian; BNLJ only where documented") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -14,12 +14,10 @@ class FileStreamSpec extends SparkSpecBase {
 
   test("readStream over the events parquet equals the batch read (AvailableNow)") {
     val s = spark
-    // events.ts is TIMESTAMP(NANOS): under nanosAsLong it surfaces as
-    // LongType (Tables.load handles the batch path; mirror it here)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // readStream demands an explicit schema; take the one the batch
+    // reader infers so both testdata generations (TIMESTAMP(NANOS)-as-
+    // Long and native TIMESTAMP(MICROS)) stream with their actual type
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
 
     // the file source ingests directories (files dropped in over time);
     // stage the fixture file into one

@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka-shaped ingest contract (r9 verdict item 8): the wire-schema
+  * adapters spec'd against MemoryStream semantics, and the real reader's
+  * wiring pinned by the error it raises in this connector-less sandbox. */
+class KafkaShapedSpec extends SparkSpecBase {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("user", LongType), StructField("action", StringType)))
+
+  test("encode produces exactly the Kafka wire schema; same key, same partition") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, """{"user":1,"action":"view"}""", Timestamp.valueOf("2024-01-01 10:00:00"), 0L),
+      (2L, """{"user":2,"action":"click"}""", Timestamp.valueOf("2024-01-01 10:00:01"), 1L),
+      (1L, """{"user":1,"action":"buy"}""", Timestamp.valueOf("2024-01-01 10:00:02"), 2L))
+      .toDF("k", "v", "ts", "off")
+    val wire = KafkaShaped.encode(df, "events", col("k"), col("v"),
+      col("ts"), col("off"), numPartitions = 4)
+    // names + types are the contract; nullability tightens when inputs
+    // are literals/non-null (e.g. topic, timestampType), which is fine
+    assert(wire.schema.fields.toSeq.map(f => (f.name, f.dataType)) ===
+      KafkaShaped.wireSchema.fields.toSeq.map(f => (f.name, f.dataType)))
+    val rows = wire.collect()
+    assert(rows.forall { r =>
+      val p = r.getInt(3); p >= 0 && p < 4
+    }, "partition must land in [0, numPartitions)")
+    val byKey = rows.groupBy(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
+    assert(byKey("1").map(_.getInt(3)).distinct.length === 1,
+      "Kafka's default-partitioner property: one key, one partition")
+    assert(rows.forall(_.getInt(6) === 0), "timestampType = CreateTime")
+  }
+
+  test("decodeJson roundtrips the payload and carries wire metadata; malformed -> nulls") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, """{"user":1,"action":"view"}""", Timestamp.valueOf("2024-01-01 10:00:00"), 0L),
+      (9L, """not json at all""", Timestamp.valueOf("2024-01-01 10:00:01"), 1L))
+      .toDF("k", "v", "ts", "off")
+    val decoded = KafkaShaped.decodeJson(
+      KafkaShaped.encode(df, "t", col("k"), col("v"), col("ts"), col("off"), 2),
+      payloadSchema)
+    assert(decoded.columns.toSeq ===
+      Seq("topic", "partition", "offset", "timestamp", "user", "action"))
+    val byOff = decoded.collect().map(r => r.getLong(2) -> r).toMap
+    assert(byOff(0L).getLong(4) === 1L && byOff(0L).getString(5) === "view")
+    assert(byOff(1L).isNullAt(4) && byOff(1L).isNullAt(5),
+      "malformed payload surfaces as nulls (dead-letter routable), not a crash")
+  }
+
+  test("the adapters run identically over a STREAM (MemoryStream standing in for the topic)") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Long, String, Timestamp, Long)](s)
+    val wire = KafkaShaped.encode(ms.toDS().toDF("k", "v", "ts", "off"),
+      "events", col("k"), col("v"), col("ts"), col("off"), 4)
+    // the standard consume topology: decode, watermark on the wire
+    // timestamp, per-action count
+    val counts = KafkaShaped.decodeJson(wire, payloadSchema)
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy("action").count()
+    val q = counts.writeStream.outputMode("complete").format("memory")
+      .queryName("kafka_shaped_spec").start()
+    try {
+      ms.addData(
+        (1L, """{"user":1,"action":"view"}""", Timestamp.valueOf("2024-01-01 10:00:00"), 0L),
+        (2L, """{"user":2,"action":"view"}""", Timestamp.valueOf("2024-01-01 10:00:01"), 1L),
+        (1L, """{"user":1,"action":"buy"}""", Timestamp.valueOf("2024-01-01 10:00:02"), 2L))
+      q.processAllAvailable()
+      val out = s.table("kafka_shaped_spec").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out === Map("view" -> 2L, "buy" -> 1L))
+    } finally q.stop()
+  }
+
+  test("reader wires the real kafka format: in this jar-less sandbox it must fail at load()") {
+    val e = intercept[Exception] {
+      KafkaShaped.reader(spark, "broker:9092", "events",
+        startingOffsets = "earliest", maxOffsetsPerTrigger = Some(1000L))
+    }
+    val msg = String.valueOf(e.getMessage).toLowerCase
+    assert(msg.contains("kafka"),
+      s"expected Spark's kafka data-source-not-found error, got: $msg")
+  }
+}

@@ -55,8 +55,12 @@ object Bench {
     //  - BENCH_FULL.json beside the repo artifacts gets the full names,
     //    so the slowest-query audit never depends on truncation luck.
     def render(key: (String, Double, Boolean) => String): String = {
-      val qs = results.map { case (k, v, ok) => "\"" + key(k, v, ok) + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
+      // Locale.ROOT: the default-locale f-interpolator would render
+      // 0.553 as "0,553" on comma-decimal JVMs and corrupt the JSON
+      val qs = results.map { case (k, v, ok) =>
+        "\"" + key(k, v, ok) + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
       val errs = results.collect { case (k, _, false) => "\"" + key(k, 0, false) + "\"" }
         .mkString("[", ",", "]")
       val total = results.collect { case (_, v, true) => v }.sum

@@ -237,7 +237,11 @@ object BpeTrain {
     val pattern = TextOps.BpeTokenPattern.r
     udf { (text: String) =>
       if (text == null) null
-      else pattern.findAllIn(text.toLowerCase).flatMap(w => encodeWord(w, merges)).toSeq
+      // Locale.ROOT: default-locale toLowerCase is box-dependent (the
+      // Turkish-İ mapping) — this must match Spark's locale-independent
+      // lower() used by the q46/q116 train side and the DuckDB oracle
+      else pattern.findAllIn(text.toLowerCase(java.util.Locale.ROOT))
+        .flatMap(w => encodeWord(w, merges)).toSeq
     }
   }
 }

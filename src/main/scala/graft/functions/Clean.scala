@@ -66,4 +66,37 @@ object Clean {
     * otherwise leave a double space behind). */
   def normalize(c: Column): Column =
     normalizeWhitespace(stripControlChars(c))
+
+  /** HTML/markup → text: the extraction step between a raw crawl and
+    * every text operator in this package. Deliberately the NAIVE
+    * regex stripper (trafilatura-class boilerplate removal is a model,
+    * not a regex) but the portable core is real: script/style blocks
+    * drop WITH their content (code is not prose), then comments, then
+    * tags (a tag must start `<` + letter / `/` / `!` — a bare "a < b"
+    * in prose survives), each replaced by a space so `a</p><p>b` stays
+    * two words; then the five-entity named decode (`&amp;` LAST, so
+    * `&amp;lt;` single-decodes to the literal `&lt;`), then the
+    * standard whitespace collapse. Same conservative RE2 subset as the
+    * PII family — `(?is)` flags and non-greedy `.*?` run unchanged on
+    * DuckDB/Go RE2 — so the whole chain is oracle-replayable (q131).
+    * Numeric character references (`&#NN;`) are NOT decoded (that is
+    * arithmetic, not substitution); they pass through as text. */
+  def stripMarkup(c: Column): Column = {
+    val blocksGone = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val tagsGone = regexp_replace(blocksGone, "(?s)</?[A-Za-z!][^>]*>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(tagsGone, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&nbsp;", " "),
+      "&amp;", "&")
+    normalizeWhitespace(decoded)
+  }
 }

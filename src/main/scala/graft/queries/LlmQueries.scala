@@ -3119,6 +3119,60 @@ object LlmQueries extends QueryGroup {
                (COUNT(*) FILTER (NOT seen) * 1.0 / COUNT(*)) >= 0.5 AS admit
              FROM j GROUP BY id ORDER BY doc_id"""))
 
+  val q131 = QueryDef(
+    "q131_markup_extraction",
+    "HTML/markup -> text extraction through Clean.stripMarkup (script/" +
+      "style blocks drop with their content, then comments, then tags — " +
+      "each becoming a word-separating space — then the five-entity " +
+      "named decode with &amp; last, then whitespace collapse; all " +
+      "codegen'd regexp_replace in the RE2-portable subset). The fixture " +
+      "corpus is plain text, so the query grafts a deterministic " +
+      "doc_id-derived HTML document around each text (the q69 pattern) " +
+      "and the oracle re-runs the identical chain",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val wrapped = concat(
+        lit("<!DOCTYPE html><!-- doc "), col("doc_id"),
+        lit(" --><html><head><script type=\"text/javascript\">if (a<b && c>d) { track(\""),
+        col("doc_id"),
+        lit("\"); }</script><style>p { margin: 0; } .x { content: \"</p>\"; }</style></head><body><h1 class=\""),
+        col("lang"),
+        lit("\">"), col("source"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div data-id=\""), col("doc_id"),
+        lit("\"><br/>&amp;copy; &lt;b&gt;corp&nbsp;"), pmod(col("doc_id"), lit(10)),
+        lit("&quot;</div></body></html>"))
+      d.select(col("doc_id"),
+          graft.functions.Clean.stripMarkup(wrapped).as("extracted"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+                '<!DOCTYPE html><!-- doc ' || doc_id ||
+                ' --><html><head><script type="text/javascript">if (a<b && c>d) { track("' ||
+                doc_id ||
+                '"); }</script><style>p { margin: 0; } .x { content: "</p>"; }</style></head><body><h1 class="' ||
+                lang || '">' || source || '</h1><p>' || text ||
+                '</p><div data-id="' || doc_id ||
+                '"><br/>&amp;copy; &lt;b&gt;corp&nbsp;' || (doc_id % 10) ||
+                '&quot;</div></body></html>' AS h
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                  '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS t
+              FROM w),
+            s2 AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(t,
+                  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                  '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
+              FROM s1)
+            SELECT doc_id,
+              trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+            FROM s2 ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -3126,5 +3180,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126)
+      q124, q125, q126, q131)
 }

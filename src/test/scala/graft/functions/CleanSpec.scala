@@ -63,4 +63,30 @@ class CleanSpec extends SparkSpecBase {
     assert(once === "a b c")
     assert(apply1(Clean.normalize, once) === once)
   }
+
+  test("stripMarkup: blocks drop with content, tags become separators, entities decode") {
+    assert(apply1(Clean.stripMarkup,
+      "<html><head><script>var a = 1 < 2 && \"</div>\";</script>" +
+        "<style>p { content: \"</p>\"; }</style></head>" +
+        "<body><h1>Title</h1><p>one</p><p>two</p></body></html>")
+      === "Title one two")
+    // comments vanish, including commented-out tags
+    assert(apply1(Clean.stripMarkup, "a <!-- <b>hidden</b>\nmore --> b") === "a b")
+    // a tag is < + letter / '/' / '!': prose comparisons survive
+    assert(apply1(Clean.stripMarkup, "if a < b then c > d") === "if a < b then c > d")
+    // multi-line tags with attributes
+    assert(apply1(Clean.stripMarkup, "x<div class=\"a\"\n data-y=\"z\">y</div>w")
+      === "x y w")
+  }
+
+  test("stripMarkup: entity decode is single-pass with &amp; last; numeric refs pass through") {
+    assert(apply1(Clean.stripMarkup, "&lt;tag&gt; &quot;q&quot; a&nbsp;b &amp; c")
+      === "<tag> \"q\" a b & c")
+    // &amp;lt; is the ESCAPED literal "&lt;" -- must decode exactly once
+    assert(apply1(Clean.stripMarkup, "&amp;lt;not-a-tag&amp;gt;") === "&lt;not-a-tag&gt;")
+    // decoded angle brackets must NOT be re-stripped as tags
+    assert(apply1(Clean.stripMarkup, "&lt;script&gt;evil()&lt;/script&gt;")
+      === "<script>evil()</script>")
+    assert(apply1(Clean.stripMarkup, "&#65;&#x41;") === "&#65;&#x41;")
+  }
 }

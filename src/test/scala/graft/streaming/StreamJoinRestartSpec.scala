@@ -100,6 +100,43 @@ class StreamJoinRestartSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("stream-stream FULL OUTER join: both unmatched sides emit on watermark expiry") {
+    // J7's remaining variant: clicks with no impression (bot traffic /
+    // lost impressions) must surface too, not just the left side.
+    val s = spark
+    import s.implicits._
+    val imps = MemoryStream[(Timestamp, Long)](s)
+    val clks = MemoryStream[(Timestamp, Long)](s)
+    val joined = imps.toDS().toDF("its", "ad")
+      .withWatermark("its", "10 minutes")
+      .join(
+        clks.toDS().toDF("cts", "ad2").withWatermark("cts", "10 minutes"),
+        expr("ad = ad2 AND cts >= its AND cts <= its + interval 5 minutes"),
+        "full_outer")
+      .select(col("ad"), col("ad2"), col("its"), col("cts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssfoj_spec").start()
+    try {
+      imps.addData(ts("10:00:00") -> 1L, ts("10:00:00") -> 2L)
+      clks.addData(ts("10:03:00") -> 1L) // matches ad 1
+      clks.addData(ts("10:07:00") -> 3L) // click with NO impression
+      q.processAllAvailable()
+      // advance both watermarks past every window end, twice (the
+      // null-side flush lands in a following batch)
+      imps.addData(ts("10:40:00") -> 98L); clks.addData(ts("10:40:00") -> 99L)
+      q.processAllAvailable()
+      imps.addData(ts("10:41:00") -> 98L); clks.addData(ts("10:41:00") -> 99L)
+      q.processAllAvailable()
+      val rows = s.table("ssfoj_spec").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      assert(rows.contains((Some(1L), Some(1L))), "matched pair emits")
+      assert(rows.contains((Some(2L), None)),
+        "unmatched impression emits with null click side")
+      assert(rows.contains((None, Some(3L))),
+        "unmatched click emits with null impression side — the full-outer half")
+    } finally q.stop()
+  }
+
   test("exactly-once: aggregation state survives stop + restart from checkpoint") {
     val s = spark
     import s.implicits._

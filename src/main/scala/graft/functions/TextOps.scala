@@ -111,4 +111,30 @@ object TextOps {
       transform(tokenize(text), t => (ascii(t) * 31 + length(t)).cast(LongType)),
       lit(0L),
       (h, v) => pmod(h * 131 + v, lit(1000000007L)))
+
+  /** Host component of an http(s)/ftp URL, lowercased — the key for
+    * per-domain crawl accounting (domain caps, robots bookkeeping, drift
+    * by host). RE2-safe single extract: scheme, optional userinfo
+    * (`[^/?#@]*@`), then the host = everything before `:`/`/`/`?`/`#`.
+    * Non-URLs and unsupported schemes yield NULL (regexp_extract's
+    * no-match empty string is nulled explicitly — absence, not ""). A
+    * registrable eTLD+1 needs the Public Suffix LIST (data, not a
+    * regex) — callers needing it join a PSL table on this host. */
+  def urlHost(url: Column): Column = {
+    val h = regexp_extract(url,
+      "^(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    lower(when(h === "", null).otherwise(h))
+  }
+
+  /** Sentence segmentation in the RE2 subset (no lookbehind): maximal
+    * runs of non-terminators with their trailing `.!?` run attached —
+    * `regexp_extract_all(text, '[^.!?]+[.!?]*')`, trimmed, empties
+    * dropped. An approximation by design ("Dr. Smith" splits): the
+    * downstream signals (sentence count, mean sentence length — the
+    * C4/Gopher-class quality features) are robust to boundary noise,
+    * and the same pattern runs unchanged in DuckDB for the oracle. */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)), trim(_)),
+      s => s =!= "")
 }

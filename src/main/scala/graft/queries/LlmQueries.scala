@@ -3173,6 +3173,71 @@ object LlmQueries extends QueryGroup {
               trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
             FROM s2 ORDER BY doc_id"""))
 
+  val q132 = QueryDef(
+    "q132_url_host_accounting",
+    "per-domain crawl accounting: TextOps.urlHost (RE2-safe scheme + " +
+      "userinfo + host extract, lowercased, NULL on non-URL) over " +
+      "deterministic doc_id-derived URLs grafted per doc (every 7th doc " +
+      "gets a non-URL — absence surfaces as the '(invalid)' bucket, " +
+      "never silently dropped), then the host-keyed count a domain-cap " +
+      "or robots ledger keys on. One narrow map + one aggregation",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val url = when(pmod(col("doc_id"), lit(7)) === 0, lit("no url here"))
+        .otherwise(concat(
+          lit("https://user"), pmod(col("doc_id"), lit(3)),
+          lit("@sub"), pmod(col("doc_id"), lit(5)),
+          lit(".Site"), pmod(col("doc_id"), lit(20)),
+          lit(".example.org:8080/path?x="), col("doc_id")))
+      d.select(coalesce(graft.functions.TextOps.urlHost(url), lit("(invalid)")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_docs"))
+        .orderBy("host")
+    },
+    Some("""WITH u AS (SELECT CASE WHEN doc_id % 7 = 0 THEN 'no url here'
+                  ELSE 'https://user' || (doc_id % 3) || '@sub' || (doc_id % 5) ||
+                       '.Site' || (doc_id % 20) || '.example.org:8080/path?x=' || doc_id
+                  END AS url
+                FROM documents),
+            h AS (SELECT regexp_extract(url,
+                    '^(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS h0
+                  FROM u)
+            SELECT COALESCE(CASE WHEN h0 = '' THEN NULL ELSE lower(h0) END,
+                            '(invalid)') AS host,
+                   COUNT(*) AS n_docs
+            FROM h GROUP BY 1 ORDER BY host"""))
+
+  val q133 = QueryDef(
+    "q133_sentence_stats",
+    "sentence segmentation quality signals: TextOps.sentences (RE2 " +
+      "subset, no lookbehind: maximal non-terminator runs with trailing " +
+      ".!? attached, trimmed, empties dropped) over text with " +
+      "deterministic grafted terminators (the fixture is punctuation-" +
+      "free), then per-doc sentence count and mean sentence length in " +
+      "tokens — the C4/Gopher-class features a quality gate thresholds. " +
+      "Narrow per-row work only",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val txt = regexp_replace(col("text"), "table", "table.")
+      val sents = graft.functions.TextOps.sentences(txt)
+      d.select(col("doc_id"),
+          size(sents).cast(LongType).as("n_sentences"),
+          round(graft.functions.TextOps.tokenCount(txt).cast("double") / size(sents), 4)
+            .as("mean_sentence_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH x AS (SELECT doc_id,
+                  regexp_replace(text, 'table', 'table.', 'g') AS t
+                FROM documents),
+            s AS (SELECT doc_id, t,
+                  len(list_filter([trim(v) for v in
+                        regexp_extract_all(t, '[^.!?]+[.!?]*')],
+                      v -> v <> '')) AS ns
+                  FROM x)
+            SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
+              ROUND(len(string_split_regex(t, '\s+')) * 1.0 / ns, 4)
+                AS mean_sentence_tokens
+            FROM s ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -3180,5 +3245,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q131)
+      q124, q125, q126, q131, q132, q133)
 }

@@ -78,4 +78,41 @@ class TextOpsSpec extends SparkSpecBase {
       asc = false).as("sh")).collect().head.getSeq[Long](0)
     assert(sorted.take(2) === Seq(1L, 1L), "en and es tie at one hit each")
   }
+
+  private def str1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      s: String): String = {
+    val r = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(s)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType))))
+      .select(f(col("t")).as("r")).collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("urlHost: scheme + userinfo + port/path/query boundaries; non-URLs are NULL") {
+    assert(str1(TextOps.urlHost, "https://Example.COM/path?q=1") === "example.com")
+    assert(str1(TextOps.urlHost, "http://user:pw@Sub.Host.org:8080/x") === "sub.host.org")
+    assert(str1(TextOps.urlHost, "ftp://files.example.net") === "files.example.net")
+    assert(str1(TextOps.urlHost, "not a url") === null)
+    assert(str1(TextOps.urlHost, "mailto:a@b.com") === null)
+    assert(str1(TextOps.urlHost, "https://host.com#frag") === "host.com")
+  }
+
+  test("sentences: terminator runs attach, empties drop, unterminated tail kept") {
+    def sents(s: String): Seq[String] = {
+      val r = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(s)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType))))
+        .select(TextOps.sentences(col("t")).as("r")).collect().head
+      r.getSeq[String](0)
+    }
+    assert(sents("One two. Three four! Five") === Seq("One two.", "Three four!", "Five"))
+    assert(sents("Wait... really?! yes") === Seq("Wait...", "really?!", "yes"))
+    assert(sents("no terminator at all") === Seq("no terminator at all"))
+    assert(sents("...") === Seq.empty,
+      "terminators with no content yield no sentences")
+  }
 }

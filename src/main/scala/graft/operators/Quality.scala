@@ -668,4 +668,48 @@ object Quality {
         coalesce(col("oov_types"), lit(0L)).as("oov_types"))
       .orderBy(sliceCol)
   }
+
+  /** Boilerplate REMOVAL at unit granularity — the C4/Dolma curation
+    * action paired with [[boilerplateNgrams]]'s audit: any unit
+    * (sentence, line, paragraph — whatever `units` extracts) present in
+    * MORE than `maxDf` distinct documents is cut from every document,
+    * and each doc's surviving units reassemble in original order.
+    * Cross-doc frequency is what separates chrome (cookie banners,
+    * nav menus — in thousands of docs) from prose; within-doc
+    * repetition is [[repetitionStats]]' jurisdiction.
+    *
+    * Scale shape: posexplode is NARROW; corpus-wide doc-frequency is ONE
+    * aggregation keyed by the unit's md5 (count_distinct over doc ids —
+    * fixed 32-hex currency, engine-portable so the oracle can replay the
+    * grouping; a production caller at 100 TB would swap in xxhash64 and
+    * halve the key bytes); the verdict joins back by that same hash
+    * (hot boilerplate hashes collapse map-side before the exchange);
+    * reassembly is a per-DOC collect of its own units — bounded by
+    * document size, the q64 cutSpans shape, never a corpus collect.
+    * Docs losing every unit survive as empty text (LEFT join), so the
+    * removal never silently drops a document row.
+    *
+    * Output: (idCol, n_units, kept_units, clean_text). */
+  def dropBoilerplateUnits(
+      df: DataFrame,
+      units: Column,
+      maxDf: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDf >= 1, s"maxDf $maxDf must be >= 1")
+    val ex = df
+      .select(col(idCol).as("id"), posexplode(units).as(Seq("pos", "u")))
+      .select(col("id"), col("pos"), col("u"), md5(col("u")).as("h"))
+    val freq = ex.groupBy("h").agg(count_distinct(col("id")).as("df_"))
+    val kept = ex.join(freq, "h").filter(col("df_") <= maxDf)
+    val per = kept.groupBy("id").agg(
+      count(lit(1)).as("kept_units"),
+      concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("u")))),
+          x => x("u"))).as("clean_text"))
+    df.select(col(idCol).as("id"), size(units).cast(LongType).as("n_units"))
+      .join(per, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_units"),
+        coalesce(col("kept_units"), lit(0L)).as("kept_units"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -3238,6 +3238,45 @@ object LlmQueries extends QueryGroup {
                 AS mean_sentence_tokens
             FROM s ORDER BY doc_id"""))
 
+  val q134 = QueryDef(
+    "q134_drop_boilerplate_units",
+    "boilerplate removal at sentence granularity — the C4/Dolma curation " +
+      "ACTION on q89's audit: units (q133's sentence extractor over " +
+      "grafted-terminator text) present in > 25 distinct docs are cut " +
+      "from every doc, survivors reassembled in original order; docs " +
+      "losing everything survive as empty text. One doc-frequency " +
+      "aggregation on md5 currency + one verdict join + per-doc " +
+      "bounded reassembly",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("text", regexp_replace(col("text"), "table", "table."))
+      Quality.dropBoilerplateUnits(
+          d, graft.functions.TextOps.sentences(col("text")), maxDf = 25)
+        .orderBy("doc_id")
+    },
+    Some("""WITH x AS (SELECT doc_id,
+                  regexp_replace(text, 'table', 'table.', 'g') AS t
+                FROM documents),
+            su AS (SELECT doc_id,
+                  list_filter([trim(v) for v in
+                      regexp_extract_all(t, '[^.!?]+[.!?]*')],
+                    v -> v <> '') AS us
+                  FROM x),
+            e AS (SELECT doc_id, i AS pos, us[i] AS u
+                  FROM (SELECT doc_id, us,
+                          unnest(generate_series(1, len(us))) AS i
+                        FROM su)),
+            f AS (SELECT u, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY u),
+            k AS (SELECT e.doc_id, e.pos, e.u
+                  FROM e JOIN f USING (u) WHERE f.df <= 25),
+            per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_units,
+                      string_agg(u, ' ' ORDER BY pos) AS clean_text
+                    FROM k GROUP BY doc_id)
+            SELECT su.doc_id, CAST(len(su.us) AS BIGINT) AS n_units,
+                   COALESCE(per.kept_units, 0) AS kept_units,
+                   COALESCE(per.clean_text, '') AS clean_text
+            FROM su LEFT JOIN per USING (doc_id) ORDER BY su.doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -3245,5 +3284,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q131, q132, q133)
+      q124, q125, q126, q131, q132, q133, q134)
 }

@@ -365,6 +365,28 @@ class QualitySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("dropBoilerplateUnits: cross-doc chrome cut everywhere, order kept, empty doc survives") {
+    import org.apache.spark.sql.functions.{col, split}
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "cookie-banner|real prose one|footer"),
+      (2L, "cookie-banner|real prose two|footer"),
+      (3L, "cookie-banner|unique thought|footer"),
+      (4L, "cookie-banner|footer")) // loses everything
+      .toDF("doc_id", "raw")
+    val out = Quality.dropBoilerplateUnits(docs, split(col("raw"), "\\|"), maxDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // cookie-banner and footer sit in 4 and 4 docs (> 2) -> cut; the
+    // per-doc prose (df 1) survives in position order
+    assert(out === Array(
+      (1L, 3L, 1L, "real prose one"),
+      (2L, 3L, 1L, "real prose two"),
+      (3L, 3L, 1L, "unique thought"),
+      (4L, 2L, 0L, "")))
+  }
+
   test("vocabCoverage: full-size vocab covers everything; coverage bounded") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val full = Quality.vocabCoverage(docs, vocabSize = 100000).collect()

@@ -45,4 +45,41 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The PRODUCTION profile the local configuration stands in for — what
+    * changes when this engine moves from local[32] to a 1000-executor
+    * cluster reading 100 TB. Same correctness-pinned configs as
+    * [[configure]] (UTC, extensions, AQE family), different sizing
+    * strategy:
+    *
+    *  - shuffle partitions are NOT pinned to the core count: AQE owns the
+    *    final partitioning, seeded with a HIGH `initialPartitionNum`
+    *    (rule of thumb: 2–3× total cores, here `3 × clusterCores`) so
+    *    coalescing works downward — a low initial number cannot be split
+    *    upward and is the classic 100 TB spill cliff;
+    *  - `advisoryPartitionSizeInBytes` 128 MB: the coalesce/skew target,
+    *    sized so a post-shuffle partition fits executor memory with room
+    *    for the hash side of joins;
+    *  - `files.maxPartitionBytes` 256 MB: fewer, fuller scan tasks on
+    *    large parquet (the default 128 MB doubles task count for pure
+    *    scan stages; columnar pruned reads tolerate the larger slice);
+    *  - broadcast threshold stays 32 MB — the same small-side rule every
+    *    operator here was designed against (dims broadcast, corpus never
+    *    does);
+    *  - `skewJoin` stays on: the salting operator ([[graft.operators.Skew]])
+    *    covers deliberate pre-salting, AQE covers what profiling missed.
+    *
+    * Everything correctness-visible is IDENTICAL to local (spec-asserted),
+    * so a plan validated by the oracle gate behaves the same on the
+    * cluster — only parallelism/sizing differ. */
+  def cluster(b: SparkSession.Builder, clusterCores: Int): SparkSession.Builder = {
+    require(clusterCores >= 1, s"clusterCores $clusterCores must be >= 1")
+    configure(b, clusterCores)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (3L * clusterCores).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (128L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes",
+        (256L * 1024 * 1024).toString)
+  }
 }

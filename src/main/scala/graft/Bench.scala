@@ -66,10 +66,13 @@ object Bench {
       val total = results.collect { case (_, v, true) => v }.sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      render((k, _, _) => k) + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // scoped dev runs (SPARK_GRAFT_ONLY set) must NOT clobber the
+    // published full-registry artifact with a 4-query fragment
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        render((k, _, _) => k) + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     println(render((k, _, _) => k.takeWhile(_ != '_')))
     spark.stop()
   }

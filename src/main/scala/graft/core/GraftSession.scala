@@ -52,11 +52,15 @@ object GraftSession {
     * [[configure]] (UTC, extensions, AQE family), different sizing
     * strategy:
     *
-    *  - shuffle partitions are NOT pinned to the core count: AQE owns the
-    *    final partitioning, seeded with a HIGH `initialPartitionNum`
-    *    (rule of thumb: 2–3× total cores, here `3 × clusterCores`) so
-    *    coalescing works downward — a low initial number cannot be split
-    *    upward and is the classic 100 TB spill cliff;
+    *  - AQE owns the real partitioning, seeded with a HIGH
+    *    `initialPartitionNum` (rule of thumb: 2–3× total cores, here
+    *    `3 × clusterCores`) so coalescing works downward — a low seed
+    *    cannot be split upward and is the classic 100 TB spill cliff;
+    *    `shuffle.partitions` (= clusterCores, from [[configure]]) is
+    *    only the fallback for the few AQE-ineligible stages;
+    *  - the Spark UI comes back ON — [[configure]] disables it for the
+    *    bench box, but on a real cluster it is the primary debugging
+    *    surface for exactly the skew/spill behavior this profile tunes;
     *  - `advisoryPartitionSizeInBytes` 128 MB: the coalesce/skew target,
     *    sized so a post-shuffle partition fits executor memory with room
     *    for the hash side of joins;
@@ -75,6 +79,7 @@ object GraftSession {
   def cluster(b: SparkSession.Builder, clusterCores: Int): SparkSession.Builder = {
     require(clusterCores >= 1, s"clusterCores $clusterCores must be >= 1")
     configure(b, clusterCores)
+      .config("spark.ui.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (3L * clusterCores).toString)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",

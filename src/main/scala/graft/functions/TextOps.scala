@@ -121,8 +121,11 @@ object TextOps {
     * registrable eTLD+1 needs the Public Suffix LIST (data, not a
     * regex) — callers needing it join a PSL table on this host. */
   def urlHost(url: Column): Column = {
+    // (?i): RFC 3986 schemes are case-insensitive — crawl data carries
+    // "HTTP://" routinely, and NULLing those would silently undercount
+    // their domains in the accounting this keys
     val h = regexp_extract(url,
-      "^(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+      "^(?i)(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)", 1)
     lower(when(h === "", null).otherwise(h))
   }
 

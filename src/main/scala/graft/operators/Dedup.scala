@@ -1280,12 +1280,15 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true, StorageLevel.DISK_ONLY)
-      val nextSum = labelSum(next)
-      // next is eagerly materialized and lineage-free: the prior round's
-      // checkpoint blocks are now unreachable — release them instead of
-      // letting every round's blocks pile up until the driver GCs the RDDs
-      org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(comp)
+      // next is eagerly materialized (localCheckpoint(true)) and
+      // lineage-free: the prior round's blocks are unreachable the moment
+      // it exists — swap the live reference FIRST, then release the prior
+      // frame, so the failure path below always sees exactly one live
+      // checkpoint (a throw from labelSum after this point leaks nothing)
+      val prior = comp
       comp = next
+      org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(prior)
+      val nextSum = labelSum(next)
       converged = nextSum == sum
       sum = nextSum
       it += 1
@@ -1323,11 +1326,15 @@ object Dedup {
       // executor, OOM on the collect) must not pin the edge cache or the
       // current round's checkpoint blocks for the session lifetime —
       // both releases are idempotent, so overlap with the happy-path
-      // unpersists above is harmless
+      // unpersists above is harmless. Each cleanup is swallowed
+      // individually: on a STOPPED SparkContext (driver shutdown — one
+      // of the very cases this path exists for) unpersist itself throws,
+      // and that secondary failure must not mask the original `t`.
       case t: Throwable =>
-        edges.unpersist()
+        try edges.unpersist() catch { case _: Throwable => () }
         if (comp != null)
-          org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(comp)
+          try org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(comp)
+          catch { case _: Throwable => () }
         throw t
     }
   }

@@ -706,7 +706,11 @@ object Quality {
       concat_ws(" ",
         transform(sort_array(collect_list(struct(col("pos"), col("u")))),
           x => x("u"))).as("clean_text"))
-    df.select(col(idCol).as("id"), size(units).cast(LongType).as("n_units"))
+    // greatest(…, 0): a NULL units array (null text) yields size = -1
+    // under legacy sizeOfNull (and NULL otherwise) — either way the doc
+    // must report 0 units, matching the coalesced kept_units/clean_text
+    df.select(col(idCol).as("id"),
+        greatest(size(units), lit(0)).cast(LongType).as("n_units"))
       .join(per, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_units"),
         coalesce(col("kept_units"), lit(0L)).as("kept_units"),

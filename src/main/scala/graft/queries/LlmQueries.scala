@@ -257,7 +257,9 @@ object LlmQueries extends QueryGroup {
     (s, dir) =>
       // histogram bins are raw-double ratios: contributions round into
       // DECIMAL(28,14) before the sum (the distributionDrift accumulation
-      // rule) so the mean is partition-merge-order insensitive
+      // rule) so the mean is partition-merge-order insensitive; the
+      // divisor counts NON-NULL bins, preserving avg()'s null-skipping
+      // semantics (a null-payload media row must not deflate the mean)
       Multimodal.featurizeRelational(Multimodal.fromDocuments(s, dir).toDF())
         .groupBy("kind")
         .agg(
@@ -265,10 +267,10 @@ object LlmQueries extends QueryGroup {
           sum(col("n_bytes")).as("total_bytes"),
           round(sum(element_at(col("histogram"), 1)
               .cast(org.apache.spark.sql.types.DecimalType(28, 14)))
-            .cast("double") / count(lit(1)), 4).as("avg_hist0"),
+            .cast("double") / count(element_at(col("histogram"), 1)), 4).as("avg_hist0"),
           round(sum(element_at(col("histogram"), 8)
               .cast(org.apache.spark.sql.types.DecimalType(28, 14)))
-            .cast("double") / count(lit(1)), 4).as("avg_hist7"))
+            .cast("double") / count(element_at(col("histogram"), 8)), 4).as("avg_hist7"))
         .orderBy("kind"),
     Some("""WITH m AS (
               SELECT doc_id,
@@ -286,8 +288,8 @@ object LlmQueries extends QueryGroup {
                   FROM m)
             SELECT kind, COUNT(*) AS n_media,
               CAST(SUM(nb) AS BIGINT) AS total_bytes,
-              ROUND(CAST(SUM(CAST(h0 AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 4) AS avg_hist0,
-              ROUND(CAST(SUM(CAST(h7 AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 4) AS avg_hist7
+              ROUND(CAST(SUM(CAST(h0 AS DECIMAL(28,14))) AS DOUBLE) / COUNT(h0), 4) AS avg_hist0,
+              ROUND(CAST(SUM(CAST(h7 AS DECIMAL(28,14))) AS DOUBLE) / COUNT(h7), 4) AS avg_hist7
             FROM h GROUP BY kind ORDER BY kind"""))
 
   val q47 = QueryDef(
@@ -3199,7 +3201,7 @@ object LlmQueries extends QueryGroup {
                   END AS url
                 FROM documents),
             h AS (SELECT regexp_extract(url,
-                    '^(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS h0
+                    '^(?i)(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS h0
                   FROM u)
             SELECT COALESCE(CASE WHEN h0 = '' THEN NULL ELSE lower(h0) END,
                             '(invalid)') AS host,

@@ -71,9 +71,11 @@ object KafkaShaped {
   }
 
   /** Producer-side shaping: project ANY frame (batch or streaming) into
-    * [[wireSchema]]. Key/value serialize as UTF-8 bytes (the string
-    * serializer — callers with Avro/proto payloads pass pre-encoded
-    * binary columns); `partition` follows Kafka's default-partitioner
+    * [[wireSchema]]. Non-binary key/value columns serialize as UTF-8
+    * bytes (the string serializer); already-binary columns (Avro/proto
+    * payloads) pass through byte-identical — never through a string
+    * round-trip, which would corrupt non-UTF-8 bytes;
+    * `partition` follows Kafka's default-partitioner
     * SHAPE (hash of the serialized key modulo partitions — xxhash64
     * here, murmur2 on the wire, a documented stand-in: same key → same
     * partition is the property pipelines rely on, the exact hash is
@@ -92,8 +94,17 @@ object KafkaShaped {
       offsetCol: Column,
       numPartitions: Int): DataFrame = {
     require(numPartitions >= 1, s"numPartitions $numPartitions must be >= 1")
-    val keyBytes = keyCol.cast(StringType).cast(BinaryType)
-    val valueBytes = valueCol.cast(StringType).cast(BinaryType)
+    // already-binary columns (Avro/proto payloads) pass through UNTOUCHED
+    // — a string round-trip would fold non-UTF-8 bytes to U+FFFD,
+    // silently changing the wire payload AND its partition hash; only
+    // non-binary columns take the UTF-8 string serializer
+    def asBytes(c: Column): Column =
+      df.select(c).schema.head.dataType match {
+        case BinaryType => c
+        case _ => c.cast(StringType).cast(BinaryType)
+      }
+    val keyBytes = asBytes(keyCol)
+    val valueBytes = asBytes(valueCol)
     df.select(
       keyBytes.as("key"),
       valueBytes.as("value"),
@@ -107,16 +118,28 @@ object KafkaShaped {
 
   /** Consumer-side decode: the first transform every Kafka pipeline
     * writes — `value` bytes → UTF-8 string → `from_json(schema)`,
-    * exploded to columns, with the wire metadata (topic, partition,
+    * exploded to columns, with the wire metadata (key, topic, partition,
     * offset, timestamp) carried alongside for offset bookkeeping and
-    * event-time watermarks. Malformed payloads yield null struct fields
-    * (PERMISSIVE), surfaced rather than dropped — route
-    * `payload-null` rows to a dead-letter sink, don't silently lose
-    * them. */
-  def decodeJson(wire: DataFrame, payloadSchema: StructType): DataFrame =
+    * event-time watermarks. Malformed payloads surface as
+    * `corrupt = true` via the parser's own corrupt-record channel
+    * (`columnNameOfCorruptRecord`), captured BEFORE the explode —
+    * after `payload.*`, an unparseable payload would be
+    * indistinguishable from a legitimately all-null object like
+    * `{"user":null}` — route `corrupt` rows to a dead-letter sink,
+    * don't silently lose them. */
+  def decodeJson(wire: DataFrame, payloadSchema: StructType): DataFrame = {
+    require(!payloadSchema.fieldNames.contains("_corrupt_record"),
+      "payloadSchema must not declare _corrupt_record (decodeJson's own channel)")
+    val withCorrupt = payloadSchema.add(StructField("_corrupt_record", StringType))
     wire.select(
-      col("topic"), col("partition"), col("offset"), col("timestamp"),
-      from_json(col("value").cast(StringType), payloadSchema).as("payload"))
-      .select(col("topic"), col("partition"), col("offset"), col("timestamp"),
-        col("payload.*"))
+      col("key"), col("topic"), col("partition"), col("offset"), col("timestamp"),
+      from_json(col("value").cast(StringType), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("payload"))
+      .select(Seq(
+        col("key"), col("topic"), col("partition"), col("offset"),
+        col("timestamp"),
+        col("payload._corrupt_record").isNotNull.as("corrupt")) ++
+        payloadSchema.fieldNames.toSeq.map(f => col(s"payload.`$f`").as(f)): _*)
+  }
 }

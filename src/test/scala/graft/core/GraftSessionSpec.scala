@@ -33,6 +33,9 @@ class GraftSessionSpec extends SparkSpecBase {
         "spark.sql.autoBroadcastJoinThreshold"))
       assert(clust.get(k) === local.get(k), s"$k must not differ across profiles")
 
+    // the UI is deliberately NOT in the identical set: off on the bench
+    // box, back on for the cluster (the primary debugging surface there)
+    assert(clust("spark.ui.enabled") === "true")
     // sizing keys scale with the cluster
     assert(clust("spark.sql.shuffle.partitions") === "4000")
     assert(clust("spark.sql.adaptive.coalescePartitions.initialPartitionNum") === "12000")

@@ -92,6 +92,8 @@ class TextOpsSpec extends SparkSpecBase {
 
   test("urlHost: scheme + userinfo + port/path/query boundaries; non-URLs are NULL") {
     assert(str1(TextOps.urlHost, "https://Example.COM/path?q=1") === "example.com")
+    assert(str1(TextOps.urlHost, "HTTP://Example.com/x") === "example.com",
+      "RFC 3986 schemes are case-insensitive")
     assert(str1(TextOps.urlHost, "http://user:pw@Sub.Host.org:8080/x") === "sub.host.org")
     assert(str1(TextOps.urlHost, "ftp://files.example.net") === "files.example.net")
     assert(str1(TextOps.urlHost, "not a url") === null)

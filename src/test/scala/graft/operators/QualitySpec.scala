@@ -375,6 +375,9 @@ class QualitySpec extends SparkSpecBase {
       (3L, "cookie-banner|unique thought|footer"),
       (4L, "cookie-banner|footer")) // loses everything
       .toDF("doc_id", "raw")
+      .union(Seq(Tuple1(5L)).toDF("doc_id")
+        .withColumn("raw", org.apache.spark.sql.functions.lit(null)
+          .cast("string"))) // null text: 0 units, not -1/null
     val out = Quality.dropBoilerplateUnits(docs, split(col("raw"), "\\|"), maxDf = 2)
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
@@ -384,7 +387,8 @@ class QualitySpec extends SparkSpecBase {
       (1L, 3L, 1L, "real prose one"),
       (2L, 3L, 1L, "real prose two"),
       (3L, 3L, 1L, "unique thought"),
-      (4L, 2L, 0L, "")))
+      (4L, 2L, 0L, ""),
+      (5L, 0L, 0L, "")))
   }
 
   test("vocabCoverage: full-size vocab covers everything; coverage bounded") {

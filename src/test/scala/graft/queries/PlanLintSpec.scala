@@ -105,16 +105,25 @@ class PlanLintSpec extends SparkSpecBase {
   // lint below still guards the real hazard: a corpus-sized frame
   // flowing into a global window of the PLAN a user executes.
 
-  test("global (no-partition) windows only where the input is model-sized") {
-    // r9 verdict item 5: the deliberate Window.orderBy-no-partition
-    // sites are correct only while their inputs stay bounded — this
-    // gate makes a future corpus-sized frame reaching a global window
-    // fail the suite instead of shipping a one-task sort.
+  test("every registered query plans; no cartesian; BNLJ + global windows only where documented") {
+    // ONE planning pass per query serves both checks (Catalyst planning
+    // of the full registry is this spec's dominant cost): the physical
+    // plan feeds the cartesian/BNLJ lints, and its logical counterpart
+    // feeds the global-window lint (r9 verdict item 5 — the deliberate
+    // Window.orderBy-no-partition sites are correct only while their
+    // inputs stay bounded; a corpus-sized frame reaching a global
+    // window must fail the suite, not ship a one-task sort).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val global = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        val qe = fn(spark, sfDir).queryExecution
+        val plan = qe.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct in the physical plan"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+          failures += s"$name: undocumented BroadcastNestedLoopJoin"
+        val global = qe.optimizedPlan.collect {
           case w: LWindow if w.partitionSpec.isEmpty => w
         }
         if (global.nonEmpty && !globalWindowAllowed(name))
@@ -123,23 +132,6 @@ class PlanLintSpec extends SparkSpecBase {
         if (global.isEmpty && globalWindowAllowed(name))
           failures += s"$name: allowlisted but plans no global window — " +
             "stale entry, remove it"
-      } catch {
-        case e: Throwable => failures += s"$name: failed to plan — ${e.getMessage}"
-      }
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
-    spark.catalog.clearCache()
-  }
-
-  test("every registered query plans; no cartesian; BNLJ only where documented") {
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct"))
-          failures += s"$name: CartesianProduct in the physical plan"
-        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
-          failures += s"$name: undocumented BroadcastNestedLoopJoin"
       } catch {
         case e: Throwable => failures += s"$name: failed to plan — ${e.getMessage}"
       }

@@ -50,11 +50,29 @@ class KafkaShapedSpec extends SparkSpecBase {
       KafkaShaped.encode(df, "t", col("k"), col("v"), col("ts"), col("off"), 2),
       payloadSchema)
     assert(decoded.columns.toSeq ===
-      Seq("topic", "partition", "offset", "timestamp", "user", "action"))
-    val byOff = decoded.collect().map(r => r.getLong(2) -> r).toMap
-    assert(byOff(0L).getLong(4) === 1L && byOff(0L).getString(5) === "view")
-    assert(byOff(1L).isNullAt(4) && byOff(1L).isNullAt(5),
-      "malformed payload surfaces as nulls (dead-letter routable), not a crash")
+      Seq("key", "topic", "partition", "offset", "timestamp", "corrupt", "user", "action"))
+    val byOff = decoded.collect().map(r => r.getLong(3) -> r).toMap
+    assert(byOff(0L).getLong(6) === 1L && byOff(0L).getString(7) === "view")
+    assert(!byOff(0L).getBoolean(5) && new String(
+      byOff(0L).getAs[Array[Byte]](0), "UTF-8") === "1",
+      "valid payload is not corrupt; message key carried for bookkeeping")
+    assert(byOff(1L).getBoolean(5),
+      "malformed payload flags corrupt=true (dead-letter routable), not a crash")
+  }
+
+  test("encode passes pre-encoded binary payloads through byte-identical") {
+    val s = spark
+    import s.implicits._
+    // 0xFF is not valid UTF-8: a string round-trip would fold it to
+    // U+FFFD and change both the payload and its partition hash
+    val raw = Array[Byte](0x00, 0x7f, -1, 0x42)
+    val df = Seq((Array[Byte](1, -1), raw,
+        Timestamp.valueOf("2024-01-01 10:00:00"), 0L))
+      .toDF("k", "v", "ts", "off")
+    val row = KafkaShaped.encode(df, "t", col("k"), col("v"),
+      col("ts"), col("off"), 4).collect().head
+    assert(row.getAs[Array[Byte]](0).toSeq === Seq[Byte](1, -1))
+    assert(row.getAs[Array[Byte]](1).toSeq === raw.toSeq)
   }
 
   test("the adapters run identically over a STREAM (MemoryStream standing in for the topic)") {

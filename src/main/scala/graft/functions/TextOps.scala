@@ -90,16 +90,28 @@ object TextOps {
 
   /** Quality score in [0,1]: length signal + stopword-ratio signal + word-
     * length signal (SURVEY.md §2.10; the standard cheap pre-filter shape
-    * for pretraining corpora). */
+    * for pretraining corpora).
+    *
+    * The final round goes THROUGH DECIMAL(28,14) (the H.dec rule), not
+    * ROUND(double): the components' denominators are small (nt, 50, 8),
+    * so the raw score lands EXACTLY on 4-decimal half-way boundaries
+    * routinely (e.g. 0.43125 with nt=32) — where Spark's
+    * exact-expansion HALF_UP and DuckDB's scaled-multiply rounding
+    * disagree by one ulp. Recovering the value at scale 14 first (no
+    * boundary there — the double's expansion deviates from the exact
+    * value only around digit 17) makes both engines round the SAME
+    * decimal, with the same half-away-from-zero rule. Found as 3/500
+    * flips at sf0.001; the sf0.01 gate had passed by luck. */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text)
     val stopRatio = hitCount(text, stopwords("en")).cast("double") / nTok
     val avgTokLen = (length(text) - (nTok - 1)).cast("double") / nTok
     round(
-      least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5 +
+      (least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5 +
         (lit(1.0) - abs(stopRatio - 0.4)) * 0.3 +
-        least(avgTokLen / 8.0, lit(1.0)) * 0.2,
-      4)
+        least(avgTokLen / 8.0, lit(1.0)) * 0.2)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 14)),
+      4).cast("double")
   }
 
   /** Order-sensitive rolling polynomial fingerprint of the token stream:

@@ -79,10 +79,10 @@ object LlmQueries extends QueryGroup {
             SELECT doc_id, nt AS n_tokens, hits AS stop_hits,
               ROUND(hits * 1.0 / nt, 4) AS stop_ratio,
               ROUND((length(text) - (nt - 1)) * 1.0 / nt, 4) AS avg_tok_len,
-              ROUND(LEAST(nt / 50.0, 1.0) * 0.5
+              CAST(ROUND(CAST(LEAST(nt / 50.0, 1.0) * 0.5
                     + (1.0 - ABS(hits * 1.0 / nt - 0.4)) * 0.3
-                    + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2,
-                    4) AS quality
+                    + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2
+                    AS DECIMAL(28,14)), 4) AS DOUBLE) AS quality
             FROM x ORDER BY doc_id"""))
 
   val q33 = QueryDef(
@@ -1098,10 +1098,10 @@ object LlmQueries extends QueryGroup {
                    AS BIGINT) AS hits
                FROM documents),
             q AS (SELECT doc_id, lang,
-                    ROUND(LEAST(nt / 50.0, 1.0) * 0.5
+                    CAST(ROUND(CAST(LEAST(nt / 50.0, 1.0) * 0.5
                           + (1.0 - ABS(hits * 1.0 / nt - 0.4)) * 0.3
-                          + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2,
-                          4) AS quality
+                          + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2
+                          AS DECIMAL(28,14)), 4) AS DOUBLE) AS quality
                   FROM x),
             r AS (SELECT doc_id, lang, quality,
                     ROUND(percent_rank() OVER (PARTITION BY lang
@@ -1811,10 +1811,10 @@ object LlmQueries extends QueryGroup {
                         AS BIGINT) AS hits
                     FROM documents),
               qs AS (SELECT doc_id,
-                       ROUND(LEAST(nt / 50.0, 1.0) * 0.5
+                       CAST(ROUND(CAST(LEAST(nt / 50.0, 1.0) * 0.5
                          + (1.0 - ABS(hits * 1.0 / nt - 0.4)) * 0.3
-                         + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2,
-                         4) AS quality
+                         + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2
+                         AS DECIMAL(28,14)), 4) AS DOUBLE) AS quality
                      FROM x),
               j AS (SELECT cl.cluster_id, cl.doc_id, qs.quality,
                       row_number() OVER (PARTITION BY cl.cluster_id
@@ -3012,10 +3012,10 @@ object LlmQueries extends QueryGroup {
                 length(text) AS ln_
               FROM documents),
              q AS (SELECT doc_id, source, nt,
-                ROUND(LEAST(nt / 50.0, 1.0) * 0.5
+                CAST(ROUND(CAST(LEAST(nt / 50.0, 1.0) * 0.5
                       + (1.0 - ABS(hits * 1.0 / nt - 0.4)) * 0.3
-                      + LEAST(((ln_ - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2,
-                      4) AS quality
+                      + LEAST(((ln_ - (nt - 1)) * 1.0 / nt) / 8.0, 1.0) * 0.2
+                      AS DECIMAL(28,14)), 4) AS DOUBLE) AS quality
               FROM x),
              c AS (SELECT doc_id, source, nt, quality,
                 CAST(COALESCE(SUM(nt) OVER (PARTITION BY source

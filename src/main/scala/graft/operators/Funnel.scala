@@ -197,4 +197,57 @@ object Funnel {
           .as("retention"))
       .orderBy("cohort", "k")
   }
+
+  /** Ingest-rate anomaly detection: bucket the event stream, z-score
+    * each bucket's count against the corpus of buckets, flag |z| ≥
+    * `zThreshold` — the monitoring query every ingest dashboard runs
+    * (a scraper outage is a low spike, a bot flood or replay is a high
+    * one). The time-series counterpart of the corpus drift monitors
+    * ([[Quality]]'s KL family watches DISTRIBUTIONS; this watches
+    * VOLUME).
+    *
+    * Determinism: mean and variance come from EXACT integer moments —
+    * Σx and Σx² over BIGINT bucket counts, variance =
+    * (n·Σx² − (Σx)²) / (n·(n−1)) — never from engine `stddev`, whose
+    * streaming accumulation (Welford vs two-pass) differs across
+    * engines in late digits; z is then one double quotient over a sqrt
+    * (continuous, safe to round) computed from identical integers.
+    *
+    * Output: (bucket, n, z, anomalous), bucket = epoch-micros window
+    * start, ordered. Degenerate corpora (≤1 bucket, or all buckets
+    * equal ⇒ zero variance) yield z = NULL / anomalous = false —
+    * surfaced, not flagged.
+    *
+    * Scale shape: ONE aggregation to the buckets frame (map-side
+    * combining; buckets ≪ events), then a 1-row stats frame broadcast
+    * back over it (the q61 one-row-crossJoin class). The raw log is
+    * scanned once and never shuffled whole. Same non-negative-micros
+    * DIV contract as [[cohortRetention]]. */
+  def rateAnomalies(
+      events: DataFrame,
+      bucketUs: Long,
+      tsCol: String = "uts",
+      zThreshold: Double = 2.0,
+      roundTo: Int = 4): DataFrame = {
+    require(bucketUs >= 1L, s"bucketUs $bucketUs must be >= 1")
+    require(zThreshold > 0.0, s"zThreshold $zThreshold must be > 0")
+    val ts = "`" + tsCol.replace("`", "``") + "`"
+    val buckets = events
+      .select(expr(s"(CAST($ts AS BIGINT) DIV ${bucketUs}L) * ${bucketUs}L").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val stats = buckets.agg(
+      count(lit(1)).as("nb"),
+      sum(col("n")).as("sx"),
+      sum(col("n") * col("n")).as("sxx"))
+    val z = (col("n") * col("nb") - col("sx")).cast("double") /
+      (col("nb") * sqrt(
+        (col("nb") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("nb") * (col("nb") - lit(1L)))))
+    buckets.crossJoin(broadcast(stats))
+      .select(col("bucket"), col("n"),
+        when(col("nb") > 1 && (col("nb") * col("sxx") =!= col("sx") * col("sx")),
+          round(z, roundTo)).as("z"))
+      .withColumn("anomalous", coalesce(abs(col("z")) >= zThreshold, lit(false)))
+      .orderBy("bucket")
+  }
 }

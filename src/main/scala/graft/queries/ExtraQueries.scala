@@ -331,6 +331,37 @@ object ExtraQueries extends QueryGroup {
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM ng GROUP BY path
             ORDER BY n DESC, path LIMIT 20"""))
 
+  val q135 = QueryDef(
+    "q135_rate_anomalies",
+    "ingest-rate anomaly detection: hourly event-count buckets z-scored " +
+      "against the bucket corpus, |z| >= 2 flagged — the volume monitor " +
+      "beside the KL drift family's distribution monitors. Mean/variance " +
+      "from EXACT integer moments (sum, sum-of-squares over BIGINT " +
+      "counts), never engine stddev (whose accumulation differs across " +
+      "engines); z is one double quotient over a sqrt of identical " +
+      "integers. One aggregation + a 1-row broadcast stats frame",
+    (s, dir) =>
+      graft.operators.Funnel.rateAnomalies(
+        t(s, dir, "events").select(us(col("ts")).as("uts")),
+        bucketUs = 3600L * 1000000L),
+    Some("""WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1),
+             st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                      CAST(SUM(n) AS BIGINT) AS sx,
+                      CAST(SUM(n * n) AS BIGINT) AS sxx
+                    FROM b),
+             zc AS (SELECT b.bucket, b.n,
+                      CASE WHEN st.nb > 1 AND st.nb * st.sxx <> st.sx * st.sx
+                        THEN ROUND((b.n * st.nb - st.sx) * 1.0 /
+                          (st.nb * sqrt((st.nb * st.sxx - st.sx * st.sx) * 1.0 /
+                                        (st.nb * (st.nb - 1)))), 4)
+                      END AS z
+                    FROM b CROSS JOIN st)
+            SELECT bucket, n, z,
+              COALESCE(ABS(z) >= 2.0, false) AS anomalous
+            FROM zc ORDER BY bucket"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130)
+    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135)
 }

@@ -140,4 +140,28 @@ class FunnelSpec extends SparkSpecBase {
       (1L, 0L, 1L, 1L, 1.0),
       (1L, 1L, 1L, 1L, 1.0)))
   }
+
+  test("rateAnomalies: hand-computed z-scores; zero-variance and singleton corpora yield NULL z") {
+    val s = spark
+    import s.implicits._
+    // buckets of width 10: counts 4, 1, 1 -> mean 2, var_samp 3
+    val events = Seq(0L, 1L, 2L, 3L, 10L, 20L).toDF("uts")
+    val out = Funnel.rateAnomalies(events, bucketUs = 10L, zThreshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3)))
+    val s3 = math.sqrt(3.0)
+    def z(x: Long) = BigDecimal((x - 2.0) / s3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Array(
+      (0L, 4L, z(4), true), (10L, 1L, z(1), false), (20L, 1L, z(1), false)))
+
+    // all buckets equal: zero variance -> z NULL, nothing flagged
+    val flat = Funnel.rateAnomalies(
+      Seq(0L, 10L, 20L).toDF("uts"), bucketUs = 10L).collect()
+    assert(flat.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
+
+    // a single bucket: no sample variance -> z NULL
+    val one = Funnel.rateAnomalies(Seq(1L, 2L).toDF("uts"), bucketUs = 10L).collect()
+    assert(one.length === 1 && one.head.isNullAt(2) && !one.head.getBoolean(3))
+  }
 }

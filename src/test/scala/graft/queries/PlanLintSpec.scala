@@ -63,6 +63,9 @@ class PlanLintSpec extends SparkSpecBase {
     // q127: the 1-row stage-1 count crossJoined onto the 3-row funnel
     // union for rates — q61's documented one-row-broadcast class
     "q127_event_funnel",
+    // q135: the 1-row integer-moments stats frame crossJoined onto the
+    // buckets frame for z-scoring — q61's documented one-row class
+    "q135_rate_anomalies",
     // q93: same class — the 1-row reference-LM stats frame (nt, vsz)
     "q93_drift_against_reference",
     // q96: the 1-row vocabulary-size frame crossJoined onto the bigram

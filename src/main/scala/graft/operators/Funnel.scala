@@ -207,11 +207,20 @@ object Funnel {
     * VOLUME).
     *
     * Determinism: mean and variance come from EXACT integer moments —
-    * Σx and Σx² over BIGINT bucket counts, variance =
+    * Σx and Σx² over the bucket counts, variance =
     * (n·Σx² − (Σx)²) / (n·(n−1)) — never from engine `stddev`, whose
     * streaming accumulation (Welford vs two-pass) differs across
     * engines in late digits; z is then one double quotient over a sqrt
-    * (continuous, safe to round) computed from identical integers.
+    * (continuous, safe to round) computed from identical exact inputs.
+    * The moments accumulate in DECIMAL(38,0), not BIGINT: Σx² and
+    * (Σx)² cross 2⁶³ at ~3·10⁹ total events — routine at the ingest
+    * scale this monitors — where BIGINT arithmetic would THROW under
+    * Spark 4's default ANSI mode (and silently wrap with ANSI off);
+    * decimal(38) is exact to 10³⁸, far past any real event volume.
+    *
+    * Null timestamps are EXCLUDED before bucketing (a null has no
+    * window; folding nulls into a pseudo-bucket would z-score the
+    * scraper's error rows as ingest volume).
     *
     * Output: (bucket, n, z, anomalous), bucket = epoch-micros window
     * start, ordered. Degenerate corpora (≤1 bucket, or all buckets
@@ -231,18 +240,21 @@ object Funnel {
       roundTo: Int = 4): DataFrame = {
     require(bucketUs >= 1L, s"bucketUs $bucketUs must be >= 1")
     require(zThreshold > 0.0, s"zThreshold $zThreshold must be > 0")
+    import org.apache.spark.sql.types.DecimalType
     val ts = "`" + tsCol.replace("`", "``") + "`"
     val buckets = events
+      .where(col(tsCol).isNotNull)
       .select(expr(s"(CAST($ts AS BIGINT) DIV ${bucketUs}L) * ${bucketUs}L").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val nd = col("n").cast(DecimalType(38, 0))
     val stats = buckets.agg(
-      count(lit(1)).as("nb"),
-      sum(col("n")).as("sx"),
-      sum(col("n") * col("n")).as("sxx"))
-    val z = (col("n") * col("nb") - col("sx")).cast("double") /
-      (col("nb") * sqrt(
+      count(lit(1)).cast(DecimalType(38, 0)).as("nb"),
+      sum(nd).as("sx"),
+      sum(nd * nd).as("sxx"))
+    val z = (nd * col("nb") - col("sx")).cast("double") /
+      (col("nb").cast("double") * sqrt(
         (col("nb") * col("sxx") - col("sx") * col("sx")).cast("double") /
-          (col("nb") * (col("nb") - lit(1L)))))
+          (col("nb") * (col("nb") - lit(1))).cast("double")))
     buckets.crossJoin(broadcast(stats))
       .select(col("bucket"), col("n"),
         when(col("nb") > 1 && (col("nb") * col("sxx") =!= col("sx") * col("sx")),

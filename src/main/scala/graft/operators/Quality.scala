@@ -696,9 +696,21 @@ object Quality {
       maxDf: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(maxDf >= 1, s"maxDf $maxDf must be >= 1")
+    // null elements in a caller-supplied units array are dropped UP
+    // FRONT and excluded from n_units — a null unit has no md5, so it
+    // could never match the frequency join and would otherwise be cut
+    // silently regardless of df, violating the only->maxDf contract
     val ex = df
-      .select(col(idCol).as("id"), posexplode(units).as(Seq("pos", "u")))
+      .select(col(idCol).as("id"),
+        posexplode(filter(coalesce(units,
+          array().cast("array<string>")), _.isNotNull)).as(Seq("pos", "u")))
       .select(col("id"), col("pos"), col("u"), md5(col("u")).as("h"))
+      // referenced three times below (frequency, verdict join, per-doc
+      // totals): unpersisted, each reference re-runs the caller's unit
+      // extractor (for q134, a full regex sentence split) over the
+      // whole corpus — the q64-class DISK_ONLY cut, session-cache
+      // managed like every persist here
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val freq = ex.groupBy("h").agg(count_distinct(col("id")).as("df_"))
     val kept = ex.join(freq, "h").filter(col("df_") <= maxDf)
     val per = kept.groupBy("id").agg(
@@ -706,13 +718,14 @@ object Quality {
       concat_ws(" ",
         transform(sort_array(collect_list(struct(col("pos"), col("u")))),
           x => x("u"))).as("clean_text"))
-    // greatest(…, 0): a NULL units array (null text) yields size = -1
-    // under legacy sizeOfNull (and NULL otherwise) — either way the doc
-    // must report 0 units, matching the coalesced kept_units/clean_text
-    df.select(col(idCol).as("id"),
-        greatest(size(units), lit(0)).cast(LongType).as("n_units"))
+    // per-doc totals from the SAME exploded frame (no re-evaluation of
+    // the extractor); the base id scan keeps docs with zero units alive
+    val totals = ex.groupBy("id").agg(count(lit(1)).as("n_units_"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
       .join(per, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_units"),
+      .select(col("id").as(idCol),
+        coalesce(col("n_units_"), lit(0L)).as("n_units"),
         coalesce(col("kept_units"), lit(0L)).as("kept_units"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }

@@ -346,16 +346,19 @@ object ExtraQueries extends QueryGroup {
         bucketUs = 3600L * 1000000L),
     Some("""WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket,
                        CAST(COUNT(*) AS BIGINT) AS n
-                  FROM events GROUP BY 1),
-             st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
-                      CAST(SUM(n) AS BIGINT) AS sx,
-                      CAST(SUM(n * n) AS BIGINT) AS sxx
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             st AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS nb,
+                      CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                      CAST(SUM(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sxx
                     FROM b),
              zc AS (SELECT b.bucket, b.n,
                       CASE WHEN st.nb > 1 AND st.nb * st.sxx <> st.sx * st.sx
-                        THEN ROUND((b.n * st.nb - st.sx) * 1.0 /
-                          (st.nb * sqrt((st.nb * st.sxx - st.sx * st.sx) * 1.0 /
-                                        (st.nb * (st.nb - 1)))), 4)
+                        THEN ROUND(
+                          CAST(CAST(b.n AS DECIMAL(38,0)) * st.nb - st.sx AS DOUBLE) /
+                          (CAST(st.nb AS DOUBLE) *
+                           sqrt(CAST(st.nb * st.sxx - st.sx * st.sx AS DOUBLE) /
+                                CAST(st.nb * (st.nb - 1) AS DOUBLE))), 4)
                       END AS z
                     FROM b CROSS JOIN st)
             SELECT bucket, n, z,

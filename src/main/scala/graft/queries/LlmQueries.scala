@@ -3274,7 +3274,8 @@ object LlmQueries extends QueryGroup {
             per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_units,
                       string_agg(u, ' ' ORDER BY pos) AS clean_text
                     FROM k GROUP BY doc_id)
-            SELECT su.doc_id, CAST(len(su.us) AS BIGINT) AS n_units,
+            SELECT su.doc_id,
+                   COALESCE(CAST(len(su.us) AS BIGINT), 0) AS n_units,
                    COALESCE(per.kept_units, 0) AS kept_units,
                    COALESCE(per.clean_text, '') AS clean_text
             FROM su LEFT JOIN per USING (doc_id) ORDER BY su.doc_id"""))

@@ -120,26 +120,44 @@ object KafkaShaped {
     * writes — `value` bytes → UTF-8 string → `from_json(schema)`,
     * exploded to columns, with the wire metadata (key, topic, partition,
     * offset, timestamp) carried alongside for offset bookkeeping and
-    * event-time watermarks. Malformed payloads surface as
-    * `corrupt = true` via the parser's own corrupt-record channel
-    * (`columnNameOfCorruptRecord`), captured BEFORE the explode —
-    * after `payload.*`, an unparseable payload would be
-    * indistinguishable from a legitimately all-null object like
-    * `{"user":null}` — route `corrupt` rows to a dead-letter sink,
-    * don't silently lose them. */
+    * event-time watermarks. Two flags separate the three null-ish
+    * cases that `payload.*` alone cannot distinguish from a parsed
+    * `{"user":null}`:
+    *
+    *  - `tombstone` — `value IS NULL`, the compacted-topic delete
+    *    marker: NOT corrupt (routing deletes to a dead-letter sink
+    *    would be wrong), but nothing was parsed either;
+    *  - `corrupt` — the parser's corrupt-record channel fired
+    *    (`columnNameOfCorruptRecord`) OR a NON-null value produced no
+    *    struct (empty/whitespace input, which Spark nulls without
+    *    populating the corrupt record). Route these to a dead-letter
+    *    sink, don't silently lose them.
+    *
+    * The wire metadata names (key/topic/partition/offset/timestamp)
+    * plus the two flags are reserved — a payload field with one of
+    * those names would produce ambiguous output columns, so it fails
+    * fast here. */
   def decodeJson(wire: DataFrame, payloadSchema: StructType): DataFrame = {
-    require(!payloadSchema.fieldNames.contains("_corrupt_record"),
-      "payloadSchema must not declare _corrupt_record (decodeJson's own channel)")
+    val reserved = Set("key", "topic", "partition", "offset", "timestamp",
+      "tombstone", "corrupt", "_corrupt_record")
+    val clash = payloadSchema.fieldNames.filter(reserved)
+    require(clash.isEmpty,
+      s"payloadSchema fields [${clash.mkString(", ")}] collide with decodeJson's " +
+        "wire/flag columns — rename them in the schema (and upstream producer)")
     val withCorrupt = payloadSchema.add(StructField("_corrupt_record", StringType))
     wire.select(
-      col("key"), col("topic"), col("partition"), col("offset"), col("timestamp"),
+      col("key"), col("value"), col("topic"), col("partition"), col("offset"),
+      col("timestamp"),
       from_json(col("value").cast(StringType), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("payload"))
       .select(Seq(
         col("key"), col("topic"), col("partition"), col("offset"),
         col("timestamp"),
-        col("payload._corrupt_record").isNotNull.as("corrupt")) ++
+        col("value").isNull.as("tombstone"),
+        (col("value").isNotNull &&
+          (col("payload._corrupt_record").isNotNull || col("payload").isNull))
+          .as("corrupt")) ++
         payloadSchema.fieldNames.toSeq.map(f => col(s"payload.`$f`").as(f)): _*)
   }
 }

@@ -144,8 +144,9 @@ class FunnelSpec extends SparkSpecBase {
   test("rateAnomalies: hand-computed z-scores; zero-variance and singleton corpora yield NULL z") {
     val s = spark
     import s.implicits._
-    // buckets of width 10: counts 4, 1, 1 -> mean 2, var_samp 3
-    val events = Seq(0L, 1L, 2L, 3L, 10L, 20L).toDF("uts")
+    // buckets of width 10: counts 4, 1, 1 -> mean 2, var_samp 3; the
+    // null timestamp must be EXCLUDED, not folded into a pseudo-bucket
+    val events = (Seq(0L, 1L, 2L, 3L, 10L, 20L).map(Option(_)) :+ None).toDF("uts")
     val out = Funnel.rateAnomalies(events, bucketUs = 10L, zThreshold = 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3)))

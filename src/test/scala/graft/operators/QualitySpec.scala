@@ -389,6 +389,17 @@ class QualitySpec extends SparkSpecBase {
       (3L, 3L, 1L, "unique thought"),
       (4L, 2L, 0L, ""),
       (5L, 0L, 0L, "")))
+
+    // null ELEMENTS inside a units array drop up front and are excluded
+    // from n_units (they can never match the frequency join, so keeping
+    // them counted would misreport the only-over-maxDf contract)
+    import org.apache.spark.sql.functions.{array, lit => flit}
+    val withNulls = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "x")
+    val out2 = Quality.dropBoilerplateUnits(withNulls,
+        array(flit(null).cast("string"), col("x")), maxDf = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out2 === Array((1L, 1L, 1L, "a"), (2L, 1L, 1L, "b")))
   }
 
   test("vocabCoverage: full-size vocab covers everything; coverage bounded") {

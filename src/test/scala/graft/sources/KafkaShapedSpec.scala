@@ -50,14 +50,46 @@ class KafkaShapedSpec extends SparkSpecBase {
       KafkaShaped.encode(df, "t", col("k"), col("v"), col("ts"), col("off"), 2),
       payloadSchema)
     assert(decoded.columns.toSeq ===
-      Seq("key", "topic", "partition", "offset", "timestamp", "corrupt", "user", "action"))
+      Seq("key", "topic", "partition", "offset", "timestamp",
+        "tombstone", "corrupt", "user", "action"))
     val byOff = decoded.collect().map(r => r.getLong(3) -> r).toMap
-    assert(byOff(0L).getLong(6) === 1L && byOff(0L).getString(7) === "view")
-    assert(!byOff(0L).getBoolean(5) && new String(
+    assert(byOff(0L).getLong(7) === 1L && byOff(0L).getString(8) === "view")
+    assert(!byOff(0L).getBoolean(6) && new String(
       byOff(0L).getAs[Array[Byte]](0), "UTF-8") === "1",
       "valid payload is not corrupt; message key carried for bookkeeping")
-    assert(byOff(1L).getBoolean(5),
+    assert(byOff(1L).getBoolean(6),
       "malformed payload flags corrupt=true (dead-letter routable), not a crash")
+  }
+
+  test("decodeJson: tombstones and empty payloads are distinguished from parsed nulls") {
+    val s = spark
+    import s.implicits._
+    // wire rows built directly: a tombstone (null value), an empty-byte
+    // payload, and a legitimately all-null parsed object
+    val wire = Seq(
+      (Array[Byte](49), null.asInstanceOf[Array[Byte]], "t", 0, 0L,
+        Timestamp.valueOf("2024-01-01 10:00:00"), 0),
+      (Array[Byte](50), Array.empty[Byte], "t", 0, 1L,
+        Timestamp.valueOf("2024-01-01 10:00:01"), 0),
+      (Array[Byte](51), """{"user":null,"action":null}""".getBytes("UTF-8"), "t", 0, 2L,
+        Timestamp.valueOf("2024-01-01 10:00:02"), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val rows = KafkaShaped.decodeJson(wire, payloadSchema)
+      .collect().map(r => r.getLong(3) -> ((r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(rows(0L) === ((true, false)),
+      "null value = tombstone, NOT corrupt (a delete marker is not bad data)")
+    assert(rows(1L) === ((false, true)),
+      "empty bytes = corrupt (unparseable non-null value), not a tombstone")
+    assert(rows(2L) === ((false, false)),
+      "a parsed all-null object is neither tombstone nor corrupt")
+  }
+
+  test("decodeJson rejects payload fields colliding with wire/flag columns") {
+    val bad = StructType(Seq(StructField("key", StringType)))
+    val wire = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), KafkaShaped.wireSchema)
+    val e = intercept[IllegalArgumentException](KafkaShaped.decodeJson(wire, bad))
+    assert(e.getMessage.contains("collide"))
   }
 
   test("encode passes pre-encoded binary payloads through byte-identical") {

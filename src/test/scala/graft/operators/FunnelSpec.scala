@@ -105,6 +105,41 @@ class FunnelSpec extends SparkSpecBase {
     assert(rows.groupBy(t => (t._1, t._3)).size === ids.size)
   }
 
+  test("sessionize equals a driver-side reference on randomized event logs") {
+    val s = spark; import s.implicits._
+    // reference: per user, sort by ts; a new session starts when the
+    // gap since the PREVIOUS event exceeds gapUs; ties share a session
+    def reference(events: Seq[(Long, Long)], gap: Long): Map[(Long, Long), Long] = {
+      events.groupBy(_._1).flatMap { case (u, evs) =>
+        val ts = evs.map(_._2).sorted
+        var session = 0L
+        var prev = ts.head
+        // each DISTINCT timestamp gets one session label; duplicates share it
+        val labels = scala.collection.mutable.Map[(Long, Long), Long]()
+        for (t <- ts) {
+          if (t - prev > gap) session += 1
+          labels((u, t)) = session
+          prev = t
+        }
+        labels
+      }
+    }
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val evs = (1 to 400).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(200).toLong))
+      val want = reference(evs, gap = 15L)
+      val got = Funnel.sessionize(evs.toDF("user_id", "uts"), gapUs = 15L)
+        .select("user_id", "uts", "session")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      // EVERY row (including duplicate timestamps) must carry the
+      // reference label for its (user, ts)
+      got.foreach { case (k, v) =>
+        assert(v === want(k), s"seed=$seed at $k")
+      }
+      assert(got.map(_._1).toSet === want.keySet, s"seed=$seed coverage")
+    }
+  }
+
   test("topPaths: session gaps cut paths; counts hand-computed") {
     val s = spark; import s.implicits._
     // user 1 session A: a,b,c,b (paths a>b>c, b>c>b); the gap to event 5

@@ -402,6 +402,35 @@ class QualitySpec extends SparkSpecBase {
     assert(out2 === Array((1L, 1L, 1L, "a"), (2L, 1L, 1L, "b")))
   }
 
+  test("dropBoilerplateUnits equals a driver-side reference on randomized corpora") {
+    import org.apache.spark.sql.functions.{col, split}
+    val s = spark
+    import s.implicits._
+    def reference(docs: Seq[(Long, Seq[String])], maxDf: Int)
+        : Map[Long, (Long, Long, String)] = {
+      val df = docs.flatMap { case (id, us) => us.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).distinct.size }
+      docs.map { case (id, us) =>
+        val kept = us.filter(u => df(u) <= maxDf)
+        id -> ((us.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    for (seed <- Seq(5, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // small unit vocabulary so cross-doc repetition actually occurs
+      val vocab = Vector("u0", "u1", "u2", "u3", "u4", "u5", "u6", "u7")
+      val docs = (1L to 60L).map(id =>
+        id -> Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))))
+      val want = reference(docs, maxDf = 20)
+      val got = Quality.dropBoilerplateUnits(
+          docs.map { case (id, us) => (id, us.mkString("|")) }.toDF("doc_id", "raw"),
+          split(col("raw"), "\\|"), maxDf = 20)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("vocabCoverage: full-size vocab covers everything; coverage bounded") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val full = Quality.vocabCoverage(docs, vocabSize = 100000).collect()

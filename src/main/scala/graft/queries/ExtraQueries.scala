@@ -365,6 +365,41 @@ object ExtraQueries extends QueryGroup {
               COALESCE(ABS(z) >= 2.0, false) AS anomalous
             FROM zc ORDER BY bucket"""))
 
+  val q136 = QueryDef(
+    "q136_tokenizer_fertility",
+    "tokenizer fertility audit: BPE-pretokens per BYTE and bytes per " +
+      "token, per language — the metric that decides whether a " +
+      "tokenizer is usable on a multilingual corpus (a high-fertility " +
+      "slice pays more sequence length for the same text; q46 measures " +
+      "the token-vs-token expansion, this measures against the BYTE " +
+      "axis that storage and context windows actually bill). One " +
+      "narrow pass + a langs-sized aggregation; ratios are genuine " +
+      "quotients of exact integer sums",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val bpe = graft.functions.TextOps.bpeTokenCount(col("text"))
+      val bytes = octet_length(col("text")).cast(LongType)
+      d.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(bytes).as("total_bytes"),
+          sum(bpe).as("bpe_tokens"),
+          round(sum(bpe).cast("double") / sum(bytes), 6).as("tokens_per_byte"),
+          round(sum(bytes).cast("double") / sum(bpe), 4).as("bytes_per_token"))
+        .orderBy("lang")
+    },
+    Some("""WITH x AS (SELECT lang,
+                  octet_length(encode(text)) AS nb,
+                  len(regexp_extract_all(lower(text),
+                      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nt
+                FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(nb) AS BIGINT) AS total_bytes,
+              CAST(SUM(nt) AS BIGINT) AS bpe_tokens,
+              ROUND(SUM(nt) * 1.0 / SUM(nb), 6) AS tokens_per_byte,
+              ROUND(SUM(nb) * 1.0 / SUM(nt), 4) AS bytes_per_token
+            FROM x GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135)
+    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135, q136)
 }

@@ -66,6 +66,14 @@ def main():
                 neq = ~(av.eq(bv) | (av.isna() & bv.isna()))
             except Exception:
                 neq = av.astype(str) != bv.astype(str)
+            # Driver-faithful mode: the driver hashes rendered values, so
+            # -0.0 vs 0.0 (invisible to pandas eq) is a real mismatch.
+            # Flag sign-of-zero disagreements on float columns too.
+            if str(av.dtype) == "float64" and str(bv.dtype) == "float64":
+                import numpy as np
+                neq = neq | (
+                    np.signbit(av.to_numpy()) != np.signbit(bv.to_numpy())
+                ) & ~(av.isna() & bv.isna())
             if neq.any():
                 i = int(neq.idxmax())
                 diffs.append((c, i, av.iloc[i], bv.iloc[i], int(neq.sum())))

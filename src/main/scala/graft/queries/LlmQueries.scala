@@ -1138,6 +1138,9 @@ object LlmQueries extends QueryGroup {
       Quality.importanceWeights(d, d.where(col("lang") === "en"))
         .orderBy("doc_id")
     },
+    // `+ 0.0` on importance: DuckDB's ROUND keeps IEEE sign (a tiny
+    // negative mean rounds to -0.0) while Spark's BigDecimal-based round
+    // yields +0.0; the driver hash is bitwise, so normalize -0.0 away.
     Some("""WITH tok AS (SELECT doc_id,
                            unnest(string_split_regex(text, '\s+')) AS tok
                          FROM documents),
@@ -1155,7 +1158,7 @@ object LlmQueries extends QueryGroup {
                        AS DECIMAL(28,14)) AS lw
                    FROM cf LEFT JOIN tf USING (tok) CROSS JOIN st)
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   ROUND(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 4) AS importance
+                   ROUND(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 4) + 0.0 AS importance
             FROM tok JOIN lw USING (tok)
             GROUP BY doc_id ORDER BY doc_id"""))
 

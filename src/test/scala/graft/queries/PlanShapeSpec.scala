@@ -221,4 +221,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       "PageRank must never plan an all-pairs product")
   }
+
+  test("q11: no unbounded percentile buffer, no Expand from mixed distinct aggs") {
+    val p = plan("q11_agg_distinct_approx_percentile")
+    // Exact quantiles must ride the sort-based two-pass (distinct counts +
+    // running-count window), never the O(rows/group)-state `percentile`
+    // TypedImperativeAggregate. `percentile_approx(` (bounded sketch state,
+    // ~accuracy entries/group) is the one permitted object aggregate.
+    assert(!p.contains("percentile("),
+      "exact percentile aggregate (unbounded per-group state) must not appear")
+    assert(!p.contains("Expand"),
+      "mixed distinct aggregates must be split into separate aggregations")
+    // the split distinct aggs must still broadcast only group-count-sized
+    // frames into the final assembly joins
+    assert(!p.contains("CartesianProduct"), "assembly joins must be keyed")
+  }
 }

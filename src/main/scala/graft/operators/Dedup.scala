@@ -1140,7 +1140,15 @@ object Dedup {
     * (its cost dominates); accounting adds ONE id-keyed join of the
     * (id, slice, token-count) projection against the (id, keep) frame —
     * 16-byte-ish currency, text never moves — and one slice
-    * aggregation. */
+    * aggregation.
+    *
+    * Precompute-once contract (the [[corpusShingles]]/[[corpusFps]]
+    * pattern): a pipeline that already holds the clustering decision
+    * passes it via `clusters` — (idCol, keep) and whatever else — and the
+    * accounting joins against THAT frame instead of re-deriving the
+    * shingle self-join + connected components. [[dedupClusters]] output
+    * is lineage-truncated, so the passed frame never re-plans the pair
+    * pipeline. */
   def dedupAccounting(
       df: DataFrame,
       sliceCol: String = "source",
@@ -1148,12 +1156,14 @@ object Dedup {
       textCol: String = "text",
       n: Int = 3,
       minJaccard: Double = 0.8,
-      roundTo: Int = 4): DataFrame = {
-    val clusters = dedupClusters(df, idCol, textCol, n, minJaccard)
+      roundTo: Int = 4,
+      clusters: Option[DataFrame] = None): DataFrame = {
+    val cl = clusters
+      .getOrElse(dedupClusters(df, idCol, textCol, n, minJaccard))
       .select(col(idCol).as("id_"), col("keep"))
     df.select(col(idCol).as("id_"), col(sliceCol).as("slice"),
         graft.functions.TextOps.tokenCount(col(textCol)).as("nt"))
-      .join(clusters, "id_")
+      .join(cl, "id_")
       .groupBy("slice")
       .agg(count(lit(1)).as("n_docs"),
         count(when(!col("keep"), lit(1))).as("n_removed"),

@@ -436,14 +436,19 @@ object Similarity {
     val dim = head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
     val dsub = dim / m
+    // Seed = first ksub vectors by id. TakeOrdered ships exactly ksub
+    // rows (≤ 256·dim doubles — model state, the same driver-side budget
+    // as a Lloyd round's means below); indexing them 0..ksub-1 here
+    // avoids an unpartitioned row_number window, whose "moving all data
+    // to a single partition" warning would mask real regressions in the
+    // bench log even though this frame is bounded.
     var books = vn.orderBy(col("id")).limit(ksub)
-      .withColumn("c",
-        row_number().over(Window.orderBy(col("id"))).cast("int") - 1)
-      .select(col("c"), posexplode(
-          transform(sequence(lit(0), lit(m - 1)),
-            mi => slice(col("vn"), mi * lit(dsub) + 1, lit(dsub))))
-        .as(Seq("m", "sub")))
-      .select(col("m"), col("c"), col("sub").as("cvec"))
+      .select(col("vn")).collect()
+      .iterator.zipWithIndex.flatMap { case (r, c) =>
+        val v = r.getSeq[Double](0)
+        (0 until m).map(mi =>
+          (mi, c, v.slice(mi * dsub, (mi + 1) * dsub)))
+      }.toSeq.toDF("m", "c", "cvec")
     for (_ <- 0 until iters) {
       val dims = assignCodes(vn, books, m, dsub, "id")
         .select(col("m"), col("c"), posexplode(col("sub")).as(Seq("pos", "x")))

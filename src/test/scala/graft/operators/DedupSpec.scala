@@ -817,6 +817,32 @@ class DedupSpec extends SparkSpecBase {
       ("B", 2L, 1L, 11L, 5L, 0.4545)))
   }
 
+  test("dedupAccounting: precomputed clusters frame is joined, not re-derived") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(
+      (1L, "A", "w1 w2 w3 w4 w5"),
+      (2L, "B", "w1 w2 w3 w4 w5"),
+      (3L, "B", "q r s t u v"))
+      .toDF("doc_id", "source", "text")
+    val clusters = Dedup.dedupClusters(df, minJaccard = 0.9)
+    val acct = Dedup.dedupAccounting(df, minJaccard = 0.9,
+      clusters = Some(clusters))
+    // same numbers as the inline path…
+    val rows = acct.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows === Array(
+      ("A", 1L, 0L, 5L, 0L, 0.0),
+      ("B", 2L, 1L, 11L, 5L, 0.4545)))
+    // …and the accounting plan must consume the lineage-truncated cluster
+    // labels: no shingle generator / pair self-join anywhere in it. The
+    // shared frame plans (and ran) once, upstream of this call.
+    val plan = acct.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"cluster pipeline must not be re-derived (shingle explode found)")
+    assert(!plan.contains("sorted_long_intersect"),
+      s"cluster pipeline must not be re-derived (pair verify kernel found)")
+  }
+
   test("noveltyGate: stitched-from-fragments doc is rejected, fresh doc admitted") {
     val s2 = spark; import s2.implicits._
     val corpus = Seq(

@@ -68,11 +68,16 @@ object Bench {
     }
     // scoped dev runs (SPARK_GRAFT_ONLY set) must NOT clobber the
     // published full-registry artifact with a 4-query fragment
-    if (only.isEmpty)
+    if (only.isEmpty) {
+      // lands beside the repo artifacts wherever the checkout lives:
+      // SPARK_GRAFT_REPO_DIR overrides, else the working directory
+      val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR",
+        System.getProperty("user.dir", "."))
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        java.nio.file.Paths.get(repoDir, "BENCH_FULL.json"),
         render((k, _, _) => k) + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    }
     println(render((k, _, _) => k.takeWhile(_ != '_')))
     spark.stop()
   }

@@ -242,10 +242,14 @@ object Funnel {
     require(zThreshold > 0.0, s"zThreshold $zThreshold must be > 0")
     import org.apache.spark.sql.types.DecimalType
     val ts = "`" + tsCol.replace("`", "``") + "`"
+    // referenced twice (stats aggregate + probe side of the crossJoin):
+    // persist so the events scan/aggregation genuinely runs once instead
+    // of relying on exchange reuse to kick in
     val buckets = events
       .where(col(tsCol).isNotNull)
       .select(expr(s"(CAST($ts AS BIGINT) DIV ${bucketUs}L) * ${bucketUs}L").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nd = col("n").cast(DecimalType(38, 0))
     val stats = buckets.agg(
       count(lit(1)).cast(DecimalType(38, 0)).as("nb"),

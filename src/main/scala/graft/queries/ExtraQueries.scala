@@ -384,8 +384,13 @@ object ExtraQueries extends QueryGroup {
           count(lit(1)).as("n_docs"),
           sum(bytes).as("total_bytes"),
           sum(bpe).as("bpe_tokens"),
-          round(sum(bpe).cast("double") / sum(bytes), 6).as("tokens_per_byte"),
-          round(sum(bytes).cast("double") / sum(bpe), 4).as("bytes_per_token"))
+          // nullif guards: an all-empty-text lang group (0 bytes) or an
+          // all-space one (0 pretokens) must yield NULL ratios on both
+          // engines, not a fixture-dependent divide-by-zero
+          round(sum(bpe).cast("double") / nullif(sum(bytes), lit(0L)), 6)
+            .as("tokens_per_byte"),
+          round(sum(bytes).cast("double") / nullif(sum(bpe), lit(0L)), 4)
+            .as("bytes_per_token"))
         .orderBy("lang")
     },
     Some("""WITH x AS (SELECT lang,
@@ -396,8 +401,8 @@ object ExtraQueries extends QueryGroup {
             SELECT lang, COUNT(*) AS n_docs,
               CAST(SUM(nb) AS BIGINT) AS total_bytes,
               CAST(SUM(nt) AS BIGINT) AS bpe_tokens,
-              ROUND(SUM(nt) * 1.0 / SUM(nb), 6) AS tokens_per_byte,
-              ROUND(SUM(nb) * 1.0 / SUM(nt), 4) AS bytes_per_token
+              ROUND(SUM(nt) * 1.0 / NULLIF(SUM(nb), 0), 6) AS tokens_per_byte,
+              ROUND(SUM(nb) * 1.0 / NULLIF(SUM(nt), 0), 4) AS bytes_per_token
             FROM x GROUP BY lang ORDER BY lang"""))
 
   override def queries: Seq[QueryDef] =

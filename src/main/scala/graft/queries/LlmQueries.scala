@@ -3224,9 +3224,13 @@ object LlmQueries extends QueryGroup {
       val d = t(s, dir, "documents")
       val txt = regexp_replace(col("text"), "table", "table.")
       val sents = graft.functions.TextOps.sentences(txt)
+      // nullif guard: a doc whose text is empty or all-terminators has 0
+      // sentences; the mean must surface as NULL in both engines instead
+      // of riding on fixture luck (or ANSI DIVIDE_BY_ZERO).
       d.select(col("doc_id"),
           size(sents).cast(LongType).as("n_sentences"),
-          round(graft.functions.TextOps.tokenCount(txt).cast("double") / size(sents), 4)
+          round(graft.functions.TextOps.tokenCount(txt).cast("double") /
+              nullif(size(sents), lit(0)), 4)
             .as("mean_sentence_tokens"))
         .orderBy("doc_id")
     },
@@ -3239,7 +3243,7 @@ object LlmQueries extends QueryGroup {
                       v -> v <> '')) AS ns
                   FROM x)
             SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
-              ROUND(len(string_split_regex(t, '\s+')) * 1.0 / ns, 4)
+              ROUND(len(string_split_regex(t, '\s+')) * 1.0 / NULLIF(ns, 0), 4)
                 AS mean_sentence_tokens
             FROM s ORDER BY doc_id"""))
 

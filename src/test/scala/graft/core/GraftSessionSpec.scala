@@ -13,9 +13,13 @@ class GraftSessionSpec extends SparkSpecBase {
     // them onto the LIVE shared test session — read the map reflectively
     // instead (test-only; the spec owns the breakage risk if the field
     // moves in a Spark upgrade).
-    val f = b.getClass.getSuperclass.getDeclaredFields
-      .find(_.getName.endsWith("options")).getOrElse(
-        b.getClass.getDeclaredFields.find(_.getName.endsWith("options")).get)
+    val f = (b.getClass.getSuperclass.getDeclaredFields.toSeq ++
+        b.getClass.getDeclaredFields.toSeq)
+      .find(_.getName.endsWith("options"))
+      .getOrElse(fail(
+        "SparkSession.Builder no longer has an 'options'-suffixed field — " +
+          "a Spark upgrade moved it; rewrite confOf to capture configs " +
+          "another way (e.g. apply the builder to a fresh SparkConf)"))
     f.setAccessible(true)
     f.get(b).asInstanceOf[scala.collection.mutable.Map[String, String]].toMap
   }

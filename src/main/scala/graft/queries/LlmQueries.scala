@@ -2271,53 +2271,90 @@ object LlmQueries extends QueryGroup {
             SELECT "column", value, n, rank FROM r WHERE rank <= 5
             ORDER BY "column", rank"""))
 
+  // Shared pixel-model CTEs for the real-codec queries (q106/q137): the
+  // rendered 32×32 gray image cycles the doc's bytes, so the DECODED
+  // pixel (PNG is lossless) at index i is ord(text[(i mod len)+1]) on the
+  // ASCII corpus contract — block sums, the 64-bit aHash and its 4×16-bit
+  // bands all replay in exact integer SQL.
+  private val ORACLE_AHASH_SIG =
+    """px AS (SELECT doc_id, g.i AS i,
+                CASE WHEN len(text) > 0
+                  THEN ord(substr(text, CAST(g.i % len(text) AS INT) + 1, 1))
+                  ELSE 0 END AS p
+              FROM documents, generate_series(0, 1023) AS g(i)),
+       blk AS (SELECT doc_id,
+                 (i // 32 // 4) * 8 + (i % 32) // 4 AS b,
+                 CAST(SUM(p) AS BIGINT) AS s
+               FROM px GROUP BY 1, 2),
+       tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts FROM blk GROUP BY 1),
+       bands AS (SELECT blk.doc_id, CAST(b // 16 AS INT) AS band,
+                   CAST(SUM(CASE WHEN s * 64 > ts
+                     THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))
+                     ELSE 0 END) AS BIGINT) AS bk
+                 FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                 GROUP BY 1, 2),
+       sig AS (SELECT bands.doc_id,
+                 MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+                 MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+                 MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+                 MAX(CASE WHEN band = 3 THEN bk END) AS b3
+               FROM bands GROUP BY 1)"""
+
   val q106 = QueryDef(
     "q106_multimodal_neardup",
-    "multimodal near-dup: same-kind payload pairs at byte-histogram " +
-      "cosine >= 0.995 via LSH banding (16 bins -> 4 bands quantized to " +
-      "1/16, candidates share a full band key) + exact integer-count " +
-      "cosine verify — the media-dedup plumbing shape with the decode " +
-      "stub standing in for perceptual features; mod-10 subset (the " +
-      "q36 bounded-probe pattern: the STUB histogram is near-constant " +
-      "on the synthetic corpus, so an unbounded pair query is " +
-      "output-quadratic by construction — real perceptual features " +
-      "separate; the full-corpus scale path is q107's signature dedup)",
+    "multimodal near-dup on REAL decoded features, full corpus (the " +
+      "round-10 bounded-probe gate is gone): every document renders as " +
+      "a genuine 32x32 grayscale PNG (JDK encoder), javax.imageio " +
+      "decodes it back, the 8x8 block-mean aHash comes off the decoded " +
+      "luminance (integer-exact: bit = blockSum*64 > totalSum), LSH on " +
+      "the 4 16-bit bands generates candidates, exact 64-bit hamming " +
+      "verifies. PNG losslessness is what makes a real codec roundtrip " +
+      "SQL-replayable: the oracle recomputes the pixels from the byte " +
+      "pattern and replays block/bit/band/candidate/hamming exactly",
     (s, dir) =>
-      Multimodal.histNearDupPairs(
-          Multimodal.fromDocuments(s, dir).toDF()
-            .filter(col("media_id") % 10 === 0))
+      Multimodal.aHashNearDupPairs(
+          Multimodal.imageAHash(
+            Multimodal.renderGrayPng(
+              t(s, dir, "documents")
+                .select(col("doc_id").as("media_id"),
+                  col("text").cast("binary").as("payload")))).toDF(),
+          maxHamming = 6)
         .orderBy("ia", "ib"),
-    Some("""WITH m AS (SELECT doc_id AS id,
-                         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
-                           AS kind,
-                         text FROM documents WHERE doc_id % 10 = 0),
-              n AS (SELECT id, kind,
-                      [ord(substring(text, i, 1)) // 16
-                       for i in generate_series(1, len(text))] AS nibs,
-                      octet_length(encode(text)) AS nb FROM m),
-              c AS (SELECT id, kind, nb,
-                      [CAST(len(list_filter(nibs, x -> x = b)) AS BIGINT)
-                       for b in generate_series(0, 15)] AS cnt
-                    FROM n WHERE nb > 0),
-              bk AS (SELECT id, kind, bd.band,
-                       array_to_string(
-                         [CAST(CAST(FLOOR(cnt[bd.band * 4 + k] * 16.0 / nb)
-                            AS BIGINT) AS VARCHAR)
-                          for k in generate_series(1, 4)], '_') AS bkey
-                     FROM c CROSS JOIN
-                       (SELECT unnest(generate_series(0, 3)) AS band) bd),
-              cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
-                       FROM bk a JOIN bk b
-                         ON a.kind = b.kind AND a.band = b.band
-                        AND a.bkey = b.bkey AND a.id < b.id),
+    Some(s"""WITH $ORACLE_AHASH_SIG,
+              cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.bk = b.bk
+                        AND a.doc_id < b.doc_id),
               v AS (SELECT cand.ia, cand.ib,
-                      ROUND(list_cosine_similarity(
-                        CAST(ca.cnt AS DOUBLE[]), CAST(cb.cnt AS DOUBLE[])), 4)
-                        AS cos
-                    FROM cand JOIN c ca ON ca.id = cand.ia
-                              JOIN c cb ON cb.id = cand.ib)
-            SELECT ia, ib, cos FROM v WHERE cos >= 0.995
-            ORDER BY ia, ib"""))
+                      bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+                      bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                        AS hamming
+                    FROM cand JOIN sig sa ON sa.doc_id = cand.ia
+                              JOIN sig sb ON sb.doc_id = cand.ib)
+            SELECT ia, ib, CAST(hamming AS BIGINT) AS hamming
+            FROM v WHERE hamming <= 6 ORDER BY ia, ib"""))
+
+  val q137 = QueryDef(
+    "q137_image_codec_ahash",
+    "the per-image half of q106's codec gate: every document's rendered " +
+      "PNG decoded by javax.imageio back to luminance, 8x8 block sums, " +
+      "total, and the 4 aHash bands — one row per image, linear; a " +
+      "single flipped pixel anywhere in the encode->decode roundtrip " +
+      "flips a block sum and breaks the hash match",
+    (s, dir) =>
+      Multimodal.imageAHash(
+          Multimodal.renderGrayPng(
+            t(s, dir, "documents")
+              .select(col("doc_id").as("media_id"),
+                col("text").cast("binary").as("payload")))).toDF()
+        .select(col("media_id").as("doc_id"), col("total").as("total_lum"),
+          col("band0"), col("band1"), col("band2"), col("band3"))
+        .orderBy("doc_id"),
+    Some(s"""WITH $ORACLE_AHASH_SIG
+            SELECT sig.doc_id AS doc_id, tot.ts AS total_lum,
+              b0 AS band0, b1 AS band1, b2 AS band2, b3 AS band3
+            FROM sig JOIN tot ON sig.doc_id = tot.doc_id
+            ORDER BY sig.doc_id"""))
 
   val q107 = QueryDef(
     "q107_multimodal_signature_dedup",
@@ -3294,5 +3331,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q131, q132, q133, q134)
+      q124, q125, q126, q131, q132, q133, q134, q137)
 }

@@ -99,4 +99,70 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().head.getSeq[Array[Byte]](0)
     assert(frames.map(new String(_)) === Seq("abcd", "efgh", "ijkl"))
   }
+
+  test("renderGrayPng -> imageAHash: real codec roundtrip reproduces the byte pattern exactly") {
+    val s = spark
+    import s.implicits._
+    val payload = "the quick brown fox jumps over the lazy dog 0123456789"
+      .getBytes("UTF-8")
+    val df = Seq((7L, payload)).toDF("media_id", "payload")
+    val png = Multimodal.renderGrayPng(df).collect().head
+    assert(png.png.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "payload must be a genuine PNG (magic bytes)")
+    val sig = Multimodal.imageAHash(Seq(png).toDS()).collect().head
+    // recompute block sums / bands straight from the byte pattern: any
+    // lossy step in encode -> javax.imageio decode would break this
+    val sums = new Array[Long](64)
+    for (i <- 0 until 1024)
+      sums(((i / 32) / 4) * 8 + (i % 32) / 4) += payload(i % payload.length) & 0xff
+    val total = sums.sum
+    def band(k: Int): Long = (0 until 16).foldLeft(0L)((acc, j) =>
+      if (sums(k * 16 + j) * 64 > total) acc | (1L << j) else acc)
+    assert(sig.width === 32 && sig.height === 32)
+    assert(sig.total === total)
+    assert(Seq(sig.band0, sig.band1, sig.band2, sig.band3) ===
+      Seq(band(0), band(1), band(2), band(3)))
+  }
+
+  test("featurize: a decodable image payload is REALLY decoded — features come from pixels, not container bytes") {
+    val s = spark
+    import s.implicits._
+    // 16x16 gray image, every pixel 0x42 (high nibble 4)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, 0x42)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "image", png, 16, 16, 0),
+      Multimodal.MediaRecord(2L, "audio", png, 16, 16, 0)).toDS()
+    val feats = Multimodal.featurize(ds).collect()
+      .map(f => f.media_id -> f.histogram.toSeq).toMap
+    // image kind: decoded-pixel histogram — all mass in the 0x4 nibble
+    assert(feats(1L)(4) === 1.0 && feats(1L).sum === 1.0,
+      s"decoded histogram expected all-bin-4, got ${feats(1L)}")
+    // audio kind (no JDK codec): same bytes stay on the container-byte
+    // stub, which spreads across bins (PNG header + deflate stream)
+    assert(feats(2L)(4) < 1.0, "stub histogram must differ from decoded")
+  }
+
+  test("aHashNearDupPairs: identical images pair at hamming 0; structurally different do not") {
+    val s = spark
+    import s.implicits._
+    val text = ("some natural looking text with plenty of variation " * 4)
+      .getBytes("UTF-8")
+    // stripes: alternate dark/light 64-byte runs — block structure far
+    // from the near-uniform text pattern
+    val stripes = Array.tabulate[Byte](512)(i =>
+      if ((i / 64) % 2 == 0) 0x00.toByte else 0x7e.toByte)
+    val df = Seq((1L, text), (2L, text), (3L, stripes))
+      .toDF("media_id", "payload")
+    val sigs = Multimodal.imageAHash(Multimodal.renderGrayPng(df)).toDF()
+    val pairs = Multimodal.aHashNearDupPairs(sigs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) === 0L, "identical images verify at hamming 0")
+  }
 }

@@ -217,6 +217,27 @@ class WindowStream[T: Encoder](
     query
   }
 
+  // ---- rate-controlled ingest (the reference's claimed Flux vocabulary:
+  // sample / throttleLatest, README.md:45,107) ----
+
+  /** Reactor `Flux.sample(period)` admission: a trailing-edge conflating
+    * gate in front of the lossless facade — only the LATEST item offered
+    * during each period survives to `publish`; overwritten items are
+    * counted, never silently lost. This is the one backpressure mode the
+    * blocking facade deliberately lacks: `publish` trades latency for
+    * losslessness, a sampler trades completeness for a bounded rate
+    * (gauge streams, progress tickers — any source where only the
+    * freshest value matters). */
+  def sample(period: FiniteDuration): WindowStream.ThrottleGate[T] =
+    new WindowStream.ThrottleGate[T](this, period, leading = false)
+
+  /** RxJava-style `throttleLatest(period)`: like [[sample]] but
+    * leading-edge — the first item of an idle stream publishes
+    * immediately, subsequent offers conflate to the latest and flush at
+    * the period boundary. Same loss-accounting contract. */
+  def throttleLatest(period: FiniteDuration): WindowStream.ThrottleGate[T] =
+    new WindowStream.ThrottleGate[T](this, period, leading = true)
+
   /** Register a JVM shutdown hook that runs [[stop]]'s full lossless
     * drain on normal JVM termination. The reference lists exactly this as
     * its own open gap and remediation ("no savepoint; a crash loses the
@@ -327,4 +348,85 @@ object WindowStream {
       processedRowsPerSecond = p.processedRowsPerSecond,
       batchDurationMs = p.batchDuration,
       stateRowsTotal = p.stateOperators.map(_.numRowsTotal).sum)
+
+  /** Drop-eligible admission gate in front of a [[WindowStream]] —
+    * `Flux.sample` (trailing) / `throttleLatest` (leading) semantics with
+    * EXPLICIT loss accounting: every offered item is either published to
+    * the stream or counted in [[droppedCount]], so
+    * `publishedCount + droppedCount == offers` always holds (the
+    * invariant the soak spec pins; the lossless facade's contract is the
+    * same identity with zero drops).
+    *
+    * One daemon flusher thread per gate; the cell is a single reference,
+    * so a gate adds O(1) state regardless of offer rate. [[close]]
+    * flushes the pending item (the latest value is never lost, only
+    * intermediate ones) and stops the flusher. */
+  final class ThrottleGate[T] private[WindowStream] (
+      stream: WindowStream[T],
+      period: FiniteDuration,
+      leading: Boolean) {
+    require(period.toMillis >= 1, s"period $period must be >= 1ms")
+    private val cell = new java.util.concurrent.atomic.AtomicReference[AnyRef](null)
+    private val droppedN = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val publishedN = new java.util.concurrent.atomic.AtomicLong(0L)
+    // seeded one period in the past so a leading-edge gate's FIRST offer
+    // emits immediately (Long.MinValue would overflow the elapsed check)
+    private val lastEmitNs = new java.util.concurrent.atomic.AtomicLong(
+      System.nanoTime() - period.toNanos)
+    private val open = new AtomicBoolean(true)
+
+    private def emit(item: T): Unit = {
+      stream.publish(item)
+      publishedN.incrementAndGet()
+      lastEmitNs.set(System.nanoTime())
+    }
+
+    private val flusher = new Thread(() => {
+      try {
+        while (open.get()) {
+          Thread.sleep(period.toMillis)
+          flushPending()
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-ws-throttle-${System.identityHashCode(this)}")
+    flusher.setDaemon(true)
+    flusher.start()
+
+    private def flushPending(): Unit = this.synchronized {
+      val v = cell.getAndSet(null)
+      if (v != null) emit(v.asInstanceOf[T])
+    }
+
+    /** Offer an item through the gate. Returns true when it was published
+      * immediately (leading edge), false when it was conflated into the
+      * cell — where it either flushes at the period boundary or is
+      * dropped (and counted) by a newer offer. */
+    def offer(item: T): Boolean = this.synchronized {
+      if (!open.get()) throw new IllegalStateException(
+        "ThrottleGate is closed: offer() would be silently dropped")
+      if (leading && cell.get() == null &&
+          System.nanoTime() - lastEmitNs.get() >= period.toNanos) {
+        emit(item); true
+      } else {
+        val prev = cell.getAndSet(item.asInstanceOf[AnyRef])
+        if (prev != null) droppedN.incrementAndGet()
+        false
+      }
+    }
+
+    /** Items conflated away (never published). */
+    def droppedCount: Long = droppedN.get()
+
+    /** Items this gate handed to the stream's lossless `publish`. */
+    def publishedCount: Long = publishedN.get()
+
+    /** Flush the pending item (if any) and stop the flusher. Idempotent. */
+    def close(): Unit = {
+      if (open.compareAndSet(true, false)) {
+        flusher.interrupt()
+        flusher.join()
+        flushPending()
+      }
+    }
+  }
 }

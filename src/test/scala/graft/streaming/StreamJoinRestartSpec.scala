@@ -121,6 +121,16 @@ class StreamJoinRestartSpec extends SparkSpecBase {
       clks.addData(ts("10:03:00") -> 1L) // matches ad 1
       clks.addData(ts("10:07:00") -> 3L) // click with NO impression
       q.processAllAvailable()
+      // EMISSION TIMING: while a late match is still admissible under
+      // the watermark, neither unmatched side may complete with nulls —
+      // a null row now could be contradicted by a late arrival on the
+      // other stream. Only the matched pair may be out.
+      val early = s.table("ssfoj_spec").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      assert(!early.exists(p => p._1.isEmpty || p._2.isEmpty),
+        s"no null-side completion may emit before watermark expiry: $early")
+      assert(early.subsetOf(Set((Some(1L), Some(1L)))),
+        s"at most the matched pair before expiry: $early")
       // advance both watermarks past every window end, twice (the
       // null-side flush lands in a following batch)
       imps.addData(ts("10:40:00") -> 98L); clks.addData(ts("10:40:00") -> 99L)
@@ -134,6 +144,14 @@ class StreamJoinRestartSpec extends SparkSpecBase {
         "unmatched impression emits with null click side")
       assert(rows.contains((None, Some(3L))),
         "unmatched click emits with null impression side — the full-outer half")
+      // exactly-once on the completion rows: each null-side completion
+      // emits a single time even across the two flush batches
+      val all = s.table("ssfoj_spec").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+      assert(all.count(_ == ((Some(2L), None))) === 1,
+        "null-click completion must emit exactly once")
+      assert(all.count(_ == ((None, Some(3L)))) === 1,
+        "null-impression completion must emit exactly once")
     } finally q.stop()
   }
 

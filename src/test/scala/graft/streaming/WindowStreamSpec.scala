@@ -233,4 +233,53 @@ class WindowStreamSpec extends SparkSpecBase {
     assert(results.drop(32).forall(!_._2), "overflow rejected, not dropped silently")
     assert(ws.getQueueSize === 32)
   }
+
+  test("sample gate soak: bounded rate, exact loss accounting, latest value survives") {
+    // The drop-eligible admission mode the lossless facade lacks
+    // (reference Flux vocabulary: sample — README.md:45,107). Contract
+    // under soak: published + dropped == offers (nothing vanishes
+    // unaccounted), delivery is a small fraction of the offer rate, and
+    // the FINAL value always lands (close() flushes the pending cell).
+    val s = spark
+    import s.implicits._
+    val total = 5000
+    val ws = new WindowStream[Int](s, queueCapacity = 256,
+      windowMaxBatchSize = 15, windowDuration = 50.millis,
+      consumerParallelism = 2)
+    val received = new ConcurrentLinkedQueue[Int]()
+    ws.subscribe(batch => batch.foreach(received.add))
+    val gate = ws.sample(50.millis)
+    (1 to total).foreach(gate.offer(_))
+    gate.close()
+    ws.stop()
+    val got = received.asScala.toSeq
+    assert(gate.publishedCount + gate.droppedCount === total.toLong,
+      "every offer is either published or counted as dropped")
+    assert(got.size.toLong === gate.publishedCount,
+      "the stream delivers exactly what the gate admitted (lossless past the gate)")
+    assert(gate.publishedCount < total / 10,
+      s"a 50ms sampler must conflate a hot loop (published ${gate.publishedCount}/$total)")
+    assert(got.nonEmpty && got.last === total, "latest value survives the close flush")
+    assert(got == got.sorted, "conflation preserves arrival order")
+  }
+
+  test("throttleLatest gate: leading edge emits the first offer immediately") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 64,
+      windowMaxBatchSize = 15, windowDuration = 50.millis,
+      consumerParallelism = 2)
+    val received = new ConcurrentLinkedQueue[Int]()
+    ws.subscribe(batch => batch.foreach(received.add))
+    val gate = ws.throttleLatest(10.minutes) // period longer than the test
+    assert(gate.offer(1), "idle gate: first offer must publish on the leading edge")
+    assert(!gate.offer(2), "second offer inside the period conflates")
+    assert(!gate.offer(3), "third offer replaces the second (drop accounted)")
+    gate.close()
+    ws.stop()
+    val got = received.asScala.toSeq
+    assert(got === Seq(1, 3), "leading emit + close-flushed latest; 2 conflated away")
+    assert(gate.publishedCount === 2L && gate.droppedCount === 1L)
+    intercept[IllegalStateException](gate.offer(4))
+  }
 }

@@ -372,26 +372,59 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** STUB resize: deterministic stride resampling of the payload bytes to
-    * the target pixel count with metadata updated — the plumbing shape of
-    * a real image scaler (payload transform + width/height rewrite) with
-    * the codec swapped for arithmetic. */
+  /** Resize. Image payloads the JDK can decode take the REAL path:
+    * decode → bilinear `Graphics2D` rescale to w×h → PNG re-encode (the
+    * payload stays a valid image; [[imageAHash]]/[[featurize]] consume it
+    * downstream unchanged). Opaque payloads (audio/video; undecodable
+    * blobs) keep the deterministic stride resample to w·h bytes — the
+    * plumbing-shape stub, clearly scoped to media without a JDK codec. */
   def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     require(w > 0 && h > 0)
     ds.mapPartitions(_.map { r =>
-      val target = w * h
-      val src = r.payload
-      val out = new Array[Byte](target)
-      if (src.nonEmpty) {
-        var i = 0
-        while (i < target) {
-          out(i) = src(((i.toLong * src.length) / target).toInt % src.length)
-          i += 1
-        }
+      val real =
+        if (r.kind == "image") tryResizeImage(r.payload, w, h) else None
+      real match {
+        case Some(png) => r.copy(payload = png, width = w, height = h)
+        case None =>
+          val target = w * h
+          val src = r.payload
+          val out = new Array[Byte](target)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < target) {
+              out(i) = src(((i.toLong * src.length) / target).toInt % src.length)
+              i += 1
+            }
+          }
+          r.copy(payload = out, width = w, height = h)
       }
-      r.copy(payload = out, width = w, height = h)
     })
+  }
+
+  /** Decode, bilinearly rescale, re-encode as gray PNG; None when no JDK
+    * reader recognizes the payload. Deterministic for a given JDK (fixed
+    * interpolation hints, lossless target format). */
+  private[operators] def tryResizeImage(
+      payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
   }
 
   /** Fake frame sampling on the relational path: n equal binary slices of

@@ -76,6 +76,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(shas.size === 2, "raw-byte digests distinguish what the signature unifies")
   }
 
+  test("resize: a decodable image payload is REALLY rescaled through the codec") {
+    val s = spark
+    import s.implicits._
+    val payload = "gradient material for a resize test 0123456789".getBytes("UTF-8")
+    val png32 = Multimodal.renderGrayPng(
+      Seq((1L, payload)).toDF("media_id", "payload")).collect().head.png
+    val rec = Multimodal.MediaRecord(1L, "image", png32, 32, 32, 0)
+    val out = Multimodal.resize(Seq(rec).toDS(), 16, 16).collect().head
+    assert(out.width === 16 && out.height === 16)
+    // the resized payload is a genuine PNG of the target size, not a
+    // stride-resampled byte blob …
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(img != null, "resized payload must decode")
+    assert(img.getWidth === 16 && img.getHeight === 16)
+    // … and deterministic
+    val again = Multimodal.resize(Seq(rec).toDS(), 16, 16).collect().head
+    assert(again.payload.toSeq === out.payload.toSeq)
+  }
+
   test("resize: payload rescaled to target pixel count, metadata rewritten") {
     val ds = Multimodal.fromDocuments(spark, sfDir)
     val out = Multimodal.resize(ds, 8, 6).collect()

@@ -60,6 +60,9 @@ class WindowStream[T: Encoder](
   @volatile private var pumpThread: Thread = _
   @volatile private var pool: java.util.concurrent.ExecutorService = _
   private val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+  // items the pump has moved into the MemoryStream (field, not pump-local:
+  // the timeout watchdog needs pending = pumped + queued − delivered)
+  private val pumpedN = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---- ingest (S1–S4) ----
   //
@@ -139,14 +142,30 @@ class WindowStream[T: Encoder](
     * gate, a subscribe() racing stop() could pass the check, then start a
     * delivery query (and consumer pool) AFTER stop() observed `query ==
     * null` and returned — a live query on a stopped stream. */
-  def subscribe(consumer: Seq[T] => Unit, errorConsumer: (Seq[T], Throwable) => Unit): StreamingQuery = {
+  def subscribe(consumer: Seq[T] => Unit, errorConsumer: (Seq[T], Throwable) => Unit): StreamingQuery =
+    subscribe(consumer, errorConsumer, maxRetries = 0)
+
+  /** Subscribe with a retry budget — the facade's `Flux.retry(n)`
+    * analogue (reference README.md:107 claimed vocabulary), scoped to
+    * the failing BATCH rather than the whole subscription: a consumer
+    * throw re-runs that batch up to `maxRetries` more times (transient
+    * sink hiccups — a flapping connection, a 429 — recover in place)
+    * before the batch routes to `errorConsumer` exactly once. Batches
+    * that never throw are delivered exactly once regardless. */
+  def subscribe(
+      consumer: Seq[T] => Unit,
+      errorConsumer: (Seq[T], Throwable) => Unit,
+      maxRetries: Int): StreamingQuery = {
+    require(maxRetries >= 0, s"maxRetries $maxRetries must be >= 0")
     val rl = gate.readLock()
     rl.lock()
-    try subscribeLocked(consumer, errorConsumer) finally rl.unlock()
+    try subscribeLocked(consumer, errorConsumer, maxRetries) finally rl.unlock()
   }
 
   private def subscribeLocked(
-      consumer: Seq[T] => Unit, errorConsumer: (Seq[T], Throwable) => Unit): StreamingQuery = {
+      consumer: Seq[T] => Unit,
+      errorConsumer: (Seq[T], Throwable) => Unit,
+      maxRetries: Int): StreamingQuery = {
     if (!running.get())
       throw new IllegalStateException(
         "WindowStream is stopped: subscribe() after stop() would start a " +
@@ -172,9 +191,17 @@ class WindowStream[T: Encoder](
           // consumer pool, awaited so trigger cadence backpressures the pump
           val tasks = items.grouped(windowMaxBatchSize).map { chunk =>
             new java.util.concurrent.Callable[Unit] {
-              override def call(): Unit =
-                try consumer(chunk)
-                catch { case e: Exception => errorConsumer(chunk, e) }
+              override def call(): Unit = {
+                var attempt = 0
+                var done = false
+                while (!done) {
+                  try { consumer(chunk); done = true }
+                  catch {
+                    case e: Exception if attempt < maxRetries => attempt += 1
+                    case e: Exception => errorConsumer(chunk, e); done = true
+                  }
+                }
+              }
             }
           }.toSeq
           pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
@@ -194,9 +221,8 @@ class WindowStream[T: Encoder](
       // accumulate an unbounded micro-batch. Publishers block on the
       // bounded queue meanwhile, so the guard is backpressure, not loss.
       val maxInFlight = capacity.toLong * 4
-      var pumped = 0L
       while (running.get()) {
-        if (pumped - delivered.get() >= maxInFlight) {
+        if (pumpedN.get() - delivered.get() >= maxInFlight) {
           Thread.sleep(windowDuration.toMillis / 2 + 1)
         } else {
           val drained = new java.util.ArrayList[T](capacity)
@@ -207,7 +233,7 @@ class WindowStream[T: Encoder](
             val buf = new ArrayBuffer[T](drained.size)
             drained.forEach(e => buf += e)
             source.addData(buf.toSeq)
-            pumped += drained.size
+            pumpedN.addAndGet(drained.size.toLong)
           }
         }
       }
@@ -237,6 +263,40 @@ class WindowStream[T: Encoder](
     * the period boundary. Same loss-accounting contract. */
   def throttleLatest(period: FiniteDuration): WindowStream.ThrottleGate[T] =
     new WindowStream.ThrottleGate[T](this, period, leading = true)
+
+  /** `Flux.timeout(d)` analogue, surfaced as a WATCHDOG rather than a
+    * stream error: fires `onStall(d)` whenever items are pending (queued
+    * or pumped but undelivered) and delivery has made no progress for
+    * `d` — a stuck consumer, a wedged trigger. Re-arms after each fire,
+    * so a persistent stall reports once per period, and stays silent on
+    * a merely idle stream (no pending items = nothing is late). The
+    * returned daemon thread exits with [[stop]]. Reactor errors the
+    * subscription on timeout; here delivery is lossless-by-contract, so
+    * the facade alerts instead of dropping the pipeline — callers who
+    * want Reactor's semantics call [[stop]] from the callback. */
+  def deliveryTimeout(d: FiniteDuration)(onStall: FiniteDuration => Unit): Thread = {
+    require(d.toMillis >= 1, s"timeout $d must be >= 1ms")
+    val t = new Thread(() => {
+      var lastCount = delivered.get()
+      var lastChangeNs = System.nanoTime()
+      try {
+        while (running.get()) {
+          Thread.sleep(math.max(d.toMillis / 4, 1L))
+          val c = delivered.get()
+          val pending = pumpedN.get() + queue.size() > c
+          val now = System.nanoTime()
+          if (c != lastCount || !pending) { lastCount = c; lastChangeNs = now }
+          else if (now - lastChangeNs >= d.toNanos) {
+            onStall(d)
+            lastChangeNs = now // re-arm: one report per stalled period
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-ws-timeout-${source.id}")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
 
   /** Register a JVM shutdown hook that runs [[stop]]'s full lossless
     * drain on normal JVM termination. The reference lists exactly this as

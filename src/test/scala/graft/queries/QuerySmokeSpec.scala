@@ -21,11 +21,17 @@ class QuerySmokeSpec extends SparkSpecBase {
         "kernel unit-tested against java.util.zip on known payloads)")
   }
 
+  // legitimately-empty results on the smallest fixture: q07 (anti join on
+  // dense keys), q106 (the sf0.001 corpus has no image pair within
+  // hamming 6 of the real decoded aHash — the DuckDB oracle agrees on 0
+  // rows; sf0.01/sf0.1 produce 2/32 pairs and gate the non-empty path)
+  private val emptyOkOnSmallest =
+    Set("q07_join_anti_customers", "q106_multimodal_neardup")
+
   for (q <- Registry.all) {
     test(s"${q.name} executes on sf0.001") {
       val n = q.builder(spark, sfDir).count()
-      // q07 (anti join) is legitimately empty on dense fixtures
-      if (q.name != "q07_join_anti_customers") assert(n > 0, s"${q.name} returned no rows")
+      if (!emptyOkOnSmallest(q.name)) assert(n > 0, s"${q.name} returned no rows")
     }
   }
 }

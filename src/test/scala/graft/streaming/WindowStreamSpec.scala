@@ -187,6 +187,60 @@ class WindowStreamSpec extends SparkSpecBase {
     assert(!good.asScala.toSet.contains(13))
   }
 
+  test("retry budget: a transiently failing batch recovers in place; a persistent one errors once") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 64,
+      windowMaxBatchSize = 5, windowDuration = 100.millis, consumerParallelism = 2)
+    val good = new ConcurrentLinkedQueue[Int]()
+    val failed = new ConcurrentLinkedQueue[Seq[Int]]()
+    val transientAttempts = new AtomicInteger(0)
+    ws.subscribe(
+      batch => {
+        // the batch containing 3 fails twice, then succeeds (transient);
+        // the one containing 13 always fails (persistent)
+        if (batch.contains(3) && transientAttempts.incrementAndGet() <= 2)
+          throw new RuntimeException("transient")
+        if (batch.contains(13)) throw new RuntimeException("persistent")
+        batch.foreach(good.add)
+      },
+      (batch, _) => failed.add(batch),
+      maxRetries = 3)
+    ws.publish(1 to 20)
+    ws.stop()
+    assert(good.asScala.toSet.contains(3),
+      "transient failure inside the retry budget recovers — batch delivered")
+    assert(transientAttempts.get() >= 3, "the transient batch was actually retried")
+    val failedItems = failed.asScala.flatten.toSet
+    assert(failedItems.contains(13), "budget-exhausted batch reaches the error channel")
+    assert(failed.asScala.count(_.contains(13)) === 1,
+      "errorConsumer fires exactly once per exhausted batch")
+    assert(good.asScala.size + failed.asScala.flatten.size === 20,
+      "every element lands in exactly one channel")
+  }
+
+  test("deliveryTimeout: fires on a stalled backlog, quiet on a merely idle stream") {
+    val s = spark
+    import s.implicits._
+    val ws = new WindowStream[Int](s, queueCapacity = 16,
+      windowMaxBatchSize = 15, windowDuration = 50.millis, consumerParallelism = 1)
+    val stalls = new AtomicInteger(0)
+    val block = new java.util.concurrent.CountDownLatch(1)
+    ws.subscribe(_ => block.await())
+    ws.deliveryTimeout(300.millis)(_ => stalls.incrementAndGet())
+    // idle stream: nothing pending, watchdog must stay silent
+    Thread.sleep(700)
+    assert(stalls.get() === 0, "no pending items -> nothing is late")
+    // stall: the consumer blocks while items are pending
+    ws.publish(1 to 10)
+    val deadline = System.currentTimeMillis() + 10000
+    while (stalls.get() == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(stalls.get() >= 1, "stalled delivery with a backlog must fire the watchdog")
+    block.countDown() // release so stop() can drain losslessly
+    ws.stop()
+  }
+
   test("unicast: second subscribe throws") {
     val s = spark
     import s.implicits._

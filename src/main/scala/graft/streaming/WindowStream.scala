@@ -441,13 +441,22 @@ object WindowStream {
       lastEmitNs.set(System.nanoTime())
     }
 
+    // The flusher sleeps in short slices rather than whole periods so
+    // close() can join it promptly WITHOUT interrupting: an interrupt
+    // landing inside emit()'s blocking publish would lose the in-flight
+    // item with neither counter incremented — breaking the accounting
+    // identity the gate exists to keep.
     private val flusher = new Thread(() => {
-      try {
-        while (open.get()) {
-          Thread.sleep(period.toMillis)
+      val slice = math.min(period.toMillis, 50L)
+      var elapsed = 0L
+      while (open.get()) {
+        Thread.sleep(slice)
+        elapsed += slice
+        if (elapsed >= period.toMillis) {
+          elapsed = 0L
           flushPending()
         }
-      } catch { case _: InterruptedException => () }
+      }
     }, s"graft-ws-throttle-${System.identityHashCode(this)}")
     flusher.setDaemon(true)
     flusher.start()
@@ -480,10 +489,11 @@ object WindowStream {
     /** Items this gate handed to the stream's lossless `publish`. */
     def publishedCount: Long = publishedN.get()
 
-    /** Flush the pending item (if any) and stop the flusher. Idempotent. */
+    /** Flush the pending item (if any) and stop the flusher. Idempotent.
+      * Joins without interrupting (see the flusher comment) — worst-case
+      * wait is one sleep slice plus an in-flight emit. */
     def close(): Unit = {
       if (open.compareAndSet(true, false)) {
-        flusher.interrupt()
         flusher.join()
         flushPending()
       }

@@ -168,6 +168,41 @@ class MultimodalSpec extends SparkSpecBase {
     assert(feats(2L)(4) < 1.0, "stub histogram must differ from decoded")
   }
 
+  test("aHashNearDupPairs: banded candidacy is COMPLETE at hamming <= 3 — equals brute force") {
+    // pigeonhole: 4 bands, at most 3 differing bits => at least one band
+    // is untouched, so every true pair at maxHamming <= 3 shares a band
+    // key and candidacy loses nothing (at 4..16·3 it is best-effort LSH).
+    val s = spark
+    import s.implicits._
+    val base = Seq(0xABCDL, 0x1234L, 0x5678L, 0x0F0FL)
+    // 24 signatures: base plus 1-, 2- and 3-bit perturbations scattered
+    // across bands, plus unrelated far signatures
+    val sigs = (0 until 24).map { i =>
+      val bands = base.toArray
+      if (i > 0 && i < 16) {
+        (0 until (i % 3) + 1).foreach { j =>
+          val bit = (i * 7 + j * 13) % 64
+          bands(bit / 16) ^= 1L << (bit % 16)
+        }
+      } else if (i >= 16) {
+        (0 until 4).foreach(b => bands(b) = (i * 2654435761L + b * 40503L) & 0xFFFFL)
+      }
+      (i.toLong, bands(0), bands(1), bands(2), bands(3))
+    }
+    val df = sigs.toDF("media_id", "band0", "band1", "band2", "band3")
+    val got = Multimodal.aHashNearDupPairs(df, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val brute = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3) +
+        java.lang.Long.bitCount(a._4 ^ b._4) + java.lang.Long.bitCount(a._5 ^ b._5)
+      if d <= 3
+    } yield (a._1, b._1) -> d.toLong).toMap
+    assert(brute.nonEmpty, "fixture must generate true near pairs")
+    assert(got === brute,
+      s"banded candidacy must equal brute force at hamming <= 3")
+  }
+
   test("aHashNearDupPairs: identical images pair at hamming 0; structurally different do not") {
     val s = spark
     import s.implicits._

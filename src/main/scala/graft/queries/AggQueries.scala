@@ -22,45 +22,21 @@ object AggQueries extends QueryGroup {
       "exact interpolated percentiles (sort-based two-pass — bounded state), " +
       "distinct-sum",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "events")
-      // Exact quantiles WITHOUT Spark's `percentile` aggregate: that one is
-      // a TypedImperativeAggregate buffering a value→count map of every
-      // distinct value per group — O(rows/group) state merged on one task
-      // per group, an OOM at 100× scale. Instead: (1) collapse to distinct
-      // (event_type, value) multiplicities (map-side combine shrinks the
-      // shuffle), (2) running count via a streaming window frame (sort-based,
-      // spillable), (3) pick the two bracketing order statistics per target
-      // rank with a conditional agg and interpolate — quantile_cont
-      // semantics, no unbounded buffer anywhere.
-      val counts = e.where(col("value").isNotNull)
+      // Exact quantiles via the bounded-state sort-based operator
+      // (graft.operators.Quantiles — NOT Spark's `percentile`, whose
+      // O(rows/group) value→count buffer merges on one task per group
+      // and OOMs at 100× scale); distinct aggregates split into separate
+      // aggregations so no Expand multiplies the input.
+      val qt = graft.operators.Quantiles.exactQuantiles(
+        e, "event_type", "value", Map("p50" -> 0.5, "p90" -> 0.9))
+      val stats = e.where(col("value").isNotNull)
         .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      val stats = counts.groupBy("event_type").agg(
-        sum(col("c")).as("n"),
-        min(col("value")).as("vmin"),
-        max(col("value")).as("vmax"),
-        // distinct-sum for free: `counts` rows ARE the distinct values
-        sum(dec(col("value"))).cast("double").as("sum_distinct_value"))
-      val cum = counts.withColumn(
-        "cum", sum(col("c")).over(
-          Window.partitionBy("event_type").orderBy("value")))
-      // 1-indexed interpolation position: pos = 1 + (n-1)*q; the row whose
-      // covered rank interval (cum-c, cum] contains k is the k-th order stat.
-      def pos(q: Double) = lit(1.0) + (col("n") - 1).cast("double") * q
-      def kLo(q: Double) = floor(pos(q)).cast("long")
-      def kHi(q: Double) = least(kLo(q) + 1, col("n"))
-      def at(k: org.apache.spark.sql.Column) =
-        max(when(col("cum") - col("c") < k && k <= col("cum"), col("value")))
-      val picks = cum
-        .join(broadcast(stats.select(col("event_type"), col("n"))), "event_type")
-        .groupBy("event_type")
-        .agg(at(kLo(0.5)).as("v50_lo"), at(kHi(0.5)).as("v50_hi"),
-             at(kLo(0.9)).as("v90_lo"), at(kHi(0.9)).as("v90_hi"),
-             first(col("n")).as("n"))
-      def interp(q: Double, lo: String, hi: String) = {
-        val frac = pos(q) - floor(pos(q))
-        round(col(lo) + (col(hi) - col(lo)) * frac, 4)
-      }
+        .groupBy("event_type").agg(
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"),
+          // the distinct rows ARE the distinct values: distinct-sum for free
+          sum(dec(col("value"))).cast("double").as("sum_distinct_value"))
       // HLL++ register updates are idempotent, so the sketch over the
       // deduped (event_type, user_id) pairs equals the sketch over the raw
       // log — one distinct-shuffle, no Expand from mixed distinct aggs.
@@ -72,17 +48,17 @@ object AggQueries extends QueryGroup {
       // as a tolerance flag exactly as before.
       val papprox = e.groupBy("event_type")
         .agg(percentile_approx(col("value"), lit(0.5), lit(100)).as("ap50"))
-      picks
-        .join(stats.drop("n"), "event_type")
+      qt
+        .join(stats, "event_type")
         .join(users, "event_type")
         .join(papprox, "event_type")
         .select(
           col("event_type"),
           col("n_users"),
           (abs(col("au") - col("n_users")) <= col("n_users") * 0.15).as("approx_ok"),
-          interp(0.5, "v50_lo", "v50_hi").as("p50_value"),
-          interp(0.9, "v90_lo", "v90_hi").as("p90_value"),
-          (abs(col("ap50") - (col("v50_lo") + (col("v50_hi") - col("v50_lo")) * (pos(0.5) - floor(pos(0.5)))))
+          round(col("p50"), 4).as("p50_value"),
+          round(col("p90"), 4).as("p90_value"),
+          (abs(col("ap50") - col("p50"))
             <= (col("vmax") - col("vmin")) * 0.05).as("approx_p50_ok"),
           col("sum_distinct_value"))
         .orderBy("event_type")

@@ -463,7 +463,13 @@ object WindowStream {
 
     private def flushPending(): Unit = this.synchronized {
       val v = cell.getAndSet(null)
-      if (v != null) emit(v.asInstanceOf[T])
+      if (v != null) {
+        // a stream stopped before the gate closed can no longer accept
+        // the pending item: count it dropped so the accounting identity
+        // (published + dropped == offers) survives out-of-order teardown
+        try emit(v.asInstanceOf[T])
+        catch { case _: IllegalStateException => droppedN.incrementAndGet(); () }
+      }
     }
 
     /** Offer an item through the gate. Returns true when it was published

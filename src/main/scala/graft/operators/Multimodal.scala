@@ -372,6 +372,68 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** VIDEO near-dup via per-frame perceptual hashes — the standard
+    * frame-vote shape of video dedup at corpus scale: sample n aligned
+    * frames per video, hash each through the REAL codec path
+    * ([[renderGrayPng]] → `javax.imageio` decode → [[imageAHash]]),
+    * LSH on (frame, band, 16-bit key) so candidates share an aligned
+    * frame band, then verify by counting aligned frames within
+    * `maxHamming` — a pair is a near-dup when ≥ `minMatchedFrames`
+    * frames agree. Frame EXTRACTION is [[frameSample]]'s byte slicing
+    * (the JDK has no video codec — the honest stub boundary); everything
+    * downstream of the slice is the production pipeline and runs real
+    * PNG encode/decode per frame.
+    *
+    * Truncated videos contribute only their non-empty frames; a video
+    * with fewer than `minMatchedFrames` frames can never pair
+    * (documented conservatism — absent evidence is not a match).
+    *
+    * Scale shape: codec work is narrow per (video, frame) row; the only
+    * joins are the (fidx, band, key)-keyed candidate join and the
+    * (pair, fidx)-aligned verify join — currency 4 longs per frame,
+    * payloads never travel past the hash. */
+  def videoNearDupPairs(
+      df: DataFrame,
+      nFrames: Int = 4,
+      frameBytes: Int = 256,
+      maxHamming: Int = 6,
+      minMatchedFrames: Int = 3,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    require(nFrames >= 1 && frameBytes >= 1)
+    require(minMatchedFrames >= 1 && minMatchedFrames <= nFrames,
+      s"minMatchedFrames $minMatchedFrames must be in [1, $nFrames]")
+    val frames = df.select(col(idCol).cast("long").as("vid"),
+        posexplode(frameSample(col(payloadCol).cast("binary"), nFrames, frameBytes))
+          .as(Seq("fidx", "fpay")))
+      .where(octet_length(col("fpay")) > 0)
+    val sigs = imageAHash(renderGrayPng(
+        frames.select((col("vid") * nFrames + col("fidx")).as("media_id"),
+          col("fpay").as("payload")))).toDF()
+      .select(expr(s"media_id div $nFrames").as("vid"),
+        pmod(col("media_id"), lit(nFrames)).cast("int").as("fidx"),
+        col("band0"), col("band1"), col("band2"), col("band3"))
+    val banded = sigs.select(col("vid"), col("fidx"), posexplode(
+        array(col("band0"), col("band1"), col("band2"), col("band3")))
+      .as(Seq("band", "bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.fidx") === col("b.fidx") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("ia"), col("b.vid").as("ib")).distinct()
+    cand
+      .join(sigs.toDF("ia", "fidx", "a0", "a1", "a2", "a3"), Seq("ia"))
+      .join(sigs.toDF("ib", "fidx", "b0", "b1", "b2", "b3"), Seq("ib", "fidx"))
+      .select(col("ia"), col("ib"),
+        ((expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)") +
+          expr("bit_count(a2 ^ b2)") + expr("bit_count(a3 ^ b3)"))
+          <= maxHamming).as("m"))
+      .groupBy("ia", "ib")
+      .agg(count(when(col("m"), lit(1))).as("matched_frames"))
+      .where(col("matched_frames") >= minMatchedFrames)
+      .select(col("ia"), col("ib"), col("matched_frames").cast("long")
+        .as("matched_frames"))
+  }
+
   /** Resize. Image payloads the JDK can decode take the REAL path:
     * decode → bilinear `Graphics2D` rescale to w×h → PNG re-encode (the
     * payload stays a valid image; [[imageAHash]]/[[featurize]] consume it

@@ -2356,6 +2356,65 @@ object LlmQueries extends QueryGroup {
             FROM sig JOIN tot ON sig.doc_id = tot.doc_id
             ORDER BY sig.doc_id"""))
 
+  val q138 = QueryDef(
+    "q138_video_framehash_neardup",
+    "video near-dup by per-frame perceptual hash vote: 4 aligned 64-" +
+      "byte frame slices per document, each rendered as a REAL 32x32 " +
+      "PNG and decoded back through javax.imageio into the integer-" +
+      "exact aHash, LSH on (frame, band, key), pairs where >= 3 aligned " +
+      "frames agree within hamming 6 — the standard frame-vote video " +
+      "dedup shape with the codec genuinely in the loop; the oracle " +
+      "replays slice/pixel/block/bit/band/vote in exact integer SQL",
+    (s, dir) =>
+      Multimodal.videoNearDupPairs(
+          t(s, dir, "documents")
+            .select(col("doc_id").as("media_id"),
+              col("text").cast("binary").as("payload")),
+          frameBytes = 64)
+        .orderBy("ia", "ib"),
+    Some("""WITH fr AS (SELECT doc_id, f.f AS fidx,
+                   substr(text, CAST(f.f * 64 AS INT) + 1, 64) AS fs
+                 FROM documents, generate_series(0, 3) AS f(f)),
+             nfr AS (SELECT doc_id, fidx, fs FROM fr WHERE len(fs) > 0),
+             px AS (SELECT doc_id, fidx, g.i AS i,
+                      ord(substr(fs, CAST(g.i % len(fs) AS INT) + 1, 1)) AS p
+                    FROM nfr, generate_series(0, 1023) AS g(i)),
+             blk AS (SELECT doc_id, fidx,
+                       (i // 32 // 4) * 8 + (i % 32) // 4 AS b,
+                       CAST(SUM(p) AS BIGINT) AS s
+                     FROM px GROUP BY 1, 2, 3),
+             tot AS (SELECT doc_id, fidx, CAST(SUM(s) AS BIGINT) AS ts
+                     FROM blk GROUP BY 1, 2),
+             bands AS (SELECT blk.doc_id, blk.fidx, CAST(b // 16 AS INT) AS band,
+                         CAST(SUM(CASE WHEN s * 64 > ts
+                           THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))
+                           ELSE 0 END) AS BIGINT) AS bk
+                       FROM blk JOIN tot
+                         ON blk.doc_id = tot.doc_id AND blk.fidx = tot.fidx
+                       GROUP BY 1, 2, 3),
+             sig AS (SELECT bands.doc_id, bands.fidx,
+                       MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+                       MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+                       MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+                       MAX(CASE WHEN band = 3 THEN bk END) AS b3
+                     FROM bands GROUP BY 1, 2),
+             cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                      FROM bands a JOIN bands b
+                        ON a.fidx = b.fidx AND a.band = b.band AND a.bk = b.bk
+                       AND a.doc_id < b.doc_id),
+             pf AS (SELECT cand.ia, cand.ib,
+                      CASE WHEN
+                        bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+                        bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                        <= 6 THEN 1 ELSE 0 END AS m
+                    FROM cand
+                    JOIN sig sa ON sa.doc_id = cand.ia
+                    JOIN sig sb ON sb.doc_id = cand.ib AND sb.fidx = sa.fidx),
+             v AS (SELECT ia, ib, CAST(SUM(m) AS BIGINT) AS matched_frames
+                   FROM pf GROUP BY 1, 2)
+            SELECT ia, ib, matched_frames FROM v
+            WHERE matched_frames >= 3 ORDER BY ia, ib"""))
+
   val q107 = QueryDef(
     "q107_multimodal_signature_dedup",
     "signature-exact media dedup — Dedup.exact in FEATURE space: " +
@@ -3331,5 +3390,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q131, q132, q133, q134, q137)
+      q124, q125, q126, q131, q132, q133, q134, q137, q138)
 }

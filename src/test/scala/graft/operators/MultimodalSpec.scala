@@ -203,6 +203,20 @@ class MultimodalSpec extends SparkSpecBase {
       s"banded candidacy must equal brute force at hamming <= 3")
   }
 
+  test("videoNearDupPairs: frame-vote pairs identical videos; short videos stay conservative") {
+    val s = spark
+    import s.implicits._
+    val base = ("frame material with realistic byte variation " * 8).getBytes("UTF-8") // ~352 bytes
+    val other = Array.tabulate[Byte](352)(i => ((i * 37 + 11) % 96 + 32).toByte)
+    val short = base.take(80) // one 64-byte frame + a sliver: can never reach 3 votes
+    val df = Seq((1L, base), (2L, base), (3L, other), (4L, short))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.videoNearDupPairs(df, frameBytes = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) === 4L, "all aligned frames of identical videos vote match")
+  }
+
   test("aHashNearDupPairs: identical images pair at hamming 0; structurally different do not") {
     val s = spark
     import s.implicits._

@@ -434,6 +434,96 @@ object Multimodal {
         .as("matched_frames"))
   }
 
+  /** A real WAV payload: media id + encoded audio bytes. */
+  case class WavAudio(media_id: Long, wav: Array[Byte])
+
+  /** 64-window energy average-hash of decoded audio — [[ImageSignature]]'s
+    * 1-D sibling, same 4×16-bit band packing so [[aHashNearDupPairs]]
+    * consumes either modality unchanged. */
+  case class AudioSignature(
+      media_id: Long,
+      n_samples: Int,
+      total: Long,
+      band0: Long,
+      band1: Long,
+      band2: Long,
+      band3: Long)
+
+  /** Render each payload as a REAL 8-bit PCM mono WAV via the JDK's
+    * `javax.sound.sampled` encoder: sample(i) = payload byte cycled —
+    * the audio twin of [[renderGrayPng]]. PCM WAV is lossless, so the
+    * decoded samples equal this pattern and the downstream features
+    * replay in SQL while `AudioSystem` genuinely runs on every row.
+    * The JDK ships no MP3/AAC codec — WAV/AIFF/AU is the honest real
+    * boundary for audio, exactly as PNG/JPEG is for images. */
+  def renderPcmWav(
+      df: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      nSamples: Int = 1024,
+      sampleRate: Int = 8000): Dataset[WavAudio] = {
+    require(nSamples >= 1 && sampleRate >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val p = if (payload == null) Array.emptyByteArray else payload
+        val samples = Array.tabulate[Byte](nSamples)(i =>
+          if (p.isEmpty) 0 else p(i % p.length))
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 8, 1, false, false) // 8-bit unsigned mono PCM
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(samples), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        WavAudio(id, bos.toByteArray)
+      })
+  }
+
+  /** REAL-decode audio aHash: `AudioSystem` parses the container and
+    * hands back the PCM samples; 64 equal windows of unsigned sample
+    * sums threshold against the global mean (bit = windowSum·64 >
+    * total — integer-exact, division-free, the [[imageAHash]] rule in
+    * one dimension). Non-8-bit/mono streams and sample counts that
+    * don't split into 64 windows are dropped (flatMap — the decode
+    * gate is the contract). */
+  def audioAHash(wavs: Dataset[WavAudio]): Dataset[AudioSignature] = {
+    import wavs.sparkSession.implicits._
+    wavs.mapPartitions(_.flatMap { r =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) None
+        else {
+          val buf = ais.readAllBytes()
+          val n = buf.length
+          if (n == 0 || n % 64 != 0) None
+          else {
+            val win = n / 64
+            val sums = new Array[Long](64)
+            var i = 0
+            while (i < n) { sums(i / win) += buf(i) & 0xff; i += 1 }
+            val total = sums.sum
+            def band(k: Int): Long = {
+              var acc = 0L
+              var j = 0
+              while (j < 16) {
+                if (sums(k * 16 + j) * 64 > total) acc |= 1L << j
+                j += 1
+              }
+              acc
+            }
+            Some(AudioSignature(r.media_id, n, total,
+              band(0), band(1), band(2), band(3)))
+          }
+        }
+      } catch { case _: Exception => None }
+    })
+  }
+
   /** Resize. Image payloads the JDK can decode take the REAL path:
     * decode → bilinear `Graphics2D` rescale to w×h → PNG re-encode (the
     * payload stays a valid image; [[imageAHash]]/[[featurize]] consume it

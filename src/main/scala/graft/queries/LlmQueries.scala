@@ -2415,6 +2415,52 @@ object LlmQueries extends QueryGroup {
             SELECT ia, ib, matched_frames FROM v
             WHERE matched_frames >= 3 ORDER BY ia, ib"""))
 
+  val q139 = QueryDef(
+    "q139_audio_codec_ahash",
+    "the audio member of the codec-gate family (q137 images, q138 " +
+      "video): every document rendered as a REAL 8-bit PCM mono WAV " +
+      "(JDK javax.sound encoder), AudioSystem decodes the container " +
+      "back to samples, 64-window energy sums + the integer-exact " +
+      "threshold bits as 4x16-bit bands — PCM losslessness makes the " +
+      "audio codec roundtrip SQL-replayable exactly as PNG does for " +
+      "images; one row per document, linear",
+    (s, dir) =>
+      Multimodal.audioAHash(
+          Multimodal.renderPcmWav(
+            t(s, dir, "documents")
+              .select(col("doc_id").as("media_id"),
+                col("text").cast("binary").as("payload")))).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("n_samples").cast(LongType).as("n_samples"),
+          col("total").as("total_energy"),
+          col("band0"), col("band1"), col("band2"), col("band3"))
+        .orderBy("doc_id"),
+    Some("""WITH px AS (SELECT doc_id, g.i AS i,
+                 CASE WHEN len(text) > 0
+                   THEN ord(substr(text, CAST(g.i % len(text) AS INT) + 1, 1))
+                   ELSE 0 END AS p
+               FROM documents, generate_series(0, 1023) AS g(i)),
+             w AS (SELECT doc_id, i // 16 AS b, CAST(SUM(p) AS BIGINT) AS s
+                   FROM px GROUP BY 1, 2),
+             tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts FROM w GROUP BY 1),
+             bands AS (SELECT w.doc_id, CAST(b // 16 AS INT) AS band,
+                         CAST(SUM(CASE WHEN s * 64 > ts
+                           THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))
+                           ELSE 0 END) AS BIGINT) AS bk
+                       FROM w JOIN tot ON w.doc_id = tot.doc_id
+                       GROUP BY 1, 2),
+             sig AS (SELECT bands.doc_id,
+                       MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+                       MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+                       MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+                       MAX(CASE WHEN band = 3 THEN bk END) AS b3
+                     FROM bands GROUP BY 1)
+            SELECT sig.doc_id AS doc_id, CAST(1024 AS BIGINT) AS n_samples,
+              tot.ts AS total_energy,
+              b0 AS band0, b1 AS band1, b2 AS band2, b3 AS band3
+            FROM sig JOIN tot ON sig.doc_id = tot.doc_id
+            ORDER BY sig.doc_id"""))
+
   val q107 = QueryDef(
     "q107_multimodal_signature_dedup",
     "signature-exact media dedup — Dedup.exact in FEATURE space: " +
@@ -3390,5 +3436,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q131, q132, q133, q134, q137, q138)
+      q124, q125, q126, q131, q132, q133, q134, q137, q138, q139)
 }

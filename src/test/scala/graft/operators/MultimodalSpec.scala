@@ -217,6 +217,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs((1L, 2L)) === 4L, "all aligned frames of identical videos vote match")
   }
 
+  test("renderPcmWav -> audioAHash: real WAV codec roundtrip reproduces the byte pattern") {
+    val s = spark
+    import s.implicits._
+    val payload = "pulse code modulated material 0123456789".getBytes("UTF-8")
+    val df = Seq((9L, payload)).toDF("media_id", "payload")
+    val wav = Multimodal.renderPcmWav(df).collect().head
+    assert(new String(wav.wav.take(4), "US-ASCII") === "RIFF",
+      "payload must be a genuine WAV container")
+    val sig = Multimodal.audioAHash(Seq(wav).toDS()).collect().head
+    // recompute window sums straight from the cycled byte pattern — a
+    // lossy or misaligned AudioSystem decode would break this
+    val sums = new Array[Long](64)
+    for (i <- 0 until 1024) sums(i / 16) += payload(i % payload.length) & 0xff
+    val total = sums.sum
+    def band(k: Int): Long = (0 until 16).foldLeft(0L)((acc, j) =>
+      if (sums(k * 16 + j) * 64 > total) acc | (1L << j) else acc)
+    assert(sig.n_samples === 1024 && sig.total === total)
+    assert(Seq(sig.band0, sig.band1, sig.band2, sig.band3) ===
+      Seq(band(0), band(1), band(2), band(3)))
+  }
+
+  test("aHashNearDupPairs consumes audio signatures unchanged (cross-modality reuse)") {
+    val s = spark
+    import s.implicits._
+    val a = ("distinctive audio content with loud and quiet stretches " * 4).getBytes("UTF-8")
+    val b = Array.tabulate[Byte](300)(i => ((i * 53 + 7) % 96 + 32).toByte)
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("media_id", "payload")
+    val sigs = Multimodal.audioAHash(Multimodal.renderPcmWav(df)).toDF()
+    val pairs = Multimodal.aHashNearDupPairs(sigs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) === 0L)
+  }
+
   test("aHashNearDupPairs: identical images pair at hamming 0; structurally different do not") {
     val s = spark
     import s.implicits._

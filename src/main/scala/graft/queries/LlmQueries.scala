@@ -2461,6 +2461,139 @@ object LlmQueries extends QueryGroup {
             FROM sig JOIN tot ON sig.doc_id = tot.doc_id
             ORDER BY sig.doc_id"""))
 
+  val q140 = QueryDef(
+    "q140_multimodal_crossmodal_dedup",
+    "cross-modal dedup corroboration — the multimodal capstone (the " +
+      "q110 composition pattern over the codec family): a document " +
+      "pair is a HIGH-CONFIDENCE media dup only when >= 2 independent " +
+      "modality pipelines agree — whole-image aHash, frame-vote video, " +
+      "audio energy hash — each run LOOSE (hamming <= 16 of 64; >= 2 " +
+      "frame votes) so the strictness lives in the JOINT agreement, " +
+      "not any single signal: the corroboration gate a pipeline runs " +
+      "before destructive removal; one codec pass per modality, pair " +
+      "sets union as 16-byte currency, sorted modality audit string",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      val img = Multimodal.aHashNearDupPairs(
+          Multimodal.imageAHash(Multimodal.renderGrayPng(d)).toDF(),
+          maxHamming = 16)
+        .select(col("ia"), col("ib"), lit("image").as("modality"))
+      val vid = Multimodal.videoNearDupPairs(d, frameBytes = 64,
+          maxHamming = 16, minMatchedFrames = 2)
+        .select(col("ia"), col("ib"), lit("video").as("modality"))
+      val aud = Multimodal.aHashNearDupPairs(
+          Multimodal.audioAHash(Multimodal.renderPcmWav(d)).toDF(),
+          maxHamming = 16)
+        .select(col("ia"), col("ib"), lit("audio").as("modality"))
+      img.unionByName(vid).unionByName(aud)
+        .groupBy("ia", "ib")
+        .agg(count(lit(1)).as("n_modalities"),
+          array_join(array_sort(collect_set(col("modality"))), ",")
+            .as("modalities"))
+        .where(col("n_modalities") >= 2)
+        .orderBy("ia", "ib")
+    },
+    Some("""WITH ipx AS (SELECT doc_id, g.i AS i,
+                 CASE WHEN len(text) > 0
+                   THEN ord(substr(text, CAST(g.i % len(text) AS INT) + 1, 1))
+                   ELSE 0 END AS p
+               FROM documents, generate_series(0, 1023) AS g(i)),
+             iblk AS (SELECT doc_id, (i // 32 // 4) * 8 + (i % 32) // 4 AS b,
+                        CAST(SUM(p) AS BIGINT) AS s
+                      FROM ipx GROUP BY 1, 2),
+             itot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts FROM iblk GROUP BY 1),
+             ibands AS (SELECT iblk.doc_id, CAST(b // 16 AS INT) AS band,
+                          CAST(SUM(CASE WHEN s * 64 > ts
+                            THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))
+                            ELSE 0 END) AS BIGINT) AS bk
+                        FROM iblk JOIN itot ON iblk.doc_id = itot.doc_id
+                        GROUP BY 1, 2),
+             isig AS (SELECT ibands.doc_id,
+                        MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+                        MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+                        MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+                        MAX(CASE WHEN band = 3 THEN bk END) AS b3
+                      FROM ibands GROUP BY 1),
+             icand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                       FROM ibands a JOIN ibands b
+                         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+             ipair AS (SELECT icand.ia, icand.ib FROM icand
+                       JOIN isig sa ON sa.doc_id = icand.ia
+                       JOIN isig sb ON sb.doc_id = icand.ib
+                       WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+                             bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= 16),
+             vfr AS (SELECT doc_id, f.f AS fidx,
+                       substr(text, CAST(f.f * 64 AS INT) + 1, 64) AS fs
+                     FROM documents, generate_series(0, 3) AS f(f)),
+             vnfr AS (SELECT doc_id, fidx, fs FROM vfr WHERE len(fs) > 0),
+             vpx AS (SELECT doc_id, fidx, g.i AS i,
+                       ord(substr(fs, CAST(g.i % len(fs) AS INT) + 1, 1)) AS p
+                     FROM vnfr, generate_series(0, 1023) AS g(i)),
+             vblk AS (SELECT doc_id, fidx,
+                        (i // 32 // 4) * 8 + (i % 32) // 4 AS b,
+                        CAST(SUM(p) AS BIGINT) AS s
+                      FROM vpx GROUP BY 1, 2, 3),
+             vtot AS (SELECT doc_id, fidx, CAST(SUM(s) AS BIGINT) AS ts
+                      FROM vblk GROUP BY 1, 2),
+             vbands AS (SELECT vblk.doc_id, vblk.fidx, CAST(b // 16 AS INT) AS band,
+                          CAST(SUM(CASE WHEN s * 64 > ts
+                            THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))
+                            ELSE 0 END) AS BIGINT) AS bk
+                        FROM vblk JOIN vtot
+                          ON vblk.doc_id = vtot.doc_id AND vblk.fidx = vtot.fidx
+                        GROUP BY 1, 2, 3),
+             vsig AS (SELECT vbands.doc_id, vbands.fidx,
+                        MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+                        MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+                        MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+                        MAX(CASE WHEN band = 3 THEN bk END) AS b3
+                      FROM vbands GROUP BY 1, 2),
+             vcand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                       FROM vbands a JOIN vbands b
+                         ON a.fidx = b.fidx AND a.band = b.band AND a.bk = b.bk
+                        AND a.doc_id < b.doc_id),
+             vpf AS (SELECT vcand.ia, vcand.ib,
+                       CASE WHEN
+                         bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+                         bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                         <= 16 THEN 1 ELSE 0 END AS m
+                     FROM vcand
+                     JOIN vsig sa ON sa.doc_id = vcand.ia
+                     JOIN vsig sb ON sb.doc_id = vcand.ib AND sb.fidx = sa.fidx),
+             vpair AS (SELECT ia, ib FROM vpf GROUP BY ia, ib HAVING SUM(m) >= 2),
+             aw AS (SELECT doc_id, i // 16 AS b, CAST(SUM(p) AS BIGINT) AS s
+                    FROM ipx GROUP BY 1, 2),
+             atot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts FROM aw GROUP BY 1),
+             abands AS (SELECT aw.doc_id, CAST(b // 16 AS INT) AS band,
+                          CAST(SUM(CASE WHEN s * 64 > ts
+                            THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))
+                            ELSE 0 END) AS BIGINT) AS bk
+                        FROM aw JOIN atot ON aw.doc_id = atot.doc_id
+                        GROUP BY 1, 2),
+             asig AS (SELECT abands.doc_id,
+                        MAX(CASE WHEN band = 0 THEN bk END) AS b0,
+                        MAX(CASE WHEN band = 1 THEN bk END) AS b1,
+                        MAX(CASE WHEN band = 2 THEN bk END) AS b2,
+                        MAX(CASE WHEN band = 3 THEN bk END) AS b3
+                      FROM abands GROUP BY 1),
+             acand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                       FROM abands a JOIN abands b
+                         ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+             apair AS (SELECT acand.ia, acand.ib FROM acand
+                       JOIN asig sa ON sa.doc_id = acand.ia
+                       JOIN asig sb ON sb.doc_id = acand.ib
+                       WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+                             bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= 16),
+             u AS (SELECT ia, ib, 'image' AS modality FROM ipair
+                   UNION ALL SELECT ia, ib, 'video' FROM vpair
+                   UNION ALL SELECT ia, ib, 'audio' FROM apair)
+            SELECT ia, ib, CAST(COUNT(*) AS BIGINT) AS n_modalities,
+              string_agg(DISTINCT modality, ',' ORDER BY modality) AS modalities
+            FROM u GROUP BY ia, ib
+            HAVING COUNT(*) >= 2 ORDER BY ia, ib"""))
+
   val q107 = QueryDef(
     "q107_multimodal_signature_dedup",
     "signature-exact media dedup — Dedup.exact in FEATURE space: " +
@@ -3436,5 +3569,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q131, q132, q133, q134, q137, q138, q139)
+      q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140)
 }

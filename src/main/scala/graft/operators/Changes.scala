@@ -82,6 +82,66 @@ object Changes {
           .otherwise("unchanged"))
   }
 
+  /** Type-2 slowly-changing-dimension history — turn a change log of
+    * `(key, order, attributes)` observations into versioned dimension
+    * rows with `[effective_from, effective_to)` validity intervals and an
+    * `is_current` flag. The warehouse-side complement of
+    * [[snapshotDelta]]: delta classifies two snapshots, SCD2 accumulates
+    * the WHOLE observation history into the queryable "what did this row
+    * look like at time t" shape that joins back to facts with a range
+    * predicate (the [[graft.queries.JoinQueries]] J5 idiom).
+    *
+    * Consecutive observations with unchanged `valueCols` collapse into
+    * one interval (reusing [[distinctUntilChanged]]'s run semantics —
+    * null-safe, so NULL→value and value→NULL both open a new version);
+    * `effective_to` is the NEXT version's `effective_from` (half-open
+    * intervals — no gap/overlap by construction), NULL on the current
+    * version. `version` is a 1-based per-key counter.
+    *
+    * `orderCols` must totally order observations within a key (include a
+    * unique tiebreaker — same contract as [[distinctUntilChanged]]);
+    * `effectiveFrom` is the business-time column stamped onto the
+    * interval bounds (usually the leading order column — kept separate
+    * so a `(ts, event_id)` order can still emit plain-`ts` intervals;
+    * with tied `ts` the earlier-by-tiebreaker version gets a zero-length
+    * interval, the standard SCD2 convention).
+    *
+    * Scale shape: TWO window passes over the SAME (key × order)
+    * partitioning — Catalyst plans one hash exchange + one sort and
+    * chains both windows over it (asserted in ChangesSpec); `lag`/`lead`
+    * are O(1) state per row. Nothing depends on per-key history length,
+    * so 100× data means 100× rows through the same two-operator
+    * pipeline, no driver state, no buffering. */
+  def scd2History(
+      df: DataFrame,
+      keyCols: Seq[Column],
+      orderCols: Seq[Column],
+      effectiveFrom: Column,
+      valueCols: Seq[Column]): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    require(orderCols.nonEmpty, "scd2History needs at least one order column")
+    require(valueCols.nonEmpty, "scd2History needs at least one value column")
+    Seq("effective_from", "effective_to", "version", "is_current").foreach(c =>
+      require(!df.columns.contains(c), s"column '$c' already exists"))
+    val opened = distinctUntilChanged(df, keyCols, orderCols, valueCols)
+      .withColumn("effective_from", effectiveFrom)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    opened
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
+  /** Point-in-time lookup against a [[scd2History]] frame: the dimension
+    * row version valid at `asOf` for each key — `effective_from <= asOf <
+    * effective_to` (current versions have NULL `effective_to` = open
+    * interval). A plain filter, not a join: at 100 TB the history scan
+    * prunes on the two interval columns (parquet min/max page skipping)
+    * before anything touches attributes. */
+  def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
+    history.filter(col("effective_from") <= asOf &&
+      (col("effective_to").isNull || col("effective_to") > asOf))
+
   /** Streaming `distinctUntilChanged`: per-key last-emitted value carried
     * across micro-batches in keyed state, so a run spanning batch
     * boundaries is still one run. Rows inside a batch are ordered by

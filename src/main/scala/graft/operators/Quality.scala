@@ -729,4 +729,69 @@ object Quality {
         coalesce(col("kept_units"), lit(0L)).as("kept_units"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Hashed n-gram linear classifier scoring — the fastText-shaped
+    * model-based quality gate (Joulin 2016, "Bag of Tricks"): the
+    * workhorse of published pretraining pipelines (CCNet's LM filter,
+    * LLaMA's Wikipedia-reference classifier) is a LINEAR model over
+    * hashing-trick n-gram features, and inference is pure relational
+    * algebra — no model runtime needed at 100 TB, just a broadcast of
+    * the weight vector.
+    *
+    * Features are lowercased whitespace unigrams + adjacent bigrams,
+    * hashed into `dim` buckets with the [[Sampling]] avalanche polyhash
+    * (the engine's one portable hash family — exact int64 arithmetic,
+    * SQL-replayable). `weights` is the trained model: `(bucket: long,
+    * weight: double)`, weight values exact at ≤6 decimals (the published
+    * quantized-model convention; enforced by the DECIMAL(30,6)
+    * accumulation cast). Buckets absent from `weights` contribute 0 but
+    * still count — the hashing-trick model's domain is all of [0, dim).
+    *
+    * Output: (idCol, n_features, score) where score = round(Σw/n, 6) —
+    * mean feature weight, exact-decimal accumulated so partition merge
+    * order cannot perturb it (the [[distributionDrift]] rule), rounded
+    * as a genuine quotient. Thresholding into a keep verdict is the
+    * caller's POLICY (compose with [[repetitionFilter]]'s persist-
+    * before-filter discipline).
+    *
+    * Scale shape: one staged token projection (lambda-CSE rule), one
+    * explode, a BROADCAST join against the model-sized weight frame
+    * (dim ≤ 2²⁴ ⇒ ≤ ~256 MB — never a shuffle), and ONE doc-keyed
+    * aggregation with map-side combining. The corpus is read once;
+    * nothing in the plan depends on corpus size except the final
+    * exchange of (id, partial-sum) pairs. */
+  def hashedLinearScore(
+      df: DataFrame,
+      weights: DataFrame,
+      dim: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = ""): DataFrame = {
+    require(dim >= 2, s"dim $dim must be >= 2")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toksDf = df
+      .select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("toks"))
+      .repartition(par, col("id"))
+    val grams = toksDf.select(col("id"),
+      concat(col("toks"),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            j => concat_ws(" ", element_at(col("toks"), j),
+              element_at(col("toks"), j + 1))))
+          .otherwise(array().cast("array<string>"))).as("grams"))
+    val feats = grams
+      // outer + null-filter: the InferFiltersFromGenerate dodge
+      .select(col("id"), explode_outer(col("grams")).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("id"), (Sampling.avalanche(col("g"), salt) % dim).as("b"))
+    val w = broadcast(weights.select(col("bucket").as("b"),
+      col("weight").cast(DecimalType(30, 6)).as("w_")))
+    feats.join(w, Seq("b"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_features"),
+        round(coalesce(sum("w_"), lit(0).cast(DecimalType(30, 6)))
+          .cast(DoubleType) / count(lit(1)), 6).as("score"))
+      .select(col("id").as(idCol), col("n_features"), col("score"))
+  }
 }

@@ -56,8 +56,10 @@ object Sampling {
     * shard COUNTS and permutation ORDER keys must not collapse to 10⁴
     * values (a 100 TB export wants ~10⁵ shards, and an order key with
     * 10⁴ distinct values would tie-break almost every pair by raw id —
-    * no longer a uniform permutation). */
-  private def avalanche(idCol: Column, salt: String): Column = {
+    * no longer a uniform permutation). Shared with [[Quality]]'s feature
+    * hasher — one portable hash family across the sampling/scoring
+    * surface, one SQL replica idiom (q76's list_reduce fold). */
+  private[operators] def avalanche(idCol: Column, salt: String): Column = {
     val h = ColumnGlue.column(AsciiPolyHash(ColumnGlue.expression(
       concat(idCol.cast("string"), lit(salt)))))
     ((h + MixA) * (h + MixB)) % P

@@ -405,6 +405,48 @@ object ExtraQueries extends QueryGroup {
               ROUND(SUM(nb) * 1.0 / NULLIF(SUM(nt), 0), 4) AS bytes_per_token
             FROM x GROUP BY lang ORDER BY lang"""))
 
+  val q141 = QueryDef(
+    "q141_scd2_history",
+    "type-2 SCD history build: each user's event_type change log → " +
+      "versioned dimension rows with half-open [effective_from, " +
+      "effective_to) validity and is_current — run-collapse (q85's " +
+      "distinctUntilChanged) + lead/row_number chained over ONE (key × " +
+      "order) exchange; the point-in-time complement of q86's snapshot " +
+      "delta, joinable back to facts with the J5 range idiom",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Changes.scd2History(
+          e.select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+          keyCols = Seq(col("user_id")),
+          orderCols = Seq(col("ts"), col("event_id")),
+          effectiveFrom = col("ts"),
+          valueCols = Seq(col("event_type")))
+        .select(col("user_id"), col("version"), col("event_type"),
+          tsStr(col("effective_from")).as("from_s"),
+          tsStr(col("effective_to")).as("to_s"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    },
+    Some(s"""WITH w AS (
+              SELECT user_id, event_id, ts, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+                FROM events),
+            o AS (SELECT user_id, event_id, ts AS effective_from, event_type
+                    FROM w WHERE prev IS DISTINCT FROM event_type),
+            v AS (SELECT user_id, event_type, effective_from,
+                    LEAD(effective_from) OVER (PARTITION BY user_id
+                                               ORDER BY effective_from, event_id) AS effective_to,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY effective_from, event_id) AS version
+                    FROM o)
+            SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+                   ${oTsStr("effective_from")} AS from_s,
+                   ${oTsStr("effective_to")} AS to_s,
+                   effective_to IS NULL AS is_current
+              FROM v ORDER BY user_id, version"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135, q136)
+    Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
+      q136, q141)
 }

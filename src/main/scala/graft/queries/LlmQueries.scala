@@ -3562,6 +3562,64 @@ object LlmQueries extends QueryGroup {
                    COALESCE(per.clean_text, '') AS clean_text
             FROM su LEFT JOIN per USING (doc_id) ORDER BY su.doc_id"""))
 
+  val q142 = QueryDef(
+    "q142_hashed_linear_classifier",
+    "fastText-shaped model-based quality gate (Joulin 2016; the CCNet/" +
+      "LLaMA-filter idiom): lowercased unigram+bigram features hashed " +
+      "into 4096 buckets by the engine's portable avalanche polyhash, " +
+      "scored against a broadcast (bucket, weight) linear model — " +
+      "inference is pure relational algebra (explode + broadcast join + " +
+      "one doc-keyed mean), no model runtime; the model here is " +
+      "fabricated hash-deterministically so the oracle replays weight " +
+      "synthesis, feature hashing and decimal-accumulated scoring exactly",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DoubleType
+      val dim = 4096
+      // stand-in for trained weights: w(b) = (bucket(b,"w1") - 5000)/5000
+      // — exact multiples of 2e-4 in [-1, 1), so the DECIMAL(30,6)
+      // accumulation cast is lossless on both engines
+      val weights = s.range(0, dim).select(col("id").as("bucket"),
+        ((graft.operators.Sampling.bucket(col("id"), "w1") - lit(5000L))
+          .cast(DoubleType) / lit(5000.0)).as("weight"))
+      graft.operators.Quality.hashedLinearScore(
+          t(s, dir, "documents"), weights, dim = dim)
+        .orderBy("doc_id")
+    },
+    Some("""WITH pw AS (
+              SELECT i AS bucket,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(CAST(i AS VARCHAR) || 'w1', ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                       (a, v) -> (a * 31 + v) % 1000000007) AS h
+              FROM range(0, 4096) t(i)),
+            w AS (SELECT bucket,
+                    (((h + 479001599) * (h + 987654323)) % 1000000007 % 10000
+                      - 5000) / 5000.0 AS weight
+                  FROM pw),
+            tk AS (SELECT doc_id,
+                     string_split_regex(lower(text), '\s+') AS toks
+                   FROM documents),
+            gr AS (SELECT doc_id,
+                     UNNEST(list_concat(toks,
+                       list_transform(range(1, len(toks)),
+                         j -> toks[j] || ' ' || toks[j + 1]))) AS g
+                   FROM tk),
+            fh AS (SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(g, ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                       (a, v) -> (a * 31 + v) % 1000000007) AS h
+                   FROM gr),
+            f AS (SELECT doc_id,
+                    ((h + 479001599) * (h + 987654323)) % 1000000007 % 4096 AS b
+                  FROM fh)
+            SELECT doc_id, COUNT(*) AS n_features,
+                   ROUND(CAST(COALESCE(
+                       SUM(CAST(w.weight AS DECIMAL(30,6))), 0) AS DOUBLE)
+                     / COUNT(*), 6) AS score
+            FROM f LEFT JOIN w ON w.bucket = f.b
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -3569,5 +3627,5 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140)
+      q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142)
 }

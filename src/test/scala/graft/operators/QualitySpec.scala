@@ -445,4 +445,47 @@ class QualitySpec extends SparkSpecBase {
       assert(r.getLong(4) > 0L)
     }
   }
+
+  test("hashedLinearScore: feature count = unigrams + adjacent bigrams") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "A b c"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val w = Seq((0L, 0.5)).toDF("bucket", "weight")
+    val out = Quality.hashedLinearScore(docs, w, dim = 64)
+      .select("doc_id", "n_features").as[(Long, Long)].collect().toMap
+    // "A b c" → 3 unigrams + 2 bigrams; "solo" → 1; "" splits to [""] → 1
+    assert(out === Map(1L -> 5L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("hashedLinearScore: missing buckets score zero; model buckets add") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "x x")).toDF("doc_id", "text")
+    // features: "x","x","x x" — find their actual buckets, then weight them
+    val empty = Seq.empty[(Long, Double)].toDF("bucket", "weight")
+    val zero = Quality.hashedLinearScore(docs, empty, dim = 8)
+      .select("score").as[Double].head()
+    assert(zero === 0.0)
+    val all = (0L until 8L).map(b => (b, 1.0)).toDF("bucket", "weight")
+    val one = Quality.hashedLinearScore(docs, all, dim = 8)
+      .select("score").as[Double].head()
+    assert(one === 1.0, "total model with weight 1 everywhere ⇒ mean 1")
+  }
+
+  test("hashedLinearScore: case-insensitive, deterministic across runs") {
+    val docs = Seq((1L, "Foo BAR baz"), (2L, "foo bar BAZ")).toDF("doc_id", "text")
+    val w = (0L until 32L).map(b => (b, (b.toDouble - 16) / 16)).toDF("bucket", "weight")
+    val out = Quality.hashedLinearScore(docs, w, dim = 32)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(out(1L) === out(2L), "lowercasing must fold case before hashing")
+  }
+
+  test("hashedLinearScore plan: weight join broadcasts, one shuffle aggregation") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val w = (0L until 16L).map(b => (b, 0.1)).toDF("bucket", "weight")
+    val plan = Quality.hashedLinearScore(docs, w, dim = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side features must never shuffle for the model join:\n$plan")
+  }
 }

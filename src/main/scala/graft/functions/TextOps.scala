@@ -152,4 +152,38 @@ object TextOps {
     filter(
       transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)), trim(_)),
       s => s =!= "")
+
+  /** Syllable estimate: count of vowel GROUPS (maximal `[aeiouy]+` runs,
+    * case-folded) — the standard cheap approximation readability
+    * formulas were calibrated against ("strength"→1, "idea"→2·, close
+    * enough in aggregate). Exact integer count, RE2-portable. */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast(LongType)
+
+  /** Flesch reading-ease (Flesch 1948, the readability band every
+    * document-quality rubric quotes): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words). Inputs are three exact integer counts
+    * over the engine's own tokenizer/segmenter ([[tokenCount]],
+    * [[sentences]], [[syllableCount]]).
+    *
+    * Computed as ONE exact-integer rational, (206835·ns·nw − 1015·nw² −
+    * 84600·sy·ns) / (1000·ns·nw), then a single rounded quotient: the
+    * three-term double form `206.835 − 1.015a − 84.6b` lands on 4th-
+    * decimal half-way ties that Spark and DuckDB round apart (observed
+    * live at sf0.1: 28.19375 → 28.1938 vs 28.1937); a single division of
+    * identical int64s yields the identical double in both engines. Exact
+    * in int64 for counts up to ~3·10⁶ tokens/doc (a 206835·ns·nw term at
+    * 3e6² words·sentences is still < 2⁶³ only when docs are chunk-sized;
+    * chunk first — [[graft.operators.Chunker]] — for book-length inputs).
+    * Degenerate docs (no sentences / no words) surface NULL, never a
+    * divide-by-zero (the q133 divisor rule). Narrow per-row arithmetic —
+    * no shuffle. */
+  def fleschReadingEase(text: Column, sents: Column, toks: Column): Column = {
+    val nw = size(toks).cast(LongType)
+    val ns = size(sents).cast(LongType)
+    val sy = syllableCount(text)
+    val num = lit(206835L) * ns * nw - lit(1015L) * nw * nw - lit(84600L) * sy * ns
+    val den = lit(1000L) * ns * nw
+    round(num.cast("double") / nullif(den, lit(0L)), 4)
+  }
 }

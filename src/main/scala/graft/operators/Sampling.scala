@@ -443,4 +443,60 @@ object Sampling {
         Seq(col("quality").desc, col(idCol)), "nt", "cum_before")
       .withColumn("kept", col("cum_before") < tokenBudget)
   }
+
+  /** Deterministic negative sampling for contrastive / retrieval
+    * training pairs: for each anchor row, up to `k` pseudo-uniform
+    * negatives drawn from the corpus, excluding candidates that share
+    * `groupCol` with the anchor (the trivial-positive guard — same dedup
+    * cluster, same source, same query id; pass a constant column for no
+    * exclusion). Everything is a pure function of (ids, salt): repeated
+    * runs, retries, and both sides of a resumed export draw identical
+    * pairs (the [[shuffleShards]] reproducibility contract).
+    *
+    * The draw: corpus rows land in `nBuckets` hash buckets; draw j of an
+    * anchor routes to bucket avalanche(id·j, salt#t) and takes the
+    * member minimizing a pair-decorrelated hash — i.e. a two-level
+    * hash-pick that never materializes the corpus×corpus square. An
+    * anchor's draw j yields nothing only if its routed bucket is empty
+    * of other-group members (output has ≤ k rows per anchor, surfaced,
+    * never silently resampled — geometry is the caller's knob: keep
+    * bucket occupancy ≥ ~8 by scaling nBuckets ≈ N/8, and same-group
+    * concentration low by salting well).
+    *
+    * Output: (anchor id, `draw` in [1,k], `neg_<idCol>` — the sampled
+    * negative's id). Join payloads back by id afterwards; pairs travel
+    * as ids only.
+    *
+    * Scale shape: anchors fan out ×k (narrow), ONE bucket-keyed
+    * shuffle-hash join against the bucketed corpus (both sides
+    * corpus-sized — never broadcast), one (anchor, draw)-keyed min
+    * aggregation with map-side combining. Join fan-out is k·N/nBuckets
+    * per anchor — CONSTANT when nBuckets scales with N, the documented
+    * contract. No driver state, no global sort. */
+  def negativePairs(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      nBuckets: Int,
+      groupCol: String,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    val members = df.select(
+      col(idCol).as("nid_"), col(groupCol).as("ngrp_"),
+      (avalanche(col(idCol), s"$salt#b") % nBuckets).as("bkt_"))
+    val draws = df.select(col(idCol).as("aid_"), col(groupCol).as("agrp_"))
+      .withColumn("draw", explode(sequence(lit(1), lit(k))))
+      .withColumn("bkt_",
+        avalanche(concat(col("aid_").cast("string"), lit(":"), col("draw")),
+          s"$salt#t") % nBuckets)
+    draws.join(members, Seq("bkt_"))
+      .where(col("nid_") =!= col("aid_") && !(col("ngrp_") <=> col("agrp_")))
+      .withColumn("pick_",
+        avalanche(concat(col("aid_").cast("string"), lit(":"), col("draw"),
+          lit(":"), col("nid_").cast("string")), s"$salt#p"))
+      .groupBy(col("aid_"), col("draw"))
+      .agg(min_by(col("nid_"), struct(col("pick_"), col("nid_"))).as(s"neg_$idCol"))
+      .select(col("aid_").as(idCol), col("draw"), col(s"neg_$idCol"))
+  }
 }

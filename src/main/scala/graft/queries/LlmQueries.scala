@@ -3620,6 +3620,99 @@ object LlmQueries extends QueryGroup {
             FROM f LEFT JOIN w ON w.bucket = f.b
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  val q143 = QueryDef(
+    "q143_negative_pair_sampling",
+    "deterministic negative sampling for contrastive/retrieval training: " +
+      "4 pseudo-uniform other-source negatives per anchor doc via a " +
+      "two-level hash-pick (bucket routing + pair-decorrelated min-hash " +
+      "member pick) — one bucket-keyed shuffle join, never corpus², " +
+      "reproducible run-over-run like the shard export; oracle replays " +
+      "all three hash levels and the per-draw argmin exactly",
+    (s, dir) =>
+      graft.operators.Sampling.negativePairs(
+          t(s, dir, "documents"), idCol = "doc_id", k = 4,
+          nBuckets = 64, groupCol = "source", salt = "v1")
+        .select(col("doc_id"), col("draw").cast("long").as("draw"),
+          col("neg_doc_id"))
+        .orderBy("doc_id", "draw"),
+    Some("""WITH m AS (SELECT doc_id AS nid, source AS ngrp,
+                    ((h + 479001599) * (h + 987654323)) % 1000000007 % 64 AS bkt
+                  FROM (SELECT doc_id, source,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(doc_id AS VARCHAR) || 'v1#b', ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS h
+                        FROM documents)),
+            d AS (SELECT aid, agrp, draw,
+                    ((h + 479001599) * (h + 987654323)) % 1000000007 % 64 AS bkt
+                  FROM (SELECT doc_id AS aid, source AS agrp, j AS draw,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(doc_id AS VARCHAR) || ':' ||
+                              CAST(j AS VARCHAR) || 'v1#t', ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS h
+                        FROM documents CROSS JOIN range(1, 5) t(j))),
+            c AS (SELECT aid, draw, nid,
+                    ((h + 479001599) * (h + 987654323)) % 1000000007 AS pick
+                  FROM (SELECT aid, draw, nid,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(aid AS VARCHAR) || ':' ||
+                              CAST(draw AS VARCHAR) || ':' ||
+                              CAST(nid AS VARCHAR) || 'v1#p', ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS h,
+                          agrp, ngrp
+                        FROM d JOIN m USING (bkt)
+                        WHERE nid <> aid AND ngrp IS DISTINCT FROM agrp)),
+            r AS (SELECT aid, draw, nid,
+                    ROW_NUMBER() OVER (PARTITION BY aid, draw
+                                       ORDER BY pick, nid) AS rk
+                  FROM c)
+            SELECT aid AS doc_id, draw, nid AS neg_doc_id
+            FROM r WHERE rk = 1 ORDER BY doc_id, draw"""))
+
+  val q144 = QueryDef(
+    "q144_readability_flesch",
+    "Flesch reading-ease readability scoring (the quality-rubric band): " +
+      "three exact integer counts over the engine's own tokenizer/" +
+      "segmenter/vowel-group syllable estimate, folded into ONE exact-" +
+      "integer rational and a single rounded quotient (the three-term " +
+      "double form ties at the 4th decimal across engines); degenerate " +
+      "docs surface NULL (the q133 divisor rule) — narrow per-row " +
+      "arithmetic over staged projections, no shuffle",
+    (s, dir) => {
+      import graft.functions.TextOps
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.tokenize(col("text")).as("toks"),
+          TextOps.sentences(col("text")).as("sents"))
+      staged.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          size(col("sents")).cast("long").as("n_sentences"),
+          TextOps.syllableCount(col("text")).as("n_syllables"),
+          TextOps.fleschReadingEase(col("text"), col("sents"), col("toks"))
+            .as("flesch"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH x AS (SELECT doc_id,
+                    len(string_split_regex(text, '\s+')) AS nw,
+                    len(list_filter(
+                      [trim(v) for v in
+                        regexp_extract_all(text, '[^.!?]+[.!?]*')],
+                      v -> v <> '')) AS ns,
+                    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+                  FROM documents)
+            SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+                   CAST(ns AS BIGINT) AS n_sentences,
+                   CAST(sy AS BIGINT) AS n_syllables,
+                   ROUND(CAST(206835 * ns * nw - 1015 * nw * nw
+                              - 84600 * sy * ns AS DOUBLE)
+                         / NULLIF(1000 * ns * nw, 0), 4) AS flesch
+            FROM x ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -3627,5 +3720,6 @@ object LlmQueries extends QueryGroup {
       q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142)
+      q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
+      q143, q144)
 }

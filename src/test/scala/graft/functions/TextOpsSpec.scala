@@ -117,4 +117,28 @@ class TextOpsSpec extends SparkSpecBase {
     assert(sents("...") === Seq.empty,
       "terminators with no content yield no sentences")
   }
+
+  test("syllableCount: vowel groups, case-folded, y counts") {
+    // strength → "e" (1); idea → "i","ea" (2); The quick sky → e, ui, y (3)
+    assert(one(TextOps.syllableCount(col("text")), "strength") === 1L)
+    assert(one(TextOps.syllableCount(col("text")), "idea") === 2L)
+    assert(one(TextOps.syllableCount(col("text")), "The quick sky.") === 3L)
+    assert(one(TextOps.syllableCount(col("text")), "zzz") === 0L)
+    assert(one(TextOps.syllableCount(col("text")), "") === 0L)
+  }
+
+  test("fleschReadingEase: hand-computed score; degenerate docs are NULL") {
+    def flesch(t: String): Any = {
+      val s = spark
+      import s.implicits._
+      Seq(t).toDF("text")
+        .select(col("text"), TextOps.tokenize(col("text")).as("toks"),
+          TextOps.sentences(col("text")).as("sents"))
+        .select(TextOps.fleschReadingEase(col("text"), col("sents"), col("toks")))
+        .collect().head.get(0)
+    }
+    // words 3, sentences 1, syllables 3: 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(flesch("The cat sat.") === 119.19)
+    assert(flesch("...") === null, "zero sentences must surface NULL, not an error")
+  }
 }

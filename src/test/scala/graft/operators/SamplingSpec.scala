@@ -352,4 +352,44 @@ class SamplingSpec extends SparkSpecBase {
       assert(keptFlags.head, "best doc is always admitted (budget > 0)")
     }
   }
+
+  private val sess = spark
+  import sess.implicits._
+
+  test("negativePairs: never self, never same group, at most k per anchor") {
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}")).toSeq.toDF("doc_id", "source")
+    val out = Sampling.negativePairs(docs, "doc_id", k = 3, nBuckets = 8,
+      groupCol = "source", salt = "s1")
+    val rows = out.as[(Long, Int, Long)].collect()
+    val grp = (0L until 40L).map(i => i -> s"src${i % 4}").toMap
+    rows.foreach { case (aid, draw, nid) =>
+      assert(nid !== aid, s"anchor $aid drew itself")
+      assert(grp(nid) !== grp(aid), s"anchor $aid drew same-group $nid")
+      assert(draw >= 1 && draw <= 3)
+    }
+    val perAnchor = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 3))
+    assert(perAnchor.size === 40, "every anchor draws (occupied buckets)")
+  }
+
+  test("negativePairs: deterministic and partition-invariant; salt rerolls") {
+    val docs = (0L until 64L).map(i => (i, s"g${i % 3}")).toSeq.toDF("doc_id", "source")
+    def run(parts: Int, salt: String) =
+      Sampling.negativePairs(docs.repartition(parts), "doc_id", k = 2,
+          nBuckets = 16, groupCol = "source", salt = salt)
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val a = run(2, "x"); val b = run(7, "x"); val c = run(2, "y")
+    assert(a === b, "layout must not depend on partitioning")
+    assert(a !== c, "salt must reroll the draw")
+  }
+
+  test("negativePairs: a bucket with only same-group members yields no row for that draw") {
+    // group g0 = ids 0..7, g1 = ids 8..9; with ONE bucket every draw sees
+    // the whole corpus, so all draws fill; with the corpus all one group,
+    // no draw can ever fill
+    val docs = (0L until 10L).map(i => (i, "same")).toSeq.toDF("doc_id", "source")
+    val out = Sampling.negativePairs(docs, "doc_id", k = 2, nBuckets = 1,
+      groupCol = "source", salt = "s")
+    assert(out.count() === 0L, "single-group corpus has no valid negatives")
+  }
 }

@@ -99,4 +99,48 @@ object Clean {
       "&amp;", "&")
     normalizeWhitespace(decoded)
   }
+
+  /** URL canonicalization — the identity a crawl ledger dedups ON
+    * (URL-level dedup runs before any fetch or text dedup can): the
+    * variants `HTTP://u@Host.COM:80/a/?utm_x=1#f` and
+    * `http://host.com/a` are the same resource. Normalizations, in
+    * order:
+    *   1. scheme + host lowercased (path/query case is PRESERVED — it
+    *      is significant on most servers);
+    *   2. userinfo stripped; default port stripped (`:80` for http,
+    *      `:443` for https — other ports are significant);
+    *   3. fragment dropped (client-side only);
+    *   4. tracking params dropped (`utm_*`, `fbclid`, `gclid`,
+    *      `msclkid`) with separator repair — matched at a `?`/`&`
+    *      boundary, so a legit param merely ENDING in one of these
+    *      names survives;
+    *   5. trailing path slashes dropped (root collapses to the bare
+    *      authority — empty path ≡ `/`).
+    * Param ORDER is preserved (sorting params is a site-specific
+    * policy, not a safe default). Non-URLs (no `scheme://`) yield NULL
+    * — absence, never "" (the [[TextOps.urlHost]] contract). Pure
+    * regexp decomposition in the same RE2-portable subset as the PII
+    * family — the whole chain replays in DuckDB (q145). Narrow per-row
+    * work, no shuffle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val tail = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    val auth = regexp_extract(tail, "^([^/?#]*)", 1)
+    val rest = regexp_replace(tail, "^[^/?#]*", "")
+    val host = lower(regexp_replace(auth, "^.*@", ""))
+    val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host, ":443$", ""))
+      .otherwise(host)
+    val restNoFrag = regexp_replace(rest, "#.*$", "")
+    val path = regexp_replace(restNoFrag, "\\?.*$", "")
+    val query = regexp_extract(restNoFrag, "(\\?.*)$", 1)
+    val pathNorm = regexp_replace(path, "/+$", "")
+    val queryStripped = regexp_replace(query,
+      "(?i)[?&](?:utm_[a-z0-9_]*|fbclid|gclid|msclkid)=[^&]*", "")
+    val queryNorm = regexp_replace(
+      regexp_replace(queryStripped, "^&", "?"), "^\\?$", "")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), hostNoPort, pathNorm, queryNorm))
+  }
 }

@@ -3713,6 +3713,83 @@ object LlmQueries extends QueryGroup {
                          / NULLIF(1000 * ns * nw, 0), 4) AS flesch
             FROM x ORDER BY doc_id"""))
 
+  val q145 = QueryDef(
+    "q145_url_canonicalize_dedup",
+    "URL canonicalization + URL-level dedup accounting (the crawl-ledger " +
+      "identity, applied BEFORE any fetch or text dedup): scheme/host " +
+      "case-fold, userinfo + default-port strip, fragment drop, " +
+      "tracking-param strip with separator repair, trailing-slash " +
+      "collapse — grafted URL variants of the same resource collapse to " +
+      "one canonical key; non-URLs surface as '(invalid)', never " +
+      "silently dropped. Narrow regexp decomposition + one aggregation",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val url = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("no url "), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("HTTP://User@WWW.Example"), pmod(col("doc_id"), lit(4)),
+            lit(".COM:80/P"), pmod(col("doc_id"), lit(10)), lit("/?utm_source=x")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit("http://www.example"), pmod(col("doc_id"), lit(4)),
+            lit(".com/P"), pmod(col("doc_id"), lit(10)), lit("#sec")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(lit("http://www.example"), pmod(col("doc_id"), lit(4)),
+            lit(".com/P"), pmod(col("doc_id"), lit(10)),
+            lit("?keep="), pmod(col("doc_id"), lit(2)), lit("&utm_c=2")))
+        .otherwise(
+          concat(lit("https://www.example"), pmod(col("doc_id"), lit(4)),
+            lit(".com:443/P"), pmod(col("doc_id"), lit(10))))
+      d.select(coalesce(graft.functions.Clean.canonicalizeUrl(url),
+            lit("(invalid)")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("canonical_url")
+    },
+    Some("""WITH u AS (SELECT
+              CASE
+                WHEN doc_id % 5 = 0 THEN 'no url ' || doc_id
+                WHEN doc_id % 5 = 1 THEN 'HTTP://User@WWW.Example' ||
+                  (doc_id % 4) || '.COM:80/P' || (doc_id % 10) || '/?utm_source=x'
+                WHEN doc_id % 5 = 2 THEN 'http://www.example' ||
+                  (doc_id % 4) || '.com/P' || (doc_id % 10) || '#sec'
+                WHEN doc_id % 5 = 3 THEN 'http://www.example' ||
+                  (doc_id % 4) || '.com/P' || (doc_id % 10) || '?keep=' ||
+                  (doc_id % 2) || '&utm_c=2'
+                ELSE 'https://www.example' ||
+                  (doc_id % 4) || '.com:443/P' || (doc_id % 10)
+              END AS url FROM documents),
+            p AS (SELECT trim(url) AS t FROM u),
+            d1 AS (SELECT t,
+                     lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                     regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS tl
+                   FROM p),
+            d2 AS (SELECT scheme,
+                     lower(regexp_replace(regexp_extract(tl, '^([^/?#]*)', 1),
+                       '^.*@', '')) AS host,
+                     regexp_replace(regexp_replace(tl, '^[^/?#]*', ''),
+                       '#.*$', '') AS rnf
+                   FROM d1),
+            d3 AS (SELECT scheme,
+                     CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+                          WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+                          ELSE host END AS host,
+                     regexp_replace(regexp_replace(rnf, '\?.*$', ''),
+                       '/+$', '') AS path,
+                     regexp_extract(rnf, '(\?.*)$', 1) AS qry
+                   FROM d2),
+            d4 AS (SELECT scheme, host, path,
+                     regexp_replace(regexp_replace(
+                       regexp_replace(qry,
+                         '(?i)[?&](?:utm_[a-z0-9_]*|fbclid|gclid|msclkid)=[^&]*',
+                         '', 'g'),
+                       '^&', '?'), '^\?$', '') AS qry
+                   FROM d3),
+            c AS (SELECT CASE WHEN scheme = '' THEN '(invalid)'
+                     ELSE scheme || '://' || host || path || qry END AS canonical_url
+                  FROM d4)
+            SELECT canonical_url, COUNT(*) AS n_docs
+            FROM c GROUP BY canonical_url ORDER BY canonical_url"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -3721,5 +3798,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144)
+      q143, q144, q145)
 }

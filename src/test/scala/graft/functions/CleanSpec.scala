@@ -89,4 +89,31 @@ class CleanSpec extends SparkSpecBase {
       === "<script>evil()</script>")
     assert(apply1(Clean.stripMarkup, "&#65;&#x41;") === "&#65;&#x41;")
   }
+
+  test("canonicalizeUrl: case-fold, userinfo/port/fragment/tracking/slash normalization") {
+    val c = Clean.canonicalizeUrl _
+    assert(apply1(c, "HTTP://User@WWW.Example.COM:80/Path/?utm_source=x#frag")
+      === "http://www.example.com/Path")
+    // path case is PRESERVED; non-default port is significant
+    assert(apply1(c, "https://Host.com:8443/A/B") === "https://host.com:8443/A/B")
+    // default https port strips; http's 443 does NOT
+    assert(apply1(c, "https://h.com:443/x") === "https://h.com/x")
+    assert(apply1(c, "http://h.com:443/x") === "http://h.com:443/x")
+    // tracking params: leading, middle, trailing, all — separator repaired
+    assert(apply1(c, "http://h.com/p?utm_a=1&keep=2") === "http://h.com/p?keep=2")
+    assert(apply1(c, "http://h.com/p?keep=2&utm_a=1") === "http://h.com/p?keep=2")
+    assert(apply1(c, "http://h.com/p?a=1&fbclid=x&b=2") === "http://h.com/p?a=1&b=2")
+    assert(apply1(c, "http://h.com/p?gclid=x&msclkid=y") === "http://h.com/p")
+    // a legit param merely ENDING in a tracked name survives
+    assert(apply1(c, "http://h.com/p?xfbclid=1") === "http://h.com/p?xfbclid=1")
+    // root collapses to bare authority; param order preserved
+    assert(apply1(c, "http://h.com/") === "http://h.com")
+    assert(apply1(c, "http://h.com/p?b=2&a=1") === "http://h.com/p?b=2&a=1")
+  }
+
+  test("canonicalizeUrl: non-URLs are NULL, never empty string") {
+    val out = Seq(Tuple1("not a url")).toDF("t")
+      .select(Clean.canonicalizeUrl(col("t")).as("r")).collect().head
+    assert(out.isNullAt(0))
+  }
 }

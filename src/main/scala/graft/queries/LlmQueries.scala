@@ -3790,6 +3790,112 @@ object LlmQueries extends QueryGroup {
             SELECT canonical_url, COUNT(*) AS n_docs
             FROM c GROUP BY canonical_url ORDER BY canonical_url"""))
 
+  val q146 = QueryDef(
+    "q146_kmv_distinct_sketch",
+    "KMV bottom-k distinct-count sketch per event_type (Bar-Yossef 2002) " +
+      "over the portable avalanche hash — unlike HLL the whole estimate " +
+      "replays cross-engine exactly: distinct (group, hash) aggregation, " +
+      "TopKPerKey heap trim to the 64 smallest hashes per group, " +
+      "n̂ = floor((k−1)·P/h_k); small groups report exact occupancy; " +
+      "estimate checked against the exact distinct-hash count in BOTH " +
+      "engines (deterministic tolerance flag)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val kmv = graft.operators.Sketches.kmvDistinct(
+        e, groupCol = "event_type", keyCol = "user_id", k = 64, salt = "v1")
+      val exact = e.groupBy("event_type")
+        .agg(count_distinct(
+          graft.operators.Sketches.keyHash(col("user_id"), "v1"))
+          .as("n_exact"))
+      kmv.join(exact, "event_type")
+        .select(col("event_type"), col("n_seen"), col("kth_hash"),
+          col("est_distinct"), col("n_exact"),
+          (abs(col("est_distinct") - col("n_exact")) <= col("n_exact") / 2)
+            .as("err_ok"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (SELECT DISTINCT event_type AS g,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007 AS h
+                  FROM (SELECT event_type,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(user_id AS VARCHAR) || 'v1', ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM events)),
+            r AS (SELECT g, h,
+                    ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+                  FROM h),
+            s AS (SELECT g,
+                    LEAST(COUNT(*), 64) AS n_seen,
+                    MAX(CASE WHEN rn <= 64 THEN h END) AS kth_hash,
+                    COUNT(*) AS n_exact
+                  FROM r GROUP BY g),
+            e AS (SELECT g, n_seen, kth_hash, n_exact,
+                    CASE WHEN n_seen < 64 THEN n_seen
+                         ELSE CAST(FLOOR(63.0 * 1000000007 / kth_hash) AS BIGINT)
+                    END AS est_distinct
+                  FROM s)
+            SELECT g AS event_type, CAST(n_seen AS BIGINT) AS n_seen,
+                   kth_hash, est_distinct, CAST(n_exact AS BIGINT) AS n_exact,
+                   abs(est_distinct - n_exact) <= n_exact // 2 AS err_ok
+            FROM e ORDER BY event_type"""))
+
+  val q147 = QueryDef(
+    "q147_cms_heavy_hitter_counts",
+    "count-min sketch (Cormode 2005, depth 4 × width 256) over the " +
+      "portable hash family: the grid build is ONE (row, bucket) " +
+      "aggregation (mergeable across time partitions by re-aggregating), " +
+      "probe = broadcast-join min over depth counters for the exact " +
+      "top-10 users; the one-sided guarantee est ≥ true count is " +
+      "asserted per row in both engines",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val sk = graft.operators.Sketches.cmsSketch(
+        e, keyCol = "user_id", depth = 4, width = 256, salt = "v1")
+      val exact = e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val top = exact.orderBy(col("n_events").desc, col("user_id")).limit(10)
+      val est = graft.operators.Sketches.cmsEstimate(
+        top, sk, keyCol = "user_id", depth = 4, width = 256, salt = "v1")
+      top.join(est, "user_id")
+        .select(col("user_id"), col("n_events"), col("cms_est"),
+          (col("cms_est") >= col("n_events")).as("one_sided_ok"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ct AS (SELECT user_id, COUNT(*) AS n_events
+                  FROM events GROUP BY user_id),
+            top AS (SELECT user_id, n_events FROM ct
+                    ORDER BY n_events DESC, user_id LIMIT 10),
+            rb AS (SELECT user_id, j,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007 % 256 AS bucket
+                  FROM (SELECT user_id, j,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(user_id AS VARCHAR) || 'v1#' ||
+                              CAST(j AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM events CROSS JOIN range(0, 4) t(j))),
+            grid AS (SELECT j, bucket, COUNT(*) AS cnt
+                     FROM rb GROUP BY j, bucket),
+            pr AS (SELECT t.user_id, j,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007 % 256 AS bucket
+                  FROM (SELECT user_id, j,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(user_id AS VARCHAR) || 'v1#' ||
+                              CAST(j AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM top CROSS JOIN range(0, 4) t2(j)) t),
+            est AS (SELECT pr.user_id, MIN(COALESCE(grid.cnt, 0)) AS cms_est
+                    FROM pr LEFT JOIN grid USING (j, bucket)
+                    GROUP BY pr.user_id)
+            SELECT top.user_id, CAST(top.n_events AS BIGINT) AS n_events,
+                   CAST(est.cms_est AS BIGINT) AS cms_est,
+                   est.cms_est >= top.n_events AS one_sided_ok
+            FROM top JOIN est USING (user_id) ORDER BY user_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -3798,5 +3904,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145)
+      q143, q144, q145, q146, q147)
 }

@@ -446,7 +446,33 @@ object ExtraQueries extends QueryGroup {
                    effective_to IS NULL AS is_current
               FROM v ORDER BY user_id, version"""))
 
+  val q148 = QueryDef(
+    "q148_key_skew_profile",
+    "shuffle-key skew diagnosis (the planning probe before Skew.saltedJoin " +
+      "or trusting AQE): one key-frequency aggregation + a 1-row " +
+      "reduction over orders.o_custkey — hottest key, skew ratio vs the " +
+      "level ideal, and the salt factor that would cap the hottest " +
+      "reducer at one average task's share; run on a sample partition " +
+      "before committing a 100 TB join layout",
+    (s, dir) =>
+      graft.operators.Skew.keySkewProfile(
+        t(s, dir, "orders"), keyCol = "o_custkey", targetTasks = 200),
+    Some("""WITH f AS (SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS f
+                  FROM orders GROUP BY 1),
+            a AS (SELECT CAST(SUM(f) AS BIGINT) AS n_rows,
+                    CAST(COUNT(*) AS BIGINT) AS n_keys,
+                    CAST(MAX(f) AS BIGINT) AS max_freq
+                  FROM f),
+            tk AS (SELECT k AS top_key FROM f ORDER BY f DESC, k LIMIT 1)
+            SELECT n_rows, n_keys, max_freq, top_key,
+              ROUND(n_rows * 1.0 / n_keys, 4) AS avg_freq,
+              ROUND(max_freq * n_keys * 1.0 / n_rows, 4) AS skew_ratio,
+              GREATEST(1, CAST(LEAST(CEIL(max_freq * 200.0 / n_rows),
+                CEIL(max_freq * n_keys * 1.0 / n_rows)) AS BIGINT))
+                AS recommended_salt
+            FROM a CROSS JOIN tk"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141)
+      q136, q141, q148)
 }

@@ -89,4 +89,38 @@ object ParquetSink {
       .trigger(trigger)
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).start()
   }
+
+  /** Range-clustered landing — the FILE-level complement of
+    * [[writePartitioned]]'s directory pruning and [[writeBucketed]]'s
+    * join co-location: `repartitionByRange` gives every output file a
+    * NON-OVERLAPPING value range on `rangeCols` (sampled range exchange),
+    * and the within-file sort tightens parquet row-group min/max stats.
+    * A later range/point filter on those columns then skips row groups
+    * inside Spark's parquet reader, and skips whole FILES in any
+    * footer-/manifest-aware reader (Delta/Iceberg-class table formats
+    * prune on exactly these per-file stats — plain Spark-on-path plans
+    * all files and prunes at the row-group tier). The layout for
+    * time-series and id-range scan patterns ("yesterday's events",
+    * "ids 5M..6M") where a hash layout would scatter every query across
+    * ALL files. `nFiles` sizes the range exchange — at 100 TB pick
+    * bytes/file ≈ 256 MB–1 GB like [[writePartitioned]]'s cap.
+    *
+    * Skew note: range partitioning samples the distribution, so a hot
+    * VALUE still lands in one partition — run
+    * [[graft.operators.Skew.keySkewProfile]] first if the layout column
+    * could concentrate; a skewed layout column wants [[writeBucketed]]
+    * instead. ParquetSinkSpec asserts the promise: per-file ranges are
+    * DISJOINT and the range predicate reaches the scan pushed-down. */
+  def writeRangeLayout(
+      df: DataFrame,
+      path: String,
+      rangeCols: Seq[String],
+      nFiles: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(rangeCols.nonEmpty, "rangeCols must be non-empty")
+    require(nFiles >= 1, s"nFiles $nFiles must be >= 1")
+    df.repartitionByRange(nFiles, rangeCols.map(col): _*)
+      .sortWithinPartitions(rangeCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
 }

@@ -72,4 +72,40 @@ class ParquetSinkSpec extends SparkSpecBase {
     val back = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1)
     assert(back.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
+
+  test("writeRangeLayout: files hold disjoint ranges; a bounded filter skips files") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = tmp("graft_sink_range")
+    ParquetSink.writeRangeLayout(docs, out, Seq("doc_id"), nFiles = 8)
+
+    val files = new java.io.File(out)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 8, s"expected 8 range files, got $files")
+
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+
+    // the layout property the operator promises: every file holds a
+    // DISJOINT doc_id range (this is what lets a footer-/manifest-aware
+    // reader skip whole files, and the in-file sort what lets Spark's
+    // parquet reader skip row groups)
+    val ranges = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("doc_id"), max("doc_id")).collect().head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file ranges overlap: $aMax >= $bMin in ${ranges.toSeq}")
+      case _ => ()
+    }
+
+    // and the filter must reach the parquet scan as a pushed filter
+    val plan = back.where(col("doc_id") < 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,10)"),
+      s"expected the range predicate pushed to the scan:\n$plan")
+    assert(back.where(col("doc_id") < 10).count() ===
+      docs.where(col("doc_id") < 10).count())
+  }
 }

@@ -746,6 +746,9 @@ object Quality {
     * quantized-model convention; enforced by the DECIMAL(30,6)
     * accumulation cast). Buckets absent from `weights` contribute 0 but
     * still count — the hashing-trick model's domain is all of [0, dim).
+    * Duplicate bucket rows SUM (the model frame is a sparse vector in
+    * coordinate form, and linear-model deltas add — a base model unioned
+    * with a fine-tuning delta works unchanged; spec-pinned).
     *
     * Output: (idCol, n_features, score) where score = round(Σw/n, 6) —
     * mean feature weight, exact-decimal accumulated so partition merge
@@ -759,7 +762,10 @@ object Quality {
     * (dim ≤ 2²⁴ ⇒ ≤ ~256 MB — never a shuffle), and ONE doc-keyed
     * aggregation with map-side combining. The corpus is read once;
     * nothing in the plan depends on corpus size except the final
-    * exchange of (id, partial-sum) pairs. */
+    * exchange of (id, partial-sum) pairs — the fan-out repartition is
+    * ROUND-ROBIN, not id-keyed, precisely so the groupBy cannot reuse
+    * it: a keyed repartition here would ship the full token arrays
+    * (≈ corpus text size) instead of the tiny partials. */
   def hashedLinearScore(
       df: DataFrame,
       weights: DataFrame,
@@ -772,7 +778,9 @@ object Quality {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val toksDf = df
       .select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("toks"))
-      .repartition(par, col("id"))
+      // single-split guard only: spread the explode work, keep the
+      // exchange currency narrow (see scale-shape note above)
+      .repartition(par)
     val grams = toksDf.select(col("id"),
       concat(col("toks"),
         when(size(col("toks")) >= 2,
@@ -785,8 +793,12 @@ object Quality {
       .select(col("id"), explode_outer(col("grams")).as("g"))
       .where(col("g").isNotNull)
       .select(col("id"), (Sampling.avalanche(col("g"), salt) % dim).as("b"))
-    val w = broadcast(weights.select(col("bucket").as("b"),
-      col("weight").cast(DecimalType(30, 6)).as("w_")))
+    // sum duplicate bucket rows BEFORE the broadcast: the model is a
+    // sparse vector in coordinate form; without this, a duplicated
+    // bucket would fan out the join and silently inflate n_features
+    val w = broadcast(weights
+      .groupBy(col("bucket").as("b"))
+      .agg(sum(col("weight").cast(DecimalType(30, 6))).as("w_")))
     feats.join(w, Seq("b"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_features"),

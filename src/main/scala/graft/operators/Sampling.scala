@@ -456,12 +456,17 @@ object Sampling {
     * The draw: corpus rows land in `nBuckets` hash buckets; draw j of an
     * anchor routes to bucket avalanche(id·j, salt#t) and takes the
     * member minimizing a pair-decorrelated hash — i.e. a two-level
-    * hash-pick that never materializes the corpus×corpus square. An
-    * anchor's draw j yields nothing only if its routed bucket is empty
-    * of other-group members (output has ≤ k rows per anchor, surfaced,
-    * never silently resampled — geometry is the caller's knob: keep
-    * bucket occupancy ≥ ~8 by scaling nBuckets ≈ N/8, and same-group
-    * concentration low by salting well).
+    * hash-pick that never materializes the corpus×corpus square.
+    * Negatives are DISTINCT per anchor: two draws that route to the same
+    * bucket can pick the same member, and a duplicated (anchor, negative)
+    * pair is wasted or harmful in a contrastive batch, so the collided
+    * later draw is dropped (keeping the smallest draw index). An
+    * anchor's draw j thus yields nothing if its routed bucket is empty
+    * of other-group members OR it collided with an earlier draw — both
+    * surface as missing rows (output has ≤ k rows per anchor), never a
+    * silent resample; geometry is the caller's knob: keep bucket
+    * occupancy ≥ ~8 by scaling nBuckets ≈ N/8, and same-group
+    * concentration low by salting well.
     *
     * Output: (anchor id, `draw` in [1,k], `neg_<idCol>` — the sampled
     * negative's id). Join payloads back by id afterwards; pairs travel
@@ -497,6 +502,11 @@ object Sampling {
           lit(":"), col("nid_").cast("string")), s"$salt#p"))
       .groupBy(col("aid_"), col("draw"))
       .agg(min_by(col("nid_"), struct(col("pick_"), col("nid_"))).as(s"neg_$idCol"))
+      // distinct-negatives contract: same-bucket draw collisions keep
+      // only the smallest draw index (one more narrow agg on the
+      // already-(anchor)-clustered frame — no extra exchange width)
+      .groupBy(col("aid_"), col(s"neg_$idCol"))
+      .agg(min(col("draw")).as("draw"))
       .select(col("aid_").as(idCol), col("draw"), col(s"neg_$idCol"))
   }
 }

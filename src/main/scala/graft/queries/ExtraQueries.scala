@@ -430,10 +430,16 @@ object ExtraQueries extends QueryGroup {
     Some(s"""WITH w AS (
               SELECT user_id, event_id, ts, event_type,
                      LAG(event_type) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id) AS prev
+                                           ORDER BY ts, event_id) AS prev,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
                 FROM events),
             o AS (SELECT user_id, event_id, ts AS effective_from, event_type
-                    FROM w WHERE prev IS DISTINCT FROM event_type),
+                    FROM w
+                   -- rn = 1 keeps a key's FIRST observation even when its
+                   -- value is NULL (LAG's NULL is then indistinguishable
+                   -- from a NULL value; the operator always opens v1)
+                   WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
             v AS (SELECT user_id, event_type, effective_from,
                     LEAD(effective_from) OVER (PARTITION BY user_id
                                                ORDER BY effective_from, event_id) AS effective_to,

@@ -3625,9 +3625,11 @@ object LlmQueries extends QueryGroup {
     "deterministic negative sampling for contrastive/retrieval training: " +
       "4 pseudo-uniform other-source negatives per anchor doc via a " +
       "two-level hash-pick (bucket routing + pair-decorrelated min-hash " +
-      "member pick) — one bucket-keyed shuffle join, never corpus², " +
-      "reproducible run-over-run like the shard export; oracle replays " +
-      "all three hash levels and the per-draw argmin exactly",
+      "member pick, distinct negatives per anchor — a collided draw " +
+      "drops, surfaced as a missing row) — one bucket-keyed shuffle " +
+      "join, never corpus², reproducible run-over-run like the shard " +
+      "export; oracle replays all three hash levels, the per-draw " +
+      "argmin, and the collision dedup exactly",
     (s, dir) =>
       graft.operators.Sampling.negativePairs(
           t(s, dir, "documents"), idCol = "doc_id", k = 4,
@@ -3670,9 +3672,11 @@ object LlmQueries extends QueryGroup {
             r AS (SELECT aid, draw, nid,
                     ROW_NUMBER() OVER (PARTITION BY aid, draw
                                        ORDER BY pick, nid) AS rk
-                  FROM c)
+                  FROM c),
+            dd AS (SELECT aid, MIN(draw) AS draw, nid
+                   FROM r WHERE rk = 1 GROUP BY aid, nid)
             SELECT aid AS doc_id, draw, nid AS neg_doc_id
-            FROM r WHERE rk = 1 ORDER BY doc_id, draw"""))
+            FROM dd ORDER BY doc_id, draw"""))
 
   val q144 = QueryDef(
     "q144_readability_flesch",

@@ -470,6 +470,18 @@ class QualitySpec extends SparkSpecBase {
     assert(one === 1.0, "total model with weight 1 everywhere ⇒ mean 1")
   }
 
+  test("hashedLinearScore: duplicate bucket rows sum (sparse-COO model deltas add)") {
+    val docs = Seq((1L, "x x")).toDF("doc_id", "text")
+    val base = (0L until 8L).map(b => (b, 0.25)).toDF("bucket", "weight")
+    val delta = (0L until 8L).map(b => (b, 0.75)).toDF("bucket", "weight")
+    val merged = Quality.hashedLinearScore(docs, base.union(delta), dim = 8)
+      .select("doc_id", "n_features", "score")
+      .as[(Long, Long, Double)].head()
+    // every bucket weighs 0.25+0.75 = 1.0; features must NOT double-count
+    assert(merged === ((1L, 3L, 1.0)),
+      s"union-of-deltas must sum weights without join fan-out: $merged")
+  }
+
   test("hashedLinearScore: case-insensitive, deterministic across runs") {
     val docs = Seq((1L, "Foo BAR baz"), (2L, "foo bar BAZ")).toDF("doc_id", "text")
     val w = (0L until 32L).map(b => (b, (b.toDouble - 16) / 16)).toDF("bucket", "weight")

@@ -383,6 +383,23 @@ class SamplingSpec extends SparkSpecBase {
     assert(a !== c, "salt must reroll the draw")
   }
 
+  test("negativePairs: negatives are DISTINCT per anchor; collided draws drop") {
+    // tiny bucket space forces same-bucket routing collisions across draws
+    val docs = (0L until 12L).map(i => (i, s"g${i % 2}")).toSeq.toDF("doc_id", "source")
+    val rows = Sampling.negativePairs(docs, "doc_id", k = 6, nBuckets = 2,
+        groupCol = "source", salt = "dup")
+      .as[(Long, Int, Long)].collect()
+    rows.groupBy(_._1).foreach { case (aid, draws) =>
+      val negs = draws.map(_._3)
+      assert(negs.distinct.length === negs.length,
+        s"anchor $aid drew a duplicate negative: ${draws.toSeq.sortBy(_._2)}")
+    }
+    // with 2 buckets and 6 draws, collisions are certain: some draw
+    // indices must have dropped (fewer than k rows for some anchor)
+    assert(rows.groupBy(_._1).values.exists(_.length < 6),
+      "expected at least one collided draw to drop under forced collisions")
+  }
+
   test("negativePairs: a bucket with only same-group members yields no row for that draw") {
     // group g0 = ids 0..7, g1 = ids 8..9; with ONE bucket every draw sees
     // the whole corpus, so all draws fill; with the corpus all one group,

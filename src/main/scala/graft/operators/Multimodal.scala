@@ -53,6 +53,10 @@ object Multimodal {
       payload: Array[Byte]): Option[(Array[Int], Int, Int)] = {
     if (payload == null || payload.length < 8) return None
     try {
+      // stream cache off: ImageIO's default spools every read through a
+      // temp FILE — the dominant small-image decode cost (JVM-global
+      // flag, idempotent; see renderGrayPng)
+      javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) return None
@@ -67,13 +71,31 @@ object Multimodal {
           try gg.drawImage(img, 0, 0, null) finally gg.dispose()
           g
         }
-      val raster = gray.getRaster
       val out = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
-        y += 1
+      // TYPE_BYTE_GRAY normally backs onto one byte/px row-major:
+      // bulk-read the buffer instead of per-pixel getSample dispatch —
+      // but only when the sample model really is the packed layout
+      // (a padded scanline stride would silently scramble pixels)
+      val raster = gray.getRaster
+      val packed = raster.getSampleModel match {
+        case csm: java.awt.image.ComponentSampleModel =>
+          csm.getScanlineStride == w && csm.getPixelStride == 1 &&
+            raster.getDataBuffer.getOffset == 0 &&
+            raster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte]
+        case _ => false
+      }
+      if (packed) {
+        val data = raster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var i = 0
+        while (i < w * h) { out(i) = data(i) & 0xff; i += 1 }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
       }
       Some((out, w, h))
     } catch { case _: Exception => None }
@@ -276,22 +298,44 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      // explicit fan-out: a compact media table arrives in few input
+      // splits and the per-row JDK codec work below would otherwise run
+      // on ONE task (measured: the whole sf0.1 video pipeline serialized
+      // on a single core). Round-robin — no key, nothing to co-locate.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        val p = if (payload == null) Array.emptyByteArray else payload
-        var i = 0
-        while (i < w * h) {
-          val v = if (p.isEmpty) 0 else p(i % p.length) & 0xff
-          raster.setSample(i % w, i / w, 0, v)
-          i += 1
+      .mapPartitions { it =>
+        // ImageIO's default stream cache is a TEMP FILE per call — the
+        // dominant cost of small-image encode (measured ~7 ms/roundtrip
+        // with it, ~1 ms without). Off per partition (JVM-global flag,
+        // idempotent). Writer reused across rows: ImageIO.write's
+        // per-call registry scan + writer allocation is the next cost.
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.map { case (id, payload) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          // direct backing-array fill: TYPE_BYTE_GRAY is one byte/px in
+          // row-major order — same pixels as per-sample writes, no
+          // per-pixel bounds/band dispatch
+          val data = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          val p = if (payload == null) Array.emptyByteArray else payload
+          var i = 0
+          while (i < w * h) {
+            data(i) = if (p.isEmpty) 0 else p(i % p.length)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.write(img)
+          } finally ios.close()
+          PngImage(id, bos.toByteArray)
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        PngImage(id, bos.toByteArray)
-      })
+      }
   }
 
   /** REAL-decode aHash: `javax.imageio` decodes each payload, the 8×8
@@ -353,8 +397,16 @@ object Multimodal {
       maxHamming: Int = 6,
       idCol: String = "media_id"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64, s"maxHamming $maxHamming")
+    // the signature frame feeds the band fan-out (self-joined) AND both
+    // verify joins — 4 plan references; without a barrier each one
+    // re-runs the upstream CODEC pipeline (PNG/WAV encode + decode per
+    // row). Persist the narrow (id, 4×long) frame: codec once, ~40 B/row
+    // cached (the q64-class persist discipline; measured 3.2→1.2 s on
+    // q106 at sf0.1 and it is what keeps q140's three-modality
+    // composition at one codec pass per modality)
     val s = sigs.select(col(idCol).as("id"),
-      col("band0"), col("band1"), col("band2"), col("band3"))
+        col("band0"), col("band1"), col("band2"), col("band3"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val banded = s.select(col("id"), posexplode(
         array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band", "bkey")))
@@ -413,6 +465,10 @@ object Multimodal {
       .select(expr(s"media_id div $nFrames").as("vid"),
         pmod(col("media_id"), lit(nFrames)).cast("int").as("fidx"),
         col("band0"), col("band1"), col("band2"), col("band3"))
+      // 4 plan references below (band self-join + two verify joins):
+      // persist the narrow per-frame signature so the per-frame PNG
+      // encode→decode→hash runs ONCE (measured 14.7→~4 s at sf0.1)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val banded = sigs.select(col("vid"), col("fidx"), posexplode(
         array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band", "bkey")))
@@ -466,6 +522,9 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      // explicit fan-out before the per-row JDK encoder (see
+      // renderGrayPng — same single-split serialization hazard)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val p = if (payload == null) Array.emptyByteArray else payload

@@ -789,4 +789,92 @@ object Similarity {
       .agg(sum(col("vq") * col("s")).as("proj"))
       .select(col("id").as(idCol), col("j"), col("proj"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — the published
+    * embedding-space dedup recipe: coarse-cluster the corpus with
+    * k-means, compute pairwise cosines ONLY within each cluster, connect
+    * pairs above `minSim` into duplicate groups, and keep ONE member per
+    * group — the member with the LOWEST cosine to its cluster centroid
+    * (the paper's keep-the-most-atypical rule; dropping the prototypical
+    * copies preserves diversity), ties broken by lowest id.
+    *
+    * This is the cluster-scoped member of the vector-dedup family:
+    * [[nearDupPairs]] scopes candidacy by a GIVEN group column,
+    * [[semanticDedup]] LEARNS the scoping from the geometry, which is
+    * what makes the method corpus-global without an all-pairs join.
+    *
+    * `quantizer`: (cid, cvec) centroids — pass [[kMeansCentroids]]'s
+    * trained model for production geometry. Default (null) uses the
+    * first `nCentroids` valid vectors by id as raw seed centroids (the
+    * [[topKIvf]] deterministic-init contract), which keeps the whole
+    * operator exactly SQL-replayable (q149). Cosine is scale-invariant,
+    * so raw seeds score identically to their normalized form.
+    *
+    * Scale shape: the corpus is scored against the broadcast model-sized
+    * centroid frame once (n×k dots, collapsed to one row per vector by a
+    * map-side max_by); the within-cell pair join is bounded by cell
+    * geometry — with k grown ~n/⟨cell⟩ the candidate volume stays
+    * n·⟨cell⟩, never n²; huge cells can additionally opt into the LSH
+    * band path (`bands`). Components come from the size-gated union-find
+    * / distributed-fixpoint hybrid; survivor selection is one
+    * cluster-keyed min-struct aggregation with map-side combining. The
+    * assigned frame persists DISK_ONLY because it feeds the pair
+    * pipeline, the node list, and the output.
+    *
+    * Output: (idCol, cell, cluster_id, cent_sim, keep) for every valid
+    * vector — cluster_id = min id of the duplicate component (self for
+    * singletons), keep marks the survivor. Zero-/NaN-norm vectors are
+    * dropped (the documented contract of every similarity entry point).
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      nCentroids: Int,
+      minSim: Double,
+      quantizer: DataFrame = null,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      bands: Int = 0,
+      planesPerBand: Int = 1): DataFrame = {
+    require(nCentroids >= 1, "semanticDedup: nCentroids must be >= 1")
+    import org.apache.spark.sql.types.LongType
+    val base = withNorm(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val cents0 = Option(quantizer).getOrElse(
+      base.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").cast(LongType).as("cid"), col("vec").as("cvec")))
+    val cents = withNorm(cents0.select(col("cid"), col("cvec")), "cvec", "cnorm")
+    // n×k scoring collapses map-side: the grouped max over (csim, -cid)
+    // partially aggregates before the exchange, so the shuffle moves one
+    // row per vector, not one per (vector, centroid)
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("csim",
+        round(VectorOps.dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")),
+          roundTo))
+      .groupBy("id")
+      .agg(
+        max(struct(col("csim").as("s"), negate(col("cid")).as("nc"))).as("m"),
+        any_value(col("vec")).as("vec"))
+      .select(col("id"), negate(col("m.nc")).cast(LongType).as("cell"),
+        col("m.s").as("cent_sim"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val pairs = nearDupPairs(assigned.select(col("cell"), col("id"), col("vec")),
+        groupCol = "cell", minSim = minSim, idCol = "id", vecCol = "vec",
+        roundTo = roundTo, bands = bands, planesPerBand = planesPerBand)
+      .select("ia", "ib")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // release the pair cache even when CC throws (the nearDupClusters
+    // discipline): labels come back lineage-free
+    val comp =
+      try Dedup.connectedComponents(pairs, assigned.select(col("id")))
+      finally pairs.unpersist()
+    val lab = assigned.join(comp, "id")
+    val surv = lab.groupBy(col("comp"))
+      .agg(min(struct(col("cent_sim"), col("id"))).as("sm"))
+      .select(col("comp"), col("sm.id").as("surv_id"))
+    lab.join(surv, "comp")
+      .select(col("id").as(idCol), col("cell"), col("comp").as("cluster_id"),
+        col("cent_sim"), (col("id") === col("surv_id")).as("keep"))
+  }
 }

@@ -478,7 +478,56 @@ object ExtraQueries extends QueryGroup {
                 AS recommended_salt
             FROM a CROSS JOIN tk"""))
 
+  val q149 = QueryDef(
+    "q149_semantic_dedup",
+    "SemDeDup (Abbas 2023): k-means-cell-scoped embedding dedup — corpus " +
+      "scored against 8 deterministic seed centroids (broadcast model, " +
+      "map-side argmax assignment), pairwise cosine ONLY within each " +
+      "cell (the learned-candidacy bound that replaces the n² join), " +
+      "threshold edges -> connected components, survivor = the member " +
+      "LEAST similar to its centroid (the paper's diversity-keeping " +
+      "rule, id-tiebroken); full SQL replay incl. the recursive closure",
+    (s, dir) =>
+      graft.operators.Similarity.semanticDedup(
+          t(s, dir, "embeddings"), nCentroids = 8, minSim = 0.3)
+        .orderBy("vec_id"),
+    Some("""WITH RECURSIVE
+             v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings
+                   WHERE NOT isnan(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[])))
+                     AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])) > 0),
+             seeds AS (SELECT id AS cid, e AS cv FROM v ORDER BY id LIMIT 8),
+             sc AS (SELECT v.id, seeds.cid,
+                      ROUND(list_cosine_similarity(v.e, seeds.cv), 4) AS csim
+                    FROM v CROSS JOIN seeds),
+             asg AS (SELECT id, cid AS cell, csim AS cent_sim
+                     FROM (SELECT id, cid, csim,
+                             ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY csim DESC, cid) AS rn
+                           FROM sc) WHERE rn = 1),
+             pr AS (SELECT a.id AS ia, b.id AS ib
+                    FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+                    JOIN v va ON va.id = a.id JOIN v vb ON vb.id = b.id
+                    WHERE ROUND(list_cosine_similarity(va.e, vb.e), 4) >= 0.3),
+             ed AS (SELECT ia AS u, ib AS w FROM pr UNION ALL SELECT ib, ia FROM pr),
+             reach(src, dst) AS (
+               SELECT id, id FROM asg
+               UNION
+               SELECT reach.src, ed.w FROM reach JOIN ed ON reach.dst = ed.u),
+             cl AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+             j AS (SELECT asg.id, asg.cell, cl.cluster_id, asg.cent_sim
+                   FROM asg JOIN cl USING (id)),
+             sv AS (SELECT cluster_id, id AS surv_id FROM
+                      (SELECT cluster_id, id, ROW_NUMBER() OVER (
+                         PARTITION BY cluster_id ORDER BY cent_sim, id) AS rn
+                       FROM j) WHERE rn = 1)
+            SELECT j.id AS vec_id, j.cell, j.cluster_id, j.cent_sim,
+                   j.id = sv.surv_id AS keep
+            FROM j JOIN sv USING (cluster_id) ORDER BY vec_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148)
+      q136, q141, q148, q149)
 }

@@ -21,7 +21,17 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** The avalanche modulus — hashes land uniformly in [0, P). */
-  private val P = 1000000007L
+  private[operators] val P = 1000000007L
+
+  /** The KMV estimator expression, shared with [[Rollup.mergeRollup]] so a
+    * merged rollup's estimate is definitionally the same function as
+    * [[kmvDistinct]]'s: exact occupancy below k, else
+    * n̂ = floor((k−1)·P/h_k) — floor, never round (a .5-tie on the
+    * quotient would hit the engines' differing ROUND rules). */
+  private[operators] def kmvEstimate(nSeen: Column, kthHash: Column, k: Int): Column =
+    when(nSeen < k, nSeen)
+      .otherwise(floor(lit((k - 1).toLong * 1.0) * lit(P.toDouble) /
+        kthHash.cast("double")).cast("long"))
 
   /** The sketch family's hash, exposed for exact-replay comparisons
     * (count the distinct HASHES when auditing a [[kmvDistinct]]
@@ -72,10 +82,7 @@ object Sketches {
       .select(col("g").as(groupCol),
         col("n_seen"),
         col("kth_hash"),
-        when(col("n_seen") < k, col("n_seen"))
-          .otherwise(floor(lit((k - 1).toLong * 1.0) * lit(P.toDouble) /
-            col("kth_hash").cast("double")).cast("long"))
-          .as("est_distinct"))
+        kmvEstimate(col("n_seen"), col("kth_hash"), k).as("est_distinct"))
   }
 
   /** Count-min sketch (Cormode–Muthukrishnan 2005): a depth×width grid

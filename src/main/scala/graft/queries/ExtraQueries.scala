@@ -527,7 +527,66 @@ object ExtraQueries extends QueryGroup {
                    j.id = sv.surv_id AS keep
             FROM j JOIN sv USING (cluster_id) ORDER BY vec_id"""))
 
+  val q150 = QueryDef(
+    "q150_incremental_rollup",
+    "incremental rollup maintenance (the never-rescan-history warehouse " +
+      "contract): events aggregate ONCE per day into mergeable partials " +
+      "(additive count/decimal-sum, min/max lattice, bottom-32 KMV " +
+      "distinct sketch as a sorted array), then the whole range is " +
+      "answered by MERGING partials — the merged KMV is the bottom-k of " +
+      "the union of per-day sketches, which equals the whole-range " +
+      "sketch exactly (lossless merge identity, spec-asserted); both the " +
+      "per-day build and the merge replay in SQL",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val partials = graft.operators.Rollup.partialRollup(
+        e, to_date(col("ts")), Seq("event_type"), "value", "user_id",
+        k = 32, salt = "r1")
+      graft.operators.Rollup.mergeRollup(partials, Seq("event_type"), k = 32)
+        .select(col("event_type"), col("n_rows"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"),
+          col("n_seen"), col("kth_hash"), col("est_distinct"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT CAST(ts AS DATE) AS part, event_type, value,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007 AS h
+                  FROM (SELECT ts, event_type, value,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(user_id AS VARCHAR) || 'r1', ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM events)),
+            st AS (SELECT part, event_type, COUNT(*) AS n_rows,
+                     SUM(CAST(value AS DECIMAL(30,6))) AS sum_v,
+                     MIN(value) AS min_v, MAX(value) AS max_v
+                   FROM b GROUP BY 1, 2),
+            hx AS (SELECT DISTINCT part, event_type, h FROM b),
+            bk AS (SELECT part, event_type, h
+                   FROM (SELECT part, event_type, h,
+                           ROW_NUMBER() OVER (PARTITION BY part, event_type
+                                              ORDER BY h) AS rn
+                         FROM hx) WHERE rn <= 32),
+            mst AS (SELECT event_type, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                      SUM(sum_v) AS sum_v, MIN(min_v) AS min_v,
+                      MAX(max_v) AS max_v
+                    FROM st GROUP BY 1),
+            mh AS (SELECT event_type, h,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS rn
+                   FROM (SELECT DISTINCT event_type, h FROM bk)),
+            km AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seen,
+                     MAX(h) AS kth_hash
+                   FROM mh WHERE rn <= 32 GROUP BY 1)
+            SELECT event_type, n_rows, CAST(sum_v AS DOUBLE) AS sum_v,
+                   min_v, max_v, n_seen, kth_hash,
+                   CASE WHEN n_seen < 32 THEN n_seen
+                        ELSE CAST(FLOOR(31.0 * 1000000007 / kth_hash) AS BIGINT)
+                   END AS est_distinct
+            FROM mst JOIN km USING (event_type) ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149)
+      q136, q141, q148, q149, q150)
 }

@@ -586,7 +586,50 @@ object ExtraQueries extends QueryGroup {
                    END AS est_distinct
             FROM mst JOIN km USING (event_type) ORDER BY event_type"""))
 
+  private val zInterleave8 = (0 until 8).flatMap(i =>
+    Seq(s"(((ub >> $i) & 1) << ${2 * i})", s"(((tb >> $i) & 1) << ${2 * i + 1})"))
+    .mkString(" | ")
+
+  val q151 = QueryDef(
+    "q151_zorder_morton_cells",
+    "Z-order (Morton) clustering math, profiled per curve cell: user_id " +
+      "and epoch-micros each bucket into 2^8 bins by EXACT int64 " +
+      "division over the observed bounds, bits interleave into one code " +
+      "(the writeZOrderLayout sort key), and the per-cell min/max of " +
+      "BOTH dimension buckets exhibits the hyper-rectangle property a " +
+      "multi-column-skipping layout relies on — the whole key replays " +
+      "bit-identically in integer SQL",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val base = e.select(col("user_id"), us(col("ts")).as("tus"))
+      val b = base.agg(min("user_id"), max("user_id"), min("tus"), max("tus")).head()
+      val z = graft.operators.ZOrder.mortonCode(Seq(
+        graft.operators.ZOrder.intBucket(col("user_id"), b.getLong(0), b.getLong(1), 8),
+        graft.operators.ZOrder.intBucket(col("tus"), b.getLong(2), b.getLong(3), 8)), 8)
+      base.select(
+          graft.operators.ZOrder.intBucket(col("user_id"), b.getLong(0), b.getLong(1), 8).as("ubk"),
+          graft.operators.ZOrder.intBucket(col("tus"), b.getLong(2), b.getLong(3), 8).as("tbk"),
+          z.as("zc"))
+        .withColumn("zcell", shiftright(col("zc"), 10))
+        .groupBy("zcell")
+        .agg(count(lit(1)).as("n"),
+          min("ubk").as("min_ub"), max("ubk").as("max_ub"),
+          min("tbk").as("min_tb"), max("tbk").as("max_tb"))
+        .orderBy("zcell")
+    },
+    Some(s"""WITH b AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+            s AS (SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+                    MIN(tus) AS mnt, MAX(tus) AS mxt FROM b),
+            k AS (SELECT ((user_id - mnu) * 256) // (mxu - mnu + 1) AS ub,
+                    ((tus - mnt) * 256) // (mxt - mnt + 1) AS tb
+                  FROM b CROSS JOIN s),
+            z AS (SELECT ub, tb, ($zInterleave8) AS zc FROM k)
+            SELECT zc >> 10 AS zcell, CAST(COUNT(*) AS BIGINT) AS n,
+              MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+              MIN(tb) AS min_tb, MAX(tb) AS max_tb
+            FROM z GROUP BY 1 ORDER BY 1"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149, q150)
+      q136, q141, q148, q149, q150, q151)
 }

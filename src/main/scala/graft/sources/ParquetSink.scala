@@ -123,4 +123,31 @@ object ParquetSink {
       .sortWithinPartitions(rangeCols.map(col): _*)
       .write.mode(mode).parquet(path)
   }
+
+  /** Z-order-clustered landing — [[writeRangeLayout]] for MULTI-column
+    * filter patterns (the Delta/Iceberg `OPTIMIZE ZORDER BY` shape): rows
+    * are range-partitioned and sorted on the Morton interleave of the
+    * given integral columns ([[graft.operators.ZOrder.zCode]]), so every
+    * output file covers a tight value range on EVERY z-column and a
+    * filter on ANY of them skips most files/row groups — where a single-
+    * column range layout serves only its leading column. The z key is
+    * layout-only (dropped before write); ZOrderSpec asserts the promise
+    * comparatively: per-file spans on BOTH dimensions beat the hash
+    * layout's. Same nFiles sizing rule as [[writeRangeLayout]]; doubles
+    * must be quantized to integer columns first. */
+  def writeZOrderLayout(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      nFiles: Int,
+      bits: Int = 16,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(zCols.nonEmpty, "zCols must be non-empty")
+    require(nFiles >= 1, s"nFiles $nFiles must be >= 1")
+    graft.operators.ZOrder.zCode(df, zCols, bits, "__z")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
 }

@@ -143,4 +143,73 @@ object Clean {
     when(scheme === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), hostNoPort, pathNorm, queryNorm))
   }
+
+  // --- Mojibake (UTF-8 bytes mis-decoded as cp1252/latin-1) -----------
+  //
+  // The single most common crawl-text corruption: a UTF-8 document read
+  // as Windows-1252 turns every non-ASCII char into a 2-3 char digraph
+  // ("é" -> "Ã©", "'" -> "â€™", "€" -> "â‚¬"). The repair table below is
+  // GENERATED from the encoding math, not hand-listed: for each original
+  // code point, re-encode to UTF-8 and render each byte the way a cp1252
+  // decoder would (0x80-0x9F via the cp1252 table, else the latin-1
+  // identity) — so the table is complete over Latin-1 Supplement plus
+  // the cp1252 punctuation block, and provably consistent.
+
+  /** cp1252's 0x80–0x9F remappings (the 5 holes — 81 8D 8F 90 9D — fall
+    * through to their C1 control chars, exactly like a real mis-decode). */
+  private val Cp1252: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+    0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+    0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+    0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+
+  private def disp(b: Int): String = Cp1252.getOrElse(b, b.toChar).toString
+
+  /** (mojibake sequence → original char), 3-byte punctuation first, then
+    * the full U+00A0–U+00FF family in ASCENDING code-point order — that
+    * order makes the chain fix DOUBLE-encoded 2-byte chars too ("Ãƒ"→"Ã"
+    * and "Â©"→"©" both land before "Ã©"→"é" re-examines the result;
+    * spec-asserted). Replacement outputs never contain ASCII quotes, so
+    * the table embeds directly into SQL literals for the oracle replay. */
+  val mojibakeTable: Seq[(String, String)] = {
+    val punct = Seq(0x2013, 0x2014, 0x2018, 0x2019, 0x201A, 0x201C, 0x201D,
+      0x201E, 0x2020, 0x2021, 0x2022, 0x2026, 0x2030, 0x2039, 0x203A,
+      0x20AC, 0x2122).map { cp =>
+      (disp(0xE0 | (cp >> 12)) + disp(0x80 | ((cp >> 6) & 0x3F)) +
+        disp(0x80 | (cp & 0x3F)), cp.toChar.toString)
+    }
+    val latin = (0xA0 to 0xFF).map { cp =>
+      (disp(0xC0 | (cp >> 6)) + disp(0x80 | (cp & 0x3F)), cp.toChar.toString)
+    }
+    punct ++ latin
+  }
+
+  /** The detection regex: a UTF-8 lead-byte display char (Ã/Â for 2-byte
+    * sequences, â for the punctuation 3-byte block) followed by
+    * continuation-byte display chars. Pure literal character classes
+    * (all 64 continuation renderings enumerated — no ranges, no
+    * metacharacters), identical under Java regex and RE2, shared
+    * verbatim with the q152 oracle. */
+  val mojibakeRe: String = {
+    val cont = (0x80 to 0xBF).map(disp).mkString
+    s"Ã[$cont]|Â[$cont]|â[$cont]{2}"
+  }
+
+  /** Count of mojibake signatures in the text — the triage signal (docs
+    * scoring high route to [[fixMojibake]] or to quarantine). */
+  def mojibakeScore(c: Column): Column =
+    size(regexp_extract_all(c, lit(mojibakeRe), lit(0)))
+
+  /** Repair mis-decoded text by folding [[mojibakeTable]] through literal
+    * `replace` (codegen'd, no regex): complete over Latin-1 Supplement +
+    * cp1252 punctuation, fixes double-encoded 2-byte chars via the
+    * table's ascending order, and never touches clean text (every search
+    * key contains a lead-byte display char). Narrow per-row work. */
+  def fixMojibake(c: Column): Column =
+    mojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
 }

@@ -629,7 +629,64 @@ object ExtraQueries extends QueryGroup {
               MIN(tb) AS min_tb, MAX(tb) AS max_tb
             FROM z GROUP BY 1 ORDER BY 1"""))
 
+  // deterministic mojibake grafts (the fixture corpus is clean by
+  // construction — the q69/q131/q145 graft-and-replay idiom): doc_id%4
+  // selects corruption flavor; all three repair to known originals
+  private val MojiGrafts = Seq(
+    " CafÃ© menÃ¼",                        // Café menü
+    " donâ€™t â€œqâ€", // don't "q"
+    " naÃ¯ve â‚¬5")                   // naïve €5
+
+  private def sqlFixMojibake(inner: String): String =
+    graft.functions.Clean.mojibakeTable.foldLeft(inner) {
+      case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+    }
+
+  val q152 = QueryDef(
+    "q152_mojibake_repair",
+    "mojibake detection + repair (UTF-8 read as cp1252 — the most common " +
+      "crawl corruption): signature count from a generated 64-literal " +
+      "continuation-class regex, repair by folding the encoding-math- " +
+      "generated digraph table through literal replace; corruption is " +
+      "GRAFTED deterministically per doc_id%4 (fixture is clean by " +
+      "construction) and the oracle replays the IDENTICAL regex and " +
+      "replace chain — both generated from the same table constants",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val C = graft.functions.Clean
+      val grafted = concat(substring(col("text"), 1, 40),
+        when(col("doc_id") % 4 === 0, lit(MojiGrafts(0)))
+          .when(col("doc_id") % 4 === 1, lit(MojiGrafts(1)))
+          .when(col("doc_id") % 4 === 2, lit(MojiGrafts(2)))
+          .otherwise(lit("")))
+      d.select(col("doc_id"), grafted.as("g"))
+        .select(col("doc_id"),
+          C.mojibakeScore(col("g")).cast(LongType).as("moji_hits"),
+          C.fixMojibake(col("g")).as("fixed"))
+        .withColumn("fixed_hits", C.mojibakeScore(col("fixed")).cast(LongType))
+        .withColumn("repaired", col("moji_hits") > 0 && col("fixed_hits") === 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH g AS (SELECT doc_id,
+                    substr(text, 1, 40) || CASE doc_id % 4
+                      WHEN 0 THEN '${MojiGrafts(0)}'
+                      WHEN 1 THEN '${MojiGrafts(1)}'
+                      WHEN 2 THEN '${MojiGrafts(2)}'
+                      ELSE '' END AS g
+                  FROM documents),
+            f AS (SELECT doc_id,
+                    CAST(len(regexp_extract_all(g,
+                      '${graft.functions.Clean.mojibakeRe}')) AS BIGINT) AS moji_hits,
+                    ${sqlFixMojibake("g")} AS fixed
+                  FROM g)
+            SELECT doc_id, moji_hits, fixed,
+              CAST(len(regexp_extract_all(fixed,
+                '${graft.functions.Clean.mojibakeRe}')) AS BIGINT) AS fixed_hits,
+              moji_hits > 0 AND len(regexp_extract_all(fixed,
+                '${graft.functions.Clean.mojibakeRe}')) = 0 AS repaired
+            FROM f ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149, q150, q151)
+      q136, q141, q148, q149, q150, q151, q152)
 }

@@ -116,4 +116,43 @@ class CleanSpec extends SparkSpecBase {
       .select(Clean.canonicalizeUrl(col("t")).as("r")).collect().head
     assert(out.isNullAt(0))
   }
+
+  private def fix1(s: String): String =
+    Seq(Tuple1(s)).toDF("t").select(Clean.fixMojibake(col("t")).as("r"))
+      .collect().head.getString(0)
+
+  private def score1(s: String): Int =
+    Seq(Tuple1(s)).toDF("t").select(Clean.mojibakeScore(col("t")).as("r"))
+      .collect().head.getInt(0)
+
+  test("fixMojibake: the classic signatures repair to their originals") {
+    assert(fix1("CafÃ© menÃ¼") === "Café menü")
+    assert(fix1("donâ€™t") === "don’t")
+    assert(fix1("â€œquotedâ€") === "“quoted”")
+    assert(fix1("â‚¬5 naÃ¯ve") === "€5 naïve")
+    assert(fix1("A â€“ B â€¦") === "A – B …")
+  }
+
+  test("fixMojibake: table generated from the encoding math round-trips ALL of latin-1 + cp1252 punct") {
+    // for every (bad, good) pair, bad must be exactly how good's UTF-8
+    // bytes render under a cp1252-with-C1-fallback decoder
+    Clean.mojibakeTable.foreach { case (bad, good) =>
+      val bytes = good.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(bad.length === bytes.length, s"$good render length")
+      assert(fix1(bad) === good, s"$bad repairs to $good")
+    }
+  }
+
+  test("fixMojibake: ascending table order also repairs double-encoded text") {
+    // é double-mis-decoded: C3 A9 -> "Ã©" -> UTF-8 again -> C3 83 C2 A9
+    // -> rendered "Ãƒ" + "Â©"
+    assert(fix1("ÃƒÂ©") === "é")
+  }
+
+  test("fixMojibake/mojibakeScore: clean text untouched, score 0; corrupt text scores its hits") {
+    val clean = "plain ascii, real accents: café – “quoted” €5"
+    assert(fix1(clean) === clean)
+    assert(score1(clean) === 0)
+    assert(score1("CafÃ© donâ€™t Â»") === 3)
+  }
 }

@@ -66,4 +66,105 @@ object Quantiles {
     out.select(col("g").as(groupCol) +: col("n") +:
       sorted.map { case (name, _) => col(name) }: _*)
   }
+
+  // --- Mergeable histogram quantiles ---------------------------------
+  //
+  // The [[graft.operators.Rollup]]-family member for quantiles: exact
+  // quantiles don't merge (a non-mergeable statistic by nature), but a
+  // fixed-geometry histogram does — per-partition bucket counts are
+  // additive, so per-day histograms re-aggregate losslessly and any
+  // partition range answers approximate quantiles with a PROVEN error
+  // bound (≤ half a bucket width) without rescanning raw history.
+  // Geometry (quantized bounds + bits) is sketch config, like KMV's k:
+  // fixed at build time, shared by every partition that will ever merge.
+  // All bucket/rank arithmetic is exact int64 (IntegralDivide, the
+  // [[ZOrder.intBucket]] rule), so the whole estimator replays
+  // bit-identically in integer SQL (q153).
+
+  /** Quantized value bounds for the histogram geometry — one aggregation,
+    * two driver scalars. Quantization = round(v·10^d) into int64 (the
+    * q90 component-quantization discipline, cross-engine portable). */
+  def quantBounds(df: DataFrame, valueCol: String, quantDecimals: Int = 6): (Long, Long) = {
+    val s = math.pow(10.0, quantDecimals)
+    val r = df.where(col(valueCol).isNotNull)
+      .agg(min(round(col(valueCol) * s).cast("long")),
+        max(round(col(valueCol) * s).cast("long"))).head()
+    require(!r.isNullAt(0), s"quantBounds: no non-null '$valueCol' values")
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
+
+  /** Per-partition histogram: (part, keyCols*, bucket, cnt). One grouped
+    * aggregation with map-side combining; ≤ keys·2^bits rows per
+    * partition travel. Values outside the geometry clamp into the edge
+    * buckets (late data beyond the reference bounds still counts). */
+  def histogramPartials(
+      df: DataFrame,
+      partCol: Column,
+      keyCols: Seq[String],
+      valueCol: String,
+      loQ: Long,
+      hiQ: Long,
+      bits: Int,
+      quantDecimals: Int = 6): DataFrame = {
+    val s = math.pow(10.0, quantDecimals)
+    val vq = least(greatest(round(col(valueCol) * s).cast("long"), lit(loQ)), lit(hiQ))
+    df.where(col(valueCol).isNotNull)
+      .select(partCol.as("part") +: keyCols.map(col) :+
+        ZOrder.intBucket(vq, loQ, hiQ, bits).as("bucket"): _*)
+      .groupBy(col("part") +: keyCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histograms over any set of partitions: bucket counts are
+    * additive, so the merge is ONE re-aggregation — lossless by
+    * construction, cost = partitions·keys·2^bits, independent of raw
+    * corpus size. */
+  def histogramMerge(partials: DataFrame, keyCols: Seq[String]): DataFrame =
+    partials.groupBy(keyCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates off a merged histogram. `qs` maps output name →
+    * integer percent (exact rank arithmetic: r = ceil(n·p/100) in int64).
+    * The estimate is the midpoint of the bucket containing the r-th order
+    * statistic, so |est − exact_r| ≤ half a bucket width by construction
+    * (spec-asserted against [[exactQuantiles]]). The per-key cumulative
+    * walk runs over the MODEL-sized histogram frame (keys × ≤ 2^bits
+    * rows), never the corpus. Output: (keyCols*, n, <name per q>). */
+  def histogramQuantiles(
+      hist: DataFrame,
+      keyCols: Seq[String],
+      qs: Map[String, Int],
+      loQ: Long,
+      hiQ: Long,
+      bits: Int,
+      quantDecimals: Int = 6): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    require(qs.values.forall(p => p >= 1 && p <= 100),
+      s"percents must be integers in [1,100]: $qs")
+    val keys = keyCols.map(col)
+    val ns = hist.groupBy(keys: _*).agg(sum(col("cnt")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(keys: _*).orderBy("bucket")))
+    val sorted = qs.toSeq.sortBy(_._1)
+    val aggs = first(col("n")).as("n") +: sorted.map { case (name, p) =>
+      val r = intDiv(col("n") * p + 99, lit(100L))
+      min(when(col("cum") >= r, col("bucket"))).as(s"__b_$name")
+    }
+    val picks = cum.join(broadcast(ns), keyCols)
+      .groupBy(keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val scale = math.pow(10.0, quantDecimals)
+    val out = sorted.foldLeft(picks) { case (acc, (name, _)) =>
+      val estUnits = lit(loQ) + intDiv(
+        (col(s"__b_$name") * 2 + 1) * (hiQ - loQ + 1L), lit(1L << (bits + 1)))
+      acc.withColumn(name, estUnits.cast("double") / scale)
+    }
+    out.select(keys ++ (col("n") +: sorted.map { case (name, _) => col(name) }): _*)
+  }
 }

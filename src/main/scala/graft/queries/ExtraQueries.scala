@@ -686,7 +686,61 @@ object ExtraQueries extends QueryGroup {
                 '${graft.functions.Clean.mojibakeRe}')) = 0 AS repaired
             FROM f ORDER BY doc_id"""))
 
+  val q153 = QueryDef(
+    "q153_histogram_quantile_rollup",
+    "mergeable histogram quantiles — the rollup-family member for the one " +
+      "statistic exact methods can't merge: per-day fixed-geometry " +
+      "bucket counts (exact int64 bucketing over quantized values) " +
+      "re-aggregate losslessly, then p50/p90 come off the merged " +
+      "histogram as the midpoint of the bucket holding the " +
+      "ceil(n*p/100)-th order statistic — error provably <= half a " +
+      "bucket width, never rescanning raw history; every bucket/rank " +
+      "step replays in integer SQL",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val Q = graft.operators.Quantiles
+      val bits = 10
+      val (lo, hi) = Q.quantBounds(e, "value")
+      val hist = Q.histogramMerge(
+        Q.histogramPartials(e, to_date(col("ts")), Seq("event_type"),
+          "value", lo, hi, bits),
+        Seq("event_type"))
+      Q.histogramQuantiles(hist, Seq("event_type"),
+          Map("p50" -> 50, "p90" -> 90), lo, hi, bits)
+        .orderBy("event_type")
+    },
+    Some("""WITH v AS (SELECT CAST(ts AS DATE) AS part, event_type,
+                    CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+                  FROM events WHERE value IS NOT NULL),
+            s AS (SELECT MIN(vq) AS lo, MAX(vq) AS hi FROM v),
+            hp AS (SELECT part, event_type,
+                     ((LEAST(GREATEST(vq, lo), hi) - lo) * 1024)
+                       // (hi - lo + 1) AS bucket,
+                     COUNT(*) AS cnt
+                   FROM v CROSS JOIN s GROUP BY 1, 2, 3),
+            h AS (SELECT event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+                  FROM hp GROUP BY 1, 2),
+            n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+                  FROM h GROUP BY 1),
+            c AS (SELECT event_type, bucket,
+                    SUM(cnt) OVER (PARTITION BY event_type
+                                   ORDER BY bucket) AS cum
+                  FROM h),
+            pick AS (SELECT c.event_type,
+                       MIN(CASE WHEN cum >= (n.n * 50 + 99) // 100
+                           THEN bucket END) AS b50,
+                       MIN(CASE WHEN cum >= (n.n * 90 + 99) // 100
+                           THEN bucket END) AS b90
+                     FROM c JOIN n USING (event_type) GROUP BY 1)
+            SELECT p.event_type, n.n,
+              CAST(s.lo + ((b50 * 2 + 1) * (s.hi - s.lo + 1)) // 2048
+                AS DOUBLE) / 1000000 AS p50,
+              CAST(s.lo + ((b90 * 2 + 1) * (s.hi - s.lo + 1)) // 2048
+                AS DOUBLE) / 1000000 AS p90
+            FROM pick p JOIN n USING (event_type) CROSS JOIN s
+            ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149, q150, q151, q152)
+      q136, q141, q148, q149, q150, q151, q152, q153)
 }

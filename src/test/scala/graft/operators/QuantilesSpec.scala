@@ -67,4 +67,63 @@ class QuantilesSpec extends SparkSpecBase {
     assert(!p.contains("Expand"), "no Expand")
     assert(!p.contains("CartesianProduct"), "keyed joins only")
   }
+
+  test("histogram quantiles: estimate within half a bucket width of the exact order statistic") {
+    val e = graft.core.Tables.load(spark, sfDir, "events")
+    val bits = 10
+    val (lo, hi) = Quantiles.quantBounds(e, "value")
+    val hist = Quantiles.histogramMerge(
+      Quantiles.histogramPartials(e, to_date(col("ts")), Seq("event_type"),
+        "value", lo, hi, bits),
+      Seq("event_type"))
+    val est = Quantiles.histogramQuantiles(hist, Seq("event_type"),
+        Map("p50" -> 50, "p90" -> 90), lo, hi, bits)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // the PROVEN bound is against the ceil(n*p/100)-th ORDER STATISTIC
+    // (same rank convention, same bucket by construction) — an
+    // interpolated quantile can sit a sparse-tail gap away, so it is not
+    // the reference here
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value")
+    val byType = e.where(col("value").isNotNull)
+      .select(col("event_type"), col("value"), row_number().over(w).as("rn"))
+      .collect().groupBy(_.getString(0))
+    val width = (hi - lo + 1).toDouble / (1L << bits) / 1e6
+    assert(est.keySet === byType.keySet)
+    est.foreach { case (g, (n, p50, p90)) =>
+      val vals = byType(g).sortBy(_.getInt(2)).map(_.getDouble(1))
+      assert(n === vals.length.toLong, s"$g n")
+      def orderStat(p: Int) = vals(((n * p + 99) / 100).toInt - 1)
+      assert(math.abs(p50 - orderStat(50)) <= width / 2 + 1e-6,
+        s"$g p50 $p50 vs ${orderStat(50)}")
+      assert(math.abs(p90 - orderStat(90)) <= width / 2 + 1e-6,
+        s"$g p90 $p90 vs ${orderStat(90)}")
+    }
+  }
+
+  test("histogram merge is lossless: per-day partials re-aggregate to the whole-range histogram") {
+    val e = graft.core.Tables.load(spark, sfDir, "events")
+    val (lo, hi) = Quantiles.quantBounds(e, "value")
+    val partials = Quantiles.histogramPartials(e, to_date(col("ts")),
+      Seq("event_type"), "value", lo, hi, 8)
+    val whole = Quantiles.histogramPartials(e, lit(0), Seq("event_type"),
+      "value", lo, hi, 8)
+    val a = Quantiles.histogramMerge(partials, Seq("event_type"))
+      .orderBy("event_type", "bucket").collect().map(_.toString)
+    val b = Quantiles.histogramMerge(whole, Seq("event_type"))
+      .orderBy("event_type", "bucket").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("histogram geometry: out-of-bounds values clamp into the edge buckets") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("a", -99.0), ("a", 0.5), ("a", 99.0)).toDF("g", "v")
+    // geometry fixed to [0, 1] in value space
+    val hist = Quantiles.histogramPartials(rows, lit(0), Seq("g"), "v",
+      0L, 1000000L, bits = 4)
+    val buckets = hist.collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    // 0.5 -> units 500000 -> (500000*16) div 1000001 = 7 (exact int div)
+    assert(buckets === Map(0L -> 1L, 7L -> 1L, 15L -> 1L))
+  }
 }

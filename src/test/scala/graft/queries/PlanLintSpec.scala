@@ -89,7 +89,12 @@ class PlanLintSpec extends SparkSpecBase {
     "q111_ann_recall_eval",
     // q112 rides q75's batched-BM25 machinery (1-row corpus-stats
     // crossJoin); the metrics joins themselves are equi
-    "q112_retrieval_ranking_metrics")
+    "q112_retrieval_ranking_metrics",
+    // q149: SemDeDup's corpus×centroid scoring — the broadcast side is
+    // the MODEL-sized centroid frame (nCentroids rows, the kMeans/
+    // topKIvf assignment shape), collapsed map-side to one row per
+    // vector before any exchange; the within-cell pair join is equi
+    "q149_semantic_dedup")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

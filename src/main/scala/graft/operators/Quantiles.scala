@@ -93,11 +93,7 @@ object Quantiles {
     (r.getLong(0), r.getLong(1))
   }
 
-  private def intDiv(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.graftglue.ColumnGlue
-    ColumnGlue.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      ColumnGlue.expression(a), ColumnGlue.expression(b)))
-  }
+  private def intDiv(a: Column, b: Column): Column = ZOrder.intDiv(a, b)
 
   /** Per-partition histogram: (part, keyCols*, bucket, cnt). One grouped
     * aggregation with map-side combining; ≤ keys·2^bits rows per

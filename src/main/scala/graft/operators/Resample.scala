@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series resampling with last-observation-carried-
+  * forward — the gap-fill every metrics/feature pipeline needs before
+  * windowed math is meaningful: irregular event ticks become one row per
+  * (key, fixed-width slot) over each key's observed span, gaps filled
+  * with the most recent observation (LOCF). The [[Funnel]] family reads
+  * raw event time; this operator PRODUCES the regular frame those
+  * downstream consumers (drift monitors, rate z-scores, training-feature
+  * joins) assume.
+  *
+  * Shape: slotting is one exact int64 division per row (epoch-micros div
+  * step — portable, never float); per-slot collapse is a grouped max_by
+  * with map-side combining (one row per occupied slot travels); the grid
+  * explode runs over the KEYS-sized span frame, fanning out exactly the
+  * output's own size (resampling's definition — size the step to the
+  * grid you intend to materialize: span/step slots per key); LOCF is a
+  * streaming window frame with O(1) state (`last` ignoreNulls carries
+  * one value). Nothing corpus-sized shuffles except the per-slot
+  * aggregation itself.
+  *
+  * Null-valued ticks are TICKS without observations: they open grid
+  * slots but carry no value — LOCF skips them (the SQL fill-group
+  * equivalence: cumulative non-null count then per-group max; q154
+  * replays exactly that and hash-matches).
+  *
+  * Output: (keyCols*, slot, slot_start, n_obs, <valueCol>) — slot =
+  * epoch_us div stepUs, slot_start its timestamp, n_obs = ticks in the
+  * slot (0 for gap rows), value = LOCF value (null only before the
+  * key's first non-null observation).
+  */
+object Resample {
+
+  def locfGrid(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      stepUs: Long,
+      orderCols: Seq[Column] = Nil): DataFrame = {
+    require(stepUs > 0, s"stepUs $stepUs must be positive")
+    require(keyCols.nonEmpty, "at least one key column required")
+    val keys = keyCols.map(col)
+    // within-slot pick needs a TOTAL order for a well-defined "last";
+    // default to the timestamp, callers add a tiebreaker for exact ties
+    val ord = struct((if (orderCols.isEmpty) Seq(col(tsCol)) else orderCols): _*)
+    val slot = ZOrder.intDiv(unix_micros(col(tsCol).cast("timestamp")), lit(stepUs))
+    val perSlot = df
+      .select(keys ++ Seq(slot.as("slot"), col(valueCol).as("__v"), ord.as("__o")): _*)
+      .groupBy(keys :+ col("slot"): _*)
+      .agg(count(lit(1)).as("n_obs"), max_by(col("__v"), col("__o")).as("__v"))
+    // per-key span: one aggregation to a keys-sized frame, then the grid
+    // fan-out — exactly output-sized by construction
+    val grid = perSlot.groupBy(keys: _*)
+      .agg(min(col("slot")).as("__s0"), max(col("slot")).as("__s1"))
+      .select(keys :+ explode(sequence(col("__s0"), col("__s1"))).as("slot"): _*)
+    val w = Window.partitionBy(keys: _*).orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perSlot, keyCols :+ "slot", "left")
+      .select(keys ++ Seq(
+        col("slot"),
+        timestamp_micros(col("slot") * stepUs).cast("timestamp_ntz").as("slot_start"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("__v"), ignoreNulls = true).over(w).as(valueCol)): _*)
+  }
+}

@@ -49,16 +49,20 @@ object ZOrder {
     * ((v − min) · 2^bits) div (range + 1). Caller guarantees
     * (maxV − minV + 1) · 2^bits < 2^63 (true for ids and epoch-micro
     * spans at any realistic bits). */
+  /** int64 `div`, never `/`: Spark's Column division widens longs to
+    * DOUBLE, and a quotient within an ulp of an integer would land a
+    * boundary value differently from an oracle's exact `//`. Shared by
+    * every exact-integer-arithmetic operator in this package. */
+  private[operators] def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
+
   def intBucket(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
     require(maxV >= minV, s"intBucket: empty range [$minV, $maxV]")
     require(bits >= 1 && bits <= 31, s"intBucket: bits $bits outside [1,31]")
-    // int64 `div`, never `/`: Spark's Column division widens longs to
-    // DOUBLE, and a quotient within an ulp of an integer would bucket a
-    // boundary value differently from the oracle's exact `//`
-    import org.apache.spark.sql.graftglue.ColumnGlue
-    ColumnGlue.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      ColumnGlue.expression((c.cast("long") - lit(minV)) * lit(1L << bits)),
-      ColumnGlue.expression(lit(maxV - minV + 1L))))
+    intDiv((c.cast("long") - lit(minV)) * lit(1L << bits), lit(maxV - minV + 1L))
   }
 
   /** Append column `outCol` = morton code over `cols` (integral columns),

@@ -740,7 +740,53 @@ object ExtraQueries extends QueryGroup {
             FROM pick p JOIN n USING (event_type) CROSS JOIN s
             ORDER BY event_type"""))
 
+  val q154 = QueryDef(
+    "q154_resample_locf",
+    "regular-grid resampling with last-observation-carried-forward: " +
+      "irregular event ticks become one row per (event_type, hour slot) " +
+      "over each type's observed span — exact int64 slotting, per-slot " +
+      "last-by-(ts, event_id) pick, keys-sized grid explode, O(1)-state " +
+      "LOCF window; the oracle replays LOCF via the portable fill-group " +
+      "trick (cumulative non-null count, per-group max), proving the " +
+      "ignoreNulls-last semantics equivalence",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Resample.locfGrid(e, Seq("event_type"), "ts", "value",
+          stepUs = 3600L * 1000000L, orderCols = Seq(col("ts"), col("event_id")))
+        .select(col("event_type"), col("slot"),
+          tsStr(col("slot_start")).as("slot_s"), col("n_obs"), col("value"))
+        .orderBy("event_type", "slot")
+    },
+    Some("""WITH t AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+                    ts, event_id, value FROM events),
+            ps AS (SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS n_obs
+                   FROM t GROUP BY 1, 2),
+            lastv AS (SELECT event_type, slot, value FROM
+                        (SELECT event_type, slot, value,
+                           ROW_NUMBER() OVER (PARTITION BY event_type, slot
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                         FROM t) WHERE rn = 1),
+            span AS (SELECT event_type, MIN(slot) AS s0, MAX(slot) AS s1
+                     FROM t GROUP BY 1),
+            grid AS (SELECT event_type, UNNEST(generate_series(s0, s1)) AS slot
+                     FROM span),
+            j AS (SELECT g.event_type, g.slot, COALESCE(ps.n_obs, 0) AS n_obs,
+                    lastv.value AS v
+                  FROM grid g
+                  LEFT JOIN ps USING (event_type, slot)
+                  LEFT JOIN lastv USING (event_type, slot)),
+            f AS (SELECT event_type, slot, n_obs, v,
+                    SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY event_type ORDER BY slot) AS grp
+                  FROM j)
+            SELECT event_type, slot,
+              strftime(make_timestamp(slot * 3600000000),
+                '%Y-%m-%d %H:%M:%S') AS slot_s,
+              CAST(n_obs AS BIGINT) AS n_obs,
+              MAX(v) OVER (PARTITION BY event_type, grp) AS value
+            FROM f ORDER BY event_type, slot"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149, q150, q151, q152, q153)
+      q136, q141, q148, q149, q150, q151, q152, q153, q154)
 }

@@ -786,7 +786,71 @@ object ExtraQueries extends QueryGroup {
               MAX(v) OVER (PARTITION BY event_type, grp) AS value
             FROM f ORDER BY event_type, slot"""))
 
+  // Fellegi–Sunter field rules for q155 — m/u are model config; the
+  // agree/disagree weights are computed ONCE here on the driver and the
+  // SAME values interpolate into both plans (no libm in either engine)
+  private val LinkRules = Seq(
+    graft.operators.Linkage.FieldRule("name",
+      col("c_name") === col("d_name"), 0.95, 0.001),
+    graft.operators.Linkage.FieldRule("bal",
+      col("c_acctbal") === col("d_bal"), 0.9, 0.002))
+
+  val q155 = QueryDef(
+    "q155_record_linkage",
+    "probabilistic record linkage (Fellegi–Sunter 1969): a deterministic " +
+      "dirty copy of customer (name case-mangled for key%3=0, acctbal " +
+      "shifted a cent for key%3=1, clean otherwise) links back through " +
+      "(nation, mktsegment) blocking; per-field agreement sums " +
+      "driver-computed log2(m/u) literal weights into the match / " +
+      "possible / nonmatch decision geometry — entity resolution for " +
+      "structured records, the counterpart of the text/embedding dedup " +
+      "families",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val dirty = c.select(
+        (col("c_custkey") + 1000000L).as("d_key"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("d_name"),
+        when(col("c_custkey") % 3 === 1, col("c_acctbal") + 0.01)
+          .otherwise(col("c_acctbal")).as("d_bal"),
+        col("c_nationkey").as("d_nat"), col("c_mktsegment").as("d_seg"))
+      val pairs = c
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"), col("c_mktsegment"))
+        .join(dirty,
+          col("c_nationkey") === col("d_nat") && col("c_mktsegment") === col("d_seg"))
+      graft.operators.Linkage.fellegiSunter(pairs, LinkRules, upper = 15.0, lower = 2.0)
+        .filter(col("decision") =!= "nonmatch")
+        .select(col("c_custkey"), col("d_key"), col("agree_name"),
+          col("agree_bal"), col("score"), col("decision"))
+        .orderBy("c_custkey", "d_key")
+    },
+    Some(s"""WITH d AS (SELECT c_custkey + 1000000 AS d_key,
+                    CASE WHEN c_custkey % 3 = 0 THEN UPPER(c_name)
+                         ELSE c_name END AS d_name,
+                    CASE WHEN c_custkey % 3 = 1 THEN c_acctbal + 0.01
+                         ELSE c_acctbal END AS d_bal,
+                    c_nationkey AS d_nat, c_mktsegment AS d_seg
+                  FROM customer),
+            p AS (SELECT c.c_custkey, d.d_key,
+                    c.c_name = d.d_name AS agree_name,
+                    c.c_acctbal = d.d_bal AS agree_bal
+                  FROM customer c
+                  JOIN d ON c.c_nationkey = d.d_nat AND c.c_mktsegment = d.d_seg),
+            sc AS (SELECT *, ROUND(
+                     (CASE WHEN agree_name THEN ${LinkRules(0).agreeWeight}
+                           ELSE ${LinkRules(0).disagreeWeight} END)
+                   + (CASE WHEN agree_bal THEN ${LinkRules(1).agreeWeight}
+                           ELSE ${LinkRules(1).disagreeWeight} END), 6) AS score
+                   FROM p)
+            SELECT c_custkey, d_key, agree_name, agree_bal, score,
+              CASE WHEN score >= 15.0 THEN 'match'
+                   WHEN score > 2.0 THEN 'possible'
+                   ELSE 'nonmatch' END AS decision
+            FROM sc WHERE score > 2.0
+            ORDER BY c_custkey, d_key"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149, q150, q151, q152, q153, q154)
+      q136, q141, q148, q149, q150, q151, q152, q153, q154, q155)
 }

@@ -52,8 +52,8 @@ object ZOrder {
   /** int64 `div`, never `/`: Spark's Column division widens longs to
     * DOUBLE, and a quotient within an ulp of an integer would land a
     * boundary value differently from an oracle's exact `//`. Shared by
-    * every exact-integer-arithmetic operator in this package. */
-  private[operators] def intDiv(a: Column, b: Column): Column = {
+    * every exact-integer-arithmetic operator and query in the engine. */
+  def intDiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftglue.ColumnGlue
     ColumnGlue.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       ColumnGlue.expression(a), ColumnGlue.expression(b)))

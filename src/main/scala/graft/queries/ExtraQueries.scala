@@ -850,7 +850,53 @@ object ExtraQueries extends QueryGroup {
             FROM sc WHERE score > 2.0
             ORDER BY c_custkey, d_key"""))
 
+  val q156 = QueryDef(
+    "q156_ols_trend",
+    "per-group OLS trend fitting from sufficient statistics (the " +
+      "is-this-metric-drifting primitive): per event_type, fit value on " +
+      "hour slot — six exact-decimal sums (y quantized, x centered per " +
+      "key so products fit DECIMAL(19,0)^2), then slope/intercept/r2 as " +
+      "a FIXED-ORDER double combination replayed verbatim in SQL; one " +
+      "grouped aggregation, no iteration, degenerate keys NULL",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val withSlot = e.withColumn("slot",
+        graft.operators.ZOrder.intDiv(us(col("ts")), lit(3600000000L)))
+      graft.operators.Trend.olsTrend(withSlot, Seq("event_type"), "slot", "value")
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS x,
+                    value AS y FROM events
+                  WHERE ts IS NOT NULL AND value IS NOT NULL),
+            m AS (SELECT event_type, MIN(x) AS x_min FROM b GROUP BY 1),
+            c AS (SELECT b.event_type, m.x_min,
+                    CAST(b.x - m.x_min AS DECIMAL(19,0)) AS xc,
+                    CAST(CAST(ROUND(b.y * 100) AS BIGINT) AS DECIMAL(19,0)) AS yd
+                  FROM b JOIN m USING (event_type)),
+            st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     MIN(x_min) AS x_min,
+                     SUM(xc) AS sx, SUM(yd) AS sy, SUM(xc*yd) AS sxy,
+                     SUM(xc*xc) AS sxx, SUM(yd*yd) AS syy
+                   FROM c GROUP BY 1),
+            d AS (SELECT event_type, n, x_min,
+                    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+                  FROM st),
+            e2 AS (SELECT event_type, n, x_min, nd, sxd, syd,
+                     nd*sxyd - sxd*syd AS num,
+                     nd*sxxd - sxd*sxd AS denx,
+                     nd*syyd - syd*syd AS deny
+                   FROM d)
+            SELECT event_type, n, x_min,
+              CASE WHEN denx <> 0 THEN ROUND((num/denx)/100, 6) END AS slope,
+              CASE WHEN denx <> 0
+                THEN ROUND((syd/nd - (num/denx)*(sxd/nd))/100, 6) END AS intercept,
+              CASE WHEN denx <> 0 AND deny <> 0
+                THEN ROUND((num/denx)*(num/deny), 6) END AS r2
+            FROM e2 ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149, q150, q151, q152, q153, q154, q155)
+      q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156)
 }

@@ -61,4 +61,34 @@ class StreamingSketchSpec extends SparkSpecBase {
       }
     } finally q.stop()
   }
+
+  test("streaming histogram partials == batch histogram after the stream drains") {
+    // Quantiles.histogramPartials is, like the CMS grid, a plain
+    // fixed-geometry aggregation (state = keys × ≤2^bits counters), so
+    // the SAME operator runs unchanged as a complete-mode streaming
+    // aggregation — the live-quantile-monitor shape. (The quantile
+    // WALK stays batch: it reads the grid snapshot, like cmsEstimate.)
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 200).map(i => (s"g${i % 2}", (i % 37) * 0.5))
+    val (p1, p2) = rows.splitAt(100)
+    val ms = MemoryStream[(String, Double)](s)
+    val hist = graft.operators.Quantiles.histogramPartials(
+      ms.toDS().toDF("g", "v"), org.apache.spark.sql.functions.lit(0),
+      Seq("g"), "v", loQ = 0L, hiQ = 18000000L, bits = 6)
+    val q = hist.writeStream.outputMode("complete")
+      .format("memory").queryName("hist_stream").start()
+    try {
+      ms.addData(p1: _*); q.processAllAvailable()
+      ms.addData(p2: _*); q.processAllAvailable()
+      val streamed = s.table("hist_stream").collect()
+        .map(r => (r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val batch = graft.operators.Quantiles.histogramPartials(
+          rows.toDF("g", "v"), org.apache.spark.sql.functions.lit(0),
+          Seq("g"), "v", loQ = 0L, hiQ = 18000000L, bits = 6)
+        .collect().map(r => (r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(streamed === batch,
+        "drained streaming histogram must equal the batch histogram")
+    } finally q.stop()
+  }
 }

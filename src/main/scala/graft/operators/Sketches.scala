@@ -117,6 +117,32 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join output-size estimate from two [[cmsSketch]] grids — the
+    * AGMS/count-min inner-product estimator (Alon–Matias–Szegedy lineage;
+    * the CM form is Cormode–Muthukrishnan §4.3): |A ⋈ B on k| =
+    * Σ_k fA(k)·fB(k), estimated as min over depth rows of
+    * Σ_b cntA[row][b]·cntB[row][b]. Colliding keys only ADD mass, so
+    * every row's dot ≥ the true inner product and the min stays
+    * ONE-SIDED (est ≥ true join size, always — the safe direction for
+    * the decision this feeds: "will this join explode?"). The planning
+    * probe next to [[Skew.keySkewProfile]]: both run on yesterday's
+    * partition sketches BEFORE committing a 100 TB join, and the grids
+    * are constant-size, persistable, and mergeable across partitions.
+    *
+    * Both grids must share (depth, width, salt) — required, since
+    * differing geometry silently estimates garbage. Cost: a
+    * depth·width-row equi-join + one aggregation — model-sized, nothing
+    * corpus-scale moves. Returns one row: (est_join_size). */
+  def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth $depth must be >= 1")
+    val a = sketchA.select(col("row"), col("bucket"), col("cnt").as("ca"))
+    val b = sketchB.select(col("row"), col("bucket"), col("cnt").as("cb"))
+    a.join(b, Seq("row", "bucket"))
+      .groupBy("row")
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("est_join_size"))
+  }
+
   /** Probe a [[cmsSketch]]: each probe key's estimate = min over the
     * depth rows of its counter. `sketch` is broadcast (depth·width
     * rows); probes stay distributed — the lookup is a narrow hash

@@ -896,7 +896,67 @@ object ExtraQueries extends QueryGroup {
                 THEN ROUND((num/denx)*(num/deny), 6) END AS r2
             FROM e2 ORDER BY event_type"""))
 
+  val q157 = QueryDef(
+    "q157_cms_join_size",
+    "equi-join output-size estimation from two CMS grids (the AGMS/CM " +
+      "inner-product estimator): est |orders JOIN customer ON custkey| " +
+      "= min over depth rows of the grid dot product — collisions only " +
+      "add mass, so est >= true ALWAYS (the safe direction for 'will " +
+      "this join explode?'); the planning probe next to q148's skew " +
+      "profile, run on yesterday's constant-size partition sketches " +
+      "before committing a 100 TB join layout",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val S = graft.operators.Sketches
+      val est = S.cmsJoinSize(
+        S.cmsSketch(o, "o_custkey", depth = 4, width = 256, salt = "j1"),
+        S.cmsSketch(c, "c_custkey", depth = 4, width = 256, salt = "j1"),
+        depth = 4)
+      val exact = o.groupBy("o_custkey").agg(count(lit(1)).as("na"))
+        .join(c.groupBy("c_custkey").agg(count(lit(1)).as("nb")),
+          col("o_custkey") === col("c_custkey"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join_size"))
+      est.crossJoin(exact)
+        .select(col("est_join_size"), col("exact_join_size"),
+          (col("est_join_size") >= col("exact_join_size")).as("one_sided_ok"))
+    },
+    Some("""WITH ha AS (SELECT j,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007 % 256 AS bucket
+                  FROM (SELECT j,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(o_custkey AS VARCHAR) || 'j1#' ||
+                              CAST(j AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM orders CROSS JOIN range(0, 4) t(j))),
+            ga AS (SELECT j, bucket, COUNT(*) AS ca FROM ha GROUP BY 1, 2),
+            hb AS (SELECT j,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007 % 256 AS bucket
+                  FROM (SELECT j,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(c_custkey AS VARCHAR) || 'j1#' ||
+                              CAST(j AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM customer CROSS JOIN range(0, 4) t(j))),
+            gb AS (SELECT j, bucket, COUNT(*) AS cb FROM hb GROUP BY 1, 2),
+            dots AS (SELECT ga.j, SUM(ga.ca * gb.cb) AS dot
+                     FROM ga JOIN gb USING (j, bucket) GROUP BY 1),
+            est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots),
+            ex AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT)
+                     AS exact_join_size
+                   FROM (SELECT o_custkey AS k, COUNT(*) AS na
+                         FROM orders GROUP BY 1) a
+                   JOIN (SELECT c_custkey AS k, COUNT(*) AS nb
+                         FROM customer GROUP BY 1) b USING (k))
+            SELECT est_join_size, exact_join_size,
+              est_join_size >= exact_join_size AS one_sided_ok
+            FROM est CROSS JOIN ex"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156)
+      q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
 }

@@ -82,4 +82,26 @@ class SketchesSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       s"probe side must not shuffle for the lookup:\n$plan")
   }
+
+  test("cmsJoinSize: one-sided under forced collisions; exact at collision-free width") {
+    val a = (1L to 50L).flatMap(i => Seq.fill((i % 3).toInt + 1)(i)).toDF("key")
+    val b = (25L to 80L).flatMap(i => Seq.fill((i % 2).toInt + 1)(i)).toDF("key")
+    // true inner product: sum over shared keys 25..50 of fa*fb
+    val truth = (25L to 50L).map(i => ((i % 3) + 1) * ((i % 2) + 1)).sum
+    // tiny width: heavy collisions, estimate must stay >= truth
+    val tight = Sketches.cmsJoinSize(
+      Sketches.cmsSketch(a, "key", 3, 4, "js"),
+      Sketches.cmsSketch(b, "key", 3, 4, "js"), depth = 3)
+      .collect().head.getLong(0)
+    assert(tight >= truth, s"collided estimate $tight below true $truth")
+    // wide grid: 80 keys into 4096 buckets x 3 rows — if any row is
+    // collision-free among the shared keys the min hits the true value;
+    // at minimum the estimate stays one-sided and close
+    val wide = Sketches.cmsJoinSize(
+      Sketches.cmsSketch(a, "key", 3, 4096, "js"),
+      Sketches.cmsSketch(b, "key", 3, 4096, "js"), depth = 3)
+      .collect().head.getLong(0)
+    assert(wide >= truth && wide <= truth * 2,
+      s"wide-grid estimate $wide far from true $truth")
+  }
 }

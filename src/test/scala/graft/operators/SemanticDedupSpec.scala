@@ -62,6 +62,17 @@ class SemanticDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("semanticDedup: nCentroids=1 degenerates to all-pairs clustering (nearDupClusters)") {
+    // one cell = no candidacy restriction: component labels must equal
+    // the exact all-pairs path's; only the survivor RULE differs
+    val v = Tables.load(spark, sfDir, "embeddings").withColumn("g", lit(1))
+    val sem = Similarity.semanticDedup(v, nCentroids = 1, minSim = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ndc = Similarity.nearDupClusters(v, groupCol = "g", minSim = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sem === ndc, "single-cell SemDeDup must reproduce exact all-pairs components")
+  }
+
   test("semanticDedup: trained kMeansCentroids quantizer plugs in as the scale path") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val q = Similarity.kMeansCentroids(v, k = 4, iters = 1)

@@ -956,7 +956,84 @@ object ExtraQueries extends QueryGroup {
               est_join_size >= exact_join_size AS one_sided_ok
             FROM est CROSS JOIN ex"""))
 
+  val q158 = QueryDef(
+    "q158_layout_health_compaction",
+    "file-layout operations on a manifest: two simulated lineitem " +
+      "layouts (orderkey-range files vs hash files) are scored for " +
+      "clustering health (interval-overlap pairs over per-file " +
+      "[lo, hi] — the re-OPTIMIZE probe: range scores 0 overlaps, hash " +
+      "overlaps everywhere) and compaction-planned by " +
+      "next-fit-decreasing bin packing (exclusive prefix sum over " +
+      "size-desc order, two-pass — no global window); manifests are " +
+      "model-sized by nature, so everything replays in SQL",
+    (s, dir) => {
+      val L = graft.operators.Layout
+      val l = t(s, dir, "lineitem")
+      def manifest(fid: org.apache.spark.sql.Column) = l
+        .groupBy(fid.as("file"))
+        .agg((sum(pmod(col("l_partkey"), lit(1000L))) + count(lit(1)) * 64).cast("long").as("bytes"),
+          min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      def stats(name: String, m: org.apache.spark.sql.DataFrame) = {
+        val p = L.compactionPlan(m, "file", "bytes", targetBytes = 200000L)
+          .groupBy("grp").agg(sum("bytes").as("gb"))
+          .agg(count(lit(1)).as("plan_groups"), max("gb").as("max_grp_bytes"))
+        L.clusteringHealth(m, "file", "lo", "hi")
+          .crossJoin(p)
+          .select(lit(name).as("layout"), col("n_files"), col("overlap_pairs"),
+            col("overlap_ratio"), col("well_clustered"),
+            col("plan_groups"), col("max_grp_bytes"))
+      }
+      val range = manifest(graft.operators.ZOrder.intDiv(col("l_orderkey"), lit(2000L)))
+      val hash = manifest(pmod(col("l_orderkey"), lit(32L)))
+      stats("range", range).unionByName(stats("hash", hash)).orderBy("layout")
+    },
+    Some("""WITH man_r AS (SELECT l_orderkey // 2000 AS file,
+                    CAST(SUM(l_partkey % 1000) + COUNT(*) * 64 AS BIGINT) AS bytes,
+                    MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+                  FROM lineitem GROUP BY 1),
+            man_h AS (SELECT l_orderkey % 32 AS file,
+                    CAST(SUM(l_partkey % 1000) + COUNT(*) * 64 AS BIGINT) AS bytes,
+                    MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+                  FROM lineitem GROUP BY 1),
+            hr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM man_r),
+            ovr AS (SELECT CAST(COUNT(*) AS BIGINT) AS overlap_pairs
+                    FROM man_r a JOIN man_r b
+                    ON a.file < b.file AND a.lo <= b.hi AND b.lo <= a.hi),
+            pr AS (SELECT file, bytes,
+                     COALESCE(SUM(bytes) OVER (ORDER BY bytes DESC, file
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                   FROM man_r),
+            gr AS (SELECT off // 200000 AS grp, CAST(SUM(bytes) AS BIGINT) AS gb
+                   FROM pr GROUP BY 1),
+            hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM man_h),
+            ovh AS (SELECT CAST(COUNT(*) AS BIGINT) AS overlap_pairs
+                    FROM man_h a JOIN man_h b
+                    ON a.file < b.file AND a.lo <= b.hi AND b.lo <= a.hi),
+            ph AS (SELECT file, bytes,
+                     COALESCE(SUM(bytes) OVER (ORDER BY bytes DESC, file
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                   FROM man_h),
+            gh AS (SELECT off // 200000 AS grp, CAST(SUM(bytes) AS BIGINT) AS gb
+                   FROM ph GROUP BY 1),
+            sr AS (SELECT 'range' AS layout, hr.n_files, ovr.overlap_pairs,
+                     CASE WHEN hr.n_files > 1 THEN ROUND(ovr.overlap_pairs * 2.0
+                       / (hr.n_files * (hr.n_files - 1)), 6) ELSE 0.0 END AS overlap_ratio,
+                     ovr.overlap_pairs = 0 AS well_clustered,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM gr) AS plan_groups,
+                     (SELECT MAX(gb) FROM gr) AS max_grp_bytes
+                   FROM hr CROSS JOIN ovr),
+            sh AS (SELECT 'hash' AS layout, hh.n_files, ovh.overlap_pairs,
+                     CASE WHEN hh.n_files > 1 THEN ROUND(ovh.overlap_pairs * 2.0
+                       / (hh.n_files * (hh.n_files - 1)), 6) ELSE 0.0 END AS overlap_ratio,
+                     ovh.overlap_pairs = 0 AS well_clustered,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM gh) AS plan_groups,
+                     (SELECT MAX(gb) FROM gh) AS max_grp_bytes
+                   FROM hh CROSS JOIN ovh)
+            SELECT * FROM sr UNION ALL SELECT * FROM sh ORDER BY layout"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
-      q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
+      q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
+      q158)
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** [[Layout]] — the next-fit-decreasing bound on compaction groups and
+  * the interval-overlap health arithmetic, on hand fixtures. */
+class LayoutSpec extends SparkSpecBase {
+
+  test("compactionPlan: next-fit-decreasing — groups contiguous by size, bound holds") {
+    val s = spark
+    import s.implicits._
+    val files = Seq(("a", 70L), ("b", 60L), ("c", 40L), ("d", 30L), ("e", 10L))
+      .toDF("file", "bytes")
+    val plan = Layout.compactionPlan(files, "file", "bytes", targetBytes = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // size-desc prefix sums: a:0, b:70, c:130, d:170, e:200
+    // div 100 -> groups {a,b}, {c,d}, {e}
+    assert(plan === Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "d" -> 1L, "e" -> 2L))
+  }
+
+  test("compactionPlan: the NFD bound — each group <= target + its largest file; oversized files alone") {
+    val s = spark
+    import s.implicits._
+    val sizes = Seq(250L, 90L, 80L, 75L, 60L, 55L, 40L, 30L, 20L, 10L, 5L)
+    val files = sizes.zipWithIndex.map { case (b, i) => (s"f$i", b) }.toDF("file", "bytes")
+    val target = 100L
+    val plan = Layout.compactionPlan(files, "file", "bytes", target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    plan.groupBy(_._3).foreach { case (g, members) =>
+      val tot = members.map(_._2).sum
+      val biggest = members.map(_._2).max
+      assert(tot <= target + biggest, s"group $g total $tot breaks the NFD bound")
+    }
+    // the 250-byte file exceeds the target: first in order, owns groups 0-2
+    // worth of offset space, and no other file shares its group... verify
+    // it is alone in its group
+    val bigGrp = plan.find(_._2 === 250L).get._3
+    assert(plan.count(_._3 === bigGrp) === 1, "oversized file must compact alone")
+  }
+
+  test("clusteringHealth: disjoint ranges score 0; full overlap scores 1; nesting counts") {
+    val s = spark
+    import s.implicits._
+    def health(rs: Seq[(String, Long, Long)]) =
+      Layout.clusteringHealth(rs.toDF("f", "lo", "hi"), "f", "lo", "hi")
+        .collect().head
+    val disjoint = health(Seq(("a", 0L, 9L), ("b", 10L, 19L), ("c", 20L, 29L)))
+    assert(disjoint.getLong(1) === 0L && disjoint.getBoolean(3))
+    val nested = health(Seq(("a", 0L, 100L), ("b", 10L, 20L), ("c", 200L, 300L)))
+    assert(nested.getLong(1) === 1L && !nested.getBoolean(3))
+    val all = health(Seq(("a", 0L, 50L), ("b", 25L, 75L), ("c", 40L, 90L)))
+    assert(all.getLong(1) === 3L && all.getDouble(2) === 1.0)
+    // touching endpoints overlap (closed intervals — parquet min/max are inclusive)
+    val touch = health(Seq(("a", 0L, 10L), ("b", 10L, 20L)))
+    assert(touch.getLong(1) === 1L)
+    // single file: trivially clustered
+    val one = health(Seq(("a", 0L, 10L)))
+    assert(one.getDouble(2) === 0.0 && one.getBoolean(3))
+  }
+}

@@ -203,13 +203,24 @@ object Clean {
   def mojibakeScore(c: Column): Column =
     size(regexp_extract_all(c, lit(mojibakeRe), lit(0)))
 
-  /** Repair mis-decoded text by folding [[mojibakeTable]] through literal
-    * `replace` (codegen'd, no regex): complete over Latin-1 Supplement +
-    * cp1252 punctuation, fixes double-encoded 2-byte chars via the
-    * table's ascending order, and never touches clean text (every search
-    * key contains a lead-byte display char). Narrow per-row work. */
-  def fixMojibake(c: Column): Column =
+  /** One pass of the repair table (unit of [[fixMojibake]]). */
+  private def fixMojibakeOnce(c: Column): Column =
     mojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
       replace(acc, lit(bad), lit(good))
     }
+
+  /** Repair mis-decoded text by folding [[mojibakeTable]] through literal
+    * `replace` (codegen'd, no regex) TWICE: one pass is complete over
+    * single-encoded Latin-1 Supplement + cp1252 punctuation, and the
+    * second pass finishes DOUBLE-encoded text — a single ascending-order
+    * pass repairs doubles only for originals above the table's lead
+    * bytes ("ÃƒÂ©"→"é" works because E9 > C3, but "Ã‚Â©" exits pass one
+    * as "Â©" since A9 < C2 had already been applied); the second pass
+    * sees only residual mojibake, and clean text is a fixed point, so
+    * the double application is idempotent on repaired output. Deeper
+    * (triple+) encodings are out of contract. Never touches clean text
+    * (every search key contains a lead-byte display char); narrow
+    * per-row work. */
+  def fixMojibake(c: Column): Column =
+    fixMojibakeOnce(fixMojibakeOnce(c))
 }

@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
   * aggregation itself.
   *
   * Null-valued ticks are TICKS without observations: they open grid
-  * slots but carry no value — LOCF skips them (the SQL fill-group
-  * equivalence: cumulative non-null count then per-group max; q154
-  * replays exactly that and hash-matches).
+  * slots but carry no value and never SHADOW one — the per-slot pick is
+  * the last NON-NULL value in the slot (a trailing null tick must not
+  * discard an earlier real observation), and LOCF skips slots whose
+  * ticks were all null (the SQL fill-group equivalence: cumulative
+  * non-null count then per-group max; q154 replays exactly that and
+  * hash-matches). Slotting is FLOOR division ([[ZOrder.floorDiv]]), so
+  * pre-epoch timestamps land in negative slots exactly as SQL `//`
+  * floor division places them — truncation would fold them into a
+  * double-width slot 0.
   *
   * Output: (keyCols*, slot, slot_start, n_obs, <valueCol>) — slot =
   * epoch_us div stepUs, slot_start its timestamp, n_obs = ticks in the
@@ -48,11 +54,15 @@ object Resample {
     // within-slot pick needs a TOTAL order for a well-defined "last";
     // default to the timestamp, callers add a tiebreaker for exact ties
     val ord = struct((if (orderCols.isEmpty) Seq(col(tsCol)) else orderCols): _*)
-    val slot = ZOrder.intDiv(unix_micros(col(tsCol).cast("timestamp")), lit(stepUs))
+    val slot = ZOrder.floorDiv(unix_micros(col(tsCol).cast("timestamp")), lit(stepUs))
     val perSlot = df
       .select(keys ++ Seq(slot.as("slot"), col(valueCol).as("__v"), ord.as("__o")): _*)
       .groupBy(keys :+ col("slot"): _*)
-      .agg(count(lit(1)).as("n_obs"), max_by(col("__v"), col("__o")).as("__v"))
+      // the pick's order key is nulled out for null-valued ticks, so
+      // max_by skips them: the slot value is the last NON-NULL
+      // observation (null only when every tick in the slot was null)
+      .agg(count(lit(1)).as("n_obs"),
+        max_by(col("__v"), when(col("__v").isNotNull, col("__o"))).as("__v"))
     // per-key span: one aggregation to a keys-sized frame, then the grid
     // fan-out — exactly output-sized by construction
     val grid = perSlot.groupBy(keys: _*)

@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Incremental rollup maintenance — the never-rescan-history contract every
-  * 100 TB warehouse runs on: raw data is aggregated ONCE per time
-  * partition into a mergeable partial-aggregate frame (model-sized: keys ×
+  * 100 TB warehouse runs on: raw data is aggregated per time partition
+  * into a mergeable partial-aggregate frame (model-sized: keys ×
   * partitions rows), and any later query over any partition range merges
-  * partials instead of touching raw history. A new day costs one pass over
-  * the new day only; backfill, late data, and compaction are all "replace
-  * that partition's partial and re-merge".
+  * partials instead of touching raw history. A new day costs scans of the
+  * NEW DAY only — precisely, two column-pruned passes (the additive-stats
+  * columns; the distinct-key column for the sketch), each with map-side
+  * combining, deliberately NOT a persisted projection of the raw
+  * partition (a corpus-sized operator-internal persist has no release
+  * path — the [[Quality.unigramSurprisal]] rule: persist vocabulary-sized
+  * frames, never the corpus-sized stream). Backfill, late data, and
+  * compaction are all "replace that partition's partial and re-merge".
   *
   * Everything carried is mergeable by construction:
   *  - `n_rows` / `sum_v` — additive (sum in exact DECIMAL(30,6), so the

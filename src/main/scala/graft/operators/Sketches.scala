@@ -130,17 +130,27 @@ object Sketches {
     * are constant-size, persistable, and mergeable across partitions.
     *
     * Both grids must share (depth, width, salt) — required, since
-    * differing geometry silently estimates garbage. Cost: a
-    * depth·width-row equi-join + one aggregation — model-sized, nothing
-    * corpus-scale moves. Returns one row: (est_join_size). */
+    * differing geometry silently estimates garbage; `depth` anchors the
+    * row spine below, so a grid built at a LARGER depth than declared
+    * has its extra rows ignored (and a smaller one contributes zero
+    * dots — est 0 — rather than a silent wrong min). Rows and buckets
+    * the grids don't share contribute ZERO to their dot — a depth row
+    * with no bucket overlap proves the true join size is 0 and must
+    * drive the min to 0, not silently drop out (grids only materialize
+    * occupied cells). Cost: a depth·width-row equi-join + one
+    * aggregation — model-sized, nothing corpus-scale moves. Returns one
+    * row: (est_join_size), 0 for provably-empty joins, never NULL. */
   def cmsJoinSize(sketchA: DataFrame, sketchB: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1, s"depth $depth must be >= 1")
+    val spark = sketchA.sparkSession
     val a = sketchA.select(col("row"), col("bucket"), col("cnt").as("ca"))
     val b = sketchB.select(col("row"), col("bucket"), col("cnt").as("cb"))
-    a.join(b, Seq("row", "bucket"))
+    val dots = a.join(b, Seq("row", "bucket"))
       .groupBy("row")
       .agg(sum(col("ca") * col("cb")).as("dot"))
-      .agg(min(col("dot")).as("est_join_size"))
+    spark.range(depth).select(col("id").cast("int").as("row"))
+      .join(dots, Seq("row"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_size"))
   }
 
   /** Probe a [[cmsSketch]]: each probe key's estimate = min over the

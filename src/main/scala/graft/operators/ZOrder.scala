@@ -59,6 +59,15 @@ object ZOrder {
       ColumnGlue.expression(a), ColumnGlue.expression(b)))
   }
 
+  /** FLOOR int64 division — [[intDiv]] truncates toward zero, which
+    * disagrees with SQL `//` (floor) for negative operands: a pre-epoch
+    * timestamp would land in a double-width slot 0 under truncation.
+    * (x − pmod(x, b)) / b is exact floor division for b > 0 (pmod is
+    * always non-negative, and the adjusted numerator is an exact
+    * multiple of b). */
+  def floorDiv(a: Column, b: Column): Column =
+    intDiv(a - pmod(a, b), b)
+
   def intBucket(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
     require(maxV >= minV, s"intBucket: empty range [$minV, $maxV]")
     require(bits >= 1 && bits <= 31, s"intBucket: bits $bits outside [1,31]")

@@ -637,7 +637,10 @@ object ExtraQueries extends QueryGroup {
     " donâ€™t â€œqâ€", // don't "q"
     " naÃ¯ve â‚¬5")                   // naïve €5
 
-  private def sqlFixMojibake(inner: String): String =
+  // ONE table pass (113 nested replaces — under DuckDB's 128-deep
+  // binder limit); Clean.fixMojibake's two-pass contract is expressed
+  // in the oracle as two CTE STAGES, each applying this chain once
+  private def sqlFixMojibakeOnce(inner: String): String =
     graft.functions.Clean.mojibakeTable.foldLeft(inner) {
       case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
     }
@@ -674,11 +677,14 @@ object ExtraQueries extends QueryGroup {
                       WHEN 2 THEN '${MojiGrafts(2)}'
                       ELSE '' END AS g
                   FROM documents),
+            p1 AS (SELECT doc_id, g,
+                     ${sqlFixMojibakeOnce("g")} AS g1
+                   FROM g),
             f AS (SELECT doc_id,
                     CAST(len(regexp_extract_all(g,
                       '${graft.functions.Clean.mojibakeRe}')) AS BIGINT) AS moji_hits,
-                    ${sqlFixMojibake("g")} AS fixed
-                  FROM g)
+                    ${sqlFixMojibakeOnce("g1")} AS fixed
+                  FROM p1)
             SELECT doc_id, moji_hits, fixed,
               CAST(len(regexp_extract_all(fixed,
                 '${graft.functions.Clean.mojibakeRe}')) AS BIGINT) AS fixed_hits,
@@ -757,7 +763,11 @@ object ExtraQueries extends QueryGroup {
           tsStr(col("slot_start")).as("slot_s"), col("n_obs"), col("value"))
         .orderBy("event_type", "slot")
     },
-    Some("""WITH t AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+    Some("""WITH t AS (SELECT event_type,
+                    -- exact FLOOR division (DuckDB // truncates toward
+                    -- zero): subtract the non-negative mod first
+                    (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)
+                      % 3600000000) // 3600000000 AS slot,
                     ts, event_id, value FROM events),
             ps AS (SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS n_obs
                    FROM t GROUP BY 1, 2),
@@ -765,7 +775,7 @@ object ExtraQueries extends QueryGroup {
                         (SELECT event_type, slot, value,
                            ROW_NUMBER() OVER (PARTITION BY event_type, slot
                              ORDER BY ts DESC, event_id DESC) AS rn
-                         FROM t) WHERE rn = 1),
+                         FROM t WHERE value IS NOT NULL) WHERE rn = 1),
             span AS (SELECT event_type, MIN(slot) AS s0, MAX(slot) AS s1
                      FROM t GROUP BY 1),
             grid AS (SELECT event_type, UNNEST(generate_series(s0, s1)) AS slot
@@ -861,11 +871,13 @@ object ExtraQueries extends QueryGroup {
     (s, dir) => {
       val e = t(s, dir, "events")
       val withSlot = e.withColumn("slot",
-        graft.operators.ZOrder.intDiv(us(col("ts")), lit(3600000000L)))
+        graft.operators.ZOrder.floorDiv(us(col("ts")), lit(3600000000L)))
       graft.operators.Trend.olsTrend(withSlot, Seq("event_type"), "slot", "value")
         .orderBy("event_type")
     },
-    Some("""WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS x,
+    Some("""WITH b AS (SELECT event_type,
+                    (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)
+                      % 3600000000) // 3600000000 AS x,
                     value AS y FROM events
                   WHERE ts IS NOT NULL AND value IS NOT NULL),
             m AS (SELECT event_type, MIN(x) AS x_min FROM b GROUP BY 1),
@@ -945,7 +957,9 @@ object ExtraQueries extends QueryGroup {
             gb AS (SELECT j, bucket, COUNT(*) AS cb FROM hb GROUP BY 1, 2),
             dots AS (SELECT ga.j, SUM(ga.ca * gb.cb) AS dot
                      FROM ga JOIN gb USING (j, bucket) GROUP BY 1),
-            est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots),
+            est AS (SELECT CAST(MIN(COALESCE(dots.dot, 0)) AS BIGINT)
+                      AS est_join_size
+                    FROM range(0, 4) spine(j) LEFT JOIN dots USING (j)),
             ex AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT)
                      AS exact_join_size
                    FROM (SELECT o_custkey AS k, COUNT(*) AS na

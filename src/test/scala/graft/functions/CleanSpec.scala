@@ -143,10 +143,16 @@ class CleanSpec extends SparkSpecBase {
     }
   }
 
-  test("fixMojibake: ascending table order also repairs double-encoded text") {
+  test("fixMojibake: double-encoded text repairs for BOTH lead-byte families") {
     // é double-mis-decoded: C3 A9 -> "Ã©" -> UTF-8 again -> C3 83 C2 A9
-    // -> rendered "Ãƒ" + "Â©"
+    // -> rendered "Ãƒ" + "Â©" (pass one suffices: E9 > C3)
     assert(fix1("ÃƒÂ©") === "é")
+    // © double-mis-decoded: C2 A9 -> "Â©" -> UTF-8 again -> C3 82 C2 A9
+    // -> rendered "Ã‚" + "Â©" — needs the second pass (A9 < C2 was
+    // already applied when pass one peeled the outer layer)
+    assert(fix1("Ã‚Â©") === "©")
+    // idempotence: re-fixing repaired text changes nothing
+    assert(fix1("é © don’t") === "é © don’t")
   }
 
   test("fixMojibake/mojibakeScore: clean text untouched, score 0; corrupt text scores its hits") {

@@ -47,6 +47,26 @@ class ResampleSpec extends SparkSpecBase {
     assert(out === Map("a" -> 9.0, "b" -> 4.0))
   }
 
+  test("locfGrid: a trailing null tick never shadows a real observation in its slot") {
+    val df = mk(Seq(
+      ("a", 100000L, Some(5.0), 1L),   // real observation
+      ("a", 900000L, None, 2L)))       // later null tick, same slot
+    val r = Resample.locfGrid(df, Seq("k"), "ts", "value", Step,
+      orderCols = Seq(col("ts"), col("seq"))).collect().head
+    assert(r.getLong(3) === 2L, "both ticks counted")
+    assert(r.getDouble(4) === 5.0, "slot value is the last NON-NULL observation")
+  }
+
+  test("locfGrid: pre-epoch timestamps land in negative slots (floor division)") {
+    val df = mk(Seq(
+      ("a", -100000L, Some(1.0), 1L),  // 0.1s before epoch -> slot -1
+      ("a", 100000L, Some(2.0), 2L)))  // slot 0
+    val out = Resample.locfGrid(df, Seq("k"), "ts", "value", Step)
+      .orderBy("slot").collect().map(r => (r.getLong(1), r.getDouble(4)))
+    assert(out.toSeq === Seq((-1L, 1.0), (0L, 2.0)),
+      "truncation would fold both into a double-width slot 0")
+  }
+
   test("locfGrid: slot_start renders the slot boundary; n_obs counts all ticks") {
     val df = mk(Seq(("a", 2500000L, Some(1.0), 1L), ("a", 2900000L, Some(2.0), 2L)))
     val r = Resample.locfGrid(df, Seq("k"), "ts", "value", Step,

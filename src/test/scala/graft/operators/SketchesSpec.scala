@@ -104,4 +104,17 @@ class SketchesSpec extends SparkSpecBase {
     assert(wide >= truth && wide <= truth * 2,
       s"wide-grid estimate $wide far from true $truth")
   }
+
+  test("cmsJoinSize: disjoint key sets estimate 0 (never NULL) once any depth row separates them") {
+    val a = (1L to 30L).toDF("key")
+    val b = (1000L to 1030L).toDF("key")
+    // wide grid: disjoint keys land in disjoint buckets, so at least one
+    // row (in fact all) has zero overlap -> the min must report 0
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsSketch(a, "key", 3, 4096, "dz"),
+      Sketches.cmsSketch(b, "key", 3, 4096, "dz"), depth = 3)
+      .collect().head
+    assert(!est.isNullAt(0) && est.getLong(0) === 0L,
+      "a zero-overlap depth row proves join size 0; dropped rows would inflate it")
+  }
 }

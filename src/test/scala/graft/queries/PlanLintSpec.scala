@@ -94,7 +94,13 @@ class PlanLintSpec extends SparkSpecBase {
     // the MODEL-sized centroid frame (nCentroids rows, the kMeans/
     // topKIvf assignment shape), collapsed map-side to one row per
     // vector before any exchange; the within-cell pair join is equi
-    "q149_semantic_dedup")
+    "q149_semantic_dedup",
+    // q157: the 1-row join-size estimate crossJoined onto the 1-row
+    // exact count for the one-sided flag — q61's one-row class
+    "q157_cms_join_size",
+    // q158: per-layout 1-row health frame crossJoined onto the 1-row
+    // compaction-plan rollup — q61's one-row class, twice (union)
+    "q158_layout_health_compaction")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -1046,8 +1046,67 @@ object ExtraQueries extends QueryGroup {
                    FROM hh CROSS JOIN ovh)
             SELECT * FROM sr UNION ALL SELECT * FROM sh ORDER BY layout"""))
 
+  val q159 = QueryDef(
+    "q159_pivot_unpivot_roundtrip",
+    "relational pivot + unpivot (§2.5 reshaping): orders sum by status " +
+      "pivots priorities into five explicit columns (explicit value " +
+      "list — at scale an inferred pivot means an extra distinct pass " +
+      "AND an unbounded column explosion), then unpivots back; the " +
+      "round trip must equal the plain GROUP BY, which IS the oracle — " +
+      "absent combinations surface as pivot NULLs and are dropped on " +
+      "unpivot exactly as the group-by has no row",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val pivoted = o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(msum(col("o_totalprice")))
+      pivoted
+        .unpivot(Array(col("o_orderstatus")), prios.map(col).toArray,
+          "o_orderpriority", "sum_price")
+        .where(col("sum_price").isNotNull)
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+             ${oMsum("o_totalprice")} AS sum_price
+             FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val q160 = QueryDef(
+    "q160_window_range_frame",
+    "RANGE-framed analytic window (§2.6 F3 completed beyond row " +
+      "frames): per user, the trailing-1-hour sum of value over an " +
+      "integer epoch-seconds order — RANGE frames bound by VALUE " +
+      "distance and include order-value peers, which row frames " +
+      "cannot express; decimal accumulation keeps the running sums " +
+      "merge-order-exact in both engines",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"),
+          graft.operators.ZOrder.floorDiv(us(col("ts")), lit(1000000L)).as("tsec"),
+          col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsec"))
+        .rangeBetween(-3600, Window.currentRow)
+      e.withColumn("trailing_1h_sum", sum(dec(col("value"))).over(w).cast("double"))
+        .withColumn("n_in_window",
+          count(lit(1)).over(w).cast(LongType))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+                    (epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000)
+                      % 1000000) // 1000000 AS tsec, value
+                  FROM events WHERE user_id % 10 = 0)
+            SELECT user_id, event_id, tsec, value,
+              CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                AS trailing_1h_sum,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158)
+      q158, q159, q160)
 }

@@ -39,6 +39,25 @@ class LayoutSpec extends SparkSpecBase {
     assert(plan.count(_._3 === bigGrp) === 1, "oversized file must compact alone")
   }
 
+  test("compactionPlan: exact agreement with a sequential NFD reference on random manifests") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(60)
+      val target = 50L + rnd.nextInt(400)
+      val sizes = (0 until n).map(i => (f"f$i%03d", 1L + rnd.nextInt(300).toLong))
+      // sequential reference: size-desc (file-tiebroken) exclusive
+      // prefix sums, group = prefix div target
+      val ordered = sizes.sortBy { case (f, b) => (-b, f) }
+      val expect = ordered.zip(ordered.scanLeft(0L)(_ + _._2).dropRight(1))
+        .map { case ((f, _), off) => f -> off / target }.toMap
+      val got = Layout.compactionPlan(sizes.toDF("file", "bytes"), "file", "bytes", target)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got === expect, s"trial $trial (n=$n target=$target)")
+    }
+  }
+
   test("clusteringHealth: disjoint ranges score 0; full overlap scores 1; nesting counts") {
     val s = spark
     import s.implicits._

@@ -101,6 +101,37 @@ class QuantilesSpec extends SparkSpecBase {
     }
   }
 
+  test("histogram quantiles: error bound holds on random data against a sequential reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val bits = 4 + rnd.nextInt(6)
+      val rows = (1 to 500 + rnd.nextInt(1500)).map { _ =>
+        (s"g${rnd.nextInt(3)}", (rnd.nextDouble() - 0.3) * (1 + rnd.nextInt(50)))
+      }
+      val df = rows.toDF("g", "v")
+      val (lo, hi) = Quantiles.quantBounds(df, "v")
+      val hist = Quantiles.histogramMerge(
+        Quantiles.histogramPartials(df, lit(0), Seq("g"), "v", lo, hi, bits), Seq("g"))
+      val est = Quantiles.histogramQuantiles(hist, Seq("g"),
+          Map("p25" -> 25, "p50" -> 50, "p75" -> 75, "p99" -> 99), lo, hi, bits)
+        .collect().map(r => r.getString(0) ->
+          Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      val width = (hi - lo + 1).toDouble / (1L << bits) / 1e6
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        // the reference order statistic over QUANTIZED values (the
+        // operator's stated precision), rank = ceil(n*p/100)
+        val sorted = grp.map(t => math.round(t._2 * 1e6) / 1e6).sorted
+        Seq(25, 50, 75, 99).zipWithIndex.foreach { case (p, i) =>
+          val stat = sorted(((sorted.size.toLong * p + 99) / 100).toInt - 1)
+          assert(math.abs(est(g)(i) - stat) <= width / 2 + 1e-9,
+            s"trial $trial g=$g p$p: est ${est(g)(i)} vs stat $stat (width $width)")
+        }
+      }
+    }
+  }
+
   test("histogram merge is lossless: per-day partials re-aggregate to the whole-range histogram") {
     val e = graft.core.Tables.load(spark, sfDir, "events")
     val (lo, hi) = Quantiles.quantBounds(e, "value")

@@ -54,17 +54,47 @@ object Bench {
     //    the tail window and always parses;
     //  - BENCH_FULL.json beside the repo artifacts gets the full names,
     //    so the slowest-query audit never depends on truncation luck.
-    def render(key: (String, Double, Boolean) => String): String = {
-      // Locale.ROOT: the default-locale f-interpolator would render
-      // 0.553 as "0,553" on comma-decimal JVMs and corrupt the JSON
-      val qs = results.map { case (k, v, ok) =>
-        "\"" + key(k, v, ok) + "\":" +
-          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Locale.ROOT: the default-locale f-interpolator would render
+    // 0.553 as "0,553" on comma-decimal JVMs and corrupt the JSON
+    def fmt(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    def render(
+        key: (String, Double, Boolean) => String,
+        decimals: Int = 3,
+        keep: Seq[(String, Double, Boolean)] = results): String = {
+      val qs = keep.map { case (k, v, ok) =>
+        "\"" + key(k, v, ok) + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
       val errs = results.collect { case (k, _, false) => "\"" + key(k, 0, false) + "\"" }
         .mkString("[", ",", "]")
+      val dropped = results.size - keep.size
+      val trunc = if (dropped > 0) s""","queries_truncated":$dropped""" else ""
       val total = results.collect { case (_, v, true) => v }.sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$trunc,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    // The driver keeps only the final 2,000 stdout chars, and a line cut
+    // mid-JSON parses as nothing (the r9 failure, which resurfaced when
+    // the registry passed ~155 queries even with short keys): render the
+    // stdout line at 2 decimals, and if it STILL exceeds the window,
+    // keep only the slowest entries that fit (errors always kept;
+    // queries_truncated says how many fast ones were elided — the full
+    // registry always lands in BENCH_FULL.json).
+    def stdoutLine: String = {
+      val shortKey = (k: String, _: Double, _: Boolean) => k.takeWhile(_ != '_')
+      val full = render(shortKey, decimals = 2)
+      if (full.length <= 1900) full
+      else {
+        val bySlow = results.sortBy(-_._2)
+        // each entry costs ~13 chars; binary-search the largest keep set
+        var keep = bySlow.size
+        var line = full
+        while (line.length > 1900 && keep > 1) {
+          val over = line.length - 1900
+          keep = math.max(1, keep - math.max(1, over / 13))
+          line = render(shortKey, decimals = 2, keep = bySlow.take(keep).sortBy(_._1))
+        }
+        line
+      }
     }
     // scoped dev runs (SPARK_GRAFT_ONLY set) must NOT clobber the
     // published full-registry artifact with a 4-query fragment
@@ -78,7 +108,7 @@ object Bench {
         render((k, _, _) => k) + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     }
-    println(render((k, _, _) => k.takeWhile(_ != '_')))
+    println(stdoutLine)
     spark.stop()
   }
 }

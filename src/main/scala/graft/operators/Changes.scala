@@ -142,6 +142,41 @@ object Changes {
     history.filter(col("effective_from") <= asOf &&
       (col("effective_to").isNull || col("effective_to") > asOf))
 
+  /** Point-in-time FACT enrichment against a [[scd2History]] frame — the
+    * per-row complement of [[scd2AsOf]]'s constant-instant filter: each
+    * fact joins the dimension version valid AT ITS OWN timestamp
+    * (`effective_from <= fact.ts < effective_to`, open current
+    * interval). The half-open convention means a fact at a transition
+    * instant sees the NEW version, and the no-gap/no-overlap chaining
+    * [[scd2History]] guarantees makes the match unique — at most one
+    * version per fact, exactly one once the fact is at or after the
+    * key's first version (spec-asserted); earlier facts keep their row
+    * with NULL dimension columns (left join — facts are never dropped).
+    *
+    * Scale shape: the equi key carries the join (one hash exchange per
+    * side, the J5 range idiom — the interval predicate evaluates inside
+    * the per-key join); dimension histories are versions-per-key-sized,
+    * facts stream through. The history's non-key columns must not
+    * collide with fact columns (fail-fast checked). */
+  def scd2Enrich(
+      facts: DataFrame,
+      history: DataFrame,
+      keyCols: Seq[String],
+      factTsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Enrich needs at least one key column")
+    val dimCols = history.columns.filterNot(keyCols.contains)
+    dimCols.foreach(c => require(!facts.columns.contains(c),
+      s"fact column '$c' collides with a history column — rename one side"))
+    val f = facts.alias("f")
+    val h = history.alias("h")
+    val keyCond = keyCols.map(k => col(s"f.$k") === col(s"h.$k")).reduce(_ && _)
+    val ts = col(s"f.$factTsCol")
+    val cond = keyCond && col("h.effective_from") <= ts &&
+      (col("h.effective_to").isNull || col("h.effective_to") > ts)
+    f.join(h, cond, "left")
+      .select(col("f.*") +: dimCols.map(c => col(s"h.$c")): _*)
+  }
+
   /** Streaming `distinctUntilChanged`: per-key last-emitted value carried
     * across micro-batches in keyed state, so a run spanning batch
     * boundaries is still one run. Rows inside a batch are ordered by

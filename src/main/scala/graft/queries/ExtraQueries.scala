@@ -1105,8 +1105,63 @@ object ExtraQueries extends QueryGroup {
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id"""))
 
+  val q161 = QueryDef(
+    "q161_scd2_point_in_time_enrich",
+    "point-in-time fact enrichment — the warehouse join q141's history " +
+      "exists FOR: every purchase fact joins the dimension version " +
+      "valid AT ITS OWN timestamp (half-open intervals: a fact at a " +
+      "transition instant sees the NEW version; no-gap/no-overlap " +
+      "chaining makes the match unique); equi-key-carried range join, " +
+      "facts never dropped",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val hist = graft.operators.Changes.scd2History(
+        e.select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+        keyCols = Seq(col("user_id")),
+        orderCols = Seq(col("ts"), col("event_id")),
+        effectiveFrom = col("ts"),
+        valueCols = Seq(col("event_type")))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      // the dimension ships only its key + attributes + validity — the
+      // change-log columns that built it (event_id, ts) stay behind
+      val dim = hist.select("user_id", "event_type", "effective_from",
+        "effective_to", "version", "is_current")
+      graft.operators.Changes.scd2Enrich(facts, dim, Seq("user_id"), "ts")
+        .select(col("user_id"), col("event_id"), tsStr(col("ts")).as("ts_s"),
+          col("value"), col("version"),
+          col("event_type").as("state_at_fact"), col("is_current"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""WITH w AS (
+              SELECT user_id, event_id, ts, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+                FROM events),
+            o AS (SELECT user_id, event_id, ts AS effective_from, event_type
+                    FROM w
+                   WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+            v AS (SELECT user_id, event_type, effective_from,
+                    LEAD(effective_from) OVER (PARTITION BY user_id
+                                               ORDER BY effective_from, event_id) AS effective_to,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY effective_from, event_id) AS version
+                    FROM o),
+            f AS (SELECT user_id, event_id, ts, value FROM events
+                  WHERE event_type = 'purchase')
+            SELECT f.user_id, f.event_id, ${oTsStr("f.ts")} AS ts_s, f.value,
+                   CAST(v.version AS BIGINT) AS version,
+                   v.event_type AS state_at_fact,
+                   v.effective_to IS NULL AS is_current
+            FROM f LEFT JOIN v
+              ON f.user_id = v.user_id AND v.effective_from <= f.ts
+             AND (v.effective_to IS NULL OR v.effective_to > f.ts)
+            ORDER BY f.user_id, f.event_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160)
+      q158, q159, q160, q161)
 }

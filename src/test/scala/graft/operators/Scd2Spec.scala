@@ -88,4 +88,30 @@ class Scd2Spec extends SparkSpecBase {
     assert(exchanges === 1,
       s"expected the two window passes to chain over one exchange, got $exchanges:\n$plan")
   }
+
+  test("scd2Enrich: each fact joins the version valid AT ITS OWN ts; transition instant sees the NEW version") {
+    val h = hist(Seq((1L, 1L, 10L, "a"), (1L, 2L, 20L, "b")))
+    val facts = Seq((1L, 100L, 5L), (1L, 101L, 10L), (1L, 102L, 19L),
+        (1L, 103L, 20L), (1L, 104L, 30L))
+      .toDF("k", "fact_id", "t_f")
+    val out = Changes.scd2Enrich(facts, h, Seq("k"), "t_f")
+      .select("fact_id", "version", "v", "is_current")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          Option(r.getString(2)))).toMap
+    assert(out.size === 5, "facts never dropped, at most one version each")
+    assert(out(100L) === ((None, None)), "pre-history fact keeps NULL dims")
+    assert(out(101L) === ((Some(1L), Some("a"))), "inclusive lower bound")
+    assert(out(102L) === ((Some(1L), Some("a"))))
+    assert(out(103L) === ((Some(2L), Some("b"))), "transition instant -> NEW version")
+    assert(out(104L) === ((Some(2L), Some("b"))), "open current interval")
+  }
+
+  test("scd2Enrich: colliding fact/history column names fail fast") {
+    val h = hist(Seq((1L, 1L, 10L, "a")))
+    val facts = Seq((1L, 5L, "x")).toDF("k", "t_f", "v") // 'v' collides
+    intercept[IllegalArgumentException] {
+      Changes.scd2Enrich(facts, h, Seq("k"), "t_f")
+    }
+  }
 }

@@ -1160,8 +1160,96 @@ object ExtraQueries extends QueryGroup {
              AND (v.effective_to IS NULL OR v.effective_to > f.ts)
             ORDER BY f.user_id, f.event_id"""))
 
+  val q162 = QueryDef(
+    "q162_funnel_ab_significance",
+    "A/B funnel conversion significance: users split into two arms by " +
+      "the portable avalanche bucket (the experiment-assignment hash — " +
+      "deterministic, uniform, replayable), q127's ordered funnel runs " +
+      "per arm, and each stage transition gets the pooled " +
+      "two-proportion z statistic with a 95% significance flag — the " +
+      "decision layer on top of the funnel family; all arithmetic is a " +
+      "fixed-order double expression over exact counts (sqrt is " +
+      "IEEE-exact, no libm), degenerate pooled rates yield NULL z",
+    (s, dir) => {
+      val F = graft.operators.Funnel
+      val stages = Seq("view", "click", "purchase")
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), us(col("ts")).as("uts"),
+          (graft.operators.Sampling.bucket(col("user_id"), "ab1") < 5000).as("arm_a"))
+      def arm(a: Boolean, name: String) =
+        F.funnelCounts(e.filter(col("arm_a") === a)
+            .select("user_id", "event_type", "uts"), stages)
+          .select(col("stage_idx"), col("users").as(name))
+      val j = arm(a = true, "a_users").join(arm(a = false, "b_users"), "stage_idx")
+      val nxt = j.select((col("stage_idx") - 1).as("stage_idx"),
+        col("a_users").as("a_to"), col("b_users").as("b_to"))
+      val pa = col("a_to").cast("double") / col("a_users")
+      val pb = col("b_to").cast("double") / col("b_users")
+      val pp = (col("a_to") + col("b_to")).cast("double") /
+        (col("a_users") + col("b_users"))
+      val se = sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("a_users") + lit(1.0) / col("b_users")))
+      val z = (pa - pb) / se
+      j.join(nxt, "stage_idx")
+        .select(col("stage_idx"),
+          when(col("stage_idx") === 1, lit("view>click"))
+            .otherwise(lit("click>purchase")).as("transition"),
+          col("a_users").as("a_from"), col("a_to"), round(pa, 6).as("a_rate"),
+          col("b_users").as("b_from"), col("b_to"), round(pb, 6).as("b_rate"),
+          when(se > 0, round(z, 6)).as("z"),
+          (se > 0 && abs(z) >= 1.96).as("significant"))
+        .orderBy("stage_idx")
+    },
+    Some("""WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS uts,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007
+                      % 10000 < 5000 AS arm_a
+                  FROM (SELECT *,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(user_id AS VARCHAR) || 'ab1', ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM events)),
+            a1 AS (SELECT u, MIN(uts) AS t FROM e WHERE arm_a AND et = 'view' GROUP BY u),
+            a2 AS (SELECT e.u, MIN(uts) AS t FROM e JOIN a1 ON a1.u = e.u
+                   WHERE arm_a AND et = 'click' AND uts > a1.t GROUP BY e.u),
+            a3 AS (SELECT e.u, MIN(uts) AS t FROM e JOIN a2 ON a2.u = e.u
+                   WHERE arm_a AND et = 'purchase' AND uts > a2.t GROUP BY e.u),
+            b1 AS (SELECT u, MIN(uts) AS t FROM e WHERE NOT arm_a AND et = 'view' GROUP BY u),
+            b2 AS (SELECT e.u, MIN(uts) AS t FROM e JOIN b1 ON b1.u = e.u
+                   WHERE NOT arm_a AND et = 'click' AND uts > b1.t GROUP BY e.u),
+            b3 AS (SELECT e.u, MIN(uts) AS t FROM e JOIN b2 ON b2.u = e.u
+                   WHERE NOT arm_a AND et = 'purchase' AND uts > b2.t GROUP BY e.u),
+            c AS (SELECT 1 AS stage_idx,
+                    CAST((SELECT COUNT(*) FROM a1) AS BIGINT) AS a_from,
+                    CAST((SELECT COUNT(*) FROM a2) AS BIGINT) AS a_to,
+                    CAST((SELECT COUNT(*) FROM b1) AS BIGINT) AS b_from,
+                    CAST((SELECT COUNT(*) FROM b2) AS BIGINT) AS b_to
+                  UNION ALL
+                  SELECT 2,
+                    CAST((SELECT COUNT(*) FROM a2) AS BIGINT),
+                    CAST((SELECT COUNT(*) FROM a3) AS BIGINT),
+                    CAST((SELECT COUNT(*) FROM b2) AS BIGINT),
+                    CAST((SELECT COUNT(*) FROM b3) AS BIGINT)),
+            m AS (SELECT *,
+                    CAST(a_to AS DOUBLE) / a_from AS pa,
+                    CAST(b_to AS DOUBLE) / b_from AS pb,
+                    CAST(a_to + b_to AS DOUBLE) / (a_from + b_from) AS pp
+                  FROM c),
+            m2 AS (SELECT *,
+                     SQRT(pp * (1.0 - pp) * (1.0 / a_from + 1.0 / b_from)) AS se
+                   FROM m)
+            SELECT stage_idx,
+              CASE WHEN stage_idx = 1 THEN 'view>click'
+                   ELSE 'click>purchase' END AS transition,
+              a_from, a_to, ROUND(pa, 6) AS a_rate,
+              b_from, b_to, ROUND(pb, 6) AS b_rate,
+              CASE WHEN se > 0 THEN ROUND((pa - pb) / se, 6) END AS z,
+              se > 0 AND ABS((pa - pb) / se) >= 1.96 AS significant
+            FROM m2 ORDER BY stage_idx"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160, q161)
+      q158, q159, q160, q161, q162)
 }

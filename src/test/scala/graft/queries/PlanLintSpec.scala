@@ -100,7 +100,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q157_cms_join_size",
     // q158: per-layout 1-row health frame crossJoined onto the 1-row
     // compaction-plan rollup — q61's one-row class, twice (union)
-    "q158_layout_health_compaction")
+    "q158_layout_health_compaction",
+    // q162: funnelCounts' 1-row top-of-funnel count crossJoined onto the
+    // stages-sized count union, once per arm — q127's documented class
+    "q162_funnel_ab_significance")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -85,7 +85,11 @@ object Bench {
       if (full.length <= 1900) full
       else {
         val bySlow = results.sortBy(-_._2)
-        // each entry costs ~13 chars; binary-search the largest keep set
+        // estimated-shrink loop (NOT a bisection): drop ~over/13 of the
+        // fastest entries per pass until the line fits — may elide a few
+        // more than strictly necessary, which is fine (BENCH_FULL.json
+        // always carries everything); terminates because keep strictly
+        // decreases toward 1
         var keep = bySlow.size
         var line = full
         while (line.length > 1900 && keep > 1) {

@@ -1190,25 +1190,26 @@ object ExtraQueries extends QueryGroup {
       val se = sqrt(pp * (lit(1.0) - pp) *
         (lit(1.0) / col("a_users") + lit(1.0) / col("b_users")))
       val z = (pa - pb) / se
+      // empty arms guard EVERY quotient: Spark's double division by zero
+      // and DuckDB's IEEE Inf/NaN disagree, so a zero from-count must
+      // surface as NULL in both engines, never reach the arithmetic
       j.join(nxt, "stage_idx")
         .select(col("stage_idx"),
           when(col("stage_idx") === 1, lit("view>click"))
             .otherwise(lit("click>purchase")).as("transition"),
-          col("a_users").as("a_from"), col("a_to"), round(pa, 6).as("a_rate"),
-          col("b_users").as("b_from"), col("b_to"), round(pb, 6).as("b_rate"),
-          when(se > 0, round(z, 6)).as("z"),
-          (se > 0 && abs(z) >= 1.96).as("significant"))
+          col("a_users").as("a_from"), col("a_to"),
+          when(col("a_users") > 0, round(pa, 6)).as("a_rate"),
+          col("b_users").as("b_from"), col("b_to"),
+          when(col("b_users") > 0, round(pb, 6)).as("b_rate"),
+          when(col("a_users") > 0 && col("b_users") > 0 && se > 0,
+            round(z, 6)).as("z"),
+          (col("a_users") > 0 && col("b_users") > 0 && se > 0 &&
+            abs(z) >= 1.96).as("significant"))
         .orderBy("stage_idx")
     },
-    Some("""WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS uts,
-                    ((hp + 479001599) * (hp + 987654323)) % 1000000007
-                      % 10000 < 5000 AS arm_a
-                  FROM (SELECT *,
-                          list_reduce(list_prepend(CAST(0 AS BIGINT),
-                            list_transform(string_split(
-                              CAST(user_id AS VARCHAR) || 'ab1', ''),
-                              c -> CAST(ascii(c) AS BIGINT))),
-                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+    Some(s"""WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS uts,
+                    ${oAvalanche("hp")} % 10000 < 5000 AS arm_a
+                  FROM (SELECT *, ${oPolyFold("user_id", "ab1")} AS hp
                         FROM events)),
             a1 AS (SELECT u, MIN(uts) AS t FROM e WHERE arm_a AND et = 'view' GROUP BY u),
             a2 AS (SELECT e.u, MIN(uts) AS t FROM e JOIN a1 ON a1.u = e.u
@@ -1242,10 +1243,14 @@ object ExtraQueries extends QueryGroup {
             SELECT stage_idx,
               CASE WHEN stage_idx = 1 THEN 'view>click'
                    ELSE 'click>purchase' END AS transition,
-              a_from, a_to, ROUND(pa, 6) AS a_rate,
-              b_from, b_to, ROUND(pb, 6) AS b_rate,
-              CASE WHEN se > 0 THEN ROUND((pa - pb) / se, 6) END AS z,
-              se > 0 AND ABS((pa - pb) / se) >= 1.96 AS significant
+              a_from, a_to,
+              CASE WHEN a_from > 0 THEN ROUND(pa, 6) END AS a_rate,
+              b_from, b_to,
+              CASE WHEN b_from > 0 THEN ROUND(pb, 6) END AS b_rate,
+              CASE WHEN a_from > 0 AND b_from > 0 AND se > 0
+                THEN ROUND((pa - pb) / se, 6) END AS z,
+              a_from > 0 AND b_from > 0 AND se > 0
+                AND ABS((pa - pb) / se) >= 1.96 AS significant
             FROM m2 ORDER BY stage_idx"""))
 
   override def queries: Seq[QueryDef] =

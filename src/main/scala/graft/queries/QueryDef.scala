@@ -71,4 +71,20 @@ object H {
     s"ROUND(CAST(SUM(CAST($x AS DECIMAL(30,6))) AS DOUBLE) / COUNT($x), $scale)"
   def oTsStr(x: String): String = s"strftime($x, '%Y-%m-%d %H:%M:%S')"
   def oUs(x: String): String = s"epoch_us($x)"
+
+  /** DuckDB replica of [[graft.operators.Sampling.avalanche]]'s inner
+    * 31-polynomial char fold over `CAST(x AS VARCHAR) || salt` — name the
+    * result (conventionally `hp`) and feed it to [[oAvalanche]]. Added
+    * late in round 11: oracles written before it inline the same idiom
+    * verbatim (hash-verified); new oracles should use these. */
+  def oPolyFold(x: String, salt: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(CAST($x AS VARCHAR) || '$salt', ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, v) -> (a * 31 + v) % 1000000007)"
+
+  /** The avalanche mix over a [[oPolyFold]] value — the full portable
+    * hash in [0, 1e9+7); `% 10000` on top is [[graft.operators.Sampling.bucket]]. */
+  def oAvalanche(hp: String): String =
+    s"(($hp + 479001599) * ($hp + 987654323)) % 1000000007"
 }

@@ -118,14 +118,16 @@ object StreamingResample {
           val (rows, next) = step(old, ticks.toSeq, stepUs, wm)
           state.update(next)
           // re-arm on the earliest still-open close boundary so empty
-          // batches keep draining as the watermark advances; after the
-          // emission above every remaining pending slot ends strictly
-          // beyond the current watermark (watermark filtering keeps
-          // already-closed slots from reopening), but guard anyway —
-          // Spark rejects a timeout at or before the watermark
+          // batches keep draining as the watermark advances. CEIL the
+          // us→ms conversion and clamp past the watermark: a floor
+          // conversion of a non-ms-aligned slot end could land exactly
+          // ON the current watermark ms, and skipping the arm there
+          // would strand the key's pending slots forever if no further
+          // ticks arrive (Spark rejects a timeout at or before the
+          // watermark, so the clamp is the safe arm, never a skip)
           next.pending.keys.minOption.foreach { s =>
-            val armAt = (s + 1) * stepUs / 1000L
-            if (armAt > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(armAt)
+            val armAt = ((s + 1) * stepUs + 999L) / 1000L
+            state.setTimeoutTimestamp(math.max(armAt, state.getCurrentWatermarkMs() + 1L))
           }
           rows.iterator.map(_.copy(key = key))
       }

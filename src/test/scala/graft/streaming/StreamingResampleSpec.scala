@@ -62,6 +62,35 @@ class StreamingResampleSpec extends SparkSpecBase {
     }
   }
 
+  test("sub-millisecond steps: timers still drain pending slots (ceil re-arm regression)") {
+    // stepUs = 500 makes slot ends land BETWEEN watermark milliseconds;
+    // a floor-converted re-arm could equal the watermark ms and be
+    // skipped, stranding the key's pending slots when no further ticks
+    // arrive for it — the ceil+clamp re-arm must drain them
+    val s = spark
+    import s.implicits._
+    val subStep = 500L
+    val a = Seq(
+      ResampleTick("a", 200L, 1L, Some(1.0)),    // slot 0
+      ResampleTick("a", 1700L, 2L, Some(4.0)))   // slot 3 -> gaps 1,2
+    val ms = MemoryStream[ResampleTick](s)
+    val q = StreamingResample(ms.toDS(), subStep, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rs_subms").start()
+    try {
+      ms.addData(a: _*); q.processAllAvailable()
+      // only OTHER-key sentinels advance the watermark from here on
+      (1 to 3).foreach { i =>
+        ms.addData(ResampleTick("zz", 10000000L + i * 1000000L, 90L + i, Some(0.0)))
+        q.processAllAvailable()
+      }
+      val got = s.table("rs_subms").where(col("key") === "a").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+      assert(got.toSeq === Seq((0L, 1L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 1L, 4.0)),
+        "pending sub-ms slots must drain on timers alone")
+    } finally q.stop()
+  }
+
   test("end-to-end: MemoryStream drain matches Resample.locfGrid; rows are final (append)") {
     val s = spark
     import s.implicits._

@@ -177,6 +177,36 @@ object Packing {
         expr(s"(offset + $w - 1L) DIV ${windowTokens}L") > col("pack_id"))
   }
 
+  /** Per-pack segment manifest — the artifact an attention-mask builder
+    * consumes: for each pack, the ordered list of (in-pack position,
+    * source id, token length) segments, rendered as a sorted string
+    * (the cross-engine collection rule). Intra-document attention must
+    * not cross segment boundaries in packed training; this is exactly
+    * the boundary table that mask construction, provenance tracking,
+    * and loss-masking per source need, derived from [[packSequences]]'
+    * geometry with ONE pack-keyed aggregation (map-side combined;
+    * per-pack state bounded by window/min-chunk segments). A chunk
+    * straddling into the next pack is listed — and its tokens counted —
+    * at the pack where it STARTS (`crosses_pack` marks it upstream).
+    * Output: (pack_id, n_segs, pack_tokens, segments = "pos:id:len,…"
+    * in position order). */
+  def packBoundaries(
+      packed: DataFrame,
+      idCol: String,
+      weightCol: String): DataFrame =
+    packed.groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col(weightCol)).as("pack_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(
+              col("pack_pos").as("p"),
+              col(idCol).cast("string").as("d"),
+              col(weightCol).cast("long").as("w")))),
+            s => concat_ws(":", s.getField("p"), s.getField("d"), s.getField("w"))),
+          ",").as("segments"))
+
   /** Padding-waste audit — the quantified case FOR [[packSequences]]:
     * per slice, the token cost of batching at `contextLen` under (a)
     * pad-per-document (each doc occupies ⌈nt/L⌉ padded sequences — the

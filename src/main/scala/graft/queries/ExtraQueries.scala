@@ -1253,8 +1253,51 @@ object ExtraQueries extends QueryGroup {
                 AND ABS((pa - pb) / se) >= 1.96 AS significant
             FROM m2 ORDER BY stage_idx"""))
 
+  val q163 = QueryDef(
+    "q163_pack_boundary_manifest",
+    "per-pack segment manifest — the attention-mask boundary table on " +
+      "top of q59's packing geometry: for each 256-token pack, the " +
+      "ordered (position : doc : length) segments as a sorted string " +
+      "(intra-document attention must not cross these in packed " +
+      "training; loss masking and provenance read the same table); one " +
+      "pack-keyed aggregation over the two-pass prefix-sum offsets",
+    (s, dir) => {
+      val chunks = graft.operators.Chunker.tokenChunks(
+        t(s, dir, "documents"), size = 32, stride = 32)
+      val packed = graft.operators.Packing.packSequences(
+        chunks, Seq("doc_id", "chunk_idx"), "n_chunk_tokens", 256L)
+      graft.operators.Packing.packBoundaries(packed, "doc_id", "n_chunk_tokens")
+        .orderBy("pack_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                       FROM documents),
+            n AS (SELECT doc_id, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, n,
+                    CASE WHEN n <= 32 THEN 1
+                         ELSE CAST(ceil((n - 32) * 1.0 / 32) AS BIGINT) + 1
+                    END AS nc
+                  FROM n),
+            x AS (SELECT doc_id, n, unnest(generate_series(0, nc - 1)) AS i
+                  FROM c),
+            ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(least(32, n - i * 32) AS BIGINT) AS w
+                   FROM x),
+            o AS (SELECT doc_id, chunk_idx, w,
+                    CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id, chunk_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS "offset"
+                  FROM ch),
+            p AS (SELECT "offset" // 256 AS pack_id, "offset" % 256 AS pack_pos,
+                    doc_id, w FROM o)
+            SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+              CAST(SUM(w) AS BIGINT) AS pack_tokens,
+              string_agg(CAST(pack_pos AS VARCHAR) || ':' ||
+                CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR),
+                ',' ORDER BY pack_pos) AS segments
+            FROM p GROUP BY 1 ORDER BY pack_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160, q161, q162)
+      q158, q159, q160, q161, q162, q163)
 }

@@ -151,4 +151,20 @@ class PackingSpec extends SparkSpecBase {
     assert(row.getDouble(4) === 0.0 && row.getDouble(6) === 0.0)
     assert(row.getLong(3) === 8L && row.getLong(5) === 8L)
   }
+
+  test("packBoundaries: segment manifest in position order; straddler listed at its start pack") {
+    val s2 = spark; import s2.implicits._
+    // chunks: doc A 6 tokens, doc B 3, doc C 4 — window 8:
+    // offsets 0, 6, 9 -> packs 0, 0, 1; B (offset 6, len 3) straddles
+    val chunks = Seq(("A", 0L, 6L), ("B", 0L, 3L), ("C", 0L, 4L))
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val packed = Packing.packSequences(chunks, Seq("doc_id", "chunk_idx"),
+      "n_chunk_tokens", 8L)
+    val out = Packing.packBoundaries(packed, "doc_id", "n_chunk_tokens")
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 9L, "0:A:6,6:B:3"),   // B counted where it STARTS
+      (1L, 1L, 4L, "1:C:4")))
+  }
 }

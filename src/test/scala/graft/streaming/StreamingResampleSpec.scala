@@ -91,6 +91,36 @@ class StreamingResampleSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("soak: 20k ticks across 40 keys and 20 waves drain lossless and batch-equal") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val ticks = (1 to 20000).map { i =>
+      val k = s"k${rnd.nextInt(40)}"
+      val slot = rnd.nextInt(120).toLong
+      ResampleTick(k, slot * Step + rnd.nextInt(1000000), i.toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000) * 0.5))
+    }
+    val ordered = ticks.sortBy(_.tsUs)
+    val ms = MemoryStream[ResampleTick](s)
+    val q = StreamingResample(ms.toDS(), Step, watermarkDelay = "3 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rs_soak").start()
+    try {
+      ordered.grouped(1000).foreach { wave => ms.addData(wave: _*); q.processAllAvailable() }
+      ms.addData(ResampleTick("zz", 1000L * Step, 1L, Some(0.0))); q.processAllAvailable()
+      ms.addData(ResampleTick("zz", 1001L * Step, 2L, Some(0.0))); q.processAllAvailable()
+      val streamed = s.table("rs_soak").where(col("key") =!= "zz").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(r => (r._1, r._2))
+      val expected = ticks.groupBy(_.key).toSeq.flatMap { case (k, ts) =>
+        reference(ts).map(r => (k, r._1, r._2, r._3)) }.sortBy(r => (r._1, r._2))
+      assert(streamed.length === expected.length, "row-count lossless")
+      assert(streamed.toSeq === expected, "soak drain must equal the batch grid")
+    } finally q.stop()
+  }
+
   test("end-to-end: MemoryStream drain matches Resample.locfGrid; rows are final (append)") {
     val s = spark
     import s.implicits._

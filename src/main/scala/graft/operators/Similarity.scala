@@ -827,6 +827,71 @@ object Similarity {
     * singletons), keep marks the survivor. Zero-/NaN-norm vectors are
     * dropped (the documented contract of every similarity entry point).
     */
+  /** Shared k-means-cell assignment for the semantic family
+    * ([[semanticDedup]], [[semanticExportOrder]]): every valid vector
+    * scored once against the broadcast centroid frame (default =
+    * deterministic first-k raw seeds, the [[topKIvf]] init contract; or
+    * a trained [[kMeansCentroids]] model), collapsed map-side by the
+    * (csim, −cid) argmax so the shuffle moves one row per vector.
+    * Returns (id, cell, cent_sim, vec). */
+  private def cellAssign(
+      vectors: DataFrame,
+      nCentroids: Int,
+      quantizer: DataFrame,
+      idCol: String,
+      vecCol: String,
+      roundTo: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val base = withNorm(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val cents0 = Option(quantizer).getOrElse(
+      base.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").cast(LongType).as("cid"), col("vec").as("cvec")))
+    val cents = withNorm(cents0.select(col("cid"), col("cvec")), "cvec", "cnorm")
+    base.join(broadcast(cents), lit(true))
+      .withColumn("csim",
+        round(VectorOps.dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")),
+          roundTo))
+      .groupBy("id")
+      .agg(
+        max(struct(col("csim").as("s"), negate(col("cid")).as("nc"))).as("m"),
+        any_value(col("vec")).as("vec"))
+      .select(col("id"), negate(col("m.nc")).cast(LongType).as("cell"),
+        col("m.s").as("cent_sim"), col("vec"))
+  }
+
+  /** Semantic export ordering — the In-Context Pretraining layout (Shi
+    * et al. 2023, "In-Context Pretraining: Language Modeling Beyond
+    * Document Boundaries"): write the corpus so semantically-similar
+    * documents are ADJACENT, giving long-context training windows
+    * coherent neighbor documents instead of random ones. Order =
+    * (cell, cent_sim desc, id): documents group by their k-means cell
+    * and, within a cell, march from the most prototypical outward — a
+    * deterministic, SQL-replayable approximation of the paper's
+    * similarity-traveling-path that needs only the [[semanticDedup]]
+    * assignment machinery plus ONE global contiguous numbering
+    * ([[Packing.withGlobalOffset]]'s two-pass form — no single-task
+    * window). Output: (idCol, cell, cent_sim, export_pos) with
+    * export_pos a gap-free 0-based position; feed it to
+    * [[Sampling.shuffleShards]]-style writers as the sort key.
+    * Zero-/NaN-norm vectors are dropped (the similarity-family
+    * contract) — filter them back in wherever the corpus policy puts
+    * undirectioned documents. */
+  def semanticExportOrder(
+      vectors: DataFrame,
+      nCentroids: Int,
+      quantizer: DataFrame = null,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    require(nCentroids >= 1, "semanticExportOrder: nCentroids must be >= 1")
+    val assigned = cellAssign(vectors, nCentroids, quantizer, idCol, vecCol, roundTo)
+      .select(col("id"), col("cell"), col("cent_sim"),
+        negate(col("cent_sim")).as("__negSim"), lit(1L).as("__one"))
+    Packing.withGlobalOffset(assigned, Seq("cell", "__negSim", "id"), "__one", "export_pos")
+      .select(col("id").as(idCol), col("cell"), col("cent_sim"), col("export_pos"))
+  }
+
   def semanticDedup(
       vectors: DataFrame,
       nCentroids: Int,
@@ -838,26 +903,7 @@ object Similarity {
       bands: Int = 0,
       planesPerBand: Int = 1): DataFrame = {
     require(nCentroids >= 1, "semanticDedup: nCentroids must be >= 1")
-    import org.apache.spark.sql.types.LongType
-    val base = withNorm(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
-    val cents0 = Option(quantizer).getOrElse(
-      base.orderBy(col("id")).limit(nCentroids)
-        .select(col("id").cast(LongType).as("cid"), col("vec").as("cvec")))
-    val cents = withNorm(cents0.select(col("cid"), col("cvec")), "cvec", "cnorm")
-    // n×k scoring collapses map-side: the grouped max over (csim, -cid)
-    // partially aggregates before the exchange, so the shuffle moves one
-    // row per vector, not one per (vector, centroid)
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("csim",
-        round(VectorOps.dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")),
-          roundTo))
-      .groupBy("id")
-      .agg(
-        max(struct(col("csim").as("s"), negate(col("cid")).as("nc"))).as("m"),
-        any_value(col("vec")).as("vec"))
-      .select(col("id"), negate(col("m.nc")).cast(LongType).as("cell"),
-        col("m.s").as("cent_sim"), col("vec"))
+    val assigned = cellAssign(vectors, nCentroids, quantizer, idCol, vecCol, roundTo)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val pairs = nearDupPairs(assigned.select(col("cell"), col("id"), col("vec")),
         groupCol = "cell", minSim = minSim, idCol = "id", vecCol = "vec",

@@ -1296,8 +1296,40 @@ object ExtraQueries extends QueryGroup {
                 ',' ORDER BY pack_pos) AS segments
             FROM p GROUP BY 1 ORDER BY pack_id"""))
 
+  val q164 = QueryDef(
+    "q164_semantic_export_order",
+    "semantic export ordering (In-Context Pretraining, Shi 2023): the " +
+      "corpus laid out so similar documents are ADJACENT — k-means cell " +
+      "assignment (q149's machinery) then (cell, cent_sim desc, id) " +
+      "order with a gap-free global position from the two-pass " +
+      "contiguous numbering (never a single-task window); long-context " +
+      "training windows then read coherent neighbor documents",
+    (s, dir) =>
+      graft.operators.Similarity.semanticExportOrder(
+          t(s, dir, "embeddings"), nCentroids = 8)
+        .orderBy("vec_id"),
+    Some("""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings
+                  WHERE NOT isnan(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[])))
+                    AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) > 0),
+            seeds AS (SELECT id AS cid, e AS cv FROM v ORDER BY id LIMIT 8),
+            sc AS (SELECT v.id, seeds.cid,
+                     ROUND(list_cosine_similarity(v.e, seeds.cv), 4) AS csim
+                   FROM v CROSS JOIN seeds),
+            asg AS (SELECT id, cid AS cell, csim AS cent_sim
+                    FROM (SELECT id, cid, csim,
+                            ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY csim DESC, cid) AS rn
+                          FROM sc) WHERE rn = 1)
+            SELECT id AS vec_id, cell, cent_sim,
+              CAST(ROW_NUMBER() OVER (ORDER BY cell, cent_sim DESC, id) - 1
+                AS BIGINT) AS export_pos
+            FROM asg ORDER BY vec_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160, q161, q162, q163)
+      q158, q159, q160, q161, q162, q163, q164)
 }

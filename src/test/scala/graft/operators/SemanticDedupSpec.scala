@@ -73,6 +73,34 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(sem === ndc, "single-cell SemDeDup must reproduce exact all-pairs components")
   }
 
+  test("semanticExportOrder: gap-free positions in (cell, cent_sim desc, id) order") {
+    val out = Similarity.semanticExportOrder(fixture, nCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._4).sorted.toSeq === out.indices.map(_.toLong), "gap-free 0-based")
+    val byPos = out.sortBy(_._4)
+    assert(byPos.map(t => (t._2, -t._3, t._1)).toSeq ===
+      byPos.map(t => (t._2, -t._3, t._1)).sorted.toSeq,
+      "positions follow (cell, cent_sim desc, id)")
+  }
+
+  test("semanticExportOrder: adjacent documents are more similar than under id order") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val vecs = v.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    def meanAdj(ids: Seq[Long]): Double =
+      ids.sliding(2).map { case Seq(x, y) => cos(vecs(x), vecs(y)) }.toSeq.sum / (ids.size - 1)
+    val semantic = Similarity.semanticExportOrder(v, nCentroids = 16)
+      .orderBy("export_pos").collect().map(_.getLong(0)).toSeq
+    val byId = semantic.sorted
+    assert(meanAdj(semantic) > meanAdj(byId),
+      "the In-Context-Pretraining layout must beat id order on adjacent similarity")
+  }
+
   test("semanticDedup: trained kMeansCentroids quantizer plugs in as the scale path") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val q = Similarity.kMeansCentroids(v, k = 4, iters = 1)

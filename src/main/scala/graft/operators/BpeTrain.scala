@@ -219,11 +219,64 @@ object BpeTrain {
     * equals the priority-queue BPE encoder: a rule's constituent symbols
     * only ever come from strictly earlier-ranked rules (that is how they
     * entered the vocabulary), so a later rule can never create a match
-    * for an earlier one — rank order is already priority order. */
-  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    * for an earlier one — rank order is already priority order.
+    *
+    * Allocation-lean: array-based with a symbol-presence skip — a rank
+    * whose left or right symbol is absent from the word is a no-op pass
+    * by definition, and for realistic tables most ranks miss most words,
+    * so the common path is one HashSet probe per rank, not a full scan
+    * + list rebuild per rank (the q116 contended-box cost). The presence
+    * set is an over-approximation (consumed symbols are not evicted) —
+    * an extra scan occasionally, never a missed merge. Spec-asserted
+    * equal to the reference fold ([[encodeWordNaive]]) on randomized
+    * words and tables. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val syms0 = codePointSyms(word)
+    if (syms0.lengthCompare(2) < 0 || merges.isEmpty) return syms0
+    var out = syms0.toArray
+    val present = new java.util.HashSet[String](out.length * 2)
+    out.foreach(present.add)
+    val it = merges.iterator
+    while (it.hasNext && out.length >= 2) {
+      val (l, r) = it.next()
+      if (present.contains(l) && present.contains(r)) {
+        var i = 0
+        var w = 0
+        val n = out.length
+        var merged = false
+        while (i < n) {
+          if (i + 1 < n && out(i) == l && out(i + 1) == r) {
+            val lr = l + r
+            out(w) = lr; present.add(lr); i += 2; merged = true
+          } else { out(w) = out(i); i += 1 }
+          w += 1
+        }
+        if (merged) out = java.util.Arrays.copyOf(out, w)
+      }
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** The direct rank-ordered fold — the spec oracle for [[encodeWord]]
+    * and the line-for-line twin of the q116 SQL replay. */
+  private[graft] def encodeWordNaive(word: String, merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(codePointSyms(word)) {
       case (syms, (l, r)) => applyMerge(syms, l, r)
     }
+
+  /** Per-thread pre-token memo for [[encodeUdf]]: word frequencies are
+    * Zipfian, so the same pre-tokens recur constantly within a task and
+    * the encode loop re-derives identical segmentations millions of
+    * times. Keyed by (merge-table content hash, word) — two UDFs with
+    * different tables sharing a thread cannot collide; a static object
+    * so nothing non-serializable rides the UDF closure. Size-capped and
+    * cleared wholesale on overflow (bounded memory per thread; the
+    * Zipf head repopulates in microseconds). */
+  private object EncodeCache {
+    final val MaxEntries = 1 << 16
+    val tl: ThreadLocal[java.util.HashMap[(Int, String), Seq[String]]] =
+      ThreadLocal.withInitial(() => new java.util.HashMap[(Int, String), Seq[String]]())
+  }
 
   /** text → BPE token array under a trained merge table: pre-tokenize
     * with [[TextOps.BpeTokenPattern]] (the q46 apply side), then segment
@@ -235,13 +288,29 @@ object BpeTrain {
     * centroids, broadcast once per stage. */
   def encodeUdf(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val pattern = TextOps.BpeTokenPattern.r
+    // content hash computed once, driver-side: the cache key must be
+    // stable across the per-task closure deserializations that each get
+    // their own Seq instance
+    val tableHash = merges.hashCode()
     udf { (text: String) =>
       if (text == null) null
       // Locale.ROOT: default-locale toLowerCase is box-dependent (the
       // Turkish-İ mapping) — this must match Spark's locale-independent
       // lower() used by the q46/q116 train side and the DuckDB oracle
-      else pattern.findAllIn(text.toLowerCase(java.util.Locale.ROOT))
-        .flatMap(w => encodeWord(w, merges)).toSeq
+      else {
+        val cache = EncodeCache.tl.get()
+        pattern.findAllIn(text.toLowerCase(java.util.Locale.ROOT))
+          .flatMap { w =>
+            val key = (tableHash, w)
+            var e = cache.get(key)
+            if (e == null) {
+              e = encodeWord(w, merges)
+              if (cache.size >= EncodeCache.MaxEntries) cache.clear()
+              cache.put(key, e)
+            }
+            e
+          }.toSeq
+      }
     }
   }
 }

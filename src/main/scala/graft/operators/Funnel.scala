@@ -244,26 +244,31 @@ object Funnel {
     val ts = "`" + tsCol.replace("`", "``") + "`"
     // referenced twice (stats aggregate + probe side of the crossJoin):
     // persist so the events scan/aggregation genuinely runs once instead
-    // of relying on exchange reuse to kick in
+    // of relying on exchange reuse to kick in; released on every exit
+    // path — the output (bucket-sized, ≪ events) is materialized
+    // lineage-free first, so callers never pin the cache
     val buckets = events
       .where(col(tsCol).isNotNull)
       .select(expr(s"(CAST($ts AS BIGINT) DIV ${bucketUs}L) * ${bucketUs}L").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val nd = col("n").cast(DecimalType(38, 0))
-    val stats = buckets.agg(
-      count(lit(1)).cast(DecimalType(38, 0)).as("nb"),
-      sum(nd).as("sx"),
-      sum(nd * nd).as("sxx"))
-    val z = (nd * col("nb") - col("sx")).cast("double") /
-      (col("nb").cast("double") * sqrt(
-        (col("nb") * col("sxx") - col("sx") * col("sx")).cast("double") /
-          (col("nb") * (col("nb") - lit(1))).cast("double")))
-    buckets.crossJoin(broadcast(stats))
-      .select(col("bucket"), col("n"),
-        when(col("nb") > 1 && (col("nb") * col("sxx") =!= col("sx") * col("sx")),
-          round(z, roundTo)).as("z"))
-      .withColumn("anomalous", coalesce(abs(col("z")) >= zThreshold, lit(false)))
-      .orderBy("bucket")
+    try {
+      val nd = col("n").cast(DecimalType(38, 0))
+      val stats = buckets.agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("nb"),
+        sum(nd).as("sx"),
+        sum(nd * nd).as("sxx"))
+      val z = (nd * col("nb") - col("sx")).cast("double") /
+        (col("nb").cast("double") * sqrt(
+          (col("nb") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("nb") * (col("nb") - lit(1))).cast("double")))
+      buckets.crossJoin(broadcast(stats))
+        .select(col("bucket"), col("n"),
+          when(col("nb") > 1 && (col("nb") * col("sxx") =!= col("sx") * col("sx")),
+            round(z, roundTo)).as("z"))
+        .withColumn("anomalous", coalesce(abs(col("z")) >= zThreshold, lit(false)))
+        .orderBy("bucket")
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    } finally buckets.unpersist()
   }
 }

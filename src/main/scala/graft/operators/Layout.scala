@@ -42,10 +42,30 @@ object Layout {
     * decision probe: how disjoint are the per-file [lo, hi] ranges?
     * A fresh [[graft.sources.ParquetSink.writeRangeLayout]] scores 0
     * overlapping pairs; appends/late data erode that until range scans
-    * stop skipping. One model-sized interval self-join; output one row:
-    * (n_files, overlap_pairs, overlap_ratio ∈ [0,1] of all pairs,
-    * well_clustered = no overlaps). Single-file layouts are trivially
-    * clustered (ratio 0). */
+    * stop skipping. Output one row: (n_files, overlap_pairs,
+    * overlap_ratio ∈ [0,1] of all pairs, well_clustered = no overlaps).
+    * Single-file layouts are trivially clustered (ratio 0).
+    *
+    * SWEEP-LINE, not a pairwise join: the manifest of a 100 TB table at
+    * 128 MB/file is ~800k rows, where an interval theta self-join
+    * (nested-loop) is ~3·10¹¹ pair probes — the pairwise form's own
+    * input breaks its plan. Instead, count the COMPLEMENT: a pair of
+    * valid intervals (lo ≤ hi) is disjoint iff one ends strictly before
+    * the other starts, so
+    *   disjoint_pairs = Σ_b |{a : hi_a < lo_b}|
+    * (each disjoint pair counted exactly once, earlier-ending side as
+    * `a`). That rank-against-the-other-endpoint sum is one event sweep:
+    * union lo-events and hi-events, order by (value, lo-before-hi at
+    * ties — a tie hi == lo touches, so must NOT count as earlier), and
+    * take an exclusive global prefix sum of the hi-event indicator
+    * ([[Packing.withGlobalOffset]]'s two-pass form — one range exchange,
+    * no single-task stage). overlap_pairs = C(n,2) − disjoint_pairs.
+    * O(n log n), distributed; property-tested equal to the pairwise
+    * join on randomized manifests (LayoutSpec).
+    *
+    * Rows with NULL bounds contribute no pairs (the pairwise join's
+    * NULL-predicate semantics) but still count in n_files; rows with
+    * lo > hi are rejected (corrupt manifest — fail loud, not garbage). */
   def clusteringHealth(
       ranges: DataFrame,
       fileCol: String,
@@ -53,12 +73,24 @@ object Layout {
       hiCol: String): DataFrame = {
     val r = ranges.select(col(fileCol).as("f"),
       col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
-    val pairs = r.as("a")
-      .join(r.select(col("f").as("f2"), col("lo").as("lo2"), col("hi").as("hi2")),
-        col("f") < col("f2") && col("lo") <= col("hi2") && col("lo2") <= col("hi"))
-      .agg(count(lit(1)).as("overlap_pairs"))
-    r.agg(count(lit(1)).as("n_files"))
-      .crossJoin(pairs)
+    val valid = r.where(col("lo").isNotNull && col("hi").isNotNull)
+    // corrupt-manifest guard: an inverted interval would silently skew
+    // the complement count — surface it instead
+    val checked = valid.select(col("lo"),
+      when(col("lo") <= col("hi"), col("hi"))
+        .otherwise(raise_error(concat(lit("clusteringHealth: lo > hi for file "),
+          col("f").cast("string")))).as("hi"))
+    val ev = checked.select(col("lo").as("v"), lit(0).as("t"), lit(0L).as("isHi"))
+      .unionAll(checked.select(col("hi").as("v"), lit(1).as("t"), lit(1L).as("isHi")))
+    val disjoint = Packing.withGlobalOffset(ev, Seq("v", "t"), "isHi", "__hiBefore")
+      .where(col("t") === 0)
+      .agg(coalesce(sum(col("__hiBefore")), lit(0L)).as("disjoint_pairs"))
+    r.agg(count(lit(1)).as("n_files"),
+        count(when(col("lo").isNotNull && col("hi").isNotNull, 1)).as("__nv"))
+      .crossJoin(disjoint)
+      .select(col("n_files"),
+        (ZOrder.intDiv(col("__nv") * (col("__nv") - 1), lit(2L)) -
+          col("disjoint_pairs")).as("overlap_pairs"))
       .select(col("n_files"), col("overlap_pairs"),
         when(col("n_files") > 1,
           round(col("overlap_pairs") * 2.0 /

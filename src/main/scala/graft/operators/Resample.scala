@@ -41,15 +41,25 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** Per-row array bound for the grid fan-out: the explode generates
+    * slots in chunks of this many, so no single row ever materializes
+    * more than a ~0.5 MB long array regardless of span (a naked
+    * `sequence(s0, s1)` would build one span-sized array per key —
+    * 3·10⁷ elements for a year of 1-second slots — and OOM the task
+    * before the explode ever streams it). */
+  private val GridChunk = 65536L
+
   def locfGrid(
       df: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
       valueCol: String,
       stepUs: Long,
-      orderCols: Seq[Column] = Nil): DataFrame = {
+      orderCols: Seq[Column] = Nil,
+      maxSlotsPerKey: Long = 1L << 28): DataFrame = {
     require(stepUs > 0, s"stepUs $stepUs must be positive")
     require(keyCols.nonEmpty, "at least one key column required")
+    require(maxSlotsPerKey >= 1, s"maxSlotsPerKey $maxSlotsPerKey must be >= 1")
     val keys = keyCols.map(col)
     // within-slot pick needs a TOTAL order for a well-defined "last";
     // default to the timestamp, callers add a tiebreaker for exact ties
@@ -64,10 +74,30 @@ object Resample {
       .agg(count(lit(1)).as("n_obs"),
         max_by(col("__v"), when(col("__v").isNotNull, col("__o"))).as("__v"))
     // per-key span: one aggregation to a keys-sized frame, then the grid
-    // fan-out — exactly output-sized by construction
-    val grid = perSlot.groupBy(keys: _*)
+    // fan-out — exactly output-sized by construction. The fan-out is
+    // guarded (a fat-finger stepUs turns an executor OOM into a clear
+    // error naming the key) and CHUNKED: outer explode over GridChunk-
+    // sized chunk indices, inner explode over the chunk's slots, so the
+    // largest transient array is max(span/GridChunk, GridChunk) elements
+    // — ≤ 65536 for any span the cap admits — instead of one span-sized
+    // array per key.
+    val span = col("__s1") - col("__s0") + lit(1L)
+    val checkedS1 = when(span <= lit(maxSlotsPerKey), col("__s1"))
+      .otherwise(raise_error(concat(
+        lit("locfGrid: key ["),
+        concat_ws(",", keys.map(_.cast("string")): _*),
+        lit("] spans "), span.cast("string"),
+        lit(s" slots > maxSlotsPerKey $maxSlotsPerKey — widen stepUs or raise the cap"))))
+    val spans = perSlot.groupBy(keys: _*)
       .agg(min(col("slot")).as("__s0"), max(col("slot")).as("__s1"))
-      .select(keys :+ explode(sequence(col("__s0"), col("__s1"))).as("slot"): _*)
+      .withColumn("__s1", checkedS1)
+    val grid = spans
+      .select(keys ++ Seq(col("__s0"), col("__s1"),
+        explode(sequence(ZOrder.floorDiv(col("__s0"), lit(GridChunk)),
+          ZOrder.floorDiv(col("__s1"), lit(GridChunk)))).as("__c")): _*)
+      .select(keys :+ explode(sequence(
+        greatest(col("__c") * GridChunk, col("__s0")),
+        least(col("__c") * GridChunk + (GridChunk - 1), col("__s1")))).as("slot"): _*)
     val w = Window.partitionBy(keys: _*).orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(perSlot, keyCols :+ "slot", "left")

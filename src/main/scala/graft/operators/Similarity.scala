@@ -905,22 +905,31 @@ object Similarity {
     require(nCentroids >= 1, "semanticDedup: nCentroids must be >= 1")
     val assigned = cellAssign(vectors, nCentroids, quantizer, idCol, vecCol, roundTo)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val pairs = nearDupPairs(assigned.select(col("cell"), col("id"), col("vec")),
-        groupCol = "cell", minSim = minSim, idCol = "id", vecCol = "vec",
-        roundTo = roundTo, bands = bands, planesPerBand = planesPerBand)
-      .select("ia", "ib")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // release the pair cache even when CC throws (the nearDupClusters
-    // discipline): labels come back lineage-free
-    val comp =
-      try Dedup.connectedComponents(pairs, assigned.select(col("id")))
-      finally pairs.unpersist()
-    val lab = assigned.join(comp, "id")
-    val surv = lab.groupBy(col("comp"))
-      .agg(min(struct(col("cent_sim"), col("id"))).as("sm"))
-      .select(col("comp"), col("sm.id").as("surv_id"))
-    lab.join(surv, "comp")
-      .select(col("id").as(idCol), col("cell"), col("comp").as("cluster_id"),
-        col("cent_sim"), (col("id") === col("surv_id")).as("keep"))
+    // BOTH per-call caches are released before return — on every exit
+    // path (the nearDupClusters discipline): the output is eagerly
+    // materialized lineage-free below, so nothing downstream references
+    // the assignment or pair pipelines, and repeated semanticDedup calls
+    // cannot accumulate corpus-scale session disk blocks. (The returned
+    // frame's own checkpoint blocks are ContextCleaner-released when the
+    // caller drops the reference — the connectedComponents label
+    // contract.)
+    try {
+      val pairs = nearDupPairs(assigned.select(col("cell"), col("id"), col("vec")),
+          groupCol = "cell", minSim = minSim, idCol = "id", vecCol = "vec",
+          roundTo = roundTo, bands = bands, planesPerBand = planesPerBand)
+        .select("ia", "ib")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val comp =
+        try Dedup.connectedComponents(pairs, assigned.select(col("id")))
+        finally pairs.unpersist()
+      val lab = assigned.join(comp, "id")
+      val surv = lab.groupBy(col("comp"))
+        .agg(min(struct(col("cent_sim"), col("id"))).as("sm"))
+        .select(col("comp"), col("sm.id").as("surv_id"))
+      lab.join(surv, "comp")
+        .select(col("id").as(idCol), col("cell"), col("comp").as("cluster_id"),
+          col("cent_sim"), (col("id") === col("surv_id")).as("keep"))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    } finally assigned.unpersist()
   }
 }

@@ -46,9 +46,12 @@ object ZOrder {
 
   /** Equi-width bucket of an integral column into [0, 2^bits) over the
     * CLOSED range [minV, maxV] — exact integer arithmetic:
-    * ((v − min) · 2^bits) div (range + 1). Caller guarantees
-    * (maxV − minV + 1) · 2^bits < 2^63 (true for ids and epoch-micro
-    * spans at any realistic bits). */
+    * ((v − min) · 2^bits) div (range + 1). REQUIRES
+    * (maxV − minV + 1) · 2^bits ≤ 2^63 − 1, enforced below: an oversized
+    * range would wrap the non-ANSI multiplication negative and silently
+    * produce garbage buckets (at the [[graft.operators.ZOrder]] default
+    * bits=16 an epoch-MICROS span already wraps past ~4.5 years — use
+    * epoch-seconds/millis or fewer bits for wide time ranges). */
   /** int64 `div`, never `/`: Spark's Column division widens longs to
     * DOUBLE, and a quotient within an ulp of an integer would land a
     * boundary value differently from an oracle's exact `//`. Shared by
@@ -71,6 +74,12 @@ object ZOrder {
   def intBucket(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
     require(maxV >= minV, s"intBucket: empty range [$minV, $maxV]")
     require(bits >= 1 && bits <= 31, s"intBucket: bits $bits outside [1,31]")
+    // BigInt: maxV − minV itself can wrap for near-full-int64 ranges
+    val span = BigInt(maxV) - BigInt(minV) + 1
+    require(span <= (BigInt(Long.MaxValue) >> bits),
+      s"intBucket: range [$minV, $maxV] x 2^$bits overflows int64 " +
+        s"(span $span > ${Long.MaxValue >> bits}); coarsen the units " +
+        "(e.g. epoch-seconds, not micros) or lower bits")
     intDiv((c.cast("long") - lit(minV)) * lit(1L << bits), lit(maxV - minV + 1L))
   }
 

@@ -562,7 +562,8 @@ object ExtraQueries extends QueryGroup {
                      SUM(CAST(value AS DECIMAL(30,6))) AS sum_v,
                      MIN(value) AS min_v, MAX(value) AS max_v
                    FROM b GROUP BY 1, 2),
-            hx AS (SELECT DISTINCT part, event_type, h FROM b),
+            hx AS (SELECT DISTINCT part, event_type, h FROM b
+                   WHERE h IS NOT NULL),
             bk AS (SELECT part, event_type, h
                    FROM (SELECT part, event_type, h,
                            ROW_NUMBER() OVER (PARTITION BY part, event_type

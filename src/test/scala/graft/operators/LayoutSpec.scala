@@ -77,4 +77,42 @@ class LayoutSpec extends SparkSpecBase {
     val one = health(Seq(("a", 0L, 10L)))
     assert(one.getDouble(2) === 0.0 && one.getBoolean(3))
   }
+
+  test("clusteringHealth: sweep-line equals the pairwise-join oracle on random manifests") {
+    val s = spark
+    import s.implicits._
+    // the production path is the O(n log n) event sweep; the retired
+    // O(n²) interval self-join stays here as the property oracle
+    val rnd = new scala.util.Random(158)
+    (1 to 25).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      val rs = (0 until n).map { i =>
+        val lo = rnd.nextInt(200).toLong - 100L
+        (f"f$i%03d", lo, lo + rnd.nextInt(60).toLong)
+      }
+      val expectPairs = (for {
+        a <- rs; b <- rs
+        if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+      } yield 1).size.toLong
+      val got = Layout.clusteringHealth(rs.toDF("f", "lo", "hi"), "f", "lo", "hi")
+        .collect().head
+      assert(got.getLong(0) === n.toLong, s"trial $trial n_files")
+      assert(got.getLong(1) === expectPairs, s"trial $trial (n=$n) overlap_pairs")
+      assert(got.getBoolean(3) === (expectPairs == 0L), s"trial $trial well_clustered")
+    }
+  }
+
+  test("clusteringHealth: NULL bounds pair with nothing but count in n_files; lo > hi fails loud") {
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(("a", Some(0L), Some(50L)), ("b", None, Some(75L)), ("c", Some(25L), Some(60L)))
+      .toDF("f", "lo", "hi")
+    val r = Layout.clusteringHealth(withNull, "f", "lo", "hi").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 1L)
+    val bad = Seq(("a", 10L, 0L), ("b", 0L, 5L)).toDF("f", "lo", "hi")
+    val ex = intercept[Exception] {
+      Layout.clusteringHealth(bad, "f", "lo", "hi").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -74,4 +74,32 @@ class ResampleSpec extends SparkSpecBase {
     assert(r.getLong(1) === 2L && r.getLong(3) === 2L && r.getDouble(4) === 2.0)
     assert(r.getAs[java.time.LocalDateTime](2).getSecond === 2)
   }
+
+  test("locfGrid: chunked fan-out crosses chunk boundaries gap-free (incl. negative slots)") {
+    // spans that straddle the 65536-slot generation chunks must come out
+    // identical to the naive single-sequence grid: contiguous slots,
+    // every boundary slot present exactly once
+    for ((s0us, s1us) <- Seq(
+        (65530L * Step, 65545L * Step),           // crosses chunk 0 -> 1
+        (-5L * Step, 3L * Step),                  // crosses the negative/0 chunk seam
+        (-65540L * Step, -65530L * Step))) {      // entirely negative, crosses -2 -> -1
+      val df = mk(Seq(("a", s0us, Some(1.0), 1L), ("a", s1us, Some(2.0), 2L)))
+      val slots = Resample.locfGrid(df, Seq("k"), "ts", "value", Step)
+        .orderBy("slot").collect().map(_.getLong(1)).toSeq
+      assert(slots === (s0us / Step to s1us / Step).toSeq,
+        s"span [$s0us,$s1us] must be gap-free and duplicate-free")
+    }
+  }
+
+  test("locfGrid: an oversized per-key span fails fast naming the key, not OOM") {
+    val df = mk(Seq(("hot", 0L, Some(1.0), 1L), ("hot", 100L * Step, Some(2.0), 2L)))
+    val ex = intercept[Exception] {
+      Resample.locfGrid(df, Seq("k"), "ts", "value", Step, maxSlotsPerKey = 50L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val all = msgs(ex).mkString("\n")
+    assert(all.contains("locfGrid") && all.contains("hot") && all.contains("101"),
+      s"error must name the operator, key, and span; got: $all")
+  }
 }

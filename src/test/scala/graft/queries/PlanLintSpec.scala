@@ -99,7 +99,10 @@ class PlanLintSpec extends SparkSpecBase {
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",
     // q158: per-layout 1-row health frame crossJoined onto the 1-row
-    // compaction-plan rollup — q61's one-row class, twice (union)
+    // compaction-plan rollup — q61's one-row class, twice (union). The
+    // interval-overlap count itself is the O(n log n) event sweep
+    // (Layout.clusteringHealth) — the round-11 O(n²) theta self-join is
+    // gone; the only BNLJs left here are the 1-row attaches
     "q158_layout_health_compaction",
     // q162: funnelCounts' 1-row top-of-funnel count crossJoined onto the
     // stages-sized count union, once per arm — q127's documented class
@@ -110,11 +113,11 @@ class PlanLintSpec extends SparkSpecBase {
     * the window's input is model-/types-sized, never corpus-sized; a
     * corpus frame reaching one of these is a scale cliff (one task sorts
     * everything). Each entry names its bounded input. */
-  private val globalWindowAllowed = Set(
-    // q83: the lexical rank column — row_number over bm25's TOP-10
-    // output (the upstream orderBy+limit bounds the window's input to
-    // topK rows by construction, so the single-task sort sorts 10 rows)
-    "q83_retrieval_hybrid_rrf")
+  private val globalWindowAllowed = Set.empty[String]
+  // (q83's lexical rank — the last allowlisted site — now keys its
+  // 10-row window on a literal partition, so the registry plans ZERO
+  // global windows and any future "No Partition Defined" warning in a
+  // bench log is a real regression.)
   // The OTHER deliberate no-partition windows (PQ codebook numbering at
   // Similarity.buildCodebook, q112's qrel windows, q117/q119 vocabulary
   // ranks) execute EAGERLY inside builders against model-/types-sized

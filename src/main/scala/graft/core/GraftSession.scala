@@ -23,19 +23,36 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** The engine's standard configuration as PURE DATA — [[configure]]
+    * applies it; the profile spec asserts invariants on these maps
+    * directly (no Builder-internals reflection). */
+  def localConf(cores: Int): Map[String, String] = Map(
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    "spark.sql.shuffle.partitions" -> cores.toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> (32L * 1024 * 1024).toString,
+    "spark.ui.enabled" -> "false")
+
+  /** [[cluster]]'s configuration as pure data: [[localConf]] with the
+    * sizing/debugging overrides documented on [[cluster]]. */
+  def clusterConf(clusterCores: Int): Map[String, String] =
+    localConf(clusterCores) ++ Map(
+      "spark.ui.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+        (3L * clusterCores).toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        (128L * 1024 * 1024).toString,
+      "spark.sql.files.maxPartitionBytes" ->
+        (256L * 1024 * 1024).toString)
+
   /** Apply the engine's standard configuration to a builder. */
-  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = {
-    b.config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.parquet.filterPushdown", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-  }
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    localConf(cores).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   /** Local session for tests / ad-hoc use. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
@@ -78,13 +95,6 @@ object GraftSession {
     * cluster — only parallelism/sizing differ. */
   def cluster(b: SparkSession.Builder, clusterCores: Int): SparkSession.Builder = {
     require(clusterCores >= 1, s"clusterCores $clusterCores must be >= 1")
-    configure(b, clusterCores)
-      .config("spark.ui.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (3L * clusterCores).toString)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        (128L * 1024 * 1024).toString)
-      .config("spark.sql.files.maxPartitionBytes",
-        (256L * 1024 * 1024).toString)
+    clusterConf(clusterCores).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 }

@@ -41,6 +41,123 @@ object Linkage {
     val disagreeWeight: Double = r6(log2((1 - m) / (1 - u)))
   }
 
+  /** EM-fitted linkage parameters: the match-class prior `p` and, per
+    * field, (name, m, u) — [[fitEm]]'s output, ready to become
+    * [[FieldRule]]s via [[toRules]]. */
+  final case class EmEstimate(p: Double, fields: Seq[(String, Double, Double)])
+
+  /** Estimate m/u (and the match prior) from UNLABELED candidate pairs —
+    * the classical EM fit over agreement patterns (Winkler 1988, "Using
+    * the EM algorithm for weight computation in the Fellegi–Sunter model
+    * of record linkage"): latent 2-class mixture (match/non-match) with
+    * conditionally independent field agreements. This closes the loop the
+    * scoring operator leaves open — a user WITHOUT labeled data derives
+    * the parameters [[fellegiSunter]] requires from the candidate set
+    * itself.
+    *
+    * Scale shape: ONE corpus-scale aggregation — candidate pairs
+    * collapse to agreement-pattern counts (groupBy over K booleans,
+    * map-side combining; at most 2^K ≤ 65536 rows for the enforced
+    * K ≤ 16). All EM iterations then run on the DRIVER over that
+    * model-sized pattern table: zero further cluster traffic, the
+    * BPE-argmax/codebook bounded-driver-state shape. This beats an
+    * aggregation per iteration outright — the sufficient statistics of
+    * the whole EM trajectory are the pattern counts.
+    *
+    * Determinism: pattern counts are exact integers (partitioning-
+    * invariant), patterns iterate in canonical bit order, and the EM
+    * arithmetic is fixed-order driver doubles — the fit is a pure
+    * function of the candidate set (spec-asserted, incl. against an
+    * independent per-pair sequential reference).
+    *
+    * NULL agreements count as disagreement ([[fellegiSunter]]'s
+    * convention). Estimates are clamped to [eps, 1−eps] each M-step
+    * (degenerate fields would otherwise collapse to 0/1 and produce
+    * infinite weights). Label identification: with m0 > u0 the match
+    * class keeps the high-agreement role; if a field still fits m ≤ u
+    * (agreement anti-correlated with the latent match class), [[toRules]]
+    * rejects it by the FieldRule contract rather than shipping a rule
+    * whose "agreement" is evidence against. */
+  def fitEm(
+      pairs: DataFrame,
+      fields: Seq[(String, Column)],
+      iters: Int = 20,
+      p0: Double = 0.1,
+      m0: Double = 0.9,
+      u0: Double = 0.1,
+      eps: Double = 1e-6): EmEstimate = {
+    require(fields.nonEmpty, "fitEm: at least one field required")
+    require(fields.size <= 16,
+      s"fitEm: ${fields.size} fields > 16 — the 2^K pattern table must stay driver-bounded")
+    require(fields.map(_._1).distinct.size == fields.size, "fitEm: duplicate field names")
+    require(iters >= 1, s"fitEm: iters $iters must be >= 1")
+    require(eps > 0 && eps < 0.5, s"fitEm: eps $eps outside (0, 0.5)")
+    for ((x, what) <- Seq((p0, "p0"), (m0, "m0"), (u0, "u0")))
+      require(x > 0 && x < 1, s"fitEm: $what $x must be a strict probability")
+    val k = fields.size
+    val gCols = fields.map { case (n, c) => coalesce(c, lit(false)).as(s"g_$n") }
+    val rows = pairs.select(gCols: _*)
+      .groupBy(fields.map(f => col(s"g_${f._1}")): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "fitEm: no candidate pairs")
+    // canonical bit order → fixed summation order → deterministic fit
+    val patterns = rows.map { r =>
+      (Array.tabulate(k)(i => r.getBoolean(i)), r.getLong(k))
+    }.sortBy { case (g, _) => g.map(b => if (b) '1' else '0').mkString }
+    val total = patterns.map(_._2).sum.toDouble
+    def clamp(x: Double): Double = math.min(1.0 - eps, math.max(eps, x))
+    var p = p0
+    val m = Array.fill(k)(m0)
+    val u = Array.fill(k)(u0)
+    var it = 0
+    while (it < iters) {
+      var sw = 0.0
+      var su = 0.0
+      val swg = new Array[Double](k)
+      val sug = new Array[Double](k)
+      patterns.foreach { case (g, n) =>
+        var pm = p
+        var pu = 1.0 - p
+        var i = 0
+        while (i < k) {
+          pm *= (if (g(i)) m(i) else 1.0 - m(i))
+          pu *= (if (g(i)) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        val w = pm / (pm + pu)
+        sw += n * w
+        su += n * (1.0 - w)
+        i = 0
+        while (i < k) {
+          if (g(i)) { swg(i) += n * w; sug(i) += n * (1.0 - w) }
+          i += 1
+        }
+      }
+      p = clamp(sw / total)
+      var i = 0
+      while (i < k) {
+        m(i) = clamp(swg(i) / sw)
+        u(i) = clamp(sug(i) / su)
+        i += 1
+      }
+      it += 1
+    }
+    EmEstimate(p, fields.zipWithIndex.map { case ((n, _), i) => (n, m(i), u(i)) })
+  }
+
+  /** [[fitEm]] output → [[FieldRule]]s over the same agreement columns,
+    * ready for [[fellegiSunter]]. Fails loud (the FieldRule contract) on
+    * any field whose fitted m ≤ u. */
+  def toRules(fit: EmEstimate, fields: Seq[(String, Column)]): Seq[FieldRule] = {
+    val mu = fit.fields.map { case (n, m, u) => n -> ((m, u)) }.toMap
+    fields.map { case (n, c) =>
+      val (m, u) = mu.getOrElse(n,
+        throw new IllegalArgumentException(s"toRules: field $n not in the fit"))
+      FieldRule(n, c, m, u)
+    }
+  }
+
   /** Score candidate pairs and classify. Appends, per rule, a boolean
     * `agree_<name>` column, then `score` (the fixed-order literal-weight
     * sum, 6 decimals) and `decision`: score ≥ upper → 'match',

@@ -1329,8 +1329,103 @@ object ExtraQueries extends QueryGroup {
                 AS BIGINT) AS export_pos
             FROM asg ORDER BY vec_id"""))
 
+  /** q165's candidate-pair fixture — a dirty copy of customer with three
+    * INDEPENDENTLY-keyed mangles (name upper-cased for key%3=0, acctbal
+    * +0.01 for key%4=1, the derived tag +1 for key%5=0; coprime keys so
+    * field agreements are conditionally independent given match status —
+    * the Fellegi–Sunter model EM assumes), blocked on
+    * (nation, mktsegment). `c_tag = custkey·2654435761 mod 1000` is the
+    * pseudo-attribute standing in for a phone/zip field the fixture
+    * schema lacks — identical integer arithmetic on both engines. */
+  private[graft] def q165Pairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val c = t(s, dir, "customer")
+      .withColumn("c_tag", pmod(col("c_custkey") * 2654435761L, lit(1000L)))
+    val dirty = c.select(
+      (col("c_custkey") + 1000000L).as("d_key"),
+      when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+        .otherwise(col("c_name")).as("d_name"),
+      when(col("c_custkey") % 4 === 1, col("c_acctbal") + 0.01)
+        .otherwise(col("c_acctbal")).as("d_bal"),
+      when(col("c_custkey") % 5 === 0, col("c_tag") + 1L)
+        .otherwise(col("c_tag")).as("d_tag"),
+      col("c_nationkey").as("d_nat"), col("c_mktsegment").as("d_seg"))
+    c.select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_tag"),
+        col("c_nationkey"), col("c_mktsegment"))
+      .join(dirty,
+        col("c_nationkey") === col("d_nat") && col("c_mktsegment") === col("d_seg"))
+  }
+
+  private[graft] val Q165Fields = Seq(
+    "name" -> (col("c_name") === col("d_name")),
+    "bal" -> (col("c_acctbal") === col("d_bal")),
+    "tag" -> (col("c_tag") === col("d_tag")))
+
+  /** q165's pinned EM estimate — `Linkage.fitEm(q165Pairs(sf0.001),
+    * Q165Fields, iters = 30)` with m/u rounded to 6 decimals: the
+    * no-labeled-data path's model, learned once from the unlabeled
+    * candidate set and pinned so the DuckDB oracle can replay the
+    * SCORING with literal weights (the q116-merge-table pattern — the
+    * FITTING itself is gated by LinkageSpec's sequential-reference
+    * equality plus the pin-freshness spec). Fitted values land where the
+    * mangle design puts them: m ≈ 2/3, 3/4, 4/5 for the %3/%4/%5 keys,
+    * u ≈ the within-block collision rates, p ≈ the true match share of
+    * the blocked pairs. */
+  private[graft] val Q165Fit = graft.operators.Linkage.EmEstimate(0.448431, Seq(
+    ("name", 0.67287, 0.009088),
+    ("bal", 0.756212, 0.008067),
+    ("tag", 0.814631, 0.005063)))
+
+  private val Q165Rules = graft.operators.Linkage.toRules(Q165Fit, Q165Fields)
+
+  val q165 = QueryDef(
+    "q165_em_linkage",
+    "EM-FITTED record linkage — the no-labeled-data Fellegi–Sunter path: " +
+      "m/u learned by EM over agreement-pattern counts of the unlabeled " +
+      "blocked candidate set (one corpus aggregation, driver-bounded " +
+      "pattern table), pinned from sf0.001, scoring replayed with " +
+      "literal weights; >= 2 field agreements clear the match bar",
+    (s, dir) =>
+      graft.operators.Linkage.fellegiSunter(q165Pairs(s, dir), Q165Rules,
+          upper = 10.0, lower = 0.0)
+        .filter(col("decision") =!= "nonmatch")
+        .select(col("c_custkey"), col("d_key"), col("agree_name"),
+          col("agree_bal"), col("agree_tag"), col("score"), col("decision"))
+        .orderBy("c_custkey", "d_key"),
+    Some(s"""WITH c AS (SELECT *, (c_custkey * 2654435761) % 1000 AS c_tag
+                  FROM customer),
+            d AS (SELECT c_custkey + 1000000 AS d_key,
+                    CASE WHEN c_custkey % 3 = 0 THEN UPPER(c_name)
+                         ELSE c_name END AS d_name,
+                    CASE WHEN c_custkey % 4 = 1 THEN c_acctbal + 0.01
+                         ELSE c_acctbal END AS d_bal,
+                    CASE WHEN c_custkey % 5 = 0 THEN c_tag + 1
+                         ELSE c_tag END AS d_tag,
+                    c_nationkey AS d_nat, c_mktsegment AS d_seg
+                  FROM c),
+            p AS (SELECT c.c_custkey, d.d_key,
+                    c.c_name = d.d_name AS agree_name,
+                    c.c_acctbal = d.d_bal AS agree_bal,
+                    c.c_tag = d.d_tag AS agree_tag
+                  FROM c
+                  JOIN d ON c.c_nationkey = d.d_nat AND c.c_mktsegment = d.d_seg),
+            sc AS (SELECT *, ROUND(
+                     (CASE WHEN agree_name THEN ${Q165Rules(0).agreeWeight}
+                           ELSE ${Q165Rules(0).disagreeWeight} END)
+                   + (CASE WHEN agree_bal THEN ${Q165Rules(1).agreeWeight}
+                           ELSE ${Q165Rules(1).disagreeWeight} END)
+                   + (CASE WHEN agree_tag THEN ${Q165Rules(2).agreeWeight}
+                           ELSE ${Q165Rules(2).disagreeWeight} END), 6) AS score
+                   FROM p)
+            SELECT c_custkey, d_key, agree_name, agree_bal, agree_tag, score,
+              CASE WHEN score >= 10.0 THEN 'match'
+                   WHEN score > 0.0 THEN 'possible'
+                   ELSE 'nonmatch' END AS decision
+            FROM sc WHERE score > 0.0
+            ORDER BY c_custkey, d_key"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160, q161, q162, q163, q164)
+      q158, q159, q160, q161, q162, q163, q164, q165)
 }

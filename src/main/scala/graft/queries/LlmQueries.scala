@@ -3495,6 +3495,72 @@ object LlmQueries extends QueryGroup {
                    COUNT(*) AS n_docs
             FROM h GROUP BY 1 ORDER BY host"""))
 
+  val q166 = QueryDef(
+    "q166_registrable_domains",
+    "registrable-domain (eTLD+1) crawl accounting — q132 at the ledger's " +
+      "TRUE key: hosts resolve against the pinned public-suffix snapshot " +
+      "(Psl.Snapshot, longest match; host-is-suffix -> '(none)', unknown " +
+      "TLD -> the PSL default rule) as one narrow codegen'd projection — " +
+      "no UDF, no join, no shuffle before the final count; fixture URLs " +
+      "cover multi-label suffixes, private registries, suffix-only hosts " +
+      "and unknown TLDs",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val m7 = pmod(col("doc_id"), lit(7))
+      val variant = pmod(col("doc_id"), lit(6))
+      val url = when(variant === 0, lit("not a url"))
+        .when(variant === 1, concat(lit("https://a"), m7, lit(".b.example"),
+          pmod(col("doc_id"), lit(13)), lit(".com/x")))
+        .when(variant === 2, concat(lit("http://x"), m7, lit(".blog"),
+          pmod(col("doc_id"), lit(11)), lit(".co.uk/")))
+        .when(variant === 3 && m7 === 0, lit("https://github.io/"))
+        .when(variant === 3, concat(lit("https://user"), m7, lit(".github.io/repo")))
+        .when(variant === 4, concat(lit("https://deep.a.site"),
+          pmod(col("doc_id"), lit(13)), lit(".com.au?q=1")))
+        .otherwise(concat(lit("https://host"), m7, lit(".internal/")))
+      val host = graft.functions.TextOps.urlHost(url)
+      val rd = graft.functions.Psl.registrableDomain(host)
+      d.select(
+          when(host.isNull, lit("(invalid)"))
+            .otherwise(coalesce(rd, lit("(none)"))).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    },
+    Some(s"""WITH u AS (SELECT CASE
+                  WHEN doc_id % 6 = 0 THEN 'not a url'
+                  WHEN doc_id % 6 = 1 THEN 'https://a' || (doc_id % 7) ||
+                    '.b.example' || (doc_id % 13) || '.com/x'
+                  WHEN doc_id % 6 = 2 THEN 'http://x' || (doc_id % 7) ||
+                    '.blog' || (doc_id % 11) || '.co.uk/'
+                  WHEN doc_id % 6 = 3 AND doc_id % 7 = 0 THEN 'https://github.io/'
+                  WHEN doc_id % 6 = 3 THEN 'https://user' || (doc_id % 7) ||
+                    '.github.io/repo'
+                  WHEN doc_id % 6 = 4 THEN 'https://deep.a.site' ||
+                    (doc_id % 13) || '.com.au?q=1'
+                  ELSE 'https://host' || (doc_id % 7) || '.internal/'
+                  END AS url
+                FROM documents),
+            h AS (SELECT CASE WHEN h0 = '' THEN NULL ELSE lower(h0) END AS h
+                  FROM (SELECT regexp_extract(url,
+                    '^(?i)(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS h0
+                    FROM u)),
+            x AS (SELECT h, string_split(h, '.') AS ls, len(string_split(h, '.')) AS n
+                  FROM h),
+            b AS (SELECT h, ls, n,
+                    list_min(list_filter(range(1, n + 1), i ->
+                      list_contains(${graft.functions.Psl.snapshotSqlList},
+                        array_to_string(list_slice(ls, i, n), '.')))) AS best
+                  FROM x),
+            rd AS (SELECT CASE WHEN h IS NULL THEN '(invalid)'
+                     WHEN best = 1 THEN '(none)'
+                     WHEN best IS NOT NULL
+                       THEN array_to_string(list_slice(ls, best - 1, n), '.')
+                     WHEN n >= 2 THEN array_to_string(list_slice(ls, n - 1, n), '.')
+                     ELSE '(none)' END AS domain
+                   FROM b)
+            SELECT domain, COUNT(*) AS n_docs
+            FROM rd GROUP BY domain ORDER BY domain"""))
+
   val q133 = QueryDef(
     "q133_sentence_stats",
     "sentence segmentation quality signals: TextOps.sentences (RE2 " +
@@ -3917,5 +3983,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147)
+      q143, q144, q145, q146, q147, q166)
 }

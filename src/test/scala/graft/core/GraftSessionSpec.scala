@@ -5,30 +5,15 @@ import graft.SparkSpecBase
 /** The cluster profile's contract: correctness-visible configuration is
   * IDENTICAL to the local profile (a plan validated by the oracle gate
   * behaves the same on a 1000-executor cluster), and the sizing knobs
-  * scale with the cluster, not the box. */
+  * scale with the cluster, not the box. Asserted on the PURE config maps
+  * ([[GraftSession.localConf]]/[[GraftSession.clusterConf]]) — no
+  * Builder-internals reflection — plus one applied-builder smoke so the
+  * maps and the apply path cannot drift apart. */
 class GraftSessionSpec extends SparkSpecBase {
 
-  private def confOf(b: org.apache.spark.sql.SparkSession.Builder): Map[String, String] = {
-    // Builder keeps its options map private and getOrCreate would apply
-    // them onto the LIVE shared test session — read the map reflectively
-    // instead (test-only; the spec owns the breakage risk if the field
-    // moves in a Spark upgrade).
-    val f = (b.getClass.getSuperclass.getDeclaredFields.toSeq ++
-        b.getClass.getDeclaredFields.toSeq)
-      .find(_.getName.endsWith("options"))
-      .getOrElse(fail(
-        "SparkSession.Builder no longer has an 'options'-suffixed field — " +
-          "a Spark upgrade moved it; rewrite confOf to capture configs " +
-          "another way (e.g. apply the builder to a fresh SparkConf)"))
-    f.setAccessible(true)
-    f.get(b).asInstanceOf[scala.collection.mutable.Map[String, String]].toMap
-  }
-
   test("cluster profile: correctness configs identical to local, sizing scaled") {
-    val local = confOf(GraftSession.configure(
-      org.apache.spark.sql.SparkSession.builder(), 32))
-    val clust = confOf(GraftSession.cluster(
-      org.apache.spark.sql.SparkSession.builder(), 4000))
+    val local = GraftSession.localConf(32)
+    val clust = GraftSession.clusterConf(4000)
 
     // correctness-visible keys must agree exactly
     for (k <- Seq("spark.sql.extensions", "spark.sql.session.timeZone",
@@ -46,5 +31,15 @@ class GraftSessionSpec extends SparkSpecBase {
     assert(clust("spark.sql.adaptive.advisoryPartitionSizeInBytes") ===
       (128L * 1024 * 1024).toString)
     assert(clust("spark.sql.files.maxPartitionBytes") === (256L * 1024 * 1024).toString)
+  }
+
+  test("the live test session carries the applied local profile") {
+    // the maps are the spec surface; this pins that configure() actually
+    // applied them to the session every suite runs on (keys whose values
+    // the harness overrides per-box are skipped: shuffle partitions)
+    for (k <- Seq("spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.adaptive.enabled"))
+      assert(spark.conf.getOption(k) === GraftSession.localConf(32).get(k),
+        s"$k not applied to the live session")
   }
 }

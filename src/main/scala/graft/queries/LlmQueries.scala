@@ -3517,6 +3517,16 @@ object LlmQueries extends QueryGroup {
         .when(variant === 3, concat(lit("https://user"), m7, lit(".github.io/repo")))
         .when(variant === 4, concat(lit("https://deep.a.site"),
           pmod(col("doc_id"), lit(13)), lit(".com.au?q=1")))
+        // variant 5 exercises the full PSL rule grammar: wildcard
+        // (*.ck -> any label.ck is a registry), the exception carved
+        // out of it (!www.ck is registrable), a host that IS a
+        // wildcard public suffix, and the default rule for unknown TLDs
+        .when(variant === 5 && m7 === 1, concat(lit("https://shop"),
+          pmod(col("doc_id"), lit(11)), lit(".foo.ck/")))
+        .when(variant === 5 && m7 === 2, lit("https://www.ck/"))
+        .when(variant === 5 && m7 === 3, lit("https://sub.www.ck/x"))
+        .when(variant === 5 && m7 === 4, concat(lit("https://zone"),
+          pmod(col("doc_id"), lit(11)), lit(".ck/")))
         .otherwise(concat(lit("https://host"), m7, lit(".internal/")))
       val host = graft.functions.TextOps.urlHost(url)
       val rd = graft.functions.Psl.registrableDomain(host)
@@ -3537,6 +3547,12 @@ object LlmQueries extends QueryGroup {
                     '.github.io/repo'
                   WHEN doc_id % 6 = 4 THEN 'https://deep.a.site' ||
                     (doc_id % 13) || '.com.au?q=1'
+                  WHEN doc_id % 6 = 5 AND doc_id % 7 = 1
+                    THEN 'https://shop' || (doc_id % 11) || '.foo.ck/'
+                  WHEN doc_id % 6 = 5 AND doc_id % 7 = 2 THEN 'https://www.ck/'
+                  WHEN doc_id % 6 = 5 AND doc_id % 7 = 3 THEN 'https://sub.www.ck/x'
+                  WHEN doc_id % 6 = 5 AND doc_id % 7 = 4
+                    THEN 'https://zone' || (doc_id % 11) || '.ck/'
                   ELSE 'https://host' || (doc_id % 7) || '.internal/'
                   END AS url
                 FROM documents),
@@ -3548,13 +3564,21 @@ object LlmQueries extends QueryGroup {
                   FROM h),
             b AS (SELECT h, ls, n,
                     list_min(list_filter(range(1, n + 1), i ->
+                      list_contains(${graft.functions.Psl.exceptionSqlList},
+                        array_to_string(list_slice(ls, i, n), '.')))) AS excbest,
+                    list_min(list_filter(range(1, n + 1), i ->
                       list_contains(${graft.functions.Psl.snapshotSqlList},
-                        array_to_string(list_slice(ls, i, n), '.')))) AS best
+                        array_to_string(list_slice(ls, i, n), '.')))) AS pbest,
+                    list_min(list_filter(range(1, n), i ->
+                      list_contains(${graft.functions.Psl.wildcardTailSqlList},
+                        array_to_string(list_slice(ls, i + 1, n), '.')))) AS wbest
                   FROM x),
             rd AS (SELECT CASE WHEN h IS NULL THEN '(invalid)'
-                     WHEN best = 1 THEN '(none)'
-                     WHEN best IS NOT NULL
-                       THEN array_to_string(list_slice(ls, best - 1, n), '.')
+                     WHEN excbest IS NOT NULL
+                       THEN array_to_string(list_slice(ls, excbest, n), '.')
+                     WHEN LEAST(pbest, wbest) = 1 THEN '(none)'
+                     WHEN LEAST(pbest, wbest) IS NOT NULL
+                       THEN array_to_string(list_slice(ls, LEAST(pbest, wbest) - 1, n), '.')
                      WHEN n >= 2 THEN array_to_string(list_slice(ls, n - 1, n), '.')
                      ELSE '(none)' END AS domain
                    FROM b)

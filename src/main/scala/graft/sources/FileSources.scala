@@ -99,4 +99,26 @@ object FileSources {
   def textLinesStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.text(path)
       .withColumn("src_file", org.apache.spark.sql.functions.input_file_name())
+
+  /** ORC readers — the OTHER columnar interchange format a warehouse
+    * hands a pipeline (Hive-era lakes land ORC the way modern ones land
+    * parquet). Spark's native vectorized ORC reader gives the same
+    * pushdown/pruning contract as parquet (predicate pushdown including
+    * bloom/min-max skipping, column projection to the scan — the q01
+    * PushedFilters discipline applies verbatim; FileSourcesSpec asserts
+    * the round trip and the pushed scan shape). Schema stays explicit
+    * for the same single-pass reasons as CSV/JSON — ORC carries its own
+    * schema, so here the parameter is a CONTRACT CHECK rather than an
+    * inference dodge: INCOMPATIBLE landing schemas fail loud at read,
+    * while compatible mismatches up-cast per Spark's ORC conversion
+    * (a long read as string renders — spec'd, so the semantics are a
+    * documented choice, not a surprise); pass `schema = null` to trust
+    * the files. */
+  def orc(spark: SparkSession, path: String, schema: StructType = null): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).orc(path)
+  }
+
+  def orcStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).orc(path)
 }

@@ -32,6 +32,18 @@ class PslSpec extends SparkSpecBase {
     assert(rd(Seq("co.uk", "github.io", "com")) === Seq(None, None, None))
   }
 
+  test("wildcard rules: *.ck makes every label.ck a registry; !www.ck carves the exception") {
+    assert(rd(Seq(
+      "shop.foo.ck",     // *.ck matches foo.ck -> registrable shop.foo.ck
+      "a.b.shop.foo.ck", // same winning rule, deeper host
+      "foo.ck",          // host IS a wildcard public suffix -> none
+      "www.ck",          // exception: www.ck is registrable itself
+      "sub.www.ck",      // exception matches mid-host -> www.ck
+      "ck"               // bare zone: no rule consumes it -> default, single label -> none
+    )) === Seq(Some("shop.foo.ck"), Some("shop.foo.ck"), None,
+      Some("www.ck"), Some("www.ck"), None))
+  }
+
   test("unknown TLD: the PSL default rule takes the last two labels; single label none") {
     assert(rd(Seq("a.b.host.internal", "host.internal", "localhost")) ===
       Seq(Some("host.internal"), Some("host.internal"), None))
@@ -45,12 +57,15 @@ class PslSpec extends SparkSpecBase {
     assert(out.head.isNullAt(0))
   }
 
-  test("the SQL literal renders every pinned suffix verbatim") {
-    // the oracle matches against the interpolated literal — a quoting
-    // bug would silently diverge the engines
-    val lit = Psl.snapshotSqlList
-    assert(lit.startsWith("[") && lit.endsWith("]"))
-    Psl.Snapshot.foreach(sfx => assert(lit.contains(s"'$sfx'"), sfx))
+  test("the SQL literals partition and render every pinned rule verbatim") {
+    // the oracle matches against the interpolated literals — a quoting
+    // or partitioning bug would silently diverge the engines
+    val (plain, wild, exc) = Psl.partitionRules(Psl.Snapshot)
+    assert(plain.size + wild.size + exc.size === Psl.Snapshot.size)
+    plain.foreach(s => assert(Psl.snapshotSqlList.contains(s"'$s'"), s))
+    wild.foreach(s => assert(Psl.wildcardTailSqlList.contains(s"'$s'"), s))
+    exc.foreach(s => assert(Psl.exceptionSqlList.contains(s"'$s'"), s))
+    assert(wild === Seq("ck") && exc === Seq("www.ck"), "rule-syntax prefixes stripped")
     assert(Psl.Snapshot.distinct.size === Psl.Snapshot.size, "duplicate suffixes")
     assert(Psl.Snapshot.forall(s => !s.contains("'")), "quote-unsafe suffix")
   }

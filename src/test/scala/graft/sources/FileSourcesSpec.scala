@@ -120,4 +120,45 @@ class FileSourcesSpec extends SparkSpecBase {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("ORC round-trip: fixture table -> orc -> back, schema-exact; filters push to the scan") {
+    val customer = Tables.load(spark, sfDir, "customer").orderBy("c_custkey")
+    val dir = tmpDir("orc")
+    customer.write.mode("overwrite").orc(dir)
+    val back = FileSources.orc(spark, dir, customer.schema).orderBy("c_custkey")
+    assert(back.schema === customer.schema)
+    assert(back.collect().toSeq === customer.collect().toSeq)
+    // the parquet pushdown discipline applies verbatim to the native ORC
+    // reader: the predicate must reach the scan, not a post-scan Filter
+    val plan = FileSources.orc(spark, dir, customer.schema)
+      .where(col("c_custkey") === 7L).select("c_name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]"),
+      s"predicate did not push to the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"column pruning did not reach the ORC scan:\n$plan")
+    // schema-as-contract: Spark's ORC reader UP-CASTS compatible
+    // mismatches (long column read as string yields the rendered value
+    // — document, don't fight) and fails loud on incompatible ones
+    val coerced = FileSources.orc(spark, dir, new StructType().add("c_custkey", StringType))
+      .orderBy(col("c_custkey").cast("long")).limit(1).collect()
+    assert(coerced.head.getString(0) === "0", "compatible mismatch up-casts")
+    intercept[Exception] {
+      FileSources.orc(spark, dir,
+        new StructType().add("c_custkey", "array<long>")).collect()
+    }
+  }
+
+  test("streaming ORC source delivers the same rows (AvailableNow parity)") {
+    val region = Tables.load(spark, sfDir, "region")
+    val dir = tmpDir("orcs")
+    region.write.mode("overwrite").orc(dir)
+    val q = FileSources.orcStream(spark, dir, region.schema)
+      .writeStream.format("memory").queryName("fs_orc_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.table("fs_orc_stream").orderBy("r_regionkey").collect().toSeq ===
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
 }

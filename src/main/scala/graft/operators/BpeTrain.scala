@@ -274,8 +274,21 @@ object BpeTrain {
     * Zipf head repopulates in microseconds). */
   private object EncodeCache {
     final val MaxEntries = 1 << 16
-    val tl: ThreadLocal[java.util.HashMap[(Int, String), Seq[String]]] =
-      ThreadLocal.withInitial(() => new java.util.HashMap[(Int, String), Seq[String]]())
+    val tl: ThreadLocal[java.util.HashMap[(Long, String), Seq[String]]] =
+      ThreadLocal.withInitial(() => new java.util.HashMap[(Long, String), Seq[String]]())
+  }
+
+  /** 64-bit content fingerprint of a merge table for the cache key —
+    * two independent 32-bit MurmurHash3 passes over an unambiguous
+    * flattening (NUL/SOH separators can't appear in trained symbols).
+    * A bare `Seq.hashCode` is 32 bits: two distinct tables colliding at
+    * ~2⁻³² would silently serve one table's segmentations to the other;
+    * at 64 bits the class is gone for any real session. */
+  private def tableFingerprint(merges: Seq[(String, String)]): Long = {
+    val flat = merges.map { case (l, r) => l + "\u0000" + r }.mkString("\u0001")
+    val a = scala.util.hashing.MurmurHash3.stringHash(flat, 0x9747b28c)
+    val b = scala.util.hashing.MurmurHash3.stringHash(flat, 0x85ebca6b)
+    (a.toLong << 32) | (b.toLong & 0xffffffffL)
   }
 
   /** text → BPE token array under a trained merge table: pre-tokenize
@@ -288,10 +301,10 @@ object BpeTrain {
     * centroids, broadcast once per stage. */
   def encodeUdf(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val pattern = TextOps.BpeTokenPattern.r
-    // content hash computed once, driver-side: the cache key must be
-    // stable across the per-task closure deserializations that each get
-    // their own Seq instance
-    val tableHash = merges.hashCode()
+    // content fingerprint computed once, driver-side: the cache key must
+    // be stable across the per-task closure deserializations that each
+    // get their own Seq instance
+    val tableHash = tableFingerprint(merges)
     udf { (text: String) =>
       if (text == null) null
       // Locale.ROOT: default-locale toLowerCase is box-dependent (the

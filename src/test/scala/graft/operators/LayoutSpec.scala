@@ -109,6 +109,11 @@ class LayoutSpec extends SparkSpecBase {
       .toDF("f", "lo", "hi")
     val r = Layout.clusteringHealth(withNull, "f", "lo", "hi").collect().head
     assert(r.getLong(0) === 3L && r.getLong(1) === 1L)
+    // degenerate: every row stat-less -> empty sweep, zero pairs, well-clustered
+    val allNull = Seq(("a", Option.empty[Long], Option.empty[Long]),
+      ("b", Option.empty[Long], Option.empty[Long])).toDF("f", "lo", "hi")
+    val rn = Layout.clusteringHealth(allNull, "f", "lo", "hi").collect().head
+    assert(rn.getLong(0) === 2L && rn.getLong(1) === 0L && rn.getBoolean(3))
     val bad = Seq(("a", 10L, 0L), ("b", 0L, 5L)).toDF("f", "lo", "hi")
     val ex = intercept[Exception] {
       Layout.clusteringHealth(bad, "f", "lo", "hi").collect()

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk profiling — the governance tier of the PII
+  * family ([[graft.functions.Clean]] REDACTS direct identifiers; these
+  * operators MEASURE the quasi-identifier risk that survives
+  * redaction): k-anonymity (Sweeney 2002 — a row is k-anonymous when at
+  * least k rows share its quasi-identifier combination) and l-diversity
+  * (Machanavelli et al. 2007 — an equivalence class is l-diverse when
+  * it contains at least l distinct sensitive values, closing
+  * k-anonymity's homogeneity attack). A training-data release gate
+  * reads these profiles the way a quality gate reads the Gopher stats.
+  *
+  * Scale shape: everything is one-or-two grouped aggregations with
+  * map-side combining — the QI groupBy is the only corpus-scale
+  * shuffle; class sizes and the histograms over them are ≤ corpus and
+  * typically tiny. No windows (the cumulative view a dashboard wants is
+  * the caller's trivial post-step over a model-sized histogram), no
+  * driver state, everything SQL-replayable (q167/q168).
+  */
+object Privacy {
+
+  /** Equivalence-class size histogram over the quasi-identifier columns:
+    * (class_size, n_classes, n_rows, row_share ∈ [0,1], 6 decimals),
+    * ordered by class_size. `class_size = 1` rows are fully re-
+    * identifiable by the QI combination; the k-anonymity of the release
+    * is the histogram's smallest class_size. Rows with NULL QI values
+    * form their own classes (NULL is a value to a linkage attacker). */
+  def kAnonymityProfile(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityProfile: at least one QI column")
+    val classes = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("class_size"))
+    val hist = classes.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+    val total = hist.agg(sum(col("n_rows")).as("__total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        round(col("n_rows") / col("__total"), 6).as("row_share"))
+      .orderBy("class_size")
+  }
+
+  /** One-row release verdict at threshold `k`: rows in classes smaller
+    * than k, their share, and whether the release is k-anonymous. */
+  def kAnonymityRisk(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(k >= 1, s"kAnonymityRisk: k $k must be >= 1")
+    val classes = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("class_size"))
+    classes.agg(
+        coalesce(sum(when(col("class_size") < k, col("class_size"))), lit(0L))
+          .as("rows_at_risk"),
+        sum(col("class_size")).as("__total"),
+        coalesce(min(col("class_size")), lit(0L)).as("k_anonymity"))
+      .select(col("rows_at_risk"),
+        round(col("rows_at_risk") / col("__total"), 6).as("risk_share"),
+        col("k_anonymity"),
+        (col("k_anonymity") >= k).as(s"is_${k}_anonymous"))
+  }
+
+  /** Distinct-sensitive-value (l-diversity) histogram per QI class:
+    * (l, n_classes), ordered — the release's l-diversity is the
+    * smallest l. A class of 1000 rows that all share one diagnosis is
+    * 1000-anonymous and 1-diverse; this histogram is what catches it.
+    * NULL sensitive values count as a value (same attacker model as
+    * [[kAnonymityProfile]]); exact distinct per class — two grouped
+    * aggregations, no expensive per-class state. */
+  def lDiversityProfile(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversityProfile: at least one QI column")
+    require(!qiCols.contains(sensitiveCol),
+      s"lDiversityProfile: sensitive column $sensitiveCol must not be a QI " +
+        "(each class would be trivially 1-diverse)")
+    val distincts = df
+      .select(qiCols.map(col) :+ col(sensitiveCol).as("__s"): _*)
+      .distinct()
+      .groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("l"))
+    distincts.groupBy("l").agg(count(lit(1)).as("n_classes")).orderBy("l")
+  }
+}

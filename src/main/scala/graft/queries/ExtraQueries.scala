@@ -1424,8 +1424,58 @@ object ExtraQueries extends QueryGroup {
             FROM sc WHERE score > 0.0
             ORDER BY c_custkey, d_key"""))
 
+  val q167 = QueryDef(
+    "q167_k_anonymity_profile",
+    "k-anonymity equivalence-class profile (Sweeney 2002) — the " +
+      "re-identification-risk histogram a release gate reads AFTER PII " +
+      "redaction: customers grouped by the quasi-identifier combination " +
+      "(nation, segment, acctbal-thousand-bucket), class sizes " +
+      "histogrammed with row shares; the release's k-anonymity is the " +
+      "smallest class size. Two grouped aggregations, map-side combined",
+    (s, dir) =>
+      graft.operators.Privacy.kAnonymityProfile(
+        t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("bal_k")),
+        Seq("c_nationkey", "c_mktsegment", "bal_k")),
+    Some("""WITH q AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_k
+                FROM customer),
+            cl AS (SELECT COUNT(*) AS class_size FROM q GROUP BY c_nationkey,
+                   c_mktsegment, bal_k),
+            h AS (SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+                    CAST(SUM(class_size) AS BIGINT) AS n_rows
+                  FROM cl GROUP BY class_size),
+            tot AS (SELECT SUM(n_rows) AS total FROM h)
+            SELECT class_size, n_classes, n_rows,
+              ROUND(n_rows * 1.0 / total, 6) AS row_share
+            FROM h CROSS JOIN tot ORDER BY class_size"""))
+
+  val q168 = QueryDef(
+    "q168_l_diversity_profile",
+    "l-diversity histogram (Machanavelli 2007) — k-anonymity's " +
+      "homogeneity-attack closure: per (nation, acctbal-thousand-bucket) " +
+      "class, the count of DISTINCT market segments; a large class with " +
+      "one segment is many-anonymous but 1-diverse, and this histogram " +
+      "is what catches it. Distinct-then-count: NULL sensitive values " +
+      "count as a value (the attacker's view)",
+    (s, dir) =>
+      graft.operators.Privacy.lDiversityProfile(
+        t(s, dir, "customer").select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("bal_k"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_k"), "c_mktsegment"),
+    Some("""WITH q AS (SELECT c_nationkey,
+                  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_k,
+                  c_mktsegment
+                FROM customer),
+            d AS (SELECT DISTINCT c_nationkey, bal_k, c_mktsegment FROM q),
+            cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS l FROM d
+                   GROUP BY c_nationkey, bal_k)
+            SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes
+            FROM cl GROUP BY l ORDER BY l"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160, q161, q162, q163, q164, q165)
+      q158, q159, q160, q161, q162, q163, q164, q165, q167, q168)
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** [[Privacy]] — the k-anonymity / l-diversity decision rules on hand
+  * fixtures: class-size accounting, the smallest-class verdict, the
+  * homogeneity case l-diversity exists to catch, NULL-as-a-value. */
+class PrivacySpec extends SparkSpecBase {
+
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    // classes by (zip, age): (10, 30) x3 rows; (10, 40) x2; (20, 30) x1
+    Seq((10, 30, "flu"), (10, 30, "flu"), (10, 30, "cold"),
+        (10, 40, "flu"), (10, 40, "cough"),
+        (20, 30, "flu"))
+      .toDF("zip", "age", "dx")
+  }
+
+  test("kAnonymityProfile: class-size histogram with row shares") {
+    val out = Privacy.kAnonymityProfile(fixture, Seq("zip", "age"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 1L, 1L, 0.166667), (2L, 1L, 2L, 0.333333),
+      (3L, 1L, 3L, 0.5)))
+  }
+
+  test("kAnonymityRisk: verdict at k; the singleton is the at-risk row") {
+    val r = Privacy.kAnonymityRisk(fixture, Seq("zip", "age"), k = 2L).collect().head
+    assert(r.getLong(0) === 1L)              // rows_at_risk: the (20,30) singleton
+    assert(r.getDouble(1) === 0.166667)
+    assert(r.getLong(2) === 1L)              // k_anonymity = smallest class
+    assert(!r.getBoolean(3))
+    val ok = Privacy.kAnonymityRisk(
+      fixture.where(col("zip") === 10), Seq("zip", "age"), k = 2L).collect().head
+    assert(ok.getBoolean(3), "without the singleton the release is 2-anonymous")
+  }
+
+  test("lDiversityProfile: the homogeneity case — big class, one sensitive value") {
+    val s = spark
+    import s.implicits._
+    // class A: 4 rows, all 'flu' (1-diverse); class B: 2 rows, 2 values
+    val df = Seq(("a", "flu"), ("a", "flu"), ("a", "flu"), ("a", "flu"),
+      ("b", "flu"), ("b", "cold")).toDF("zip", "dx")
+    val out = Privacy.lDiversityProfile(df, Seq("zip"), "dx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("NULLs are values on both sides: QI nulls form a class, sensitive nulls count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1), Some("x")), (None, Some("x")), (None, None))
+      .toDF("zip", "dx")
+    val prof = Privacy.kAnonymityProfile(df, Seq("zip")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prof === Map(1L -> 1L, 2L -> 1L), "the two NULL-zip rows are one class")
+    val ld = Privacy.lDiversityProfile(df, Seq("zip"), "dx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ld === Map(1L -> 1L, 2L -> 1L), "NULL dx is a distinct sensitive value")
+  }
+
+  test("validation: sensitive column must not be a QI") {
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityProfile(fixture, Seq("zip", "dx"), "dx")
+    }
+  }
+}

@@ -1474,8 +1474,71 @@ object ExtraQueries extends QueryGroup {
             SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes
             FROM cl GROUP BY l ORDER BY l"""))
 
+  /** q169's grafted boilerplate tail — long enough to contain several
+    * expected CDC cut points (divisor 64 ⇒ ~3 cuts), apostrophe-free
+    * for the SQL literal. */
+  private val Q169Boiler =
+    " generated by the shared test corpus footer block carrying the " +
+      "provenance and licensing notice that repeats across documents " +
+      "until the content anchored boundaries line up again and the " +
+      "tail chunks become identical across every carrier document"
+
+  val q169 = QueryDef(
+    "q169_cdc_duplicate_chunks",
+    "content-defined chunking dedup (Rabin rolling-window boundaries, " +
+      "LBFS SOSP 2001): every 4th doc carries a grafted boilerplate " +
+      "tail; CDC boundaries re-anchor on content, so the tail chunks " +
+      "are IDENTICAL across carriers regardless of each doc's own " +
+      "length — the duplicate-chunk ledger surfaces them at a RELATIVE " +
+      "corpus-share threshold; boundaries, chunk hashes and the " +
+      "accounting replay verbatim in SQL",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0, lit(Q169Boiler))
+              .otherwise(lit(""))).as("text"))
+      val ct = graft.operators.Cdc.chunks(d, divisor = 64L)
+      val total = d.where(col("text").isNotNull && length(col("text")) >= 1)
+        .agg(count(lit(1)).as("__n_docs_total"))
+      graft.operators.Cdc.duplicateChunks(ct, total, minDocShare = 0.05)
+        .orderBy("chunk_hash")
+    },
+    Some(s"""WITH g AS (SELECT doc_id, text ||
+                  CASE WHEN doc_id % 4 = 0 THEN '$Q169Boiler' ELSE '' END AS t
+                FROM documents),
+            x AS (SELECT doc_id,
+                    list_transform(string_split(t, ''),
+                      c -> CAST(ascii(c) AS BIGINT)) AS codes
+                  FROM g),
+            y AS (SELECT doc_id, codes, len(codes) AS n FROM x
+                  WHERE len(codes) >= 1),
+            b AS (SELECT doc_id, codes, n,
+                    list_concat(list_concat([CAST(0 AS BIGINT)],
+                      [CAST(i AS BIGINT) for i in range(16, n)
+                       if list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_slice(codes, i - 15, i)),
+                            (a, v) -> (a * 31 + v) % 1000000007) % 64 = 0]),
+                      [CAST(n AS BIGINT)]) AS bounds
+                  FROM y),
+            c AS (SELECT doc_id,
+                    bounds[j + 1] - bounds[j] AS chunk_len,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_slice(codes, bounds[j] + 1, bounds[j + 1])),
+                      (a, v) -> (a * 31 + v) % 1000000007) AS chunk_hash
+                  FROM b, UNNEST(range(1, len(bounds))) AS u(j)),
+            agg AS (SELECT chunk_hash, CAST(MIN(chunk_len) AS BIGINT) AS chunk_len,
+                      CAST(COUNT(*) AS BIGINT) AS n_copies,
+                      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                    FROM c GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS total FROM y)
+            SELECT chunk_hash, chunk_len, n_copies, n_docs
+            FROM agg CROSS JOIN tot
+            WHERE n_docs >= total * 0.05
+            ORDER BY chunk_hash"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160, q161, q162, q163, q164, q165, q167, q168)
+      q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169)
 }

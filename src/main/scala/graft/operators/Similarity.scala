@@ -892,6 +892,66 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"), col("cent_sim"), col("export_pos"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    * CCMatrix/WikiMatrix miner): a candidate pair (x, y) scores by its
+    * cosine RELATIVE to each side's neighborhood density,
+    *   margin(x,y) = cos(x,y) / ((avgNNk(x) + avgNNk(y)) / 2),
+    * which cancels the hubness that makes raw-cosine thresholds
+    * incomparable across regions of embedding space. Pairs are kept when
+    * they are MUTUAL best matches under the margin and clear
+    * `minMargin` — the published mining criterion.
+    *
+    * Determinism: cosines round to `roundTo` before anything consumes
+    * them; each side's k-NN denominator is an EXACT decimal sum of
+    * those rounded values (no float-summation-order dependence); the
+    * final margin is one double division of exact operands, rounded —
+    * the whole pipeline replays in SQL (q170).
+    *
+    * Scale shape: this entry point is the BRUTE-FORCE mining geometry
+    * (broadcast probes × streamed corpus, the q36/q50 documented
+    * class) — right for eval sets and fixture gates; production mining
+    * swaps the two k-NN calls for [[topKIvf]] over a trained quantizer
+    * (the q50 path) and keeps everything downstream of the neighbor
+    * frames unchanged. Output: (src_id, tgt_id, cos, margin), mutual
+    * best only, margin ≥ minMargin. */
+  def marginBitextPairs(
+      src: DataFrame,
+      tgt: DataFrame,
+      k: Int,
+      minMargin: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    require(k >= 1, s"marginBitextPairs: k $k must be >= 1")
+    require(minMargin > 0, s"marginBitextPairs: minMargin $minMargin must be > 0")
+    import org.apache.spark.sql.types.DecimalType
+    val fwd = topKBruteForce(tgt, src, k, idCol, vecCol, roundTo)
+    val bwd = topKBruteForce(src, tgt, k, idCol, vecCol, roundTo)
+    val simD = col("sim").cast(DecimalType(20, roundTo))
+    // exact decimal neighborhood sums; count rides along because a side
+    // with fewer than k neighbors (tiny corpora) must average over what
+    // it has, not k
+    val dx = fwd.groupBy(col("pid").as("sid"))
+      .agg(sum(simD).as("sx"), count(lit(1)).as("nx"))
+    val dy = bwd.groupBy(col("pid").as("tid"))
+      .agg(sum(simD).as("sy"), count(lit(1)).as("ny"))
+    val scored = fwd.select(col("pid").as("sid"), col("nid").as("tid"), col("sim"))
+      .join(dx, "sid").join(dy, "tid")
+      .withColumn("margin", round(
+        col("sim") / ((col("sx").cast("double") / col("nx") +
+          col("sy").cast("double") / col("ny")) / 2), roundTo))
+    val bestFwd = graft.plans.TopK.perKey(
+      scored, Seq(col("sid")), Seq(col("margin").desc, col("tid")), 1)
+    val bestBwd = graft.plans.TopK.perKey(
+      scored, Seq(col("tid")), Seq(col("margin").desc, col("sid")), 1)
+    bestFwd.select(col("sid"), col("tid"), col("sim"), col("margin"))
+      .join(bestBwd.select(col("sid"), col("tid")), Seq("sid", "tid"))
+      .where(col("margin") >= minMargin)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        col("sim").as("cos"), col("margin"))
+  }
+
   def semanticDedup(
       vectors: DataFrame,
       nCentroids: Int,

@@ -3585,6 +3585,62 @@ object LlmQueries extends QueryGroup {
             SELECT domain, COUNT(*) AS n_docs
             FROM rd GROUP BY domain ORDER BY domain"""))
 
+  val q170 = QueryDef(
+    "q170_bitext_margin_mining",
+    "margin-based bitext mining (Artetxe & Schwenk 2019 — the CCMatrix " +
+      "miner): even vec_ids as the source language pool, odd as target; " +
+      "cosine relative to both sides' k-NN neighborhood density " +
+      "(ratio margin), MUTUAL best matches above the mining threshold — " +
+      "hubness-robust parallel-pair extraction; exact-decimal " +
+      "denominators make the whole pipeline hash-replayable",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      graft.operators.Similarity.marginBitextPairs(
+          src = v.filter(col("vec_id") % 2 === 0),
+          tgt = v.filter(col("vec_id") % 2 =!= 0),
+          k = 4, minMargin = 1.02)
+        .orderBy("src_id", "tgt_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings
+                  WHERE NOT isnan(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[])))
+                    AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) > 0),
+            s AS (SELECT vec_id AS sid, e FROM v WHERE vec_id % 2 = 0),
+            tt AS (SELECT vec_id AS tid, e FROM v WHERE vec_id % 2 <> 0),
+            fa AS (SELECT sid, tid,
+                     ROUND(list_cosine_similarity(s.e, tt.e), 4) AS sim
+                   FROM s CROSS JOIN tt),
+            fwd AS (SELECT sid, tid, sim FROM (
+                      SELECT sid, tid, sim, ROW_NUMBER() OVER (
+                        PARTITION BY sid ORDER BY sim DESC, tid) AS rk FROM fa)
+                    WHERE rk <= 4),
+            bwd AS (SELECT sid, tid, sim FROM (
+                      SELECT sid, tid, sim, ROW_NUMBER() OVER (
+                        PARTITION BY tid ORDER BY sim DESC, sid) AS rk FROM fa)
+                    WHERE rk <= 4),
+            dx AS (SELECT sid, SUM(CAST(sim AS DECIMAL(20,4))) AS sx,
+                     COUNT(*) AS nx FROM fwd GROUP BY sid),
+            dy AS (SELECT tid, SUM(CAST(sim AS DECIMAL(20,4))) AS sy,
+                     COUNT(*) AS ny FROM bwd GROUP BY tid),
+            sc AS (SELECT f.sid, f.tid, f.sim,
+                     ROUND(f.sim / ((CAST(dx.sx AS DOUBLE) / dx.nx +
+                       CAST(dy.sy AS DOUBLE) / dy.ny) / 2), 4) AS margin
+                   FROM fwd f JOIN dx USING (sid) JOIN dy USING (tid)),
+            bf AS (SELECT sid, tid, sim, margin FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY sid ORDER BY margin DESC, tid) AS rk FROM sc)
+                   WHERE rk = 1),
+            bb AS (SELECT sid, tid FROM (
+                     SELECT sid, tid, ROW_NUMBER() OVER (
+                       PARTITION BY tid ORDER BY margin DESC, sid) AS rk FROM sc)
+                   WHERE rk = 1)
+            SELECT bf.sid AS src_id, bf.tid AS tgt_id, bf.sim AS cos, bf.margin
+            FROM bf JOIN bb ON bf.sid = bb.sid AND bf.tid = bb.tid
+            WHERE bf.margin >= 1.02
+            ORDER BY src_id, tgt_id"""))
+
   val q133 = QueryDef(
     "q133_sentence_stats",
     "sentence segmentation quality signals: TextOps.sentences (RE2 " +
@@ -4007,5 +4063,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166)
+      q143, q144, q145, q146, q147, q166, q170)
 }

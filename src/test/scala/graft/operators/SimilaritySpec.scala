@@ -437,4 +437,26 @@ class SimilaritySpec extends SparkSpecBase {
       assert(c >= -1.0001 && c <= 1.0001, s"cosine out of range: $c")
     }
   }
+
+  test("marginBitextPairs: mutual best only, threshold bites, short-side denominators") {
+    val s = spark
+    import s.implicits._
+    val src = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Seq(1.0f, 0.05f)),   // s0's clear match; t1's best src is s0
+      (3L, Seq(0.05f, 1.0f)),   // s2's clear match
+      (5L, Seq(0.7f, 0.7f)))    // equidistant hub: never anyone's mutual best
+      .toDF("vec_id", "embedding")
+    // k=5 > |tgt|: denominators must average over the neighbors that
+    // exist, not divide by k
+    val out = Similarity.marginBitextPairs(src, tgt, k = 5, minMargin = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSet === Set((0L, 1L), (2L, 3L)),
+      "exactly the two mutual-best pairs; the hub mines nothing")
+    assert(out.forall(_._3 > 1.0),
+      "a clear match scores above its neighborhood average")
+    val none = Similarity.marginBitextPairs(src, tgt, k = 5, minMargin = 10.0)
+    assert(none.count() === 0L, "an unreachable threshold mines nothing")
+  }
 }

@@ -31,6 +31,11 @@ class PlanLintSpec extends SparkSpecBase {
     // size) attached to the vocabulary frame — same class as q61's total
     "q73_dsir_importance",
     "q36_ann_cosine_topk", "q50_ann_ivf_full_probe",
+    // q170: bitext margin mining's two k-NN calls are q36's documented
+    // broadcast-probe brute force (fixture/eval geometry; production
+    // mining swaps in topKIvf per the operator doc) — the margin /
+    // mutual-best layers are equi-joins and heap top-1
+    "q170_bitext_margin_mining",
     // q72: PQ/ADC — the per-probe distance-table frame (one small row
     // per probe) broadcast against the streamed corpus code list, plus
     // the codebook seed/rerank joins; same bounded-build-side class as
@@ -106,7 +111,13 @@ class PlanLintSpec extends SparkSpecBase {
     "q158_layout_health_compaction",
     // q162: funnelCounts' 1-row top-of-funnel count crossJoined onto the
     // stages-sized count union, once per arm — q127's documented class
-    "q162_funnel_ab_significance")
+    "q162_funnel_ab_significance",
+    // q167: the 1-row corpus-total frame crossJoined onto the
+    // class-size histogram for row shares — q61's one-row class
+    "q167_k_anonymity_profile",
+    // q169: the 1-row doc-count frame crossJoined onto the chunk-hash
+    // aggregate for the relative share threshold — q61's one-row class
+    "q169_cdc_duplicate_chunks")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -70,6 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, "explode_shingles(text, n)")
       ShingleExplode(args.head, litInt(args(1), "n"))
     })
+    reg(ext, "cdc_chunks", classOf[CdcChunksKernel], args => {
+      require(args.length == 2, "cdc_chunks(text, divisor)")
+      CdcChunksKernel(args.head, args(1) match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case other => throw new IllegalArgumentException(
+          s"cdc_chunks divisor must be an integer literal, got $other")
+      })
+    })
     reg(ext, "shingle_hashes", classOf[ShingleHashesKernel], args => {
       require(args.length == 2, "shingle_hashes(text, n)")
       ShingleHashesKernel(args.head, litInt(args(1), "n"))

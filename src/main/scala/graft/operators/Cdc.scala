@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * CdcSpec's shift-resistance property).
   *
   * Portability: the window hash is the engine-portable polynomial char
-  * hash (the [[graft.expressions.AsciiPolyHash]] convention — ascii
-  * codes, base 31, mod 1e9+7), so boundaries, chunk identities and the
-  * whole dedup accounting replay verbatim in SQL (q169). The window sum
-  * is computed per position as a W-term fold — O(W·n) per document as
-  * nested HOFs inside whole-stage codegen, no UDF; W=16 keeps the
-  * constant small and the boundary context real.
+  * hash (the [[graft.expressions.AsciiPolyHash]] convention — code-point
+  * values, base 31, mod 1e9+7), so boundaries, chunk identities and the
+  * whole dedup accounting replay verbatim in SQL (q169). The production
+  * path is the one-pass rolling kernel
+  * ([[graft.expressions.CdcChunks]] — O(n) per document, codegen'd);
+  * the declarative HOF twin stays as its in-repo oracle. W=16 keeps
+  * the boundary context real.
   *
   * Scale shape: chunking is a narrow per-row projection + one explode
   * (output-sized); the dedup accounting is one grouped aggregation on
@@ -41,6 +42,33 @@ object Cdc {
     * chunk's characters. Empty/NULL texts produce no rows (a document
     * with no content has no chunks — absence, not a sentinel). */
   def chunks(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      divisor: Long = 64L): DataFrame = {
+    require(divisor >= 2, s"divisor $divisor must be >= 2 (expected chunk length)")
+    // the one-pass rolling kernel (graft.expressions.CdcChunks): the
+    // declarative HOF form below ([[chunksDeclarative]]) allocates a
+    // W-element sequence per position and was the registry's worst
+    // sf0.1 query at 8 s; the kernel is the same mathematics in O(n)
+    // with zero per-position allocation (8.1 s -> sub-second), spec'd
+    // bit-equal (CdcSpec)
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val kernel = ColumnGlue.column(graft.expressions.CdcChunksKernel(
+      ColumnGlue.expression(col(textCol)), divisor))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(kernel))
+      .select(col(idCol),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.s").as("chunk_start"),
+        col("col.len").as("chunk_len"),
+        col("col.h").as("chunk_hash"))
+  }
+
+  /** The declarative HOF twin of [[chunks]] — kept as the kernel's spec
+    * oracle (CdcSpec asserts bit-equality on randomized texts): same
+    * cut rule, same hashes, O(W·n) per document. */
+  private[graft] def chunksDeclarative(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",

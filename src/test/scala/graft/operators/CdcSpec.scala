@@ -51,6 +51,23 @@ class CdcSpec extends SparkSpecBase {
     }
   }
 
+  test("the rolling kernel is bit-equal to the declarative HOF twin") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0xfa57)
+    val texts = (0L until 30L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(250))(('a' + rnd.nextInt(6)).toChar).mkString)
+    }
+    val df = texts.toDF("doc_id", "text")
+    for (divisor <- Seq(8L, 32L)) {
+      val kern = Cdc.chunks(df, divisor = divisor)
+        .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+      val hof = Cdc.chunksDeclarative(df, divisor = divisor)
+        .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+      assert(kern === hof, s"kernel and HOF diverge at divisor $divisor")
+    }
+  }
+
   test("chunk invariants: contiguous cover, 1-based starts, short texts are one chunk") {
     val got = sparkChunks(Seq((1L, "ab"), (2L, "x" * 200)), divisor = 8L)
     assert(got(1L) === Seq((1L, 1L, 2L, refChunks("ab", 8L).head._4)),

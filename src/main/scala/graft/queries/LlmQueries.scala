@@ -3528,10 +3528,13 @@ object LlmQueries extends QueryGroup {
         .when(variant === 5 && m7 === 4, concat(lit("https://zone"),
           pmod(col("doc_id"), lit(11)), lit(".ck/")))
         .otherwise(concat(lit("https://host"), m7, lit(".internal/")))
-      val host = graft.functions.TextOps.urlHost(url)
-      val rd = graft.functions.Psl.registrableDomain(host)
-      d.select(
-          when(host.isNull, lit("(invalid)"))
+      // host PROJECTED once before the derivation references it: the
+      // when-chain + regex would otherwise re-evaluate per reference
+      // (the Psl lambda-binding note; same lesson as Cdc's __codes)
+      val rd = graft.functions.Psl.registrableDomain(col("host"))
+      d.select(graft.functions.TextOps.urlHost(url).as("host"))
+        .select(
+          when(col("host").isNull, lit("(invalid)"))
             .otherwise(coalesce(rd, lit("(none)"))).as("domain"))
         .groupBy("domain").agg(count(lit(1)).as("n_docs"))
         .orderBy("domain")

@@ -924,10 +924,25 @@ object Similarity {
       vecCol: String = "embedding",
       roundTo: Int = 4): DataFrame = {
     require(k >= 1, s"marginBitextPairs: k $k must be >= 1")
-    require(minMargin > 0, s"marginBitextPairs: minMargin $minMargin must be > 0")
+    marginFromNeighbors(
+      topKBruteForce(tgt, src, k, idCol, vecCol, roundTo),
+      topKBruteForce(src, tgt, k, idCol, vecCol, roundTo),
+      minMargin, roundTo)
+  }
+
+  /** [[marginBitextPairs]] from PRECOMPUTED neighbor frames — the
+    * production entry point: hand it [[topKIvf]] output (or any frame
+    * shaped (pid, nid, sim) with sims already rounded) for each
+    * direction and the margin/mutual-best layers run unchanged. The
+    * brute-force wrapper above is this function over [[topKBruteForce]]
+    * frames. */
+  def marginFromNeighbors(
+      fwd: DataFrame,
+      bwd: DataFrame,
+      minMargin: Double,
+      roundTo: Int = 4): DataFrame = {
+    require(minMargin > 0, s"marginFromNeighbors: minMargin $minMargin must be > 0")
     import org.apache.spark.sql.types.DecimalType
-    val fwd = topKBruteForce(tgt, src, k, idCol, vecCol, roundTo)
-    val bwd = topKBruteForce(src, tgt, k, idCol, vecCol, roundTo)
     val simD = col("sim").cast(DecimalType(20, roundTo))
     // exact decimal neighborhood sums; count rides along because a side
     // with fewer than k neighbors (tiny corpora) must average over what

@@ -141,6 +141,20 @@ object TextOps {
     lower(when(h === "", null).otherwise(h))
   }
 
+  /** URL path for robots-exclusion matching ([[urlHost]]'s companion):
+    * everything from the first `/` after the authority up to (not
+    * including) `?`/`#`; a URL with no path component is "/" (the REP
+    * convention — robots rules match against at least the root). NULL
+    * for non-URLs (same absence contract as urlHost). Path CASE IS
+    * PRESERVED (significant server-side — the canonicalizeUrl rule). */
+  def urlPath(url: Column): Column = {
+    val valid = regexp_extract(url,
+      "^(?i)(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    val p = regexp_extract(url, "^(?i)(?:https?|ftp)://[^/?#]*(/[^?#]*)", 1)
+    when(valid === "", null)
+      .otherwise(when(p === "", "/").otherwise(p))
+  }
+
   /** Sentence segmentation in the RE2 subset (no lookbehind): maximal
     * runs of non-terminators with their trailing `.!?` run attached —
     * `regexp_extract_all(text, '[^.!?]+[.!?]*')`, trimmed, empties

@@ -3644,6 +3644,79 @@ object LlmQueries extends QueryGroup {
             WHERE bf.margin >= 1.02
             ORDER BY src_id, tgt_id"""))
 
+  val q171 = QueryDef(
+    "q171_robots_decisions",
+    "robots-exclusion evaluation (RFC 9309 longest-match): per-URL " +
+      "allow/deny against a 3-host rule table — longest prefix wins, " +
+      "allow beats deny at equal length, no match defaults to allow, " +
+      "non-URLs surface as 'invalid'; rules broadcast, the URL stream " +
+      "passes once, the argmax rides the TopK heap operator",
+    (s, dir) => {
+      val m5 = pmod(col("doc_id"), lit(5))
+      val url = when(m5 === 4, lit("not a url"))
+        .otherwise(concat(lit("https://crawl"), pmod(col("doc_id"), lit(3)),
+          lit(".example.com"),
+          when(m5 === 0, concat(lit("/private/data"), col("doc_id")))
+            .when(m5 === 1, concat(lit("/public/page"), col("doc_id")))
+            .when(m5 === 2, concat(lit("/public/tmp/cache"), col("doc_id")))
+            .otherwise(lit("/"))))
+      val urls = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      import s.implicits._
+      val rules = Seq(
+        (1L, "crawl0.example.com", false, "/private/"),
+        (2L, "crawl0.example.com", true, "/public/"),
+        (3L, "crawl0.example.com", false, "/public/tmp/"),
+        (4L, "crawl1.example.com", false, "/"),
+        (5L, "crawl1.example.com", true, "/public/"),
+        (6L, "crawl2.example.com", true, "/private/"),
+        (7L, "crawl2.example.com", false, "/private/"),
+        (8L, "crawl2.example.com", false, "/public/tmp/"))
+        .toDF("rule_id", "host", "allow", "prefix")
+      graft.operators.Crawl.robotsDecisions(urls, rules)
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN 'not a url'
+                  ELSE 'https://crawl' || (doc_id % 3) || '.example.com' ||
+                    CASE WHEN doc_id % 5 = 0 THEN '/private/data' || doc_id
+                         WHEN doc_id % 5 = 1 THEN '/public/page' || doc_id
+                         WHEN doc_id % 5 = 2 THEN '/public/tmp/cache' || doc_id
+                         ELSE '/' END
+                  END AS url
+                FROM documents),
+            r(rule_id, host, allow, prefix) AS (VALUES
+              (1, 'crawl0.example.com', false, '/private/'),
+              (2, 'crawl0.example.com', true, '/public/'),
+              (3, 'crawl0.example.com', false, '/public/tmp/'),
+              (4, 'crawl1.example.com', false, '/'),
+              (5, 'crawl1.example.com', true, '/public/'),
+              (6, 'crawl2.example.com', true, '/private/'),
+              (7, 'crawl2.example.com', false, '/private/'),
+              (8, 'crawl2.example.com', false, '/public/tmp/')),
+            b AS (SELECT doc_id,
+                    CASE WHEN h0 = '' THEN NULL ELSE lower(h0) END AS host,
+                    CASE WHEN h0 = '' THEN NULL
+                         WHEN p0 = '' THEN '/' ELSE p0 END AS path
+                  FROM (SELECT doc_id,
+                          regexp_extract(url,
+                            '^(?i)(?:https?|ftp)://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS h0,
+                          regexp_extract(url,
+                            '^(?i)(?:https?|ftp)://[^/?#]*(/[^?#]*)', 1) AS p0
+                        FROM u)),
+            best AS (SELECT doc_id, allow, prefix FROM (
+                       SELECT b.doc_id, r.allow, r.prefix,
+                         ROW_NUMBER() OVER (PARTITION BY b.doc_id ORDER BY
+                           len(r.prefix) DESC, r.allow DESC, r.rule_id) AS rk
+                       FROM b JOIN r ON b.host = r.host
+                         AND starts_with(b.path, r.prefix)
+                       WHERE b.path IS NOT NULL) WHERE rk = 1)
+            SELECT b.doc_id, b.host, b.path,
+              CASE WHEN b.path IS NULL THEN 'invalid'
+                   WHEN COALESCE(best.allow, true) THEN 'allow'
+                   ELSE 'deny' END AS decision,
+              best.prefix AS matched_prefix
+            FROM b LEFT JOIN best USING (doc_id)
+            ORDER BY doc_id"""))
+
   val q133 = QueryDef(
     "q133_sentence_stats",
     "sentence segmentation quality signals: TextOps.sentences (RE2 " +
@@ -4066,5 +4139,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170)
+      q143, q144, q145, q146, q147, q166, q170, q171)
 }

@@ -57,6 +57,52 @@ object Privacy {
         (col("k_anonymity") >= k).as(s"is_${k}_anonymous"))
   }
 
+  /** Differentially-private release counts — the RELEASE step the
+    * k-anonymity/l-diversity audit gates: per-group counts with
+    * Laplace(1/ε) noise (the counting query's sensitivity is 1), the
+    * standard ε-DP mechanism (Dwork et al. 2006). Noise is SEEDED and
+    * engine-portable by design: u = (polyhash(group keys ++ seed) + 0.5)
+    * / P is a deterministic uniform in (0,1), and the Laplace draw is
+    * its inverse CDF −(1/ε)·sign(u−½)·ln(1−2|u−½|) — so a release is
+    * reproducible and SQL-replayable (q172), which is what an auditable
+    * pipeline needs. The honesty note that belongs in every docstring
+    * claiming DP: the ε guarantee is an information-theoretic statement
+    * about RANDOM noise — with a seeded draw it holds against an
+    * adversary who does not hold the seed (the standard practical-PRG
+    * stance); treat the seed as a secret, draw once per release, and
+    * never publish the exact mechanism inputs.
+    *
+    * Output: (keys*, true_count withheld by design — publishing it
+    * would defeat the mechanism — noisy_count rounded to `roundTo`).
+    * One grouped aggregation + a narrow projection; ln is the one libm
+    * call, tamed the q66 way (rounded output, both engines' ln agree
+    * within the rounding at these magnitudes). */
+  def dpNoisyCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      epsilon: Double,
+      seed: String,
+      roundTo: Int = 4): DataFrame = {
+    require(keyCols.nonEmpty, "dpNoisyCounts: at least one key column")
+    require(epsilon > 0, s"dpNoisyCounts: epsilon $epsilon must be > 0")
+    val P = 1000000007L
+    // the portable per-group uniform: the house avalanche hash
+    // (Sampling's AsciiPolyHash kernel + quadratic finalizer - short
+    // rendered keys NEED the avalanche or u clusters near 0) over the
+    // '|'-joined key rendering, seed as the salt (NULL renders empty;
+    // callers whose key renderings can collide under joining should
+    // pre-render - the q76 replica idiom covers the SQL side)
+    val keyStr = concat_ws("|",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val u = (Sampling.avalanche(keyStr, seed).cast("double") + 0.5) / P.toDouble
+    val lap = -(lit(1.0) / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(keyCols.map(col) :+
+        round(col("__n") + lap, roundTo).as("noisy_count"): _*)
+  }
+
   /** Distinct-sensitive-value (l-diversity) histogram per QI class:
     * (l, n_classes), ordered — the release's l-diversity is the
     * smallest l. A class of 1000 rows that all share one diagnosis is

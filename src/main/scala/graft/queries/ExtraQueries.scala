@@ -1537,8 +1537,39 @@ object ExtraQueries extends QueryGroup {
             WHERE n_docs >= total * 0.05
             ORDER BY chunk_hash"""))
 
+  val q172 = QueryDef(
+    "q172_dp_noisy_counts",
+    "differentially-private release counts (Laplace mechanism, Dwork " +
+      "2006) — the RELEASE step the q167/q168 audit gates: per " +
+      "(event_type, day) counts + Laplace(1/eps) noise from the " +
+      "seeded engine-portable avalanche uniform (inverse-CDF draw), " +
+      "eps = 0.5; reproducible, SQL-replayable release — true counts " +
+      "deliberately withheld from the output",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Privacy.dpNoisyCounts(
+          e.select(col("event_type"), to_date(col("ts")).as("day")),
+          Seq("event_type", "day"), epsilon = 0.5, seed = "r12dp")
+        .orderBy("event_type", "day")
+    },
+    Some(s"""WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                    CAST(COUNT(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1, 2),
+            h AS (SELECT event_type, day, n,
+                    ${H.oPolyFold("event_type || '|' || CAST(day AS VARCHAR)", "r12dp")} AS hp
+                  FROM g),
+            a AS (SELECT event_type, day, n,
+                    ${H.oAvalanche("hp")} AS av FROM h),
+            l AS (SELECT event_type, day, n,
+                    (av + 0.5) / 1000000007 AS u FROM a)
+            SELECT event_type, day,
+              ROUND(n + (-(1.0 / 0.5) *
+                (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END) *
+                ln(1 - 2 * abs(u - 0.5))), 4) AS noisy_count
+            FROM l ORDER BY event_type, day"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169)
+      q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172)
 }

@@ -65,4 +65,31 @@ class PrivacySpec extends SparkSpecBase {
       Privacy.lDiversityProfile(fixture, Seq("zip", "dx"), "dx")
     }
   }
+
+  test("dpNoisyCounts: deterministic per (key, seed), noise scales exactly 1/eps, bounded") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 300).map(i => (s"g${i % 7}", i)).toDF("g", "x")
+    def noisy(eps: Double, seed: String): Map[String, Double] =
+      Privacy.dpNoisyCounts(df, Seq("g"), eps, seed)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val trueCounts = df.groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = noisy(0.5, "s1")
+    assert(a === noisy(0.5, "s1"), "a release must be reproducible")
+    assert(a === Privacy.dpNoisyCounts(df.repartition(11), Seq("g"), 0.5, "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap,
+      "noise keys on content, not partitioning")
+    assert(a !== noisy(0.5, "s2"), "a different seed is a different draw")
+    val noiseA = a.map { case (k, v) => k -> (v - trueCounts(k)) }
+    assert(noiseA.values.exists(n => math.abs(n) > 1e-6), "noise actually present")
+    // |Laplace(1/eps)| <= (1/eps) * ln(2P) with the (h+0.5)/P uniform
+    assert(noiseA.values.forall(n => math.abs(n) <= 2.0 * 43.0), s"noise unbounded: $noiseA")
+    // same seed => same uniform => the draw scales EXACTLY with 1/eps
+    val b = noisy(5.0, "s1")
+    noiseA.foreach { case (k, n) =>
+      val n10 = b(k) - trueCounts(k)
+      assert(math.abs(n - 10.0 * n10) < 1e-3, s"$k: $n vs 10x$n10")
+    }
+  }
 }

@@ -806,4 +806,117 @@ object Quality {
           .cast(DoubleType) / count(lit(1)), 6).as("score"))
       .select(col("id").as(idCol), col("n_features"), col("score"))
   }
+
+  /** The Gopher/MassiveText stop words (Rae et al. 2021, A.1.1): a doc
+    * that contains fewer than 2 of these is overwhelmingly non-prose. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher/MassiveText document-quality rule bundle
+    * (Rae et al. 2021, Appendix A.1.1) — the de-facto standard heuristic
+    * gate every web-scale pretraining pipeline runs before anything
+    * model-based: per document, the seven rules with their published
+    * thresholds as defaults, emitted as measured metrics PLUS per-rule
+    * booleans PLUS the conjunction, so a pipeline can gate on `pass`
+    * while an audit reads WHICH rule fired (cf. the reference's
+    * windowed-gate idiom, WindowPublisher.java:80-82: admit or divert,
+    * never silently drop).
+    *
+    * Rules (keep iff all hold):
+    *  1. `minWords ≤ n_words ≤ maxWords`;
+    *  2. mean word length in `[minMeanWordLen, maxMeanWordLen]`;
+    *  3. symbol-to-word ratio (`#` and `...` occurrences / words)
+    *     ≤ `maxSymbolRatio`;
+    *  4. ≤ `maxBulletLineFrac` of lines start with a bullet (`• `/`- `);
+    *  5. ≤ `maxEllipsisLineFrac` of lines end with `...`/`…`;
+    *  6. ≥ `minAlphaWordFrac` of words contain an alphabetic char;
+    *  7. ≥ `minStopwordHits` distinct [[GopherStopWords]] present.
+    *
+    * Rule comparisons read the ROUNDED (4-decimal) fractions, so the
+    * verdict replays bit-identically in ANSI SQL (the house rounded-
+    * quotient rule); words are whitespace tokens with empties dropped,
+    * lines are `\n` splits with empties dropped (a trailing newline adds
+    * no line on either engine).
+    *
+    * Scale shape: one narrow per-row projection chain — zero shuffles,
+    * zero UDFs, no explode; tokens/lines staged once as attributes (the
+    * lambda-CSE discipline — each is referenced by several rule lambdas,
+    * the multi-reference shape CollapseProject keeps staged). The one
+    * repartition is the compact-table single-split guard shared with
+    * [[repetitionMetrics]]: per-row HOF work is real and must spread.
+    * Degenerate docs (empty text) fail rule 1 and carry 0-metrics rather
+    * than NULLs, so downstream aggregates never need null guards. */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"gopherRules: bad word bounds [$minWords, $maxWords]")
+    val staged = df
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), col("t"),
+        filter(split(col("t"), "\\s+"), w => w =!= "").as("ws"),
+        filter(split(col("t"), "\n"), l => l =!= "").as("ls"))
+    val counted = staged.select(
+      col("id"),
+      size(col("ws")).cast(LongType).as("n_words"),
+      aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("sum_len"),
+      ((length(col("t")) - length(replace(col("t"), lit("#"), lit("")))) +
+        (length(col("t")) - length(replace(col("t"), lit("..."), lit("")))) / 3)
+        .cast(LongType).as("n_symbols"),
+      size(col("ls")).cast(LongType).as("n_lines"),
+      size(filter(col("ls"),
+        l => l.startsWith("• ") || l.startsWith("- ")))
+        .cast(LongType).as("n_bullet"),
+      size(filter(col("ls"),
+        l => l.endsWith("...") || l.endsWith("…")))
+        .cast(LongType).as("n_ell"),
+      size(filter(col("ws"), w => w.rlike("[A-Za-z]")))
+        .cast(LongType).as("n_alpha"),
+      size(filter(array(GopherStopWords.map(lit): _*),
+        s => array_contains(col("ws"), s))).cast(LongType).as("stop_hits"))
+    def frac(n: Column, d: Column): Column =
+      when(d > 0, round(n.cast("double") / d, 4)).otherwise(lit(0.0))
+    val metrics = counted.select(
+      col("id"), col("n_words"),
+      frac(col("sum_len"), col("n_words")).as("mean_word_len"),
+      frac(col("n_symbols"), col("n_words")).as("symbol_ratio"),
+      frac(col("n_bullet"), col("n_lines")).as("bullet_line_frac"),
+      frac(col("n_ell"), col("n_lines")).as("ellipsis_line_frac"),
+      frac(col("n_alpha"), col("n_words")).as("alpha_word_frac"),
+      col("stop_hits"))
+    val ruled = metrics.select(
+      col("*"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords)
+        .as("r_word_count"),
+      (col("n_words") > 0 && col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen).as("r_mean_word_len"),
+      (col("symbol_ratio") <= maxSymbolRatio).as("r_symbol_ratio"),
+      (col("bullet_line_frac") <= maxBulletLineFrac).as("r_bullet_lines"),
+      (col("ellipsis_line_frac") <= maxEllipsisLineFrac).as("r_ellipsis_lines"),
+      (col("n_words") > 0 && col("alpha_word_frac") >= minAlphaWordFrac)
+        .as("r_alpha_words"),
+      (col("stop_hits") >= minStopwordHits).as("r_stop_words"))
+    ruled.select(
+      col("id").as(idCol),
+      col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+      col("bullet_line_frac"), col("ellipsis_line_frac"),
+      col("alpha_word_frac"), col("stop_hits"),
+      col("r_word_count"), col("r_mean_word_len"), col("r_symbol_ratio"),
+      col("r_bullet_lines"), col("r_ellipsis_lines"), col("r_alpha_words"),
+      col("r_stop_words"),
+      (col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+        col("r_bullet_lines") && col("r_ellipsis_lines") &&
+        col("r_alpha_words") && col("r_stop_words")).as("pass"))
+  }
 }

@@ -4131,6 +4131,148 @@ object LlmQueries extends QueryGroup {
                    est.cms_est >= top.n_events AS one_sided_ok
             FROM top JOIN est USING (user_id) ORDER BY user_id"""))
 
+  /** q173's grafted document structure — the fixture corpus is prose-free
+    * word soup (no newlines, bullets, ellipses or symbols), so the line-
+    * and symbol-level Gopher rules get their signal from deterministic
+    * grafts (the q169 pattern): every 11th doc becomes a bullet-only
+    * listing (fails the bullet-line, word-count and alpha rules), every
+    * 3rd gains a 3-bullet tail (passes — 3 of many lines), every 5th an
+    * ellipsis-terminated stop-word-rich tail (flips its stop-word rule to
+    * pass), every 7th a `#`-symbol tail. ASCII apart from the bullet
+    * `•` (valid UTF-8 in both engines' literals); apostrophe-free for the
+    * SQL literal. */
+  private val Q173BulletOnly =
+    "• alpha\n• beta\n• gamma\n• delta"
+  private val Q173BulletTail =
+    "\n• promoted listing item\n• second bullet entry\n- third bullet entry"
+  private val Q173EllipsisTail =
+    "\nthe story continues and more to think of here...\n" +
+      "that would have ended with another pause..."
+  private val Q173SymbolTail = " ### ## # tag"
+
+  val q173 = QueryDef(
+    "q173_gopher_quality_rules",
+    "the published Gopher/MassiveText document-quality rule bundle (Rae " +
+      "2021 A.1.1) over structurally grafted docs: word-count bounds, " +
+      "mean word length, symbol ratio, bullet/ellipsis line fractions, " +
+      "alphabetic-word fraction, stop-word presence — per-language " +
+      "per-rule failure counts + overall pass rate, every fraction " +
+      "rounded before its threshold compare so the verdict replays " +
+      "bit-identically in SQL",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = d.select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(Q173BulletOnly))
+          .otherwise(concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(Q173BulletTail))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit(Q173EllipsisTail))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(Q173SymbolTail))
+              .otherwise(lit("")))).as("text"))
+      val m = Quality.gopherRules(g)
+      def fails(r: String): org.apache.spark.sql.Column =
+        count(when(!col(r), lit(1)))
+      m.join(g.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          fails("r_word_count").as("fail_word_count"),
+          fails("r_mean_word_len").as("fail_mean_word_len"),
+          fails("r_symbol_ratio").as("fail_symbol_ratio"),
+          fails("r_bullet_lines").as("fail_bullet_lines"),
+          fails("r_ellipsis_lines").as("fail_ellipsis_lines"),
+          fails("r_alpha_words").as("fail_alpha_words"),
+          fails("r_stop_words").as("fail_stop_words"),
+          count(when(col("pass"), lit(1))).as("n_pass"),
+          round(count(when(col("pass"), lit(1))).cast("double") /
+            count(lit(1)), 4).as("pass_rate"))
+        .orderBy("lang")
+    },
+    Some("""WITH raw AS (SELECT doc_id, lang,
+              CASE WHEN doc_id % 11 = 0 THEN
+                '• alpha' || chr(10) || '• beta' || chr(10) ||
+                '• gamma' || chr(10) || '• delta'
+              ELSE text ||
+                CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                     '• promoted listing item' || chr(10) ||
+                     '• second bullet entry' || chr(10) ||
+                     '- third bullet entry' ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                     'the story continues and more to think of here...' ||
+                     chr(10) ||
+                     'that would have ended with another pause...'
+                   ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0 THEN ' ### ## # tag' ELSE '' END
+              END AS t FROM documents),
+            x AS (SELECT doc_id, lang, t,
+                list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS ws,
+                list_filter(string_split(t, chr(10)), l -> l <> '') AS ls
+              FROM raw),
+            c AS (SELECT doc_id, lang,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(ws, w -> CAST(len(w) AS BIGINT))),
+                  (a, v) -> a + v) AS sum_len,
+                CAST((len(t) - len(replace(t, '#', ''))) +
+                  (len(t) - len(replace(t, '...', ''))) / 3 AS BIGINT)
+                  AS n_symbols,
+                CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(ls, l -> starts_with(l, '• ') OR
+                  starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+                CAST(len(list_filter(ls, l -> ends_with(l, '...') OR
+                  ends_with(l, '…'))) AS BIGINT) AS n_ell,
+                CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha,
+                CAST(len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  s -> list_contains(ws, s))) AS BIGINT) AS stop_hits
+              FROM x),
+            m AS (SELECT doc_id, lang, n_words,
+                CASE WHEN n_words > 0
+                  THEN ROUND(sum_len * 1.0 / n_words, 4) ELSE 0.0 END
+                  AS mean_word_len,
+                CASE WHEN n_words > 0
+                  THEN ROUND(n_symbols * 1.0 / n_words, 4) ELSE 0.0 END
+                  AS symbol_ratio,
+                CASE WHEN n_lines > 0
+                  THEN ROUND(n_bullet * 1.0 / n_lines, 4) ELSE 0.0 END
+                  AS bullet_line_frac,
+                CASE WHEN n_lines > 0
+                  THEN ROUND(n_ell * 1.0 / n_lines, 4) ELSE 0.0 END
+                  AS ellipsis_line_frac,
+                CASE WHEN n_words > 0
+                  THEN ROUND(n_alpha * 1.0 / n_words, 4) ELSE 0.0 END
+                  AS alpha_word_frac,
+                stop_hits FROM c),
+            r AS (SELECT lang,
+                (n_words BETWEEN 50 AND 100000) AS r1,
+                (n_words > 0 AND mean_word_len BETWEEN 3.0 AND 10.0) AS r2,
+                (symbol_ratio <= 0.1) AS r3,
+                (bullet_line_frac <= 0.9) AS r4,
+                (ellipsis_line_frac <= 0.3) AS r5,
+                (n_words > 0 AND alpha_word_frac >= 0.8) AS r6,
+                (stop_hits >= 2) AS r7 FROM m)
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_word_count,
+              CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_mean_word_len,
+              CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_symbol_ratio,
+              CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_bullet_lines,
+              CAST(SUM(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_ellipsis_lines,
+              CAST(SUM(CASE WHEN NOT r6 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_alpha_words,
+              CAST(SUM(CASE WHEN NOT r7 THEN 1 ELSE 0 END) AS BIGINT)
+                AS fail_stop_words,
+              CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6
+                AND r7 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              ROUND(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6
+                AND r7 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS pass_rate
+            FROM r GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4139,5 +4281,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173)
 }

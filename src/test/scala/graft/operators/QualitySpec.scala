@@ -500,4 +500,61 @@ class QualitySpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus-side features must never shuffle for the model join:\n$plan")
   }
+
+  test("gopherRules: hand-computed metrics and verdicts per rule") {
+    // 62 words (31 × 2), stop-word rich, clean prose — passes everything
+    val good = (("the quick brown fox jumps over and over to the side of " +
+      "that lazy dog with a very long tail and then it does it again " +
+      "because repetition is fine here ") * 2).trim
+    val docs = Seq(
+      (1L, good),
+      (2L, "short doc"),                       // fails word count + stop words
+      (3L, "• one\n• two\n• three"),           // bullet-only: fails bullets
+      (4L, good + " ### ## # " + "# " * 10),   // symbol-heavy tail
+      (5L, good + "\nwait...\nmore...\nend..."), // 3 ellipsis lines of 4
+      (6L, "")                                 // degenerate
+    ).toDF("doc_id", "text")
+    val m = Quality.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val g = m(1L)
+    assert(g.getAs[Long]("n_words") === 62L)
+    assert(g.getAs[Boolean]("pass"), s"good doc must pass: $g")
+
+    val s2 = m(2L)
+    assert(!s2.getAs[Boolean]("r_word_count") && !s2.getAs[Boolean]("r_stop_words")
+      && s2.getAs[Boolean]("r_mean_word_len") && !s2.getAs[Boolean]("pass"))
+
+    val b = m(3L)
+    assert(b.getAs[Double]("bullet_line_frac") === 1.0)
+    assert(!b.getAs[Boolean]("r_bullet_lines"))
+    // '•' words carry no alphabetic char: 3 of 6 words alpha
+    assert(b.getAs[Double]("alpha_word_frac") === 0.5)
+    assert(!b.getAs[Boolean]("r_alpha_words"))
+
+    val sym = m(4L)
+    // 62 good words + 13 symbol words = 75; '#' occurrences = 3+2+1+10 = 16
+    assert(sym.getAs[Double]("symbol_ratio") ===
+      BigDecimal(16.0 / 75).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!sym.getAs[Boolean]("r_symbol_ratio"))
+    assert(sym.getAs[Boolean]("r_alpha_words"), "62/75 alpha = 0.8267 >= 0.8")
+
+    val e = m(5L)
+    assert(e.getAs[Double]("ellipsis_line_frac") === 0.75)
+    assert(!e.getAs[Boolean]("r_ellipsis_lines"))
+    // the '...' substrings also count as symbols: 3 / 65 words < 0.1
+    assert(e.getAs[Boolean]("r_symbol_ratio"))
+
+    val z = m(6L)
+    assert(z.getAs[Long]("n_words") === 0L)
+    assert(z.getAs[Double]("mean_word_len") === 0.0)
+    assert(!z.getAs[Boolean]("pass") && !z.getAs[Boolean]("r_word_count"))
+  }
+
+  test("gopherRules plan: narrow projection chain, no shuffle beyond the spread") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Quality.gopherRules(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      s"gopherRules must stay a per-row projection:\n$plan")
+  }
 }

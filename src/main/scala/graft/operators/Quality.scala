@@ -919,4 +919,76 @@ object Quality {
         col("r_bullet_lines") && col("r_ellipsis_lines") &&
         col("r_alpha_words") && col("r_stop_words")).as("pass"))
   }
+
+  /** The published C4 line-level cleanup (Raffel et al. 2020 §2.2 — the
+    * other canonical web-corpus gate, [[gopherRules]]' line-granular
+    * companion): per document,
+    *
+    *  - page rules on the RAW text, in published order: containing
+    *    `lorem ipsum` (case-insensitive) or `{` drops the page outright
+    *    (`drop_reason` = `lorem_ipsum` / `brace`);
+    *  - line rules: keep a line iff it ends in a terminal punctuation
+    *    mark (`.` `!` `?` `"` after right-trim), carries at least
+    *    `minLineWords` whitespace words, and does not mention
+    *    `javascript` (case-insensitive);
+    *  - a surviving page with fewer than `minSentences` sentences in its
+    *    KEPT text (sentence ≈ terminal `.`/`!`/`?` occurrence — the
+    *    declared approximation; C4's own splitter is heuristic too) is
+    *    dropped (`too_few_sentences`).
+    *
+    * Output per doc: (idCol, n_lines, n_kept_lines, n_kept_words,
+    * n_sentences, drop_reason, kept_text) — `drop_reason` NULL for
+    * survivors, and `kept_text` always carries the filtered page (join
+    * on `\n`) so an audit can read what the gate would keep even for
+    * dropped pages. An all-lines-dropped survivor is `too_few_sentences`
+    * by construction, never a silent empty page.
+    *
+    * Scale shape: the [[gopherRules]] discipline exactly — one narrow
+    * per-row projection chain, zero shuffles/UDFs/explodes, lines staged
+    * once, the compact-table repartition spread. */
+  def c4Filter(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minLineWords: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"c4Filter: minLineWords $minLineWords < 1")
+    require(minSentences >= 0, s"c4Filter: minSentences $minSentences < 0")
+    val staged = df
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), col("t"),
+        filter(split(col("t"), "\n"), l => l =!= "").as("ls"))
+    def keptLine(l: Column): Column = {
+      val lt = rtrim(l)
+      (lt.endsWith(".") || lt.endsWith("!") || lt.endsWith("?") ||
+        lt.endsWith("\"")) &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    }
+    val kept = staged.select(col("id"), col("t"),
+      size(col("ls")).cast(LongType).as("n_lines"),
+      filter(col("ls"), keptLine _).as("kls"))
+    val shaped = kept.select(col("id"), col("t"), col("n_lines"),
+      size(col("kls")).cast(LongType).as("n_kept_lines"),
+      aggregate(col("kls"), lit(0L),
+        (a, l) => a + size(filter(split(l, "\\s+"), w => w =!= "")))
+        .as("n_kept_words"),
+      array_join(col("kls"), "\n").as("kept_text"))
+    val sentenced = shaped.select(col("id"), col("t"), col("n_lines"),
+      col("n_kept_lines"), col("n_kept_words"), col("kept_text"),
+      (length(col("kept_text")) -
+        length(replace(replace(replace(col("kept_text"),
+          lit("."), lit("")), lit("!"), lit("")), lit("?"), lit(""))))
+        .cast(LongType).as("n_sentences"))
+    sentenced.select(
+      col("id").as(idCol),
+      col("n_lines"), col("n_kept_lines"), col("n_kept_words"),
+      col("n_sentences"),
+      when(lower(col("t")).contains("lorem ipsum"), lit("lorem_ipsum"))
+        .when(col("t").contains("{"), lit("brace"))
+        .when(col("n_sentences") < minSentences, lit("too_few_sentences"))
+        .otherwise(lit(null).cast("string")).as("drop_reason"),
+      col("kept_text"))
+  }
 }

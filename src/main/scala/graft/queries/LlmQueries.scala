@@ -4273,6 +4273,117 @@ object LlmQueries extends QueryGroup {
                 AND r7 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS pass_rate
             FROM r GROUP BY lang ORDER BY lang"""))
 
+  /** q174's grafts (the q173/q169 pattern — the soup corpus carries no
+    * punctuation, so every C4 rule gets a deterministic planted case):
+    * every 2nd doc gains three clean ≥5-word sentences (survives), every
+    * 3rd a punctuated `javascript` line (line-dropped), every 5th a
+    * `lorem ipsum` sentence (page-dropped), every 7th a `{` snippet
+    * (page-dropped), every 11th a short punctuated line (word-count
+    * line rule); the base soup line itself never ends in terminal
+    * punctuation, so it always drops. */
+  private val Q174Sentences =
+    "\nThis line carries a full plain sentence with enough words." +
+      "\nAnother complete sentence follows here with more than five words." +
+      "\nThe third sentence closes the page with a clean period."
+  private val Q174Javascript =
+    "\nEnable javascript to view the comment section on this page."
+  private val Q174Lorem =
+    "\nlorem ipsum dolor sit amet consectetur adipiscing elit sed do."
+  private val Q174Brace =
+    "\nfunction render() { return the layout template markup }"
+  private val Q174Short = "\nToo short line."
+
+  val q174 = QueryDef(
+    "q174_c4_line_filter",
+    "the published C4 cleanup (Raffel 2020 §2.2) over structurally " +
+      "grafted docs: terminal-punctuation + min-5-word + no-javascript " +
+      "line rules, lorem-ipsum / brace / too-few-sentences page rules " +
+      "- per-source drop-reason counts, survivor count and kept-line/" +
+      "word totals, replayed verbatim in SQL",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      def tail(m: Int, lit_ : String) =
+        when(pmod(col("doc_id"), lit(m)) === 0, lit(lit_)).otherwise(lit(""))
+      val g = d.select(col("doc_id"), col("source"),
+        concat(col("text"),
+          tail(2, Q174Sentences), tail(3, Q174Javascript),
+          tail(5, Q174Lorem), tail(7, Q174Brace),
+          tail(11, Q174Short)).as("text"))
+      val f = Quality.c4Filter(g)
+      def drops(r: String): org.apache.spark.sql.Column =
+        count(when(col("drop_reason") === r, lit(1)))
+      f.join(g.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          drops("lorem_ipsum").as("drop_lorem"),
+          drops("brace").as("drop_brace"),
+          drops("too_few_sentences").as("drop_few_sentences"),
+          count(when(col("drop_reason").isNull, lit(1))).as("n_survivors"),
+          sum(col("n_kept_lines")).as("kept_lines"),
+          sum(col("n_kept_words")).as("kept_words"))
+        .orderBy("source")
+    },
+    Some("""WITH raw AS (SELECT doc_id, source, text ||
+              CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+                'This line carries a full plain sentence with enough words.' ||
+                chr(10) ||
+                'Another complete sentence follows here with more than five words.' ||
+                chr(10) ||
+                'The third sentence closes the page with a clean period.'
+              ELSE '' END ||
+              CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                'Enable javascript to view the comment section on this page.'
+              ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                'lorem ipsum dolor sit amet consectetur adipiscing elit sed do.'
+              ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                'function render() { return the layout template markup }'
+              ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Too short line.'
+              ELSE '' END AS t FROM documents),
+            x AS (SELECT doc_id, source, t,
+                list_filter(string_split(t, chr(10)), l -> l <> '') AS ls
+              FROM raw),
+            k AS (SELECT doc_id, source, t, CAST(len(ls) AS BIGINT) AS n_lines,
+                list_filter(ls, l ->
+                  (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR
+                   ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"')) AND
+                  len(list_filter(string_split_regex(l, '\s+'),
+                    w -> w <> '')) >= 5 AND
+                  NOT contains(lower(l), 'javascript')) AS kls
+              FROM x),
+            sh AS (SELECT doc_id, source, t, n_lines,
+                CAST(len(kls) AS BIGINT) AS n_kept_lines,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(kls, l -> CAST(len(list_filter(
+                    string_split_regex(l, '\s+'), w -> w <> '')) AS BIGINT))),
+                  (a, v) -> a + v) AS n_kept_words,
+                COALESCE(array_to_string(kls, chr(10)), '') AS kt
+              FROM k),
+            sen AS (SELECT doc_id, source, n_lines, n_kept_lines,
+                n_kept_words,
+                CAST(len(kt) - len(replace(replace(replace(kt, '.', ''),
+                  '!', ''), '?', '')) AS BIGINT) AS n_sentences,
+                CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+                     WHEN contains(t, '{') THEN 'brace'
+                     WHEN len(kt) - len(replace(replace(replace(kt, '.', ''),
+                       '!', ''), '?', '')) < 3 THEN 'too_few_sentences'
+                END AS drop_reason
+              FROM sh)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN drop_reason = 'lorem_ipsum' THEN 1 ELSE 0
+                END) AS BIGINT) AS drop_lorem,
+              CAST(SUM(CASE WHEN drop_reason = 'brace' THEN 1 ELSE 0
+                END) AS BIGINT) AS drop_brace,
+              CAST(SUM(CASE WHEN drop_reason = 'too_few_sentences' THEN 1
+                ELSE 0 END) AS BIGINT) AS drop_few_sentences,
+              CAST(SUM(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0
+                END) AS BIGINT) AS n_survivors,
+              CAST(SUM(n_kept_lines) AS BIGINT) AS kept_lines,
+              CAST(SUM(n_kept_words) AS BIGINT) AS kept_words
+            FROM sen GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4281,5 +4392,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174)
 }

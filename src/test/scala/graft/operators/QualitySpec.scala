@@ -551,6 +551,35 @@ class QualitySpec extends SparkSpecBase {
     assert(!z.getAs[Boolean]("pass") && !z.getAs[Boolean]("r_word_count"))
   }
 
+  test("c4Filter: line rules, page rules, published precedence") {
+    val docs = Seq(
+      (1L, "First clean sentence has five good words here.\n" +
+        "Second clean sentence also has enough words inside.\n" +
+        "Third one wraps the page with a final stop."),       // survives
+      (2L, "no terminal punctuation on this line at all"),    // all dropped
+      (3L, "Enable javascript to view the comment section now."),
+      (4L, "Too short."),                                     // < 5 words
+      (5L, "Real sentence with lorem ipsum inside it today."), // page drop
+      (6L, "Object literal { compiles fine. More words follow it here."),
+      (7L, "Quoted line has at least five words \"")          // quote terminal
+    ).toDF("doc_id", "text")
+    val got = Quality.c4Filter(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("drop_reason") == null)
+    assert(got(1L).getAs[Long]("n_kept_lines") === 3L)
+    assert(got(1L).getAs[Long]("n_sentences") === 3L)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(got(id).getAs[Long]("n_kept_lines") === 0L, s"doc $id")
+      assert(got(id).getAs[String]("drop_reason") === "too_few_sentences",
+        "empty kept text is an explicit drop, never a silent survivor")
+    }
+    assert(got(5L).getAs[String]("drop_reason") === "lorem_ipsum",
+      "page rules fire on RAW text before line accounting")
+    assert(got(6L).getAs[String]("drop_reason") === "brace")
+    // quote-terminated line is kept, but one line of one sentence < 3
+    assert(got(7L).getAs[Long]("n_kept_lines") === 1L)
+    assert(got(7L).getAs[String]("drop_reason") === "too_few_sentences")
+  }
+
   test("gopherRules plan: narrow projection chain, no shuffle beyond the spread") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Quality.gopherRules(docs).queryExecution.executedPlan.toString

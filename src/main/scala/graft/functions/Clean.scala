@@ -100,6 +100,47 @@ object Clean {
     normalizeWhitespace(decoded)
   }
 
+  /** Luhn mod-10 checksum validity (ISO/IEC 7812 — the check digit every
+    * payment-card number carries) over a digit string: TRUE iff the
+    * value is 13–19 digits and the doubled-alternate digit sum ≡ 0
+    * (mod 10). The PRECISION tier of the PII family: a bare
+    * `[0-9]{13,19}` match fires on order ids, timestamps and EANs;
+    * candidates that fail Luhn are overwhelmingly NOT card numbers, so
+    * gating redaction on this check cuts the false-positive mass while
+    * keeping every real PAN (all issued cards validate by construction).
+    *
+    * Pure HOF column expression (sequence + substr over the reversed
+    * string, aggregate sum) — codegen'd, no UDF, replays in ANSI SQL
+    * with list lambdas. A non-digit char NULL-poisons the cast and the
+    * predicate yields NULL (never TRUE) — callers feed regex-extracted
+    * digit runs. */
+  def luhnValid(c: Column): Column = {
+    val r = reverse(c)
+    val sum = aggregate(
+      sequence(lit(1), length(c)),
+      lit(0),
+      (a, i) => {
+        val d = r.substr(i, lit(1)).cast("int")
+        val dd = when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        a + dd
+      })
+    length(c) >= 13 && length(c) <= 19 && pmod(sum, lit(10)) === 0
+  }
+
+  /** Redact exactly the Luhn-valid 13–19-digit runs in a text as
+    * `<CC>`, leaving invalid runs (order ids, tracking numbers) intact —
+    * [[redactPii]]'s precision-gated companion for card numbers.
+    * Candidate extraction, validation and replacement are all per-row
+    * HOF work (distinct candidates, then a fold of exact-literal
+    * replaces), no shuffle, no UDF. */
+  def redactValidCards(c: Column): Column = {
+    val cands = array_distinct(
+      regexp_extract_all(c, lit("[0-9]{13,19}"), lit(0)))
+    val valid = filter(cands, p => luhnValid(p))
+    aggregate(valid, c, (t, p) => replace(t, p, lit("<CC>")))
+  }
+
   /** URL canonicalization — the identity a crawl ledger dedups ON
     * (URL-level dedup runs before any fetch or text dedup can): the
     * variants `HTTP://u@Host.COM:80/a/?utm_x=1#f` and

@@ -4384,6 +4384,93 @@ object LlmQueries extends QueryGroup {
               CAST(SUM(n_kept_words) AS BIGINT) AS kept_words
             FROM sen GROUP BY source ORDER BY source"""))
 
+  /** q175's planted numbers: two valid test PANs (Visa 4111…1111, Amex
+    * 37828…0005), one checksum-broken near-miss (…1112) and one
+    * sequential order-id-shaped run — the exact false-positive family
+    * the Luhn gate exists to spare. */
+  private val Q175Tails = Seq(
+    (4, " card 4111111111111111 on file"),
+    (6, " ref 4111111111111112 order"),
+    (9, " amex 378282246310005 travel"),
+    (15, " track 1234567890123456 parcel"))
+
+  val q175 = QueryDef(
+    "q175_luhn_card_detection",
+    "Luhn-gated card-number detection (ISO/IEC 7812 mod-10) - the " +
+      "precision tier of the PII family: bare [0-9]{13,19} candidates " +
+      "vs checksum-valid PANs per source, plus the chars-redacted " +
+      "delta of the precision-gated redaction; valid test PANs and " +
+      "checksum-broken near-misses planted deterministically",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = d.select(col("doc_id"), col("source"),
+        concat(col("text") +: Q175Tails.map { case (m, tl) =>
+          when(pmod(col("doc_id"), lit(m)) === 0, lit(tl)).otherwise(lit(""))
+        }: _*).as("t"))
+      val staged = g.select(col("source"), col("t"),
+        array_distinct(
+          regexp_extract_all(col("t"), lit("[0-9]{13,19}"), lit(0)))
+          .as("cands"))
+      val m = staged.select(col("source"),
+        size(col("cands")).cast(LongType).as("nc"),
+        size(filter(col("cands"), p => graft.functions.Clean.luhnValid(p)))
+          .cast(LongType).as("nv"),
+        (length(col("t")) -
+          length(graft.functions.Clean.redactValidCards(col("t"))))
+          .cast(LongType).as("delta"))
+      m.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nc").as("n_candidates"),
+          sum("nv").as("n_valid"),
+          (sum("nc") - sum("nv")).as("n_rejected"),
+          sum("delta").as("chars_redacted"),
+          count(when(col("nv") > 0, lit(1))).as("docs_with_pan"))
+        .orderBy("source")
+    },
+    Some("""WITH raw AS (SELECT doc_id, source, text ||
+              CASE WHEN doc_id % 4 = 0
+                THEN ' card 4111111111111111 on file' ELSE '' END ||
+              CASE WHEN doc_id % 6 = 0
+                THEN ' ref 4111111111111112 order' ELSE '' END ||
+              CASE WHEN doc_id % 9 = 0
+                THEN ' amex 378282246310005 travel' ELSE '' END ||
+              CASE WHEN doc_id % 15 = 0
+                THEN ' track 1234567890123456 parcel' ELSE '' END AS t
+              FROM documents),
+            x AS (SELECT source, t,
+                list_distinct(regexp_extract_all(t, '[0-9]{13,19}')) AS cands
+              FROM raw),
+            v AS (SELECT source,
+                CAST(len(cands) AS BIGINT) AS nc,
+                list_filter(cands, p -> len(p) BETWEEN 13 AND 19 AND
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, len(p) + 1), i ->
+                      CASE WHEN i % 2 = 0 THEN
+                        CASE WHEN CAST(substr(reverse(p), CAST(i AS INTEGER),
+                            1) AS BIGINT) * 2 > 9
+                          THEN CAST(substr(reverse(p), CAST(i AS INTEGER),
+                            1) AS BIGINT) * 2 - 9
+                          ELSE CAST(substr(reverse(p), CAST(i AS INTEGER),
+                            1) AS BIGINT) * 2 END
+                      ELSE CAST(substr(reverse(p), CAST(i AS INTEGER),
+                        1) AS BIGINT) END)),
+                    (a, w) -> a + w) % 10 = 0) AS valid
+              FROM x),
+            m AS (SELECT source, nc,
+                CAST(len(valid) AS BIGINT) AS nv,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(valid, p -> CAST(len(p) - 4 AS BIGINT))),
+                  (a, w) -> a + w) AS delta
+              FROM v)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(nc) AS BIGINT) AS n_candidates,
+              CAST(SUM(nv) AS BIGINT) AS n_valid,
+              CAST(SUM(nc) - SUM(nv) AS BIGINT) AS n_rejected,
+              CAST(SUM(delta) AS BIGINT) AS chars_redacted,
+              CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_with_pan
+            FROM m GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4392,5 +4479,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175)
 }

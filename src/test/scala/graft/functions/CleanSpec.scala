@@ -161,4 +161,30 @@ class CleanSpec extends SparkSpecBase {
     assert(score1(clean) === 0)
     assert(score1("CafÃ© donâ€™t Â»") === 3)
   }
+
+  test("luhnValid: known PANs validate, near-misses and odd lengths fail") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      ("4111111111111111", true),   // Visa test number
+      ("5555555555554444", true),   // Mastercard test number
+      ("378282246310005", true),    // Amex test number (15 digits)
+      ("4111111111111112", false),  // checksum broken by one
+      ("1234567890123456", false),  // sequential order-id shape
+      ("411111111111", false),      // 12 digits: below PAN range
+      ("41111111111111111111", false)) // 20 digits: above PAN range
+    val got = cases.map(_._1).toDF("pan")
+      .select($"pan", Clean.luhnValid($"pan").as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (pan, want) => assert(got(pan) === want, pan) }
+  }
+
+  test("redactValidCards: valid PANs redacted everywhere, invalid runs untouched") {
+    val s = spark
+    import s.implicits._
+    val txt = "pay 4111111111111111 or 4111111111111111 never 1234567890123456 end"
+    val out = Seq(txt).toDF("t")
+      .select(Clean.redactValidCards($"t")).as[String].head()
+    assert(out === "pay <CC> or <CC> never 1234567890123456 end")
+  }
 }

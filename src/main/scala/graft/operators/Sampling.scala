@@ -509,4 +509,74 @@ object Sampling {
       .agg(min(col("draw")).as("draw"))
       .select(col("aid_").as(idCol), col("draw"), col(s"neg_$idCol"))
   }
+
+  /** Neyman-optimal stratified allocation (Neyman 1934 — the survey-
+    * sampling answer to "how many rows should each stratum contribute to
+    * a fixed label/eval budget"): allocate n_h ∝ N_h·S_h (stratum size ×
+    * stratum std-dev of the measured value), which minimizes the
+    * variance of the estimated population mean at fixed total n —
+    * high-variance strata earn MORE than proportional share, uniform
+    * strata less. The budgeting layer under eval-set construction and
+    * annotation spend: [[stratifiedSample]]/[[budgetByQuality]] execute
+    * a plan; this computes the optimal plan.
+    *
+    * Determinism contract (the [[graft.operators.Trend]] discipline):
+    * values quantize to integer units (`round(v·10^d)` as long), the
+    * three sufficient statistics (n, Σq, Σq²) accumulate in exact
+    * DECIMAL(19,0)/(38,0); S_h is then a FIXED-ORDER double expression
+    * over those exact sums (`sqrt` is IEEE-correctly-rounded — cross-
+    * engine safe, unlike ln/exp), the Neyman weight N_h·S_h rounds to 6
+    * decimals and re-enters exact decimal for the normalization sum, so
+    * shares and integer allocations replay bit-identically in SQL.
+    *
+    * Allocation: `n_alloc = min(N_h, floor(budget · w_h / Σw))` —
+    * flooring the unrounded share of the rounded weights; the remainder
+    * `budget − Σ n_alloc` is surfaced per-stratum as `alloc_share` so a
+    * caller distributing leftovers (largest-remainder or policy) can.
+    * Single-row strata carry S = 0 (no within-stratum variance
+    * evidence), earning weight 0 — surfaced, not dropped.
+    *
+    * Scale shape: ONE corpus-touching aggregation (map-side combined);
+    * everything downstream is arithmetic on the strata-sized frame plus
+    * one 1-row broadcast (the [[mixturePlan]] shape). */
+  def neymanAllocation(
+      df: DataFrame,
+      strataCol: String,
+      valueCol: Column,
+      budget: Long,
+      quantDecimals: Int = 2): DataFrame = {
+    require(budget >= 0L, s"neymanAllocation: budget $budget < 0")
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(19, 0)
+    val ys = math.pow(10.0, quantDecimals)
+    val base = df.where(col(strataCol).isNotNull && valueCol.isNotNull)
+      .select(col(strataCol).as("stratum"),
+        round(valueCol * ys).cast("long").cast(D).as("__q"))
+    val per = base.groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__q")).as("s1"),
+        sum(col("__q") * col("__q")).as("s2"))
+    val n = col("n_rows").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    // sample variance in quantized units², guarded against FP-negative
+    val varQ = (n * s2 - s1 * s1) / (n * (n - lit(1.0)))
+    val sQ = when(col("n_rows") > 1 && varQ > 0.0, sqrt(varQ)).otherwise(lit(0.0))
+    val weighted = per.select(col("stratum"), col("n_rows"),
+      round(n * sQ, 6).as("__w"),
+      round(sQ / ys, 6).as("stddev"))
+    val tot = weighted.agg(
+      sum(col("__w").cast(DecimalType(28, 14))).as("__tot"))
+    weighted.crossJoin(broadcast(tot)).select(
+      col("stratum").as(strataCol),
+      col("n_rows"), col("stddev"),
+      when(col("__tot") > 0,
+        round(col("__w") / col("__tot").cast("double"), 6))
+        .otherwise(lit(0.0)).as("alloc_share"),
+      when(col("__tot") > 0,
+        least(col("n_rows"),
+          floor(lit(budget.toDouble) *
+            (col("__w") / col("__tot").cast("double"))).cast("long")))
+        .otherwise(lit(0L)).as("n_alloc"))
+  }
 }

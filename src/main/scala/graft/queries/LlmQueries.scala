@@ -4471,6 +4471,52 @@ object LlmQueries extends QueryGroup {
                 AS docs_with_pan
             FROM m GROUP BY source ORDER BY source"""))
 
+  val q176 = QueryDef(
+    "q176_neyman_allocation",
+    "Neyman-optimal stratified allocation (Neyman 1934): per market " +
+      "segment, allocate a 1000-row annotation budget proportional to " +
+      "N_h*S_h over account balance - exact-decimal sufficient stats " +
+      "(the q156 OLS discipline), IEEE sqrt, weights rounded back into " +
+      "decimal for the normalization so shares and integer allocations " +
+      "replay bit-identically",
+    (s, dir) =>
+      graft.operators.Sampling.neymanAllocation(
+          t(s, dir, "customer"), "c_mktsegment", col("c_acctbal"),
+          budget = 1000L)
+        .orderBy("c_mktsegment"),
+    Some("""WITH b AS (SELECT c_mktsegment AS stratum,
+                CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS q
+              FROM customer
+              WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+            per AS (SELECT stratum, COUNT(*) AS n_rows,
+                SUM(CAST(q AS DECIMAL(19,0))) AS s1,
+                SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+                  AS s2
+              FROM b GROUP BY stratum),
+            v AS (SELECT stratum, n_rows,
+                (CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE) -
+                 CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+                (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))
+                  AS varq
+              FROM per),
+            w AS (SELECT stratum, n_rows,
+                ROUND(CAST(n_rows AS DOUBLE) *
+                  (CASE WHEN n_rows > 1 AND varq > 0.0 THEN sqrt(varq)
+                        ELSE 0.0 END), 6) AS w6,
+                ROUND((CASE WHEN n_rows > 1 AND varq > 0.0 THEN sqrt(varq)
+                       ELSE 0.0 END) / 100.0, 6) AS stddev
+              FROM v),
+            tot AS (SELECT SUM(CAST(w6 AS DECIMAL(28,14))) AS t FROM w)
+            SELECT stratum AS c_mktsegment, n_rows, stddev,
+              CASE WHEN t > 0
+                THEN ROUND(w6 / CAST(t AS DOUBLE), 6) ELSE 0.0 END
+                AS alloc_share,
+              CASE WHEN t > 0
+                THEN LEAST(n_rows, CAST(FLOOR(1000.0 *
+                  (w6 / CAST(t AS DOUBLE))) AS BIGINT))
+                ELSE 0 END AS n_alloc
+            FROM w CROSS JOIN tot ORDER BY c_mktsegment"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4479,5 +4525,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176)
 }

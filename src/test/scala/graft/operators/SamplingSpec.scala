@@ -409,4 +409,41 @@ class SamplingSpec extends SparkSpecBase {
       groupCol = "source", salt = "s")
     assert(out.count() === 0L, "single-group corpus has no valid negatives")
   }
+
+  test("neymanAllocation: hand-computed weights, caps, and degenerate strata") {
+    // A: 4 rows, sd(1,1,9,9) = sqrt((4*164-400)/(4*3)) = sqrt(256/12)
+    // B: 4 rows of the same value: S = 0 -> weight 0
+    // C: 1 row: no variance evidence -> S = 0
+    val rows = Seq(
+      ("A", 1.0), ("A", 1.0), ("A", 9.0), ("A", 9.0),
+      ("B", 5.0), ("B", 5.0), ("B", 5.0), ("B", 5.0),
+      ("C", 7.0)).toDF("stratum", "v")
+    val got = Sampling.neymanAllocation(rows, "stratum", $"v", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val sdA = math.sqrt((4.0 * 1640000.0 - 2000.0 * 2000.0) / (4.0 * 3.0)) / 100.0
+    assert(math.abs(got("A")._2 - sdA) < 1e-6, s"stddev A: ${got("A")._2} vs $sdA")
+    assert(got("A")._3 === 1.0 && got("A")._4 === 4L,
+      "all weight concentrates on the only varying stratum, capped at N_h")
+    assert(got("B") === ((4L, 0.0, 0.0, 0L)), "uniform stratum earns nothing")
+    assert(got("C") === ((1L, 0.0, 0.0, 0L)), "singleton stratum earns nothing")
+  }
+
+  test("neymanAllocation: proportional to N_h*S_h; all-uniform corpus allocates zero") {
+    // two strata, same spread, different sizes: share ratio = size ratio
+    val rows = ((1 to 30).map(i => ("big", if (i % 2 == 0) 0.0 else 10.0)) ++
+      (1 to 10).map(i => ("small", if (i % 2 == 0) 0.0 else 10.0)))
+      .toDF("stratum", "v")
+    val got = Sampling.neymanAllocation(rows, "stratum", $"v", budget = 40L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // sample (not population) sd: ratio = 3 * sqrt(30/29) / sqrt(10/9)
+    val want = 3.0 * math.sqrt(30.0 / 29.0) / math.sqrt(10.0 / 9.0)
+    assert(math.abs(got("big") / got("small") - want) < 0.01,
+      s"equal-spread strata split by N_h*S_h: $got vs ratio $want")
+    val flat = Seq(("x", 1.0), ("x", 1.0), ("y", 2.0), ("y", 2.0))
+      .toDF("stratum", "v")
+    val z = Sampling.neymanAllocation(flat, "stratum", $"v", budget = 10L)
+      .collect().map(r => (r.getDouble(3), r.getLong(4)))
+    assert(z.forall(_ == ((0.0, 0L))), "zero total weight allocates nothing")
+  }
 }

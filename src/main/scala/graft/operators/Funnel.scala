@@ -271,4 +271,71 @@ object Funnel {
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     } finally buckets.unpersist()
   }
+
+  /** Multi-touch attribution — the classic first-touch / last-touch /
+    * linear credit models over conversion journeys, in one pass: every
+    * non-conversion event ("touch") belongs to the journey of its
+    * user's NEXT conversion (the standard conversion-window rule:
+    * journeys reset at each conversion; touches after the last
+    * conversion are unattributed and dropped by the inner join — they
+    * have not converted yet). Per channel (the event type), the three
+    * credit totals; a channel's first/last credit counts journeys it
+    * opened/closed, linear splits each journey's unit credit evenly.
+    *
+    * Determinism: journeys and first/last ranks order by (ts, idCol) —
+    * a TOTAL order (idCol unique), so ties on ts cannot flip credits
+    * between runs or engines; linear credits (1/n — small-integer
+    * quotients, exactly representable or far from decimal ties) enter
+    * DECIMAL(28,14) before the channel sum, so the total is
+    * partition-order-free (the house drift-family accumulation rule).
+    * NULL users/timestamps are excluded (no journey identity).
+    *
+    * Scale shape: one window pass over (user) — the well-distributed
+    * key — for conversion numbering, one co-keyed (user, conv_no) join
+    * of touches to their conversion (both sides arrive hash-partitioned
+    * by user from the same exchange), one bounded journey window (a
+    * user's touches between two conversions), one channel aggregation
+    * with map-side combining. No driver state. */
+  def attribution(
+      events: DataFrame,
+      conversionType: String,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "uts",
+      idCol: String = "event_id",
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val wRun = Window.partitionBy(col("u")).orderBy(col("ts"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("ch"),
+        col(tsCol).as("ts"), col(idCol).as("eid"))
+      .withColumn("is_conv",
+        (col("ch") === conversionType).cast("int"))
+      .withColumn("conv_run", sum(col("is_conv")).over(wRun))
+    val touches = e.where(col("is_conv") === 0)
+      .select(col("u"), col("ch"), col("ts"), col("eid"),
+        (col("conv_run") + 1).as("conv_no"))
+    val convs = e.where(col("is_conv") === 1)
+      .select(col("u"), col("conv_run").as("conv_no"))
+    val wj = Window.partitionBy(col("u"), col("conv_no"))
+    val ranked = touches.join(convs, Seq("u", "conv_no"))
+      .withColumn("n", count(lit(1)).over(wj))
+      .withColumn("rn_a",
+        row_number().over(wj.orderBy(col("ts"), col("eid"))))
+      .withColumn("rn_d",
+        row_number().over(wj.orderBy(col("ts").desc, col("eid").desc)))
+    ranked.groupBy(col("ch").as(typeCol))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("u"), col("conv_no")).as("n_journeys"),
+        sum(when(col("rn_a") === 1, 1L).otherwise(0L)).cast(LongType)
+          .as("credit_first"),
+        sum(when(col("rn_d") === 1, 1L).otherwise(0L)).cast(LongType)
+          .as("credit_last"),
+        round(sum((lit(1.0) / col("n")).cast(DecimalType(28, 14)))
+          .cast("double"), roundTo).as("credit_linear"))
+      .orderBy(typeCol)
+  }
 }

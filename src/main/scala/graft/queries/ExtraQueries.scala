@@ -1568,8 +1568,54 @@ object ExtraQueries extends QueryGroup {
                 ln(1 - 2 * abs(u - 0.5))), 4) AS noisy_count
             FROM l ORDER BY event_type, day"""))
 
+  val q177 = QueryDef(
+    "q177_multitouch_attribution",
+    "multi-touch attribution over purchase journeys: every " +
+      "non-conversion event belongs to its user's NEXT purchase " +
+      "(journeys reset at each conversion; unconverted tail touches " +
+      "drop) - per channel, first-touch / last-touch / linear credit, " +
+      "the (ts, event_id) total order pinning every tie and linear " +
+      "credits accumulating in exact decimal",
+    (s, dir) =>
+      graft.operators.Funnel.attribution(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), us(col("ts")).as("uts")),
+        conversionType = "purchase"),
+    Some("""WITH e AS (SELECT user_id AS u, event_type AS ch,
+                epoch_us(ts) AS uts, event_id AS eid,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  AS is_conv
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            r AS (SELECT *, SUM(is_conv) OVER (PARTITION BY u
+                ORDER BY uts, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS conv_run FROM e),
+            t AS (SELECT u, ch, uts, eid, conv_run + 1 AS conv_no
+              FROM r WHERE is_conv = 0),
+            c AS (SELECT u, conv_run AS conv_no FROM r WHERE is_conv = 1),
+            j AS (SELECT t.u, t.ch, t.uts, t.eid, t.conv_no
+              FROM t JOIN c ON t.u = c.u AND t.conv_no = c.conv_no),
+            k AS (SELECT u, ch, conv_no,
+                COUNT(*) OVER (PARTITION BY u, conv_no) AS n,
+                ROW_NUMBER() OVER (PARTITION BY u, conv_no
+                  ORDER BY uts, eid) AS rn_a,
+                ROW_NUMBER() OVER (PARTITION BY u, conv_no
+                  ORDER BY uts DESC, eid DESC) AS rn_d
+              FROM j)
+            SELECT ch AS event_type, COUNT(*) AS n_touches,
+              COUNT(DISTINCT (u, conv_no)) AS n_journeys,
+              CAST(SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS credit_first,
+              CAST(SUM(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS credit_last,
+              ROUND(CAST(SUM(CAST(1.0 / n AS DECIMAL(28,14))) AS DOUBLE), 6)
+                AS credit_linear
+            FROM k GROUP BY ch ORDER BY ch"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-      q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172)
+      q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
+      q177)
 }

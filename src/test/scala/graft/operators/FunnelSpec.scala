@@ -200,4 +200,40 @@ class FunnelSpec extends SparkSpecBase {
     val one = Funnel.rateAnomalies(Seq(1L, 2L).toDF("uts"), bucketUs = 10L).collect()
     assert(one.length === 1 && one.head.isNullAt(2) && !one.head.getBoolean(3))
   }
+
+  test("attribution: hand-computed journeys, credit models, unconverted tail drops") {
+    val s = spark; import s.implicits._
+    // user 1: ad(t1) email(t2) BUY(t3) ad(t4) BUY(t5) ad(t6)   <- t6 unattributed
+    // user 2: email(t1) BUY(t2)
+    // user 3: ad(t1)                                            <- never converts
+    val events = Seq(
+      (10L, 1L, "ad", 1L), (11L, 1L, "email", 2L), (12L, 1L, "buy", 3L),
+      (13L, 1L, "ad", 4L), (14L, 1L, "buy", 5L), (15L, 1L, "ad", 6L),
+      (20L, 2L, "email", 1L), (21L, 2L, "buy", 2L),
+      (30L, 3L, "ad", 1L)
+    ).toDF("event_id", "user_id", "event_type", "uts")
+    val got = Funnel.attribution(events, "buy").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // journeys: u1#1 = {ad, email}, u1#2 = {ad}, u2#1 = {email}
+    assert(got("ad") === ((2L, 2L, 2L, 1L, 1.5)),
+      "ad: opens u1#1 and u1#2, closes u1#2, linear 0.5 + 1.0")
+    assert(got("email") === ((2L, 2L, 1L, 2L, 1.5)),
+      "email: opens u2#1, closes u1#1 and u2#1, linear 0.5 + 1.0")
+    assert(!got.contains("buy"), "conversions are never touches")
+    // total linear credit = number of credited journeys
+    assert(got.values.map(_._5).sum === 3.0)
+  }
+
+  test("attribution: ts ties break on the id total order, deterministically") {
+    val s = spark; import s.implicits._
+    val events = Seq(
+      (1L, 1L, "a", 100L), (2L, 1L, "b", 100L), (3L, 1L, "buy", 200L)
+    ).toDF("event_id", "user_id", "event_type", "uts")
+    val got = Funnel.attribution(events, "buy").collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") === ((1L, 0L)), "lower event_id opens the tied journey")
+    assert(got("b") === ((0L, 1L)), "higher event_id closes it")
+  }
 }

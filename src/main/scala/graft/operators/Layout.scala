@@ -98,4 +98,56 @@ object Layout {
           .otherwise(lit(0.0)).as("overlap_ratio"),
         (col("overlap_pairs") === 0).as("well_clustered"))
   }
+
+  /** Zone-map pruning estimate — the data-skipping effectiveness audit
+    * that closes the layout loop: [[clusteringHealth]] says whether a
+    * layout has DECAYED; this says what that costs, per representative
+    * query range, BEFORE running anything against the data. For each
+    * query `[qlo, qhi]`, a file must be read iff its zone `[lo, hi]`
+    * intersects the range (`lo ≤ qhi AND hi ≥ qlo`); files with NULL
+    * zone bounds are UNPRUNABLE and always read (exactly how an engine
+    * treats a missing statistic — the estimate must not be more
+    * optimistic than the scanner). Output per query: file/byte totals,
+    * files/bytes read, and the file/byte skip ratios a healthy layout
+    * should keep high.
+    *
+    * Scale shape: manifest × query-set cross join with the QUERY side
+    * broadcast — the manifest is model-sized by this module's contract
+    * and the representative query set is smaller still, so the product
+    * is bounded and never touches the data; one aggregation with
+    * map-side combining on the query key. */
+  def pruningEstimate(
+      ranges: DataFrame,
+      queries: DataFrame,
+      fileCol: String,
+      bytesCol: String,
+      loCol: String,
+      hiCol: String,
+      qidCol: String = "qid",
+      qloCol: String = "qlo",
+      qhiCol: String = "qhi",
+      roundTo: Int = 6): DataFrame = {
+    val m = ranges.select(col(fileCol).as("f"),
+      col(bytesCol).cast("long").as("b"),
+      col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
+    val q = broadcast(queries.select(col(qidCol).as("qid"),
+      col(qloCol).cast("long").as("qlo"),
+      col(qhiCol).cast("long").as("qhi")))
+    val read =
+      coalesce(col("lo") <= col("qhi") && col("hi") >= col("qlo"), lit(true))
+    m.crossJoin(q)
+      .groupBy("qid", "qlo", "qhi")
+      .agg(count(lit(1)).as("files_total"),
+        sum(col("b")).as("bytes_total"),
+        count(when(read, 1)).as("files_read"),
+        coalesce(sum(when(read, col("b"))), lit(0L)).as("bytes_read"))
+      .select(col("qid"), col("qlo"), col("qhi"),
+        col("files_total"), col("files_read"),
+        col("bytes_total"), col("bytes_read"),
+        round(lit(1.0) - col("files_read") * lit(1.0) / col("files_total"),
+          roundTo).as("file_skip_ratio"),
+        round(lit(1.0) - col("bytes_read") * lit(1.0) / col("bytes_total"),
+          roundTo).as("byte_skip_ratio"))
+      .orderBy("qid")
+  }
 }

@@ -1613,9 +1613,68 @@ object ExtraQueries extends QueryGroup {
                 AS credit_linear
             FROM k GROUP BY ch ORDER BY ch"""))
 
+  val q178 = QueryDef(
+    "q178_zonemap_pruning_estimate",
+    "zone-map pruning estimate - the data-skipping audit closing the " +
+      "q158 layout loop: the same two simulated lineitem layouts " +
+      "(orderkey-range files vs hash files) priced against three " +
+      "representative orderkey ranges; the range layout skips most " +
+      "files, the hash layout reads everything - the number that " +
+      "justifies a re-OPTIMIZE before any scan runs",
+    (s, dir) => {
+      import s.implicits._
+      val L = graft.operators.Layout
+      val l = t(s, dir, "lineitem")
+      def manifest(fid: org.apache.spark.sql.Column) = l
+        .groupBy(fid.as("file"))
+        .agg((sum(pmod(col("l_partkey"), lit(1000L))) + count(lit(1)) * 64)
+          .cast("long").as("bytes"),
+          min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      val qs = Seq((1L, 0L, 999L), (2L, 2500L, 3500L), (3L, 0L, 10000000L))
+        .toDF("qid", "qlo", "qhi")
+      def priced(name: String, fid: org.apache.spark.sql.Column) =
+        L.pruningEstimate(manifest(fid), qs, "file", "bytes", "lo", "hi")
+          .withColumn("layout", lit(name))
+      priced("range", graft.operators.ZOrder.intDiv(col("l_orderkey"), lit(2000L)))
+        .unionByName(priced("hash", pmod(col("l_orderkey"), lit(32L))))
+        .orderBy("layout", "qid")
+    },
+    Some("""WITH man_r AS (SELECT l_orderkey // 2000 AS file,
+                CAST(SUM(l_partkey % 1000) + COUNT(*) * 64 AS BIGINT) AS bytes,
+                MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+              FROM lineitem GROUP BY 1),
+            man_h AS (SELECT l_orderkey % 32 AS file,
+                CAST(SUM(l_partkey % 1000) + COUNT(*) * 64 AS BIGINT) AS bytes,
+                MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+              FROM lineitem GROUP BY 1),
+            qs AS (SELECT * FROM (VALUES (1, 0, 999), (2, 2500, 3500),
+                (3, 0, 10000000)) AS t(qid, qlo, qhi)),
+            pr AS (SELECT 'range' AS layout, qid, qlo, qhi, bytes,
+                (lo <= qhi AND hi >= qlo) AS rd
+              FROM man_r CROSS JOIN qs
+              UNION ALL
+              SELECT 'hash' AS layout, qid, qlo, qhi, bytes,
+                (lo <= qhi AND hi >= qlo) AS rd
+              FROM man_h CROSS JOIN qs)
+            SELECT CAST(qid AS BIGINT) AS qid, CAST(qlo AS BIGINT) AS qlo,
+              CAST(qhi AS BIGINT) AS qhi,
+              CAST(COUNT(*) AS BIGINT) AS files_total,
+              CAST(SUM(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT)
+                AS files_read,
+              CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+              CAST(SUM(CASE WHEN rd THEN bytes ELSE 0 END) AS BIGINT)
+                AS bytes_read,
+              ROUND(1.0 - SUM(CASE WHEN rd THEN 1 ELSE 0 END) * 1.0 /
+                COUNT(*), 6) AS file_skip_ratio,
+              ROUND(1.0 - SUM(CASE WHEN rd THEN bytes ELSE 0 END) * 1.0 /
+                SUM(bytes), 6) AS byte_skip_ratio,
+              layout
+            FROM pr GROUP BY layout, qid, qlo, qhi
+            ORDER BY layout, qid"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177)
+      q177, q178)
 }

@@ -120,4 +120,28 @@ class LayoutSpec extends SparkSpecBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("pruningEstimate: hand-computed skipping, NULL zones always read, plan broadcasts") {
+    val s = spark; import s.implicits._
+    val man = Seq(
+      ("f1", 100L, Some(0L), Some(9L)),
+      ("f2", 200L, Some(10L), Some(19L)),
+      ("f3", 400L, Some(20L), Some(29L)),
+      ("f4", 800L, None, None)            // stat-less: unprunable
+    ).toDF("file", "bytes", "lo", "hi")
+    val qs = Seq((1L, 0L, 9L), (2L, 15L, 25L), (3L, 100L, 200L))
+      .toDF("qid", "qlo", "qhi")
+    val est = Layout.pruningEstimate(man, qs, "file", "bytes", "lo", "hi")
+    val got = est.collect().map(r => r.getLong(0) ->
+      ((r.getLong(4), r.getLong(6), r.getDouble(7), r.getDouble(8)))).toMap
+    // q1 hits f1 only (+f4 unprunable): 2 files, 900 bytes
+    assert(got(1L) === ((2L, 900L, 0.5, 1.0 - 900.0 / 1500.0)))
+    // q2 straddles f2/f3 (+f4): 3 files
+    assert(got(2L)._1 === 3L && got(2L)._2 === 1400L)
+    // q3 misses every zone: only the stat-less file reads
+    assert(got(3L) === ((1L, 800L, 0.75, 0.466667)), "ratios round to 6")
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Broadcast"),
+      s"query side must broadcast:\n$plan")
+  }
 }

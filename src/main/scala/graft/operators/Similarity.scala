@@ -1007,4 +1007,62 @@ object Similarity {
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     } finally assigned.unpersist()
   }
+
+  /** Within-class semantic diversity WITHOUT pair enumeration — the
+    * sum-vector identity: over unit vectors,
+    *   Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σᵢ v̂ᵢ‖² − Σᵢ‖v̂ᵢ‖²,
+    * so the mean pairwise cosine of a class needs only its per-dimension
+    * component sums — O(n·dim) and ONE aggregation where the naive form
+    * is O(n²·dim) pairs. The curation read: a class (cluster, source,
+    * dedup bucket) with mean pairwise cosine near 1 is semantically
+    * collapsed (near-dup mass, a SemDeDup candidate); near 0, diverse.
+    *
+    * Determinism (the q90 quantized-space discipline): vectors L2-
+    * normalize in double (staged norm — the lambda-CSE rule), each unit
+    * component quantizes to `round(v̂_d·10^q)` integers, and EVERY sum
+    * thereafter is exact integer/decimal arithmetic — the metric is
+    * DEFINED on the quantized unit vectors (error ≤ dim·10⁻ᑫ per pair),
+    * one fixed-order double division at the end. Zero/NaN-norm vectors
+    * drop ([[withNorm]]'s contract); singleton classes surface with NULL
+    * cosine (no pair evidence), never a fabricated 0.
+    *
+    * Scale shape: one posexplode over staged unit vectors; the
+    * (label, dim) sums and per-vector self-dots both collapse map-side;
+    * downstream frames are labels×dim and labels-sized. No pair join
+    * anywhere. */
+  def classDiversity(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      quantDecimals: Int = 6,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val DEC = DecimalType(38, 0)
+    val scale = math.pow(10.0, quantDecimals)
+    val staged = withNorm(
+      df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        col(vecCol).as("v_")), "v_", "n_")
+      .select(col("id"), col("lbl"),
+        transform(col("v_"), x => x.cast(DoubleType) / col("n_")).as("vn"))
+    val ex = staged
+      .select(col("id"), col("lbl"), posexplode(col("vn")).as(Seq("pos", "v")))
+      .select(col("id"), col("lbl"), col("pos"),
+        round(col("v") * scale).cast(LongType).as("vq"))
+    // per-vector self-dot: ≤ dim·10^2q — long-safe at any real dim/q
+    val perVec = ex.groupBy("lbl", "id")
+      .agg(sum(col("vq") * col("vq")).as("sq"))
+    val sums = ex.groupBy("lbl", "pos").agg(sum(col("vq")).as("sd"))
+    val s2 = sums.groupBy("lbl")
+      .agg(sum(col("sd").cast(DEC) * col("sd").cast(DEC)).as("s2"))
+    val pv = perVec.groupBy("lbl")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sq").cast(DEC)).as("qsum"))
+    pv.join(s2, "lbl")
+      .select(col("lbl").as(labelCol), col("n_vecs"),
+        when(col("n_vecs") > 1,
+          round(
+            (col("s2") - col("qsum")).cast(DoubleType) / lit(scale * scale) /
+              (col("n_vecs") * (col("n_vecs") - 1)).cast(DoubleType),
+            roundTo)).as("mean_pairwise_cos"))
+  }
 }

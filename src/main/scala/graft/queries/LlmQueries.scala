@@ -4517,6 +4517,44 @@ object LlmQueries extends QueryGroup {
                 ELSE 0 END AS n_alloc
             FROM w CROSS JOIN tot ORDER BY c_mktsegment"""))
 
+  val q179 = QueryDef(
+    "q179_class_diversity_sumvector",
+    "within-class semantic diversity WITHOUT pair enumeration - the " +
+      "sum-vector identity (mean pairwise cosine of unit vectors from " +
+      "per-dimension component sums, O(n*dim) vs O(n^2*dim) pairs): " +
+      "per embedding label, n and the mean pairwise cosine on the " +
+      "q90-style quantized unit vectors - exact integer sums, one " +
+      "fixed-order double division",
+    (s, dir) =>
+      Similarity.classDiversity(
+          t(s, dir, "embeddings").withColumn("label", col("label").cast("long")))
+        .orderBy("label"),
+    Some("""WITH v0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            n0 AS (SELECT vec_id, label, e,
+                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+              FROM v0),
+            f0 AS (SELECT * FROM n0 WHERE NOT isnan(nrm) AND nrm > 0),
+            ex AS (SELECT vec_id, label, i AS pos,
+                CAST(ROUND(e[i] / nrm * 1000000) AS BIGINT) AS vq
+              FROM (SELECT vec_id, label, e, nrm,
+                      unnest(generate_series(1, len(e))) AS i FROM f0)),
+            pv AS (SELECT label, vec_id,
+                SUM(CAST(vq AS HUGEINT) * vq) AS sq FROM ex GROUP BY 1, 2),
+            sd AS (SELECT label, pos, CAST(SUM(vq) AS BIGINT) AS s
+              FROM ex GROUP BY 1, 2),
+            s2 AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS s2
+              FROM sd GROUP BY 1),
+            ag AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                SUM(sq) AS qsum FROM pv GROUP BY 1)
+            SELECT ag.label, n_vecs,
+              CASE WHEN n_vecs > 1 THEN
+                ROUND(CAST(s2 - qsum AS DOUBLE) / 1000000000000.0 /
+                  CAST(n_vecs * (n_vecs - 1) AS DOUBLE), 6) END
+                AS mean_pairwise_cos
+            FROM ag JOIN s2 USING (label) ORDER BY label"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4525,5 +4563,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179)
 }

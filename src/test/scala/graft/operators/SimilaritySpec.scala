@@ -459,4 +459,37 @@ class SimilaritySpec extends SparkSpecBase {
     val none = Similarity.marginBitextPairs(src, tgt, k = 5, minMargin = 10.0)
     assert(none.count() === 0L, "an unreachable threshold mines nothing")
   }
+
+  test("classDiversity equals the brute-force mean pairwise cosine; degenerate classes behave") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val varied = Seq.fill(12)(vec())
+    val collapsed = Seq.fill(5)(Seq.fill(8)(0.5f)) // identical: cos = 1
+    val rows =
+      varied.zipWithIndex.map { case (v, i) => (i.toLong, v, 1L) } ++
+        collapsed.zipWithIndex.map { case (v, i) => (100L + i, v, 2L) } ++
+        Seq((200L, vec(), 3L),                       // singleton
+          (201L, Seq.fill(8)(0.0f), 4L),             // zero vector drops
+          (202L, vec(), 4L))
+    val got = Similarity.classDiversity(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    def unit(v: Seq[Float]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      v.map(_.toDouble / n)
+    }
+    val us = varied.map(unit)
+    val pairs = for (i <- us.indices; j <- us.indices if i != j)
+      yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum
+    val brute = pairs.sum / pairs.size
+    assert(math.abs(got(1L)._2.get - brute) < 1e-4,
+      s"sum-vector identity vs brute force: ${got(1L)._2.get} vs $brute")
+    assert(got(2L)._1 === 5L && math.abs(got(2L)._2.get - 1.0) < 1e-5,
+      "a collapsed class reads mean cosine ~1")
+    assert(got(3L) === ((1L, None)), "singleton class: NULL, not a fabricated 0")
+    assert(got(4L)._1 === 1L && got(4L)._2 === None,
+      "zero vector drops; the class degrades to a singleton")
+  }
 }

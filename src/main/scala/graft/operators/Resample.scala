@@ -107,4 +107,52 @@ object Resample {
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         last(col("__v"), ignoreNulls = true).over(w).as(valueCol)): _*)
   }
+
+  /** Ingest-completeness gap ledger — the missing-bucket runs of each
+    * stream, WITHOUT generating the expected grid: consecutive observed
+    * buckets are compared with one `lag`, and every jump > 1 bucket is a
+    * gap run `[prev+1, cur−1]`. O(observed buckets) regardless of span —
+    * the deliberate complement of [[locfGrid]]'s O(expected) grid (a
+    * source dark for a year emits ONE ledger row here, not 3·10⁷ grid
+    * rows), so this is the monitor you run ACROSS a fleet of streams to
+    * decide where a backfill (or a locfGrid) is even needed.
+    *
+    * Output: (keys*, gap_start_slot, gap_end_slot, gap_start, n_missing)
+    * — one row per gap run, slot epoch = `floorDiv(unix_micros, bucketUs)`
+    * ([[locfGrid]]'s slotting, so ledgers and grids line up), `gap_start`
+    * the run's first missing bucket as NTZ timestamp. Keys with no gaps
+    * (or a single observed bucket) emit nothing: an EMPTY ledger is the
+    * healthy state. Leading/trailing darkness is invisible by
+    * construction — a stream's span is defined by its own first/last
+    * observation; compare spans across keys downstream if absolute
+    * coverage windows matter.
+    *
+    * Scale shape: one distinct-bucket aggregation (map-side combined —
+    * the event log collapses to observed buckets before any window), one
+    * window over the per-key bucket frame. No grid fan-out, no driver
+    * state. */
+  def coverageGaps(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs $bucketUs must be positive")
+    require(keyCols.nonEmpty, "at least one key column required")
+    val keys = keyCols.map(col)
+    val slot = ZOrder.floorDiv(
+      unix_micros(col(tsCol).cast("timestamp")), lit(bucketUs))
+    val buckets = df.where(col(tsCol).isNotNull)
+      .select(keys :+ slot.as("slot"): _*)
+      .groupBy(keys :+ col("slot"): _*).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(keys: _*).orderBy("slot")
+    buckets
+      .withColumn("__prev", lag(col("slot"), 1).over(w))
+      .where(col("__prev").isNotNull && col("slot") - col("__prev") > 1)
+      .select(keys ++ Seq(
+        (col("__prev") + 1).as("gap_start_slot"),
+        (col("slot") - 1).as("gap_end_slot"),
+        timestamp_micros((col("__prev") + 1) * bucketUs)
+          .cast("timestamp_ntz").as("gap_start"),
+        (col("slot") - col("__prev") - 1).as("n_missing")): _*)
+  }
 }

@@ -1672,9 +1672,65 @@ object ExtraQueries extends QueryGroup {
             FROM pr GROUP BY layout, qid, qlo, qhi
             ORDER BY layout, qid"""))
 
+  val q180 = QueryDef(
+    "q180_ingest_coverage_gaps",
+    "ingest-completeness gap ledger per event stream: missing minute-" +
+      "bucket RUNS from one lag over observed buckets - O(observed), " +
+      "never O(expected-grid) (a year-dark stream is ONE ledger row, " +
+      "not 3e7 grid rows); per type: observed/span buckets, gap count, " +
+      "missing total, worst gap, first gap start",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val bucketUs = 60000000L
+      val gaps = graft.operators.Resample.coverageGaps(
+        e.select(col("event_type"), col("ts")),
+        Seq("event_type"), "ts", bucketUs)
+      val obs = e.where(col("ts").isNotNull)
+        .select(col("event_type"),
+          graft.operators.ZOrder.floorDiv(us(col("ts")), lit(bucketUs))
+            .as("slot"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_obs"),
+          min("slot").as("s0"), max("slot").as("s1"))
+      val agg = gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("n_missing").as("missing_total"),
+          max("n_missing").as("max_gap"),
+          min("gap_start_slot").as("first_gap_slot"))
+      obs.join(agg, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_obs"),
+          (col("s1") - col("s0") + 1).as("span_buckets"),
+          coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+          coalesce(col("missing_total"), lit(0L)).as("missing_total"),
+          coalesce(col("max_gap"), lit(0L)).as("max_gap"),
+          col("first_gap_slot"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type, epoch_us(ts) // 60000000 AS slot
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            g AS (SELECT event_type, slot,
+                LAG(slot) OVER (PARTITION BY event_type ORDER BY slot)
+                  AS prev FROM b),
+            runs AS (SELECT event_type, prev + 1 AS gs,
+                slot - prev - 1 AS miss
+              FROM g WHERE prev IS NOT NULL AND slot - prev > 1),
+            obs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                MIN(slot) AS s0, MAX(slot) AS s1 FROM b GROUP BY 1),
+            agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                CAST(SUM(miss) AS BIGINT) AS missing_total,
+                CAST(MAX(miss) AS BIGINT) AS max_gap,
+                MIN(gs) AS first_gap_slot FROM runs GROUP BY 1)
+            SELECT o.event_type, n_obs, s1 - s0 + 1 AS span_buckets,
+              COALESCE(n_gaps, 0) AS n_gaps,
+              COALESCE(missing_total, 0) AS missing_total,
+              COALESCE(max_gap, 0) AS max_gap, first_gap_slot
+            FROM obs o LEFT JOIN agg USING (event_type)
+            ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178)
+      q177, q178, q180)
 }

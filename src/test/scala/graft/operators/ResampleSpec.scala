@@ -102,4 +102,22 @@ class ResampleSpec extends SparkSpecBase {
     assert(all.contains("locfGrid") && all.contains("hot") && all.contains("101"),
       s"error must name the operator, key, and span; got: $all")
   }
+
+  test("coverageGaps: hand-computed runs; healthy and singleton streams emit nothing") {
+    val s = spark; import s.implicits._
+    def ts(slot: Long) = new java.sql.Timestamp(slot * 60000L) // 1-min buckets
+    // a: slots 0,1,5,6,9 -> gaps [2,4] (3) and [7,8] (2)
+    // b: slots 0,1,2     -> no gaps; c: slot 7 alone -> no gaps
+    val df = (Seq(0L, 1L, 5L, 6L, 9L).map(("a", _)) ++
+      Seq(0L, 1L, 2L).map(("b", _)) ++ Seq(("c", 7L)))
+      .map { case (k, sl) => (k, ts(sl)) }.toDF("k", "ts")
+    val got = Resample.coverageGaps(df, Seq("k"), "ts", bucketUs = 60000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSet === Set(("a", 2L, 4L, 3L), ("a", 7L, 8L, 2L)),
+      s"expected exactly a's two runs, got ${got.toSeq}")
+    // duplicate observations within a bucket change nothing
+    val dup = Resample.coverageGaps(df.union(df), Seq("k"), "ts", 60000000L)
+    assert(dup.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
+      Seq(("a", 2L), ("a", 7L)))
+  }
 }

@@ -34,6 +34,45 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-slice duplication matrix — which slices (sources, scrapes,
+    * snapshots) duplicate into which: per slice pair, the number of
+    * shared distinct contents and the content-set Jaccard. The curation
+    * read on a multi-scrape corpus: a pair with high Jaccard is the same
+    * crawl ingested twice (drop one), a one-sided overlap
+    * (shared ≈ n_a ≪ n_b) is a subset mirror — both invisible to
+    * per-slice dedup accounting ([[dedupAccounting]]) which only says
+    * HOW MUCH is duplicated, not WITH WHOM.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (content-hash, slice)
+    * pairs first (one map-side-combined aggregation; 32-byte hash
+    * currency, text never shuffles); the self-join on the hash is
+    * co-partitioned, and its fan-out per hash is bounded by the SLICE
+    * count (C(s,2) pairs worst-case for a content present everywhere) —
+    * never corpus². Per-slice totals are a slices-sized broadcast.
+    * Pairs emit once with `slice_a < slice_b`; disjoint pairs emit
+    * nothing (an absent row IS the zero). */
+  def crossSliceOverlap(
+      df: DataFrame,
+      textCol: String = "text",
+      sliceCol: String = "source",
+      roundTo: Int = 4): DataFrame = {
+    val hs = df.select(sha2(col(textCol), 256).as("h"), col(sliceCol).as("sl"))
+      .distinct()
+    val per = hs.groupBy("sl").agg(count(lit(1)).as("n"))
+    val shared = hs.select(col("h"), col("sl").as("sl_a"))
+      .join(hs.select(col("h"), col("sl").as("sl_b")), Seq("h"))
+      .where(col("sl_a") < col("sl_b"))
+      .groupBy("sl_a", "sl_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(per.select(col("sl").as("sl_a"), col("n").as("n_a"))), "sl_a")
+      .join(broadcast(per.select(col("sl").as("sl_b"), col("n").as("n_b"))), "sl_b")
+      .select(col("sl_a"), col("sl_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared") * lit(1.0) /
+          (col("n_a") + col("n_b") - col("shared")), roundTo).as("jaccard"))
+      .orderBy("sl_a", "sl_b")
+  }
+
   /** Incremental exact dedup — the ingest-time form: keep only rows of
     * `incoming` whose content hash does NOT appear in the historical
     * corpus. `incoming` may be a STREAMING frame (stream–static left-anti

@@ -4555,6 +4555,42 @@ object LlmQueries extends QueryGroup {
                 AS mean_pairwise_cos
             FROM ag JOIN s2 USING (label) ORDER BY label"""))
 
+  val q181 = QueryDef(
+    "q181_cross_source_duplication",
+    "cross-source duplication matrix: every 2nd doc re-ingested under " +
+      "the NEXT source (the mirror-scrape shape) - per source pair, " +
+      "shared distinct contents and content-set Jaccard from the " +
+      "distinct (sha256, source) frame; the self-join fans out per " +
+      "CONTENT by slice count only, text never shuffles",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val copies = d.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"),
+          concat(lit("src"),
+            pmod(pmod(col("doc_id"), lit(20)) + 1, lit(20)).cast("string"))
+            .as("source"))
+      Dedup.crossSliceOverlap(
+        d.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(copies))
+    },
+    Some("""WITH g AS (SELECT text, source FROM documents
+              UNION ALL
+              SELECT text,
+                'src' || CAST((doc_id % 20 + 1) % 20 AS VARCHAR) AS source
+              FROM documents WHERE doc_id % 2 = 0),
+            hs AS (SELECT DISTINCT sha256(text) AS h, source AS sl FROM g),
+            per AS (SELECT sl, CAST(COUNT(*) AS BIGINT) AS n FROM hs
+              GROUP BY sl),
+            sh AS (SELECT a.sl AS sl_a, b.sl AS sl_b,
+                CAST(COUNT(*) AS BIGINT) AS shared
+              FROM hs a JOIN hs b ON a.h = b.h AND a.sl < b.sl
+              GROUP BY 1, 2)
+            SELECT sl_a, sl_b, shared, pa.n AS n_a, pb.n AS n_b,
+              ROUND(shared * 1.0 / (pa.n + pb.n - shared), 4) AS jaccard
+            FROM sh JOIN per pa ON sh.sl_a = pa.sl
+                    JOIN per pb ON sh.sl_b = pb.sl
+            ORDER BY sl_a, sl_b"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4563,5 +4599,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181)
 }

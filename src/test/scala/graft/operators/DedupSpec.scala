@@ -1057,4 +1057,26 @@ class DedupSpec extends SparkSpecBase {
     assert((rows.head.getLong(0), rows.head.getLong(1)) === ((1L, 2L)))
     assert(rows.head.getDouble(5) === 1.0)
   }
+
+  test("crossSliceOverlap: hand-computed matrix; within-slice dups collapse; disjoint pairs absent") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(
+      ("x", "A"), ("y", "A"), ("z", "A"),
+      ("x", "B"), ("y", "B"),        // B shares x,y with A
+      ("x", "B"),                    // within-slice dup: counts once
+      ("y", "C"),                    // C shares y with A and B
+      ("q", "D")                     // D disjoint from everyone
+    ).toDF("text", "source")
+    val got = Dedup.crossSliceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("A", "B")) === ((2L, 3L, 2L, round4(2.0 / 3))),
+      "A∩B = {x,y}; the duplicate x in B counts once")
+    assert(got(("A", "C")) === ((1L, 3L, 1L, round4(1.0 / 3))))
+    assert(got(("B", "C")) === ((1L, 2L, 1L, 0.5)))
+    assert(got.size === 3, "disjoint pairs emit nothing — absence IS the zero")
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -281,4 +281,50 @@ object Retrieval {
         round((coalesce(col("dcg_"), lit(0)) / col("idcg_")).cast(DoubleType), 6)
           .as("ndcg"))
   }
+
+  /** TF-IDF salient terms — the classic per-document keyword extraction
+    * (the summarization/labeling primitive next to BM25's RANKING use of
+    * the same statistics): per doc, the top-k terms by
+    * `tf · (ln((N+1)/(df+1)) + 1)` (the standard smoothed idf — never
+    * log-of-zero, corpus-wide terms score the floor 1·tf, not 0, so a
+    * doc that is ALL stopwords still gets keywords).
+    *
+    * Determinism: the score ROUNDS to `roundTo` before ranking and ties
+    * break on the term string (the q36 rounded-then-ranked rule), so
+    * rank order survives float-summation and engine differences; `ln` is
+    * the q91/q172-precedent libm call, absorbed by the rounding.
+    *
+    * Scale shape: one (doc, term) aggregation with map-side combining
+    * (term hashes would halve the currency but the OUTPUT is the term
+    * string — strings shuffle once, already aggregated), one vocabulary-
+    * sized df join (AQE broadcasts when it fits), a 1-row N broadcast,
+    * then the [[graft.plans.TopK]] heap trim — each partition trims to
+    * ≤ k rows per doc BEFORE the exchange. */
+  def salientTerms(
+      df: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"salientTerms: k $k must be >= 1")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df
+      .select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("toks"))
+      .repartition(par)
+      .select(col("id"), explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull && col("term") =!= "")
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"),
+        round(col("tf") *
+          (log((col("n_docs") + 1).cast(DoubleType) / (col("dfreq") + 1))
+            + 1), roundTo).as("tfidf"))
+    graft.plans.TopK.perKey(scored, Seq(col("id")),
+        Seq(col("tfidf").desc, col("term")), k, rankName = "rank")
+      .select(col("id").as(idCol), col("rank").cast(LongType).as("rank"),
+        col("term"), col("tf"), col("tfidf"))
+  }
 }

@@ -4591,6 +4591,37 @@ object LlmQueries extends QueryGroup {
                     JOIN per pb ON sh.sl_b = pb.sl
             ORDER BY sl_a, sl_b"""))
 
+  val q182 = QueryDef(
+    "q182_tfidf_salient_terms",
+    "TF-IDF salient terms: top-3 keywords per document under the " +
+      "smoothed idf tf*(ln((N+1)/(df+1))+1), score rounded BEFORE " +
+      "ranking with term-string tie-breaks (the q36 rule) so rank " +
+      "order is engine-stable; top-k rides the TopKPerKey heap " +
+      "(partition-local trim before the exchange)",
+    (s, dir) =>
+      graft.operators.Retrieval.salientTerms(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rank"),
+    Some("""WITH tok AS (SELECT doc_id AS id,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                  w -> w <> '')) AS term
+              FROM documents),
+            tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq
+              FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+            sc AS (SELECT id, term, tf,
+                ROUND(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (dfreq + 1))
+                  + 1), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            r AS (SELECT id, term, tf, tfidf,
+                ROW_NUMBER() OVER (PARTITION BY id
+                  ORDER BY tfidf DESC, term) AS rank
+              FROM sc)
+            SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+              tfidf
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4599,5 +4630,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182)
 }

@@ -161,4 +161,27 @@ class RetrievalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), k0 = 0))
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), topK = 0))
   }
+
+  test("salientTerms: hand-computed tf-idf, smoothed idf floor, term tie-break") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common Common")      // case folds; all-stopword doc
+    ).toDF("doc_id", "text")
+    val got = Retrieval.salientTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    def idf(df: Long): Double = math.log(4.0 / (df + 1)) + 1
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: apple tf=2 df=1 -> 2*(ln2+1); banana tf=1 df=2
+    assert(got((1L, 1L)) === (("apple", 2L, r6(2 * idf(1)))))
+    assert(got((1L, 2L)) === (("banana", 1L, r6(idf(2)))))
+    // doc3: 'common' df=3 -> idf = ln(4/4)+1 = 1 exactly; tf=3 after fold
+    assert(got((3L, 1L)) === (("common", 3L, 3.0)),
+      "smoothed idf floors at 1; an all-stopword doc still gets keywords")
+    // doc2: banana and cherry — cherry (df=1) outscores banana (df=2)
+    assert(got((2L, 1L))._1 === "cherry" && got((2L, 2L))._1 === "banana")
+  }
 }

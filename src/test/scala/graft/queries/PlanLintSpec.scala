@@ -117,7 +117,17 @@ class PlanLintSpec extends SparkSpecBase {
     "q167_k_anonymity_profile",
     // q169: the 1-row doc-count frame crossJoined onto the chunk-hash
     // aggregate for the relative share threshold — q61's one-row class
-    "q169_cdc_duplicate_chunks")
+    "q169_cdc_duplicate_chunks",
+    // q176: Neyman allocation's 1-row total-weight frame crossJoined
+    // onto the strata-sized weights frame — q61's one-row class
+    "q176_neyman_allocation",
+    // q178: the representative-query frame (3 literal rows) broadcast
+    // against the model-sized manifest — the documented manifest×query
+    // product (Layout.pruningEstimate), bounded by module contract
+    "q178_zonemap_pruning_estimate",
+    // q182: salientTerms' 1-row corpus-count frame crossJoined onto the
+    // (doc, term) tf frame for the idf — q61's one-row class
+    "q182_tfidf_salient_terms")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

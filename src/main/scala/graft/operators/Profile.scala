@@ -180,4 +180,53 @@ object Profile {
             concat_ws("/", col("n_distinct"), col("n_nonnull")))
           .otherwise(col("n_distinct").cast("string")).as("observed"))
   }
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
+    * fraud/fabrication screen every financial and telemetry QA runs):
+    * naturally-generated multi-scale magnitudes put digit d first with
+    * probability log₁₀(1 + 1/d); fabricated, truncated, or capped data
+    * does not. Output: one row per leading digit 1–9 with observed
+    * count/share, the Benford expectation, and the digit's χ²
+    * contribution `(n_d − N·p_d)² / (N·p_d)` — Σ over the 9 rows is the
+    * χ² statistic (8 dof) a caller compares to its threshold.
+    *
+    * The leading digit comes from the DECIMAL STRING rendering (values
+    * cast to `DECIMAL(38,6)` — plain notation in any engine, no
+    * E-notation hazard), first `[1-9]` char after sign/zeros/point
+    * strip; zero/NULL values carry no leading digit and are excluded
+    * from N. Expected shares compute in-engine (`ln(1+1/d)/ln 10`,
+    * rounded — the q91 libm-then-round rule), so no literal table has to
+    * match across engines. Digits with zero observations still emit
+    * (expected > 0 ⟹ a missing digit is χ² evidence, not a missing
+    * row). One narrow projection + one 9-bucket aggregation with
+    * map-side combining + a 1-row N broadcast. */
+  def benfordAudit(
+      df: DataFrame,
+      valueCol: Column,
+      roundTo: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digit = regexp_extract(
+      abs(valueCol).cast("decimal(38,6)").cast("string"), "[1-9]", 0)
+    val obs = df.select(digit.as("digit"))
+      .where(col("digit") =!= "")
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val digits = broadcast((1 to 9).map(_.toString).toDF("digit"))
+    val filled = digits.join(obs, Seq("digit"), "left")
+      .select(col("digit").cast("int").as("digit"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = filled.agg(sum(col("n")).as("nt"))
+    val exp = round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)),
+      roundTo)
+    filled.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") * lit(1.0) / col("nt"), roundTo).as("obs_share"),
+        exp.as("exp_share"),
+        // (n − N·p)² / (N·p) over the ROUNDED expectation — one fixed-
+        // order double expression, deterministic by IEEE arithmetic
+        round(
+          (col("n") - col("nt") * exp) * (col("n") - col("nt") * exp) /
+            (col("nt") * exp), roundTo).as("chi2_contrib"))
+      .orderBy("digit")
+  }
 }

@@ -4622,6 +4622,37 @@ object LlmQueries extends QueryGroup {
               tfidf
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  val q183 = QueryDef(
+    "q183_benford_first_digit",
+    "Benford first-digit audit (Newcomb 1881/Benford 1938 - the " +
+      "fabrication screen): leading-digit distribution of " +
+      "l_extendedprice vs log10(1+1/d), per-digit chi-square " +
+      "contributions; the leading digit reads from the DECIMAL string " +
+      "rendering (no E-notation hazard), expectations compute in-engine " +
+      "under the libm-then-round rule",
+    (s, dir) =>
+      graft.operators.Profile.benfordAudit(
+        t(s, dir, "lineitem"), col("l_extendedprice")),
+    Some("""WITH src AS (SELECT regexp_extract(CAST(CAST(ABS(
+                  l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR),
+                  '[1-9]', 0) AS digit
+              FROM lineitem),
+            obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM src
+              WHERE digit IS NOT NULL AND digit <> '' GROUP BY 1),
+            filled AS (SELECT CAST(t.d AS INTEGER) AS digit,
+                COALESCE(n, 0) AS n
+              FROM (SELECT unnest(range(1, 10)) AS d) t
+              LEFT JOIN obs ON CAST(t.d AS VARCHAR) = obs.digit),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM filled)
+            SELECT digit, n,
+              ROUND(n * 1.0 / nt, 6) AS obs_share,
+              ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS exp_share,
+              ROUND((n - nt * ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6)) *
+                    (n - nt * ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6)) /
+                    (nt * ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6)), 6)
+                AS chi2_contrib
+            FROM filled CROSS JOIN tot ORDER BY digit"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4630,5 +4661,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183)
 }

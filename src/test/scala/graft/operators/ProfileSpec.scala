@@ -89,4 +89,27 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(p("id") - 5L) <= 1L)
     assert(math.abs(p("lang") - 3L) <= 1L)
   }
+
+  test("benfordAudit: digit extraction, exclusions, all 9 rows, chi-square arithmetic") {
+    val s = spark; import s.implicits._
+    // leading digits: 1 (×3: 1.5, 0.019, 123.4), 9 (×1: -0.95), 2 (×1: 2e3 as 2000)
+    // excluded: 0.0, NULL
+    val vals = Seq(Some(1.5), Some(0.019), Some(123.4), Some(-0.95),
+      Some(2000.0), Some(0.0), None).toDF("v")
+    val got = Profile.benfordAudit(vals, col("v")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet === (1 to 9).toSet, "all 9 digits emit, observed or not")
+    assert(got(1)._1 === 3L && got(2)._1 === 1L && got(9)._1 === 1L)
+    assert((3 to 8).forall(got(_)._1 === 0L))
+    assert(got(1)._2 === 0.6, "N = 5: zeros and NULLs carry no leading digit")
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e1 = r6(math.log(2.0) / math.log(10.0))
+    assert(got(1)._3 === e1)
+    assert(got(1)._4 === r6((3 - 5 * e1) * (3 - 5 * e1) / (5 * e1)),
+      "chi2 contribution over the rounded expectation")
+    // an unobserved digit still contributes N·p to the statistic
+    val e5 = r6(math.log(1.2) / math.log(10.0))
+    assert(got(5)._4 === r6(5 * e5 * 5 * e5 / (5 * e5)))
+  }
 }

@@ -127,7 +127,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q178_zonemap_pruning_estimate",
     // q182: salientTerms' 1-row corpus-count frame crossJoined onto the
     // (doc, term) tf frame for the idf — q61's one-row class
-    "q182_tfidf_salient_terms")
+    "q182_tfidf_salient_terms",
+    // q183: benfordAudit's digit-domain left join (9 literal rows) and
+    // 1-row N attach — both bounded model frames, q61's one-row class
+    "q183_benford_first_digit")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -920,6 +920,44 @@ object Quality {
         col("r_alpha_words") && col("r_stop_words")).as("pass"))
   }
 
+  /** Confusion matrix — the classifier-vs-label audit every pipeline
+    * gate needs once any model-derived column (language guess, quality
+    * class, topic) must be trusted against a labeled slice: per
+    * (label, prediction) cell, the count, the label-row share (= recall
+    * on the diagonal) and the prediction-column share (= precision on
+    * the diagonal). NULL labels/predictions are excluded — absence of
+    * ground truth is not a class.
+    *
+    * Cells that never occur emit nothing (a dense label×pred grid is a
+    * presentation concern); `correct` marks the diagonal so
+    * `sum(n · correct) / sum(n)` is accuracy downstream.
+    *
+    * Scale shape: ONE corpus aggregation to the cells frame (map-side
+    * combined, |labels|·|preds| rows — model-sized); row/column totals
+    * are aggregations OF that frame, broadcast back. */
+  def confusionMatrix(
+      df: DataFrame,
+      labelCol: String,
+      predCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val cells = df
+      .where(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("label").agg(sum("n").as("label_total"))
+    val colTot = cells.groupBy("pred").agg(sum("n").as("pred_total"))
+    cells
+      .join(broadcast(rowTot), "label")
+      .join(broadcast(colTot), "pred")
+      .select(col("label").as(labelCol), col("pred").as(predCol), col("n"),
+        round(col("n") * lit(1.0) / col("label_total"), roundTo)
+          .as("row_share"),
+        round(col("n") * lit(1.0) / col("pred_total"), roundTo)
+          .as("col_share"),
+        (col("label") === col("pred")).as("correct"))
+      .orderBy(labelCol, predCol)
+  }
+
   /** The published C4 line-level cleanup (Raffel et al. 2020 §2.2 — the
     * other canonical web-corpus gate, [[gopherRules]]' line-granular
     * companion): per document,

@@ -4653,6 +4653,47 @@ object LlmQueries extends QueryGroup {
                 AS chi2_contrib
             FROM filled CROSS JOIN tot ORDER BY digit"""))
 
+  val q184 = QueryDef(
+    "q184_langid_confusion_matrix",
+    "classifier-vs-label confusion matrix: the stop-word language " +
+      "guesser scored against the declared lang column - per (label, " +
+      "guess) cell, count, label-row share (diagonal = recall) and " +
+      "guess-column share (diagonal = precision); the eval primitive " +
+      "any model-derived gate column needs against a labeled slice",
+    (s, dir) =>
+      Quality.confusionMatrix(
+        t(s, dir, "documents")
+          .select(col("lang"), TextOps.languageId(col("text")).as("guess")),
+        "lang", "guess"),
+    Some("""WITH h AS (
+              SELECT lang,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t))) AS BIGINT) AS en,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['el','la','los','de','que','y','en','un','una','por'], t))) AS BIGINT) AS es,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['der','die','das','und','ein','eine','zu','mit','von','ist'], t))) AS BIGINT) AS de,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['le','la','les','et','un','une','des','du','est','dans'], t))) AS BIGINT) AS fr
+              FROM documents),
+            g AS (SELECT lang,
+                CASE WHEN en > 0 AND en >= GREATEST(en, es, de, fr) THEN 'en'
+                     WHEN es > 0 AND es >= GREATEST(en, es, de, fr) THEN 'es'
+                     WHEN de > 0 AND de >= GREATEST(en, es, de, fr) THEN 'de'
+                     WHEN fr > 0 AND fr >= GREATEST(en, es, de, fr) THEN 'fr'
+                     ELSE 'und' END AS guess
+              FROM h),
+            cells AS (SELECT lang AS label, guess AS pred,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM g WHERE lang IS NOT NULL AND guess IS NOT NULL
+              GROUP BY 1, 2),
+            rt AS (SELECT label, CAST(SUM(n) AS BIGINT) AS lt FROM cells
+              GROUP BY 1),
+            ct AS (SELECT pred, CAST(SUM(n) AS BIGINT) AS pt FROM cells
+              GROUP BY 1)
+            SELECT label AS lang, pred AS guess, n,
+              ROUND(n * 1.0 / lt, 4) AS row_share,
+              ROUND(n * 1.0 / pt, 4) AS col_share,
+              (label = pred) AS correct
+            FROM cells JOIN rt USING (label) JOIN ct USING (pred)
+            ORDER BY lang, guess"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4661,5 +4702,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184)
 }

@@ -580,6 +580,25 @@ class QualitySpec extends SparkSpecBase {
     assert(got(7L).getAs[String]("drop_reason") === "too_few_sentences")
   }
 
+  test("confusionMatrix: hand-computed cells, shares, diagonal flags, NULL exclusion") {
+    val df = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de"), ("de", "en"),
+      (null.asInstanceOf[String], "en"), ("fr", null.asInstanceOf[String])
+    ).toDF("label", "pred")
+    val got = Quality.confusionMatrix(df, "label", "pred").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got(("en", "en")) === ((2L, round4s(2.0 / 3), round4s(2.0 / 3), true)))
+    assert(got(("en", "de")) === ((1L, round4s(1.0 / 3), 0.5, false)))
+    assert(got(("de", "de")) === ((1L, 0.5, 0.5, true)))
+    assert(got(("de", "en")) === ((1L, 0.5, round4s(1.0 / 3), false)))
+    assert(got.size === 4, "NULL labels/preds are excluded, absent cells emit nothing")
+  }
+
+  private def round4s(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("gopherRules plan: narrow projection chain, no shuffle beyond the spread") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Quality.gopherRules(docs).queryExecution.executedPlan.toString

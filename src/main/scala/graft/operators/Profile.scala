@@ -181,6 +181,66 @@ object Profile {
           .otherwise(col("n_distinct").cast("string")).as("observed"))
   }
 
+  /** Mass-concentration audit — Gini coefficient + top-share cuts of a
+    * weight distribution over groups (the domain-concentration read
+    * every corpus mix review makes: "what fraction of tokens come from
+    * the top source?"; a Gini near 1 means a handful of domains ARE the
+    * corpus, near 0 a flat mix). Uses the exact rank formula over
+    * ascending group mass
+    *   G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    * (i = 1-based ascending rank, ties broken by the group key — a
+    * total order, so the statistic is deterministic).
+    *
+    * Output one row: (n_groups, total, gini, top1_share,
+    * top_decile_share) — top decile = the ⌈n/10⌉ heaviest groups.
+    *
+    * Determinism: weights cast to integral, Σx and Σi·x accumulate in
+    * exact decimal, the final combination is one fixed-order double
+    * expression, rounded. Groups with NULL keys are excluded; negative
+    * weights are rejected row-wise via the integral cast contract
+    * (callers pass counts).
+    *
+    * Scale shape: ONE corpus aggregation to the groups frame; ranking
+    * rides [[Packing.withGlobalOffset]]'s two-pass range exchange (no
+    * single-task global window even on a pathological group count);
+    * the final stats are two aggregations OF the groups frame plus a
+    * 1-row broadcast. */
+  def concentration(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val DEC = DecimalType(38, 0)
+    val g = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
+      .agg(sum(weight.cast("long")).as("x"))
+      .withColumn("__one", lit(1L))
+    val ranked = Packing.withGlobalOffset(g, Seq("x", "k"), "__one", "__idx")
+    val stats = ranked.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("x").cast(DEC)).as("tot"),
+      sum(col("x").cast(DEC) * (col("__idx") + 1).cast(DEC)).as("iwx"),
+      max(col("x")).as("xmax"))
+    val n = col("n_groups").cast("double")
+    val tot = col("tot").cast("double")
+    val topShare = ranked.crossJoin(broadcast(stats.select(
+        col("n_groups").as("__n"), col("tot").as("__t"))))
+      .where(col("__idx") + 1 > col("__n") - ceil(col("__n") / 10.0))
+      .agg(coalesce(sum(col("x").cast(DEC)), lit(0).cast(DEC)).as("topx"),
+        first(col("__t")).as("__t2"))
+      .select(round(col("topx").cast("double") /
+        col("__t2").cast("double"), roundTo).as("top_decile_share"))
+    stats.select(
+        col("n_groups"), col("tot").cast("long").as("total"),
+        when(col("n_groups") > 1 && col("tot") > 0,
+          round(lit(2.0) * col("iwx").cast("double") / (n * tot) -
+            (n + 1.0) / n, roundTo)).as("gini"),
+        when(col("tot") > 0,
+          round(col("xmax").cast("double") / tot, roundTo)).as("top1_share"))
+      .crossJoin(broadcast(topShare))
+  }
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
     * fraud/fabrication screen every financial and telemetry QA runs):
     * naturally-generated multi-scale magnitudes put digit d first with

@@ -4694,6 +4694,45 @@ object LlmQueries extends QueryGroup {
             FROM cells JOIN rt USING (label) JOIN ct USING (pred)
             ORDER BY lang, guess"""))
 
+  val q185 = QueryDef(
+    "q185_source_concentration_gini",
+    "token-mass concentration across sources: Gini coefficient (exact " +
+      "ascending-rank formula, ties broken by source - a total order), " +
+      "largest-source share and top-decile share - the domain-" +
+      "concentration read of a corpus mix review; ranking rides the " +
+      "two-pass global prefix (no single-task window), sums in exact " +
+      "decimal, one fixed-order double combination",
+    (s, dir) =>
+      graft.operators.Profile.concentration(
+        t(s, dir, "documents"), "source",
+        TextOps.tokenCount(col("text"))),
+    Some("""WITH g AS (SELECT source AS k,
+                CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                  AS x
+              FROM documents WHERE source IS NOT NULL GROUP BY 1),
+            r AS (SELECT k, x,
+                ROW_NUMBER() OVER (ORDER BY x, k) AS i FROM g),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                SUM(CAST(x AS HUGEINT)) AS tot,
+                SUM(CAST(x AS HUGEINT) * i) AS iwx,
+                MAX(x) AS xmax
+              FROM r),
+            td AS (SELECT SUM(CAST(r.x AS HUGEINT)) AS topx
+              FROM r CROSS JOIN st
+              WHERE r.i > st.n_groups - CEIL(st.n_groups / 10.0))
+            SELECT n_groups, CAST(tot AS BIGINT) AS total,
+              CASE WHEN n_groups > 1 AND tot > 0 THEN
+                ROUND(2.0 * CAST(iwx AS DOUBLE) /
+                  (CAST(n_groups AS DOUBLE) * CAST(tot AS DOUBLE)) -
+                  (CAST(n_groups AS DOUBLE) + 1.0) /
+                  CAST(n_groups AS DOUBLE), 6) END AS gini,
+              CASE WHEN tot > 0 THEN
+                ROUND(CAST(xmax AS DOUBLE) / CAST(tot AS DOUBLE), 6) END
+                AS top1_share,
+              ROUND(CAST(topx AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                AS top_decile_share
+            FROM st CROSS JOIN td"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4702,5 +4741,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185)
 }

@@ -90,6 +90,27 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(p("lang") - 3L) <= 1L)
   }
 
+  test("concentration: hand-computed Gini on known distributions") {
+    val s = spark; import s.implicits._
+    def gini(rows: Seq[(String, Long)]): (Long, Long, Double, Double, Double) = {
+      val r = Profile.concentration(rows.toDF("k", "w"), "k", col("w"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    // flat distribution: G = 0; top1 = 1/4; top decile = ceil(4/10)=1 group
+    assert(gini(Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))) ===
+      ((4L, 40L, 0.0, 0.25, 0.25)))
+    // total concentration in 1 of 4 groups: G = (n-1)/n − small; exact:
+    // x = (0,0,0,40): Σi·x = 4·40; G = 2·160/(4·40) − 5/4 = 2 − 1.25
+    assert(gini(Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 40L))) ===
+      ((4L, 40L, 0.75, 1.0, 1.0)))
+    // hand case: x asc = (1,2,3,4): G = 2·(1+4+9+16)/(4·10) − 5/4 = 0.25
+    assert(gini(Seq(("a", 4L), ("b", 3L), ("c", 2L), ("d", 1L)))._3 === 0.25)
+    // 20 equal groups: top decile = 2 groups = 0.1 of mass
+    val twenty = (0 until 20).map(i => (f"g$i%02d", 5L))
+    assert(gini(twenty) === ((20L, 100L, 0.0, 0.05, 0.1)))
+  }
+
   test("benfordAudit: digit extraction, exclusions, all 9 rows, chi-square arithmetic") {
     val s = spark; import s.implicits._
     // leading digits: 1 (×3: 1.5, 0.019, 123.4), 9 (×1: -0.95), 2 (×1: 2e3 as 2000)

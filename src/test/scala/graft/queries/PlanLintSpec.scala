@@ -130,7 +130,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q182_tfidf_salient_terms",
     // q183: benfordAudit's digit-domain left join (9 literal rows) and
     // 1-row N attach — both bounded model frames, q61's one-row class
-    "q183_benford_first_digit")
+    "q183_benford_first_digit",
+    // q185: concentration's two 1-row stat attaches (totals onto the
+    // groups frame, then the top-decile row back) — q61's one-row class
+    "q185_source_concentration_gini")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -272,6 +272,46 @@ object Funnel {
     } finally buckets.unpersist()
   }
 
+  /** Session transition matrix — first-order Markov estimates of "what
+    * happens next": per (from, to) consecutive event-type pair WITHIN a
+    * session, the count and the row-normalized transition probability
+    * (the model behind next-step prediction, anomaly scoring of event
+    * streams, and the drop-off reading [[topPaths]] gives by example —
+    * paths enumerate FREQUENT sequences, this estimates the full
+    * conditional). Session boundaries come from the caller (usually
+    * [[sessionize]]'s `session_id`), so cross-session gaps never
+    * fabricate a transition — the [[topPaths]] rule.
+    *
+    * Determinism: consecutive pairs order by (ts, idCol) — a total
+    * order; probabilities are genuine quotients, rounded.
+    *
+    * Scale shape: one window pass over the session key (bounded
+    * partitions by the sessionization contract) to form pairs, one
+    * (from, to) aggregation with map-side combining to the model-sized
+    * cells frame, from-totals aggregate THE CELLS and broadcast back. */
+  def transitionMatrix(
+      events: DataFrame,
+      sessionCol: String = "session_id",
+      typeCol: String = "event_type",
+      tsCol: String = "uts",
+      idCol: String = "event_id",
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sessionCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(sessionCol), col(typeCol).as("to_"), col(tsCol), col(idCol))
+      .withColumn("from_", lag(col("to_"), 1).over(w))
+      .where(col("from_").isNotNull)
+    val cells = pairs.groupBy(col("from_"), col("to_"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = cells.groupBy("from_").agg(sum("n").as("from_total"))
+    cells.join(broadcast(fromTot), "from_")
+      .select(col("from_").as("from_type"), col("to_").as("to_type"),
+        col("n"),
+        round(col("n") * lit(1.0) / col("from_total"), roundTo).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Multi-touch attribution — the classic first-touch / last-touch /
     * linear credit models over conversion journeys, in one pass: every
     * non-conversion event ("touch") belongs to the journey of its

@@ -1728,9 +1728,48 @@ object ExtraQueries extends QueryGroup {
             FROM obs o LEFT JOIN agg USING (event_type)
             ORDER BY event_type"""))
 
+  val q186 = QueryDef(
+    "q186_session_transition_matrix",
+    "first-order Markov transition matrix over sessionized events " +
+      "(30-min gap): per (from, to) consecutive pair WITHIN a session, " +
+      "count + row-normalized probability - next-step prediction and " +
+      "stream-anomaly scoring; session boundaries from the q129 gap " +
+      "rule so cross-session gaps never fabricate a transition",
+    (s, dir) => {
+      val e = graft.operators.Funnel.sessionize(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), us(col("ts")).as("uts")),
+        gapUs = 1800000000L)
+      graft.operators.Funnel.transitionMatrix(e)
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                epoch_us(ts) AS uts FROM events),
+            w AS (SELECT *,
+                CASE WHEN uts - LAG(uts) OVER (PARTITION BY user_id
+                  ORDER BY uts) > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM e),
+            sess AS (SELECT event_id, user_id, event_type, uts,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY uts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session
+              FROM w),
+            p AS (SELECT user_id, session, event_type AS to_, uts,
+                event_id,
+                LAG(event_type) OVER (PARTITION BY user_id, session
+                  ORDER BY uts, event_id) AS from_
+              FROM sess),
+            cells AS (SELECT from_, to_, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p WHERE from_ IS NOT NULL GROUP BY 1, 2),
+            ft AS (SELECT from_, CAST(SUM(n) AS BIGINT) AS t FROM cells
+              GROUP BY 1)
+            SELECT from_ AS from_type, to_ AS to_type, n,
+              ROUND(n * 1.0 / t, 4) AS p
+            FROM cells JOIN ft USING (from_)
+            ORDER BY from_type, to_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180)
+      q177, q178, q180, q186)
 }

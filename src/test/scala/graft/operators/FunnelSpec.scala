@@ -226,6 +226,28 @@ class FunnelSpec extends SparkSpecBase {
     assert(got.values.map(_._5).sum === 3.0)
   }
 
+  test("transitionMatrix: hand-computed cells; session boundaries never fabricate a pair") {
+    val s = spark; import s.implicits._
+    // session 1: a b a b  -> a>b ×2, b>a ×1
+    // session 2: a c      -> a>c ×1   (no pair across the boundary)
+    // session 3: x        -> nothing (singleton)
+    val events = Seq(
+      (1L, 10L, "a", 1L), (2L, 10L, "b", 2L), (3L, 10L, "a", 3L), (4L, 10L, "b", 4L),
+      (5L, 20L, "a", 1L), (6L, 20L, "c", 2L),
+      (7L, 30L, "x", 1L)
+    ).toDF("event_id", "session_id", "event_type", "uts")
+    val got = Funnel.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(("a", "b")) === ((2L, round4t(2.0 / 3))))
+    assert(got(("a", "c")) === ((1L, round4t(1.0 / 3))))
+    assert(got(("b", "a")) === ((1L, 1.0)))
+    assert(got.size === 3, "singleton sessions and boundaries add no cells")
+  }
+
+  private def round4t(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("attribution: ts ties break on the id total order, deterministically") {
     val s = spark; import s.implicits._
     val events = Seq(

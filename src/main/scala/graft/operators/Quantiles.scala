@@ -163,4 +163,64 @@ object Quantiles {
     }
     out.select(keys ++ (col("n") +: sorted.map { case (name, _) => col(name) }): _*)
   }
+
+  /** Winsorized robust statistics — mean and sd AFTER clipping each
+    * group's values into its own [pLo, pHi] quantile band (Winsorizing:
+    * tails are CLAMPED to the band edge, not dropped, so n is
+    * preserved — the robust-moments standard for heavy-tailed quality
+    * scores, latencies, prices, where a raw mean is one outlier away
+    * from useless). Clip bounds come from [[exactQuantiles]] (the
+    * bounded-state two-pass operator — never Spark's per-group
+    * percentile buffer), so the whole statistic is exact.
+    *
+    * Determinism: clip bounds are the engine-identical interpolated
+    * quantiles (the q11 contract, = DuckDB `quantile_cont`); clipped
+    * values and their squares round into exact decimal before the sums
+    * (the [[graft.queries.H]] rule), and mean/sd are fixed-order double
+    * combinations over those exact sums ([[graft.operators.Trend]]'s
+    * discipline), rounded.
+    *
+    * Output per group: (groupCol, n, n_clipped, win_mean, win_sd) —
+    * `n_clipped` counts the clamped tail values (the audit column: a
+    * high clip rate means the band, not the data, is the story);
+    * `win_sd` NULL for n < 2.
+    *
+    * Scale shape: exactQuantiles' two passes + one equi-join of the
+    * corpus against the groups-sized bounds frame (broadcast) + one
+    * final aggregation with map-side combining. */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95,
+      roundTo: Int = 6): DataFrame = {
+    require(pLo >= 0.0 && pLo < pHi && pHi <= 1.0,
+      s"winsorizedStats: bad band [$pLo, $pHi]")
+    import org.apache.spark.sql.types.DecimalType
+    val DEC = DecimalType(30, 6)
+    val bounds = exactQuantiles(df, groupCol, valueCol,
+        Map("wlo" -> pLo, "whi" -> pHi))
+      .select(col(groupCol), col("wlo"), col("whi"))
+    val v = col(valueCol).cast("double")
+    val cv = least(greatest(v, col("wlo")), col("whi"))
+    val clipped = df.where(col(valueCol).isNotNull)
+      .join(broadcast(bounds), groupCol)
+      .select(col(groupCol), cv.as("cv"),
+        (v < col("wlo") || v > col("whi")).as("clip"))
+    val agg = clipped.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      count(when(col("clip"), 1)).as("n_clipped"),
+      sum(col("cv").cast(DEC)).as("s1"),
+      sum((col("cv") * col("cv")).cast(DEC)).as("s2"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val varW = (n * s2 - s1 * s1) / (n * (n - lit(1.0)))
+    agg.select(col(groupCol), col("n"), col("n_clipped"),
+      round(s1 / n, roundTo).as("win_mean"),
+      when(col("n") > 1,
+        round(sqrt(when(varW > 0.0, varW).otherwise(lit(0.0))), roundTo))
+        .as("win_sd"))
+  }
 }

@@ -1767,9 +1767,48 @@ object ExtraQueries extends QueryGroup {
             FROM cells JOIN ft USING (from_)
             ORDER BY from_type, to_type"""))
 
+  val q187 = QueryDef(
+    "q187_winsorized_robust_stats",
+    "winsorized robust statistics per event type: values clamp into " +
+      "their group's own [p05, p95] band (exact two-pass quantiles - " +
+      "the q11 operator), then mean/sd from exact-decimal sums with " +
+      "the fixed-order double combination; n_clipped audits the " +
+      "clamp rate",
+    (s, dir) =>
+      graft.operators.Quantiles.winsorizedStats(
+          t(s, dir, "events").select(col("event_type"), col("value")),
+          "event_type", "value")
+        .orderBy("event_type"),
+    Some("""WITH b AS (SELECT event_type,
+                quantile_cont(value, 0.05) AS wlo,
+                quantile_cont(value, 0.95) AS whi
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            c AS (SELECT e.event_type,
+                LEAST(GREATEST(e.value, b.wlo), b.whi) AS cv,
+                (e.value < b.wlo OR e.value > b.whi) AS clip
+              FROM events e JOIN b USING (event_type)
+              WHERE e.value IS NOT NULL),
+            a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN clip THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clipped,
+                SUM(CAST(cv AS DECIMAL(30,6))) AS s1,
+                SUM(CAST(cv * cv AS DECIMAL(30,6))) AS s2
+              FROM c GROUP BY 1)
+            SELECT event_type, n, n_clipped,
+              ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS win_mean,
+              CASE WHEN n > 1 THEN ROUND(sqrt(
+                CASE WHEN (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+                    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+                    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+                    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+                    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                  ELSE 0.0 END), 6) END AS win_sd
+            FROM a ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186)
+      q177, q178, q180, q186, q187)
 }

@@ -157,4 +157,27 @@ class QuantilesSpec extends SparkSpecBase {
     // 0.5 -> units 500000 -> (500000*16) div 1000001 = 7 (exact int div)
     assert(buckets === Map(0L -> 1L, 7L -> 1L, 15L -> 1L))
   }
+
+  test("winsorizedStats: hand-computed clamp, robust moments, outlier immunity") {
+    val s = spark; import s.implicits._
+    // g: 1..10 plus a wild outlier 1000; band [p10, p90] over 11 values:
+    // pos = 1 + 10·q -> p10 = 2nd order stat = 2, p90 = 10th = 10
+    val rows = ((1 to 10).map(i => ("g", i.toDouble)) :+ (("g", 1000.0)))
+      .toDF("k", "v")
+    val r = Quantiles.winsorizedStats(rows, "k", "v", pLo = 0.1, pHi = 0.9)
+      .collect().head
+    assert(r.getLong(1) === 11L)
+    // clamped: 1 -> 2 and 1000 -> 10 (two values outside the band)
+    assert(r.getLong(2) === 2L)
+    val cvs = Seq(2.0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 10)
+    val mean = cvs.sum / 11
+    assert(math.abs(r.getDouble(3) - mean) < 1e-6,
+      s"winsorized mean ${r.getDouble(3)} vs $mean — the outlier must not move it")
+    val sd = math.sqrt(cvs.map(c => (c - mean) * (c - mean)).sum / 10)
+    assert(math.abs(r.getDouble(4) - sd) < 1e-4)
+    // n = 1: sd NULL, mean = the value itself (band collapses onto it)
+    val one = Quantiles.winsorizedStats(Seq(("x", 5.0)).toDF("k", "v"), "k", "v")
+      .collect().head
+    assert(one.getDouble(3) === 5.0 && one.isNullAt(4))
+  }
 }

@@ -181,6 +181,51 @@ object Profile {
           .otherwise(col("n_distinct").cast("string")).as("observed"))
   }
 
+  /** Semi-structured schema-drift ledger — the key LIFECYCLE of a JSON
+    * payload column: per key, occurrence count, first/last day seen,
+    * days present, day coverage, and the two drift verdicts (`appeared`
+    * = first seen after the corpus's first day, `vanished` = last seen
+    * before its last). The monitor that catches a producer silently
+    * adding, renaming, or dropping payload fields — the schemaless
+    * counterpart of [[diff]]'s typed-column drift.
+    *
+    * A key-level ledger, deliberately NOT a day-over-day diff: the diff
+    * needs an ordered walk over the day frame (a global window), while
+    * the lifecycle is plain grouped min/max/count — no window at all,
+    * and the appeared/vanished read is the same. Malformed JSON rows
+    * parse to NULL and contribute no keys (they are [[profile]]'s
+    * completeness problem, not a schema signal).
+    *
+    * Scale shape: one parse+explode projection, one (key) aggregation
+    * with map-side combining (keys are schema-sized), one 1-row corpus
+    * frame broadcast back. */
+  def jsonKeyLifecycle(
+      df: DataFrame,
+      day: Column,
+      json: Column,
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val keys = df.where(json.isNotNull && day.isNotNull)
+      .select(day.as("day"),
+        explode_outer(map_keys(
+          from_json(json, MapType(StringType, StringType)))).as("key"))
+      .where(col("key").isNotNull)
+    val perKey = keys.groupBy("key").agg(
+      count(lit(1)).as("n_events"),
+      min("day").as("first_seen"), max("day").as("last_seen"),
+      countDistinct("day").as("days_present"))
+    val corpus = keys.agg(min("day").as("__d0"), max("day").as("__d1"),
+      countDistinct("day").as("__nd"))
+    perKey.crossJoin(broadcast(corpus))
+      .select(col("key"), col("n_events"), col("first_seen"),
+        col("last_seen"), col("days_present"),
+        round(col("days_present") * lit(1.0) / col("__nd"), roundTo)
+          .as("day_coverage"),
+        (col("first_seen") > col("__d0")).as("appeared"),
+        (col("last_seen") < col("__d1")).as("vanished"))
+      .orderBy("key")
+  }
+
   /** Mass-concentration audit — Gini coefficient + top-share cuts of a
     * weight distribution over groups (the domain-concentration read
     * every corpus mix review makes: "what fraction of tokens come from

@@ -1806,9 +1806,50 @@ object ExtraQueries extends QueryGroup {
                   ELSE 0.0 END), 6) END AS win_sd
             FROM a ORDER BY event_type"""))
 
+  val q188 = QueryDef(
+    "q188_json_schema_drift",
+    "semi-structured schema-drift ledger over grafted payloads: a " +
+      "'legacy' key rides events before Jan 10 (vanished), a 'beta' " +
+      "key after Jan 15 (appeared), 'k' persists - per key: counts, " +
+      "first/last day, day coverage, appeared/vanished verdicts; the " +
+      "producer-silently-changed-the-payload monitor",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val grafted = concat(
+        expr("substring(props, 1, length(props) - 1)"),
+        when(to_date(col("ts")) < lit("2024-01-10").cast("date"),
+          lit(", \"legacy\": 1}"))
+          .when(to_date(col("ts")) > lit("2024-01-15").cast("date"),
+            lit(", \"beta\": 1}"))
+          .otherwise(lit("}")))
+      graft.operators.Profile.jsonKeyLifecycle(
+        e.select(col("ts"), col("props")),
+        to_date(col("ts")), grafted)
+    },
+    Some("""WITH g AS (SELECT CAST(ts AS DATE) AS day,
+                substring(props, 1, length(props) - 1) ||
+                CASE WHEN CAST(ts AS DATE) < DATE '2024-01-10'
+                       THEN ', "legacy": 1}'
+                     WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                       THEN ', "beta": 1}'
+                     ELSE '}' END AS props
+              FROM events WHERE props IS NOT NULL AND ts IS NOT NULL),
+            k AS (SELECT day, unnest(json_keys(props)) AS key FROM g),
+            per AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+                MIN(day) AS first_seen, MAX(day) AS last_seen,
+                CAST(COUNT(DISTINCT day) AS BIGINT) AS days_present
+              FROM k GROUP BY 1),
+            c AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+                CAST(COUNT(DISTINCT day) AS BIGINT) AS nd FROM k)
+            SELECT key, n_events, first_seen, last_seen, days_present,
+              ROUND(days_present * 1.0 / nd, 4) AS day_coverage,
+              (first_seen > d0) AS appeared,
+              (last_seen < d1) AS vanished
+            FROM per CROSS JOIN c ORDER BY key"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186, q187)
+      q177, q178, q180, q186, q187, q188)
 }

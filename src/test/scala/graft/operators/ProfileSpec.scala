@@ -90,6 +90,30 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(p("lang") - 3L) <= 1L)
   }
 
+  test("jsonKeyLifecycle: lifecycle verdicts, malformed JSON contributes nothing") {
+    val s = spark; import s.implicits._
+    def d(s0: String) = java.sql.Date.valueOf(s0)
+    val rows = Seq(
+      (d("2024-01-01"), """{"k": 1, "old": 2}"""),
+      (d("2024-01-02"), """{"k": 1}"""),
+      (d("2024-01-03"), """{"k": 1, "new": 3}"""),
+      (d("2024-01-03"), "not json at all"),
+      (d("2024-01-03"), null.asInstanceOf[String])
+    ).toDF("day", "props")
+    val got = Profile.jsonKeyLifecycle(rows, col("day"), col("props"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getDouble(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(got.keySet === Set("k", "old", "new"),
+      "malformed and NULL payloads contribute no keys")
+    assert(got("k") === ((3L, 3L, 1.0, false, false)), "persistent key")
+    assert(got("old") === ((1L, 1L, round4p(1.0 / 3), false, true)), "vanished")
+    assert(got("new") === ((1L, 1L, round4p(1.0 / 3), true, false)), "appeared")
+  }
+
+  private def round4p(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("concentration: hand-computed Gini on known distributions") {
     val s = spark; import s.implicits._
     def gini(rows: Seq[(String, Long)]): (Long, Long, Double, Double, Double) = {

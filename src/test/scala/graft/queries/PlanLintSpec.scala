@@ -133,7 +133,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q183_benford_first_digit",
     // q185: concentration's two 1-row stat attaches (totals onto the
     // groups frame, then the top-decile row back) — q61's one-row class
-    "q185_source_concentration_gini")
+    "q185_source_concentration_gini",
+    // q188: jsonKeyLifecycle's 1-row corpus day-span frame crossJoined
+    // onto the schema-sized key ledger — q61's one-row class
+    "q188_json_schema_drift")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

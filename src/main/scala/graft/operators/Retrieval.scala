@@ -282,6 +282,56 @@ object Retrieval {
           .as("ndcg"))
   }
 
+  /** Average precision at `depth` — the order-sensitive completion of
+    * [[rankingMetrics]] (RR sees only the FIRST hit, nDCG discounts but
+    * forgives; AP is the area under precision-recall and punishes every
+    * relevant doc left below a non-relevant one):
+    * `AP = Σ_{hits h} precision@rank(h) / min(|relevant|, depth)`.
+    * Binary relevance (`grade > 0` is relevant — the standard MAP
+    * convention; graded lists should read nDCG instead). Mean over
+    * queries (MAP) is one downstream `avg`.
+    *
+    * Determinism: hit indices order by rank (unique per query);
+    * precision contributions enter DECIMAL(28,14) before the sum.
+    * Queries with relevant docs but no retrieved hits score 0 — present
+    * in the output, not silently absent (the [[rankingMetrics]] rule).
+    *
+    * Scale shape: one equi-join of the depth-trimmed run against the
+    * qrels, one bounded per-query window (≤ depth rows), two grouped
+    * aggregations — eval-sized throughout. */
+  def averagePrecision(
+      ranked: DataFrame,
+      rels: DataFrame,
+      queryIdCol: String = "query_id",
+      idCol: String = "doc_id",
+      rankCol: String = "rank",
+      gradeCol: String = "grade",
+      depth: Int = 10,
+      roundTo: Int = 6): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    import org.apache.spark.sql.expressions.Window
+    val r = ranked.select(col(queryIdCol).as("qid"), col(idCol).as("did"),
+        col(rankCol).cast(LongType).as("rk"))
+      .filter(col("rk") <= depth)
+    val g = rels.where(col(gradeCol).cast(LongType) > 0)
+      .select(col(queryIdCol).as("qid"), col(idCol).as("did"))
+    val nrel = g.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = r.join(g, Seq("qid", "did"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rk"))))
+    val aps = hits
+      .select(col("qid"),
+        (col("idx") * lit(1.0) / col("rk")).cast(DecimalType(28, 14)).as("p"))
+      .groupBy("qid")
+      .agg(sum("p").as("psum"), count(lit(1)).as("n_hits"))
+    nrel.join(aps, Seq("qid"), "left")
+      .select(col("qid").as(queryIdCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("psum"), lit(0)).cast(DoubleType) /
+          least(col("n_rel"), lit(depth.toLong)).cast(DoubleType), roundTo)
+          .as("ap"))
+  }
+
   /** TF-IDF salient terms — the classic per-document keyword extraction
     * (the summarization/labeling primitive next to BM25's RANKING use of
     * the same statistics): per doc, the top-k terms by

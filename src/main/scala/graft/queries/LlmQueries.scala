@@ -4733,6 +4733,80 @@ object LlmQueries extends QueryGroup {
                 AS top_decile_share
             FROM st CROSS JOIN td"""))
 
+  val q189 = QueryDef(
+    "q189_retrieval_average_precision",
+    "average precision at 5 of q75's batched BM25 against the q112 " +
+      "pseudo-qrels (binary relevance) - the order-sensitive " +
+      "completion of the RR/DCG/nDCG family: AP punishes every " +
+      "relevant doc ranked below a non-relevant one; precision " +
+      "contributions decimal-accumulated, denominator min(|rel|, 5)",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val qtab = Seq(
+        (1L, "key"), (1L, "table"), (1L, "hash"),
+        (2L, "window"), (2L, "batch"), (2L, "spark"))
+        .toDF("query_id", "term")
+      val ranked = graft.operators.Retrieval.bm25BatchFromIndex(
+        graft.operators.Retrieval.buildIndex(d), qtab, topK = 5)
+      val rels = d
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+        .join(broadcast(qtab.select(col("query_id"), col("term").as("tok"))),
+          Seq("tok"))
+        .groupBy("query_id", "doc_id")
+        .agg(countDistinct(col("tok")).as("grade"))
+        .filter(col("grade") >= 2)
+      graft.operators.Retrieval.averagePrecision(ranked, rels, depth = 5)
+        .orderBy("query_id")
+    },
+    Some("""WITH q(qid, tok) AS (VALUES (1, 'key'), (1, 'table'), (1, 'hash'),
+                 (2, 'window'), (2, 'batch'), (2, 'spark')),
+            lens AS (SELECT doc_id,
+                       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                     FROM documents),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+            tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                         FROM documents)
+                   WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+            c AS (SELECT q.qid, tf.doc_id,
+                    ROUND(ln((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                          * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / st.avgdl)),
+                      6) AS c
+                  FROM q JOIN tf USING (tok) JOIN dfreq USING (tok)
+                    JOIN lens USING (doc_id) CROSS JOIN st),
+            s AS (SELECT qid, doc_id,
+                    ROUND(CAST(SUM(CAST(c AS DECIMAL(30,6))) AS DOUBLE), 4) AS score
+                  FROM c GROUP BY qid, doc_id),
+            rnk AS (SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY score DESC, doc_id) AS rk
+                    FROM s),
+            ranked AS (SELECT qid, doc_id, rk FROM rnk WHERE rk <= 5),
+            rels AS (SELECT q.qid, tf.doc_id,
+                       CAST(COUNT(DISTINCT tf.tok) AS BIGINT) AS grade
+                     FROM tf JOIN q USING (tok)
+                     GROUP BY 1, 2 HAVING COUNT(DISTINCT tf.tok) >= 2),
+            hits AS (SELECT ranked.qid, ranked.rk,
+                       row_number() OVER (PARTITION BY ranked.qid
+                                          ORDER BY ranked.rk) AS idx
+                     FROM ranked JOIN rels
+                       ON ranked.qid = rels.qid AND ranked.doc_id = rels.doc_id),
+            aps AS (SELECT qid,
+                      SUM(CAST(idx * 1.0 / rk AS DECIMAL(28,14))) AS psum,
+                      CAST(COUNT(*) AS BIGINT) AS n_hits
+                    FROM hits GROUP BY 1),
+            nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rels
+                   GROUP BY 1)
+            SELECT CAST(nr.qid AS BIGINT) AS query_id, n_rel,
+              COALESCE(n_hits, 0) AS n_hits,
+              ROUND(CAST(COALESCE(psum, 0) AS DOUBLE) /
+                CAST(LEAST(n_rel, 5) AS DOUBLE), 6) AS ap
+            FROM nr LEFT JOIN aps ON nr.qid = aps.qid
+            ORDER BY query_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4741,5 +4815,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189)
 }

@@ -162,6 +162,32 @@ class RetrievalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), topK = 0))
   }
 
+  test("averagePrecision: textbook example, no-hit query scores 0, depth caps the denominator") {
+    val s = spark; import s.implicits._
+    // q1: relevant docs {a, c, e}; run = a, b, c, d, e
+    //   AP = (1/1 + 2/3 + 3/5) / 3 = 34/45
+    val ranked = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "d", 4L), (1L, "e", 5L),
+      (2L, "x", 1L), (2L, "y", 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val rels = Seq((1L, "a", 1L), (1L, "c", 2L), (1L, "e", 1L),
+      (2L, "zz", 1L), (3L, "a", 1L))
+      .toDF("query_id", "doc_id", "grade")
+    val got = Retrieval.averagePrecision(ranked, rels, depth = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((3L, 3L, r6(34.0 / 45))))
+    assert(got(2L) === ((1L, 0L, 0.0)), "relevant but never retrieved: AP 0, present")
+    assert(got(3L) === ((1L, 0L, 0.0)), "query absent from the run: AP 0, present")
+    // depth caps the denominator: 6 relevant, top-2 both hits -> AP@2 = 1
+    val r2 = Seq((9L, "a", 1L), (9L, "b", 2L)).toDF("query_id", "doc_id", "rank")
+    val g6 = (1 to 6).map(i => (9L, ('a' + i - 1).toChar.toString, 1L))
+      .toDF("query_id", "doc_id", "grade")
+    val ap2 = Retrieval.averagePrecision(r2, g6, depth = 2).collect().head
+    assert(ap2.getDouble(3) === 1.0, "perfect top-2 run is AP@2 = 1 even with 6 qrels")
+  }
+
   test("salientTerms: hand-computed tf-idf, smoothed idf floor, term tie-break") {
     val s = spark; import s.implicits._
     val docs = Seq(

@@ -103,6 +103,57 @@ object Privacy {
         round(col("__n") + lap, roundTo).as("noisy_count"): _*)
   }
 
+  /** Differentially-private release MEAN (the Laplace ratio estimator —
+    * Dwork et al. 2006's counting mechanism applied twice): values
+    * clamp into the PUBLIC bound [lo, hi] (bounded contribution — the
+    * clamp is what makes the sum's sensitivity `hi − lo` a fact rather
+    * than a hope), then
+    * `noisy_mean = (Σclamped + Lap(2(hi−lo)/ε)) / max(n + Lap(2/ε), 1)`
+    * — ε split evenly across the two releases (basic composition), the
+    * denominator floored at 1 so a small group cannot yield a
+    * sign-flipped or infinite mean. TRUE n and sum are withheld from
+    * the output ([[dpNoisyCounts]]' release discipline), and the bound
+    * must be chosen WITHOUT looking at the data (it is part of the
+    * privacy claim).
+    *
+    * Same seeded engine-portable uniform as [[dpNoisyCounts]] (one
+    * draw per group per release, salts `seed|sum` / `seed|cnt` —
+    * decorrelated by the avalanche), same honesty note: the ε
+    * guarantee is about random noise; treat the seed as a secret.
+    * Clamped values accumulate in exact decimal, so the pre-noise sum
+    * is partition-order-free and the whole release replays in SQL. */
+  def dpNoisyMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      lo: Double,
+      hi: Double,
+      epsilon: Double,
+      seed: String,
+      roundTo: Int = 4): DataFrame = {
+    require(keyCols.nonEmpty, "dpNoisyMean: at least one key column")
+    require(hi > lo, s"dpNoisyMean: empty bound [$lo, $hi]")
+    require(epsilon > 0, s"dpNoisyMean: epsilon $epsilon must be > 0")
+    import org.apache.spark.sql.types.DecimalType
+    val P = 1000000007L
+    val keyStr = concat_ws("|",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    def lap(salt: String, scale: Double) = {
+      val u = (Sampling.avalanche(keyStr, salt).cast("double") + 0.5) / P.toDouble
+      -lit(scale) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    }
+    val clamped = least(greatest(valueCol.cast("double"), lit(lo)), lit(hi))
+    df.where(valueCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(clamped.cast(DecimalType(30, 6))).as("__s"))
+      .select(keyCols.map(col) :+
+        round(
+          (col("__s").cast("double") + lap(seed + "|sum", 2.0 * (hi - lo) / epsilon)) /
+            greatest(col("__n") + lap(seed + "|cnt", 2.0 / epsilon), lit(1.0)),
+          roundTo).as("noisy_mean"): _*)
+  }
+
   /** Distinct-sensitive-value (l-diversity) histogram per QI class:
     * (l, n_classes), ordered — the release's l-diversity is the
     * smallest l. A class of 1000 rows that all share one diagnosis is

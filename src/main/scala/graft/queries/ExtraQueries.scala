@@ -1847,9 +1847,45 @@ object ExtraQueries extends QueryGroup {
               (last_seen < d1) AS vanished
             FROM per CROSS JOIN c ORDER BY key"""))
 
+  val q190 = QueryDef(
+    "q190_dp_noisy_mean",
+    "differentially-private release mean (Laplace ratio estimator): " +
+      "per event type, values clamp into the PUBLIC bound [0, 400] " +
+      "(bounded contribution - the clamp makes sum sensitivity a " +
+      "fact), eps = 1 split across the sum and count releases, " +
+      "denominator floored at 1; seeded portable uniforms, true " +
+      "n/sum withheld - q172's counting mechanism applied twice",
+    (s, dir) =>
+      graft.operators.Privacy.dpNoisyMean(
+          t(s, dir, "events"), Seq("event_type"), col("value"),
+          lo = 0.0, hi = 400.0, epsilon = 1.0, seed = "r12dpm")
+        .orderBy("event_type"),
+    Some(s"""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(LEAST(GREATEST(value, 0.0), 400.0)
+                  AS DECIMAL(30,6))) AS s
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            h AS (SELECT event_type, n, s,
+                ${H.oPolyFold("event_type", "r12dpm|sum")} AS hps,
+                ${H.oPolyFold("event_type", "r12dpm|cnt")} AS hpc
+              FROM g),
+            a AS (SELECT event_type, n, s,
+                ${H.oAvalanche("hps")} AS avs,
+                ${H.oAvalanche("hpc")} AS avc FROM h),
+            l AS (SELECT event_type, n, s,
+                (avs + 0.5) / 1000000007 AS us,
+                (avc + 0.5) / 1000000007 AS uc FROM a)
+            SELECT event_type,
+              ROUND((CAST(s AS DOUBLE) +
+                  (-(800.0) * (CASE WHEN us >= 0.5 THEN 1 ELSE -1 END) *
+                   ln(1 - 2 * abs(us - 0.5)))) /
+                GREATEST(n +
+                  (-(2.0) * (CASE WHEN uc >= 0.5 THEN 1 ELSE -1 END) *
+                   ln(1 - 2 * abs(uc - 0.5))), 1.0), 4) AS noisy_mean
+            FROM l ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186, q187, q188)
+      q177, q178, q180, q186, q187, q188, q190)
 }

@@ -92,4 +92,27 @@ class PrivacySpec extends SparkSpecBase {
       assert(math.abs(n - 10.0 * n10) < 1e-3, s"$k: $n vs 10x$n10")
     }
   }
+
+  test("dpNoisyMean: clamp binds, noise bounded, reproducible, floor guards the denominator") {
+    val s = spark; import s.implicits._
+    val rows = Seq(("a", 10.0), ("a", 20.0), ("a", 999.0), // 999 clamps to 100
+      ("b", 50.0)).toDF("k", "v")
+    def run(seed: String) = Privacy.dpNoisyMean(rows, Seq("k"), $"v",
+        lo = 0.0, hi = 100.0, epsilon = 1.0, seed = seed)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val m = run("s1")
+    assert(m === run("s1"), "seeded release is reproducible")
+    assert(m !== run("s2"), "a different seed is a different release")
+    // clamped mean for a = (10+20+100)/3; |noise| <= scale*ln(2P) on both
+    // numerator (scale 200) and denominator (scale 2, floored at 1)
+    val trueA = 130.0 / 3
+    val bound = (130.0 + 200.0 * 43.0) / 1.0 // worst numerator / floored denom
+    assert(m("a") != trueA, "noise actually present")
+    assert(math.abs(m("a")) <= bound, s"release unbounded: ${m("a")}")
+    // repartitioning must not change the release (exact decimal sums)
+    val repart = Privacy.dpNoisyMean(rows.repartition(7), Seq("k"), $"v",
+        0.0, 100.0, 1.0, "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(repart === m, "partition-order-free")
+  }
 }

@@ -136,7 +136,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q185_source_concentration_gini",
     // q188: jsonKeyLifecycle's 1-row corpus day-span frame crossJoined
     // onto the schema-sized key ledger — q61's one-row class
-    "q188_json_schema_drift")
+    "q188_json_schema_drift",
+    // q189: AP rides q75's batched-BM25 machinery (the 1-row
+    // corpus-stats crossJoin) — q112's documented class
+    "q189_retrieval_average_precision")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

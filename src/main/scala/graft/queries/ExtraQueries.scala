@@ -1883,9 +1883,99 @@ object ExtraQueries extends QueryGroup {
                    ln(1 - 2 * abs(uc - 0.5))), 1.0), 4) AS noisy_mean
             FROM l ORDER BY event_type"""))
 
+  private val q191ZInterleave = (0 until 8).flatMap(i =>
+    Seq(s"(((cx >> $i) & 1) << ${2 * i})", s"(((cy >> $i) & 1) << ${2 * i + 1})"))
+    .mkString(" | ")
+
+  val q191 = QueryDef(
+    "q191_hilbert_vs_morton_layout",
+    "Hilbert vs Z-order layout economics on the SAME data: lineitem " +
+      "(orderkey, partkey) bucketed to 2^8 x 2^8, indexed by both " +
+      "curves, cut into 32 equi-width files each; per layout the " +
+      "per-file dimension spans and the files/rows read for one box " +
+      "predicate - the Hilbert curve's unit-step locality buys " +
+      "tighter files (the q158/q178 skipping story, now curve vs " +
+      "curve); the Hilbert rounds replay via the GENERATED CTE chain " +
+      "(one source of truth for both engines)",
+    (s, dir) => {
+      val Z = graft.operators.ZOrder
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val b = l.agg(min("ok"), max("ok"), min("pk"), max("pk")).head()
+      val base = l.select(
+        Z.intBucket(col("ok"), b.getLong(0), b.getLong(1), 8).as("cx"),
+        Z.intBucket(col("pk"), b.getLong(2), b.getLong(3), 8).as("cy"))
+      val coded = Z.hilbertCode2D(base, col("cx"), col("cy"), 8)
+        .withColumn("z", Z.mortonCode(Seq(col("cx"), col("cy")), 8))
+      def layout(name: String, code: String) = {
+        val read = col("min_x") <= 191 && col("max_x") >= 64 &&
+          col("min_y") <= 191 && col("max_y") >= 64
+        coded
+          .withColumn("file", Z.intDiv(col(code) * 32, lit(1L << 16)))
+          .groupBy("file")
+          .agg(count(lit(1)).as("n"),
+            min("cx").as("min_x"), max("cx").as("max_x"),
+            min("cy").as("min_y"), max("cy").as("max_y"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(read, 1L).otherwise(0L)).as("files_read"),
+            sum(when(read, col("n")).otherwise(0L)).as("rows_read"),
+            round(sum(col("max_x") - col("min_x")) * lit(1.0) /
+              count(lit(1)), 4).as("avg_x_span"),
+            round(sum(col("max_y") - col("min_y")) * lit(1.0) /
+              count(lit(1)), 4).as("avg_y_span"))
+          .select(lit(name).as("layout"), col("n_files"), col("files_read"),
+            col("rows_read"), col("avg_x_span"), col("avg_y_span"))
+      }
+      layout("hilbert", "h").unionByName(layout("morton", "z"))
+        .orderBy("layout")
+    },
+    Some(s"""WITH l0 AS (SELECT l_orderkey AS ok, l_partkey AS pk
+              FROM lineitem),
+            sb AS (SELECT MIN(ok) AS mno, MAX(ok) AS mxo,
+                MIN(pk) AS mnp, MAX(pk) AS mxp FROM l0),
+            g AS (SELECT
+                ((ok - mno) * 256) // (mxo - mno + 1) AS cx,
+                ((pk - mnp) * 256) // (mxp - mnp + 1) AS cy,
+                ((ok - mno) * 256) // (mxo - mno + 1) AS hx,
+                ((pk - mnp) * 256) // (mxp - mnp + 1) AS hy
+              FROM l0 CROSS JOIN sb),
+            ${graft.operators.ZOrder.hilbertSqlCtes("g", 8, Seq("cx", "cy"))},
+            zc AS (SELECT cx, cy, ($q191ZInterleave) AS z FROM g),
+            fh AS (SELECT (h * 32) // 65536 AS file, COUNT(*) AS n,
+                MIN(cx) AS min_x, MAX(cx) AS max_x,
+                MIN(cy) AS min_y, MAX(cy) AS max_y
+              FROM hil GROUP BY 1),
+            fz AS (SELECT (z * 32) // 65536 AS file, COUNT(*) AS n,
+                MIN(cx) AS min_x, MAX(cx) AS max_x,
+                MIN(cy) AS min_y, MAX(cy) AS max_y
+              FROM zc GROUP BY 1),
+            ah AS (SELECT 'hilbert' AS layout,
+                CAST(COUNT(*) AS BIGINT) AS n_files,
+                CAST(SUM(CASE WHEN min_x <= 191 AND max_x >= 64 AND
+                  min_y <= 191 AND max_y >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS files_read,
+                CAST(SUM(CASE WHEN min_x <= 191 AND max_x >= 64 AND
+                  min_y <= 191 AND max_y >= 64 THEN n ELSE 0 END) AS BIGINT)
+                  AS rows_read,
+                ROUND(SUM(max_x - min_x) * 1.0 / COUNT(*), 4) AS avg_x_span,
+                ROUND(SUM(max_y - min_y) * 1.0 / COUNT(*), 4) AS avg_y_span
+              FROM fh),
+            az AS (SELECT 'morton' AS layout,
+                CAST(COUNT(*) AS BIGINT) AS n_files,
+                CAST(SUM(CASE WHEN min_x <= 191 AND max_x >= 64 AND
+                  min_y <= 191 AND max_y >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS files_read,
+                CAST(SUM(CASE WHEN min_x <= 191 AND max_x >= 64 AND
+                  min_y <= 191 AND max_y >= 64 THEN n ELSE 0 END) AS BIGINT)
+                  AS rows_read,
+                ROUND(SUM(max_x - min_x) * 1.0 / COUNT(*), 4) AS avg_x_span,
+                ROUND(SUM(max_y - min_y) * 1.0 / COUNT(*), 4) AS avg_y_span
+              FROM fz)
+            SELECT * FROM ah UNION ALL SELECT * FROM az ORDER BY layout"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186, q187, q188, q190)
+      q177, q178, q180, q186, q187, q188, q190, q191)
 }

@@ -63,4 +63,29 @@ class ZOrderSpec extends SparkSpecBase {
     assert(zu < hu, s"user_id span: z-order $zu !< hash $hu")
     assert(zt < ht, s"ts span: z-order $zt !< hash $ht")
   }
+
+  test("writeHilbertLayout: round-trips, and per-file spans on BOTH dims beat hash") {
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hilbert").toString
+    graft.sources.ParquetSink.writeHilbertLayout(
+      e, s"$dir/hb", "user_id", "tus", nFiles = 8)
+    e.repartition(8).write.parquet(s"$dir/h")
+    val back = spark.read.parquet(s"$dir/hb")
+    assert(back.count() === e.count(), "layout write is lossless")
+    assert(back.columns.toSet === e.columns.toSet, "helper columns dropped")
+    def avgSpans(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(
+          (max("user_id") - min("user_id")).as("su"),
+          (max("tus") - min("tus")).as("st"))
+        .agg(avg("su"), avg("st")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (bu, bt) = avgSpans(s"$dir/hb")
+    val (hu, ht) = avgSpans(s"$dir/h")
+    assert(bu < hu, s"user_id span: hilbert $bu !< hash $hu")
+    assert(bt < ht, s"ts span: hilbert $bt !< hash $ht")
+  }
 }

@@ -200,4 +200,41 @@ object TextOps {
     val den = lit(1000L) * ns * nw
     round(num.cast("double") / nullif(den, lit(0L)), 4)
   }
+
+  /** The script blocks the profiler counts — explicit BMP code-point
+    * ranges, NOT `\p{...}` classes: Java and RE2 spell script classes
+    * differently (`\p{IsCyrillic}` vs `\p{Cyrillic}`), while a literal
+    * character range means the same thing in both engines. Basic blocks
+    * only (the homoglyph-relevant ones); extension blocks are additive
+    * follow-ups. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cyrillic" -> "Ѐ-ӿ",
+    "greek" -> "Ͱ-Ͽ",
+    "cjk" -> "一-鿿",
+    "arabic" -> "؀-ۿ")
+
+  /** Per-script letter count: occurrences of [[ScriptRanges]] block
+    * `name` in the text — `length − length(strip(block))`, a narrow
+    * per-row expression with no regex backtracking hazard (a character
+    * class is RE2-linear by construction). */
+  def scriptCount(text: Column, name: String): Column = {
+    val range = ScriptRanges.toMap.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"scriptCount: unknown script '$name' (have ${ScriptRanges.map(_._1)})"))
+    (length(text) - length(regexp_replace(text, s"[$range]", "")))
+      .cast(LongType)
+  }
+
+  /** Count of DISTINCT scripts present (≥1 letter each) — `≥ 2` is the
+    * mixed-script flag: legitimate text mixes scripts occasionally
+    * (quotes, names), but a LATIN-dominant string with a few Cyrillic
+    * letters is the homoglyph-spoofing shape (кyrillic 'о' in a domain,
+    * fabricated near-dup evasion), and corpus QA wants those surfaced.
+    * Callers gate on `scriptsPresent(text) >= 2` plus their dominance
+    * policy over the per-script counts. */
+  def scriptsPresent(text: Column): Column =
+    ScriptRanges.map { case (n, _) =>
+      when(scriptCount(text, n) > 0, 1L).otherwise(0L)
+    }.reduce(_ + _)
 }

@@ -4807,6 +4807,72 @@ object LlmQueries extends QueryGroup {
             FROM nr LEFT JOIN aps ON nr.qid = aps.qid
             ORDER BY query_id"""))
 
+  val q192 = QueryDef(
+    "q192_script_mix_profile",
+    "Unicode script profiling + mixed-script detection (the homoglyph-" +
+      "spoofing shape: latin-dominant text carrying a few Cyrillic " +
+      "letters): per language, per-script letter totals and the " +
+      "mixed-script doc count over grafted Cyrillic/Greek/CJK/Arabic " +
+      "tails - literal code-point ranges, not p{...} classes, so Java " +
+      "and RE2 compile the SAME character sets",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      def tail(m: Int, t0: String) =
+        when(pmod(col("doc_id"), lit(m)) === 0, lit(t0)).otherwise(lit(""))
+      val g = d.select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          tail(4, " привет мир"), tail(9, " γειά σου"),
+          tail(25, " 你好世界"), tail(49, " مرحبا")).as("text"))
+      g.select(col("lang"),
+          TextOps.scriptCount(col("text"), "latin").as("lat"),
+          TextOps.scriptCount(col("text"), "cyrillic").as("cyr"),
+          TextOps.scriptCount(col("text"), "greek").as("grk"),
+          TextOps.scriptCount(col("text"), "cjk").as("cjk"),
+          TextOps.scriptCount(col("text"), "arabic").as("ara"),
+          (TextOps.scriptsPresent(col("text")) >= 2).as("mixed"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("lat").as("latin_chars"), sum("cyr").as("cyrillic_chars"),
+          sum("grk").as("greek_chars"), sum("cjk").as("cjk_chars"),
+          sum("ara").as("arabic_chars"),
+          count(when(col("mixed"), lit(1))).as("n_mixed"))
+        .orderBy("lang")
+    },
+    Some("""WITH g AS (SELECT lang, text ||
+              CASE WHEN doc_id % 4 = 0 THEN ' привет мир' ELSE '' END ||
+              CASE WHEN doc_id % 9 = 0 THEN ' γειά σου' ELSE '' END ||
+              CASE WHEN doc_id % 25 = 0 THEN ' 你好世界' ELSE '' END ||
+              CASE WHEN doc_id % 49 = 0 THEN ' مرحبا' ELSE '' END AS t
+              FROM documents),
+            c AS (SELECT lang,
+                CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '',
+                  'g')) AS BIGINT) AS lat,
+                CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '',
+                  'g')) AS BIGINT) AS cyr,
+                CAST(length(t) - length(regexp_replace(t, '[Ͱ-Ͽ]', '',
+                  'g')) AS BIGINT) AS grk,
+                CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '',
+                  'g')) AS BIGINT) AS cjk,
+                CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '',
+                  'g')) AS BIGINT) AS ara
+              FROM g),
+            m AS (SELECT lang, lat, cyr, grk, cjk, ara,
+                ((CASE WHEN lat > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN cyr > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN grk > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN cjk > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN ara > 0 THEN 1 ELSE 0 END)) >= 2 AS mixed
+              FROM c)
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(lat) AS BIGINT) AS latin_chars,
+              CAST(SUM(cyr) AS BIGINT) AS cyrillic_chars,
+              CAST(SUM(grk) AS BIGINT) AS greek_chars,
+              CAST(SUM(cjk) AS BIGINT) AS cjk_chars,
+              CAST(SUM(ara) AS BIGINT) AS arabic_chars,
+              CAST(SUM(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_mixed
+            FROM m GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4815,5 +4881,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192)
 }

@@ -141,4 +141,31 @@ class TextOpsSpec extends SparkSpecBase {
     assert(flesch("The cat sat.") === 119.19)
     assert(flesch("...") === null, "zero sentences must surface NULL, not an error")
   }
+
+  test("scriptCount/scriptsPresent: per-block letter counts and the mixed-script flag") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "plain ascii words"),
+      (2L, "Mixed with кириллица inside"),   // the homoglyph shape
+      (3L, "γειά σου 你好"),                  // greek + cjk, no latin
+      (4L, "مرحبا"),                          // arabic only
+      (5L, "1234 ... !!")                     // no letters at all
+    ).toDF("id", "t")
+    val got = rows.select($"id",
+        TextOps.scriptCount($"t", "latin").as("lat"),
+        TextOps.scriptCount($"t", "cyrillic").as("cyr"),
+        TextOps.scriptCount($"t", "greek").as("grk"),
+        TextOps.scriptCount($"t", "cjk").as("cjk"),
+        TextOps.scriptCount($"t", "arabic").as("ara"),
+        TextOps.scriptsPresent($"t").as("np"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) === ((15L, 0L, 0L, 0L, 0L, 1L)))
+    assert(got(2L)._2 === 9L && got(2L)._6 === 2L, "latin + cyrillic = mixed")
+    assert(got(3L) === ((0L, 0L, 7L, 2L, 0L, 2L)))
+    assert(got(4L) === ((0L, 0L, 0L, 0L, 5L, 1L)))
+    assert(got(5L) === ((0L, 0L, 0L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException](TextOps.scriptCount($"t", "klingon"))
+  }
 }

@@ -207,4 +207,48 @@ object Changes {
           last.foreach(state.update)
           out.result().iterator
       }
+
+  /** Incremental JOIN-view maintenance (counting IVM — the delta-rule
+    * algebra behind every materialized-view engine): given base
+    * snapshots A, B and signed deltas ΔA, ΔB (a multiplicity column,
+    * +1 insert / −1 retract, arbitrary magnitudes compose), the delta
+    * of the inner equi-join view is EXACTLY
+    *   Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    * with multiplicities multiplying — so a 100 TB view refreshes by
+    * joining the DELTAS (tiny) against the bases, never re-joining the
+    * bases against each other. That base×base join never appearing is
+    * the whole point; the output is the signed row stream a view sink
+    * folds in (rows with equal payload may appear with both signs —
+    * summing `m` per distinct payload is the sink's fold, deliberately
+    * not forced here).
+    *
+    * Requirements: `keys` name the equi-join columns; the two payloads
+    * are otherwise column-disjoint (standard join hygiene); base rows
+    * carry implicit multiplicity 1 (duplicates allowed — they count).
+    *
+    * Scale shape: three equi-joins all keyed on `keys` — the two
+    * delta×base joins broadcast their delta side when small (AQE), and
+    * the delta×delta join is tiny×tiny. Property-tested:
+    * view(A+ΔA, B+ΔB) ≡ view(A,B) ⊎ delta, multiset equality with
+    * retractions (ChangesIvmSpec). */
+  def joinViewDelta(
+      aBase: DataFrame,
+      aDelta: DataFrame,
+      bBase: DataFrame,
+      bDelta: DataFrame,
+      keys: Seq[String],
+      mCol: String = "m"): DataFrame = {
+    require(keys.nonEmpty, "joinViewDelta: at least one join key")
+    require(aDelta.columns.contains(mCol) && bDelta.columns.contains(mCol),
+      s"joinViewDelta: deltas must carry the multiplicity column '$mCol'")
+    val aB = aBase.withColumn("__ma", lit(1L))
+    val aD = aDelta.withColumn("__ma", col(mCol).cast("long")).drop(mCol)
+    val bB = bBase.withColumn("__mb", lit(1L))
+    val bD = bDelta.withColumn("__mb", col(mCol).cast("long")).drop(mCol)
+    aD.join(bB, keys)
+      .unionByName(aB.join(bD, keys))
+      .unionByName(aD.join(bD, keys))
+      .withColumn(mCol, col("__ma") * col("__mb"))
+      .drop("__ma", "__mb")
+  }
 }

@@ -1973,9 +1973,72 @@ object ExtraQueries extends QueryGroup {
               FROM fz)
             SELECT * FROM ah UNION ALL SELECT * FROM az ORDER BY layout"""))
 
+  val q193 = QueryDef(
+    "q193_join_view_ivm_delta",
+    "incremental JOIN-view maintenance (counting IVM): the " +
+      "lineitem x orders view refreshed from signed deltas - " +
+      "Delta(A JOIN B) = dA JOIN B + A JOIN dB + dA JOIN dB with " +
+      "multiplicities multiplying, the base x base join never " +
+      "re-run; net view delta per (returnflag, orderpriority) with " +
+      "insert/retract row accounting",
+    (s, dir) => {
+      val C = graft.operators.Changes
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_returnflag"))
+      val or = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      val aBase = li.where(pmod(col("okey"), lit(10)) =!= 0)
+      val aDelta = li.where(pmod(col("okey"), lit(10)) === 0)
+        .withColumn("m", lit(1L))
+        .unionByName(aBase.where(pmod(col("okey"), lit(7)) === 0)
+          .withColumn("m", lit(-1L)))
+      val bBase = or.where(pmod(col("okey"), lit(10)) =!= 3)
+      val bDelta = or.where(pmod(col("okey"), lit(10)) === 3)
+        .withColumn("m", lit(1L))
+        .unionByName(bBase.where(pmod(col("okey"), lit(11)) === 0)
+          .withColumn("m", lit(-1L)))
+      C.joinViewDelta(aBase, aDelta, bBase, bDelta, Seq("okey"))
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(sum("m").as("net_delta"),
+          count(when(col("m") > 0, lit(1))).as("n_plus_rows"),
+          count(when(col("m") < 0, lit(1))).as("n_minus_rows"))
+        .orderBy("l_returnflag", "o_orderpriority")
+    },
+    Some("""WITH ab AS (SELECT l_orderkey AS okey, l_returnflag
+              FROM lineitem WHERE l_orderkey % 10 <> 0),
+            ad AS (SELECT l_orderkey AS okey, l_returnflag,
+                CAST(1 AS BIGINT) AS m
+              FROM lineitem WHERE l_orderkey % 10 = 0
+              UNION ALL
+              SELECT okey, l_returnflag, CAST(-1 AS BIGINT) FROM ab
+              WHERE okey % 7 = 0),
+            bb AS (SELECT o_orderkey AS okey, o_orderpriority
+              FROM orders WHERE o_orderkey % 10 <> 3),
+            bd AS (SELECT o_orderkey AS okey, o_orderpriority,
+                CAST(1 AS BIGINT) AS m
+              FROM orders WHERE o_orderkey % 10 = 3
+              UNION ALL
+              SELECT okey, o_orderpriority, CAST(-1 AS BIGINT) FROM bb
+              WHERE okey % 11 = 0),
+            d AS (SELECT l_returnflag, o_orderpriority, ad.m AS m
+                FROM ad JOIN bb USING (okey)
+              UNION ALL
+              SELECT l_returnflag, o_orderpriority, bd.m
+                FROM ab JOIN bd USING (okey)
+              UNION ALL
+              SELECT ad.l_returnflag, bd.o_orderpriority, ad.m * bd.m
+                FROM ad JOIN bd ON ad.okey = bd.okey)
+            SELECT l_returnflag, o_orderpriority,
+              CAST(SUM(m) AS BIGINT) AS net_delta,
+              CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_plus_rows,
+              CAST(SUM(CASE WHEN m < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_minus_rows
+            FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186, q187, q188, q190, q191)
+      q177, q178, q180, q186, q187, q188, q190, q191, q193)
 }

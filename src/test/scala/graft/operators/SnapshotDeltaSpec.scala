@@ -61,4 +61,50 @@ class SnapshotDeltaSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("joinViewDelta: view(A+dA, B+dB) == view(A,B) + delta on random signed updates") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(41)
+    (1 to 15).foreach { trial =>
+      def mk(n: Int, payload: String) =
+        (1 to n).map(_ => (rnd.nextInt(5).toLong, s"$payload${rnd.nextInt(3)}"))
+      val a = mk(3 + rnd.nextInt(8), "a")
+      val b = mk(3 + rnd.nextInt(8), "b")
+      // deltas: a few inserts plus retracts of EXISTING rows (so the new
+      // state stays a legal multiset)
+      def deltas(base: Seq[(Long, String)], payload: String) = {
+        val ins = mk(rnd.nextInt(4), payload).map { case (k, p) => (k, p, 1L) }
+        val ret = rnd.shuffle(base).take(rnd.nextInt(math.min(3, base.size) + 1))
+          .map { case (k, p) => (k, p, -1L) }
+        ins ++ ret
+      }
+      val da = deltas(a, "a")
+      val db = deltas(b, "b")
+      def applyDelta(base: Seq[(Long, String)], d: Seq[(Long, String, Long)]) = {
+        val m = scala.collection.mutable.Map.empty[(Long, String), Long]
+          .withDefaultValue(0L)
+        base.foreach(r => m(r) += 1)
+        d.foreach { case (k, p, mm) => m((k, p)) += mm }
+        m.toMap.filter(_._2 != 0)
+      }
+      def view(am: Map[(Long, String), Long], bm: Map[(Long, String), Long]) =
+        (for (((ka, pa), ma) <- am.toSeq; ((kb, pb), mb) <- bm.toSeq if ka == kb)
+          yield ((ka, pa, pb), ma * mb))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap.filter(_._2 != 0)
+      val aM = applyDelta(a, Nil); val bM = applyDelta(b, Nil)
+      val oldV = view(aM, bM)
+      val newV = view(applyDelta(a, da), applyDelta(b, db))
+      val got = Changes.joinViewDelta(
+          a.toDF("k", "pa"), da.toDF("k", "pa", "m"),
+          b.toDF("k", "pb"), db.toDF("k", "pb", "m"), Seq("k"))
+        .groupBy("k", "pa", "pb").agg(sum("m").as("m"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+        .filter(_._2 != 0L).toMap
+      val want = (newV.keySet ++ oldV.keySet).flatMap { key =>
+        val d = newV.getOrElse(key, 0L) - oldV.getOrElse(key, 0L)
+        if (d != 0L) Some(key -> d) else None
+      }.toMap
+      assert(got === want, s"trial $trial: delta mismatch")
+    }
+  }
 }

@@ -108,6 +108,58 @@ object Resample {
         last(col("__v"), ignoreNulls = true).over(w).as(valueCol)): _*)
   }
 
+  /** Event-time lateness profile — the watermark-sizing tool: for each
+    * event, its lateness is how far the stream's event-time HIGH WATER
+    * MARK (the running max event time in ARRIVAL order) had already
+    * advanced past it when it arrived; the distribution of that number
+    * IS the out-of-orderness of the feed, and a streaming watermark
+    * delay is chosen as "the lateness that covers all but an acceptable
+    * tail" — read p99/max off this histogram instead of guessing.
+    * In-order events score 0; an event 90 s behind the frontier lands
+    * in the 90 s bucket and would be DROPPED by any watermark delay
+    * shorter than that.
+    *
+    * Arrival order comes from `arrivalCol` (an ingest sequence /
+    * offset / monotone id — the caller owns the claim that it reflects
+    * arrival; event time alone cannot reconstruct it). Output per key:
+    * one row per lateness bucket (`floorDiv(lateness, bucketUs)`),
+    * with counts and the bucket's share, plus the exact max lateness —
+    * model-sized, mergeable across runs by adding counts.
+    *
+    * Scale shape: ONE window pass per key in arrival order (running
+    * max — the [[graft.operators.Funnel.sessionize]] shape on the
+    * well-distributed key), then one bucket aggregation with map-side
+    * combining and a keys-sized totals broadcast. */
+  def latenessProfile(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      arrivalCol: String,
+      bucketUs: Long,
+      roundTo: Int = 4): DataFrame = {
+    require(bucketUs > 0, s"latenessProfile: bucketUs $bucketUs must be > 0")
+    require(keyCols.nonEmpty, "latenessProfile: at least one key column")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__arr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val uts = unix_micros(col(tsCol).cast("timestamp"))
+    val late = df.where(col(tsCol).isNotNull && col(arrivalCol).isNotNull)
+      .select(keys :+ uts.as("__uts") :+ col(arrivalCol).as("__arr"): _*)
+      .withColumn("__frontier", max(col("__uts")).over(w))
+      .select(keys :+ (col("__frontier") - col("__uts")).as("__late"): _*)
+    val buckets = late
+      .groupBy(keys :+ ZOrder.floorDiv(col("__late"), lit(bucketUs))
+        .as("late_bucket"): _*)
+      .agg(count(lit(1)).as("n"), max(col("__late")).as("__mx"))
+    val totals = buckets.groupBy(keys: _*)
+      .agg(sum("n").as("__tot"), max("__mx").as("__maxlate"))
+    buckets.join(broadcast(totals), keyCols)
+      .select(keys ++ Seq(col("late_bucket"), col("n"),
+        round(col("n") * lit(1.0) / col("__tot"), roundTo).as("share"),
+        col("__maxlate").as("max_lateness_us")): _*)
+      .orderBy(keyCols.map(col) :+ col("late_bucket"): _*)
+  }
+
   /** Ingest-completeness gap ledger — the missing-bucket runs of each
     * stream, WITHOUT generating the expected grid: consecutive observed
     * buckets are compared with one `lag`, and every jump > 1 bucket is a

@@ -2036,9 +2036,38 @@ object ExtraQueries extends QueryGroup {
                 AS n_minus_rows
             FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  val q194 = QueryDef(
+    "q194_event_lateness_profile",
+    "event-time lateness profile per stream (arrival order = " +
+      "event_id): how far the event-time frontier had advanced past " +
+      "each event when it arrived, bucketed hourly with shares + max " +
+      "- the watermark-sizing tool (pick the delay off p99/max " +
+      "instead of guessing; shorter delays DROP the tail shown here)",
+    (s, dir) =>
+      graft.operators.Resample.latenessProfile(
+        t(s, dir, "events"), Seq("event_type"), "ts", "event_id",
+        bucketUs = 3600000000L),
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS uts, event_id
+              FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+            f AS (SELECT event_type, uts,
+                MAX(uts) OVER (PARTITION BY event_type ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS fr FROM e),
+            l AS (SELECT event_type, fr - uts AS late FROM f),
+            b AS (SELECT event_type, late // 3600000000 AS late_bucket,
+                CAST(COUNT(*) AS BIGINT) AS n, MAX(late) AS mx
+              FROM l GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot,
+                CAST(MAX(mx) AS BIGINT) AS maxl FROM b GROUP BY 1)
+            SELECT b.event_type, late_bucket, n,
+              ROUND(n * 1.0 / tot, 4) AS share,
+              maxl AS max_lateness_us
+            FROM b JOIN t USING (event_type)
+            ORDER BY event_type, late_bucket"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186, q187, q188, q190, q191, q193)
+      q177, q178, q180, q186, q187, q188, q190, q191, q193, q194)
 }

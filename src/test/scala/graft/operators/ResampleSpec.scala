@@ -120,4 +120,25 @@ class ResampleSpec extends SparkSpecBase {
     assert(dup.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
       Seq(("a", 2L), ("a", 7L)))
   }
+
+  test("latenessProfile: hand-computed frontier lateness; in-order stream is all-zero") {
+    val s = spark; import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // key a, arrival order 1..5 with event seconds 100, 50, 200, 199, 300:
+    // lateness = 0, 50s, 0, 1s, 0 -> 10s buckets {0: 4 rows, 5: 1 row}
+    val rows = Seq(
+      ("a", ts(100), 1L), ("a", ts(50), 2L), ("a", ts(200), 3L),
+      ("a", ts(199), 4L), ("a", ts(300), 5L),
+      ("b", ts(10), 1L), ("b", ts(20), 2L), ("b", ts(30), 3L))
+      .toDF("k", "ts", "arr")
+    val got = Resample.latenessProfile(rows, Seq("k"), "ts", "arr",
+        bucketUs = 10000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(("a", 0L)) === ((4L, 0.8, 50000000L)))
+    assert(got(("a", 5L)) === ((1L, 0.2, 50000000L)),
+      "the 50s-late event lands in bucket 5 and owns the max")
+    assert(got(("b", 0L)) === ((3L, 1.0, 0L)), "in-order stream: all zero")
+    assert(got.size === 3)
+  }
 }

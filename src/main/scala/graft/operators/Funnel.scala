@@ -312,6 +312,57 @@ object Funnel {
       .orderBy("from_type", "to_type")
   }
 
+  /** Association rules over session itemsets — support / confidence /
+    * lift for event-type pairs (the market-basket classics: "sessions
+    * that ERROR also PURCHASE?" is a lift question; the
+    * [[transitionMatrix]] is ORDER-sensitive and adjacent-only, this is
+    * co-occurrence at session scope): a session's itemset is its
+    * DISTINCT event types, and for each ordered pair (a → c),
+    * support = P(a,c), confidence = P(c|a), lift = P(c|a)/P(c). Rules
+    * below `minSupport` are cut (the Apriori pruning step — support is
+    * anti-monotone, so low-support pairs can never parent a keepable
+    * longer rule either).
+    *
+    * Scale shape: the event log collapses to DISTINCT (session, type)
+    * first (map-side combined); the pair self-join is session-keyed
+    * with fan-out bounded by the TYPE VOCABULARY per session (never
+    * events²); singles totals are vocabulary-sized broadcasts and the
+    * session count a 1-row broadcast. Quotients round at `roundTo` —
+    * genuine ratios, cross-engine safe. */
+  def associationRules(
+      events: DataFrame,
+      sessionCol: String = "session_id",
+      typeCol: String = "event_type",
+      minSupport: Double = 0.0,
+      roundTo: Int = 6): DataFrame = {
+    require(minSupport >= 0.0 && minSupport <= 1.0,
+      s"associationRules: minSupport $minSupport outside [0,1]")
+    val items = events.select(col(sessionCol).as("sid"), col(typeCol).as("it"))
+      .where(col("sid").isNotNull && col("it").isNotNull)
+      .distinct()
+    val nSessions = items.select("sid").distinct()
+      .agg(count(lit(1)).as("__n"))
+    val singles = items.groupBy(col("it")).agg(count(lit(1)).as("n_one"))
+    val half = items.select(col("sid"), col("it").as("a"))
+      .join(items.select(col("sid"), col("it").as("c")), "sid")
+      .where(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("n_ab"))
+    val both = half.unionByName(
+      half.select(col("c").as("a"), col("a").as("c"), col("n_ab")))
+    both
+      .join(broadcast(singles.select(col("it").as("a"), col("n_one").as("n_a"))), "a")
+      .join(broadcast(singles.select(col("it").as("c"), col("n_one").as("n_c"))), "c")
+      .crossJoin(broadcast(nSessions))
+      .where(col("n_ab") * lit(1.0) / col("__n") >= minSupport)
+      .select(col("a").as("antecedent"), col("c").as("consequent"),
+        col("n_ab"),
+        round(col("n_ab") * lit(1.0) / col("__n"), roundTo).as("support"),
+        round(col("n_ab") * lit(1.0) / col("n_a"), roundTo).as("confidence"),
+        round((col("n_ab") * lit(1.0) / col("n_a")) /
+          (col("n_c") * lit(1.0) / col("__n")), roundTo).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
   /** Multi-touch attribution — the classic first-touch / last-touch /
     * linear credit models over conversion journeys, in one pass: every
     * non-conversion event ("touch") belongs to the journey of its

@@ -2065,9 +2065,59 @@ object ExtraQueries extends QueryGroup {
             FROM b JOIN t USING (event_type)
             ORDER BY event_type, late_bucket"""))
 
+  val q195 = QueryDef(
+    "q195_session_association_rules",
+    "association rules over session itemsets (12-hour-gap sessions, " +
+      "itemset = distinct event types): support / confidence / lift " +
+      "per ordered type pair - the market-basket classics at session " +
+      "scope, order-free where q186's transition matrix is adjacency; " +
+      "pair fan-out bounded by the type vocabulary, Apriori support cut",
+    (s, dir) => {
+      val e = graft.operators.Funnel.sessionize(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), us(col("ts")).as("uts")),
+        gapUs = 43200000000L)
+      graft.operators.Funnel.associationRules(e, minSupport = 0.02)
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                epoch_us(ts) AS uts FROM events),
+            w AS (SELECT *,
+                CASE WHEN uts - LAG(uts) OVER (PARTITION BY user_id
+                  ORDER BY uts) > 43200000000 THEN 1 ELSE 0 END AS brk
+              FROM e),
+            sess AS (SELECT user_id, event_type,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY uts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session
+              FROM w),
+            items AS (SELECT DISTINCT user_id, session, event_type AS it
+              FROM sess),
+            n AS (SELECT CAST(COUNT(DISTINCT (user_id, session)) AS BIGINT)
+                AS ns FROM items),
+            ones AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_one
+              FROM items GROUP BY 1),
+            half AS (SELECT a.it AS a, c.it AS c,
+                CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM items a JOIN items c
+                ON a.user_id = c.user_id AND a.session = c.session
+                AND a.it < c.it
+              GROUP BY 1, 2),
+            pr2 AS (SELECT a, c, n_ab FROM half
+              UNION ALL SELECT c AS a, a AS c, n_ab FROM half)
+            SELECT a AS antecedent, c AS consequent, n_ab,
+              ROUND(n_ab * 1.0 / ns, 6) AS support,
+              ROUND(n_ab * 1.0 / oa.n_one, 6) AS confidence,
+              ROUND((n_ab * 1.0 / oa.n_one) / (oc.n_one * 1.0 / ns), 6)
+                AS lift
+            FROM pr2 JOIN ones oa ON pr2.a = oa.it
+                      JOIN ones oc ON pr2.c = oc.it
+                      CROSS JOIN n
+            WHERE n_ab * 1.0 / ns >= 0.02
+            ORDER BY antecedent, consequent"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186, q187, q188, q190, q191, q193, q194)
+      q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195)
 }

@@ -248,6 +248,32 @@ class FunnelSpec extends SparkSpecBase {
   private def round4t(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("associationRules: hand-computed support/confidence/lift; support cut prunes") {
+    val s = spark; import s.implicits._
+    // sessions (itemsets): {a,b}, {a,b}, {a,c}, {b}, {a}
+    val events = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),  // duplicates inside a session collapse
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "b"), (5L, "a"))
+      .toDF("session_id", "event_type")
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Funnel.associationRules(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // n=5 sessions; a in 4, b in 3, c in 1; {a,b} in 2, {a,c} in 1
+    assert(got(("a", "b")) === ((2L, 0.4, 0.5, r6(0.5 / 0.6))))
+    assert(got(("b", "a")) === ((2L, 0.4, r6(2.0 / 3), r6((2.0 / 3) / 0.8))))
+    assert(got(("a", "c")) === ((1L, 0.2, 0.25, r6(0.25 / 0.2))),
+      "lift > 1: c occurs only with a")
+    assert(got(("c", "a")) === ((1L, 0.2, 1.0, 1.25)))
+    assert(got.size === 4, "both directions of both pairs, nothing else")
+    // support cut: 0.3 keeps only the {a,b} pair
+    val cut = Funnel.associationRules(events, minSupport = 0.3).collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "b"), ("b", "a")))
+  }
+
   test("attribution: ts ties break on the id total order, deterministically") {
     val s = spark; import s.implicits._
     val events = Seq(

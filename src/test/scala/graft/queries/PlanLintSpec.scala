@@ -139,7 +139,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q188_json_schema_drift",
     // q189: AP rides q75's batched-BM25 machinery (the 1-row
     // corpus-stats crossJoin) — q112's documented class
-    "q189_retrieval_average_precision")
+    "q189_retrieval_average_precision",
+    // q195: associationRules' 1-row session-count frame crossJoined
+    // onto the vocabulary-sized pair frame — q61's one-row class
+    "q195_session_association_rules")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -958,6 +958,87 @@ object Quality {
       .orderBy(labelCol, predCol)
   }
 
+  /** Cohen's kappa — the CHANCE-CORRECTED completion of
+    * [[confusionMatrix]]: raw accuracy flatters any classifier on a
+    * skewed label mix (predicting the majority class scores high for
+    * free); κ = (p_o − p_e)/(1 − p_e) subtracts the agreement two
+    * independent raters with these marginals would reach by luck.
+    * Output one row: (n, accuracy, expected_agreement, kappa), kappa
+    * NULL when p_e = 1 (a single-class degenerate table — undefined,
+    * never a fabricated 0 or NaN).
+    *
+    * Determinism: p_o and p_e are ratios of exact integer sums (the
+    * marginal products accumulate in DECIMAL — order-free), the final
+    * combination is fixed-order double arithmetic, rounded.
+    *
+    * Scale shape: one corpus aggregation to the cells frame (the
+    * [[confusionMatrix]] shape), then pure arithmetic on model-sized
+    * frames. */
+  def cohensKappa(
+      df: DataFrame,
+      labelCol: String,
+      predCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val DEC = DecimalType(38, 0)
+    val cells = df
+      .where(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).as("l"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("l").agg(sum("n").as("nl"))
+    val cols_ = cells.groupBy("p").agg(sum("n").as("np"))
+    val agree = cells.agg(
+      sum(col("n")).as("tot"),
+      coalesce(sum(when(col("l") === col("p"), col("n"))), lit(0L)).as("diag"))
+    val pe = rows.join(cols_, rows("l") === cols_("p"))
+      .agg(coalesce(sum(col("nl").cast(DEC) * col("np").cast(DEC)),
+        lit(0).cast(DEC)).as("pesum"))
+    agree.crossJoin(broadcast(pe)).select(
+      col("tot").as("n"),
+      round(col("diag").cast("double") / col("tot"), roundTo).as("accuracy"),
+      round(col("pesum").cast("double") /
+        (col("tot").cast("double") * col("tot").cast("double")), roundTo)
+        .as("expected_agreement"),
+      when(col("pesum").cast("double") <
+          col("tot").cast("double") * col("tot").cast("double"),
+        round(
+          (col("diag").cast("double") / col("tot") -
+            col("pesum").cast("double") /
+              (col("tot").cast("double") * col("tot").cast("double"))) /
+            (lit(1.0) - col("pesum").cast("double") /
+              (col("tot").cast("double") * col("tot").cast("double"))),
+          roundTo)).as("kappa"))
+  }
+
+  /** Wilson score interval for a pass RATE — the gate-dashboard CI
+    * (Wilson 1927; the standard small-n-safe binomial interval — a
+    * plain normal interval collapses to ±0 at k=0 or k=n, exactly where
+    * a gate dashboard most needs honesty): for k passes of n at
+    * confidence z,
+    * `(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)`.
+    * Returns the (lo, hi) bounds as a 2-element struct-free pair of
+    * columns via `wilsonLo`/`wilsonHi` — plain column expressions
+    * (sqrt is IEEE-correctly-rounded; callers round the outputs). */
+  def wilsonLo(k: Column, n: Column, z: Double = 1.96): Column =
+    wilson(k, n, z, -1.0)
+
+  def wilsonHi(k: Column, n: Column, z: Double = 1.96): Column =
+    wilson(k, n, z, 1.0)
+
+  private def wilson(k: Column, n: Column, z: Double, sign: Double): Column = {
+    val nn = n.cast("double")
+    val p = k.cast("double") / nn
+    val z2 = z * z
+    val center = p + lit(z2) / (lit(2.0) * nn)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / nn +
+      lit(z2) / (lit(4.0) * nn * nn))
+    // FP residue can push the k=0 lower bound a few ulps below zero —
+    // clamp into [0,1] (a probability bound, on both engines)
+    when(n > 0,
+      greatest(lit(0.0), least(lit(1.0),
+        (center + lit(sign) * spread) / (lit(1.0) + lit(z2) / nn))))
+  }
+
   /** The published C4 line-level cleanup (Raffel et al. 2020 §2.2 — the
     * other canonical web-corpus gate, [[gopherRules]]' line-granular
     * companion): per document,

@@ -4873,6 +4873,107 @@ object LlmQueries extends QueryGroup {
                 AS n_mixed
             FROM m GROUP BY lang ORDER BY lang"""))
 
+  val q196 = QueryDef(
+    "q196_langid_cohens_kappa",
+    "Cohen's kappa of the language guesser vs the declared label - " +
+      "the chance-corrected completion of q184's confusion matrix " +
+      "(raw accuracy flatters any classifier on a skewed label mix): " +
+      "one-row (n, accuracy, expected agreement, kappa), marginal " +
+      "products in exact decimal, fixed-order double combination",
+    (s, dir) =>
+      Quality.cohensKappa(
+        t(s, dir, "documents")
+          .select(col("lang"), TextOps.languageId(col("text")).as("guess")),
+        "lang", "guess"),
+    Some("""WITH h AS (
+              SELECT lang,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t))) AS BIGINT) AS en,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['el','la','los','de','que','y','en','un','una','por'], t))) AS BIGINT) AS es,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['der','die','das','und','ein','eine','zu','mit','von','ist'], t))) AS BIGINT) AS de,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['le','la','les','et','un','une','des','du','est','dans'], t))) AS BIGINT) AS fr
+              FROM documents),
+            g AS (SELECT lang,
+                CASE WHEN en > 0 AND en >= GREATEST(en, es, de, fr) THEN 'en'
+                     WHEN es > 0 AND es >= GREATEST(en, es, de, fr) THEN 'es'
+                     WHEN de > 0 AND de >= GREATEST(en, es, de, fr) THEN 'de'
+                     WHEN fr > 0 AND fr >= GREATEST(en, es, de, fr) THEN 'fr'
+                     ELSE 'und' END AS guess
+              FROM h),
+            cells AS (SELECT lang AS l, guess AS p,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM g WHERE lang IS NOT NULL AND guess IS NOT NULL
+              GROUP BY 1, 2),
+            r AS (SELECT l, CAST(SUM(n) AS BIGINT) AS nl FROM cells
+              GROUP BY 1),
+            c AS (SELECT p, CAST(SUM(n) AS BIGINT) AS np FROM cells
+              GROUP BY 1),
+            a AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                CAST(COALESCE(SUM(CASE WHEN l = p THEN n END), 0) AS BIGINT)
+                  AS diag FROM cells),
+            pe AS (SELECT COALESCE(SUM(CAST(nl AS HUGEINT) * np), 0)
+                AS pesum FROM r JOIN c ON r.l = c.p)
+            SELECT tot AS n,
+              ROUND(CAST(diag AS DOUBLE) / tot, 6) AS accuracy,
+              ROUND(CAST(pesum AS DOUBLE) /
+                (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+                AS expected_agreement,
+              CASE WHEN CAST(pesum AS DOUBLE) <
+                  CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) THEN
+                ROUND((CAST(diag AS DOUBLE) / tot -
+                    CAST(pesum AS DOUBLE) /
+                    (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))) /
+                  (1.0 - CAST(pesum AS DOUBLE) /
+                    (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))), 6) END
+                AS kappa
+            FROM a CROSS JOIN pe"""))
+
+  val q197 = QueryDef(
+    "q197_gate_rate_wilson_ci",
+    "Wilson score interval on a gate's pass rate per language (the " +
+      "small-n-safe binomial CI - a normal interval collapses to +-0 " +
+      "at k=0 or k=n, exactly where a gate dashboard most needs " +
+      "honesty): the Gopher word-count rule as the gate, z=1.96; the " +
+      "z*z literal is WRITTEN as a product in both engines so the " +
+      "IEEE value is identical",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = Quality.gopherRules(d.select(col("doc_id"), col("text")))
+      m.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("r_word_count"), lit(1))).as("k"))
+        .select(col("lang"), col("n"), col("k"),
+          round(col("k") * lit(1.0) / col("n"), 6).as("rate"),
+          round(Quality.wilsonLo(col("k"), col("n")), 6).as("wilson_lo"),
+          round(Quality.wilsonHi(col("k"), col("n")), 6).as("wilson_hi"))
+        .orderBy("lang")
+    },
+    Some("""WITH w AS (SELECT doc_id, lang,
+                CAST(len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS nw
+              FROM documents),
+            g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN nw BETWEEN 50 AND 100000 THEN 1
+                  ELSE 0 END) AS BIGINT) AS k
+              FROM w GROUP BY 1),
+            p0 AS (SELECT lang, n, k,
+                CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM g)
+            SELECT lang, n, k,
+              ROUND(k * 1.0 / n, 6) AS rate,
+              ROUND(GREATEST(CAST(0 AS DOUBLE), LEAST(CAST(1 AS DOUBLE),
+                (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * n) -
+                  1.96 * sqrt(p * (1.0 - p) / n +
+                    (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * n * n))) /
+                (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n))), 6)
+                AS wilson_lo,
+              ROUND(GREATEST(CAST(0 AS DOUBLE), LEAST(CAST(1 AS DOUBLE),
+                (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * n) +
+                  1.96 * sqrt(p * (1.0 - p) / n +
+                    (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * n * n))) /
+                (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n))), 6)
+                AS wilson_hi
+            FROM p0 ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4881,5 +4982,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197)
 }

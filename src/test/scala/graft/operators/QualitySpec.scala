@@ -599,6 +599,45 @@ class QualitySpec extends SparkSpecBase {
   private def round4s(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("cohensKappa: textbook 2x2 case, degenerate single-class NULL") {
+    val s = spark; import s.implicits._
+    // classic: 20 a/a, 5 a/b, 10 b/a, 15 b/b -> po=0.7,
+    // pe = (25*30 + 25*20)/2500 = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val r = Quality.cohensKappa(rows.toDF("label", "pred"), "label", "pred")
+      .collect().head
+    assert(r.getLong(0) === 50L)
+    assert(r.getDouble(1) === 0.7 && r.getDouble(2) === 0.5)
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-9)
+    // single class on both sides: pe = 1 -> kappa undefined, NULL
+    val one = Quality.cohensKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("label", "pred"), "label", "pred")
+      .collect().head
+    assert(one.getDouble(1) === 1.0 && one.isNullAt(3))
+  }
+
+  test("wilson interval: brackets the rate, stays in [0,1] at the edges, n=0 NULL") {
+    val s = spark; import s.implicits._
+    val rows = Seq((50L, 100L), (0L, 20L), (20L, 20L), (0L, 0L)).toDF("k", "n")
+    val got = rows.select($"k", $"n",
+        Quality.wilsonLo($"k", $"n").as("lo"),
+        Quality.wilsonHi($"k", $"n").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val (lo, hi) = (got((50L, 100L))._1.get, got((50L, 100L))._2.get)
+    assert(lo < 0.5 && hi > 0.5 && hi - lo < 0.2, s"[$lo, $hi]")
+    val (lo0, hi0) = (got((0L, 20L))._1.get, got((0L, 20L))._2.get)
+    assert(lo0 === 0.0 && hi0 > 0.05 && hi0 < 0.3,
+      "k=0: lower bound 0 but the UPPER bound stays honest (normal CI collapses)")
+    val (lon, hin) = (got((20L, 20L))._1.get, got((20L, 20L))._2.get)
+    // analytically exactly 1 at k=n; FP leaves it an ulp shy — the clamp
+    // guards overshoot, not undershoot
+    assert(hin > 1.0 - 1e-12 && hin <= 1.0 && lon < 1.0 && lon > 0.7)
+    assert(got((0L, 0L)) === ((None, None)), "n=0: undefined, NULL")
+  }
+
   test("gopherRules plan: narrow projection chain, no shuffle beyond the spread") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Quality.gopherRules(docs).queryExecution.executedPlan.toString

@@ -142,7 +142,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q189_retrieval_average_precision",
     // q195: associationRules' 1-row session-count frame crossJoined
     // onto the vocabulary-sized pair frame — q61's one-row class
-    "q195_session_association_rules")
+    "q195_session_association_rules",
+    // q196: cohensKappa's 1-row marginal-product frame crossJoined onto
+    // the 1-row agreement frame — q61's one-row class
+    "q196_langid_cohens_kappa")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -181,6 +181,51 @@ object Profile {
           .otherwise(col("n_distinct").cast("string")).as("observed"))
   }
 
+  /** Referential-integrity audit — the FOREIGN-KEY constraint the
+    * [[Constraint]] family lacks (completeness/uniqueness/cardinality
+    * are single-table facts; orphaned children are a JOIN fact, and the
+    * silent killer of star-schema pipelines: an orphan row vanishes
+    * from every inner join downstream without an error anywhere). One
+    * row per checked relationship: child rows, distinct child keys,
+    * orphan rows (child keys absent from the parent), orphan share,
+    * and the verdict.
+    *
+    * NULL child keys are counted separately (`null_keys`) and are NOT
+    * orphans — SQL FK semantics: a NULL reference is absent, not
+    * dangling; completeness is [[profile]]'s dimension.
+    *
+    * Scale shape: one left-anti join per relationship on the key (the
+    * parent side reduced to DISTINCT keys first — keys-sized, broadcast
+    * when small) + one aggregation. */
+  def referentialIntegrity(
+      child: DataFrame,
+      parent: DataFrame,
+      childKey: String,
+      parentKey: String,
+      relation: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    val base = child.select(col(childKey).as("__ck"))
+    val nonNull = base.where(col("__ck").isNotNull)
+    val orphans = nonNull
+      .join(keys, nonNull("__ck") === keys("__pk"), "left_anti")
+    val stats = base.agg(
+      count(lit(1)).as("child_rows"),
+      count(col("__ck")).as("non_null_keys"),
+      countDistinct(col("__ck")).as("distinct_keys"))
+    val o = orphans.agg(
+      count(lit(1)).as("orphan_rows"),
+      countDistinct(col("__ck")).as("orphan_keys"))
+    stats.crossJoin(broadcast(o))
+      .select(lit(relation).as("relation"),
+        col("child_rows"),
+        (col("child_rows") - col("non_null_keys")).as("null_keys"),
+        col("distinct_keys"), col("orphan_rows"), col("orphan_keys"),
+        when(col("non_null_keys") > 0,
+          round(col("orphan_rows") * lit(1.0) / col("non_null_keys"), 6))
+          .otherwise(lit(0.0)).as("orphan_share"),
+        (col("orphan_rows") === 0).as("intact"))
+  }
+
   /** Semi-structured schema-drift ledger — the key LIFECYCLE of a JSON
     * payload column: per key, occurrence count, first/last day seen,
     * days present, day coverage, and the two drift verdicts (`appeared`

@@ -2115,9 +2115,72 @@ object ExtraQueries extends QueryGroup {
             WHERE n_ab * 1.0 / ns >= 0.02
             ORDER BY antecedent, consequent"""))
 
+  val q198 = QueryDef(
+    "q198_referential_integrity",
+    "referential-integrity audit - the FK constraint the single-table " +
+      "profiler lacks (an orphan child vanishes from every inner join " +
+      "downstream without an error anywhere): lineitem->orders, " +
+      "lineitem->part and orders->customer intact, plus a simulated " +
+      "partial parent load (orders missing every 10th key) that the " +
+      "audit must flag; NULL keys counted apart (SQL FK semantics: " +
+      "absent, not dangling)",
+    (s, dir) => {
+      val P = graft.operators.Profile
+      val li = t(s, dir, "lineitem")
+      val or = t(s, dir, "orders")
+      P.referentialIntegrity(li, or, "l_orderkey", "o_orderkey",
+          "lineitem->orders")
+        .unionByName(P.referentialIntegrity(li, t(s, dir, "part"),
+          "l_partkey", "p_partkey", "lineitem->part"))
+        .unionByName(P.referentialIntegrity(or, t(s, dir, "customer"),
+          "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(P.referentialIntegrity(li,
+          or.where(pmod(col("o_orderkey"), lit(10)) =!= 0),
+          "l_orderkey", "o_orderkey", "lineitem->orders_partial"))
+        .orderBy("relation")
+    },
+    Some("""WITH rel AS (
+              SELECT 'lineitem->orders' AS relation, l_orderkey AS ck,
+                'orders' AS pt FROM lineitem
+              UNION ALL
+              SELECT 'lineitem->part', l_partkey, 'part' FROM lineitem
+              UNION ALL
+              SELECT 'orders->customer', o_custkey, 'customer' FROM orders
+              UNION ALL
+              SELECT 'lineitem->orders_partial', l_orderkey, 'op'
+              FROM lineitem),
+            pk AS (
+              SELECT 'orders' AS pt, o_orderkey AS k FROM orders
+              UNION ALL SELECT 'part', p_partkey FROM part
+              UNION ALL SELECT 'customer', c_custkey FROM customer
+              UNION ALL SELECT 'op', o_orderkey FROM orders
+                WHERE o_orderkey % 10 <> 0),
+            pkd AS (SELECT DISTINCT pt, k FROM pk),
+            orph AS (SELECT relation,
+                CAST(COUNT(*) AS BIGINT) AS orphan_rows,
+                CAST(COUNT(DISTINCT ck) AS BIGINT) AS orphan_keys
+              FROM rel WHERE ck IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM pkd
+                  WHERE pkd.pt = rel.pt AND pkd.k = rel.ck)
+              GROUP BY 1),
+            st AS (SELECT relation, CAST(COUNT(*) AS BIGINT) AS child_rows,
+                CAST(COUNT(ck) AS BIGINT) AS non_null_keys,
+                CAST(COUNT(DISTINCT ck) AS BIGINT) AS distinct_keys
+              FROM rel GROUP BY 1)
+            SELECT st.relation, child_rows,
+              child_rows - non_null_keys AS null_keys, distinct_keys,
+              COALESCE(orphan_rows, 0) AS orphan_rows,
+              COALESCE(orphan_keys, 0) AS orphan_keys,
+              CASE WHEN non_null_keys > 0 THEN
+                ROUND(COALESCE(orphan_rows, 0) * 1.0 / non_null_keys, 6)
+                ELSE 0.0 END AS orphan_share,
+              (COALESCE(orphan_rows, 0) = 0) AS intact
+            FROM st LEFT JOIN orph USING (relation)
+            ORDER BY relation"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195)
+      q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198)
 }

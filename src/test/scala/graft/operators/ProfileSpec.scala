@@ -90,6 +90,27 @@ class ProfileSpec extends SparkSpecBase {
     assert(math.abs(p("lang") - 3L) <= 1L)
   }
 
+  test("referentialIntegrity: orphans counted, NULL keys are absent not dangling") {
+    val s = spark; import s.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profile.referentialIntegrity(child, parent, "fk", "pk", "c->p")
+      .collect().head
+    assert(r.getString(0) === "c->p")
+    assert(r.getLong(1) === 6L, "child rows incl. the NULL")
+    assert(r.getLong(2) === 1L, "one NULL key, counted apart")
+    assert(r.getLong(3) === 3L, "distinct non-null keys")
+    assert(r.getLong(4) === 2L && r.getLong(5) === 1L,
+      "two orphan rows, one orphan key (9)")
+    assert(r.getDouble(6) === 0.4, "orphan share over NON-NULL keys: 2/5")
+    assert(!r.getBoolean(7))
+    val ok = Profile.referentialIntegrity(
+      parent.withColumnRenamed("pk", "fk"), parent, "fk", "pk", "ok")
+      .collect().head
+    assert(ok.getBoolean(7) && ok.getLong(4) === 0L)
+  }
+
   test("jsonKeyLifecycle: lifecycle verdicts, malformed JSON contributes nothing") {
     val s = spark; import s.implicits._
     def d(s0: String) = java.sql.Date.valueOf(s0)

@@ -1110,4 +1110,64 @@ object Quality {
         .otherwise(lit(null).cast("string")).as("drop_reason"),
       col("kept_text"))
   }
+
+  /** Trending terms — term-velocity z-scores against each term's own
+    * trailing baseline (the monitoring classic behind "what changed in
+    * today's crawl": a term whose current-day count sits far above its
+    * prior-day mean is a topic burst, a spam influx, or a scraper
+    * picking up a new site — [[distributionDrift]] says THAT the mix
+    * moved, this names the terms that moved it).
+    *
+    * Baseline semantics: the prior mean/sd are over ALL prior calendar
+    * days (absent days are genuine ZERO counts — a term seen once
+    * before at 100 is a burst, not a 100-mean regular), computed from
+    * exact integer sufficient statistics (Σc, Σc² over appearing days;
+    * implicit zeros contribute nothing) against the 1-row day count.
+    * Only terms present on the CURRENT day score (risers), and only
+    * with ≥ 2 prior days and positive variance (a first-ever term has
+    * no baseline — surfacing those is [[graft.operators.Dedup]]'s
+    * novelty family). z rounds before the final rank; ties break on
+    * the term string.
+    *
+    * Scale shape: one (day, term) aggregation with map-side combining
+    * (the only corpus-scale shuffle), vocabulary-sized arithmetic after,
+    * a 1-row calendar broadcast, and a TakeOrdered top-k — never a
+    * global sort. */
+  def trendingTerms(
+      df: DataFrame,
+      dayCol: Column,
+      textCol: String = "text",
+      topK: Int = 15,
+      roundTo: Int = 4): DataFrame = {
+    require(topK >= 1, s"trendingTerms: topK $topK must be >= 1")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.select(dayCol.as("day"),
+        split(lower(col(textCol)), "\\s+").as("toks"))
+      .where(col("day").isNotNull)
+      .repartition(par)
+      .select(col("day"), explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull && col("term") =!= "")
+    val counts = toks.groupBy("day", "term").agg(count(lit(1)).as("c"))
+    val cal = counts.agg(countDistinct(col("day")).as("__nd"),
+      max(col("day")).as("__d1"))
+    val withCal = counts.crossJoin(broadcast(cal))
+    val cur = withCal.where(col("day") === col("__d1"))
+      .select(col("term"), col("c").as("c_today"))
+    val prior = withCal.where(col("day") < col("__d1"))
+      .groupBy("term")
+      .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+        first(col("__nd")).as("__nd"))
+    val d = (col("__nd") - 1).cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val mean = s1 / d
+    val varP = (s2 - s1 * s1 / d) / (d - lit(1.0))
+    val scored = cur.join(prior, "term")
+      .where(col("__nd") >= 3 && varP > 0.0)
+      .select(col("term"), col("c_today"),
+        round(mean, roundTo).as("mean_prior"),
+        round(sqrt(varP), roundTo).as("sd_prior"),
+        round((col("c_today") - mean) / sqrt(varP), roundTo).as("z"))
+    scored.orderBy(col("z").desc, col("term")).limit(topK)
+  }
 }

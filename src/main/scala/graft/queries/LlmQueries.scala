@@ -4974,6 +4974,61 @@ object LlmQueries extends QueryGroup {
                 AS wilson_hi
             FROM p0 ORDER BY lang"""))
 
+  val q199 = QueryDef(
+    "q199_trending_terms",
+    "trending-term detection: term-velocity z against each term's own " +
+      "trailing baseline over ALL prior days (absent days are genuine " +
+      "zero counts - a term seen once before is a burst, not a " +
+      "regular); docs dealt onto 30 synthetic days by doc_id, the max " +
+      "day carrying a grafted 'merge' burst the monitor must surface; " +
+      "drift says THAT the mix moved, this names the terms",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val burst = " merge merge merge merge merge merge merge merge merge merge"
+      val g = d.select(pmod(col("doc_id"), lit(30)).as("day"),
+        when(pmod(col("doc_id"), lit(30)) === 29,
+          concat(col("text"), lit(burst))).otherwise(col("text")).as("text"))
+      Quality.trendingTerms(g, col("day"))
+    },
+    Some("""WITH g AS (SELECT doc_id % 30 AS day,
+                lower(text || CASE WHEN doc_id % 30 = 29 THEN
+                  ' merge merge merge merge merge merge merge merge merge merge'
+                  ELSE '' END) AS t
+              FROM documents),
+            tok AS (SELECT day, unnest(list_filter(
+                string_split_regex(t, '\s+'), w -> w <> '')) AS term
+              FROM g),
+            c AS (SELECT day, term, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+            cal AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nd,
+                MAX(day) AS d1 FROM c),
+            cur AS (SELECT term, c AS c_today FROM c CROSS JOIN cal
+              WHERE day = d1),
+            pri AS (SELECT term,
+                CAST(SUM(c) AS BIGINT) AS s1,
+                CAST(SUM(c * c) AS BIGINT) AS s2,
+                MAX(nd) AS nd
+              FROM c CROSS JOIN cal WHERE day < d1 GROUP BY 1)
+            SELECT term, c_today,
+              ROUND(CAST(s1 AS DOUBLE) / CAST(nd - 1 AS DOUBLE), 4)
+                AS mean_prior,
+              ROUND(sqrt((CAST(s2 AS DOUBLE) -
+                  CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+                  CAST(nd - 1 AS DOUBLE)) /
+                (CAST(nd - 1 AS DOUBLE) - 1.0)), 4) AS sd_prior,
+              ROUND((c_today - CAST(s1 AS DOUBLE) / CAST(nd - 1 AS DOUBLE)) /
+                sqrt((CAST(s2 AS DOUBLE) -
+                    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+                    CAST(nd - 1 AS DOUBLE)) /
+                  (CAST(nd - 1 AS DOUBLE) - 1.0)), 4) AS z
+            FROM cur JOIN pri USING (term)
+            WHERE nd >= 3 AND
+              (CAST(s2 AS DOUBLE) -
+                CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+                CAST(nd - 1 AS DOUBLE)) /
+              (CAST(nd - 1 AS DOUBLE) - 1.0) > 0
+            ORDER BY z DESC, term LIMIT 15"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -4982,5 +5037,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199)
 }

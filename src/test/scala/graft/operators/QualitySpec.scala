@@ -599,6 +599,26 @@ class QualitySpec extends SparkSpecBase {
   private def round4s(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("trendingTerms: planted burst tops; first-ever and zero-variance terms excluded") {
+    val s = spark; import s.implicits._
+    // 4 days; 'burst' at 1,2,1 then 50 (variance in the baseline);
+    // 'fresh' only on the last day; 'flat' identical on all prior days
+    def doc(day: Int, words: String) = (day, words)
+    val rows = Seq(
+      doc(0, "steady steady burst flat"),
+      doc(1, "steady steady burst burst flat"),
+      doc(2, "steady steady burst flat"),
+      doc(3, "steady steady flat fresh " + Seq.fill(50)("burst").mkString(" ")))
+      .toDF("day", "text")
+    val got = Quality.trendingTerms(rows, $"day").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got.contains("burst") && got("burst") > 50.0,
+      s"the planted burst must dominate: $got")
+    assert(!got.contains("fresh"), "first-ever terms have no baseline")
+    assert(!got.contains("flat") && !got.contains("steady"),
+      "zero prior variance cannot be z-scored")
+  }
+
   test("cohensKappa: textbook 2x2 case, degenerate single-class NULL") {
     val s = spark; import s.implicits._
     // classic: 20 a/a, 5 a/b, 10 b/a, 15 b/b -> po=0.7,

@@ -5029,6 +5029,85 @@ object LlmQueries extends QueryGroup {
               (CAST(nd - 1 AS DOUBLE) - 1.0) > 0
             ORDER BY z DESC, term LIMIT 15"""))
 
+  val q200 = QueryDef(
+    "q200_source_scorecard",
+    "the source governance scorecard - the one table a curation " +
+      "review reads, composing the session's signal families per " +
+      "source: volume (docs/tokens/token share), the Gopher word-" +
+      "count gate rate, language-ID accuracy against the declared " +
+      "label, mean type-token ratio, and the mean composite quality " +
+      "score; means through exact decimal (the davg rule), one " +
+      "corpus pass plus source-sized arithmetic",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val staged = d.select(col("source"), col("lang"), col("text"),
+        split(col("text"), "\\s+").as("toks"))
+      val base = staged.select(col("source"),
+        size(col("toks")).cast(LongType).as("nt"),
+        (TextOps.languageIdToks(col("toks")) === col("lang")).as("lid_ok"),
+        TextOps.qualityScore(col("text")).as("q"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")), 4).as("ttr"))
+      val agg = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        count(when(col("nt") >= 50 && col("nt") <= 100000, lit(1)))
+          .as("__wc"),
+        count(when(col("lid_ok"), lit(1))).as("__lid"),
+        sum(dec(col("ttr"))).as("__sttr"),
+        sum(dec(col("q"))).as("__sq"))
+      val tot = agg.agg(sum("n_tokens").as("__t"))
+      agg.crossJoin(broadcast(tot)).select(
+          col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") * lit(1.0) / col("__t"), 6).as("token_share"),
+          round(col("__wc") * lit(1.0) / col("n_docs"), 4).as("wc_pass_rate"),
+          round(col("__lid") * lit(1.0) / col("n_docs"), 4).as("langid_acc"),
+          round(col("__sttr").cast("double") / col("n_docs"), 4).as("avg_ttr"),
+          round(col("__sq").cast("double") / col("n_docs"), 4)
+            .as("avg_quality"))
+        .orderBy("source")
+    },
+    Some("""WITH x AS (SELECT source, lang, text,
+                string_split_regex(text, '\s+') AS t FROM documents),
+            y AS (SELECT source, lang, text, t,
+                CAST(len(t) AS BIGINT) AS nt,
+                CAST(len(list_filter(t, w -> list_contains(['the','a','an','and','of','to','in','is','on','for'], w))) AS BIGINT) AS en,
+                CAST(len(list_filter(t, w -> list_contains(['el','la','los','de','que','y','en','un','una','por'], w))) AS BIGINT) AS es,
+                CAST(len(list_filter(t, w -> list_contains(['der','die','das','und','ein','eine','zu','mit','von','ist'], w))) AS BIGINT) AS de,
+                CAST(len(list_filter(t, w -> list_contains(['le','la','les','et','un','une','des','du','est','dans'], w))) AS BIGINT) AS fr
+              FROM x),
+            b AS (SELECT source, nt,
+                ((CASE WHEN en > 0 AND en >= GREATEST(en, es, de, fr)
+                    THEN 'en'
+                  WHEN es > 0 AND es >= GREATEST(en, es, de, fr) THEN 'es'
+                  WHEN de > 0 AND de >= GREATEST(en, es, de, fr) THEN 'de'
+                  WHEN fr > 0 AND fr >= GREATEST(en, es, de, fr) THEN 'fr'
+                  ELSE 'und' END) = lang) AS lid_ok,
+                CAST(ROUND(CAST(LEAST(nt / 50.0, 1.0) * 0.5
+                    + (1.0 - ABS(en * 1.0 / nt - 0.4)) * 0.3
+                    + LEAST(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0,
+                        1.0) * 0.2
+                    AS DECIMAL(28,14)), 4) AS DOUBLE) AS q,
+                ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr
+              FROM y),
+            agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN nt BETWEEN 50 AND 100000 THEN 1
+                  ELSE 0 END) AS BIGINT) AS wc,
+                CAST(SUM(CASE WHEN lid_ok THEN 1 ELSE 0 END) AS BIGINT)
+                  AS lid,
+                SUM(CAST(ttr AS DECIMAL(30,6))) AS sttr,
+                SUM(CAST(q AS DECIMAL(30,6))) AS sq
+              FROM b GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM agg)
+            SELECT source, n_docs, n_tokens,
+              ROUND(n_tokens * 1.0 / tt, 6) AS token_share,
+              ROUND(wc * 1.0 / n_docs, 4) AS wc_pass_rate,
+              ROUND(lid * 1.0 / n_docs, 4) AS langid_acc,
+              ROUND(CAST(sttr AS DOUBLE) / n_docs, 4) AS avg_ttr,
+              ROUND(CAST(sq AS DOUBLE) / n_docs, 4) AS avg_quality
+            FROM agg CROSS JOIN tot ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -5037,5 +5116,5 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200)
 }

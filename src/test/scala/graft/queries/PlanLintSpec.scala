@@ -145,7 +145,16 @@ class PlanLintSpec extends SparkSpecBase {
     "q195_session_association_rules",
     // q196: cohensKappa's 1-row marginal-product frame crossJoined onto
     // the 1-row agreement frame — q61's one-row class
-    "q196_langid_cohens_kappa")
+    "q196_langid_cohens_kappa",
+    // q198: referentialIntegrity's 1-row orphan frame crossJoined onto
+    // the 1-row child-stats frame, once per relation — q61's class
+    "q198_referential_integrity",
+    // q199: trendingTerms' 1-row calendar frame (day count + max day)
+    // crossJoined onto the (day, term) counts — q61's one-row class
+    "q199_trending_terms",
+    // q200: the scorecard's 1-row token-total frame crossJoined onto
+    // the sources-sized aggregate — q61's one-row class
+    "q200_source_scorecard")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 2, "sorted_long_intersect(sortedArrayA, sortedArrayB)")
       SortedLongIntersect(args.head, args(1))
     })
+    reg(ext, "jaro_winkler", classOf[JaroWinkler], args => {
+      require(args.length == 2, "jaro_winkler(stringA, stringB)")
+      JaroWinkler(args.head, args(1))
+    })
     reg(ext, "simhash64", classOf[SimHash64Kernel], args => {
       require(args.length == 1, "simhash64(text)")
       SimHash64Kernel(args.head)

@@ -237,4 +237,15 @@ object TextOps {
     ScriptRanges.map { case (n, _) =>
       when(scriptCount(text, n) > 0, 1L).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Jaro-Winkler similarity in [0, 1] — the linkage-standard comparator
+    * for short name-like fields (front-weighted, transposition-tolerant).
+    * Backed by the codegen'd [[graft.expressions.JaroWinkler]] kernel,
+    * pinned to the DuckDB/RapidFuzz byte-level contract so oracle replays
+    * agree; see the expression doc for the exact semantics. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(graft.expressions.JaroWinkler(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
 }

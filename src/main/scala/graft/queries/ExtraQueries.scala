@@ -2178,9 +2178,77 @@ object ExtraQueries extends QueryGroup {
             FROM st LEFT JOIN orph USING (relation)
             ORDER BY relation"""))
 
+  val q201 = QueryDef(
+    "q201_jaro_winkler_fuzzy_pairs",
+    "Jaro-Winkler fuzzy name matching under blocking - the linkage-" +
+      "standard comparator (Winkler 1990) Spark lacks natively, shipped " +
+      "as the codegen'd byte-level kernel pinned to the oracle engine's " +
+      "own RapidFuzz contract; candidate pairs come from a (brand, size) " +
+      "blocking equi-join (never a cross product - the L48/L91 " +
+      "discipline), scores ROUND before both the gate and the rank, and " +
+      "the exact-duplicate band (score 1.0) is excluded because exact " +
+      "dedup is L1's job - the top-20 review tier surfaces the old/cold " +
+      "near-misses",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+        col("p_brand").as("b1"), col("p_size").as("s1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+        col("p_brand").as("b2"), col("p_size").as("s2"))
+      a.join(b, col("b1") === col("b2") && col("s1") === col("s2") &&
+          col("k1") < col("k2"))
+        .select(col("k1"), col("k2"), col("n1"), col("n2"),
+          round(graft.functions.TextOps.jaroWinkler(col("n1"), col("n2")), 4)
+            .as("score"))
+        .where(col("score") < 1.0)
+        .orderBy(desc("score"), col("k1"), col("k2"))
+        .limit(20)
+    },
+    Some("""WITH pr AS (
+              SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+                a.p_name AS n1, b.p_name AS n2,
+                ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4)
+                  AS score
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                AND a.p_partkey < b.p_partkey)
+            SELECT * FROM pr WHERE score < 1.0
+            ORDER BY score DESC, k1, k2 LIMIT 20"""))
+
+  /** q202's lexicon: every term is BORDER-FREE (no proper prefix equals a
+    * proper suffix), so Aho-Corasick's all-positions occurrence count
+    * equals the non-overlapping count DuckDB's replace idiom measures —
+    * the equivalence LexiconSpec pins. Includes a phrase term: the
+    * automaton scans phrases in the same single pass. */
+  private val q202Lexicon = Seq("merge", "stream", "window", "table",
+    "value", "spark", "batch", "hash", "scan", "sort", "fast merge")
+
+  val q202 = QueryDef(
+    "q202_lexicon_term_stats",
+    "multi-pattern lexicon accounting via Aho-Corasick (1975) - the " +
+      "blocklist/topic-lexicon gate at the 10k-term scale where the " +
+      "per-term contains() scan is O(len*terms) and the automaton is " +
+      "O(len+hits) in ONE corpus pass; per term: documents containing " +
+      "it and total occurrences (substring semantics, phrase terms " +
+      "ride the same pass); automaton built once per executor from " +
+      "model-sized config, corpus never moves",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Lexicon.termStats(d, col("text"), q202Lexicon)
+        .orderBy("term")
+    },
+    Some(s"""WITH lex AS (SELECT unnest([${q202Lexicon.map("'" + _ + "'").mkString(", ")}]) AS term)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM((length(text) - length(replace(text, term, '')))
+                / length(term)) AS BIGINT) AS n_occ
+            FROM documents, lex
+            WHERE contains(text, term)
+            GROUP BY term ORDER BY term"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
-      q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198)
+      q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
+      q201, q202)
 }

@@ -78,4 +78,97 @@ object Trend {
       when(denx =!= 0.0 && deny =!= 0.0,
         round((num / denx) * (num / deny), 6)).as("r2")): _*)
   }
+
+  /** EWMA control chart (Roberts 1959; the SPC standard for drift that a
+    * plain z-against-mean misses): per key, score the LATEST bucket of a
+    * regular series against the exponentially-weighted mean of its
+    * trailing window — recent buckets dominate, so a slow ramp trips the
+    * chart while the q199-style flat-mean z still averages it away.
+    *
+    * Exactness trick (why λ is fixed at 1/2): a truncated normalized
+    * EWMA over the last `window` priors needs weights λ(1−λ)^j — with
+    * λ = 1/2 the UNNORMALIZED weights are the integers 2^(window−j), so
+    * numerator Σ x·w and denominators Σw, Σw² accumulate EXACTLY in
+    * decimal/long (partition-order-proof, the olsTrend rule) and
+    * normalization happens once, in the fixed-order double combination.
+    * The truncation tail (≤ 2^−window of total weight) is the documented
+    * approximation — at the default window=8 that is 0.4%.
+    *
+    * z = (x_last − ewma) / (s · √(Σw²)/Σw): s is the plain sample sd of
+    * the prior window (the SPC convention: process σ from history), and
+    * √(Σw²)/Σw is the exact variance shrinkage of the weighted mean —
+    * the truncated-window form of √(λ/(2−λ)).
+    *
+    * Keys need ≥ `minPriors` prior buckets and s > 0 to score (fresh and
+    * constant series surface with NULL z, never NaN). Values quantize to
+    * `valueQuantDecimals` like [[olsTrend]]'s y.
+    *
+    * Scale shape: one row_number window per key (the series is ALREADY
+    * bucketed — caller aggregates raw events to (key, bucket, value)
+    * first, so this sorts series points, not events) + one grouped
+    * aggregation; output is keys-sized.
+    *
+    * Output: (keyCols*, x_ord, n_prior, x_last, ewma, sd_prior, z,
+    * flagged) — ewma/sd/z rounded to 4; flagged = |z| > limit. */
+  def ewmaChart(
+      df: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valueCol: String,
+      window: Int = 8,
+      limit: Double = 3.0,
+      minPriors: Int = 3,
+      valueQuantDecimals: Int = 2): DataFrame = {
+    require(window >= 2 && window <= 25,
+      s"window $window outside [2, 25] (the squared-weight sum " +
+        "2^(2(window-1))·2 must stay inside int64)")
+    require(minPriors >= 2, s"minPriors $minPriors must be >= 2 (sd needs it)")
+    val keys = keyCols.map(col)
+    val ys = math.pow(10.0, valueQuantDecimals)
+    val D = DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__ord").desc)
+    val ranked = df
+      .where(col(ordCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys ++ Seq(col(ordCol).cast("long").as("__ord"),
+        round(col(valueCol) * ys).cast("long").as("__vq")): _*)
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= window + 1)
+    // prior weight: newest prior (r=2) carries 2^(window-1), oldest kept
+    // (r=window+1) carries 2^0
+    val wgt = when(col("__r") >= 2,
+      pow(lit(2.0), lit(window + 1) - col("__r")).cast("long"))
+    val stats = ranked.groupBy(keys: _*).agg(
+      max(when(col("__r") === 1, col("__ord"))).as("x_ord"),
+      max(when(col("__r") === 1, col("__vq"))).as("__xl"),
+      count(when(col("__r") >= 2, lit(1))).as("n_prior"),
+      sum(wgt).as("__sw"),
+      sum(wgt * wgt).as("__sww"),
+      sum((wgt.cast(D) * col("__vq").cast(D))).as("__swx"),
+      sum(when(col("__r") >= 2, col("__vq").cast(D))).as("__sx"),
+      sum(when(col("__r") >= 2, col("__vq").cast(D) * col("__vq").cast(D)))
+        .as("__sxx"))
+    // fixed-order double combination (mirrored verbatim in the SQL replay)
+    val n = col("n_prior").cast("double")
+    val sw = col("__sw").cast("double")
+    val sww = col("__sww").cast("double")
+    val swx = col("__swx").cast("double")
+    val sx = col("__sx").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val xl = col("__xl").cast("double")
+    val ewma = swx / sw
+    val varS = (sxx - sx * sx / n) / (n - 1.0)
+    val z = (xl - ewma) / (sqrt(varS) * sqrt(sww) / sw)
+    val scored = stats
+      .withColumn("__ok",
+        col("n_prior") >= minPriors && varS > 0.0)
+      .select(keys ++ Seq(
+        col("x_ord"), col("n_prior"),
+        round(xl / ys, 4).as("x_last"),
+        when(col("n_prior") >= 1, round(ewma / ys, 4)).as("ewma"),
+        when(col("__ok"), round(sqrt(varS) / ys, 4)).as("sd_prior"),
+        when(col("__ok"), round(z, 4)).as("z"),
+        when(col("__ok"), abs(z) > limit).as("flagged")): _*)
+    scored
+  }
 }

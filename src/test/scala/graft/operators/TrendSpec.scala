@@ -54,4 +54,77 @@ class TrendSpec extends SparkSpecBase {
       .collect().head.toString
     assert(a === b)
   }
+
+  test("ewmaChart: hand-computed weighted mean, sd, z on a small series") {
+    val s = spark
+    import s.implicits._
+    // priors (newest first): 10, 12, 8, 10 — window 4 weights 8,4,2,1
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 8.0), ("a", 3L, 12.0),
+      ("a", 4L, 10.0), ("a", 5L, 20.0)).toDF("k", "t", "v")
+    val r = Trend.ewmaChart(df, Seq("k"), "t", "v",
+      window = 4, minPriors = 3, valueQuantDecimals = 0).collect().head
+    val sw = 8.0 + 4 + 2 + 1
+    val ewma = (10 * 8 + 12 * 4 + 8 * 2 + 10 * 1) / sw
+    val xs = Seq(10.0, 12, 8, 10)
+    val m = xs.sum / 4
+    val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / 3)
+    val z = (20.0 - ewma) / (sd * math.sqrt(64.0 + 16 + 4 + 1) / sw)
+    assert(r.getAs[Long]("x_ord") === 5L)
+    assert(r.getAs[Long]("n_prior") === 4L)
+    assert(r.getAs[Double]("x_last") === 20.0)
+    assert(math.abs(r.getAs[Double]("ewma") -
+      BigDecimal(ewma).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sd_prior") -
+      BigDecimal(sd).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z") -
+      BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-4)
+    assert(r.getAs[Boolean]("flagged"), "a 2x jump must trip the chart")
+  }
+
+  test("ewmaChart: recency weighting catches a ramp the flat mean absorbs") {
+    val s = spark
+    import s.implicits._
+    // slow ramp: last reading continues the recent trend, far from the
+    // old level — EWMA centered near recent values gives modest z, while
+    // the distance from the WHOLE-window flat mean is larger
+    val ramp = (1 to 12).map(i => ("r", i.toLong, if (i <= 8) 100.0 else 100.0 + (i - 8) * 30))
+    val r = Trend.ewmaChart(ramp.toDF("k", "t", "v"), Seq("k"), "t", "v",
+      window = 8, valueQuantDecimals = 0).collect().head
+    // EWMA of priors sits well above the flat-window mean: recent
+    // readings dominate
+    val priors = (2 to 9).map(j => ramp(12 - j)._3) // newest first
+    val flatMean = priors.sum / 8
+    assert(r.getAs[Double]("ewma") > flatMean + 10,
+      s"ewma ${r.getAs[Double]("ewma")} should exceed flat mean $flatMean")
+  }
+
+  test("ewmaChart: constant and fresh series surface NULLs, never NaN") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("const", 1L, 5.0), ("const", 2L, 5.0), ("const", 3L, 5.0),
+      ("const", 4L, 5.0), ("const", 5L, 5.0),
+      ("fresh", 1L, 1.0), ("fresh", 2L, 2.0)).toDF("k", "t", "v")
+    val out = Trend.ewmaChart(df, Seq("k"), "t", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("const").isNullAt(out("const").fieldIndex("z")),
+      "zero variance cannot be z-scored")
+    assert(!out("const").isNullAt(out("const").fieldIndex("ewma")))
+    assert(out("fresh").isNullAt(out("fresh").fieldIndex("z")),
+      "1 prior < minPriors")
+  }
+
+  test("ewmaChart: partition-order-insensitive; window bounds enforced") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 300).map(i => ("k" + i % 7, i.toLong, math.sin(i) * 50 + 100))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Trend.ewmaChart(df, Seq("k"), "t", "v").orderBy("k")
+        .collect().map(_.toString).mkString("|")
+    assert(run(rows.toDF("k", "t", "v").repartition(1)) ===
+      run(rows.reverse.toDF("k", "t", "v").repartition(32)))
+    intercept[IllegalArgumentException](
+      Trend.ewmaChart(rows.toDF("k", "t", "v"), Seq("k"), "t", "v", window = 26))
+    intercept[IllegalArgumentException](
+      Trend.ewmaChart(rows.toDF("k", "t", "v"), Seq("k"), "t", "v", minPriors = 1))
+  }
 }

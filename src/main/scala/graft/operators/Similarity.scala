@@ -1065,4 +1065,84 @@ object Similarity {
               (col("n_vecs") * (col("n_vecs") - 1)).cast(DoubleType),
             roundTo)).as("mean_pairwise_cos"))
   }
+
+  /** Scalar int8 quantization audit (the faiss-SQ8 / llama.cpp-Q8 storage
+    * decision priced BEFORE a 100 TB reindex commits to it): quantize each
+    * vector to symmetric int8 codes (per-vector max-abs scale, the SQ
+    * standard), and report per group how much geometry the 4× footprint
+    * cut costs — mean/min cosine between original and dequantized vector
+    * and mean/max relative L2 reconstruction error.
+    *
+    * Exactness (the q90 discipline, pushed one level further): components
+    * quantize to integer units vq = round(x·10^q); the int8 code is
+    * c = sign(vq)·⌊(254·|vq| + amax) / (2·amax)⌋ — integer round-half-
+    * away-from-zero of |vq|·127/amax, exact in any engine (the numerator
+    * is non-negative, so floor-div equals the truncating div Spark and
+    * DuckDB share). The dequantization scale amax/127 CANCELS in the
+    * cosine — cos(x, deq) = Σvq·c / (‖vq‖·‖c‖) — and factors out of the
+    * L2 error — err_i = vq_i·127 − c_i·amax, rel = √Σerr²/(127·‖vq‖) —
+    * so every sufficient statistic is an exact int64 sum and both engines
+    * agree bit-for-bit before the one fixed-order double combination.
+    *
+    * Scale shape: all per-vector math runs as higher-order functions
+    * INSIDE the row — no explode, no per-component shuffle; the only
+    * exchange is the final group aggregation (exact-decimal means of
+    * per-vector metrics rounded to `roundTo`). Zero vectors (amax = 0)
+    * carry no geometry to preserve and are dropped, matching the
+    * [[withNorm]] contract.
+    *
+    * Magnitude contract: dim·10^(2q) must fit int64 — generous at any
+    * real dim for the default q = 6 (‖x‖∞ ≤ ~10³ at dim ≤ 10⁴).
+    *
+    * Output: (labelCol, n_vecs, avg_cos, min_cos, avg_rel_err,
+    * max_rel_err), rounded to `roundTo`. */
+  def sq8Audit(
+      df: DataFrame,
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      quantDecimals: Int = 6,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val scale = math.pow(10.0, quantDecimals)
+    val vq = transform(col(vecCol),
+      x => round(x.cast(DoubleType) * scale).cast(LongType))
+    val staged = df
+      .select(col(labelCol).as("lbl"), vq.as("vq"))
+      .withColumn("amax",
+        array_max(transform(col("vq"), x => abs(x))))
+      .where(col("amax") > 0L)
+      // ⌊N/D⌋ via double division + floor: N ≤ 255·amax and D = 2·amax
+      // are exact in double, and the nearest representable quotient to
+      // N/D sits 1/D ≥ 10⁻⁸ from the next integer — orders of magnitude
+      // beyond a correctly-rounded division's half-ulp (~10⁻¹⁴ at 127),
+      // so the floor cannot be bridged (the magnitude contract above)
+      .withColumn("c", transform(col("vq"), x =>
+        signum(x).cast(LongType) *
+          floor((lit(254L) * abs(x) + col("amax")).cast(DoubleType) /
+            (lit(2L) * col("amax")).cast(DoubleType)).cast(LongType)))
+    val sums = staged.select(col("lbl"),
+      aggregate(zip_with(col("vq"), col("c"), (a, b) => a * b),
+        lit(0L), (s, v) => s + v).as("dot"),
+      aggregate(col("vq"), lit(0L), (s, v) => s + v * v).as("nx2"),
+      aggregate(col("c"), lit(0L), (s, v) => s + v * v).as("nc2"),
+      aggregate(zip_with(col("vq"), col("c"),
+          (a, b) => a * lit(127L) - b * col("amax")),
+        lit(0L), (s, v) => s + v * v).as("sse"))
+    val perVec = sums.select(col("lbl"),
+      round(col("dot").cast(DoubleType) /
+        (sqrt(col("nx2").cast(DoubleType)) * sqrt(col("nc2").cast(DoubleType))),
+        roundTo).as("cosv"),
+      round(sqrt(col("sse").cast(DoubleType)) /
+        (lit(127.0) * sqrt(col("nx2").cast(DoubleType))), roundTo).as("relv"))
+    val D = DecimalType(30, 6)
+    perVec.groupBy("lbl").agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("cosv").cast(D)).cast(DoubleType) / count(lit(1)),
+          roundTo).as("avg_cos"),
+        min(col("cosv")).as("min_cos"),
+        round(sum(col("relv").cast(D)).cast(DoubleType) / count(lit(1)),
+          roundTo).as("avg_rel_err"),
+        max(col("relv")).as("max_rel_err"))
+      .withColumnRenamed("lbl", labelCol)
+  }
 }

@@ -2245,10 +2245,139 @@ object ExtraQueries extends QueryGroup {
             WHERE contains(text, term)
             GROUP BY term ORDER BY term"""))
 
+  val q203 = QueryDef(
+    "q203_ewma_control_chart",
+    "EWMA control chart (Roberts 1959) per event type over the daily " +
+      "count series, with a grafted +60 jump on the error type's final " +
+      "day the chart must flag - recency-weighted drift detection " +
+      "completing the monitor tier (q156 OLS trend = slope, q199 flat-" +
+      "mean z = bursts, this = slow ramps and level shifts); lambda " +
+      "fixed at 1/2 so the truncated weights are exact integers and " +
+      "every sufficient sum is partition-order-proof",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val daily = e
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n0"))
+      val wmax = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val grafted = daily.withColumn("v",
+        col("n0") + when(col("event_type") === "error" &&
+          col("day") === max(col("day")).over(wmax), lit(60L))
+          .otherwise(lit(0L)))
+      graft.operators.Trend.ewmaChart(grafted, Seq("event_type"), "day",
+          "v", window = 8, limit = 3.0, minPriors = 3,
+          valueQuantDecimals = 0)
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT event_type,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(COUNT(*) AS BIGINT) AS n0
+              FROM events GROUP BY 1, 2),
+            g AS (SELECT event_type, day,
+                n0 + CASE WHEN event_type = 'error' AND
+                  day = MAX(day) OVER (PARTITION BY event_type)
+                  THEN 60 ELSE 0 END AS v
+              FROM d),
+            r AS (SELECT event_type, day, v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY day DESC) AS r
+              FROM g),
+            k AS (SELECT event_type, day, v, r,
+                CASE WHEN r >= 2 THEN CAST(pow(2, 9 - r) AS BIGINT) END AS w
+              FROM r WHERE r <= 9),
+            a AS (SELECT event_type,
+                MAX(CASE WHEN r = 1 THEN day END) AS x_ord,
+                MAX(CASE WHEN r = 1 THEN v END) AS xl,
+                CAST(COUNT(CASE WHEN r >= 2 THEN 1 END) AS BIGINT)
+                  AS n_prior,
+                SUM(w) AS sw, SUM(w * w) AS sww,
+                SUM(CAST(w AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+                  AS swx,
+                SUM(CASE WHEN r >= 2 THEN CAST(v AS DECIMAL(38,0)) END)
+                  AS sx,
+                SUM(CASE WHEN r >= 2 THEN
+                  CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) END)
+                  AS sxx
+              FROM k GROUP BY 1)
+            SELECT event_type, x_ord, n_prior,
+              ROUND(CAST(xl AS DOUBLE), 4) AS x_last,
+              ROUND(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 4) AS ewma,
+              ROUND(sqrt((CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n_prior AS DOUBLE))
+                / (CAST(n_prior AS DOUBLE) - 1.0)), 4) AS sd_prior,
+              ROUND((CAST(xl AS DOUBLE) -
+                  CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)) /
+                (sqrt((CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n_prior AS DOUBLE))
+                  / (CAST(n_prior AS DOUBLE) - 1.0))
+                 * sqrt(CAST(sww AS DOUBLE)) / CAST(sw AS DOUBLE)), 4)
+                AS z,
+              ABS((CAST(xl AS DOUBLE) -
+                  CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)) /
+                (sqrt((CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n_prior AS DOUBLE))
+                  / (CAST(n_prior AS DOUBLE) - 1.0))
+                 * sqrt(CAST(sww AS DOUBLE)) / CAST(sw AS DOUBLE)))
+                > 3.0 AS flagged
+            FROM a ORDER BY event_type"""))
+
+  val q204 = QueryDef(
+    "q204_sq8_quantization_audit",
+    "scalar int8 embedding-quantization audit (the faiss-SQ8 storage " +
+      "decision priced before a 100 TB reindex): symmetric per-vector " +
+      "max-abs int8 codes, per label the mean/min original-vs-dequant " +
+      "cosine and mean/max relative L2 error - the dequant scale " +
+      "amax/127 cancels out of both metrics, so every sufficient sum " +
+      "is an exact int64 and the engines agree bit-for-bit; per-vector " +
+      "math rides higher-order functions inside the row (no explode, " +
+      "no component shuffle), the label aggregation is the only " +
+      "exchange",
+    (s, dir) =>
+      graft.operators.Similarity.sq8Audit(t(s, dir, "embeddings"))
+        .orderBy("label"),
+    Some("""WITH v0 AS (SELECT vec_id, label AS lbl,
+                CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            ex AS (SELECT vec_id, lbl, i AS pos,
+                CAST(ROUND(e[i] * 1000000) AS BIGINT) AS vq
+              FROM (SELECT vec_id, lbl, e,
+                unnest(generate_series(1, len(e))) AS i FROM v0)),
+            am AS (SELECT vec_id, MAX(ABS(vq)) AS amax FROM ex GROUP BY 1),
+            cx AS (SELECT ex.vec_id, lbl, pos, vq, amax,
+                (CASE WHEN vq < 0 THEN -1 WHEN vq > 0 THEN 1 ELSE 0 END) *
+                  ((254 * ABS(vq) + amax) // (2 * amax)) AS c
+              FROM ex JOIN am USING (vec_id) WHERE amax > 0),
+            pv AS (SELECT vec_id, lbl,
+                CAST(SUM(vq * c) AS BIGINT) AS dot,
+                CAST(SUM(vq * vq) AS BIGINT) AS nx2,
+                CAST(SUM(c * c) AS BIGINT) AS nc2,
+                CAST(SUM((vq * 127 - c * amax) * (vq * 127 - c * amax))
+                  AS BIGINT) AS sse
+              FROM cx GROUP BY 1, 2),
+            pm AS (SELECT vec_id, lbl,
+                ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(nx2 AS DOUBLE))
+                  * sqrt(CAST(nc2 AS DOUBLE))), 6) AS cosv,
+                ROUND(sqrt(CAST(sse AS DOUBLE))
+                  / (127.0 * sqrt(CAST(nx2 AS DOUBLE))), 6) AS relv
+              FROM pv)
+            SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              ROUND(CAST(SUM(CAST(cosv AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(*), 6) AS avg_cos,
+              MIN(cosv) AS min_cos,
+              ROUND(CAST(SUM(CAST(relv AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(*), 6) AS avg_rel_err,
+              MAX(relv) AS max_rel_err
+            FROM pm GROUP BY 1 ORDER BY label"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
-      q201, q202)
+      q201, q202, q203, q204)
 }

@@ -492,4 +492,61 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(4L)._1 === 1L && got(4L)._2 === None,
       "zero vector drops; the class degrades to a singleton")
   }
+
+  test("sq8Audit: hand-built vectors — exact codes, cosine, error") {
+    val s = spark
+    import s.implicits._
+    // v1 = (0.5, 0.25, -0.125): vq = (500000, 250000, -125000), amax=500000
+    //   c = (127, round(63.5)=64, -round(31.75)=-32)
+    val df = Seq(
+      (1L, Seq(0.5f, 0.25f, -0.125f), 0),
+      (2L, Seq(0.1f, 0.1f, 0.1f), 1),   // all equal -> perfect codes (127)
+      (3L, Seq(0.0f, 0.0f, 0.0f), 2))   // zero vector -> dropped
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.sq8Audit(df).orderBy("label").collect()
+    assert(out.length === 2, "zero vector dropped")
+    val vq = Seq(500000L, 250000L, -125000L)
+    val c = Seq(127L, 64L, -32L)
+    val dot = vq.zip(c).map { case (a, b) => a * b }.sum.toDouble
+    val nx2 = vq.map(x => x * x).sum.toDouble
+    val nc2 = c.map(x => x * x).sum.toDouble
+    val cos = BigDecimal(dot / (math.sqrt(nx2) * math.sqrt(nc2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sse = vq.zip(c).map { case (a, b) => val e = a * 127 - b * 500000L; e * e }.sum.toDouble
+    val rel = BigDecimal(math.sqrt(sse) / (127.0 * math.sqrt(nx2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Double]("avg_cos") === cos)
+    assert(out(0).getAs[Double]("max_rel_err") === rel)
+    // uniform vector: codes all 127 -> exact reconstruction
+    assert(out(1).getAs[Double]("avg_cos") === 1.0)
+    assert(out(1).getAs[Double]("max_rel_err") === 0.0)
+  }
+
+  test("sq8Audit: codes bounded to [-127, 127]; error within half a step") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 50).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.sq8Audit(df).collect()
+    // rel error of symmetric SQ8 is <= (1/254)*sqrt(dim)/  (||x||/amax) --
+    // loose sanity: always well under 5% for dim 16, and cosine > 0.999
+    out.foreach { r =>
+      assert(r.getAs[Double]("max_rel_err") < 0.05)
+      assert(r.getAs[Double]("min_cos") > 0.999)
+    }
+  }
+
+  test("sq8Audit: partition-order-insensitive (exact integer sums)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(24)(rnd.nextFloat() - 0.5f), i % 4))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.sq8Audit(d).orderBy("label").collect().map(_.toString).mkString("|")
+    assert(run(rows.toDF("vec_id", "embedding", "label").repartition(1)) ===
+      run(rows.reverse.toDF("vec_id", "embedding", "label").repartition(32)))
+  }
 }

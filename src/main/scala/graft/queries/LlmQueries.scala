@@ -5108,6 +5108,51 @@ object LlmQueries extends QueryGroup {
               ROUND(CAST(sq AS DOUBLE) / n_docs, 4) AS avg_quality
             FROM agg CROSS JOIN tot ORDER BY source"""))
 
+  val q205 = QueryDef(
+    "q205_unigram_lm_train",
+    "unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece " +
+      "default; the other production tokenizer family next to q78's " +
+      "BPE): seed with the most frequent substrings (+ all single " +
+      "chars), 3 rounds of hard-EM - distributed Viterbi best-" +
+      "segmentation counting over the DISTINCT-WORD frame against a " +
+      "broadcast piece table, model-sized count collect, driver " +
+      "renormalize - then keep the strongest pieces. No DuckDB oracle " +
+      "(iterative Viterbi DP is not ANSI-SQL-expressible): rows-only; " +
+      "the seed-inventory reduction is hash-gated by the q206 portable " +
+      "twin and the trainer is equivalence-tested against a sequential " +
+      "reference in UnigramLmSpec",
+    (s, dir) => {
+      val m = graft.operators.UnigramLm.train(t(s, dir, "documents"),
+        seedSize = 300, maxPieceLen = 4, iters = 3, vocabSize = 120)
+      graft.operators.UnigramLm.vocabTable(s, m).orderBy("rank")
+    },
+    None)
+
+  val q206 = QueryDef(
+    "q206_unigram_seed_candidates",
+    "portable twin of q205's seed phase: count-weighted substring " +
+      "candidates (length <= 4) over the word vocabulary, top-25 under " +
+      "the trainer's exact selection order (cnt DESC, piece ASC) - " +
+      "hash-gates the corpus->vocab reduction and the candidate " +
+      "inventory every unigram-LM round starts from",
+    (s, dir) => {
+      val vocab = graft.operators.BpeTrain.wordVocab(t(s, dir, "documents"))
+      graft.operators.UnigramLm.seedCandidates(vocab, maxPieceLen = 4)
+        .orderBy(col("cnt").desc, col("piece")).limit(25)
+    },
+    Some("""WITH wds AS (SELECT unnest(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS word FROM documents),
+            wv AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM wds
+              WHERE word <> '' GROUP BY word),
+            px AS (SELECT word, w,
+                unnest(generate_series(1, length(word))) AS i FROM wv),
+            ps AS (SELECT substring(word, i, l) AS piece, w
+              FROM (SELECT word, w, i,
+                unnest(generate_series(1,
+                  least(4, length(word) - i + 1))) AS l FROM px))
+            SELECT piece, CAST(SUM(w) AS BIGINT) AS cnt FROM ps
+            GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 25"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -5116,5 +5161,6 @@ object LlmQueries extends QueryGroup {
       q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
-      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200)
+      q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
+      q205, q206)
 }

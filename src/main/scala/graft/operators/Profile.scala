@@ -226,6 +226,53 @@ object Profile {
         (col("orphan_rows") === 0).as("intact"))
   }
 
+  /** Approximate functional-dependency audit (the g₃ error of Kivinen &
+    * Mannila 1995 — the standard "how far is det → dep from holding"
+    * measure: the minimum number of rows to delete so the FD holds
+    * exactly). The profiler tier above [[referentialIntegrity]]: FK
+    * audits check keys BETWEEN tables, this checks determinations WITHIN
+    * one — candidate keys (g₃ = 0 with dep = any other column), derived
+    * columns that should be redundant, and "almost-FDs" whose violations
+    * are usually ingest defects (one source stamping the wrong lang for
+    * 2% of docs).
+    *
+    * Semantics: rows with NULL determinant are excluded (an FD
+    * constrains rows that HAVE a determinant value); NULL dependents
+    * count as a value (two NULLs agree — the SQL GROUP BY convention
+    * both engines share). g₃ = Σ_groups (group size − its plurality-
+    * value count); all integer arithmetic.
+    *
+    * Scale shape: one (det, dep) aggregation (map-side combined), one
+    * det-keyed reduction, one 1-row fold — the value-pair frame is the
+    * only shuffle, bounded by the distinct pair count, never raw rows
+    * twice. Output (1 row): relation, n_rows, n_groups, n_pairs,
+    * g3_violations, g3_rate (round 6), holds. */
+  def functionalDependency(
+      df: DataFrame,
+      detCol: String,
+      depCol: String,
+      relation: String): DataFrame = {
+    val pairs = df.where(col(detCol).isNotNull)
+      .groupBy(col(detCol).as("__a"), col(depCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val perDet = pairs.groupBy("__a").agg(
+      sum(col("__c")).as("__n"),
+      max(col("__c")).as("__mx"),
+      count(lit(1)).as("__np"))
+    perDet.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(col("__np")).as("n_pairs"),
+        (sum(col("__n")) - sum(col("__mx"))).as("g3_violations"))
+      .select(lit(relation).as("relation"),
+        col("n_rows"), col("n_groups"), col("n_pairs"),
+        col("g3_violations"),
+        when(col("n_rows") > 0,
+          round(col("g3_violations") * lit(1.0) / col("n_rows"), 6))
+          .otherwise(lit(0.0)).as("g3_rate"),
+        (col("g3_violations") === 0).as("holds"))
+  }
+
   /** Semi-structured schema-drift ledger — the key LIFECYCLE of a JSON
     * payload column: per key, occurrence count, first/last day seen,
     * days present, day coverage, and the two drift verdicts (`appeared`

@@ -178,4 +178,43 @@ class ProfileSpec extends SparkSpecBase {
     val e5 = r6(math.log(1.2) / math.log(10.0))
     assert(got(5)._4 === r6(5 * e5 * 5 * e5 / (5 * e5)))
   }
+
+  test("functionalDependency: g3 by hand; key FD holds; NULL policy") {
+    val sp = spark
+    import sp.implicits._
+    // det=1: values a,a,b -> plurality 2, violations 1
+    // det=2: values c,c   -> holds
+    // det=NULL row excluded entirely
+    // det=3: NULL,NULL,d  -> NULLs group as a value: plurality 2, viol 1
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), Some("a")), (Some(1), Some("b")),
+      (Some(2), Some("c")), (Some(2), Some("c")),
+      (None, Some("z")),
+      (Some(3), None), (Some(3), None), (Some(3), Some("d")))
+      .toDF("det", "dep")
+    val r = Profile.functionalDependency(df, "det", "dep", "t").collect().head
+    assert(r.getAs[Long]("n_rows") === 8L)
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(r.getAs[Long]("n_pairs") === 5L)
+    assert(r.getAs[Long]("g3_violations") === 2L)
+    assert(!r.getAs[Boolean]("holds"))
+    // a key determinant holds exactly
+    val key = Seq((1, "x"), (2, "y"), (3, "y")).toDF("det", "dep")
+    val kr = Profile.functionalDependency(key, "det", "dep", "k").collect().head
+    assert(kr.getAs[Long]("g3_violations") === 0L)
+    assert(kr.getAs[Boolean]("holds"))
+  }
+
+  test("functionalDependency: g3 equals the brute-force minimum deletions") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(400)((rnd.nextInt(20), rnd.nextInt(4)))
+    val got = Profile.functionalDependency(
+      rows.toDF("det", "dep"), "det", "dep", "r")
+      .collect().head.getAs[Long]("g3_violations")
+    val brute = rows.groupBy(_._1).map { case (_, g) =>
+      g.size - g.groupBy(_._2).values.map(_.size).max }.sum
+    assert(got === brute.toLong)
+  }
 }

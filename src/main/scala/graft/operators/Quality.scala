@@ -1170,4 +1170,66 @@ object Quality {
         round((col("c_today") - mean) / sqrt(varP), roundTo).as("z"))
     scored.orderBy(col("z").desc, col("term")).limit(topK)
   }
+
+  /** χ²-based term–slice association (the feature-selection statistic of
+    * Manning & Schütze ch. 5 / Yang & Pedersen 1997): for each (slice,
+    * term) the 2×2 document-presence contingency (a = slice docs with
+    * the term, b = slice docs without, c = other docs with, d = other
+    * docs without) scores χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+    * Completes the term-signal family: TF-IDF (q182) ranks WITHIN a
+    * document, PMI (q118) pairs terms, KL drift (q91) scores the whole
+    * slice — χ² names the terms that make a slice read like itself,
+    * with a statistical weight a raw rate ratio lacks.
+    *
+    * Exactness: a/b/c/d are exact longs from one distinct-presence
+    * aggregation; ad and bc stay inside int64 up to N ≈ 3·10⁹ docs and
+    * the squared difference moves to double AFTER the exact long
+    * subtraction (the combination order the SQL replay mirrors); χ²
+    * rounds BEFORE the rank.
+    *
+    * Guards: terms present in every document carry no signal for any
+    * slice ((b+d) = 0) and are dropped, as are terms below `minDf`
+    * document frequency (rare-term χ² is unstable — the standard cut).
+    *
+    * Scale shape: one corpus pass → distinct (doc, slice, term) →
+    * (slice, term) counts (map-side combined); term totals reduce from
+    * that frame, slice totals and N ride broadcast attaches; the final
+    * per-slice top-k is the heap operator, never a global sort. */
+  def chiSquaredTerms(
+      df: DataFrame,
+      sliceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minDf: Long = 5L,
+      topK: Int = 5,
+      roundTo: Int = 4): DataFrame = {
+    require(topK >= 1, s"chiSquaredTerms: topK $topK must be >= 1")
+    val pres = df
+      .select(col(idCol).as("id"), col(sliceCol).as("slice"),
+        explode_outer(split(lower(col(textCol)), "\\s+")).as("term"))
+      .where(col("term").isNotNull && col("term") =!= "" &&
+        col("slice").isNotNull)
+      .distinct()
+    val st = pres.groupBy("slice", "term").agg(count(lit(1)).as("a"))
+    val tt = st.groupBy("term").agg(sum(col("a")).as("t_total"))
+    val sn = pres.select("id", "slice").distinct()
+      .groupBy("slice").agg(count(lit(1)).as("n_s"))
+    val nn = sn.agg(sum(col("n_s")).as("n_total"))
+    val j = st.join(tt, "term").join(sn, "slice")
+      .crossJoin(broadcast(nn))
+      .where(col("t_total") >= minDf && col("t_total") < col("n_total"))
+    val a = col("a")
+    val b = col("n_s") - col("a")
+    val c = col("t_total") - col("a")
+    val d = col("n_total") - col("n_s") - c
+    val diff = (a * d - b * c).cast("double")
+    val chi2 = col("n_total").cast("double") * diff * diff /
+      (((a + b) * (c + d)).cast("double") * ((a + c) * (b + d)).cast("double"))
+    val scored = j.select(col("slice"), col("term"), col("a").as("df_in"),
+      round(chi2, roundTo).as("chi2"),
+      when(a * d - b * c > 0, lit("over")).otherwise(lit("under"))
+        .as("direction"))
+    graft.plans.TopK.perKey(scored,
+      Seq(col("slice")), Seq(col("chi2").desc, col("term")), topK)
+  }
 }

@@ -664,4 +664,50 @@ class QualitySpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
       s"gopherRules must stay a per-row projection:\n$plan")
   }
+
+  test("chiSquaredTerms: hand-computed 2x2; every-doc terms dropped") {
+    val sp = spark
+    import sp.implicits._
+    // source A: x in 2 of 3 docs; source B: x in 1 of 3 docs
+    // for (A, x): a=2 b=1 c=1 d=2, N=6 -> chi2 = 6*(4-1)^2/(3*3*3*3) = 2/3
+    // 'all' appears in every doc -> (b+d)=0 -> dropped
+    val docs = Seq(
+      (1L, "A", "x all"), (2L, "A", "x all"), (3L, "A", "y all"),
+      (4L, "B", "x all"), (5L, "B", "z all"), (6L, "B", "z all"))
+      .toDF("doc_id", "source", "text")
+    val out = Quality.chiSquaredTerms(docs, minDf = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("df_in"), r.getAs[Double]("chi2"),
+          r.getAs[String]("direction")))).toMap
+    assert(!out.keys.exists(_._2 == "all"), "universal terms carry no signal")
+    val ax = out(("A", "x"))
+    assert(ax._1 === 2L)
+    assert(math.abs(ax._2 - BigDecimal(2.0 / 3).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(ax._3 === "over")
+    assert(out(("B", "x"))._3 === "under", "B underuses x symmetric chi2")
+    // symmetric table: same chi2 magnitude both directions
+    assert(out(("B", "x"))._2 === ax._2)
+  }
+
+  test("chiSquaredTerms: presence not frequency; minDf cut; rank order") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "A", "x x x x rare"), (2L, "A", "y"),
+      (3L, "B", "y x"), (4L, "B", "y"))
+      .toDF("doc_id", "source", "text")
+    val out = Quality.chiSquaredTerms(docs, minDf = 2, topK = 10)
+      .collect()
+    // 'rare' has t_total=1 < minDf -> absent
+    assert(!out.exists(_.getString(1) == "rare"))
+    // x appears 4 times in one doc but df_in = 1 (presence)
+    val ax = out.find(r => r.getString(0) == "A" && r.getString(1) == "x")
+    assert(ax.exists(_.getAs[Long]("df_in") === 1L))
+    // ranks are 1..k per slice in (chi2 desc, term) order
+    val ranksA = out.filter(_.getString(0) == "A")
+      .sortBy(_.getAs[Long]("rank"))
+    assert(ranksA.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to ranksA.length).toSeq)
+  }
 }

@@ -152,6 +152,9 @@ class PlanLintSpec extends SparkSpecBase {
     // q199: trendingTerms' 1-row calendar frame (day count + max day)
     // crossJoined onto the (day, term) counts — q61's one-row class
     "q199_trending_terms",
+    // q208: chiSquaredTerms' 1-row corpus-doc-count frame (n_total)
+    // crossJoined onto the (slice, term) presence counts
+    "q208_chi2_term_source",
     // q200: the scorecard's 1-row token-total frame crossJoined onto
     // the sources-sized aggregate — q61's one-row class
     "q200_source_scorecard")

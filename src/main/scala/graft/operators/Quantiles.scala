@@ -223,4 +223,55 @@ object Quantiles {
         round(sqrt(when(varW > 0.0, varW).otherwise(lit(0.0))), roundTo))
         .as("win_sd"))
   }
+
+  /** Equi-depth (equal-frequency) binning — the discretization primitive
+    * feature pipelines and optimizer histograms run on: per group, cut
+    * the value distribution into `nBins` bins of (as near as ties allow)
+    * equal population, and report each bin's population and value span.
+    *
+    * The scale-safe shape: NOT `ntile` (a single global sort window per
+    * group whose partition must hold the whole group); instead the
+    * [[exactQuantiles]] two-pass frame picks the nBins−1 DISCRETE cut
+    * points — cut_i = the smallest value whose running count reaches
+    * ⌈i·n/nBins⌉, an exact integer-rank selection with no interpolation
+    * and no rounding — and rows assign by comparing against the
+    * broadcast group-sized cut table: bin = 1 + Σᵢ [v > cutᵢ]. Raw
+    * doubles compare exactly in any engine, so assignment is
+    * bit-portable. Ties sharing a cut value land in the lower bin
+    * (population skews with ties — equal-frequency is exact only up to
+    * tie mass, the standard contract).
+    *
+    * Output: (groupCol, bin, n_rows, v_min, v_max, share round 6). */
+  def equiDepthBins(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins $nBins outside [2, 1000]")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val counts = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("g").orderBy("v")))
+    val ns = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    // k_i = ceil(i·n/nBins) = (i·n + nBins−1) DIV nBins, exact int64
+    val cutAggs = (1 until nBins).map { i =>
+      min(when(col("cum") >=
+        expr(s"(${i}L * n + ${nBins - 1}L) DIV ${nBins}L"), col("v")))
+        .as(s"__cut_$i")
+    }
+    val cuts = cum.join(broadcast(ns), "g")
+      .groupBy("g")
+      .agg(first(col("n")).as("n"), cutAggs: _*)
+    val bin = (1 until nBins).map(i =>
+      when(col("v") > col(s"__cut_$i"), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    base.join(broadcast(cuts), "g")
+      .select(col("g"), col("v"), col("n"), bin.as("bin"))
+      .groupBy("g", "bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+        round(count(lit(1)).cast("double") / first(col("n")), 6).as("share"))
+      .withColumnRenamed("g", groupCol)
+  }
 }

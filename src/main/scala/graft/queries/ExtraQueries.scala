@@ -2374,10 +2374,95 @@ object ExtraQueries extends QueryGroup {
               MAX(relv) AS max_rel_err
             FROM pm GROUP BY 1 ORDER BY label"""))
 
+  val q207 = QueryDef(
+    "q207_functional_dependency_audit",
+    "approximate functional-dependency audit (g3 error, Kivinen & " +
+      "Mannila 1995 - min rows to delete so det->dep holds): the " +
+      "within-table determination check above q198's between-table FK " +
+      "audit; a key FD that holds (o_orderkey->o_custkey), a broken " +
+      "category FD (p_brand->p_type), a partial determination " +
+      "(l_orderkey->l_returnflag) and an ingest-quality near-FD " +
+      "(source->lang); NULL determinants excluded, NULL dependents " +
+      "group as a value, all-integer arithmetic",
+    (s, dir) => {
+      val P = graft.operators.Profile
+      P.functionalDependency(t(s, dir, "orders"), "o_orderkey",
+          "o_custkey", "orders: o_orderkey->o_custkey")
+        .unionByName(P.functionalDependency(t(s, dir, "part"), "p_brand",
+          "p_type", "part: p_brand->p_type"))
+        .unionByName(P.functionalDependency(t(s, dir, "lineitem"),
+          "l_orderkey", "l_returnflag",
+          "lineitem: l_orderkey->l_returnflag"))
+        .unionByName(P.functionalDependency(t(s, dir, "documents"),
+          "source", "lang", "documents: source->lang"))
+        .orderBy("relation")
+    },
+    Some("""WITH rel AS (
+              SELECT 'orders: o_orderkey->o_custkey' AS relation,
+                CAST(o_orderkey AS VARCHAR) AS a,
+                CAST(o_custkey AS VARCHAR) AS b FROM orders
+              UNION ALL
+              SELECT 'part: p_brand->p_type', p_brand, p_type FROM part
+              UNION ALL
+              SELECT 'lineitem: l_orderkey->l_returnflag',
+                CAST(l_orderkey AS VARCHAR), l_returnflag FROM lineitem
+              UNION ALL
+              SELECT 'documents: source->lang', source, lang
+              FROM documents),
+            c AS (SELECT relation, a, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM rel WHERE a IS NOT NULL GROUP BY 1, 2, 3),
+            m AS (SELECT relation, a, CAST(SUM(c) AS BIGINT) AS n,
+                CAST(MAX(c) AS BIGINT) AS mx,
+                CAST(COUNT(*) AS BIGINT) AS np
+              FROM c GROUP BY 1, 2)
+            SELECT relation, CAST(SUM(n) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(SUM(np) AS BIGINT) AS n_pairs,
+              CAST(SUM(n) - SUM(mx) AS BIGINT) AS g3_violations,
+              CASE WHEN SUM(n) > 0 THEN
+                ROUND((SUM(n) - SUM(mx)) * 1.0 / SUM(n), 6)
+                ELSE 0.0 END AS g3_rate,
+              (SUM(n) - SUM(mx)) = 0 AS holds
+            FROM m GROUP BY 1 ORDER BY relation"""))
+
+  val q209 = QueryDef(
+    "q209_equi_depth_binning",
+    "equi-depth (equal-frequency) discretization per event type - the " +
+      "feature-pipeline/optimizer-histogram primitive, built the scale-" +
+      "safe way: NOT ntile (whole-group sort window), but the q11 two-" +
+      "pass quantile frame picking DISCRETE integer-rank cut points " +
+      "(cut_i = smallest value whose running count reaches " +
+      "ceil(i*n/4); no interpolation, no rounding) + a broadcast cut " +
+      "table assignment bin = 1 + sum(v > cut_i) - raw doubles compare " +
+      "exactly in any engine; tie mass lands in the lower bin",
+    (s, dir) =>
+      graft.operators.Quantiles.equiDepthBins(
+          t(s, dir, "events"), "event_type", "value", 4)
+        .orderBy("event_type", "bin"),
+    Some("""WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE)
+                AS v FROM events WHERE value IS NOT NULL),
+            c AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+            cum AS (SELECT g, v, c,
+                SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM c),
+            ns AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+            cuts AS (SELECT cum.g, MAX(n) AS n,
+                MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS c1,
+                MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS c2,
+                MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS c3
+              FROM cum JOIN ns USING (g) GROUP BY 1),
+            b AS (SELECT base.g, v, n,
+                1 + CAST(v > c1 AS BIGINT) + CAST(v > c2 AS BIGINT)
+                  + CAST(v > c3 AS BIGINT) AS bin
+              FROM base JOIN cuts USING (g))
+            SELECT g AS event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              MIN(v) AS v_min, MAX(v) AS v_max,
+              ROUND(COUNT(*) * 1.0 / MAX(n), 6) AS share
+            FROM b GROUP BY 1, 2 ORDER BY event_type, bin"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
-      q201, q202, q203, q204)
+      q201, q202, q203, q204, q207, q209)
 }

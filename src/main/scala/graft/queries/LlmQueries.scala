@@ -5153,6 +5153,54 @@ object LlmQueries extends QueryGroup {
             SELECT piece, CAST(SUM(w) AS BIGINT) AS cnt FROM ps
             GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 25"""))
 
+  val q208 = QueryDef(
+    "q208_chi2_term_source",
+    "chi-squared term-source association (Manning & Schutze ch.5 / " +
+      "Yang & Pedersen 1997 feature selection): per source the top-5 " +
+      "terms by the 2x2 document-presence contingency chi2 - the " +
+      "statistic that names the terms making a slice read like itself " +
+      "(TF-IDF ranks within a doc, PMI pairs terms, KL scores the " +
+      "whole slice); exact long contingency cells, the squared " +
+      "difference moves to double AFTER the exact subtraction, chi2 " +
+      "rounds before the heap-operator rank",
+    (s, dir) =>
+      graft.operators.Quality.chiSquaredTerms(t(s, dir, "documents"))
+        .orderBy("slice", "rank"),
+    Some("""WITH raw AS (SELECT doc_id AS id, source AS slice,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                  w -> w <> '')) AS term
+              FROM documents WHERE source IS NOT NULL),
+            pres AS (SELECT DISTINCT id, slice, term FROM raw),
+            st AS (SELECT slice, term, CAST(COUNT(*) AS BIGINT) AS a
+              FROM pres GROUP BY 1, 2),
+            tt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t_total
+              FROM st GROUP BY 1),
+            sn AS (SELECT slice, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_s
+              FROM pres GROUP BY 1),
+            nn AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total FROM sn),
+            j AS (SELECT slice, term, a, t_total, n_s, n_total
+              FROM st JOIN tt USING (term) JOIN sn USING (slice)
+              CROSS JOIN nn
+              WHERE t_total >= 5 AND t_total < n_total),
+            k AS (SELECT slice, term, a, n_total,
+                n_s - a AS b, t_total - a AS c,
+                n_total - n_s - (t_total - a) AS d FROM j),
+            sc AS (SELECT slice, term, a AS df_in,
+                ROUND(CAST(n_total AS DOUBLE)
+                  * CAST(a * d - b * c AS DOUBLE)
+                  * CAST(a * d - b * c AS DOUBLE)
+                  / (CAST((a + b) * (c + d) AS DOUBLE)
+                    * CAST((a + c) * (b + d) AS DOUBLE)), 4) AS chi2,
+                CASE WHEN a * d - b * c > 0 THEN 'over' ELSE 'under' END
+                  AS direction
+              FROM k),
+            r AS (SELECT slice, term, df_in, chi2, direction,
+                ROW_NUMBER() OVER (PARTITION BY slice
+                  ORDER BY chi2 DESC, term) AS rank
+              FROM sc)
+            SELECT slice, term, df_in, chi2, direction, rank
+            FROM r WHERE rank <= 5 ORDER BY slice, rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -5162,5 +5210,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206)
+      q205, q206, q208)
 }

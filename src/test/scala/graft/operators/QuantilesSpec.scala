@@ -180,4 +180,61 @@ class QuantilesSpec extends SparkSpecBase {
       .collect().head
     assert(one.getDouble(3) === 5.0 && one.isNullAt(4))
   }
+
+  test("equiDepthBins: 12 distinct values into 4 bins of 3") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 12).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val out = Quantiles.equiDepthBins(df, "g", "v", 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("v_min"), r.getAs[Double]("v_max")))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1.0, 3.0), (2L, 3L, 4.0, 6.0),
+      (3L, 3L, 7.0, 9.0), (4L, 3L, 10.0, 12.0)))
+  }
+
+  test("equiDepthBins: tie mass lands in the lower bin") {
+    val sp = spark
+    import sp.implicits._
+    // eight 1.0s and four 2.0s, 2 bins: cut = 1.0 (rank 6 value), so all
+    // 1.0s stay in bin 1 (v > cut puts only 2.0 in bin 2)
+    val df = (Seq.fill(8)(1.0) ++ Seq.fill(4)(2.0)).map(("a", _)).toDF("g", "v")
+    val out = Quantiles.equiDepthBins(df, "g", "v", 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_rows")))
+    assert(out.toSeq === Seq((1L, 8L), (2L, 4L)))
+  }
+
+  test("equiDepthBins equals a sequential reference on random groups") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 500).map(i => ("g" + i % 3, math.floor(rnd.nextDouble() * 50) / 10))
+    val nBins = 5
+    val got = Quantiles.equiDepthBins(rows.toDF("g", "v"), "g", "v", nBins)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("bin")) -> r.getAs[Long]("n_rows"))
+      .toMap
+    val ref = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.size
+      val cuts = (1 until nBins).map(i => vs(((i.toLong * n + nBins - 1) / nBins).toInt - 1))
+      rs.map(_._2).groupBy(v => 1 + cuts.count(v > _))
+        .map { case (b, g2) => (g, b.toLong) -> g2.size.toLong }
+    }
+    assert(got === ref)
+  }
+
+  test("equiDepthBins: partition invariance and parameter bounds") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 300).map(i => ("k" + i % 2, (i * 37 % 101).toDouble))
+    def run(np: Int) = Quantiles.equiDepthBins(
+      rows.toDF("g", "v").repartition(np), "g", "v", 4)
+      .orderBy("g", "bin").collect().map(_.toString).mkString("|")
+    assert(run(1) === run(32))
+    intercept[IllegalArgumentException](
+      Quantiles.equiDepthBins(rows.toDF("g", "v"), "g", "v", 1))
+  }
 }

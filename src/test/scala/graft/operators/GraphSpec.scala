@@ -72,4 +72,53 @@ class GraphSpec extends SparkSpecBase {
     // conserved up to rounding, so the sum stays near 1
     assert(math.abs(out.values.sum - 1.0) < 1e-3)
   }
+
+  test("triangleStats: hand-built graph — K4 plus a pendant edge") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on {1,2,3,4}: 6 edges, 4 triangles, degrees all 3 -> wedges 12
+    // pendant 4-5 adds: edge 7, degree(4)=4, degree(5)=1 -> wedges 12-3+6=15
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val edges = (k4 :+ ((4L, 5L))).toDF("x", "y")
+    val r = Graph.triangleStats(edges, "x", "y").collect().head
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    assert(r.getAs[Long]("n_wedges") === 15L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("transitivity") === 0.8) // 12/15
+  }
+
+  test("triangleStats: normalizes direction, dedupes, drops loops; empty wedges -> NULL") {
+    val sp = spark
+    import sp.implicits._
+    // duplicate + reversed + self-loop forms of one triangle
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (1L, 2L)).toDF("x", "y")
+    val r = Graph.triangleStats(edges, "x", "y").collect().head
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    assert(r.getAs[Double]("transitivity") === 1.0)
+    val lonely = Seq((1L, 2L), (3L, 4L)).toDF("x", "y")
+    val r2 = Graph.triangleStats(lonely, "x", "y").collect().head
+    assert(r2.getAs[Long]("n_wedges") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("transitivity")))
+  }
+
+  test("triangleStats equals a brute-force census on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 20
+      val edges = (for (i <- 1 to n; j <- (i + 1) to n
+        if rnd.nextDouble() < 0.25) yield (i.toLong, j.toLong)).toSeq
+      val es = edges.toSet
+      val brute = (for (a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+        if es((a.toLong, b.toLong)) && es((b.toLong, c.toLong)) &&
+          es((a.toLong, c.toLong))) yield 1).size
+      val r = Graph.triangleStats(edges.toDF("x", "y"), "x", "y")
+        .collect().head
+      assert(r.getAs[Long]("n_triangles") === brute.toLong, s"trial $trial")
+    }
+  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.types.LongType
 
 /** Ordered event-sequence (funnel) analysis over an event log — the
@@ -428,5 +430,78 @@ object Funnel {
         round(sum((lit(1.0) / col("n")).cast(DecimalType(28, 14)))
           .cast("double"), roundTo).as("credit_linear"))
       .orderBy(typeCol)
+  }
+
+  /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) over user
+    * lifetimes — the censoring-correct retention curve: a user still
+    * active on the corpus's last observed bucket has NOT churned, only
+    * been observed so far (right-censoring), and dividing churns by all
+    * users (the naive rate) biases retention DOWN exactly where the
+    * product-limit estimator stays honest.
+    *
+    * Semantics: lifetime t = last − first bucket + 1 per user; a user
+    * whose last bucket is the corpus frontier is censored at t, others
+    * churn at t. S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with nᵢ = users whose
+    * lifetime ≥ tᵢ (censored included — they were at risk). Curves are
+    * keyed by first-bucket cohort (`cohortBuckets` wide), so the running
+    * product is a COHORT-KEYED window, never a global one.
+    *
+    * Engine-portable determinism: dᵢ/nᵢ are exact integers; each step's
+    * ln survival factor computes in double and rounds into
+    * DECIMAL(28,14) before the cumulative sum (the q91 ln-accumulation
+    * rule), and S = exp(Σ) rounds to `roundTo`. Cohort extinction
+    * (dᵢ = nᵢ → factor 0, ln −∞) is handled explicitly: S pins to 0 from
+    * that step on — never a NULL-swallowed −Inf.
+    *
+    * Scale shape: one (user) aggregation over the event log (map-side
+    * combined), a 1-row frontier broadcast, then all math on the
+    * users-sized then duration-sized frames; the window sorts cohort
+    * curves (≤ buckets rows each).
+    *
+    * Output: (cohort, t, n_risk, n_churned, n_censored, survival). */
+  def kaplanMeier(
+      df: DataFrame,
+      userCol: String,
+      tsUsCol: String,
+      bucketUs: Long = 86400000000L,
+      cohortBuckets: Long = 7L,
+      roundTo: Int = 6): DataFrame = {
+    require(bucketUs >= 1L, s"bucketUs $bucketUs must be >= 1")
+    require(cohortBuckets >= 1L, s"cohortBuckets $cohortBuckets must be >= 1")
+    val D = DecimalType(28, 14)
+    val days = df.select(col(userCol).as("u"),
+        expr(s"CAST($tsUsCol AS BIGINT) DIV ${bucketUs}L").as("d"))
+      .where(col("u").isNotNull && col("d").isNotNull)
+    val ul = days.groupBy("u").agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val frontier = days.agg(max(col("d")).as("__mx"))
+    val lives = ul.crossJoin(broadcast(frontier))
+      .select((col("f") / lit(cohortBuckets)).cast("long").as("cohort"),
+        (col("l") - col("f") + 1).as("t"),
+        (col("l") === col("__mx")).as("censored"))
+    val byT = lives.groupBy("cohort", "t").agg(
+      count(when(!col("censored"), lit(1))).as("n_churned"),
+      count(when(col("censored"), lit(1))).as("n_censored"))
+    val wRisk = Window.partitionBy("cohort").orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy("cohort")
+    val withRisk = byT.withColumn("__gone",
+        sum(col("n_churned") + col("n_censored")).over(wRisk))
+      .withColumn("n_risk",
+        sum(col("n_churned") + col("n_censored")).over(total)
+          - col("__gone") + col("n_churned") + col("n_censored"))
+    val lnStep = when(col("n_churned") === col("n_risk"), lit(null))
+      .otherwise(log((col("n_risk") - col("n_churned"))
+        .cast("double") / col("n_risk").cast("double")).cast(D))
+    val scored = withRisk
+      .withColumn("__ln", lnStep)
+      .withColumn("__extinct",
+        max(when(col("n_churned") === col("n_risk"), 1L).otherwise(0L))
+          .over(wRisk))
+      .withColumn("survival",
+        when(col("__extinct") === 1L, lit(0.0))
+          .otherwise(round(exp(sum(col("__ln")).over(wRisk).cast("double")),
+            roundTo)))
+    scored.select(col("cohort"), col("t"), col("n_risk"),
+      col("n_churned"), col("n_censored"), col("survival"))
   }
 }

@@ -2459,10 +2459,61 @@ object ExtraQueries extends QueryGroup {
               ROUND(COUNT(*) * 1.0 / MAX(n), 6) AS share
             FROM b GROUP BY 1, 2 ORDER BY event_type, bin"""))
 
+  val q213 = QueryDef(
+    "q213_kaplan_meier_retention",
+    "Kaplan-Meier survival retention (1958) - the censoring-correct " +
+      "curve q128's cohort retention cannot give: a user active on the " +
+      "corpus frontier has not churned, only been observed so far; " +
+      "product-limit S(t) over per-cohort lifetimes with exact integer " +
+      "risk sets, ln factors accumulated in DECIMAL(28,14) (the q91 " +
+      "rule), cohort extinction pinned to exact 0; one user " +
+      "aggregation + duration-sized windows keyed by cohort",
+    (s, dir) =>
+      graft.operators.Funnel.kaplanMeier(
+          t(s, dir, "events").select(col("user_id"),
+            us(col("ts")).as("uts")),
+          "user_id", "uts")
+        .orderBy("cohort", "t"),
+    Some("""WITH e AS (SELECT user_id AS u,
+                epoch_us(ts) // 86400000000 AS d
+              FROM events WHERE user_id IS NOT NULL),
+            ul AS (SELECT u, MIN(d) AS f, MAX(d) AS l FROM e GROUP BY 1),
+            mx AS (SELECT MAX(d) AS mxd FROM e),
+            lives AS (SELECT f // 7 AS cohort, l - f + 1 AS t,
+                (l = mxd) AS censored
+              FROM ul CROSS JOIN mx),
+            byt AS (SELECT cohort, t,
+                CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_churned,
+                CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_censored
+              FROM lives GROUP BY 1, 2),
+            wr AS (SELECT cohort, t, n_churned, n_censored,
+                SUM(n_churned + n_censored) OVER (PARTITION BY cohort)
+                  - SUM(n_churned + n_censored) OVER (PARTITION BY cohort
+                      ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  + n_churned + n_censored AS n_risk
+              FROM byt),
+            sc AS (SELECT cohort, t, n_risk, n_churned, n_censored,
+                CASE WHEN n_churned = n_risk THEN NULL
+                  ELSE CAST(ln(CAST(n_risk - n_churned AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE)) AS DECIMAL(28,14)) END
+                  AS lnf,
+                MAX(CASE WHEN n_churned = n_risk THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY cohort ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS ext
+              FROM wr)
+            SELECT cohort, t, n_risk, n_churned, n_censored,
+              CASE WHEN ext = 1 THEN 0.0 ELSE
+                ROUND(exp(CAST(SUM(lnf) OVER (PARTITION BY cohort
+                  ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6)
+              END AS survival
+            FROM sc ORDER BY cohort, t"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
-      q201, q202, q203, q204, q207, q209)
+      q201, q202, q203, q204, q207, q209, q213)
 }

@@ -5201,6 +5201,75 @@ object LlmQueries extends QueryGroup {
             SELECT slice, term, df_in, chi2, direction, rank
             FROM r WHERE rank <= 5 ORDER BY slice, rank"""))
 
+  val q212 = QueryDef(
+    "q212_neardup_graph_triangles",
+    "triangle census + global clustering coefficient (Newman's " +
+      "transitivity) over the verified near-dup pair graph - the " +
+      "cohesion read a dedup-policy review starts from: triangle-dense " +
+      "regions are template families/mirror clusters, isolated edges " +
+      "are chance similarity; lexicographic-orientation edge-edge join " +
+      "(each triangle found once, cost = the wedge count the output " +
+      "itself reports - a self-pricing plan), exact integer census, " +
+      "one rounded ratio",
+    (s, dir) =>
+      graft.operators.Graph.triangleStats(
+        Dedup.portableMinHashPairs(t(s, dir, "documents"), minJaccard = 0.4)
+          .select(col("ia"), col("ib")), "ia", "ib"),
+    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
+              ex AS (SELECT id, UNNEST(sh) AS s FROM docs),
+              hh AS (SELECT id,
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                         (h, v) -> (h * 31 + v) % 1000000007) AS h
+                     FROM ex),
+              sig AS (SELECT id,
+                        MIN((h * 3 + 7) % 1000000007) AS m0,
+                        MIN((h * 5 + 1007) % 1000000007) AS m1,
+                        MIN((h * 7 + 2007) % 1000000007) AS m2,
+                        MIN((h * 9 + 3007) % 1000000007) AS m3,
+                        MIN((h * 11 + 4007) % 1000000007) AS m4,
+                        MIN((h * 13 + 5007) % 1000000007) AS m5,
+                        MIN((h * 15 + 6007) % 1000000007) AS m6,
+                        MIN((h * 17 + 7007) % 1000000007) AS m7
+                      FROM hh GROUP BY id),
+              band AS (
+                SELECT id, 0 AS j,
+                  ((((m0 * 131 + m1) % 1000000007) * 131 + m2) % 1000000007 * 131 + m3)
+                    % 1000000007 AS bk FROM sig
+                UNION ALL
+                SELECT id, 1,
+                  ((((m4 * 131 + m5) % 1000000007) * 131 + m6) % 1000000007 * 131 + m7)
+                    % 1000000007 FROM sig),
+              cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+                       FROM band a JOIN band b
+                         ON a.j = b.j AND a.bk = b.bk AND a.id < b.id),
+              p AS (SELECT ia, ib,
+                      CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS shared,
+                      len(da.sh) AS na, len(db.sh) AS nb
+                    FROM cand JOIN docs da ON da.id = cand.ia
+                              JOIN docs db ON db.id = cand.ib),
+              e AS (SELECT LEAST(ia, ib) AS a, GREATEST(ia, ib) AS b
+                    FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
+                      AND ia <> ib
+                    GROUP BY 1, 2),
+              deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+                      FROM (SELECT a AS v FROM e
+                            UNION ALL SELECT b FROM e)
+                      GROUP BY 1),
+              ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                       CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+                     FROM deg),
+              ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+              tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+             SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0 THEN
+                 ROUND(CAST(3 AS DOUBLE) * n_triangles / n_wedges, 6)
+               END AS transitivity
+             FROM ds CROSS JOIN ne CROSS JOIN tri"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q47, q48, q49, q50,
       q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
@@ -5210,5 +5279,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206, q208)
+      q205, q206, q208, q212)
 }

@@ -284,4 +284,51 @@ class FunnelSpec extends SparkSpecBase {
     assert(got("a") === ((1L, 0L)), "lower event_id opens the tied journey")
     assert(got("b") === ((0L, 1L)), "higher event_id closes it")
   }
+
+  test("kaplanMeier: the textbook product-limit curve with censoring") {
+    val sp = spark
+    import sp.implicits._
+    // bucketUs=1: ts IS the day. frontier = 5
+    def span(u: Long, a: Long, b: Long) = (a to b).map(d => (u, d))
+    val ev = (span(1, 0, 2) ++ span(2, 0, 2) ++ span(3, 0, 3) ++
+      span(4, 0, 5) ++ span(5, 1, 5) ++ span(6, 0, 4)).toDF("u", "ts")
+    val out = Funnel.kaplanMeier(ev, "u", "ts", bucketUs = 1L)
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_churned"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("survival")))
+    // t=3: 6 at risk, 2 churn -> 2/3; t=4: 4 at risk, 1 churn -> 1/2
+    // t=5: 3 at risk, 1 churn 1 censored -> 1/3; t=6: 1 censored -> 1/3
+    assert(out.toSeq === Seq(
+      (3L, 6L, 2L, 0L, 0.666667), (4L, 4L, 1L, 0L, 0.5),
+      (5L, 3L, 1L, 1L, 0.333333), (6L, 1L, 0L, 1L, 0.333333)))
+  }
+
+  test("kaplanMeier: cohort extinction pins survival to exact 0") {
+    val sp = spark
+    import sp.implicits._
+    // both users churn at t=2 (frontier day 9 set by another cohort)
+    val ev = Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L),
+      (9L, 7L), (9L, 9L)).toDF("u", "ts")
+    val out = Funnel.kaplanMeier(ev, "u", "ts", bucketUs = 1L)
+      .collect().map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("t")) ->
+        r.getAs[Double]("survival")).toMap
+    assert(out((0L, 2L)) === 0.0, "d = n extinguishes the cohort")
+    assert(out((1L, 3L)) === 1.0, "the censored-only cohort stays at 1")
+  }
+
+  test("kaplanMeier: censored users never count as churn; naive rate disagrees") {
+    val sp = spark
+    import sp.implicits._
+    // one churner at t=2, three censored at t=3: KM S(2) = 3/4 while the
+    // naive "still here at the end / total" rate is also 3/4 here, but
+    // S(3) stays 3/4 (censoring is not death)
+    val ev = Seq((1L, 0L), (1L, 1L),
+      (2L, 0L), (2L, 2L), (3L, 0L), (3L, 2L), (4L, 0L), (4L, 2L))
+      .toDF("u", "ts")
+    val out = Funnel.kaplanMeier(ev, "u", "ts", bucketUs = 1L)
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Double]("survival")).toSeq === Seq(0.75, 0.75))
+    assert(out(1).getAs[Long]("n_censored") === 3L)
+  }
 }

@@ -155,6 +155,12 @@ class PlanLintSpec extends SparkSpecBase {
     // q208: chiSquaredTerms' 1-row corpus-doc-count frame (n_total)
     // crossJoined onto the (slice, term) presence counts
     "q208_chi2_term_source",
+    // q212: triangleStats' three 1-row census frames (edge count,
+    // triangle count) crossJoined into the single summary row
+    "q212_neardup_graph_triangles",
+    // q213: kaplanMeier's 1-row corpus-frontier (max day) broadcast onto
+    // the users-sized lifetime frame
+    "q213_kaplan_meier_retention",
     // q200: the scorecard's 1-row token-total frame crossJoined onto
     // the sources-sized aggregate — q61's one-row class
     "q200_source_scorecard")

@@ -264,4 +264,21 @@ object Clean {
     * per-row work. */
   def fixMojibake(c: Column): Column =
     fixMojibakeOnce(fixMojibakeOnce(c))
+
+  /** URL path-template mining key (the crawl-ops "which page TEMPLATES
+    * dominate this host" rollup: /item/123/view and /item/987/view are
+    * one template; per-template counts expose crawler traps — calendar
+    * pages, session-id explosions — and pick what to de-prioritize).
+    * Strips scheme://authority, query and fragment, then collapses
+    * within each path segment: 6+-char hex runs → `{h}` (ids/digests —
+    * checked FIRST, a hex run is also digit-bearing), then digit runs →
+    * `{n}`. Pure narrow regexp chain (RE2-linear), replayed verbatim by
+    * the oracle. NULL/empty input templates to '(none)'. */
+  def urlPathTemplate(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*", "")
+    val path = regexp_replace(regexp_replace(noScheme, "\\?.*$", ""), "#.*$", "")
+    val hexed = regexp_replace(path, "(?<=/)[0-9a-fA-F]{6,}(?=/|$)", "{h}")
+    val templ = regexp_replace(hexed, "[0-9]+", "{n}")
+    when(url.isNull || templ === "", lit("(none)")).otherwise(templ)
+  }
 }

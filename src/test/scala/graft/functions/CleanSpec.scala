@@ -187,4 +187,28 @@ class CleanSpec extends SparkSpecBase {
       .select(Clean.redactValidCards($"t")).as[String].head()
     assert(out === "pay <CC> or <CC> never 1234567890123456 end")
   }
+
+  test("urlPathTemplate: segments collapse; hex before digits; edge inputs") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      "https://ex.com/item/123/view",
+      "http://a.b/u/ab12ef98/profile?q=1#frag",
+      "https://ex.com/about",
+      "https://ex.com/d/2024/m/07/x9",
+      "https://ex.com",
+      "not a url at all",
+      null.asInstanceOf[String]
+    ).toDF("url")
+    val out = df.select(Clean.urlPathTemplate(col("url")).as("t")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out(0) === "/item/{n}/view")
+    assert(out(1) === "/u/{h}/profile", "whole-segment hex wins over {n}")
+    assert(out(2) === "/about")
+    assert(out(3) === "/d/{n}/m/{n}/x{n}", "digit runs inside mixed segments")
+    assert(out(4) === "(none)", "authority-only URL has an empty path")
+    assert(out(5) === "not a url at all".replaceAll("[0-9]+", "{n}"),
+      "non-URLs template as their literal text - never silently dropped")
+    assert(out(6) === "(none)")
+  }
 }

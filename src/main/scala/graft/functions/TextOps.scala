@@ -248,4 +248,26 @@ object TextOps {
     ColumnGlue.column(graft.expressions.JaroWinkler(
       ColumnGlue.expression(a), ColumnGlue.expression(b)))
   }
+
+  /** Code-vs-prose heuristic score in [0, 1] — the pretraining corpus
+    * router (code wants different dedup/quality/tokenizer settings than
+    * prose, and crawls interleave them): structural-symbol density
+    * ([]{}();=<>, strip-and-diff counted) and code-keyword token rate
+    * (def/return/import/...), each saturating, fixed 0.6/0.4 blend,
+    * rounded to 4. Narrow expressions only — both signals replay
+    * verbatim in the oracle. Scores text with no tokens as 0. */
+  def codeScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val sym = (length(text) -
+      length(regexp_replace(text, "[\\[\\]{}();=<>]", ""))).cast("double")
+    val toks = filter(split(lower(text), "\\s+"), w => w =!= "")
+    val nt = size(toks).cast("double")
+    val kws = Seq("def", "return", "import", "var", "val", "if", "else",
+      "for", "while", "class", "function")
+    val kw = size(filter(toks, w => w.isin(kws.map(lit): _*))).cast("double")
+    when(n > 0 && nt > 0,
+      round(least(sym / n * 6.0, lit(1.0)) * 0.6 +
+        least(kw / nt * 8.0, lit(1.0)) * 0.4, 4))
+      .otherwise(lit(0.0))
+  }
 }

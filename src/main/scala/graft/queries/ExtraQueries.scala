@@ -2459,6 +2459,62 @@ object ExtraQueries extends QueryGroup {
               ROUND(COUNT(*) * 1.0 / MAX(n), 6) AS share
             FROM b GROUP BY 1, 2 ORDER BY event_type, bin"""))
 
+  val q210 = QueryDef(
+    "q210_url_template_mining",
+    "URL path-template mining - the crawl-ops rollup that exposes " +
+      "crawler traps and picks what to de-prioritize: /item/123/view " +
+      "and /item/987/view are ONE template; grafted URL variants from " +
+      "doc_id (numeric ids, hex ids, static pages, query/fragment " +
+      "noise) collapse per path segment ({h} for whole-segment hex " +
+      "runs, {n} for digit runs) - segment-wise transform, no " +
+      "lookaround, so the key builds from constructs both engines share",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val m = pmod(col("doc_id"), lit(6))
+      val url = when(m === 0, concat(lit("https://ex.com/item/"),
+          pmod(col("doc_id"), lit(97)), lit("/view")))
+        .when(m === 1, concat(lit("https://ex.com/item/"),
+          pmod(col("doc_id"), lit(89)), lit("/edit?ref="), col("doc_id")))
+        .when(m === 2, concat(lit("https://ex.com/u/"),
+          lpad(lower(hex(col("doc_id"))), 8, "0"), lit("/profile")))
+        .when(m === 3, lit("https://ex.com/about"))
+        .when(m === 4, concat(lit("https://ex.com/cat/"),
+          pmod(col("doc_id"), lit(7)), lit("/list#sec")))
+        .otherwise(concat(lit("https://ex.com/d/20"),
+          pmod(col("doc_id"), lit(26)), lit("/rep")))
+      d.select(graft.functions.Clean.urlPathTemplate(url).as("template"))
+        .groupBy("template").agg(count(lit(1)).as("n_urls"))
+        .orderBy(col("n_urls").desc, col("template"))
+    },
+    Some("""WITH u AS (SELECT CASE doc_id % 6
+                WHEN 0 THEN concat('https://ex.com/item/',
+                  doc_id % 97, '/view')
+                WHEN 1 THEN concat('https://ex.com/item/',
+                  doc_id % 89, '/edit?ref=', doc_id)
+                WHEN 2 THEN concat('https://ex.com/u/',
+                  lpad(lower(to_hex(doc_id)), 8, '0'), '/profile')
+                WHEN 3 THEN 'https://ex.com/about'
+                WHEN 4 THEN concat('https://ex.com/cat/',
+                  doc_id % 7, '/list#sec')
+                ELSE concat('https://ex.com/d/20', doc_id % 26, '/rep')
+                END AS url
+              FROM documents),
+            p AS (SELECT regexp_replace(regexp_replace(
+                regexp_replace(url,
+                  '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', ''),
+                '\?.*$', ''), '#.*$', '') AS path FROM u),
+            tpl AS (SELECT array_to_string(list_transform(
+                string_split(path, '/'), seg ->
+                  CASE WHEN regexp_full_match(seg, '[0-9a-fA-F]{6,}')
+                    THEN '{h}'
+                    ELSE regexp_replace(seg, '[0-9]+', '{n}', 'g') END),
+                '/') AS template
+              FROM p)
+            SELECT CASE WHEN template = '' THEN '(none)' ELSE template END
+                AS template,
+              CAST(COUNT(*) AS BIGINT) AS n_urls
+            FROM tpl GROUP BY 1 ORDER BY n_urls DESC, template"""))
+
   val q213 = QueryDef(
     "q213_kaplan_meier_retention",
     "Kaplan-Meier survival retention (1958) - the censoring-correct " +
@@ -2515,5 +2571,5 @@ object ExtraQueries extends QueryGroup {
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
-      q201, q202, q203, q204, q207, q209, q213)
+      q201, q202, q203, q204, q207, q209, q210, q213)
 }

@@ -5201,6 +5201,63 @@ object LlmQueries extends QueryGroup {
             SELECT slice, term, df_in, chi2, direction, rank
             FROM r WHERE rank <= 5 ORDER BY slice, rank"""))
 
+  val q211 = QueryDef(
+    "q211_code_prose_router",
+    "code-vs-prose routing gate (the corpus router: code wants " +
+      "different dedup/quality/tokenizer settings than prose, and " +
+      "crawls interleave them): structural-symbol density + code-" +
+      "keyword token rate, saturating 0.6/0.4 blend; every 9th doc's " +
+      "text is replaced by a grafted code snippet the router must " +
+      "flag; per source: docs, flagged count/rate, exact-decimal mean " +
+      "score",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val code = lit("def run(x) { return x + 1; } val y = f(x); " +
+        "if (y > 0) { while (y < 9) { y = y + 1; } }")
+      val staged = d.select(col("source"),
+        when(pmod(col("doc_id"), lit(9)) === 0, code)
+          .otherwise(col("text")).as("text"))
+      val scored = staged.select(col("source"),
+        TextOps.codeScore(col("text")).as("score"))
+      scored.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("score") >= 0.5, lit(1))).as("n_code"),
+          round(count(when(col("score") >= 0.5, lit(1))) * lit(1.0) /
+            count(lit(1)), 4).as("code_rate"),
+          round(sum(dec(col("score"))).cast("double") / count(lit(1)), 4)
+            .as("avg_score"))
+        .orderBy("source")
+    },
+    Some("""WITH g AS (SELECT source,
+                CASE WHEN doc_id % 9 = 0 THEN
+                  'def run(x) { return x + 1; } val y = f(x); if (y > 0) { while (y < 9) { y = y + 1; } }'
+                ELSE text END AS text
+              FROM documents),
+            f AS (SELECT source, text,
+                CAST(length(text) AS DOUBLE) AS n,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[\[\]{}();=<>]', '', 'g')) AS DOUBLE) AS sym,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                  w -> w <> '') AS toks
+              FROM g),
+            sc AS (SELECT source,
+                CASE WHEN n > 0 AND len(toks) > 0 THEN
+                  ROUND(LEAST(sym / n * 6.0, 1.0) * 0.6 +
+                    LEAST(CAST(len(list_filter(toks, w ->
+                      list_contains(['def','return','import','var','val',
+                        'if','else','for','while','class','function'], w)))
+                      AS DOUBLE) / len(toks) * 8.0, 1.0) * 0.4, 4)
+                ELSE 0.0 END AS score
+              FROM f)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_code,
+              ROUND(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 1.0
+                / COUNT(*), 4) AS code_rate,
+              ROUND(CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE)
+                / COUNT(*), 4) AS avg_score
+            FROM sc GROUP BY 1 ORDER BY source"""))
+
   val q212 = QueryDef(
     "q212_neardup_graph_triangles",
     "triangle census + global clustering coefficient (Newman's " +
@@ -5279,5 +5336,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206, q208, q212)
+      q205, q206, q208, q211, q212)
 }

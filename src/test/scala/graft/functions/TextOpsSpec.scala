@@ -168,4 +168,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(5L) === ((0L, 0L, 0L, 0L, 0L, 0L)))
     intercept[IllegalArgumentException](TextOps.scriptCount($"t", "klingon"))
   }
+
+  test("codeScore: code saturates high, prose reads ~0, empty is 0") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      "def run(x) { return x + 1; } val y = f(x);",
+      "the quick brown fox jumps over the lazy dog again and again",
+      "",
+      "x = 1; y = 2; if else for while"
+    ).toDF("text")
+    val out = df.select(TextOps.codeScore(col("text")).as("s")).collect()
+      .map(_.getDouble(0))
+    assert(out(0) === 1.0, "dense code saturates both signals")
+    assert(out(1) === 0.0, "symbol-free prose with no keywords")
+    assert(out(2) === 0.0, "empty text")
+    assert(out(3) > 0.5, s"mixed snippet should cross the gate: ${out(3)}")
+  }
 }

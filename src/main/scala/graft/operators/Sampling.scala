@@ -579,4 +579,34 @@ object Sampling {
             (col("__w") / col("__tot").cast("double"))).cast("long")))
         .otherwise(lit(0L)).as("n_alloc"))
   }
+
+  /** Source-fair interleave ordering — the export ORDER that prevents
+    * source-burst training (all of source A, then all of B): rank rows
+    * within each stratum by a deterministic hash-shuffled key, then
+    * order globally by (within-stratum rank, stratum). Reading the
+    * output sequentially visits one row per stratum per "round" while
+    * every stratum lasts, then continues round-robin over the
+    * survivors — the interleave a curriculum reader wants without any
+    * global shuffle of the corpus (the only exchanges are the stratum
+    * rank window and whatever total order the SINK asks for; at 100 TB
+    * the (round, stratum) pair IS the sort key the writer range-
+    * partitions on).
+    *
+    * Determinism: the within-stratum order is [[avalanche]]-keyed
+    * (hash-shuffled, salt-steerable, id tie-broken) — no RNG state.
+    * Output: input columns + `round` (1-based within-stratum rank) —
+    * the caller sorts by (round, stratumCol) at write time.
+    */
+  def fairInterleave(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      salt: String = ""): DataFrame = {
+    require(!df.columns.contains("round"),
+      "column 'round' already exists — rename it before fairInterleave")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(avalanche(col(idCol), salt + "#f"), col(idCol))
+    df.withColumn("round", row_number().over(w).cast("long"))
+  }
 }

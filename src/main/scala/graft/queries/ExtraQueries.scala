@@ -2515,6 +2515,39 @@ object ExtraQueries extends QueryGroup {
               CAST(COUNT(*) AS BIGINT) AS n_urls
             FROM tpl GROUP BY 1 ORDER BY n_urls DESC, template"""))
 
+  val q214 = QueryDef(
+    "q214_source_fair_interleave",
+    "source-fair interleave export ordering - the training-order fix " +
+      "for source-burst reads (all of A then all of B): hash-shuffled " +
+      "rank WITHIN each source, global order (round, source); reading " +
+      "sequentially visits one row per source per round while every " +
+      "source lasts; no global corpus shuffle - the (round, source) " +
+      "pair is the range-partition sort key at write time; portable " +
+      "avalanche hash, so the order replays in the oracle",
+    (s, dir) =>
+      graft.operators.Sampling.fairInterleave(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source")
+        .where(col("round") <= 3)
+        .select(col("round"), col("source"), col("doc_id"))
+        .orderBy("round", "source"),
+    Some("""WITH raw AS (SELECT doc_id, source,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(
+                    CAST(doc_id AS VARCHAR) || '#f', ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                  (a, v) -> (a * 31 + v) % 1000000007) AS hp
+              FROM documents),
+            h AS (SELECT doc_id, source,
+                ((hp + 479001599) * (hp + 987654323)) % 1000000007 AS h
+              FROM raw),
+            r AS (SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY h, doc_id) AS round
+              FROM h)
+            SELECT round, source, doc_id FROM r WHERE round <= 3
+            ORDER BY round, source"""))
+
   val q213 = QueryDef(
     "q213_kaplan_meier_retention",
     "Kaplan-Meier survival retention (1958) - the censoring-correct " +
@@ -2571,5 +2604,5 @@ object ExtraQueries extends QueryGroup {
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
-      q201, q202, q203, q204, q207, q209, q210, q213)
+      q201, q202, q203, q204, q207, q209, q210, q213, q214)
 }

@@ -446,4 +446,27 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(r => (r.getDouble(3), r.getLong(4)))
     assert(z.forall(_ == ((0.0, 0L))), "zero total weight allocates nothing")
   }
+
+  test("fairInterleave: (round, stratum) order visits each stratum once per round") {
+    val sp = spark
+    import sp.implicits._
+    // uneven strata: a=5 rows, b=3, c=1
+    val rows = (1 to 5).map(i => (i.toLong, "a")) ++
+      (6 to 8).map(i => (i.toLong, "b")) :+ ((9L, "c"))
+    val out = Sampling.fairInterleave(rows.toDF("id", "src"), "id", "src")
+      .orderBy("round", "src").collect()
+      .map(r => (r.getAs[Long]("round"), r.getString(1)))
+    // round 1 visits all three strata, round 4+ only the survivor
+    val byRound = out.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byRound(1L).sorted === Seq("a", "b", "c"))
+    assert(byRound(3L).sorted === Seq("a", "b"))
+    assert(byRound(4L) === Seq("a"))
+    byRound.values.foreach(srcs =>
+      assert(srcs.distinct.size === srcs.size, "one row per stratum per round"))
+    // deterministic: same salt, same order
+    val again = Sampling.fairInterleave(rows.reverse.toDF("id", "src"),
+      "id", "src").orderBy("round", "src").collect()
+      .map(r => (r.getAs[Long]("round"), r.getString(1)))
+    assert(again.toSeq === out.toSeq)
+  }
 }

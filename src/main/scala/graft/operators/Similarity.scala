@@ -1145,4 +1145,119 @@ object Similarity {
         max(col("relv")).as("max_rel_err"))
       .withColumnRenamed("lbl", labelCol)
   }
+
+  /** Greedy k-center selection (Gonzalez 1985; the 2-approximation to
+    * the NP-hard k-center objective) — the coverage-maximizing diverse
+    * subset: each round picks the point FARTHEST from everything chosen
+    * so far. The data-selection counterpart of [[semanticDedup]]:
+    * SemDeDup removes redundancy, k-center picks the spanning exemplars
+    * (eval-set seeding, annotation budgets, coreset starts).
+    *
+    * Determinism & exactness: distances are exact int64 squared-L2 over
+    * q90-quantized components; seed = MIN id; each round's argmax ties
+    * break (dist DESC, id ASC). The picked_dist column is the COVERAGE
+    * RADIUS sequence (non-increasing) — the stopping diagnostic.
+    *
+    * Scale shape: the BPE/L24 loop discipline — k rounds, each ONE
+    * corpus-frame pass against the current pick's vector (a dim-sized
+    * literal, closure-shipped), one TakeOrdered(1) argmax, one 1-row
+    * collect; the running min-distance frame is (id, long) — persisted
+    * and lineage-truncated per round. Driver state = k vectors.
+    *
+    * [[kCenterSqlCtes]] GENERATES the DuckDB replay from the same loop
+    * structure — one source of truth, the two engines cannot drift.
+    *
+    * Output: (rank, vec_id, picked_dist) — picked_dist NULL for the
+    * seed, else the exact quantized squared distance at pick time. */
+  def kCenterSelect(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      quantDecimals: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(k >= 2 && k <= 64, s"k $k outside [2, 64]")
+    val spark = df.sparkSession
+    val scale = math.pow(10.0, quantDecimals)
+    val staged = df
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        transform(col(vecCol), x =>
+          round(x.cast(DoubleType) * scale).cast(LongType)).as("vq"))
+      .persist()
+    try {
+      val seedId = staged.agg(min(col("id"))).collect().head.getLong(0)
+      def vecOf(id: Long): Seq[Long] = staged.where(col("id") === id)
+        .select(col("vq")).collect().head.getSeq[Long](0)
+      var picks = Vector((seedId, Option.empty[Long]))
+      var md: DataFrame = null
+      for (_ <- 2 to k) {
+        val c = vecOf(picks.last._1)
+        val dist = aggregate(
+          zip_with(col("vq"), typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, v) => s + v)
+        val next = (if (md == null) staged.select(col("id"), dist.as("md"))
+          else md.join(staged, "id")
+            .select(col("id"), least(col("md"), dist).as("md")))
+          .persist()
+        if (md != null) md.unpersist()
+        md = next
+        val top = md.where(col("md") > 0)
+          .orderBy(col("md").desc, col("id")).limit(1).collect()
+        if (top.isEmpty)
+          throw new IllegalStateException(
+            "k-center: every remaining point duplicates a chosen center")
+        picks :+= ((top.head.getLong(0), Some(top.head.getLong(1))))
+      }
+      if (md != null) md.unpersist()
+      import spark.implicits._
+      picks.zipWithIndex
+        .map { case ((id, d), i) => (i + 1L, id, d) }
+        .toDF("rank", "vec_id", "picked_dist")
+    } finally staged.unpersist()
+  }
+
+  /** The DuckDB replay of [[kCenterSelect]], generated from the same
+    * round structure (the hilbertSqlCtes one-source-of-truth rule).
+    * `table` must expose (vec_id, embedding). */
+  def kCenterSqlCtes(table: String, k: Int, quantDecimals: Int = 6): String = {
+    require(k >= 2 && k <= 64, s"k $k outside [2, 64]")
+    val scale = "1" + ("0" * quantDecimals)
+    val rounds = (2 to k).map { r =>
+      val prevPick = s"s${r - 1}"
+      val prevMin = if (r == 2) "" else s"m${r - 2}"
+      val dCte =
+        s"""c${r - 1} AS (SELECT pos, vq FROM ex
+           |  WHERE vec_id = (SELECT id FROM $prevPick)),
+           |d${r - 1} AS (SELECT ex.vec_id,
+           |    CAST(SUM((ex.vq - c${r - 1}.vq) * (ex.vq - c${r - 1}.vq))
+           |      AS BIGINT) AS dist
+           |  FROM ex JOIN c${r - 1} USING (pos) GROUP BY 1)""".stripMargin
+      val mCte = if (r == 2)
+        s"m1 AS (SELECT vec_id, dist AS md FROM d1)"
+      else
+        s"""m${r - 1} AS (SELECT $prevMin.vec_id,
+           |    LEAST($prevMin.md, d${r - 1}.dist) AS md
+           |  FROM $prevMin JOIN d${r - 1} USING (vec_id))""".stripMargin
+      val sCte =
+        s"""s$r AS (SELECT vec_id AS id, md FROM m${r - 1}
+           |  WHERE md > 0 ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      s"$dCte,\n$mCte,\n$sCte"
+    }
+    val finalRows = (2 to k).map(r =>
+      s"UNION ALL SELECT ${r}, id, md FROM s$r").mkString("\n")
+    s"""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |    FROM $table
+       |    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |  ex AS (SELECT vec_id, i AS pos,
+       |      CAST(ROUND(e[i] * $scale) AS BIGINT) AS vq
+       |    FROM (SELECT vec_id, e,
+       |      unnest(generate_series(1, len(e))) AS i FROM v0)),
+       |  s1 AS (SELECT MIN(vec_id) AS id FROM ex),
+       |  ${rounds.mkString(",\n")}
+       |SELECT CAST(1 AS BIGINT) AS rank, (SELECT id FROM s1) AS vec_id,
+       |  CAST(NULL AS BIGINT) AS picked_dist
+       |$finalRows
+       |ORDER BY rank""".stripMargin
+  }
 }

@@ -5258,6 +5258,22 @@ object LlmQueries extends QueryGroup {
                 / COUNT(*), 4) AS avg_score
             FROM sc GROUP BY 1 ORDER BY source"""))
 
+  val q215 = QueryDef(
+    "q215_kcenter_diverse_selection",
+    "greedy k-center selection (Gonzalez 1985, the 2-approx to the " +
+      "NP-hard coverage objective) - the diverse-subset pick: each " +
+      "round takes the point FARTHEST from everything chosen (SemDeDup " +
+      "removes redundancy, this picks the spanning exemplars for eval " +
+      "seeding / annotation budgets); exact int64 quantized distances, " +
+      "ties (dist DESC, id), the picked_dist column IS the coverage-" +
+      "radius stopping diagnostic; the BPE loop shape - k one-pass " +
+      "rounds, 1-row argmax collects, k vectors of driver state; the " +
+      "oracle SQL is GENERATED from the same round structure",
+    (s, dir) =>
+      graft.operators.Similarity.kCenterSelect(
+        t(s, dir, "embeddings"), k = 5),
+    Some(graft.operators.Similarity.kCenterSqlCtes("embeddings", 5)))
+
   val q212 = QueryDef(
     "q212_neardup_graph_triangles",
     "triangle census + global clustering coefficient (Newman's " +
@@ -5336,5 +5352,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206, q208, q211, q212)
+      q205, q206, q208, q211, q212, q215)
 }

@@ -549,4 +549,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(run(rows.toDF("vec_id", "embedding", "label").repartition(1)) ===
       run(rows.reverse.toDF("vec_id", "embedding", "label").repartition(32)))
   }
+
+  test("kCenterSelect equals a sequential greedy reference; radii non-increasing") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.kCenterSelect(df, k = 6).orderBy("rank").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // sequential reference with the same quantization and tie-breaks
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6)) }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Vector((vecs.map(_._1).min, -1L))
+    val md = scala.collection.mutable.Map(
+      q.keys.map(id => id -> d2(q(id), q(chosen.head._1))).toSeq: _*)
+    for (_ <- 2 to 6) {
+      val (pid, pd) = md.filter(_._2 > 0).toSeq
+        .sortBy { case (id, dd) => (-dd, id) }.head
+      chosen :+= ((pid, pd))
+      q.keys.foreach(id => md(id) = math.min(md(id), d2(q(id), q(pid))))
+    }
+    assert(got.toSeq === chosen.map { case (id, dd) => (id, dd) })
+    val radii = got.drop(1).map(_._2)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
+      "coverage radius must be non-increasing")
+  }
+
+  test("kCenterSelect: duplicate-only residue fails loud; bounds enforced") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalStateException](Similarity.kCenterSelect(df, k = 2))
+    intercept[IllegalArgumentException](Similarity.kCenterSelect(df, k = 1))
+  }
 }

@@ -30,23 +30,47 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
-    val results = selected.map { case (name, fn) =>
+    // process-CPU clock: wall time can read 3× under host contention
+    // while the query's own CPU seconds stay flat — recording both lets
+    // the round artifact self-adjudicate load spikes (three of the last
+    // five rounds needed a manual contention adjudication)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Boolean) = {
       val t0 = System.nanoTime()
+      val c0 = cpuNow()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val cpu = (cpuNow() - c0) / 1e9
       // per-query isolation: drop any caches a query left behind so (a)
       // every timing is self-contained (no cross-query cache reuse) and
       // (b) blocks cannot accumulate across the 130-query session — the
       // contended-box failure mode. Cleanup time is excluded from the
       // query's own number but the whole run stays honest end-to-end.
       spark.catalog.clearCache()
-      // A crashed query must not read as a fast success: report -1.
-      (name, if (ok) elapsed else -1.0, ok)
+      (elapsed, cpu, ok)
     }
+    val results = selected.map { case (name, fn) =>
+      val (elapsed, cpu, ok) = timeOne(name, fn)
+      // A crashed query must not read as a fast success: report -1.
+      (name, if (ok) elapsed else -1.0, cpu, ok)
+    }
+    // second scoped pass over the slowest queries (r12 verdict item 7):
+    // by the time the sweep ends, a transient load spike has usually
+    // passed — a rerun at or near the floor tags the in-sweep number as
+    // contention, a rerun matching the slow number tags it as real
+    val rerun = results.filter(_._4).sortBy(-_._2).take(8).map { case (name, _, _, _) =>
+      val (elapsed, _, ok) = timeOne(name, SparkEntry.queries(name))
+      (name, if (ok) elapsed else -1.0)
+    }.toMap
     // Two renderings of the same numbers (r9 verdict item: the driver
     // keeps only the final 2,000 stdout chars, which truncated the
     // 130-key line mid-JSON):
@@ -61,16 +85,30 @@ object Bench {
     def render(
         key: (String, Double, Boolean) => String,
         decimals: Int = 3,
-        keep: Seq[(String, Double, Boolean)] = results): String = {
-      val qs = keep.map { case (k, v, ok) =>
+        keep: Seq[(String, Double, Double, Boolean)] = results,
+        withCpu: Boolean = false): String = {
+      val qs = keep.map { case (k, v, _, ok) =>
         "\"" + key(k, v, ok) + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
-      val errs = results.collect { case (k, _, false) => "\"" + key(k, 0, false) + "\"" }
+      val errs = results.collect { case (k, _, _, false) => "\"" + key(k, 0, false) + "\"" }
         .mkString("[", ",", "]")
       val dropped = results.size - keep.size
       val trunc = if (dropped > 0) s""","queries_truncated":$dropped""" else ""
-      val total = results.collect { case (_, v, true) => v }.sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$trunc,"errors":$errs,"sf":"$sfDir"}"""
+      val total = results.collect { case (_, v, _, true) => v }.sum
+      val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
+      val cpuMap = if (!withCpu) "" else {
+        val m = keep.map { case (k, _, c, ok) =>
+          "\"" + key(k, c, ok) + "\":" + fmt(c, decimals)
+        }.mkString("{", ",", "}")
+        s""","cpu":$m"""
+      }
+      val rr = if (rerun.isEmpty) "" else {
+        val m = rerun.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + key(k, v, true) + "\":" + fmt(v, decimals)
+        }.mkString("{", ",", "}")
+        s""","rerun":$m"""
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${fmt(cpuTotal, decimals)},"queries":$qs$cpuMap$rr$trunc,"errors":$errs,"sf":"$sfDir"}"""
     }
     // The driver keeps only the final 2,000 stdout chars, and a line cut
     // mid-JSON parses as nothing (the r9 failure, which resurfaced when
@@ -109,7 +147,7 @@ object Bench {
         System.getProperty("user.dir", "."))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(repoDir, "BENCH_FULL.json"),
-        render((k, _, _) => k) + "\n")
+        render((k, _, _) => k, withCpu = true) + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     }
     println(stdoutLine)

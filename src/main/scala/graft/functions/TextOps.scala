@@ -21,6 +21,16 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokenize(text)).cast(LongType)
 
+  /** Count of NON-EMPTY whitespace tokens: `split` emits "" for text
+    * with leading whitespace, which [[tokenCount]] counts but no
+    * exploded-token consumer ever sees. BM25's document length must
+    * count exactly the units its postings tf counts (Retrieval's index
+    * invariant: Σ tf per doc = dl), so the retrieval family uses this
+    * form. Oracle dialect: len(list_filter(string_split_regex(text,
+    * '\s+'), t -> t <> '')). */
+  def nonEmptyTokenCount(text: Column): Column =
+    size(filter(tokenize(text), t => t =!= lit(""))).cast(LongType)
+
   /** BPE-style pre-tokenization (SURVEY.md §2.10 L3): letter runs, digit
     * runs, and single punctuation marks — the GPT-2-shaped split rule
     * reduced to a regex that means the same thing in Java regex (Spark)

@@ -326,4 +326,71 @@ object BpeTrain {
       }
     }
   }
+
+  /** The DuckDB replay of [[trainMerges]], generated from the same round
+    * structure (the kCenterSqlCtes / hilbertSqlCtes one-source-of-truth
+    * rule — an iterative corpus-level argmax loop unrolls into a CTE
+    * chain with one (pair-count, argmax, greedy-merge) block per round).
+    * `table` must expose a `text` column; output matches
+    * `trainMerges(...).toDF()`: (rank, left, right, count) ordered by
+    * rank, early-stop included (a round whose best pair falls below
+    * `minPairCount` emits nothing and every later round is empty too —
+    * the argmax CTE runs dry exactly where the engine loop breaks).
+    *
+    * The greedy fold is replayed relationally: match positions i where
+    * (syms[i], syms[i+1]) = the round's pair, gaps-and-islands over
+    * consecutive matches (only possible when left = right), keep the
+    * odd ranks within each island — byte-for-byte the fold's
+    * non-overlapping left-to-right selection — then rebuild each word
+    * as merged tokens at selected positions + untouched symbols
+    * anti-joined against the covered set. CTEs are MATERIALIZED: the
+    * inlined form re-evaluates v₀ per reference (and re-opens the
+    * parquet until the fd limit), the materialized chain runs each
+    * round once. */
+  def mergesSqlCtes(table: String, numMerges: Int, minPairCount: Long = 2L): String = {
+    require(numMerges >= 1 && numMerges <= 64,
+      s"numMerges $numMerges outside [1, 64]")
+    require(minPairCount >= 1L, s"minPairCount $minPairCount must be >= 1")
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""wv AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text),
+      |          '${TextOps.BpeTokenPattern}')) AS word FROM $table)
+      |  WHERE word <> '' GROUP BY word)""".stripMargin
+    ctes += """v0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY word) AS wid,
+      |  string_split(word, '') AS syms, w FROM wv)""".stripMargin
+    for (r <- 0 until numMerges) {
+      ctes += s"""pc$r AS (SELECT syms[i] AS lc, syms[i+1] AS rc,
+        |    CAST(SUM(w) AS BIGINT) AS cnt
+        |  FROM v$r, unnest(generate_series(1, len(syms)-1)) AS u(i)
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""a$r AS MATERIALIZED (SELECT lc, rc, cnt FROM pc$r
+        |  WHERE cnt >= $minPairCount ORDER BY cnt DESC, lc, rc LIMIT 1)""".stripMargin
+      ctes += s"""m$r AS (SELECT wid, i
+        |  FROM v$r, a$r, unnest(generate_series(1, len(syms)-1)) AS u(i)
+        |  WHERE syms[i] = lc AND syms[i+1] = rc)""".stripMargin
+      ctes += s"""sel$r AS MATERIALIZED (SELECT wid, i FROM (
+        |    SELECT wid, i, ROW_NUMBER() OVER (PARTITION BY wid, g ORDER BY i) AS rn
+        |    FROM (SELECT wid, i,
+        |            i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS g
+        |          FROM m$r))
+        |  WHERE rn % 2 = 1)""".stripMargin
+      ctes += s"""cov$r AS (SELECT wid, i AS pos FROM sel$r
+        |  UNION ALL SELECT wid, i + 1 FROM sel$r)""".stripMargin
+      ctes += s"""v${r + 1} AS MATERIALIZED (SELECT wid,
+        |    list(tok ORDER BY pos) AS syms, any_value(w) AS w FROM (
+        |    SELECT v.wid, s.i AS pos, v.syms[s.i] || v.syms[s.i+1] AS tok, v.w
+        |      FROM v$r v JOIN sel$r s USING (wid)
+        |    UNION ALL
+        |    SELECT p.wid, p.pos, p.tok, p.w FROM (
+        |      SELECT v.wid, u.i AS pos, v.syms[u.i] AS tok, v.w
+        |        FROM v$r v, unnest(generate_series(1, len(v.syms))) AS u(i)) p
+        |      ANTI JOIN cov$r c ON p.wid = c.wid AND p.pos = c.pos
+        |  ) GROUP BY wid)""".stripMargin
+    }
+    val finals = (0 until numMerges).map(r =>
+      s"""SELECT CAST($r AS INTEGER) AS rank, lc AS "left", rc AS "right",
+         |  cnt AS "count" FROM a$r""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes.result().mkString(",\n")}\n$finals\nORDER BY rank"
+  }
 }

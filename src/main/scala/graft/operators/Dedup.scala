@@ -1017,7 +1017,21 @@ object Dedup {
     * Scale shape: banding + candidate join as [[portableMinHashPairs]];
     * then ONE id-keyed join attaches the two texts to each candidate
     * and Spark's codegen'd levenshtein scores them — texts move only
-    * for candidates, never all-against-all. */
+    * for candidates, never all-against-all.
+    *
+    * `maxBandDf` is the SELF-PRICING guard the shingle joins already
+    * carry (`maxShingleDf`'s discipline applied to LSH buckets): a band
+    * bucket with b members emits b·(b−1)/2 candidates, so one hot
+    * template family makes candidate volume quadratic in the family
+    * size — the r12 10×-scale study measured exactly this (candidates
+    * ~100× for 10× data while per-pair cost FELL; the blocking key, not
+    * the kernel, is the scale killer). With the cap, buckets larger
+    * than `maxBandDf` are DROPPED before the self-join: per-bucket work
+    * is bounded at cap²/2 and total candidates grow linearly in the
+    * bucket count. Recall tradeoff, stated plainly: pairs living only
+    * inside dropped hot buckets are lost — the standard df-cap
+    * trade (a >cap template family is better served by exact dedup
+    * first). Default None preserves the uncapped contract. */
   def editSimilarityPairs(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -1025,9 +1039,23 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 8,
       bands: Int = 2,
-      minSim: Double = 0.8): DataFrame = {
-    val banded = minHashBandsPortable(df, idCol, textCol, n, numHashes, bands)
+      minSim: Double = 0.8,
+      maxBandDf: Option[Int] = None): DataFrame = {
+    maxBandDf.foreach(c => require(c >= 2, s"maxBandDf $c must be >= 2"))
+    val banded0 = minHashBandsPortable(df, idCol, textCol, n, numHashes, bands)
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("band"), col("bkey"))
+    val banded = maxBandDf match {
+      case None => banded0
+      case Some(cap) =>
+        // bucket-size gate: one extra aggregation on the (band, bkey)
+        // frame, then a semi-join keeps only calm buckets — same shape
+        // as the maxShingleDf posting-list cap
+        val calm = banded0.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") <= cap)
+          .select("band", "bkey")
+        banded0.join(calm, Seq("band", "bkey"), "left_semi")
+    }
     val a = banded.select(col("id").as("ia"), col("band"), col("bkey"))
     val b = banded.select(col("id").as("ib"), col("band").as("band2"), col("bkey").as("bkey2"))
     val cand = a.hint("shuffle_hash")

@@ -446,10 +446,16 @@ object Funnel {
     * keyed by first-bucket cohort (`cohortBuckets` wide), so the running
     * product is a COHORT-KEYED window, never a global one.
     *
-    * Engine-portable determinism: dᵢ/nᵢ are exact integers; each step's
+    * Engine-portable determinism: dᵢ/nᵢ are exact integers; the cohort
+    * key is exact int64 floor division ([[ZOrder.floorDiv]], matching
+    * SQL `//` — never Column `/`, which widens to double); each step's
     * ln survival factor computes in double and rounds into
     * DECIMAL(28,14) before the cumulative sum (the q91 ln-accumulation
-    * rule), and S = exp(Σ) rounds to `roundTo`. Cohort extinction
+    * rule), and S = exp(Σ) rounds to `roundTo`. The SQL replay must
+    * CAST its windowed n_risk arithmetic back to BIGINT — DuckDB
+    * widens window SUM(BIGINT) to HUGEINT, which renders as a float in
+    * the comparator even when every value is integral (the r12 q213
+    * hash mismatch). Cohort extinction
     * (dᵢ = nᵢ → factor 0, ln −∞) is handled explicitly: S pins to 0 from
     * that step on — never a NULL-swallowed −Inf.
     *
@@ -475,7 +481,7 @@ object Funnel {
     val ul = days.groupBy("u").agg(min(col("d")).as("f"), max(col("d")).as("l"))
     val frontier = days.agg(max(col("d")).as("__mx"))
     val lives = ul.crossJoin(broadcast(frontier))
-      .select((col("f") / lit(cohortBuckets)).cast("long").as("cohort"),
+      .select(ZOrder.floorDiv(col("f"), lit(cohortBuckets)).as("cohort"),
         (col("l") - col("f") + 1).as("t"),
         (col("l") === col("__mx")).as("censored"))
     val byT = lives.groupBy("cohort", "t").agg(

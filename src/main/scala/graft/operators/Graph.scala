@@ -95,18 +95,26 @@ object Graph {
     * similarity; the one-number summary a dedup-policy review starts
     * from).
     *
-    * Algorithm: lexicographic orientation — edges normalize to a < b and
-    * dedupe, each triangle a < b < c is found exactly once by joining
-    * (a,b) ⋈ (b,c) and closing with (a,c). Wedge count Σ d(d−1)/2 comes
-    * from one degree aggregation; transitivity = 3·triangles / wedges.
-    * All exact integer arithmetic; the one ratio rounds to `roundTo`.
+    * Algorithm: DEGREE-ORDERED orientation (Chiba & Nishizeki 1985; the
+    * compact-forward join of Latapy 2008) — each undirected edge points
+    * from its lower-(degree, id) endpoint to the higher, wedges join two
+    * out-edges at their common tail, and the closing edge is looked up
+    * under the same orientation, so each triangle is found exactly once
+    * from its minimum-order vertex. Out-degree under this orientation is
+    * O(√m), so per-vertex wedge work is bounded EVEN ON SKEWED GRAPHS: a
+    * hot template vertex with degree d contributes d wedges to its
+    * (many) low-degree neighbors' tails instead of d²/2 to its own —
+    * the lexicographic orientation's failure mode. Wedge count
+    * Σ d(d−1) div 2 comes from one degree aggregation; transitivity =
+    * 3·triangles / wedges. All exact integer arithmetic ([[ZOrder.intDiv]]
+    * keeps the wedge sum in int64 — Column `/` would widen to double and
+    * can round wrong past 2⁵³); the one ratio rounds to `roundTo`.
     *
-    * Scale shape: two equi-joins over the EDGE list (never the node
-    * cross product) — the standard distributed triangle join; its cost
-    * is Σ wedges probes, the same quantity the output reports (a
-    * self-pricing plan: read n_wedges BEFORE scaling up; the classic
-    * refinement when degree skew bites is degree-ordered orientation,
-    * documented here as the 100 TB upgrade path).
+    * Scale shape: one degree aggregation, one broadcast-or-shuffle join
+    * to attach order keys, then two equi-joins over the ORIENTED edge
+    * list (never the node cross product); cost is Σ out-wedges probes
+    * — ≤ the reported n_wedges, with the O(√m) out-degree cap making
+    * the bound tight under skew.
     *
     * Output (1 row): n_nodes, n_edges, n_wedges, n_triangles,
     * transitivity (NULL when the graph has no wedges). */
@@ -127,13 +135,34 @@ object Graph {
         .groupBy("v").agg(count(lit(1)).as("d"))
       val degStats = deg.agg(
         count(lit(1)).as("n_nodes"),
-        sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+        sum(ZOrder.intDiv(col("d") * (col("d") - 1), lit(2L))).as("n_wedges"))
       val ne = e.agg(count(lit(1)).as("n_edges"))
-      val e2 = e.select(col("a").as("b2"), col("b").as("c2"))
-      val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
-      val tri = e
-        .join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+      // degree-ordered orientation: attach each endpoint's (degree, id)
+      // order key, point the edge at the larger; carry BOTH endpoints'
+      // keys so the wedge join can order its two heads without another
+      // degree lookup
+      val degA = deg.select(col("v").as("a"), col("d").as("da"))
+      val degB = deg.select(col("v").as("b"), col("d").as("db"))
+      val oriented = e.join(degA, "a").join(degB, "b")
+        .select(
+          when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("w"),
+              col("da").as("du"), col("db").as("dw")))
+            .otherwise(struct(col("b").as("u"), col("a").as("w"),
+              col("db").as("du"), col("da").as("dw"))).as("o"))
+        .select(col("o.u").as("u"), col("o.w").as("w"),
+          col("o.du").as("du"), col("o.dw").as("dw"))
+      // wedge at the common tail u, heads ordered v < w under (deg, id);
+      // closing edge (v, w) is oriented v -> w under the same order
+      val o2 = oriented.select(col("u").as("u2"), col("w").as("w2"),
+        col("dw").as("dw2"))
+      val o3 = oriented.select(col("u").as("v3"), col("w").as("w3"))
+      val tri = oriented
+        .join(o2, col("u") === col("u2") &&
+          (col("dw") < col("dw2") ||
+            (col("dw") === col("dw2") && col("w") < col("w2"))))
+        .join(o3, col("w") === col("v3") && col("w2") === col("w3"))
         .agg(count(lit(1)).as("n_triangles"))
       val out = degStats.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),

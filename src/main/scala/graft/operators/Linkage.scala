@@ -158,6 +158,122 @@ object Linkage {
     }
   }
 
+  /** Candidate generation with a BOUNDED per-block pair budget — the
+    * guard the r12 10×-scale study demanded: equi-key blocking emits
+    * nl·nr pairs per block, so low-cardinality blocking keys (the
+    * fixture's 125 nation×segment blocks) make candidate volume
+    * QUADRATIC in corpus size while every downstream cost rides on it
+    * (q155/q165 measured 58×/41× at 10× data — candidates, not the
+    * scorer, were the scale killer). This operator counts block sizes
+    * FIRST (one aggregation per side — the keySkewProfile read), then:
+    *
+    *  - blocks with nl·nr ≤ `maxBlockPairs` take the full cross
+    *    (exactly the plain equi-join's output for those blocks);
+    *  - larger blocks AUTO-SWITCH to sorted-neighborhood WITHIN the
+    *    block (the L48 machinery, merge/purge inside a block): both
+    *    sides interleave in one (sortKey, side) order and only
+    *    cross-side rows within `window` sorted positions pair —
+    *    per-block volume drops from nl·nr to ≤ (nl+nr)·window.
+    *
+    * The switch is a pure function of block counts, so the whole
+    * candidate set stays deterministic and SQL-replayable at any scale
+    * (q155/q165 interpolate the same rule). Recall contract, stated
+    * plainly: in oversized blocks only pairs whose sort keys land
+    * within `window` interleaved positions are candidates — choose
+    * `sortKeyLeft/Right` so true matches sort together (the
+    * merge/purge key-design rule), and make each UNIQUE per row
+    * (ties would make ranks engine-dependent); uniqueness of
+    * (key, side) is what makes the interleaved order total.
+    *
+    * Scale shape: two grouped counts + one broadcast-or-shuffle
+    * semi-join split; the full-cross part is the plain equi-join on
+    * calm blocks; the windowed part ranks each oversized block with
+    * ONE window sort (O(n log n) per block vs the n² cross it
+    * replaces; at 100 TB a block that cannot sort on one task should
+    * get a finer blocking key — the require message says so) and
+    * probes rank-blocks of `window` positions, an EQUI-join (the
+    * sortedNeighborhoodPairs idiom — no nested-loop anywhere).
+    *
+    * Output: left.* ++ right.* (the equi-join's shape); column names
+    * must be disjoint across sides. */
+  def boundedBlockedPairs(
+      left: DataFrame,
+      right: DataFrame,
+      blockKeys: Seq[(String, String)],
+      sortKeyLeft: Column,
+      sortKeyRight: Column,
+      maxBlockPairs: Long = 100000L,
+      window: Int = 32): DataFrame = {
+    require(blockKeys.nonEmpty, "boundedBlockedPairs: at least one block key")
+    require(maxBlockPairs >= 1L,
+      s"boundedBlockedPairs: maxBlockPairs $maxBlockPairs must be >= 1")
+    require(window >= 1, s"boundedBlockedPairs: window $window must be >= 1")
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    require(lCols.intersect(rCols).isEmpty,
+      s"boundedBlockedPairs: column names overlap: ${lCols.intersect(rCols).mkString(", ")}")
+    val lk = blockKeys.map(_._1)
+    val rk = blockKeys.map(_._2)
+    val bk = lk.indices.map(i => s"__bk_$i")
+    def keyed(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__bk_$i") }
+        ++ df.columns.map(col): _*)
+    val lKeyed = keyed(left, lk)
+    val rKeyed = keyed(right, rk)
+    val sizes = lKeyed.groupBy(bk.map(col): _*).agg(count(lit(1)).as("__nl"))
+      .join(rKeyed.groupBy(bk.map(col): _*).agg(count(lit(1)).as("__nr")), bk.toSeq)
+      .select(bk.map(col) :+ (col("__nl") * col("__nr")).as("__np"): _*)
+    val calm = sizes.where(col("__np") <= maxBlockPairs).select(bk.map(col): _*)
+    val hot = sizes.where(col("__np") > maxBlockPairs).select(bk.map(col): _*)
+    val outCols = (lCols ++ rCols).map(col)
+    val fullPart = lKeyed.join(calm, bk.toSeq, "left_semi")
+      .join(rKeyed.join(calm, bk.toSeq, "left_semi").drop(bk: _*),
+        lk.zip(rk).map { case (a, b) => col(a) === col(b) }.reduce(_ && _))
+      .select(outCols: _*)
+    // windowed part: interleave both sides of each hot block in one
+    // (sortKey, side) order, rank, then pair cross-side rows within
+    // `window` positions via the rank-block probe (equi-join on
+    // (block, rank div window), each row probing its block and the
+    // next — every ≤window-apart pair meets exactly once)
+    val lt = lKeyed.join(hot, bk.toSeq, "left_semi")
+      .withColumn("__sk", sortKeyLeft.cast("string"))
+      .withColumn("__side", lit(0))
+      .withColumn("__lp", struct(lCols.map(col): _*))
+      .select(bk.map(col) ++ Seq(col("__sk"), col("__side"), col("__lp")): _*)
+    val rt = rKeyed.join(hot, bk.toSeq, "left_semi")
+      .withColumn("__sk", sortKeyRight.cast("string"))
+      .withColumn("__side", lit(1))
+      .withColumn("__rp", struct(rCols.map(col): _*))
+      .select(bk.map(col) ++ Seq(col("__sk"), col("__side"), col("__rp")): _*)
+    val u = lt.unionByName(rt, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bk.map(col): _*).orderBy(col("__sk"), col("__side"))
+    val ranked = u.withColumn("__rk", row_number().over(w))
+    val probes = ranked.withColumn("__jblk",
+      explode(array(ZOrder.intDiv(col("__rk"), lit(window.toLong)),
+        ZOrder.intDiv(col("__rk"), lit(window.toLong)) + 1)))
+    val a = probes.select(
+      bk.map(col) ++ Seq(col("__jblk"), col("__rk").as("__rka"),
+        col("__side").as("__sa"), col("__lp").as("__lpa"), col("__rp").as("__rpa")): _*)
+    val b = ranked.select(
+      bk.map(c => col(c).as(s"${c}_b")) ++ Seq(
+        ZOrder.intDiv(col("__rk"), lit(window.toLong)).as("__jblk_b"),
+        col("__rk").as("__rkb"), col("__side").as("__sb"),
+        col("__lp").as("__lpb"), col("__rp").as("__rpb")): _*)
+    val joined = a.join(b,
+      bk.map(c => col(c) === col(s"${c}_b")).reduce(_ && _) &&
+        col("__jblk") === col("__jblk_b") &&
+        col("__rkb") > col("__rka") &&
+        col("__rkb") <= col("__rka") + window &&
+        col("__sa") =!= col("__sb"))
+    val windowPart = joined.select(
+      when(col("__sa") === 0, col("__lpa")).otherwise(col("__lpb")).as("__L"),
+      when(col("__sa") === 1, col("__rpa")).otherwise(col("__rpb")).as("__R"))
+      .select(col("__L.*"), col("__R.*"))
+      .select(outCols: _*)
+    fullPart.unionByName(windowPart)
+  }
+
   /** Score candidate pairs and classify. Appends, per rule, a boolean
     * `agree_<name>` column, then `score` (the fixed-order literal-weight
     * sum, 6 decimals) and `decision`: score ≥ upper → 'match',

@@ -72,19 +72,43 @@ object Privacy {
     * stance); treat the seed as a secret, draw once per release, and
     * never publish the exact mechanism inputs.
     *
+    * TWO CONDITIONS ARE PART OF THE GUARANTEE, not hygiene:
+    *
+    *  1. `seed` is a PER-RELEASE secret nonce — never reuse it across
+    *     releases of evolving data. The noise is a pure function of
+    *     (keys, seed), so two same-seed releases carry IDENTICAL
+    *     per-group noise and their difference is the exact true delta
+    *     (an individual's arrival/departure published in the clear).
+    *     The weekly-report usage MUST mix a fresh nonce (date, release
+    *     id) into the seed each run.
+    *  2. The emitted KEY SET leaks unless the key domain is public.
+    *     With `keyDomain` = null only observed groups are emitted — a
+    *     group's very presence (count ≥ 1) is disclosed noiselessly,
+    *     which is only admissible when the domain is public knowledge
+    *     (enum codes, published region lists). For data-dependent
+    *     domains, pass `keyDomain`: a PUBLIC key list (chosen without
+    *     looking at the data) — every domain key is emitted, absent
+    *     ones as 0 + noise, so presence is hidden. (The alternative,
+    *     stability-based thresholding, suppresses groups with noisy
+    *     count below a τ(ε, δ) cut and costs a δ; this operator ships
+    *     the ε-only domain form.)
+    *
     * Output: (keys*, true_count withheld by design — publishing it
     * would defeat the mechanism — noisy_count rounded to `roundTo`).
-    * One grouped aggregation + a narrow projection; ln is the one libm
-    * call, tamed the q66 way (rounded output, both engines' ln agree
-    * within the rounding at these magnitudes). */
+    * One grouped aggregation (+ one left join from the public domain
+    * when given) + a narrow projection; ln is the one libm call, tamed
+    * the q66 way (rounded output, both engines' ln agree within the
+    * rounding at these magnitudes). */
   def dpNoisyCounts(
       df: DataFrame,
       keyCols: Seq[String],
       epsilon: Double,
       seed: String,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4,
+      keyDomain: DataFrame = null): DataFrame = {
     require(keyCols.nonEmpty, "dpNoisyCounts: at least one key column")
     require(epsilon > 0, s"dpNoisyCounts: epsilon $epsilon must be > 0")
+    require(seed.nonEmpty, "dpNoisyCounts: seed must be a fresh per-release nonce")
     val P = 1000000007L
     // the portable per-group uniform: the house avalanche hash
     // (Sampling's AsciiPolyHash kernel + quadratic finalizer - short
@@ -97,10 +121,15 @@ object Privacy {
     val u = (Sampling.avalanche(keyStr, seed).cast("double") + 0.5) / P.toDouble
     val lap = -(lit(1.0) / epsilon) * signum(u - 0.5) *
       log(lit(1.0) - lit(2.0) * abs(u - 0.5))
-    df.groupBy(keyCols.map(col): _*)
+    val grouped = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-      .select(keyCols.map(col) :+
-        round(col("__n") + lap, roundTo).as("noisy_count"): _*)
+    val based =
+      if (keyDomain == null) grouped
+      else keyDomain.select(keyCols.map(col): _*).distinct()
+        .join(grouped, keyCols, "left")
+        .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    based.select(keyCols.map(col) :+
+      round(col("__n") + lap, roundTo).as("noisy_count"): _*)
   }
 
   /** Differentially-private release MEAN (the Laplace ratio estimator —
@@ -116,10 +145,25 @@ object Privacy {
     * must be chosen WITHOUT looking at the data (it is part of the
     * privacy claim).
     *
+    * NEIGHBOR MODEL — part of the claim, stated explicitly: the scales
+    * assume BOUNDED (replace-one) neighbors, where two adjacent
+    * datasets differ by swapping one individual's row. Replacing a row
+    * moves the clamped sum by at most (hi − lo) and the count not at
+    * all — the count noise here is belt-and-braces, not budget this
+    * model needs. Under UNBOUNDED (add/remove) neighbors the clamped
+    * sum's sensitivity is max(|lo|, |hi|) — for bounds like [100, 101]
+    * that is ~100× (hi − lo), and this mechanism's noise would be
+    * ~100× too small for the claimed ε. Callers needing add/remove
+    * protection must widen the sum scale to max(|lo|, |hi|)·2/ε
+    * themselves (and then the count noise does earn its half of the
+    * budget, since counts move under add/remove).
+    *
     * Same seeded engine-portable uniform as [[dpNoisyCounts]] (one
     * draw per group per release, salts `seed|sum` / `seed|cnt` —
-    * decorrelated by the avalanche), same honesty note: the ε
-    * guarantee is about random noise; treat the seed as a secret.
+    * decorrelated by the avalanche), same honesty notes: the ε
+    * guarantee is about random noise, treat the seed as a secret, and
+    * the seed is a PER-RELEASE nonce — same-seed releases of evolving
+    * data publish exact deltas (see [[dpNoisyCounts]] condition 1).
     * Clamped values accumulate in exact decimal, so the pre-noise sum
     * is partition-order-free and the whole release replays in SQL. */
   def dpNoisyMean(
@@ -134,6 +178,7 @@ object Privacy {
     require(keyCols.nonEmpty, "dpNoisyMean: at least one key column")
     require(hi > lo, s"dpNoisyMean: empty bound [$lo, $hi]")
     require(epsilon > 0, s"dpNoisyMean: epsilon $epsilon must be > 0")
+    require(seed.nonEmpty, "dpNoisyMean: seed must be a fresh per-release nonce")
     import org.apache.spark.sql.types.DecimalType
     val P = 1000000007L
     val keyStr = concat_ws("|",

@@ -67,13 +67,16 @@ object Retrieval {
       // one task
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"),
-        graft.functions.TextOps.tokenCount(col("text_")).cast(LongType).as("dl"),
+        graft.functions.TextOps.nonEmptyTokenCount(col("text_")).as("dl"),
         explode_outer(split(col("text_"), "\\s+")).as("tok"))
-      .where(col("tok").isNotNull)
+      // empty tokens (split's artifact on leading whitespace) never enter
+      // postings or dictionary — dl above counts the same filtered stream,
+      // so Σ tf per doc = dl holds (the index invariant)
+      .where(col("tok").isNotNull && col("tok") =!= "")
       .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
     val dictionary = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = docs
-      .select(graft.functions.TextOps.tokenCount(col(textCol)).cast(LongType).as("dl"))
+      .select(graft.functions.TextOps.nonEmptyTokenCount(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     Bm25Index(postings, dictionary, stats)
   }
@@ -161,9 +164,9 @@ object Retrieval {
     require(queryTerms.nonEmpty, "queryTerms must not be empty")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val terms = queryTerms.distinct
-    // (id, len) once per doc via the fused one-pass counter
+    // (id, len) once per doc — the non-empty count, same units as tf
     val lens = docs.select(col(idCol).as("id"),
-      graft.functions.TextOps.tokenCount(col(textCol)).cast(LongType).as("dl"))
+      graft.functions.TextOps.nonEmptyTokenCount(col(textCol)).as("dl"))
     // corpus scalars: one row, broadcast by the join planner
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))

@@ -96,11 +96,17 @@ object UnigramLm {
       }
       j += 1
     }
-    // every position reachable: single chars always score (lp or unk)
+    // every position reachable: single chars always score (lp or unk),
+    // and train() floors per-iteration counts so no lp entry is −∞; a
+    // caller-supplied map that still breaks the invariant fails loud
+    // here instead of spinning on a zero-length backtrack step
     val out = scala.collection.mutable.ListBuffer.empty[String]
     var p = n
     while (p > 0) {
       val l = bLen(p)
+      require(l > 0,
+        s"viterbi: position $p of '$word' unreachable — a piece in lp " +
+          "scores -Infinity; floor its probability instead")
       out.prepend(word.substring(p - l, p))
       p -= l
     }
@@ -139,8 +145,13 @@ object UnigramLm {
       var counted: Map[String, Long] = pieces.toMap
       for (_ <- 1 to iters) {
         val total = pieces.map(_._2).sum.toDouble
+        // 0.5-floor (same as the final model): a zero-count single kept
+        // by the M-step filter must carry a FINITE log-prob — log(0)
+        // = −∞ would make positions reachable only through it
+        // unreachable-but-marked, and viterbi's backtrack would spin on
+        // bLen = 0 (the fail-loud guard there is the second fence)
         val lp = pieces.map { case (p, c) =>
-          p -> math.log(c.toDouble / total) }.toMap
+          p -> math.log((c.toDouble max 0.5) / total) }.toMap
         val bc = spark.sparkContext.broadcast(lp)
         val mpl = maxPieceLen
         val segUdf = udf { (word: String) =>

@@ -815,7 +815,11 @@ object ExtraQueries extends QueryGroup {
       "driver-computed log2(m/u) literal weights into the match / " +
       "possible / nonmatch decision geometry — entity resolution for " +
       "structured records, the counterpart of the text/embedding dedup " +
-      "families",
+      "families; candidates come through boundedBlockedPairs (the r12 " +
+      "scale-study guard): blocks under 100k pairs take the full cross " +
+      "(the fixture — identical output), oversized blocks auto-switch " +
+      "to sorted-neighborhood on lower(name) within the block, the " +
+      "same count-conditional rule the oracle replays",
     (s, dir) => {
       val c = t(s, dir, "customer")
       val dirty = c.select(
@@ -825,11 +829,12 @@ object ExtraQueries extends QueryGroup {
         when(col("c_custkey") % 3 === 1, col("c_acctbal") + 0.01)
           .otherwise(col("c_acctbal")).as("d_bal"),
         col("c_nationkey").as("d_nat"), col("c_mktsegment").as("d_seg"))
-      val pairs = c
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("c_nationkey"), col("c_mktsegment"))
-        .join(dirty,
-          col("c_nationkey") === col("d_nat") && col("c_mktsegment") === col("d_seg"))
+      val pairs = graft.operators.Linkage.boundedBlockedPairs(
+        c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"), col("c_mktsegment")),
+        dirty,
+        Seq("c_nationkey" -> "d_nat", "c_mktsegment" -> "d_seg"),
+        lower(col("c_name")), lower(col("d_name")))
       graft.operators.Linkage.fellegiSunter(pairs, LinkRules, upper = 15.0, lower = 2.0)
         .filter(col("decision") =!= "nonmatch")
         .select(col("c_custkey"), col("d_key"), col("agree_name"),
@@ -843,11 +848,48 @@ object ExtraQueries extends QueryGroup {
                          ELSE c_acctbal END AS d_bal,
                     c_nationkey AS d_nat, c_mktsegment AS d_seg
                   FROM customer),
-            p AS (SELECT c.c_custkey, d.d_key,
-                    c.c_name = d.d_name AS agree_name,
-                    c.c_acctbal = d.d_bal AS agree_bal
-                  FROM customer c
-                  JOIN d ON c.c_nationkey = d.d_nat AND c.c_mktsegment = d.d_seg),
+            cnt AS (SELECT l.c_nationkey AS bn, l.c_mktsegment AS bs,
+                      l.nl * r.nr AS np
+                    FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS nl
+                          FROM customer GROUP BY 1, 2) l
+                    JOIN (SELECT d_nat, d_seg, COUNT(*) AS nr
+                          FROM d GROUP BY 1, 2) r
+                      ON l.c_nationkey = r.d_nat AND l.c_mktsegment = r.d_seg),
+            pf AS (SELECT c.c_custkey, c.c_name, c.c_acctbal, d.d_key,
+                     d.d_name, d.d_bal
+                   FROM customer c
+                   JOIN d ON c.c_nationkey = d.d_nat
+                         AND c.c_mktsegment = d.d_seg
+                   JOIN cnt ON c.c_nationkey = cnt.bn
+                           AND c.c_mktsegment = cnt.bs
+                   WHERE cnt.np <= 100000),
+            hot AS (SELECT bn, bs FROM cnt WHERE np > 100000),
+            iv AS (SELECT c_nationkey AS bn, c_mktsegment AS bs,
+                     lower(c_name) AS sk, 0 AS side, c_custkey AS cid,
+                     CAST(NULL AS BIGINT) AS did
+                   FROM customer JOIN hot
+                     ON c_nationkey = bn AND c_mktsegment = bs
+                   UNION ALL
+                   SELECT d_nat, d_seg, lower(d_name), 1,
+                     CAST(NULL AS BIGINT), d_key
+                   FROM d JOIN hot ON d_nat = bn AND d_seg = bs),
+            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bn, bs
+                     ORDER BY sk, side) AS rk FROM iv),
+            pw0 AS (SELECT CASE WHEN a.side = 0 THEN a.cid ELSE b.cid END
+                      AS c_custkey,
+                      CASE WHEN a.side = 1 THEN a.did ELSE b.did END AS d_key
+                    FROM rk a JOIN rk b ON a.bn = b.bn AND a.bs = b.bs
+                      AND b.rk > a.rk AND b.rk <= a.rk + 32
+                      AND a.side <> b.side),
+            pw AS (SELECT p.c_custkey, c.c_name, c.c_acctbal, p.d_key,
+                     d.d_name, d.d_bal
+                   FROM pw0 p JOIN customer c USING (c_custkey)
+                   JOIN d USING (d_key)),
+            cand AS (SELECT * FROM pf UNION ALL SELECT * FROM pw),
+            p AS (SELECT c_custkey, d_key,
+                    c_name = d_name AS agree_name,
+                    c_acctbal = d_bal AS agree_bal
+                  FROM cand),
             sc AS (SELECT *, ROUND(
                      (CASE WHEN agree_name THEN ${LinkRules(0).agreeWeight}
                            ELSE ${LinkRules(0).disagreeWeight} END)
@@ -1350,10 +1392,12 @@ object ExtraQueries extends QueryGroup {
       when(col("c_custkey") % 5 === 0, col("c_tag") + 1L)
         .otherwise(col("c_tag")).as("d_tag"),
       col("c_nationkey").as("d_nat"), col("c_mktsegment").as("d_seg"))
-    c.select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_tag"),
-        col("c_nationkey"), col("c_mktsegment"))
-      .join(dirty,
-        col("c_nationkey") === col("d_nat") && col("c_mktsegment") === col("d_seg"))
+    graft.operators.Linkage.boundedBlockedPairs(
+      c.select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_tag"),
+        col("c_nationkey"), col("c_mktsegment")),
+      dirty,
+      Seq("c_nationkey" -> "d_nat", "c_mktsegment" -> "d_seg"),
+      lower(col("c_name")), lower(col("d_name")))
   }
 
   private[graft] val Q165Fields = Seq(
@@ -1403,12 +1447,46 @@ object ExtraQueries extends QueryGroup {
                          ELSE c_tag END AS d_tag,
                     c_nationkey AS d_nat, c_mktsegment AS d_seg
                   FROM c),
-            p AS (SELECT c.c_custkey, d.d_key,
-                    c.c_name = d.d_name AS agree_name,
-                    c.c_acctbal = d.d_bal AS agree_bal,
-                    c.c_tag = d.d_tag AS agree_tag
-                  FROM c
-                  JOIN d ON c.c_nationkey = d.d_nat AND c.c_mktsegment = d.d_seg),
+            cnt AS (SELECT l.c_nationkey AS bn, l.c_mktsegment AS bs,
+                      l.nl * r.nr AS np
+                    FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS nl
+                          FROM c GROUP BY 1, 2) l
+                    JOIN (SELECT d_nat, d_seg, COUNT(*) AS nr
+                          FROM d GROUP BY 1, 2) r
+                      ON l.c_nationkey = r.d_nat AND l.c_mktsegment = r.d_seg),
+            pf AS (SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_tag,
+                     d.d_key, d.d_name, d.d_bal, d.d_tag
+                   FROM c JOIN d ON c.c_nationkey = d.d_nat
+                              AND c.c_mktsegment = d.d_seg
+                   JOIN cnt ON c.c_nationkey = cnt.bn
+                           AND c.c_mktsegment = cnt.bs
+                   WHERE cnt.np <= 100000),
+            hot AS (SELECT bn, bs FROM cnt WHERE np > 100000),
+            iv AS (SELECT c_nationkey AS bn, c_mktsegment AS bs,
+                     lower(c_name) AS sk, 0 AS side, c_custkey AS cid,
+                     CAST(NULL AS BIGINT) AS did
+                   FROM c JOIN hot ON c_nationkey = bn AND c_mktsegment = bs
+                   UNION ALL
+                   SELECT d_nat, d_seg, lower(d_name), 1,
+                     CAST(NULL AS BIGINT), d_key
+                   FROM d JOIN hot ON d_nat = bn AND d_seg = bs),
+            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bn, bs
+                     ORDER BY sk, side) AS rk FROM iv),
+            pw0 AS (SELECT CASE WHEN a.side = 0 THEN a.cid ELSE b.cid END
+                      AS c_custkey,
+                      CASE WHEN a.side = 1 THEN a.did ELSE b.did END AS d_key
+                    FROM rk a JOIN rk b ON a.bn = b.bn AND a.bs = b.bs
+                      AND b.rk > a.rk AND b.rk <= a.rk + 32
+                      AND a.side <> b.side),
+            pw AS (SELECT p.c_custkey, c.c_name, c.c_acctbal, c.c_tag,
+                     p.d_key, d.d_name, d.d_bal, d.d_tag
+                   FROM pw0 p JOIN c USING (c_custkey) JOIN d USING (d_key)),
+            cand AS (SELECT * FROM pf UNION ALL SELECT * FROM pw),
+            p AS (SELECT c_custkey, d_key,
+                    c_name = d_name AS agree_name,
+                    c_acctbal = d_bal AS agree_bal,
+                    c_tag = d_tag AS agree_tag
+                  FROM cand),
             sc AS (SELECT *, ROUND(
                      (CASE WHEN agree_name THEN ${Q165Rules(0).agreeWeight}
                            ELSE ${Q165Rules(0).disagreeWeight} END)
@@ -2578,10 +2656,10 @@ object ExtraQueries extends QueryGroup {
                   AS BIGINT) AS n_censored
               FROM lives GROUP BY 1, 2),
             wr AS (SELECT cohort, t, n_churned, n_censored,
-                SUM(n_churned + n_censored) OVER (PARTITION BY cohort)
+                CAST(SUM(n_churned + n_censored) OVER (PARTITION BY cohort)
                   - SUM(n_churned + n_censored) OVER (PARTITION BY cohort
                       ORDER BY t ROWS UNBOUNDED PRECEDING)
-                  + n_churned + n_censored AS n_risk
+                  + n_churned + n_censored AS BIGINT) AS n_risk
               FROM byt),
             sc AS (SELECT cohort, t, n_risk, n_churned, n_censored,
                 CASE WHEN n_churned = n_risk THEN NULL

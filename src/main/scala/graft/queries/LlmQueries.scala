@@ -946,7 +946,8 @@ object LlmQueries extends QueryGroup {
           Seq("key", "table", "hash"), topK = 10)
         .orderBy(col("score").desc, col("doc_id")),
     Some("""WITH lens AS (SELECT doc_id,
-                     CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                       t -> t <> '')) AS BIGINT) AS dl
                    FROM documents),
             st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
             tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1215,7 +1216,8 @@ object LlmQueries extends QueryGroup {
     Some("""WITH q(qid, tok) AS (VALUES (1, 'key'), (1, 'table'), (1, 'hash'),
                  (2, 'window'), (2, 'batch'), (2, 'spark')),
             lens AS (SELECT doc_id,
-                       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                         t -> t <> '')) AS BIGINT) AS dl
                      FROM documents),
             st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
             tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1312,17 +1314,19 @@ object LlmQueries extends QueryGroup {
     "BPE tokenizer TRAINING (merge-rule induction, Sennrich 2016): one " +
       "corpus→vocabulary aggregation, then 16 rounds of vocab-sized " +
       "pair-count + TakeOrdered(1) argmax + narrow greedy-merge fold — " +
-      "persisted per round, lineage-truncated every 8th; the merge table is " +
-      "the model. No DuckDB oracle (iterative argmax is not ANSI-SQL-" +
-      "expressible): rows-only here; the pair-count machinery is hash-" +
-      "gated by the q79 portable twin and the trainer is equivalence-" +
-      "tested against a sequential reference implementation in BpeTrainSpec",
+      "persisted per round, lineage-truncated every 8th; the merge table " +
+      "is the model. FULL hash oracle via generated SQL (the q215 " +
+      "kCenterSqlCtes technique applied to the merge loop): one " +
+      "(pair-count, argmax, gaps-and-islands greedy merge) CTE block " +
+      "per round, unrolled from the same round structure the engine " +
+      "runs — converted from rows-only in r13; the trainer is also " +
+      "equivalence-tested against a sequential reference in BpeTrainSpec",
     (s, dir) => {
       import s.implicits._
       BpeTrain.trainMerges(t(s, dir, "documents"), numMerges = 16)
         .toDF().orderBy("rank")
     },
-    None)
+    Some(BpeTrain.mergesSqlCtes("documents", numMerges = 16)))
 
   val q79 = QueryDef(
     "q79_bpe_pair_counts",
@@ -1532,7 +1536,8 @@ object LlmQueries extends QueryGroup {
         .orderBy(col("rrf").desc, col("doc_id"))
     },
     Some("""WITH lens AS (SELECT doc_id,
-                     CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                       t -> t <> '')) AS BIGINT) AS dl
                    FROM documents),
             st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
             tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -2643,9 +2648,13 @@ object LlmQueries extends QueryGroup {
       ">= 0.6) — the ORDER axis set-based Jaccard is blind to " +
       "(shuffled boilerplate splits from true re-encodings); O(len^2) " +
       "edit distance runs ONLY inside the banded candidate set, texts " +
-      "move only for candidates",
+      "move only for candidates; band buckets hotter than 64 members " +
+      "are dropped (the maxBandDf guard from the r12 scale study — " +
+      "bucket pair volume is quadratic in family size; cap replayed by " +
+      "the oracle, a no-op at the fixture's max bucket of 16)",
     (s, dir) =>
-      Dedup.editSimilarityPairs(t(s, dir, "documents"), minSim = 0.6)
+      Dedup.editSimilarityPairs(t(s, dir, "documents"), minSim = 0.6,
+          maxBandDf = Some(64))
         .orderBy("ia", "ib"),
     Some(s"""WITH docs AS ($ORACLE_SHINGLES),
               e AS (SELECT id, UNNEST(sh) AS s FROM docs),
@@ -2673,8 +2682,11 @@ object LlmQueries extends QueryGroup {
                 SELECT id, 1,
                   ((((m4 * 131 + m5) % 1000000007) * 131 + m6) % 1000000007 * 131 + m7)
                     % 1000000007 FROM sig),
+              bsz AS (SELECT j, bk, COUNT(*) AS bn FROM band GROUP BY 1, 2),
+              bandc AS (SELECT band.id, band.j, band.bk
+                        FROM band JOIN bsz USING (j, bk) WHERE bn <= 64),
               cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
-                       FROM band a JOIN band b
+                       FROM bandc a JOIN bandc b
                          ON a.j = b.j AND a.bk = b.bk AND a.id < b.id),
               v AS (SELECT ia, ib,
                       CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
@@ -2886,7 +2898,8 @@ object LlmQueries extends QueryGroup {
     Some("""WITH q(qid, tok) AS (VALUES (1, 'key'), (1, 'table'), (1, 'hash'),
                  (2, 'window'), (2, 'batch'), (2, 'spark')),
             lens AS (SELECT doc_id,
-                       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                         t -> t <> '')) AS BIGINT) AS dl
                      FROM documents),
             st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
             tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -4762,7 +4775,8 @@ object LlmQueries extends QueryGroup {
     Some("""WITH q(qid, tok) AS (VALUES (1, 'key'), (1, 'table'), (1, 'hash'),
                  (2, 'window'), (2, 'batch'), (2, 'spark')),
             lens AS (SELECT doc_id,
-                       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                         t -> t <> '')) AS BIGINT) AS dl
                      FROM documents),
             st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
             tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -5116,10 +5130,20 @@ object LlmQueries extends QueryGroup {
       "chars), 3 rounds of hard-EM - distributed Viterbi best-" +
       "segmentation counting over the DISTINCT-WORD frame against a " +
       "broadcast piece table, model-sized count collect, driver " +
-      "renormalize - then keep the strongest pieces. No DuckDB oracle " +
-      "(iterative Viterbi DP is not ANSI-SQL-expressible): rows-only; " +
-      "the seed-inventory reduction is hash-gated by the q206 portable " +
-      "twin and the trainer is equivalence-tested against a sequential " +
+      "renormalize - then keep the strongest pieces. No DuckDB oracle, " +
+      "ADJUDICATED (r13, the q78-conversion assessment): the CORPUS-" +
+      "level EM rounds would unroll into CTEs exactly like q78's merge " +
+      "loop, but the E-step's per-word Viterbi DP (a) has data-" +
+      "dependent depth (word length), needing a recursive CTE rather " +
+      "than a fixed chain, and (b) compares DOUBLE log-prob path sums " +
+      "whose ulp-level near-ties are not engine-portable - libm ln is " +
+      "not correctly rounded, so Spark and DuckDB can disagree on " +
+      "which segmentation wins a near-tie, flipping downstream counts; " +
+      "making it portable would mean quantizing the model's scores " +
+      "inside the trainer (a behavior change), unlike q78 whose " +
+      "argmax is over exact integer counts. Rows-only; the seed-" +
+      "inventory reduction is hash-gated by the q206 portable twin and " +
+      "the trainer is equivalence-tested against a sequential " +
       "reference in UnigramLmSpec",
     (s, dir) => {
       val m = graft.operators.UnigramLm.train(t(s, dir, "documents"),

@@ -162,6 +162,33 @@ class DedupSpec extends SparkSpecBase {
     assert(simEdit === expect)
   }
 
+  test("editSimilarityPairs: maxBandDf drops hot buckets, keeps calm ones") {
+    val s = spark
+    import s.implicits._
+    // a 6-member identical-template family (one hot bucket per band)
+    // plus one calm 2-member bucket (identical text => certain candidacy)
+    val family = (1L to 6L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again"))
+    val pair = Seq(
+      (10L, "completely different words forming another sentence here ok"),
+      (11L, "completely different words forming another sentence here ok"))
+    val df = (family ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.editSimilarityPairs(df, minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)))
+    assert(uncapped.count(p => p._1 <= 6 && p._2 <= 6) === 15,
+      "uncapped: the family contributes all 15 quadratic pairs")
+    val capped = Dedup.editSimilarityPairs(df, minSim = 0.0,
+        maxBandDf = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((10L, 11L)), "calm buckets survive the cap")
+    assert(!capped.exists(p => p._1 <= 6 && p._2 <= 6),
+      "the >cap family's buckets are dropped whole")
+    intercept[IllegalArgumentException] {
+      Dedup.editSimilarityPairs(df, maxBandDf = Some(1))
+    }
+  }
+
   test("sortedNeighborhoodPairs: window-complete vs brute force; far-apart keys never compared") {
     val s = spark
     import s.implicits._

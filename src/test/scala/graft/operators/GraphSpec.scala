@@ -121,4 +121,25 @@ class GraphSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_triangles") === brute.toLong, s"trial $trial")
     }
   }
+
+  test("triangleStats: skewed hub graph — degree-ordered orientation counts once") {
+    val sp = spark
+    import sp.implicits._
+    // one hot vertex 0 connected to 1..200 (a template family's hub in a
+    // near-dup graph), plus a rim path i-(i+1) closing a fan of triangles.
+    // Lexicographic orientation would wedge-join all 200 hub edges at the
+    // hub's partition (d²/2 probes on one key); degree-ordered points every
+    // hub edge AT the hub, so wedges form at the degree-2..3 rim vertices.
+    val hub = (1 to 200).map(i => (0L, i.toLong))
+    val rim = (1 until 200).map(i => (i.toLong, (i + 1).toLong))
+    val r = Graph.triangleStats((hub ++ rim).toDF("x", "y"), "x", "y")
+      .collect().head
+    // each rim edge (i, i+1) closes exactly one triangle with the hub
+    assert(r.getAs[Long]("n_triangles") === 199L)
+    assert(r.getAs[Long]("n_nodes") === 201L)
+    assert(r.getAs[Long]("n_edges") === 399L)
+    // wedges: hub d=200 -> 19900; rim interior (2..199 have d=3) -> 3 each;
+    // rim ends 1,200 have d=2 -> 1 each. 19900 + 198*3 + 2 = 20496
+    assert(r.getAs[Long]("n_wedges") === 20496L)
+  }
 }

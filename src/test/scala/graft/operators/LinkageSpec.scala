@@ -173,4 +173,47 @@ class LinkageSpec extends SparkSpecBase {
         .map { case ((_, c), i) => (s"f$i", c) }, iters = 1)
     }
   }
+
+  test("boundedBlockedPairs: calm blocks equal the plain equi-join exactly") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 20L).map(i => (i, i % 4, f"name$i%03d")).toDF("lid", "lblk", "lname")
+    val right = (1L to 20L).map(i => (i + 100L, i % 4, f"name$i%03d")).toDF("rid", "rblk", "rname")
+    val plain = left.join(right, col("lblk") === col("rblk"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Linkage.boundedBlockedPairs(left, right, Seq("lblk" -> "rblk"),
+        col("lname"), col("rname"), maxBlockPairs = 1000L, window = 2)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === plain, "under the cap every block takes the full cross")
+  }
+
+  test("boundedBlockedPairs: oversized blocks switch to windowed candidates, true matches survive") {
+    val s = spark
+    import s.implicits._
+    // one hot block (0): 30x30 = 900 pairs > cap 100; each left row's
+    // true match shares its sort key prefix, so it sorts adjacent
+    val left = (1L to 30L).map(i => (i, 0L, f"person$i%03d")).toDF("lid", "lblk", "lname")
+    val right = (1L to 30L).map(i => (i + 100L, 0L, f"PERSON$i%03d")).toDF("rid", "rblk", "rname")
+    val out = Linkage.boundedBlockedPairs(left, right, Seq("lblk" -> "rblk"),
+        lower(col("lname")), lower(col("rname")), maxBlockPairs = 100L, window = 3)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every true (i, i+100) pair is adjacent under lower(name) => kept
+    (1L to 30L).foreach(i => assert(out.contains((i, i + 100L)), s"true pair $i lost"))
+    // volume bounded: <= (nl + nr) * window, far below the 900 cross
+    assert(out.size <= 60 * 3, s"windowed volume ${out.size} exceeds the bound")
+    assert(out.size < 900, "the full cross must not run on a hot block")
+    // determinism: repartitioned input yields the identical candidate set
+    val out2 = Linkage.boundedBlockedPairs(left.repartition(7), right.repartition(5),
+        Seq("lblk" -> "rblk"), lower(col("lname")), lower(col("rname")),
+        maxBlockPairs = 100L, window = 3)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 === out)
+    // window-completeness within the interleaved order: a pair whose
+    // keys sort >window interleaved positions apart is never a candidate
+    assert(!out.contains((1L, 130L)), "person001 vs PERSON030 are far apart in key order")
+    intercept[IllegalArgumentException] {
+      Linkage.boundedBlockedPairs(left, left, Seq("lblk" -> "lblk"),
+        col("lname"), col("lname"))
+    }
+  }
 }

@@ -115,4 +115,31 @@ class PrivacySpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(repart === m, "partition-order-free")
   }
+
+  test("dpNoisyCounts: a public keyDomain hides group presence (absent keys get 0 + noise)") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "x")
+    val domain = Seq("a", "b", "c", "d").toDF("g")
+    val out = Privacy.dpNoisyCounts(data, Seq("g"), 1.0, "n1",
+        keyDomain = domain)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set("a", "b", "c", "d"),
+      "every domain key is emitted, observed or not")
+    // absent keys carry pure noise around 0 — bounded by scale*ln(2P)
+    assert(math.abs(out("c")) <= 43.0 && math.abs(out("d")) <= 43.0)
+    assert(out("c") !== out("d"), "per-key noise, not one shared draw")
+    // noise for PRESENT keys is identical with and without the domain
+    // (the domain changes the emitted set, not the mechanism)
+    val bare = Privacy.dpNoisyCounts(data, Seq("g"), 1.0, "n1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bare === out.filter(kv => Set("a", "b")(kv._1)))
+    // an empty seed (no release nonce) fails loud
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(data, Seq("g"), 1.0, "")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisyMean(data, Seq("g"), $"x", 0.0, 10.0, 1.0, "")
+    }
+  }
 }

@@ -71,6 +71,27 @@ class UnigramLmSpec extends SparkSpecBase {
     assert(UnigramLm.viterbi("", lp, 4) === Seq.empty)
   }
 
+  test("viterbi: a -Infinity piece fails loud instead of spinning in the backtrack") {
+    // "b" IS in the inventory (so no unk fallback) but at log(0): the
+    // path through "b" marks position 2 of "aba" as -Inf-reachable
+    // (−Inf >= −Inf ties into bLen), the finite-extension guard then
+    // blocks everything FROM position 2, and position 3 ends with
+    // bLen = 0 — pre-guard the backtrack spun forever on p -= 0
+    val lp = Map("a" -> math.log(0.5), "b" -> Double.NegativeInfinity)
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.viterbi("aba", lp, 4)
+    }
+    assert(e.getMessage.contains("unreachable"))
+    // train() floors per-iteration counts, so zero-count singles kept by
+    // the M-step never produce the -Inf entry in the first place
+    val s = spark
+    import s.implicits._
+    val docs = Seq("aa aa ab", "aa ab bb").toDF("text")
+    val m = UnigramLm.train(docs, seedSize = 16, maxPieceLen = 2,
+      iters = 3, vocabSize = 16)
+    assert(m.pieces.forall { case (_, _, l) => !l.isInfinite })
+  }
+
   test("train equals the sequential reference on a small corpus") {
     val s = spark
     import s.implicits._

@@ -12,15 +12,17 @@ class QuerySmokeSpec extends SparkSpecBase {
     assert(names.distinct.size === names.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet === Set(
-      "q38_dedup_minhash_lsh", "q39_text_simhash", "q78_bpe_train_merges",
+      "q38_dedup_minhash_lsh", "q39_text_simhash",
       "q114_compression_ratio", "q205_unigram_lm_train"),
       "every new query needs a DuckDB oracle unless provably inexpressible " +
         "(q38/q39: xxhash64 signatures, portable twins q47/q48 gated; " +
-        "q78: iterative argmax, pair-count twin q79 gated + reference-" +
-        "equivalence spec; q114: DEFLATE byte size has no DuckDB analogue, " +
-        "kernel unit-tested against java.util.zip on known payloads; " +
-        "q205: iterative Viterbi DP, seed twin q206 gated + reference-" +
-        "equivalence spec)")
+        "q114: DEFLATE byte size has no DuckDB analogue, kernel unit-" +
+        "tested against java.util.zip on known payloads; q205: per-word " +
+        "Viterbi DP over double log-probs — data-dependent recursion " +
+        "depth + ulp-sensitive argmax, adjudicated r13; seed twin q206 " +
+        "gated + reference-equivalence spec. q78 graduated to a FULL " +
+        "generated-SQL oracle in r13 — iterative-argmax alone is NOT a " +
+        "waiver reason, see BpeTrain.mergesSqlCtes)")
   }
 
   // legitimately-empty results on the smallest fixture: q07 (anti join on

@@ -2261,20 +2261,29 @@ object ExtraQueries extends QueryGroup {
     "Jaro-Winkler fuzzy name matching under blocking - the linkage-" +
       "standard comparator (Winkler 1990) Spark lacks natively, shipped " +
       "as the codegen'd byte-level kernel pinned to the oracle engine's " +
-      "own RapidFuzz contract; candidate pairs come from a (brand, size) " +
-      "blocking equi-join (never a cross product - the L48/L91 " +
-      "discipline), scores ROUND before both the gate and the rank, and " +
-      "the exact-duplicate band (score 1.0) is excluded because exact " +
-      "dedup is L1's job - the top-20 review tier surfaces the old/cold " +
-      "near-misses",
+      "own RapidFuzz contract; candidate pairs come from (brand, size) " +
+      "blocking through boundedBlockedPairs (r13, the scale-study " +
+      "guard: the fixed brand-x-size grid makes block sizes linear in " +
+      "the corpus, so the plain equi-join is quadratic - 16.9M pairs " +
+      "at the 10x study): calm blocks take the full cross (the fixture " +
+      "- identical output), oversized blocks switch to sorted-" +
+      "neighborhood on lower(name), THE canonical JW blocking since " +
+      "the score is prefix-weighted; scores ROUND before both the " +
+      "gate and the rank, and the exact-duplicate band (score 1.0) is " +
+      "excluded because exact dedup is L1's job - the top-20 review " +
+      "tier surfaces the old/cold near-misses",
     (s, dir) => {
       val p = t(s, dir, "part")
       val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
         col("p_brand").as("b1"), col("p_size").as("s1"))
       val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
         col("p_brand").as("b2"), col("p_size").as("s2"))
-      a.join(b, col("b1") === col("b2") && col("s1") === col("s2") &&
-          col("k1") < col("k2"))
+      graft.operators.Linkage.boundedBlockedPairs(
+          a, b, Seq("b1" -> "b2", "s1" -> "s2"),
+          concat(lower(col("n1")), lit("#"), col("k1")),
+          concat(lower(col("n2")), lit("#"), col("k2")),
+          maxBlockPairs = 2000L, window = 8)
+        .where(col("k1") < col("k2"))
         .select(col("k1"), col("k2"), col("n1"), col("n2"),
           round(graft.functions.TextOps.jaroWinkler(col("n1"), col("n2")), 4)
             .as("score"))
@@ -2282,14 +2291,40 @@ object ExtraQueries extends QueryGroup {
         .orderBy(desc("score"), col("k1"), col("k2"))
         .limit(20)
     },
-    Some("""WITH pr AS (
-              SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-                a.p_name AS n1, b.p_name AS n2,
-                ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4)
-                  AS score
-              FROM part a JOIN part b
-                ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-                AND a.p_partkey < b.p_partkey)
+    Some("""WITH a AS (SELECT p_partkey AS k1, p_name AS n1,
+                  p_brand AS b1, p_size AS s1 FROM part),
+            b AS (SELECT p_partkey AS k2, p_name AS n2,
+                  p_brand AS b2, p_size AS s2 FROM part),
+            cnt AS (SELECT b1 AS bb, s1 AS bs, COUNT(*) AS n FROM a
+                    GROUP BY 1, 2),
+            sz AS (SELECT bb, bs, n * n AS np FROM cnt),
+            pf AS (SELECT a.k1, a.n1, b.k2, b.n2
+                   FROM a JOIN b ON a.b1 = b.b2 AND a.s1 = b.s2
+                   JOIN sz ON a.b1 = sz.bb AND a.s1 = sz.bs
+                   WHERE sz.np <= 2000),
+            hot AS (SELECT bb, bs FROM sz WHERE np > 2000),
+            iv AS (SELECT b1 AS bb, s1 AS bs,
+                     lower(n1) || '#' || k1 AS sk, 0 AS side,
+                     k1 AS ka, CAST(NULL AS BIGINT) AS kb
+                   FROM a JOIN hot ON b1 = bb AND s1 = bs
+                   UNION ALL
+                   SELECT b2, s2, lower(n2) || '#' || k2, 1,
+                     CAST(NULL AS BIGINT), k2
+                   FROM b JOIN hot ON b2 = bb AND s2 = bs),
+            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bb, bs
+                     ORDER BY sk, side) AS rk FROM iv),
+            pw0 AS (SELECT CASE WHEN x.side = 0 THEN x.ka ELSE y.ka END
+                      AS k1,
+                      CASE WHEN x.side = 1 THEN x.kb ELSE y.kb END AS k2
+                    FROM rk x JOIN rk y ON x.bb = y.bb AND x.bs = y.bs
+                      AND y.rk > x.rk AND y.rk <= x.rk + 8
+                      AND x.side <> y.side),
+            pw AS (SELECT p.k1, a.n1, p.k2, b.n2
+                   FROM pw0 p JOIN a USING (k1) JOIN b USING (k2)),
+            cand AS (SELECT * FROM pf UNION ALL SELECT * FROM pw),
+            pr AS (SELECT k1, k2, n1, n2,
+                     ROUND(jaro_winkler_similarity(n1, n2), 4) AS score
+                   FROM cand WHERE k1 < k2)
             SELECT * FROM pr WHERE score < 1.0
             ORDER BY score DESC, k1, k2 LIMIT 20"""))
 

@@ -2648,13 +2648,15 @@ object LlmQueries extends QueryGroup {
       ">= 0.6) — the ORDER axis set-based Jaccard is blind to " +
       "(shuffled boilerplate splits from true re-encodings); O(len^2) " +
       "edit distance runs ONLY inside the banded candidate set, texts " +
-      "move only for candidates; band buckets hotter than 64 members " +
+      "move only for candidates; band buckets hotter than 32 members " +
       "are dropped (the maxBandDf guard from the r12 scale study — " +
       "bucket pair volume is quadratic in family size; cap replayed by " +
-      "the oracle, a no-op at the fixture's max bucket of 16)",
+      "the oracle, a no-op at the fixture's max bucket of 16; 32 lands " +
+      "the 10x study on the linear target: 14.6k kept pairs vs 48k " +
+      "uncapped at sf1)",
     (s, dir) =>
       Dedup.editSimilarityPairs(t(s, dir, "documents"), minSim = 0.6,
-          maxBandDf = Some(64))
+          maxBandDf = Some(32))
         .orderBy("ia", "ib"),
     Some(s"""WITH docs AS ($ORACLE_SHINGLES),
               e AS (SELECT id, UNNEST(sh) AS s FROM docs),
@@ -2684,7 +2686,7 @@ object LlmQueries extends QueryGroup {
                     % 1000000007 FROM sig),
               bsz AS (SELECT j, bk, COUNT(*) AS bn FROM band GROUP BY 1, 2),
               bandc AS (SELECT band.id, band.j, band.bk
-                        FROM band JOIN bsz USING (j, bk) WHERE bn <= 64),
+                        FROM band JOIN bsz USING (j, bk) WHERE bn <= 32),
               cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
                        FROM bandc a JOIN bandc b
                          ON a.j = b.j AND a.bk = b.bk AND a.id < b.id),

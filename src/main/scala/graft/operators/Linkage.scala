@@ -226,6 +226,19 @@ object Linkage {
     val calm = sizes.where(col("__np") <= maxBlockPairs).select(bk.map(col): _*)
     val hot = sizes.where(col("__np") > maxBlockPairs).select(bk.map(col): _*)
     val outCols = (lCols ++ rCols).map(col)
+    // EAGER hot-set probe (one job over two map-side-combined grouped
+    // counts — block-count-sized traffic): with no oversized block the
+    // whole guard is a no-op and the plan IS the plain equi-join —
+    // no semi-join split, no empty windowed branch. The common calm
+    // case (every fixture gate) pays only the tiny count job; the
+    // split/window machinery plans only when it will actually run.
+    // Still a pure function of the input block counts — determinism
+    // and the SQL replay rule are unchanged.
+    if (hot.isEmpty) {
+      return left.join(right,
+        lk.zip(rk).map { case (a, b) => col(a) === col(b) }.reduce(_ && _))
+        .select(outCols: _*)
+    }
     val fullPart = lKeyed.join(calm, bk.toSeq, "left_semi")
       .join(rKeyed.join(calm, bk.toSeq, "left_semi").drop(bk: _*),
         lk.zip(rk).map { case (a, b) => col(a) === col(b) }.reduce(_ && _))

@@ -220,9 +220,16 @@ object Linkage {
         ++ df.columns.map(col): _*)
     val lKeyed = keyed(left, lk)
     val rKeyed = keyed(right, rk)
+    // block-count-sized; materialized ONCE (eager, lineage-free) — the
+    // isEmpty probe, the calm semi-joins and the hot semi-joins all read
+    // these blocks instead of each re-running the two corpus-scale
+    // grouped counts (the probe would otherwise triple-scan both
+    // inputs); blocks are ContextCleaner-released when the caller drops
+    // the returned frame (the connectedComponents label contract)
     val sizes = lKeyed.groupBy(bk.map(col): _*).agg(count(lit(1)).as("__nl"))
       .join(rKeyed.groupBy(bk.map(col): _*).agg(count(lit(1)).as("__nr")), bk.toSeq)
       .select(bk.map(col) :+ (col("__nl") * col("__nr")).as("__np"): _*)
+      .localCheckpoint(true)
     val calm = sizes.where(col("__np") <= maxBlockPairs).select(bk.map(col): _*)
     val hot = sizes.where(col("__np") > maxBlockPairs).select(bk.map(col): _*)
     val outCols = (lCols ++ rCols).map(col)
@@ -285,6 +292,77 @@ object Linkage {
       .select(col("__L.*"), col("__R.*"))
       .select(outCols: _*)
     fullPart.unionByName(windowPart)
+  }
+
+  /** The DuckDB replay of [[boundedBlockedPairs]], generated from the
+    * same rule (the kCenterSqlCtes / mergesSqlCtes one-source-of-truth
+    * discipline — q155/q165/q201 interpolate THIS block instead of
+    * hand-copying the ~35-line CTE chain three times): block counts,
+    * the np ≤ cap full-cross part, and the windowed sorted-neighborhood
+    * part over oversized blocks, ending in a CTE named `${prefix}cand`
+    * whose columns are payloadLeft ++ payloadRight.
+    *
+    * `leftTable`/`rightTable` are table or prior-CTE names;
+    * `sortKeyLeft/Right` are SQL expressions over the respective
+    * table's columns (UNIQUE per row — the operator's contract);
+    * `idLeft/idRight` are unique join-back keys contained in the
+    * payloads. */
+  def boundedBlockedSqlCtes(
+      leftTable: String,
+      rightTable: String,
+      blockKeys: Seq[(String, String)],
+      sortKeyLeft: String,
+      sortKeyRight: String,
+      idLeft: String,
+      idRight: String,
+      payloadLeft: Seq[String],
+      payloadRight: Seq[String],
+      maxBlockPairs: Long,
+      window: Int,
+      prefix: String = ""): String = {
+    require(blockKeys.nonEmpty, "boundedBlockedSqlCtes: at least one block key")
+    require(payloadLeft.contains(idLeft) && payloadRight.contains(idRight),
+      "boundedBlockedSqlCtes: payloads must contain the join-back ids")
+    val p = prefix
+    val bkAlias = blockKeys.indices.map(i => s"bk$i")
+    val lk = blockKeys.map(_._1)
+    val rk = blockKeys.map(_._2)
+    def eq(al: String, cols: Seq[String], bl: String, cols2: Seq[String]) =
+      cols.zip(cols2).map { case (a, b) => s"$al.$a = $bl.$b" }.mkString(" AND ")
+    val cntL = lk.zip(bkAlias).map { case (c, a) => s"$c AS $a" }.mkString(", ")
+    val onCntL = lk.zip(bkAlias).map { case (c, a) => s"l.$a = r.$a" }.mkString(" AND ")
+    val plSel = payloadLeft.map(c => s"lf.$c").mkString(", ")
+    val prSel = payloadRight.map(c => s"rt.$c").mkString(", ")
+    val bkList = bkAlias.mkString(", ")
+    s"""${p}cnt AS (SELECT l.${bkAlias.mkString(", l.")}, l.nl * r.nr AS np
+       |  FROM (SELECT $cntL, COUNT(*) AS nl FROM $leftTable GROUP BY ${bkAlias.indices.map(_ + 1).mkString(", ")}) l
+       |  JOIN (SELECT ${rk.zip(bkAlias).map { case (c, a) => s"$c AS $a" }.mkString(", ")}, COUNT(*) AS nr
+       |        FROM $rightTable GROUP BY ${bkAlias.indices.map(_ + 1).mkString(", ")}) r
+       |    ON $onCntL),
+       |${p}pf AS (SELECT $plSel, $prSel
+       |  FROM $leftTable lf JOIN $rightTable rt ON ${eq("lf", lk, "rt", rk)}
+       |  JOIN ${p}cnt ON ${lk.zip(bkAlias).map { case (c, a) => s"lf.$c = ${p}cnt.$a" }.mkString(" AND ")}
+       |  WHERE ${p}cnt.np <= $maxBlockPairs),
+       |${p}hot AS (SELECT $bkList FROM ${p}cnt WHERE np > $maxBlockPairs),
+       |${p}iv AS (SELECT ${lk.zip(bkAlias).map { case (c, a) => s"lf.$c AS $a" }.mkString(", ")},
+       |    $sortKeyLeft AS sk, 0 AS side, lf.$idLeft AS ida,
+       |    CAST(NULL AS BIGINT) AS idb
+       |  FROM $leftTable lf JOIN ${p}hot ON ${lk.zip(bkAlias).map { case (c, a) => s"lf.$c = ${p}hot.$a" }.mkString(" AND ")}
+       |  UNION ALL
+       |  SELECT ${rk.zip(bkAlias).map { case (c, a) => s"rt.$c" }.mkString(", ")},
+       |    $sortKeyRight, 1, CAST(NULL AS BIGINT), rt.$idRight
+       |  FROM $rightTable rt JOIN ${p}hot ON ${rk.zip(bkAlias).map { case (c, a) => s"rt.$c = ${p}hot.$a" }.mkString(" AND ")}),
+       |${p}rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY $bkList
+       |    ORDER BY sk, side) AS rk FROM ${p}iv),
+       |${p}pw0 AS (SELECT CASE WHEN x.side = 0 THEN x.ida ELSE y.ida END AS ida,
+       |    CASE WHEN x.side = 1 THEN x.idb ELSE y.idb END AS idb
+       |  FROM ${p}rk x JOIN ${p}rk y
+       |    ON ${bkAlias.map(a => s"x.$a = y.$a").mkString(" AND ")}
+       |    AND y.rk > x.rk AND y.rk <= x.rk + $window AND x.side <> y.side),
+       |${p}pw AS (SELECT ${payloadLeft.map(c => s"lf.$c").mkString(", ")}, ${payloadRight.map(c => s"rt.$c").mkString(", ")}
+       |  FROM ${p}pw0 JOIN $leftTable lf ON lf.$idLeft = ${p}pw0.ida
+       |  JOIN $rightTable rt ON rt.$idRight = ${p}pw0.idb),
+       |${p}cand AS (SELECT * FROM ${p}pf UNION ALL SELECT * FROM ${p}pw)""".stripMargin
   }
 
   /** Score candidate pairs and classify. Appends, per rule, a boolean

@@ -848,44 +848,12 @@ object ExtraQueries extends QueryGroup {
                          ELSE c_acctbal END AS d_bal,
                     c_nationkey AS d_nat, c_mktsegment AS d_seg
                   FROM customer),
-            cnt AS (SELECT l.c_nationkey AS bn, l.c_mktsegment AS bs,
-                      l.nl * r.nr AS np
-                    FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS nl
-                          FROM customer GROUP BY 1, 2) l
-                    JOIN (SELECT d_nat, d_seg, COUNT(*) AS nr
-                          FROM d GROUP BY 1, 2) r
-                      ON l.c_nationkey = r.d_nat AND l.c_mktsegment = r.d_seg),
-            pf AS (SELECT c.c_custkey, c.c_name, c.c_acctbal, d.d_key,
-                     d.d_name, d.d_bal
-                   FROM customer c
-                   JOIN d ON c.c_nationkey = d.d_nat
-                         AND c.c_mktsegment = d.d_seg
-                   JOIN cnt ON c.c_nationkey = cnt.bn
-                           AND c.c_mktsegment = cnt.bs
-                   WHERE cnt.np <= 100000),
-            hot AS (SELECT bn, bs FROM cnt WHERE np > 100000),
-            iv AS (SELECT c_nationkey AS bn, c_mktsegment AS bs,
-                     lower(c_name) AS sk, 0 AS side, c_custkey AS cid,
-                     CAST(NULL AS BIGINT) AS did
-                   FROM customer JOIN hot
-                     ON c_nationkey = bn AND c_mktsegment = bs
-                   UNION ALL
-                   SELECT d_nat, d_seg, lower(d_name), 1,
-                     CAST(NULL AS BIGINT), d_key
-                   FROM d JOIN hot ON d_nat = bn AND d_seg = bs),
-            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bn, bs
-                     ORDER BY sk, side) AS rk FROM iv),
-            pw0 AS (SELECT CASE WHEN a.side = 0 THEN a.cid ELSE b.cid END
-                      AS c_custkey,
-                      CASE WHEN a.side = 1 THEN a.did ELSE b.did END AS d_key
-                    FROM rk a JOIN rk b ON a.bn = b.bn AND a.bs = b.bs
-                      AND b.rk > a.rk AND b.rk <= a.rk + 32
-                      AND a.side <> b.side),
-            pw AS (SELECT p.c_custkey, c.c_name, c.c_acctbal, p.d_key,
-                     d.d_name, d.d_bal
-                   FROM pw0 p JOIN customer c USING (c_custkey)
-                   JOIN d USING (d_key)),
-            cand AS (SELECT * FROM pf UNION ALL SELECT * FROM pw),
+            ${graft.operators.Linkage.boundedBlockedSqlCtes(
+              "customer", "d",
+              Seq("c_nationkey" -> "d_nat", "c_mktsegment" -> "d_seg"),
+              "lower(c_name)", "lower(d_name)", "c_custkey", "d_key",
+              Seq("c_custkey", "c_name", "c_acctbal"),
+              Seq("d_key", "d_name", "d_bal"), 100000L, 32)},
             p AS (SELECT c_custkey, d_key,
                     c_name = d_name AS agree_name,
                     c_acctbal = d_bal AS agree_bal
@@ -1447,41 +1415,12 @@ object ExtraQueries extends QueryGroup {
                          ELSE c_tag END AS d_tag,
                     c_nationkey AS d_nat, c_mktsegment AS d_seg
                   FROM c),
-            cnt AS (SELECT l.c_nationkey AS bn, l.c_mktsegment AS bs,
-                      l.nl * r.nr AS np
-                    FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS nl
-                          FROM c GROUP BY 1, 2) l
-                    JOIN (SELECT d_nat, d_seg, COUNT(*) AS nr
-                          FROM d GROUP BY 1, 2) r
-                      ON l.c_nationkey = r.d_nat AND l.c_mktsegment = r.d_seg),
-            pf AS (SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_tag,
-                     d.d_key, d.d_name, d.d_bal, d.d_tag
-                   FROM c JOIN d ON c.c_nationkey = d.d_nat
-                              AND c.c_mktsegment = d.d_seg
-                   JOIN cnt ON c.c_nationkey = cnt.bn
-                           AND c.c_mktsegment = cnt.bs
-                   WHERE cnt.np <= 100000),
-            hot AS (SELECT bn, bs FROM cnt WHERE np > 100000),
-            iv AS (SELECT c_nationkey AS bn, c_mktsegment AS bs,
-                     lower(c_name) AS sk, 0 AS side, c_custkey AS cid,
-                     CAST(NULL AS BIGINT) AS did
-                   FROM c JOIN hot ON c_nationkey = bn AND c_mktsegment = bs
-                   UNION ALL
-                   SELECT d_nat, d_seg, lower(d_name), 1,
-                     CAST(NULL AS BIGINT), d_key
-                   FROM d JOIN hot ON d_nat = bn AND d_seg = bs),
-            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bn, bs
-                     ORDER BY sk, side) AS rk FROM iv),
-            pw0 AS (SELECT CASE WHEN a.side = 0 THEN a.cid ELSE b.cid END
-                      AS c_custkey,
-                      CASE WHEN a.side = 1 THEN a.did ELSE b.did END AS d_key
-                    FROM rk a JOIN rk b ON a.bn = b.bn AND a.bs = b.bs
-                      AND b.rk > a.rk AND b.rk <= a.rk + 32
-                      AND a.side <> b.side),
-            pw AS (SELECT p.c_custkey, c.c_name, c.c_acctbal, c.c_tag,
-                     p.d_key, d.d_name, d.d_bal, d.d_tag
-                   FROM pw0 p JOIN c USING (c_custkey) JOIN d USING (d_key)),
-            cand AS (SELECT * FROM pf UNION ALL SELECT * FROM pw),
+            ${graft.operators.Linkage.boundedBlockedSqlCtes(
+              "c", "d",
+              Seq("c_nationkey" -> "d_nat", "c_mktsegment" -> "d_seg"),
+              "lower(c_name)", "lower(d_name)", "c_custkey", "d_key",
+              Seq("c_custkey", "c_name", "c_acctbal", "c_tag"),
+              Seq("d_key", "d_name", "d_bal", "d_tag"), 100000L, 32)},
             p AS (SELECT c_custkey, d_key,
                     c_name = d_name AS agree_name,
                     c_acctbal = d_bal AS agree_bal,
@@ -2291,37 +2230,14 @@ object ExtraQueries extends QueryGroup {
         .orderBy(desc("score"), col("k1"), col("k2"))
         .limit(20)
     },
-    Some("""WITH a AS (SELECT p_partkey AS k1, p_name AS n1,
+    Some(s"""WITH a AS (SELECT p_partkey AS k1, p_name AS n1,
                   p_brand AS b1, p_size AS s1 FROM part),
             b AS (SELECT p_partkey AS k2, p_name AS n2,
                   p_brand AS b2, p_size AS s2 FROM part),
-            cnt AS (SELECT b1 AS bb, s1 AS bs, COUNT(*) AS n FROM a
-                    GROUP BY 1, 2),
-            sz AS (SELECT bb, bs, n * n AS np FROM cnt),
-            pf AS (SELECT a.k1, a.n1, b.k2, b.n2
-                   FROM a JOIN b ON a.b1 = b.b2 AND a.s1 = b.s2
-                   JOIN sz ON a.b1 = sz.bb AND a.s1 = sz.bs
-                   WHERE sz.np <= 2000),
-            hot AS (SELECT bb, bs FROM sz WHERE np > 2000),
-            iv AS (SELECT b1 AS bb, s1 AS bs,
-                     lower(n1) || '#' || k1 AS sk, 0 AS side,
-                     k1 AS ka, CAST(NULL AS BIGINT) AS kb
-                   FROM a JOIN hot ON b1 = bb AND s1 = bs
-                   UNION ALL
-                   SELECT b2, s2, lower(n2) || '#' || k2, 1,
-                     CAST(NULL AS BIGINT), k2
-                   FROM b JOIN hot ON b2 = bb AND s2 = bs),
-            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bb, bs
-                     ORDER BY sk, side) AS rk FROM iv),
-            pw0 AS (SELECT CASE WHEN x.side = 0 THEN x.ka ELSE y.ka END
-                      AS k1,
-                      CASE WHEN x.side = 1 THEN x.kb ELSE y.kb END AS k2
-                    FROM rk x JOIN rk y ON x.bb = y.bb AND x.bs = y.bs
-                      AND y.rk > x.rk AND y.rk <= x.rk + 8
-                      AND x.side <> y.side),
-            pw AS (SELECT p.k1, a.n1, p.k2, b.n2
-                   FROM pw0 p JOIN a USING (k1) JOIN b USING (k2)),
-            cand AS (SELECT * FROM pf UNION ALL SELECT * FROM pw),
+            ${graft.operators.Linkage.boundedBlockedSqlCtes(
+              "a", "b", Seq("b1" -> "b2", "s1" -> "s2"),
+              "lower(n1) || '#' || k1", "lower(n2) || '#' || k2",
+              "k1", "k2", Seq("k1", "n1"), Seq("k2", "n2"), 2000L, 8)},
             pr AS (SELECT k1, k2, n1, n2,
                      ROUND(jaro_winkler_similarity(n1, n2), 4) AS score
                    FROM cand WHERE k1 < k2)

@@ -40,7 +40,11 @@ class UnigramLmSpec extends SparkSpecBase {
     var pieces = seeds ++ singles
     for (_ <- 1 to iters) {
       val total = pieces.map(_._2).sum.toDouble
-      val lp = pieces.map { case (p, c) => p -> math.log(c / total) }.toMap
+      // mirrors train()'s 0.5 floor: zero-count singles kept by the
+      // M-step must carry a finite log-prob or the reference diverges
+      // from (and can hang unlike) the operator
+      val lp = pieces.map { case (p, c) =>
+        p -> math.log((c.toDouble max 0.5) / total) }.toMap
       val counts = scala.collection.mutable.Map.empty[String, Long]
       for ((w, c) <- words; piece <- refViterbi(w, lp, maxPieceLen))
         counts(piece) = counts.getOrElse(piece, 0L) + c

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed suffix array over a document corpus — the EXACT any-length
+  * repeated-substring machinery that the fixed-n window family
+  * ([[Dedup.duplicatedSpanStats]] / [[Dedup.removeDuplicatedSpans]])
+  * approximates with one shingle width. A suffix array orders every
+  * (doc, pos) character suffix lexicographically; the longest common
+  * prefix (LCP) of ADJACENT suffixes in that order surfaces every maximal
+  * repeated substring in the corpus at once (Manber & Myers 1990), which
+  * is how Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  * Models Better") find the exact duplicated spans their dedup cuts.
+  *
+  * Construction is prefix doubling (Manber–Myers), the shape that
+  * distributes: round k knows each suffix's rank by its first
+  * `seedLen * 2^k` characters, and one self-join at that offset plus one
+  * global dense re-rank doubles the horizon. Each round is therefore
+  *   (a) an (id, pos)-keyed equi-join against the frame shifted by the
+  *       offset (missing partner ⇒ rank −1: the shorter suffix sorts
+  *       first, exactly the suffix-order tiebreak),
+  *   (b) a DISTINCT over (rank, rank2) pairs, and
+  *   (c) [[Zip.seqByOrder]]'s range-exchange + two-pass contiguous
+  *       numbering over those distinct pairs — never a one-task
+  *       `row_number() OVER ()` window.
+  * ceil(log2(maxDocLen / seedLen)) rounds close the order (suffixes never
+  * cross document boundaries, matching corpus semantics where documents
+  * are independent). Rounds stop early once every rank is distinct —
+  * detected by `max(rank) == n−1`, a cheap scalar job, since the dense
+  * re-rank is 0-based and contiguous.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - State per round is one (id, pos, rank) row per CHARACTER of the
+  *     corpus — ~20 B/char shuffled through ~log2(maxDocLen) sort rounds.
+  *     That is the known distributed-SA cost (Flick & Aluru 2015 pay the
+  *     same log-round global sorts); it buys EXACT maximal repeats, where
+  *     the 8-byte-per-WINDOW span family is the cheap approximate path.
+  *     Use this operator for audit-grade repeat mining on a corpus slice;
+  *     use the window family for full-corpus curation sweeps.
+  *   - Per-round frames are eagerly lineage-truncated (DISK_ONLY local
+  *     checkpoint, prior round released once the next is materialized) —
+  *     the [[Dedup.connectedComponents]] / BpeTrain loop discipline; a
+  *     run leaves no session-lifetime blocks behind.
+  *   - Adjudicated alternative: Larsson–Sadakane-style tied-only
+  *     refinement (re-sort only classes with >1 member per round) cuts
+  *     per-round DATA but not jobs, and in a shuffle engine it trades
+  *     the full-frame scan for (a) a corpus-sized rank table that must
+  *     be REWRITTEN per round anyway (tied-class splits renumber class
+  *     starts, and rank2 lookups land anywhere in the corpus) and
+  *     (b) one-task skew on giant still-tied classes (exactly the
+  *     template families the operator exists to find). Full-frame
+  *     doubling keeps every round a uniform range-exchange — the shape
+  *     Spark load-balances — so it is the deliberate choice, not an
+  *     omission.
+  *   - The position explode materializes one `sequence(1, len)` array per
+  *     document (4 B/char transient); documents of ~10^8+ characters
+  *     should be pre-chunked upstream (they exceed every other per-doc
+  *     operator's assumptions here too).
+  *
+  * Reference scope: the reference engine (WindowPublisher.java) has no
+  * text operators at all — this extends the north-star LLM-pipeline
+  * surface (SURVEY §2.10), not the reference API.
+  */
+object SuffixArray {
+
+  /** Global suffix order of every character suffix in the corpus:
+    * (id, pos, r) where `pos` is the 1-based character offset into that
+    * document's `textCol` and `r` is the 0-based dense rank of the suffix
+    * `substring(text, pos)` under lexicographic order, ties (byte-equal
+    * suffixes from different docs) sharing one rank. The returned frame
+    * is lineage-free (eager DISK_ONLY local checkpoint); its blocks are
+    * reaped by the ContextCleaner when the caller drops the reference.
+    *
+    * `seedLen` is the round-0 horizon: suffixes are seeded with the dense
+    * rank of their first `seedLen` characters (one string sort), then
+    * each doubling round extends the horizon ×2 — a larger seed trades a
+    * slightly wider sort key for fewer rounds (32 ⇒ two fewer rounds
+    * than 8 on ~500-char docs; every round is ~4 shuffles).
+    *
+    * Rounds stop at the FIRST of: every rank distinct, the horizon
+    * covering the longest document, or a no-refinement fixpoint. The
+    * fixpoint exit is sound: if some tie (p, q) is still separable —
+    * first difference at character d, finite — then the tied pair
+    * (p+h', q+h') with h' = d−2h (shifted into the window where the
+    * difference lands in (h, 2h]) splits THIS round, so an unchanged
+    * class count means every remaining tie is a byte-equal suffix pair,
+    * i.e. permanent. Dense 0-based ranks make the class count simply
+    * max(rank)+1 — one cheap scalar job per round over the checkpointed
+    * frame. */
+  def suffixRanks(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seedLen: Int = 32): DataFrame = {
+    require(seedLen >= 1, s"seedLen must be >= 1, got $seedLen")
+    val docs = df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("txt"))
+      // empty/null docs have no suffixes; also dodges Spark's DESCENDING
+      // sequence(1, 0) == [1, 0], which would mint a phantom pos-0 suffix
+      .where(length(col("txt")) >= 1)
+    val maxLenRow = docs.agg(max(length(col("txt")))).collect().head
+    val maxLen: Int = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    val spark = df.sparkSession
+    if (maxLen == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("id", LongType, nullable = false)
+          .add("pos", LongType, nullable = false)
+          .add("r", LongType, nullable = false))
+
+    // One suffix per character: (id, pos, first-seedLen-chars). The seed
+    // prefix ORDERS exactly like the suffix it truncates (a suffix
+    // shorter than seedLen yields the whole remaining string, which
+    // sorts before any extension of it — the prefix-order tiebreak).
+    val sfx = docs
+      .select(col("id"), explode(sequence(lit(1), length(col("txt")))).as("pos"),
+        col("txt"))
+      .select(col("id"), col("pos"),
+        expr(s"substring(txt, pos, $seedLen)").as("pfx"))
+
+    // Seed rank = dense rank of the distinct seed prefixes. seqByOrder
+    // numbers a DISTINCT frame, so equal prefixes collapse to one row
+    // first — dense by construction; the join key is the prefix itself.
+    val seedRanks = Zip.seqByOrder(
+      sfx.select(col("pfx")).distinct(), Seq(col("pfx")), "r")
+    var cur = sfx.join(seedRanks.hint("shuffle_hash"), Seq("pfx"))
+      .select(col("id"), col("pos").cast(LongType).as("pos"), col("r"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val n = cur.count()
+
+    def maxRank(f: DataFrame): Long = {
+      val row = f.agg(max(col("r"))).collect().head
+      if (row.isNullAt(0)) -1L else row.getLong(0)
+    }
+
+    try {
+      var horizon: Long = seedLen.toLong
+      var classes = maxRank(cur) + 1
+      var done = classes == n
+      while (!done && horizon < maxLen) {
+        val o = horizon
+        // rank of the suffix `o` characters further in (same doc);
+        // absent ⇒ this suffix ends within the horizon ⇒ −1 (sorts first)
+        val shifted = cur.select(col("id"), (col("pos") - o).as("pos"),
+          col("r").as("r2"))
+        val joined = cur.join(shifted, Seq("id", "pos"), "left")
+          .select(col("id"), col("pos"), col("r"),
+            coalesce(col("r2"), lit(-1L)).as("r2"))
+        // dense re-rank of the (rank, rank2) composite: distinct pairs
+        // (≤ n rows, shrinking toward n distinct singletons) through the
+        // contiguous-numbering idiom, then joined back — the ranked side
+        // is the strictly-smaller build side
+        val ranked = Zip.seqByOrder(
+          joined.select(col("r"), col("r2")).distinct(),
+          Seq(col("r"), col("r2")), "nr")
+        val next = joined.join(ranked.hint("shuffle_hash"), Seq("r", "r2"))
+          .select(col("id"), col("pos"), col("nr").as("r"))
+          .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        val prior = cur
+        cur = next
+        org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(prior)
+        horizon = o * 2
+        val nextClasses = maxRank(cur) + 1
+        // all singletons, or fixpoint (see scaladoc: an unchanged class
+        // count proves every remaining tie byte-equal, hence permanent)
+        done = nextClasses == n || nextClasses == classes
+        classes = nextClasses
+      }
+      cur
+    } catch {
+      case t: Throwable =>
+        try org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(cur)
+        catch { case _: Throwable => () }
+        throw t
+    }
+  }
+
+  /** LCP of two string columns, capped at `cap` characters — the length
+    * of the longest common prefix, evaluated as one codegen'd
+    * higher-order fold (`acc = i−1` enforces contiguity: the fold can
+    * only advance while every earlier character matched). */
+  def lcpExpr(a: String, b: String, cap: Int): Column =
+    expr(s"""aggregate(sequence(1, $cap), 0, (acc, i) ->
+      IF(acc = i - 1 AND i <= least(length($a), length($b))
+         AND substring($a, i, 1) = substring($b, i, 1), i, acc))""")
+      .cast(LongType)
+
+  /** Top-`topK` longest repeated substrings in the corpus, exact at any
+    * length up to `lcpCap`: adjacent pairs in suffix order whose common
+    * prefix is at least `minLen` characters, ranked by LCP. Output one
+    * row per adjacent suffix-array pair — (lcp, rep, a_doc, a_pos,
+    * b_doc, b_pos), `a` the suffix immediately BEFORE `b` in suffix
+    * order and `rep` the repeated substring itself — so a run
+    * of m occurrences of one repeat surfaces as its m−1 adjacent pairs
+    * (the standard SA-audit presentation; occurrence counting beyond
+    * that is [[Dedup.duplicatedSpanStats]]'s job).
+    *
+    * The suffix order is made TOTAL with the (id, pos) tiebreak before
+    * adjacency, so the pair set is deterministic even when byte-equal
+    * suffixes tie in rank. LCPs are computed on `lcpCap`-character
+    * prefixes fetched per suffix straight from the document text (one
+    * join back to the corpus — prefixes are never carried through the
+    * doubling rounds). The result is collected (≤ topK rows, guarded)
+    * so every intermediate checkpoint is released before returning. */
+  def longestRepeats(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      lcpCap: Int = 64,
+      minLen: Int = 20,
+      topK: Int = 20): DataFrame = {
+    require(topK <= 10000,
+      s"longestRepeats collects the top-k result; topK=$topK exceeds the 10k driver guard")
+    require(minLen >= 1 && minLen <= lcpCap,
+      s"need 1 <= minLen <= lcpCap, got minLen=$minLen lcpCap=$lcpCap")
+    val spark = df.sparkSession
+    val docs = df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("txt"))
+    val ranks = suffixRanks(df, idCol, textCol)
+    try {
+      // total order: rank, then (id, pos) — deterministic adjacency
+      val sa = Zip.seqByOrder(ranks, Seq(col("r"), col("id"), col("pos")), "sa")
+      val withPfx = sa.join(docs, Seq("id"))
+        .select(col("sa"), col("id"), col("pos"),
+          expr(s"substring(txt, pos, $lcpCap)").as("pfx"))
+        // referenced twice below (both sides of the adjacency join):
+        // checkpoint so the global numbering runs once, not twice
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      try {
+        val a = withPfx.select(col("sa"), col("id").as("a_doc"),
+          col("pos").as("a_pos"), col("pfx").as("a_pfx"))
+        val b = withPfx.select((col("sa") - 1).as("sa"), col("id").as("b_doc"),
+          col("pos").as("b_pos"), col("pfx").as("b_pfx"))
+        val out = a.join(b, Seq("sa"))
+          .withColumn("lcp", lcpExpr("a_pfx", "b_pfx", lcpCap))
+          .where(col("lcp") >= minLen)
+          .select(col("lcp"), expr("substring(a_pfx, 1, cast(lcp as int))").as("rep"),
+            col("a_doc"), col("a_pos").cast(LongType).as("a_pos"),
+            col("b_doc"), col("b_pos").cast(LongType).as("b_pos"))
+          .orderBy(col("lcp").desc, col("a_doc"), col("a_pos"))
+          .limit(topK)
+          .collect() // ≤ topK rows: bounded driver state, frees all blocks
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+          new org.apache.spark.sql.types.StructType()
+            .add("lcp", LongType, nullable = false)
+            .add("rep", org.apache.spark.sql.types.StringType, nullable = true)
+            .add("a_doc", LongType, nullable = false)
+            .add("a_pos", LongType, nullable = false)
+            .add("b_doc", LongType, nullable = false)
+            .add("b_pos", LongType, nullable = false))
+      } finally {
+        org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(withPfx)
+      }
+    } finally {
+      org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(ranks)
+    }
+  }
+}

@@ -5300,6 +5300,53 @@ object LlmQueries extends QueryGroup {
         t(s, dir, "embeddings"), k = 5),
     Some(graft.operators.Similarity.kCenterSqlCtes("embeddings", 5)))
 
+  val q216 = QueryDef(
+    "q216_suffix_array_repeats",
+    "EXACT longest repeated substrings via a distributed suffix array " +
+      "(Manber-Myers prefix doubling: log(maxDocLen) rounds of offset " +
+      "self-join + distinct + contiguous global re-rank, never a " +
+      "one-task window) - the any-length exact-repeat machinery behind " +
+      "Lee et al. 2022's suffix-array dedup, where the span family " +
+      "(q63-q65) fixes one window width; adjacent-suffix LCPs surface " +
+      "every maximal repeat at once. The ORACLE builds the same array " +
+      "by DIRECT suffix sort (ROW_NUMBER over ORDER BY suffix) - two " +
+      "genuinely different algorithms, one answer. Gated on the " +
+      "doc_id%5=0 audit slice - the operator doc's prescribed usage " +
+      "(audit-grade exact repeat mining on a slice; full-corpus " +
+      "curation sweeps stay on the O(1)-rounds span family)",
+    (s, dir) =>
+      graft.operators.SuffixArray.longestRepeats(
+        t(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0 && length(col("text")) >= 1),
+        lcpCap = 64, minLen = 20, topK = 20),
+    Some("""WITH d AS (SELECT doc_id AS id, text AS txt FROM documents
+                       WHERE doc_id % 5 = 0 AND length(text) >= 1),
+              sfx AS (SELECT id, UNNEST(generate_series(1, length(txt))) AS pos,
+                        txt FROM d),
+              s2 AS (SELECT id, pos, substr(txt, CAST(pos AS INT)) AS sfx,
+                       substr(txt, CAST(pos AS INT), 64) AS pfx FROM sfx),
+              sa AS (SELECT id, pos, pfx,
+                       ROW_NUMBER() OVER (ORDER BY sfx, id, pos) - 1 AS sa
+                     FROM s2),
+              adj AS (SELECT a.id AS a_doc, a.pos AS a_pos, a.pfx AS a_pfx,
+                        b.id AS b_doc, b.pos AS b_pos, b.pfx AS b_pfx
+                      FROM sa a JOIN sa b ON b.sa = a.sa + 1),
+              l AS (SELECT *,
+                      list_reduce(
+                        list_prepend(CAST(0 AS BIGINT), generate_series(1, 64)),
+                        (acc, i) -> CASE WHEN acc = i - 1
+                            AND i <= least(length(a_pfx), length(b_pfx))
+                            AND substr(a_pfx, CAST(i AS INT), 1)
+                                = substr(b_pfx, CAST(i AS INT), 1)
+                          THEN i ELSE acc END) AS lcp
+                    FROM adj)
+            SELECT CAST(lcp AS BIGINT) AS lcp,
+              substr(a_pfx, 1, CAST(lcp AS INT)) AS rep,
+              a_doc, CAST(a_pos AS BIGINT) AS a_pos,
+              b_doc, CAST(b_pos AS BIGINT) AS b_pos
+            FROM l WHERE lcp >= 20
+            ORDER BY lcp DESC, a_doc, a_pos LIMIT 20"""))
+
   val q212 = QueryDef(
     "q212_neardup_graph_triangles",
     "triangle census + global clustering coefficient (Newman's " +
@@ -5378,5 +5425,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206, q208, q211, q212, q215)
+      q205, q206, q208, q211, q212, q215, q216)
 }

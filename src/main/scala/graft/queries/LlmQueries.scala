@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextOps
-import graft.operators.{BpeTrain, Chunker, Decontaminate, Dedup, Multimodal, Packing, Quality, Sampling, Similarity}
+import graft.operators.{BpeTrain, Chunker, Decontaminate, Dedup, Multimodal, Packing, Quality, Sampling, Similarity, WordPieceTrain}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -5347,6 +5347,26 @@ object LlmQueries extends QueryGroup {
             FROM l WHERE lcp >= 20
             ORDER BY lcp DESC, a_doc, a_pos LIMIT 20"""))
 
+  val q217 = QueryDef(
+    "q217_wordpiece_train",
+    "WordPiece tokenizer TRAINING (Schuster-Nakajima 2012; the BERT " +
+      "tokenizer) - BPE's merge loop under the LIKELIHOOD objective " +
+      "score(l,r) = count(lr)/(count(l)*count(r)) with ##-continuation " +
+      "symbols; completes the third production tokenizer family next " +
+      "to BPE (q78) and unigram-LM (q205/q206). Score compared as the " +
+      "EXACT integer (cnt*10^12) div (cl*cr) - decimal-exact in Spark, " +
+      "HUGEINT-exact in DuckDB, ties (score, cnt, l, r) - so the merge " +
+      "table is corpus-deterministic at any parallelism; FULL generated-" +
+      "SQL hash oracle (one symbol-count + pair-count + score-argmax + " +
+      "gaps-and-islands greedy-merge CTE block per round, the q78/q215 " +
+      "technique)",
+    (s, dir) => {
+      import s.implicits._
+      WordPieceTrain.trainMerges(t(s, dir, "documents"), numMerges = 12)
+        .toDF().orderBy("rank")
+    },
+    Some(WordPieceTrain.mergesSqlCtes("documents", numMerges = 12)))
+
   val q212 = QueryDef(
     "q212_neardup_graph_triangles",
     "triangle census + global clustering coefficient (Newman's " +
@@ -5425,5 +5445,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206, q208, q211, q212, q215, q216)
+      q205, q206, q208, q211, q212, q215, q216, q217)
 }

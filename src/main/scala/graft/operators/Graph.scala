@@ -177,4 +177,91 @@ object Graph {
         out.schema)
     } finally e.unpersist()
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) over
+    * an undirected pair graph, a FIXED number of rounds — community
+    * detection at the resolution BETWEEN [[Dedup.connectedComponents]]
+    * (everything reachable = one component) and [[triangleStats]] (one
+    * global cohesion number): inside a big near-dup component, LPA
+    * separates the distinct template families that chance edges chain
+    * together.
+    *
+    * Semantics, pinned for cross-engine replay: label₀(v) = v; each
+    * round, every node SIMULTANEOUSLY adopts the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label (the
+    * deterministic variant of Raghavan's random tie-break). Fixed
+    * synchronous rounds make the result a pure function of the edge set
+    * — including the known oscillation on bipartite structures, which a
+    * fixed round count pins rather than hides (Raghavan's asynchronous
+    * variant trades that for order-dependence, unacceptable under the
+    * determinism contract). Every node in `pairs` has ≥ 1 neighbor by
+    * construction, so the vote is never empty.
+    *
+    * Scale shape: per round, ONE shuffle-hash join of the directed edge
+    * list with the label frame (on the neighbor end) + one map-side-
+    * combining count keyed by (node, label) + one `max(struct)` argmax
+    * keyed by node — NO per-node window, so a hot template vertex with
+    * 10⁶ neighbors combines map-side instead of serializing through one
+    * window task. Labels are checkpointed per round (the
+    * [[Dedup.connectedComponents]] lineage discipline). */
+  def labelPropagation(
+      pairs: DataFrame,
+      rounds: Int = 4,
+      iaCol: String = "ia",
+      ibCol: String = "ib"): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    val e = pairs.select(col(iaCol).as("u"), col(ibCol).as("v"))
+      .union(pairs.select(col(ibCol).as("u"), col(iaCol).as("v")))
+      .persist(StorageLevel.DISK_ONLY)
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    try {
+      (1 to rounds).foreach { _ =>
+        val votes = e
+          .join(labels.select(col("node").as("v"), col("label")), "v")
+          .groupBy(col("u").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        // argmax by (cnt DESC, label ASC) as max(struct(cnt, -label)):
+        // map-side combinable, no per-node window (hot-vertex rule)
+        val next = votes
+          .groupBy("node")
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label"))
+          .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        val prior = labels
+        labels = next
+        org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(prior)
+      }
+      labels.select(col("node").as("id"), col("label").as("comm"))
+    } finally e.unpersist()
+  }
+
+  /** The DuckDB replay of [[labelPropagation]], generated from the same
+    * round structure (the one-source-of-truth rule of kCenterSqlCtes /
+    * mergesSqlCtes): `edgesSql` must be a self-contained CTE BODY
+    * yielding unique undirected pairs (a, b); the generated chain
+    * directs the edges, seeds labels, and unrolls one
+    * (vote-count, per-node argmax) block per round. Output: (id, comm)
+    * ordered by id. */
+  def lpaSqlCtes(edgesSql: String, rounds: Int): String = {
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds outside [1, 64]")
+    val ctes = Seq.newBuilder[String]
+    ctes += s"ep AS ($edgesSql)"
+    ctes += "ed AS (SELECT a AS u, b AS v FROM ep UNION ALL SELECT b, a FROM ep)"
+    ctes += "l0 AS (SELECT DISTINCT u AS node, u AS label FROM ed)"
+    for (r <- 0 until rounds) {
+      ctes += s"""g$r AS (SELECT ed.u AS node, l$r.label,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ed JOIN l$r ON ed.v = l$r.node
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""l${r + 1} AS (SELECT node, label FROM (
+        |    SELECT node, label,
+        |      ROW_NUMBER() OVER (PARTITION BY node
+        |                         ORDER BY cnt DESC, label) AS rn
+        |    FROM g$r) WHERE rn = 1)""".stripMargin
+    }
+    s"WITH ${ctes.result().mkString(",\n")}\n" +
+      s"SELECT node AS id, label AS comm FROM l$rounds ORDER BY id"
+  }
 }

@@ -5367,6 +5367,69 @@ object LlmQueries extends QueryGroup {
     },
     Some(WordPieceTrain.mergesSqlCtes("documents", numMerges = 12)))
 
+  /** The verified near-dup pair graph as a self-contained SELECT (own
+    * WITH chain) yielding unique undirected (a, b) — the shared edge set
+    * of q212 (triangles) and q218 (label propagation), one source for
+    * both replays. */
+  private lazy val ORACLE_MINHASH_EDGES: String =
+    s"""WITH docs AS ($ORACLE_SHINGLES),
+       | ex AS (SELECT id, UNNEST(sh) AS s FROM docs),
+       | hh AS (SELECT id,
+       |          list_reduce(
+       |            list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |            (h, v) -> (h * 31 + v) % 1000000007) AS h
+       |        FROM ex),
+       | sig AS (SELECT id,
+       |           MIN((h * 3 + 7) % 1000000007) AS m0,
+       |           MIN((h * 5 + 1007) % 1000000007) AS m1,
+       |           MIN((h * 7 + 2007) % 1000000007) AS m2,
+       |           MIN((h * 9 + 3007) % 1000000007) AS m3,
+       |           MIN((h * 11 + 4007) % 1000000007) AS m4,
+       |           MIN((h * 13 + 5007) % 1000000007) AS m5,
+       |           MIN((h * 15 + 6007) % 1000000007) AS m6,
+       |           MIN((h * 17 + 7007) % 1000000007) AS m7
+       |         FROM hh GROUP BY id),
+       | band AS (
+       |   SELECT id, 0 AS j,
+       |     ((((m0 * 131 + m1) % 1000000007) * 131 + m2) % 1000000007 * 131 + m3)
+       |       % 1000000007 AS bk FROM sig
+       |   UNION ALL
+       |   SELECT id, 1,
+       |     ((((m4 * 131 + m5) % 1000000007) * 131 + m6) % 1000000007 * 131 + m7)
+       |       % 1000000007 FROM sig),
+       | cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+       |          FROM band a JOIN band b
+       |            ON a.j = b.j AND a.bk = b.bk AND a.id < b.id),
+       | p AS (SELECT ia, ib,
+       |         CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS shared,
+       |         len(da.sh) AS na, len(db.sh) AS nb
+       |       FROM cand JOIN docs da ON da.id = cand.ia
+       |                 JOIN docs db ON db.id = cand.ib)
+       | SELECT LEAST(ia, ib) AS a, GREATEST(ia, ib) AS b
+       | FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
+       |   AND ia <> ib
+       | GROUP BY 1, 2""".stripMargin
+
+  val q218 = QueryDef(
+    "q218_neardup_graph_communities",
+    "community detection via synchronous label propagation (Raghavan " +
+      "2007, smallest-label tie-break - the deterministic variant) over " +
+      "the verified near-dup pair graph: the resolution BETWEEN " +
+      "connected components (q49: everything reachable) and the " +
+      "triangle census (q212: one cohesion number) - inside a big " +
+      "component, LPA separates the template families that chance " +
+      "edges chain together. Fixed synchronous rounds; per round one " +
+      "edge-label join + map-side (node,label) count + max(struct) " +
+      "argmax, NO per-node window (hot-vertex rule); oracle GENERATED " +
+      "from the same round structure over the same edge CTE q212 reads",
+    (s, dir) =>
+      graft.operators.Graph.labelPropagation(
+        Dedup.portableMinHashPairs(t(s, dir, "documents"), minJaccard = 0.4)
+          .select(col("ia"), col("ib")), rounds = 4)
+        .orderBy("id"),
+    Some(graft.operators.Graph.lpaSqlCtes(ORACLE_MINHASH_EDGES, rounds = 4)))
+
   val q212 = QueryDef(
     "q212_neardup_graph_triangles",
     "triangle census + global clustering coefficient (Newman's " +
@@ -5381,44 +5444,7 @@ object LlmQueries extends QueryGroup {
       graft.operators.Graph.triangleStats(
         Dedup.portableMinHashPairs(t(s, dir, "documents"), minJaccard = 0.4)
           .select(col("ia"), col("ib")), "ia", "ib"),
-    Some(s"""WITH docs AS ($ORACLE_SHINGLES),
-              ex AS (SELECT id, UNNEST(sh) AS s FROM docs),
-              hh AS (SELECT id,
-                       list_reduce(
-                         list_prepend(CAST(0 AS BIGINT),
-                           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-                         (h, v) -> (h * 31 + v) % 1000000007) AS h
-                     FROM ex),
-              sig AS (SELECT id,
-                        MIN((h * 3 + 7) % 1000000007) AS m0,
-                        MIN((h * 5 + 1007) % 1000000007) AS m1,
-                        MIN((h * 7 + 2007) % 1000000007) AS m2,
-                        MIN((h * 9 + 3007) % 1000000007) AS m3,
-                        MIN((h * 11 + 4007) % 1000000007) AS m4,
-                        MIN((h * 13 + 5007) % 1000000007) AS m5,
-                        MIN((h * 15 + 6007) % 1000000007) AS m6,
-                        MIN((h * 17 + 7007) % 1000000007) AS m7
-                      FROM hh GROUP BY id),
-              band AS (
-                SELECT id, 0 AS j,
-                  ((((m0 * 131 + m1) % 1000000007) * 131 + m2) % 1000000007 * 131 + m3)
-                    % 1000000007 AS bk FROM sig
-                UNION ALL
-                SELECT id, 1,
-                  ((((m4 * 131 + m5) % 1000000007) * 131 + m6) % 1000000007 * 131 + m7)
-                    % 1000000007 FROM sig),
-              cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
-                       FROM band a JOIN band b
-                         ON a.j = b.j AND a.bk = b.bk AND a.id < b.id),
-              p AS (SELECT ia, ib,
-                      CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS shared,
-                      len(da.sh) AS na, len(db.sh) AS nb
-                    FROM cand JOIN docs da ON da.id = cand.ia
-                              JOIN docs db ON db.id = cand.ib),
-              e AS (SELECT LEAST(ia, ib) AS a, GREATEST(ia, ib) AS b
-                    FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.4
-                      AND ia <> ib
-                    GROUP BY 1, 2),
+    Some(s"""WITH e AS ($ORACLE_MINHASH_EDGES),
               deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
                       FROM (SELECT a AS v FROM e
                             UNION ALL SELECT b FROM e)
@@ -5445,5 +5471,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206, q208, q211, q212, q215, q216, q217)
+      q205, q206, q208, q211, q212, q215, q216, q217, q218)
 }

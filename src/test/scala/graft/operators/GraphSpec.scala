@@ -142,4 +142,66 @@ class GraphSpec extends SparkSpecBase {
     // rim ends 1,200 have d=2 -> 1 each. 19900 + 198*3 + 2 = 20496
     assert(r.getAs[Long]("n_wedges") === 20496L)
   }
+
+  /** Sequential reference of [[Graph.labelPropagation]]'s pinned
+    * semantics: synchronous rounds, per-node neighbor-label majority,
+    * ties to the smallest label. */
+  private def refLpa(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupMap(_._1)(_._2)
+    var labels: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    (1 to rounds).foreach { _ =>
+      labels = nbrs.map { case (v, ns) =>
+        val counts = ns.groupMapReduce(labels)(_ => 1L)(_ + _)
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  private def engineLpa(pairs: Seq[(Long, Long)], rounds: Int,
+      parts: Int = 4): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    Graph.labelPropagation(pairs.toDF("ia", "ib").repartition(parts), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation equals the sequential reference on random graphs") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val pairs = (for (i <- 1L to 25L; j <- (i + 1) to 25L
+        if rnd.nextDouble() < 0.15) yield (i, j)).toSeq
+      if (pairs.nonEmpty)
+        assert(engineLpa(pairs, 4) === refLpa(pairs, 4), s"trial $trial")
+    }
+  }
+
+  test("labelPropagation separates two dense communities joined by one edge") {
+    // two 4-cliques bridged by a single edge: connected components would
+    // report ONE component; LPA must keep two labels
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val got = engineLpa(cliqueA ++ cliqueB :+ (4L -> 11L), rounds = 4)
+    assert(got.filterKeys(_ <= 4).values.toSet.size === 1)
+    assert(got.filterKeys(_ >= 11).values.toSet.size === 1)
+    assert(got(1L) !== got(14L), "bridge must not merge the communities")
+  }
+
+  test("labelPropagation: fixed synchronous rounds pin the bipartite oscillation") {
+    // a single edge oscillates under synchronous updates: after every
+    // round each endpoint holds the OTHER's previous label — fixed round
+    // counts make both parities deterministic (and match the reference)
+    val e = Seq((1L, 2L))
+    assert(engineLpa(e, 1) === refLpa(e, 1))
+    assert(engineLpa(e, 2) === refLpa(e, 2))
+    assert(engineLpa(e, 1) === Map(1L -> 2L, 2L -> 1L))
+    assert(engineLpa(e, 2) === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("labelPropagation is invariant to input partitioning") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (for (i <- 1L to 30L; j <- (i + 1) to 30L
+      if rnd.nextDouble() < 0.12) yield (i, j)).toSeq
+    assert(engineLpa(pairs, 3, parts = 1) === engineLpa(pairs, 3, parts = 8))
+  }
 }

@@ -264,4 +264,91 @@ object Graph {
     s"WITH ${ctes.result().mkString(",\n")}\n" +
       s"SELECT node AS id, label AS comm FROM l$rounds ORDER BY id"
   }
+
+  /** Newman modularity of a node partition over an undirected pair graph
+    * (Newman & Girvan 2004) — the quality score that tells a curation
+    * review whether [[labelPropagation]]'s communities are REAL structure
+    * or noise: Q = Σ_c [ e_c/m − (d_c/2m)² ], e_c = intra-community
+    * edges, d_c = degree mass of community c, m = total edges. Q near 0
+    * ⇒ no better than random; decently clustered graphs land ~0.3–0.7.
+    *
+    * `pairs` must be unique undirected pairs (one row per edge, any
+    * orientation); `labels` is (id, comm) covering every endpoint — the
+    * [[labelPropagation]] output shape. Callers composing the two over
+    * an expensive pair producer should persist `pairs` themselves: this
+    * operator joins it twice more (degree mass + intra-edge count).
+    *
+    * Determinism: each community's contribution is computed from the
+    * EXACT integer numerator 4m·e_c − d_c² (DECIMAL(38,0) — d_c ≤ 2m can
+    * square past int64 on web-scale graphs) divided by the exact 4m² as
+    * one double division, rounded — the genuine-quotient rounding rule.
+    * Output: one row per community (comm, n_nodes, d_sum, e_in,
+    * contrib) ordered by comm; Σ contrib (driver-side or a downstream
+    * agg) is the graph's Q. */
+  def modularity(
+      pairs: DataFrame,
+      labels: DataFrame,
+      iaCol: String = "ia",
+      ibCol: String = "ib",
+      roundTo: Int = 10): DataFrame = {
+    val DEC = DecimalType(38, 0)
+    val e = pairs.select(col(iaCol).as("a"), col(ibCol).as("b"))
+    val lab = labels.select(col("id"), col("comm"))
+    val m = e.count()
+    require(m > 0, "modularity over an empty edge set")
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val byComm = deg.join(lab, "id")
+      .groupBy("comm")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").cast("long").as("d_sum"))
+    val eIn = e
+      .join(lab.select(col("id").as("a"), col("comm").as("ca")), "a")
+      .join(lab.select(col("id").as("b"), col("comm").as("cb")), "b")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm"))
+      .agg(count(lit(1)).as("e_in"))
+    byComm.join(eIn, Seq("comm"), "left")
+      .select(col("comm"), col("n_nodes"),
+        col("d_sum"), coalesce(col("e_in"), lit(0L)).as("e_in"))
+      .withColumn("contrib",
+        round(
+          (lit(4L * m).cast(DEC) * col("e_in").cast(DEC) -
+            col("d_sum").cast(DEC) * col("d_sum").cast(DEC)).cast(DoubleType) /
+            lit(4.0 * m.toDouble * m.toDouble),
+          roundTo))
+      .orderBy("comm")
+  }
+
+  /** The DuckDB replay of [[labelPropagation]] + [[modularity]] over the
+    * same edge CTE — generated from [[lpaSqlCtes]]'s chain with the
+    * modularity aggregation on top (one source of truth for the whole
+    * composition). */
+  def lpaModularitySqlCtes(edgesSql: String, rounds: Int, roundTo: Int = 10): String = {
+    val lpa = lpaSqlCtes(edgesSql, rounds)
+    // splice: reuse the full CTE chain, swap the final SELECT for the
+    // modularity block reading l<rounds> as the label relation
+    val withIdx = lpa.lastIndexOf("\nSELECT node AS id")
+    require(withIdx > 0, "lpaSqlCtes shape changed; update lpaModularitySqlCtes")
+    val ctes = lpa.substring(0, withIdx)
+    s"""$ctes,
+       | lab AS (SELECT node AS id, label AS comm FROM l$rounds),
+       | mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ep),
+       | dg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM (SELECT a AS id FROM ep UNION ALL SELECT b FROM ep)
+       |        GROUP BY 1),
+       | bc AS (SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |          CAST(SUM(d) AS BIGINT) AS d_sum
+       |        FROM dg JOIN lab USING (id) GROUP BY 1),
+       | ei AS (SELECT la.comm, CAST(COUNT(*) AS BIGINT) AS e_in
+       |        FROM ep JOIN lab la ON ep.a = la.id
+       |                JOIN lab lb ON ep.b = lb.id
+       |        WHERE la.comm = lb.comm GROUP BY 1)
+       |SELECT bc.comm, bc.n_nodes, bc.d_sum,
+       |  COALESCE(ei.e_in, CAST(0 AS BIGINT)) AS e_in,
+       |  ROUND(CAST(CAST(4 AS HUGEINT) * mm.m * COALESCE(ei.e_in, 0)
+       |             - CAST(bc.d_sum AS HUGEINT) * bc.d_sum AS DOUBLE)
+       |        / (4.0 * mm.m * mm.m), $roundTo) AS contrib
+       |FROM bc LEFT JOIN ei USING (comm) CROSS JOIN mm
+       |ORDER BY comm""".stripMargin
+  }
 }

@@ -5430,6 +5430,25 @@ object LlmQueries extends QueryGroup {
         .orderBy("id"),
     Some(graft.operators.Graph.lpaSqlCtes(ORACLE_MINHASH_EDGES, rounds = 4)))
 
+  val q219 = QueryDef(
+    "q219_community_modularity",
+    "Newman modularity of the q218 label-propagation partition - the " +
+      "quality score telling a curation review whether the detected " +
+      "template families are REAL structure or noise (Q~0 = random, " +
+      "~0.3-0.7 = genuine clustering): per-community contribution " +
+      "e_c/m - (d_c/2m)^2 from the EXACT integer numerator 4m*e_c - " +
+      "d_c^2 (DECIMAL(38)/HUGEINT - degree mass squares past int64 at " +
+      "web scale) over one double division; oracle = the generated LPA " +
+      "chain (same edge CTE as q212/q218) + the modularity block, one " +
+      "source of truth for the whole composition",
+    (s, dir) => {
+      val edges = Dedup.portableMinHashPairs(t(s, dir, "documents"), minJaccard = 0.4)
+        .select(col("ia"), col("ib"))
+      graft.operators.Graph.modularity(edges,
+        graft.operators.Graph.labelPropagation(edges, rounds = 4))
+    },
+    Some(graft.operators.Graph.lpaModularitySqlCtes(ORACLE_MINHASH_EDGES, rounds = 4)))
+
   val q212 = QueryDef(
     "q212_neardup_graph_triangles",
     "triangle census + global clustering coefficient (Newman's " +
@@ -5471,5 +5490,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206, q208, q211, q212, q215, q216, q217, q218)
+      q205, q206, q208, q211, q212, q215, q216, q217, q218, q219)
 }

@@ -204,4 +204,61 @@ class GraphSpec extends SparkSpecBase {
       if rnd.nextDouble() < 0.12) yield (i, j)).toSeq
     assert(engineLpa(pairs, 3, parts = 1) === engineLpa(pairs, 3, parts = 8))
   }
+
+  /** Reference modularity from the definition: Q_c = e_c/m − (d_c/2m)². */
+  private def refModularity(pairs: Seq[(Long, Long)],
+      labels: Map[Long, Long]): Map[Long, Double] = {
+    val m = pairs.size.toDouble
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2)).groupMapReduce(identity)(_ => 1L)(_ + _)
+    val comms = labels.values.toSet
+    comms.map { c =>
+      val eIn = pairs.count { case (a, b) => labels(a) == c && labels(b) == c }
+      val dSum = deg.collect { case (v, d) if labels(v) == c => d }.sum
+      val num = 4L * pairs.size * eIn - dSum * dSum
+      c -> BigDecimal(num.toDouble / (4.0 * m * m))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("modularity: two bridged cliques score high; contributions match the definition") {
+    val sp = spark
+    import sp.implicits._
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val pairs = (cliqueA ++ cliqueB :+ (4L -> 11L)).toSeq
+    val labels = engineLpa(pairs, 4)
+    val got = Graph.modularity(pairs.toDF("ia", "ib"),
+        labels.toSeq.toDF("id", "comm"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("contrib")).toMap
+    val want = refModularity(pairs, labels)
+    assert(got === want)
+    // genuine two-community structure: total Q well above random
+    assert(got.values.sum > 0.3)
+  }
+
+  test("modularity: everything in one community scores ~0 (Q = -(d/2m)^2 residue)") {
+    val sp = spark
+    import sp.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+    val got = Graph.modularity(pairs.toDF("ia", "ib"), labels.toDF("id", "comm"))
+      .collect()
+    assert(got.length === 1)
+    // e_in = m, d_sum = 2m -> contrib = 1 - 1 = 0 exactly
+    assert(got.head.getAs[Double]("contrib") === 0.0)
+    assert(got.head.getAs[Long]("e_in") === 3L)
+    assert(got.head.getAs[Long]("d_sum") === 6L)
+  }
+
+  test("modularity: a community with zero internal edges contributes negatively") {
+    val sp = spark
+    import sp.implicits._
+    // bipartite edge with each endpoint its own community
+    val pairs = Seq((1L, 2L))
+    val labels = Seq((1L, 1L), (2L, 2L))
+    val got = Graph.modularity(pairs.toDF("ia", "ib"), labels.toDF("id", "comm"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("e_in"), r.getAs[Double]("contrib")))
+    // Q_c = 0/m - (1/(2*1))^2 = -0.25 for each endpoint community
+    assert(got.toSeq === Seq((1L, 0L, -0.25), (2L, 0L, -0.25)))
+  }
 }

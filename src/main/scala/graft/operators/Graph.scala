@@ -292,31 +292,39 @@ object Graph {
       ibCol: String = "ib",
       roundTo: Int = 10): DataFrame = {
     val DEC = DecimalType(38, 0)
+    // the edge frame is read three times (m, degree mass, intra-count):
+    // persist so a possibly-expensive pair producer runs once, and
+    // eagerly checkpoint the communities-sized output so the cache can
+    // be released before returning (no lazy reader left behind)
     val e = pairs.select(col(iaCol).as("a"), col(ibCol).as("b"))
-    val lab = labels.select(col("id"), col("comm"))
-    val m = e.count()
-    require(m > 0, "modularity over an empty edge set")
-    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("d"))
-    val byComm = deg.join(lab, "id")
-      .groupBy("comm")
-      .agg(count(lit(1)).as("n_nodes"), sum("d").cast("long").as("d_sum"))
-    val eIn = e
-      .join(lab.select(col("id").as("a"), col("comm").as("ca")), "a")
-      .join(lab.select(col("id").as("b"), col("comm").as("cb")), "b")
-      .where(col("ca") === col("cb"))
-      .groupBy(col("ca").as("comm"))
-      .agg(count(lit(1)).as("e_in"))
-    byComm.join(eIn, Seq("comm"), "left")
-      .select(col("comm"), col("n_nodes"),
-        col("d_sum"), coalesce(col("e_in"), lit(0L)).as("e_in"))
-      .withColumn("contrib",
-        round(
-          (lit(4L * m).cast(DEC) * col("e_in").cast(DEC) -
-            col("d_sum").cast(DEC) * col("d_sum").cast(DEC)).cast(DoubleType) /
-            lit(4.0 * m.toDouble * m.toDouble),
-          roundTo))
-      .orderBy("comm")
+      .persist(StorageLevel.DISK_ONLY)
+    try {
+      val lab = labels.select(col("id"), col("comm"))
+      val m = e.count()
+      require(m > 0, "modularity over an empty edge set")
+      val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val byComm = deg.join(lab, "id")
+        .groupBy("comm")
+        .agg(count(lit(1)).as("n_nodes"), sum("d").cast("long").as("d_sum"))
+      val eIn = e
+        .join(lab.select(col("id").as("a"), col("comm").as("ca")), "a")
+        .join(lab.select(col("id").as("b"), col("comm").as("cb")), "b")
+        .where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("comm"))
+        .agg(count(lit(1)).as("e_in"))
+      byComm.join(eIn, Seq("comm"), "left")
+        .select(col("comm"), col("n_nodes"),
+          col("d_sum"), coalesce(col("e_in"), lit(0L)).as("e_in"))
+        .withColumn("contrib",
+          round(
+            (lit(4L * m).cast(DEC) * col("e_in").cast(DEC) -
+              col("d_sum").cast(DEC) * col("d_sum").cast(DEC)).cast(DoubleType) /
+              lit(4.0 * m.toDouble * m.toDouble),
+            roundTo))
+        .orderBy("comm")
+        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    } finally e.unpersist()
   }
 
   /** The DuckDB replay of [[labelPropagation]] + [[modularity]] over the

@@ -171,4 +171,88 @@ object Trend {
         when(col("__ok"), abs(z) > limit).as("flagged")): _*)
     scored
   }
+
+  /** Two-sided tabular CUSUM change-point chart (Page 1954) per key over
+    * an ordered series — the drift monitor that localizes WHERE a metric
+    * shifted, where [[ewmaChart]] flags the latest point and L31/L33
+    * compare whole distributions: small persistent shifts accumulate in
+    * the cusum statistic long before any single point looks anomalous.
+    *
+    * Statistic, pinned for replay: z_t = (x_t − μ̂)/σ̂ standardized
+    * against the key's FIRST `refSlots` slots (the in-control reference
+    * window); S⁺ follows the recursion max(0, S⁺ + z − k), S⁻ follows
+    * max(0, S⁻ − z − k), alarm when either exceeds `threshold`. The
+    * recursion is computed DECLARATIVELY via the reflection identity
+    * S_t = C_t − min(0, min_{j≤t} C_j) with C the plain cumulative sum
+    * of (±z − k) — two window functions (running sum + running min),
+    * no sequential scan, no recursion — and every cumulative value
+    * accumulates in DECIMAL(28,6) over 6-rounded z's, so partition
+    * order cannot perturb a digit and the DuckDB replay matches by hash.
+    *
+    * Keys with fewer than `refSlots` slots or a zero reference σ̂ are
+    * dropped (no in-control model to test against). Window state is one
+    * partition per key ordered by slot — per-key series length is
+    * calendar-bounded (the L90 grid rule), never corpus-bounded.
+    *
+    * Output per (key, slot): x, z, s_pos, s_neg, alarm_pos, alarm_neg. */
+  def cusum(
+      series: DataFrame,
+      keyCol: String,
+      slotCol: String,
+      valueCol: String,
+      refSlots: Int = 7,
+      slack: Double = 0.5,
+      threshold: Double = 4.0,
+      roundTo: Int = 6): DataFrame = {
+    require(refSlots >= 2, s"refSlots $refSlots must be >= 2 (sd needs it)")
+    require(slack >= 0, s"slack $slack must be >= 0")
+    val ZDEC = DecimalType(28, 6)
+    val SD = DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(keyCol).orderBy(slotCol)
+    val base = series
+      .where(col(slotCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), col(slotCol).cast("long").as("slot"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("key").orderBy("slot")))
+    // in-control reference: exact integer/decimal sums over the first
+    // refSlots slots; keys too short to form the reference drop out
+    val ref = base.where(col("__r") <= refSlots)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_ref"),
+        sum(col("x")).as("s"),
+        sum(col("x").cast(SD) * col("x").cast(SD)).as("sq"))
+      .where(col("n_ref") === refSlots)
+    // fixed-order double combination (mirrored verbatim in the SQL replay)
+    val nD = col("n_ref").cast("double")
+    val sD = col("s").cast("double")
+    val sqD = col("sq").cast("double")
+    val mean = sD / nD
+    val varr = (sqD - sD * sD / nD) / nD
+    val sd = sqrt(greatest(varr, lit(0.0)))
+    val scored = base.join(
+        ref.select(col("key"), mean.as("__mu"), sd.as("__sd")), "key")
+      .where(col("__sd") > 0.0)
+      .withColumn("__z",
+        round((col("x").cast("double") - col("__mu")) / col("__sd"), roundTo)
+          .cast(ZDEC))
+    val wRun = Window.partitionBy("key").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = lit(slack).cast(ZDEC)
+    val cp = sum(col("__z") - k).over(wRun)
+    val cn = sum((-col("__z")) - k).over(wRun)
+    scored
+      .withColumn("__cp", cp)
+      .withColumn("__cn", cn)
+      .withColumn("__sp", col("__cp") - least(min(col("__cp")).over(wRun), lit(0).cast(ZDEC)))
+      .withColumn("__sn", col("__cn") - least(min(col("__cn")).over(wRun), lit(0).cast(ZDEC)))
+      .select(col("key").as(keyCol), col("slot"), col("x"),
+        col("__z").cast("double").as("z"),
+        col("__sp").cast("double").as("s_pos"),
+        col("__sn").cast("double").as("s_neg"),
+        (col("__sp").cast("double") > threshold).as("alarm_pos"),
+        (col("__sn").cast("double") > threshold).as("alarm_neg"))
+      .orderBy(keyCol, "slot")
+  }
 }

@@ -2628,10 +2628,78 @@ object ExtraQueries extends QueryGroup {
               END AS survival
             FROM sc ORDER BY cohort, t"""))
 
+  val q220 = QueryDef(
+    "q220_cusum_changepoint",
+    "two-sided tabular CUSUM change-point chart (Page 1954) over daily " +
+      "event volumes per type - the drift monitor that LOCALIZES where " +
+      "a metric shifted (q203's EWMA flags the latest point; small " +
+      "persistent shifts accumulate in the cusum statistic long before " +
+      "any single point looks anomalous). The max(0, S+z-k) recursion " +
+      "is computed DECLARATIVELY via the reflection identity " +
+      "S_t = C_t - min(0, min_{j<=t} C_j) - a running sum + running min " +
+      "over DECIMAL(28,6)-exact 6-rounded z's, no sequential scan; " +
+      "reference stats = first 7 in-control days, fixed-order double " +
+      "combination mirrored in the replay",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Trend.cusum(daily, "event_type", "day", "n",
+        refSlots = 7, slack = 0.5, threshold = 4.0)
+    },
+    Some("""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS slot,
+                     CAST(COUNT(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1, 2),
+            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                                ORDER BY slot) AS r FROM daily),
+            ref AS (SELECT event_type, COUNT(*) AS n_ref,
+                      CAST(SUM(x) AS BIGINT) AS s,
+                      SUM(CAST(x AS HUGEINT) * x) AS sq
+                    FROM rk WHERE r <= 7 GROUP BY 1 HAVING COUNT(*) = 7),
+            st AS (SELECT event_type,
+                     CAST(s AS DOUBLE) / CAST(n_ref AS DOUBLE) AS mu,
+                     sqrt(greatest((CAST(sq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_ref AS DOUBLE))
+                       / CAST(n_ref AS DOUBLE), 0.0)) AS sd
+                   FROM ref),
+            z AS (SELECT d.event_type, d.slot, d.x,
+                    CAST(ROUND((CAST(d.x AS DOUBLE) - st.mu) / st.sd, 6)
+                      AS DECIMAL(28,6)) AS zd
+                  FROM daily d JOIN st USING (event_type)
+                  WHERE st.sd > 0.0),
+            c AS (SELECT event_type, slot, x, zd,
+                    SUM(zd - CAST(0.5 AS DECIMAL(28,6)))
+                      OVER (PARTITION BY event_type ORDER BY slot
+                            ROWS UNBOUNDED PRECEDING) AS cp,
+                    SUM((-zd) - CAST(0.5 AS DECIMAL(28,6)))
+                      OVER (PARTITION BY event_type ORDER BY slot
+                            ROWS UNBOUNDED PRECEDING) AS cn
+                  FROM z),
+            mn AS (SELECT event_type, slot, x, zd, cp, cn,
+                     MIN(cp) OVER (PARTITION BY event_type ORDER BY slot
+                                   ROWS UNBOUNDED PRECEDING) AS mcp,
+                     MIN(cn) OVER (PARTITION BY event_type ORDER BY slot
+                                   ROWS UNBOUNDED PRECEDING) AS mcn
+                   FROM c),
+            -- CASE, not least(): DuckDB's least() demotes DECIMAL args to
+            -- DOUBLE, leaking float accumulation into the exact chain
+            sfin AS (SELECT event_type, slot, x, zd,
+                     cp - (CASE WHEN mcp < 0 THEN mcp ELSE CAST(0 AS DECIMAL(38,6)) END) AS sp,
+                     cn - (CASE WHEN mcn < 0 THEN mcn ELSE CAST(0 AS DECIMAL(38,6)) END) AS sn
+                   FROM mn)
+            SELECT event_type, slot, x,
+              CAST(zd AS DOUBLE) AS z,
+              CAST(sp AS DOUBLE) AS s_pos,
+              CAST(sn AS DOUBLE) AS s_neg,
+              CAST(sp AS DOUBLE) > 4.0 AS alarm_pos,
+              CAST(sn AS DOUBLE) > 4.0 AS alarm_neg
+            FROM sfin ORDER BY event_type, slot"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
-      q201, q202, q203, q204, q207, q209, q210, q213, q214)
+      q201, q202, q203, q204, q207, q209, q210, q213, q214, q220)
 }

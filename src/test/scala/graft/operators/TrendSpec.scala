@@ -127,4 +127,78 @@ class TrendSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Trend.ewmaChart(rows.toDF("k", "t", "v"), Seq("k"), "t", "v", minPriors = 1))
   }
+
+  /** Sequential reference of the cusum RECURSION (the textbook
+    * max(0, ·) form) under the operator's exact contract: 6-rounded z,
+    * BigDecimal accumulation — the window identity must reproduce it. */
+  private def refCusum(xs: Seq[Long], refSlots: Int, slack: Double)
+      : Seq[(Double, Double, Double)] = {
+    val n = refSlots
+    val ref = xs.take(n)
+    val s = ref.sum.toDouble
+    val sq = ref.map(x => x.toDouble * x).sum
+    val mu = s / n
+    val sd = math.sqrt(math.max((sq - s * s / n) / n, 0.0))
+    require(sd > 0, "test fixture must have nonzero reference sd")
+    val k = BigDecimal("0.5")
+    var sp = BigDecimal(0); var sn = BigDecimal(0)
+    xs.map { x =>
+      val z = BigDecimal((x - mu) / sd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      sp = (sp + z - k).max(0)
+      sn = (sn - z - k).max(0)
+      (z.toDouble, sp.toDouble, sn.toDouble)
+    }
+  }
+
+  private def engineCusum(xs: Seq[Long], refSlots: Int = 7, parts: Int = 4)
+      : Seq[(Double, Double, Double, Boolean, Boolean)] = {
+    val s = spark
+    import s.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("key", "slot", "x").repartition(parts)
+    Trend.cusum(df, "key", "slot", "x", refSlots = refSlots)
+      .collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6), r.getBoolean(7)))
+  }
+
+  test("cusum: window identity equals the textbook recursion on random series") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val xs = Seq.fill(30)(100L + rnd.nextInt(21))
+      val got = engineCusum(xs)
+      val want = refCusum(xs, 7, 0.5)
+      assert(got.map(t => (t._1, t._2, t._3)) === want, s"trial $trial")
+    }
+  }
+
+  test("cusum: a planted level shift alarms on the positive side, in-control does not") {
+    // reference period ~100, then jump to 115 (~1.5 sd steps accumulate)
+    val pre = Seq(98L, 102L, 100L, 97L, 103L, 101L, 99L)
+    val shifted = pre ++ Seq.fill(10)(115L)
+    val got = engineCusum(shifted)
+    assert(got.exists(_._4), "positive alarm expected after the shift")
+    assert(!got.exists(_._5), "no negative alarm on an upward shift")
+    val calm = pre ++ Seq(100L, 101L, 99L, 102L, 98L)
+    assert(!engineCusum(calm).exists(t => t._4 || t._5), "in-control stays silent")
+  }
+
+  test("cusum: keys shorter than refSlots or with zero reference sd are dropped") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.tabulate(5)(i => ("short", i.toLong, 100L + i)) ++
+      Seq.tabulate(10)(i => ("flat", i.toLong, 100L)) ++
+      Seq.tabulate(10)(i => ("ok", i.toLong, 100L + (i % 3))))
+      .toDF("key", "slot", "x")
+    val keys = Trend.cusum(df, "key", "slot", "x", refSlots = 7)
+      .select("key").distinct().collect().map(_.getString(0)).toSet
+    assert(keys === Set("ok"))
+  }
+
+  test("cusum is invariant to input partitioning") {
+    val rnd = new scala.util.Random(43)
+    val xs = Seq.fill(25)(50L + rnd.nextInt(11))
+    assert(engineCusum(xs, parts = 1) === engineCusum(xs, parts = 8))
+  }
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Experiment-readout statistics over per-unit metric frames — the
+  * analysis side of the event-analytics family (funnels L66, attribution
+  * L105, retention L67/L137): once a curation or product change ships
+  * behind an assignment, the question is whether the metric moved, and
+  * raw means are noisy exactly when the change is small.
+  *
+  * Reference scope: EXT (north-star surface); the reference engine has
+  * no analytics operators.
+  */
+object Experiment {
+
+  /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
+    * Xu, Kohavi & Walker, WSDM 2013): reduce the variance of a post-
+    * period metric `y` with its pre-period covariate `x` via
+    *   ŷ = y − θ·(x − x̄),   θ = cov(x, y) / var(x)
+    * (θ POOLED across variants — the standard estimator, valid because
+    * assignment is independent of pre-period behavior). Typical win:
+    * 30–60% variance reduction on strongly autocorrelated metrics, i.e.
+    * the same experiment decides in half the traffic.
+    *
+    * Input: one row per unit — (`variantCol`, `xCol`, `yCol`). Output:
+    * one row per variant — n, mean_y, mean_y_cuped, var_y, var_y_cuped,
+    * var_reduction (1 − var̂/var), plus the pooled theta repeated per
+    * row (the whole-frame constants a readout needs in one place).
+    *
+    * Determinism contract: metrics are quantized to `quantDecimals`
+    * (×10^q → int64 — the olsTrend rule), every cross-unit sum
+    * accumulates as exact DECIMAL(38,0), and the final statistics are
+    * FIXED-ORDER double combinations of those sums, mirrored verbatim
+    * in the SQL replay; partition order cannot perturb a digit. The
+    * variance identities used (all from sufficient statistics — no
+    * per-unit second pass):
+    *   var(y)     = (syy − sy²/n) / (n−1)
+    *   cov(x, y)  = (sxy − sx·sy/n) / (n−1)
+    *   var(ŷ)     = var(y) − 2θ·cov(x,y) + θ²·var(x)   [per variant]
+    *   mean(ŷ)    = sy/n − θ·(sx/n − x̄_pooled)
+    *
+    * Scale shape: ONE map-side-combining aggregation per variant over
+    * the unit frame (six exact sums), one 1-row pooled reduction,
+    * variants-sized output — the corpus is touched once. */
+  def cuped(
+      units: DataFrame,
+      variantCol: String = "variant",
+      xCol: String = "x",
+      yCol: String = "y",
+      quantDecimals: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    require(quantDecimals >= 0 && quantDecimals <= 6,
+      s"quantDecimals $quantDecimals outside [0, 6]")
+    val D = DecimalType(38, 0)
+    val ys = math.pow(10.0, quantDecimals)
+    val q = units
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(variantCol).as("variant"),
+        round(col(xCol) * ys).cast("long").cast(D).as("xq"),
+        round(col(yCol) * ys).cast("long").cast(D).as("yq"))
+    val perVariant = q.groupBy("variant").agg(
+      count(lit(1)).as("n"),
+      sum(col("xq")).as("sx"),
+      sum(col("yq")).as("sy"),
+      sum(col("xq") * col("xq")).as("sxx"),
+      sum(col("yq") * col("yq")).as("syy"),
+      sum(col("xq") * col("yq")).as("sxy"))
+    // pooled θ and x̄ from the variant sums (exact decimal re-aggregation)
+    val pooled = perVariant.agg(
+      sum(col("n")).as("np"),
+      sum(col("sx")).as("sxp"),
+      sum(col("sy")).as("syp"),
+      sum(col("sxx")).as("sxxp"),
+      sum(col("sxy")).as("sxyp"))
+    // fixed-order double combination — mirrored verbatim in the replay
+    val np = col("np").cast("double")
+    val sxp = col("sxp").cast("double")
+    val syp = col("syp").cast("double")
+    val sxxp = col("sxxp").cast("double")
+    val sxyp = col("sxyp").cast("double")
+    val varXp = (sxxp - sxp * sxp / np) / (np - lit(1.0))
+    val covP = (sxyp - sxp * syp / np) / (np - lit(1.0))
+    // a constant covariate carries no information: θ pins to 0 (raw
+    // means pass through) rather than dividing by zero
+    val thetaFrame = pooled.select(
+      when(varXp > 0.0, covP / varXp).otherwise(lit(0.0)).as("__theta"),
+      (sxp / np).as("__xbar"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val varY = (syy - sy * sy / n) / (n - lit(1.0))
+    val varX = (sxx - sx * sx / n) / (n - lit(1.0))
+    val covXY = (sxy - sx * sy / n) / (n - lit(1.0))
+    val th = col("__theta")
+    val varAdj = varY - lit(2.0) * th * covXY + th * th * varX
+    perVariant.crossJoin(broadcast(thetaFrame))
+      .select(col("variant"), col("n"),
+        round(sy / n / ys, roundTo).as("mean_y"),
+        round((sy / n - th * (sx / n - col("__xbar"))) / ys, roundTo)
+          .as("mean_y_cuped"),
+        round(varY / ys / ys, roundTo).as("var_y"),
+        round(varAdj / ys / ys, roundTo).as("var_y_cuped"),
+        round(lit(1.0) - varAdj / varY, roundTo).as("var_reduction"),
+        round(th, roundTo).as("theta"))
+      .orderBy("variant")
+  }
+}

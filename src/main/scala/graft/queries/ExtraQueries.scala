@@ -2696,10 +2696,97 @@ object ExtraQueries extends QueryGroup {
               CAST(sn AS DOUBLE) > 4.0 AS alarm_neg
             FROM sfin ORDER BY event_type, slot"""))
 
+  val q221 = QueryDef(
+    "q221_cuped_experiment_readout",
+    "CUPED variance-reduced experiment readout (Deng-Xu-Kohavi-Walker " +
+      "WSDM 2013): adjust the post-period metric with its pre-period " +
+      "covariate, y_hat = y - theta*(x - xbar), theta = cov/var POOLED " +
+      "across variants - the same experiment decides in a fraction of " +
+      "the traffic; per-user pre/post value sums over days 1-15 vs " +
+      "16-30, variant = user_id parity. ONE aggregation over units to " +
+      "six exact decimal sums per variant, fixed-order double " +
+      "combination mirrored verbatim in the replay (the olsTrend rule); " +
+      "per-user day sums accumulate in DECIMAL(30,6) so float order " +
+      "never enters",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+          col("value"))
+      val per = ev.groupBy("user_id").agg(
+        coalesce(sum(when(col("day") <= 19737, H.dec(col("value")))), lit(0))
+          .cast("double").as("x"),
+        coalesce(sum(when(col("day") > 19737, H.dec(col("value")))), lit(0))
+          .cast("double").as("y"))
+      graft.operators.Experiment.cuped(
+        per.select(
+          when(col("user_id") % 2 === 0, "ctrl").otherwise("treat").as("variant"),
+          col("x"), col("y")))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+                   FROM events),
+            per AS (SELECT user_id,
+                     CAST(COALESCE(SUM(CASE WHEN day <= 19737
+                       THEN CAST(value AS DECIMAL(30,6)) END), 0) AS DOUBLE) AS x,
+                     CAST(COALESCE(SUM(CASE WHEN day > 19737
+                       THEN CAST(value AS DECIMAL(30,6)) END), 0) AS DOUBLE) AS y
+                   FROM ev GROUP BY 1),
+            q AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'ctrl' ELSE 'treat' END AS variant,
+                    CAST(ROUND(x * 10000) AS BIGINT) AS xq,
+                    CAST(ROUND(y * 10000) AS BIGINT) AS yq
+                  FROM per),
+            pv AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+                     SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+                     SUM(CAST(yq AS HUGEINT) * yq) AS syy,
+                     SUM(CAST(xq AS HUGEINT) * yq) AS sxy
+                   FROM q GROUP BY 1),
+            pool AS (SELECT CAST(SUM(n) AS DOUBLE) AS np,
+                       CAST(SUM(sx) AS DOUBLE) AS sxp, CAST(SUM(sy) AS DOUBLE) AS syp,
+                       CAST(SUM(sxx) AS DOUBLE) AS sxxp, CAST(SUM(sxy) AS DOUBLE) AS sxyp
+                     FROM pv),
+            th AS (SELECT
+                     CASE WHEN (sxxp - sxp * sxp / np) / (np - 1.0) > 0.0
+                       THEN ((sxyp - sxp * syp / np) / (np - 1.0))
+                            / ((sxxp - sxp * sxp / np) / (np - 1.0))
+                       ELSE 0.0 END AS theta,
+                     sxp / np AS xbar
+                   FROM pool)
+            SELECT variant, n,
+              ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 6) AS mean_y,
+              ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xbar))
+                    / 10000.0, 6) AS mean_y_cuped,
+              ROUND((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                    / 10000.0 / 10000.0, 6) AS var_y,
+              ROUND(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                     - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0))
+                     + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)))
+                    / 10000.0 / 10000.0, 6) AS var_y_cuped,
+              ROUND(1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                           - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0))
+                           + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                               * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0)))
+                         / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6)
+                AS var_reduction,
+              ROUND(theta, 6) AS theta
+            FROM pv CROSS JOIN th ORDER BY variant"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
-      q201, q202, q203, q204, q207, q209, q210, q213, q214, q220)
+      q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221)
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** [[Experiment.cuped]] gates: equality with a sequential reference
+  * under the exact quantize/fixed-order contract, genuine variance
+  * reduction on correlated data, the zero-variance-covariate pin, and
+  * partition invariance. */
+class ExperimentSpec extends SparkSpecBase {
+
+  private val s_ = spark
+  import s_.implicits._
+
+  /** Sequential reference replicating the operator's contract exactly:
+    * ×10^q quantization, exact integer sums, fixed-order doubles. */
+  private def refCuped(rows: Seq[(String, Double, Double)], q: Int = 4)
+      : Map[String, (Long, Double, Double, Double, Double, Double, Double)] = {
+    val ys = math.pow(10.0, q)
+    val qr = rows.map { case (v, x, y) =>
+      (v, math.round(x * ys), math.round(y * ys)) }
+    def sums(rs: Seq[(String, Long, Long)]) = {
+      val n = rs.size.toDouble
+      val sx = rs.map(r => BigInt(r._2)).sum.toDouble
+      val sy = rs.map(r => BigInt(r._3)).sum.toDouble
+      val sxx = rs.map(r => BigInt(r._2) * BigInt(r._2)).sum.toDouble
+      val syy = rs.map(r => BigInt(r._3) * BigInt(r._3)).sum.toDouble
+      val sxy = rs.map(r => BigInt(r._2) * BigInt(r._3)).sum.toDouble
+      (n, sx, sy, sxx, syy, sxy)
+    }
+    val (np, sxp, syp, sxxp, _, sxyp) = sums(qr)
+    val varXp = (sxxp - sxp * sxp / np) / (np - 1.0)
+    val covP = (sxyp - sxp * syp / np) / (np - 1.0)
+    val theta = if (varXp > 0.0) covP / varXp else 0.0
+    val xbar = sxp / np
+    def rnd(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    qr.groupBy(_._1).map { case (v, rs) =>
+      val (n, sx, sy, sxx, syy, sxy) = sums(rs)
+      val varY = (syy - sy * sy / n) / (n - 1.0)
+      val varX = (sxx - sx * sx / n) / (n - 1.0)
+      val covXY = (sxy - sx * sy / n) / (n - 1.0)
+      val varAdj = varY - 2.0 * theta * covXY + theta * theta * varX
+      v -> ((n.toLong, rnd(sy / n / ys),
+        rnd((sy / n - theta * (sx / n - xbar)) / ys),
+        rnd(varY / ys / ys), rnd(varAdj / ys / ys),
+        rnd(1.0 - varAdj / varY), rnd(theta)))
+    }
+  }
+
+  private def engineCuped(rows: Seq[(String, Double, Double)], parts: Int = 4)
+      : Map[String, (Long, Double, Double, Double, Double, Double, Double)] =
+    Experiment.cuped(rows.toDF("variant", "x", "y").repartition(parts))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+
+  private def correlated(seed: Long, n: Int): Seq[(String, Double, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val v = if (i % 2 == 0) "treat" else "ctrl"
+      val x = 10.0 + rnd.nextGaussian() * 3.0
+      val lift = if (v == "treat") 0.5 else 0.0
+      // y strongly driven by the unit's pre-period level
+      val y = x * 0.8 + lift + rnd.nextGaussian() * 1.0
+      (v, math.rint(x * 100) / 100, math.rint(y * 100) / 100)
+    }
+  }
+
+  test("cuped equals the sequential reference on randomized correlated data") {
+    for (seed <- Seq(3L, 19L)) {
+      val rows = correlated(seed, 200)
+      assert(engineCuped(rows) === refCuped(rows), s"seed=$seed")
+    }
+  }
+
+  test("cuped genuinely reduces variance on autocorrelated metrics") {
+    val got = engineCuped(correlated(7L, 400))
+    got.values.foreach { case (_, _, _, varY, varAdj, red, theta) =>
+      assert(varAdj < varY, "adjusted variance must shrink")
+      assert(red > 0.3, s"expected a strong reduction, got $red")
+      assert(theta > 0.5, "theta should track the planted x->y slope")
+    }
+  }
+
+  test("cuped: constant covariate pins theta to 0 and passes raw means through") {
+    val rows = Seq(("a", 5.0, 1.0), ("a", 5.0, 3.0), ("b", 5.0, 2.0), ("b", 5.0, 6.0))
+    val got = engineCuped(rows)
+    got.values.foreach { case (_, meanY, meanAdj, varY, varAdj, red, theta) =>
+      assert(theta === 0.0)
+      assert(meanAdj === meanY)
+      assert(varAdj === varY)
+      assert(red === 0.0)
+    }
+  }
+
+  test("cuped is invariant to input partitioning") {
+    val rows = correlated(11L, 150)
+    assert(engineCuped(rows, parts = 1) === engineCuped(rows, parts = 8))
+  }
+}

@@ -83,9 +83,12 @@ object Experiment {
     val varXp = (sxxp - sxp * sxp / np) / (np - lit(1.0))
     val covP = (sxyp - sxp * syp / np) / (np - lit(1.0))
     // a constant covariate carries no information: θ pins to 0 (raw
-    // means pass through) rather than dividing by zero
+    // means pass through) rather than dividing by zero; a pooled frame
+    // of fewer than 2 units has no covariance estimate at all — θ pins
+    // to 0 there too instead of emitting NaN (r14, ADVICE)
     val thetaFrame = pooled.select(
-      when(varXp > 0.0, covP / varXp).otherwise(lit(0.0)).as("__theta"),
+      when(np >= 2.0 && varXp > 0.0, covP / varXp).otherwise(lit(0.0))
+        .as("__theta"),
       (sxp / np).as("__xbar"))
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")
@@ -98,14 +101,19 @@ object Experiment {
     val covXY = (sxy - sx * sy / n) / (n - lit(1.0))
     val th = col("__theta")
     val varAdj = varY - lit(2.0) * th * covXY + th * th * varX
+    // degenerate variants fail soft, not NaN (r14, ADVICE): a 1-unit
+    // variant has no sample variance — its variance columns are NULL;
+    // var_reduction is additionally NULL when var_y is exactly 0 (the
+    // ratio is undefined, not "no reduction")
     perVariant.crossJoin(broadcast(thetaFrame))
       .select(col("variant"), col("n"),
         round(sy / n / ys, roundTo).as("mean_y"),
         round((sy / n - th * (sx / n - col("__xbar"))) / ys, roundTo)
           .as("mean_y_cuped"),
-        round(varY / ys / ys, roundTo).as("var_y"),
-        round(varAdj / ys / ys, roundTo).as("var_y_cuped"),
-        round(lit(1.0) - varAdj / varY, roundTo).as("var_reduction"),
+        when(n >= 2.0, round(varY / ys / ys, roundTo)).as("var_y"),
+        when(n >= 2.0, round(varAdj / ys / ys, roundTo)).as("var_y_cuped"),
+        when(n >= 2.0 && varY =!= 0.0,
+          round(lit(1.0) - varAdj / varY, roundTo)).as("var_reduction"),
         round(th, roundTo).as("theta"))
       .orderBy("variant")
   }

@@ -189,7 +189,10 @@ object Graph {
     * Semantics, pinned for cross-engine replay: label₀(v) = v; each
     * round, every node SIMULTANEOUSLY adopts the most frequent label
     * among its neighbors, ties broken by the SMALLEST label (the
-    * deterministic variant of Raghavan's random tie-break). Fixed
+    * deterministic variant of Raghavan's random tie-break; node ids
+    * may be any orderable type — numeric OR string — and "smallest"
+    * follows that type's native order, binary UTF-8 for strings in
+    * both engines). Fixed
     * synchronous rounds make the result a pure function of the edge set
     * — including the known oscillation on bipartite structures, which a
     * fixed round count pins rather than hides (Raghavan's asynchronous
@@ -222,12 +225,15 @@ object Graph {
           .join(labels.select(col("node").as("v"), col("label")), "v")
           .groupBy(col("u").as("node"), col("label"))
           .agg(count(lit(1)).as("cnt"))
-        // argmax by (cnt DESC, label ASC) as max(struct(cnt, -label)):
-        // map-side combinable, no per-node window (hot-vertex rule)
+        // argmax by (cnt DESC, label ASC) as min_by over (-cnt, label):
+        // map-side combinable, no per-node window (hot-vertex rule).
+        // Negating CNT (a count, never near Long.MinValue) instead of
+        // the label keeps the id type arbitrary-orderable — string doc
+        // ids work, and no overflow is reachable (r14, ADVICE)
         val next = votes
           .groupBy("node")
-          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-          .select(col("node"), (-col("m.nl")).as("label"))
+          .agg(min_by(col("label"),
+            struct((-col("cnt")).as("nc"), col("label"))).as("label"))
           .localCheckpoint(true, StorageLevel.DISK_ONLY)
         val prior = labels
         labels = next

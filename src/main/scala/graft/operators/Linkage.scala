@@ -183,7 +183,11 @@ object Linkage {
     * `sortKeyLeft/Right` so true matches sort together (the
     * merge/purge key-design rule), and make each UNIQUE per row
     * (ties would make ranks engine-dependent); uniqueness of
-    * (key, side) is what makes the interleaved order total.
+    * (key, side) is what makes the interleaved order total. Sort keys
+    * must be STRING-typed (required at runtime): the SQL replay orders
+    * by the same expression verbatim, and lexical-vs-native order is
+    * the one place the two engines could silently diverge — encode
+    * numerics zero-padded if positional order must be numeric.
     *
     * Scale shape: two grouped counts + one broadcast-or-shuffle
     * semi-join split; the full-cross part is the plain equi-join on
@@ -212,6 +216,18 @@ object Linkage {
     val rCols = right.columns.toSeq
     require(lCols.intersect(rCols).isEmpty,
       s"boundedBlockedPairs: column names overlap: ${lCols.intersect(rCols).mkString(", ")}")
+    // Sort keys must be STRING-typed, validated UNCONDITIONALLY (not
+    // just on the hot path): the windowed ranking orders by __sk, and
+    // boundedBlockedSqlCtes replays that order with the raw SQL
+    // expression — a silent cast would order '10' < '9' while the
+    // oracle orders natively. Fail loud instead (r14, ADVICE).
+    val lSkType = left.select(sortKeyLeft.as("__sk")).schema.head.dataType
+    val rSkType = right.select(sortKeyRight.as("__sk")).schema.head.dataType
+    require(lSkType == org.apache.spark.sql.types.StringType &&
+      rSkType == org.apache.spark.sql.types.StringType,
+      s"boundedBlockedPairs: sort keys must be STRING (got $lSkType/$rSkType) — " +
+        "lexical order is the operator's replay contract; cast explicitly " +
+        "with a collation-stable encoding (e.g. zero-padded numerics) if needed")
     val lk = blockKeys.map(_._1)
     val rk = blockKeys.map(_._2)
     val bk = lk.indices.map(i => s"__bk_$i")
@@ -256,12 +272,12 @@ object Linkage {
     // (block, rank div window), each row probing its block and the
     // next — every ≤window-apart pair meets exactly once)
     val lt = lKeyed.join(hot, bk.toSeq, "left_semi")
-      .withColumn("__sk", sortKeyLeft.cast("string"))
+      .withColumn("__sk", sortKeyLeft)
       .withColumn("__side", lit(0))
       .withColumn("__lp", struct(lCols.map(col): _*))
       .select(bk.map(col) ++ Seq(col("__sk"), col("__side"), col("__lp")): _*)
     val rt = rKeyed.join(hot, bk.toSeq, "left_semi")
-      .withColumn("__sk", sortKeyRight.cast("string"))
+      .withColumn("__sk", sortKeyRight)
       .withColumn("__side", lit(1))
       .withColumn("__rp", struct(rCols.map(col): _*))
       .select(bk.map(col) ++ Seq(col("__sk"), col("__side"), col("__rp")): _*)

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Per-group ordinary-least-squares trend fitting — the "is this metric
   * drifting" primitive behind ingest monitors and quality dashboards:
@@ -206,6 +206,19 @@ object Trend {
       roundTo: Int = 6): DataFrame = {
     require(refSlots >= 2, s"refSlots $refSlots must be >= 2 (sd needs it)")
     require(slack >= 0, s"slack $slack must be >= 0")
+    // Integer-valued series ONLY (r14, ADVICE): the exact reference sums
+    // and the DuckDB replay both ride int64 x. A silent cast("long")
+    // would TRUNCATE fractional metrics toward zero (2.7 -> 2) while
+    // StreamingCusum ROUNDS via quantDecimals (2.7 -> 3) — fail loud
+    // instead; pre-quantize fractional metrics (round(v·10^d)) to match
+    // the streaming twin's quantization before calling.
+    series.schema(valueCol).dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Trend.cusum: value column '$valueCol' must be integral (got $dt) — " +
+          "pre-quantize fractional series with round(v * 10^d) to mirror " +
+          "StreamingCusum's quantDecimals")
+    }
     val ZDEC = DecimalType(28, 6)
     val SD = DecimalType(38, 0)
     import org.apache.spark.sql.expressions.Window

@@ -2746,7 +2746,8 @@ object ExtraQueries extends QueryGroup {
                        CAST(SUM(sxx) AS DOUBLE) AS sxxp, CAST(SUM(sxy) AS DOUBLE) AS sxyp
                      FROM pv),
             th AS (SELECT
-                     CASE WHEN (sxxp - sxp * sxp / np) / (np - 1.0) > 0.0
+                     CASE WHEN np >= 2.0
+                            AND (sxxp - sxp * sxp / np) / (np - 1.0) > 0.0
                        THEN ((sxyp - sxp * syp / np) / (np - 1.0))
                             / ((sxxp - sxp * sxp / np) / (np - 1.0))
                        ELSE 0.0 END AS theta,
@@ -2757,29 +2758,34 @@ object ExtraQueries extends QueryGroup {
               ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
                      - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xbar))
                     / 10000.0, 6) AS mean_y_cuped,
-              ROUND((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-                       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
-                    / 10000.0 / 10000.0, 6) AS var_y,
-              ROUND(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-                        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
-                     - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-                         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                       / (CAST(n AS DOUBLE) - 1.0))
-                     + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                         * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                       / (CAST(n AS DOUBLE) - 1.0)))
-                    / 10000.0 / 10000.0, 6) AS var_y_cuped,
-              ROUND(1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-                              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
-                           - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-                               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                             / (CAST(n AS DOUBLE) - 1.0))
-                           + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                               * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                             / (CAST(n AS DOUBLE) - 1.0)))
-                         / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-                               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6)
-                AS var_reduction,
+              CASE WHEN n >= 2 THEN
+                ROUND((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                      / 10000.0 / 10000.0, 6) END AS var_y,
+              CASE WHEN n >= 2 THEN
+                ROUND(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                       - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0))
+                       + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0)))
+                      / 10000.0 / 10000.0, 6) END AS var_y_cuped,
+              CASE WHEN n >= 2 AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0) <> 0.0 THEN
+                ROUND(1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                             - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                                 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                               / (CAST(n AS DOUBLE) - 1.0))
+                             + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               / (CAST(n AS DOUBLE) - 1.0)))
+                           / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6)
+                END AS var_reduction,
               ROUND(theta, 6) AS theta
             FROM pv CROSS JOIN th ORDER BY variant"""))
 

@@ -5132,27 +5132,22 @@ object LlmQueries extends QueryGroup {
       "chars), 3 rounds of hard-EM - distributed Viterbi best-" +
       "segmentation counting over the DISTINCT-WORD frame against a " +
       "broadcast piece table, model-sized count collect, driver " +
-      "renormalize - then keep the strongest pieces. No DuckDB oracle, " +
-      "ADJUDICATED (r13, the q78-conversion assessment): the CORPUS-" +
-      "level EM rounds would unroll into CTEs exactly like q78's merge " +
-      "loop, but the E-step's per-word Viterbi DP (a) has data-" +
-      "dependent depth (word length), needing a recursive CTE rather " +
-      "than a fixed chain, and (b) compares DOUBLE log-prob path sums " +
-      "whose ulp-level near-ties are not engine-portable - libm ln is " +
-      "not correctly rounded, so Spark and DuckDB can disagree on " +
-      "which segmentation wins a near-tie, flipping downstream counts; " +
-      "making it portable would mean quantizing the model's scores " +
-      "inside the trainer (a behavior change), unlike q78 whose " +
-      "argmax is over exact integer counts. Rows-only; the seed-" +
-      "inventory reduction is hash-gated by the q206 portable twin and " +
-      "the trainer is equivalence-tested against a sequential " +
-      "reference in UnigramLmSpec",
+      "renormalize - then keep the strongest pieces. FULL generated-SQL " +
+      "hash oracle (r14, closing the r13 adjudication): per-piece " +
+      "scores QUANTIZE to micro-nat int64 inside the trainer (the q217 " +
+      "exact-integer rule), so every Viterbi path sum is an exact " +
+      "integer and the DP replays engine-portably - the forward pass " +
+      "unrolls per EM round as a RECURSIVE CTE over consumed-prefix " +
+      "length carrying a maxPieceLen sliding window of best scores, " +
+      "the backtrack as a second recursive CTE re-deriving the argmax " +
+      "with the longest-piece tie-break as exact integer equalities",
     (s, dir) => {
       val m = graft.operators.UnigramLm.train(t(s, dir, "documents"),
         seedSize = 300, maxPieceLen = 4, iters = 3, vocabSize = 120)
       graft.operators.UnigramLm.vocabTable(s, m).orderBy("rank")
     },
-    None)
+    Some(graft.operators.UnigramLm.trainSqlCtes("documents",
+      seedSize = 300, maxPieceLen = 4, iters = 3, vocabSize = 120)))
 
   val q206 = QueryDef(
     "q206_unigram_seed_candidates",

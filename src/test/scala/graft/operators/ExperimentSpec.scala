@@ -99,4 +99,37 @@ class ExperimentSpec extends SparkSpecBase {
     val rows = correlated(11L, 150)
     assert(engineCuped(rows, parts = 1) === engineCuped(rows, parts = 8))
   }
+
+  test("cuped: degenerate variants fail soft with NULLs, never NaN") {
+    // variant "solo" has a single unit: no sample variance exists ->
+    // var_y / var_y_cuped / var_reduction NULL; means still real
+    val rows = Seq(("solo", 4.0, 9.0),
+      ("pair", 1.0, 5.0), ("pair", 3.0, 5.0))
+    val got = Experiment.cuped(rows.toDF("variant", "x", "y")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val solo = got("solo")
+    assert(solo.getLong(1) === 1L)
+    assert(!solo.isNullAt(2) && !solo.isNullAt(3), "means survive n=1")
+    assert(solo.isNullAt(4) && solo.isNullAt(5) && solo.isNullAt(6),
+      "variance columns must be NULL, not NaN, for a 1-unit variant")
+    // variant "pair" has constant y (var_y = 0): the reduction ratio is
+    // undefined -> NULL; var_y itself is a real 0
+    val pair = got("pair")
+    assert(pair.getDouble(4) === 0.0, "var_y is exactly 0")
+    assert(pair.isNullAt(6), "var_reduction NULL when var_y = 0")
+    // nothing anywhere is NaN
+    got.values.foreach { r =>
+      (2 until 8).foreach { i =>
+        assert(r.isNullAt(i) || !r.getDouble(i).isNaN, s"NaN at col $i") }
+    }
+  }
+
+  test("cuped: a 1-row input pins theta to 0 instead of NaN") {
+    val got = Experiment.cuped(Seq(("only", 2.0, 7.0)).toDF("variant", "x", "y"))
+      .collect()
+    assert(got.length === 1)
+    assert(got(0).getDouble(7) === 0.0, "pooled np=1 -> theta pinned to 0")
+    assert(got(0).getDouble(3) === got(0).getDouble(2),
+      "theta=0 -> adjusted mean equals the raw mean")
+  }
 }

@@ -205,6 +205,27 @@ class GraphSpec extends SparkSpecBase {
     assert(engineLpa(pairs, 3, parts = 1) === engineLpa(pairs, 3, parts = 8))
   }
 
+  test("labelPropagation accepts STRING node ids (the min_by argmax)") {
+    // same topology as the bridged-cliques test, ids mapped to doc-id
+    // strings — "smallest label" follows binary UTF-8 order
+    val sp = spark
+    import sp.implicits._
+    def id(i: Long) = f"doc-$i%03d"
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (id(i), id(j))
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (id(i), id(j))
+    val pairs = (cliqueA ++ cliqueB :+ (id(4) -> id(11))).toDF("ia", "ib")
+    val got = Graph.labelPropagation(pairs, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.filterKeys(_ <= id(4)).values.toSet.size === 1)
+    assert(got.filterKeys(_ >= id(11)).values.toSet.size === 1)
+    assert(got(id(1)) !== got(id(14)), "bridge must not merge the communities")
+    // agrees with the numeric run under the order-preserving id map
+    val numeric = engineLpa(
+      (cliqueA ++ cliqueB :+ (id(4) -> id(11))).map { case (a, b) =>
+        (a.drop(4).toLong, b.drop(4).toLong) }, rounds = 4)
+    assert(got === numeric.map { case (k, v) => id(k) -> id(v) })
+  }
+
   /** Reference modularity from the definition: Q_c = e_c/m − (d_c/2m)². */
   private def refModularity(pairs: Seq[(Long, Long)],
       labels: Map[Long, Long]): Map[Long, Double] = {

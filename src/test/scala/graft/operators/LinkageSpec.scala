@@ -215,5 +215,12 @@ class LinkageSpec extends SparkSpecBase {
       Linkage.boundedBlockedPairs(left, left, Seq("lblk" -> "lblk"),
         col("lname"), col("lname"))
     }
+    // non-string sort keys are rejected: the engine would rank '10'<'9'
+    // lexically while the SQL replay orders natively — fail loud
+    val eKey = intercept[IllegalArgumentException] {
+      Linkage.boundedBlockedPairs(left, right, Seq("lblk" -> "rblk"),
+        col("lid"), col("rid"))
+    }
+    assert(eKey.getMessage.contains("sort keys must be STRING"))
   }
 }

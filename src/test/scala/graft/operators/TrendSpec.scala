@@ -201,4 +201,16 @@ class TrendSpec extends SparkSpecBase {
     val xs = Seq.fill(25)(50L + rnd.nextInt(11))
     assert(engineCusum(xs, parts = 1) === engineCusum(xs, parts = 8))
   }
+
+  test("cusum rejects fractional value columns instead of truncating") {
+    val s = spark
+    import s.implicits._
+    // 2.7 would silently truncate to 2 under cast("long") while the
+    // streaming twin rounds to 3 — the operator fails loud instead
+    val df = Seq(("k", 0L, 2.7)).toDF("key", "slot", "x")
+    val e = intercept[IllegalArgumentException] {
+      Trend.cusum(df, "key", "slot", "x")
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
 }

@@ -6,18 +6,18 @@ import org.apache.spark.sql.functions._
 class UnigramLmSpec extends SparkSpecBase {
 
   // ---- sequential reference: same algorithm, no Spark ----------------
-  private def refViterbi(word: String, lp: Map[String, Double],
+  private def refViterbi(word: String, lp: Map[String, Long],
       maxLen: Int): Seq[String] = {
     if (word.isEmpty) return Seq.empty
     val n = word.length
-    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val best = Array.fill(n + 1)(Long.MinValue)
     val bl = new Array[Int](n + 1)
-    best(0) = 0.0
+    best(0) = 0L
     for (j <- 1 to n; l <- 1 to math.min(maxLen, j)) {
       val piece = word.substring(j - l, j)
       val w = lp.getOrElse(piece,
-        if (l == 1) -20.0 else Double.NaN)
-      if (!w.isNaN && best(j - l) != Double.NegativeInfinity) {
+        if (l == 1) -20000000L else Long.MinValue)
+      if (w != Long.MinValue && best(j - l) != Long.MinValue) {
         val c = best(j - l) + w
         if (c >= best(j)) { best(j) = c; bl(j) = l }
       }
@@ -40,11 +40,10 @@ class UnigramLmSpec extends SparkSpecBase {
     var pieces = seeds ++ singles
     for (_ <- 1 to iters) {
       val total = pieces.map(_._2).sum.toDouble
-      // mirrors train()'s 0.5 floor: zero-count singles kept by the
-      // M-step must carry a finite log-prob or the reference diverges
-      // from (and can hang unlike) the operator
+      // mirrors train()'s 0.5 floor and micro-nat quantization: scores
+      // are exact int64 so every path-sum comparison is ulp-proof
       val lp = pieces.map { case (p, c) =>
-        p -> math.log((c.toDouble max 0.5) / total) }.toMap
+        p -> UnigramLm.microNats(math.log((c.toDouble max 0.5) / total)) }.toMap
       val counts = scala.collection.mutable.Map.empty[String, Long]
       for ((w, c) <- words; piece <- refViterbi(w, lp, maxPieceLen))
         counts(piece) = counts.getOrElse(piece, 0L) + c
@@ -54,34 +53,39 @@ class UnigramLmSpec extends SparkSpecBase {
     pieces.toMap
   }
 
+  private def q(prob: Double): Long = UnigramLm.microNats(math.log(prob))
+
   test("viterbi: picks the higher-likelihood segmentation, not greedy") {
     // "abc" as one piece scores log(0.5); greedy-left "ab"+"c" scores
     // log(0.25)+log(0.1) — the DP must pick the whole piece
-    val lp = Map("abc" -> math.log(0.5), "ab" -> math.log(0.25),
-      "c" -> math.log(0.1), "a" -> math.log(0.1), "b" -> math.log(0.05))
+    val lp = Map("abc" -> q(0.5), "ab" -> q(0.25),
+      "c" -> q(0.1), "a" -> q(0.1), "b" -> q(0.05))
     assert(UnigramLm.viterbi("abc", lp, 4) === Seq("abc"))
     // ...and when the product of small pieces wins, it splits
-    val lp2 = Map("abc" -> math.log(0.01), "ab" -> math.log(0.5),
-      "c" -> math.log(0.4), "a" -> math.log(0.01), "b" -> math.log(0.01))
+    val lp2 = Map("abc" -> q(0.01), "ab" -> q(0.5),
+      "c" -> q(0.4), "a" -> q(0.01), "b" -> q(0.01))
     assert(UnigramLm.viterbi("abc", lp2, 4) === Seq("ab", "c"))
   }
 
   test("viterbi: exact ties prefer the longer piece; unknown chars fall back") {
-    val lp = Map("aa" -> math.log(0.25), "a" -> math.log(0.5))
-    // "aa" one piece = log(.25); "a"+"a" = log(.25) — exact tie -> longer
+    // micro-nat quantization preserves this tie EXACTLY: log(.25) is
+    // 2·log(.5) in doubles (0.25 = 0.5², doubling exact) and rounding
+    // commutes here — q(.25) = 2·q(.5)
+    val lp = Map("aa" -> q(0.25), "a" -> q(0.5))
+    assert(q(0.25) === 2L * q(0.5), "the planted tie must survive quantization")
+    // "aa" one piece = q(.25); "a"+"a" = 2·q(.5) — exact tie -> longer
     assert(UnigramLm.viterbi("aa", lp, 4) === Seq("aa"))
     assert(UnigramLm.viterbi("axa", lp, 4) === Seq("a", "x", "a"),
       "x absent from the inventory segments as an unk single char")
     assert(UnigramLm.viterbi("", lp, 4) === Seq.empty)
   }
 
-  test("viterbi: a -Infinity piece fails loud instead of spinning in the backtrack") {
-    // "b" IS in the inventory (so no unk fallback) but at log(0): the
-    // path through "b" marks position 2 of "aba" as -Inf-reachable
-    // (−Inf >= −Inf ties into bLen), the finite-extension guard then
-    // blocks everything FROM position 2, and position 3 ends with
-    // bLen = 0 — pre-guard the backtrack spun forever on p -= 0
-    val lp = Map("a" -> math.log(0.5), "b" -> Double.NegativeInfinity)
+  test("viterbi: a MinValue (-Infinity sentinel) piece fails loud in the backtrack") {
+    // "b" IS in the inventory (so no unk fallback) but at the -Inf
+    // sentinel: every path through "b" is skipped, position 2 of "aba"
+    // ends unreachable and position 3 ends with bLen = 0 — the guard
+    // fails loud where a pre-guard backtrack spun forever on p -= 0
+    val lp = Map("a" -> q(0.5), "b" -> Long.MinValue)
     val e = intercept[IllegalArgumentException] {
       UnigramLm.viterbi("aba", lp, 4)
     }

@@ -163,7 +163,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q213_kaplan_meier_retention",
     // q200: the scorecard's 1-row token-total frame crossJoined onto
     // the sources-sized aggregate — q61's one-row class
-    "q200_source_scorecard")
+    "q200_source_scorecard",
+    // q221: CUPED's 1-row pooled-theta frame (Experiment.scala) crossJoined
+    // onto the variant-sized readout — q61's one-row-broadcast class
+    "q221_cuped_experiment_readout")
 
   /** Queries allowed to contain a GLOBAL window (Window.orderBy with no
     * partitionBy — a single-task sort at execution). Correct ONLY while

@@ -81,7 +81,7 @@ class StreamingCusumSpec extends SparkSpecBase {
   test("end-to-end: MemoryStream emissions equal the batch chart") {
     val s = spark
     import s.implicits._
-    val mem = MemoryStream[CusumTick](1, s.sqlContext)
+    val mem = MemoryStream[CusumTick](s)
     val out = StreamingCusum(mem.toDS(), Bucket, "0 seconds", refSlots = 5)
     val q = out.writeStream.format("memory").queryName("cusum_e2e")
       .outputMode("append").start()

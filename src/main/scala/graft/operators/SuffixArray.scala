@@ -29,8 +29,8 @@ import org.apache.spark.storage.StorageLevel
   * ceil(log2(maxDocLen / seedLen)) rounds close the order (suffixes never
   * cross document boundaries, matching corpus semantics where documents
   * are independent). Rounds stop early once every rank is distinct —
-  * detected by `max(rank) == n−1`, a cheap scalar job, since the dense
-  * re-rank is 0-based and contiguous.
+  * detected by `max(rank) == n−1`, a cheap scalar scan of the round's
+  * checkpoint, since the dense re-rank is 0-based and contiguous.
   *
   * Scale notes (the 100 TB contract):
   *   - State per round is one (id, pos, rank) row per CHARACTER of the
@@ -59,6 +59,24 @@ import org.apache.spark.storage.StorageLevel
   *     document (4 B/char transient); documents of ~10^8+ characters
   *     should be pre-chunked upstream (they exceed every other per-doc
   *     operator's assumptions here too).
+  *   - r14 cost adjudication, MEASURED (sf0.1: 5,000 docs / 1.49M
+  *     suffixes / maxLen 577; per-phase lap instrumentation): per-round
+  *     wall time is FLAT at ~2.3 s whatever the round's byte volume,
+  *     and the seed sort is ~5 s at every seedLen in [32, 256] — the
+  *     cost is the ~6 job/stage round-trips per round × local-mode task
+  *     latency, not bytes. Every persist-shaped lever measured SLOWER
+  *     back-to-back: pinning seqByOrder's sorted parent against
+  *     zipWithIndex's two-pass recompute, persisting the 3×-read join
+  *     frame, and pre-reading the class count off a persisted
+  *     distinct-pair frame (corpus-sized, not model-sized) together
+  *     cost +10% wall and 2.2× CPU, so all were reverted. Tied-only
+  *     Larsson–Sadakane refinement cuts bytes, not job count, so it
+  *     cannot move a latency-bound round either. What remains and paid:
+  *     seedLen 64 (one fewer round) and fusing n = sum(length) into the
+  *     maxLen agg (drops the char-frame count job): 16.3 → 14.9 s
+  *     scoped back-to-back. The residual ~15 s IS irreducible job
+  *     latency at this fixture scale — the corpus is 46 MB; a cluster
+  *     round is byte-bound and amortizes the same ~6 round-trips.
   *
   * Reference scope: the reference engine (WindowPublisher.java) has no
   * text operators at all — this extends the north-star LLM-pipeline
@@ -77,8 +95,10 @@ object SuffixArray {
     * `seedLen` is the round-0 horizon: suffixes are seeded with the dense
     * rank of their first `seedLen` characters (one string sort), then
     * each doubling round extends the horizon ×2 — a larger seed trades a
-    * slightly wider sort key for fewer rounds (32 ⇒ two fewer rounds
-    * than 8 on ~500-char docs; every round is ~4 shuffles).
+    * slightly wider sort key for fewer rounds (on ~500-char docs, 64
+    * runs one fewer round than 32 and three fewer than 8; every round is
+    * ~4 shuffles, and at this row volume round-trip job latency, not
+    * bytes, is the measured per-round cost — r14 tuning).
     *
     * Rounds stop at the FIRST of: every rank distinct, the horizon
     * covering the longest document, or a no-refinement fixpoint. The
@@ -88,20 +108,30 @@ object SuffixArray {
     * difference lands in (h, 2h]) splits THIS round, so an unchanged
     * class count means every remaining tie is a byte-equal suffix pair,
     * i.e. permanent. Dense 0-based ranks make the class count simply
-    * max(rank)+1 — one cheap scalar job per round over the checkpointed
-    * frame. */
+    * max(rank)+1 — one cheap scalar scan per round over the round's
+    * checkpoint. (Measured r14: reading the class count off a persisted
+    * distinct-pair frame BEFORE the rank join — to skip the fixpoint
+    * round's materialization — is SLOWER: distinct pairs stay near n
+    * until convergence, so that frame is corpus-sized, not model-sized,
+    * and persisting it costs more than the scalar scan saves.) */
   def suffixRanks(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      seedLen: Int = 32): DataFrame = {
+      seedLen: Int = 64): DataFrame = {
     require(seedLen >= 1, s"seedLen must be >= 1, got $seedLen")
     val docs = df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("txt"))
       // empty/null docs have no suffixes; also dodges Spark's DESCENDING
       // sequence(1, 0) == [1, 0], which would mint a phantom pos-0 suffix
       .where(length(col("txt")) >= 1)
-    val maxLenRow = docs.agg(max(length(col("txt")))).collect().head
-    val maxLen: Int = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    // one doc-level agg fuses BOTH loop constants: the doubling horizon
+    // (max doc length) and n = total suffix count (sum of doc lengths) —
+    // no count job over the exploded char-level frame ever runs
+    val statsRow = docs
+      .agg(max(length(col("txt"))), sum(length(col("txt")).cast(LongType)))
+      .collect().head
+    val maxLen: Int = if (statsRow.isNullAt(0)) 0 else statsRow.getInt(0)
+    val n: Long = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val spark = df.sparkSession
     if (maxLen == 0)
       return spark.createDataFrame(
@@ -129,7 +159,6 @@ object SuffixArray {
     var cur = sfx.join(seedRanks.hint("shuffle_hash"), Seq("pfx"))
       .select(col("id"), col("pos").cast(LongType).as("pos"), col("r"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    val n = cur.count()
 
     def maxRank(f: DataFrame): Long = {
       val row = f.agg(max(col("r"))).collect().head
@@ -152,7 +181,11 @@ object SuffixArray {
         // dense re-rank of the (rank, rank2) composite: distinct pairs
         // (≤ n rows, shrinking toward n distinct singletons) through the
         // contiguous-numbering idiom, then joined back — the ranked side
-        // is the strictly-smaller build side
+        // is the strictly-smaller build side. (Measured r14: persisting
+        // the distinct-pair frame to read the class count off it BEFORE
+        // the join costs MORE than this cheap checkpoint-scan max —
+        // distinct pairs stay near n until convergence, so the "small
+        // frame" assumption does not hold mid-run.)
         val ranked = Zip.seqByOrder(
           joined.select(col("r"), col("r2")).distinct(),
           Seq(col("r"), col("r2")), "nr")

@@ -38,6 +38,13 @@ object Zip {
     sorted.sparkSession.createDataFrame(withSeq, schema)
   }
 
+  // NOTE (r14, measured): a "pinned" variant persisting the sorted
+  // parent (to dodge zipWithIndex's two-pass recompute) was built and
+  // benchmarked in the suffix-array doubling loop — it cost MORE wall
+  // time and 2.2× the CPU (persist serialization) than the recompute it
+  // saved, at both MEMORY_AND_DISK and in-loop joined-frame persists.
+  // The two-pass recompute stays the deliberate shape.
+
   /** Pair the i-th row of `a` under `aOrder` with the i-th row of `b`
     * under `bOrder` (ReactiveX `zip` for tables): inner join on the
     * derived index, so the result trims to the shorter side. Column

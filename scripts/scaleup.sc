@@ -88,9 +88,14 @@ wr(rd("events").crossJoin(copies)
 // families (q87/q95/q121/q62/q92/q49) measure an adversarial
 // constant-vocabulary workload instead of scale. With the flag on, the
 // 9x new docs draw from the fixture vocabulary EXTENDED by synthetic
-// pair-compounds ("hashjoin", "scanbatch", ...) up to
-// round(31 * sqrt(COPIES)) tokens - beta = 0.5 exactly - so shingle df
-// grows ~sqrt(COPIES), the Heaps-consistent rate.
+// tokens up to round(31 * sqrt(COPIES)) - beta = 0.5 exactly - so
+// shingle df grows ~sqrt(COPIES), the Heaps-consistent rate. Synthetic
+// tokens are LENGTH-PRESERVING 4-char codes ("zaaa", "zaab", ...; no
+// fixture token starts with 'z'): the first r14 attempt used
+// pair-compounds ("hashjoin"), whose ~2x token length silently doubled
+// chars/doc across the 9x new corpus - every per-char operator (codecs,
+// suffix array, tokenizers) then paid a hidden 2x that read as a scale
+// regression (q140 11.3x -> 33.5x measured) when it was fixture drift.
 val VOCAB_HEAPS = true
 val baseVocab = rd("documents")
   .select(explode(split(col("text"), " ")).as("t")).where(col("t") =!= "")
@@ -99,12 +104,13 @@ val vocab: Array[String] =
   if (!VOCAB_HEAPS) baseVocab
   else {
     val target = math.round(baseVocab.length * math.sqrt(COPIES.toDouble)).toInt
-    // deterministic pair-compound extension: all ordered pairs in a
-    // hash-shuffled but fixed order, first (target - |base|) taken
-    val pairs = (for (a <- baseVocab; b <- baseVocab if a != b) yield a + b)
-      .sortBy(w => (scala.util.hashing.MurmurHash3.stringHash(w), w))
-      .take(math.max(0, target - baseVocab.length))
-    baseVocab ++ pairs
+    val extra = (0 until math.max(0, target - baseVocab.length)).map { k =>
+      val a = ('a' + k / 676 % 26).toChar
+      val b = ('a' + k / 26 % 26).toChar
+      val c = ('a' + k % 26).toChar
+      s"z$a$b$c"
+    }
+    baseVocab ++ extra
   }
 println(s"vocab ${vocab.length} tokens (base ${baseVocab.length}, heaps=$VOCAB_HEAPS)")
 val vocabLit = array(vocab.map(lit): _*)

@@ -65,6 +65,18 @@ object Sampling {
     ((h + MixA) * (h + MixB)) % P
   }
 
+  /** JVM-side twin of [[avalanche]] — bit-identical for any string that
+    * round-trips the Catalyst cast (the keyed-state streaming operators
+    * hash inside `flatMapGroupsWithState`, where no Column exists;
+    * StreamingHll's batch-equivalence contract rides this identity). */
+  private[graft] def avalancheJvm(id: String, salt: String): Long = {
+    val bts = (id + salt).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0L
+    var i = 0
+    while (i < bts.length) { h = (h * 31 + (bts(i) & 0xff)) % P; i += 1 }
+    ((h + MixA) * (h + MixB)) % P
+  }
+
   /** Deterministic Bernoulli(fraction) sample keyed on `idCol`. */
   def deterministicSample(
       df: DataFrame,

@@ -397,12 +397,25 @@ object Multimodal {
     *
     * Scale shape: the only join is keyed on (band, 16-bit key) — never
     * all-pairs; currency is 4 longs/row; band collisions among genuinely
-    * distinct images thin out as 2^-16 per band. */
+    * distinct images thin out as 2^-16 per band — WHEN the signature
+    * population has entropy. Low-entropy media (near-uniform frames:
+    * blank pages, template chrome, silence) collapse onto few band keys
+    * and the self-join saturates quadratically — measured r14 at sf1:
+    * 174k text-slice frames landed on ~2.7k distinct keys per band and
+    * the candidate join produced 211M rows. `maxBandDf` is the q108-
+    * class count-conditional guard: band buckets with occupancy above
+    * the cap are DROPPED before the self-join (a pure function of the
+    * input, SQL-replayable; pairs whose EVERY shared band is that hot
+    * are lost — the documented recall trade, hit exactly by media a
+    * near-dup decision cannot distinguish anyway). Default None keeps
+    * the exact-recall spec shape. */
   def aHashNearDupPairs(
       sigs: DataFrame,
       maxHamming: Int = 6,
-      idCol: String = "media_id"): DataFrame = {
+      idCol: String = "media_id",
+      maxBandDf: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64, s"maxHamming $maxHamming")
+    require(maxBandDf.forall(_ >= 2), s"maxBandDf $maxBandDf must be >= 2")
     // the signature frame feeds the band fan-out (self-joined) AND both
     // verify joins — 4 plan references; without a barrier each one
     // re-runs the upstream CODEC pipeline (PNG/WAV encode + decode per
@@ -413,9 +426,17 @@ object Multimodal {
     val s = sigs.select(col(idCol).as("id"),
         col("band0"), col("band1"), col("band2"), col("band3"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val banded = s.select(col("id"), posexplode(
+    val banded0 = s.select(col("id"), posexplode(
         array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band", "bkey")))
+    val banded = maxBandDf match {
+      case None => banded0
+      case Some(cap) =>
+        val calm = banded0.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__df")).where(col("__df") <= cap)
+          .select("band", "bkey")
+        banded0.join(calm, Seq("band", "bkey"), "left_semi")
+    }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
@@ -459,7 +480,8 @@ object Multimodal {
       maxHamming: Int = 6,
       minMatchedFrames: Int = 3,
       idCol: String = "media_id",
-      payloadCol: String = "payload"): DataFrame = {
+      payloadCol: String = "payload",
+      maxBandDf: Option[Int] = None): DataFrame = {
     require(nFrames >= 1 && frameBytes >= 1)
     require(minMatchedFrames >= 1 && minMatchedFrames <= nFrames,
       s"minMatchedFrames $minMatchedFrames must be in [1, $nFrames]")
@@ -470,7 +492,7 @@ object Multimodal {
     frameHashVote(renderGrayPng(
         frames.select((col("vid") * nFrames + col("fidx")).as("media_id"),
           col("fpay").as("payload"))),
-      nFrames, maxHamming, minMatchedFrames)
+      nFrames, maxHamming, minMatchedFrames, maxBandDf)
   }
 
   /** The shared frame-vote tail of [[videoNearDupPairs]] /
@@ -481,7 +503,8 @@ object Multimodal {
       framePngs: Dataset[PngImage],
       nFrames: Int,
       maxHamming: Int,
-      minMatchedFrames: Int): DataFrame = {
+      minMatchedFrames: Int,
+      maxBandDf: Option[Int] = None): DataFrame = {
     val sigs = imageAHash(framePngs).toDF()
       .select(expr(s"media_id div $nFrames").as("vid"),
         pmod(col("media_id"), lit(nFrames)).cast("int").as("fidx"),
@@ -490,9 +513,19 @@ object Multimodal {
       // persist the narrow per-frame signature so the per-frame PNG
       // encode→decode→hash runs ONCE (measured 14.7→~4 s at sf0.1)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val banded = sigs.select(col("vid"), col("fidx"), posexplode(
+    val banded0 = sigs.select(col("vid"), col("fidx"), posexplode(
         array(col("band0"), col("band1"), col("band2"), col("band3")))
       .as(Seq("band", "bkey")))
+    // maxBandDf: the aHashNearDupPairs low-entropy guard, keyed on the
+    // FRAME-ALIGNED bucket (fidx, band, bkey) this operator joins on
+    val banded = maxBandDf match {
+      case None => banded0
+      case Some(cap) =>
+        val calm = banded0.groupBy("fidx", "band", "bkey")
+          .agg(count(lit(1)).as("__df")).where(col("__df") <= cap)
+          .select("fidx", "band", "bkey")
+        banded0.join(calm, Seq("fidx", "band", "bkey"), "left_semi")
+    }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.fidx") === col("b.fidx") && col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") && col("a.vid") < col("b.vid"))
@@ -649,12 +682,13 @@ object Multimodal {
       gifs: Dataset[GifVideo],
       nFrames: Int = 4,
       maxHamming: Int = 6,
-      minMatchedFrames: Int = 3): DataFrame = {
+      minMatchedFrames: Int = 3,
+      maxBandDf: Option[Int] = None): DataFrame = {
     require(nFrames >= 1)
     require(minMatchedFrames >= 1 && minMatchedFrames <= nFrames,
       s"minMatchedFrames $minMatchedFrames must be in [1, $nFrames]")
     frameHashVote(gifFramePngs(gifs, nFrames), nFrames, maxHamming,
-      minMatchedFrames)
+      minMatchedFrames, maxBandDf)
   }
 
   /** A real WAV payload: media id + encoded audio bytes. */

@@ -297,6 +297,33 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("maxBandDf: hot band buckets drop before the self-join; calm pairs survive") {
+    val s = spark
+    import s.implicits._
+    // 30 identical low-entropy payloads (one hot bucket per band) + one
+    // calm near-dup pair with distinctive content
+    val hot = (1L to 30L).map(i => (i, Array.fill[Byte](256)(0x41)))
+    val calmPay = ("distinct content with real variation across bytes " * 6)
+      .getBytes("UTF-8")
+    val rows = hot ++ Seq((100L, calmPay), (101L, calmPay))
+    val df = rows.toDF("media_id", "payload")
+    val uncapped = Multimodal.videoNearDupPairs(df, frameBytes = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.size > 100, "30 identical videos pair quadratically uncapped")
+    val capped = Multimodal.videoNearDupPairs(df, frameBytes = 64,
+        maxBandDf = Some(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)),
+      "the hot bucket (30 > cap) drops; the calm pair is untouched")
+    // the image-signature variant applies the same guard
+    val sigs = Multimodal.imageAHash(Multimodal.renderGrayPng(df)).toDF()
+    val cappedImg = Multimodal.aHashNearDupPairs(sigs, maxHamming = 6,
+        maxBandDf = Some(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedImg === Set((100L, 101L)))
+  }
+
   test("videoNearDupPairsGif equals videoNearDupPairs on the same fixture") {
     val s = spark
     import s.implicits._

@@ -264,7 +264,7 @@ object Sketches {
     * tree 6× over and blow past janino's method limit — measured).
     * Returns `df` plus `lo`/`hi` columns. Negative values fail loud
     * (raise_error) — the layout has no sign octaves. */
-  private[operators] def withHdrBounds(
+  private[graft] def withHdrBounds(
       df: DataFrame, valueCol: String, subBits: Int): DataFrame = {
     val sub = 1L << subBits
     val staged = df

@@ -251,6 +251,88 @@ object Sketches {
           col("s_scaled").cast("double"), 4))
   }
 
+  /** Distinct-key OVERLAP between every pair of groups via HLL sketch
+    * algebra (inclusion–exclusion over max-merged registers):
+    * |A∩B| ≈ Ê(A) + Ê(B) − Ê(A∪B), where the UNION's registers are the
+    * per-register max of the two sketches — exact sketch algebra, no
+    * union re-scan, the reason HLL is the persisted-summary standard.
+    * The corpus is touched ONCE (one (group, register) max-aggregation,
+    * [[hllDistinct]]'s pass); the pair join runs on the MODEL-SIZED
+    * register frame (groups × m rows) — group count is slice-bounded by
+    * contract (sources, langs, event types), never corpus-bounded.
+    *
+    * Every estimate is [[hllDistinct]]'s engine-exact arithmetic; the
+    * overlap difference of three rounded estimates is clamped at 0
+    * (inclusion–exclusion noise can dip negative on disjoint sets —
+    * reported raw AND clamped, both deterministic).
+    *
+    * Output per unordered pair (ga < gb): (ga, gb, s_a, s_b, s_union —
+    * the three scaled-integer harmonic sums, the exactness witnesses —
+    * est_a, est_b, est_union, est_overlap). */
+  def hllOverlap(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      m: Int = 64,
+      salt: String = ""): DataFrame = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ =>
+        require(m >= 128 && m <= 16384 && (m & (m - 1)) == 0,
+          s"m $m must be a power of two in [16, 16384]")
+        0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = Sampling.avalanche(col(keyCol), salt)
+    val regs = df
+      .select(col(groupCol).as("g"),
+        pmod(h, lit(m.toLong)).as("j"),
+        ZOrder.intDiv(h, lit(m.toLong)).as("w"))
+      .select(col("g"), col("j"),
+        when(col("w") === 0L, lit(HllBits))
+          .otherwise((round(log2(col("w").bitwiseAND(-col("w")))) + 1)
+            .cast("int")).as("rho"))
+      .groupBy("g", "j").agg(max(col("rho")).as("mj"))
+    def sFromRegs(rf: DataFrame, mjCol: String): DataFrame =
+      rf.groupBy(rf.columns.filter(c => c != "j" && c != mjCol).map(col): _*)
+        .agg(count(lit(1)).as("__nr"),
+          sum(expr(s"CAST(1 AS BIGINT) << ($HllBits - $mjCol)")).as("__sp"))
+        .withColumn("__s", col("__sp") +
+          (lit(m.toLong) - col("__nr")) * lit(1L << HllBits))
+    def est(sCol: Column): Column =
+      round(lit(alpha * m * m) * lit((1L << HllBits).toDouble) /
+        sCol.cast("double"), 4)
+    val perGroup = sFromRegs(regs, "mj").select(col("g"), col("__s").as("s_g"))
+    // union registers per pair: DENSIFY each group's sparse register set
+    // to all m indices first (absent register = 0) — a sparse join on
+    // the register index alone would DROP a pair's register whenever
+    // only one side has it set, silently counting it as zero — then one
+    // equi-join on the register index aligns every group pair at every
+    // register (groups² · m rows, model-sized), max per (pair, register)
+    val dense = regs.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit((m - 1).toLong))).as("j"))
+      .join(regs, Seq("g", "j"), "left")
+      .select(col("g"), col("j"), coalesce(col("mj"), lit(0)).as("mj"))
+    val pairs = dense.toDF("ga", "j", "ma").join(
+        dense.toDF("gb", "j", "mb"), Seq("j"))
+      .where(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("j"),
+        greatest(col("ma"), col("mb")).as("mu"))
+    val unionS = sFromRegs(pairs, "mu")
+      .drop("__nr", "__sp")
+      .withColumnRenamed("__s", "s_union")
+    unionS
+      .join(perGroup.toDF("ga", "s_a"), Seq("ga"))
+      .join(perGroup.toDF("gb", "s_b"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("s_a"), col("s_b"), col("s_union"),
+        est(col("s_a")).as("est_a"), est(col("s_b")).as("est_b"),
+        est(col("s_union")).as("est_union"))
+      .withColumn("est_overlap",
+        greatest(round(col("est_a") + col("est_b") - col("est_union"), 4),
+          lit(0.0)))
+  }
+
   /** HDR-histogram bucket bounds of a non-negative int64 value column
     * (Tene's HdrHistogram design, the log-linear layout): values below
     * 2^subBits get EXACT width-1 buckets; above, the value's octave

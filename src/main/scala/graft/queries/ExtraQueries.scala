@@ -2937,11 +2937,73 @@ object ExtraQueries extends QueryGroup {
             FROM pick p JOIN ex ON p.g = ex.g AND p.q_name = ex.q_name
             ORDER BY event_type, p.q_name"""))
 
+  val q224 = QueryDef(
+    "q224_hll_overlap_sketch",
+    "distinct-user OVERLAP between every event_type pair via HLL sketch " +
+      "algebra (inclusion-exclusion over max-merged registers: " +
+      "|A-and-B| ~ E(A)+E(B)-E(A-or-B), the union's registers = " +
+      "per-register max - exact sketch algebra, no union re-scan): the " +
+      "corpus is touched ONCE for the register table, the pair join " +
+      "runs on DENSIFIED model-sized register frames (a sparse join " +
+      "on the register index alone would drop a pair's register " +
+      "whenever only one side has it set); the three scaled-integer " +
+      "harmonic sums are emitted as exactness witnesses beside the " +
+      "rounded estimates, overlap clamped at 0",
+    (s, dir) =>
+      graft.operators.Sketches.hllOverlap(
+          t(s, dir, "events"), groupCol = "event_type", keyCol = "user_id",
+          m = 64, salt = "v1")
+        .select(col("ga").as("type_a"), col("gb").as("type_b"),
+          col("s_a"), col("s_b"), col("s_union"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_overlap"))
+        .orderBy("type_a", "type_b"),
+    Some("""WITH h AS (SELECT DISTINCT event_type AS g,
+                    ((hp + 479001599) * (hp + 987654323)) % 1000000007 AS h
+                  FROM (SELECT event_type,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(
+                              CAST(user_id AS VARCHAR) || 'v1', ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, v) -> (a * 31 + v) % 1000000007) AS hp
+                        FROM events)),
+            r AS (SELECT g, h % 64 AS j,
+                    CASE WHEN h // 64 = 0 THEN 27
+                         ELSE CAST(ROUND(LOG2(CAST(
+                                ((h // 64) & (-(h // 64))) AS DOUBLE))) AS INT) + 1
+                    END AS rho
+                  FROM h),
+            m AS (SELECT g, j, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+            dense AS (SELECT gl.g, gs.j, COALESCE(m.mj, 0) AS mj
+                      FROM (SELECT DISTINCT g FROM m) gl
+                      CROSS JOIN generate_series(0, 63) AS gs(j)
+                      LEFT JOIN m ON m.g = gl.g AND m.j = gs.j),
+            sg AS (SELECT g,
+                     CAST(SUM(CAST(1 AS BIGINT) << (27 - mj)) AS BIGINT) AS s_g
+                   FROM dense GROUP BY 1),
+            pr AS (SELECT a.g AS ga, b.g AS gb,
+                     GREATEST(a.mj, b.mj) AS mu
+                   FROM dense a JOIN dense b ON a.j = b.j AND a.g < b.g),
+            su AS (SELECT ga, gb,
+                     CAST(SUM(CAST(1 AS BIGINT) << (27 - mu)) AS BIGINT) AS s_union
+                   FROM pr GROUP BY 1, 2),
+            o AS (SELECT su.ga, su.gb, sa.s_g AS s_a, sb.s_g AS s_b, su.s_union,
+                    ROUND(0.709 * 64 * 64 * CAST(CAST(1 AS BIGINT) << 27 AS DOUBLE)
+                          / CAST(sa.s_g AS DOUBLE), 4) AS est_a,
+                    ROUND(0.709 * 64 * 64 * CAST(CAST(1 AS BIGINT) << 27 AS DOUBLE)
+                          / CAST(sb.s_g AS DOUBLE), 4) AS est_b,
+                    ROUND(0.709 * 64 * 64 * CAST(CAST(1 AS BIGINT) << 27 AS DOUBLE)
+                          / CAST(su.s_union AS DOUBLE), 4) AS est_union
+                  FROM su JOIN sg sa ON sa.g = su.ga JOIN sg sb ON sb.g = su.gb)
+            SELECT ga AS type_a, gb AS type_b, s_a, s_b, s_union,
+              est_a, est_b, est_union,
+              GREATEST(ROUND(est_a + est_b - est_union, 4), 0.0) AS est_overlap
+            FROM o ORDER BY type_a, type_b"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
-      q222, q223)
+      q222, q223, q224)
 }

@@ -158,6 +158,30 @@ class SketchesSpec extends SparkSpecBase {
     assert(direct.toSeq === merged.toSeq)
   }
 
+  test("hllOverlap: union registers are EXACT sketch algebra; overlap tracks truth") {
+    // A = 1..3000, B = 2000..5000 (overlap 1001), C disjoint 9000..9400
+    val rows = (1L to 3000L).map(("A", _)) ++
+      (2000L to 5000L).map(("B", _)) ++ (9000L to 9400L).map(("C", _))
+    val df = rows.toDF("g", "key")
+    val out = Sketches.hllOverlap(df, "g", "key", m = 64, salt = "ov")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // the union's harmonic sum must equal hllDistinct over the merged
+    // slices EXACTLY — max-merge of registers IS the union sketch
+    val abUnion = Sketches.hllDistinct(
+        df.where(col("g") =!= "C").withColumn("g", lit("AB")),
+        "g", "key", m = 64, salt = "ov").collect().head
+    assert(out(("A", "B")).getLong(4) === abUnion.getLong(3),
+      "s_union must equal the directly-sketched union's s_scaled")
+    // overlap estimates: A∩B = 1001 true; HLL σ at m=64 ≈ 13% of EACH
+    // estimate, so the difference carries ~3x that absolute noise
+    val estAB = out(("A", "B")).getDouble(8)
+    assert(math.abs(estAB - 1001.0) < 1300, s"A∩B est $estAB")
+    val estAC = out(("A", "C")).getDouble(8)
+    assert(estAC < 700, s"disjoint overlap est $estAC should be near 0")
+    out.values.foreach(r => assert(r.getDouble(8) >= 0.0, "clamped at 0"))
+  }
+
   test("hdrBounds: lo <= v <= hi, width-1 below 2^s, relative width <= 2^-s above") {
     val rnd = new scala.util.Random(5)
     val vs = Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 1023L) ++

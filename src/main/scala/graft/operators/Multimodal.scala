@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Default band-bucket occupancy cap for the aHash LSH family
+    * ([[aHashNearDupPairs]] / [[videoNearDupPairs]] /
+    * [[videoNearDupPairsGif]]). Low-entropy media collapse onto few
+    * 16-bit band keys and the candidate self-join saturates
+    * quadratically (measured r14 at sf1: 174k near-uniform frames →
+    * ~2.7k distinct keys → 211M candidate rows); buckets above this cap
+    * are dropped before the self-join. 256 is from the r14 cap sweep
+    * (64/256/1024 → 4.0/4.3/14.8 s on the sf1 codec family): the
+    * largest cap still inside the flat part of the cost curve, bounding
+    * per-bucket candidates at 256² ≈ 65k while keeping every bucket a
+    * plausible same-content cohort could realistically fill. */
+  val DefaultMaxBandDf = 256
+
   /** A media row: payload + typed metadata (parquet-friendly). */
   case class MediaRecord(
       media_id: Long,
@@ -407,13 +420,17 @@ object Multimodal {
     * the cap are DROPPED before the self-join (a pure function of the
     * input, SQL-replayable; pairs whose EVERY shared band is that hot
     * are lost — the documented recall trade, hit exactly by media a
-    * near-dup decision cannot distinguish anyway). Default None keeps
-    * the exact-recall spec shape. */
+    * near-dup decision cannot distinguish anyway). The guard is ON BY
+    * DEFAULT at [[DefaultMaxBandDf]] as of r15 (the r14 verdict's one
+    * named scale-killer): per-bucket candidate volume is bounded at
+    * cap², so the join is O(corpus · cap) worst-case instead of
+    * birthday-quadratic. Pass `None` only for exact-recall audits at
+    * known-small scale. */
   def aHashNearDupPairs(
       sigs: DataFrame,
       maxHamming: Int = 6,
       idCol: String = "media_id",
-      maxBandDf: Option[Int] = None): DataFrame = {
+      maxBandDf: Option[Int] = Some(DefaultMaxBandDf)): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64, s"maxHamming $maxHamming")
     require(maxBandDf.forall(_ >= 2), s"maxBandDf $maxBandDf must be >= 2")
     // the signature frame feeds the band fan-out (self-joined) AND both
@@ -481,7 +498,7 @@ object Multimodal {
       minMatchedFrames: Int = 3,
       idCol: String = "media_id",
       payloadCol: String = "payload",
-      maxBandDf: Option[Int] = None): DataFrame = {
+      maxBandDf: Option[Int] = Some(DefaultMaxBandDf)): DataFrame = {
     require(nFrames >= 1 && frameBytes >= 1)
     require(minMatchedFrames >= 1 && minMatchedFrames <= nFrames,
       s"minMatchedFrames $minMatchedFrames must be in [1, $nFrames]")
@@ -683,7 +700,7 @@ object Multimodal {
       nFrames: Int = 4,
       maxHamming: Int = 6,
       minMatchedFrames: Int = 3,
-      maxBandDf: Option[Int] = None): DataFrame = {
+      maxBandDf: Option[Int] = Some(DefaultMaxBandDf)): DataFrame = {
     require(nFrames >= 1)
     require(minMatchedFrames >= 1 && minMatchedFrames <= nFrames,
       s"minMatchedFrames $minMatchedFrames must be in [1, $nFrames]")

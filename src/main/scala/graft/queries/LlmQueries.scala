@@ -2324,7 +2324,10 @@ object LlmQueries extends QueryGroup {
       "the 4 16-bit bands generates candidates, exact 64-bit hamming " +
       "verifies. PNG losslessness is what makes a real codec roundtrip " +
       "SQL-replayable: the oracle recomputes the pixels from the byte " +
-      "pattern and replays block/bit/band/candidate/hamming exactly",
+      "pattern and replays block/bit/band/candidate/hamming exactly, " +
+      "including the default maxBandDf=256 hot-bucket guard (r15: the " +
+      "count-conditional rule is now ON by default, bounding the " +
+      "band self-join at cap^2 per bucket instead of birthday-quadratic)",
     (s, dir) =>
       Multimodal.aHashNearDupPairs(
           Multimodal.imageAHash(
@@ -2335,8 +2338,12 @@ object LlmQueries extends QueryGroup {
           maxHamming = 6)
         .orderBy("ia", "ib"),
     Some(s"""WITH $ORACLE_AHASH_SIG,
+              calm AS (SELECT band, bk FROM bands GROUP BY 1, 2
+                       HAVING COUNT(*) <= 256),
+              cb AS (SELECT bands.doc_id, bands.band, bands.bk
+                     FROM bands JOIN calm USING (band, bk)),
               cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                       FROM bands a JOIN bands b
+                       FROM cb a JOIN cb b
                          ON a.band = b.band AND a.bk = b.bk
                         AND a.doc_id < b.doc_id),
               v AS (SELECT cand.ia, cand.ib,
@@ -2383,7 +2390,9 @@ object LlmQueries extends QueryGroup {
       "vote video dedup shape with a real multi-frame container codec " +
       "genuinely in the loop both directions; GIF LZW is lossless over " +
       "palette indices, so the oracle replays slice/pixel/block/bit/" +
-      "band/vote in exact integer SQL unchanged",
+      "band/vote in exact integer SQL unchanged — including the default " +
+      "maxBandDf=256 guard on the frame-aligned (fidx, band, key) " +
+      "buckets (r15 count-conditional default)",
     (s, dir) =>
       Multimodal.videoNearDupPairsGif(
           Multimodal.renderAnimatedGif(
@@ -2418,8 +2427,12 @@ object LlmQueries extends QueryGroup {
                        MAX(CASE WHEN band = 2 THEN bk END) AS b2,
                        MAX(CASE WHEN band = 3 THEN bk END) AS b3
                      FROM bands GROUP BY 1, 2),
+             calm AS (SELECT fidx, band, bk FROM bands GROUP BY 1, 2, 3
+                      HAVING COUNT(*) <= 256),
+             cb AS (SELECT bands.doc_id, bands.fidx, bands.band, bands.bk
+                    FROM bands JOIN calm USING (fidx, band, bk)),
              cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                      FROM bands a JOIN bands b
+                      FROM cb a JOIN cb b
                         ON a.fidx = b.fidx AND a.band = b.band AND a.bk = b.bk
                        AND a.doc_id < b.doc_id),
              pf AS (SELECT cand.ia, cand.ib,
@@ -2491,7 +2504,9 @@ object LlmQueries extends QueryGroup {
       "frame votes) so the strictness lives in the JOINT agreement, " +
       "not any single signal: the corroboration gate a pipeline runs " +
       "before destructive removal; one codec pass per modality, pair " +
-      "sets union as 16-byte currency, sorted modality audit string",
+      "sets union as 16-byte currency, sorted modality audit string; " +
+      "all three modality LSH passes run the default maxBandDf=256 " +
+      "guard, replayed per-modality in the oracle (r15)",
     (s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
@@ -2536,8 +2551,12 @@ object LlmQueries extends QueryGroup {
                         MAX(CASE WHEN band = 2 THEN bk END) AS b2,
                         MAX(CASE WHEN band = 3 THEN bk END) AS b3
                       FROM ibands GROUP BY 1),
+             icalm AS (SELECT band, bk FROM ibands GROUP BY 1, 2
+                       HAVING COUNT(*) <= 256),
+             icb AS (SELECT ibands.doc_id, ibands.band, ibands.bk
+                     FROM ibands JOIN icalm USING (band, bk)),
              icand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                       FROM ibands a JOIN ibands b
+                       FROM icb a JOIN icb b
                          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
              ipair AS (SELECT icand.ia, icand.ib FROM icand
                        JOIN isig sa ON sa.doc_id = icand.ia
@@ -2570,8 +2589,12 @@ object LlmQueries extends QueryGroup {
                         MAX(CASE WHEN band = 2 THEN bk END) AS b2,
                         MAX(CASE WHEN band = 3 THEN bk END) AS b3
                       FROM vbands GROUP BY 1, 2),
+             vcalm AS (SELECT fidx, band, bk FROM vbands GROUP BY 1, 2, 3
+                       HAVING COUNT(*) <= 256),
+             vcb AS (SELECT vbands.doc_id, vbands.fidx, vbands.band, vbands.bk
+                     FROM vbands JOIN vcalm USING (fidx, band, bk)),
              vcand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                       FROM vbands a JOIN vbands b
+                       FROM vcb a JOIN vcb b
                          ON a.fidx = b.fidx AND a.band = b.band AND a.bk = b.bk
                         AND a.doc_id < b.doc_id),
              vpf AS (SELECT vcand.ia, vcand.ib,
@@ -2598,8 +2621,12 @@ object LlmQueries extends QueryGroup {
                         MAX(CASE WHEN band = 2 THEN bk END) AS b2,
                         MAX(CASE WHEN band = 3 THEN bk END) AS b3
                       FROM abands GROUP BY 1),
+             acalm AS (SELECT band, bk FROM abands GROUP BY 1, 2
+                       HAVING COUNT(*) <= 256),
+             acb AS (SELECT abands.doc_id, abands.band, abands.bk
+                     FROM abands JOIN acalm USING (band, bk)),
              acand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                       FROM abands a JOIN abands b
+                       FROM acb a JOIN acb b
                          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
              apair AS (SELECT acand.ia, acand.ib FROM acand
                        JOIN asig sa ON sa.doc_id = acand.ia

@@ -324,6 +324,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(cappedImg === Set((100L, 101L)))
   }
 
+  test("maxBandDf defaults ON at DefaultMaxBandDf: oversized buckets drop without opting in") {
+    val s = spark
+    import s.implicits._
+    // one band bucket holding DefaultMaxBandDf+4 identical signatures
+    // (over the cap) + a calm distinctive pair under it
+    val hotN = Multimodal.DefaultMaxBandDf + 4
+    val hot = (1L to hotN.toLong).map(i =>
+      (i, 0x1111L, 0x2222L, 0x3333L, 0x4444L))
+    val calm = Seq(
+      (9001L, 0xAAAAL, 0xBBB1L, 0xCCCCL, 0xDDDDL),
+      (9002L, 0xAAAAL, 0xBBB3L, 0xCCCCL, 0xDDDDL))
+    val df = (hot ++ calm).toDF("media_id", "band0", "band1", "band2", "band3")
+    // default args: the hot cohort must be suppressed, the calm pair kept
+    val defaultPairs = Multimodal.aHashNearDupPairs(df, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaultPairs === Set((9001L, 9002L)),
+      s"default guard must drop the ${hotN}-member bucket, got ${defaultPairs.size} pairs")
+    // explicit None restores exact recall (the audit escape hatch)
+    val uncapped = Multimodal.aHashNearDupPairs(df, maxHamming = 6,
+        maxBandDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === hotN * (hotN - 1) / 2 + 1,
+      "maxBandDf=None must keep the quadratic hot cohort")
+  }
+
   test("videoNearDupPairsGif equals videoNearDupPairs on the same fixture") {
     val s = spark
     import s.implicits._

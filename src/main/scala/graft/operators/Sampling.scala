@@ -490,6 +490,35 @@ object Sampling {
     * aggregation with map-side combining. Join fan-out is k·N/nBuckets
     * per anchor — CONSTANT when nBuckets scales with N, the documented
     * contract. No driver state, no global sort. */
+  /** The count-conditional bucket rule for [[negativePairs]]:
+    * `max(minBuckets, n / targetOccupancy)` — the documented
+    * "nBuckets ≈ N/8" contract made executable, so per-draw join
+    * fan-out (k·N/nBuckets ≈ k·targetOccupancy) stays CONSTANT as the
+    * corpus grows instead of linear (the r14 verdict's q143 finding:
+    * a pinned 64 measured 29.4× at 10× data). A pure integer function
+    * of the corpus count, so a SQL oracle replays it verbatim as
+    * `GREATEST(minBuckets, COUNT(*) // targetOccupancy)`. */
+  def scaledBuckets(n: Long, minBuckets: Int = 64, targetOccupancy: Int = 8): Int = {
+    require(n >= 0L && minBuckets >= 1 && targetOccupancy >= 1,
+      s"scaledBuckets(n=$n, minBuckets=$minBuckets, targetOccupancy=$targetOccupancy)")
+    math.min(Int.MaxValue.toLong, math.max(minBuckets.toLong, n / targetOccupancy)).toInt
+  }
+
+  /** [[negativePairs]] with `nBuckets` derived by [[scaledBuckets]] from
+    * a cheap corpus count (parquet row-count metadata — no full scan):
+    * the production entry point; the fixed-`nBuckets` overload remains
+    * for callers pinning geometry across snapshots of known size. */
+  def negativePairsAuto(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      groupCol: String,
+      salt: String = "",
+      minBuckets: Int = 64,
+      targetOccupancy: Int = 8): DataFrame =
+    negativePairs(df, idCol, k,
+      scaledBuckets(df.count(), minBuckets, targetOccupancy), groupCol, salt)
+
   def negativePairs(
       df: DataFrame,
       idCol: String,

@@ -3908,16 +3908,20 @@ object LlmQueries extends QueryGroup {
       "drops, surfaced as a missing row) — one bucket-keyed shuffle " +
       "join, never corpus², reproducible run-over-run like the shard " +
       "export; oracle replays all three hash levels, the per-draw " +
-      "argmin, and the collision dedup exactly",
+      "argmin, and the collision dedup exactly; nBuckets derives " +
+      "count-conditionally as max(64, n/8) (r15 — the pinned 64 grew " +
+      "per-draw fan-out linearly with the corpus), the same integer " +
+      "rule the oracle computes from COUNT(*)",
     (s, dir) =>
-      graft.operators.Sampling.negativePairs(
+      graft.operators.Sampling.negativePairsAuto(
           t(s, dir, "documents"), idCol = "doc_id", k = 4,
-          nBuckets = 64, groupCol = "source", salt = "v1")
+          groupCol = "source", salt = "v1")
         .select(col("doc_id"), col("draw").cast("long").as("draw"),
           col("neg_doc_id"))
         .orderBy("doc_id", "draw"),
     Some("""WITH m AS (SELECT doc_id AS nid, source AS ngrp,
-                    ((h + 479001599) * (h + 987654323)) % 1000000007 % 64 AS bkt
+                    ((h + 479001599) * (h + 987654323)) % 1000000007
+                      % (SELECT GREATEST(64, COUNT(*) // 8) FROM documents) AS bkt
                   FROM (SELECT doc_id, source,
                           list_reduce(list_prepend(CAST(0 AS BIGINT),
                             list_transform(string_split(
@@ -3926,7 +3930,8 @@ object LlmQueries extends QueryGroup {
                             (a, v) -> (a * 31 + v) % 1000000007) AS h
                         FROM documents)),
             d AS (SELECT aid, agrp, draw,
-                    ((h + 479001599) * (h + 987654323)) % 1000000007 % 64 AS bkt
+                    ((h + 479001599) * (h + 987654323)) % 1000000007
+                      % (SELECT GREATEST(64, COUNT(*) // 8) FROM documents) AS bkt
                   FROM (SELECT doc_id AS aid, source AS agrp, j AS draw,
                           list_reduce(list_prepend(CAST(0 AS BIGINT),
                             list_transform(string_split(

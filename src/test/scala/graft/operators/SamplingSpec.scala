@@ -410,6 +410,32 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.count() === 0L, "single-group corpus has no valid negatives")
   }
 
+  test("scaledBuckets: the count-conditional rule — floor 64, then n/8, capped") {
+    assert(Sampling.scaledBuckets(0L) === 64)
+    assert(Sampling.scaledBuckets(500L) === 64, "n/8 below the floor keeps the floor")
+    assert(Sampling.scaledBuckets(512L) === 64)
+    assert(Sampling.scaledBuckets(520L) === 65, "above the floor, exactly n/8")
+    assert(Sampling.scaledBuckets(5000L) === 625)
+    assert(Sampling.scaledBuckets(Long.MaxValue) === Int.MaxValue, "Int overflow capped")
+    assert(Sampling.scaledBuckets(100L, minBuckets = 4, targetOccupancy = 10) === 10)
+  }
+
+  test("negativePairsAuto: equals negativePairs at the derived bucket count; deterministic") {
+    val docs = (0L until 600L).map(i => (i, s"g${i % 3}")).toSeq.toDF("doc_id", "source")
+    val auto = Sampling.negativePairsAuto(docs, "doc_id", k = 2,
+        groupCol = "source", salt = "a")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // 600/8 = 75 buckets — the rule the oracle replays from COUNT(*)
+    val pinned = Sampling.negativePairs(docs, "doc_id", k = 2, nBuckets = 75,
+        groupCol = "source", salt = "a")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(auto === pinned, "auto must equal the explicit derived geometry")
+    val rerun = Sampling.negativePairsAuto(docs.repartition(5), "doc_id", k = 2,
+        groupCol = "source", salt = "a")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rerun === auto, "derived-bucket draw is partition-invariant run-over-run")
+  }
+
   test("neymanAllocation: hand-computed weights, caps, and degenerate strata") {
     // A: 4 rows, sd(1,1,9,9) = sqrt((4*164-400)/(4*3)) = sqrt(256/12)
     // B: 4 rows of the same value: S = 0 -> weight 0

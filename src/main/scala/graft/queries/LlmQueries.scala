@@ -5400,6 +5400,66 @@ object LlmQueries extends QueryGroup {
     },
     Some(WordPieceTrain.mergesSqlCtes("documents", numMerges = 12)))
 
+  val q225 = QueryDef(
+    "q225_suffix_repeat_cut",
+    "suffix-array substring dedup, mine AND cut (r15 — closing the " +
+      "r14 verdict's item 3): q216's exact-repeat miner feeds " +
+      "Dedup.removeRepeatStrings, which deletes every occurrence of " +
+      "the mined any-length repeats from the audit slice — the full " +
+      "Lee et al. 2022 substring-dedup pipeline (the span family " +
+      "q63-q65 cuts at fixed n-token windows; this cuts the exact " +
+      "character substrings the SA surfaced). The repeat set is " +
+      "model-sized driver state (<= topK strings); the cut is one " +
+      "narrow codegen'd replace fold in a FIXED total order (length " +
+      "desc, then lexicographic — longest-first so shorter repeats " +
+      "never destroy longer occurrences), single-pass left-to-right " +
+      "replace semantics identical in both engines, so the oracle " +
+      "replays mine + order + fold verbatim",
+    (s, dir) => {
+      val slice = t(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0 && length(col("text")) >= 1)
+      val reps = graft.operators.SuffixArray.longestRepeats(slice,
+          lcpCap = 64, minLen = 20, topK = 20)
+        .select("rep").distinct().collect().map(_.getString(0)).toSeq
+      graft.operators.Dedup.removeRepeatStrings(slice, reps)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id AS id, text AS txt FROM documents
+                       WHERE doc_id % 5 = 0 AND length(text) >= 1),
+              sfx AS (SELECT id, UNNEST(generate_series(1, length(txt))) AS pos,
+                        txt FROM d),
+              s2 AS (SELECT id, pos, substr(txt, CAST(pos AS INT)) AS sfx,
+                       substr(txt, CAST(pos AS INT), 64) AS pfx FROM sfx),
+              sa AS (SELECT id, pos, pfx,
+                       ROW_NUMBER() OVER (ORDER BY sfx, id, pos) - 1 AS sa
+                     FROM s2),
+              adj AS (SELECT a.id AS a_doc, a.pos AS a_pos, a.pfx AS a_pfx,
+                        b.id AS b_doc, b.pos AS b_pos, b.pfx AS b_pfx
+                      FROM sa a JOIN sa b ON b.sa = a.sa + 1),
+              l AS (SELECT *,
+                      list_reduce(
+                        list_prepend(CAST(0 AS BIGINT), generate_series(1, 64)),
+                        (acc, i) -> CASE WHEN acc = i - 1
+                            AND i <= least(length(a_pfx), length(b_pfx))
+                            AND substr(a_pfx, CAST(i AS INT), 1)
+                                = substr(b_pfx, CAST(i AS INT), 1)
+                          THEN i ELSE acc END) AS lcp
+                    FROM adj),
+              top AS (SELECT lcp, substr(a_pfx, 1, CAST(lcp AS INT)) AS rep,
+                        a_doc, a_pos
+                      FROM l WHERE lcp >= 20
+                      ORDER BY lcp DESC, a_doc, a_pos LIMIT 20),
+              rl AS (SELECT LIST(rep ORDER BY length(rep) DESC, rep) AS rs
+                     FROM (SELECT DISTINCT rep FROM top)),
+              cutd AS (SELECT id, txt,
+                         list_reduce(
+                           list_prepend(txt, COALESCE((SELECT rs FROM rl), [])),
+                           (acc, r) -> replace(acc, r, '')) AS clean_text
+                       FROM d)
+            SELECT id AS doc_id, CAST(length(txt) AS BIGINT) AS n_chars,
+              CAST(length(clean_text) AS BIGINT) AS kept_chars, clean_text
+            FROM cutd ORDER BY doc_id"""))
+
   /** The verified near-dup pair graph as a self-contained SELECT (own
     * WITH chain) yielding unique undirected (a, b) — the shared edge set
     * of q212 (triangles) and q218 (label propagation), one source for
@@ -5523,5 +5583,5 @@ object LlmQueries extends QueryGroup {
       q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q131, q132, q133, q134, q137, q138, q139, q140, q142,
       q143, q144, q145, q146, q147, q166, q170, q171, q173, q174, q175, q176, q179, q181, q182, q183, q184, q185, q189, q192, q196, q197, q199, q200,
-      q205, q206, q208, q211, q212, q215, q216, q217, q218, q219)
+      q205, q206, q208, q211, q212, q215, q216, q217, q218, q219, q225)
 }

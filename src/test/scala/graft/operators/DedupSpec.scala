@@ -1104,6 +1104,41 @@ class DedupSpec extends SparkSpecBase {
     assert(got.size === 3, "disjoint pairs emit nothing — absence IS the zero")
   }
 
+  test("removeRepeatStrings: longest-first fold, all occurrences cut, clean docs untouched") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(
+      (1L, "AA the long repeated boilerplate block BB the long CC"),
+      (2L, "the long repeated boilerplate block twice: the long repeated boilerplate block"),
+      (3L, "nothing shared here")
+    ).toDF("doc_id", "text")
+    // "the long" is a substring of the longer repeat: longest-first means
+    // the full block is cut before the short one can break it apart
+    val out = Dedup.removeRepeatStrings(df,
+        Seq("the long", "the long repeated boilerplate block"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((53L, 10L, "AA  BB  CC")),
+      s"doc 1: long block cut, then short repeat cut, got ${out(1L)}")
+    assert(out(2L)._3 === " twice: ", "both occurrences of the block cut")
+    assert(out(3L) === ((19L, 19L, "nothing shared here")), "clean doc untouched")
+    // determinism: input order of reps must not matter (internal total order)
+    val flipped = Dedup.removeRepeatStrings(df,
+        Seq("the long repeated boilerplate block", "the long"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(flipped === out.view.mapValues(_._3).toMap)
+  }
+
+  test("removeRepeatStrings: empty repeat and oversized set fail loud") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.removeRepeatStrings(df, Seq(""))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.removeRepeatStrings(df, (0 until 10001).map(i => s"r$i"))
+    }
+  }
+
   private def round4(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -387,6 +387,20 @@ object Sketches {
       valueCol: String,
       subBits: Int = 5): DataFrame = {
     require(subBits >= 1 && subBits <= 16, s"subBits $subBits outside [1, 16]")
+    // Integer-valued columns ONLY (r15, ADVICE — the Trend.cusum rule):
+    // a silent cast("long") would TRUNCATE fractional values toward zero
+    // (2.7 -> 2), inconsistent with the documented non-negative-int64
+    // layout contract and with q223's round(v*1e6) pre-quantization.
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Sketches.hdrHistogram: value column '$valueCol' must be integral " +
+          s"(got $dt) — pre-quantize fractional values with round(v * 10^d), " +
+          "as q223 does with round(v*1e6)")
+    }
     withHdrBounds(
         df.where(col(valueCol).isNotNull)
           .select(col(groupCol).as("g"), col(valueCol).cast("long").as("__v")),

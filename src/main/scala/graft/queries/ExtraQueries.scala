@@ -2887,7 +2887,9 @@ object ExtraQueries extends QueryGroup {
         .orderBy("event_type", "q_name")
     },
     Some("""WITH v AS (SELECT event_type AS g,
-                    CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+                    CASE WHEN value < 0 THEN error(
+                        'q223: negative value violates the HDR non-negative layout contract')
+                      ELSE CAST(ROUND(value * 1000000.0) AS BIGINT) END AS v
                   FROM events WHERE value IS NOT NULL),
             s1 AS (SELECT g, v, v | (v >> 1) AS x FROM v),
             s2 AS (SELECT g, v, x | (x >> 2) AS x FROM s1),

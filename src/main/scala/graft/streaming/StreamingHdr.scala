@@ -37,8 +37,12 @@ final case class HdrWindowRow(
   * matches literal for literal.
   *
   * State per key: one long per occupied bucket per open window —
-  * geometry-bounded. Key population is caller-owned
-  * ([[StreamingFunnel]]'s bounded-key-domain contract). */
+  * geometry-bounded. Key POPULATION is unbounded by default (a quiet
+  * key keeps its (doneSlot, empty) record so the exactly-once
+  * late-drop contract holds); pass `dropIdleAfterUs = Some(ttl)` to
+  * retire keys idle past `ttl` of watermark time, accepting the
+  * boundary-instant duplicate-emission trade on revival — see
+  * [[StreamingHll]]'s scaladoc for the full contract (r15, ADVICE). */
 object StreamingHdr {
 
   /** HDR bucket lower/upper bounds of a non-negative value — the JVM
@@ -107,10 +111,13 @@ object StreamingHdr {
       bucketUs: Long,
       watermarkDelay: String,
       qs: Seq[(String, Double)],
-      subBits: Int = 5)(
+      subBits: Int = 5,
+      dropIdleAfterUs: Option[Long] = None)(
       implicit se: Encoder[HdrState],
       re: Encoder[HdrWindowRow]): Dataset[HdrWindowRow] = {
     require(bucketUs > 0, s"bucketUs $bucketUs must be positive")
+    require(dropIdleAfterUs.forall(_ > 0L),
+      s"dropIdleAfterUs $dropIdleAfterUs must be positive when set")
     require(subBits >= 1 && subBits <= 16, s"subBits $subBits outside [1, 16]")
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
       s"quantiles must be in [0,1]: $qs")
@@ -127,12 +134,23 @@ object StreamingHdr {
         (key, ticks, state) =>
           val old = state.getOption.getOrElse(HdrState(None, Map.empty))
           val wm = state.getCurrentWatermarkMs() * 1000L
-          val (rows, next) = step(old, ticks.toSeq, bucketUs, subBits, qs, wm)
-          state.update(next)
-          next.open.keys.minOption.foreach { s =>
+          val batch = ticks.toSeq
+          val (rows, next) = step(old, batch, bucketUs, subBits, qs, wm)
+          if (next.open.nonEmpty) {
+            state.update(next)
+            val s = next.open.keys.min
             val armAt = ((s + 1) * bucketUs + 999L) / 1000L
             state.setTimeoutTimestamp(
               math.max(armAt, state.getCurrentWatermarkMs() + 1L))
+          } else dropIdleAfterUs match {
+            case Some(_) if state.hasTimedOut && batch.isEmpty && old.open.isEmpty =>
+              state.remove() // idle-TTL fired: retire the key (see scaladoc)
+            case Some(ttl) =>
+              state.update(next)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + math.max(ttl / 1000L, 1L))
+            case None =>
+              state.update(next)
           }
           rows.iterator.map(_.copy(key = key))
       }

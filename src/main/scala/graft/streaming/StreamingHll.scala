@@ -37,8 +37,21 @@ final case class HllWindowRow(
   * per-micro-batch folding is order-insensitive by construction.
   *
   * State per key: ~64 small ints per open window — constant in member
-  * volume. Key population is caller-owned ([[StreamingFunnel]]'s
-  * bounded-key-domain contract). */
+  * volume. Key POPULATION, however, is unbounded by default: a key that
+  * goes quiet retains its (doneSlot, empty-map) record forever, because
+  * doneSlot is what makes the exactly-once late-drop contract hold for
+  * that key. Two modes (r15, ADVICE):
+  *  - `dropIdleAfterUs = None` (default): state grows with the LIFETIME
+  *    key domain — the caller-owned bounded-key-domain contract
+  *    ([[StreamingFunnel]]'s rule), now enforced as an explicit choice.
+  *  - `dropIdleAfterUs = Some(ttl)`: a key idle (no open windows, no
+  *    ticks) past `ttl` of WATERMARK time is retired via
+  *    `state.remove()`. A retired key that revives starts fresh —
+  *    doneSlot is forgotten, so a tick straddling the exact watermark
+  *    boundary could re-open (and re-emit) an already-finalized window:
+  *    the documented duplicate-emission trade. Spark's own watermark
+  *    late-row filter still drops anything strictly older than the
+  *    watermark, so the exposure is the boundary instant, not history. */
 object StreamingHll {
 
   /** Register count (m), bit budget, and α_64 — pinned to the batch
@@ -101,10 +114,13 @@ object StreamingHll {
       ds: Dataset[HllTick],
       bucketUs: Long,
       watermarkDelay: String,
-      salt: String = "")(
+      salt: String = "",
+      dropIdleAfterUs: Option[Long] = None)(
       implicit se: Encoder[HllState],
       re: Encoder[HllWindowRow]): Dataset[HllWindowRow] = {
     require(bucketUs > 0, s"bucketUs $bucketUs must be positive")
+    require(dropIdleAfterUs.forall(_ > 0L),
+      s"dropIdleAfterUs $dropIdleAfterUs must be positive when set")
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     val withTime = ds
@@ -118,15 +134,31 @@ object StreamingHll {
         (key, ticks, state) =>
           val old = state.getOption.getOrElse(HllState(None, Map.empty))
           val wm = state.getCurrentWatermarkMs() * 1000L
-          val (rows, next) = step(old, ticks.toSeq, bucketUs, salt, wm)
-          state.update(next)
-          // re-arm on the earliest still-open close boundary (the
-          // StreamingResample ceil-and-clamp rule) so empty batches
-          // keep finalizing as the watermark advances
-          next.open.keys.minOption.foreach { s =>
+          val batch = ticks.toSeq
+          val (rows, next) = step(old, batch, bucketUs, salt, wm)
+          if (next.open.nonEmpty) {
+            state.update(next)
+            // re-arm on the earliest still-open close boundary (the
+            // StreamingResample ceil-and-clamp rule) so empty batches
+            // keep finalizing as the watermark advances
+            val s = next.open.keys.min
             val armAt = ((s + 1) * bucketUs + 999L) / 1000L
             state.setTimeoutTimestamp(
               math.max(armAt, state.getCurrentWatermarkMs() + 1L))
+          } else dropIdleAfterUs match {
+            case Some(_) if state.hasTimedOut && batch.isEmpty && old.open.isEmpty =>
+              // the idle-TTL arm fired with nothing new since: retire the
+              // key (doneSlot forgotten — the documented revival trade)
+              state.remove()
+            case Some(ttl) =>
+              // newly idle: arm the TTL in watermark time
+              state.update(next)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + math.max(ttl / 1000L, 1L))
+            case None =>
+              // default: retain (doneSlot, empty) forever — the explicit
+              // bounded-key-domain contract
+              state.update(next)
           }
           rows.iterator.map(_.copy(key = key))
       }

@@ -238,4 +238,14 @@ class SketchesSpec extends SparkSpecBase {
       .agg(sum("cnt").as("cnt")).collect().map(_.toSeq).toSet
     assert(combined === one)
   }
+
+  test("hdrHistogram rejects fractional value columns — no silent truncation") {
+    // 2.7 would silently floor to 2 under cast('long'); the contract is
+    // pre-quantization (round(v*10^d)), enforced like Trend.cusum
+    val df = Seq(("g", 2.7), ("g", 3.1)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hdrHistogram(df, "g", "v")
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
 }

@@ -81,4 +81,28 @@ class StreamingHdrSpec extends SparkSpecBase {
       assert(got.size === 18, "3 slots x 2 keys x 3 quantiles")
     } finally q.stop()
   }
+
+  test("dropIdleAfterUs: idle keys retire through the TTL path; revived keys keep emitting") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[HdrTick](s)
+    val q = StreamingHdr(ms.toDS(), Bucket, watermarkDelay = "0 seconds", Qs,
+        dropIdleAfterUs = Some(Bucket))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hdr_ttl").start()
+    try {
+      ms.addData(HdrTick("a", 10L, 5L), HdrTick("a", 20L, 7L))
+      q.processAllAvailable()
+      ms.addData(HdrTick("wm1", 10 * Bucket, 1L)); q.processAllAvailable()
+      ms.addData(HdrTick("wm2", 20 * Bucket, 1L)); q.processAllAvailable()
+      ms.addData(HdrTick("wm3", 30 * Bucket, 1L)); q.processAllAvailable()
+      ms.addData(HdrTick("a", 40 * Bucket + 5L, 9L)); q.processAllAvailable()
+      ms.addData(HdrTick("wm4", 50 * Bucket, 1L)); q.processAllAvailable()
+      ms.addData(HdrTick("wm5", 60 * Bucket, 1L)); q.processAllAvailable()
+      val slots = s.table("hdr_ttl").where(col("key") === "a").collect()
+        .map(_.getLong(1)).distinct.sorted.toSeq
+      assert(slots === Seq(0L, 40L),
+        s"pre-retirement and revived windows each finalize exactly once, got $slots")
+    } finally q.stop()
+  }
 }

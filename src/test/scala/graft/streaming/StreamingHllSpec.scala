@@ -91,4 +91,31 @@ class StreamingHllSpec extends SparkSpecBase {
       assert(got.nonEmpty && got.keySet.map(_._1) === Set("a", "b"))
     } finally q.stop()
   }
+
+  test("dropIdleAfterUs: idle keys retire through the TTL path; revived keys keep emitting") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[HllTick](s)
+    val q = StreamingHll(ms.toDS(), Bucket, watermarkDelay = "0 seconds",
+        salt = "ttl", dropIdleAfterUs = Some(Bucket)) // retire after 1s idle
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hll_ttl").start()
+    try {
+      // key a fills slot 0; unrelated keys then march the watermark
+      // forward so (1) the close-boundary arm fires, (2) the idle TTL
+      // arm fires and REMOVES a's state, (3) a revives fresh
+      ms.addData(HllTick("a", 10L, "m1"), HllTick("a", 20L, "m2"))
+      q.processAllAvailable()
+      ms.addData(HllTick("wm1", 10 * Bucket, "x")); q.processAllAvailable()
+      ms.addData(HllTick("wm2", 20 * Bucket, "x")); q.processAllAvailable()
+      ms.addData(HllTick("wm3", 30 * Bucket, "x")); q.processAllAvailable()
+      ms.addData(HllTick("a", 40 * Bucket + 5L, "m3")); q.processAllAvailable()
+      ms.addData(HllTick("wm4", 50 * Bucket, "x")); q.processAllAvailable()
+      ms.addData(HllTick("wm5", 60 * Bucket, "x")); q.processAllAvailable()
+      val slots = s.table("hll_ttl").where(col("key") === "a").collect()
+        .map(_.getLong(1)).sorted.toSeq
+      assert(slots === Seq(0L, 40L),
+        s"pre-retirement and revived windows each finalize exactly once, got $slots")
+    } finally q.stop()
+  }
 }

@@ -78,6 +78,24 @@ object Bench {
         if (ok) Some(name -> elapsed)
         else { System.err.println(s"[bench] rerun of $name FAILED"); None }
       }.toMap
+    // r14 verdict item 9 (bench hygiene): the HEADLINE per-query number
+    // must be the structural one, not the contention-inflated in-sweep
+    // reading — three rounds running, the worst in-sweep numbers were
+    // disproven by their own rerun column, and a reader of BENCH_rN who
+    // missed that column drew the wrong conclusion. So the published
+    // `queries` map takes min(insweep, rerun) for the rerun'd slowest-k
+    // (a query cannot run FASTER than its structural cost; the min is
+    // the better estimate of it), while the raw in-sweep readings stay
+    // visible in the `insweep` map and the `rerun` map records the
+    // second pass verbatim — nothing is hidden, but the headline no
+    // longer depends on the reader cross-referencing.
+    val insweepOverridden: Map[String, Double] =
+      results.collect { case (name, v, _, true)
+        if rerun.get(name).exists(_ < v) => name -> v }.toMap
+    val headline = results.map { case (name, v, cpu, ok) =>
+      val hv = if (ok) math.min(v, rerun.getOrElse(name, v)) else v
+      (name, hv, cpu, ok)
+    }
     // Two renderings of the same numbers (r9 verdict item: the driver
     // keeps only the final 2,000 stdout chars, which truncated the
     // 130-key line mid-JSON):
@@ -92,7 +110,7 @@ object Bench {
     def render(
         key: (String, Double, Boolean) => String,
         decimals: Int = 3,
-        keep: Seq[(String, Double, Double, Boolean)] = results,
+        keep: Seq[(String, Double, Double, Boolean)] = headline,
         withCpu: Boolean = false): String = {
       val qs = keep.map { case (k, v, _, ok) =>
         "\"" + key(k, v, ok) + "\":" + fmt(v, decimals)
@@ -115,7 +133,15 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","rerun":$m"""
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${fmt(cpuTotal, decimals)},"queries":$qs$cpuMap$rr$trunc,"errors":$errs,"sf":"$sfDir"}"""
+      // raw in-sweep readings for the queries whose headline came from
+      // the rerun floor — the contention audit trail
+      val isw = if (insweepOverridden.isEmpty) "" else {
+        val m = insweepOverridden.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + key(k, v, true) + "\":" + fmt(v, decimals)
+        }.mkString("{", ",", "}")
+        s""","insweep":$m"""
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${fmt(cpuTotal, decimals)},"queries":$qs$cpuMap$rr$isw$trunc,"errors":$errs,"sf":"$sfDir"}"""
     }
     // The driver keeps only the final 2,000 stdout chars, and a line cut
     // mid-JSON parses as nothing (the r9 failure, which resurfaced when
@@ -129,7 +155,7 @@ object Bench {
       val full = render(shortKey, decimals = 2)
       if (full.length <= 1900) full
       else {
-        val bySlow = results.sortBy(-_._2)
+        val bySlow = headline.sortBy(-_._2)
         // estimated-shrink loop (NOT a bisection): drop ~over/13 of the
         // fastest entries per pass until the line fits — may elide a few
         // more than strictly necessary, which is fine (BENCH_FULL.json

@@ -1039,6 +1039,144 @@ object Quality {
         (center + lit(sign) * spread) / (lit(1.0) + lit(z2) / nn))))
   }
 
+  /** ROC-AUC via the Mann–Whitney rank statistic — the threshold-free
+    * completion of [[confusionMatrix]]/[[cohensKappa]]: those audit a
+    * classifier at ONE cut, AUC is P(score(pos) > score(neg)) over every
+    * cut (ties count half — the trapezoid/mid-rank convention), the
+    * number a gate owner reads before choosing any threshold at all.
+    *
+    * `scoreCol` must be an INTEGRAL pre-quantized score (the
+    * [[graft.operators.Sketches.hdrHistogram]] rule: a double score's
+    * tie structure is not portable across engines — quantize with an
+    * exact integer expression such as `(en·10⁶) div words` first, which
+    * also bounds the distinct-score frame below). NULL labels or scores
+    * are excluded; AUC is NULL when either class is empty (undefined,
+    * never a fabricated 0.5).
+    *
+    * Exactness: with nLt_s = negatives scoring strictly below s,
+    * 2U = Σ_s nPos_s·(2·nLt_s + nNeg_s) accumulates as an exact
+    * decimal integer; auc = 2U / (2·nPos·nNeg) is ONE double division of
+    * exact integer operands, rounded. Output one row:
+    * (n, n_pos, n_neg, u2, auc).
+    *
+    * Scale shape: one corpus aggregation to the per-score cells frame
+    * (map-side combined, distinct-score-sized — bounded by the caller's
+    * quantization, the model-frame contract); the cumulative window and
+    * final fold run on that frame, never on corpus rows. */
+  def rocAuc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.rocAuc: score column '$scoreCol' must be integral " +
+          s"(got $dt) — pre-quantize with an exact integer expression")
+    }
+    val DEC = DecimalType(38, 0)
+    val cells = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos_s"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val u = cells
+      .withColumn("n_lt", coalesce(sum(col("n_neg_s")).over(w), lit(0L)))
+      .agg(
+        coalesce(sum(col("n_pos_s").cast(DEC) *
+          (lit(2L).cast(DEC) * col("n_lt").cast(DEC) +
+            col("n_neg_s").cast(DEC))), lit(0).cast(DEC)).as("u2"),
+        coalesce(sum(col("n_pos_s")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("n_neg_s")), lit(0L)).as("n_neg"))
+    u.select(
+      (col("n_pos") + col("n_neg")).as("n"),
+      col("n_pos"), col("n_neg"), col("u2"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")), roundTo)).as("auc"))
+  }
+
+  /** Binned calibration curve + expected calibration error — [[rocAuc]]
+    * audits a score's RANKING, this audits its VALUES: a well-calibrated
+    * score's bin-mean prediction matches the bin's empirical positive
+    * rate (Naeini et al. 2015's ECE is the weighted mean |gap|), the
+    * audit that decides whether a quality score can be read as a
+    * probability (e.g. as a [[dsirWeights]]-style sampling weight) or
+    * only as a rank.
+    *
+    * `scoreCol` is an integral MICRO-probability in [0, 10⁶] (the q223
+    * micro-quantization convention; the integral-type require as
+    * [[rocAuc]]). Bin b = min(score·bins div 10⁶, bins−1) — pure integer
+    * arithmetic, portable. Per occupied bin: n, sum_score (exact),
+    * conf = sum_score/(n·10⁶), acc = n_pos/n, gap = acc−conf (each ONE
+    * double division/combination of exact integers, rounded). ECE rides
+    * the same exactness: n_b·|acc_b−conf_b| = |n_pos_b·10⁶ −
+    * sum_score_b|/10⁶, so ece = Σ_b |n_pos_b·10⁶ − sum_score_b| /
+    * (N·10⁶) — the numerator an exact integer sum, one final division.
+    * Empty bins emit nothing (the [[confusionMatrix]] dense-grid rule).
+    *
+    * Scale shape: ONE corpus aggregation to the ≤bins-row frame
+    * (map-side combined); the ECE fold and broadcast re-attach are
+    * model-sized. */
+  def calibrationCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(bins >= 2 && bins <= 1000, s"bins $bins outside [2,1000]")
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.calibrationCurve: score column '$scoreCol' must be an " +
+          s"integral micro-probability (got $dt) — quantize as round(p*1e6)")
+    }
+    val DEC = DecimalType(38, 0)
+    val M = 1000000L
+    val binned = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(col(scoreCol).cast("long") * bins / M), lit(bins - 1L))
+          .cast("long").as("bin"),
+        col(scoreCol).cast("long").as("sc"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+    val perBin = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum(col("sc").cast(DEC)).as("sum_score"),
+      sum(col("y")).as("n_pos"))
+    val ece = perBin.agg(
+      coalesce(sum(abs(col("n_pos").cast(DEC) * lit(M).cast(DEC) -
+        col("sum_score"))), lit(0).cast(DEC)).as("gap_num"),
+      coalesce(sum(col("n")), lit(0L)).as("n_tot"))
+      .select(when(col("n_tot") > 0,
+        round(col("gap_num").cast("double") /
+          (col("n_tot").cast("double") * M.toDouble), roundTo)).as("ece"))
+    perBin
+      .crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_score").cast("double") /
+          (col("n").cast("double") * M.toDouble), roundTo).as("conf"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), roundTo)
+          .as("acc"),
+        round((col("n_pos").cast("double") * M.toDouble -
+          col("sum_score").cast("double")) /
+          (col("n").cast("double") * M.toDouble), roundTo).as("gap"),
+        col("ece"))
+      .orderBy("bin")
+  }
+
   /** The published C4 line-level cleanup (Raffel et al. 2020 §2.2 — the
     * other canonical web-corpus gate, [[gopherRules]]' line-granular
     * companion): per document,

@@ -3001,11 +3001,161 @@ object ExtraQueries extends QueryGroup {
               GREATEST(ROUND(est_a + est_b - est_union, 4), 0.0) AS est_overlap
             FROM o ORDER BY type_a, type_b"""))
 
+  /** The q226/q227 shared score: the documents table's English-stopword
+    * MICRO-ratio as an exact integer — (stopword hits × 10⁶) div tokens,
+    * integer floor division on both engines (never a rounded double
+    * quotient: `round(p·10⁶)` of a true quotient can land on a .5 tie
+    * where the engines' rounding rules differ — the q32 float-rule
+    * class; DIV has no tie). Label: the declared `lang = 'en'`. */
+  private def englishnessScored(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.functions.TextOps
+    t(s, dir, "documents")
+      .where(col("lang").isNotNull)
+      .select(
+        TextOps.hitCount(col("text"), TextOps.stopwords("en")).as("en"),
+        TextOps.tokenCount(col("text")).as("words"),
+        (col("lang") === "en").as("is_en"))
+      .where(col("words") > 0)
+      .select(expr("CAST((en * 1000000) DIV words AS BIGINT)").as("score"),
+        col("is_en"))
+  }
+
+  private val englishnessSql: String =
+    """sc AS (SELECT (en * 1000000) // words AS score,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM (SELECT lang,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t))) AS BIGINT) AS en,
+                CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS words
+              FROM documents WHERE lang IS NOT NULL)
+            WHERE words > 0)"""
+
+  val q226 = QueryDef(
+    "q226_roc_auc_rank",
+    "ROC-AUC of the English-stopword score against the declared lang " +
+      "label via the Mann-Whitney rank statistic - the threshold-free " +
+      "classifier audit completing q184/q196's single-cut view (ties " +
+      "count half, the mid-rank convention): per distinct score, (n_pos, " +
+      "n_neg) cells; 2U = sum(n_pos_s * (2*negatives_below + n_neg_s)) " +
+      "accumulates as an exact integer; auc = 2U / (2*n_pos*n_neg), ONE " +
+      "double division of exact operands, rounded. Score pre-quantized " +
+      "as integer micro-ratio by DIV (tie-free on both engines); the " +
+      "cells frame is distinct-score-bounded, never corpus-sized",
+    (s, dir) =>
+      graft.operators.Quality.rocAuc(englishnessScored(s, dir), "score", "is_en")
+        .select(col("n"), col("n_pos"), col("n_neg"), col("auc")),
+    Some(s"""WITH $englishnessSql,
+            cells AS (SELECT score, CAST(SUM(y) AS BIGINT) AS np,
+                    CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+                  FROM sc GROUP BY 1),
+            cum AS (SELECT np, nn,
+                    COALESCE(SUM(nn) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS nlt
+                  FROM cells),
+            u AS (SELECT
+                    COALESCE(SUM(CAST(np AS HUGEINT) *
+                      (2 * CAST(nlt AS HUGEINT) + nn)), 0) AS u2,
+                    CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pos,
+                    CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_neg
+                  FROM cum)
+            SELECT n_pos + n_neg AS n, n_pos, n_neg,
+              CASE WHEN n_pos > 0 AND n_neg > 0
+                   THEN ROUND(CAST(u2 AS DOUBLE) /
+                     (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+              END AS auc
+            FROM u"""))
+
+  val q227 = QueryDef(
+    "q227_calibration_ece",
+    "calibration curve + expected calibration error of the English-" +
+      "stopword micro-score read as P(lang=en) - q226 audits the score's " +
+      "RANKING, this audits its VALUES (can the score be used as a " +
+      "sampling weight, or only as a rank?): 10 equal-width bins by pure " +
+      "integer arithmetic; per occupied bin n, n_pos, mean predicted " +
+      "conf, empirical acc, gap (each one double division of exact " +
+      "integer sums, rounded); ECE rides the identity n_b*|acc-conf| = " +
+      "|n_pos*1e6 - sum_score|/1e6, so its numerator is an exact " +
+      "integer sum - one final division, attached by broadcast",
+    (s, dir) =>
+      graft.operators.Quality.calibrationCurve(
+        englishnessScored(s, dir), "score", "is_en", bins = 10),
+    Some(s"""WITH $englishnessSql,
+            b AS (SELECT LEAST(score * 10 // 1000000, 9) AS bin, score, y
+                  FROM sc),
+            pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(score) AS HUGEINT) AS ss,
+                    CAST(SUM(y) AS BIGINT) AS n_pos
+                  FROM b GROUP BY 1),
+            e AS (SELECT
+                    CAST(SUM(ABS(CAST(n_pos AS HUGEINT) * 1000000 - ss))
+                      AS HUGEINT) AS gn,
+                    CAST(SUM(n) AS BIGINT) AS nt
+                  FROM pb)
+            SELECT bin, n, n_pos,
+              ROUND(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+                AS conf,
+              ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+              ROUND((CAST(n_pos AS DOUBLE) * 1000000.0 - CAST(ss AS DOUBLE)) /
+                (CAST(n AS DOUBLE) * 1000000.0), 6) AS gap,
+              (SELECT CASE WHEN nt > 0 THEN
+                 ROUND(CAST(gn AS DOUBLE) / (CAST(nt AS DOUBLE) * 1000000.0), 6)
+               END FROM e) AS ece
+            FROM pb ORDER BY bin"""))
+
+  val q228 = QueryDef(
+    "q228_ams_f2_sketch",
+    "AMS second-frequency-moment sketch over events.user_id (Alon-" +
+      "Matias-Szegedy 1996): 3 groups x 8 reps of signed counters z = " +
+      "sum(+-1) from the avalanche hash's parity (sign = 1 - 2*(h mod " +
+      "2)), est F2 = median over groups of mean(z^2) - the SELF-JOIN " +
+      "SIZE estimate q157's CMS grids give pairwise, as 24 int64s " +
+      "mergeable by per-(grp,rep) SUM; est_f2 = s_med/8 is exact in " +
+      "binary (power-of-two reps, no rounding); checked against the " +
+      "exact sum(f^2) in BOTH engines (deterministic flag - the q222 " +
+      "pattern)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val est = graft.operators.Sketches.amsF2(
+        e, "user_id", depth = 3, reps = 8, salt = "amsv1")
+      val exact = e.where(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("f2_exact"))
+      est.crossJoin(broadcast(exact)).select(
+        col("depth"), col("reps"), col("est_f2"), col("f2_exact"),
+        (abs(col("est_f2") - col("f2_exact").cast("double"))
+          <= col("f2_exact").cast("double") * 1.0).as("err_ok"))
+    },
+    Some(s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                  WHERE user_id IS NOT NULL),
+            ei AS (SELECT k, i FROM e
+                  CROSS JOIN (SELECT unnest(range(24)) AS i)),
+            hs AS (SELECT i // 8 AS grp, i,
+                    ${H.oPolyFold("k || 'amsv1#' || CAST(i AS VARCHAR)", "")}
+                      AS hp
+                  FROM ei),
+            z AS (SELECT grp, i,
+                    CAST(SUM(1 - 2 * ((${H.oAvalanche("hp")}) % 2))
+                      AS BIGINT) AS zz
+                  FROM hs GROUP BY grp, i),
+            g2 AS (SELECT grp, SUM(CAST(zz AS HUGEINT) * zz) AS s2
+                  FROM z GROUP BY 1),
+            med AS (SELECT s2 FROM g2 ORDER BY s2, grp LIMIT 1 OFFSET 1),
+            ex AS (SELECT CAST(SUM(CAST(f AS BIGINT) * f) AS BIGINT)
+                      AS f2_exact
+                  FROM (SELECT COUNT(*) AS f FROM events
+                        WHERE user_id IS NOT NULL GROUP BY user_id))
+            SELECT CAST(3 AS BIGINT) AS depth, CAST(8 AS BIGINT) AS reps,
+              CAST(s2 AS DOUBLE) / 8 AS est_f2, f2_exact,
+              ABS(CAST(s2 AS DOUBLE) / 8 - CAST(f2_exact AS DOUBLE))
+                <= CAST(f2_exact AS DOUBLE) * 1.0 AS err_ok
+            FROM med, ex"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
-      q222, q223, q224)
+      q222, q223, q224, q226, q227, q228)
 }

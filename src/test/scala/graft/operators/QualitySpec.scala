@@ -710,4 +710,74 @@ class QualitySpec extends SparkSpecBase {
     assert(ranksA.map(_.getAs[Long]("rank")).toSeq ===
       (1L to ranksA.length).toSeq)
   }
+
+  test("rocAuc: hand-computed mid-rank case, perfect separation, single-class NULL") {
+    val sp = spark; import sp.implicits._
+    // pos scores {3,3,2}, neg {1,2,3}: U = 2*(1+1+0.5) + (1+0.5+0) = 6.5
+    // -> 2U = 13, auc = 13/18 = 0.722222
+    val rows = Seq((3L, true), (3L, true), (2L, true),
+      (1L, false), (2L, false), (3L, false))
+    val r = Quality.rocAuc(rows.toDF("score", "y"), "score", "y")
+      .collect().head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.getDecimal(3).longValueExact() === 13L, "2U must be exact")
+    assert(r.getDouble(4) === 0.722222)
+    // perfect separation -> 1.0; total inversion -> 0.0
+    val perfect = Quality.rocAuc(
+      Seq((10L, true), (9L, true), (1L, false)).toDF("score", "y"),
+      "score", "y").collect().head
+    assert(perfect.getDouble(4) === 1.0)
+    val inverted = Quality.rocAuc(
+      Seq((1L, true), (9L, false)).toDF("score", "y"), "score", "y")
+      .collect().head
+    assert(inverted.getDouble(4) === 0.0)
+    // one class empty: AUC undefined -> NULL, never a fabricated 0.5
+    val oneClass = Quality.rocAuc(
+      Seq((1L, true), (2L, true)).toDF("score", "y"), "score", "y")
+      .collect().head
+    assert(oneClass.isNullAt(4))
+    // fractional score column: fail loud (tie structure not portable)
+    intercept[IllegalArgumentException] {
+      Quality.rocAuc(Seq((0.5, true)).toDF("score", "y"), "score", "y")
+    }
+  }
+
+  test("rocAuc: invariant under duplication-free repartitioning; ties count half") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 200L).map(i => (i % 7, i % 3 == 0))
+    val a = Quality.rocAuc(rows.toDF("score", "y"), "score", "y").collect()
+    val b = Quality.rocAuc(rows.toDF("score", "y").repartition(13),
+      "score", "y").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // all-ties degenerate: every pair counts half -> auc exactly 0.5
+    val flat = Quality.rocAuc(
+      Seq((5L, true), (5L, true), (5L, false)).toDF("score", "y"),
+      "score", "y").collect().head
+    assert(flat.getDouble(4) === 0.5)
+  }
+
+  test("calibrationCurve: hand-computed bins, top-edge clamp, exact ECE") {
+    val sp = spark; import sp.implicits._
+    // micro-scores: two in bin 2 (conf .25, acc .5), two in bin 9 —
+    // including the 10^6 top edge, which must clamp to bin 9, not 10
+    val rows = Seq((250000L, true), (250000L, false),
+      (950000L, true), (1000000L, true))
+    val out = Quality.calibrationCurve(rows.toDF("p", "y"), "p", "y",
+        bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet === Set(2L, 9L), "empty bins must emit nothing")
+    val (n2, p2, conf2, acc2, gap2, ece2) = out(2L)
+    assert(n2 === 2L && p2 === 1L && conf2 === 0.25 && acc2 === 0.5 &&
+      gap2 === 0.25)
+    val (n9, p9, conf9, acc9, gap9, _) = out(9L)
+    assert(n9 === 2L && p9 === 2L && conf9 === 0.975 && acc9 === 1.0 &&
+      gap9 === 0.025)
+    // ECE = (|1e6-5e5| + |2e6-195e4|) / (4e6) = 0.1375, same on every row
+    assert(ece2 === 0.1375 && out(9L)._6 === 0.1375)
+    intercept[IllegalArgumentException] {
+      Quality.calibrationCurve(Seq((0.5, true)).toDF("p", "y"), "p", "y")
+    }
+  }
 }

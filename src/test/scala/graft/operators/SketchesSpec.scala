@@ -248,4 +248,53 @@ class SketchesSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("must be integral"))
   }
+
+  test("amsSketch: signs are ±1 per hash parity; geometry-sized; partition-invariant") {
+    val df = (1L to 500L).map(i => i % 37).toSeq.toDF("key")
+    val sk = Sketches.amsSketch(df, "key", depth = 3, reps = 8, salt = "a")
+      .collect()
+    assert(sk.length === 24, "one counter per (grp, rep), data-size-free")
+    // every |z| <= row count, parity of z matches parity of n (each row
+    // contributes exactly +1 or -1)
+    sk.foreach { r =>
+      val z = r.getLong(2)
+      assert(math.abs(z) <= 500L && ((z % 2 + 2) % 2) === (500L % 2))
+    }
+    val sk2 = Sketches.amsSketch(df.repartition(11), "key", 3, 8, "a")
+      .collect().map(_.toSeq).toSet
+    assert(sk2 === sk.map(_.toSeq).toSet,
+      "partitioning must not move the counters")
+  }
+
+  test("amsSketch: sketch of a union == per-(grp,rep) summed union of sketches") {
+    val p1 = (1L to 300L).map(_ % 21).toSeq.toDF("key")
+    val p2 = (1L to 200L).map(_ % 13).toSeq.toDF("key")
+    val whole = Sketches.amsSketch(p1.union(p2), "key", 3, 8, "m")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = Sketches.amsSketch(p1, "key", 3, 8, "m")
+      .union(Sketches.amsSketch(p2, "key", 3, 8, "m"))
+      .groupBy("grp", "rep").agg(sum("z").as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(whole === merged, "AMS counters must merge by per-cell SUM")
+  }
+
+  test("amsF2: estimate within the median-of-means band; even depth rejected") {
+    // key i in 1..50 appears i times -> F2 = sum i^2 = 42925
+    val rows = (1L to 50L).flatMap(i => Seq.fill(i.toInt)(i))
+    val trueF2 = (1L to 50L).map(i => i * i).sum
+    val est = Sketches.amsF2(rows.toSeq.toDF("key"), "key",
+        depth = 3, reps = 8, salt = "f").collect().head
+    assert(est.getLong(0) === 3L && est.getLong(1) === 8L)
+    val f2 = est.getDouble(3)
+    // E[z^2] = F2; mean-of-8 std ~ F2/2, median-of-3 keeps the
+    // constant-probability band — with this fixed salt the draw is
+    // deterministic, assert the textbook 2x band holds for it
+    assert(f2 > trueF2 * 0.5 && f2 < trueF2 * 2.0,
+      s"est $f2 vs true $trueF2 outside the 2x band")
+    // est_f2 must equal s_med/reps exactly (power-of-two reps)
+    assert(f2 === est.getDecimal(2).doubleValue() / 8.0)
+    intercept[IllegalArgumentException] {
+      Sketches.amsF2(rows.toSeq.toDF("key"), "key", depth = 4)
+    }
+  }
 }

@@ -967,6 +967,41 @@ object Similarity {
         col("sim").as("cos"), col("margin"))
   }
 
+  /** The count-conditional centroid rule for [[semanticDedup]]:
+    * `max(minCentroids, n / targetCell)` — the L85 "grow k ~ n/⟨cell⟩"
+    * contract made executable, so within-cell pair volume stays
+    * ~n·targetCell as the corpus grows instead of n²/k (the r15 study's
+    * q149 finding: a pinned k=8 at 100× data spilled past the disk —
+    * cells 100× bigger, pair volume 10,000×). A pure integer function
+    * of the corpus count, so a SQL oracle replays it verbatim as
+    * `GREATEST(minCentroids, COUNT(*) // targetCell)` (the
+    * [[Sampling.scaledBuckets]] pattern). */
+  def scaledCentroids(n: Long, minCentroids: Int = 8, targetCell: Int = 1024): Int = {
+    require(n >= 0L && minCentroids >= 1 && targetCell >= 1,
+      s"scaledCentroids(n=$n, minCentroids=$minCentroids, targetCell=$targetCell)")
+    math.min(Int.MaxValue.toLong, math.max(minCentroids.toLong, n / targetCell)).toInt
+  }
+
+  /** [[semanticDedup]] with `nCentroids` derived by [[scaledCentroids]]
+    * from a cheap corpus count (parquet row-count metadata — no full
+    * scan): the production entry point; the fixed-`nCentroids` overload
+    * remains for callers pinning geometry across snapshots of known
+    * size or passing a trained quantizer. */
+  def semanticDedupAuto(
+      vectors: DataFrame,
+      minSim: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      bands: Int = 0,
+      planesPerBand: Int = 1,
+      minCentroids: Int = 8,
+      targetCell: Int = 1024): DataFrame =
+    semanticDedup(vectors,
+      scaledCentroids(vectors.count(), minCentroids, targetCell),
+      minSim, quantizer = null, idCol = idCol, vecCol = vecCol,
+      roundTo = roundTo, bands = bands, planesPerBand = planesPerBand)
+
   def semanticDedup(
       vectors: DataFrame,
       nCentroids: Int,

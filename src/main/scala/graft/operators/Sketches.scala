@@ -449,6 +449,80 @@ object Sketches {
         col("b.lo").as("bucket_lo"), col("b.hi").as("bucket_hi"))
   }
 
+  /** Portable Bloom membership sketch (Bloom 1970): the occupied-bit
+    * set of an m-bit filter with `hashes` probes per key over the
+    * avalanche family — bit i(key) = avalanche(key, salt#i) mod bits.
+    * Returns the SKETCH: one BIGINT row per OCCUPIED bit (≤ bits rows,
+    * model-sized, broadcastable, persistable beside the corpus) —
+    * MERGEABLE by union+distinct (bitwise OR), the [[cmsSketch]]
+    * re-aggregation contract for membership.
+    *
+    * Position vs the built-in: [[Decontaminate.overlapBloomPruned]]
+    * rides Spark's own `BloomFilterAggregate` (the right default inside
+    * one job); THIS sketch is for the contract seams — a filter that
+    * must persist, union across time partitions, and replay
+    * bit-identically in any engine with int64 arithmetic (the
+    * q146/q147/q222 portability contract). Completes the portable tier:
+    * cardinality (HLL/KMV), frequency (CMS), quantiles (HDR), moments
+    * (AMS), membership (Bloom).
+    *
+    * Scale shape: a keys×hashes narrow fan-out into ONE distinct
+    * (map-side partial dedup — duplicate bits never travel); the
+    * shuffle carries ≤ bits·partitions rows no matter the corpus size.
+    * The sketch never holds keys. */
+  def bloomSketch(
+      df: DataFrame,
+      keyCol: String,
+      bits: Int,
+      hashes: Int,
+      salt: String = ""): DataFrame = {
+    require(bits >= 2, s"bits $bits must be >= 2")
+    require(hashes >= 1 && hashes <= 16, s"hashes $hashes outside [1,16]")
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array((0 until hashes).map { i =>
+        (Sampling.avalanche(col(keyCol), s"$salt#$i") % bits).as(s"b$i")
+      }: _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Membership probe over [[bloomSketch]]: a probe key "might be
+    * contained" iff ALL `hashes` of its bit positions are occupied —
+    * never a false negative (the Bloom guarantee, the property the
+    * q229 gate asserts deterministically), false positives at the
+    * classic (1−e^(−kn/m))^k rate.
+    *
+    * Scale shape: probes fan out ×hashes (narrow), the occupied-bit
+    * frame joins BROADCAST (≤ bits rows), hits collapse map-side per
+    * probe — probes never shuffle for the lookup ([[cmsEstimate]]'s
+    * plan shape). */
+  def bloomContains(
+      probes: DataFrame,
+      sketch: DataFrame,
+      keyCol: String,
+      bits: Int,
+      hashes: Int,
+      salt: String = ""): DataFrame = {
+    require(bits >= 2, s"bits $bits must be >= 2")
+    require(hashes >= 1 && hashes <= 16, s"hashes $hashes outside [1,16]")
+    // defensive distinct: a caller merging sketches by plain union
+    // (without the distinct) would otherwise double-join a duplicated
+    // bit and flip sum(hit) === hashes into a FALSE NEGATIVE — the one
+    // failure mode a Bloom filter must never have; the frame is
+    // model-sized, the distinct is free
+    val present = sketch.select(col("bit")).distinct()
+      .select(col("bit"), lit(1L).as("hit"))
+    probes
+      .select(col(keyCol).as("k"),
+        explode(array((0 until hashes).map { i =>
+          (Sampling.avalanche(col(keyCol), s"$salt#$i") % bits).as(s"b$i")
+        }: _*)).as("bit"))
+      .join(broadcast(present), Seq("bit"), "left")
+      .groupBy("k")
+      .agg((coalesce(sum(col("hit")), lit(0L)) === hashes)
+        .as("might_contain"))
+      .select(col("k").as(keyCol), col("might_contain"))
+  }
+
   /** AMS (Alon–Matias–Szegedy 1996) second-frequency-moment sketch: one
     * signed counter per (group, rep) — counter z_{g,r} = Σ_rows
     * sign_{g,r}(key) with sign = ±1 from the avalanche hash's parity, so

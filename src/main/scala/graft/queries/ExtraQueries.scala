@@ -486,10 +486,14 @@ object ExtraQueries extends QueryGroup {
       "cell (the learned-candidacy bound that replaces the n² join), " +
       "threshold edges -> connected components, survivor = the member " +
       "LEAST similar to its centroid (the paper's diversity-keeping " +
-      "rule, id-tiebroken); full SQL replay incl. the recursive closure",
+      "rule, id-tiebroken); full SQL replay incl. the recursive closure; " +
+      "nCentroids derives count-conditionally as max(8, n/1024) (r15 - " +
+      "the pinned 8 grew within-cell pair volume quadratically with the " +
+      "corpus, spilling past the disk at 100x), the same integer rule " +
+      "the oracle computes from COUNT(*)",
     (s, dir) =>
-      graft.operators.Similarity.semanticDedup(
-          t(s, dir, "embeddings"), nCentroids = 8, minSim = 0.3)
+      graft.operators.Similarity.semanticDedupAuto(
+          t(s, dir, "embeddings"), minSim = 0.3)
         .orderBy("vec_id"),
     Some("""WITH RECURSIVE
              v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
@@ -498,7 +502,9 @@ object ExtraQueries extends QueryGroup {
                                                       CAST(embedding AS DOUBLE[])))
                      AND list_inner_product(CAST(embedding AS DOUBLE[]),
                                             CAST(embedding AS DOUBLE[])) > 0),
-             seeds AS (SELECT id AS cid, e AS cv FROM v ORDER BY id LIMIT 8),
+             seeds AS (SELECT id AS cid, e AS cv FROM v ORDER BY id
+                       LIMIT (SELECT GREATEST(8, COUNT(*) // 1024)
+                              FROM embeddings)),
              sc AS (SELECT v.id, seeds.cid,
                       ROUND(list_cosine_similarity(v.e, seeds.cv), 4) AS csim
                     FROM v CROSS JOIN seeds),
@@ -3151,11 +3157,87 @@ object ExtraQueries extends QueryGroup {
                 <= CAST(f2_exact AS DOUBLE) * 1.0 AS err_ok
             FROM med, ex"""))
 
+  val q229 = QueryDef(
+    "q229_bloom_membership_sketch",
+    "portable Bloom membership sketch audit (Bloom 1970, 2048 bits x 3 " +
+      "avalanche probes): filter built over English doc_ids, every " +
+      "doc_id probed against it - false_negatives asserted 0 in both " +
+      "engines (THE Bloom guarantee, deterministic), false positives " +
+      "counted and rated; the portable counterpart of q70's " +
+      "BloomFilterAggregate for the contract seams (persist, union " +
+      "across time partitions, replay in any int64 engine); completes " +
+      "the portable sketch tier: cardinality/frequency/quantiles/" +
+      "moments/membership",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val members = d.where(col("lang") === "en").select(col("doc_id"))
+      val sk = graft.operators.Sketches.bloomSketch(
+        members, "doc_id", bits = 2048, hashes = 3, salt = "bloomv1")
+      val probes = d.select(col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).as("is_member"))
+      val probed = graft.operators.Sketches.bloomContains(
+        probes.select("doc_id"), sk, "doc_id", bits = 2048, hashes = 3,
+        salt = "bloomv1")
+      probes.join(probed, "doc_id")
+        .agg(
+          sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+          count(lit(1)).as("n_probes"),
+          sum(when(!col("is_member"), 1L).otherwise(0L)).as("n_non_members"),
+          sum(when(col("is_member") && !col("might_contain"), 1L)
+            .otherwise(0L)).as("false_negatives"),
+          sum(when(!col("is_member") && col("might_contain"), 1L)
+            .otherwise(0L)).as("false_positives"))
+        .select(col("n_members"), col("n_probes"), col("n_non_members"),
+          col("false_negatives"), col("false_positives"),
+          when(col("n_non_members") > 0,
+            round(col("false_positives").cast("double") /
+              col("n_non_members").cast("double"), 6)).as("fp_rate"))
+    },
+    Some(s"""WITH hi AS (SELECT unnest(range(3)) AS i),
+            mem AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+            mbits AS (SELECT DISTINCT
+                    (${H.oAvalanche(H.oPolyFold(
+                      "CAST(m.doc_id AS VARCHAR) || 'bloomv1#' || CAST(hi.i AS VARCHAR)", ""))})
+                      % 2048 AS bit
+                  FROM mem m CROSS JOIN hi),
+            pr AS (SELECT doc_id,
+                    COALESCE(lang = 'en', FALSE) AS is_member
+                  FROM documents),
+            pb AS (SELECT p.doc_id,
+                    (${H.oAvalanche(H.oPolyFold(
+                      "CAST(p.doc_id AS VARCHAR) || 'bloomv1#' || CAST(hi.i AS VARCHAR)", ""))})
+                      % 2048 AS bit
+                  FROM pr p CROSS JOIN hi),
+            hits AS (SELECT doc_id,
+                    SUM(CASE WHEN bit IN (SELECT bit FROM mbits)
+                        THEN 1 ELSE 0 END) AS h
+                  FROM pb GROUP BY 1),
+            mc AS (SELECT pr.doc_id, pr.is_member, hits.h = 3 AS might_contain
+                  FROM pr JOIN hits ON pr.doc_id = hits.doc_id)
+            SELECT
+              CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_members,
+              CAST(COUNT(*) AS BIGINT) AS n_probes,
+              CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_non_members,
+              CAST(SUM(CASE WHEN is_member AND NOT might_contain
+                  THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives,
+              CAST(SUM(CASE WHEN NOT is_member AND might_contain
+                  THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+              CASE WHEN SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) > 0
+                THEN ROUND(
+                  CAST(SUM(CASE WHEN NOT is_member AND might_contain
+                    THEN 1 ELSE 0 END) AS DOUBLE) /
+                  CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6)
+              END AS fp_rate
+            FROM mc"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
-      q222, q223, q224, q226, q227, q228)
+      q222, q223, q224, q226, q227, q228, q229)
 }

@@ -109,4 +109,25 @@ class SemanticDedupSpec extends SparkSpecBase {
       graft.functions.VectorOps.l2Norm(col("embedding")) > 0).count()
     assert(out.count() === n, "every valid vector is labeled under a trained quantizer")
   }
+
+  test("scaledCentroids: the count-conditional rule — floor 8, then n/1024, capped") {
+    assert(Similarity.scaledCentroids(0L) === 8)
+    assert(Similarity.scaledCentroids(8000L) === 8, "n/1024 below the floor keeps the floor")
+    assert(Similarity.scaledCentroids(8192L) === 8)
+    assert(Similarity.scaledCentroids(10240L) === 10, "above the floor, exactly n/1024")
+    assert(Similarity.scaledCentroids(819200L) === 800)
+    assert(Similarity.scaledCentroids(Long.MaxValue) === Int.MaxValue, "Int overflow capped")
+    assert(Similarity.scaledCentroids(100L, minCentroids = 2, targetCell = 10) === 10)
+  }
+
+  test("semanticDedupAuto: equals semanticDedup at the derived centroid count") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val k = Similarity.scaledCentroids(v.count())
+    val auto = Similarity.semanticDedupAuto(v, minSim = 0.3)
+      .collect().map(_.toSeq).toSet
+    val pinned = Similarity.semanticDedup(v, nCentroids = k, minSim = 0.3)
+      .collect().map(_.toSeq).toSet
+    assert(auto === pinned,
+      "auto must be exactly the pinned operator at the derived count")
+  }
 }

@@ -278,6 +278,51 @@ class SketchesSpec extends SparkSpecBase {
     assert(whole === merged, "AMS counters must merge by per-cell SUM")
   }
 
+  test("bloom: NEVER a false negative; false positives appear at tight geometry") {
+    val members = (1L to 100L).toSeq.toDF("key")
+    // roomy filter: every member must probe true
+    val sk = Sketches.bloomSketch(members, "key", bits = 2048, hashes = 3,
+      salt = "b")
+    val got = Sketches.bloomContains(members, sk, "key", 2048, 3, "b")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size === 100 && got.values.forall(identity),
+      "a Bloom filter must never reject a member")
+    // tight filter (64 bits, 100 keys): non-members MUST collide often
+    val tight = Sketches.bloomSketch(members, "key", bits = 64, hashes = 3,
+      salt = "b")
+    val fp = Sketches.bloomContains(
+        (1000L to 1100L).toSeq.toDF("key"), tight, "key", 64, 3, "b")
+      .collect().count(_.getBoolean(1))
+    assert(fp > 50, s"saturated 64-bit filter should flag most probes, got $fp")
+  }
+
+  test("bloom: sketch of a union == union+distinct of sketches; duplicate bits harmless") {
+    val p1 = (1L to 60L).toSeq.toDF("key")
+    val p2 = (40L to 90L).toSeq.toDF("key")
+    val whole = Sketches.bloomSketch(p1.union(p2), "key", 512, 3, "m")
+      .collect().map(_.getLong(0)).toSet
+    val skA = Sketches.bloomSketch(p1, "key", 512, 3, "m")
+    val skB = Sketches.bloomSketch(p2, "key", 512, 3, "m")
+    val merged = skA.union(skB).distinct().collect().map(_.getLong(0)).toSet
+    assert(whole === merged, "Bloom sketches must merge by union (OR)")
+    // a merge WITHOUT the distinct (duplicated bits) must not flip a
+    // member to false — the defensive distinct inside bloomContains
+    val got = Sketches.bloomContains(
+        (40L to 60L).toSeq.toDF("key"), skA.union(skB), "key", 512, 3, "m")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.values.forall(identity),
+      "duplicate sketch bits must never produce a false negative")
+  }
+
+  test("bloom probe plan: the occupied-bit frame joins broadcast") {
+    val df = (1L to 50L).toSeq.toDF("key")
+    val sk = Sketches.bloomSketch(df, "key", 256, 3, "p")
+    val plan = Sketches.bloomContains(df, sk, "key", 256, 3, "p")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probes must look bits up via a broadcast join, never shuffle")
+  }
+
   test("amsF2: estimate within the median-of-means band; even depth rejected") {
     // key i in 1..50 appears i times -> F2 = sum i^2 = 42925
     val rows = (1L to 50L).flatMap(i => Seq.fill(i.toInt)(i))

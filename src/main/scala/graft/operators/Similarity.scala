@@ -328,6 +328,29 @@ object Similarity {
     topKIvf(corpus, corpus, k, nCentroids, nProbe, idCol, vecCol, roundTo,
       quantizer, routeRoundTo = Some(routeRoundTo), corpusSizedProbes = true)
 
+  /** [[knnGraph]] with `nCentroids` derived by [[scaledCentroids]] from a
+    * cheap corpus count — the production entry point: a pinned cell
+    * count makes per-probe candidate volume (nProbe·n/nCentroids) grow
+    * LINEARLY with the corpus and the whole graph quadratically (the r15
+    * study's q77 finding: pinned 16 cells measured 521× at 100× data;
+    * derived cells bound candidates at ~nProbe·targetCell per probe).
+    * The fixed-`nCentroids`
+    * overload remains for callers pinning geometry or passing a trained
+    * quantizer. */
+  def knnGraphAuto(
+      corpus: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6,
+      minCentroids: Int = 16,
+      targetCell: Int = 1024): DataFrame =
+    knnGraph(corpus, k,
+      scaledCentroids(corpus.count(), minCentroids, targetCell), nProbe,
+      idCol, vecCol, roundTo, routeRoundTo)
+
   /** SEMANTIC ingest admission gate — the vector-space member of the
     * newContentOnly family (exact sha → [[graft.operators.Dedup.newContentOnly]],
     * fuzzy text → [[graft.operators.Dedup.newContentOnlyNear]], THIS →

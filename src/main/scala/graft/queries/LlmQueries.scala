@@ -1280,13 +1280,16 @@ object LlmQueries extends QueryGroup {
       "routing scores make cell candidacy engine-portable, so the oracle " +
       "replays assignment, probe routing, candidate generation and " +
       "ranking; both sides corpus-sized ⇒ cell-keyed shuffle-hash join, " +
-      "no broadcast",
+      "no broadcast; nCentroids derives count-conditionally as " +
+      "max(16, n/1024) (r15 - the pinned 16 grew per-probe candidate " +
+      "volume linearly with the corpus, measured 521x at 100x), the " +
+      "same integer rule the oracle computes from COUNT(*)",
     (s, dir) =>
-      Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, nCentroids = 16,
-          nProbe = 2)
+      Similarity.knnGraphAuto(t(s, dir, "embeddings"), k = 3, nProbe = 2)
         .orderBy("pid", "rank"),
     Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-            c AS (SELECT vec_id AS cid, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+            c AS (SELECT vec_id AS cid, ev AS cv FROM v ORDER BY vec_id
+                  LIMIT (SELECT GREATEST(16, COUNT(*) // 1024) FROM embeddings)),
             cs AS (SELECT v.vec_id, c.cid,
                      ROUND(list_cosine_similarity(v.ev, c.cv), 6) AS csim
                    FROM v CROSS JOIN c),

@@ -120,6 +120,17 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(Similarity.scaledCentroids(100L, minCentroids = 2, targetCell = 10) === 10)
   }
 
+  test("knnGraphAuto: equals knnGraph at the derived centroid count") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val k = Similarity.scaledCentroids(v.count(), minCentroids = 16)
+    val auto = Similarity.knnGraphAuto(v, k = 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val pinned = Similarity.knnGraph(v, k = 3, nCentroids = k, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(auto === pinned,
+      "auto must be exactly the pinned operator at the derived count")
+  }
+
   test("semanticDedupAuto: equals semanticDedup at the derived centroid count") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val k = Similarity.scaledCentroids(v.count())

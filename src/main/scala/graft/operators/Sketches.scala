@@ -492,9 +492,10 @@ object Sketches {
     * classic (1−e^(−kn/m))^k rate.
     *
     * Scale shape: probes fan out ×hashes (narrow), the occupied-bit
-    * frame joins BROADCAST (≤ bits rows), hits collapse map-side per
-    * probe — probes never shuffle for the lookup ([[cmsEstimate]]'s
-    * plan shape). */
+    * frame joins BROADCAST (≤ bits rows — the lookup itself never
+    * shuffles probes), and the per-probe hit count combines map-side so
+    * the one exchange carries ≤ one row per probe (the per-probe output
+    * is the floor any membership readout pays). */
   def bloomContains(
       probes: DataFrame,
       sketch: DataFrame,
@@ -584,7 +585,10 @@ object Sketches {
     val grpSums = sk
       .groupBy("grp")
       .agg(sum(col("z").cast(DEC) * col("z").cast(DEC)).as("s2"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s2"), col("grp"))
+    // constant-but-unfoldable partition key (the q83 pmod idiom) — the
+    // frame is `depth` rows; a bare lit(0) would constant-fold away
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("grp"), lit(1))).orderBy(col("s2"), col("grp"))
     grpSums
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === (depth + 1) / 2)

@@ -78,7 +78,9 @@ object Spectral {
     val dims = staged.agg(
       count(lit(1)).as("n"),
       min(size(col("vq"))).as("dmin"),
-      max(size(col("vq"))).as("dmax")).collect().head
+      max(size(col("vq"))).as("dmax"),
+      max(array_max(transform(col("vq"), x => abs(x)))).as("vmax"))
+      .collect().head
     val n = dims.getLong(0)
     require(n > 0, "Spectral.pcaTopComponent: empty corpus after the " +
       "NULL/NaN drop — no principal direction exists")
@@ -87,6 +89,15 @@ object Spectral {
       s"Spectral.pcaTopComponent: mixed vector lengths " +
         s"(${dims.getInt(1)} vs ${dims.getInt(2)}) — fix the corpus, " +
         "a padded/truncated scatter matrix would be silently wrong")
+    // the Gram pass multiplies quantized components in int64 BEFORE the
+    // decimal cast — a component beyond ~3·10⁹ quantized units would
+    // WRAP silently (never a wrong-but-plausible scatter matrix): fail
+    // loud and tell the caller to lower quantDecimals
+    val vmax = dims.getLong(3)
+    require(vmax <= 3000000000L,
+      s"Spectral.pcaTopComponent: quantized component magnitude $vmax " +
+        s"exceeds the int64-exact product bound (3e9) — lower " +
+        s"quantDecimals (currently $quantDecimals) for this value range")
     // pass 2: exact per-dimension sums (decimal — never a wrapping long)
     val sArr = Array.fill(dim)(BigInt(0))
     staged

@@ -67,6 +67,13 @@ object StreamingAms {
     * = (s2, grp)-ordered middle pick, est = s_med/reps (exact in binary
     * at the power-of-two reps). */
   private def rowOf(slot: Long, z: Seq[Long]): AmsWindowRow = {
+    // int64-exactness guard: s_med = Σ z² over `Reps` counters must not
+    // wrap — |z| < 2^31 keeps Reps·z² < 2^63 (|z| ≤ window tick count,
+    // so this fires only past ~2 billion ticks in ONE key's window;
+    // fail loud, never a silently wrapped moment)
+    require(z.forall(v => math.abs(v) < (1L << 31)),
+      s"StreamingAms: window slot $slot counter magnitude exceeds the " +
+        "int64-exact bound (2^31 ticks per key-window) — shrink bucketUs")
     val groupSums = (0 until Depth).map { g =>
       (g, (0 until Reps).map(r => { val v = z(g * Reps + r); v * v }).sum)
     }

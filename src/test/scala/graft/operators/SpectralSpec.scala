@@ -89,6 +89,16 @@ class SpectralSpec extends SparkSpecBase {
       Spectral.pcaTopComponent(empty)
     }
     assert(e3.getMessage.contains("empty corpus"))
+    // component magnitude past the int64-exact product bound at q=6:
+    // must fail loud, never wrap the Gram products silently
+    val huge = mk(Seq(Array(5000.0f, 1.0f), Array(-4000.0f, 2.0f)))
+    val e4 = intercept[IllegalArgumentException] {
+      Spectral.pcaTopComponent(huge)
+    }
+    assert(e4.getMessage.contains("lower quantDecimals"))
+    // and the documented remedy works: q=3 keeps the same corpus exact
+    val ok = Spectral.pcaTopComponent(huge, quantDecimals = 3)
+    assert(ok.count() === 2L)
   }
 
   test("runs on the fixture embeddings; output is one total-ordered row per dim") {

@@ -58,6 +58,13 @@ class PlanLintSpec extends SparkSpecBase {
     // q77's quantizer-broadcast BNLJ verbatim; pageRank's own joins are
     // shuffled/broadcast-hash (asserted in PlanShapeSpec)
     "q88_knn_centrality",
+    // q227: calibrationCurve's ECE scalar — a 1-row aggregate frame
+    // crossJoin-broadcast onto the ≤bins-row curve (q61/q73/q91's
+    // 1-row stat-attach class)
+    "q227_calibration_ece",
+    // q228: the 1-row exact-F2 witness crossJoin-broadcast onto the
+    // 1-row AMS estimate — both sides single-row by construction
+    "q228_ams_f2_sketch",
     // q91: the 1-row corpus-total frame crossJoined onto the vocabulary
     // frame — q61's documented one-row-broadcast class
     "q91_source_distribution_drift",

@@ -65,6 +65,27 @@ object Sampling {
     ((h + MixA) * (h + MixB)) % P
   }
 
+  /** The raw polynomial fold of the key ALONE (no salt, no avalanche
+    * mix) — the staging half of [[avalancheExtend]]. */
+  private[operators] def polyFold(idCol: Column): Column =
+    ColumnGlue.column(AsciiPolyHash(ColumnGlue.expression(idCol.cast("string"))))
+
+  /** [[avalanche]] over `key || suffix`, computed by EXTENDING a staged
+    * [[polyFold]] of the key with the (ASCII) suffix's characters — the
+    * polynomial identity h(key‖s) = fold(s over h(key)), so the value is
+    * bit-identical to `avalanche(idCol, suffix)` (spec-asserted) while a
+    * caller hashing one key under MANY salts (the AMS sketch's
+    * depth·reps cells) folds the key once instead of per salt.
+    * ASCII suffixes only: the char-code fold equals the UTF-8 byte fold
+    * exactly when every suffix char is < 0x80 (enforced). */
+  private[operators] def avalancheExtend(stagedFold: Column, suffix: String): Column = {
+    require(suffix.forall(_ < 0x80),
+      s"avalancheExtend: non-ASCII suffix '$suffix' would diverge from the byte fold")
+    val h = suffix.foldLeft(stagedFold)((acc, c) =>
+      (acc * 31 + lit(c.toLong)) % P)
+    ((h + MixA) * (h + MixB)) % P
+  }
+
   /** JVM-side twin of [[avalanche]] — bit-identical for any string that
     * round-trips the Catalyst cast (the keyed-state streaming operators
     * hash inside `flatMapGroupsWithState`, where no Column exists;

@@ -553,11 +553,18 @@ object Sketches {
     require(depth >= 1 && depth % 2 == 1 && depth <= 15,
       s"depth $depth must be odd in [1,15] (the estimator takes a median)")
     require(reps >= 1 && reps <= 64, s"reps $reps outside [1,64]")
+    // the key's polynomial fold is STAGED once per row and extended per
+    // cell with the short salt suffix (the h(key‖s) = fold(s over
+    // h(key)) identity — bit-identical to hashing key‖salt#i whole, so
+    // the SQL oracle's full-string fold replays unchanged), cutting the
+    // per-row hash work from depth·reps full-key folds to one key fold
+    // plus depth·reps suffix folds (the r15 ADVICE finding)
     df.where(col(keyCol).isNotNull)
+      .select(Sampling.polyFold(col(keyCol)).as("hp"))
       .select(explode(array((0 until depth * reps).map { i =>
         struct(lit(i / reps).as("grp"), lit(i % reps).as("rep"),
           (lit(1L) - lit(2L) *
-            (Sampling.avalanche(col(keyCol), s"$salt#$i") % 2)).as("sign"))
+            (Sampling.avalancheExtend(col("hp"), s"$salt#$i") % 2)).as("sign"))
       }: _*)).as("s"))
       .groupBy(col("s.grp").as("grp"), col("s.rep").as("rep"))
       .agg(sum(col("s.sign")).as("z"))

@@ -410,6 +410,24 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.count() === 0L, "single-group corpus has no valid negatives")
   }
 
+  test("avalancheExtend: staged key fold + suffix ≡ whole-string avalanche; non-ASCII rejected") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(19)
+    val keys = (1 to 200).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(20) + 1).mkString) :+ "" :+ "señor"
+    val suffixes = Seq("#0", "amsv1#13", "", "x")
+    suffixes.foreach { suf =>
+      val df = keys.toDF("k").select(
+        Sampling.avalanche(col("k"), suf).as("whole"),
+        Sampling.avalancheExtend(Sampling.polyFold(col("k")), suf).as("ext"))
+      assert(df.where(col("whole") =!= col("ext")).count() === 0L,
+        s"identity must hold for suffix '$suf' (incl. non-ASCII KEYS)")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.avalancheExtend(Sampling.polyFold(col("k")), "é")
+    }
+  }
+
   test("scaledBuckets: the count-conditional rule — floor 64, then n/8, capped") {
     assert(Sampling.scaledBuckets(0L) === 64)
     assert(Sampling.scaledBuckets(500L) === 64, "n/8 below the floor keeps the floor")

@@ -482,7 +482,11 @@ object Sketches {
       .select(explode(array((0 until hashes).map { i =>
         (Sampling.avalanche(col(keyCol), s"$salt#$i") % bits).as(s"b$i")
       }: _*)).as("bit"))
-      .distinct()
+      // an Aggregate, not distinct(): same batch result and plan shape,
+      // but Deduplicate is not a streaming aggregation — as a groupBy
+      // the SAME operator runs complete-mode under Structured Streaming
+      // (the cmsSketch streaming-native contract, spec-gated)
+      .groupBy("bit").agg(count(lit(1)).as("__n")).select("bit")
   }
 
   /** Membership probe over [[bloomSketch]]: a probe key "might be

@@ -62,6 +62,38 @@ class StreamingSketchSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming Bloom bit-frame == batch sketch after the stream drains; members probe true") {
+    // bloomSketch is, like the CMS grid, a plain fixed-geometry
+    // aggregation (distinct occupied bits, ≤ `bits` rows), so the SAME
+    // operator runs unchanged as a complete-mode streaming aggregation —
+    // the live membership-filter shape; merge-by-OR means the drained
+    // frame is bit-identical to the batch sketch over the same keys.
+    val s = spark
+    import s.implicits._
+    val keys = (1L to 80L).toSeq
+    val (p1, p2) = keys.splitAt(40)
+    val ms = MemoryStream[Long](s)
+    val sk = Sketches.bloomSketch(ms.toDS().toDF("key"), "key",
+      bits = 512, hashes = 3, salt = "sb")
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("bloom_stream").start()
+    try {
+      ms.addData(p1: _*); q.processAllAvailable()
+      ms.addData(p2: _*); q.processAllAvailable()
+      val streamed = s.table("bloom_stream").collect().map(_.getLong(0)).toSet
+      val batch = Sketches.bloomSketch(keys.toDF("key"), "key",
+          bits = 512, hashes = 3, salt = "sb")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batch,
+        "drained streaming bit-frame must equal the batch sketch")
+      // and the drained snapshot serves probes like any persisted sketch
+      val got = Sketches.bloomContains(keys.toDF("key"),
+          s.table("bloom_stream"), "key", 512, 3, "sb")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got.values.forall(identity), "every member must probe true")
+    } finally q.stop()
+  }
+
   test("streaming histogram partials == batch histogram after the stream drains") {
     // Quantiles.histogramPartials is, like the CMS grid, a plain
     // fixed-geometry aggregation (state = keys × ≤2^bits counters), so

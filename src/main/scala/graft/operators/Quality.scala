@@ -1110,6 +1110,92 @@ object Quality {
             col("n_neg").cast("double")), roundTo)).as("auc"))
   }
 
+  /** Spearman rank correlation between two integral score columns —
+    * [[rocAuc]] audits one score against a LABEL, this audits two
+    * scores against EACH OTHER on rank agreement (Spearman 1904):
+    * the monotone-association read behind "is this cheap score a
+    * drop-in for that expensive one", "does quality confound with
+    * length", and score-drift checks where Pearson's linearity
+    * assumption is wrong. ρ = Pearson over midranks (average rank on
+    * ties — the standard tie treatment).
+    *
+    * Both columns must be INTEGRAL pre-quantized scores (the [[rocAuc]]
+    * portability rule, fail-loud). Exactness: midranks are half-integers,
+    * so every rank is carried DOUBLED (2·midrank = 2·cum_before + cnt + 1
+    * — an exact integer off the per-distinct-value cells frame); all
+    * sufficient statistics (Σ2x·2y, Σ(2x)², marginal sums) accumulate as
+    * exact decimals; ρ = (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²)·√(n·Σy² −
+    * (Σy)²)) combines them with two IEEE-correctly-rounded sqrts and one
+    * division (the wilson discipline), rounded. ρ NULL when either side
+    * is constant (zero rank variance — undefined, never NaN).
+    *
+    * Scale shape: one model-sized cells frame per column (distinct-value-
+    * bounded by the quantization contract, cumulated under a literal-key
+    * window), broadcast-joined back onto ONE corpus pass that feeds a
+    * single map-side-combined aggregation. Output one row:
+    * (n, rho). */
+  def spearmanRho(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Seq(xCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ByteType
+           | _: org.apache.spark.sql.types.ShortType
+           | _: org.apache.spark.sql.types.IntegerType
+           | _: org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"Quality.spearmanRho: score column '$c' must be integral " +
+            s"(got $dt) — pre-quantize with an exact integer expression")
+      }
+    }
+    val DEC = DecimalType(38, 0)
+    val rows = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("xv"), col(yCol).cast("long").as("yv"))
+    def rank2(valCol: String, out: String) = {
+      val cells = rows.groupBy(col(valCol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("v"), lit(1))).orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      cells
+        .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        // doubled midrank: positions cum+1 .. cum+cnt average to
+        // cum + (cnt+1)/2, so 2·midrank = 2·cum + cnt + 1 — exact
+        .select(col("v"), (lit(2L) * col("cum") + col("cnt") + 1L).as(out))
+    }
+    val withRanks = rows
+      .join(broadcast(rank2("xv", "rx2")), col("xv") === col("v"))
+      .drop("v")
+      .join(broadcast(rank2("yv", "ry2")), col("yv") === col("v"))
+      .drop("v")
+    val stats = withRanks.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx2").cast(DEC)).as("sx"),
+      sum(col("ry2").cast(DEC)).as("sy"),
+      sum(col("rx2").cast(DEC) * col("rx2").cast(DEC)).as("sxx"),
+      sum(col("ry2").cast(DEC) * col("ry2").cast(DEC)).as("syy"),
+      sum(col("rx2").cast(DEC) * col("ry2").cast(DEC)).as("sxy"))
+    // n·Σxy − ΣxΣy etc. stay in exact decimal; the 2× rank scaling
+    // cancels between numerator and denominator
+    stats.select(
+      col("n"),
+      when(col("n") > 0 &&
+          (col("n").cast(DEC) * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n").cast(DEC) * col("syy") - col("sy") * col("sy")) > 0,
+        round(
+          (col("n").cast(DEC) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n").cast(DEC) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n").cast(DEC) * col("syy") - col("sy") * col("sy"))
+            .cast("double"))),
+          roundTo)).as("rho"))
+  }
+
   /** Binned calibration curve + expected calibration error — [[rocAuc]]
     * audits a score's RANKING, this audits its VALUES: a well-calibrated
     * score's bin-mean prediction matches the bin's empirical positive

@@ -3250,11 +3250,71 @@ object ExtraQueries extends QueryGroup {
         t(s, dir, "embeddings"), iters = 6),
     Some(graft.operators.Spectral.pcaSqlCtes("embeddings", iters = 6)))
 
+  val q231 = QueryDef(
+    "q231_spearman_rank_corr",
+    "Spearman rank correlation between the English-stopword micro-score " +
+      "and document length (n_chars) - the monotone-association audit " +
+      "behind 'does the quality signal confound with length' (Pearson's " +
+      "linearity assumption is wrong for scores): midranks on ties " +
+      "carried DOUBLED so every rank is an exact integer off the " +
+      "distinct-value cells frame (2*cum_before + cnt + 1), all " +
+      "sufficient statistics exact decimal sums from ONE corpus pass " +
+      "with two broadcast rank joins, rho combined with two IEEE sqrts " +
+      "+ one division, rounded; NULL when either side is rank-constant",
+    (s, dir) => {
+      import graft.functions.TextOps
+      val staged = t(s, dir, "documents")
+        .select(
+          TextOps.hitCount(col("text"), TextOps.stopwords("en")).as("en"),
+          TextOps.tokenCount(col("text")).as("words"),
+          col("n_chars"))
+        .where(col("words") > 0)
+        .select(expr("CAST((en * 1000000) DIV words AS BIGINT)").as("x"),
+          col("n_chars").as("y"))
+      graft.operators.Quality.spearmanRho(staged, "x", "y")
+    },
+    Some("""WITH sc AS (SELECT (en * 1000000) // words AS x, n_chars AS y
+                  FROM (SELECT n_chars,
+                      CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t))) AS BIGINT) AS en,
+                      CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS words
+                    FROM documents)
+                  WHERE words > 0),
+            cx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM sc GROUP BY 1),
+            rx AS (SELECT v,
+                    2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + cnt + 1 AS r2
+                  FROM cx),
+            cy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM sc GROUP BY 1),
+            ry AS (SELECT v,
+                    2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + cnt + 1 AS r2
+                  FROM cy),
+            j AS (SELECT CAST(rx.r2 AS HUGEINT) AS x2,
+                    CAST(ry.r2 AS HUGEINT) AS y2
+                  FROM sc JOIN rx ON sc.x = rx.v JOIN ry ON sc.y = ry.v),
+            st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                    SUM(x2) AS sx, SUM(y2) AS sy,
+                    SUM(x2 * x2) AS sxx, SUM(y2 * y2) AS syy,
+                    SUM(x2 * y2) AS sxy
+                  FROM j)
+            SELECT CAST(n AS BIGINT) AS n,
+              CASE WHEN n > 0 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                   THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                      SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+              END AS rho
+            FROM st"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
-      q222, q223, q224, q226, q227, q228, q229, q230)
+      q222, q223, q224, q226, q227, q228, q229, q230, q231)
 }

@@ -756,6 +756,56 @@ class QualitySpec extends SparkSpecBase {
     assert(flat.getDouble(4) === 0.5)
   }
 
+  test("spearmanRho: hand-computed midrank case, monotone ±1, constant-side NULL") {
+    val sp = spark; import sp.implicits._
+    // x = (1,2,2,3), y = (10,20,30,30): midranks x = (1, 2.5, 2.5, 4),
+    // y = (1, 2, 3.5, 3.5) -> rho = 15/18 = 0.833333 (tied case)
+    val rows = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 30L))
+    val r = Quality.spearmanRho(rows.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(r.getLong(0) === 4L && r.getDouble(1) === 0.833333)
+    // strictly monotone -> exactly 1; reversed -> exactly -1
+    val mono = (1L to 50L).map(i => (i, i * 7 + 3))
+    assert(Quality.spearmanRho(mono.toDF("x", "y"), "x", "y")
+      .collect().head.getDouble(1) === 1.0)
+    val anti = (1L to 50L).map(i => (i, 1000L - i))
+    assert(Quality.spearmanRho(anti.toDF("x", "y"), "x", "y")
+      .collect().head.getDouble(1) === -1.0)
+    // a rank-constant side has zero variance: undefined, NULL, never NaN
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L))
+    assert(Quality.spearmanRho(flat.toDF("x", "y"), "x", "y")
+      .collect().head.isNullAt(1))
+    intercept[IllegalArgumentException] {
+      Quality.spearmanRho(Seq((0.5, 1L)).toDF("x", "y"), "x", "y")
+    }
+  }
+
+  test("spearmanRho: partition-invariant; agrees with a sequential midrank reference") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(9).toLong))
+    val a = Quality.spearmanRho(rows.toDF("x", "y"), "x", "y").collect().head
+    val b = Quality.spearmanRho(rows.toDF("x", "y").repartition(17), "x", "y")
+      .collect().head
+    assert(a.toSeq === b.toSeq)
+    // sequential reference: midranks + Pearson in BigDecimal-free doubles
+    def midranks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1; val hi = sorted.lastIndexOf(v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val mx = midranks(rows.map(_._1)); val my = midranks(rows.map(_._2))
+    val xs = rows.map(r => mx(r._1)); val ys = rows.map(r => my(r._2))
+    val n = rows.size.toDouble
+    val num = n * xs.zip(ys).map { case (u, v) => u * v }.sum - xs.sum * ys.sum
+    val den = math.sqrt(n * xs.map(u => u * u).sum - xs.sum * xs.sum) *
+      math.sqrt(n * ys.map(v => v * v).sum - ys.sum * ys.sum)
+    // the operator rounds to 6 decimals; the reference does not
+    assert(math.abs(a.getDouble(1) - num / den) < 6e-7)
+  }
+
   test("calibrationCurve: hand-computed bins, top-edge clamp, exact ECE") {
     val sp = spark; import sp.implicits._
     // micro-scores: two in bin 2 (conf .25, acc .5), two in bin 9 —

@@ -1196,6 +1196,69 @@ object Quality {
           roundTo)).as("rho"))
   }
 
+  /** Brier score + skill — the PROPER scoring rule completing the
+    * calibration family ([[calibrationCurve]] audits bin-wise value
+    * agreement, the Brier score prices every individual prediction:
+    * mean (p − y)², minimized only by the true probabilities, so a
+    * gate score cannot game it the way it can game a threshold metric).
+    * Also emitted: `uncertainty` = ȳ(1−ȳ) (the Brier score of always
+    * predicting the base rate — the no-skill floor) and `skill` =
+    * 1 − brier/uncertainty (the Brier skill score vs that floor; > 0
+    * means the score carries real probability information).
+    *
+    * `scoreCol` is an integral micro-probability in [0, 10⁶] (the
+    * [[calibrationCurve]] convention, fail-loud). Exactness: with
+    * d = score − y·10⁶ the numerator Σd² is an exact decimal integer;
+    * brier = Σd²/(n·10¹²), uncertainty = n_pos·n_neg/n², and skill =
+    * 1 − Σd²·n/(10¹²·n_pos·n_neg) are each ONE double division of exact
+    * integer operands, rounded. skill NULL when uncertainty = 0 (a
+    * single-class corpus has no floor to beat — undefined, never ±Inf).
+    *
+    * Scale shape: ONE corpus aggregation to four exact scalars —
+    * map-side combined, nothing model-sized even to broadcast. */
+  def brierScore(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.brierScore: score column '$scoreCol' must be an " +
+          s"integral micro-probability (got $dt) — quantize as round(p*1e6)")
+    }
+    val DEC = DecimalType(38, 0)
+    val M = 1000000L
+    val stats = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("sc"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum((col("sc") - col("y") * M).cast(DEC) *
+          (col("sc") - col("y") * M).cast(DEC)).as("d2"))
+    stats.select(
+      col("n"), col("n_pos"),
+      when(col("n") > 0,
+        round(col("d2").cast("double") /
+          (col("n").cast("double") * 1e12), roundTo)).as("brier"),
+      when(col("n") > 0,
+        round(col("n_pos").cast("double") *
+          (col("n") - col("n_pos")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), roundTo))
+        .as("uncertainty"),
+      when(col("n_pos") > 0 && col("n_pos") < col("n"),
+        round(lit(1.0) -
+          (col("d2") * col("n").cast(DEC)).cast("double") /
+          (lit(1e12) * col("n_pos").cast("double") *
+            (col("n") - col("n_pos")).cast("double")), roundTo)).as("skill"))
+  }
+
   /** Binned calibration curve + expected calibration error — [[rocAuc]]
     * audits a score's RANKING, this audits its VALUES: a well-calibrated
     * score's bin-mean prediction matches the bin's empirical positive

@@ -3310,11 +3310,46 @@ object ExtraQueries extends QueryGroup {
               END AS rho
             FROM st"""))
 
+  val q232 = QueryDef(
+    "q232_brier_skill_score",
+    "Brier score + skill of the English-stopword micro-score read as " +
+      "P(lang=en) - the PROPER scoring rule completing q227's " +
+      "calibration audit (mean (p-y)^2 is minimized only by the true " +
+      "probabilities; a gate score cannot game it like a threshold " +
+      "metric): numerator sum((score - y*1e6)^2) exact decimal integer " +
+      "from ONE corpus aggregation; brier, the no-skill uncertainty " +
+      "floor y_bar(1-y_bar), and skill = 1 - brier/uncertainty each " +
+      "ONE double division of exact integer operands, rounded; skill " +
+      "NULL on a single-class corpus",
+    (s, dir) =>
+      graft.operators.Quality.brierScore(
+        englishnessScored(s, dir), "score", "is_en"),
+    Some(s"""WITH $englishnessSql,
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(y) AS BIGINT) AS n_pos,
+                    SUM(CAST(score - y * 1000000 AS HUGEINT) *
+                        CAST(score - y * 1000000 AS HUGEINT)) AS d2
+                  FROM sc)
+            SELECT n, n_pos,
+              CASE WHEN n > 0 THEN
+                ROUND(CAST(d2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6)
+              END AS brier,
+              CASE WHEN n > 0 THEN
+                ROUND(CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE) /
+                  (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+              END AS uncertainty,
+              CASE WHEN n_pos > 0 AND n_pos < n THEN
+                ROUND(1.0 - CAST(d2 * n AS DOUBLE) /
+                  (1e12 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)),
+                  6)
+              END AS skill
+            FROM st"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
-      q222, q223, q224, q226, q227, q228, q229, q230, q231)
+      q222, q223, q224, q226, q227, q228, q229, q230, q231, q232)
 }

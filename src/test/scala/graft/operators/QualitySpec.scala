@@ -806,6 +806,35 @@ class QualitySpec extends SparkSpecBase {
     assert(math.abs(a.getDouble(1) - num / den) < 6e-7)
   }
 
+  test("brierScore: hand-computed, perfect=0, inverted=1, skill vs the base-rate floor") {
+    val sp = spark; import sp.implicits._
+    // p=(0.8 y=1), (0.3 y=0): brier = (0.04 + 0.09)/2 = 0.065;
+    // uncertainty = 0.25; skill = 1 - 0.065/0.25 = 0.74
+    val rows = Seq((800000L, true), (300000L, false))
+    val r = Quality.brierScore(rows.toDF("p", "y"), "p", "y").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 0.065 && r.getDouble(3) === 0.25 &&
+      r.getDouble(4) === 0.74)
+    // perfect predictions: brier 0, skill 1
+    val perfect = Quality.brierScore(
+      Seq((1000000L, true), (0L, false)).toDF("p", "y"), "p", "y")
+      .collect().head
+    assert(perfect.getDouble(2) === 0.0 && perfect.getDouble(4) === 1.0)
+    // inverted predictions: brier 1 (maximal), skill deeply negative
+    val inv = Quality.brierScore(
+      Seq((0L, true), (1000000L, false)).toDF("p", "y"), "p", "y")
+      .collect().head
+    assert(inv.getDouble(2) === 1.0 && inv.getDouble(4) === -3.0)
+    // single-class corpus: no floor to beat — skill NULL, never ±Inf
+    val one = Quality.brierScore(
+      Seq((900000L, true), (800000L, true)).toDF("p", "y"), "p", "y")
+      .collect().head
+    assert(one.isNullAt(4) && one.getDouble(3) === 0.0)
+    intercept[IllegalArgumentException] {
+      Quality.brierScore(Seq((0.5, true)).toDF("p", "y"), "p", "y")
+    }
+  }
+
   test("calibrationCurve: hand-computed bins, top-edge clamp, exact ECE") {
     val sp = spark; import sp.implicits._
     // micro-scores: two in bin 2 (conf .25, acc .5), two in bin 9 —

@@ -1076,7 +1076,10 @@ object Quality {
          | _: org.apache.spark.sql.types.LongType => ()
       case dt => throw new IllegalArgumentException(
         s"Quality.rocAuc: score column '$scoreCol' must be integral " +
-          s"(got $dt) — pre-quantize with an exact integer expression")
+          s"(got $dt) — pre-quantize with an exact integer expression " +
+          "whose range BOUNDS the distinct-score frame (e.g. a micro-" +
+          "ratio ≤ 10^6): the cumulative rank pass sorts that frame in " +
+          "one task, so a raw hash passed as a 'score' is a scale cliff")
     }
     val DEC = DecimalType(38, 0)
     val cells = df

@@ -30,8 +30,12 @@ val OUT = sys.env.getOrElse("SCALEUP_OUT", "target/sfscale1")
 val COPIES = sys.env.getOrElse("SCALEUP_COPIES", "10").toInt
 
 def rd(t: String): DataFrame = spark.read.parquet(s"$SRC/$t.parquet")
+// Multi-file writes (r15 verdict item 2): a single-file table is ONE
+// input split, which serializes every scan-bound pass (q228 measured a
+// 98x wall / ~4x CPU gap at 100x purely from this). 32 splits = one per
+// local[32] core; a real cluster fixture would carry hundreds.
 def wr(df: DataFrame, t: String): Unit =
-  df.write.mode("overwrite").parquet(s"$OUT/$t.parquet")
+  df.repartition(32).write.mode("overwrite").parquet(s"$OUT/$t.parquet")
 
 val copies = spark.range(0, COPIES).select(col("id").as("__c"))
 

@@ -118,8 +118,15 @@ object Bench {
       val errs = results.collect { case (k, _, _, false) => "\"" + key(k, 0, false) + "\"" }
         .mkString("[", ",", "]")
       val dropped = results.size - keep.size
-      val trunc = if (dropped > 0) s""","queries_truncated":$dropped""" else ""
-      val total = results.collect { case (_, v, _, true) => v }.sum
+      // a truncated stdout line names the artifact carrying all queries,
+      // so BENCH_rN readers never need to guess where the full map lives
+      val trunc = if (dropped > 0)
+        s""","queries_truncated":$dropped,"full_map":"BENCH_FULL.json"""" else ""
+      // "value" sums the SAME headline numbers the queries map carries
+      // (rerun-floored structural estimates) so the map always sums to
+      // the total; the raw wall-clock sweep stays as insweep_total
+      val total = headline.collect { case (_, v, _, true) => v }.sum
+      val insweepTotal = results.collect { case (_, v, _, true) => v }.sum
       val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
       val cpuMap = if (!withCpu) "" else {
         val m = keep.map { case (k, _, c, ok) =>
@@ -141,7 +148,7 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","insweep":$m"""
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":${fmt(cpuTotal, decimals)},"queries":$qs$cpuMap$rr$isw$trunc,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","insweep_total":${fmt(insweepTotal, decimals)},"cpu_total":${fmt(cpuTotal, decimals)},"queries":$qs$cpuMap$rr$isw$trunc,"errors":$errs,"sf":"$sfDir"}"""
     }
     // The driver keeps only the final 2,000 stdout chars, and a line cut
     // mid-JSON parses as nothing (the r9 failure, which resurfaced when

@@ -1199,6 +1199,19 @@ object Quality {
           roundTo)).as("rho"))
   }
 
+  /** Corpus-side range guard for integral micro-probability scores: the
+    * driver-side type require catches a mis-typed column, this catches a
+    * mis-RANGED one (negative or > 10⁶ would silently yield brier > 1,
+    * out-of-range bins, conf/gap outside [−1,1]) — fail loud on the row,
+    * the [[graft.operators.Sketches]] hdr negative-value discipline. */
+  private def microProbGuard(score: Column, who: String): Column = {
+    val sc = score.cast("long")
+    when(sc >= 0L && sc <= 1000000L, sc).otherwise(raise_error(concat(
+      lit(s"$who: score "), sc.cast("string"),
+      lit(" outside the micro-probability range [0, 1e6] — quantize as " +
+        "round(p*1e6) and pre-clamp"))).cast("long"))
+  }
+
   /** Brier score + skill — the PROPER scoring rule completing the
     * calibration family ([[calibrationCurve]] audits bin-wise value
     * agreement, the Brier score prices every individual prediction:
@@ -1238,7 +1251,7 @@ object Quality {
     val M = 1000000L
     val stats = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(scoreCol).cast("long").as("sc"),
+      .select(microProbGuard(col(scoreCol), "Quality.brierScore").as("sc"),
         when(col(labelCol), 1L).otherwise(0L).as("y"))
       .agg(
         count(lit(1)).as("n"),
@@ -1305,11 +1318,12 @@ object Quality {
     val M = 1000000L
     val binned = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .select(
-        least(floor(col(scoreCol).cast("long") * bins / M), lit(bins - 1L))
-          .cast("long").as("bin"),
-        col(scoreCol).cast("long").as("sc"),
+      .select(microProbGuard(col(scoreCol), "Quality.calibrationCurve").as("sc"),
         when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .select(
+        least(floor(col("sc") * bins / M), lit(bins - 1L))
+          .cast("long").as("bin"),
+        col("sc"), col("y"))
     val perBin = binned.groupBy("bin").agg(
       count(lit(1)).as("n"),
       sum(col("sc").cast(DEC)).as("sum_score"),

@@ -67,13 +67,16 @@ object StreamingAms {
     * = (s2, grp)-ordered middle pick, est = s_med/reps (exact in binary
     * at the power-of-two reps). */
   private def rowOf(slot: Long, z: Seq[Long]): AmsWindowRow = {
-    // int64-exactness guard: s_med = Σ z² over `Reps` counters must not
-    // wrap — |z| < 2^31 keeps Reps·z² < 2^63 (|z| ≤ window tick count,
-    // so this fires only past ~2 billion ticks in ONE key's window;
-    // fail loud, never a silently wrapped moment)
-    require(z.forall(v => math.abs(v) < (1L << 31)),
+    // int64-exactness guard: each group sum adds `Reps` squares in plain
+    // Long, so it needs Reps·z² ≤ Long.MaxValue — |z| < 2^30 gives
+    // 8·(2^30−1)² = 2^63 − 2^34 + 8 < 2^63 (a 2^31 bound would let the
+    // sum wrap at 4·overflow). |z| ≤ window tick count, so this fires
+    // only past ~10^9 ticks in ONE key's window; fail loud, never a
+    // silently wrapped moment (and never a silent divergence from the
+    // Decimal-exact batch Sketches.amsF2).
+    require(z.forall(v => math.abs(v) < (1L << 30)),
       s"StreamingAms: window slot $slot counter magnitude exceeds the " +
-        "int64-exact bound (2^31 ticks per key-window) — shrink bucketUs")
+        "int64-exact bound (2^30 ticks per key-window) — shrink bucketUs")
     val groupSums = (0 until Depth).map { g =>
       (g, (0 until Reps).map(r => { val v = z(g * Reps + r); v * v }).sum)
     }

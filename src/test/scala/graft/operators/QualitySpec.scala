@@ -833,6 +833,18 @@ class QualitySpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Quality.brierScore(Seq((0.5, true)).toDF("p", "y"), "p", "y")
     }
+    // range is fail-loud too: an out-of-range micro-score would silently
+    // yield brier > 1 — it must raise, not flow through
+    val oob = intercept[Exception] {
+      Quality.brierScore(Seq((1000001L, true)).toDF("p", "y"), "p", "y")
+        .collect()
+    }
+    assert(oob.getMessage.contains("micro-probability range") ||
+      Option(oob.getCause).exists(_.getMessage.contains("micro-probability range")))
+    intercept[Exception] {
+      Quality.brierScore(Seq((-1L, false)).toDF("p", "y"), "p", "y")
+        .collect()
+    }
   }
 
   test("calibrationCurve: hand-computed bins, top-edge clamp, exact ECE") {
@@ -857,6 +869,10 @@ class QualitySpec extends SparkSpecBase {
     assert(ece2 === 0.1375 && out(9L)._6 === 0.1375)
     intercept[IllegalArgumentException] {
       Quality.calibrationCurve(Seq((0.5, true)).toDF("p", "y"), "p", "y")
+    }
+    intercept[Exception] {
+      Quality.calibrationCurve(Seq((1000001L, true)).toDF("p", "y"),
+        "p", "y").collect()
     }
   }
 }

@@ -55,6 +55,23 @@ class StreamingAmsSpec extends SparkSpecBase {
     assert(r3.isEmpty && !s3.open.contains(0L))
   }
 
+  test("finalize: int64-exactness guard fires at |z| = 2^30, passes below") {
+    // the group sum adds Reps=8 squares in plain Long: 8·(2^31−1)² wraps,
+    // so the guard must reject |z| ≥ 2^30 (8·(2^30−1)² = 2^63−2^34+8 fits)
+    val hot = AmsState(None, Map(0L -> Vector.fill(24)(1L << 30)))
+    val ex = intercept[IllegalArgumentException] {
+      StreamingAms.step(hot, Seq.empty, Bucket, "s", 1 * Bucket)
+    }
+    assert(ex.getMessage.contains("int64-exact"))
+    // one tick below the bound: finalizes without wrapping — every group
+    // sum is 8·(2^30−1)², positive and exact
+    val edge = (1L << 30) - 1L
+    val (rows, _) = StreamingAms.step(
+      AmsState(None, Map(0L -> Vector.fill(24)(edge))),
+      Seq.empty, Bucket, "s", 1 * Bucket)
+    assert(rows.head.s_med === 8L * edge * edge && rows.head.s_med > 0L)
+  }
+
   test("end-to-end: drained MemoryStream rows equal the batch sketch per (key, slot)") {
     val s = spark
     import s.implicits._

@@ -34,6 +34,18 @@ object VectorOps {
       lit(0.0),
       (s, v) => s + v)
 
+  /** Exact integer dot product over two `array<long>` columns — the
+    * quantized-vector kernel of the portable k-means trainer
+    * ([[graft.operators.Similarity.kMeansCentroidsPortable]]): products
+    * and the running sum stay in Long, so the result is EXACT and
+    * engine-portable with no float-summation-order dependence (the q230
+    * exact-integer-scatter discipline). Callers bound magnitudes so
+    * Σ|aᵢ·bᵢ| < 2⁶³ (micro-quantized unit-scale vectors: ≤ dim·10¹⁴).
+    * HOF form — the trainer runs on model-sized samples and centroid
+    * frames, never on the corpus hot path. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
+
   /** Euclidean norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

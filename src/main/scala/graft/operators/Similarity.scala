@@ -1036,7 +1036,23 @@ object Similarity {
       bands: Int = 0,
       planesPerBand: Int = 1): DataFrame = {
     require(nCentroids >= 1, "semanticDedup: nCentroids must be >= 1")
-    val assigned = cellAssign(vectors, nCentroids, quantizer, idCol, vecCol, roundTo)
+    dedupFromAssigned(
+      cellAssign(vectors, nCentroids, quantizer, idCol, vecCol, roundTo),
+      minSim, idCol, roundTo, bands, planesPerBand)
+  }
+
+  /** The SemDeDup tail shared by [[semanticDedup]] (flat assignment) and
+    * [[semanticDedupTrained]] (two-level trained assignment): within-cell
+    * pair generation → threshold edges → connected components → keep the
+    * least-prototypical member. `assigned0` is (id, cell, cent_sim, vec). */
+  private def dedupFromAssigned(
+      assigned0: DataFrame,
+      minSim: Double,
+      idCol: String,
+      roundTo: Int,
+      bands: Int,
+      planesPerBand: Int): DataFrame = {
+    val assigned = assigned0
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // BOTH per-call caches are released before return — on every exit
     // path (the nearDupClusters discipline): the output is eagerly
@@ -1317,5 +1333,398 @@ object Similarity {
        |  CAST(NULL AS BIGINT) AS picked_dist
        |$finalRows
        |ORDER BY rank""".stripMargin
+  }
+
+  // ───────────────────────────────────────────────────────────────────
+  // Trained-quantizer IVF (the r15 scale residual): portable k-means
+  // training + two-level (coarse→fine) assignment. The flat auto path
+  // (knnGraphAuto / semanticDedupAuto) derives k ~ n/1024 to bound cell
+  // sizes, which leaves an n·k = n²/1024 assignment term; the trained
+  // path trains Lloyd's on a model-sized sample (train ONCE, persist as
+  // parquet model state, reuse) and routes vectors coarse-first —
+  // assignment drops to n·(√k + k/√k) = 2n√k, the IMI-style two-level
+  // structure (Babenko & Lempitsky 2012), while cells stay ~targetCell
+  // so candidate volume is still linear.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** PORTABLE spherical k-means trainer — [[kMeansCentroids]] re-derived
+    * under the exact-integer discipline (the q230 PCA scatter rule) so a
+    * SQL oracle replays TRAINING itself, not just assignment:
+    *
+    *  - vectors quantize to a 10⁻⁶ grid (`xq = round(x·10⁶)`, exact in
+    *    both engines — each float widens exactly, one correctly-rounded
+    *    multiply, one round);
+    *  - every dot/norm in the E-step is an EXACT integer (Σxq·cq and
+    *    Σxq² stay < 2⁵³, so even a double-typed engine sums them
+    *    exactly in any order — zero fold-order dependence); the routing
+    *    cosine is integer/(√int·√int) rounded to `routeRoundTo`;
+    *  - the M-step mean runs on 10⁻⁹-grid unit components
+    *    (`uq = round(x/√n2·10⁹)`): integer sums, one double division
+    *    chain, re-quantized to the 10⁻⁶ centroid grid.
+    *
+    * Training runs on a deterministic model-sized sample (first
+    * `k·sampleFactor` valid vectors by id — ORDER BY id LIMIT, the
+    * portable sample rule), so train cost is ~k²·sampleFactor·iters
+    * dots, independent of corpus size: the train-ONCE piece of the
+    * trained-quantizer contract. Returns (cid, cq, c2): integer
+    * micro-scale centroid vectors (array<long>) + exact squared norms —
+    * cosine is scale-invariant, so micro-scale centroids score
+    * identically to unit ones. Cells that collapse to the zero vector
+    * drop (the [[kMeansCentroids]] degeneracy rule). Persist with
+    * `df.write.parquet(path)` as model state; [[knnGraphTrained]] /
+    * [[semanticDedupTrained]] accept the reloaded frame. */
+  def kMeansCentroidsPortable(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int = 2,
+      sampleFactor: Int = 32,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      routeRoundTo: Int = 6): DataFrame = {
+    require(k >= 1 && iters >= 0 && sampleFactor >= 1,
+      s"kMeansCentroidsPortable(k=$k, iters=$iters, sampleFactor=$sampleFactor)")
+    // raw validity first (the NaN-greatest trap — see kMeansCentroids),
+    // then quantized validity: a tiny-but-nonzero vector that rounds to
+    // the zero grid point has no quantized direction and drops too
+    val raw = corpus
+      .filter(!isnan(VectorOps.l2Norm(col(vecCol))) && VectorOps.l2Norm(col(vecCol)) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("xq"))
+      .withColumn("n2", VectorOps.dotLong(col("xq"), col("xq")))
+      .filter(col("n2") > 0L)
+    val samp = raw.orderBy("id").limit(k * sampleFactor)
+      // read once per Lloyd iteration (the kMeansCentroids persist rule)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    var cents = raw.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("xq").as("cq"), col("n2").as("c2"))
+    for (_ <- 0 until iters) {
+      // E-step: integer-exact cosine, rounded for portable ties; the
+      // (csim, −cid) max reproduces ROW_NUMBER (csim DESC, cid) exactly
+      val scored = samp.join(broadcast(cents), lit(true))
+        .withColumn("csim", round(
+          VectorOps.dotLong(col("xq"), col("cq")).cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("c2").cast("double"))),
+          routeRoundTo))
+      val asg = scored.groupBy("id")
+        .agg(
+          max(struct(col("csim").as("s"), negate(col("cid")).as("nc"))).as("m"),
+          any_value(col("xq")).as("xq"), any_value(col("n2")).as("n2"))
+        .select(col("id"), negate(col("m.nc")).as("cell"), col("xq"), col("n2"))
+      // M-step on the 10⁻⁹ unit grid: integer sums (exact, ≤ n·10⁹ ≪ 2⁵³
+      // even as HUGEINT/double in a replaying engine), one double
+      // division chain, re-quantized to the 10⁻⁶ centroid grid
+      val dims = asg
+        .select(col("cell"), col("n2"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .withColumn("uq", round(
+          col("x").cast("double") / sqrt(col("n2").cast("double")) * lit(1.0e9))
+          .cast("long"))
+        .groupBy("cell", "pos")
+        .agg(sum(col("uq")).as("su"), count(lit(1)).as("cnt"))
+        .withColumn("m", round(
+          col("su").cast("double") / col("cnt") / lit(1000.0)).cast("long"))
+      cents = dims.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), s => s.getField("m")).as("cq"))
+        .withColumn("c2", VectorOps.dotLong(col("cq"), col("cq")))
+        .filter(col("c2") > 0L)
+    }
+    // eager model-sized materialization so the sample cache can release
+    // on every path (the semanticDedup localCheckpoint discipline)
+    val out = cents.localCheckpoint(true)
+    samp.unpersist()
+    out
+  }
+
+  /** Two-level (coarse→fine) cell routing shared by [[knnGraphTrained]]
+    * and [[semanticDedupTrained]]: coarse anchors = first ⌈√k⌉ trained
+    * centroids by cid; each centroid maps to its nearest coarse anchor
+    * (integer-exact rounded cosine); each vector routes to its coarse
+    * group (n·√k dots), then ranks ONLY that group's centroids
+    * (n·k/√k dots avg) — assignment 2n·√k instead of the flat n·k.
+    * The recall trade vs flat assignment: a vector whose true nearest
+    * centroid lives in another coarse group routes to its within-group
+    * best instead — the documented IMI approximation (raise nProbe, or
+    * fall back to flat [[topKIvf]], where that matters).
+    * Returns (side: nid/nvec/nnorm persisted, ranked: nid/cid/csim/crank
+    * ≤ max(nProbe,1) persisted) — both released by the session cache
+    * clear (the jaccardPairs contract). */
+  private def twoLevelRanked(
+      corpus: DataFrame,
+      quantizer: DataFrame,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String,
+      routeRoundTo: Int): (DataFrame, DataFrame) = {
+    val kq = quantizer.count()
+    require(kq >= 1, "twoLevelRanked: empty quantizer")
+    val g = math.ceil(math.sqrt(kq.toDouble)).toInt
+    val cents = quantizer.select(
+      col("cid").cast("long").as("cid"), col("cq"), col("c2"))
+    val coarse = cents.orderBy("cid").limit(g)
+      .select(col("cid").as("gid"), col("cq").as("gq"), col("c2").as("g2"))
+    // centroid → coarse group: model×model, integer-exact rounded cosine
+    val centGrp = cents.join(broadcast(coarse), lit(true))
+      .withColumn("gsim", round(
+        VectorOps.dotLong(col("cq"), col("gq")).cast("double") /
+          (sqrt(col("c2").cast("double")) * sqrt(col("g2").cast("double"))),
+        routeRoundTo))
+      .groupBy("cid")
+      .agg(
+        max(struct(col("gsim").as("s"), negate(col("gid")).as("ng"))).as("m"),
+        any_value(col("cq")).as("cq"), any_value(col("c2")).as("c2"))
+      .select(col("cid"), negate(col("m.ng")).as("cgrp"),
+        // micro-scale integer centroids cast to float EXACTLY (|cq| ≤
+        // ~10⁷ < 2²⁴), so the float-dot kernel sees the same operands a
+        // DOUBLE[] replay does
+        col("cq").cast("array<float>").as("cqf"), col("c2"))
+    val side = withNorm(
+        corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nvec", "nnorm")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val coarseF = coarse
+      .withColumn("gqf", col("gq").cast("array<float>"))
+      .select(col("gid"), col("gqf"), col("g2"))
+    // vector → coarse group (n·√k dots, map-side argmax)
+    val vGrp = side.join(broadcast(coarseF), lit(true))
+      .withColumn("gsim", round(
+        VectorOps.dot(col("nvec"), col("gqf")) /
+          (col("nnorm") * sqrt(col("g2").cast("double"))), routeRoundTo))
+      .groupBy("nid")
+      .agg(max(struct(col("gsim").as("s"), negate(col("gid")).as("ng"))).as("m"))
+      .select(col("nid"), negate(col("m.ng")).as("grp"))
+    // vector → fine rank within its coarse group: the grp-keyed
+    // broadcast-hash join fans each vector out to ~k/√k centroids, not k
+    val wR = Window.partitionBy("nid").orderBy(col("csim").desc, col("cid"))
+    val ranked = side.join(vGrp, "nid")
+      .join(broadcast(centGrp), col("grp") === col("cgrp"))
+      .withColumn("csim", round(
+        VectorOps.dot(col("nvec"), col("cqf")) /
+          (col("nnorm") * sqrt(col("c2").cast("double"))), routeRoundTo))
+      .select(col("nid"), col("cid"), col("csim"))
+      .withColumn("crank", row_number().over(wR))
+      .filter(col("crank") <= math.max(nProbe, 1))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    (side, ranked)
+  }
+
+  /** [[knnGraph]] over a TRAINED persisted quantizer with two-level
+    * routing — the production kNN-graph entry point at 100 TB geometry:
+    * train [[kMeansCentroidsPortable]] ONCE (model-sized sample, cost
+    * independent of corpus size), persist the (cid, cq, c2) frame as
+    * parquet model state, and reuse it here — assignment is 2n·√k dots
+    * (coarse-then-fine) instead of the flat path's n·k = n²/targetCell,
+    * while trained cells stay ~targetCell so candidate volume per probe
+    * is still bounded. The whole pipeline — training included — replays
+    * in SQL ([[trainedKnnSql]], q233): integer-exact training, rounded
+    * routing, rounded pair sims. Output (pid, rank, nid, sim), the
+    * [[knnGraph]] contract. */
+  def knnGraphTrained(
+      corpus: DataFrame,
+      quantizer: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"knnGraphTrained(k=$k, nProbe=$nProbe)")
+    val (side, rk) = twoLevelRanked(
+      corpus, quantizer, nProbe, idCol, vecCol, routeRoundTo)
+    val vv = side.join(
+      rk.filter(col("crank") === 1).select(col("nid"), col("cid").as("cell")), "nid")
+    val pp = side
+      .select(col("nid").as("pid"), col("nvec").as("pvec"), col("nnorm").as("pnorm"))
+      .join(rk.select(col("nid").as("pid"), col("cid").as("pcell")), "pid")
+    // both sides corpus-scale → force the cell-keyed shuffle-hash join
+    // (the topKIvf corpusSizedProbes rule)
+    val scored = pp.hint("shuffle_hash")
+      .join(vv.hint("shuffle_hash"),
+        col("pcell") === col("cell") && col("pid") =!= col("nid"))
+      .withColumn("sim", pairSim(roundTo))
+    graft.plans.TopK.perKey(
+        scored, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
+      .select("pid", "rank", "nid", "sim")
+  }
+
+  /** [[semanticDedup]] over a TRAINED persisted quantizer with two-level
+    * routing — the q149 remedy: same SemDeDup tail (within-cell pairs →
+    * components → keep-least-prototypical), assignment 2n·√k instead of
+    * n·k. cent_sim is the fine routing cosine (rounded `routeRoundTo`).
+    * Fully SQL-replayable ([[trainedDedupSql]], q234). */
+  def semanticDedupTrained(
+      vectors: DataFrame,
+      quantizer: DataFrame,
+      minSim: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6,
+      bands: Int = 0,
+      planesPerBand: Int = 1): DataFrame = {
+    val (side, rk) = twoLevelRanked(
+      vectors, quantizer, nProbe = 1, idCol, vecCol, routeRoundTo)
+    val assigned = side
+      .join(rk.filter(col("crank") === 1)
+        .select(col("nid"), col("cid").as("cell"), col("csim").as("cent_sim")), "nid")
+      .select(col("nid").as("id"), col("cell"), col("cent_sim"),
+        col("nvec").as("vec"))
+    dedupFromAssigned(assigned, minSim, idCol, roundTo, bands, planesPerBand)
+  }
+
+  /** GENERATES the DuckDB replay of the trained-quantizer pipeline
+    * prefix — raw staging, micro-quantization, the unrolled Lloyd
+    * iterations ([[kMeansCentroidsPortable]]'s exact arithmetic,
+    * verbatim), and the two-level routing of [[twoLevelRanked]] — ending
+    * at CTE `rkq` (id, cid, csim, crank). Shared by [[trainedKnnSql]]
+    * and [[trainedDedupSql]] (the kCenterSqlCtes one-source-of-truth
+    * rule). */
+  def trainedIvfSqlCtes(
+      table: String,
+      minCentroids: Int,
+      targetCell: Int = 1024,
+      iters: Int = 2,
+      sampleFactor: Int = 32,
+      nProbe: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      routeRoundTo: Int = 6): String = {
+    require(iters >= 1 && iters <= 16, s"iters $iters outside [1,16]")
+    val rounds = (1 to iters).map { t =>
+      s"""s$t AS (SELECT samp.id, p.cid,
+         |    ROUND(list_inner_product(CAST(samp.xq AS DOUBLE[]), CAST(p.cq AS DOUBLE[]))
+         |      / (sqrt(CAST(samp.n2 AS DOUBLE)) * sqrt(CAST(p.c2 AS DOUBLE))),
+         |      $routeRoundTo) AS csim
+         |  FROM samp CROSS JOIN c${t - 1} p),
+         |a$t AS (SELECT id, cid AS cell FROM
+         |   (SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+         |    FROM s$t) WHERE rn = 1),
+         |u$t AS (SELECT cell, i - 1 AS pos,
+         |    CAST(round(xq[i] / sqrt(CAST(n2 AS DOUBLE)) * 1000000000.0) AS BIGINT) AS uq
+         |  FROM (SELECT a.cell, s.xq, s.n2,
+         |          unnest(generate_series(1, len(s.xq))) AS i
+         |        FROM a$t a JOIN samp s USING (id))),
+         |m$t AS (SELECT cell, pos,
+         |    CAST(round(CAST(SUM(uq) AS DOUBLE) / COUNT(*) / 1000.0) AS BIGINT) AS m
+         |  FROM u$t GROUP BY cell, pos),
+         |c$t AS MATERIALIZED (SELECT cid, cq,
+         |    CAST(list_inner_product(CAST(cq AS DOUBLE[]), CAST(cq AS DOUBLE[])) AS BIGINT) AS c2
+         |  FROM (SELECT cell AS cid, list(m ORDER BY pos) AS cq FROM m$t GROUP BY cell)
+         |  WHERE list_inner_product(CAST(cq AS DOUBLE[]), CAST(cq AS DOUBLE[])) > 0)""".stripMargin
+    }
+    s"""vraw AS MATERIALIZED (
+       |  SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS ev
+       |  FROM $table
+       |  WHERE NOT isnan(list_inner_product(CAST($vecCol AS DOUBLE[]),
+       |                                     CAST($vecCol AS DOUBLE[])))
+       |    AND list_inner_product(CAST($vecCol AS DOUBLE[]),
+       |                           CAST($vecCol AS DOUBLE[])) > 0),
+       |vq AS MATERIALIZED (
+       |  SELECT id, xq,
+       |    CAST(list_inner_product(CAST(xq AS DOUBLE[]), CAST(xq AS DOUBLE[])) AS BIGINT) AS n2
+       |  FROM (SELECT id,
+       |          list_transform(ev, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xq
+       |        FROM vraw)
+       |  WHERE list_inner_product(CAST(xq AS DOUBLE[]), CAST(xq AS DOUBLE[])) > 0),
+       |samp AS MATERIALIZED (SELECT id, xq, n2 FROM vq ORDER BY id
+       |  LIMIT (SELECT $sampleFactor * GREATEST($minCentroids, COUNT(*) // $targetCell)
+       |         FROM $table)),
+       |c0 AS MATERIALIZED (SELECT id AS cid, xq AS cq, n2 AS c2 FROM vq ORDER BY id
+       |  LIMIT (SELECT GREATEST($minCentroids, COUNT(*) // $targetCell) FROM $table)),
+       |${rounds.mkString(",\n")},
+       |gg AS MATERIALIZED (SELECT cid AS gid, cq AS gq, c2 AS g2 FROM c$iters
+       |  ORDER BY cid LIMIT (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM c$iters)),
+       |cg AS MATERIALIZED (SELECT cid, grp, cq, c2 FROM
+       |   (SELECT c.cid, g.gid AS grp, c.cq, c.c2,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY
+       |        ROUND(list_inner_product(CAST(c.cq AS DOUBLE[]), CAST(g.gq AS DOUBLE[]))
+       |          / (sqrt(CAST(c.c2 AS DOUBLE)) * sqrt(CAST(g.g2 AS DOUBLE))),
+       |          $routeRoundTo) DESC, g.gid) AS rn
+       |    FROM c$iters c CROSS JOIN gg g) WHERE rn = 1),
+       |vg AS MATERIALIZED (SELECT id, grp FROM
+       |   (SELECT v.id, g.gid AS grp,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+       |        ROUND(list_inner_product(v.ev, CAST(g.gq AS DOUBLE[]))
+       |          / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(CAST(g.g2 AS DOUBLE))),
+       |          $routeRoundTo) DESC, g.gid) AS rn
+       |    FROM vraw v CROSS JOIN gg g) WHERE rn = 1),
+       |rkq AS MATERIALIZED (SELECT id, cid, csim, rn AS crank FROM
+       |   (SELECT v.id, c.cid,
+       |      ROUND(list_inner_product(v.ev, CAST(c.cq AS DOUBLE[]))
+       |        / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(CAST(c.c2 AS DOUBLE))),
+       |        $routeRoundTo) AS csim,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+       |        ROUND(list_inner_product(v.ev, CAST(c.cq AS DOUBLE[]))
+       |          / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(CAST(c.c2 AS DOUBLE))),
+       |          $routeRoundTo) DESC, c.cid) AS rn
+       |    FROM vraw v JOIN vg ON vg.id = v.id JOIN cg c ON c.grp = vg.grp)
+       |   WHERE rn <= ${math.max(nProbe, 1)})""".stripMargin
+  }
+
+  /** Full DuckDB replay of [[knnGraphTrained]] (training included) —
+    * the q233 oracle. */
+  def trainedKnnSql(
+      table: String,
+      k: Int,
+      nProbe: Int,
+      minCentroids: Int,
+      targetCell: Int = 1024,
+      iters: Int = 2,
+      sampleFactor: Int = 32,
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6): String = {
+    val ctes = trainedIvfSqlCtes(table, minCentroids, targetCell, iters,
+      sampleFactor, nProbe, routeRoundTo = routeRoundTo)
+    s"""WITH $ctes,
+       |cand AS (SELECT p.id AS pid, h.id AS nid FROM rkq p
+       |  JOIN (SELECT id, cid FROM rkq WHERE crank = 1) h
+       |    ON p.cid = h.cid AND p.id <> h.id
+       |  WHERE p.crank <= $nProbe),
+       |sc AS (SELECT cand.pid, cand.nid,
+       |    ROUND(list_cosine_similarity(a.ev, b.ev), $roundTo) AS sim
+       |  FROM cand JOIN vraw a ON a.id = cand.pid JOIN vraw b ON b.id = cand.nid),
+       |r AS (SELECT pid, nid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sim DESC, nid) AS rank
+       |  FROM sc)
+       |SELECT pid, CAST(rank AS BIGINT) AS rank, nid, sim
+       |FROM r WHERE rank <= $k ORDER BY pid, rank""".stripMargin
+  }
+
+  /** Full DuckDB replay of [[semanticDedupTrained]] (training included,
+    * recursive component closure) — the q234 oracle. */
+  def trainedDedupSql(
+      table: String,
+      minSim: Double,
+      minCentroids: Int,
+      targetCell: Int = 1024,
+      iters: Int = 2,
+      sampleFactor: Int = 32,
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6): String = {
+    val ctes = trainedIvfSqlCtes(table, minCentroids, targetCell, iters,
+      sampleFactor, nProbe = 1, routeRoundTo = routeRoundTo)
+    s"""WITH RECURSIVE $ctes,
+       |asg AS MATERIALIZED (SELECT id, cid AS cell, csim AS cent_sim
+       |  FROM rkq WHERE crank = 1),
+       |pr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN vraw va ON va.id = a.id JOIN vraw vb ON vb.id = b.id
+       |  WHERE ROUND(list_cosine_similarity(va.ev, vb.ev), $roundTo) >= $minSim),
+       |ed AS (SELECT ia AS u, ib AS w FROM pr UNION ALL SELECT ib, ia FROM pr),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM asg
+       |  UNION
+       |  SELECT reach.src, ed.w FROM reach JOIN ed ON reach.dst = ed.u),
+       |cl AS (SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |j AS (SELECT asg.id, asg.cell, cl.cluster_id, asg.cent_sim
+       |  FROM asg JOIN cl USING (id)),
+       |sv AS (SELECT cluster_id, id AS surv_id FROM
+       |  (SELECT cluster_id, id, ROW_NUMBER() OVER (
+       |     PARTITION BY cluster_id ORDER BY cent_sim, id) AS rn
+       |   FROM j) WHERE rn = 1)
+       |SELECT j.id AS vec_id, j.cell, j.cluster_id, j.cent_sim,
+       |       j.id = sv.surv_id AS keep
+       |FROM j JOIN sv USING (cluster_id) ORDER BY vec_id""".stripMargin
   }
 }

@@ -345,6 +345,78 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("kMeansCentroidsPortable: deterministic, ≤k cells, exact integer norms") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    def run() = Similarity.kMeansCentroidsPortable(v, k = 8, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
+      .sortBy(_._1)
+    val a = run()
+    val b = run()
+    // bit-for-bit deterministic across runs (integer-exact arithmetic,
+    // no float-summation-order dependence)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length >= 1 && a.length <= 8)
+    a.foreach { case (_, cq, c2) =>
+      assert(c2 === cq.map(x => x * x).sum, "c2 must be the exact Σcq²")
+      assert(c2 > 0L, "degenerate zero cells must drop")
+      // micro-scale unit components: |cq| ≤ 10⁶ after the first M-step
+      assert(cq.forall(x => math.abs(x) <= 1000000L))
+    }
+  }
+
+  test("knnGraphTrained: single-cell quantizer degenerates to brute-force self-kNN") {
+    val s = spark
+    import s.implicits._
+    val v = Tables.load(spark, sfDir, "embeddings").limit(200)
+    // one centroid ⇒ one coarse anchor ⇒ one cell holding everything ⇒
+    // the candidate join is all-pairs and the trained path must equal
+    // the exact self-kNN (same rounding), cell routing never changes
+    // scores — the topKIvf exactness property on the two-level path
+    val q1 = Similarity.kMeansCentroidsPortable(v, k = 1, iters = 1)
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2), r.getDouble(3))
+    val trained = Similarity.knnGraphTrained(v, q1, k = 3, nProbe = 1)
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    val brute = Similarity.topKBruteForce(v, v, k = 3)
+      .filter(col("pid") =!= col("nid"))
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    assert(trained.toSeq === brute.toSeq)
+  }
+
+  test("knnGraphTrained: production two-level geometry keeps exact pair scores") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val q = Similarity.kMeansCentroidsPortable(v, k = 8, iters = 2)
+    val out = Similarity.knnGraphTrained(v, q, k = 3, nProbe = 2).collect()
+    assert(out.nonEmpty)
+    val exact = Similarity.topKBruteForce(v, v, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(r.getLong(0) !== r.getLong(2), "no self-pairs")
+      assert(exact(key) === r.getDouble(3),
+        "routing bounds candidacy, never alters scores")
+    }
+  }
+
+  test("semanticDedupTrained: impossible threshold ⇒ all singletons keep; " +
+    "survivor is the least-prototypical member") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val q = Similarity.kMeansCentroidsPortable(v, k = 4, iters = 1)
+    val all = Similarity.semanticDedupTrained(v, q, minSim = 2.0).collect()
+    assert(all.nonEmpty && all.forall(_.getBoolean(4)),
+      "minSim > 1 admits no edges — every vector is its own surviving cluster")
+    val deduped = Similarity.semanticDedupTrained(v, q, minSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    deduped.groupBy(_._2).foreach { case (_, members) =>
+      val survivors = members.filter(_._4)
+      assert(survivors.length === 1, "exactly one survivor per cluster")
+      val expect = members.minBy(m => (m._3, m._1))
+      assert(survivors.head._1 === expect._1,
+        "survivor = lowest (cent_sim, id) — the keep-least-prototypical rule")
+    }
+  }
+
   test("nearDupPairs: threshold and ordering discipline") {
     val v = Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.nearDupPairs(v, groupCol = "label", minSim = 0.3).collect()

@@ -107,6 +107,14 @@ class PlanLintSpec extends SparkSpecBase {
     // topKIvf assignment shape), collapsed map-side to one row per
     // vector before any exchange; the within-cell pair join is equi
     "q149_semantic_dedup",
+    // q233/q234: the trained-quantizer pipeline's BNLJ sites are all
+    // MODEL-sized broadcasts — the Lloyd E-step (sample × k-centroid
+    // frame), centroid→coarse mapping (k × √k), and vector→coarse
+    // routing (corpus × √k anchors, collapsed map-side to one row per
+    // vector); the fine ranking is a grp-keyed broadcast-HASH join and
+    // the candidate join is cell-keyed shuffle-hash — never all-pairs
+    "q233_knn_graph_trained_quantizer",
+    "q234_semantic_dedup_trained",
     // q157: the 1-row join-size estimate crossJoined onto the 1-row
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",

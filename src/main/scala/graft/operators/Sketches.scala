@@ -470,10 +470,30 @@ object Sketches {
     * (map-side partial dedup — duplicate bits never travel); the
     * shuffle carries ≤ bits·partitions rows no matter the corpus size.
     * The sketch never holds keys. */
+  /** The count-conditional geometry rule for the Bloom family (the
+    * q143 `scaledBuckets` / q149 `scaledCentroids` pattern applied to
+    * membership): `bits = max(minBits, n·bitsPerKey)`. A PINNED bit
+    * count saturates as n grows — at n ≫ m the fill fraction
+    * 1−e^(−kn/m) → 1 and the false-positive rate (1−e^(−kn/m))^k → 1,
+    * silently turning any `bloomContains` prefilter into a
+    * pass-through (at 100 TB, the worst kind of quiet failure). A
+    * CONSTANT bits-per-key holds the rate flat at every scale:
+    * bitsPerKey = 10 realizes fpp ≈ 0.7% at the optimal k = m/n·ln2 ≈ 7
+    * and ≈ 1.7% at this family's default k = 3 (the classic
+    * m/n = −ln p / ln²2 sizing, Bloom 1970 — restated as a pure integer
+    * rule so a SQL oracle replays it verbatim as
+    * `GREATEST(minBits, COUNT(*) * bitsPerKey)`, never a
+    * cross-engine `ln`). */
+  def scaledBits(n: Long, bitsPerKey: Int = 10, minBits: Long = 2048L): Long = {
+    require(n >= 0L && bitsPerKey >= 1 && minBits >= 2L,
+      s"scaledBits(n=$n, bitsPerKey=$bitsPerKey, minBits=$minBits)")
+    math.max(minBits, math.multiplyExact(n, bitsPerKey.toLong))
+  }
+
   def bloomSketch(
       df: DataFrame,
       keyCol: String,
-      bits: Int,
+      bits: Long,
       hashes: Int,
       salt: String = ""): DataFrame = {
     require(bits >= 2, s"bits $bits must be >= 2")
@@ -504,7 +524,7 @@ object Sketches {
       probes: DataFrame,
       sketch: DataFrame,
       keyCol: String,
-      bits: Int,
+      bits: Long,
       hashes: Int,
       salt: String = ""): DataFrame = {
     require(bits >= 2, s"bits $bits must be >= 2")

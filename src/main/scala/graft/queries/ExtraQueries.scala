@@ -3159,24 +3159,28 @@ object ExtraQueries extends QueryGroup {
 
   val q229 = QueryDef(
     "q229_bloom_membership_sketch",
-    "portable Bloom membership sketch audit (Bloom 1970, 2048 bits x 3 " +
-      "avalanche probes): filter built over English doc_ids, every " +
-      "doc_id probed against it - false_negatives asserted 0 in both " +
-      "engines (THE Bloom guarantee, deterministic), false positives " +
-      "counted and rated; the portable counterpart of q70's " +
-      "BloomFilterAggregate for the contract seams (persist, union " +
-      "across time partitions, replay in any int64 engine); completes " +
-      "the portable sketch tier: cardinality/frequency/quantiles/" +
-      "moments/membership",
+    "portable Bloom membership sketch audit (Bloom 1970, 3 avalanche " +
+      "probes): filter built over English doc_ids with bits DERIVED " +
+      "count-conditionally as max(2048, n_members*10) (scaledBits - a " +
+      "pinned bit count saturates to fp_rate->1 as n grows, silently " +
+      "turning any bloomContains prefilter into a pass-through at " +
+      "100 TB; 10 bits/key holds ~1.7% at k=3 forever; the same integer " +
+      "rule the oracle computes from COUNT(*)), every doc_id probed - " +
+      "false_negatives asserted 0 in both engines (THE Bloom " +
+      "guarantee), false positives counted and rated; the portable " +
+      "counterpart of q70's BloomFilterAggregate for the contract " +
+      "seams; completes the portable sketch tier: cardinality/" +
+      "frequency/quantiles/moments/membership",
     (s, dir) => {
       val d = t(s, dir, "documents")
       val members = d.where(col("lang") === "en").select(col("doc_id"))
+      val bits = graft.operators.Sketches.scaledBits(members.count())
       val sk = graft.operators.Sketches.bloomSketch(
-        members, "doc_id", bits = 2048, hashes = 3, salt = "bloomv1")
+        members, "doc_id", bits = bits, hashes = 3, salt = "bloomv1")
       val probes = d.select(col("doc_id"),
         coalesce(col("lang") === "en", lit(false)).as("is_member"))
       val probed = graft.operators.Sketches.bloomContains(
-        probes.select("doc_id"), sk, "doc_id", bits = 2048, hashes = 3,
+        probes.select("doc_id"), sk, "doc_id", bits = bits, hashes = 3,
         salt = "bloomv1")
       probes.join(probed, "doc_id")
         .agg(
@@ -3194,11 +3198,13 @@ object ExtraQueries extends QueryGroup {
               col("n_non_members").cast("double"), 6)).as("fp_rate"))
     },
     Some(s"""WITH hi AS (SELECT unnest(range(3)) AS i),
+            bb AS (SELECT GREATEST(2048, COUNT(*) * 10) AS b
+                   FROM documents WHERE lang = 'en'),
             mem AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
             mbits AS (SELECT DISTINCT
                     (${H.oAvalanche(H.oPolyFold(
                       "CAST(m.doc_id AS VARCHAR) || 'bloomv1#' || CAST(hi.i AS VARCHAR)", ""))})
-                      % 2048 AS bit
+                      % (SELECT b FROM bb) AS bit
                   FROM mem m CROSS JOIN hi),
             pr AS (SELECT doc_id,
                     COALESCE(lang = 'en', FALSE) AS is_member
@@ -3206,7 +3212,7 @@ object ExtraQueries extends QueryGroup {
             pb AS (SELECT p.doc_id,
                     (${H.oAvalanche(H.oPolyFold(
                       "CAST(p.doc_id AS VARCHAR) || 'bloomv1#' || CAST(hi.i AS VARCHAR)", ""))})
-                      % 2048 AS bit
+                      % (SELECT b FROM bb) AS bit
                   FROM pr p CROSS JOIN hi),
             hits AS (SELECT doc_id,
                     SUM(CASE WHEN bit IN (SELECT bit FROM mbits)

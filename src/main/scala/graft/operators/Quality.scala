@@ -1113,6 +1113,211 @@ object Quality {
             col("n_neg").cast("double")), roundTo)).as("auc"))
   }
 
+  /** Precision–recall curve + average precision — the imbalanced-class
+    * companion of [[rocAuc]] (Davis & Goadrich 2006: with rare
+    * positives, ROC's false-positive RATE hides a flood of false
+    * positives that precision surfaces; the standard gate audit when
+    * "positive" is the 1-in-10⁴ quality tier being mined). One row per
+    * DISTINCT score threshold (descending blocks — ties enter as a
+    * block, the step-AP convention): (score, n_s, pos_s, tp, fp,
+    * precision, recall) plus the global `ap` attached to every row
+    * (the [[calibrationCurve]] ECE pattern).
+    *
+    * AP = Σ_s pos_s·P_s / n_pos over thresholds descending — exactness:
+    * tp/fp are exact cumulative integers off the cells frame; each term
+    * pos_s·tp_s/(tp_s+fp_s) is ONE double division of exact integer
+    * operands rounded to 9, summed EXACTLY in decimal (no
+    * float-summation order — a windowed double sum would differ between
+    * Spark's sequential fold and a segment-tree engine), one final
+    * division by n_pos, rounded. AP NULL when no positives (undefined,
+    * never 0).
+    *
+    * `scoreCol` integral pre-quantized (the [[rocAuc]] fail-loud rule —
+    * the same quantization that bounds the distinct-score frame).
+    *
+    * Scale shape: ONE corpus aggregation to the distinct-score cells
+    * frame; the cumulative windows and the AP fold run on that
+    * model-sized frame under the constant-key partition spec. */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.prCurve: score column '$scoreCol' must be integral " +
+          s"(got $dt) — pre-quantize with an exact integer expression")
+    }
+    val cells = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("s"), lit(1))).orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("tp", sum(col("pos_s")).over(w))
+      .withColumn("cumn", sum(col("n_s")).over(w))
+      .withColumn("fp", col("cumn") - col("tp"))
+      // per-threshold AP term: ONE double division of exact integers,
+      // rounded 9, carried as exact decimal for the order-free sum
+      .withColumn("term",
+        round((col("pos_s") * col("tp")).cast("double") / col("cumn"), 9)
+          .cast(DecimalType(38, 9)))
+    val tot = cum.agg(
+      coalesce(sum(col("n_s")), lit(0L)).as("n"),
+      coalesce(sum(col("pos_s")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("term")), lit(0).cast(DecimalType(38, 9))).as("ap_num"))
+      .select(col("n"), col("n_pos"),
+        when(col("n_pos") > 0,
+          round(col("ap_num").cast("double") / col("n_pos"), roundTo)).as("ap"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("s").as(scoreCol), col("n_s"), col("pos_s"),
+        col("tp"), col("fp"),
+        round(col("tp").cast("double") / col("cumn"), roundTo).as("precision"),
+        when(col("n_pos") > 0,
+          round(col("tp").cast("double") / col("n_pos"), roundTo)).as("recall"),
+        col("ap"))
+  }
+
+  /** Kendall rank correlation τ-b (Kendall 1938; the τ-b tie correction)
+    * between two integral score columns — [[spearmanRho]]'s companion on
+    * the PAIR-level agreement scale: ρ measures rank-value correlation,
+    * τ measures P(concordant) − P(discordant) directly, the
+    * interpretation auditors quote ("73% of pairs order the same way").
+    *
+    * Both columns integral pre-quantized (the [[rocAuc]] rule) — here
+    * the quantization ALSO bounds the joint-cells frame whose self-join
+    * computes the pair census, so it is the scale contract, not just a
+    * portability nicety. Exactness: concordant/discordant/tie counts
+    * are exact integer sums of cell-count products over the model-sized
+    * cells self-join (each unordered x-differing pair visited once via
+    * a.x < b.x); τ-b = (C−D)/(√(n₀−T_x)·√(n₀−T_y)) with two
+    * IEEE-correctly-rounded sqrts and one division (the wilson
+    * discipline), rounded. NULL when either side is constant.
+    *
+    * Scale shape: ONE corpus aggregation to the joint cells frame;
+    * the self-join and the tie census are cells²-sized — bounded by the
+    * caller's quantization at ANY corpus size (the documented
+    * distinct-cells contract). Output one row:
+    * (n, concordant, discordant, tau). */
+  def kendallTau(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Seq(xCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ByteType
+           | _: org.apache.spark.sql.types.ShortType
+           | _: org.apache.spark.sql.types.IntegerType
+           | _: org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"Quality.kendallTau: score column '$c' must be integral " +
+            s"(got $dt) — pre-quantize with an exact integer expression")
+      }
+    }
+    val DEC = DecimalType(38, 0)
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"), col("c").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+    // every unordered x-differing pair exactly once
+    val cd = a.join(b, col("xa") < col("xb"))
+      .agg(
+        coalesce(sum(when(col("ya") < col("yb"),
+          col("ca").cast(DEC) * col("cb"))), lit(0).cast(DEC)).as("conc"),
+        coalesce(sum(when(col("ya") > col("yb"),
+          col("ca").cast(DEC) * col("cb"))), lit(0).cast(DEC)).as("disc"))
+    // marginal tie census: n0 − T_x = Σ pairs differing in x, etc.
+    def tiePairs(kc: String) = cells.groupBy(col(kc)).agg(sum(col("c")).as("m"))
+      .agg(
+        coalesce(sum(col("m").cast(DEC) * (col("m") - 1) / 2), lit(0).cast(DEC))
+          .as(s"t_$kc"),
+        coalesce(sum(col("m")), lit(0L)).as(s"n_$kc"))
+    val out = cd
+      .crossJoin(broadcast(tiePairs("x")))
+      .crossJoin(broadcast(tiePairs("y")))
+      .select(col("n_x").as("n"), col("conc"), col("disc"),
+        (col("n_x").cast(DEC) * (col("n_x") - 1) / 2).as("n0"),
+        col("t_x"), col("t_y"))
+    out.select(
+      col("n"),
+      col("conc").cast("long").as("concordant"),
+      col("disc").cast("long").as("discordant"),
+      when((col("n0") - col("t_x")) > 0 && (col("n0") - col("t_y")) > 0,
+        round((col("conc") - col("disc")).cast("double") /
+          (sqrt((col("n0") - col("t_x")).cast("double")) *
+           sqrt((col("n0") - col("t_y")).cast("double"))), roundTo)).as("tau"))
+  }
+
+  /** Per-segment ROC-AUC — [[rocAuc]] GROUPED by a segment column (the
+    * fairness/coverage audit: "does the quality gate rank source X as
+    * well as source Y"; a global AUC hides a segment where the score is
+    * inverted). Same cells-frame arithmetic per group, same exact-2U
+    * accumulation (emitted as int64 — documented bound 2·nPos·nNeg < 2⁶³
+    * per segment), AUC NULL for single-class segments. Output one row
+    * per segment: (grpCol, n, n_pos, n_neg, u2, auc).
+    *
+    * Scale shape: ONE corpus aggregation to the (segment × distinct
+    * score) cells frame; the cumulative window partitions BY SEGMENT
+    * (real parallelism, unlike the global operator's constant-key
+    * frame), so segments rank independently across the cluster. */
+  def rocAucBy(
+      df: DataFrame,
+      grpCol: String,
+      scoreCol: String,
+      labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.rocAucBy: score column '$scoreCol' must be integral " +
+          s"(got $dt) — pre-quantize with an exact integer expression")
+    }
+    val DEC = DecimalType(38, 0)
+    val cells = df
+      .where(col(grpCol).isNotNull &&
+        col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(grpCol).as("g"), col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos_s"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cells
+      .withColumn("n_lt", coalesce(sum(col("n_neg_s")).over(w), lit(0L)))
+      .groupBy("g")
+      .agg(
+        coalesce(sum(col("n_pos_s").cast(DEC) *
+          (lit(2L).cast(DEC) * col("n_lt").cast(DEC) +
+            col("n_neg_s").cast(DEC))), lit(0).cast(DEC)).as("u2d"),
+        coalesce(sum(col("n_pos_s")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("n_neg_s")), lit(0L)).as("n_neg"))
+      .select(
+        col("g").as(grpCol),
+        (col("n_pos") + col("n_neg")).as("n"),
+        col("n_pos"), col("n_neg"),
+        col("u2d").cast("long").as("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2d").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double")), roundTo)).as("auc"))
+  }
+
   /** Spearman rank correlation between two integral score columns —
     * [[rocAuc]] audits one score against a LABEL, this audits two
     * scores against EACH OTHER on rank agreement (Spearman 1904):

@@ -3409,11 +3409,160 @@ object ExtraQueries extends QueryGroup {
     Some(graft.operators.Similarity.trainedDedupSql(
       "embeddings", minSim = 0.3, minCentroids = 8)))
 
+  /** The q236/q237 score frame: englishness micro-score with the extra
+    * columns the segmented/joint audits need (source, n_chars). */
+  private def englishnessWide(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.functions.TextOps
+    t(s, dir, "documents")
+      .where(col("lang").isNotNull)
+      .select(
+        TextOps.hitCount(col("text"), TextOps.stopwords("en")).as("en"),
+        TextOps.tokenCount(col("text")).as("words"),
+        (col("lang") === "en").as("is_en"),
+        col("source"), col("n_chars"))
+      .where(col("words") > 0)
+      .select(expr("CAST((en * 1000000) DIV words AS BIGINT)").as("score"),
+        col("is_en"), col("source"), col("n_chars"))
+  }
+
+  private val englishnessWideSql: String =
+    """sc AS (SELECT (en * 1000000) // words AS score,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+              source, n_chars
+            FROM (SELECT lang, source, n_chars,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t))) AS BIGINT) AS en,
+                CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS words
+              FROM documents WHERE lang IS NOT NULL)
+            WHERE words > 0)"""
+
+  val q235 = QueryDef(
+    "q235_pr_curve_ap",
+    "precision-recall curve + average precision of the englishness " +
+      "micro-score (Davis-Goadrich 2006 - the imbalanced-class " +
+      "companion of q226's ROC-AUC: with rare positives the FP RATE " +
+      "hides a flood of false positives that precision surfaces): one " +
+      "row per distinct threshold descending (ties enter as a block, " +
+      "the step-AP convention) with exact cumulative tp/fp off the " +
+      "cells frame; each AP term pos_s*tp/(tp+fp) is ONE double " +
+      "division of exact integers rounded 9 summed EXACTLY in decimal " +
+      "(a windowed double sum would differ between Spark's sequential " +
+      "fold and DuckDB's segment tree), ap attached to every row by " +
+      "broadcast (the q227 ECE pattern)",
+    (s, dir) =>
+      graft.operators.Quality.prCurve(
+        englishnessScored(s, dir), "score", "is_en").orderBy("score"),
+    Some(s"""WITH $englishnessSql,
+            cells AS (SELECT score AS s, CAST(COUNT(*) AS BIGINT) AS n_s,
+                    CAST(SUM(y) AS BIGINT) AS pos_s
+                  FROM sc GROUP BY score),
+            cum AS (SELECT s, n_s, pos_s,
+                    CAST(SUM(pos_s) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+                    CAST(SUM(n_s) OVER (ORDER BY s DESC) AS BIGINT) AS cumn
+                  FROM cells),
+            tt AS (SELECT s, n_s, pos_s, tp, cumn, cumn - tp AS fp,
+                    CAST(ROUND(CAST(pos_s * tp AS DOUBLE) / cumn, 9)
+                      AS DECIMAL(38,9)) AS term
+                  FROM cum),
+            tot AS (SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+                    SUM(term) AS ap_num FROM tt)
+            SELECT tt.s AS score, tt.n_s, tt.pos_s, tt.tp, tt.fp,
+              ROUND(CAST(tt.tp AS DOUBLE) / tt.cumn, 6) AS precision,
+              CASE WHEN tot.n_pos > 0
+                THEN ROUND(CAST(tt.tp AS DOUBLE) / tot.n_pos, 6) END AS recall,
+              CASE WHEN tot.n_pos > 0
+                THEN ROUND(CAST(tot.ap_num AS DOUBLE) / tot.n_pos, 6) END AS ap
+            FROM tt CROSS JOIN tot ORDER BY score"""))
+
+  val q236 = QueryDef(
+    "q236_kendall_tau",
+    "Kendall tau-b between the bucketed englishness score and bucketed " +
+      "document length (Kendall 1938 with the tau-b tie correction) - " +
+      "q231's Spearman companion on the PAIR scale: P(concordant) - " +
+      "P(discordant), 'what fraction of pairs order the same way'; " +
+      "both sides bucketed by integer DIV (score//10000, n_chars//100) " +
+      "because the quantization BOUNDS the joint-cells frame whose " +
+      "self-join computes the pair census - the scale contract itself; " +
+      "concordant/discordant/ties exact integer cell-product sums, " +
+      "tau = (C-D)/(sqrt(n0-Tx)*sqrt(n0-Ty)) with two IEEE sqrts and " +
+      "one division",
+    (s, dir) =>
+      graft.operators.Quality.kendallTau(
+        englishnessWide(s, dir)
+          .select(expr("CAST(score DIV 10000 AS BIGINT)").as("score_b"),
+            expr("CAST(n_chars DIV 100 AS BIGINT)").as("len_b")),
+        "score_b", "len_b"),
+    Some(s"""WITH $englishnessWideSql,
+            sb AS (SELECT score // 10000 AS xb, n_chars // 100 AS yb FROM sc),
+            cells AS (SELECT xb, yb, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM sb GROUP BY xb, yb),
+            cd AS (SELECT
+                    COALESCE(SUM(CASE WHEN a.yb < b.yb
+                      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS conc,
+                    COALESCE(SUM(CASE WHEN a.yb > b.yb
+                      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS disc
+                  FROM cells a JOIN cells b ON a.xb < b.xb),
+            tx AS (SELECT COALESCE(SUM(m * (m - 1) // 2), 0) AS t_x,
+                    CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n
+                  FROM (SELECT CAST(SUM(c) AS HUGEINT) AS m
+                        FROM cells GROUP BY xb)),
+            ty AS (SELECT COALESCE(SUM(m * (m - 1) // 2), 0) AS t_y
+                  FROM (SELECT CAST(SUM(c) AS HUGEINT) AS m
+                        FROM cells GROUP BY yb)),
+            f AS (SELECT n, conc, disc,
+                    CAST(n AS HUGEINT) * (n - 1) // 2 AS n0, t_x, t_y
+                  FROM cd CROSS JOIN tx CROSS JOIN ty)
+            SELECT n, CAST(conc AS BIGINT) AS concordant,
+              CAST(disc AS BIGINT) AS discordant,
+              CASE WHEN (n0 - t_x) > 0 AND (n0 - t_y) > 0
+                THEN ROUND(CAST(conc - disc AS DOUBLE) /
+                  (SQRT(CAST(n0 - t_x AS DOUBLE)) *
+                   SQRT(CAST(n0 - t_y AS DOUBLE))), 6) END AS tau
+            FROM f"""))
+
+  val q237 = QueryDef(
+    "q237_roc_auc_by_source",
+    "per-SOURCE ROC-AUC of the englishness micro-score (the fairness/" +
+      "coverage audit q226's global number hides: a segment where the " +
+      "gate ranks poorly or inverts disappears into the corpus-wide " +
+      "AUC) - q226's exact cells-frame arithmetic GROUPED by source, " +
+      "cumulative window partitioned BY SEGMENT (real parallelism: " +
+      "segments rank independently across the cluster), exact int64 " +
+      "2U witness per segment, AUC NULL for single-class segments",
+    (s, dir) =>
+      graft.operators.Quality.rocAucBy(
+        englishnessWide(s, dir), "source", "score", "is_en")
+        .orderBy("source"),
+    Some(s"""WITH $englishnessWideSql,
+            cells AS (SELECT source AS g, score AS s,
+                    CAST(SUM(y) AS BIGINT) AS n_pos_s,
+                    CAST(SUM(1 - y) AS BIGINT) AS n_neg_s
+                  FROM sc GROUP BY source, score),
+            cum AS (SELECT g, s, n_pos_s, n_neg_s,
+                    CAST(COALESCE(SUM(n_neg_s) OVER (PARTITION BY g
+                      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_lt
+                  FROM cells),
+            agg AS (SELECT g,
+                    CAST(COALESCE(SUM(CAST(n_pos_s AS HUGEINT) *
+                      (2 * CAST(n_lt AS HUGEINT) + n_neg_s)), 0) AS BIGINT)
+                      AS u2,
+                    CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+                    CAST(SUM(n_neg_s) AS BIGINT) AS n_neg
+                  FROM cum GROUP BY g)
+            SELECT g AS source, n_pos + n_neg AS n, n_pos, n_neg, u2,
+              CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(CAST(u2 AS DOUBLE) /
+                  (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+              END AS auc
+            FROM agg ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
       q158, q159, q160, q161, q162, q163, q164, q165, q167, q168, q169, q172,
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
-      q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234)
+      q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
+      q235, q236, q237)
 }

@@ -806,6 +806,91 @@ class QualitySpec extends SparkSpecBase {
     assert(math.abs(a.getDouble(1) - num / den) < 6e-7)
   }
 
+  test("prCurve: hand-computed thresholds, tie blocks, exact AP; perfect=1; no-pos NULL") {
+    val sp = spark; import sp.implicits._
+    // desc blocks: s=3 (1 pos, 1 neg) -> tp=1 cumn=2 P=.5 R=.5 term=.5
+    //              s=2 (1 pos)        -> tp=2 cumn=3 P=2/3 R=1  term=2/3
+    //              s=1 (1 neg)        -> tp=2 cumn=4 P=.5 R=1  term=0
+    // ap = (0.5 + 0.666666667)/2 = 0.583333
+    val rows = Seq((3L, true), (3L, false), (2L, true), (1L, false))
+    val out = Quality.prCurve(rows.toDF("score", "y"), "score", "y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(3L) === ((2L, 1L, 1L, 1L, 0.5, 0.5, 0.583333)))
+    assert(out(2L) === ((1L, 1L, 2L, 1L, 0.666667, 1.0, 0.583333)))
+    assert(out(1L) === ((1L, 0L, 2L, 2L, 0.5, 1.0, 0.583333)))
+    // perfect separation: every positive above every negative -> AP = 1
+    val perfect = Quality.prCurve(
+      Seq((9L, true), (8L, true), (1L, false)).toDF("score", "y"), "score", "y")
+      .select("ap").distinct().collect()
+    assert(perfect.length === 1 && perfect.head.getDouble(0) === 1.0)
+    // no positives: AP/recall NULL, never 0
+    val nopos = Quality.prCurve(
+      Seq((5L, false)).toDF("score", "y"), "score", "y").collect().head
+    assert(nopos.isNullAt(6) && nopos.isNullAt(7))
+    intercept[IllegalArgumentException] {
+      Quality.prCurve(Seq((0.5, true)).toDF("score", "y"), "score", "y")
+    }
+  }
+
+  test("kendallTau: monotone ±1, tie-balanced 0, hand-computed tau-b, constant-side NULL") {
+    val sp = spark; import sp.implicits._
+    val mono = Quality.kendallTau(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(mono.getLong(0) === 3L && mono.getLong(1) === 3L &&
+      mono.getLong(2) === 0L && mono.getDouble(3) === 1.0)
+    val rev = Quality.kendallTau(
+      Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(rev.getDouble(3) === -1.0)
+    // 2x2 tie grid: C = D = 1 -> tau 0 with the tau-b denominator live
+    val grid = Quality.kendallTau(
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(grid.getLong(1) === 1L && grid.getLong(2) === 1L &&
+      grid.getDouble(3) === 0.0)
+    // hand-computed tau-b with ties: x=(1,1,2), y=(1,2,2):
+    // pairs: (1,1)-(2,2) conc; (1,2)-(2,2) y-tie; within-x pair x-tie
+    // C=1 D=0 n0=3 Tx=1 Ty=1 -> tau = 1/sqrt(2*2) = 0.5
+    val tied = Quality.kendallTau(
+      Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(tied.getLong(1) === 1L && tied.getLong(2) === 0L &&
+      tied.getDouble(3) === 0.5)
+    val const = Quality.kendallTau(
+      Seq((1L, 1L), (1L, 2L)).toDF("x", "y"), "x", "y").collect().head
+    assert(const.isNullAt(3), "constant x has no pair variance — NULL")
+    intercept[IllegalArgumentException] {
+      Quality.kendallTau(Seq((0.5, 1L)).toDF("x", "y"), "x", "y")
+    }
+  }
+
+  test("rocAucBy: per-segment AUC equals the global operator per slice; single-class NULL") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      ("a", 9L, true), ("a", 8L, true), ("a", 1L, false),  // perfect
+      ("b", 1L, true), ("b", 9L, false), ("b", 8L, false), // inverted
+      ("c", 5L, true), ("c", 6L, true))                    // single-class
+    val out = Quality.rocAucBy(rows.toDF("g", "score", "y"), "g", "score", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(out("a") === ((3L, Some(1.0))) && out("b") === ((3L, Some(0.0))))
+    assert(out("c") === ((2L, None)), "single-class segment: NULL, never 0.5")
+    // per-segment row == the global operator run on that slice
+    rows.map(_._1).distinct.foreach { g =>
+      val slice = rows.filter(_._1 == g).map(t => (t._2, t._3))
+      val glob = Quality.rocAuc(slice.toDF("score", "y"), "score", "y")
+        .collect().head
+      val seg = Quality.rocAucBy(rows.toDF("g", "score", "y"), "g", "score", "y")
+        .where(org.apache.spark.sql.functions.col("g") === g).collect().head
+      assert(seg.getLong(1) === glob.getLong(0) &&
+        seg.getLong(4) === glob.getDecimal(3).longValueExact())
+    }
+  }
+
   test("brierScore: hand-computed, perfect=0, inverted=1, skill vs the base-rate floor") {
     val sp = spark; import sp.implicits._
     // p=(0.8 y=1), (0.3 y=0): brier = (0.04 + 0.09)/2 = 0.065;

@@ -115,6 +115,14 @@ class PlanLintSpec extends SparkSpecBase {
     // the candidate join is cell-keyed shuffle-hash — never all-pairs
     "q233_knn_graph_trained_quantizer",
     "q234_semantic_dedup_trained",
+    // q235: the 1-row AP/total frame broadcast-crossJoined onto the
+    // model-sized curve rows — q227's ECE-attach class
+    "q235_pr_curve_ap",
+    // q236: the pair census is a θ-join (a.x < b.x) over the JOINT
+    // CELLS frame — cells² is bounded by the caller's integer
+    // quantization at ANY corpus size (the documented distinct-cells
+    // contract), plus two 1-row tie-census attaches
+    "q236_kendall_tau",
     // q157: the 1-row join-size estimate crossJoined onto the 1-row
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",

@@ -1186,6 +1186,81 @@ object Quality {
         col("ap"))
   }
 
+  /** Isotonic regression calibration (pool-adjacent-violators solution,
+    * Ayer et al. 1955 / Zadrozny & Elkan 2002) — the ACTION following
+    * [[calibrationCurve]]'s diagnosis: fit the monotone step function
+    * mapping raw score → calibrated P(y=1), the standard production
+    * calibrator when the score RANKS well (high [[rocAuc]]) but cannot
+    * be read as a probability (bad ECE / [[brierScore]] skill).
+    *
+    * Computed WITHOUT the sequential PAV loop, via the minimax identity
+    * (Robertson–Wright–Dykstra): fitted(s) = max_{i≤s} min_{j≥s}
+    * rate(i,j) with rate = pooled positives/count over the score
+    * interval [i, j] — two ordered extrema passes over the cells²
+    * interval frame, every step distributed and ENGINE-PORTABLE: rates
+    * are single divisions of exact cumulative integers (both engines
+    * produce the identical double, and min/max comparisons are exact —
+    * no summation-order dependence anywhere).
+    *
+    * `scoreCol` integral pre-quantized (the [[rocAuc]] rule — the
+    * quantization also bounds the cells² interval frame, the scale
+    * contract). Output one row per distinct score:
+    * (score, n_s, pos_s, rate_raw, fitted) — `fitted` non-decreasing by
+    * construction (spec-asserted, plus equality with a sequential PAV
+    * reference).
+    *
+    * Scale shape: ONE corpus aggregation to the cells frame; the
+    * interval frame and both extrema windows are cells²-sized — bounded
+    * by the caller's quantization at ANY corpus size. */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.isotonicCalibration: score column '$scoreCol' must be " +
+          s"integral (got $dt) — pre-quantize with an exact integer expression")
+    }
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos_s"))
+    val wCum = W.partitionBy(pmod(col("s"), lit(1))).orderBy("s")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("cp", sum(col("pos_s")).over(wCum))
+      .withColumn("cn", sum(col("n_s")).over(wCum))
+    val lo = cum.select(col("s").as("si"),
+      (col("cp") - col("pos_s")).as("p_before"),
+      (col("cn") - col("n_s")).as("n_before"))
+    val hi = cum.select(col("s").as("sj"), col("cp"), col("cn"))
+    // interval rate over [si, sj]: ONE division of exact integers —
+    // bit-identical in any IEEE engine, so the extrema below compare
+    // identically with zero rounding anywhere in the lattice
+    val intervals = lo.join(hi, col("si") <= col("sj"))
+      .select(col("si"), col("sj"),
+        ((col("cp") - col("p_before")).cast("double") /
+          (col("cn") - col("n_before"))).as("rate"))
+    // g(i, s) = min over j ≥ s of rate(i, j): suffix-min per i
+    val wSuf = W.partitionBy("si").orderBy(col("sj").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val g = intervals.withColumn("g", min(col("rate")).over(wSuf))
+    // fitted(s) = max over i ≤ s of g(i, s): every (i, s) row in the
+    // s-partition has i ≤ s by the interval construction
+    val fit = g.groupBy(col("sj").as("s")).agg(max(col("g")).as("f"))
+    cells.join(fit, "s")
+      .select(col("s").as(scoreCol), col("n_s"), col("pos_s"),
+        round(col("pos_s").cast("double") / col("n_s"), roundTo).as("rate_raw"),
+        round(col("f"), roundTo).as("fitted"))
+  }
+
   /** Kendall rank correlation τ-b (Kendall 1938; the τ-b tie correction)
     * between two integral score columns — [[spearmanRho]]'s companion on
     * the PAIR-level agreement scale: ρ measures rank-value correlation,

@@ -3557,6 +3557,41 @@ object ExtraQueries extends QueryGroup {
               END AS auc
             FROM agg ORDER BY source"""))
 
+  val q238 = QueryDef(
+    "q238_isotonic_calibration",
+    "isotonic regression calibration of the englishness micro-score " +
+      "(the PAV solution via the Robertson-Wright-Dykstra minimax " +
+      "identity fitted(s) = max_{i<=s} min_{j>=s} pooled-rate(i,j) - " +
+      "NO sequential PAV loop: two ordered extrema passes over the " +
+      "cells^2 interval frame, every rate ONE division of exact " +
+      "cumulative integers so both engines produce the identical " +
+      "double and min/max compare exactly; the ACTION after q227's " +
+      "calibration diagnosis - fit the monotone score->probability map)",
+    (s, dir) =>
+      graft.operators.Quality.isotonicCalibration(
+        englishnessScored(s, dir), "score", "is_en").orderBy("score"),
+    Some(s"""WITH $englishnessSql,
+            cells AS (SELECT score AS s, CAST(COUNT(*) AS BIGINT) AS n_s,
+                    CAST(SUM(y) AS BIGINT) AS pos_s
+                  FROM sc GROUP BY score),
+            cum AS (SELECT s, n_s, pos_s,
+                    CAST(SUM(pos_s) OVER (ORDER BY s) AS BIGINT) AS cp,
+                    CAST(SUM(n_s) OVER (ORDER BY s) AS BIGINT) AS cn
+                  FROM cells),
+            iv AS MATERIALIZED (SELECT a.s AS si, b.s AS sj,
+                    CAST(b.cp - (a.cp - a.pos_s) AS DOUBLE) /
+                      (b.cn - (a.cn - a.n_s)) AS rate
+                  FROM cum a JOIN cum b ON a.s <= b.s),
+            gg AS (SELECT si, sj,
+                    MIN(rate) OVER (PARTITION BY si ORDER BY sj DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+                  FROM iv),
+            f AS (SELECT sj AS s, MAX(g) AS f FROM gg GROUP BY sj)
+            SELECT cells.s AS score, n_s, pos_s,
+              ROUND(CAST(pos_s AS DOUBLE) / n_s, 6) AS rate_raw,
+              ROUND(f, 6) AS fitted
+            FROM cells JOIN f USING (s) ORDER BY score"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -3564,5 +3599,5 @@ object ExtraQueries extends QueryGroup {
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-      q235, q236, q237)
+      q235, q236, q237, q238)
 }

@@ -835,6 +835,66 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  /** Sequential pool-adjacent-violators reference: merge adjacent blocks
+    * while the left block's pooled rate strictly exceeds the right's
+    * (exact integer cross-multiplication — no float comparisons). */
+  private def pavReference(cells: Seq[(Long, Long, Long)]): Map[Long, Double] = {
+    val st = scala.collection.mutable.ArrayBuffer[(Long, Long, List[Long])]()
+    cells.sortBy(_._1).foreach { case (s, n, p) =>
+      st += ((n, p, List(s)))
+      var merged = false
+      do {
+        merged = false
+        if (st.length >= 2) {
+          val (n2, p2, s2) = st(st.length - 1)
+          val (n1, p1, s1) = st(st.length - 2)
+          if (p1 * n2 > p2 * n1) { // rate1 > rate2: violation
+            st.remove(st.length - 1); st.remove(st.length - 1)
+            st += ((n1 + n2, p1 + p2, s1 ++ s2))
+            merged = true
+          }
+        }
+      } while (merged)
+    }
+    st.flatMap { case (n, p, ss) =>
+      ss.map(_ -> p.toDouble / n)
+    }.toMap
+  }
+
+  test("isotonicCalibration: equals the sequential PAV reference; monotone; mass-preserving") {
+    val sp = spark; import sp.implicits._
+    // hand case: raw rates (1, 0, .5, 1) -> PAV pools {1,2,3} at .5
+    val hand = Seq((1L, true), (2L, false), (3L, true), (3L, false), (4L, true))
+    val out = Quality.isotonicCalibration(hand.toDF("s", "y"), "s", "y")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out === Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 1.0))
+    // randomized equality with the sequential reference
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { _ =>
+      val s = rnd.nextInt(12).toLong
+      (s, rnd.nextInt(12) < s + 2) // noisy monotone signal
+    }
+    val cells = rows.groupBy(_._1).map { case (s, g) =>
+      (s, g.size.toLong, g.count(_._2).toLong)
+    }.toSeq
+    val ref = pavReference(cells)
+    val got = Quality.isotonicCalibration(rows.toDF("s", "y"), "s", "y")
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    got.foreach { case (s, f) =>
+      assert(math.abs(f - ref(s)) < 6e-7, s"score $s: $f vs PAV ${ref(s)}")
+    }
+    // monotone non-decreasing in score
+    val sorted = got.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // mass preservation: sum fitted*n == total positives (PAV property)
+    val byS = cells.map(c => c._1 -> c._2).toMap
+    val mass = got.map { case (s, f) => f * byS(s) }.sum
+    assert(math.abs(mass - rows.count(_._2)) < 1e-3)
+    intercept[IllegalArgumentException] {
+      Quality.isotonicCalibration(Seq((0.5, true)).toDF("s", "y"), "s", "y")
+    }
+  }
+
   test("kendallTau: monotone ±1, tie-balanced 0, hand-computed tau-b, constant-side NULL") {
     val sp = spark; import sp.implicits._
     val mono = Quality.kendallTau(

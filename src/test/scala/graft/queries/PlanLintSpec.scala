@@ -123,6 +123,10 @@ class PlanLintSpec extends SparkSpecBase {
     // quantization at ANY corpus size (the documented distinct-cells
     // contract), plus two 1-row tie-census attaches
     "q236_kendall_tau",
+    // q238: the isotonic minimax lattice is a θ-join (si ≤ sj) over the
+    // distinct-score CELLS frame — cells² bounded by the caller's
+    // quantization at any corpus size (the q236 contract)
+    "q238_isotonic_calibration",
     // q157: the 1-row join-size estimate crossJoined onto the 1-row
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",

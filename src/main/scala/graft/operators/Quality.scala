@@ -1186,6 +1186,106 @@ object Quality {
         col("ap"))
   }
 
+  /** [[rocAuc]] with the Hanley–McNeil (1982) standard error and the
+    * 95% Wald interval — the "is this AUC difference real" companion:
+    * a gate comparison without an interval over-reads run-to-run noise
+    * (the q221 CUPED lesson applied to ranking metrics).
+    * SE² = (A(1−A) + (n₊−1)(Q₁−A²) + (n₋−1)(Q₂−A²)) / (n₊·n₋) with
+    * Q₁ = A/(2−A), Q₂ = 2A²/(1+A) — derived from the PUBLISHED (rounded)
+    * AUC through a fixed-order double chain with one IEEE sqrt (the
+    * wilson discipline), so the interval replays exactly. CI clamped to
+    * [0, 1]. Output (n, n_pos, n_neg, auc, se, ci_lo, ci_hi); all NULL
+    * when AUC is undefined. */
+  def rocAucCi(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val base = rocAuc(df, scoreCol, labelCol, roundTo)
+    val A = col("auc")
+    val q1 = A / (lit(2.0) - A)
+    val q2 = lit(2.0) * A * A / (lit(1.0) + A)
+    val se = sqrt((A * (lit(1.0) - A) +
+      (col("n_pos") - 1).cast("double") * (q1 - A * A) +
+      (col("n_neg") - 1).cast("double") * (q2 - A * A)) /
+      (col("n_pos").cast("double") * col("n_neg").cast("double")))
+    // explicit NULL guards: greatest/least IGNORE null operands (Spark
+    // and DuckDB both), so an undefined AUC would otherwise surface a
+    // fabricated [0, 1] interval instead of NULL
+    base.select(col("n"), col("n_pos"), col("n_neg"), A,
+      round(se, roundTo).as("se"),
+      when(A.isNotNull,
+        round(greatest(lit(0.0), A - lit(1.96) * se), roundTo)).as("ci_lo"),
+      when(A.isNotNull,
+        round(least(lit(1.0), A + lit(1.96) * se), roundTo)).as("ci_hi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance (Kolmogorov 1933 / Smirnov
+    * 1939) between a score's distributions on two sides of a boolean
+    * split — the BINLESS member of the drift family:
+    * [[distributionDrift]]'s PSI needs a bin choice and saturates on
+    * empty bins, the KS statistic is the exact sup-distance
+    * D = max_v |F₁(v) − F₂(v)| over the merged support, computed here as
+    * an EXACT integer maximum: D = max |C₁·n₂ − C₂·n₁| / (n₁·n₂) with
+    * cumulative counts C — no floats until the final division, so the
+    * statistic is engine-exact at any scale. Also emitted: the α = 0.05
+    * asymptotic critical value c(α)·√((n₁+n₂)/(n₁·n₂)) (c = 1.358, the
+    * standard two-sided constant; one sqrt + divisions — the wilson
+    * libm discipline) and the drifted flag D > crit.
+    *
+    * `valueCol` integral pre-quantized (the [[rocAuc]] rule — the
+    * quantization bounds the distinct-value cells frame). Output one
+    * row: (n1, n2, d_num, d, crit, drifted); d_num = the exact integer
+    * max |C₁·n₂ − C₂·n₁| (documented bound n₁·n₂ < 2⁶³). NULL
+    * d/crit/drifted when either side is empty (undefined, never 0). */
+  def ksTest(
+      df: DataFrame,
+      valueCol: String,
+      sideCol: String,
+      roundTo: Int = 6): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.ksTest: value column '$valueCol' must be integral " +
+          s"(got $dt) — pre-quantize with an exact integer expression")
+    }
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df
+      .where(col(valueCol).isNotNull && col(sideCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sideCol), 0L).otherwise(1L)).as("c2"))
+    val wCum = W.partitionBy(pmod(col("v"), lit(1))).orderBy("v")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.partitionBy(pmod(col("v"), lit(1)))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cum = cells
+      .withColumn("cc1", sum(col("c1")).over(wCum))
+      .withColumn("cc2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("dn", abs(col("cc1") * col("n2") - col("cc2") * col("n1")))
+    val st = cum.agg(
+      coalesce(max(col("n1")), lit(0L)).as("n1"),
+      coalesce(max(col("n2")), lit(0L)).as("n2"),
+      coalesce(max(col("dn")), lit(0L)).as("d_num"))
+    // compare the UNROUNDED doubles (both engines derive them from the
+    // same exact integers through identical op chains), round on output
+    val dRaw = col("d_num").cast("double") /
+      (col("n1").cast("double") * col("n2").cast("double"))
+    val critRaw = lit(1.358) * sqrt(
+      (col("n1") + col("n2")).cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")))
+    st.select(
+      col("n1"), col("n2"), col("d_num"),
+      when(col("n1") > 0 && col("n2") > 0, round(dRaw, roundTo)).as("d"),
+      when(col("n1") > 0 && col("n2") > 0, round(critRaw, roundTo)).as("crit"),
+      when(col("n1") > 0 && col("n2") > 0, dRaw > critRaw).as("drifted"))
+  }
+
   /** Isotonic regression calibration (pool-adjacent-violators solution,
     * Ayer et al. 1955 / Zadrozny & Elkan 2002) — the ACTION following
     * [[calibrationCurve]]'s diagnosis: fit the monotone step function

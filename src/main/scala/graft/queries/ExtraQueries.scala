@@ -3592,6 +3592,98 @@ object ExtraQueries extends QueryGroup {
               ROUND(f, 6) AS fitted
             FROM cells JOIN f USING (s) ORDER BY score"""))
 
+  val q239 = QueryDef(
+    "q239_ks_two_sample",
+    "two-sample Kolmogorov-Smirnov distance between the englishness " +
+      "micro-score's en and non-en distributions - the BINLESS drift " +
+      "statistic (PSI needs a bin choice and saturates on empties; KS " +
+      "is the exact sup-distance): D = max|C1*n2 - C2*n1|/(n1*n2) with " +
+      "the numerator an EXACT INTEGER maximum over the cumulative cells " +
+      "frame (no floats until the final division), alpha=0.05 " +
+      "asymptotic critical value 1.358*sqrt((n1+n2)/(n1*n2)), drifted " +
+      "flag compared on the UNROUNDED doubles both engines derive " +
+      "identically",
+    (s, dir) =>
+      graft.operators.Quality.ksTest(
+        englishnessScored(s, dir), "score", "is_en"),
+    Some(s"""WITH $englishnessSql,
+            cells AS (SELECT score AS v,
+                    CAST(SUM(y) AS BIGINT) AS c1,
+                    CAST(SUM(1 - y) AS BIGINT) AS c2
+                  FROM sc GROUP BY score),
+            cum AS (SELECT v, c1, c2,
+                    CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cc1,
+                    CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cc2,
+                    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                    CAST(SUM(c2) OVER () AS BIGINT) AS n2
+                  FROM cells),
+            st AS (SELECT COALESCE(MAX(n1), 0) AS n1,
+                    COALESCE(MAX(n2), 0) AS n2,
+                    COALESCE(MAX(ABS(cc1 * n2 - cc2 * n1)), 0) AS d_num
+                  FROM cum)
+            SELECT n1, n2, d_num,
+              CASE WHEN n1 > 0 AND n2 > 0 THEN ROUND(
+                CAST(d_num AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END AS d,
+              CASE WHEN n1 > 0 AND n2 > 0 THEN ROUND(
+                1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) END AS crit,
+              CASE WHEN n1 > 0 AND n2 > 0 THEN
+                CAST(d_num AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) >
+                1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+              END AS drifted
+            FROM st"""))
+
+  val q240 = QueryDef(
+    "q240_roc_auc_ci",
+    "q226's ROC-AUC with the Hanley-McNeil standard error and 95% Wald " +
+      "interval - the 'is this AUC difference real' companion (a gate " +
+      "comparison without an interval over-reads run-to-run noise): " +
+      "SE from the PUBLISHED rounded AUC through a fixed-order double " +
+      "chain with one IEEE sqrt, CI clamped to [0,1]",
+    (s, dir) =>
+      graft.operators.Quality.rocAucCi(
+        englishnessScored(s, dir), "score", "is_en"),
+    Some(s"""WITH $englishnessSql,
+            cells AS (SELECT score AS s,
+                    CAST(SUM(y) AS BIGINT) AS n_pos_s,
+                    CAST(SUM(1 - y) AS BIGINT) AS n_neg_s
+                  FROM sc GROUP BY score),
+            cum AS (SELECT s, n_pos_s, n_neg_s,
+                    CAST(COALESCE(SUM(n_neg_s) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_lt
+                  FROM cells),
+            agg AS (SELECT
+                    COALESCE(SUM(CAST(n_pos_s AS HUGEINT) *
+                      (2 * CAST(n_lt AS HUGEINT) + n_neg_s)), 0) AS u2,
+                    CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+                    CAST(SUM(n_neg_s) AS BIGINT) AS n_neg
+                  FROM cum),
+            base AS (SELECT n_pos + n_neg AS n, n_pos, n_neg,
+                    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                      ROUND(CAST(u2 AS DOUBLE) /
+                        (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                        6) END AS auc
+                  FROM agg),
+            ci AS (SELECT n, n_pos, n_neg, auc,
+                    SQRT((auc * (1.0 - auc) +
+                      CAST(n_pos - 1 AS DOUBLE) *
+                        (auc / (2.0 - auc) - auc * auc) +
+                      CAST(n_neg - 1 AS DOUBLE) *
+                        (2.0 * auc * auc / (1.0 + auc) - auc * auc)) /
+                      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS se
+                  FROM base)
+            SELECT n, n_pos, n_neg, auc,
+              ROUND(se, 6) AS se,
+              CASE WHEN auc IS NOT NULL
+                THEN ROUND(GREATEST(0.0, auc - 1.96 * se), 6) END AS ci_lo,
+              CASE WHEN auc IS NOT NULL
+                THEN ROUND(LEAST(1.0, auc + 1.96 * se), 6) END AS ci_hi
+            FROM ci"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -3599,5 +3691,5 @@ object ExtraQueries extends QueryGroup {
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-      q235, q236, q237, q238)
+      q235, q236, q237, q238, q239, q240)
 }

@@ -951,6 +951,59 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  test("ksTest: exact integer sup-distance; separated=1, identical=0, empty-side NULL") {
+    val sp = spark; import sp.implicits._
+    // fully separated supports: D = 1 exactly (d_num = n1*n2)
+    val sep = Quality.ksTest(
+      Seq((1L, true), (2L, true), (3L, false), (4L, false)).toDF("v", "g"),
+      "v", "g").collect().head
+    assert(sep.getLong(0) === 2L && sep.getLong(1) === 2L)
+    assert(sep.getLong(2) === 4L && sep.getDouble(3) === 1.0)
+    // at n=2+2 the 0.05 critical value (1.358) exceeds even D=1
+    assert(sep.getDouble(4) === 1.358 && !sep.getBoolean(5))
+    // identical distributions: D = 0
+    val same = Quality.ksTest(
+      Seq((1L, true), (2L, true), (1L, false), (2L, false)).toDF("v", "g"),
+      "v", "g").collect().head
+    assert(same.getLong(2) === 0L && same.getDouble(3) === 0.0 &&
+      !same.getBoolean(5))
+    // hand case: F1 steps at {1,3}, F2 at {2,3}: max gap at v=1 is
+    // |1*2 - 0*2| = 2 -> D = 0.5
+    val hand = Quality.ksTest(
+      Seq((1L, true), (3L, true), (2L, false), (3L, false)).toDF("v", "g"),
+      "v", "g").collect().head
+    assert(hand.getLong(2) === 2L && hand.getDouble(3) === 0.5)
+    // one empty side: undefined, never 0
+    val empty = Quality.ksTest(
+      Seq((1L, true), (2L, true)).toDF("v", "g"), "v", "g").collect().head
+    assert(empty.isNullAt(3) && empty.isNullAt(4) && empty.isNullAt(5))
+    intercept[IllegalArgumentException] {
+      Quality.ksTest(Seq((0.5, true)).toDF("v", "g"), "v", "g")
+    }
+  }
+
+  test("rocAucCi: Hanley-McNeil SE hand-checked; degenerate A=1 collapses; NULL propagates") {
+    val sp = spark; import sp.implicits._
+    // A = 0.5 with n_pos = n_neg = 1: SE^2 = A(1-A)/1 = 0.25 -> se 0.5,
+    // Wald interval clamps to [0, 1]
+    val tied = Quality.rocAucCi(
+      Seq((5L, true), (5L, false)).toDF("score", "y"), "score", "y")
+      .collect().head
+    assert(tied.getDouble(3) === 0.5 && tied.getDouble(4) === 0.5)
+    assert(tied.getDouble(5) === 0.0 && tied.getDouble(6) === 1.0)
+    // perfect separation: A = 1, Q1 - A^2 = Q2 - A^2 = 0 -> se 0, CI [1,1]
+    val perfect = Quality.rocAucCi(
+      Seq((9L, true), (8L, true), (1L, false)).toDF("score", "y"),
+      "score", "y").collect().head
+    assert(perfect.getDouble(3) === 1.0 && perfect.getDouble(4) === 0.0)
+    assert(perfect.getDouble(5) === 1.0 && perfect.getDouble(6) === 1.0)
+    // single-class: AUC undefined -> the whole interval is NULL
+    val one = Quality.rocAucCi(
+      Seq((1L, true), (2L, true)).toDF("score", "y"), "score", "y")
+      .collect().head
+    assert(one.isNullAt(3) && one.isNullAt(4) && one.isNullAt(5) && one.isNullAt(6))
+  }
+
   test("brierScore: hand-computed, perfect=0, inverted=1, skill vs the base-rate floor") {
     val sp = spark; import sp.implicits._
     // p=(0.8 y=1), (0.3 y=0): brier = (0.04 + 0.09)/2 = 0.065;

@@ -1572,6 +1572,101 @@ object Similarity {
     dedupFromAssigned(assigned, minSim, idCol, roundTo, bands, planesPerBand)
   }
 
+  /** IVF-PQ approximate top-k — the composed billion-scale ANN layout
+    * (Jégou et al. 2011's IVFADC geometry, non-residual variant): the
+    * TRAINED coarse quantizer ([[kMeansCentroidsPortable]]) scopes
+    * candidacy to nProbe cells per probe via the two-level router, and
+    * within probed cells the corpus travels as PQ CODES scored by ADC
+    * distance tables — the scan is O(matched-cells · m/dim width)
+    * instead of full vectors over the whole corpus. Candidates re-rank
+    * by the TRUE rounded cosine (the [[topKPqAdc]] contract: ADC and
+    * cell routing only PRUNE; every emitted (rank, sim) is exact).
+    * Residual encoding (codes on x − centroid) is the FAISS refinement
+    * this variant trades away — with the exact re-rank the loss is
+    * recall only, bought back with nProbe/topC.
+    *
+    * Degeneracy gate (property-tested + oracle q241): nProbe ≥ the cell
+    * count AND topC ≥ corpus ⇒ complete candidacy ⇒ equals
+    * [[topKBruteForce]] exactly — the q50/q72 pattern.
+    *
+    * Scale shape: cell routing 2n·√k dots ([[twoLevelRanked]]); the
+    * candidate join is CELL-KEYED (probe cells meet corpus codes inside
+    * shared cells, shuffle-hash, never all-pairs); ADC tables are
+    * model-sized per probe and broadcast; codebooks/quantizer are
+    * persisted model state trained once. */
+  def topKIvfPq(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      quantizer: DataFrame,
+      nProbe: Int,
+      topC: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      iters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && topC >= k && nProbe >= 1,
+      s"topKIvfPq(k=$k, topC=$topC, nProbe=$nProbe)")
+    val books = codebooks.getOrElse(pqCodebooks(corpus, m, ksub, iters, idCol, vecCol))
+    val dsub = books.select(size(col("cvec"))).head().getInt(0)
+    val codes = pqEncode(corpus, books, m, dsub, idCol, vecCol)
+    // corpus home cells via the two-level router (the 2n·√k path — the
+    // corpus is the big side); probes rank against ALL centroids FLAT
+    // (probe batches are small by contract, and flat probe routing is
+    // what makes nProbe ≥ cells provably complete — a two-level probe
+    // would be confined to its home coarse group)
+    val (cSide, cRank) = twoLevelRanked(
+      corpus, quantizer, nProbe = 1, idCol, vecCol, routeRoundTo)
+    val corpusCells = cRank.filter(col("crank") === 1)
+      .select(col("nid"), col("cid").as("cell"))
+    val cents = quantizer
+      .select(col("cid").cast("long").as("cid"),
+        col("cq").cast("array<float>").as("cqf"), col("c2"))
+    val pSide = withNorm(
+      probes.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nvec", "nnorm")
+    val wP = Window.partitionBy("pid").orderBy(col("csim").desc, col("cid"))
+    val probeCells = pSide.select(col("nid").as("pid"),
+        col("nvec").as("pv"), col("nnorm").as("pn"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", round(
+        VectorOps.dot(col("pv"), col("cqf")) /
+          (col("pn") * sqrt(col("c2").cast("double"))), routeRoundTo))
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= nProbe)
+      .select(col("pid"), col("cid").as("pcell"))
+    // per-probe ADC table (the topKPqAdc construction)
+    val pn = normalized(probes, idCol, vecCol, "pid")
+    val tabs = subRows(pn, "pid", m, dsub)
+      .join(broadcast(books), "m")
+      .withColumn("d", l2dist2(col("sub"), col("cvec")))
+      .groupBy("pid")
+      .agg(map_from_entries(collect_list(
+        struct((col("m") * lit(ksub) + col("c")).cast("int"), col("d")))).as("tab"))
+    val scored = codes.join(corpusCells, "nid")
+      .hint("shuffle_hash")
+      .join(probeCells.hint("shuffle_hash"), col("cell") === col("pcell"))
+      .filter(col("pid") =!= col("nid"))
+      .join(broadcast(tabs), "pid")
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, mi) => acc + element_at(col("tab"),
+          (mi * lit(ksub) + element_at(col("codes"), mi + 1)).cast("int"))))
+    val cand = graft.plans.TopK
+      .perKey(scored, Seq(col("pid")), Seq(col("adc"), col("nid")), topC)
+      .select("pid", "nid")
+    // exact re-rank from the already-staged normalized sides
+    val exact = cand
+      .join(cSide, "nid")
+      .join(broadcast(pSide.select(col("nid").as("pid"),
+        col("nvec").as("pvec"), col("nnorm").as("pnorm"))), "pid")
+      .withColumn("sim", pairSim(roundTo))
+    graft.plans.TopK.perKey(exact, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
+      .select("pid", "rank", "nid", "sim")
+  }
+
   /** GENERATES the DuckDB replay of the trained-quantizer pipeline
     * prefix — raw staging, micro-quantization, the unrolled Lloyd
     * iterations ([[kMeansCentroidsPortable]]'s exact arithmetic,

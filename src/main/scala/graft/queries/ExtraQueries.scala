@@ -3684,6 +3684,28 @@ object ExtraQueries extends QueryGroup {
                 THEN ROUND(LEAST(1.0, auc + 1.96 * se), 6) END AS ci_hi
             FROM ci"""))
 
+  val q241 = QueryDef(
+    "q241_ivf_pq_ann",
+    "IVF-PQ approximate top-k (Jegou 2011's IVFADC geometry, non-" +
+      "residual variant): the TRAINED persisted coarse quantizer " +
+      "(q233's model state) scopes candidacy to nProbe cells per probe " +
+      "- probes rank all centroids flat (small batch), the corpus " +
+      "routes two-level - and within probed cells the corpus travels " +
+      "as 4x16 PQ CODES scored by broadcast ADC tables, exact cosine " +
+      "re-rank on the candidate pool; gated at the complete-candidacy " +
+      "degeneracy (nProbe >= cells, topC = corpus => equals q36's " +
+      "brute force, the q50/q72 pattern), production geometry " +
+      "subset-property spec'd",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      graft.operators.Similarity.topKIvfPq(
+          v, v.filter(col("vec_id") < 10), k = 5,
+          quantizer = trainedQuantizer(s, v, minCentroids = 16),
+          nProbe = Int.MaxValue, topC = v.count().toInt, iters = 2)
+        .orderBy("pid", "rank")
+    },
+    LlmQueries.q36.oracle)
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -3691,5 +3713,5 @@ object ExtraQueries extends QueryGroup {
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-      q235, q236, q237, q238, q239, q240)
+      q235, q236, q237, q238, q239, q240, q241)
 }

@@ -399,6 +399,34 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("topKIvfPq: complete candidacy (full probe, topC = corpus) equals brute force") {
+    val v = Tables.load(spark, sfDir, "embeddings").limit(200)
+    val q = Similarity.kMeansCentroidsPortable(v, k = 4, iters = 1)
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2), r.getDouble(3))
+    val got = Similarity.topKIvfPq(v, v.filter(col("vec_id") < 5), k = 3,
+        quantizer = q, nProbe = Int.MaxValue, topC = 200, iters = 1)
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    val brute = Similarity.topKBruteForce(v, v.filter(col("vec_id") < 5), k = 3)
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === brute.toSeq)
+  }
+
+  test("topKIvfPq: production geometry returns a subset with exact scores") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val q = Similarity.kMeansCentroidsPortable(v, k = 8, iters = 2)
+    val out = Similarity.topKIvfPq(v, v.filter(col("vec_id") < 5), k = 3,
+      quantizer = q, nProbe = 2, topC = 64, iters = 1).collect()
+    assert(out.nonEmpty)
+    val exact = Similarity.topKBruteForce(v, v.filter(col("vec_id") < 5), k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(2), "no self-pairs")
+      assert(exact((r.getLong(0), r.getLong(2))) === r.getDouble(3),
+        "cell routing and ADC only prune — never alter scores")
+    }
+  }
+
   test("semanticDedupTrained: impossible threshold ⇒ all singletons keep; " +
     "survivor is the least-prototypical member") {
     val v = Tables.load(spark, sfDir, "embeddings")

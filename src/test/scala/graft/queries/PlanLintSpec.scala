@@ -127,6 +127,10 @@ class PlanLintSpec extends SparkSpecBase {
     // distinct-score CELLS frame — cells² bounded by the caller's
     // quantization at any corpus size (the q236 contract)
     "q238_isotonic_calibration",
+    // q241: IVF-PQ — the q233 trainer/coarse-router broadcasts plus
+    // q72's per-probe ADC-table and codebook broadcasts (all
+    // model-sized); the candidate join itself is cell-keyed shuffle-hash
+    "q241_ivf_pq_ann",
     // q157: the 1-row join-size estimate crossJoined onto the 1-row
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",

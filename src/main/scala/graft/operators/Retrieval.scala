@@ -380,4 +380,164 @@ object Retrieval {
       .select(col("id").as(idCol), col("rank").cast(LongType).as("rank"),
         col("term"), col("tf"), col("tfidf"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity re-ranker every retrieval/eval-set curation
+    * pipeline ends with: greedily pick k items maximizing
+    * λ·relevance − (1−λ)·max-sim-to-already-selected, so the result
+    * covers the relevant space instead of returning k near-copies
+    * (L141's k-center selects pure coverage; MMR trades coverage
+    * against a relevance column).
+    *
+    * Determinism/exactness (the kCenterSelect discipline): λ enters as
+    * the RATIONAL lambdaNum/lambdaDen, relevance is an integral micro
+    * score (fail-loud require), pairwise similarity quantizes to a
+    * micro-int simq = round(cos·10⁶) where cos = intdot/(√int·√int) over
+    * 10⁻⁶-grid quantized vectors — identical doubles in any IEEE engine,
+    * identical round — so the per-round argmax compares EXACT integers
+    * lambdaNum·relq − (lambdaDen−lambdaNum)·maxsimq with (score DESC,
+    * id) ties: the selection is a pure function of the pool at any
+    * parallelism, and a SQL oracle replays every round ([[mmrSqlCtes]]).
+    *
+    * Scale shape: the pool is a RE-RANK candidate set by contract
+    * (≤ 65536, fail-loud) — k rounds of one model-frame pass each with a
+    * TakeOrdered(1) argmax and a running per-candidate max against the
+    * latest pick's literal vector (the kCenterSelect incremental form —
+    * never pool² materialized on the engine side). Zero-/NaN-norm pool
+    * vectors drop (the similarity-family contract). Output:
+    * (rank, id, relq, max_simq, mmr_q) — max_simq NULL at rank 1, where
+    * mmr_q = lambdaNum·relq. */
+  def mmrSelect(
+      pool: DataFrame,
+      k: Int,
+      lambdaNum: Int = 7,
+      lambdaDen: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      relCol: String = "rel",
+      quantDecimals: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 64, s"k $k outside [1, 64]")
+    require(lambdaNum >= 1 && lambdaNum <= lambdaDen,
+      s"lambda $lambdaNum/$lambdaDen outside (0, 1]")
+    pool.schema(relCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Retrieval.mmrSelect: relevance column '$relCol' must be an " +
+          s"integral micro score (got $dt) — quantize as round(rel*1e6)")
+    }
+    val spark = pool.sparkSession
+    val scale = math.pow(10.0, quantDecimals)
+    val staged = pool
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        !isnan(graft.functions.VectorOps.l2Norm(col(vecCol))))
+      .select(col(idCol).cast(LongType).as("id"),
+        col(relCol).cast(LongType).as("relq"),
+        transform(col(vecCol), x =>
+          round(x.cast(DoubleType) * scale).cast(LongType)).as("vq"))
+      .withColumn("n2", graft.functions.VectorOps.dotLong(col("vq"), col("vq")))
+      .where(col("n2") > 0L)
+      .persist()
+    try {
+      val nPool = staged.count()
+      require(nPool >= 1, "mmrSelect: empty pool after the validity filter")
+      require(nPool <= 65536L,
+        s"mmrSelect: pool has $nPool rows — this is a RE-RANK operator " +
+          "(bound the pool with a first-stage retriever, e.g. topKIvfPq)")
+      def rowOf(id: Long): (Seq[Long], Long) = {
+        val r = staged.where(col("id") === id)
+          .select(col("vq"), col("n2")).collect().head
+        (r.getSeq[Long](0), r.getLong(1))
+      }
+      val first = staged.orderBy(col("relq").desc, col("id")).limit(1)
+        .select(col("id"), col("relq")).collect().head
+      var picks = Vector((first.getLong(0), first.getLong(1),
+        Option.empty[Long], lambdaNum.toLong * first.getLong(1)))
+      var ms: DataFrame = null
+      val mu = lambdaNum.toLong
+      val nu = (lambdaDen - lambdaNum).toLong
+      for (_ <- 2 to math.min(k.toLong, nPool).toInt) {
+        val (cv, cn2) = rowOf(picks.last._1)
+        // micro-int cosine to the latest pick: exact integer dot over
+        // the quantized grid, one double chain, one round — portable
+        val simq = round(
+          graft.functions.VectorOps.dotLong(col("vq"), typedLit(cv)).cast(DoubleType) /
+            (sqrt(col("n2").cast(DoubleType)) * sqrt(lit(cn2).cast(DoubleType))) *
+            lit(scale)).cast(LongType)
+        val next = (if (ms == null) staged.select(col("id"), col("relq"), simq.as("ms"))
+          else ms.join(staged, Seq("id"))
+            .select(col("id"), ms("relq"), greatest(col("ms"), simq).as("ms")))
+          .persist()
+        if (ms != null) ms.unpersist()
+        ms = next
+        val chosen = picks.map(_._1).toSet
+        val top = ms.where(!col("id").isInCollection(chosen))
+          .withColumn("score", lit(mu) * col("relq") - lit(nu) * col("ms"))
+          .orderBy(col("score").desc, col("id")).limit(1)
+          .select(col("id"), col("relq"), col("ms"), col("score"))
+          .collect()
+        if (top.isEmpty) throw new IllegalStateException("mmrSelect: pool exhausted")
+        val t = top.head
+        picks :+= ((t.getLong(0), t.getLong(1), Some(t.getLong(2)), t.getLong(3)))
+      }
+      if (ms != null) ms.unpersist()
+      import spark.implicits._
+      picks.zipWithIndex
+        .map { case ((id, relq, msq, sc), i) => (i + 1L, id, relq, msq, sc) }
+        .toDF("rank", idCol, "relq", "max_simq", "mmr_q")
+    } finally staged.unpersist()
+  }
+
+  /** The DuckDB replay of [[mmrSelect]], generated from the same round
+    * structure (the kCenterSqlCtes one-source-of-truth rule). `poolCte`
+    * must be a CTE name exposing (id BIGINT, relq BIGINT, vq BIGINT[],
+    * n2 BIGINT) — quantized vectors with exact integer norms, validity
+    * already applied. */
+  def mmrSqlCtes(
+      poolCte: String,
+      k: Int,
+      lambdaNum: Int = 7,
+      lambdaDen: Int = 10,
+      quantDecimals: Int = 6): String = {
+    require(k >= 2 && k <= 64, s"k $k outside [2, 64]")
+    val scale = "1" + ("0" * quantDecimals)
+    val mu = lambdaNum
+    val nu = lambdaDen - lambdaNum
+    val rounds = (2 to k).map { r =>
+      val prevSel = if (r == 2) "(SELECT id FROM p1)"
+        else s"(SELECT id FROM sel${r - 1})"
+      val selCte = if (r == 2) "sel2 AS (SELECT id FROM p1 UNION ALL SELECT id FROM p2)"
+        else s"sel$r AS (SELECT id FROM sel${r - 1} UNION ALL SELECT id FROM p$r)"
+      val cPick = if (r == 2) "p1" else s"p${r - 1}"
+      val simExpr =
+        s"""CAST(round(list_inner_product(CAST(pp.vq AS DOUBLE[]), CAST(cc.vq AS DOUBLE[]))
+           |      / (SQRT(CAST(pp.n2 AS DOUBLE)) * SQRT(CAST(cc.n2 AS DOUBLE)))
+           |      * $scale.0) AS BIGINT)""".stripMargin
+      val mCte = if (r == 2)
+        s"""m1 AS (SELECT pp.id, pp.relq, $simExpr AS ms
+           |  FROM $poolCte pp CROSS JOIN
+           |    (SELECT vq, n2 FROM $poolCte WHERE id = (SELECT id FROM p1)) cc)""".stripMargin
+      else
+        s"""m${r - 1} AS (SELECT pm.id, pm.relq, GREATEST(pm.ms, $simExpr) AS ms
+           |  FROM m${r - 2} pm JOIN $poolCte pp USING (id) CROSS JOIN
+           |    (SELECT vq, n2 FROM $poolCte
+           |     WHERE id = (SELECT id FROM p${r - 1})) cc)""".stripMargin
+      val pCte =
+        s"""p$r AS (SELECT id, relq, ms, $mu * relq - $nu * ms AS score
+           |  FROM m${r - 1} WHERE id NOT IN $prevSel
+           |  ORDER BY score DESC, id LIMIT 1)""".stripMargin
+      s"$mCte,\n$pCte,\n$selCte"
+    }
+    val finalRows = (2 to k).map(r =>
+      s"UNION ALL SELECT $r, id, relq, ms, score FROM p$r").mkString("\n")
+    s"""p1 AS (SELECT id, relq FROM $poolCte ORDER BY relq DESC, id LIMIT 1),
+       |${rounds.mkString(",\n")},
+       |mmr_out AS (
+       |SELECT CAST(1 AS BIGINT) AS rank, id, relq,
+       |  CAST(NULL AS BIGINT) AS max_simq, $mu * relq AS mmr_q
+       |FROM p1
+       |$finalRows)""".stripMargin
+  }
 }

@@ -3706,6 +3706,64 @@ object ExtraQueries extends QueryGroup {
     },
     LlmQueries.q36.oracle)
 
+  val q242 = QueryDef(
+    "q242_mmr_diverse_rerank",
+    "Maximal Marginal Relevance re-rank (Carbonell-Goldstein 1998): " +
+      "top-32 cosine pool for probe vec 0, then 8 greedy rounds of " +
+      "argmax(7*rel - 3*maxSimToSelected) over EXACT micro-int scores " +
+      "(lambda as the rational 7/10, sims quantized round(cos*1e6) " +
+      "from identical cross-engine doubles, ties (score, id)) - the " +
+      "diversity re-ranker every eval-set curation ends with (k-center " +
+      "q215 selects pure coverage, MMR trades coverage against " +
+      "relevance); oracle GENERATED from the same round structure (the " +
+      "kCenterSqlCtes rule)",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val vq = v
+        .where(!isnan(graft.functions.VectorOps.l2Norm(col("embedding"))))
+        .select(col("vec_id").cast("long").as("id"), col("embedding"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("vq"))
+        .withColumn("n2",
+          graft.functions.VectorOps.dotLong(col("vq"), col("vq")))
+        .where(col("n2") > 0L)
+      val probe = vq.where(col("id") === 0L)
+        .select(col("vq").as("pv"), col("n2").as("pn"))
+      val pool = vq.where(col("id") =!= 0L).crossJoin(broadcast(probe))
+        .withColumn("rel", round(
+          graft.functions.VectorOps.dotLong(col("vq"), col("pv")).cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("pn").cast("double"))) *
+            lit(1000000.0)).cast("long"))
+        .orderBy(col("rel").desc, col("id")).limit(32)
+        .select(col("id").as("vec_id"), col("embedding"), col("rel"))
+      graft.operators.Retrieval.mmrSelect(pool, k = 8)
+        .orderBy("rank")
+    },
+    Some(s"""WITH vv AS (SELECT vec_id AS id,
+                    list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS vq
+                  FROM embeddings
+                  WHERE NOT isnan(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[])))),
+            vn AS MATERIALIZED (SELECT id, vq,
+                    CAST(list_inner_product(CAST(vq AS DOUBLE[]),
+                      CAST(vq AS DOUBLE[])) AS BIGINT) AS n2
+                  FROM vv
+                  WHERE list_inner_product(CAST(vq AS DOUBLE[]),
+                    CAST(vq AS DOUBLE[])) > 0),
+            pb AS (SELECT vq, n2 FROM vn WHERE id = 0),
+            pool AS MATERIALIZED (SELECT vn.id,
+                    CAST(round(list_inner_product(CAST(vn.vq AS DOUBLE[]),
+                        CAST(pb.vq AS DOUBLE[]))
+                      / (SQRT(CAST(vn.n2 AS DOUBLE)) * SQRT(CAST(pb.n2 AS DOUBLE)))
+                      * 1000000.0) AS BIGINT) AS relq,
+                    vn.vq, vn.n2
+                  FROM vn CROSS JOIN pb WHERE vn.id <> 0
+                  ORDER BY relq DESC, id LIMIT 32),
+            ${graft.operators.Retrieval.mmrSqlCtes("pool", k = 8)}
+            SELECT rank, id AS vec_id, relq, max_simq, mmr_q
+            FROM mmr_out ORDER BY rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -3713,5 +3771,5 @@ object ExtraQueries extends QueryGroup {
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-      q235, q236, q237, q238, q239, q240, q241)
+      q235, q236, q237, q238, q239, q240, q241, q242)
 }

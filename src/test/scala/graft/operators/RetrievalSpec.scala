@@ -210,4 +210,71 @@ class RetrievalSpec extends SparkSpecBase {
     // doc2: banana and cherry — cherry (df=1) outscores banana (df=2)
     assert(got((2L, 1L))._1 === "cherry" && got((2L, 2L))._1 === "banana")
   }
+
+  test("mmrSelect equals a sequential greedy reference at any partitioning") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f), rnd.nextInt(1000000).toLong))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.mmrSelect(df, k = 6).orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSeq
+    val got = run(vecs.toDF("vec_id", "embedding", "rel").repartition(1))
+    // sequential reference with identical quantization, round, tie-breaks
+    def rl(d: Double): Long =
+      BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val q = vecs.map { case (id, v, _) =>
+      id -> v.map(x => rl(x.toDouble * 1e6)) }.toMap
+    val rel = vecs.map { case (id, _, r) => id -> r }.toMap
+    def n2(a: Seq[Long]): Long = a.map(x => x * x).sum
+    def simq(a: Long, b: Long): Long = rl(
+      q(a).zip(q(b)).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(n2(q(a)).toDouble) * math.sqrt(n2(q(b)).toDouble)) * 1e6)
+    val ids = vecs.map(_._1)
+    val first = ids.map(id => (id, rel(id))).sortBy { case (id, r) => (-r, id) }.head
+    var picks = Vector((first._1, rel(first._1), -1L, 7L * rel(first._1)))
+    val ms = scala.collection.mutable.Map(ids.map(id => id -> Long.MinValue): _*)
+    for (_ <- 2 to 6) {
+      ids.foreach(id => ms(id) = math.max(ms(id), simq(id, picks.last._1)))
+      val chosen = picks.map(_._1).toSet
+      val (pid, pms, psc) = ids.filterNot(chosen)
+        .map(id => (id, ms(id), 7L * rel(id) - 3L * ms(id)))
+        .sortBy { case (id, _, sc) => (-sc, id) }.head
+      picks :+= ((pid, rel(pid), pms, psc))
+    }
+    assert(got === picks.zipWithIndex.map { case ((id, r, m, sc), i) =>
+      (i + 1L, id, r, m, sc) })
+    assert(run(vecs.reverse.toDF("vec_id", "embedding", "rel").repartition(32)) === got,
+      "selection must be a pure function of the pool at any partitioning")
+  }
+
+  test("mmrSelect: lambda=1 is pure relevance order; contracts fail loud") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 12).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextFloat() - 0.5f), rnd.nextInt(100).toLong))
+    val df = vecs.toDF("vec_id", "embedding", "rel")
+    val got = Retrieval.mmrSelect(df, k = 5, lambdaNum = 10, lambdaDen = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val want = vecs.map { case (id, _, r) => (id, r) }
+      .sortBy { case (id, r) => (-r, id) }.take(5).map(_._1)
+    assert(got === want, "lambda = 1 must degenerate to (rel DESC, id) order")
+    // zero-norm vectors drop before selection
+    val withZero = vecs :+ (99L, Seq(0f, 0f, 0f, 0f), 1000000L)
+    val g2 = Retrieval.mmrSelect(withZero.toDF("vec_id", "embedding", "rel"),
+      k = 5, lambdaNum = 10, lambdaDen = 10).collect().map(_.getLong(1))
+    assert(!g2.contains(99L), "zero-norm pool vector must drop")
+    intercept[IllegalArgumentException](Retrieval.mmrSelect(df, k = 0))
+    intercept[IllegalArgumentException](Retrieval.mmrSelect(df, k = 65))
+    intercept[IllegalArgumentException](
+      Retrieval.mmrSelect(df, k = 3, lambdaNum = 0))
+    intercept[IllegalArgumentException](
+      Retrieval.mmrSelect(df, k = 3, lambdaNum = 11, lambdaDen = 10))
+    intercept[IllegalArgumentException](Retrieval.mmrSelect(
+      vecs.map { case (id, v, r) => (id, v, r.toDouble) }
+        .toDF("vec_id", "embedding", "rel"), k = 3))
+  }
 }

@@ -209,6 +209,97 @@ object Quality {
       .select(col("id").as(idCol), col("n_bigrams"), col("bigram_surprisal"))
   }
 
+  /** Per-document mean trigram surprisal under an INTERPOLATED
+    * KNESER-NEY language model (Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated form with a fixed absolute discount D = 3/4) — the
+    * production-grade member of the CCNet perplexity-filter family:
+    * [[unigramSurprisal]] scores rare words, [[bigramSurprisal]]'s
+    * add-one model scores improbable transitions but systematically
+    * over-penalizes unseen-mass in large vocabularies (add-one steals
+    * V/(c+V) of every context); KN discounts each seen count by a fixed
+    * D and backs off to CONTINUATION counts ("how many contexts does
+    * this word complete") — the smoothing every real LM filter
+    * (KenLM/CCNet) ships:
+    *
+    *   P(w3|w1w2) = (c(w1w2w3) − D)⁺/c(w1w2·) + D·T(w1w2)/c(w1w2·) · P(w3|w2)
+    *   P(w3|w2)   = (N(·w2w3) − D)⁺/N(·w2·) + D·T(w2)/N(·w2·) · P(w3)
+    *   P(w3)      = N(·w3)/N(··)
+    *
+    * where N(·w2w3) = distinct left-extensions of (w2,w3), T(ctx) =
+    * distinct continuation types of the context, and every count is an
+    * integer derived from the trigram TYPE frame.
+    *
+    * Exactness: all counts are exact int64; D = 0.75 is binary-exact, so
+    * every (c − 0.75) and (0.75·T) is EXACT in doubles; the probability
+    * is a fixed-order chain of IEEE mul/add/div on exact operands —
+    * identical cross-engine — and −ln P rounds into DECIMAL(28,14)
+    * before the per-doc sum (the [[bigramSurprisal]]/[[distributionDrift]]
+    * accumulation rule, order-insensitive and SQL-replayable).
+    *
+    * Scale shape: ONE (h1,h2,h3) type aggregation touches the corpus
+    * (24-byte hash-triple currency, zipfian types collapse map-side);
+    * the bigram-continuation frame, both context frames, the
+    * continuation-unigram frame and the type total all DERIVE from it —
+    * no second corpus pass. The LM assembles per trigram TYPE (all
+    * joins type-frame-sized), then the corpus stream joins the scored
+    * LM ONCE on the triple. Output: (idCol, n_trigrams, kn_surprisal)
+    * rounded to 4; docs with fewer than three tokens have no trigrams
+    * and are absent. */
+  def knTrigramSurprisal(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val tri = tokens(df, idCol, textCol)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"),
+        explode_outer(when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => struct(
+              xxhash64(element_at(col("toks"), i + lit(1))).as("h1"),
+              xxhash64(element_at(col("toks"), i + lit(2))).as("h2"),
+              xxhash64(element_at(col("toks"), i + lit(3))).as("h3"))))
+          .otherwise(array()
+            .cast("array<struct<h1:bigint,h2:bigint,h3:bigint>>"))).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("id"), col("g.h1").as("h1"), col("g.h2").as("h2"),
+        col("g.h3").as("h3"))
+    // the ONE corpus aggregation; every LM statistic derives from it
+    val tf3 = tri.groupBy("h1", "h2", "h3").agg(count(lit(1)).as("c3"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val ctx3 = tf3.groupBy("h1", "h2")
+      .agg(sum("c3").cast(LongType).as("cden"), count(lit(1)).as("t3"))
+    val bc = tf3.groupBy("h2", "h3").agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val mid = bc.groupBy("h2")
+      .agg(sum("cb").cast(LongType).as("den2"), count(lit(1)).as("t2"))
+    val uni = bc.groupBy("h3").agg(count(lit(1)).as("nw3"))
+    val tot = bc.agg(count(lit(1)).as("nbi"))
+    // fixed-order IEEE chain on exact operands (see scaladoc); the
+    // greatest() guards restate the formula's (c - D)+ — with the LM
+    // trained on the scored corpus itself every count is >= 1 > D
+    val lm = tf3
+      .join(ctx3, Seq("h1", "h2"))
+      .join(bc, Seq("h2", "h3"))
+      .join(mid, Seq("h2"))
+      .join(uni, Seq("h3"))
+      .crossJoin(broadcast(tot))
+      .select(col("h1"), col("h2"), col("h3"),
+        (-log(
+          (greatest(col("c3").cast(DoubleType) - lit(0.75), lit(0.0)) +
+            (lit(0.75) * col("t3")) *
+              ((greatest(col("cb").cast(DoubleType) - lit(0.75), lit(0.0)) +
+                (lit(0.75) * col("t2")) *
+                  (col("nw3").cast(DoubleType) / col("nbi"))) / col("den2"))) /
+            col("cden")))
+          .cast(DecimalType(28, 14)).as("s"))
+    tri.join(lm, Seq("h1", "h2", "h3"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum("s").cast(DoubleType) / count(lit(1)), 4).as("kn_surprisal"))
+      .select(col("id").as(idCol), col("n_trigrams"), col("kn_surprisal"))
+  }
+
   /** Per-document token ENTROPY — −Σ p·ln p over the document's own
     * token distribution (p = within-doc frequency). The information-
     * density axis the repetition family approximates from the other

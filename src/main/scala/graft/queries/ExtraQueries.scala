@@ -3764,6 +3764,55 @@ object ExtraQueries extends QueryGroup {
             SELECT rank, id AS vec_id, relq, max_simq, mmr_q
             FROM mmr_out ORDER BY rank"""))
 
+  val q243 = QueryDef(
+    "q243_kn_trigram_surprisal",
+    "interpolated Kneser-Ney trigram LM surprisal (Kneser-Ney 1995 / " +
+      "Chen-Goodman 1999, fixed discount D=3/4): per-doc mean -ln " +
+      "P(w3|w1w2) with continuation-count backoff - the production " +
+      "KenLM/CCNet-grade quality filter (q96's add-one bigram " +
+      "over-penalizes unseen mass); ONE trigram-type aggregation " +
+      "touches the corpus, ALL five LM frames derive from it, fixed-" +
+      "order IEEE chain on exact int64 counts with binary-exact D, " +
+      "DECIMAL(28,14) contribution accumulation replays in SQL",
+    (s, dir) =>
+      graft.operators.Quality.knTrigramSurprisal(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id AS id,
+                         string_split_regex(text, '\s+') AS toks
+                       FROM documents),
+              tri AS MATERIALIZED (
+                SELECT id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+                FROM (SELECT id, toks,
+                        unnest(generate_series(1, len(toks) - 2)) AS i
+                      FROM t)),
+              tf3 AS MATERIALIZED (
+                SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+              ctx3 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS cden,
+                         COUNT(*) AS t3
+                       FROM tf3 GROUP BY 1, 2),
+              bc AS MATERIALIZED (
+                SELECT w2, w3, COUNT(*) AS cb FROM tf3 GROUP BY 1, 2),
+              mid AS (SELECT w2, CAST(SUM(cb) AS BIGINT) AS den2,
+                        COUNT(*) AS t2
+                      FROM bc GROUP BY 1),
+              uni AS (SELECT w3, COUNT(*) AS nw3 FROM bc GROUP BY 1),
+              tot AS (SELECT COUNT(*) AS nbi FROM bc),
+              lm AS (SELECT w1, w2, w3,
+                       CAST(-ln(
+                         (GREATEST(CAST(c3 AS DOUBLE) - 0.75e0, 0e0) +
+                           (0.75e0 * t3) *
+                             ((GREATEST(CAST(cb AS DOUBLE) - 0.75e0, 0e0) +
+                               (0.75e0 * t2) *
+                                 (CAST(nw3 AS DOUBLE) / nbi)) / den2)) /
+                           cden)
+                         AS DECIMAL(28,14)) AS s
+                     FROM tf3 JOIN ctx3 USING (w1, w2) JOIN bc USING (w2, w3)
+                       JOIN mid USING (w2) JOIN uni USING (w3) CROSS JOIN tot)
+            SELECT id AS doc_id, COUNT(*) AS n_trigrams,
+                   ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 4) AS kn_surprisal
+            FROM tri JOIN lm USING (w1, w2, w3)
+            GROUP BY 1 ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -3771,5 +3820,5 @@ object ExtraQueries extends QueryGroup {
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-      q235, q236, q237, q238, q239, q240, q241, q242)
+      q235, q236, q237, q238, q239, q240, q241, q242, q243)
 }

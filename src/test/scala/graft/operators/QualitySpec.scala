@@ -113,6 +113,60 @@ class QualitySpec extends SparkSpecBase {
       "shuffled word order must score more surprising than the natural loop")
   }
 
+  test("knTrigramSurprisal matches a sequential Kneser-Ney reference; shuffled text spikes") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      (0L, "the cat sat on the mat and the cat sat on the rug"),
+      (1L, "the cat sat on the mat and the dog sat on the rug"),
+      (2L, "rug the on sat cat mat the on the and sat cat the"), // shuffled 0
+      (3L, "a b"),                                               // <3 tokens: absent
+      (4L, "the cat sat"))
+    val df = texts.toDF("doc_id", "text")
+    // sequential interpolated-KN reference, D = 0.75, continuation counts
+    val tris = texts.flatMap(_._2.split("\\s+").sliding(3)
+      .filter(_.size == 3).map(a => (a(0), a(1), a(2))))
+    val c3 = tris.groupBy(identity).view.mapValues(_.size).toMap
+    val types = c3.keys.toSeq
+    val cden = types.groupBy(t => (t._1, t._2)).view
+      .mapValues(ts => ts.map(c3).sum).toMap
+    val t3c = types.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+    val bcTypes = types.map(t => (t._2, t._3)).distinct
+    val cb = types.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val den2 = bcTypes.groupBy(_._1).view.mapValues(ts => ts.map(cb).sum).toMap
+    val t2c = bcTypes.groupBy(_._1).view.mapValues(_.size).toMap
+    val nw3 = bcTypes.groupBy(_._2).view.mapValues(_.size).toMap
+    val nbi = bcTypes.size
+    def p(tr: (String, String, String)): Double = {
+      val p1 = nw3(tr._3).toDouble / nbi
+      val p2 = (math.max(cb((tr._2, tr._3)) - 0.75, 0.0) +
+        (0.75 * t2c(tr._2)) * p1) / den2(tr._2)
+      (math.max(c3(tr) - 0.75, 0.0) + (0.75 * t3c((tr._1, tr._2))) * p2) /
+        cden((tr._1, tr._2))
+    }
+    def brute(t: String): Double = {
+      val ts = t.split("\\s+").sliding(3).filter(_.size == 3)
+        .map(a => (a(0), a(1), a(2))).toSeq
+      val sm = ts.map(tr => BigDecimal(-math.log(p(tr)))
+        .setScale(14, BigDecimal.RoundingMode.HALF_UP)).sum
+      (sm / ts.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quality.knTrigramSurprisal(d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = run(df)
+    texts.filter(_._2.split("\\s+").length >= 3).foreach { case (id, t) =>
+      assert(got(id)._1 === t.split("\\s+").length - 2L, s"doc $id count")
+      assert(math.abs(got(id)._2 - brute(t)) <= 0.0001, s"doc $id") }
+    assert(!got.contains(3L), "two-token doc has no trigrams")
+    assert(got.values.forall(_._2 > 0.0), "every probability < 1 so -ln P > 0")
+    assert(got(2L)._2 > got(0L)._2,
+      "shuffled word order must score more surprising than the natural text")
+    assert(got(1L)._2 > got(0L)._2,
+      "the one-word substitution breaks two repeated trigrams and must cost")
+    assert(run(df.repartition(7)) === got, "partition invariance")
+  }
+
   test("tokenEntropy: uniform doc hits ln(n); constant doc hits zero; brute force matches") {
     val s = spark
     import s.implicits._

@@ -68,6 +68,10 @@ class PlanLintSpec extends SparkSpecBase {
     // q91: the 1-row corpus-total frame crossJoined onto the vocabulary
     // frame — q61's documented one-row-broadcast class
     "q91_source_distribution_drift",
+    // q243: the 1-row bigram-type total (the KN continuation-unigram
+    // denominator) crossJoined onto the trigram-type LM frame — q61's
+    // documented one-row-broadcast class
+    "q243_kn_trigram_surprisal",
     // q118: the two 1-row totals frames (nt, np) crossJoined onto the
     // minCount-trimmed collocation frame — q61's documented
     // one-row-broadcast class

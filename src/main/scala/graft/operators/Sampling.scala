@@ -671,4 +671,125 @@ object Sampling {
       .orderBy(avalanche(col(idCol), salt + "#f"), col(idCol))
     df.withColumn("round", row_number().over(w).cast("long"))
   }
+
+  /** Cumulative-CDF thresholds for a Poisson(1) draw by inversion on the
+    * [[avalanche]] uniform over [0, P): weight w(u) = #{k : u ≥ T_k},
+    * T_k = round(P · CDF_Poisson(1)(k)), truncated at w ≤ 8
+    * (P(W ≥ 9) ≈ 1.1e-6 — a negligible, and in any case DETERMINISTIC,
+    * truncation both engines share). Fixed-order double fold; the values
+    * are interpolated into oracles as integer literals. */
+  private[graft] val PoissonOneThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    var term = e1
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) term = term / k
+      cum += term
+      math.round(cum * P)
+    }
+  }
+
+  /** Poisson bootstrap confidence interval for a corpus mean (Chamandy,
+    * Muralidharan, Najmi & Naidu 2012, "Estimating uncertainty for
+    * massive data streams" — the distributed bootstrap: resampling
+    * n-out-of-n needs a global n BEFORE drawing, which no streaming/
+    * sharded pass has; giving every row an independent Poisson(1)
+    * weight per replicate is asymptotically the same multinomial and
+    * needs NO coordination, merges across partitions, shards and time).
+    * The inference companion the eval tier reads: a mean moved — is the
+    * move bigger than resampling noise?
+    *
+    * Determinism (no RNG state anywhere): replicate b's weight for row
+    * id is Poisson-inverted from the [[avalanche]] uniform of
+    * id‖salt‖zeroPad3(b) — the digit fold extends a staged [[polyFold]]
+    * of id‖salt (the AMS refold idiom), so the corpus hashes the key
+    * ONCE and each replicate costs three integer fold steps + the mix.
+    * Weights are pure integer comparisons against
+    * [[PoissonOneThresholds]] — exact in any int64 engine.
+    *
+    * Exactness: valueCol must be integral (fail-loud, the micro-score
+    * convention); per-replicate sums accumulate as exact DECIMAL(38,0);
+    * each replicate mean is ONE double division of exact operands
+    * rounded 6; the CI picks are exact order statistics over the
+    * (m, b)-ordered replicate frame at ranks ceil(B'·α/200) /
+    * B'+1−ceil(B'·α/200) (count-conditional integer rule, oracle-
+    * replayable); se_boot derives from exact decimal Σm/Σm² through a
+    * fixed-order double chain with one IEEE sqrt.
+    *
+    * Scale shape: the corpus is touched once as a narrow (hash, x)
+    * projection; the ×B replicate fan-out collapses map-side into B
+    * partial sums per partition (the AMS sketch's fan-out shape — the
+    * shuffle carries B·partitions rows at ANY corpus size); everything
+    * after the replicate frame is ≤B rows. Replicate means of empty
+    * replicates (all-zero weights — e^{-n}, impossible beyond toy n)
+    * drop, and the rank rule re-derives from the surviving count.
+    * Output: ONE row (n, b_used, mean, boot_lo, boot_hi, se_boot);
+    * empty input yields zero rows. */
+  def poissonBootstrapMean(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 64,
+      salt: String = "boot",
+      alphaPct: Int = 5): DataFrame = {
+    require(replicates >= 8 && replicates <= 512,
+      s"replicates $replicates outside [8, 512]")
+    require(alphaPct >= 1 && alphaPct <= 20, s"alphaPct $alphaPct outside [1, 20]")
+    require(salt.forall(_ < 0x80), s"non-ASCII salt '$salt' breaks the byte fold")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"poissonBootstrapMean: value column '$valueCol' must be integral " +
+          s"(got $dt) — pre-quantize (round(x*1e6) micro-score convention)")
+    }
+    val staged = df
+      .select(col(idCol).cast("string").as("k"), col(valueCol).cast(LongType).as("x"))
+      .where(col("k").isNotNull && col("x").isNotNull)
+      .select(polyFold(concat(col("k"), lit(salt))).as("hf"), col("x"))
+    val base = staged.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(38, 0))).as("sx"))
+    // replicate id folds in as three zero-padded ASCII digits — the value
+    // is bit-identical to avalanche(id, salt + "%03d".format(b))
+    val f1 = (col("hf") * 31 + (expr("b DIV 100") + lit(48L))) % P
+    val f2 = (f1 * 31 + (expr("(b DIV 10) % 10") + lit(48L))) % P
+    val f3 = (f2 * 31 + (expr("b % 10") + lit(48L))) % P
+    val u = ((f3 + MixA) * (f3 + MixB)) % P
+    val w = PoissonOneThresholds
+      .map(tk => when(u >= tk, 1L).otherwise(0L)).reduce(_ + _)
+    val reps = staged
+      .select(col("hf"), col("x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .select(col("b"), col("x"), w.as("w"))
+      .groupBy("b")
+      .agg(sum((col("w") * col("x")).cast(DecimalType(38, 0))).as("swx"),
+        sum(col("w")).as("sw"))
+      .where(col("sw") > 0L)
+      .select(col("b"), round(col("swx").cast(DoubleType) / col("sw"), 6).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val cnt = reps.agg(count(lit(1)).as("b_used"),
+      sum(col("m").cast(DecimalType(38, 6))).cast(DoubleType).as("s1"),
+      sum((col("m") * col("m")).cast(DecimalType(38, 12))).cast(DoubleType).as("s2"))
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(pmod(col("b"), lit(1))).orderBy(col("m"), col("b"))
+    val ranked = reps.withColumn("r", row_number().over(ord).cast(LongType))
+      .crossJoin(broadcast(cnt))
+    val lo = ranked.where(col("r") === expr(s"(b_used * $alphaPct + 199) DIV 200"))
+      .select(col("m").as("boot_lo"))
+    val hi = ranked
+      .where(col("r") === expr(s"b_used + 1 - (b_used * $alphaPct + 199) DIV 200"))
+      .select(col("m").as("boot_hi"))
+    base.crossJoin(broadcast(cnt))
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n"), col("b_used"),
+        round(col("sx").cast(DoubleType) / col("n"), 6).as("mean"),
+        col("boot_lo"), col("boot_hi"),
+        round(sqrt(greatest(
+          (col("s2") - (col("s1") * col("s1")) / col("b_used")) /
+            (col("b_used") - lit(1L)), lit(0.0))), 6).as("se_boot"))
+  }
 }

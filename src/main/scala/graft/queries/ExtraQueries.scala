@@ -3813,6 +3813,62 @@ object ExtraQueries extends QueryGroup {
             FROM tri JOIN lm USING (w1, w2, w3)
             GROUP BY 1 ORDER BY doc_id"""))
 
+  val q244 = QueryDef(
+    "q244_poisson_bootstrap_ci",
+    "Poisson bootstrap CI for a corpus mean (Chamandy et al. 2012, the " +
+      "distributed bootstrap: per-(row,replicate) Poisson(1) weights " +
+      "need no global n and merge across shards): 64 replicates, " +
+      "weights inverted from the avalanche uniform of id||salt||b " +
+      "against integer CDF thresholds - zero RNG state, exact int64 " +
+      "comparisons in both engines; replicate means one double " +
+      "division of exact DECIMAL sums, CI = exact order statistics at " +
+      "ceil(B'*5/200) ranks, se from exact decimal moment sums - the " +
+      "inference companion the eval tier reads",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("x"))
+      graft.operators.Sampling.poissonBootstrapMean(d, "doc_id", "x")
+    },
+    Some {
+      val wSql = graft.operators.Sampling.PoissonOneThresholds
+        .map(tk => s"(CASE WHEN u >= $tk THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH s AS (SELECT CAST(doc_id AS VARCHAR) AS k,
+                       CAST(strlen(text) AS BIGINT) AS x
+                     FROM documents),
+            h AS MATERIALIZED (SELECT x, ${H.oPolyFold("k", "boot")} AS hp FROM s),
+            rep AS (SELECT x, hp, UNNEST(range(0, 64)) AS b FROM h),
+            f AS (SELECT x, b,
+                    ((((((hp * 31 + (48 + (b // 100))) % 1000000007) * 31 +
+                        (48 + ((b // 10) % 10))) % 1000000007) * 31 +
+                      (48 + (b % 10))) % 1000000007) AS f3
+                  FROM rep),
+            uu AS (SELECT x, b,
+                     ((f3 + 479001599) * (f3 + 987654323)) % 1000000007 AS u
+                   FROM f),
+            ww AS (SELECT b, x, $wSql AS w FROM uu),
+            m AS MATERIALIZED (
+              SELECT b, ROUND(CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS DOUBLE)
+                / SUM(w), 6) AS m
+              FROM ww GROUP BY b HAVING SUM(w) > 0),
+            cnt AS (SELECT COUNT(*) AS b_used,
+                      CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                      CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS s2
+                    FROM m),
+            r AS (SELECT m, b, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM m),
+            base AS (SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx
+                     FROM s),
+            lo AS (SELECT m AS boot_lo FROM r CROSS JOIN cnt
+                   WHERE r.r = (cnt.b_used * 5 + 199) // 200),
+            hi AS (SELECT m AS boot_hi FROM r CROSS JOIN cnt
+                   WHERE r.r = cnt.b_used + 1 - (cnt.b_used * 5 + 199) // 200)
+          SELECT n, b_used, ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean,
+                 boot_lo, boot_hi,
+                 ROUND(SQRT(GREATEST((s2 - (s1 * s1) / b_used) / (b_used - 1),
+                   0e0)), 6) AS se_boot
+          FROM base CROSS JOIN cnt CROSS JOIN lo CROSS JOIN hi"""
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -3820,5 +3876,5 @@ object ExtraQueries extends QueryGroup {
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-      q235, q236, q237, q238, q239, q240, q241, q242, q243)
+      q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
 }

@@ -513,4 +513,82 @@ class SamplingSpec extends SparkSpecBase {
       .map(r => (r.getAs[Long]("round"), r.getString(1)))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("poissonBootstrapMean equals a sequential reference; weights are Poisson(1)-shaped") {
+    val s = spark
+    import s.implicits._
+    // threshold pin: CDF_Poisson(1)(0) = e^-1 on the [0, P) grid — a
+    // platform whose exp/fold diverges fails loudly here
+    assert(Sampling.PoissonOneThresholds.head === 367879444L)
+    assert(Sampling.PoissonOneThresholds.size === 8)
+    val n = 400
+    val rows = (1 to n).map(i => (i.toLong, (i % 7) * 100L + 13L))
+    val df = rows.toDF("id", "x")
+    val got = Sampling.poissonBootstrapMean(df, "id", "x", replicates = 32,
+      salt = "sp").collect()
+    assert(got.length === 1)
+    val r = got.head
+    // sequential reference sharing avalancheJvm and the exact arithmetic
+    val ths = Sampling.PoissonOneThresholds
+    def wgt(id: Long, b: Int): Long =
+      ths.count(Sampling.avalancheJvm(id.toString, "sp" + f"$b%03d") >= _).toLong
+    val ms = (0 until 32).flatMap { b =>
+      val sw = rows.map { case (id, _) => wgt(id, b) }.sum
+      val swx = rows.map { case (id, x) => wgt(id, b) * x }.sum
+      if (sw == 0) None
+      else Some((b.toLong, BigDecimal.valueOf(swx.toDouble / sw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val sorted = ms.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val bUsed = ms.size
+    val loRank = (bUsed * 5 + 199) / 200
+    val mean = BigDecimal.valueOf(rows.map(_._2).sum.toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === bUsed.toLong)
+    assert(r.getDouble(2) === mean)
+    assert(r.getDouble(3) === sorted(loRank - 1), "boot_lo order statistic")
+    assert(r.getDouble(4) === sorted(bUsed - loRank), "boot_hi order statistic")
+    val s1 = ms.map(m => BigDecimal.valueOf(m._2)).sum.toDouble
+    val s2 = ms.map(m => BigDecimal.valueOf(m._2 * m._2)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val se = BigDecimal.valueOf(math.sqrt(
+      math.max((s2 - (s1 * s1) / bUsed) / (bUsed - 1), 0.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) === se, "se_boot from exact decimal moments")
+    assert(r.getDouble(3) <= mean && mean <= r.getDouble(4),
+      "the 95% CI brackets the sample mean on a well-behaved fixture")
+    // weight distribution: mean ~1, P(w=0) ~ e^-1 over a big pair grid
+    val ws = for (id <- 1 to 500; b <- 0 until 8) yield wgt(id.toLong, b)
+    assert(math.abs(ws.sum.toDouble / ws.size - 1.0) < 0.03,
+      "Poisson(1) weights must average ~1")
+    val p0 = ws.count(_ == 0L).toDouble / ws.size
+    assert(math.abs(p0 - math.exp(-1.0)) < 0.03, "P(w=0) must be ~e^-1")
+    // partition invariance
+    val again = Sampling.poissonBootstrapMean(
+      rows.reverse.toDF("id", "x").repartition(13), "id", "x",
+      replicates = 32, salt = "sp").collect().head
+    assert(again.toSeq === r.toSeq)
+  }
+
+  test("poissonBootstrapMean: constant column collapses the CI; contracts fail loud") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, 42L)).toDF("id", "x")
+    val r = Sampling.poissonBootstrapMean(df, "id", "x", replicates = 16).collect().head
+    assert(r.getDouble(2) === 42.0 && r.getDouble(3) === 42.0 &&
+      r.getDouble(4) === 42.0 && r.getDouble(5) === 0.0,
+      "constant metric: every replicate mean is the constant, se 0")
+    assert(Sampling.poissonBootstrapMean(
+      spark.emptyDataset[(Long, Long)].toDF("id", "x"), "id", "x").count() === 0L,
+      "empty input yields zero rows")
+    intercept[IllegalArgumentException](
+      Sampling.poissonBootstrapMean(df, "id", "x", replicates = 7))
+    intercept[IllegalArgumentException](
+      Sampling.poissonBootstrapMean(df, "id", "x", replicates = 513))
+    intercept[IllegalArgumentException](
+      Sampling.poissonBootstrapMean(df, "id", "x", alphaPct = 0))
+    intercept[IllegalArgumentException](Sampling.poissonBootstrapMean(
+      df.select(col("id"), col("x").cast("double").as("x")), "id", "x"))
+  }
 }

@@ -72,6 +72,10 @@ class PlanLintSpec extends SparkSpecBase {
     // denominator) crossJoined onto the trigram-type LM frame — q61's
     // documented one-row-broadcast class
     "q243_kn_trigram_surprisal",
+    // q244: the bootstrap's final single-row assembly — four 1-row
+    // frames (base stats, replicate moments, lo/hi order statistics)
+    // crossJoin-broadcast together; everything is ≤1 row by construction
+    "q244_poisson_bootstrap_ci",
     // q118: the two 1-row totals frames (nt, np) crossJoined onto the
     // minCount-trimmed collocation frame — q61's documented
     // one-row-broadcast class

@@ -1377,6 +1377,142 @@ object Quality {
       when(col("n1") > 0 && col("n2") > 0, dRaw > critRaw).as("drifted"))
   }
 
+  /** Per-SEGMENT two-sample Kolmogorov–Smirnov distance — [[ksTest]]'s
+    * exact cumulative-cells arithmetic GROUPED by a segment column (the
+    * [[rocAucBy]] pattern): "which sources/domains/shards actually
+    * drifted", the question a single corpus-wide D hides exactly the
+    * way a global AUC hides a bad segment. Cumulative windows partition
+    * BY SEGMENT — real parallelism, segments rank independently across
+    * the cluster, no constant-key frame.
+    *
+    * Also emits `p_micro`: the asymptotic two-sided tail bound
+    * p = min(1, 2·exp(−2·n_e·D²)) (Smirnov's limit; n_e = n1n2/(n1+n2))
+    * as an integral micro-probability round(p·10⁶) — n_e·D² =
+    * d_num²/(n1·n2·(n1+n2)) derives from the exact integers through a
+    * fixed-order double chain with ONE exp (the micro-nat quantization
+    * rule, q205/L36 family), so the column feeds [[bhFdr]] directly.
+    * Single-sided segments emit NULL d/crit/drifted/p_micro (undefined,
+    * never a fabricated 0), and the `drifted` flag compares the
+    * UNROUNDED doubles (the [[ksTest]] contract).
+    *
+    * Scale shape: ONE corpus aggregation to the (segment × distinct
+    * value) cells frame (bounded by the caller's quantization per the
+    * integral-value fail-loud rule), segment-keyed windows, one row per
+    * segment out. */
+  def ksTestBy(
+      df: DataFrame,
+      segmentCol: String,
+      valueCol: String,
+      sideCol: String,
+      roundTo: Int = 6): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.ksTestBy: value column '$valueCol' must be integral " +
+          s"(got $dt) — pre-quantize with an exact integer expression")
+    }
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df
+      .where(col(valueCol).isNotNull && col(sideCol).isNotNull &&
+        col(segmentCol).isNotNull)
+      .groupBy(col(segmentCol).as("segment"), col(valueCol).as("v"))
+      .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sideCol), 0L).otherwise(1L)).as("c2"))
+    val wCum = W.partitionBy("segment").orderBy("v")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("cc1", sum(col("c1")).over(wCum))
+      .withColumn("cc2", sum(col("c2")).over(wCum))
+    // the max over |cc1·n2 − cc2·n1| needs per-segment totals first:
+    // totals frame joined back on the segment key, then the exact max
+    val tot = cells.groupBy("segment").agg(
+      sum(col("c1")).cast(LongType).as("n1"),
+      sum(col("c2")).cast(LongType).as("n2"))
+    val dnum = cum.join(tot, "segment")
+      .groupBy("segment", "n1", "n2")
+      .agg(coalesce(max(abs(col("cc1") * col("n2") - col("cc2") * col("n1"))),
+        lit(0L)).as("d_num"))
+    import org.apache.spark.sql.types.DoubleType
+    val dRaw = col("d_num").cast(DoubleType) /
+      (col("n1").cast(DoubleType) * col("n2").cast(DoubleType))
+    val critRaw = lit(1.358) * sqrt(
+      (col("n1") + col("n2")).cast(DoubleType) /
+        (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)))
+    val dd = col("d_num").cast(DoubleType)
+    val pRaw = lit(2.0) * exp(lit(-2.0) *
+      ((dd * dd) / (col("n1").cast(DoubleType) * col("n2").cast(DoubleType) *
+        (col("n1") + col("n2")).cast(DoubleType))))
+    val twoSided = col("n1") > 0L && col("n2") > 0L
+    dnum.select(
+      col("segment").as(segmentCol), col("n1"), col("n2"), col("d_num"),
+      when(twoSided, round(dRaw, roundTo)).as("d"),
+      when(twoSided, round(critRaw, roundTo)).as("crit"),
+      when(twoSided, dRaw > critRaw).as("drifted"),
+      when(twoSided, least(lit(1000000L),
+        round(pRaw * lit(1000000.0)).cast(LongType))).as("p_micro"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+    * — the multiple-testing correction the per-segment families NEED:
+    * [[ksTestBy]]/[[rocAucBy]] emit one test per segment, and at 20+
+    * segments "p < 0.05 somewhere" is expected noise; BH bounds the
+    * expected FALSE-DISCOVERY fraction among the rejected set at q.
+    *
+    * PURE INTEGER arithmetic end to end: p-values are integral
+    * micro-probabilities (fail-loud range guard), q enters as the
+    * rational qNum/qDen, and the step-up condition
+    * p₍ᵢ₎ ≤ (i/m)·q restates as p₍ᵢ₎·m·qDen ≤ i·qNum·10⁶ — exact int64
+    * in any engine (p ≤ 10⁶, m·qDen ≤ ~10⁹). The cutoff k* = max{i :
+    * cond(i)} and every hypothesis with rank ≤ k* rejects (the step-up:
+    * ranks BELOW a satisfying rank reject even where their own
+    * condition fails). Ties order (p, key) — deterministic.
+    *
+    * Scale shape: the input is a per-segment test frame — model-sized
+    * by construction (one row per segment/hypothesis); the rank window
+    * keys on the constant pmod(p, 1) (the registry lint idiom) and the
+    * cutoff attaches by 1-row broadcast. NULL p rows drop: an untested
+    * hypothesis (single-class segment) is not part of m.
+    *
+    * Output: (keyCol, p_micro, rank, m, rejected), ordered consumers
+    * sort. */
+  def bhFdr(
+      df: DataFrame,
+      keyCol: String,
+      pCol: String,
+      qNum: Int = 1,
+      qDen: Int = 20): DataFrame = {
+    require(qNum >= 1 && qNum <= qDen && qDen <= 1000,
+      s"q = $qNum/$qDen outside (0, 1] or qDen > 1000")
+    df.schema(pCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.bhFdr: p column '$pCol' must be an integral " +
+          s"micro-probability (got $dt) — round(p*1e6)")
+    }
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.where(col(pCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        microProbGuard(col(pCol), "Quality.bhFdr").as("p_micro"))
+    val wOrd = W.partitionBy(pmod(col("p_micro"), lit(1)))
+      .orderBy(col("p_micro"), col("key"))
+    val wAll = W.partitionBy(pmod(col("p_micro"), lit(1)))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    base
+      .withColumn("rank", row_number().over(wOrd).cast(LongType))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("kstar", max(when(
+        col("p_micro") * col("m") * qDen <= col("rank") * qNum * lit(1000000L),
+        col("rank")).otherwise(0L)).over(wAll))
+      .select(col("key").as(keyCol), col("p_micro"), col("rank"), col("m"),
+        (col("rank") <= col("kstar")).as("rejected"))
+  }
+
   /** Isotonic regression calibration (pool-adjacent-violators solution,
     * Ayer et al. 1955 / Zadrozny & Elkan 2002) — the ACTION following
     * [[calibrationCurve]]'s diagnosis: fit the monotone step function

@@ -3869,6 +3869,88 @@ object ExtraQueries extends QueryGroup {
           FROM base CROSS JOIN cnt CROSS JOIN lo CROSS JOIN hi"""
     })
 
+  private val ksBySourceSql: String =
+    s"""$englishnessWideSql,
+            cells AS (SELECT source AS g, score AS v,
+                    CAST(SUM(y) AS BIGINT) AS c1,
+                    CAST(SUM(1 - y) AS BIGINT) AS c2
+                  FROM sc GROUP BY source, score),
+            cum AS (SELECT g, v, c1, c2,
+                    CAST(SUM(c1) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cc1,
+                    CAST(SUM(c2) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cc2
+                  FROM cells),
+            tot AS (SELECT g, CAST(SUM(c1) AS BIGINT) AS n1,
+                      CAST(SUM(c2) AS BIGINT) AS n2
+                    FROM cells GROUP BY g),
+            dn AS (SELECT g, n1, n2,
+                     COALESCE(MAX(ABS(cc1 * n2 - cc2 * n1)), 0) AS d_num
+                   FROM cum JOIN tot USING (g) GROUP BY g, n1, n2),
+            ksres AS (SELECT g AS source, n1, n2, d_num,
+              CASE WHEN n1 > 0 AND n2 > 0 THEN ROUND(
+                CAST(d_num AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END AS d,
+              CASE WHEN n1 > 0 AND n2 > 0 THEN ROUND(
+                1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) END AS crit,
+              CASE WHEN n1 > 0 AND n2 > 0 THEN
+                CAST(d_num AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) >
+                1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+              END AS drifted,
+              CASE WHEN n1 > 0 AND n2 > 0 THEN LEAST(1000000, CAST(round(
+                (2.0 * exp(-2.0 * ((CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE)) /
+                  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                   CAST(n1 + n2 AS DOUBLE))))) * 1000000.0) AS BIGINT))
+              END AS p_micro
+            FROM dn)"""
+
+  val q245 = QueryDef(
+    "q245_ks_by_source",
+    "per-SOURCE two-sample KS of the englishness micro-score (en vs " +
+      "non-en within each source) - the segment-level drift audit a " +
+      "corpus-wide D hides (the q237 argument applied to q239): exact " +
+      "integer d_num per segment off segment-partitioned cumulative " +
+      "windows (real parallelism), plus the Smirnov asymptotic tail " +
+      "p = min(1, 2*exp(-2*d_num^2/(n1*n2*(n1+n2)))) quantized to an " +
+      "integral micro-probability (the micro-nat rule) ready for BH " +
+      "FDR control; single-sided segments NULL",
+    (s, dir) =>
+      graft.operators.Quality.ksTestBy(
+        englishnessWide(s, dir), "source", "score", "is_en")
+        .orderBy("source"),
+    Some(s"""WITH $ksBySourceSql
+            SELECT source, n1, n2, d_num, d, crit, drifted, p_micro
+            FROM ksres ORDER BY source"""))
+
+  val q246 = QueryDef(
+    "q246_bh_fdr_drift",
+    "Benjamini-Hochberg step-up FDR control at q=1/10 over q245's " +
+      "per-source KS p-values (Benjamini-Hochberg 1995): at 20 " +
+      "segments 'p<0.05 somewhere' is expected noise - BH bounds the " +
+      "false-discovery fraction among the flagged sources; PURE " +
+      "INTEGER step-up (p*m*qDen <= rank*qNum*1e6, exact int64 in " +
+      "both engines), cutoff k* = max satisfying rank, every rank <= " +
+      "k* rejects; untested (single-sided) segments drop from m",
+    (s, dir) =>
+      graft.operators.Quality.bhFdr(
+        graft.operators.Quality.ksTestBy(
+          englishnessWide(s, dir), "source", "score", "is_en"),
+        "source", "p_micro", qNum = 1, qDen = 10)
+        .orderBy("rank"),
+    Some(s"""WITH $ksBySourceSql,
+            pv AS (SELECT source, p_micro FROM ksres WHERE p_micro IS NOT NULL),
+            rk AS (SELECT source, p_micro,
+                     CAST(ROW_NUMBER() OVER (ORDER BY p_micro, source) AS BIGINT) AS rank,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS m
+                   FROM pv),
+            ks2 AS (SELECT source, p_micro, rank, m,
+                      MAX(CASE WHEN p_micro * m * 10 <= rank * 1 * 1000000
+                        THEN rank ELSE 0 END) OVER () AS kstar
+                    FROM rk)
+            SELECT source, p_micro, rank, m, rank <= kstar AS rejected
+            FROM ks2 ORDER BY rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -3876,5 +3958,5 @@ object ExtraQueries extends QueryGroup {
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-      q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
+      q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246)
 }

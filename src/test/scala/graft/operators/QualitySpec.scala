@@ -1036,6 +1036,93 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  test("ksTestBy: per-segment equality with the global operator; p_micro chain; NULLs") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 600).map { i =>
+      val seg = s"s${i % 4}"
+      val side = (i / 4) % 2 == 0
+      // segment s3 planted drift: the true side shifts by +6
+      val v = (rnd.nextInt(12) + (if (seg == "s3" && side) 6 else 0)).toLong
+      (seg, v, side)
+    } :+ (("s4", 5L, true)) // single-sided segment
+    val df = rows.toDF("seg", "v", "side")
+    val got = Quality.ksTestBy(df, "seg", "v", "side").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // per-segment equality with the global operator run on each slice
+    rows.map(_._1).distinct.foreach { seg =>
+      val slice = Quality.ksTest(
+        df.where(org.apache.spark.sql.functions.col("seg") === seg), "v", "side")
+        .collect().head
+      val g = got(seg)
+      assert(g.getLong(1) === slice.getLong(0) &&
+        g.getLong(2) === slice.getLong(1) &&
+        g.getLong(3) === slice.getLong(2), s"$seg exact witnesses")
+      if (slice.isNullAt(3)) assert(g.isNullAt(4) && g.isNullAt(7), s"$seg NULL")
+      else {
+        assert(g.getDouble(4) === slice.getDouble(3), s"$seg d")
+        assert(g.getBoolean(6) === slice.getBoolean(5), s"$seg drifted")
+        // p_micro replays the fixed-order Smirnov chain on the witnesses
+        val (dn, n1, n2) = (g.getLong(3).toDouble, g.getLong(1).toDouble,
+          g.getLong(2).toDouble)
+        val p = 2.0 * math.exp(-2.0 * ((dn * dn) / (n1 * n2 * (n1 + n2))))
+        val pm = math.min(1000000L,
+          BigDecimal.valueOf(p * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        assert(g.getLong(7) === pm, s"$seg p_micro")
+      }
+    }
+    assert(got("s3").getBoolean(6), "planted drift must flag")
+    assert(got("s3").getLong(7) < got("s0").getLong(7),
+      "the drifted segment's tail probability must be smaller")
+    assert(got("s4").isNullAt(4) && got("s4").isNullAt(7),
+      "single-sided segment emits NULLs, never a fabricated 0")
+    intercept[IllegalArgumentException] {
+      Quality.ksTestBy(Seq(("a", 0.5, true)).toDF("seg", "v", "side"),
+        "seg", "v", "side")
+    }
+  }
+
+  test("bhFdr: textbook step-up incl. the rank-below-cutoff rescue; guards fail loud") {
+    val sp = spark; import sp.implicits._
+    // q=1/20: thresholds i/m*q = (0.01, 0.02, 0.03, 0.04, 0.05);
+    // p = (0.010, 0.020, 0.030, 0.040, 0.900) -> all of 1..4 satisfy, k*=4
+    val a = Quality.bhFdr(
+      Seq(("a", 10000L), ("b", 20000L), ("c", 30000L), ("d", 40000L),
+        ("e", 900000L)).toDF("k", "p"), "k", "p").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(a("a") === ((1L, 5L, true)) && a("d") === ((4L, 5L, true)))
+    assert(a("e") === ((5L, 5L, false)))
+    // THE step-up property: rank 2 fails its own condition
+    // (0.049 > 2/3*0.05) but rank 3 satisfies (0.05 <= 0.05), so rank 2
+    // rejects anyway
+    val b = Quality.bhFdr(
+      Seq(("x", 1000L), ("y", 49000L), ("z", 50000L)).toDF("k", "p"),
+      "k", "p").collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(b === Map("x" -> true, "y" -> true, "z" -> true),
+      "step-up rescues ranks below the max satisfying rank")
+    // nothing satisfies: no rejections
+    val c = Quality.bhFdr(
+      Seq(("x", 500000L), ("y", 900000L)).toDF("k", "p"), "k", "p")
+      .collect().map(_.getBoolean(4))
+    assert(c.forall(!_))
+    // NULL p rows drop from m
+    val d = Quality.bhFdr(
+      Seq(("x", Some(10000L)), ("y", None)).toDF("k", "p"), "k", "p")
+      .collect()
+    assert(d.length === 1 && d.head.getLong(3) === 1L)
+    intercept[IllegalArgumentException](Quality.bhFdr(
+      Seq(("x", 0.5)).toDF("k", "p"), "k", "p"))
+    intercept[IllegalArgumentException](Quality.bhFdr(
+      Seq(("x", 1L)).toDF("k", "p"), "k", "p", qNum = 3, qDen = 2))
+    val oob = intercept[Exception](Quality.bhFdr(
+      Seq(("x", 2000000L)).toDF("k", "p"), "k", "p").collect())
+    assert(oob.getMessage.contains("micro-probability range") ||
+      Option(oob.getCause).exists(_.getMessage.contains("micro-probability range")))
+  }
+
   test("rocAucCi: Hanley-McNeil SE hand-checked; degenerate A=1 collapses; NULL propagates") {
     val sp = spark; import sp.implicits._
     // A = 0.5 with n_pos = n_neg = 1: SE^2 = A(1-A)/1 = 0.25 -> se 0.5,

@@ -1513,6 +1513,105 @@ object Quality {
         (col("rank") <= col("kstar")).as("rejected"))
   }
 
+  /** Per-segment Theil–Sen robust trend (Theil 1950 / Sen 1968 — the
+    * median of all pairwise slopes): the drift family's MAGNITUDE
+    * member. [[kendallTau]] against time (Mann–Kendall) answers "is it
+    * trending"; THIS answers "by how much per unit time", with a 29%
+    * outlier breakdown point where an OLS slope ([[graft.operators
+    * .Trend]]-style least squares) is dragged by a single bad window —
+    * the robust per-metric trend a drift dashboard quotes.
+    *
+    * Exactness: t and y integral (fail-loud); every pairwise slope is
+    * ONE double division of the exact integer pair (Δy, Δt) — identical
+    * cross-engine — and the median is an EXPLICIT rank pick over the
+    * (slope, ta, tb)-ordered pair frame at rank ⌈n/2⌉ (lower median;
+    * never an engine median() whose interpolation rules differ — the
+    * AMS readout discipline), emitted with its exact (slope_num,
+    * slope_den) rational witness. The intercept is the explicit median
+    * of residuals y − slope·t computed from the PUBLISHED rounded slope
+    * (the [[rocAucCi]] derived-from-published discipline).
+    *
+    * Contract: ONE row per (segment, t) — duplicate timestamps raise
+    * (pre-aggregate first: the caller decides sum vs mean, never this
+    * operator silently); segments need ≥ 2 points (absent otherwise);
+    * points per segment are bounded by `maxPoints` (fail-loud — the
+    * pair frame is points², the [[kendallTau]] cells² scale contract
+    * made explicit).
+    *
+    * Scale shape: the input is a per-(segment, t) AGGREGATE frame —
+    * model-sized by construction (the caller's one corpus aggregation
+    * produces it); the pair self-join and both median windows partition
+    * BY SEGMENT — real parallelism, bounded at points² per segment. */
+  def theilSenBy(
+      df: DataFrame,
+      segmentCol: String,
+      tCol: String,
+      yCol: String,
+      maxPoints: Int = 4096,
+      roundTo: Int = 6): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints $maxPoints must be >= 2")
+    Seq(tCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ByteType
+           | _: org.apache.spark.sql.types.ShortType
+           | _: org.apache.spark.sql.types.IntegerType
+           | _: org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"Quality.theilSenBy: column '$c' must be integral (got $dt) — " +
+            "pre-quantize with an exact integer expression")
+      }
+    }
+    import org.apache.spark.sql.types.DoubleType
+    val W = org.apache.spark.sql.expressions.Window
+    val wSeg = W.partitionBy("segment")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val wDup = W.partitionBy(col("segment"), col("t"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val pts = df
+      .where(col(segmentCol).isNotNull && col(tCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(segmentCol).as("segment"), col(tCol).cast(LongType).as("t"),
+        col(yCol).cast(LongType).as("y"))
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn("n_points", count(lit(1)).over(wSeg))
+      .select(col("segment"), col("t"), col("n_points"),
+        when(col("__dup") === 1L && col("n_points") <= maxPoints, col("y"))
+          .otherwise(raise_error(concat(
+            lit("Quality.theilSenBy: segment "), col("segment").cast("string"),
+            lit(s" violates the points contract (duplicate t or > $maxPoints " +
+              "points) — pre-aggregate to one row per (segment, t) and/or " +
+              "quantize t coarser")))).as("y"))
+    val a = pts.select(col("segment"), col("t").as("ta"), col("y").as("ya"),
+      col("n_points"))
+    val b = pts.select(col("segment"), col("t").as("tb"), col("y").as("yb"))
+    val wRank = W.partitionBy("segment").orderBy(col("sl"), col("ta"), col("tb"))
+    val med = a.join(b, Seq("segment")).where(col("ta") < col("tb"))
+      .select(col("segment"), col("n_points"), col("ta"), col("tb"),
+        (col("yb") - col("ya")).as("slope_num"),
+        (col("tb") - col("ta")).as("slope_den"))
+      .withColumn("sl",
+        col("slope_num").cast(DoubleType) / col("slope_den").cast(DoubleType))
+      .withColumn("r", row_number().over(wRank).cast(LongType))
+      .withColumn("n_pairs", count(lit(1)).over(wSeg))
+      .where(col("r") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("segment"), col("n_points"), col("n_pairs"),
+        col("slope_num"), col("slope_den"), round(col("sl"), roundTo).as("slope"))
+    // intercept = explicit median of y − slope·t from the PUBLISHED slope
+    val wR2 = W.partitionBy("segment").orderBy(col("resid"), col("t"))
+    val wSeg2 = W.partitionBy("segment")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    pts.select(col("segment"), col("t"), col("y"))
+      .join(med, Seq("segment"))
+      .withColumn("resid",
+        col("y").cast(DoubleType) - col("slope") * col("t").cast(DoubleType))
+      .withColumn("rr", row_number().over(wR2).cast(LongType))
+      .withColumn("nn", count(lit(1)).over(wSeg2))
+      .where(col("rr") === expr("(nn + 1) DIV 2"))
+      .select(col("segment").as(segmentCol), col("n_points"), col("n_pairs"),
+        col("slope_num"), col("slope_den"), col("slope"),
+        round(col("resid"), roundTo).as("intercept"))
+  }
+
   /** Isotonic regression calibration (pool-adjacent-violators solution,
     * Ayer et al. 1955 / Zadrozny & Elkan 2002) — the ACTION following
     * [[calibrationCurve]]'s diagnosis: fit the monotone step function

@@ -3951,6 +3951,70 @@ object ExtraQueries extends QueryGroup {
             SELECT source, p_micro, rank, m, rank <= kstar AS rejected
             FROM ks2 ORDER BY rank"""))
 
+  val q247 = QueryDef(
+    "q247_theil_sen_trend",
+    "per-event-type Theil-Sen robust trend of the daily count series " +
+      "(Theil 1950 / Sen 1968, median of all pairwise slopes - the " +
+      "drift family's MAGNITUDE member: q236's Mann-Kendall-style tau " +
+      "says whether a metric trends, this says by how much per day " +
+      "with a 29% outlier breakdown where OLS is dragged by one bad " +
+      "window): every slope ONE double division of the exact integer " +
+      "(dy, dt) pair, median an EXPLICIT rank pick at ceil(n/2) with " +
+      "the exact rational witness (never an engine median()), " +
+      "intercept the explicit residual median from the PUBLISHED " +
+      "rounded slope",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      graft.operators.Quality.theilSenBy(daily, "event_type", "day", "n")
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT event_type,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2),
+            pts AS (SELECT event_type AS segment, day AS t, n AS y FROM d),
+            np AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_points
+                   FROM pts GROUP BY 1),
+            pr AS (SELECT a.segment, a.t AS ta, b.t AS tb,
+                     b.y - a.y AS slope_num, b.t - a.t AS slope_den
+                   FROM pts a JOIN pts b
+                     ON a.segment = b.segment AND a.t < b.t),
+            rk AS (SELECT segment, slope_num, slope_den,
+                     CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE) AS sl,
+                     ROW_NUMBER() OVER (PARTITION BY segment ORDER BY
+                       CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE),
+                       ta, tb) AS r,
+                     CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT)
+                       AS n_pairs
+                   FROM pr),
+            med AS (SELECT segment, n_pairs, slope_num, slope_den,
+                      ROUND(sl, 6) AS slope
+                    FROM rk WHERE r = (n_pairs + 1) // 2),
+            ic AS (SELECT p.segment, np.n_points, m.n_pairs, m.slope_num,
+                     m.slope_den, m.slope,
+                     CAST(p.y AS DOUBLE) - m.slope * CAST(p.t AS DOUBLE)
+                       AS resid,
+                     p.t
+                   FROM pts p JOIN med m USING (segment)
+                     JOIN np USING (segment)),
+            ir AS (SELECT segment, n_points, n_pairs, slope_num, slope_den,
+                     slope, resid,
+                     ROW_NUMBER() OVER (PARTITION BY segment
+                       ORDER BY resid, t) AS rr,
+                     CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT)
+                       AS nn
+                   FROM ic)
+            SELECT segment AS event_type, n_points, n_pairs, slope_num,
+                   slope_den, slope, ROUND(resid, 6) AS intercept
+            FROM ir WHERE rr = (nn + 1) // 2 ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -3958,5 +4022,6 @@ object ExtraQueries extends QueryGroup {
       q177, q178, q180, q186, q187, q188, q190, q191, q193, q194, q195, q198,
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-      q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246)
+      q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
+      q247)
 }

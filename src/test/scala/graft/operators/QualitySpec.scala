@@ -1123,6 +1123,67 @@ class QualitySpec extends SparkSpecBase {
       Option(oob.getCause).exists(_.getMessage.contains("micro-probability range")))
   }
 
+  test("theilSenBy: outlier-proof exact slope; sequential reference; contracts fail loud") {
+    val sp = spark; import sp.implicits._
+    // y = 3t + 1 with one wild outlier: the median slope stays EXACTLY 3
+    // and the residual-median intercept stays EXACTLY 1 (the robustness
+    // OLS does not have)
+    val line = (0 to 9).map(t => ("a", t.toLong, if (t == 5) 1000L else 3L * t + 1L))
+    val got = Quality.theilSenBy(line.toDF("seg", "t", "y"), "seg", "t", "y")
+      .collect().head
+    assert(got.getLong(1) === 10L && got.getLong(2) === 45L)
+    assert(got.getDouble(5) === 3.0 && got.getDouble(6) === 1.0)
+    assert(got.getLong(3) === 3L * got.getLong(4),
+      "the rational witness reduces to 3")
+    // sequential reference on irregular data, two segments
+    val rnd = new scala.util.Random(11)
+    val rows = for (seg <- Seq("p", "q"); t <- 1 to 25) yield
+      (seg, t.toLong * 7L, (rnd.nextInt(200) - 100).toLong)
+    def ref(pts: Seq[(Long, Long)]): (Long, Long, Long, Long, Double, Double) = {
+      val prs = for {
+        (ta, ya) <- pts; (tb, yb) <- pts if ta < tb
+      } yield (ta, tb, yb - ya, tb - ta, (yb - ya).toDouble / (tb - ta))
+      val srt = prs.sortBy { case (ta, tb, _, _, sl) => (sl, ta, tb) }
+      val m = srt((srt.size + 1) / 2 - 1)
+      def r6(x: Double) = BigDecimal.valueOf(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val slope = r6(m._5)
+      val res = pts.map { case (t, y) => (y.toDouble - slope * t.toDouble, t) }
+        .sortBy(identity)
+      (pts.size.toLong, srt.size.toLong, m._3, m._4, slope,
+        r6(res((pts.size + 1) / 2 - 1)._1))
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quality.theilSenBy(d, "seg", "t", "y").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val g2 = run(rows.toDF("seg", "t", "y"))
+    Seq("p", "q").foreach { seg =>
+      val want = ref(rows.filter(_._1 == seg).map(r => (r._2, r._3)))
+      assert(g2(seg) === want, s"segment $seg sequential-reference equality")
+    }
+    assert(run(rows.reverse.toDF("seg", "t", "y").repartition(9)) === g2,
+      "partition invariance")
+    // single-point segment absent; duplicate t raises; bad types raise
+    val single = run((rows :+ (("solo", 1L, 5L))).toDF("seg", "t", "y"))
+    assert(!single.contains("solo"))
+    val dup = intercept[Exception] {
+      Quality.theilSenBy(
+        Seq(("a", 1L, 1L), ("a", 1L, 2L), ("a", 2L, 3L)).toDF("seg", "t", "y"),
+        "seg", "t", "y").collect()
+    }
+    assert(dup.getMessage.contains("points contract") ||
+      Option(dup.getCause).exists(_.getMessage.contains("points contract")))
+    intercept[Exception] {
+      Quality.theilSenBy(line.toDF("seg", "t", "y"), "seg", "t", "y",
+        maxPoints = 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Quality.theilSenBy(Seq(("a", 1.0, 1L)).toDF("seg", "t", "y"),
+        "seg", "t", "y")
+    }
+  }
+
   test("rocAucCi: Hanley-McNeil SE hand-checked; degenerate A=1 collapses; NULL propagates") {
     val sp = spark; import sp.implicits._
     // A = 0.5 with n_pos = n_neg = 1: SE^2 = A(1-A)/1 = 0.25 -> se 0.5,

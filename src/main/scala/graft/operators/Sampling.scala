@@ -788,8 +788,10 @@ object Sampling {
       .select(col("n"), col("b_used"),
         round(col("sx").cast(DoubleType) / col("n"), 6).as("mean"),
         col("boot_lo"), col("boot_hi"),
-        round(sqrt(greatest(
+        // NULL (not a 0/0 NaN) at b_used = 1 — no spread to estimate,
+        // the streaming twin's contract
+        when(col("b_used") > 1L, round(sqrt(greatest(
           (col("s2") - (col("s1") * col("s1")) / col("b_used")) /
-            (col("b_used") - lit(1L)), lit(0.0))), 6).as("se_boot"))
+            (col("b_used") - lit(1L)), lit(0.0))), 6)).as("se_boot"))
   }
 }

@@ -3864,8 +3864,9 @@ object ExtraQueries extends QueryGroup {
                    WHERE r.r = cnt.b_used + 1 - (cnt.b_used * 5 + 199) // 200)
           SELECT n, b_used, ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean,
                  boot_lo, boot_hi,
-                 ROUND(SQRT(GREATEST((s2 - (s1 * s1) / b_used) / (b_used - 1),
-                   0e0)), 6) AS se_boot
+                 CASE WHEN b_used > 1 THEN
+                   ROUND(SQRT(GREATEST((s2 - (s1 * s1) / b_used) / (b_used - 1),
+                     0e0)), 6) END AS se_boot
           FROM base CROSS JOIN cnt CROSS JOIN lo CROSS JOIN hi"""
     })
 

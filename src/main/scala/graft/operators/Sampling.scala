@@ -725,6 +725,85 @@ object Sampling {
     * drop, and the rank rule re-derives from the surviving count.
     * Output: ONE row (n, b_used, mean, boot_lo, boot_hi, se_boot);
     * empty input yields zero rows. */
+  /** [[poissonBootstrapMean]] GROUPED by a segment column — "which
+    * source's mean moved beyond its own resampling noise" (the
+    * [[graft.operators.Quality.ksTestBy]] argument applied to the
+    * bootstrap: a corpus-wide CI hides the segment whose mean jumped).
+    * Same weights, same exactness contract, but every frame keys on the
+    * segment: the replicate aggregation is (segment × B)-keyed, the
+    * rank window partitions BY SEGMENT (real parallelism), and the
+    * final assembly is segment-keyed equi-joins — no broadcast
+    * crossJoin anywhere. Output: one row per segment with ≥1 surviving
+    * replicate. */
+  def poissonBootstrapMeanBy(
+      df: DataFrame,
+      segmentCol: String,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 64,
+      salt: String = "boot",
+      alphaPct: Int = 5): DataFrame = {
+    require(replicates >= 8 && replicates <= 512,
+      s"replicates $replicates outside [8, 512]")
+    require(alphaPct >= 1 && alphaPct <= 20, s"alphaPct $alphaPct outside [1, 20]")
+    require(salt.forall(_ < 0x80), s"non-ASCII salt '$salt' breaks the byte fold")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"poissonBootstrapMeanBy: value column '$valueCol' must be integral " +
+          s"(got $dt) — pre-quantize (round(x*1e6) micro-score convention)")
+    }
+    val staged = df
+      .where(col(segmentCol).isNotNull)
+      .select(col(segmentCol).as("segment"), col(idCol).cast("string").as("k"),
+        col(valueCol).cast(LongType).as("x"))
+      .where(col("k").isNotNull && col("x").isNotNull)
+      .select(col("segment"), polyFold(concat(col("k"), lit(salt))).as("hf"),
+        col("x"))
+    val base = staged.groupBy("segment").agg(count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(38, 0))).as("sx"))
+    val f1 = (col("hf") * 31 + (expr("b DIV 100") + lit(48L))) % P
+    val f2 = (f1 * 31 + (expr("(b DIV 10) % 10") + lit(48L))) % P
+    val f3 = (f2 * 31 + (expr("b % 10") + lit(48L))) % P
+    val u = ((f3 + MixA) * (f3 + MixB)) % P
+    val w = PoissonOneThresholds
+      .map(tk => when(u >= tk, 1L).otherwise(0L)).reduce(_ + _)
+    val reps = staged
+      .select(col("segment"), col("hf"), col("x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .select(col("segment"), col("b"), col("x"), w.as("w"))
+      .groupBy("segment", "b")
+      .agg(sum((col("w") * col("x")).cast(DecimalType(38, 0))).as("swx"),
+        sum(col("w")).as("sw"))
+      .where(col("sw") > 0L)
+      .select(col("segment"), col("b"),
+        round(col("swx").cast(DoubleType) / col("sw"), 6).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val cnt = reps.groupBy("segment").agg(count(lit(1)).as("b_used"),
+      sum(col("m").cast(DecimalType(38, 6))).cast(DoubleType).as("s1"),
+      sum((col("m") * col("m")).cast(DecimalType(38, 12))).cast(DoubleType).as("s2"))
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("segment").orderBy(col("m"), col("b"))
+    val ranked = reps.withColumn("r", row_number().over(ord).cast(LongType))
+      .join(cnt, "segment")
+    val lo = ranked.where(col("r") === expr(s"(b_used * $alphaPct + 199) DIV 200"))
+      .select(col("segment"), col("m").as("boot_lo"))
+    val hi = ranked
+      .where(col("r") === expr(s"b_used + 1 - (b_used * $alphaPct + 199) DIV 200"))
+      .select(col("segment"), col("m").as("boot_hi"))
+    base.join(cnt, "segment").join(lo, "segment").join(hi, "segment")
+      .select(col("segment").as(segmentCol), col("n"), col("b_used"),
+        round(col("sx").cast(DoubleType) / col("n"), 6).as("mean"),
+        col("boot_lo"), col("boot_hi"),
+        when(col("b_used") > 1L, round(sqrt(greatest(
+          (col("s2") - (col("s1") * col("s1")) / col("b_used")) /
+            (col("b_used") - lit(1L)), lit(0.0))), 6)).as("se_boot"))
+  }
+
   def poissonBootstrapMean(
       df: DataFrame,
       idCol: String,

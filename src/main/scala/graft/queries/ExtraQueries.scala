@@ -4016,6 +4016,69 @@ object ExtraQueries extends QueryGroup {
                    slope_den, slope, ROUND(resid, 6) AS intercept
             FROM ir WHERE rr = (nn + 1) // 2 ORDER BY event_type"""))
 
+  val q248 = QueryDef(
+    "q248_bootstrap_ci_by_source",
+    "per-SOURCE Poisson-bootstrap CI of mean document bytes (q244 " +
+      "grouped - the q245 argument applied to the bootstrap: a corpus-" +
+      "wide CI hides the segment whose mean jumped): same avalanche " +
+      "weights and exact integer sums, but the replicate aggregation " +
+      "is (source x B)-keyed, rank windows partition BY SOURCE (real " +
+      "parallelism) and the assembly is source-keyed equi-joins - no " +
+      "broadcast crossJoin anywhere",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("x"))
+      graft.operators.Sampling.poissonBootstrapMeanBy(
+        d, "source", "doc_id", "x").orderBy("source")
+    },
+    Some {
+      val wSql = graft.operators.Sampling.PoissonOneThresholds
+        .map(tk => s"(CASE WHEN u >= $tk THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH s AS (SELECT source, CAST(doc_id AS VARCHAR) AS k,
+                       CAST(strlen(text) AS BIGINT) AS x
+                     FROM documents WHERE source IS NOT NULL),
+            h AS MATERIALIZED (SELECT source, x,
+                  ${H.oPolyFold("k", "boot")} AS hp FROM s),
+            rep AS (SELECT source, x, hp, UNNEST(range(0, 64)) AS b FROM h),
+            f AS (SELECT source, x, b,
+                    ((((((hp * 31 + (48 + (b // 100))) % 1000000007) * 31 +
+                        (48 + ((b // 10) % 10))) % 1000000007) * 31 +
+                      (48 + (b % 10))) % 1000000007) AS f3
+                  FROM rep),
+            uu AS (SELECT source, x, b,
+                     ((f3 + 479001599) * (f3 + 987654323)) % 1000000007 AS u
+                   FROM f),
+            ww AS (SELECT source, b, x, $wSql AS w FROM uu),
+            m AS MATERIALIZED (
+              SELECT source, b,
+                ROUND(CAST(SUM(CAST(w * x AS DECIMAL(38,0))) AS DOUBLE)
+                  / SUM(w), 6) AS m
+              FROM ww GROUP BY source, b HAVING SUM(w) > 0),
+            cnt AS (SELECT source, COUNT(*) AS b_used,
+                      CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                      CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS s2
+                    FROM m GROUP BY source),
+            r AS (SELECT source, m, b, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY m, b) AS r
+                  FROM m),
+            base AS (SELECT source, COUNT(*) AS n,
+                       SUM(CAST(x AS DECIMAL(38,0))) AS sx
+                     FROM s GROUP BY source),
+            lo AS (SELECT r.source, m AS boot_lo FROM r JOIN cnt USING (source)
+                   WHERE r.r = (cnt.b_used * 5 + 199) // 200),
+            hi AS (SELECT r.source, m AS boot_hi FROM r JOIN cnt USING (source)
+                   WHERE r.r = cnt.b_used + 1 - (cnt.b_used * 5 + 199) // 200)
+          SELECT source, n, b_used, ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean,
+                 boot_lo, boot_hi,
+                 CASE WHEN b_used > 1 THEN
+                   ROUND(SQRT(GREATEST((s2 - (s1 * s1) / b_used) / (b_used - 1),
+                     0e0)), 6) END AS se_boot
+          FROM base JOIN cnt USING (source) JOIN lo USING (source)
+            JOIN hi USING (source)
+          ORDER BY source"""
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -4024,5 +4087,5 @@ object ExtraQueries extends QueryGroup {
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
-      q247)
+      q247, q248)
 }

@@ -571,6 +571,31 @@ class SamplingSpec extends SparkSpecBase {
     assert(again.toSeq === r.toSeq)
   }
 
+  test("poissonBootstrapMeanBy: per-segment equality with the global operator per slice") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 300).map(i =>
+      (s"s${i % 3}", i.toLong, rnd.nextInt(3000).toLong))
+    val df = rows.toDF("seg", "id", "x")
+    def runBy(d: org.apache.spark.sql.DataFrame) =
+      Sampling.poissonBootstrapMeanBy(d, "seg", "id", "x",
+        replicates = 16, salt = "sb").collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val got = runBy(df)
+    assert(got.keySet === Set("s0", "s1", "s2"))
+    Seq("s0", "s1", "s2").foreach { seg =>
+      val slice = Sampling.poissonBootstrapMean(
+        df.where(col("seg") === seg), "id", "x",
+        replicates = 16, salt = "sb").collect().head
+      assert(got(seg) === slice.toSeq, s"segment $seg equals the global op")
+    }
+    assert(runBy(df.repartition(11)) === got, "partition invariance")
+    intercept[IllegalArgumentException](Sampling.poissonBootstrapMeanBy(
+      df.select(col("seg"), col("id"), col("x").cast("double").as("x")),
+      "seg", "id", "x"))
+  }
+
   test("poissonBootstrapMean: constant column collapses the CI; contracts fail loud") {
     val s = spark
     import s.implicits._

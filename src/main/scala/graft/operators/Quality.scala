@@ -1377,6 +1377,59 @@ object Quality {
       when(col("n1") > 0 && col("n2") > 0, dRaw > critRaw).as("drifted"))
   }
 
+  /** McNemar's test on paired classifier decisions (McNemar 1947) — the
+    * DIRECTIONAL companion of [[cohensKappa]]: kappa says whether two
+    * gates agree, THIS says whether gate B is actually BETTER than gate
+    * A against the same truth on the same rows — the question every
+    * threshold/model swap asks before shipping. Accuracy deltas on the
+    * same corpus are paired, so the only information is in the
+    * DISCORDANT cells: b01 = rows A got wrong and B got right, b10 =
+    * the reverse; under H0 (equal error rates) their split is
+    * Binomial(b01+b10, 1/2), and χ² = (b01−b10)²/(b01+b10) is the
+    * large-sample test (the continuity-corrected form also emitted).
+    *
+    * Exactness: b01/b10 are exact integer sums from ONE corpus
+    * aggregation (map-side combined, four counters out); each statistic
+    * is ONE double division of exact integers; `significant` compares
+    * the UNROUNDED χ² to the α = 0.05, df = 1 critical value 3.8414588
+    * as a literal (the [[ksTest]] 1.358 discipline — both engines
+    * compare identical doubles to the identical literal). All test
+    * columns NULL when b01 + b10 = 0 (no discordant evidence —
+    * undefined, never a fabricated 0).
+    *
+    * Scale shape: one narrow corpus aggregation to four int64 counters;
+    * everything after is a 1-row projection. */
+  def mcnemar(
+      df: DataFrame,
+      truthCol: String,
+      aCol: String,
+      bCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val aOk = col(aCol) === col(truthCol)
+    val bOk = col(bCol) === col(truthCol)
+    val agg = df
+      .where(col(truthCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(!aOk && bOk, 1L).otherwise(0L)).as("b01"),
+        sum(when(aOk && !bOk, 1L).otherwise(0L)).as("b10"))
+    val nd = (col("b01") + col("b10")).cast(DoubleType)
+    val d = (col("b01") - col("b10")).cast(DoubleType)
+    val stat = (d * d) / nd
+    val cc = greatest(abs(col("b01") - col("b10")) - lit(1L), lit(0L))
+      .cast(DoubleType)
+    val statCc = (cc * cc) / nd
+    val tested = (col("b01") + col("b10")) > 0L
+    // chi-squared df=1 upper 5% point (Abramowitz & Stegun table 26.8)
+    val crit = lit(3.841458820694124)
+    agg.select(col("n"), col("b01"), col("b10"),
+      when(tested, round(stat, roundTo)).as("mcnemar"),
+      when(tested, round(statCc, roundTo)).as("mcnemar_cc"),
+      when(tested, col("b01") > col("b10")).as("b_better"),
+      when(tested, stat > crit).as("significant"))
+  }
+
   /** Per-SEGMENT two-sample Kolmogorov–Smirnov distance — [[ksTest]]'s
     * exact cumulative-cells arithmetic GROUPED by a segment column (the
     * [[rocAucBy]] pattern): "which sources/domains/shards actually

@@ -4079,6 +4079,49 @@ object ExtraQueries extends QueryGroup {
           ORDER BY source"""
     })
 
+  val q249 = QueryDef(
+    "q249_mcnemar_paired_gates",
+    "McNemar's paired test: is the englishness gate at threshold 0.15 " +
+      "BETTER than at 0.1 against the declared lang label on the SAME " +
+      "rows (McNemar 1947 - the directional companion of q196's kappa: " +
+      "paired accuracy deltas carry information only in the discordant " +
+      "cells b01/b10, Binomial(nd, 1/2) under H0): exact integer " +
+      "counters from ONE aggregation, chi2 = (b01-b10)^2/(b01+b10) one " +
+      "double division, significance vs the df=1 critical value " +
+      "3.8414588 compared on UNROUNDED doubles (the q239 1.358 " +
+      "discipline)",
+    (s, dir) => {
+      val d = englishnessScored(s, dir)
+        .select(col("is_en").as("truth"),
+          (col("score") >= 100000L).as("a"),
+          (col("score") >= 150000L).as("b"))
+      graft.operators.Quality.mcnemar(d, "truth", "a", "b")
+    },
+    Some(s"""WITH $englishnessSql,
+            lab AS (SELECT (y = 1) AS truth,
+                      (score >= 100000) AS a, (score >= 150000) AS b
+                    FROM sc),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN (a <> truth) AND (b = truth)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+                      CAST(SUM(CASE WHEN (a = truth) AND (b <> truth)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b10
+                    FROM lab)
+          SELECT n, b01, b10,
+            CASE WHEN b01 + b10 > 0 THEN ROUND(
+              (CAST(b01 - b10 AS DOUBLE) * CAST(b01 - b10 AS DOUBLE)) /
+                CAST(b01 + b10 AS DOUBLE), 6) END AS mcnemar,
+            CASE WHEN b01 + b10 > 0 THEN ROUND(
+              (CAST(GREATEST(ABS(b01 - b10) - 1, 0) AS DOUBLE) *
+               CAST(GREATEST(ABS(b01 - b10) - 1, 0) AS DOUBLE)) /
+                CAST(b01 + b10 AS DOUBLE), 6) END AS mcnemar_cc,
+            CASE WHEN b01 + b10 > 0 THEN b01 > b10 END AS b_better,
+            CASE WHEN b01 + b10 > 0 THEN
+              (CAST(b01 - b10 AS DOUBLE) * CAST(b01 - b10 AS DOUBLE)) /
+                CAST(b01 + b10 AS DOUBLE) > 3.841458820694124
+            END AS significant
+          FROM agg"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -4087,5 +4130,5 @@ object ExtraQueries extends QueryGroup {
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
-      q247, q248)
+      q247, q248, q249)
 }

@@ -1184,6 +1184,38 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  test("mcnemar: textbook discordant split; direction; zero-discordant NULL; invariance") {
+    val sp = spark; import sp.implicits._
+    // classic: b01 = 15 (B corrects A), b10 = 5 -> chi2 = 100/20 = 5 >
+    // 3.84 significant; continuity-corrected (10-1)^2/20 = 4.05
+    val rows =
+      Seq.fill(15)((true, false, true)) ++ Seq.fill(5)((true, true, false)) ++
+      Seq.fill(30)((true, true, true)) ++ Seq.fill(10)((false, false, false))
+    val df = rows.toDF("truth", "a", "b")
+    val r = Quality.mcnemar(df, "truth", "a", "b").collect().head
+    assert(r.getLong(0) === 60L && r.getLong(1) === 15L && r.getLong(2) === 5L)
+    assert(r.getDouble(3) === 5.0 && r.getDouble(4) === 4.05)
+    assert(r.getBoolean(5) && r.getBoolean(6),
+      "B corrects 3x what it breaks: better and significant")
+    // swapping the classifiers flips the direction, same statistic
+    val sw = Quality.mcnemar(df, "truth", "b", "a").collect().head
+    assert(sw.getDouble(3) === 5.0 && !sw.getBoolean(5))
+    // no discordant pairs: undefined, never a fabricated 0
+    val same = Quality.mcnemar(
+      Seq((true, true, true), (false, true, true)).toDF("truth", "a", "b"),
+      "truth", "a", "b").collect().head
+    assert(same.isNullAt(3) && same.isNullAt(5) && same.isNullAt(6))
+    // borderline NOT significant: b01=7, b10=1 -> 36/8 = 4.5 > 3.84 sig;
+    // b01=6, b10=1 -> 25/7 = 3.571 < 3.84 not
+    val ns = Quality.mcnemar(
+      (Seq.fill(6)((true, false, true)) :+ ((true, true, false)))
+        .toDF("truth", "a", "b"), "truth", "a", "b").collect().head
+    assert(ns.getBoolean(5) && !ns.getBoolean(6),
+      "better but not significant at 6-vs-1 discordants")
+    assert(Quality.mcnemar(df.repartition(13), "truth", "a", "b")
+      .collect().head.toSeq === r.toSeq, "partition invariance")
+  }
+
   test("rocAucCi: Hanley-McNeil SE hand-checked; degenerate A=1 collapses; NULL propagates") {
     val sp = spark; import sp.implicits._
     // A = 0.5 with n_pos = n_neg = 1: SE^2 = A(1-A)/1 = 0.25 -> se 0.5,

@@ -439,7 +439,7 @@ object Retrieval {
           round(x.cast(DoubleType) * scale).cast(LongType)).as("vq"))
       .withColumn("n2", graft.functions.VectorOps.dotLong(col("vq"), col("vq")))
       .where(col("n2") > 0L)
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val nPool = staged.count()
       require(nPool >= 1, "mmrSelect: empty pool after the validity filter")
@@ -469,7 +469,7 @@ object Retrieval {
         val next = (if (ms == null) staged.select(col("id"), col("relq"), simq.as("ms"))
           else ms.join(staged, Seq("id"))
             .select(col("id"), ms("relq"), greatest(col("ms"), simq).as("ms")))
-          .persist()
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         if (ms != null) ms.unpersist()
         ms = next
         val chosen = picks.map(_._1).toSet

@@ -689,42 +689,6 @@ object Sampling {
     }
   }
 
-  /** Poisson bootstrap confidence interval for a corpus mean (Chamandy,
-    * Muralidharan, Najmi & Naidu 2012, "Estimating uncertainty for
-    * massive data streams" — the distributed bootstrap: resampling
-    * n-out-of-n needs a global n BEFORE drawing, which no streaming/
-    * sharded pass has; giving every row an independent Poisson(1)
-    * weight per replicate is asymptotically the same multinomial and
-    * needs NO coordination, merges across partitions, shards and time).
-    * The inference companion the eval tier reads: a mean moved — is the
-    * move bigger than resampling noise?
-    *
-    * Determinism (no RNG state anywhere): replicate b's weight for row
-    * id is Poisson-inverted from the [[avalanche]] uniform of
-    * id‖salt‖zeroPad3(b) — the digit fold extends a staged [[polyFold]]
-    * of id‖salt (the AMS refold idiom), so the corpus hashes the key
-    * ONCE and each replicate costs three integer fold steps + the mix.
-    * Weights are pure integer comparisons against
-    * [[PoissonOneThresholds]] — exact in any int64 engine.
-    *
-    * Exactness: valueCol must be integral (fail-loud, the micro-score
-    * convention); per-replicate sums accumulate as exact DECIMAL(38,0);
-    * each replicate mean is ONE double division of exact operands
-    * rounded 6; the CI picks are exact order statistics over the
-    * (m, b)-ordered replicate frame at ranks ceil(B'·α/200) /
-    * B'+1−ceil(B'·α/200) (count-conditional integer rule, oracle-
-    * replayable); se_boot derives from exact decimal Σm/Σm² through a
-    * fixed-order double chain with one IEEE sqrt.
-    *
-    * Scale shape: the corpus is touched once as a narrow (hash, x)
-    * projection; the ×B replicate fan-out collapses map-side into B
-    * partial sums per partition (the AMS sketch's fan-out shape — the
-    * shuffle carries B·partitions rows at ANY corpus size); everything
-    * after the replicate frame is ≤B rows. Replicate means of empty
-    * replicates (all-zero weights — e^{-n}, impossible beyond toy n)
-    * drop, and the rank rule re-derives from the surviving count.
-    * Output: ONE row (n, b_used, mean, boot_lo, boot_hi, se_boot);
-    * empty input yields zero rows. */
   /** [[poissonBootstrapMean]] GROUPED by a segment column — "which
     * source's mean moved beyond its own resampling noise" (the
     * [[graft.operators.Quality.ksTestBy]] argument applied to the
@@ -804,6 +768,42 @@ object Sampling {
             (col("b_used") - lit(1L)), lit(0.0))), 6)).as("se_boot"))
   }
 
+  /** Poisson bootstrap confidence interval for a corpus mean (Chamandy,
+    * Muralidharan, Najmi & Naidu 2012, "Estimating uncertainty for
+    * massive data streams" — the distributed bootstrap: resampling
+    * n-out-of-n needs a global n BEFORE drawing, which no streaming/
+    * sharded pass has; giving every row an independent Poisson(1)
+    * weight per replicate is asymptotically the same multinomial and
+    * needs NO coordination, merges across partitions, shards and time).
+    * The inference companion the eval tier reads: a mean moved — is the
+    * move bigger than resampling noise?
+    *
+    * Determinism (no RNG state anywhere): replicate b's weight for row
+    * id is Poisson-inverted from the [[avalanche]] uniform of
+    * id‖salt‖zeroPad3(b) — the digit fold extends a staged [[polyFold]]
+    * of id‖salt (the AMS refold idiom), so the corpus hashes the key
+    * ONCE and each replicate costs three integer fold steps + the mix.
+    * Weights are pure integer comparisons against
+    * [[PoissonOneThresholds]] — exact in any int64 engine.
+    *
+    * Exactness: valueCol must be integral (fail-loud, the micro-score
+    * convention); per-replicate sums accumulate as exact DECIMAL(38,0);
+    * each replicate mean is ONE double division of exact operands
+    * rounded 6; the CI picks are exact order statistics over the
+    * (m, b)-ordered replicate frame at ranks ceil(B'·α/200) /
+    * B'+1−ceil(B'·α/200) (count-conditional integer rule, oracle-
+    * replayable); se_boot derives from exact decimal Σm/Σm² through a
+    * fixed-order double chain with one IEEE sqrt.
+    *
+    * Scale shape: the corpus is touched once as a narrow (hash, x)
+    * projection; the ×B replicate fan-out collapses map-side into B
+    * partial sums per partition (the AMS sketch's fan-out shape — the
+    * shuffle carries B·partitions rows at ANY corpus size); everything
+    * after the replicate frame is ≤B rows. Replicate means of empty
+    * replicates (all-zero weights — e^{-n}, impossible beyond toy n)
+    * drop, and the rank rule re-derives from the surviving count.
+    * Output: ONE row (n, b_used, mean, boot_lo, boot_hi, se_boot);
+    * empty input yields zero rows. */
   def poissonBootstrapMean(
       df: DataFrame,
       idCol: String,

@@ -5445,7 +5445,7 @@ object LlmQueries extends QueryGroup {
       // accounting: ONE mine feeds audit + cut; in-sweep this query
       // then measures cut-given-mine, standalone it pays the full mine)
       val reps = Option(saMineMemo.get(dir)) match {
-        case Some(rows) => rows.map(_.getString(1)).distinct.toSeq
+        case Some(rows) => rows.map(_.getAs[String]("rep")).distinct.toSeq
         case None => graft.operators.SuffixArray.longestRepeats(slice,
             lcpCap = 64, minLen = 20, topK = 20)
           .select("rep").distinct().collect().map(_.getString(0)).toSeq

@@ -64,13 +64,18 @@ object StreamingBootstrap {
   private def r6(x: Double): Double =
     BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def rowOf(slot: Long, acc: BootAcc, alphaPct: Int): BootWindowRow = {
+  private def rowOf(
+      slot: Long, acc: BootAcc, alphaPct: Int): Option[BootWindowRow] = {
     val mean = r6(acc.sx.toDouble / acc.n)
     val ms = acc.swx.indices.flatMap { b =>
       if (acc.sw(b) > 0L) Some((b.toLong, r6(acc.swx(b).toDouble / acc.sw(b))))
       else None
     }
-    if (ms.isEmpty) BootWindowRow("", slot, acc.n, 0L, mean, None, None, None)
+    // All replicates zero-weight (probability ~e^{-n} each): batch
+    // poissonBootstrapMean emits ZERO rows for such a slice (its lo/hi
+    // assembly join goes empty), so the streaming twin suppresses the
+    // window too — exact batch equivalence, no b_used=0 divergence.
+    if (ms.isEmpty) None
     else {
       val sorted = ms.sortBy { case (b, m) => (m, b) }.map(_._2)
       val bUsed = ms.size
@@ -82,8 +87,8 @@ object StreamingBootstrap {
         if (bUsed < 2) None
         else Some(r6(math.sqrt(
           math.max((s2 - (s1 * s1) / bUsed) / (bUsed - 1), 0.0))))
-      BootWindowRow("", slot, acc.n, bUsed.toLong, mean,
-        Some(sorted(loRank - 1)), Some(sorted(bUsed - loRank)), se)
+      Some(BootWindowRow("", slot, acc.n, bUsed.toLong, mean,
+        Some(sorted(loRank - 1)), Some(sorted(bUsed - loRank)), se))
     }
   }
 
@@ -116,7 +121,7 @@ object StreamingBootstrap {
     }
     val wSlot = Math.floorDiv(wmUs, bucketUs)
     val closable = open.keys.filter(_ < wSlot).toSeq.sorted
-    val rows = closable.map(s => rowOf(s, open(s), alphaPct))
+    val rows = closable.flatMap(s => rowOf(s, open(s), alphaPct))
     val nextDone = if (closable.isEmpty) old.doneSlot else Some(closable.last)
     (rows, BootState(nextDone, open -- closable))
   }

@@ -583,7 +583,16 @@ object Similarity {
     * library default stays exact because LSH candidacy is probabilistic
     * and a caller must opt into a recall target knowingly; the scale path
     * (q37 passes bands = 12 explicitly, plan-guarded) is one argument
-    * away when group sizes grow with the corpus. */
+    * away when group sizes grow with the corpus.
+    *
+    * `saltFactor > 1` salts the exact bands = 0 pair join (the ia side
+    * takes a deterministic id-hash bucket, the ib side replicates
+    * saltFactor×, every ia < ib pair still meets exactly once) so a hot
+    * group's n_c² pair generation fans across saltFactor tasks instead of
+    * straggling in one — execution-only, results identical
+    * (spec-asserted). Callers with a skew profile in hand
+    * ([[adaptiveCellSalt]] / [[Skew.keySkewProfile]]) pass it through;
+    * the LSH branch ignores it (band buckets already split hot groups). */
   def nearDupPairs(
       vectors: DataFrame,
       groupCol: String,
@@ -592,12 +601,23 @@ object Similarity {
       vecCol: String = "embedding",
       roundTo: Int = 4,
       bands: Int = 0,
-      planesPerBand: Int = 1): DataFrame = {
+      planesPerBand: Int = 1,
+      saltFactor: Int = 1): DataFrame = {
+    require(saltFactor >= 1, s"nearDupPairs: saltFactor $saltFactor must be >= 1")
     val base = withNorm(
       vectors.select(col(groupCol).as("g"), col(idCol).as("id"), col(vecCol).as("vec")),
       "vec", "norm")
     val cand =
-      if (bands == 0) {
+      if (bands == 0 && saltFactor > 1) {
+        base.select(col("g"), col("id").as("ia"),
+            pmod(xxhash64(col("id")), lit(saltFactor.toLong)).as("sa"))
+          .hint("shuffle_hash")
+          .join(base.select(col("g").as("g2"), col("id").as("ib"),
+              explode(sequence(lit(0L), lit(saltFactor.toLong - 1))).as("sb")),
+            col("g") === col("g2") && col("sa") === col("sb") &&
+              col("ia") < col("ib"))
+          .select("g", "ia", "ib")
+      } else if (bands == 0) {
         base.select(col("g"), col("id").as("ia"))
           .join(base.select(col("g").as("g2"), col("id").as("ib")),
             col("g") === col("g2") && col("ia") < col("ib"))
@@ -1063,9 +1083,16 @@ object Similarity {
     // caller drops the reference — the connectedComponents label
     // contract.)
     try {
+      // exact path only: salt the within-cell pair join when the cell
+      // occupancy profile is skewed (natural clusters are — the r16 100×
+      // adjudication's residual); the LSH branch splits hot cells by
+      // band bucket already
+      val sf = if (bands != 0) 1
+        else adaptiveCellSalt(assigned.select(col("cell")), "cell")
       val pairs = nearDupPairs(assigned.select(col("cell"), col("id"), col("vec")),
           groupCol = "cell", minSim = minSim, idCol = "id", vecCol = "vec",
-          roundTo = roundTo, bands = bands, planesPerBand = planesPerBand)
+          roundTo = roundTo, bands = bands, planesPerBand = planesPerBand,
+          saltFactor = sf)
         .select("ia", "ib")
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val comp =
@@ -1508,6 +1535,38 @@ object Similarity {
     (side, ranked)
   }
 
+  /** Adaptive salt factor for a cell-keyed SELF-join over TRAINED cells
+    * (natural clusters are uneven, so the hottest cell's n_c² pair task
+    * dominates the wall — the r16 100× adjudication's named residual).
+    * A self-join's per-cell work is QUADRATIC in occupancy, so this is
+    * [[Skew.keySkewProfile]]'s leveling rule transposed to pair units:
+    * salt = ⌈max(occ²)·targetTasks / Σocc²⌉ — the smallest fan-out that
+    * caps the hottest cell's pair block at one fair share of the total
+    * pair work (the row-share rule under-salts here: a cell with 6.5×
+    * the average rows carries 42× the average pairs). Capped at 16
+    * because the salted join replicates the vector-carrying side
+    * saltFactor× through the exchange. Execution-only: any salt yields
+    * identical results (SkewSpec / SimilaritySpec equivalence tests), so
+    * NOTHING here needs an oracle replay. The profile is one map-side
+    * combined aggregation over the model-thin (cell) projection and the
+    * collect is its single summary row — driver state is 1 row by
+    * construction. occ² sums in double: this sizes task fan-out, it is
+    * not a result. */
+  private def adaptiveCellSalt(cells: DataFrame, cellCol: String): Int = {
+    val t = cells.sparkSession.sparkContext.defaultParallelism
+    val rows = cells.groupBy(col(cellCol)).agg(count(lit(1)).as("f"))
+      .agg(
+        sum(col("f").cast("double") * col("f").cast("double")).as("s2"),
+        max(col("f").cast("double") * col("f").cast("double")).as("mx"))
+      .collect()
+    if (rows.isEmpty || rows(0).isNullAt(0) || rows(0).getDouble(0) <= 0.0) 1
+    else {
+      val s2 = rows(0).getDouble(0)
+      val mx = rows(0).getDouble(1)
+      math.max(1, math.min(16.0, math.ceil(mx * t / s2)).toInt)
+    }
+  }
+
   /** [[knnGraph]] over a TRAINED persisted quantizer with two-level
     * routing — the production kNN-graph entry point at 100 TB geometry:
     * train [[kMeansCentroidsPortable]] ONCE (model-sized sample, cost
@@ -1515,10 +1574,15 @@ object Similarity {
     * parquet model state, and reuse it here — assignment is 2n·√k dots
     * (coarse-then-fine) instead of the flat path's n·k = n²/targetCell,
     * while trained cells stay ~targetCell so candidate volume per probe
-    * is still bounded. The whole pipeline — training included — replays
-    * in SQL ([[trainedKnnSql]], q233): integer-exact training, rounded
-    * routing, rounded pair sims. Output (pid, rank, nid, sim), the
-    * [[knnGraph]] contract. */
+    * is still bounded. The candidate join SALTS adaptively
+    * ([[adaptiveCellSalt]]): trained cells inherit the corpus's natural
+    * cluster skew, and an unsalted cell-keyed shuffle-hash join puts the
+    * hottest cell's entire |probe_c|×|corpus_c| pair block in one task —
+    * salting fans it across `salt` tasks at the price of replicating the
+    * corpus side salt×, with bit-identical results. The whole pipeline —
+    * training included — replays in SQL ([[trainedKnnSql]], q233):
+    * integer-exact training, rounded routing, rounded pair sims. Output
+    * (pid, rank, nid, sim), the [[knnGraph]] contract. */
   def knnGraphTrained(
       corpus: DataFrame,
       quantizer: DataFrame,
@@ -1527,8 +1591,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       roundTo: Int = 4,
-      routeRoundTo: Int = 6): DataFrame = {
+      routeRoundTo: Int = 6,
+      saltOverride: Int = 0): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"knnGraphTrained(k=$k, nProbe=$nProbe)")
+    require(saltOverride >= 0,
+      s"knnGraphTrained: saltOverride $saltOverride must be >= 0 (0 = adaptive)")
     val (side, rk) = twoLevelRanked(
       corpus, quantizer, nProbe, idCol, vecCol, routeRoundTo)
     val vv = side.join(
@@ -1537,11 +1604,25 @@ object Similarity {
       .select(col("nid").as("pid"), col("nvec").as("pvec"), col("nnorm").as("pnorm"))
       .join(rk.select(col("nid").as("pid"), col("cid").as("pcell")), "pid")
     // both sides corpus-scale → force the cell-keyed shuffle-hash join
-    // (the topKIvf corpusSizedProbes rule)
-    val scored = pp.hint("shuffle_hash")
-      .join(vv.hint("shuffle_hash"),
-        col("pcell") === col("cell") && col("pid") =!= col("nid"))
-      .withColumn("sim", pairSim(roundTo))
+    // (the topKIvf corpusSizedProbes rule), salted when the trained-cell
+    // occupancy profile says the hottest cell would straggle
+    val sf = if (saltOverride > 0) saltOverride
+      else adaptiveCellSalt(
+        rk.filter(col("crank") === 1).select(col("cid").as("cell")), "cell")
+    val joined =
+      if (sf <= 1)
+        pp.hint("shuffle_hash").join(vv.hint("shuffle_hash"),
+          col("pcell") === col("cell") && col("pid") =!= col("nid"))
+      else
+        pp.withColumn("psalt", pmod(xxhash64(col("pid")), lit(sf.toLong)))
+          .hint("shuffle_hash")
+          .join(
+            vv.withColumn("nsalt",
+              explode(sequence(lit(0L), lit(sf.toLong - 1)))).hint("shuffle_hash"),
+            col("pcell") === col("cell") && col("psalt") === col("nsalt") &&
+              col("pid") =!= col("nid"))
+          .drop("psalt", "nsalt")
+    val scored = joined.withColumn("sim", pairSim(roundTo))
     graft.plans.TopK.perKey(
         scored, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
       .select("pid", "rank", "nid", "sim")
@@ -1570,6 +1651,40 @@ object Similarity {
       .select(col("nid").as("id"), col("cell"), col("cent_sim"),
         col("nvec").as("vec"))
     dedupFromAssigned(assigned, minSim, idCol, roundTo, bands, planesPerBand)
+  }
+
+  /** Per-trained-cell occupancy profile — the PLANNING probe for every
+    * trained-quantizer consumer ([[knnGraphTrained]] /
+    * [[semanticDedupTrained]] / [[topKIvfPq]]): trained cells inherit
+    * the corpus's natural cluster imbalance, so before committing a
+    * cell-keyed join layout at 100 TB you measure how uneven the cells
+    * actually are (the [[Skew.keySkewProfile]] argument, specialized to
+    * the trained-IVF assignment). Routes every vector through the same
+    * two-level (coarse→fine) path the consumers use and counts crank = 1
+    * assignments per cell. Output: (cell, occ) — one row per non-empty
+    * cell, model-sized (≤ k rows). Fully SQL-replayable, training
+    * included ([[trainedOccupancySql]], q250): the adaptive salt the
+    * consumers derive from this profile needs no replay (salt is
+    * execution-only), but the PROFILE itself is an output a pipeline
+    * planner acts on, so it carries its own oracle. */
+  def cellOccupancyTrained(
+      corpus: DataFrame,
+      quantizer: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      routeRoundTo: Int = 6): DataFrame = {
+    val (side, rk) = twoLevelRanked(
+      corpus, quantizer, nProbe = 1, idCol, vecCol, routeRoundTo)
+    // model-sized output → eager lineage-free materialization so BOTH
+    // per-call caches release before return (the dedupFromAssigned rule)
+    val out = rk.filter(col("crank") === 1)
+      .groupBy(col("cid").as("cell"))
+      .agg(count(lit(1)).as("occ"))
+      .select(col("cell"), col("occ"))
+      .localCheckpoint(true)
+    side.unpersist()
+    rk.unpersist()
+    out
   }
 
   /** IVF-PQ approximate top-k — the composed billion-scale ANN layout
@@ -1821,5 +1936,21 @@ object Similarity {
        |SELECT j.id AS vec_id, j.cell, j.cluster_id, j.cent_sim,
        |       j.id = sv.surv_id AS keep
        |FROM j JOIN sv USING (cluster_id) ORDER BY vec_id""".stripMargin
+  }
+
+  /** Full DuckDB replay of [[cellOccupancyTrained]] (training included) —
+    * the q250 oracle. */
+  def trainedOccupancySql(
+      table: String,
+      minCentroids: Int,
+      targetCell: Int = 1024,
+      iters: Int = 2,
+      sampleFactor: Int = 32,
+      routeRoundTo: Int = 6): String = {
+    val ctes = trainedIvfSqlCtes(table, minCentroids, targetCell, iters,
+      sampleFactor, nProbe = 1, routeRoundTo = routeRoundTo)
+    s"""WITH $ctes
+       |SELECT cid AS cell, COUNT(*) AS occ
+       |FROM rkq WHERE crank = 1 GROUP BY cid ORDER BY cell""".stripMargin
   }
 }

@@ -4122,6 +4122,25 @@ object ExtraQueries extends QueryGroup {
             END AS significant
           FROM agg"""))
 
+  val q250 = QueryDef(
+    "q250_trained_cell_occupancy",
+    "per-trained-cell occupancy profile (the r16 verdict's 'measure the " +
+      "occupancy distribution' planning probe, first-classed): route " +
+      "every vector through the SAME trained quantizer + two-level path " +
+      "q233/q234 use and count crank=1 assignments per cell - trained " +
+      "cells inherit natural cluster imbalance, and this model-sized " +
+      "(cell, occ) frame is what the adaptive candidate-join salt " +
+      "(Skew.keySkewProfile's recommendation) derives from; oracle " +
+      "replays training + routing (the q233 CTE chain) + the GROUP BY",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.cellOccupancyTrained(
+          emb, trainedQuantizer(s, emb, minCentroids = 16))
+        .orderBy("cell")
+    },
+    Some(graft.operators.Similarity.trainedOccupancySql(
+      "embeddings", minCentroids = 16)))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -4130,5 +4149,5 @@ object ExtraQueries extends QueryGroup {
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
-      q247, q248, q249)
+      q247, q248, q249, q250)
 }

@@ -399,6 +399,64 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("knnGraphTrained: salted candidate join is bit-identical at every salt " +
+    "(adaptive included)") {
+    val s = spark
+    import s.implicits._
+    // a dominant natural cluster: 160 of 200 vectors point the same way,
+    // so one trained cell swallows them and the occupancy profile is
+    // skewed enough that the adaptive path actually salts
+    val rows = (0 until 200).map { i =>
+      val base = if (i < 160) Seq(1f, 0.001f * i, 0f, 0f)
+      else if (i < 180) Seq(0f, 1f, 0.001f * i, 0f)
+      else Seq(0f, 0f, 1f, 0.001f * i)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q = Similarity.kMeansCentroidsPortable(rows, k = 4, iters = 2)
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2), r.getDouble(3))
+    def run(saltOverride: Int) =
+      Similarity.knnGraphTrained(rows, q, k = 3, nProbe = 2,
+        saltOverride = saltOverride).collect().map(norm).sortBy(t => (t._1, t._2))
+    val unsalted = run(1)
+    assert(unsalted.toSeq === run(5).toSeq,
+      "salting spreads execution only — results must be bit-identical")
+    assert(unsalted.toSeq === run(0).toSeq,
+      "the adaptive profile-derived salt must not change results either")
+  }
+
+  test("nearDupPairs: saltFactor fans the exact pair join without changing " +
+    "its result") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("g", pmod(col("vec_id"), lit(3L)))
+    def run(saltFactor: Int) =
+      Similarity.nearDupPairs(v, groupCol = "g", minSim = 0.2,
+          saltFactor = saltFactor)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+    assert(run(1).toSeq === run(4).toSeq)
+    intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(v, groupCol = "g", minSim = 0.2, saltFactor = 0))
+  }
+
+  test("cellOccupancyTrained: matches the trained assignment cell-for-cell " +
+    "and sums to the routed-vector count") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val q = Similarity.kMeansCentroidsPortable(v, k = 8, iters = 2)
+    val occ = Similarity.cellOccupancyTrained(v, q)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // semanticDedupTrained exposes the SAME crank=1 assignment as its
+    // `cell` column (nProbe=1 two-level routing) — the profiles must agree
+    val viaDedup = Similarity.semanticDedupTrained(v, q, minSim = 2.0)
+      .groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occ === viaDedup)
+    assert(occ.values.sum === viaDedup.values.sum)
+    assert(occ.values.forall(_ > 0L), "only non-empty cells surface")
+  }
+
   test("topKIvfPq: complete candidacy (full probe, topC = corpus) equals brute force") {
     val v = Tables.load(spark, sfDir, "embeddings").limit(200)
     val q = Similarity.kMeansCentroidsPortable(v, k = 4, iters = 1)

@@ -1938,6 +1938,74 @@ object Similarity {
        |FROM j JOIN sv USING (cluster_id) ORDER BY vec_id""".stripMargin
   }
 
+  /** Full DuckDB replay of the two-level-vs-flat recall harness — the
+    * q251 oracle (training included): the SAME trained centroids are
+    * routed BOTH ways (flat n·k assignment = [[topKIvf]] with the
+    * quantizer override; two-level 2n·√k = [[twoLevelRanked]]), each at
+    * nProbe ∈ {1, nProbeMax}, each graph's probe sample scored against
+    * the exact brute-force top-k — recall = Σhits/Σn_exact, ONE double
+    * division of exact counts (no per-probe double averaging, so the
+    * mean is summation-order-free). */
+  def twoLevelRecallSql(
+      table: String,
+      k: Int,
+      minCentroids: Int,
+      nProbeMax: Int = 2,
+      probeMod: Int = 10,
+      targetCell: Int = 1024,
+      iters: Int = 2,
+      sampleFactor: Int = 32,
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6): String = {
+    require(nProbeMax >= 2, s"twoLevelRecallSql: nProbeMax $nProbeMax needs >= 2 points")
+    val ctes = trainedIvfSqlCtes(table, minCentroids, targetCell, iters,
+      sampleFactor, nProbe = nProbeMax, routeRoundTo = routeRoundTo)
+    def approx(src: String, cells: String, np: Int, nm: String) =
+      s"""$nm AS (SELECT pid, nid FROM (
+         |  SELECT p.id AS pid, h.id AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      ROUND(list_cosine_similarity(pv.ev, hv.ev), $roundTo) DESC, h.id) AS rank
+         |  FROM $src p JOIN $cells h ON p.cid = h.cid AND p.id <> h.id
+         |  JOIN vraw pv ON pv.id = p.id JOIN vraw hv ON hv.id = h.id
+         |  WHERE p.crank <= $np AND p.id % $probeMod = 0) WHERE rank <= $k),
+         |h$nm AS (SELECT COUNT(*) AS hits FROM $nm a
+         |  JOIN exact e ON a.pid = e.pid AND a.nid = e.nid)""".stripMargin
+    def outRow(path: String, np: Int, nm: String) =
+      s"""SELECT '$path' AS path, CAST($np AS BIGINT) AS n_probe, probes, hits,
+         |  n_exact, ROUND(CAST(hits AS DOUBLE) / n_exact, 6) AS recall
+         |FROM h$nm, exn""".stripMargin
+    s"""WITH $ctes,
+       |cellsT AS MATERIALIZED (SELECT id, cid FROM rkq WHERE crank = 1),
+       |fr AS MATERIALIZED (SELECT id, cid, rn AS crank FROM
+       |  (SELECT v.id, c.cid,
+       |     ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+       |       ROUND(list_inner_product(v.ev, CAST(c.cq AS DOUBLE[]))
+       |         / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(CAST(c.c2 AS DOUBLE))),
+       |         $routeRoundTo) DESC, c.cid) AS rn
+       |   FROM vraw v CROSS JOIN c$iters c) WHERE rn <= $nProbeMax),
+       |cellsF AS MATERIALIZED (SELECT id, cid FROM fr WHERE crank = 1),
+       |exact AS MATERIALIZED (SELECT pid, nid FROM (
+       |  SELECT a.id AS pid, b.id AS nid,
+       |    ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+       |      ROUND(list_cosine_similarity(a.ev, b.ev), $roundTo) DESC, b.id) AS rank
+       |  FROM vraw a CROSS JOIN vraw b
+       |  WHERE a.id <> b.id AND a.id % $probeMod = 0) WHERE rank <= $k),
+       |exn AS (SELECT COUNT(*) AS n_exact, COUNT(DISTINCT pid) AS probes FROM exact),
+       |${approx("fr", "cellsF", 1, "apF1")},
+       |${approx("fr", "cellsF", nProbeMax, "apF2")},
+       |${approx("rkq", "cellsT", 1, "apT1")},
+       |${approx("rkq", "cellsT", nProbeMax, "apT2")}
+       |SELECT * FROM (
+       |${outRow("flat", 1, "apF1")}
+       |UNION ALL
+       |${outRow("flat", nProbeMax, "apF2")}
+       |UNION ALL
+       |${outRow("two_level", 1, "apT1")}
+       |UNION ALL
+       |${outRow("two_level", nProbeMax, "apT2")})
+       |ORDER BY path, n_probe""".stripMargin
+  }
+
   /** Full DuckDB replay of [[cellOccupancyTrained]] (training included) —
     * the q250 oracle. */
   def trainedOccupancySql(

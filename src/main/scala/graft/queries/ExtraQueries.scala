@@ -4141,6 +4141,48 @@ object ExtraQueries extends QueryGroup {
     Some(graft.operators.Similarity.trainedOccupancySql(
       "embeddings", minCentroids = 16)))
 
+  val q251 = QueryDef(
+    "q251_two_level_recall_trade",
+    "recall trade of the TWO-LEVEL trained routing vs FLAT assignment " +
+      "over the SAME trained centroids at the q233 geometry (the r16 " +
+      "verdict item 2 number: the IMI approximation - a vector whose " +
+      "true nearest centroid lives in another coarse group routes " +
+      "within-group - is documented on twoLevelRanked but had no " +
+      "figure): each path's kNN graph at nProbe=1 and 2, probe sample " +
+      "pid%10=0 (the q111 harness contract), recall@3 vs the exact " +
+      "brute-force top-3 as ONE double division of exact hit/total " +
+      "counts (no per-probe double averaging - summation-order-free); " +
+      "oracle replays training, both routings, all four graphs and the " +
+      "brute pass",
+    (s, dir) => {
+      val S = graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = trainedQuantizer(s, emb, minCentroids = 16)
+      val flatQ = q.select(col("cid"), col("cq").cast("array<float>").as("cvec"))
+      // probes-x-corpus ground truth, paid ONCE for the four combos
+      val exact = S.topKBruteForce(
+          emb, emb.filter(col("vec_id") % 10 === 0), k = 3)
+        .select(col("pid"), col("nid"))
+        .localCheckpoint(true)
+      def row(path: String, np: Int, g: org.apache.spark.sql.DataFrame) =
+        S.rankingRecall(
+            g.filter(col("pid") % 10 === 0).select("pid", "nid"), exact)
+          .agg(count(lit(1)).as("probes"), sum(col("hits")).as("hits"),
+            sum(col("n_exact")).as("n_exact"))
+          .select(lit(path).as("path"), lit(np.toLong).as("n_probe"),
+            col("probes"), col("hits"), col("n_exact"),
+            round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
+      row("flat", 1,
+          S.knnGraph(emb, k = 3, nCentroids = 16, nProbe = 1, quantizer = Some(flatQ)))
+        .union(row("flat", 2,
+          S.knnGraph(emb, k = 3, nCentroids = 16, nProbe = 2, quantizer = Some(flatQ))))
+        .union(row("two_level", 1, S.knnGraphTrained(emb, q, k = 3, nProbe = 1)))
+        .union(row("two_level", 2, S.knnGraphTrained(emb, q, k = 3, nProbe = 2)))
+        .orderBy("path", "n_probe")
+    },
+    Some(graft.operators.Similarity.twoLevelRecallSql(
+      "embeddings", k = 3, minCentroids = 16)))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -4149,5 +4191,5 @@ object ExtraQueries extends QueryGroup {
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
-      q247, q248, q249, q250)
+      q247, q248, q249, q250, q251)
 }

@@ -2006,6 +2006,79 @@ object Similarity {
        |ORDER BY path, n_probe""".stripMargin
   }
 
+  /** Full DuckDB replay of PRODUCTION bitext mining — the q252 oracle:
+    * [[marginFromNeighbors]] over [[topKIvf]] neighbor frames built with
+    * the TRAINED quantizer (training included via [[trainedIvfSqlCtes]]),
+    * replacing the brute-force probes×corpus passes the registered q170
+    * gate keeps. Both direction's candidates come from shared trained
+    * cells (probe crank ≤ nProbe, corpus crank = 1), per-direction top-k
+    * by the rounded cosine, then the q170 margin/mutual-best tail
+    * verbatim. */
+  def trainedBitextSql(
+      table: String,
+      k: Int,
+      nProbe: Int,
+      minCentroids: Int,
+      minMargin: Double,
+      targetCell: Int = 1024,
+      iters: Int = 2,
+      sampleFactor: Int = 32,
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6): String = {
+    val ctes = trainedIvfSqlCtes(table, minCentroids, targetCell, iters,
+      sampleFactor, nProbe = 1, routeRoundTo = routeRoundTo)
+    s"""WITH $ctes,
+       |fr AS MATERIALIZED (SELECT id, cid, rn AS crank FROM
+       |  (SELECT v.id, c.cid,
+       |     ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+       |       ROUND(list_inner_product(v.ev, CAST(c.cq AS DOUBLE[]))
+       |         / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(CAST(c.c2 AS DOUBLE))),
+       |         $routeRoundTo) DESC, c.cid) AS rn
+       |   FROM vraw v CROSS JOIN c$iters c) WHERE rn <= $nProbe),
+       |fa AS (SELECT p.id AS sid, h.id AS tid,
+       |    ROUND(list_cosine_similarity(pv.ev, hv.ev), $roundTo) AS sim
+       |  FROM fr p
+       |  JOIN (SELECT id, cid FROM fr WHERE crank = 1 AND id % 2 <> 0) h
+       |    ON p.cid = h.cid
+       |  JOIN vraw pv ON pv.id = p.id JOIN vraw hv ON hv.id = h.id
+       |  WHERE p.id % 2 = 0),
+       |fwd AS (SELECT sid, tid, sim FROM (
+       |    SELECT sid, tid, sim, ROW_NUMBER() OVER (
+       |      PARTITION BY sid ORDER BY sim DESC, tid) AS rk FROM fa)
+       |  WHERE rk <= $k),
+       |ba AS (SELECT h.id AS sid, p.id AS tid,
+       |    ROUND(list_cosine_similarity(pv.ev, hv.ev), $roundTo) AS sim
+       |  FROM fr p
+       |  JOIN (SELECT id, cid FROM fr WHERE crank = 1 AND id % 2 = 0) h
+       |    ON p.cid = h.cid
+       |  JOIN vraw pv ON pv.id = p.id JOIN vraw hv ON hv.id = h.id
+       |  WHERE p.id % 2 <> 0),
+       |bwd AS (SELECT sid, tid, sim FROM (
+       |    SELECT sid, tid, sim, ROW_NUMBER() OVER (
+       |      PARTITION BY tid ORDER BY sim DESC, sid) AS rk FROM ba)
+       |  WHERE rk <= $k),
+       |dx AS (SELECT sid, SUM(CAST(sim AS DECIMAL(20,$roundTo))) AS sx,
+       |    COUNT(*) AS nx FROM fwd GROUP BY sid),
+       |dy AS (SELECT tid, SUM(CAST(sim AS DECIMAL(20,$roundTo))) AS sy,
+       |    COUNT(*) AS ny FROM bwd GROUP BY tid),
+       |sc AS (SELECT f.sid, f.tid, f.sim,
+       |    ROUND(f.sim / ((CAST(dx.sx AS DOUBLE) / dx.nx +
+       |      CAST(dy.sy AS DOUBLE) / dy.ny) / 2), $roundTo) AS margin
+       |  FROM fwd f JOIN dx USING (sid) JOIN dy USING (tid)),
+       |bf AS (SELECT sid, tid, sim, margin FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY sid ORDER BY margin DESC, tid) AS rk FROM sc)
+       |  WHERE rk = 1),
+       |bb AS (SELECT sid, tid FROM (
+       |    SELECT sid, tid, ROW_NUMBER() OVER (
+       |      PARTITION BY tid ORDER BY margin DESC, sid) AS rk FROM sc)
+       |  WHERE rk = 1)
+       |SELECT bf.sid AS src_id, bf.tid AS tgt_id, bf.sim AS cos, bf.margin
+       |FROM bf JOIN bb ON bf.sid = bb.sid AND bf.tid = bb.tid
+       |WHERE bf.margin >= $minMargin
+       |ORDER BY src_id, tgt_id""".stripMargin
+  }
+
   /** Full DuckDB replay of [[cellOccupancyTrained]] (training included) —
     * the q250 oracle. */
   def trainedOccupancySql(

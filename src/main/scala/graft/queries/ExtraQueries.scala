@@ -4183,6 +4183,34 @@ object ExtraQueries extends QueryGroup {
     Some(graft.operators.Similarity.twoLevelRecallSql(
       "embeddings", k = 3, minCentroids = 16)))
 
+  val q252 = QueryDef(
+    "q252_bitext_margin_ivf",
+    "PRODUCTION bitext mining (the r16 verdict item 3: q170 keeps the " +
+      "brute-force spec shape, THIS registers the production entry " +
+      "point): marginFromNeighbors over topKIvf neighbor frames built " +
+      "with the TRAINED persisted quantizer - both directions' " +
+      "candidates come from shared trained cells (probe crank<=2, " +
+      "corpus crank=1) instead of the probes x corpus brute pass, the " +
+      "Artetxe-Schwenk margin/mutual-best tail unchanged; oracle " +
+      "replays training, both routings, both top-k frames and the " +
+      "margin tail",
+    (s, dir) => {
+      val S = graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = trainedQuantizer(s, emb, minCentroids = 16)
+      val flatQ = q.select(col("cid"), col("cq").cast("array<float>").as("cvec"))
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 =!= 0)
+      val fwd = S.topKIvf(tgt, src, k = 4, nCentroids = 16, nProbe = 2,
+        quantizer = Some(flatQ), routeRoundTo = Some(6))
+      val bwd = S.topKIvf(src, tgt, k = 4, nCentroids = 16, nProbe = 2,
+        quantizer = Some(flatQ), routeRoundTo = Some(6))
+      S.marginFromNeighbors(fwd, bwd, minMargin = 1.02)
+        .orderBy("src_id", "tgt_id")
+    },
+    Some(graft.operators.Similarity.trainedBitextSql(
+      "embeddings", k = 4, nProbe = 2, minCentroids = 16, minMargin = 1.02)))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -4191,5 +4219,5 @@ object ExtraQueries extends QueryGroup {
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
-      q247, q248, q249, q250, q251)
+      q247, q248, q249, q250, q251, q252)
 }

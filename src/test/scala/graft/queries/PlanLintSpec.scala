@@ -139,6 +139,12 @@ class PlanLintSpec extends SparkSpecBase {
     // q72's per-probe ADC-table and codebook broadcasts (all
     // model-sized); the candidate join itself is cell-keyed shuffle-hash
     "q241_ivf_pq_ann",
+    // q251/q252: both ride the q233 trainer (same Lloyd E-step / routing
+    // broadcasts) plus topKIvf's probe×centroid flat ranking — the
+    // broadcast side is the 16-row trained-centroid frame; every
+    // corpus-sized join downstream (candidates, margin attach) is equi
+    "q251_two_level_recall_trade",
+    "q252_bitext_margin_ivf",
     // q157: the 1-row join-size estimate crossJoined onto the 1-row
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",

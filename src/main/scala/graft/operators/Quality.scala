@@ -1311,6 +1311,259 @@ object Quality {
         round(least(lit(1.0), A + lit(1.96) * se), roundTo)).as("ci_hi"))
   }
 
+  /** Split-conformal gate threshold (Vovk et al. 2005; the
+    * Angelopoulos–Bates 2021 split recipe) — the DISTRIBUTION-FREE way
+    * to pick a quality-gate cutoff with a coverage guarantee: every
+    * other member of the eval tier AUDITS a score ([[rocAuc]] its
+    * ranking, [[calibrationCurve]] its values), THIS turns one into a
+    * deployable gate. Choose τ = the k-th smallest calibration GOOD
+    * score with k = n + 1 − ⌈(n+1)(1−α)⌉; then for any exchangeable new
+    * good row, P(score ≥ τ) ≥ 1 − α — marginal coverage guaranteed by
+    * rank exchangeability alone, no distributional assumption, no model
+    * of the score. The "keep ≥ (1−α) of good documents" contract a
+    * corpus-gate owner actually signs.
+    *
+    * Exactness: α is the exact rational alphaNum/alphaDen, so
+    * k = n + 1 − ((n+1)·(aD−aN) + aD − 1) div aD is pure integer
+    * arithmetic (ceil division — no float α anywhere); τ = the minimal
+    * distinct score whose cumulative calibration count reaches k (the
+    * score column integral pre-quantized, the [[rocAuc]] contract — the
+    * cumulative window runs over the distinct-value cells frame, never
+    * corpus rows). The held-out readout (empirical coverage on unseen
+    * good rows; false-accept rate on unseen bad rows) is exact integer
+    * counts with one final division each.
+    *
+    * Guards: all NULL when k < 1 (calibration set too small for the
+    * requested α — the guarantee is unattainable, never fabricated) or
+    * when a held-out side is empty (undefined rate, never 0).
+    *
+    * Scale shape: one pass over the calibration slice to distinct-score
+    * cells (map-side combined), one pass over the held-out slice to four
+    * int64 counters; the 1-row τ frame attaches by broadcast (the q61
+    * one-row class). */
+  def conformalGateThreshold(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      calCol: String,
+      alphaNum: Int = 1,
+      alphaDen: Int = 10,
+      roundTo: Int = 6): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"conformalGateThreshold: alpha $alphaNum/$alphaDen outside (0, 1)")
+    df.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.conformalGateThreshold: score column '$scoreCol' must " +
+          s"be integral (got $dt) — pre-quantize with an exact integer " +
+          "expression")
+    }
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+      col(calCol).isNotNull)
+    val cells = base.filter(col(calCol) && col(labelCol))
+      .groupBy(col(scoreCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = W.partitionBy(pmod(col("v"), lit(1))).orderBy("v")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wAll = W.partitionBy(pmod(col("v"), lit(1)))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // k via exact ceil division; τ = first distinct score reaching k
+    val ranked = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_cal", sum(col("c")).over(wAll))
+      // DIV, not '/': Spark's '/' on longs is DOUBLE division — the k
+      // rule must stay pure integer arithmetic (exact ceil division)
+      .withColumn("k", expr(
+        s"n_cal + 1 - (((n_cal + 1) * ${alphaDen - alphaNum} + " +
+          s"${alphaDen - 1}) DIV ${alphaDen})"))
+    val tau = ranked.filter(col("k") >= 1L && col("cum") >= col("k"))
+      .agg(min(col("v")).as("tau"), max(col("n_cal")).as("n_cal"),
+        max(col("k")).as("k"))
+    // empty-calibration / k<1 still needs ONE row out: union the
+    // counts-only frame and keep the defined row if any
+    val calStats = cells.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_cal_all"))
+    val hold = base.filter(!col(calCol)).agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n_good"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("n_bad"))
+    val heldScored = tau.crossJoin(calStats).crossJoin(hold)
+    val holdPass = base.filter(!col(calCol))
+      .crossJoin(broadcast(tau.select(col("tau").as("tau_b"))))
+      .agg(
+        sum(when(col(labelCol) && col(scoreCol) >= col("tau_b"), 1L)
+          .otherwise(0L)).as("good_pass"),
+        sum(when(!col(labelCol) && col(scoreCol) >= col("tau_b"), 1L)
+          .otherwise(0L)).as("bad_pass"))
+    val out = heldScored.crossJoin(holdPass)
+    out.select(
+      col("n_cal_all").as("n_cal"),
+      col("k"),
+      col("tau"),
+      lit(alphaNum).cast("long").as("alpha_num"),
+      lit(alphaDen).cast("long").as("alpha_den"),
+      col("n_good").as("n_holdout_good"),
+      when(col("tau").isNotNull, col("good_pass")).as("good_pass"),
+      when(col("tau").isNotNull && col("n_good") > 0,
+        round(col("good_pass").cast("double") / col("n_good").cast("double"),
+          roundTo)).as("coverage"),
+      col("n_bad").as("n_holdout_bad"),
+      when(col("tau").isNotNull, col("bad_pass")).as("bad_pass"),
+      when(col("tau").isNotNull && col("n_bad") > 0,
+        round(col("bad_pass").cast("double") / col("n_bad").cast("double"),
+          roundTo)).as("false_accept_rate"))
+  }
+
+  /** DeLong paired ROC-AUC comparison (DeLong, DeLong & Clarke-Pearson
+    * 1988) — the RANKING-level companion of [[mcnemar]]: McNemar asks
+    * whether gate B's thresholded DECISIONS beat gate A's on the same
+    * rows, THIS asks whether gate B's score RANKS the same labels better
+    * than gate A's, before any threshold is chosen — the question every
+    * scorer swap asks of its AUCs. [[rocAucCi]]'s Hanley–McNeil interval
+    * treats each AUC alone; on the SAME rows the two AUCs are strongly
+    * correlated and the unpaired comparison over-states the noise —
+    * DeLong's placement-covariance structural components price exactly
+    * that correlation.
+    *
+    * Math (placements in half-units so everything before the final
+    * divisions is an exact integer): for a positive row with score s,
+    * Xn(s) = 2·(#neg below s) + (#neg tied at s) ∈ [0, 2n₋], the row's
+    * placement V = Xn/(2n₋); for a negative row, Yn(s) = 2·(#pos above)
+    * + (#pos tied), W = Yn/(2n₊). AUC = mean V = mean W. With exact
+    * integer moments S• = Σ c·Xn• and T• = Σ c·Yn• over the positive /
+    * negative (sa, sb) joint cells:
+    *   S10_xy = (Sxy − Sx·Sy/n₊) / (n₊−1) / (4n₋²)   (positive-side cov)
+    *   S01_xy = (Txy − Tx·Ty/n₋) / (n₋−1) / (4n₊²)   (negative-side cov)
+    *   Var(Δ) = (S10_aa + S10_bb − 2·S10_ab)/n₊
+    *          + (S01_aa + S01_bb − 2·S01_ab)/n₋
+    *   z = (AUC_a − AUC_b)/√Var(Δ), two-sided at the normal 97.5% point
+    *   1.959963984540054 (literal, the [[ksTest]] 1.358 discipline).
+    *
+    * Exactness: both scores integral pre-quantized (the [[rocAuc]]
+    * contract — the per-axis placement frames are distinct-value-sized
+    * and their cumulative windows run over bounded cells, never corpus
+    * rows); the moment sums accumulate as Decimal(38,0) — documented
+    * bound n₊·n₋ ≲ 10¹⁸ for the exact path (the d_num class); every
+    * double derives from exact integers through ONE fixed-order chain
+    * with one IEEE sqrt, mirrored verbatim in the SQL replay.
+    *
+    * Guards: all test columns NULL when n₊ < 2 or n₋ < 2 (a covariance
+    * needs two placements per side); z/significant additionally NULL
+    * when Var(Δ) = 0 (identical rankings — no evidence either way,
+    * never a fabricated z = 0).
+    *
+    * Scale shape: one corpus pass → positive / negative joint (sa, sb)
+    * cells (map-side combined, corpus-bounded); placements attach by
+    * per-axis equi-joins against distinct-value frames; six Decimal
+    * moments per side reduce to ONE row each; everything after is a
+    * 1-row projection (the crossJoin is the q61 one-row class). */
+  def delongAucCompare(
+      df: DataFrame,
+      scoreACol: String,
+      scoreBCol: String,
+      labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Seq(scoreACol, scoreBCol).foreach { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ByteType
+           | _: org.apache.spark.sql.types.ShortType
+           | _: org.apache.spark.sql.types.IntegerType
+           | _: org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"Quality.delongAucCompare: score column '$c' must be integral " +
+            s"(got $dt) — pre-quantize with an exact integer expression")
+      }
+    }
+    val DEC = DecimalType(38, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(scoreACol).isNotNull && col(scoreBCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(scoreACol).as("sa"), col(scoreBCol).as("sb"),
+        col(labelCol).as("y"))
+    val posCells = base.filter(col("y")).groupBy("sa", "sb")
+      .agg(count(lit(1)).as("c"))
+    val negCells = base.filter(!col("y")).groupBy("sa", "sb")
+      .agg(count(lit(1)).as("c"))
+    // per-axis placement tables over the MERGED distinct values of that
+    // axis (a positive's score may not occur among negatives): Xn vs the
+    // negative counts in ascending order, Yn vs the positive counts in
+    // descending order — both windows run over distinct-value frames
+    // bounded by the caller's quantization, keyed by the pmod idiom
+    def placements(axis: String, other: DataFrame, ownCells: DataFrame,
+        desc: Boolean, outName: String): DataFrame = {
+      val oc = other.groupBy(col(axis).as("v")).agg(sum(col("c")).as("cnt"))
+      val vals = ownCells.select(col(axis).as("v"))
+        .union(oc.select(col("v"))).distinct()
+      val ord = if (desc) col("v").desc else col("v").asc
+      val w = W.partitionBy(pmod(col("v"), lit(1))).orderBy(ord)
+        .rowsBetween(W.unboundedPreceding, -1)
+      vals.join(oc, Seq("v"), "left")
+        .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+        .withColumn(outName,
+          lit(2L) * coalesce(sum(col("cnt0")).over(w), lit(0L)) + col("cnt0"))
+        .select(col("v").as(axis), col(outName))
+    }
+    def moments(cells: DataFrame, xa: DataFrame, xb: DataFrame,
+        p: String): DataFrame =
+      cells.join(xa, "sa").join(xb, "sb")
+        .agg(coalesce(sum(col("c")), lit(0L)).as(s"${p}n"),
+          coalesce(sum(col("c").cast(DEC) * col("xna").cast(DEC)), lit(0).cast(DEC)).as(s"${p}a"),
+          coalesce(sum(col("c").cast(DEC) * col("xnb").cast(DEC)), lit(0).cast(DEC)).as(s"${p}b"),
+          coalesce(sum(col("c").cast(DEC) * col("xna").cast(DEC) * col("xna").cast(DEC)), lit(0).cast(DEC)).as(s"${p}aa"),
+          coalesce(sum(col("c").cast(DEC) * col("xnb").cast(DEC) * col("xnb").cast(DEC)), lit(0).cast(DEC)).as(s"${p}bb"),
+          coalesce(sum(col("c").cast(DEC) * col("xna").cast(DEC) * col("xnb").cast(DEC)), lit(0).cast(DEC)).as(s"${p}ab"))
+    val pos = moments(posCells,
+      placements("sa", negCells, posCells, desc = false, "xna"),
+      placements("sb", negCells, posCells, desc = false, "xnb"), "s")
+    val neg = moments(negCells,
+      placements("sa", posCells, negCells, desc = true, "xna"),
+      placements("sb", posCells, negCells, desc = true, "xnb"), "t")
+    val j = pos.crossJoin(neg) // two 1-row frames — the q61 one-row class
+    val np = col("sn").cast("double")
+    val nn = col("tn").cast("double")
+    val aucA = col("sa2").cast("double") / (lit(2.0) * np * nn)
+    val aucB = col("sb2").cast("double") / (lit(2.0) * np * nn)
+    def cov10(xy: Column, x: Column, y: Column) =
+      (xy.cast("double") - x.cast("double") * y.cast("double") / np) /
+        (np - lit(1.0)) / (lit(4.0) * nn * nn)
+    def cov01(xy: Column, x: Column, y: Column) =
+      (xy.cast("double") - x.cast("double") * y.cast("double") / nn) /
+        (nn - lit(1.0)) / (lit(4.0) * np * np)
+    val named = j.select(col("sn"), col("tn"),
+      col("sa").as("sa2"), col("sb").as("sb2"),
+      col("saa"), col("sbb"), col("sab"),
+      col("ta").as("ta2"), col("tb").as("tb2"),
+      col("taa"), col("tbb"), col("tab"))
+    val varD =
+      (cov10(col("saa"), col("sa2"), col("sa2")) +
+        cov10(col("sbb"), col("sb2"), col("sb2")) -
+        lit(2.0) * cov10(col("sab"), col("sa2"), col("sb2"))) / np +
+      (cov01(col("taa"), col("ta2"), col("ta2")) +
+        cov01(col("tbb"), col("tb2"), col("tb2")) -
+        lit(2.0) * cov01(col("tab"), col("ta2"), col("tb2"))) / nn
+    val se = sqrt(varD)
+    val z = (aucA - aucB) / se
+    val tested = col("sn") >= 2L && col("tn") >= 2L
+    val zDefined = tested && varD > 0.0
+    // normal two-sided 5% point (the mcnemar full-digit literal rule)
+    val crit = lit(1.959963984540054)
+    named.select(
+      (col("sn") + col("tn")).as("n"),
+      col("sn").as("n_pos"), col("tn").as("n_neg"),
+      when(tested, round(aucA, roundTo)).as("auc_a"),
+      when(tested, round(aucB, roundTo)).as("auc_b"),
+      when(tested, round(aucA - aucB, roundTo)).as("delta"),
+      when(tested, round(se, roundTo)).as("se_delta"),
+      when(zDefined, round(z, roundTo)).as("z"),
+      when(zDefined, aucA > aucB).as("a_better"),
+      when(zDefined, abs(z) > crit).as("significant"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance (Kolmogorov 1933 / Smirnov
     * 1939) between a score's distributions on two sides of a boolean
     * split — the BINLESS member of the drift family:

@@ -540,4 +540,60 @@ object Retrieval {
        |FROM p1
        |$finalRows)""".stripMargin
   }
+
+  /** Hard-negative mining for retrieval / embedding training (Karpukhin
+    * et al. 2020's DPR pairs BM25 negatives with in-batch ones; Xiong et
+    * al. 2021's ANCE mines them from the ANN index itself; Qu et al.
+    * 2021's RocketQA adds the FALSE-NEGATIVE guard this implements):
+    * given labeled (probe → positive) pairs and a precomputed neighbor
+    * frame from ANY ANN tier — [[graft.operators.Similarity.topKBruteForce]]
+    * for eval batches, `topKIvf`/`topKIvfPq` in production (the
+    * `marginFromNeighbors` entry-point pattern) — emit per probe the
+    * top-k most-similar candidates that are NOT the labeled positive
+    * and score AT OR BELOW pos_sim − margin: the hardest negatives that
+    * are still confidently negative. A candidate scoring above the
+    * labeled positive is more likely an unlabeled positive than a
+    * negative (the RocketQA denoising observation) and training on it
+    * poisons the contrastive objective — the margin is that guard, in
+    * the same rounded-cosine currency as the neighbor frame.
+    *
+    * Contract: `neighbors` = (pid, nid, sim) with sim ROUNDED (the
+    * topK* output currency — both engines derive identical doubles);
+    * `positives` = (pid, pos_id), one row per probe. pos_sim is read
+    * from the probe's OWN neighbor frame row (nid = pos_id); probes
+    * whose positive is absent from their neighbor list are dropped —
+    * mine from lists deep enough to contain the positive (the brute
+    * tier always does; production callers size k accordingly). Output
+    * (pid, rank, nid, sim, pos_id, pos_sim), rank by (sim DESC, nid)
+    * via the heap operator.
+    *
+    * Scale shape: two equi-joins on probe id + one TopK heap trim —
+    * neighbor frames are k·probes-sized by construction, the corpus is
+    * never touched (candidate generation already paid by the ANN tier). */
+  def hardNegativesFromNeighbors(
+      neighbors: DataFrame,
+      positives: DataFrame,
+      k: Int,
+      margin: Double = 0.0): DataFrame = {
+    require(k >= 1, s"hardNegativesFromNeighbors: k $k must be >= 1")
+    require(margin >= 0.0,
+      s"hardNegativesFromNeighbors: margin $margin must be >= 0")
+    // pos derives FROM neighbors, so the candidate join below is a
+    // lineage self-join — qualify both sides explicitly
+    val nb = neighbors.select(col("pid"), col("nid"), col("sim"))
+    val pos = nb.as("n")
+      .join(positives.as("q"), col("n.pid") === col("q.pid") &&
+        col("n.nid") === col("q.pos_id"))
+      .select(col("n.pid").as("pid"), col("q.pos_id").as("pos_id"),
+        col("n.sim").as("pos_sim"))
+    val cands = nb.as("m").join(pos.as("p"), col("m.pid") === col("p.pid"))
+      .where(col("m.nid") =!= col("p.pos_id") &&
+        col("m.sim") <= col("p.pos_sim") - lit(margin))
+      .select(col("m.pid").as("pid"), col("m.nid").as("nid"),
+        col("m.sim").as("sim"), col("p.pos_id").as("pos_id"),
+        col("p.pos_sim").as("pos_sim"))
+    graft.plans.TopK.perKey(
+        cands, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
+      .select("pid", "rank", "nid", "sim", "pos_id", "pos_sim")
+  }
 }

@@ -442,9 +442,20 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    pqCodebooksFrom(normalized(corpus, idCol, vecCol, "id"), m, ksub, iters)
+
+  /** The [[pqCodebooks]] Lloyd core over an already-derived (id, vn)
+    * frame — shared with the RESIDUAL encoding path
+    * ([[topKIvfPqResidual]]), whose training input is vn − ĉ(home cell)
+    * rather than the normalized vector itself. */
+  private def pqCodebooksFrom(
+      vnF: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int): DataFrame = {
     require(m >= 1 && ksub >= 1 && iters >= 0)
-    val spark = corpus.sparkSession
+    val spark = vnF.sparkSession
     import spark.implicits._
     // one read per Lloyd round (assign) plus the seed and dim probe:
     // materialize the normalization once instead of re-scanning and
@@ -452,8 +463,7 @@ object Similarity {
     // try/finally below: a failing dim check, empty-corpus head() or
     // failed Lloyd collect must not pin a corpus-sized cache entry for
     // the session lifetime (the connectedComponents release discipline)
-    val vn = normalized(corpus, idCol, vecCol, "id")
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val vn = vnF.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
     val head = vn.select(size(col("vn"))).head()
     val dim = head.getInt(0)
@@ -1766,6 +1776,119 @@ object Similarity {
       .join(probeCells.hint("shuffle_hash"), col("cell") === col("pcell"))
       .filter(col("pid") =!= col("nid"))
       .join(broadcast(tabs), "pid")
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, mi) => acc + element_at(col("tab"),
+          (mi * lit(ksub) + element_at(col("codes"), mi + 1)).cast("int"))))
+    val cand = graft.plans.TopK
+      .perKey(scored, Seq(col("pid")), Seq(col("adc"), col("nid")), topC)
+      .select("pid", "nid")
+    // exact re-rank from the already-staged normalized sides
+    val exact = cand
+      .join(cSide, "nid")
+      .join(broadcast(pSide.select(col("nid").as("pid"),
+        col("nvec").as("pvec"), col("nnorm").as("pnorm"))), "pid")
+      .withColumn("sim", pairSim(roundTo))
+    graft.plans.TopK.perKey(exact, Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
+      .select("pid", "rank", "nid", "sim")
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the full IVFADC of Jégou et al.
+    * 2011 (§III.C) and the FAISS `IVFx,PQy` default that [[topKIvfPq]]
+    * documents as its traded refinement: PQ codes quantize the RESIDUAL
+    * x̂ − ĉ(home cell) instead of x̂ itself. Within a cell the residuals
+    * span a far tighter ball than the raw vectors (the coarse quantizer
+    * has already explained the between-cell variance), so the same
+    * m·log₂(ksub)-bit code budget buys a finer in-cell resolution —
+    * better ADC ordering, hence better recall at equal topC. The price:
+    * the per-probe ADC table becomes per-(probe, PROBED CELL) — the
+    * probe's residual is w.r.t. each probed cell's centroid — i.e.
+    * nProbe tables per probe instead of one; still model-sized and
+    * broadcast (the published IVFADC bookkeeping, not a scale term).
+    *
+    * Geometry: vectors and centroids both live on the unit sphere (ĉ =
+    * cq/√c2), so ADC sums approximate ‖p̂ − x̂‖² = 2 − 2·cos and the ADC
+    * ordering tracks cosine; the exact rounded-cosine re-rank is
+    * unchanged ([[topKPqAdc]] contract — ADC and routing only PRUNE).
+    *
+    * Degeneracy gate (the q241 pattern): nProbe ≥ cells AND topC ≥
+    * corpus ⇒ complete candidacy ⇒ equals [[topKBruteForce]] exactly —
+    * residual coding cannot change a complete candidate set.
+    *
+    * Scale shape: identical to [[topKIvfPq]] (two-level corpus routing,
+    * cell-keyed shuffle-hash candidate join, heap trims) plus one
+    * broadcast-joined residual derivation per corpus row; codebooks
+    * train on a residual frame through the same Lloyd core. */
+  def topKIvfPqResidual(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      quantizer: DataFrame,
+      nProbe: Int,
+      topC: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      iters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      routeRoundTo: Int = 6,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && topC >= k && nProbe >= 1,
+      s"topKIvfPqResidual(k=$k, topC=$topC, nProbe=$nProbe)")
+    val (cSide, cRank) = twoLevelRanked(
+      corpus, quantizer, nProbe = 1, idCol, vecCol, routeRoundTo)
+    val corpusCells = cRank.filter(col("crank") === 1)
+      .select(col("nid"), col("cid").as("cell"))
+    // unit-sphere centroids: residuals live in the same normalized space
+    val centsN = quantizer.select(
+      col("cid").cast("long").as("cid"),
+      transform(col("cq"), x =>
+        x.cast("double") / sqrt(col("c2").cast("double"))).as("cn"),
+      col("cq").cast("array<float>").as("cqf"), col("c2"))
+    val rvn = normalized(corpus, idCol, vecCol, "id")
+      .join(corpusCells.select(col("nid").as("id"), col("cell")), "id")
+      .join(broadcast(centsN.select(col("cid").as("cell"), col("cn"))), "cell")
+      .select(col("id"), zip_with(col("vn"), col("cn"), (a, b) => a - b).as("vn"))
+    val books = codebooks.getOrElse(pqCodebooksFrom(rvn, m, ksub, iters))
+    val dsub = books.select(size(col("cvec"))).head().getInt(0)
+    val codes = assignCodes(
+        rvn.select(col("id").as("nid"), col("vn")), books, m, dsub, "nid")
+      .groupBy("nid")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("c")))),
+        s => s.getField("c")).as("codes"))
+    // probes rank ALL centroids flat (the topKIvfPq completeness rule)
+    val pSide = withNorm(
+      probes.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nvec", "nnorm")
+    val wP = Window.partitionBy("pid").orderBy(col("csim").desc, col("cid"))
+    val probeCells = pSide.select(col("nid").as("pid"),
+        col("nvec").as("pv"), col("nnorm").as("pn"))
+      .join(broadcast(centsN), lit(true))
+      .withColumn("csim", round(
+        VectorOps.dot(col("pv"), col("cqf")) /
+          (col("pn") * sqrt(col("c2").cast("double"))), routeRoundTo))
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= nProbe)
+      .select(col("pid"), col("cid").as("pcell"))
+    // per-(probe, probed cell) residual ADC tables — nProbe·probes rows,
+    // model-sized, broadcast
+    val pres = normalized(probes, idCol, vecCol, "pid")
+      .join(probeCells, "pid")
+      .join(broadcast(centsN.select(col("cid").as("pcell"), col("cn"))), "pcell")
+      .select(struct(col("pid").as("p"), col("pcell").as("cc")).as("pk"),
+        zip_with(col("vn"), col("cn"), (a, b) => a - b).as("vn"))
+    val tabs = subRows(pres, "pk", m, dsub)
+      .join(broadcast(books), "m")
+      .withColumn("d", l2dist2(col("sub"), col("cvec")))
+      .groupBy("pk")
+      .agg(map_from_entries(collect_list(
+        struct((col("m") * lit(ksub) + col("c")).cast("int"), col("d")))).as("tab"))
+      .select(col("pk.p").as("tpid"), col("pk.cc").as("tcell"), col("tab"))
+    val scored = codes.join(corpusCells, "nid")
+      .hint("shuffle_hash")
+      .join(probeCells.hint("shuffle_hash"), col("cell") === col("pcell"))
+      .filter(col("pid") =!= col("nid"))
+      .join(broadcast(tabs),
+        col("pid") === col("tpid") && col("cell") === col("tcell"))
       .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
         (acc, mi) => acc + element_at(col("tab"),
           (mi * lit(ksub) + element_at(col("codes"), mi + 1)).cast("int"))))

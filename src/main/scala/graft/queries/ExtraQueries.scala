@@ -4122,6 +4122,292 @@ object ExtraQueries extends QueryGroup {
             END AS significant
           FROM agg"""))
 
+  /** The q253 shared frame: TWO integral gate scores over the same
+    * documents — score_a = the q226 English-stopword micro-ratio,
+    * score_b = the mean-token-length micro (chars·10⁶ DIV words, the
+    * other cheap lexical en-signal) — plus the declared-lang label.
+    * Both DIV-quantized (tie-free on both engines, the q226 rule). */
+  private def twoGateScored(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.functions.TextOps
+    t(s, dir, "documents")
+      .where(col("lang").isNotNull)
+      .select(
+        TextOps.hitCount(col("text"), TextOps.stopwords("en")).as("en"),
+        length(col("text")).cast("long").as("chars"),
+        TextOps.tokenCount(col("text")).as("words"),
+        (col("lang") === "en").as("is_en"))
+      .where(col("words") > 0)
+      .select(expr("CAST((en * 1000000) DIV words AS BIGINT)").as("score_a"),
+        expr("CAST((chars * 1000000) DIV words AS BIGINT)").as("score_b"),
+        col("is_en"))
+  }
+
+  private val twoGateSql: String =
+    """sc2 AS (SELECT (en * 1000000) // words AS sa,
+              (chars * 1000000) // words AS sb,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM (SELECT lang, CAST(len(text) AS BIGINT) AS chars,
+                CAST(len(list_filter(string_split_regex(text,'\s+'), t -> list_contains(['the','a','an','and','of','to','in','is','on','for'], t))) AS BIGINT) AS en,
+                CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS words
+              FROM documents WHERE lang IS NOT NULL)
+            WHERE words > 0)"""
+
+  val q253 = QueryDef(
+    "q253_delong_auc_compare",
+    "DeLong paired ROC-AUC comparison (DeLong-DeLong-Clarke-Pearson " +
+      "1988) of the two cheap en-gates - stopword micro-ratio vs mean-" +
+      "token-length micro - against the declared lang label on the SAME " +
+      "rows: the ranking-level companion of q249's McNemar (decisions) " +
+      "and the PAIRED answer q240's per-AUC Hanley-McNeil interval " +
+      "cannot give (same-row AUCs are correlated; the unpaired " +
+      "comparison over-states noise). Placements in half-units so every " +
+      "moment is an exact integer (HUGEINT/Decimal38), covariances and " +
+      "z via ONE fixed-order double chain with one IEEE sqrt, two-sided " +
+      "at the full-digit normal literal; NULL below two placements a " +
+      "side, z NULL at Var(delta)=0",
+    (s, dir) =>
+      graft.operators.Quality.delongAucCompare(
+        twoGateScored(s, dir), "score_a", "score_b", "is_en"),
+    Some(s"""WITH $twoGateSql,
+            pos AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM sc2 WHERE y = 1 GROUP BY sa, sb),
+            neg AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM sc2 WHERE y = 0 GROUP BY sa, sb),
+            nga AS (SELECT sa AS v, CAST(SUM(c) AS BIGINT) AS cnt FROM neg GROUP BY 1),
+            ngb AS (SELECT sb AS v, CAST(SUM(c) AS BIGINT) AS cnt FROM neg GROUP BY 1),
+            pga AS (SELECT sa AS v, CAST(SUM(c) AS BIGINT) AS cnt FROM pos GROUP BY 1),
+            pgb AS (SELECT sb AS v, CAST(SUM(c) AS BIGINT) AS cnt FROM pos GROUP BY 1),
+            pva AS (SELECT v, 2 * COALESCE(SUM(cnt0) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + cnt0 AS xna
+                  FROM (SELECT v, COALESCE(cnt, 0) AS cnt0 FROM
+                    (SELECT sa AS v FROM pos UNION SELECT v FROM nga) vals
+                    LEFT JOIN nga USING (v))),
+            pvb AS (SELECT v, 2 * COALESCE(SUM(cnt0) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + cnt0 AS xnb
+                  FROM (SELECT v, COALESCE(cnt, 0) AS cnt0 FROM
+                    (SELECT sb AS v FROM pos UNION SELECT v FROM ngb) vals
+                    LEFT JOIN ngb USING (v))),
+            nva AS (SELECT v, 2 * COALESCE(SUM(cnt0) OVER (ORDER BY v DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + cnt0 AS xna
+                  FROM (SELECT v, COALESCE(cnt, 0) AS cnt0 FROM
+                    (SELECT sa AS v FROM neg UNION SELECT v FROM pga) vals
+                    LEFT JOIN pga USING (v))),
+            nvb AS (SELECT v, 2 * COALESCE(SUM(cnt0) OVER (ORDER BY v DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + cnt0 AS xnb
+                  FROM (SELECT v, COALESCE(cnt, 0) AS cnt0 FROM
+                    (SELECT sb AS v FROM neg UNION SELECT v FROM pgb) vals
+                    LEFT JOIN pgb USING (v))),
+            smom AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS sn,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xna), 0) AS sa2,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xnb), 0) AS sb2,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xna * xna), 0) AS saa,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xnb * xnb), 0) AS sbb,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xna * xnb), 0) AS sab
+                  FROM pos JOIN pva ON pos.sa = pva.v
+                    JOIN pvb ON pos.sb = pvb.v),
+            tmom AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tn,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xna), 0) AS ta2,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xnb), 0) AS tb2,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xna * xna), 0) AS taa,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xnb * xnb), 0) AS tbb,
+                    COALESCE(SUM(CAST(c AS HUGEINT) * xna * xnb), 0) AS tab
+                  FROM neg JOIN nva ON neg.sa = nva.v
+                    JOIN nvb ON neg.sb = nvb.v),
+            j AS (SELECT * FROM smom CROSS JOIN tmom),
+            d AS (SELECT sn, tn,
+                    CAST(sn AS DOUBLE) AS np, CAST(tn AS DOUBLE) AS nn,
+                    CAST(sa2 AS DOUBLE) / (2.0 * CAST(sn AS DOUBLE) * CAST(tn AS DOUBLE)) AS auc_a,
+                    CAST(sb2 AS DOUBLE) / (2.0 * CAST(sn AS DOUBLE) * CAST(tn AS DOUBLE)) AS auc_b,
+                    (CAST(saa AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sa2 AS DOUBLE) / CAST(sn AS DOUBLE)) / (CAST(sn AS DOUBLE) - 1.0) / (4.0 * CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE)) AS c10aa,
+                    (CAST(sbb AS DOUBLE) - CAST(sb2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / CAST(sn AS DOUBLE)) / (CAST(sn AS DOUBLE) - 1.0) / (4.0 * CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE)) AS c10bb,
+                    (CAST(sab AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE) / CAST(sn AS DOUBLE)) / (CAST(sn AS DOUBLE) - 1.0) / (4.0 * CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE)) AS c10ab,
+                    (CAST(taa AS DOUBLE) - CAST(ta2 AS DOUBLE) * CAST(ta2 AS DOUBLE) / CAST(tn AS DOUBLE)) / (CAST(tn AS DOUBLE) - 1.0) / (4.0 * CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) AS c01aa,
+                    (CAST(tbb AS DOUBLE) - CAST(tb2 AS DOUBLE) * CAST(tb2 AS DOUBLE) / CAST(tn AS DOUBLE)) / (CAST(tn AS DOUBLE) - 1.0) / (4.0 * CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) AS c01bb,
+                    (CAST(tab AS DOUBLE) - CAST(ta2 AS DOUBLE) * CAST(tb2 AS DOUBLE) / CAST(tn AS DOUBLE)) / (CAST(tn AS DOUBLE) - 1.0) / (4.0 * CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) AS c01ab
+                  FROM j),
+            v AS (SELECT sn, tn, np, nn, auc_a, auc_b,
+                    (c10aa + c10bb - 2.0 * c10ab) / np +
+                    (c01aa + c01bb - 2.0 * c01ab) / nn AS var_d
+                  FROM d)
+            SELECT sn + tn AS n, sn AS n_pos, tn AS n_neg,
+              CASE WHEN sn >= 2 AND tn >= 2 THEN ROUND(auc_a, 6) END AS auc_a,
+              CASE WHEN sn >= 2 AND tn >= 2 THEN ROUND(auc_b, 6) END AS auc_b,
+              CASE WHEN sn >= 2 AND tn >= 2 THEN ROUND(auc_a - auc_b, 6) END AS delta,
+              CASE WHEN sn >= 2 AND tn >= 2 THEN ROUND(SQRT(var_d), 6) END AS se_delta,
+              CASE WHEN sn >= 2 AND tn >= 2 AND var_d > 0.0
+                THEN ROUND((auc_a - auc_b) / SQRT(var_d), 6) END AS z,
+              CASE WHEN sn >= 2 AND tn >= 2 AND var_d > 0.0
+                THEN auc_a > auc_b END AS a_better,
+              CASE WHEN sn >= 2 AND tn >= 2 AND var_d > 0.0
+                THEN ABS((auc_a - auc_b) / SQRT(var_d)) > 1.959963984540054
+              END AS significant
+            FROM v"""))
+
+  val q254 = QueryDef(
+    "q254_conformal_gate_threshold",
+    "split-conformal gate threshold (Vovk 2005 / Angelopoulos-Bates " +
+      "2021): pick the englishness-gate cutoff tau with a DISTRIBUTION-" +
+      "FREE >=90% coverage guarantee on good (lang='en') documents - " +
+      "k = n+1-ceil((n+1)(1-alpha)) by PURE integer ceil-division " +
+      "(alpha the exact rational 1/10), tau = the k-th smallest " +
+      "calibration-good score via the distinct-score cells cumsum " +
+      "(never a corpus-row sort), held-out coverage + false-accept " +
+      "readout as exact counts; calibration split = doc_id parity; " +
+      "score = the mean-token-length micro (the fragment/short-token " +
+      "gibberish axis - the stopword score floors at 0 for >alpha of " +
+      "the fixture's en docs, which would pin tau=0 and gate nothing) " +
+      "- the eval tier's members AUDIT a score, this turns one into a " +
+      "deployable gate with a guarantee",
+    (s, dir) => {
+      import graft.functions.TextOps
+      val d = t(s, dir, "documents")
+        .where(col("lang").isNotNull)
+        .select(
+          length(col("text")).cast("long").as("chars"),
+          TextOps.tokenCount(col("text")).as("words"),
+          (col("lang") === "en").as("is_en"),
+          (col("doc_id") % 2 === 0).as("cal"))
+        .where(col("words") > 0)
+        .select(expr("CAST((chars * 1000000) DIV words AS BIGINT)").as("score"),
+          col("is_en"), col("cal"))
+      graft.operators.Quality.conformalGateThreshold(
+        d, "score", "is_en", "cal")
+    },
+    Some("""WITH sc AS (SELECT (chars * 1000000) // words AS score,
+                    CASE WHEN lang = 'en' THEN TRUE ELSE FALSE END AS is_en,
+                    CASE WHEN doc_id % 2 = 0 THEN TRUE ELSE FALSE END AS cal
+                  FROM (SELECT doc_id, lang,
+                      CAST(len(text) AS BIGINT) AS chars,
+                      CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS words
+                    FROM documents WHERE lang IS NOT NULL)
+                  WHERE words > 0),
+            cells AS (SELECT score AS v, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM sc WHERE cal AND is_en GROUP BY score),
+            ranked AS (SELECT v,
+                    SUM(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                    SUM(c) OVER () AS n_cal,
+                    SUM(c) OVER () + 1 -
+                      (((SUM(c) OVER () + 1) * 9 + 9) // 10) AS k
+                  FROM cells),
+            tau AS (SELECT MIN(v) AS tau, MAX(n_cal) AS n_cal, MAX(k) AS k
+                  FROM ranked WHERE k >= 1 AND cum >= k),
+            calstats AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+                    AS n_cal_all FROM cells),
+            hold AS (SELECT
+                    CAST(COALESCE(SUM(CASE WHEN is_en THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_good,
+                    CAST(COALESCE(SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad
+                  FROM sc WHERE NOT cal),
+            holdpass AS (SELECT
+                    CAST(COALESCE(SUM(CASE WHEN s.is_en AND s.score >= t.tau
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS good_pass,
+                    CAST(COALESCE(SUM(CASE WHEN NOT s.is_en AND s.score >= t.tau
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_pass
+                  FROM sc s CROSS JOIN tau t WHERE NOT s.cal)
+            SELECT c.n_cal_all AS n_cal, t.k, t.tau,
+              CAST(1 AS BIGINT) AS alpha_num, CAST(10 AS BIGINT) AS alpha_den,
+              h.n_good AS n_holdout_good,
+              CASE WHEN t.tau IS NOT NULL THEN p.good_pass END AS good_pass,
+              CASE WHEN t.tau IS NOT NULL AND h.n_good > 0 THEN
+                ROUND(CAST(p.good_pass AS DOUBLE) / CAST(h.n_good AS DOUBLE), 6)
+              END AS coverage,
+              h.n_bad AS n_holdout_bad,
+              CASE WHEN t.tau IS NOT NULL THEN p.bad_pass END AS bad_pass,
+              CASE WHEN t.tau IS NOT NULL AND h.n_bad > 0 THEN
+                ROUND(CAST(p.bad_pass AS DOUBLE) / CAST(h.n_bad AS DOUBLE), 6)
+              END AS false_accept_rate
+            FROM tau t CROSS JOIN calstats c CROSS JOIN hold h
+              CROSS JOIN holdpass p"""))
+
+  val q255 = QueryDef(
+    "q255_hard_negative_mining",
+    "hard-negative mining for embedding/retrieval training (DPR " +
+      "Karpukhin 2020 / ANCE Xiong 2021, with RocketQA's false-" +
+      "negative margin guard): probes = vec_id%10=0, neighbor frame = " +
+      "brute top-16 (the eval-batch tier; production swaps in topKIvf/" +
+      "topKIvfPq frames - the marginFromNeighbors entry-point pattern), " +
+      "positive = each probe's nearest same-label neighbor, then top-4 " +
+      "candidates that are not the positive and score <= pos_sim - " +
+      "0.02: the hardest still-confident negatives; a candidate above " +
+      "the labeled positive is more likely an unlabeled positive and " +
+      "poisons the contrastive objective",
+    (s, dir) => {
+      val S = graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+      val nb = S.topKBruteForce(emb, probes, k = 16).select("pid", "nid", "sim")
+      val lab = emb.select(col("vec_id").as("nid"), col("label").as("nlabel"))
+      val plab = emb.select(col("vec_id").as("pid"), col("label").as("plabel"))
+      val pos = graft.plans.TopK.perKey(
+          nb.join(lab, "nid").join(plab, "pid")
+            .where(col("nlabel") === col("plabel")),
+          Seq(col("pid")), Seq(col("sim").desc, col("nid")), 1)
+        .select(col("pid"), col("nid").as("pos_id"))
+      graft.operators.Retrieval.hardNegativesFromNeighbors(
+          nb, pos, k = 4, margin = 0.02)
+        .orderBy("pid", "rank")
+    },
+    Some("""WITH p AS (SELECT vec_id AS pid, CAST(label AS BIGINT) AS plabel,
+                    CAST(embedding AS DOUBLE[]) AS pv
+                  FROM embeddings WHERE vec_id % 10 = 0),
+            v AS (SELECT vec_id AS nid, CAST(label AS BIGINT) AS nlabel,
+                    CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+            s AS (SELECT pid, plabel, nid, nlabel,
+                    ROUND(list_cosine_similarity(pv, nv), 4) AS sim
+                  FROM p CROSS JOIN v WHERE pid <> nid),
+            nb AS (SELECT pid, plabel, nid, nlabel, sim FROM
+                    (SELECT pid, plabel, nid, nlabel, sim,
+                      ROW_NUMBER() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) AS rnk
+                    FROM s) WHERE rnk <= 16),
+            pos AS (SELECT pid, nid AS pos_id, sim AS pos_sim FROM
+                    (SELECT pid, nid, sim,
+                      ROW_NUMBER() OVER (PARTITION BY pid
+                        ORDER BY sim DESC, nid) AS rp
+                    FROM nb WHERE nlabel = plabel) WHERE rp = 1),
+            cand AS (SELECT nb.pid, nb.nid, nb.sim, pos.pos_id, pos.pos_sim
+                  FROM nb JOIN pos ON nb.pid = pos.pid
+                  WHERE nb.nid <> pos.pos_id
+                    AND nb.sim <= pos.pos_sim - 0.02),
+            r AS (SELECT pid, nid, sim, pos_id, pos_sim,
+                    ROW_NUMBER() OVER (PARTITION BY pid
+                      ORDER BY sim DESC, nid) AS rank
+                  FROM cand)
+            SELECT pid, CAST(rank AS BIGINT) AS rank, nid, sim, pos_id, pos_sim
+            FROM r WHERE rank <= 4 ORDER BY pid, rank"""))
+
+  val q256 = QueryDef(
+    "q256_ivf_pq_residual_ann",
+    "IVF-PQ with RESIDUAL encoding (the full IVFADC of Jegou 2011 " +
+      "SS III.C, the FAISS IVFx,PQy default; q241 = the non-residual " +
+      "variant that documents this as its traded refinement): PQ codes " +
+      "quantize x_hat - c_hat(home cell) - within a cell the residuals " +
+      "span a tighter ball (the coarse quantizer already explained the " +
+      "between-cell variance), so the same code budget buys finer " +
+      "in-cell resolution - better recall at equal topC exactly when " +
+      "residuals are STRUCTURED (spec-pinned planted proof: 1.0 vs 0.8; " +
+      "on this fixture's deliberately-isotropic residuals the trade " +
+      "inverts, measured + documented in SURVEY L177); ADC tables " +
+      "become per-(probe, probed-cell) - the published IVFADC " +
+      "bookkeeping, still model-sized broadcast; gated at the " +
+      "complete-candidacy degeneracy (residual coding cannot change a " +
+      "complete candidate set => equals q36's brute force, the q241 " +
+      "pattern)",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      graft.operators.Similarity.topKIvfPqResidual(
+          v, v.filter(col("vec_id") < 10), k = 5,
+          quantizer = trainedQuantizer(s, v, minCentroids = 16),
+          nProbe = Int.MaxValue, topC = v.count().toInt, iters = 2)
+        .orderBy("pid", "rank")
+    },
+    LlmQueries.q36.oracle)
+
   val q250 = QueryDef(
     "q250_trained_cell_occupancy",
     "per-trained-cell occupancy profile (the r16 verdict's 'measure the " +
@@ -4219,5 +4505,5 @@ object ExtraQueries extends QueryGroup {
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
-      q247, q248, q249, q250, q251, q252)
+      q247, q248, q249, q250, q251, q252, q253, q254, q255, q256)
 }

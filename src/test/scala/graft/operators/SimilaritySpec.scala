@@ -485,6 +485,95 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("topKIvfPqResidual: complete candidacy (full probe, topC = corpus) equals brute force") {
+    val v = Tables.load(spark, sfDir, "embeddings").limit(200)
+    val q = Similarity.kMeansCentroidsPortable(v, k = 4, iters = 1)
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2), r.getDouble(3))
+    val got = Similarity.topKIvfPqResidual(v, v.filter(col("vec_id") < 5), k = 3,
+        quantizer = q, nProbe = Int.MaxValue, topC = 200, iters = 1)
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    val brute = Similarity.topKBruteForce(v, v.filter(col("vec_id") < 5), k = 3)
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === brute.toSeq,
+      "residual coding cannot change a complete candidate set")
+  }
+
+  test("topKIvfPqResidual: production geometry is a subset with exact scores") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val q = Similarity.kMeansCentroidsPortable(v, k = 8, iters = 2)
+    val probes = v.filter(col("vec_id") < 5)
+    val out = Similarity.topKIvfPqResidual(v, probes, k = 3,
+      quantizer = q, nProbe = 2, topC = 64, iters = 1).collect()
+    assert(out.nonEmpty)
+    val exactTop = Similarity.topKBruteForce(v, probes, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(2), "no self-pairs")
+      assert(exactTop((r.getLong(0), r.getLong(2))) === r.getDouble(3),
+        "residual routing and ADC only prune — never alter scores")
+    }
+  }
+
+  test("topKIvfPqResidual: residual codes win where residuals are STRUCTURED " +
+    "(the published IVFADC motivation, planted)") {
+    // Two cells whose centers live in dims {0,1} and {4,5} of each
+    // subspace half; within-cell variation = 4 discrete patterns per
+    // subspace in dims the centers leave at ZERO (orthogonal, equal
+    // norm — normalization is a uniform scale and preserves geometry).
+    // Residual coding with ksub = 4 can represent the 4 patterns per
+    // subspace EXACTLY; plain coding must spend the same 4 codewords
+    // on 2 cells × 4 patterns = 8 distinct subvectors and must collide.
+    // A Latin-square id→(pattern₁, pattern₂) map makes the first-4-ids
+    // Lloyd seed cover all 4 patterns in BOTH subspaces.
+    val s = spark
+    import s.implicits._
+    // id layout serves BOTH first-by-id seeds: ids 0..1 span the two
+    // cells (the kMeansCentroidsPortable k-seed must see one of each, or
+    // Lloyd splits along the pattern dims instead) and ids 0..3 cover
+    // all 4 patterns in both subspaces (the pqCodebooksFrom ksub-seed)
+    val head = Seq((0, 0), (1, 1), (0, 2), (1, 3))
+    val order = head ++ (for { cell <- 0 to 1; i <- 0 until 16 }
+      yield (cell, i)).filterNot(head.contains)
+    val rows = order.zipWithIndex.map { case ((cell, i), id) =>
+      val s1 = i % 4
+      val s2 = (i / 4 + i) % 4
+      val sign = if (cell == 0) 100.0f else -100.0f
+      def pat(p: Int) = {
+        val a = Array.fill(4)(0.0f)
+        a(2 + p % 2) = if (p < 2) 5.0f else -5.0f
+        a
+      }
+      // dims 0..3: (100, ±100, pattern₁ in dims 2..3)
+      // dims 4..7: (100, ±100, pattern₂ in dims 6..7)
+      val v1 = Array(100.0f, sign) ++ pat(s1).drop(2)
+      val v2 = Array(100.0f, sign) ++ pat(s2).drop(2)
+      (id.toLong, (v1 ++ v2).toSeq, cell.toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val q = Similarity.kMeansCentroidsPortable(rows, k = 2, iters = 2)
+    val probes = rows.filter(col("vec_id") % 7 === 0)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.topKBruteForce(rows, probes, k = 3)
+        .select(col("pid"), col("nid"))
+      val r = Similarity.rankingRecall(df.select(col("pid"), col("nid")), exact)
+        .agg(org.apache.spark.sql.functions.sum(col("hits")).as("h"),
+          org.apache.spark.sql.functions.sum(col("n_exact")).as("e"))
+        .collect().head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val rRes = recallOf(Similarity.topKIvfPqResidual(rows, probes, k = 3,
+      quantizer = q, nProbe = 1, topC = 6, m = 2, ksub = 4, iters = 2))
+    val rPlain = recallOf(Similarity.topKIvfPq(rows, probes, k = 3,
+      quantizer = q, nProbe = 1, topC = 6, m = 2, ksub = 4, iters = 2))
+    info(f"planted-structure recall@3 at (m=2, ksub=4, nProbe=1, topC=6): " +
+      f"residual $rRes%.4f vs plain $rPlain%.4f")
+    assert(rRes > rPlain,
+      f"residual codes must beat plain on planted-structure residuals " +
+        f"(residual $rRes%.4f, plain $rPlain%.4f)")
+    assert(rRes >= 0.9,
+      f"residual coding represents the planted patterns near-exactly ($rRes%.4f)")
+  }
+
   test("semanticDedupTrained: impossible threshold ⇒ all singletons keep; " +
     "survivor is the least-prototypical member") {
     val v = Tables.load(spark, sfDir, "embeddings")

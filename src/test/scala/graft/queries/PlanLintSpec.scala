@@ -145,6 +145,20 @@ class PlanLintSpec extends SparkSpecBase {
     // corpus-sized join downstream (candidates, margin attach) is equi
     "q251_two_level_recall_trade",
     "q252_bitext_margin_ivf",
+    // q253: DeLong's two 1-row moment frames (positive-side, negative-
+    // side) crossJoined for the final projection — q61's one-row class
+    "q253_delong_auc_compare",
+    // q254: the 1-row τ frame broadcast onto the held-out counting pass
+    // plus the 1-row stats assembly crossJoins — q61's one-row class
+    "q254_conformal_gate_threshold",
+    // q255: the neighbor frame is q36's broadcast-probe brute force over
+    // the mod-10 probe SAMPLE (the q111 eval-batch contract; production
+    // callers pass topKIvf/topKIvfPq frames and plan no BNLJ)
+    "q255_hard_negative_mining",
+    // q256: residual IVF-PQ — the q241 trainer/coarse-router/ADC
+    // broadcasts plus the residual-derivation centroid broadcasts (all
+    // model-sized); the candidate join is cell-keyed shuffle-hash
+    "q256_ivf_pq_residual_ann",
     // q157: the 1-row join-size estimate crossJoined onto the 1-row
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",

@@ -1417,6 +1417,82 @@ object Quality {
           roundTo)).as("false_accept_rate"))
   }
 
+  /** Two-sample chi-squared homogeneity test over a CATEGORICAL column
+    * (Pearson 1900) — the drift-family member for unordered mixes:
+    * [[distributionDrift]]'s PSI needs a bin choice, [[ksTest]] needs an
+    * ordinal axis; "did the LANGUAGE/SOURCE/TOPIC mix shift between
+    * snapshot A and B" is a homogeneity question over categories, and
+    * chi-squared is its classical test. For the 2×C table the statistic
+    * reduces to ONE sum of exact integer cells:
+    *   χ² = Σ_j d_j²/t_j / (n₁·n₂),  d_j = c₁ⱼn₂ − c₂ⱼn₁, t_j = c₁ⱼ+c₂ⱼ
+    * (algebraically identical to Σ(obs−exp)²/exp over both rows).
+    *
+    * Exactness (the [[chiSquaredTerms]] + H.msum discipline): d_j and
+    * t_j are exact longs (documented bound n₁·n₂ ≲ 10¹⁵ so d_j² stays
+    * inside Decimal(38,6) — 30M rows a side; beyond that pre-aggregate
+    * or sample); each per-cell term moves to double AFTER the exact
+    * long arithmetic through ONE fixed-order chain, then accumulates as
+    * Decimal(38,6) so the cross-cell sum is ORDER-INSENSITIVE (both
+    * engines cast identical doubles to identical decimals — no float
+    * summation anywhere); χ² is then ONE double division. Significance
+    * via the Wilson–Hilferty cube-root normalization (1931) — the
+    * standard dof-free normal approximation:
+    *   z = ((χ²/k)^⅓ − (1 − 2/(9k))) / √(2/(9k)),  k = dof
+    * (cbrt + one sqrt, both IEEE on both engines — the libm
+    * discipline); drifted compares the UNROUNDED z to the one-sided
+    * normal 95% literal 1.6448536269514722 (the [[mcnemar]] rule).
+    *
+    * Guards: all test columns NULL when either side is empty or dof = 0
+    * (a single shared category carries no homogeneity evidence).
+    *
+    * Scale shape: one corpus pass to (category, c₁, c₂) cells (map-side
+    * combined, category-bounded), one model-frame reduction — the
+    * [[ksTest]] shape with no ordering requirement. */
+  def chiSquaredDrift(
+      df: DataFrame,
+      catCol: String,
+      sideCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val DEC = DecimalType(38, 6)
+    val cells = df
+      .where(col(catCol).isNotNull && col(sideCol).isNotNull)
+      .groupBy(col(catCol).as("cat"))
+      .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sideCol), 0L).otherwise(1L)).as("c2"))
+    val tots = cells.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("n2"))
+    // d, t exact longs; the per-cell term moves to double AFTER the
+    // exact arithmetic (one fixed-order chain) and accumulates as
+    // decimal — the one-row totals frame broadcasts onto the
+    // category-bounded cells
+    val termed = cells.crossJoin(broadcast(tots))
+      .withColumn("d", col("c1") * col("n2") - col("c2") * col("n1"))
+      .withColumn("term",
+        (col("d").cast("double") * col("d").cast("double") /
+          (col("c1") + col("c2")).cast("double")).cast(DEC))
+    val agg = termed.agg(
+      coalesce(sum(col("term")), lit(0).cast(DEC)).as("tsum"),
+      count(lit(1)).as("cats"),
+      max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val chi2 = col("tsum").cast("double") / (n1d * n2d)
+    val k = (col("cats") - 1L).cast("double")
+    val zWh = (cbrt(chi2 / k) - (lit(1.0) - lit(2.0) / (lit(9.0) * k))) /
+      sqrt(lit(2.0) / (lit(9.0) * k))
+    val tested = col("n1") > 0L && col("n2") > 0L && col("cats") > 1L
+    // one-sided normal 95% point (chi-squared is an upper-tail test)
+    val crit = lit(1.6448536269514722)
+    agg.select(
+      col("n1"), col("n2"), col("cats").as("categories"),
+      when(tested, round(chi2, roundTo)).as("chi2"),
+      when(tested, col("cats") - 1L).as("dof"),
+      when(tested, round(zWh, roundTo)).as("z_wh"),
+      when(tested, zWh > crit).as("drifted"))
+  }
+
   /** DeLong paired ROC-AUC comparison (DeLong, DeLong & Clarke-Pearson
     * 1988) — the RANKING-level companion of [[mcnemar]]: McNemar asks
     * whether gate B's thresholded DECISIONS beat gate A's on the same

@@ -4408,6 +4408,64 @@ object ExtraQueries extends QueryGroup {
     },
     LlmQueries.q36.oracle)
 
+  val q257 = QueryDef(
+    "q257_chi_squared_drift",
+    "two-sample chi-squared homogeneity test (Pearson 1900) over the " +
+      "SOURCE mix between the doc_id-parity halves - the drift-family " +
+      "member for CATEGORICAL columns (PSI needs bins, KS needs an " +
+      "ordinal axis; 'did the language/source/topic mix shift' is a " +
+      "homogeneity question): per-category exact-integer d = c1*n2 - " +
+      "c2*n1, per-cell term to double AFTER the exact arithmetic, " +
+      "decimal-accumulated (order-insensitive), Wilson-Hilferty " +
+      "cube-root z with the one-sided 95% literal. The registered " +
+      "answer is MAXIMAL drift (chi2 = N): the fixture assigns source " +
+      "by doc_id modulus, so an id-parity split ALIASES with the " +
+      "periodic attribute and each source lands entirely in one half - " +
+      "the classic systematic-sampling-vs-periodic-key pitfall, " +
+      "surfaced by the test exactly as it would be in production; the " +
+      "null (homogeneous) behavior is spec-pinned in " +
+      "ChiSquaredDriftSpec",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), (col("doc_id") % 2 === 0).as("side"))
+      graft.operators.Quality.chiSquaredDrift(d, "source", "side")
+    },
+    Some("""WITH base AS (SELECT source AS cat,
+                    CASE WHEN doc_id % 2 = 0 THEN TRUE ELSE FALSE END AS s
+                  FROM documents WHERE source IS NOT NULL),
+            cells AS (SELECT cat,
+                    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS c2
+                  FROM base GROUP BY cat),
+            tots AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+                    CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n2 FROM cells),
+            termed AS (SELECT
+                    CAST(CAST(c1 * n2 - c2 * n1 AS DOUBLE) *
+                         CAST(c1 * n2 - c2 * n1 AS DOUBLE) /
+                         CAST(c1 + c2 AS DOUBLE) AS DECIMAL(38,6)) AS term
+                  FROM cells CROSS JOIN tots),
+            agg AS (SELECT COALESCE(SUM(term), 0) AS tsum,
+                    CAST(COUNT(*) AS BIGINT) AS cats FROM termed),
+            fin AS (SELECT t.n1, t.n2, a.cats,
+                    CAST(a.tsum AS DOUBLE) /
+                      (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS chi2,
+                    CAST(a.cats - 1 AS DOUBLE) AS k
+                  FROM agg a CROSS JOIN tots t),
+            z AS (SELECT n1, n2, cats, chi2, k,
+                    (CBRT(chi2 / k) - (1.0 - 2.0 / (9.0 * k))) /
+                      SQRT(2.0 / (9.0 * k)) AS z_wh
+                  FROM fin)
+            SELECT n1, n2, cats AS categories,
+              CASE WHEN n1 > 0 AND n2 > 0 AND cats > 1
+                THEN ROUND(chi2, 6) END AS chi2,
+              CASE WHEN n1 > 0 AND n2 > 0 AND cats > 1
+                THEN cats - 1 END AS dof,
+              CASE WHEN n1 > 0 AND n2 > 0 AND cats > 1
+                THEN ROUND(z_wh, 6) END AS z_wh,
+              CASE WHEN n1 > 0 AND n2 > 0 AND cats > 1
+                THEN z_wh > 1.6448536269514722 END AS drifted
+            FROM z"""))
+
   val q250 = QueryDef(
     "q250_trained_cell_occupancy",
     "per-trained-cell occupancy profile (the r16 verdict's 'measure the " +
@@ -4505,5 +4563,5 @@ object ExtraQueries extends QueryGroup {
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
-      q247, q248, q249, q250, q251, q252, q253, q254, q255, q256)
+      q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257)
 }

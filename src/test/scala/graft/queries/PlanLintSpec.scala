@@ -159,6 +159,9 @@ class PlanLintSpec extends SparkSpecBase {
     // broadcasts plus the residual-derivation centroid broadcasts (all
     // model-sized); the candidate join is cell-keyed shuffle-hash
     "q256_ivf_pq_residual_ann",
+    // q257: the 1-row totals frame broadcast onto the category-bounded
+    // cells + the 1-row final assembly — q61's one-row class
+    "q257_chi_squared_drift",
     // q157: the 1-row join-size estimate crossJoined onto the 1-row
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",

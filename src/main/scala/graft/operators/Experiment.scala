@@ -15,6 +15,99 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Experiment {
 
+  /** The four SPRT constants for (p0, p1, α, β) — the per-success /
+    * per-failure log-likelihood increments and Wald's decision
+    * boundaries. Public so a SQL replay embeds the IDENTICAL doubles
+    * ([[java.lang.Double.toString]] round-trips, so a generated literal
+    * parses back to the same bits in any engine). */
+  def sprtConstants(
+      p0: Double, p1: Double, alpha: Double, beta: Double)
+      : (Double, Double, Double, Double) = {
+    require(p0 > 0 && p1 > p0 && p1 < 1,
+      s"sprt: need 0 < p0 < p1 < 1 (got p0=$p0, p1=$p1)")
+    require(alpha > 0 && alpha < 0.5 && beta > 0 && beta < 0.5,
+      s"sprt: error rates must be in (0, 0.5) (got alpha=$alpha, beta=$beta)")
+    (math.log(p1 / p0), math.log((1.0 - p1) / (1.0 - p0)),
+      math.log((1.0 - beta) / alpha), math.log(beta / (1.0 - alpha)))
+  }
+
+  /** Wald's Sequential Probability Ratio Test on a Bernoulli stream
+    * (Wald 1945) — the SEQUENTIAL member of the experiment tier: [[cuped]]
+    * reads a fixed-horizon experiment with less variance, THIS is the
+    * peek-safe monitor for a RUNNING one. Fixed-horizon tests lose their
+    * error guarantee the moment anyone peeks-and-stops; the SPRT is built
+    * to be read continuously — test H₀: p = p0 vs H₁: p = p1 with
+    *   LLR_n = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)),
+    * decide H₁ at LLR ≥ ln((1−β)/α), H₀ at LLR ≤ ln(β/(1−α)), else keep
+    * collecting — and Wald's inequalities bound the error rates at ~α/β
+    * REGARDLESS of when the boundary is hit (the always-valid-inference
+    * ancestor), with the smallest expected sample size of any such test
+    * (Wald & Wolfowitz 1948).
+    *
+    * Granularity: decisions evaluate at `dayCol` boundaries — cumulative
+    * (n, k) come from a per-(variant, day) CELLS frame, so the running
+    * window is variant×days-sized, never event-sized (the [[cuped]] /
+    * ksTest cells discipline; a per-event window would serialize each
+    * variant's whole stream through one task). Within-day order never
+    * matters because LLR_n depends on (n, k) only.
+    *
+    * Exactness: k and n are exact longs; the four constants are double
+    * literals shared verbatim with the SQL replay ([[sprtConstants]]);
+    * LLR is ONE fixed-order double chain; boundary comparisons on the
+    * UNROUNDED LLR (the ksTest 1.358 discipline).
+    *
+    * Output one row per variant: (variant, n, k, rate, llr_final,
+    * decision ∈ accept_h1 | accept_h0 | continue, decision_day,
+    * n_at_decision, llr_at_decision — the decision_* columns NULL while
+    * the test is still running). */
+  def sprt(
+      df: DataFrame,
+      variantCol: String,
+      dayCol: String,
+      convCol: String,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.05,
+      roundTo: Int = 6): DataFrame = {
+    val (la, lb, ua, ub) = sprtConstants(p0, p1, alpha, beta)
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df
+      .where(col(variantCol).isNotNull && col(dayCol).isNotNull &&
+        col(convCol).isNotNull)
+      .groupBy(col(variantCol).as("variant"), col(dayCol).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(convCol), 1L).otherwise(0L)).as("k"))
+    val w = W.partitionBy("variant").orderBy("day")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val llr = col("ck").cast("double") * lit(la) +
+      (col("cn") - col("ck")).cast("double") * lit(lb)
+    val cum = cells
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("ck", sum(col("k")).over(w))
+      .withColumn("llr", llr)
+      .withColumn("state",
+        when(llr >= lit(ua), lit("accept_h1"))
+          .when(llr <= lit(ub), lit("accept_h0"))
+          .otherwise(lit("continue")))
+    val fin = cum.groupBy("variant").agg(
+      max(col("cn")).as("n"), max(col("ck")).as("k"),
+      max_by(col("llr"), col("day")).as("llr_final_raw"),
+      min(when(col("state") =!= "continue", col("day"))).as("decision_day"))
+    val atDec = cum.select(col("variant").as("dv"), col("day").as("dd"),
+      col("state").as("decision_raw"), col("cn").as("n_at_decision"),
+      col("llr").as("llr_at_decision_raw"))
+    fin.join(atDec, col("variant") === col("dv") &&
+        col("decision_day") === col("dd"), "left")
+      .select(col("variant"), col("n"), col("k"),
+        round(col("k").cast("double") / col("n").cast("double"), roundTo)
+          .as("rate"),
+        round(col("llr_final_raw"), roundTo).as("llr_final"),
+        coalesce(col("decision_raw"), lit("continue")).as("decision"),
+        col("decision_day"), col("n_at_decision"),
+        round(col("llr_at_decision_raw"), roundTo).as("llr_at_decision"))
+  }
+
   /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
     * Xu, Kohavi & Walker, WSDM 2013): reduce the variance of a post-
     * period metric `y` with its pre-period covariate `x` via

@@ -4466,6 +4466,71 @@ object ExtraQueries extends QueryGroup {
                 THEN z_wh > 1.6448536269514722 END AS drifted
             FROM z"""))
 
+  val q258 = QueryDef(
+    "q258_sprt_sequential_experiment",
+    "Wald's Sequential Probability Ratio Test (Wald 1945; optimality " +
+      "Wald-Wolfowitz 1948) - the PEEK-SAFE sequential member of the " +
+      "experiment tier (q221 CUPED reads a fixed horizon with less " +
+      "variance, THIS monitors a running test with error rates bounded " +
+      "regardless of when the boundary is hit - the always-valid-" +
+      "inference ancestor): is the purchase rate p1=0.4 vs p0=0.3 at " +
+      "alpha=beta=0.05, per user-parity variant, decisions at day " +
+      "boundaries over the (variant, day) cells frame; the fixture's " +
+      "~0.2 true rate drives both variants to accept_h0 - the test " +
+      "DECIDES and stops paying for samples, which is the point; all " +
+      "four constants are shared double literals (Double.toString " +
+      "round-trip) so both engines compare identical doubles",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 2).cast("long").as("variant"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+          (col("event_type") === "purchase").as("conv"))
+      graft.operators.Experiment.sprt(
+          ev, "variant", "day", "conv", p0 = 0.3, p1 = 0.4)
+        .orderBy("variant")
+    }, {
+      val (la, lb, ua, ub) =
+        graft.operators.Experiment.sprtConstants(0.3, 0.4, 0.05, 0.05)
+      Some(s"""WITH base AS (SELECT user_id % 2 AS variant,
+                    epoch_us(ts) // 86400000000 AS day,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+                  FROM events),
+            cells AS (SELECT variant, day,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(conv) AS BIGINT) AS k
+                  FROM base GROUP BY variant, day),
+            cum AS (SELECT variant, day,
+                    SUM(n) OVER w AS cn, SUM(k) OVER w AS ck
+                  FROM cells
+                  WINDOW w AS (PARTITION BY variant ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            scored AS (SELECT variant, day, cn, ck,
+                    CAST(ck AS DOUBLE) * $la +
+                      CAST(cn - ck AS DOUBLE) * $lb AS llr
+                  FROM cum),
+            st AS (SELECT variant, day, cn, ck, llr,
+                    CASE WHEN llr >= $ua THEN 'accept_h1'
+                         WHEN llr <= $ub THEN 'accept_h0'
+                         ELSE 'continue' END AS state
+                  FROM scored),
+            fin AS (SELECT variant,
+                    MAX(cn) AS n, MAX(ck) AS k,
+                    MAX_BY(llr, day) AS llr_final_raw,
+                    MIN(CASE WHEN state <> 'continue' THEN day END)
+                      AS decision_day
+                  FROM st GROUP BY variant)
+            SELECT f.variant, f.n, f.k,
+              ROUND(CAST(f.k AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS rate,
+              ROUND(f.llr_final_raw, 6) AS llr_final,
+              COALESCE(d.state, 'continue') AS decision,
+              f.decision_day,
+              d.cn AS n_at_decision,
+              ROUND(d.llr, 6) AS llr_at_decision
+            FROM fin f LEFT JOIN st d
+              ON f.variant = d.variant AND f.decision_day = d.day
+            ORDER BY f.variant""")
+    })
+
   val q250 = QueryDef(
     "q250_trained_cell_occupancy",
     "per-trained-cell occupancy profile (the r16 verdict's 'measure the " +
@@ -4563,5 +4628,6 @@ object ExtraQueries extends QueryGroup {
       q201, q202, q203, q204, q207, q209, q210, q213, q214, q220, q221,
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
-      q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257)
+      q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
+      q258)
 }

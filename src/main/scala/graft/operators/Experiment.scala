@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -106,6 +106,100 @@ object Experiment {
         coalesce(col("decision_raw"), lit("continue")).as("decision"),
         col("decision_day"), col("n_at_decision"),
         round(col("llr_at_decision_raw"), roundTo).as("llr_at_decision"))
+  }
+
+  /** Difference-in-differences over a unit panel (the Card & Krueger
+    * 1994 canonical design; ancestry to Snow 1855) — the QUASI-
+    * experimental member of the experiment tier: [[cuped]] and [[sprt]]
+    * read a RANDOMIZED assignment; when treatment was NOT randomized
+    * (a policy shipped to one cohort, a crawler change hit one source),
+    * the naive post-period comparison confounds the treatment with
+    * pre-existing level differences — DiD removes any time-constant
+    * unit difference by differencing each unit against itself first:
+    *   δ = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    * identified under parallel trends (the four cell means are emitted
+    * so a reader can eyeball exactly that assumption).
+    *
+    * Inference: per-unit change d_i = S_i,post − S_i,pre (the panel
+    * form — differencing within unit absorbs all within-unit
+    * correlation, so units are the independent observations), then the
+    * Welch two-sample comparison of d̄_T vs d̄_C:
+    *   se² = s²_T/n_T + s²_C/n_C,  z = δ/se,
+    * two-sided at the full-digit normal literal (the mcnemar rule).
+    *
+    * Exactness: the metric is the per-unit period TOTAL (the
+    * revenue-per-user shape), so d_i is an EXACT Decimal(30,6) sum
+    * difference; cross-unit Σd and Σd² accumulate as exact decimals
+    * (d clamped into Decimal(19,6) before squaring — documented
+    * per-unit-total bound |d| < 10¹²); every double derives from exact
+    * decimals through one fixed-order chain with one IEEE sqrt.
+    *
+    * Guards: all test columns NULL when either arm has < 2 units or
+    * se = 0 (no within-arm variation — no evidence scale).
+    *
+    * Scale shape: ONE map-side-combining aggregation to per-(unit, arm)
+    * sums, one reduction to 2 moment rows, a 4-cell means frame — the
+    * corpus is touched once ([[cuped]]'s shape). */
+  def diffInDiff(
+      df: DataFrame,
+      unitCol: String,
+      treatCol: String,
+      postCol: String,
+      valueCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val DEC = DecimalType(30, 6)
+    val D19 = DecimalType(19, 6)
+    val base = df.where(col(unitCol).isNotNull && col(treatCol).isNotNull &&
+      col(postCol).isNotNull && col(valueCol).isNotNull)
+    val per = base
+      .groupBy(col(unitCol).as("unit"), col(treatCol).as("treat"))
+      .agg(
+        coalesce(sum(when(col(postCol), col(valueCol).cast(DEC))),
+          lit(0).cast(DEC)).as("s_post"),
+        coalesce(sum(when(!col(postCol), col(valueCol).cast(DEC))),
+          lit(0).cast(DEC)).as("s_pre"))
+      .withColumn("d", (col("s_post") - col("s_pre")).cast(D19))
+    val mom = per.groupBy("treat").agg(
+      count(lit(1)).as("n"),
+      sum(col("s_pre")).as("spre"),
+      sum(col("s_post")).as("spost"),
+      sum(col("d").cast(DecimalType(38, 6))).as("sd"),
+      sum(col("d") * col("d")).as("sdd"))
+    // 2 arm rows → one readout row (conditional reduction, no pivot)
+    val one = mom.agg(
+      max(when(col("treat"), col("n"))).as("n_t"),
+      max(when(!col("treat"), col("n"))).as("n_c"),
+      max(when(col("treat"), col("spre"))).as("spre_t"),
+      max(when(col("treat"), col("spost"))).as("spost_t"),
+      max(when(!col("treat"), col("spre"))).as("spre_c"),
+      max(when(!col("treat"), col("spost"))).as("spost_c"),
+      max(when(col("treat"), col("sd"))).as("sd_t"),
+      max(when(!col("treat"), col("sd"))).as("sd_c"),
+      max(when(col("treat"), col("sdd"))).as("sdd_t"),
+      max(when(!col("treat"), col("sdd"))).as("sdd_c"))
+    val nT = col("n_t").cast("double")
+    val nC = col("n_c").cast("double")
+    val delta = col("sd_t").cast("double") / nT -
+      col("sd_c").cast("double") / nC
+    def svar(sdd: Column, sd: Column, n: Column) =
+      (sdd.cast("double") - sd.cast("double") * sd.cast("double") / n) /
+        (n - lit(1.0))
+    val se = sqrt(svar(col("sdd_t"), col("sd_t"), nT) / nT +
+      svar(col("sdd_c"), col("sd_c"), nC) / nC)
+    val z = delta / se
+    val tested = col("n_t") >= 2L && col("n_c") >= 2L && se > lit(0.0)
+    val crit = lit(1.959963984540054)
+    one.select(
+      col("n_t").as("n_treat"), col("n_c").as("n_ctrl"),
+      round(col("spre_t").cast("double") / nT, roundTo).as("mean_pre_treat"),
+      round(col("spost_t").cast("double") / nT, roundTo).as("mean_post_treat"),
+      round(col("spre_c").cast("double") / nC, roundTo).as("mean_pre_ctrl"),
+      round(col("spost_c").cast("double") / nC, roundTo).as("mean_post_ctrl"),
+      when(col("n_t") >= 1L && col("n_c") >= 1L, round(delta, roundTo))
+        .as("delta"),
+      when(tested, round(se, roundTo)).as("se"),
+      when(tested, round(z, roundTo)).as("z"),
+      when(tested, abs(z) > crit).as("significant"))
   }
 
   /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,

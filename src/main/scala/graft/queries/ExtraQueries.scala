@@ -4531,6 +4531,87 @@ object ExtraQueries extends QueryGroup {
             ORDER BY f.variant""")
     })
 
+  val q259 = QueryDef(
+    "q259_diff_in_diff",
+    "difference-in-differences readout (Card-Krueger 1994 canonical " +
+      "design): per-user total event value, pre vs post day 19737, " +
+      "treat = user parity - the QUASI-experimental member of the " +
+      "experiment tier (q221 CUPED and q258 SPRT read randomized " +
+      "assignments; DiD removes time-constant unit levels by " +
+      "differencing each unit against itself, identified under " +
+      "parallel trends - the four cell means are emitted for exactly " +
+      "that check); per-unit change d = EXACT decimal sum difference, " +
+      "Welch z on the d's with decimal moment accumulation, full-digit " +
+      "normal literal; parity arms are exchangeable so the registered " +
+      "answer is NOT significant - the honest null",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("unit"),
+          (col("user_id") % 2 === 1).as("treat"),
+          (expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000") > 19737)
+            .as("post"),
+          col("value"))
+      graft.operators.Experiment.diffInDiff(
+        ev, "unit", "treat", "post", "value")
+    },
+    Some("""WITH base AS (SELECT user_id AS unit,
+                    user_id % 2 = 1 AS treat,
+                    epoch_us(ts) // 86400000000 > 19737 AS post,
+                    value FROM events),
+            per AS (SELECT unit, treat,
+                    COALESCE(SUM(CASE WHEN post
+                      THEN CAST(value AS DECIMAL(30,6)) END), 0) AS s_post,
+                    COALESCE(SUM(CASE WHEN NOT post
+                      THEN CAST(value AS DECIMAL(30,6)) END), 0) AS s_pre
+                  FROM base GROUP BY unit, treat),
+            perd AS (SELECT treat, s_pre, s_post,
+                    CAST(s_post - s_pre AS DECIMAL(19,6)) AS d FROM per),
+            mom AS (SELECT treat, CAST(COUNT(*) AS BIGINT) AS n,
+                    SUM(s_pre) AS spre, SUM(s_post) AS spost,
+                    SUM(CAST(d AS DECIMAL(38,6))) AS sd,
+                    SUM(d * d) AS sdd
+                  FROM perd GROUP BY treat),
+            one AS (SELECT
+                    MAX(CASE WHEN treat THEN n END) AS n_t,
+                    MAX(CASE WHEN NOT treat THEN n END) AS n_c,
+                    MAX(CASE WHEN treat THEN spre END) AS spre_t,
+                    MAX(CASE WHEN treat THEN spost END) AS spost_t,
+                    MAX(CASE WHEN NOT treat THEN spre END) AS spre_c,
+                    MAX(CASE WHEN NOT treat THEN spost END) AS spost_c,
+                    MAX(CASE WHEN treat THEN sd END) AS sd_t,
+                    MAX(CASE WHEN NOT treat THEN sd END) AS sd_c,
+                    MAX(CASE WHEN treat THEN sdd END) AS sdd_t,
+                    MAX(CASE WHEN NOT treat THEN sdd END) AS sdd_c
+                  FROM mom),
+            fin AS (SELECT n_t, n_c,
+                    CAST(n_t AS DOUBLE) AS nt, CAST(n_c AS DOUBLE) AS nc,
+                    spre_t, spost_t, spre_c, spost_c,
+                    CAST(sd_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+                      CAST(sd_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS delta,
+                    SQRT(
+                      ((CAST(sdd_t AS DOUBLE) - CAST(sd_t AS DOUBLE) *
+                        CAST(sd_t AS DOUBLE) / CAST(n_t AS DOUBLE)) /
+                        (CAST(n_t AS DOUBLE) - 1.0)) / CAST(n_t AS DOUBLE) +
+                      ((CAST(sdd_c AS DOUBLE) - CAST(sd_c AS DOUBLE) *
+                        CAST(sd_c AS DOUBLE) / CAST(n_c AS DOUBLE)) /
+                        (CAST(n_c AS DOUBLE) - 1.0)) / CAST(n_c AS DOUBLE))
+                      AS se
+                  FROM one)
+            SELECT n_t AS n_treat, n_c AS n_ctrl,
+              ROUND(CAST(spre_t AS DOUBLE) / nt, 6) AS mean_pre_treat,
+              ROUND(CAST(spost_t AS DOUBLE) / nt, 6) AS mean_post_treat,
+              ROUND(CAST(spre_c AS DOUBLE) / nc, 6) AS mean_pre_ctrl,
+              ROUND(CAST(spost_c AS DOUBLE) / nc, 6) AS mean_post_ctrl,
+              CASE WHEN n_t >= 1 AND n_c >= 1
+                THEN ROUND(delta, 6) END AS delta,
+              CASE WHEN n_t >= 2 AND n_c >= 2 AND se > 0.0
+                THEN ROUND(se, 6) END AS se,
+              CASE WHEN n_t >= 2 AND n_c >= 2 AND se > 0.0
+                THEN ROUND(delta / se, 6) END AS z,
+              CASE WHEN n_t >= 2 AND n_c >= 2 AND se > 0.0
+                THEN ABS(delta / se) > 1.959963984540054 END AS significant
+            FROM fin"""))
+
   val q250 = QueryDef(
     "q250_trained_cell_occupancy",
     "per-trained-cell occupancy profile (the r16 verdict's 'measure the " +
@@ -4629,5 +4710,5 @@ object ExtraQueries extends QueryGroup {
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
-      q258)
+      q258, q259)
 }

@@ -1493,6 +1493,238 @@ object Quality {
       when(tested, zWh > crit).as("drifted"))
   }
 
+  /** Per-category drift LOCALIZATION for the 2×C homogeneity setting —
+    * the follow-up question [[chiSquaredDrift]] leaves open: the global
+    * χ² says THE MIX SHIFTED, this says WHICH categories moved and by
+    * how much. Two readouts per category:
+    *
+    *  - Haberman's adjusted standardized residual (Haberman 1973):
+    *    r_j = (c₁ⱼ − e₁ⱼ) / √(e₁ⱼ·(1 − n₁/N)·(1 − t_j/N)), which for
+    *    the 2×C table reduces to the exact-integer-numerator form
+    *    r_j = d_j / √((n₁·n₂)·(t_j·(N−t_j)) / N) with d_j = c₁ⱼn₂ −
+    *    c₂ⱼn₁ (the SAME exact d as the global test) — asymptotically
+    *    N(0,1) under homogeneity, so |r| > 1.96 flags the category
+    *    (UNADJUSTED for multiplicity — documented; feed the residuals
+    *    to [[bhFdr]] when C is large and false flags are costly);
+    *  - the category's χ² share: term_j / Σterm — "what fraction of
+    *    the total drift signal this category carries".
+    *
+    * Plus Cramér's V (Cramér 1946) attached to every row — the global
+    * EFFECT SIZE the χ² statistic itself is not (χ² grows linearly in N
+    * at fixed mix shift; V = √(χ²/N) for the 2×C table is
+    * N-free, the "is it big" to [[chiSquaredDrift]]'s "is it real").
+    *
+    * Exactness: d_j, t_j exact longs (the documented n₁·n₂ ≲ 10¹⁵
+    * bound); every double derives from exact longs through ONE
+    * fixed-order chain (two float products, one division, one IEEE
+    * sqrt for the residual); χ² terms decimal-accumulate exactly as in
+    * [[chiSquaredDrift]]. Guards: all columns except the raw counts
+    * NULL when either side is empty or C < 2 (no homogeneity question);
+    * `moved` compares the UNROUNDED |r| to the two-sided normal 95%
+    * literal 1.959963984540054.
+    *
+    * Scale shape: identical to [[chiSquaredDrift]] — one corpus pass to
+    * category-bounded cells, one model-frame reduction broadcast back
+    * onto the cells (the q61 one-row class). Output one row per
+    * category. */
+  def chiSquaredResiduals(
+      df: DataFrame,
+      catCol: String,
+      sideCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val DEC = DecimalType(38, 6)
+    val cells = df
+      .where(col(catCol).isNotNull && col(sideCol).isNotNull)
+      .groupBy(col(catCol).as("cat"))
+      .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sideCol), 0L).otherwise(1L)).as("c2"))
+    val tots = cells.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("n2"),
+      count(lit(1)).as("cats"))
+    val termed = cells.crossJoin(broadcast(tots))
+      .withColumn("t_j", col("c1") + col("c2"))
+      .withColumn("d", col("c1") * col("n2") - col("c2") * col("n1"))
+      .withColumn("term",
+        (col("d").cast("double") * col("d").cast("double") /
+          col("t_j").cast("double")).cast(DEC))
+    val glob = termed.agg(
+      coalesce(sum(col("term")), lit(0).cast(DEC)).as("tsum"),
+      max(col("n1")).as("n1g"), max(col("n2")).as("n2g"),
+      max(col("cats")).as("catsg"))
+    val out = termed.crossJoin(broadcast(glob))
+    val nTot = (col("n1") + col("n2")).cast("double")
+    // r = d / sqrt((n1·n2)·(t·(N−t)) / N): one fixed-order chain
+    val resid = col("d").cast("double") /
+      sqrt(col("n1").cast("double") * col("n2").cast("double") *
+        (col("t_j").cast("double") *
+          (nTot - col("t_j").cast("double"))) / nTot)
+    val chi2 = col("tsum").cast("double") /
+      (col("n1").cast("double") * col("n2").cast("double"))
+    val vCramer = sqrt(chi2 / nTot)
+    val tested = col("n1") > 0L && col("n2") > 0L && col("cats") > 1L
+    val crit = lit(1.959963984540054)
+    out.select(
+      col("cat").as(catCol),
+      col("c1"), col("c2"), col("d"),
+      when(tested, round(resid, roundTo)).as("adj_residual"),
+      when(tested, abs(resid) > crit).as("moved"),
+      when(tested && col("tsum") > 0,
+        round(col("term").cast("double") / col("tsum").cast("double"),
+          roundTo)).as("chi2_share"),
+      when(tested, round(vCramer, roundTo)).as("cramers_v"))
+  }
+
+  /** Jensen–Shannon divergence between two snapshots' CATEGORICAL mixes
+    * (Lin 1991; the √JSD metric of Endres & Schindelin 2003) — the
+    * BOUNDED-MEASURE member of the drift family: [[chiSquaredDrift]]
+    * answers "is the shift real" (grows with N at fixed shift),
+    * [[chiSquaredResiduals]]' Cramér's V sizes it against its maximum,
+    * THIS is the information-theoretic distance dashboards threshold on
+    * — symmetric, finite on zero cells (where KL and PSI blow up or
+    * need smoothing), JSD ∈ [0, ln 2] with √(JSD/ln 2) ∈ [0, 1] a true
+    * metric. The standard corpus-mix drift score between training
+    * snapshots.
+    *
+    * Math: with p_j = c₁ⱼ/n₁, q_j = c₂ⱼ/n₂ and m = (p+q)/2,
+    * JSD = ½KL(p‖m) + ½KL(q‖m) = Σ_j [½p_j·ln(2p_j/(p_j+q_j)) +
+    * ½q_j·ln(2q_j/(p_j+q_j))], a zero count contributing exactly 0 to
+    * its half (lim x→0 x·ln x = 0 — made explicit, never NaN).
+    *
+    * Exactness: counts exact longs off one corpus pass; p_j/q_j are
+    * single divisions of exact longs; each half-term is ONE fixed-order
+    * double chain with one ln (the libm discipline) accumulating as
+    * Decimal(38,12) — cross-category sums ORDER-INSENSITIVE; the
+    * normalizations divide by the ln 2 literal 0.6931471805599453 with
+    * one IEEE sqrt for the distance. Guards: all divergence columns
+    * NULL when either side is empty (no comparison — never a fabricated
+    * 0). There is deliberately NO significance flag: JSD's null
+    * distribution is not distribution-free — [[chiSquaredDrift]] is the
+    * TEST, this is the MEASURE (documented division of labor).
+    *
+    * Scale shape: identical to [[chiSquaredDrift]] — one corpus pass to
+    * category-bounded (c₁, c₂) cells, one model-frame reduction. Output
+    * ONE row: (n1, n2, categories, jsd, jsd_norm, js_dist). */
+  def jensenShannonDrift(
+      df: DataFrame,
+      catCol: String,
+      sideCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val DEC = DecimalType(38, 12)
+    val cells = df
+      .where(col(catCol).isNotNull && col(sideCol).isNotNull)
+      .groupBy(col(catCol).as("cat"))
+      .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(col(sideCol), 0L).otherwise(1L)).as("c2"))
+    val tots = cells.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("n2"))
+    // guarded against the empty-side case (outputs are NULL there anyway;
+    // ANSI mode would otherwise raise on the 0-divisor) — identical
+    // doubles to the bare division whenever the side is non-empty
+    val p = when(col("n1") > 0L,
+      col("c1").cast("double") / col("n1").cast("double")).otherwise(lit(0.0))
+    val q = when(col("n2") > 0L,
+      col("c2").cast("double") / col("n2").cast("double")).otherwise(lit(0.0))
+    // each half-term exactly 0 at a zero count (x·ln x → 0 made explicit)
+    val half1 = when(col("c1") > 0L,
+      lit(0.5) * p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0))
+    val half2 = when(col("c2") > 0L,
+      lit(0.5) * q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+    val agg = cells.crossJoin(broadcast(tots))
+      .agg(
+        coalesce(sum((half1 + half2).cast(DEC)), lit(0).cast(DEC)).as("jsd_d"),
+        count(lit(1)).as("cats"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+    val ln2 = lit(0.6931471805599453)
+    // the half-terms are individually signed (only their SUM is ≥ 0), so
+    // a mathematically-zero JSD can land at −1e−12 in the decimal sum —
+    // clamp at 0 before the ratio/sqrt (never a NaN distance)
+    val jsdD = greatest(col("jsd_d").cast("double"), lit(0.0))
+    val tested = col("n1") > 0L && col("n2") > 0L
+    agg.select(
+      col("n1"), col("n2"), col("cats").as("categories"),
+      when(tested, round(jsdD, roundTo)).as("jsd"),
+      when(tested, round(jsdD / ln2, roundTo)).as("jsd_norm"),
+      when(tested, round(sqrt(jsdD / ln2), roundTo)).as("js_dist"))
+  }
+
+  /** Mutual information between two CATEGORICAL columns (Shannon 1948;
+    * the NMI normalization of Strehl & Ghosh 2002) — the ASSOCIATION
+    * member of the categorical family: [[chiSquaredDrift]] tests the
+    * same mix across two SNAPSHOTS, this measures how strongly two
+    * ATTRIBUTES of one corpus determine each other (source↔language,
+    * topic↔license, cluster↔label), the quantity behind "is this
+    * metadata column redundant", stratification design, and the
+    * cluster-vs-label agreement score. MI = Σ_cells (c/N)·ln(N·c /
+    * (r_a·c_b)) in nats; NMI = MI / √(H(A)·H(B)) ∈ [0,1] (the
+    * symmetric geometric-mean normalization).
+    *
+    * Exactness: all counts exact longs off ONE corpus pass; every
+    * per-cell/per-marginal term derives from exact longs through ONE
+    * fixed-order double chain (one ln each — the libm discipline) and
+    * accumulates as Decimal(38,12) so the cross-cell sums are
+    * ORDER-INSENSITIVE (the [[chiSquaredDrift]] term discipline at the
+    * precision MI's small magnitudes need); a cell with c·N = r_a·c_b
+    * contributes exactly ln(1) = 0. Guards: H/MI NULL when N = 0; NMI
+    * additionally NULL when either entropy is 0 (a constant column
+    * carries no information to normalize by — never a fabricated 0/0).
+    *
+    * Scale shape: one corpus pass to (a, b) joint cells (map-side
+    * combined, category-bounded); marginals are cells-frame
+    * re-aggregations; everything after is model-frame equi-joins plus
+    * 1-row reductions (the q61 crossJoin class). Output ONE row:
+    * (n, n_cells, n_a, n_b, h_a, h_b, mi, nmi). */
+  def mutualInfoCategorical(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val DEC = DecimalType(38, 12)
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val ra = cells.groupBy("a").agg(sum(col("c")).as("ra"))
+    val cb = cells.groupBy("b").agg(sum(col("c")).as("cb"))
+    val tot = cells.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      count(lit(1)).as("n_cells"))
+    val nD = col("n").cast("double")
+    // per-cell MI term: (c/N)·ln(N·c/(ra·cb)) — one fixed-order chain
+    val miTerm = ((col("c").cast("double") / nD) *
+      log((nD * col("c").cast("double")) /
+        (col("ra").cast("double") * col("cb").cast("double")))).cast(DEC)
+    val mi = cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(tot))
+      .agg(coalesce(sum(miTerm), lit(0).cast(DEC)).as("mi_d"))
+    // marginal entropies: Σ (m/N)·ln(N/m), decimal-accumulated
+    def entropyOf(marg: DataFrame, mCol: String, outCol: String,
+        cntCol: String) = {
+      val hTerm = ((col(mCol).cast("double") / nD) *
+        log(nD / col(mCol).cast("double"))).cast(DEC)
+      marg.crossJoin(broadcast(tot))
+        .agg(coalesce(sum(hTerm), lit(0).cast(DEC)).as(outCol),
+          count(lit(1)).as(cntCol))
+    }
+    val ha = entropyOf(ra, "ra", "ha_d", "n_a")
+    val hb = entropyOf(cb, "cb", "hb_d", "n_b")
+    val out = tot.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+    val haD = col("ha_d").cast("double")
+    val hbD = col("hb_d").cast("double")
+    val miD = col("mi_d").cast("double")
+    out.select(
+      col("n"), col("n_cells"), col("n_a"), col("n_b"),
+      when(col("n") > 0L, round(haD, roundTo)).as("h_a"),
+      when(col("n") > 0L, round(hbD, roundTo)).as("h_b"),
+      when(col("n") > 0L, round(miD, roundTo)).as("mi"),
+      when(col("n") > 0L && col("ha_d") > 0 && col("hb_d") > 0,
+        round(miD / sqrt(haD * hbD), roundTo)).as("nmi"))
+  }
+
   /** DeLong paired ROC-AUC comparison (DeLong, DeLong & Clarke-Pearson
     * 1988) — the RANKING-level companion of [[mcnemar]]: McNemar asks
     * whether gate B's thresholded DECISIONS beat gate A's on the same
@@ -1992,6 +2224,118 @@ object Quality {
       .select(col("segment").as(segmentCol), col("n_points"), col("n_pairs"),
         col("slope_num"), col("slope_den"), col("slope"),
         round(col("resid"), roundTo).as("intercept"))
+  }
+
+  /** Per-segment Mann–Kendall trend test (Mann 1945; Kendall 1975; the
+    * tie-corrected variance of Kendall 1975 §4) — the SIGNIFICANCE
+    * companion of [[theilSenBy]]: Theil–Sen answers "by how much per
+    * unit time", THIS answers "is the trend real or noise", with the
+    * same distribution-free pair census (no linearity or normality
+    * assumption — the standard pairing in every monitoring stack:
+    * Mann–Kendall decides, Theil–Sen quantifies).
+    *
+    * Math: S = Σ_{i<j by t} sgn(y_j − y_i) — an EXACT integer off the
+    * per-segment pair frame. Under H₀ (no trend), Var(S) =
+    * [n(n−1)(2n+5) − Σ_g m_g(m_g−1)(2m_g+5)] / 18 with m_g the tie-group
+    * sizes over y (Kendall's correction — without it, tied series
+    * over-reject). The 18·Var(S) numerator (`var18`) is emitted as the
+    * exact integer witness; z applies the standard continuity
+    * correction: z = (S−1)/√Var(S) for S>0, (S+1)/√Var(S) for S<0, 0 at
+    * S=0 — ONE fixed-order double chain with one IEEE sqrt. `trending`
+    * compares the UNROUNDED |z| to the two-sided normal 95% literal
+    * 1.959963984540054 (the [[mcnemar]] rule); `direction` reads the
+    * exact sign of S.
+    *
+    * Contract ([[theilSenBy]]'s, verbatim): t and y integral
+    * (fail-loud); ONE row per (segment, t) — duplicate timestamps raise
+    * (pre-aggregate first); segments need ≥ 2 points (absent
+    * otherwise); ≤ `maxPoints` per segment (fail-loud — the pair frame
+    * is points²). Guards: z/trending NULL when var18 = 0 (every y tied
+    * — no evidence, never a fabricated z); direction always emitted
+    * (the sign of S is data, not inference).
+    *
+    * Scale shape: the input is a per-(segment, t) AGGREGATE frame —
+    * model-sized by construction; the pair self-join and the tie census
+    * partition BY SEGMENT, bounded at points² per segment (the
+    * [[theilSenBy]] shape — segments test independently across the
+    * cluster). Output one row per segment:
+    * (segment, n_points, s_stat, var18, z, trending, direction). */
+  def mannKendallBy(
+      df: DataFrame,
+      segmentCol: String,
+      tCol: String,
+      yCol: String,
+      maxPoints: Int = 4096,
+      roundTo: Int = 6): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints $maxPoints must be >= 2")
+    Seq(tCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ByteType
+           | _: org.apache.spark.sql.types.ShortType
+           | _: org.apache.spark.sql.types.IntegerType
+           | _: org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"Quality.mannKendallBy: column '$c' must be integral (got $dt) — " +
+            "pre-quantize with an exact integer expression")
+      }
+    }
+    import org.apache.spark.sql.types.DoubleType
+    val W = org.apache.spark.sql.expressions.Window
+    val wSeg = W.partitionBy("segment")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val wDup = W.partitionBy(col("segment"), col("t"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val pts = df
+      .where(col(segmentCol).isNotNull && col(tCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(segmentCol).as("segment"), col(tCol).cast(LongType).as("t"),
+        col(yCol).cast(LongType).as("y"))
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn("n_points", count(lit(1)).over(wSeg))
+      .select(col("segment"), col("t"), col("n_points"),
+        when(col("__dup") === 1L && col("n_points") <= maxPoints, col("y"))
+          .otherwise(raise_error(concat(
+            lit("Quality.mannKendallBy: segment "), col("segment").cast("string"),
+            lit(s" violates the points contract (duplicate t or > $maxPoints " +
+              "points) — pre-aggregate to one row per (segment, t) and/or " +
+              "quantize t coarser")))).as("y"))
+    val a = pts.select(col("segment"), col("t").as("ta"), col("y").as("ya"),
+      col("n_points"))
+    val b = pts.select(col("segment"), col("t").as("tb"), col("y").as("yb"))
+    // S over every t-ordered pair exactly once; exact long
+    val sStat = a.join(b, Seq("segment")).where(col("ta") < col("tb"))
+      .groupBy("segment")
+      .agg(max(col("n_points")).as("n_points"),
+        coalesce(sum(signum(col("yb") - col("ya")).cast(LongType)), lit(0L))
+          .as("s_stat"))
+      .where(col("n_points") >= 2L)
+    // tie census over y: Σ m(m−1)(2m+5) — exact long (n ≤ maxPoints)
+    val ties = pts.groupBy(col("segment"), col("y"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy("segment")
+      .agg(coalesce(sum(col("m") * (col("m") - 1L) * (lit(2L) * col("m") + 5L)),
+        lit(0L)).as("tie18"))
+    val nL = col("n_points")
+    val var18 = nL * (nL - 1L) * (lit(2L) * nL + 5L) - col("tie18")
+    val varS = col("var18").cast(DoubleType) / lit(18.0)
+    // continuity-corrected z: one fixed-order chain, one IEEE sqrt
+    val zRaw = when(col("s_stat") > 0L,
+        (col("s_stat") - 1L).cast(DoubleType) / sqrt(varS))
+      .when(col("s_stat") < 0L,
+        (col("s_stat") + 1L).cast(DoubleType) / sqrt(varS))
+      .otherwise(lit(0.0))
+    val crit = lit(1.959963984540054)
+    sStat.join(ties, Seq("segment"))
+      .withColumn("var18", var18)
+      .select(
+        col("segment").as(segmentCol),
+        col("n_points"),
+        col("s_stat"),
+        col("var18"),
+        when(col("var18") > 0L, round(zRaw, roundTo)).as("z"),
+        when(col("var18") > 0L, abs(zRaw) > crit).as("trending"),
+        when(col("s_stat") > 0L, "up").when(col("s_stat") < 0L, "down")
+          .otherwise("flat").as("direction"))
   }
 
   /** Isotonic regression calibration (pool-adjacent-violators solution,

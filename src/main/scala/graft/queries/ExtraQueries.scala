@@ -4701,6 +4701,246 @@ object ExtraQueries extends QueryGroup {
     Some(graft.operators.Similarity.trainedBitextSql(
       "embeddings", k = 4, nProbe = 2, minCentroids = 16, minMargin = 1.02)))
 
+  val q260 = QueryDef(
+    "q260_mann_kendall_trend",
+    "per-event-type Mann-Kendall trend test of the daily count series " +
+      "(Mann 1945 / Kendall 1975 with the tie-corrected variance) - the " +
+      "SIGNIFICANCE companion of q247's Theil-Sen: Theil-Sen says by " +
+      "how much per day, this says whether the trend is real or noise, " +
+      "distribution-free (no linearity/normality assumption - the " +
+      "standard monitoring pairing): S = exact integer pair census, " +
+      "var18 = n(n-1)(2n+5) - tie census emitted as the exact integer " +
+      "witness, continuity-corrected z through one fixed-order chain " +
+      "with one IEEE sqrt, two-sided at the full-digit normal literal",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      graft.operators.Quality.mannKendallBy(daily, "event_type", "day", "n")
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT event_type,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2),
+            pts AS (SELECT event_type AS segment, day AS t, n AS y FROM d),
+            np AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_points
+                   FROM pts GROUP BY 1),
+            s AS (SELECT a.segment,
+                    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END), 0) AS BIGINT)
+                      AS s_stat
+                  FROM pts a JOIN pts b
+                    ON a.segment = b.segment AND a.t < b.t
+                  GROUP BY 1),
+            ties AS (SELECT segment,
+                    CAST(COALESCE(SUM(m * (m - 1) * (2 * m + 5)), 0) AS BIGINT)
+                      AS tie18
+                  FROM (SELECT segment, y, CAST(COUNT(*) AS BIGINT) AS m
+                        FROM pts GROUP BY 1, 2) GROUP BY 1),
+            fin AS (SELECT np.segment, np.n_points, s.s_stat,
+                    np.n_points * (np.n_points - 1) * (2 * np.n_points + 5)
+                      - ties.tie18 AS var18
+                  FROM np JOIN s USING (segment) JOIN ties USING (segment)
+                  WHERE np.n_points >= 2),
+            z AS (SELECT segment, n_points, s_stat, var18,
+                    CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) /
+                           SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) /
+                           SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                         ELSE 0.0 END AS zr
+                  FROM fin)
+            SELECT segment AS event_type, n_points, s_stat, var18,
+              CASE WHEN var18 > 0 THEN ROUND(zr, 6) END AS z,
+              CASE WHEN var18 > 0 THEN ABS(zr) > 1.959963984540054 END
+                AS trending,
+              CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+                ELSE 'flat' END AS direction
+            FROM z ORDER BY event_type"""))
+
+  val q261 = QueryDef(
+    "q261_chi_squared_residuals",
+    "per-category drift LOCALIZATION + effect size for the 2xC " +
+      "homogeneity setting - the follow-up q257's global chi-squared " +
+      "leaves open (THE mix shifted vs WHICH category moved): " +
+      "Haberman's adjusted standardized residual per source between " +
+      "the n_chars-parity halves (reduced to the exact-integer d " +
+      "numerator over one fixed-order chain with one IEEE sqrt, " +
+      "asymptotically N(0,1) under homogeneity, flagged UNADJUSTED at " +
+      "the two-sided 95% literal - feed bhFdr when C is large), the " +
+      "category's chi-squared share (decimal-accumulated terms), and " +
+      "Cramer's V = sqrt(chi2/N) - the N-free effect size a raw chi2 " +
+      "is not; the n_chars-parity side split does NOT alias with the " +
+      "modulus source assignment (unlike q257's registered " +
+      "maximal-drift id-parity pitfall), so the registered answer is " +
+      "near-null - the honest complement",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .where(col("n_chars").isNotNull)
+        .select(col("source"), (col("n_chars") % 2 === 0).as("side"))
+      graft.operators.Quality.chiSquaredResiduals(d, "source", "side")
+        .orderBy("source")
+    },
+    Some("""WITH base AS (SELECT source AS cat, n_chars % 2 = 0 AS s
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            cells AS (SELECT cat,
+                    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS c2
+                  FROM base GROUP BY cat),
+            tots AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+                    CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n2,
+                    CAST(COUNT(*) AS BIGINT) AS cats FROM cells),
+            termed AS (SELECT cat, c1, c2, c1 + c2 AS t_j,
+                    c1 * n2 - c2 * n1 AS d, n1, n2, cats,
+                    CAST(CAST(c1 * n2 - c2 * n1 AS DOUBLE) *
+                         CAST(c1 * n2 - c2 * n1 AS DOUBLE) /
+                         CAST(c1 + c2 AS DOUBLE) AS DECIMAL(38,6)) AS term
+                  FROM cells CROSS JOIN tots),
+            gl AS (SELECT COALESCE(SUM(term), 0) AS tsum FROM termed),
+            fin AS (SELECT t.*, g.tsum,
+                    CAST(t.n1 + t.n2 AS DOUBLE) AS ntot
+                  FROM termed t CROSS JOIN gl g),
+            r AS (SELECT cat, c1, c2, d, n1, n2, cats, term, tsum, ntot,
+                    CAST(d AS DOUBLE) /
+                      SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                        (CAST(t_j AS DOUBLE) * (ntot - CAST(t_j AS DOUBLE))) /
+                        ntot) AS resid,
+                    CAST(tsum AS DOUBLE) /
+                      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS chi2
+                  FROM fin)
+            SELECT cat AS source, c1, c2, d,
+              CASE WHEN n1 > 0 AND n2 > 0 AND cats > 1
+                THEN ROUND(resid, 6) END AS adj_residual,
+              CASE WHEN n1 > 0 AND n2 > 0 AND cats > 1
+                THEN ABS(resid) > 1.959963984540054 END AS moved,
+              CASE WHEN n1 > 0 AND n2 > 0 AND cats > 1 AND tsum > 0
+                THEN ROUND(CAST(term AS DOUBLE) / CAST(tsum AS DOUBLE), 6)
+                END AS chi2_share,
+              CASE WHEN n1 > 0 AND n2 > 0 AND cats > 1
+                THEN ROUND(SQRT(chi2 / ntot), 6) END AS cramers_v
+            FROM r ORDER BY source"""))
+
+  val q262 = QueryDef(
+    "q262_mutual_information",
+    "mutual information + NMI between source and lang (Shannon 1948; " +
+      "Strehl-Ghosh 2002 geometric-mean normalization) - the " +
+      "ASSOCIATION member of the categorical family (q257 tests one " +
+      "attribute across two snapshots; this measures how strongly two " +
+      "attributes of ONE corpus determine each other - the 'is this " +
+      "metadata column redundant' / stratification-design / cluster-vs-" +
+      "label quantity): all counts exact longs off one corpus pass, " +
+      "every term one fixed-order chain with one LN, Decimal(38,12) " +
+      "accumulation (order-insensitive at MI's small magnitudes), NMI " +
+      "NULL when either entropy is 0; the fixture assigns source and " +
+      "lang near-independently so the registered MI is near zero - " +
+      "the honest null (dependence behavior is spec-pinned)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Quality.mutualInfoCategorical(d, "source", "lang")
+    },
+    Some("""WITH base AS (SELECT source AS a, lang AS b FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL),
+            cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM base GROUP BY 1, 2),
+            ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra
+                  FROM cells GROUP BY 1),
+            cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb
+                  FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+            mi AS (SELECT COALESCE(SUM(CAST(
+                    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                    LN((CAST(n AS DOUBLE) * CAST(c AS DOUBLE)) /
+                       (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+                  AS DECIMAL(38,12))), 0) AS mi_d
+                FROM cells JOIN ra USING (a) JOIN cb USING (b)
+                  CROSS JOIN tot),
+            ha AS (SELECT COALESCE(SUM(CAST(
+                    (CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)) *
+                    LN(CAST(n AS DOUBLE) / CAST(ra AS DOUBLE))
+                  AS DECIMAL(38,12))), 0) AS ha_d,
+                  CAST(COUNT(*) AS BIGINT) AS n_a
+                FROM ra CROSS JOIN tot),
+            hb AS (SELECT COALESCE(SUM(CAST(
+                    (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+                    LN(CAST(n AS DOUBLE) / CAST(cb AS DOUBLE))
+                  AS DECIMAL(38,12))), 0) AS hb_d,
+                  CAST(COUNT(*) AS BIGINT) AS n_b
+                FROM cb CROSS JOIN tot)
+            SELECT n, n_cells, n_a, n_b,
+              CASE WHEN n > 0 THEN ROUND(CAST(ha_d AS DOUBLE), 6) END AS h_a,
+              CASE WHEN n > 0 THEN ROUND(CAST(hb_d AS DOUBLE), 6) END AS h_b,
+              CASE WHEN n > 0 THEN ROUND(CAST(mi_d AS DOUBLE), 6) END AS mi,
+              CASE WHEN n > 0 AND ha_d > 0 AND hb_d > 0
+                THEN ROUND(CAST(mi_d AS DOUBLE) /
+                  SQRT(CAST(ha_d AS DOUBLE) * CAST(hb_d AS DOUBLE)), 6)
+                END AS nmi
+            FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""))
+
+  val q263 = QueryDef(
+    "q263_jensen_shannon_drift",
+    "Jensen-Shannon divergence of the LANG mix between the doc_id-" +
+      "parity halves (Lin 1991; Endres-Schindelin 2003 sqrt metric) - " +
+      "the BOUNDED-MEASURE member of the drift family (q257 chi-" +
+      "squared answers 'is the shift real' and grows with N; q261 " +
+      "Cramer's V sizes it; THIS is the information distance a " +
+      "dashboard thresholds on - symmetric, finite on zero cells " +
+      "where KL/PSI blow up, jsd in [0, ln 2], sqrt(jsd/ln2) in [0,1] " +
+      "a true metric): counts exact longs, each signed half-term one " +
+      "fixed-order chain with one LN into Decimal(38,12) order-" +
+      "insensitive accumulation, zero counts contribute exactly 0, " +
+      "the sum clamped at 0 before the sqrt; lang does not alias with " +
+      "id parity so the registered answer is near zero - honest; " +
+      "deliberately NO significance flag (JSD's null is not " +
+      "distribution-free - q257 is the test, this the measure)",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), (col("doc_id") % 2 === 0).as("side"))
+      graft.operators.Quality.jensenShannonDrift(d, "lang", "side")
+    },
+    Some("""WITH base AS (SELECT lang AS cat,
+                    CASE WHEN doc_id % 2 = 0 THEN TRUE ELSE FALSE END AS s
+                  FROM documents WHERE lang IS NOT NULL),
+            cells AS (SELECT cat,
+                    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS c2
+                  FROM base GROUP BY cat),
+            tots AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+                    CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n2 FROM cells),
+            termed AS (SELECT
+                    (CASE WHEN c1 > 0 THEN 0.5 *
+                      (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+                      LN(2.0 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+                        ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+                         (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+                      ELSE 0.0 END) +
+                    (CASE WHEN c2 > 0 THEN 0.5 *
+                      (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+                      LN(2.0 * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+                        ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+                         (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+                      ELSE 0.0 END) AS term
+                  FROM cells CROSS JOIN tots),
+            agg AS (SELECT
+                    COALESCE(SUM(CAST(term AS DECIMAL(38,12))), 0) AS jsd_d,
+                    CAST(COUNT(*) AS BIGINT) AS cats FROM termed),
+            fin AS (SELECT t.n1, t.n2, a.cats,
+                    GREATEST(CAST(a.jsd_d AS DOUBLE), 0.0) AS jsd
+                  FROM agg a CROSS JOIN tots t)
+            SELECT n1, n2, cats AS categories,
+              CASE WHEN n1 > 0 AND n2 > 0 THEN ROUND(jsd, 6) END AS jsd,
+              CASE WHEN n1 > 0 AND n2 > 0
+                THEN ROUND(jsd / 0.6931471805599453, 6) END AS jsd_norm,
+              CASE WHEN n1 > 0 AND n2 > 0
+                THEN ROUND(SQRT(jsd / 0.6931471805599453), 6) END AS js_dist
+            FROM fin"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -4710,5 +4950,5 @@ object ExtraQueries extends QueryGroup {
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
-      q258, q259)
+      q258, q259, q260, q261, q262, q263)
 }

@@ -1184,6 +1184,126 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  test("mannKendallBy: hand case, sequential reference with ties, all-tied NULL, contracts") {
+    val sp = spark; import sp.implicits._
+    // strictly increasing n=5: S = C(5,2) = 10, no ties -> var18 = 5*4*15
+    // = 300, z = (10-1)/sqrt(300/18) = 9/sqrt(16.666..), trending
+    val up = (0 to 4).map(t => ("a", t.toLong, t.toLong * 2L))
+    val got = Quality.mannKendallBy(up.toDF("seg", "t", "y"), "seg", "t", "y")
+      .collect().head
+    assert(got.getLong(1) === 5L && got.getLong(2) === 10L &&
+      got.getLong(3) === 300L)
+    val zWant = 9.0 / math.sqrt(300.0 / 18.0)
+    assert(math.abs(got.getDouble(4) - zWant) < 1e-6)
+    assert(got.getBoolean(5) === (math.abs(zWant) > 1.959963984540054))
+    assert(got.getString(6) === "up")
+    // sequential reference on random tied data, two segments
+    val rnd = new scala.util.Random(23)
+    val rows = for (seg <- Seq("p", "q"); t <- 1 to 30) yield
+      (seg, t.toLong * 3L, rnd.nextInt(8).toLong) // heavy y ties
+    def ref(pts: Seq[(Long, Long)]): (Long, Long, Long, Option[Double]) = {
+      val srt = pts.sortBy(_._1)
+      val s = (for { i <- srt.indices; j <- srt.indices if i < j }
+        yield java.lang.Long.signum(srt(j)._2 - srt(i)._2).toLong).sum
+      val n = pts.size.toLong
+      val tie18 = pts.groupBy(_._2).values.map(_.size.toLong)
+        .map(m => m * (m - 1) * (2 * m + 5)).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie18
+      val z = if (var18 > 0) Some {
+        val v = math.sqrt(var18.toDouble / 18.0)
+        val raw = if (s > 0) (s - 1).toDouble / v
+          else if (s < 0) (s + 1).toDouble / v else 0.0
+        BigDecimal.valueOf(raw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      } else None
+      (n, s, var18, z)
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quality.mannKendallBy(d, "seg", "t", "y").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val g2 = run(rows.toDF("seg", "t", "y"))
+    Seq("p", "q").foreach { seg =>
+      val want = ref(rows.filter(_._1 == seg).map(r => (r._2, r._3)))
+      assert(g2(seg) === want, s"segment $seg sequential-reference equality")
+    }
+    assert(run(rows.reverse.toDF("seg", "t", "y").repartition(7)) === g2,
+      "partition invariance")
+    // all y tied: S = 0, var18 = 0 -> z/trending NULL, direction flat
+    val flat = Quality.mannKendallBy(
+      (1 to 6).map(t => ("f", t.toLong, 9L)).toDF("seg", "t", "y"),
+      "seg", "t", "y").collect().head
+    assert(flat.getLong(2) === 0L && flat.getLong(3) === 0L &&
+      flat.isNullAt(4) && flat.isNullAt(5) && flat.getString(6) === "flat")
+    // duplicate t raises; non-integral raises; single point absent
+    val dup = intercept[Exception] {
+      Quality.mannKendallBy(
+        Seq(("a", 1L, 1L), ("a", 1L, 2L), ("a", 2L, 3L)).toDF("seg", "t", "y"),
+        "seg", "t", "y").collect()
+    }
+    assert(dup.getMessage.contains("points contract") ||
+      Option(dup.getCause).exists(_.getMessage.contains("points contract")))
+    intercept[IllegalArgumentException] {
+      Quality.mannKendallBy(Seq(("a", 1L, 1.0)).toDF("seg", "t", "y"),
+        "seg", "t", "y")
+    }
+    assert(!run((rows :+ (("solo", 1L, 5L))).toDF("seg", "t", "y"))
+      .contains("solo"))
+  }
+
+  test("mutualInfoCategorical: bijection NMI 1, exact independence 0, brute reference, guards") {
+    val sp = spark; import sp.implicits._
+    // bijection: MI = H(A) = H(B), NMI = 1 exactly
+    val bij = Seq.fill(3)(("x", "u")) ++ Seq.fill(5)(("y", "v")) ++
+      Seq.fill(2)(("z", "w"))
+    val gb = Quality.mutualInfoCategorical(bij.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(gb.getAs[Long]("n") === 10L && gb.getAs[Long]("n_cells") === 3L)
+    assert(gb.getAs[Double]("mi") === gb.getAs[Double]("h_a"))
+    assert(gb.getAs[Double]("h_a") === gb.getAs[Double]("h_b"))
+    assert(math.abs(gb.getAs[Double]("nmi") - 1.0) < 1e-9)
+    // exact product table: every cell term is ln(1) = 0 -> MI = 0
+    val ind = for { (a, ra) <- Seq(("x", 2), ("y", 3));
+                    (b, cb) <- Seq(("u", 1), ("v", 4)) }
+      yield Seq.fill(ra * cb)((a, b))
+    val gi = Quality.mutualInfoCategorical(
+      ind.flatten.toDF("a", "b"), "a", "b").collect().head
+    assert(gi.getAs[Double]("mi") === 0.0 && gi.getAs[Double]("nmi") === 0.0)
+    // brute sequential reference on an irregular table
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((s"a${rnd.nextInt(5)}", s"b${rnd.nextInt(3)}"))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = rows.size.toDouble
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toDouble)
+    val raM = rows.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val cbM = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    def dec12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val miRef = cells.map { case ((a, b), c) =>
+      dec12((c / n) * math.log(n * c / (raM(a) * cbM(b)))) }.sum.toDouble
+    val haRef = raM.values.map(m => dec12((m / n) * math.log(n / m))).sum.toDouble
+    val hbRef = cbM.values.map(m => dec12((m / n) * math.log(n / m))).sum.toDouble
+    val gr = Quality.mutualInfoCategorical(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(gr.getAs[Double]("mi") === r6(miRef))
+    assert(gr.getAs[Double]("h_a") === r6(haRef))
+    assert(gr.getAs[Double]("nmi") === r6(miRef / math.sqrt(haRef * hbRef)))
+    // partition invariance (decimal accumulation)
+    val gp = Quality.mutualInfoCategorical(
+      rows.reverse.toDF("a", "b").repartition(11), "a", "b").collect().head
+    assert(gp.getAs[Double]("mi") === gr.getAs[Double]("mi") &&
+      gp.getAs[Double]("nmi") === gr.getAs[Double]("nmi"))
+    // constant column: H(B) = 0 -> NMI NULL, MI 0; nulls filtered
+    val const = Quality.mutualInfoCategorical(
+      Seq(("x", "k"), ("y", "k"), (null, "k"), ("x", null)).toDF("a", "b"),
+      "a", "b").collect().head
+    assert(const.getAs[Long]("n") === 2L)
+    assert(const.getAs[Double]("h_b") === 0.0 &&
+      const.getAs[Double]("mi") === 0.0 &&
+      const.isNullAt(const.fieldIndex("nmi")))
+  }
+
   test("mcnemar: textbook discordant split; direction; zero-discordant NULL; invariance") {
     val sp = spark; import sp.implicits._
     // classic: b01 = 15 (B corrects A), b10 = 5 -> chi2 = 100/20 = 5 >

@@ -4941,6 +4941,183 @@ object ExtraQueries extends QueryGroup {
                 THEN ROUND(SQRT(jsd / 0.6931471805599453), 6) END AS js_dist
             FROM fin"""))
 
+  val q264 = QueryDef(
+    "q264_kaplan_meier_conversion",
+    "Kaplan-Meier product-limit time-to-conversion curve with " +
+      "Greenwood 95% CI (Kaplan-Meier 1958; Greenwood 1926) - the " +
+      "right-censored time-to-event member of the analytics tier: " +
+      "duration = days from a user's first event to their first HIGH-" +
+      "VALUE purchase (value > 200); users who never convert are " +
+      "CENSORED at their last active day - they leave the risk set " +
+      "without stepping the curve (dropping them or counting them as " +
+      "events biases the naive rate in opposite directions; ~20% of " +
+      "the fixture's users convert, so censoring is structural, not " +
+      "an edge case); risk sets exact cumulative longs over the " +
+      "distinct-duration cells frame, each factor one exact-long " +
+      "division, the product accumulated in LOG space as " +
+      "Decimal(38,12) (order-insensitive - never a float product " +
+      "chain), S = exp(cumsum), Greenwood terms likewise, absorbing " +
+      "n=d edge emits exactly 0 with NULL se",
+    (s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"),
+          min(when(col("event_type") === "purchase" && col("value") > 200.0,
+            col("day"))).as("pd"))
+      val base = ud.select(
+        (coalesce(col("pd"), col("ld")) - col("fd")).as("dur"),
+        col("pd").isNotNull.as("ev"))
+      graft.operators.Survival.kaplanMeier(base, "dur", "ev")
+        .orderBy("t")
+    },
+    Some("""WITH ud AS (SELECT user_id,
+                    MIN(epoch_us(ts) // 86400000000) AS fd,
+                    MAX(epoch_us(ts) // 86400000000) AS ld,
+                    MIN(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN epoch_us(ts) // 86400000000 END) AS pd
+                  FROM events GROUP BY 1),
+            base AS (SELECT COALESCE(pd, ld) - fd AS t,
+                    pd IS NOT NULL AS ev FROM ud),
+            cells AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+                    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM base GROUP BY 1),
+            staged AS (SELECT t, m, d,
+                    CAST(SUM(m) OVER () AS BIGINT) -
+                      CAST(COALESCE(SUM(m) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS n_risk
+                  FROM cells),
+            evr AS (SELECT * FROM staged WHERE d > 0),
+            cum AS (SELECT t, m, d, n_risk,
+                    SUM(CASE WHEN n_risk > d THEN CAST(
+                        LN((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE)) /
+                           CAST(n_risk AS DOUBLE)) AS DECIMAL(38,12))
+                      ELSE CAST(0.0 AS DECIMAL(38,12)) END) OVER w AS ln_s,
+                    SUM(CASE WHEN n_risk > d THEN CAST(
+                        CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) *
+                          (CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE)))
+                        AS DECIMAL(38,12))
+                      ELSE CAST(0.0 AS DECIMAL(38,12)) END) OVER w AS g_cum,
+                    SUM(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER w
+                      AS zeros_through
+                  FROM evr
+                  WINDOW w AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            fin AS (SELECT t, n_risk, d, m - d AS censored_at, zeros_through,
+                    CASE WHEN zeros_through > 0 THEN 0.0
+                      ELSE EXP(CAST(ln_s AS DOUBLE)) END AS s,
+                    CASE WHEN zeros_through > 0 THEN 0.0
+                      ELSE EXP(CAST(ln_s AS DOUBLE)) END *
+                      SQRT(CAST(g_cum AS DOUBLE)) AS se_raw
+                  FROM cum)
+            SELECT t, n_risk, d, censored_at,
+              ROUND(s, 6) AS survival,
+              CASE WHEN zeros_through = 0 THEN ROUND(se_raw, 6) END AS se,
+              CASE WHEN zeros_through = 0 THEN
+                ROUND(GREATEST(s - 1.959963984540054 * se_raw, 0.0), 6)
+                END AS ci_lo,
+              CASE WHEN zeros_through = 0 THEN
+                ROUND(LEAST(s + 1.959963984540054 * se_raw, 1.0), 6)
+                END AS ci_hi
+            FROM fin ORDER BY t"""))
+
+  val q265 = QueryDef(
+    "q265_log_rank_test",
+    "two-sample log-rank test (Mantel 1966) on time-to-first-high-" +
+      "value-purchase between user-parity arms - the experiment-tier " +
+      "companion of q264's Kaplan-Meier curve (did the change move " +
+      "the time-to-event DISTRIBUTION; a means comparison is wrong " +
+      "twice over on censored arms): per pooled event time the O-E " +
+      "numerator d1*n - d*n1 is an exact long with ONE division, the " +
+      "hypergeometric variance one fixed-order chain with the n-1 " +
+      "guard, both accumulated as Decimal(38,12); z two-sided at the " +
+      "full-digit normal literal; parity arms are exchangeable so the " +
+      "registered answer is NOT significant - the honest null (the " +
+      "separation behavior is spec-pinned on planted arms)",
+    (s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"),
+          min(when(col("event_type") === "purchase" && col("value") > 200.0,
+            col("day"))).as("pd"))
+      val base = ud.select(
+        (coalesce(col("pd"), col("ld")) - col("fd")).as("dur"),
+        col("pd").isNotNull.as("ev"),
+        (col("user_id") % 2 === 1).as("treat"))
+      graft.operators.Survival.logRank(base, "dur", "ev", "treat")
+    },
+    Some("""WITH ud AS (SELECT user_id,
+                    MIN(epoch_us(ts) // 86400000000) AS fd,
+                    MAX(epoch_us(ts) // 86400000000) AS ld,
+                    MIN(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN epoch_us(ts) // 86400000000 END) AS pd
+                  FROM events GROUP BY 1),
+            base AS (SELECT COALESCE(pd, ld) - fd AS t,
+                    pd IS NOT NULL AS ev,
+                    user_id % 2 = 1 AS g FROM ud),
+            cells AS (SELECT t,
+                    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                    CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS m0,
+                    CAST(SUM(CASE WHEN g AND ev THEN 1 ELSE 0 END) AS BIGINT)
+                      AS d1,
+                    CAST(SUM(CASE WHEN NOT g AND ev THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d0
+                  FROM base GROUP BY 1),
+            staged AS (SELECT t, m1, m0, d1, d0,
+                    CAST(SUM(m1) OVER () AS BIGINT) AS nt1,
+                    CAST(SUM(m0) OVER () AS BIGINT) AS nt0,
+                    CAST(SUM(m1) OVER () AS BIGINT) -
+                      CAST(COALESCE(SUM(m1) OVER wb, 0) AS BIGINT) AS n1,
+                    CAST(SUM(m0) OVER () AS BIGINT) -
+                      CAST(COALESCE(SUM(m0) OVER wb, 0) AS BIGINT) AS n0
+                  FROM cells WINDOW wb AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            evr AS (SELECT *, n1 + n0 AS n, d1 + d0 AS d
+                  FROM staged WHERE d1 + d0 > 0),
+            terms AS (SELECT nt1, nt0, d1, d0,
+                    CAST(CAST(d1 * n - d * n1 AS DOUBLE) /
+                      CAST(n AS DOUBLE) AS DECIMAL(38,12)) AS oet,
+                    CAST(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) /
+                      CAST(n AS DOUBLE) AS DECIMAL(38,12)) AS et,
+                    CASE WHEN n > 1 THEN CAST(
+                        (CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) /
+                          CAST(n AS DOUBLE)) *
+                        ((CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) /
+                          CAST(n AS DOUBLE)) *
+                        ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) /
+                          (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(38,12))
+                      ELSE CAST(0.0 AS DECIMAL(38,12)) END AS vt
+                  FROM evr),
+            agg AS (SELECT MAX(nt1) AS n_treat, MAX(nt0) AS n_ctrl,
+                    CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS events_treat,
+                    CAST(COALESCE(SUM(d0), 0) AS BIGINT) AS events_ctrl,
+                    COALESCE(SUM(et), 0) AS e1_d,
+                    COALESCE(SUM(oet), 0) AS oe_d,
+                    COALESCE(SUM(vt), 0) AS v_d FROM terms)
+            SELECT n_treat, n_ctrl, events_treat, events_ctrl,
+              events_treat AS o_treat,
+              ROUND(CAST(e1_d AS DOUBLE), 6) AS e_treat,
+              ROUND(CAST(oe_d AS DOUBLE), 6) AS o_minus_e,
+              ROUND(CAST(v_d AS DOUBLE), 6) AS var_lr,
+              CASE WHEN v_d > 0 THEN ROUND(CAST(oe_d AS DOUBLE) /
+                SQRT(CAST(v_d AS DOUBLE)), 6) END AS z,
+              CASE WHEN v_d > 0 THEN ROUND(
+                (CAST(oe_d AS DOUBLE) / SQRT(CAST(v_d AS DOUBLE))) *
+                (CAST(oe_d AS DOUBLE) / SQRT(CAST(v_d AS DOUBLE))), 6)
+                END AS chi2,
+              CASE WHEN v_d > 0 THEN ABS(CAST(oe_d AS DOUBLE) /
+                SQRT(CAST(v_d AS DOUBLE))) > 1.959963984540054
+                END AS significant,
+              CASE WHEN v_d > 0 THEN CAST(oe_d AS DOUBLE) < 0.0
+                END AS treat_longer
+            FROM agg"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -4950,5 +5127,5 @@ object ExtraQueries extends QueryGroup {
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
-      q258, q259, q260, q261, q262, q263)
+      q258, q259, q260, q261, q262, q263, q264, q265)
 }

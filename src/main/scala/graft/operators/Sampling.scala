@@ -873,4 +873,128 @@ object Sampling {
           (col("s2") - (col("s1") * col("s1")) / col("b_used")) /
             (col("b_used") - lit(1L)), lit(0.0))), 6)).as("se_boot"))
   }
+
+  /** Fisher-style randomization test for a two-arm mean difference
+    * (Fisher 1935; the add-one p of Phipson & Smyth 2010) — the
+    * ASSUMPTION-FREE inference member of the experiment tier: the
+    * Welch z in [[graft.operators.Experiment.diffInDiff]]-class
+    * readouts leans on a normal approximation that is exactly wrong
+    * on the heavy-tailed, zero-inflated metrics corpora produce; the
+    * randomization test re-draws the ASSIGNMENT instead — under the
+    * strong null (treatment does nothing) every re-randomized
+    * |Δ_b| is exchangeable with the observed |Δ|, and
+    * p = (1 + #{|Δ_b| ≥ |Δ|}) / (1 + B) bounds the error exactly,
+    * no distributional assumption anywhere.
+    *
+    * Design note (documented, not hidden): each replicate re-assigns
+    * every unit by an independent fair coin — the RE-RANDOMIZATION
+    * test for Bernoulli(1/2) designs (exact when the real assignment
+    * was a coin flip / parity hash, asymptotically equivalent to the
+    * fixed-margin label permutation otherwise). Replicates drawing an
+    * empty arm drop (probability 2^{1−n} — toy n only), and b_used
+    * re-derives.
+    *
+    * Determinism (the [[poissonBootstrapMean]] discipline, zero RNG
+    * state): replicate b's coin for unit id is the PARITY of the
+    * [[avalanche]] uniform of id‖salt‖zeroPad3(b) — the digit fold
+    * extends a staged [[polyFold]], so the corpus hashes each key once
+    * and each replicate costs three fold steps + the mix. Exactness:
+    * values integral (fail-loud micro-score convention); per-(b, arm)
+    * sums exact Decimal(38,0); each Δ_b is ONE fixed-order double
+    * chain of exact operands; the tail count compares those exact
+    * doubles (identical cross-engine); `significant` is the EXACT
+    * integer rule 20·(1+b_ge) ≤ (1+b_used) ⇔ p ≤ 0.05 — no float
+    * threshold anywhere.
+    *
+    * Scale shape: the corpus is touched once as a narrow (hash, x,
+    * arm) projection; the ×B fan-out collapses map-side into 2B
+    * partial sums per partition (the bootstrap's shuffle shape — B·
+    * partitions rows at ANY corpus size); everything after is ≤B rows.
+    * Output ONE row: (n_treat, n_ctrl, mean_treat, mean_ctrl,
+    * delta_obs, b_used, b_ge, p_two, significant); all test columns
+    * NULL when either OBSERVED arm is empty or no replicate survives. */
+  def permutationMeanDiff(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      treatCol: String,
+      replicates: Int = 256,
+      salt: String = "perm",
+      roundTo: Int = 6): DataFrame = {
+    require(replicates >= 8 && replicates <= 999,
+      s"replicates $replicates outside [8, 999]")
+    require(salt.forall(_ < 0x80), s"non-ASCII salt '$salt' breaks the byte fold")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"permutationMeanDiff: value column '$valueCol' must be integral " +
+          s"(got $dt) — pre-quantize (round(x*1e6) micro-score convention)")
+    }
+    val DEC0 = DecimalType(38, 0)
+    val staged = df
+      .select(col(idCol).cast("string").as("k"),
+        col(valueCol).cast(LongType).as("x"), col(treatCol).as("g"))
+      .where(col("k").isNotNull && col("x").isNotNull && col("g").isNotNull)
+      .select(polyFold(concat(col("k"), lit(salt))).as("hf"),
+        col("x"), col("g"))
+    val base = staged.agg(
+      coalesce(sum(when(col("g"), 1L).otherwise(0L)), lit(0L)).as("n_t"),
+      coalesce(sum(when(!col("g"), 1L).otherwise(0L)), lit(0L)).as("n_c"),
+      coalesce(sum(when(col("g"), col("x")).otherwise(0L)).cast(DEC0),
+        lit(0).cast(DEC0)).as("sx_t"),
+      coalesce(sum(when(!col("g"), col("x")).otherwise(0L)).cast(DEC0),
+        lit(0).cast(DEC0)).as("sx_c"))
+    // replicate coin: parity of avalanche(id, salt + "%03d".format(b))
+    val f1 = (col("hf") * 31 + (expr("b DIV 100") + lit(48L))) % P
+    val f2 = (f1 * 31 + (expr("(b DIV 10) % 10") + lit(48L))) % P
+    val f3 = (f2 * 31 + (expr("b % 10") + lit(48L))) % P
+    val u = ((f3 + MixA) * (f3 + MixB)) % P
+    val arm = u % 2L === 1L
+    val reps = staged
+      .select(col("hf"), col("x"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .select(col("b"), col("x"), arm.as("a"))
+      .groupBy("b")
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("rt"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("rc"),
+        sum(when(col("a"), col("x")).otherwise(0L)).cast(DEC0).as("st"),
+        sum(when(!col("a"), col("x")).otherwise(0L)).cast(DEC0).as("sc"))
+      .where(col("rt") > 0L && col("rc") > 0L)
+      .select(col("b"),
+        (col("st").cast(DoubleType) / col("rt").cast(DoubleType) -
+          col("sc").cast(DoubleType) / col("rc").cast(DoubleType)).as("d"))
+    val obsD = col("sx_t").cast(DoubleType) / col("n_t").cast(DoubleType) -
+      col("sx_c").cast(DoubleType) / col("n_c").cast(DoubleType)
+    val withObs = reps.crossJoin(broadcast(
+      base.where(col("n_t") > 0L && col("n_c") > 0L)
+        .select(obsD.as("d_obs"))))
+    val tail = withObs.agg(
+      count(lit(1)).as("b_used"),
+      coalesce(sum(when(abs(col("d")) >= abs(col("d_obs")), 1L)
+        .otherwise(0L)), lit(0L)).as("b_ge"))
+    val out = base.crossJoin(broadcast(tail))
+    val tested = col("n_t") > 0L && col("n_c") > 0L && col("b_used") > 0L
+    out.select(
+      col("n_t").as("n_treat"), col("n_c").as("n_ctrl"),
+      when(col("n_t") > 0L, round(
+        col("sx_t").cast(DoubleType) / col("n_t").cast(DoubleType), roundTo))
+        .as("mean_treat"),
+      when(col("n_c") > 0L, round(
+        col("sx_c").cast(DoubleType) / col("n_c").cast(DoubleType), roundTo))
+        .as("mean_ctrl"),
+      when(col("n_t") > 0L && col("n_c") > 0L, round(obsD, roundTo))
+        .as("delta_obs"),
+      when(tested, col("b_used")).as("b_used"),
+      when(tested, col("b_ge")).as("b_ge"),
+      when(tested, round((col("b_ge") + lit(1L)).cast(DoubleType) /
+        (col("b_used") + lit(1L)).cast(DoubleType), roundTo)).as("p_two"),
+      when(tested,
+        lit(20L) * (col("b_ge") + lit(1L)) <= col("b_used") + lit(1L))
+        .as("significant"))
+  }
 }

@@ -5118,6 +5118,98 @@ object ExtraQueries extends QueryGroup {
                 END AS treat_longer
             FROM agg"""))
 
+  val q266 = QueryDef(
+    "q266_permutation_test",
+    "Fisher-style randomization test for the per-user total-value " +
+      "difference between parity arms (Fisher 1935; add-one p of " +
+      "Phipson-Smyth 2010) - the ASSUMPTION-FREE inference member of " +
+      "the experiment tier (the Welch z leans on normality that heavy-" +
+      "tailed zero-inflated metrics violate; re-drawing the ASSIGNMENT " +
+      "bounds the error exactly under the strong null): 256 replicate " +
+      "coins = parity of the avalanche uniform of id||salt||b - zero " +
+      "RNG state, the q244 bootstrap discipline; per-(b, arm) sums " +
+      "exact DECIMAL(38,0), each delta one fixed-order double chain, " +
+      "tail count compares identical doubles, significance the EXACT " +
+      "integer rule 20*(1+b_ge) <= (1+b_used); parity arms are " +
+      "exchangeable so the registered answer is NOT significant - the " +
+      "honest null (planted-shift power is spec-pinned)",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ud = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(col("value").cast(DecimalType(30, 6))) * 1000000)
+          .cast(LongType).as("vmicro"))
+        .select(col("user_id"), col("vmicro"),
+          (col("user_id") % 2 === 1).as("treat"))
+      graft.operators.Sampling.permutationMeanDiff(
+        ud, "user_id", "vmicro", "treat", replicates = 256)
+    },
+    Some(s"""WITH s AS (SELECT CAST(user_id AS VARCHAR) AS k,
+                    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000
+                      AS BIGINT) AS x,
+                    user_id % 2 = 1 AS g
+                  FROM events GROUP BY user_id),
+            h AS MATERIALIZED (SELECT x, g, ${H.oPolyFold("k", "perm")} AS hp
+                  FROM s),
+            base AS (SELECT
+                    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                    CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+                    COALESCE(SUM(CASE WHEN g
+                      THEN CAST(x AS DECIMAL(38,0)) END), 0) AS sx_t,
+                    COALESCE(SUM(CASE WHEN NOT g
+                      THEN CAST(x AS DECIMAL(38,0)) END), 0) AS sx_c
+                  FROM s),
+            rep AS (SELECT x, hp, UNNEST(range(0, 256)) AS b FROM h),
+            f AS (SELECT x, b,
+                    ((((((hp * 31 + (48 + (b // 100))) % 1000000007) * 31 +
+                        (48 + ((b // 10) % 10))) % 1000000007) * 31 +
+                      (48 + (b % 10))) % 1000000007) AS f3
+                  FROM rep),
+            uu AS (SELECT x, b,
+                    ((f3 + 479001599) * (f3 + 987654323)) % 1000000007 AS u
+                  FROM f),
+            aa AS (SELECT b, x, (u % 2 = 1) AS a FROM uu),
+            reps AS (SELECT b,
+                    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS rt,
+                    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS rc,
+                    COALESCE(SUM(CASE WHEN a
+                      THEN CAST(x AS DECIMAL(38,0)) END), 0) AS st,
+                    COALESCE(SUM(CASE WHEN NOT a
+                      THEN CAST(x AS DECIMAL(38,0)) END), 0) AS sc
+                  FROM aa GROUP BY b
+                  HAVING SUM(CASE WHEN a THEN 1 ELSE 0 END) > 0
+                    AND SUM(CASE WHEN a THEN 0 ELSE 1 END) > 0),
+            dd AS (SELECT b,
+                    CAST(st AS DOUBLE) / CAST(rt AS DOUBLE) -
+                      CAST(sc AS DOUBLE) / CAST(rc AS DOUBLE) AS d
+                  FROM reps),
+            obs AS (SELECT CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+                      CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS d_obs
+                  FROM base WHERE n_t > 0 AND n_c > 0),
+            tail AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_used,
+                    CAST(COALESCE(SUM(CASE WHEN ABS(d) >= ABS(d_obs)
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS b_ge
+                  FROM dd CROSS JOIN obs)
+            SELECT n_t AS n_treat, n_c AS n_ctrl,
+              CASE WHEN n_t > 0 THEN ROUND(CAST(sx_t AS DOUBLE) /
+                CAST(n_t AS DOUBLE), 6) END AS mean_treat,
+              CASE WHEN n_c > 0 THEN ROUND(CAST(sx_c AS DOUBLE) /
+                CAST(n_c AS DOUBLE), 6) END AS mean_ctrl,
+              CASE WHEN n_t > 0 AND n_c > 0 THEN ROUND(
+                CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+                CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+                END AS delta_obs,
+              CASE WHEN n_t > 0 AND n_c > 0 AND b_used > 0
+                THEN b_used END AS b_used,
+              CASE WHEN n_t > 0 AND n_c > 0 AND b_used > 0
+                THEN b_ge END AS b_ge,
+              CASE WHEN n_t > 0 AND n_c > 0 AND b_used > 0 THEN ROUND(
+                CAST(b_ge + 1 AS DOUBLE) / CAST(b_used + 1 AS DOUBLE), 6)
+                END AS p_two,
+              CASE WHEN n_t > 0 AND n_c > 0 AND b_used > 0
+                THEN 20 * (b_ge + 1) <= b_used + 1 END AS significant
+            FROM base CROSS JOIN tail"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5127,5 +5219,5 @@ object ExtraQueries extends QueryGroup {
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
-      q258, q259, q260, q261, q262, q263, q264, q265)
+      q258, q259, q260, q261, q262, q263, q264, q265, q266)
 }

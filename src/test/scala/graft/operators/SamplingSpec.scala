@@ -596,6 +596,71 @@ class SamplingSpec extends SparkSpecBase {
       "seg", "id", "x"))
   }
 
+  test("permutationMeanDiff: sequential reference, planted-shift power, exchangeable p=1, guards") {
+    val s = spark
+    import s.implicits._
+    def coin(id: Long, b: Int): Boolean =
+      Sampling.avalancheJvm(id.toString, "perm" + f"$b%03d") % 2L == 1L
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(rows: Seq[(Long, Long, Boolean)], reps: Int)
+        : (Double, Long, Long) = {
+      val (t, c) = rows.partition(_._3)
+      val dObs = t.map(_._2).sum.toDouble / t.size -
+        c.map(_._2).sum.toDouble / c.size
+      val ds = (0 until reps).flatMap { b =>
+        val (rt, rc) = rows.partition(r => coin(r._1, b))
+        if (rt.isEmpty || rc.isEmpty) None
+        else Some(rt.map(_._2).sum.toDouble / rt.size -
+          rc.map(_._2).sum.toDouble / rc.size)
+      }
+      (dObs, ds.size.toLong, ds.count(d => math.abs(d) >= math.abs(dObs)).toLong)
+    }
+    // planted shift: treated units carry +500 — must separate at B=64
+    val planted = (1L to 120L).map(i =>
+      (i, (i % 9) * 10L + (if (i % 2 == 1) 500L else 0L), i % 2 == 1))
+    val gp = Sampling.permutationMeanDiff(planted.toDF("id", "x", "g"),
+      "id", "x", "g", replicates = 64).collect().head
+    val (dObs, bUsed, bGe) = ref(planted, 64)
+    assert(gp.getAs[Double]("delta_obs") === r6(dObs))
+    assert(gp.getAs[Long]("b_used") === bUsed &&
+      gp.getAs[Long]("b_ge") === bGe, "sequential hash-replay equality")
+    assert(gp.getAs[Double]("p_two") ===
+      r6((bGe + 1).toDouble / (bUsed + 1).toDouble))
+    assert(gp.getAs[Boolean]("significant"),
+      "a +500 shift on +-40 noise must reject")
+    assert(gp.getAs[Boolean]("significant") === (20 * (bGe + 1) <= bUsed + 1))
+    // exchangeable: both arms identical composition -> delta_obs = 0,
+    // every |d_b| >= 0 -> p exactly 1, never significant
+    val nullRows = (1L to 100L).map(i => (i, ((i / 2) % 5) * 7L, i % 2 == 1))
+    val gn = Sampling.permutationMeanDiff(nullRows.toDF("id", "x", "g"),
+      "id", "x", "g", replicates = 32).collect().head
+    assert(gn.getAs[Double]("delta_obs") === 0.0)
+    assert(gn.getAs[Double]("p_two") === 1.0 &&
+      !gn.getAs[Boolean]("significant"))
+    // partition invariance
+    val gp2 = Sampling.permutationMeanDiff(
+      planted.reverse.toDF("id", "x", "g").repartition(11),
+      "id", "x", "g", replicates = 64).collect().head
+    assert(gp2.getAs[Double]("p_two") === gp.getAs[Double]("p_two") &&
+      gp2.getAs[Long]("b_ge") === gp.getAs[Long]("b_ge"))
+    // one-arm input: all test columns NULL, counts live
+    val solo = Sampling.permutationMeanDiff(
+      Seq((1L, 5L, true), (2L, 7L, true)).toDF("id", "x", "g"),
+      "id", "x", "g").collect().head
+    assert(solo.getAs[Long]("n_treat") === 2L &&
+      solo.getAs[Long]("n_ctrl") === 0L)
+    assert(solo.isNullAt(solo.fieldIndex("p_two")) &&
+      solo.isNullAt(solo.fieldIndex("significant")) &&
+      solo.isNullAt(solo.fieldIndex("delta_obs")))
+    // contracts fail loud
+    intercept[IllegalArgumentException](Sampling.permutationMeanDiff(
+      Seq((1L, 1.0, true)).toDF("id", "x", "g"), "id", "x", "g"))
+    intercept[IllegalArgumentException](Sampling.permutationMeanDiff(
+      Seq((1L, 1L, true)).toDF("id", "x", "g"), "id", "x", "g",
+      replicates = 4))
+  }
+
   test("poissonBootstrapMean: constant column collapses the CI; contracts fail loud") {
     val s = spark
     import s.implicits._

@@ -2202,6 +2202,105 @@ object Similarity {
        |ORDER BY src_id, tgt_id""".stripMargin
   }
 
+  /** 8-bit UNIFORM scalar-quantized ANN (the FAISS `SQ8`/QT_8bit_uniform
+    * family, Jegou et al.'s scalar-quantizer baseline) — the
+    * COMPRESSION-tier member between raw brute force and PQ (L165/
+    * L177): one global symmetric scale maps every L2-normalized
+    * component into [−127, 127], so the stored index is 1 byte/dim
+    * (4× less scan/shuffle than float32), the candidate score is a
+    * PURE int64 dot of codes (exact, portable, SIMD-friendly — no ADC
+    * tables, no trained codebooks), and an exact re-rank of the topC
+    * restores true cosine order. Versus PQ: 8× more bytes/dim but NO
+    * training beyond one max-abs pass, no codebook drift, and a far
+    * tighter approximation per dim — the standard first step down the
+    * compression ladder.
+    *
+    * Exact-arithmetic discipline (the q90 quantized-space rule, so the
+    * WHOLE pipeline SQL-replays with zero float-order sensitivity):
+    * components quantize to vq = ROUND(x·10⁶) exact ints per row (no
+    * cross-component float sums anywhere); row norm² = Σvq² exact
+    * int64; the trained scale S = 127/max_corpus(max_d|vq_d|/√norm²)
+    * derives per row through one fixed-order chain (one IEEE sqrt) and
+    * reduces by MAX (order-free on doubles); codes = ⌊vq/√norm²·S +
+    * 0.5⌋ (the q205 floor convention); candidate score Σ c_p·c_n exact
+    * int64; the final re-rank is the q90 integer-cosine chain rounded
+    * `roundTo`. Zero-norm and NaN-bearing vectors drop (the [[withNorm]]
+    * contract, applied to the exact vq norm).
+    *
+    * Approximation contract: ranking by code dot prunes — recall < 1
+    * by construction (topC trades recall for candidate cost; topC ≥
+    * corpus degenerates to the exact quantized-cosine ranking,
+    * spec-asserted). Measure on YOUR corpus with the q111 harness —
+    * the registered fixture point is in the spec.
+    *
+    * Scale shape: the candidate stage broadcasts PROBE codes and
+    * streams corpus CODES only (1 byte/dim semantics — ids + two code
+    * arrays cross the scan, never raw vectors); the heap operator trims
+    * to topC per probe BEFORE the exchange; the re-rank joins the
+    * ≤topC·probes candidate frame back to the two vq frames by id —
+    * the corpus is never re-scanned. Output: (pid, rank, nid, sim,
+    * approx). */
+  def topKSq8(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      topC: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(topC >= k, s"topC $topC must be >= k $k")
+    import org.apache.spark.sql.types.LongType
+    def staged(df: DataFrame, id: String, pfx: String): DataFrame = df
+      // NaN/NULL-bearing vectors drop BEFORE the quantizing cast (ANSI
+      // raises on NaN→BIGINT; the withNorm drop contract, exact form)
+      .where(col(vecCol).isNotNull && !expr(
+        s"exists(CAST($vecCol AS ARRAY<DOUBLE>), x -> x IS NULL OR isnan(x))"))
+      .select(col(idCol).as(id),
+        expr(s"transform(CAST($vecCol AS ARRAY<DOUBLE>), " +
+          "x -> CAST(ROUND(x * 1000000) AS BIGINT))").as(s"${pfx}q"))
+      .withColumn(s"${pfx}n2",
+        expr(s"aggregate(${pfx}q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .where(col(s"${pfx}n2") > 0L)
+    val v = staged(corpus, "nid", "n")
+    val p = staged(probes, "pid", "p")
+    // trained scale: one max-abs pass over the corpus (model state)
+    val mx = v.select(
+      (expr("aggregate(nq, CAST(0 AS BIGINT), (acc, x) -> " +
+        "greatest(acc, abs(x)))").cast("double") /
+        sqrt(col("nn2").cast("double"))).as("ratio"))
+      .agg(max(col("ratio")).as("mxabs"))
+      .select((lit(127.0) / col("mxabs")).as("qs"))
+    def coded(df: DataFrame, pfx: String): DataFrame = df
+      .crossJoin(broadcast(mx))
+      .withColumn(s"${pfx}c",
+        expr(s"transform(${pfx}q, x -> CAST(floor(CAST(x AS DOUBLE) / " +
+          s"sqrt(CAST(${pfx}n2 AS DOUBLE)) * qs + 0.5d) AS BIGINT))"))
+      .drop("qs")
+    val vc = coded(v, "n").select(col("nid"), col("nc"))
+    val pc = coded(p, "p").select(col("pid"), col("pc"))
+    // candidate stage: codes only cross the scan — the 1 byte/dim point
+    val cand = broadcast(pc).crossJoin(vc)
+      .filter(col("pid") =!= col("nid"))
+      .withColumn("approx", graft.functions.VectorOps.dotLong(
+        col("pc"), col("nc")))
+    val trimmed = graft.plans.TopK.perKey(cand,
+        Seq(col("pid")), Seq(col("approx").desc, col("nid")), topC)
+      .select("pid", "nid", "approx")
+    // exact re-rank: the q90 integer-cosine chain over the vq frames
+    val rescored = trimmed
+      .join(p.select(col("pid"), col("pq"), col("pn2")), "pid")
+      .join(v.select(col("nid"), col("nq"), col("nn2")), "nid")
+      .withColumn("sim", round(
+        graft.functions.VectorOps.dotLong(col("pq"), col("nq"))
+          .cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("nn2").cast("double"))),
+        roundTo))
+    graft.plans.TopK.perKey(rescored,
+        Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
+      .select("pid", "rank", "nid", "sim", "approx")
+  }
+
   /** Full DuckDB replay of [[cellOccupancyTrained]] (training included) —
     * the q250 oracle. */
   def trainedOccupancySql(

@@ -5210,6 +5210,70 @@ object ExtraQueries extends QueryGroup {
                 THEN 20 * (b_ge + 1) <= b_used + 1 END AS significant
             FROM base CROSS JOIN tail"""))
 
+  val q267 = QueryDef(
+    "q267_sq8_ann_topk",
+    "8-bit uniform scalar-quantized ANN (the FAISS SQ8/QT_8bit_uniform " +
+      "family): top-5 neighbors for probes vec_id<10 via int64 dot of " +
+      "1-byte-per-dim codes (topC=32 candidates), exact quantized-" +
+      "cosine re-rank - the compression-tier member between brute " +
+      "force (q36) and PQ (q241/q256): 4x less scan/shuffle than " +
+      "float32 with NO trained codebooks (one max-abs pass is the " +
+      "whole training); the q90 quantized-space discipline end-to-end " +
+      "(components to exact ints first, every cross-row sum exact, " +
+      "scale/codes one fixed-order chain each) makes the ENTIRE " +
+      "pipeline - training included - SQL-replayable: a full-value " +
+      "oracle for the production geometry, not a degeneracy gate",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      graft.operators.Similarity.topKSq8(
+          v, v.filter(col("vec_id") < 10), k = 5, topC = 32)
+        .orderBy("pid", "rank")
+    },
+    Some("""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+            ex AS (SELECT vec_id, i AS pos,
+                    CAST(ROUND(e[i] * 1000000) AS BIGINT) AS vq
+                  FROM (SELECT vec_id, e,
+                          unnest(generate_series(1, len(e))) AS i FROM v0)),
+            n2 AS (SELECT vec_id, CAST(SUM(vq * vq) AS BIGINT) AS nn2,
+                    CAST(MAX(ABS(vq)) AS BIGINT) AS mxq
+                  FROM ex GROUP BY 1),
+            vv AS (SELECT * FROM n2 WHERE nn2 > 0),
+            mx AS (SELECT 127.0 / MAX(CAST(mxq AS DOUBLE) /
+                    SQRT(CAST(nn2 AS DOUBLE))) AS qs FROM vv),
+            codes AS (SELECT ex.vec_id, ex.pos,
+                    CAST(FLOOR(CAST(ex.vq AS DOUBLE) /
+                      SQRT(CAST(vv.nn2 AS DOUBLE)) * mx.qs + 0.5) AS BIGINT)
+                      AS c
+                  FROM ex JOIN vv USING (vec_id) CROSS JOIN mx),
+            ap AS (SELECT p.vec_id AS pid, n.vec_id AS nid,
+                    CAST(SUM(p.c * n.c) AS BIGINT) AS approx
+                  FROM codes p JOIN codes n ON p.pos = n.pos
+                    AND p.vec_id < 10 AND p.vec_id <> n.vec_id
+                  GROUP BY 1, 2),
+            tc AS (SELECT pid, nid, approx FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                      ORDER BY approx DESC, nid) AS rc FROM ap)
+                  WHERE rc <= 32),
+            dots AS (SELECT tc.pid, tc.nid, tc.approx,
+                    CAST(SUM(pe.vq * ne.vq) AS BIGINT) AS dot
+                  FROM tc
+                    JOIN ex pe ON pe.vec_id = tc.pid
+                    JOIN ex ne ON ne.vec_id = tc.nid AND ne.pos = pe.pos
+                  GROUP BY 1, 2, 3),
+            sims AS (SELECT d.pid, d.nid, d.approx,
+                    ROUND(CAST(d.dot AS DOUBLE) /
+                      (SQRT(CAST(pp.nn2 AS DOUBLE)) *
+                       SQRT(CAST(nn.nn2 AS DOUBLE))), 4) AS sim
+                  FROM dots d
+                    JOIN vv pp ON pp.vec_id = d.pid
+                    JOIN vv nn ON nn.vec_id = d.nid),
+            r AS (SELECT pid, nid, sim, approx,
+                    ROW_NUMBER() OVER (PARTITION BY pid
+                      ORDER BY sim DESC, nid) AS rank FROM sims)
+            SELECT pid, rank, nid, sim, approx
+            FROM r WHERE rank <= 5 ORDER BY pid, rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5219,5 +5283,5 @@ object ExtraQueries extends QueryGroup {
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
-      q258, q259, q260, q261, q262, q263, q264, q265, q266)
+      q258, q259, q260, q261, q262, q263, q264, q265, q266, q267)
 }

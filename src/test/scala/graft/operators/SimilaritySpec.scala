@@ -835,4 +835,70 @@ class SimilaritySpec extends SparkSpecBase {
     intercept[IllegalStateException](Similarity.kCenterSelect(df, k = 2))
     intercept[IllegalArgumentException](Similarity.kCenterSelect(df, k = 1))
   }
+
+  test("topKSq8: full sequential reference, code saturation, degeneracy, drops, invariance") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(83)
+    val n = 40; val dim = 8
+    val vecs = (0L until n.toLong).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def r0(x: Double) = BigDecimal.valueOf(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r4(x: Double) = BigDecimal.valueOf(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // sequential reference sharing every chain step
+    val vq = vecs.map { case (id, e) => id -> e.map(x => r0(x.toDouble * 1000000)) }.toMap
+    val n2 = vq.map { case (id, q) => id -> q.map(x => x * x).sum }
+    val ratio = vq.map { case (id, q) =>
+      id -> (q.map(math.abs).max.toDouble / math.sqrt(n2(id).toDouble)) }
+    val qs = 127.0 / ratio.values.max
+    val codes = vq.map { case (id, q) =>
+      id -> q.map(x => math.floor(x.toDouble / math.sqrt(n2(id).toDouble) * qs + 0.5).toLong) }
+    assert(codes.values.flatten.forall(c => math.abs(c) <= 127L),
+      "8-bit range")
+    assert(codes.values.flatten.map(math.abs).max === 127L,
+      "the max-abs component saturates the grid")
+    def refTopK(k: Int, topC: Int): Map[(Long, Long), (Long, Double, Long)] = {
+      (0L until 10L).flatMap { pid =>
+        val cand = (0L until n.toLong).filter(_ != pid).map { nid =>
+          (nid, codes(pid).zip(codes(nid)).map { case (a, b) => a * b }.sum)
+        }.sortBy { case (nid, ap) => (-ap, nid) }.take(topC)
+        val scored = cand.map { case (nid, ap) =>
+          val dot = vq(pid).zip(vq(nid)).map { case (a, b) => a * b }.sum
+          (nid, ap, r4(dot.toDouble /
+            (math.sqrt(n2(pid).toDouble) * math.sqrt(n2(nid).toDouble))))
+        }.sortBy { case (nid, _, sim) => (-sim, nid) }.take(k)
+        scored.zipWithIndex.map { case ((nid, ap, sim), r) =>
+          (pid, r.toLong + 1L) -> ((nid, sim, ap)) }
+      }.toMap
+    }
+    def run(topC: Int, d: org.apache.spark.sql.DataFrame = df) =
+      Similarity.topKSq8(d, d.filter(col("vec_id") < 10), k = 4, topC = topC)
+        .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("rank")) ->
+          ((r.getAs[Long]("nid"), r.getAs[Double]("sim"),
+            r.getAs[Long]("approx")))).toMap
+    val got = run(topC = 12)
+    assert(got === refTopK(4, 12), "production-geometry sequential equality")
+    // degeneracy: topC >= corpus == exact quantized-cosine ranking
+    assert(run(topC = n) === refTopK(4, n), "complete candidacy degeneracy")
+    // fixture recall@4 of the pruned geometry vs the exact ranking
+    val exactSets = refTopK(4, n).toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._1).toSet).toMap
+    val gotSets = got.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._1).toSet).toMap
+    val hits = exactSets.map { case (p, ex) =>
+      (gotSets.getOrElse(p, Set.empty) & ex).size }.sum
+    val total = exactSets.values.map(_.size).sum
+    assert(hits >= (total * 9) / 10,
+      s"fixture recall@4 at topC=12: $hits/$total")
+    // NaN and zero vectors drop; partition invariance
+    val dirty = (vecs :+ ((98L, Array.fill(dim)(0f))) :+
+      ((99L, Array.fill(dim)(Float.NaN)))).toDF("vec_id", "embedding")
+    assert(run(12, dirty.repartition(7)) === got,
+      "drop contract + partition invariance")
+    intercept[IllegalArgumentException](
+      Similarity.topKSq8(df, df, k = 5, topC = 2))
+  }
 }

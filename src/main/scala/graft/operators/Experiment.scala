@@ -108,6 +108,93 @@ object Experiment {
         round(col("llr_at_decision_raw"), roundTo).as("llr_at_decision"))
   }
 
+  /** Hodges–Lehmann two-sample shift estimator with the Mann–Whitney
+    * inversion CI (Hodges & Lehmann 1963; Moses' CI construction —
+    * the distribution-free interval from inverting the rank test) —
+    * the ROBUST effect-size member of the experiment tier: the Welch
+    * δ in [[diffInDiff]]-class readouts is a MEAN shift, dragged
+    * arbitrarily far by one outlier unit; HL = median of all m·n
+    * pairwise differences (treat − ctrl) estimates the location shift
+    * with a 29% breakdown point, and the CI comes from ORDER STATISTICS
+    * of the same differences — no variance estimate, no normality, the
+    * companion number a [[graft.operators.Quality.rocAuc]]-style rank
+    * test should always be quoted with ("significant, but by how
+    * much?").
+    *
+    * Exactness — the all-integer operator: values integral pre-
+    * quantized (the rocAuc contract; the quantization bounds the
+    * cells×cells pair frame, the [[graft.operators.Quality.kendallTau]]
+    * scale contract); every pairwise difference d = v_t − v_c is an
+    * exact long with multiplicity c_t·c_c (documented m·n < 2⁶³ bound);
+    * the estimate is the LOWER MEDIAN of the weighted difference
+    * multiset — an exact rank pick at (W+1) DIV 2 over the d-ordered
+    * cumulative weights (the theilSenBy convention), so shift/ci_lo/
+    * ci_hi are EXACT LONGS, no rounding anywhere in the output. The CI
+    * ranks use the standard large-sample inversion k = ⌊W/2 −
+    * z·√(W·(m+n+1)/12)⌋ (one fixed-order double chain with the
+    * 1.959963984540054 literal, floored to an exact rank; Lehmann
+    * 1975's normal approximation — documented); CI NULL when k < 1
+    * (too few pairs for a 95% interval — never a fabricated bound).
+    *
+    * Scale shape: ONE corpus pass per arm to value cells; the pair
+    * frame is cells_T×cells_C (quantization-bounded); one cumulative
+    * window over it (pmod constant-key — model-sized by contract); rank
+    * picks are single filtered aggregations. Output ONE row: (n_treat,
+    * n_ctrl, n_pairs, shift, ci_lo, ci_hi). */
+  def hodgesLehmann(
+      df: DataFrame,
+      valueCol: String,
+      treatCol: String): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Experiment.hodgesLehmann: value column '$valueCol' must be " +
+          s"integral (got $dt) — pre-quantize with an exact integer " +
+          "expression")
+    }
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val W = org.apache.spark.sql.expressions.Window
+    val base0 = df.where(col(valueCol).isNotNull && col(treatCol).isNotNull)
+      .select(col(valueCol).cast(LongType).as("v"), col(treatCol).as("g"))
+    val cellsT = base0.where(col("g")).groupBy(col("v").as("vt"))
+      .agg(count(lit(1)).as("ct"))
+    val cellsC = base0.where(!col("g")).groupBy(col("v").as("vc"))
+      .agg(count(lit(1)).as("cc"))
+    val counts = base0.agg(
+      coalesce(sum(when(col("g"), 1L).otherwise(0L)), lit(0L)).as("m"),
+      coalesce(sum(when(!col("g"), 1L).otherwise(0L)), lit(0L)).as("n"))
+    // rank targets: exact median rank; CI ranks via ONE floored chain
+    val wPairs = col("m") * col("n")
+    val wD = wPairs.cast(DoubleType)
+    val kloD = floor(wD / lit(2.0) - lit(1.959963984540054) *
+      sqrt(wD * (col("m") + col("n") + 1L).cast(DoubleType) / lit(12.0)))
+      .cast(LongType)
+    val ranks = counts.select(col("m"), col("n"), wPairs.as("w_pairs"),
+      expr("(m * n + 1) DIV 2").as("med_r"),
+      kloD.as("klo"))
+      .withColumn("khi", col("w_pairs") + 1L - col("klo"))
+    val pairs = cellsT.crossJoin(cellsC)
+      .select((col("vt") - col("vc")).as("d"), (col("ct") * col("cc")).as("w"))
+      .groupBy("d").agg(sum(col("w")).as("w"))
+    val wCum = W.partitionBy(pmod(col("d"), lit(1))).orderBy("d")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum = pairs.withColumn("cw", sum(col("w")).over(wCum))
+      .crossJoin(broadcast(ranks))
+    val picks = cum.agg(
+      min(when(col("cw") >= col("med_r"), col("d"))).as("shift"),
+      min(when(col("klo") >= 1L && col("cw") >= col("klo"), col("d")))
+        .as("ci_lo"),
+      min(when(col("klo") >= 1L && col("cw") >= col("khi"), col("d")))
+        .as("ci_hi"))
+    ranks.crossJoin(broadcast(picks))
+      .select(col("m").as("n_treat"), col("n").as("n_ctrl"),
+        col("w_pairs").as("n_pairs"),
+        col("shift"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** Difference-in-differences over a unit panel (the Card & Krueger
     * 1994 canonical design; ancestry to Snow 1855) — the QUASI-
     * experimental member of the experiment tier: [[cuped]] and [[sprt]]

@@ -2338,6 +2338,100 @@ object Quality {
           .otherwise("flat").as("direction"))
   }
 
+  /** Per-segment winsorized and trimmed means (Winsor's rule as
+    * formalized by Dixon 1960; Tukey & McLaughlin 1963 on the trimmed
+    * mean) — the ROBUST-AGGREGATION member of the quality tier: a raw
+    * per-source mean of any heavy-tailed metric (doc length, latency,
+    * spend) is owned by its top outlier; capping (winsorizing) or
+    * dropping (trimming) k elements per side is the standard
+    * pre-aggregation transform every metrics pipeline applies before
+    * comparing segments — and the k-element rule must be EXACT, or two
+    * engines cap different rows.
+    *
+    * Exactness — the all-integer rank discipline: values integral
+    * (fail-loud; the quantization bounds the per-segment cells frame);
+    * k = n·pctNum DIV pctDen is PURE integer arithmetic; the caps are
+    * exact rank picks over the v-ordered cumulative cell counts
+    * (lo = value at rank k+1, hi = value at rank n−k — the theilSenBy
+    * pick convention); the winsorized sum Σ c·clamp(v, lo, hi) and the
+    * trimmed sum (interior ranks only, partial cells split EXACTLY by
+    * rank overlap) accumulate as Decimal(38,0); each mean is ONE double
+    * division, rounded. Guards: trimmed mean NULL when n − 2k < 1
+    * (nothing left); k = 0 degenerates to the raw mean exactly;
+    * segments with no rows are absent.
+    *
+    * Scale shape: ONE corpus pass to per-(segment, v) cells; cumulative
+    * windows partition BY SEGMENT over the model-sized cells frame;
+    * caps broadcast back by segment equi-join. Output one row per
+    * segment: (segment, n, k_winsor, lo_cap, hi_cap, mean_raw,
+    * mean_winsor, mean_trimmed). */
+  def winsorizedMeanBy(
+      df: DataFrame,
+      segmentCol: String,
+      valueCol: String,
+      pctNum: Int = 1,
+      pctDen: Int = 20,
+      roundTo: Int = 6): DataFrame = {
+    require(pctNum >= 1 && pctDen >= 2 && pctNum * 2 < pctDen,
+      s"winsorizedMeanBy: fraction $pctNum/$pctDen must be in (0, 1/2) — " +
+        "winsorizing half each side leaves nothing")
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quality.winsorizedMeanBy: value column '$valueCol' must be " +
+          s"integral (got $dt) — pre-quantize with an exact integer " +
+          "expression")
+    }
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val DEC = DecimalType(38, 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df
+      .where(col(segmentCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(segmentCol).as("segment"),
+        col(valueCol).cast(LongType).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = W.partitionBy("segment").orderBy("v")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wSeg = W.partitionBy("segment")
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cum = cells
+      .withColumn("cw", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wSeg))
+      .withColumn("k", expr(s"n * $pctNum DIV $pctDen"))
+    val caps = cum.groupBy("segment")
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        min(when(col("cw") >= col("k") + 1L, col("v"))).as("lo_cap"),
+        min(when(col("cw") >= col("n") - col("k"), col("v"))).as("hi_cap"))
+    val joined = cum.join(caps.select(col("segment"),
+      col("lo_cap"), col("hi_cap")), "segment")
+    // trimmed interior overlap of a cell spanning ranks (cw−c, cw]:
+    // the ranks inside (k, n−k] — exact integer clipping
+    val interior = greatest(lit(0L),
+      least(col("cw"), col("n") - col("k")) -
+        greatest(col("cw") - col("c"), col("k")))
+    val sums = joined.groupBy("segment").agg(
+      sum(col("c").cast(DEC) * col("v")).as("s_raw"),
+      sum(col("c").cast(DEC) *
+        greatest(col("lo_cap"), least(col("hi_cap"), col("v"))))
+        .as("s_wins"),
+      sum(interior.cast(DEC) * col("v")).as("s_trim"))
+    val out = caps.join(sums, "segment")
+    val nD = col("n").cast(DoubleType)
+    val interiorN = col("n") - lit(2L) * col("k")
+    out.select(
+      col("segment").as(segmentCol),
+      col("n"), col("k").as("k_winsor"),
+      col("lo_cap"), col("hi_cap"),
+      round(col("s_raw").cast(DoubleType) / nD, roundTo).as("mean_raw"),
+      round(col("s_wins").cast(DoubleType) / nD, roundTo).as("mean_winsor"),
+      when(interiorN >= 1L,
+        round(col("s_trim").cast(DoubleType) / interiorN.cast(DoubleType),
+          roundTo)).as("mean_trimmed"))
+  }
+
   /** Isotonic regression calibration (pool-adjacent-violators solution,
     * Ayer et al. 1955 / Zadrozny & Elkan 2002) — the ACTION following
     * [[calibrationCurve]]'s diagnosis: fit the monotone step function

@@ -874,6 +874,73 @@ object Sampling {
             (col("b_used") - lit(1L)), lit(0.0))), 6)).as("se_boot"))
   }
 
+  /** Temperature-scaled source mixing weights (the multinomial
+    * α-sampling recipe published with GPT-2/3-era corpora, the Pile's
+    * per-set epochs, and LLaMA's sampling proportions; Devlin et al.
+    * 2019 used α ≈ 0.7 for multilingual BERT) — THE data-mixing step of
+    * a pretraining pipeline: raw proportions over-train the biggest
+    * crawl and starve the small high-quality sets, so sources are drawn
+    * ∝ n_s^α with temperature α ∈ (0, 1], and each source's EFFECTIVE
+    * EPOCH count at a token budget T is w_s·T/n_s — the number a data
+    * curator actually reviews (the Pile publishes exactly this table).
+    *
+    * Exactness: counts exact longs off ONE pass; α is the exact
+    * rational alphaNum/alphaDen; n^α = exp(α·ln n) — one fixed-order
+    * chain with one ln and one exp per source (the libm discipline);
+    * the normalizer accumulates the per-source terms as Decimal(38,12)
+    * (order-insensitive); weights/epochs are single divisions of those
+    * deterministic doubles. `budgetTokens` defaults to N (the corpus
+    * size itself) so eff_epochs reads "epochs under a one-corpus-sized
+    * budget"; pass the real token budget for the production table.
+    *
+    * Guards: α must be in (0, 1] (fail-loud — α > 1 INVERTS the
+    * rebalancing and is never what a mixing table means); empty input
+    * yields zero rows. `upsampled` flags eff_epochs > 1 — the sources
+    * a dedup-sensitive pipeline must watch (repeated epochs over a
+    * small source amplify its near-dups; the Pile's published concern).
+    *
+    * Scale shape: ONE corpus aggregation to the per-source cells frame;
+    * everything after is model-frame arithmetic with a broadcast 1-row
+    * normalizer (the q61 class). Output one row per source:
+    * (source, n, share_raw, weight, eff_epochs, upsampled). */
+  def temperatureMixWeights(
+      df: DataFrame,
+      sourceCol: String,
+      alphaNum: Int = 1,
+      alphaDen: Int = 2,
+      budgetTokens: Option[Long] = None,
+      roundTo: Int = 6): DataFrame = {
+    require(alphaNum >= 1 && alphaDen >= 1 && alphaNum <= alphaDen,
+      s"temperatureMixWeights: alpha $alphaNum/$alphaDen outside (0, 1]")
+    require(budgetTokens.forall(_ > 0L),
+      s"budgetTokens $budgetTokens must be positive when set")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val DEC = DecimalType(38, 12)
+    val cells = df
+      .where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n"))
+    // n^alpha = exp(alpha * ln n): one fixed-order chain per source
+    val term = exp((lit(alphaNum).cast(DoubleType) / lit(alphaDen)) *
+      log(col("n").cast(DoubleType)))
+    val tots = cells.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_total"),
+      coalesce(sum(term.cast(DEC)), lit(0).cast(DEC)).as("z_d"))
+    val out = cells.crossJoin(broadcast(tots))
+    val w = term / col("z_d").cast(DoubleType)
+    val budget = budgetTokens.map(lit(_)).getOrElse(col("n_total"))
+      .cast(DoubleType)
+    val epochs = w * budget / col("n").cast(DoubleType)
+    out.select(
+      col("source").as(sourceCol),
+      col("n"),
+      round(col("n").cast(DoubleType) / col("n_total").cast(DoubleType),
+        roundTo).as("share_raw"),
+      round(w, roundTo).as("weight"),
+      round(epochs, roundTo).as("eff_epochs"),
+      (epochs > lit(1.0)).as("upsampled"))
+  }
+
   /** Fisher-style randomization test for a two-arm mean difference
     * (Fisher 1935; the add-one p of Phipson & Smyth 2010) — the
     * ASSUMPTION-FREE inference member of the experiment tier: the

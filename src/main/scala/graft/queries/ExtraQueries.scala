@@ -5274,6 +5274,149 @@ object ExtraQueries extends QueryGroup {
             SELECT pid, rank, nid, sim, approx
             FROM r WHERE rank <= 5 ORDER BY pid, rank"""))
 
+  val q268 = QueryDef(
+    "q268_temperature_mix_weights",
+    "temperature-scaled source mixing weights at alpha = 1/2 (the " +
+      "multinomial alpha-sampling recipe of the GPT-2/3-era corpora, " +
+      "the Pile's per-set epochs table, LLaMA's sampling proportions; " +
+      "Devlin 2019 used alpha~0.7 for mBERT) - THE data-mixing step of " +
+      "a pretraining pipeline: draw sources prop. to n^alpha so the " +
+      "biggest crawl stops starving the small high-quality sets, and " +
+      "publish each source's effective epochs w*T/n - the number a " +
+      "curator reviews and the near-dup amplification watchlist " +
+      "(upsampled flag); counts exact longs, n^alpha = exp(alpha ln n) " +
+      "one chain per source, Decimal(38,12) normalizer, weights single " +
+      "divisions of deterministic doubles",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Sampling.temperatureMixWeights(d, "source")
+        .orderBy("source")
+    },
+    Some("""WITH cells AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+            tots AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_total,
+                    COALESCE(SUM(CAST(EXP((CAST(1 AS DOUBLE) / 2) *
+                      LN(CAST(n AS DOUBLE))) AS DECIMAL(38,12))), 0) AS z_d
+                  FROM cells),
+            fin AS (SELECT c.source, c.n, t.n_total,
+                    EXP((CAST(1 AS DOUBLE) / 2) * LN(CAST(c.n AS DOUBLE))) /
+                      CAST(t.z_d AS DOUBLE) AS w
+                  FROM cells c CROSS JOIN tots t)
+            SELECT source, n,
+              ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                AS share_raw,
+              ROUND(w, 6) AS weight,
+              ROUND(w * CAST(n_total AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                AS eff_epochs,
+              w * CAST(n_total AS DOUBLE) / CAST(n AS DOUBLE) > 1.0
+                AS upsampled
+            FROM fin ORDER BY source"""))
+
+  val q269 = QueryDef(
+    "q269_hodges_lehmann_shift",
+    "Hodges-Lehmann shift estimate + Moses rank-inversion 95% CI for " +
+      "per-user event counts between parity arms (Hodges-Lehmann 1963; " +
+      "the distribution-free CI from inverting Mann-Whitney) - the " +
+      "ROBUST effect-size member of the experiment tier ('significant, " +
+      "but by how much' with a 29% breakdown point where a mean shift " +
+      "is dragged by one outlier): the ALL-INTEGER operator - every " +
+      "pairwise difference an exact long with cell-product " +
+      "multiplicity, estimate = exact lower-median rank pick over the " +
+      "d-ordered cumulative weights, CI bounds = exact rank picks at " +
+      "floor(W/2 - z*sqrt(W(m+n+1)/12)) (one floored chain, the only " +
+      "double anywhere), NO rounding in the output; parity arms " +
+      "exchangeable so the registered shift ~0 with a CI covering it",
+    (s, dir) => {
+      val ud = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("v"))
+        .select(col("v"), (col("user_id") % 2 === 1).as("treat"))
+      graft.operators.Experiment.hodgesLehmann(ud, "v", "treat")
+    },
+    Some("""WITH ud AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS v,
+                    user_id % 2 = 1 AS g
+                  FROM events GROUP BY 1),
+            ct AS (SELECT v AS vt, CAST(COUNT(*) AS BIGINT) AS ct
+                  FROM ud WHERE g GROUP BY 1),
+            cc AS (SELECT v AS vc, CAST(COUNT(*) AS BIGINT) AS cc
+                  FROM ud WHERE NOT g GROUP BY 1),
+            cnts AS (SELECT
+                    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS m,
+                    CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n
+                  FROM ud),
+            ranks AS (SELECT m, n, m * n AS w_pairs,
+                    (m * n + 1) // 2 AS med_r,
+                    CAST(FLOOR(CAST(m * n AS DOUBLE) / 2.0 -
+                      1.959963984540054 * SQRT(CAST(m * n AS DOUBLE) *
+                        CAST(m + n + 1 AS DOUBLE) / 12.0)) AS BIGINT) AS klo
+                  FROM cnts),
+            ranks2 AS (SELECT *, w_pairs + 1 - klo AS khi FROM ranks),
+            pairs AS (SELECT vt - vc AS d, CAST(SUM(ct * cc) AS BIGINT) AS w
+                  FROM ct CROSS JOIN cc GROUP BY 1),
+            cum AS (SELECT d, SUM(w) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+                  FROM pairs),
+            picks AS (SELECT
+                    MIN(CASE WHEN cw >= med_r THEN d END) AS shift,
+                    MIN(CASE WHEN klo >= 1 AND cw >= klo THEN d END) AS ci_lo,
+                    MIN(CASE WHEN klo >= 1 AND cw >= khi THEN d END) AS ci_hi
+                  FROM cum CROSS JOIN ranks2)
+            SELECT m AS n_treat, n AS n_ctrl, w_pairs AS n_pairs,
+              shift, ci_lo, ci_hi
+            FROM ranks2 CROSS JOIN picks"""))
+
+  val q270 = QueryDef(
+    "q270_winsorized_mean",
+    "per-source winsorized (5% caps) and trimmed doc-length means " +
+      "(Dixon 1960; Tukey-McLaughlin 1963) - the robust-aggregation " +
+      "member of the quality tier: a raw per-source mean of a heavy-" +
+      "tailed metric is owned by its top outlier; the k-element cap/" +
+      "drop rule must be EXACT or two engines cap different rows - " +
+      "k = n DIV 20 pure integer arithmetic, caps exact rank picks " +
+      "over v-ordered cumulative cells, winsorized sum = exact " +
+      "Decimal clamp products, trimmed sum splits partial cells by " +
+      "exact rank overlap, one rounded division per mean",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Quality.winsorizedMeanBy(d, "source", "n_chars")
+        .orderBy("source")
+    },
+    Some("""WITH cells AS (SELECT source AS segment, n_chars AS v,
+                    CAST(COUNT(*) AS BIGINT) AS c
+                  FROM documents
+                  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                  GROUP BY 1, 2),
+            cum AS (SELECT segment, v, c,
+                    CAST(SUM(c) OVER (PARTITION BY segment ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cw,
+                    CAST(SUM(c) OVER (PARTITION BY segment) AS BIGINT) AS n
+                  FROM cells),
+            cum2 AS (SELECT *, n * 1 // 20 AS k FROM cum),
+            caps AS (SELECT segment, MAX(n) AS n, MAX(k) AS k,
+                    MIN(CASE WHEN cw >= k + 1 THEN v END) AS lo_cap,
+                    MIN(CASE WHEN cw >= n - k THEN v END) AS hi_cap
+                  FROM cum2 GROUP BY 1),
+            j AS (SELECT c2.segment, c2.v, c2.c, c2.cw, c2.n, c2.k,
+                    caps.lo_cap, caps.hi_cap
+                  FROM cum2 c2 JOIN caps USING (segment)),
+            sums AS (SELECT segment,
+                    SUM(CAST(c AS DECIMAL(38,0)) * v) AS s_raw,
+                    SUM(CAST(c AS DECIMAL(38,0)) *
+                      GREATEST(lo_cap, LEAST(hi_cap, v))) AS s_wins,
+                    SUM(CAST(GREATEST(0, LEAST(cw, n - k) -
+                      GREATEST(cw - c, k)) AS DECIMAL(38,0)) * v) AS s_trim
+                  FROM j GROUP BY 1)
+            SELECT segment AS source, n, k AS k_winsor, lo_cap, hi_cap,
+              ROUND(CAST(s_raw AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                AS mean_raw,
+              ROUND(CAST(s_wins AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                AS mean_winsor,
+              CASE WHEN n - 2 * k >= 1 THEN
+                ROUND(CAST(s_trim AS DOUBLE) / CAST(n - 2 * k AS DOUBLE), 6)
+                END AS mean_trimmed
+            FROM caps JOIN sums USING (segment) ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5283,5 +5426,6 @@ object ExtraQueries extends QueryGroup {
       q222, q223, q224, q226, q227, q228, q229, q230, q231, q232, q233, q234,
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
-      q258, q259, q260, q261, q262, q263, q264, q265, q266, q267)
+      q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
+      q269, q270)
 }

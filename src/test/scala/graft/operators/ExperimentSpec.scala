@@ -132,4 +132,62 @@ class ExperimentSpec extends SparkSpecBase {
     assert(got(0).getDouble(3) === got(0).getDouble(2),
       "theta=0 -> adjusted mean equals the raw mean")
   }
+
+  test("hodgesLehmann: planted shift exact, sequential reference, invariances, guards") {
+    // control values with an outlier; treat = control + 7 exactly:
+    // every pairwise difference within matched ranks centers on 7 and
+    // the weighted median is EXACTLY 7 (integer, no rounding)
+    val ctrl = Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L, 11L, 400L)
+    val rows = ctrl.map((_, false)) ++ ctrl.map(v => (v + 7L, true))
+    val got = Experiment.hodgesLehmann(rows.toDF("v", "g"), "v", "g")
+      .collect().head
+    assert(got.getAs[Long]("shift") === 7L)
+    assert(got.getAs[Long]("n_pairs") === 100L)
+    assert(got.getAs[Long]("ci_lo") <= 7L && 7L <= got.getAs[Long]("ci_hi"))
+    // sequential reference on irregular weighted data
+    val rnd = new scala.util.Random(71)
+    val rows2 = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextBoolean()))
+    def ref(data: Seq[(Long, Boolean)]): (Long, Option[Long], Option[Long]) = {
+      val t = data.filter(_._2).map(_._1); val c = data.filter(!_._2).map(_._1)
+      val ds = (for (a <- t; b <- c) yield a - b).sorted
+      val w = ds.size.toLong
+      val med = ds(((w + 1) / 2).toInt - 1)
+      val klo = math.floor(w.toDouble / 2.0 - 1.959963984540054 *
+        math.sqrt(w.toDouble * (t.size + c.size + 1).toDouble / 12.0)).toLong
+      if (klo >= 1)
+        (med, Some(ds(klo.toInt - 1)), Some(ds((w + 1 - klo).toInt - 1)))
+      else (med, None, None)
+    }
+    val (medR, loR, hiR) = ref(rows2)
+    val g2 = Experiment.hodgesLehmann(rows2.toDF("v", "g"), "v", "g")
+      .collect().head
+    assert(g2.getAs[Long]("shift") === medR)
+    assert(Option(g2.getAs[java.lang.Long]("ci_lo")).map(_.toLong) === loR)
+    assert(Option(g2.getAs[java.lang.Long]("ci_hi")).map(_.toLong) === hiR)
+    // level-shift invariance: +1000 on BOTH arms changes nothing
+    val g3 = Experiment.hodgesLehmann(
+      rows2.map { case (v, g) => (v + 1000L, g) }.toDF("v", "g"), "v", "g")
+      .collect().head
+    assert(g3.getAs[Long]("shift") === medR)
+    // partition invariance
+    val g4 = Experiment.hodgesLehmann(
+      rows2.reverse.toDF("v", "g").repartition(7), "v", "g").collect().head
+    assert(g4.getAs[Long]("shift") === medR &&
+      Option(g4.getAs[java.lang.Long]("ci_lo")).map(_.toLong) === loR)
+    // tiny sample: klo < 1 -> CI NULL, shift still exact
+    val tiny = Experiment.hodgesLehmann(
+      Seq((5L, true), (1L, false), (2L, false)).toDF("v", "g"), "v", "g")
+      .collect().head
+    // differences {3, 4}: the LOWER median convention picks 3
+    assert(tiny.getAs[Long]("shift") === 3L)
+    assert(tiny.isNullAt(tiny.fieldIndex("ci_lo")) &&
+      tiny.isNullAt(tiny.fieldIndex("ci_hi")))
+    // empty arm: shift NULL, counts live
+    val solo = Experiment.hodgesLehmann(
+      Seq((5L, true), (6L, true)).toDF("v", "g"), "v", "g").collect().head
+    assert(solo.getAs[Long]("n_ctrl") === 0L &&
+      solo.isNullAt(solo.fieldIndex("shift")))
+    intercept[IllegalArgumentException](Experiment.hodgesLehmann(
+      Seq((1.0, true)).toDF("v", "g"), "v", "g"))
+  }
 }

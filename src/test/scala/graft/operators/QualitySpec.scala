@@ -1304,6 +1304,63 @@ class QualitySpec extends SparkSpecBase {
       const.isNullAt(const.fieldIndex("nmi")))
   }
 
+  test("winsorizedMeanBy: hand case with outlier, sequential reference, tie cells, guards") {
+    val sp = spark; import sp.implicits._
+    // 1..19 plus an outlier 10000, k = 20 DIV 20 = 1: caps [2, 19];
+    // winsorized replaces 1->2 and 10000->19; trimmed drops both
+    val vals = (1L to 19L) :+ 10000L
+    val got = Quality.winsorizedMeanBy(
+      vals.map(("s", _)).toDF("seg", "v"), "seg", "v").collect().head
+    assert(got.getAs[Long]("n") === 20L && got.getAs[Long]("k_winsor") === 1L)
+    assert(got.getAs[Long]("lo_cap") === 2L && got.getAs[Long]("hi_cap") === 19L)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("mean_raw") === r6((vals.sum).toDouble / 20))
+    val winsSum = vals.map(v => math.max(2L, math.min(19L, v))).sum
+    assert(got.getAs[Double]("mean_winsor") === r6(winsSum.toDouble / 20))
+    assert(got.getAs[Double]("mean_trimmed") === r6((2L to 19L).sum.toDouble / 18))
+    // sequential reference with heavy ties (partial-cell trim split)
+    val rnd = new scala.util.Random(29)
+    val rows = for (seg <- Seq("p", "q"); _ <- 1 to 83)
+      yield (seg, rnd.nextInt(5).toLong * 10L)
+    def ref(data: Seq[Long], num: Int, den: Int): (Long, Long, Long, Double, Double) = {
+      val sorted = data.sorted
+      val n = sorted.size; val k = n * num / den
+      val lo = sorted(k); val hi = sorted(n - k - 1)
+      val wins = sorted.map(v => math.max(lo, math.min(hi, v))).sum
+      val trim = sorted.slice(k, n - k).sum
+      (k.toLong, lo, hi, r6(wins.toDouble / n), r6(trim.toDouble / (n - 2 * k)))
+    }
+    val g2 = Quality.winsorizedMeanBy(rows.toDF("seg", "v"), "seg", "v",
+      pctNum = 1, pctDen = 10).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("p", "q").foreach { seg =>
+      val (k, lo, hi, wm, tm) = ref(rows.filter(_._1 == seg).map(_._2), 1, 10)
+      val r = g2(seg)
+      assert(r.getAs[Long]("k_winsor") === k && r.getAs[Long]("lo_cap") === lo &&
+        r.getAs[Long]("hi_cap") === hi, s"$seg caps")
+      assert(r.getAs[Double]("mean_winsor") === wm, s"$seg winsorized")
+      assert(r.getAs[Double]("mean_trimmed") === tm, s"$seg trimmed")
+    }
+    // partition invariance
+    val g3 = Quality.winsorizedMeanBy(
+      rows.reverse.toDF("seg", "v").repartition(9), "seg", "v",
+      pctNum = 1, pctDen = 10).collect().map(r => r.getString(0) -> r).toMap
+    assert(g3("p").getAs[Double]("mean_winsor") ===
+      g2("p").getAs[Double]("mean_winsor"))
+    // k = 0 (tiny segment): winsorized = raw exactly, trimmed = raw
+    val tiny = Quality.winsorizedMeanBy(
+      Seq(("t", 5L), ("t", 9L)).toDF("seg", "v"), "seg", "v").collect().head
+    assert(tiny.getAs[Long]("k_winsor") === 0L)
+    assert(tiny.getAs[Double]("mean_winsor") === tiny.getAs[Double]("mean_raw"))
+    assert(tiny.getAs[Double]("mean_trimmed") === tiny.getAs[Double]("mean_raw"))
+    // contracts
+    intercept[IllegalArgumentException](Quality.winsorizedMeanBy(
+      Seq(("a", 1.0)).toDF("seg", "v"), "seg", "v"))
+    intercept[IllegalArgumentException](Quality.winsorizedMeanBy(
+      Seq(("a", 1L)).toDF("seg", "v"), "seg", "v", pctNum = 1, pctDen = 2))
+  }
+
   test("mcnemar: textbook discordant split; direction; zero-discordant NULL; invariance") {
     val sp = spark; import sp.implicits._
     // classic: b01 = 15 (B corrects A), b10 = 5 -> chi2 = 100/20 = 5 >

@@ -661,6 +661,43 @@ class SamplingSpec extends SparkSpecBase {
       replicates = 4))
   }
 
+  test("temperatureMixWeights: hand-computed alpha=1/2 table, alpha=1 identity, budget, guards") {
+    val s = spark
+    import s.implicits._
+    // {a:4, b:16, c:64} at alpha=1/2: terms 2/4/8 -> weights 1/7, 2/7, 4/7
+    val rows = Seq.fill(4)("a") ++ Seq.fill(16)("b") ++ Seq.fill(64)("c")
+    val got = Sampling.temperatureMixWeights(rows.toDF("src"), "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(got("a").getAs[Double]("weight") - 1.0 / 7) < 1e-6)
+    assert(math.abs(got("b").getAs[Double]("weight") - 2.0 / 7) < 1e-6)
+    assert(math.abs(got("c").getAs[Double]("weight") - 4.0 / 7) < 1e-6)
+    // epochs at the default N-budget: w*N/n -> a: (1/7)*84/4 = 3
+    assert(math.abs(got("a").getAs[Double]("eff_epochs") - 3.0) < 1e-6)
+    assert(got("a").getAs[Boolean]("upsampled"))
+    assert(math.abs(got("c").getAs[Double]("eff_epochs") - 0.75) < 1e-6)
+    assert(!got("c").getAs[Boolean]("upsampled"))
+    assert(math.abs(got.values.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-5)
+    // alpha = 1: weights equal raw shares (no rebalancing)
+    val flat = Sampling.temperatureMixWeights(rows.toDF("src"), "src",
+      alphaNum = 1, alphaDen = 1).collect()
+    flat.foreach(r => assert(math.abs(r.getAs[Double]("weight") -
+      r.getAs[Double]("share_raw")) < 1e-6))
+    // explicit budget scales epochs linearly
+    val bud = Sampling.temperatureMixWeights(rows.toDF("src"), "src",
+      budgetTokens = Some(840L)).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("eff_epochs")).toMap
+    assert(math.abs(bud("a") - 30.0) < 1e-5)
+    // temperature rebalances monotonically: smaller source, more epochs
+    assert(got("a").getAs[Double]("eff_epochs") >
+      got("b").getAs[Double]("eff_epochs"))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixWeights(rows.toDF("src"), "src",
+        alphaNum = 3, alphaDen = 2))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixWeights(rows.toDF("src"), "src",
+        alphaNum = 0))
+  }
+
   test("poissonBootstrapMean: constant column collapses the CI; contracts fail loud") {
     val s = spark
     import s.implicits._

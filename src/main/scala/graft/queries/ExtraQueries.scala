@@ -5417,6 +5417,47 @@ object ExtraQueries extends QueryGroup {
                 END AS mean_trimmed
             FROM caps JOIN sums USING (segment) ORDER BY source"""))
 
+  val q271 = QueryDef(
+    "q271_bradley_terry",
+    "Bradley-Terry latent strengths per source from pairwise " +
+      "preferences (Bradley-Terry 1952; Hunter 2004 MM iteration, 8 " +
+      "pinned rounds - the RLHF/eval-data member: preference datasets " +
+      "are PAIRS and win rates don't compose transitively; BT puts " +
+      "every item on one strength scale): pairs = adjacent doc_ids " +
+      "with different sources, winner = longer document; pair census " +
+      "exact longs off one pass, per-round denominators n/(si+sj) one " +
+      "chain each into Decimal(38,12) order-insensitive sums, mean-1 " +
+      "renormalization per round, strengths round only at output; the " +
+      "FIXED round count is the determinism contract (the LPA/PCA " +
+      "loop discipline) and the oracle replays TRAINING round by " +
+      "round via generated MATERIALIZED CTEs",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .where(col("source").isNotNull && col("n_chars").isNotNull)
+      val a = d.select(col("doc_id"), col("source").as("sa"),
+        col("n_chars").as("ca"))
+      val b = d.select((col("doc_id") - 1L).as("doc_id"),
+        col("source").as("sb"), col("n_chars").as("cb"))
+      val games = a.join(b, "doc_id")
+        .where(col("sa") =!= col("sb") && col("ca") =!= col("cb"))
+        .select(
+          when(col("ca") > col("cb"), col("sa")).otherwise(col("sb")).as("wi"),
+          when(col("ca") > col("cb"), col("sb")).otherwise(col("sa")).as("li"))
+      graft.operators.Preference.bradleyTerry(games, "wi", "li")
+        .orderBy("rank")
+    },
+    Some(graft.operators.Preference.bradleyTerrySql(
+      """games AS (
+        |  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source
+        |    ELSE b.source END AS wi,
+        |         CASE WHEN a.n_chars > b.n_chars THEN b.source
+        |    ELSE a.source END AS li
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source <> b.source AND a.n_chars <> b.n_chars
+        |    AND a.source IS NOT NULL AND b.source IS NOT NULL
+        |    AND a.n_chars IS NOT NULL AND b.n_chars IS NOT NULL)""".stripMargin,
+      iters = 8)))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5427,5 +5468,5 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270)
+      q269, q270, q271)
 }

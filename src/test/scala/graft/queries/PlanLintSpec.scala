@@ -162,6 +162,37 @@ class PlanLintSpec extends SparkSpecBase {
     // q257: the 1-row totals frame broadcast onto the category-bounded
     // cells + the 1-row final assembly — q61's one-row class
     "q257_chi_squared_drift",
+    // q261: the same chiSquared cells shape — the 1-row totals frame
+    // broadcast onto the category-bounded cells, then the 1-row global
+    // (tsum) frame broadcast back for the per-category shares — q61's
+    // one-row class, twice
+    "q261_chi_squared_residuals",
+    // q262: MI — the 1-row (n, n_cells) totals frame broadcast onto the
+    // category-bounded joint cells and both marginal frames, plus the
+    // 1-row final assembly of the four aggregates — q61's one-row class
+    "q262_mutual_information",
+    // q263: JSD — the 1-row (n1, n2) totals broadcast onto the
+    // category-bounded cells — q61's one-row class
+    "q263_jensen_shannon_drift",
+    // q266: permutation test — the 1-row observed-delta frame broadcast
+    // onto the ≤B replicate frame, then the 1-row tail census onto the
+    // 1-row base — q61's one-row class; the corpus-touching stage is the
+    // bootstrap's map-side-collapsing fan-out, no BNLJ there
+    "q266_permutation_test",
+    // q267: SQ8 — the 1-row trained-scale frame broadcast onto both
+    // code-staging frames (model state, the q241 trainer class), plus
+    // q36's documented broadcast-probe candidate stage over CODE arrays
+    // (the 1 byte/dim scan; production swaps in an IVF router per the
+    // operator doc)
+    "q267_sq8_ann_topk",
+    // q268: the 1-row normalizer (n_total, z) broadcast onto the
+    // source-bounded cells — q61's one-row class
+    "q268_temperature_mix_weights",
+    // q269: Hodges-Lehmann — the 1-row rank-targets frame broadcast onto
+    // the quantization-bounded difference cells, then the 1-row picks
+    // onto the 1-row counts — q61's one-row class; the pair frame is
+    // cellsT×cellsC by the documented kendallTau quantization contract
+    "q269_hodges_lehmann_shift",
     // q157: the 1-row join-size estimate crossJoined onto the 1-row
     // exact count for the one-sided flag — q61's one-row class
     "q157_cms_join_size",

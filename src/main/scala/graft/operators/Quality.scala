@@ -1576,6 +1576,100 @@ object Quality {
       when(tested, round(vCramer, roundTo)).as("cramers_v"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 association test + the
+    * Mantel–Haenszel pooled odds ratio (Cochran 1954; Mantel & Haenszel
+    * 1959) — the CONFOUNDER-ADJUSTED member of the categorical family:
+    * [[chiSquaredDrift]] tests a marginal association, which Simpson's
+    * paradox can fabricate or hide whenever a stratum variable (source,
+    * language, time) correlates with both sides; CMH tests the
+    * exposure↔outcome association WITHIN each stratum and pools the
+    * evidence — "did the gate's pass rate really differ by variant,
+    * controlling for source", the question a marginal 2×2 cannot
+    * answer. The same hypergeometric machinery as [[graft.operators
+    * .Survival.logRank]] (which is CMH over risk sets — the family
+    * resemblance is the math).
+    *
+    * Math per stratum k (a=exposed-positive, r1=exposed, c1=positive,
+    * n=total): O−E term a_k − r1·c1/n with EXACT long numerator
+    * a·n − r1·c1 and ONE division; variance term r1·r2·c1·c2/(n²(n−1))
+    * one fixed-order chain (n ≤ 1 strata carry none); MH odds ratio
+    * OR = Σ(a·d/n) / Σ(b·c/n) with exact-long product numerators. All
+    * per-stratum terms accumulate as Decimal(38,12) — order-insensitive
+    * (documented per-stratum n ≲ 10⁹ for the exact numerators).
+    *
+    * Guards: z/chi2/significant NULL at ΣV = 0 (no informative
+    * stratum); or_mh/log_or NULL when either Σ(a·d/n) or Σ(b·c/n) is 0
+    * (a zero margin somewhere — the classic add-0.5 corrections are
+    * deliberately NOT applied; surface the degenerate table, never a
+    * smoothed number). `significant` compares the UNROUNDED |z| to the
+    * two-sided normal 95% literal (the [[mcnemar]] rule).
+    *
+    * Scale shape: ONE corpus pass to per-stratum (a, b, c, d) cells
+    * (stratum-bounded, map-side combined), one model-frame reduction.
+    * Output ONE row: (strata, n, n_exposed, n_positive, o_minus_e,
+    * var_cmh, z, chi2, significant, or_mh, log_or). */
+  def cmhTest(
+      df: DataFrame,
+      stratumCol: String,
+      exposureCol: String,
+      outcomeCol: String,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val DEC = DecimalType(38, 12)
+    val cells = df
+      .where(col(stratumCol).isNotNull && col(exposureCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .groupBy(col(stratumCol).as("k"))
+      .agg(
+        sum(when(col(exposureCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col(exposureCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(!col(exposureCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("c"),
+        sum(when(!col(exposureCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("d"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    val r1 = col("a") + col("b")
+    val r2 = col("c") + col("d")
+    val c1 = col("a") + col("c")
+    val c2 = col("b") + col("d")
+    val nD = n.cast(DoubleType)
+    // O−E: exact long numerator, one division; variance: one chain
+    val oeTerm = ((col("a") * n - r1 * c1).cast(DoubleType) / nD).cast(DEC)
+    val vTerm = when(n > 1L,
+      (r1.cast(DoubleType) * c1.cast(DoubleType) / nD) *
+        (r2.cast(DoubleType) / nD) *
+        (c2.cast(DoubleType) / (nD - lit(1.0)))).otherwise(lit(0.0)).cast(DEC)
+    val adTerm = ((col("a") * col("d")).cast(DoubleType) / nD).cast(DEC)
+    val bcTerm = ((col("b") * col("c")).cast(DoubleType) / nD).cast(DEC)
+    val agg = cells.agg(
+      count(lit(1)).as("strata"),
+      coalesce(sum(n), lit(0L)).as("n"),
+      coalesce(sum(r1), lit(0L)).as("n_exposed"),
+      coalesce(sum(c1), lit(0L)).as("n_positive"),
+      coalesce(sum(oeTerm), lit(0).cast(DEC)).as("oe_d"),
+      coalesce(sum(vTerm), lit(0).cast(DEC)).as("v_d"),
+      coalesce(sum(adTerm), lit(0).cast(DEC)).as("ad_d"),
+      coalesce(sum(bcTerm), lit(0).cast(DEC)).as("bc_d"))
+    val oeD = col("oe_d").cast(DoubleType)
+    val vD = col("v_d").cast(DoubleType)
+    val z = oeD / sqrt(vD)
+    val orMh = col("ad_d").cast(DoubleType) / col("bc_d").cast(DoubleType)
+    val crit = lit(1.959963984540054)
+    agg.select(
+      col("strata"), col("n"), col("n_exposed"), col("n_positive"),
+      round(oeD, roundTo).as("o_minus_e"),
+      round(vD, roundTo).as("var_cmh"),
+      when(col("v_d") > 0, round(z, roundTo)).as("z"),
+      when(col("v_d") > 0, round(z * z, roundTo)).as("chi2"),
+      when(col("v_d") > 0, abs(z) > crit).as("significant"),
+      when(col("ad_d") > 0 && col("bc_d") > 0, round(orMh, roundTo))
+        .as("or_mh"),
+      when(col("ad_d") > 0 && col("bc_d") > 0, round(log(orMh), roundTo))
+        .as("log_or"))
+  }
+
   /** Jensen–Shannon divergence between two snapshots' CATEGORICAL mixes
     * (Lin 1991; the √JSD metric of Endres & Schindelin 2003) — the
     * BOUNDED-MEASURE member of the drift family: [[chiSquaredDrift]]

@@ -5458,6 +5458,84 @@ object ExtraQueries extends QueryGroup {
         |    AND a.n_chars IS NOT NULL AND b.n_chars IS NOT NULL)""".stripMargin,
       iters = 8)))
 
+  val q272 = QueryDef(
+    "q272_cmh_stratified_test",
+    "Cochran-Mantel-Haenszel stratified 2x2 association test + Mantel-" +
+      "Haenszel pooled odds ratio (Cochran 1954; Mantel-Haenszel 1959) " +
+      "- the CONFOUNDER-ADJUSTED categorical member: does doc_id " +
+      "parity associate with passing a 306-char length gate WITHIN " +
+      "each source (a marginal 2x2 can be fabricated or hidden by " +
+      "Simpson's paradox whenever source correlates with both sides); " +
+      "per-stratum O-E with exact long numerator a*n - r1*c1 and one " +
+      "division, hypergeometric variance one chain with the n<=1 " +
+      "guard, MH odds ratio from exact a*d/b*c product numerators, " +
+      "all Decimal(38,12) accumulated; no add-0.5 smoothing ever - " +
+      "degenerate margins surface as NULL; parity is independent of " +
+      "length so the registered answer is the honest null",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .where(col("n_chars").isNotNull)
+        .select(col("source"),
+          (col("doc_id") % 2 === 1).as("exp"),
+          (col("n_chars") > 306L).as("out"))
+      graft.operators.Quality.cmhTest(d, "source", "exp", "out")
+    },
+    Some("""WITH base AS (SELECT source AS k,
+                    doc_id % 2 = 1 AS e, n_chars > 306 AS o
+                  FROM documents
+                  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            cells AS (SELECT k,
+                    CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a,
+                    CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b,
+                    CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c,
+                    CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d
+                  FROM base GROUP BY k),
+            termed AS (SELECT a, b, c, d,
+                    a + b + c + d AS n, a + b AS r1, c + d AS r2,
+                    a + c AS c1, b + d AS c2
+                  FROM cells),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS strata,
+                    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n,
+                    CAST(COALESCE(SUM(r1), 0) AS BIGINT) AS n_exposed,
+                    CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n_positive,
+                    COALESCE(SUM(CAST(CAST(a * n - r1 * c1 AS DOUBLE) /
+                      CAST(n AS DOUBLE) AS DECIMAL(38,12))), 0) AS oe_d,
+                    COALESCE(SUM(CASE WHEN n > 1 THEN CAST(
+                        (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) /
+                          CAST(n AS DOUBLE)) *
+                        (CAST(r2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+                        (CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+                      AS DECIMAL(38,12))
+                      ELSE CAST(0.0 AS DECIMAL(38,12)) END), 0) AS v_d,
+                    COALESCE(SUM(CAST(CAST(a * d AS DOUBLE) /
+                      CAST(n AS DOUBLE) AS DECIMAL(38,12))), 0) AS ad_d,
+                    COALESCE(SUM(CAST(CAST(b * c AS DOUBLE) /
+                      CAST(n AS DOUBLE) AS DECIMAL(38,12))), 0) AS bc_d
+                  FROM termed)
+            SELECT strata, n, n_exposed, n_positive,
+              ROUND(CAST(oe_d AS DOUBLE), 6) AS o_minus_e,
+              ROUND(CAST(v_d AS DOUBLE), 6) AS var_cmh,
+              CASE WHEN v_d > 0 THEN ROUND(CAST(oe_d AS DOUBLE) /
+                SQRT(CAST(v_d AS DOUBLE)), 6) END AS z,
+              CASE WHEN v_d > 0 THEN ROUND(
+                (CAST(oe_d AS DOUBLE) / SQRT(CAST(v_d AS DOUBLE))) *
+                (CAST(oe_d AS DOUBLE) / SQRT(CAST(v_d AS DOUBLE))), 6)
+                END AS chi2,
+              CASE WHEN v_d > 0 THEN ABS(CAST(oe_d AS DOUBLE) /
+                SQRT(CAST(v_d AS DOUBLE))) > 1.959963984540054
+                END AS significant,
+              CASE WHEN ad_d > 0 AND bc_d > 0 THEN ROUND(
+                CAST(ad_d AS DOUBLE) / CAST(bc_d AS DOUBLE), 6)
+                END AS or_mh,
+              CASE WHEN ad_d > 0 AND bc_d > 0 THEN ROUND(LN(
+                CAST(ad_d AS DOUBLE) / CAST(bc_d AS DOUBLE)), 6)
+                END AS log_or
+            FROM agg"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5468,5 +5546,5 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270, q271)
+      q269, q270, q271, q272)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.col
 
 /** Two-sample chi-squared homogeneity contracts: the textbook 2×3
   * value, the Wilson–Hilferty normalization, the null behavior on a
@@ -145,6 +146,61 @@ class ChiSquaredDriftSpec extends SparkSpecBase {
     assert(oneSide.getAs[Long]("n2") === 0L &&
       oneSide.isNullAt(oneSide.fieldIndex("jsd")) &&
       oneSide.isNullAt(oneSide.fieldIndex("js_dist")))
+  }
+
+  test("cmhTest: Simpson pair scores exactly null; hand 2x2; OR; guards") {
+    def tbl(rows: Seq[(String, Boolean, Boolean, Int)]) =
+      rows.flatMap { case (k, e, o, c) => Seq.fill(c)((k, e, o)) }
+        .toDF("k", "e", "o")
+    // two strata with within-stratum OR = 1 but a STRONG marginal
+    // association (Simpson's construction): CMH must score exactly 0
+    val simpson = tbl(Seq(
+      ("A", true, true, 80), ("A", true, false, 20),
+      ("A", false, true, 8), ("A", false, false, 2),
+      ("B", true, true, 2), ("B", true, false, 8),
+      ("B", false, true, 20), ("B", false, false, 80)))
+    val gs = Quality.cmhTest(simpson, "k", "e", "o").collect().head
+    assert(gs.getAs[Double]("o_minus_e") === 0.0)
+    assert(gs.getAs[Double]("z") === 0.0 && !gs.getAs[Boolean]("significant"))
+    assert(gs.getAs[Double]("or_mh") === 1.0 &&
+      gs.getAs[Double]("log_or") === 0.0)
+    // ...while the MARGINAL 2x2 on the same rows is wildly significant
+    val marginal = Quality.chiSquaredDrift(
+      simpson.select(col("o").cast("string").as("cat"), col("e").as("side")),
+      "cat", "side").collect().head
+    assert(marginal.getAs[Boolean]("drifted"),
+      "the marginal test must be fooled for the pin to mean anything")
+    // hand-computed single-stratum 2x2: a=30 b=10 c=10 d=30
+    val hand = tbl(Seq(("s", true, true, 30), ("s", true, false, 10),
+      ("s", false, true, 10), ("s", false, false, 30)))
+    val gh = Quality.cmhTest(hand, "k", "e", "o").collect().head
+    def dec12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val oe = dec12((30.0 * 80 - 40.0 * 40) / 80.0).toDouble
+    val v = dec12((40.0 * 40 / 80.0) * (40.0 / 80.0) * (40.0 / 79.0)).toDouble
+    assert(gh.getAs[Double]("o_minus_e") === r6(oe))
+    assert(gh.getAs[Double]("var_cmh") === r6(v))
+    assert(gh.getAs[Double]("z") === r6(oe / math.sqrt(v)))
+    assert(gh.getAs[Boolean]("significant"))
+    assert(gh.getAs[Double]("or_mh") === 9.0)
+    // zero margin: no unexposed-positive anywhere -> OR NULL, z live
+    val zm = Quality.cmhTest(tbl(Seq(("s", true, true, 10),
+      ("s", true, false, 5), ("s", false, false, 15))), "k", "e", "o")
+      .collect().head
+    assert(zm.isNullAt(zm.fieldIndex("or_mh")) &&
+      !zm.isNullAt(zm.fieldIndex("z")))
+    // fully degenerate (one row per stratum): V = 0 -> test NULLs
+    val dg = Quality.cmhTest(tbl(Seq(("x", true, true, 1),
+      ("y", false, false, 1))), "k", "e", "o").collect().head
+    assert(dg.isNullAt(dg.fieldIndex("z")) &&
+      dg.isNullAt(dg.fieldIndex("significant")))
+    // partition invariance
+    val gp = Quality.cmhTest(simpson.repartition(9), "k", "e", "o")
+      .collect().head
+    assert(gp.getAs[Double]("o_minus_e") === gs.getAs[Double]("o_minus_e") &&
+      gp.getAs[Double]("var_cmh") === gs.getAs[Double]("var_cmh"))
   }
 
   test("guards: empty side and single category NULL out; nulls filtered") {

@@ -181,9 +181,11 @@ class PlanLintSpec extends SparkSpecBase {
     "q266_permutation_test",
     // q267: SQ8 — the 1-row trained-scale frame broadcast onto both
     // code-staging frames (model state, the q241 trainer class), plus
-    // q36's documented broadcast-probe candidate stage over CODE arrays
-    // (the 1 byte/dim scan; production swaps in an IVF router per the
-    // operator doc)
+    // q36's documented broadcast-probe candidate stage over CODE arrays.
+    // SQ8's REGISTERED contract is the linear code scan (4× cheaper
+    // bytes than float brute force — the honest baseline tier of the
+    // compression ladder); the ROUTED path at scale is IVF-PQ
+    // (q241/q256), which exists and is measured — no unshipped promise
     "q267_sq8_ann_topk",
     // q268: the 1-row normalizer (n_total, z) broadcast onto the
     // source-bounded cells — q61's one-row class

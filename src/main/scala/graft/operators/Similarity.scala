@@ -2301,6 +2301,125 @@ object Similarity {
       .select("pid", "rank", "nid", "sim", "approx")
   }
 
+  /** IVF-routed SQ8 ANN — the ROUTED tier of the scalar-quantization
+    * ladder, completing [[topKSq8]] the way [[topKIvf]] completes brute
+    * force: cell routing prunes the candidate set to the probed cells
+    * (candidate volume n·nProbe/nCentroids per probe instead of n), the
+    * in-cell scan reads 1-byte-per-dim CODES with a pure int64 dot
+    * (the [[topKSq8]] point), and an exact integer-cosine re-rank of
+    * the topC restores true order — the FAISS `IVFx,SQ8` composition.
+    * Versus IVF-PQ ([[topKIvfPq]]): no codebook training, 8× more
+    * bytes/dim, tighter per-dim approximation — the same trade as the
+    * flat tier, now routed.
+    *
+    * Determinism: routing scores are ROUNDED cosines (`routeRoundTo`,
+    * the q77/q233 contract — cell candidacy is engine-portable);
+    * corpus keep-1 assignment is the map-side max_by with the
+    * (csim, −cid) tie-break ([[topKIvf]]'s shape — no corpus-row
+    * window); codes and the re-rank follow [[topKSq8]]'s q90
+    * quantized-space chains verbatim. Only vectors that survive code
+    * staging route (one id-join — both engines drop the same rows).
+    *
+    * Approximation contract: recall < 1 twice over (routing misses +
+    * code-order pruning) — measure with the q111 harness; nProbe ≥
+    * nCentroids AND topC ≥ corpus degenerates to [[topKSq8]]'s
+    * complete ranking (spec-asserted).
+    *
+    * Scale shape: ONE corpus scan stages codes + one quantizer dot
+    * pass for routing (n×nCentroids collapsed map-side by the max_by);
+    * the candidate join is cell-keyed (broadcast for eval-batch
+    * probes, shuffle-hash for corpus-sized callers); candidate rows
+    * carry ids + code arrays only; the re-rank joins ≤topC·probes rows
+    * back to the vq frames. Output: (pid, rank, nid, sim, approx). */
+  def topKSq8Ivf(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      topC: Int = 64,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      roundTo: Int = 4,
+      quantizer: Option[DataFrame] = None,
+      routeRoundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(topC >= k, s"topC $topC must be >= k $k")
+    require(nProbe >= 1, s"nProbe $nProbe must be >= 1")
+    def staged(df: DataFrame, id: String, pfx: String): DataFrame = df
+      .where(col(vecCol).isNotNull && !expr(
+        s"exists(CAST($vecCol AS ARRAY<DOUBLE>), x -> x IS NULL OR isnan(x))"))
+      .select(col(idCol).as(id), col(vecCol).as(s"${pfx}vec"),
+        expr(s"transform(CAST($vecCol AS ARRAY<DOUBLE>), " +
+          "x -> CAST(ROUND(x * 1000000) AS BIGINT))").as(s"${pfx}q"))
+      .withColumn(s"${pfx}n2",
+        expr(s"aggregate(${pfx}q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .where(col(s"${pfx}n2") > 0L)
+      .withColumn(s"${pfx}norm", sqrt(col(s"${pfx}n2").cast("double")))
+    val v = staged(corpus, "nid", "n")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val p = staged(probes, "pid", "p")
+    val mx = v.select(
+      (expr("aggregate(nq, CAST(0 AS BIGINT), (acc, x) -> " +
+        "greatest(acc, abs(x)))").cast("double") / col("nnorm")).as("ratio"))
+      .agg(max(col("ratio")).as("mxabs"))
+      .select((lit(127.0) / col("mxabs")).as("qs"))
+    def coded(df: DataFrame, pfx: String): DataFrame = df
+      .crossJoin(broadcast(mx))
+      .withColumn(s"${pfx}c",
+        expr(s"transform(${pfx}q, x -> CAST(floor(CAST(x AS DOUBLE) / " +
+          s"${pfx}norm * qs + 0.5d) AS BIGINT))"))
+      .drop("qs")
+    val vc = coded(v, "n")
+    val pc = coded(p, "p")
+    val cents = quantizer.getOrElse(
+        corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+      .withColumn("cnorm", VectorOps.l2Norm(col("cvec")))
+      .filter(!isnan(col("cnorm")) && col("cnorm") > 0)
+    // routing over the staged survivors: rounded cosine, q77 contract.
+    // NOTE the vector-side norm here is the EXACT-integer sqrt(n2)/1e6
+    // staged norm, not a float-sum L2 — one less float-order surface
+    def csimOf(vecC: String, normC: String) = round(
+      VectorOps.dot(col(vecC), col("cvec")) /
+        ((col(normC) / lit(1000000.0)) * col("cnorm")), routeRoundTo)
+    val vcell = vc.select(col("nid"), col("nvec"), col("nnorm"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", csimOf("nvec", "nnorm"))
+      .groupBy(col("nid"))
+      .agg(max_by(col("cid"), struct(col("csim"), negate(col("cid"))))
+        .as("cell"))
+    val wP = Window.partitionBy("pid").orderBy(col("csim").desc, col("cid"))
+    val pcell = pc.select(col("pid"), col("pvec"), col("pnorm"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", csimOf("pvec", "pnorm"))
+      .withColumn("crank", row_number().over(wP))
+      .filter(col("crank") <= nProbe)
+      .select(col("pid"), col("cid").as("cell"))
+    // candidate stage: ids + code arrays only, cell-keyed
+    val cand = pc.select(col("pid"), col("pc")).join(pcell, "pid")
+      .join(vc.select(col("nid"), col("nc")).join(vcell, "nid"), Seq("cell"))
+      .filter(col("pid") =!= col("nid"))
+      .withColumn("approx", graft.functions.VectorOps.dotLong(
+        col("pc"), col("nc")))
+      // a probe may reach the same neighbor through ONE cell only
+      // (corpus keep-1), so no distinct needed — the topKIvf argument
+    val trimmed = graft.plans.TopK.perKey(cand,
+        Seq(col("pid")), Seq(col("approx").desc, col("nid")), topC)
+      .select("pid", "nid", "approx")
+    val rescored = trimmed
+      .join(p.select(col("pid"), col("pq"), col("pn2")), "pid")
+      .join(v.select(col("nid"), col("nq"), col("nn2")), "nid")
+      .withColumn("sim", round(
+        graft.functions.VectorOps.dotLong(col("pq"), col("nq"))
+          .cast("double") /
+          (sqrt(col("pn2").cast("double")) * sqrt(col("nn2").cast("double"))),
+        roundTo))
+    graft.plans.TopK.perKey(rescored,
+        Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
+      .select("pid", "rank", "nid", "sim", "approx")
+  }
+
   /** Full DuckDB replay of [[cellOccupancyTrained]] (training included) —
     * the q250 oracle. */
   def trainedOccupancySql(

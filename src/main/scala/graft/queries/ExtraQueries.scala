@@ -5536,6 +5536,90 @@ object ExtraQueries extends QueryGroup {
                 END AS log_or
             FROM agg"""))
 
+  val q273 = QueryDef(
+    "q273_sq8_ivf_ann",
+    "IVF-routed SQ8 ANN (the FAISS IVFx,SQ8 composition) - the ROUTED " +
+      "tier of the scalar-quantization ladder, completing q267 the way " +
+      "topKIvf completes brute force: cell routing prunes candidates " +
+      "to the probed cells (nProbe=2 of 16), the in-cell scan is the " +
+      "1-byte-per-dim int64 code dot, exact integer-cosine re-rank of " +
+      "topC=32; routing scores ROUNDED at 6 (the q77 engine-portable " +
+      "candidacy contract, here over the exact staged integer norm), " +
+      "corpus keep-1 via the map-side max_by tie-break, codes the q267 " +
+      "chain verbatim - the ENTIRE pipeline (scale training + routing " +
+      "+ codes + re-rank) SQL-replays as a full-value oracle",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+      graft.operators.Similarity.topKSq8Ivf(
+          v, v.filter(col("vec_id") < 10), k = 5, topC = 32,
+          nCentroids = 16, nProbe = 2)
+        .orderBy("pid", "rank")
+    },
+    Some("""WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+            ex AS (SELECT vec_id, i AS pos,
+                    CAST(ROUND(e[i] * 1000000) AS BIGINT) AS vq
+                  FROM (SELECT vec_id, e,
+                          unnest(generate_series(1, len(e))) AS i FROM v0)),
+            n2 AS (SELECT vec_id, CAST(SUM(vq * vq) AS BIGINT) AS nn2,
+                    CAST(MAX(ABS(vq)) AS BIGINT) AS mxq
+                  FROM ex GROUP BY 1),
+            vv AS (SELECT * FROM n2 WHERE nn2 > 0),
+            mx AS (SELECT 127.0 / MAX(CAST(mxq AS DOUBLE) /
+                    SQRT(CAST(nn2 AS DOUBLE))) AS qs FROM vv),
+            codes AS (SELECT ex.vec_id, ex.pos,
+                    CAST(FLOOR(CAST(ex.vq AS DOUBLE) /
+                      SQRT(CAST(vv.nn2 AS DOUBLE)) * mx.qs + 0.5) AS BIGINT)
+                      AS c
+                  FROM ex JOIN vv USING (vec_id) CROSS JOIN mx),
+            cnn AS (SELECT vec_id AS cid, e AS cv,
+                    SQRT(list_inner_product(e, e)) AS cnorm
+                  FROM v0 WHERE vec_id < 16
+                    AND NOT ISNAN(SQRT(list_inner_product(e, e)))
+                    AND SQRT(list_inner_product(e, e)) > 0),
+            route AS (SELECT v0.vec_id, cnn.cid,
+                    ROUND(list_inner_product(v0.e, cnn.cv) /
+                      ((SQRT(CAST(vv.nn2 AS DOUBLE)) / 1000000.0) *
+                        cnn.cnorm), 6) AS csim
+                  FROM v0 JOIN vv ON vv.vec_id = v0.vec_id CROSS JOIN cnn),
+            vcell AS (SELECT vec_id AS nid, cid AS cell FROM (
+                    SELECT vec_id, cid, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY csim DESC, cid) AS rr
+                    FROM route) WHERE rr = 1),
+            pcell AS (SELECT vec_id AS pid, cid AS cell FROM (
+                    SELECT vec_id, cid, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY csim DESC, cid) AS rr
+                    FROM route WHERE vec_id < 10) WHERE rr <= 2),
+            ap AS (SELECT pc.pid, vc.nid,
+                    CAST(SUM(cp.c * cq.c) AS BIGINT) AS approx
+                  FROM pcell pc
+                    JOIN vcell vc ON vc.cell = pc.cell AND vc.nid <> pc.pid
+                    JOIN codes cp ON cp.vec_id = pc.pid
+                    JOIN codes cq ON cq.vec_id = vc.nid AND cq.pos = cp.pos
+                  GROUP BY 1, 2),
+            tc AS (SELECT pid, nid, approx FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                      ORDER BY approx DESC, nid) AS rc FROM ap)
+                  WHERE rc <= 32),
+            dots AS (SELECT tc.pid, tc.nid, tc.approx,
+                    CAST(SUM(pe.vq * ne.vq) AS BIGINT) AS dot
+                  FROM tc
+                    JOIN ex pe ON pe.vec_id = tc.pid
+                    JOIN ex ne ON ne.vec_id = tc.nid AND ne.pos = pe.pos
+                  GROUP BY 1, 2, 3),
+            sims AS (SELECT d.pid, d.nid, d.approx,
+                    ROUND(CAST(d.dot AS DOUBLE) /
+                      (SQRT(CAST(pp.nn2 AS DOUBLE)) *
+                       SQRT(CAST(nn.nn2 AS DOUBLE))), 4) AS sim
+                  FROM dots d
+                    JOIN vv pp ON pp.vec_id = d.pid
+                    JOIN vv nn ON nn.vec_id = d.nid),
+            r AS (SELECT pid, nid, sim, approx,
+                    ROW_NUMBER() OVER (PARTITION BY pid
+                      ORDER BY sim DESC, nid) AS rank FROM sims)
+            SELECT pid, rank, nid, sim, approx
+            FROM r WHERE rank <= 5 ORDER BY pid, rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5546,5 +5630,5 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270, q271, q272)
+      q269, q270, q271, q272, q273)
 }

@@ -901,4 +901,91 @@ class SimilaritySpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Similarity.topKSq8(df, df, k = 5, topC = 2))
   }
+
+  test("topKSq8Ivf: routed sequential reference, degeneracy to flat SQ8, recall, invariance") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(89)
+    val n = 60; val dim = 8
+    // clustered fixture: 4 planted directions + noise, so routing means something
+    val dirs = Array.fill(4)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val vecs = (0L until n.toLong).map { i =>
+      val d = dirs((i % 4).toInt)
+      (i, d.map(x => (x + (rnd.nextDouble() - 0.5) * 0.4).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def r0(x: Double) = BigDecimal.valueOf(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def rd(x: Double, sc: Int) = BigDecimal.valueOf(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vq = vecs.map { case (id, e) => id -> e.map(x => r0(x.toDouble * 1000000)) }.toMap
+    val n2 = vq.map { case (id, q) => id -> q.map(x => x * x).sum }
+    val qs = 127.0 / vq.map { case (id, q) =>
+      q.map(math.abs).max.toDouble / math.sqrt(n2(id).toDouble) }.max
+    val codes = vq.map { case (id, q) =>
+      id -> q.map(x => math.floor(x.toDouble / math.sqrt(n2(id).toDouble) * qs + 0.5).toLong) }
+    // routing reference: centroids = first 8 by id; csim = rounded
+    // float-fold dot / (stagedNorm/1e6 * centroid float L2)
+    val nc = 8
+    def ffold(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cents = (0 until nc).map(c => c.toLong -> vecs(c)._2).toMap
+    def csim(id: Long, c: Long): Double = rd(
+      ffold(vecs(id.toInt)._2, cents(c)) /
+        ((math.sqrt(n2(id).toDouble) / 1000000.0) *
+          math.sqrt(ffold(cents(c), cents(c)))), 6)
+    def cellsOf(id: Long, keep: Int): Seq[Long] =
+      (0L until nc.toLong).map(c => (c, csim(id, c)))
+        .sortBy { case (c, sc) => (-sc, c) }.take(keep).map(_._1)
+    val vcell = (0L until n.toLong).map(id => id -> cellsOf(id, 1).head).toMap
+    def refRouted(k: Int, topC: Int, nProbe: Int): Map[(Long, Long), (Long, Double)] = {
+      (0L until 10L).flatMap { pid =>
+        val probed = cellsOf(pid, nProbe).toSet
+        val cand = (0L until n.toLong)
+          .filter(nid => nid != pid && probed.contains(vcell(nid)))
+          .map { nid => (nid, codes(pid).zip(codes(nid)).map { case (a, b) => a * b }.sum) }
+          .sortBy { case (nid, ap) => (-ap, nid) }.take(topC)
+        cand.map { case (nid, ap) =>
+          val dot = vq(pid).zip(vq(nid)).map { case (a, b) => a * b }.sum
+          (nid, ap, rd(dot.toDouble /
+            (math.sqrt(n2(pid).toDouble) * math.sqrt(n2(nid).toDouble)), 4))
+        }.sortBy { case (nid, _, sim) => (-sim, nid) }.take(k)
+          .zipWithIndex.map { case ((nid, ap, sim), r) =>
+            (pid, r.toLong + 1L) -> ((nid, sim)) }
+      }.toMap
+    }
+    def run(topC: Int, nProbe: Int, d: org.apache.spark.sql.DataFrame = df) =
+      Similarity.topKSq8Ivf(d, d.filter(col("vec_id") < 10), k = 4,
+          topC = topC, nCentroids = nc, nProbe = nProbe)
+        .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("rank")) ->
+          ((r.getAs[Long]("nid"), r.getAs[Double]("sim")))).toMap
+    val got = run(topC = 10, nProbe = 2)
+    assert(got === refRouted(4, 10, 2), "production-geometry routed equality")
+    // degeneracy: all cells probed + complete topC == flat SQ8 complete ranking
+    val flat = Similarity.topKSq8(df, df.filter(col("vec_id") < 10), k = 4,
+        topC = n).collect()
+      .map(r => (r.getAs[Long]("pid"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("nid"), r.getAs[Double]("sim")))).toMap
+    assert(run(topC = n, nProbe = nc) === flat,
+      "nProbe=all + topC=corpus degenerates to the flat complete ranking")
+    // recall at production geometry vs the complete ranking (clustered
+    // fixture: routing should lose little)
+    val exact = flat.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._1).toSet).toMap
+    val gotSets = got.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._1).toSet).toMap
+    val hits = exact.map { case (p, ex) =>
+      (gotSets.getOrElse(p, Set.empty) & ex).size }.sum
+    assert(hits >= (exact.values.map(_.size).sum * 3) / 4,
+      s"routed recall@4: $hits/${exact.values.map(_.size).sum}")
+    // partition invariance + dirty-row drops
+    val dirty = (vecs :+ ((98L, Array.fill(dim)(0f))) :+
+      ((99L, Array.fill(dim)(Float.NaN)))).toDF("vec_id", "embedding")
+    assert(run(10, 2, dirty.repartition(7)) === got)
+    intercept[IllegalArgumentException](
+      Similarity.topKSq8Ivf(df, df, k = 5, topC = 2))
+  }
 }

@@ -187,6 +187,11 @@ class PlanLintSpec extends SparkSpecBase {
     // compression ladder); the ROUTED path at scale is IVF-PQ
     // (q241/q256), which exists and is measured — no unshipped promise
     "q267_sq8_ann_topk",
+    // q273: routed SQ8 — the nCentroids-row quantizer frame broadcast
+    // against both staging scans for routing (the q50/q77 IVF class)
+    // plus the 1-row trained-scale broadcast; the CANDIDATE join itself
+    // is cell-keyed equi — no BNLJ there
+    "q273_sq8_ivf_ann",
     // q268: the 1-row normalizer (n_total, z) broadcast onto the
     // source-bounded cells — q61's one-row class
     "q268_temperature_mix_weights",

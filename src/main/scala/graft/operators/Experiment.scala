@@ -108,6 +108,136 @@ object Experiment {
         round(col("llr_at_decision_raw"), roundTo).as("llr_at_decision"))
   }
 
+  /** Mixture SPRT for a two-arm MEAN difference (Robbins 1970's
+    * mixture-martingale construction; Johari, Koomen, Pekelis &
+    * Walsh 2017 "Peeking at A/B tests" — the always-valid p-value
+    * deployed by modern experimentation platforms) — the CONTINUOUS-
+    * metric member of the sequential tier: [[sprt]] monitors a
+    * Bernoulli rate against a point alternative; revenue/latency/count
+    * metrics need a mean test with NO point alternative, and the
+    * Gaussian-mixture likelihood ratio
+    *   Λ_n = √(V_n/(V_n+τ²)) · exp(δ_n²·τ²/(2·V_n·(V_n+τ²)))
+    * (δ_n the cumulative mean difference, V_n its plug-in Welch
+    * variance, τ² the mixture scale) is a martingale under H₀ whatever
+    * n, so p_n = min_{m≤n} 1/Λ_m is valid at EVERY peek — Wald's
+    * inequality generalized to means.
+    *
+    * Granularity and state: the [[sprt]] day-boundary cells discipline
+    * verbatim — per-(day) exact moment cells (n, Σx, Σx² per arm,
+    * values integral fail-loud, sums as Decimal(38,0)/(38,6)); the
+    * cumulative window runs over the day cells frame, never event
+    * rows. Every double (means, Welch V_n, Λ, p) derives from exact
+    * decimals through ONE fixed-order chain per day (one exp, one
+    * sqrt); the always-valid p is a running MIN over the day window —
+    * exact on identical doubles. Decision latches at the FIRST day
+    * with p ≤ alphaNum/alphaDen (exact rational compare on the
+    * unrounded p: p·alphaDen ≤ alphaNum — no float threshold), and the
+    * latch is what the guarantee prices (the [[sprt]] rule).
+    *
+    * Guards: days with fewer than 2 cumulative observations an arm (or
+    * V_n = 0) carry p = 1 (no evidence — never a fabricated rejection);
+    * τ² must be positive (fail-loud; scale it to the metric's
+    * per-observation variance — the Johari heuristic τ ≈ expected
+    * effect size).
+    *
+    * Output ONE row: (n_treat, n_ctrl, delta_final, p_always_valid,
+    * decided, decision_day, n_at_decision, p_at_decision — decision
+    * columns NULL while running). */
+  def msprt(
+      df: DataFrame,
+      dayCol: String,
+      treatCol: String,
+      valueCol: String,
+      tau2: Double,
+      alphaNum: Int = 1,
+      alphaDen: Int = 20,
+      roundTo: Int = 6): DataFrame = {
+    require(tau2 > 0.0, s"msprt: tau2 $tau2 must be positive")
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"msprt: alpha $alphaNum/$alphaDen outside (0, 1)")
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Experiment.msprt: value column '$valueCol' must be integral " +
+          s"(got $dt) — pre-quantize (micro-units)")
+    }
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val W = org.apache.spark.sql.expressions.Window
+    val D0 = DecimalType(38, 0)
+    val cells = df
+      .where(col(dayCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(dayCol).cast(LongType).as("day"))
+      .agg(
+        sum(when(col(treatCol), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col(treatCol), 1L).otherwise(0L)).as("nc"),
+        coalesce(sum(when(col(treatCol), col(valueCol).cast(D0))), lit(0)
+          .cast(D0)).as("st"),
+        coalesce(sum(when(!col(treatCol), col(valueCol).cast(D0))), lit(0)
+          .cast(D0)).as("sc"),
+        coalesce(sum(when(col(treatCol),
+          col(valueCol).cast(D0) * col(valueCol))), lit(0).cast(D0)).as("qt"),
+        coalesce(sum(when(!col(treatCol),
+          col(valueCol).cast(D0) * col(valueCol))), lit(0).cast(D0)).as("qc"))
+    val wCum = W.partitionBy(pmod(col("day"), lit(1))).orderBy("day")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("cnt", sum(col("nt")).over(wCum))
+      .withColumn("cnc", sum(col("nc")).over(wCum))
+      .withColumn("cst", sum(col("st")).over(wCum))
+      .withColumn("csc", sum(col("sc")).over(wCum))
+      .withColumn("cqt", sum(col("qt")).over(wCum))
+      .withColumn("cqc", sum(col("qc")).over(wCum))
+    val ntD = col("cnt").cast(DoubleType)
+    val ncD = col("cnc").cast(DoubleType)
+    val delta = col("cst").cast(DoubleType) / ntD -
+      col("csc").cast(DoubleType) / ncD
+    def svar(q: Column, sSum: Column, n: Column) = {
+      val nD = n.cast(DoubleType)
+      (q.cast(DoubleType) - sSum.cast(DoubleType) *
+        sSum.cast(DoubleType) / nD) / (nD - lit(1.0))
+    }
+    val vN = svar(col("cqt"), col("cst"), col("cnt")) / ntD +
+      svar(col("cqc"), col("csc"), col("cnc")) / ncD
+    val lam = sqrt(vN / (vN + lit(tau2))) *
+      exp(delta * delta * lit(tau2) /
+        (lit(2.0) * vN * (vN + lit(tau2))))
+    val informative = col("cnt") >= 2L && col("cnc") >= 2L
+    val pDay = when(informative && vN > 0,
+      least(lit(1.0), lit(1.0) / lam)).otherwise(lit(1.0))
+    val scored = cum
+      .withColumn("p_day", pDay)
+      .withColumn("p_av", min(col("p_day")).over(wCum))
+      .withColumn("delta_day", when(informative, round(delta, roundTo)))
+    // decision: first day the exact rational alpha compare holds
+    val decided = scored
+      .where(col("p_av") * lit(alphaDen) <= lit(alphaNum))
+      .groupBy(pmod(col("day"), lit(1)).as("__g"))
+      .agg(min(col("day")).as("decision_day"))
+      .drop("__g")
+    val atDec = scored.select(col("day").as("dd"),
+      col("cnt").as("nt_at"), col("cnc").as("nc_at"),
+      col("p_av").as("p_at"))
+    val fin = scored
+      .groupBy(pmod(col("day"), lit(1)).as("__g"))
+      .agg(max(col("cnt")).as("n_treat"), max(col("cnc")).as("n_ctrl"),
+        max_by(col("delta_day"), col("day")).as("delta_final"),
+        max_by(col("p_av"), col("day")).as("p_final"))
+      .drop("__g")
+    fin.join(decided, lit(true), "left")
+      .join(atDec, col("decision_day") === col("dd"), "left")
+      .select(
+        col("n_treat"), col("n_ctrl"), col("delta_final"),
+        round(col("p_final"), roundTo).as("p_always_valid"),
+        col("decision_day").isNotNull.as("decided"),
+        col("decision_day"),
+        (col("nt_at") + col("nc_at")).as("n_at_decision"),
+        round(col("p_at"), roundTo).as("p_at_decision"))
+  }
+
   /** Hodges–Lehmann two-sample shift estimator with the Mann–Whitney
     * inversion CI (Hodges & Lehmann 1963; Moses' CI construction —
     * the distribution-free interval from inverting the rank test) —

@@ -5620,6 +5620,100 @@ object ExtraQueries extends QueryGroup {
             SELECT pid, rank, nid, sim, approx
             FROM r WHERE rank <= 5 ORDER BY pid, rank"""))
 
+  val q274 = QueryDef(
+    "q274_msprt_always_valid",
+    "mixture SPRT / always-valid p-value for the per-user-day spend " +
+      "difference between parity arms (Robbins 1970 mixture " +
+      "martingale; Johari et al. 2017 'Peeking at A/B tests' - the " +
+      "peek-safe test for MEANS where q258's SPRT reads a Bernoulli " +
+      "rate against a point alternative): per-day exact moment cells " +
+      "(micro-unit values, Decimal sums), cumulative Welch variance " +
+      "one chain per day, Lambda = sqrt(V/(V+tau2)) exp(delta^2 tau2 / " +
+      "(2 V (V+tau2))), p = running min of 1/Lambda (valid at every " +
+      "peek), decision latched at the FIRST day with the EXACT " +
+      "rational compare p*20 <= 1; tau2 = 1e14 micro^2 (tau ~ the " +
+      "expected effect size, the Johari heuristic); parity arms are " +
+      "exchangeable so the registered answer is NOT decided - the " +
+      "honest null (planted-shift power is spec-pinned)",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ud = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .agg((sum(col("value").cast(DecimalType(30, 6))) * 1000000)
+          .cast(LongType).as("vmicro"))
+        .select(col("day"), (col("user_id") % 2 === 1).as("treat"),
+          col("vmicro"))
+      graft.operators.Experiment.msprt(
+        ud, "day", "treat", "vmicro", tau2 = 1e14)
+    },
+    Some("""WITH ud AS (SELECT user_id,
+                    epoch_us(ts) // 86400000000 AS day,
+                    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000
+                      AS BIGINT) AS x
+                  FROM events GROUP BY 1, 2),
+            base AS (SELECT day, user_id % 2 = 1 AS g, x FROM ud),
+            cells AS (SELECT day,
+                    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                    CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+                    COALESCE(SUM(CASE WHEN g
+                      THEN CAST(x AS DECIMAL(38,0)) END), 0) AS st,
+                    COALESCE(SUM(CASE WHEN NOT g
+                      THEN CAST(x AS DECIMAL(38,0)) END), 0) AS sc,
+                    COALESCE(SUM(CASE WHEN g
+                      THEN CAST(x AS DECIMAL(38,0)) * x END), 0) AS qt,
+                    COALESCE(SUM(CASE WHEN NOT g
+                      THEN CAST(x AS DECIMAL(38,0)) * x END), 0) AS qc
+                  FROM base GROUP BY 1),
+            cum AS (SELECT day,
+                    CAST(SUM(nt) OVER w AS BIGINT) AS cnt,
+                    CAST(SUM(nc) OVER w AS BIGINT) AS cnc,
+                    SUM(st) OVER w AS cst, SUM(sc) OVER w AS csc,
+                    SUM(qt) OVER w AS cqt, SUM(qc) OVER w AS cqc
+                  FROM cells
+                  WINDOW w AS (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            scored AS (SELECT day, cnt, cnc,
+                    CAST(cst AS DOUBLE) / CAST(cnt AS DOUBLE) -
+                      CAST(csc AS DOUBLE) / CAST(cnc AS DOUBLE) AS delta,
+                    (CAST(cqt AS DOUBLE) - CAST(cst AS DOUBLE) *
+                      CAST(cst AS DOUBLE) / CAST(cnt AS DOUBLE)) /
+                      (CAST(cnt AS DOUBLE) - 1.0) / CAST(cnt AS DOUBLE) +
+                    (CAST(cqc AS DOUBLE) - CAST(csc AS DOUBLE) *
+                      CAST(csc AS DOUBLE) / CAST(cnc AS DOUBLE)) /
+                      (CAST(cnc AS DOUBLE) - 1.0) / CAST(cnc AS DOUBLE)
+                      AS vn
+                  FROM cum),
+            pd AS (SELECT day, cnt, cnc, delta,
+                    CASE WHEN cnt >= 2 AND cnc >= 2 AND vn > 0
+                      THEN LEAST(1.0, 1.0 / (SQRT(vn / (vn + 1e14)) *
+                        EXP(delta * delta * 1e14 /
+                          (2.0 * vn * (vn + 1e14)))))
+                      ELSE 1.0 END AS p_day,
+                    CASE WHEN cnt >= 2 AND cnc >= 2
+                      THEN ROUND(delta, 6) END AS delta_day
+                  FROM scored),
+            pav AS (SELECT day, cnt, cnc, delta_day,
+                    MIN(p_day) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS p_av
+                  FROM pd),
+            dec AS (SELECT MIN(day) AS decision_day FROM pav
+                  WHERE p_av * 20 <= 1),
+            fin AS (SELECT MAX(cnt) AS n_treat, MAX(cnc) AS n_ctrl,
+                    MAX_BY(delta_day, day) AS delta_final,
+                    MAX_BY(p_av, day) AS p_final
+                  FROM pav)
+            SELECT f.n_treat, f.n_ctrl, f.delta_final,
+              ROUND(f.p_final, 6) AS p_always_valid,
+              d.decision_day IS NOT NULL AS decided,
+              d.decision_day,
+              a.cnt + a.cnc AS n_at_decision,
+              ROUND(a.p_av, 6) AS p_at_decision
+            FROM fin f CROSS JOIN dec d
+              LEFT JOIN pav a ON a.day = d.decision_day"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5630,5 +5724,5 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270, q271, q272, q273)
+      q269, q270, q271, q272, q273, q274)
 }

@@ -190,4 +190,80 @@ class ExperimentSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Experiment.hodgesLehmann(
       Seq((1.0, true)).toDF("v", "g"), "v", "g"))
   }
+
+  test("msprt: sequential reference, planted shift decides, null stays undecided, monotone p, guards") {
+    val rnd = new scala.util.Random(53)
+    def ref(rows: Seq[(Long, Boolean, Long)], tau2: Double)
+        : (Seq[Double], Option[Long]) = {
+      val byDay = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      var (cnt, cnc, cst, csc, cqt, cqc) = (0L, 0L, 0L, 0L, 0L, 0L)
+      var pmin = 1.0
+      var dec: Option[Long] = None
+      val ps = byDay.map { case (day, g) =>
+        val t = g.filter(_._2); val c = g.filter(!_._2)
+        cnt += t.size; cnc += c.size
+        cst += t.map(_._3).sum; csc += c.map(_._3).sum
+        cqt += t.map(x => x._3 * x._3).sum; cqc += c.map(x => x._3 * x._3).sum
+        val pDay = if (cnt >= 2 && cnc >= 2) {
+          val delta = cst.toDouble / cnt - csc.toDouble / cnc
+          val vn = (cqt.toDouble - cst.toDouble * cst.toDouble / cnt) /
+            (cnt - 1.0) / cnt +
+            (cqc.toDouble - csc.toDouble * csc.toDouble / cnc) /
+            (cnc - 1.0) / cnc
+          if (vn > 0)
+            math.min(1.0, 1.0 / (math.sqrt(vn / (vn + tau2)) *
+              math.exp(delta * delta * tau2 / (2.0 * vn * (vn + tau2)))))
+          else 1.0
+        } else 1.0
+        pmin = math.min(pmin, pDay)
+        if (dec.isEmpty && pmin * 20 <= 1) dec = Some(day)
+        pmin
+      }
+      (ps, dec)
+    }
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sp = spark; import sp.implicits._
+    // planted +40 shift on noise sd ~6, tau2 = 100: decides fast
+    val planted = for (day <- 0L to 9L; i <- 1 to 12) yield
+      (day, i % 2 == 0, (50 + rnd.nextInt(12) + (if (i % 2 == 0) 40 else 0)).toLong)
+    val gp = Experiment.msprt(planted.toDF("day", "g", "x"),
+      "day", "g", "x", tau2 = 100.0).collect().head
+    val (psP, decP) = ref(planted, 100.0)
+    assert(gp.getAs[Boolean]("decided") && decP.isDefined)
+    assert(gp.getAs[Long]("decision_day") === decP.get)
+    assert(gp.getAs[Double]("p_always_valid") === r6(psP.last))
+    assert(gp.getAs[Double]("p_at_decision") ===
+      r6(psP((decP.get).toInt)))
+    // exchangeable null: same values both arms -> p stays 1-ish, undecided
+    val nul = for (day <- 0L to 9L; i <- 1 to 12) yield
+      (day, i % 2 == 0, (50 + ((day * 31 + i) % 13)).toLong)
+    val gn = Experiment.msprt(nul.toDF("day", "g", "x"),
+      "day", "g", "x", tau2 = 100.0).collect().head
+    val (psN, decN) = ref(nul, 100.0)
+    assert(!gn.getAs[Boolean]("decided") && decN.isEmpty)
+    assert(gn.isNullAt(gn.fieldIndex("decision_day")))
+    assert(gn.getAs[Double]("p_always_valid") === r6(psN.last))
+    // monotone: the always-valid p never increases (reference check)
+    assert(psN.zip(psN.tail).forall { case (a, b) => b <= a })
+    // partition invariance
+    val gp2 = Experiment.msprt(
+      planted.reverse.toDF("day", "g", "x").repartition(7),
+      "day", "g", "x", tau2 = 100.0).collect().head
+    assert(gp2.getAs[Double]("p_always_valid") ===
+      gp.getAs[Double]("p_always_valid") &&
+      gp2.getAs[Long]("decision_day") === gp.getAs[Long]("decision_day"))
+    // guards
+    intercept[IllegalArgumentException](Experiment.msprt(
+      planted.toDF("day", "g", "x"), "day", "g", "x", tau2 = 0.0))
+    intercept[IllegalArgumentException](Experiment.msprt(
+      Seq((1L, true, 1.0)).toDF("day", "g", "x"), "day", "g", "x",
+      tau2 = 1.0))
+    // one-arm data: never decides, p = 1
+    val solo = Experiment.msprt(
+      Seq((1L, true, 5L), (2L, true, 6L)).toDF("day", "g", "x"),
+      "day", "g", "x", tau2 = 1.0).collect().head
+    assert(!solo.getAs[Boolean]("decided") &&
+      solo.getAs[Double]("p_always_valid") === 1.0)
+  }
 }

@@ -187,6 +187,10 @@ class PlanLintSpec extends SparkSpecBase {
     // compression ladder); the ROUTED path at scale is IVF-PQ
     // (q241/q256), which exists and is measured — no unshipped promise
     "q267_sq8_ann_topk",
+    // q274: mSPRT — the 1-row final frame left-joined with the 1-row
+    // (or empty) decision frame and the day-cells at-decision row —
+    // q61's one-row class
+    "q274_msprt_always_valid",
     // q273: routed SQ8 — the nCentroids-row quantizer frame broadcast
     // against both staging scans for routing (the q50/q77 IVF class)
     // plus the 1-row trained-scale broadcast; the CANDIDATE join itself

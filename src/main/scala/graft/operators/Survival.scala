@@ -29,6 +29,61 @@ object Survival {
           "pre-quantize durations to exact integer time units")
     }
 
+  /** Restricted mean survival time (Irwin 1949; the τ-restricted AUC
+    * reading popularized for clinical reporting by Royston & Parmar
+    * 2013) — the SCALAR readout of [[kaplanMeier]]'s curve: "average
+    * days survived (retained, converted-free) in the first τ days",
+    * the number a dashboard quotes where a whole curve cannot be, and
+    * the standard effect summary when proportional hazards is dubious
+    * (the log-rank's power assumption). RMST(τ) = ∫₀^τ S(t)dt — for the
+    * KM step function an EXACT sum of step areas: S is 1 on [0, t₁),
+    * S(tᵢ) on [tᵢ, tᵢ₊₁), intervals clamped at τ.
+    *
+    * Exactness: event times and widths are exact longs; each step area
+    * is ONE product of the deterministic KM survival double (the
+    * [[kaplanMeier]] log-space chain) and an exact integer width,
+    * accumulated as Decimal(38,12) — order-insensitive; the initial
+    * [0, min(t₁, τ)) interval contributes exactly its width (S = 1).
+    * Guards: fail-loud τ ≥ 1; rmst NULL when no events exist at all
+    * (the curve never steps — an all-censored corpus has no KM curve
+    * to integrate; the raw follow-up mean is the right tool there).
+    *
+    * Scale shape: [[kaplanMeier]]'s (one corpus pass to duration
+    * cells), then model-frame window arithmetic. Output ONE row:
+    * (tau, n_event_times, t_max, rmst). */
+  def rmst(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      tau: Long,
+      roundTo: Int = 6): DataFrame = {
+    require(tau >= 1L, s"rmst: tau $tau must be >= 1 time unit")
+    import org.apache.spark.sql.types.DecimalType
+    val DEC = DecimalType(38, 12)
+    val W = org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(df, durationCol, eventCol, roundTo = 12)
+      .select(col("t"), col("survival"))
+    val wLead = W.partitionBy(pmod(col("t"), lit(1))).orderBy("t")
+    val stepped = km
+      .withColumn("t_next", coalesce(lead(col("t"), 1).over(wLead), lit(tau)))
+      .withColumn("area",
+        (col("survival") *
+          greatest(lit(0L), least(col("t_next"), lit(tau)) -
+            least(col("t"), lit(tau))).cast("double")).cast(DEC))
+    stepped.agg(
+        count(lit(1)).as("n_event_times"),
+        max(col("t")).as("t_max"),
+        min(col("t")).as("t_first"),
+        coalesce(sum(col("area")), lit(0).cast(DEC)).as("steps_d"))
+      .select(
+        lit(tau).as("tau"),
+        col("n_event_times"),
+        col("t_max"),
+        when(col("n_event_times") > 0L, round(
+          least(col("t_first"), lit(tau)).cast("double") +
+            col("steps_d").cast("double"), roundTo)).as("rmst"))
+  }
+
   /** Kaplan–Meier product-limit survival estimator (Kaplan & Meier
     * 1958) with Greenwood's variance (Greenwood 1926) — THE
     * right-censored survival curve: S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)

@@ -5714,6 +5714,77 @@ object ExtraQueries extends QueryGroup {
             FROM fin f CROSS JOIN dec d
               LEFT JOIN pav a ON a.day = d.decision_day"""))
 
+  val q275 = QueryDef(
+    "q275_rmst",
+    "restricted mean survival time at tau = 20 days over the q264 " +
+      "time-to-conversion curve (Irwin 1949; Royston-Parmar 2013 " +
+      "clinical-reporting form) - the SCALAR readout of the KM curve: " +
+      "'average conversion-free days in the first 20', quotable where " +
+      "a whole curve is not, and the standard effect summary when " +
+      "proportional hazards is dubious; exact step-area sum: survival " +
+      "doubles from the KM log-space chain (rounded 12), widths exact " +
+      "longs clamped at tau, areas Decimal(38,12) accumulated, the " +
+      "initial [0, t1) interval contributes exactly its width",
+    (s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000L")
+            .as("day"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"),
+          min(when(col("event_type") === "purchase" && col("value") > 200.0,
+            col("day"))).as("pd"))
+      val base = ud.select(
+        (coalesce(col("pd"), col("ld")) - col("fd")).as("dur"),
+        col("pd").isNotNull.as("ev"))
+      graft.operators.Survival.rmst(base, "dur", "ev", tau = 20L)
+    },
+    Some("""WITH ud AS (SELECT user_id,
+                    MIN(epoch_us(ts) // 86400000000) AS fd,
+                    MAX(epoch_us(ts) // 86400000000) AS ld,
+                    MIN(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN epoch_us(ts) // 86400000000 END) AS pd
+                  FROM events GROUP BY 1),
+            base AS (SELECT COALESCE(pd, ld) - fd AS t,
+                    pd IS NOT NULL AS ev FROM ud),
+            cells AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+                    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM base GROUP BY 1),
+            staged AS (SELECT t, m, d,
+                    CAST(SUM(m) OVER () AS BIGINT) -
+                      CAST(COALESCE(SUM(m) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS n_risk
+                  FROM cells),
+            evr AS (SELECT * FROM staged WHERE d > 0),
+            cum AS (SELECT t,
+                    SUM(CASE WHEN n_risk > d THEN CAST(
+                        LN((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE)) /
+                           CAST(n_risk AS DOUBLE)) AS DECIMAL(38,12))
+                      ELSE CAST(0.0 AS DECIMAL(38,12)) END) OVER w AS ln_s,
+                    SUM(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER w
+                      AS zeros_through
+                  FROM evr
+                  WINDOW w AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            sv AS (SELECT t, ROUND(CASE WHEN zeros_through > 0 THEN 0.0
+                    ELSE EXP(CAST(ln_s AS DOUBLE)) END, 12) AS survival
+                  FROM cum),
+            stepped AS (SELECT t, survival,
+                    COALESCE(LEAD(t) OVER (ORDER BY t), 20) AS t_next
+                  FROM sv),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+                    MAX(t) AS t_max, MIN(t) AS t_first,
+                    COALESCE(SUM(CAST(survival *
+                      CAST(GREATEST(0, LEAST(t_next, 20) - LEAST(t, 20))
+                        AS DOUBLE) AS DECIMAL(38,12))), 0) AS steps_d
+                  FROM stepped)
+            SELECT CAST(20 AS BIGINT) AS tau, n_event_times, t_max,
+              CASE WHEN n_event_times > 0 THEN ROUND(
+                CAST(LEAST(t_first, 20) AS DOUBLE) +
+                CAST(steps_d AS DOUBLE), 6) END AS rmst
+            FROM agg"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5724,5 +5795,5 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270, q271, q272, q273, q274)
+      q269, q270, q271, q272, q273, q274, q275)
 }

@@ -151,6 +151,57 @@ class SurvivalSpec extends SparkSpecBase {
     }
   }
 
+  test("rmst: hand-integrated step areas, tau clamping, no-event NULL, guards") {
+    // the textbook KM layout again: S = 0.8 on [1,3), 0.8*6/7 on [3,5),
+    // 0.8*(6/7)*0.75 on [5, tau); initial [0,1) at S=1
+    val rows =
+      Seq.fill(2)((1L, true)) ++ Seq(((2L, false))) ++ Seq((3L, true)) ++
+      Seq.fill(2)((4L, false)) ++ Seq((5L, true)) ++ Seq.fill(3)((6L, false))
+    def r12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r12(math.exp(BigDecimal.valueOf(math.log(0.8))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    def dec12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val lnChain = Seq((10.0, 2.0), (7.0, 1.0), (4.0, 1.0))
+      .scanLeft(BigDecimal(0)) { case (acc, (n, d)) =>
+        acc + dec12(math.log((n - d) / n)) }.drop(1)
+    val sv = lnChain.map(l => r12(math.exp(l.toDouble)))
+    val tau = 8L
+    // areas: [0,1)*1 + [1,3)*S1 + [3,5)*S2 + [5,8)*S3
+    val want = r6(1.0 +
+      (dec12(sv(0) * 2.0) + dec12(sv(1) * 2.0) + dec12(sv(2) * 3.0)).toDouble)
+    val got = Survival.rmst(rows.toDF("dur", "ev"), "dur", "ev", tau = tau)
+      .collect().head
+    assert(got.getAs[Long]("tau") === 8L)
+    assert(got.getAs[Long]("n_event_times") === 3L)
+    assert(got.getAs[Double]("rmst") === want)
+    assert(s1 === sv(0), "chain sanity")
+    // tau clamping: tau below the first event -> rmst = tau exactly
+    val clamp = Survival.rmst(rows.toDF("dur", "ev"), "dur", "ev", tau = 1L)
+      .collect().head
+    assert(clamp.getAs[Double]("rmst") === 1.0)
+    // tau inside the steps: [0,1) + [1,3)S1 + [3,4)S2
+    val mid = Survival.rmst(rows.toDF("dur", "ev"), "dur", "ev", tau = 4L)
+      .collect().head
+    assert(mid.getAs[Double]("rmst") === r6(1.0 +
+      (dec12(sv(0) * 2.0) + dec12(sv(1) * 1.0)).toDouble))
+    // all censored: no curve to integrate -> rmst NULL
+    val noEv = Survival.rmst(
+      Seq((3L, false), (5L, false)).toDF("dur", "ev"), "dur", "ev", tau = 8L)
+      .collect().head
+    assert(noEv.getAs[Long]("n_event_times") === 0L &&
+      noEv.isNullAt(noEv.fieldIndex("rmst")))
+    intercept[IllegalArgumentException](Survival.rmst(
+      rows.toDF("dur", "ev"), "dur", "ev", tau = 0L))
+    // partition invariance
+    val gp = Survival.rmst(rows.reverse.toDF("dur", "ev").repartition(5),
+      "dur", "ev", tau = tau).collect().head
+    assert(gp.getAs[Double]("rmst") === want)
+  }
+
   test("absorbing edge: whole risk set fails -> survival exactly 0, se NULL; guards") {
     // everyone dies: last time has n = d
     val all = Seq((1L, true), (1L, true), (2L, true))

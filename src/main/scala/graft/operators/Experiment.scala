@@ -208,10 +208,14 @@ object Experiment {
     val informative = col("cnt") >= 2L && col("cnc") >= 2L
     val pDay = when(informative && vN > 0,
       least(lit(1.0), lit(1.0) / lam)).otherwise(lit(1.0))
+    // the day frame feeds three consumers (final row, decision scan,
+    // at-decision lookup) — persist the model-sized frame so the corpus
+    // aggregation runs ONCE (the per-call DISK_ONLY cache discipline)
     val scored = cum
       .withColumn("p_day", pDay)
       .withColumn("p_av", min(col("p_day")).over(wCum))
       .withColumn("delta_day", when(informative, round(delta, roundTo)))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // decision: first day the exact rational alpha compare holds
     val decided = scored
       .where(col("p_av") * lit(alphaDen) <= lit(alphaNum))

@@ -874,6 +874,128 @@ object Sampling {
             (col("b_used") - lit(1L)), lit(0.0))), 6)).as("se_boot"))
   }
 
+  /** Poisson bootstrap confidence interval for a two-arm mean
+    * DIFFERENCE (the Chamandy et al. 2012 distributed bootstrap of
+    * [[poissonBootstrapMean]], applied to the uplift) — the ESTIMATE
+    * companion of [[permutationMeanDiff]]'s test: the randomization
+    * test says whether the uplift is real, THIS says how big it is
+    * with resampling-honest error bars, assumption-free where the
+    * Welch interval leans on normality. Each replicate re-weights
+    * every unit with an independent Poisson(1) draw (both arms, same
+    * replicate stream — the paired-resample convention) and reads
+    * Δ_b = weighted mean_T − weighted mean_C; the CI is exact order
+    * statistics of the Δ_b's.
+    *
+    * Determinism/exactness: [[poissonBootstrapMean]]'s machinery
+    * VERBATIM — avalanche weights from id‖salt‖zeroPad3(b) (zero RNG
+    * state, corpus hashed once), per-(b, arm) weighted sums exact
+    * Decimal(38,0), each Δ_b ONE fixed-order double chain rounded 6,
+    * CI picks at the count-conditional ceil ranks, se from exact
+    * decimal moments. Replicates where either arm draws zero total
+    * weight drop (e^{-n} — toy n only) and the rank rule re-derives.
+    *
+    * Scale shape: the bootstrap's — one narrow corpus pass, ×B
+    * map-side-collapsing fan-out (2B partial sums per partition),
+    * everything after ≤B rows. Output ONE row: (n_treat, n_ctrl,
+    * delta, boot_lo, boot_hi, b_used, se_boot, excludes_zero — the
+    * decision read: the 1−α interval clear of 0). An empty observed
+    * arm yields ZERO rows (every replicate drops with it — there is no
+    * uplift to estimate; the [[poissonBootstrapMean]] empty-input
+    * convention). */
+  def poissonBootstrapDelta(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      treatCol: String,
+      replicates: Int = 64,
+      salt: String = "bootd",
+      alphaPct: Int = 5): DataFrame = {
+    require(replicates >= 8 && replicates <= 512,
+      s"replicates $replicates outside [8, 512]")
+    require(alphaPct >= 1 && alphaPct <= 20, s"alphaPct $alphaPct outside [1, 20]")
+    require(salt.forall(_ < 0x80), s"non-ASCII salt '$salt' breaks the byte fold")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType
+         | _: org.apache.spark.sql.types.ShortType
+         | _: org.apache.spark.sql.types.IntegerType
+         | _: LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"poissonBootstrapDelta: value column '$valueCol' must be integral " +
+          s"(got $dt) — pre-quantize (round(x*1e6) micro-score convention)")
+    }
+    val DEC0 = DecimalType(38, 0)
+    val staged = df
+      .select(col(idCol).cast("string").as("k"),
+        col(valueCol).cast(LongType).as("x"), col(treatCol).as("g"))
+      .where(col("k").isNotNull && col("x").isNotNull && col("g").isNotNull)
+      .select(polyFold(concat(col("k"), lit(salt))).as("hf"),
+        col("x"), col("g"))
+    val base = staged.agg(
+      coalesce(sum(when(col("g"), 1L).otherwise(0L)), lit(0L)).as("n_t"),
+      coalesce(sum(when(!col("g"), 1L).otherwise(0L)), lit(0L)).as("n_c"),
+      coalesce(sum(when(col("g"), col("x")).otherwise(0L)).cast(DEC0),
+        lit(0).cast(DEC0)).as("sx_t"),
+      coalesce(sum(when(!col("g"), col("x")).otherwise(0L)).cast(DEC0),
+        lit(0).cast(DEC0)).as("sx_c"))
+    val f1 = (col("hf") * 31 + (expr("b DIV 100") + lit(48L))) % P
+    val f2 = (f1 * 31 + (expr("(b DIV 10) % 10") + lit(48L))) % P
+    val f3 = (f2 * 31 + (expr("b % 10") + lit(48L))) % P
+    val u = ((f3 + MixA) * (f3 + MixB)) % P
+    val w = PoissonOneThresholds
+      .map(tk => when(u >= tk, 1L).otherwise(0L)).reduce(_ + _)
+    val reps = staged
+      .select(col("hf"), col("x"), col("g"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .select(col("b"), col("x"), col("g"), w.as("w"))
+      .groupBy("b")
+      .agg(
+        coalesce(sum(when(col("g"), (col("w") * col("x")).cast(DEC0))),
+          lit(0).cast(DEC0)).as("swx_t"),
+        coalesce(sum(when(col("g"), col("w")).otherwise(0L)), lit(0L))
+          .as("sw_t"),
+        coalesce(sum(when(!col("g"), (col("w") * col("x")).cast(DEC0))),
+          lit(0).cast(DEC0)).as("swx_c"),
+        coalesce(sum(when(!col("g"), col("w")).otherwise(0L)), lit(0L))
+          .as("sw_c"))
+      .where(col("sw_t") > 0L && col("sw_c") > 0L)
+      .select(col("b"), round(
+        col("swx_t").cast(DoubleType) / col("sw_t") -
+          col("swx_c").cast(DoubleType) / col("sw_c"), 6).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val cnt = reps.agg(count(lit(1)).as("b_used"),
+      sum(col("m").cast(DecimalType(38, 6))).cast(DoubleType).as("s1"),
+      sum((col("m") * col("m")).cast(DecimalType(38, 12))).cast(DoubleType)
+        .as("s2"))
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(pmod(col("b"), lit(1)))
+      .orderBy(col("m"), col("b"))
+    val ranked = reps.withColumn("r", row_number().over(ord).cast(LongType))
+      .crossJoin(broadcast(cnt))
+    val lo = ranked.where(col("r") === expr(s"(b_used * $alphaPct + 199) DIV 200"))
+      .select(col("m").as("boot_lo"))
+    val hi = ranked
+      .where(col("r") === expr(s"b_used + 1 - (b_used * $alphaPct + 199) DIV 200"))
+      .select(col("m").as("boot_hi"))
+    val tested = col("n_t") > 0L && col("n_c") > 0L
+    base.crossJoin(broadcast(cnt))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(
+        col("n_t").as("n_treat"), col("n_c").as("n_ctrl"),
+        when(tested, round(
+          col("sx_t").cast(DoubleType) / col("n_t") -
+            col("sx_c").cast(DoubleType) / col("n_c"), 6)).as("delta"),
+        when(tested, col("boot_lo")).as("boot_lo"),
+        when(tested, col("boot_hi")).as("boot_hi"),
+        when(tested, col("b_used")).as("b_used"),
+        when(tested && col("b_used") > 1L, round(sqrt(greatest(
+          (col("s2") - (col("s1") * col("s1")) / col("b_used")) /
+            (col("b_used") - lit(1L)), lit(0.0))), 6)).as("se_boot"),
+        when(tested,
+          col("boot_lo") > lit(0.0) || col("boot_hi") < lit(0.0))
+          .as("excludes_zero"))
+  }
+
   /** Temperature-scaled source mixing weights (the multinomial
     * α-sampling recipe published with GPT-2/3-era corpora, the Pile's
     * per-set epochs, and LLaMA's sampling proportions; Devlin et al.

@@ -5785,6 +5785,92 @@ object ExtraQueries extends QueryGroup {
                 CAST(steps_d AS DOUBLE), 6) END AS rmst
             FROM agg"""))
 
+  val q276 = QueryDef(
+    "q276_bootstrap_uplift_ci",
+    "Poisson bootstrap 95% CI for the per-user total-value UPLIFT " +
+      "between parity arms (Chamandy et al. 2012 applied to the " +
+      "difference) - the ESTIMATE companion of q266's randomization " +
+      "test ('is it real' -> 'how big, with resampling-honest error " +
+      "bars'): 64 replicates, every unit re-weighted Poisson(1) from " +
+      "the avalanche uniform of id||salt||b (zero RNG state, paired " +
+      "across arms), delta_b one fixed-order chain of exact Decimal " +
+      "sums, CI exact order statistics at the count-conditional ceil " +
+      "ranks, excludes_zero the decision read; parity arms are " +
+      "exchangeable so the registered CI covers 0 - the honest null",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ud = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(col("value").cast(DecimalType(30, 6))) * 1000000)
+          .cast(LongType).as("vmicro"))
+        .select(col("user_id"), col("vmicro"),
+          (col("user_id") % 2 === 1).as("treat"))
+      graft.operators.Sampling.poissonBootstrapDelta(
+        ud, "user_id", "vmicro", "treat")
+    },
+    Some {
+      val wSql = graft.operators.Sampling.PoissonOneThresholds
+        .map(tk => s"(CASE WHEN u >= $tk THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH s AS (SELECT CAST(user_id AS VARCHAR) AS k,
+                    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000
+                      AS BIGINT) AS x,
+                    user_id % 2 = 1 AS g
+                  FROM events GROUP BY user_id),
+            h AS MATERIALIZED (SELECT x, g, ${H.oPolyFold("k", "bootd")} AS hp
+                  FROM s),
+            base AS (SELECT
+                    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                    CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+                    COALESCE(SUM(CASE WHEN g
+                      THEN CAST(x AS DECIMAL(38,0)) END), 0) AS sx_t,
+                    COALESCE(SUM(CASE WHEN NOT g
+                      THEN CAST(x AS DECIMAL(38,0)) END), 0) AS sx_c
+                  FROM s),
+            rep AS (SELECT x, g, hp, UNNEST(range(0, 64)) AS b FROM h),
+            f AS (SELECT x, g, b,
+                    ((((((hp * 31 + (48 + (b // 100))) % 1000000007) * 31 +
+                        (48 + ((b // 10) % 10))) % 1000000007) * 31 +
+                      (48 + (b % 10))) % 1000000007) AS f3
+                  FROM rep),
+            uu AS (SELECT x, g, b,
+                    ((f3 + 479001599) * (f3 + 987654323)) % 1000000007 AS u
+                  FROM f),
+            ww AS (SELECT b, x, g, $wSql AS w FROM uu),
+            m AS MATERIALIZED (
+              SELECT b, ROUND(
+                  CAST(COALESCE(SUM(CASE WHEN g
+                    THEN CAST(w * x AS DECIMAL(38,0)) END), 0) AS DOUBLE) /
+                    SUM(CASE WHEN g THEN w ELSE 0 END) -
+                  CAST(COALESCE(SUM(CASE WHEN NOT g
+                    THEN CAST(w * x AS DECIMAL(38,0)) END), 0) AS DOUBLE) /
+                    SUM(CASE WHEN NOT g THEN w ELSE 0 END), 6) AS m
+              FROM ww GROUP BY b
+              HAVING SUM(CASE WHEN g THEN w ELSE 0 END) > 0
+                AND SUM(CASE WHEN NOT g THEN w ELSE 0 END) > 0),
+            cnt AS (SELECT COUNT(*) AS b_used,
+                    CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS s2
+                  FROM m),
+            r AS (SELECT m, b, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM m),
+            lo AS (SELECT m AS boot_lo FROM r CROSS JOIN cnt
+                  WHERE r.r = (cnt.b_used * 5 + 199) // 200),
+            hi AS (SELECT m AS boot_hi FROM r CROSS JOIN cnt
+                  WHERE r.r = cnt.b_used + 1 - (cnt.b_used * 5 + 199) // 200)
+            SELECT n_t AS n_treat, n_c AS n_ctrl,
+              CASE WHEN n_t > 0 AND n_c > 0 THEN ROUND(
+                CAST(sx_t AS DOUBLE) / n_t - CAST(sx_c AS DOUBLE) / n_c, 6)
+                END AS delta,
+              CASE WHEN n_t > 0 AND n_c > 0 THEN boot_lo END AS boot_lo,
+              CASE WHEN n_t > 0 AND n_c > 0 THEN boot_hi END AS boot_hi,
+              CASE WHEN n_t > 0 AND n_c > 0 THEN b_used END AS b_used,
+              CASE WHEN n_t > 0 AND n_c > 0 AND b_used > 1 THEN
+                ROUND(SQRT(GREATEST((s2 - (s1 * s1) / b_used) / (b_used - 1),
+                  0e0)), 6) END AS se_boot,
+              CASE WHEN n_t > 0 AND n_c > 0
+                THEN boot_lo > 0.0 OR boot_hi < 0.0 END AS excludes_zero
+            FROM base CROSS JOIN cnt CROSS JOIN lo CROSS JOIN hi"""
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5795,5 +5881,5 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270, q271, q272, q273, q274, q275)
+      q269, q270, q271, q272, q273, q274, q275, q276)
 }

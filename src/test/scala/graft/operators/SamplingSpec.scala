@@ -698,6 +698,68 @@ class SamplingSpec extends SparkSpecBase {
         alphaNum = 0))
   }
 
+  test("poissonBootstrapDelta: sequential reference, planted-uplift CI, null coverage, guards") {
+    val s = spark
+    import s.implicits._
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ths = Sampling.PoissonOneThresholds
+    def wgt(id: Long, b: Int): Long =
+      ths.count(Sampling.avalancheJvm(id.toString, "bootd" + f"$b%03d") >= _)
+        .toLong
+    def ref(rows: Seq[(Long, Long, Boolean)], reps: Int)
+        : (Seq[Double], Double) = {
+      val dObs = rows.filter(_._3).map(_._2).sum.toDouble /
+        rows.count(_._3) -
+        rows.filter(!_._3).map(_._2).sum.toDouble / rows.count(!_._3)
+      val ds = (0 until reps).flatMap { b =>
+        val (t, c) = rows.partition(_._3)
+        val swt = t.map(r => wgt(r._1, b)).sum
+        val swc = c.map(r => wgt(r._1, b)).sum
+        if (swt == 0 || swc == 0) None
+        else Some(r6(
+          t.map(r => wgt(r._1, b) * r._2).sum.toDouble / swt -
+            c.map(r => wgt(r._1, b) * r._2).sum.toDouble / swc))
+      }
+      (ds, dObs)
+    }
+    // planted uplift: treated +300 on +-30 noise
+    val rows = (1L to 120L).map(i =>
+      (i, (i % 7) * 10L + (if (i % 2 == 1) 300L else 0L), i % 2 == 1))
+    val got = Sampling.poissonBootstrapDelta(rows.toDF("id", "x", "g"),
+      "id", "x", "g", replicates = 32).collect().head
+    val (ds, dObs) = ref(rows, 32)
+    assert(got.getAs[Long]("b_used") === ds.size.toLong)
+    assert(got.getAs[Double]("delta") === r6(dObs))
+    val sorted = ds.sorted
+    val bUsed = ds.size
+    val loR = (bUsed * 5 + 199) / 200
+    assert(got.getAs[Double]("boot_lo") === sorted(loR - 1),
+      "CI lower pick equals the sequential order statistic")
+    assert(got.getAs[Double]("boot_hi") === sorted(bUsed - loR))
+    assert(got.getAs[Boolean]("excludes_zero"),
+      "a +300 uplift CI on +-30 noise must exclude 0")
+    assert(got.getAs[Double]("boot_lo") <= r6(dObs) &&
+      r6(dObs) <= got.getAs[Double]("boot_hi"))
+    // exchangeable arms: CI covers 0
+    val nul = (1L to 120L).map(i => (i, ((i / 2) % 7) * 10L, i % 2 == 1))
+    val gn = Sampling.poissonBootstrapDelta(nul.toDF("id", "x", "g"),
+      "id", "x", "g", replicates = 32).collect().head
+    assert(!gn.getAs[Boolean]("excludes_zero"))
+    // partition invariance
+    val gp = Sampling.poissonBootstrapDelta(
+      rows.reverse.toDF("id", "x", "g").repartition(9),
+      "id", "x", "g", replicates = 32).collect().head
+    assert(gp.getAs[Double]("boot_lo") === got.getAs[Double]("boot_lo") &&
+      gp.getAs[Double]("boot_hi") === got.getAs[Double]("boot_hi"))
+    // empty arm: zero rows (no uplift to estimate)
+    assert(Sampling.poissonBootstrapDelta(
+      Seq((1L, 5L, true), (2L, 6L, true)).toDF("id", "x", "g"),
+      "id", "x", "g").collect().isEmpty)
+    intercept[IllegalArgumentException](Sampling.poissonBootstrapDelta(
+      Seq((1L, 1.0, true)).toDF("id", "x", "g"), "id", "x", "g"))
+  }
+
   test("poissonBootstrapMean: constant column collapses the CI; contracts fail loud") {
     val s = spark
     import s.implicits._

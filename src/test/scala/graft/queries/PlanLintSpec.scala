@@ -187,6 +187,9 @@ class PlanLintSpec extends SparkSpecBase {
     // compression ladder); the ROUTED path at scale is IVF-PQ
     // (q241/q256), which exists and is measured — no unshipped promise
     "q267_sq8_ann_topk",
+    // q276: bootstrap uplift CI — the ≤B replicate frame with the 1-row
+    // moments/lo/hi crossJoins (the q244 bootstrap assembly, verbatim)
+    "q276_bootstrap_uplift_ci",
     // q274: mSPRT — the 1-row final frame left-joined with the 1-row
     // (or empty) decision frame and the day-cells at-decision row —
     // q61's one-row class

@@ -59,6 +59,29 @@ def main():
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             nfail += 1
             continue
+        # Driver-faithful dtype check: the driver hashes RENDERED values, so
+        # an int64 Spark column vs a float64 oracle column hashes `10` vs
+        # `10.0` and fails even when values are equal (e.g. DuckDB re-widens
+        # windowed SUM(BIGINT) to HUGEINT, which pandas renders as float).
+        # Value-only comparison cannot see this class — enforce kind parity.
+        def render_kind(dt):
+            k = getattr(dt, "kind", None)
+            if k in ("i", "u"):
+                return "int"
+            if k == "f":
+                return "float"
+            return "other"
+        kind_diffs = [
+            (c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+            if render_kind(a[c].dtype) != render_kind(b[c].dtype)
+            and {render_kind(a[c].dtype), render_kind(b[c].dtype)} == {"int", "float"}
+        ]
+        if kind_diffs:
+            print(f"FAIL {name}: int-vs-float dtype divergence (driver renders these differently)")
+            for c, x, y in kind_diffs[:4]:
+                print(f"    col={c} spark_dtype={x} oracle_dtype={y}")
+            nfail += 1
+            continue
         diffs = []
         for c in a.columns:
             av, bv = a[c], b[c]

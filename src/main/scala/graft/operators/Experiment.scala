@@ -130,9 +130,12 @@ object Experiment {
     * decimals through ONE fixed-order chain per day (one exp, one
     * sqrt); the always-valid p is a running MIN over the day window —
     * exact on identical doubles. Decision latches at the FIRST day
-    * with p ≤ alphaNum/alphaDen (exact rational compare on the
-    * unrounded p: p·alphaDen ≤ alphaNum — no float threshold), and the
-    * latch is what the guarantee prices (the [[sprt]] rule).
+    * with p ≤ alphaNum/alphaDen (deterministic integer-scaled compare
+    * on the unrounded p: p·alphaDen ≤ alphaNum — one IEEE multiply by
+    * an exact small-integer double, avoiding an unrepresentable 0.05
+    * literal; deterministic and cross-engine identical, though the
+    * multiply itself still rounds to nearest double), and the latch is
+    * what the guarantee prices (the [[sprt]] rule).
     *
     * Guards: days with fewer than 2 cumulative observations an arm (or
     * V_n = 0) carry p = 1 (no evidence — never a fabricated rejection);
@@ -216,7 +219,7 @@ object Experiment {
       .withColumn("p_av", min(col("p_day")).over(wCum))
       .withColumn("delta_day", when(informative, round(delta, roundTo)))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // decision: first day the exact rational alpha compare holds
+    // decision: first day the integer-scaled alpha compare holds
     val decided = scored
       .where(col("p_av") * lit(alphaDen) <= lit(alphaNum))
       .groupBy(pmod(col("day"), lit(1)).as("__g"))
@@ -231,7 +234,9 @@ object Experiment {
         max_by(col("delta_day"), col("day")).as("delta_final"),
         max_by(col("p_av"), col("day")).as("p_final"))
       .drop("__g")
-    fin.join(decided, lit(true), "left")
+    // one-row output: eagerly materialize lineage-free so the day-frame
+    // cache releases before return (the dedupFromAssigned discipline)
+    val out = fin.join(decided, lit(true), "left")
       .join(atDec, col("decision_day") === col("dd"), "left")
       .select(
         col("n_treat"), col("n_ctrl"), col("delta_final"),
@@ -240,6 +245,9 @@ object Experiment {
         col("decision_day"),
         (col("nt_at") + col("nc_at")).as("n_at_decision"),
         round(col("p_at"), roundTo).as("p_at_decision"))
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
   }
 
   /** Hodges–Lehmann two-sample shift estimator with the Mann–Whitney

@@ -861,7 +861,9 @@ object Sampling {
     val hi = ranked
       .where(col("r") === expr(s"b_used + 1 - (b_used * $alphaPct + 199) DIV 200"))
       .select(col("m").as("boot_hi"))
-    base.crossJoin(broadcast(cnt))
+    // one-row output: eagerly materialize lineage-free so the replicate
+    // cache releases before return (the dedupFromAssigned discipline)
+    val out = base.crossJoin(broadcast(cnt))
       .crossJoin(broadcast(lo))
       .crossJoin(broadcast(hi))
       .select(col("n"), col("b_used"),
@@ -872,6 +874,9 @@ object Sampling {
         when(col("b_used") > 1L, round(sqrt(greatest(
           (col("s2") - (col("s1") * col("s1")) / col("b_used")) /
             (col("b_used") - lit(1L)), lit(0.0))), 6)).as("se_boot"))
+      .localCheckpoint(true)
+    reps.unpersist()
+    out
   }
 
   /** Poisson bootstrap confidence interval for a two-arm mean
@@ -978,7 +983,9 @@ object Sampling {
       .where(col("r") === expr(s"b_used + 1 - (b_used * $alphaPct + 199) DIV 200"))
       .select(col("m").as("boot_hi"))
     val tested = col("n_t") > 0L && col("n_c") > 0L
-    base.crossJoin(broadcast(cnt))
+    // one-row output: eagerly materialize lineage-free so the replicate
+    // cache releases before return (the dedupFromAssigned discipline)
+    val out = base.crossJoin(broadcast(cnt))
       .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
       .select(
         col("n_t").as("n_treat"), col("n_c").as("n_ctrl"),
@@ -994,6 +1001,9 @@ object Sampling {
         when(tested,
           col("boot_lo") > lit(0.0) || col("boot_hi") < lit(0.0))
           .as("excludes_zero"))
+      .localCheckpoint(true)
+    reps.unpersist()
+    out
   }
 
   /** Temperature-scaled source mixing weights (the multinomial

@@ -2415,9 +2415,16 @@ object Similarity {
           .cast("double") /
           (sqrt(col("pn2").cast("double")) * sqrt(col("nn2").cast("double"))),
         roundTo))
-    graft.plans.TopK.perKey(rescored,
+    // top-k output (probe×k rows, narrow): eagerly materialize
+    // lineage-free so the staged-corpus cache releases before return
+    // (the dedupFromAssigned discipline) — repeated ANN calls in a long
+    // session must not accumulate corpus-scale disk blocks
+    val out = graft.plans.TopK.perKey(rescored,
         Seq(col("pid")), Seq(col("sim").desc, col("nid")), k)
       .select("pid", "rank", "nid", "sim", "approx")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    v.unpersist()
+    out
   }
 
   /** Full DuckDB replay of [[cellOccupancyTrained]] (training included) —

@@ -46,11 +46,20 @@ object Survival {
     * [0, min(t₁, τ)) interval contributes exactly its width (S = 1).
     * Guards: fail-loud τ ≥ 1; rmst NULL when no events exist at all
     * (the curve never steps — an all-censored corpus has no KM curve
-    * to integrate; the raw follow-up mean is the right tool there).
+    * to integrate; the raw follow-up mean is the right tool there);
+    * rmst NULL when τ exceeds the maximum observed FOLLOW-UP (event or
+    * censored — the KM curve is undefined past the last unit under
+    * observation, so integrating to a larger τ would silently
+    * extrapolate the last survival level; survRM2 and kin error here).
+    * `t_max_followup` (max duration over ALL units) is emitted beside
+    * `t_max` (last EVENT time) so a consumer can see how much of
+    * [0, τ] rides the final flat segment.
     *
     * Scale shape: [[kaplanMeier]]'s (one corpus pass to duration
-    * cells), then model-frame window arithmetic. Output ONE row:
-    * (tau, n_event_times, t_max, rmst). */
+    * cells), plus one column-pruned scan-agg for max follow-up (the
+    * guard needs censored durations, which the KM event table drops),
+    * then model-frame window arithmetic. Output ONE row:
+    * (tau, n_event_times, t_max, t_max_followup, rmst). */
   def rmst(
       df: DataFrame,
       durationCol: String,
@@ -70,18 +79,23 @@ object Survival {
         (col("survival") *
           greatest(lit(0L), least(col("t_next"), lit(tau)) -
             least(col("t"), lit(tau))).cast("double")).cast(DEC))
+    val maxFu = df.agg(
+      max(col(durationCol).cast("long")).as("t_max_followup"))
     stepped.agg(
         count(lit(1)).as("n_event_times"),
         max(col("t")).as("t_max"),
         min(col("t")).as("t_first"),
         coalesce(sum(col("area")), lit(0).cast(DEC)).as("steps_d"))
+      .join(broadcast(maxFu), lit(true))
       .select(
         lit(tau).as("tau"),
         col("n_event_times"),
         col("t_max"),
-        when(col("n_event_times") > 0L, round(
-          least(col("t_first"), lit(tau)).cast("double") +
-            col("steps_d").cast("double"), roundTo)).as("rmst"))
+        col("t_max_followup"),
+        when(col("n_event_times") > 0L && lit(tau) <= col("t_max_followup"),
+          round(
+            least(col("t_first"), lit(tau)).cast("double") +
+              col("steps_d").cast("double"), roundTo)).as("rmst"))
   }
 
   /** Kaplan–Meier product-limit survival estimator (Kaplan & Meier

@@ -4309,7 +4309,7 @@ object ExtraQueries extends QueryGroup {
                     CAST(COALESCE(SUM(CASE WHEN NOT s.is_en AND s.score >= t.tau
                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_pass
                   FROM sc s CROSS JOIN tau t WHERE NOT s.cal)
-            SELECT c.n_cal_all AS n_cal, t.k, t.tau,
+            SELECT c.n_cal_all AS n_cal, CAST(t.k AS BIGINT) AS k, t.tau,
               CAST(1 AS BIGINT) AS alpha_num, CAST(10 AS BIGINT) AS alpha_den,
               h.n_good AS n_holdout_good,
               CASE WHEN t.tau IS NOT NULL THEN p.good_pass END AS good_pass,
@@ -4519,12 +4519,12 @@ object ExtraQueries extends QueryGroup {
                     MIN(CASE WHEN state <> 'continue' THEN day END)
                       AS decision_day
                   FROM st GROUP BY variant)
-            SELECT f.variant, f.n, f.k,
+            SELECT f.variant, CAST(f.n AS BIGINT) AS n, CAST(f.k AS BIGINT) AS k,
               ROUND(CAST(f.k AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS rate,
               ROUND(f.llr_final_raw, 6) AS llr_final,
               COALESCE(d.state, 'continue') AS decision,
               f.decision_day,
-              d.cn AS n_at_decision,
+              CAST(d.cn AS BIGINT) AS n_at_decision,
               ROUND(d.llr, 6) AS llr_at_decision
             FROM fin f LEFT JOIN st d
               ON f.variant = d.variant AND f.decision_day = d.day
@@ -5132,7 +5132,12 @@ object ExtraQueries extends QueryGroup {
       "tail count compares identical doubles, significance the EXACT " +
       "integer rule 20*(1+b_ge) <= (1+b_used); parity arms are " +
       "exchangeable so the registered answer is NOT significant - the " +
-      "honest null (planted-shift power is spec-pinned)",
+      "honest null (planted-shift power is spec-pinned). DESIGN NOTE: " +
+      "replicates RE-RANDOMIZE each unit with an independent fair " +
+      "coin, so the exact-under-the-null guarantee holds for " +
+      "Bernoulli(1/2) assignment designs (this fixture's parity arms); " +
+      "for fixed-margin or imbalanced designs the p is asymptotic, " +
+      "not exact - see the operator scaladoc",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val ud = t(s, dir, "events")
@@ -5778,12 +5783,15 @@ object ExtraQueries extends QueryGroup {
                     COALESCE(SUM(CAST(survival *
                       CAST(GREATEST(0, LEAST(t_next, 20) - LEAST(t, 20))
                         AS DOUBLE) AS DECIMAL(38,12))), 0) AS steps_d
-                  FROM stepped)
+                  FROM stepped),
+            maxfu AS (SELECT MAX(t) AS t_max_followup FROM base)
             SELECT CAST(20 AS BIGINT) AS tau, n_event_times, t_max,
-              CASE WHEN n_event_times > 0 THEN ROUND(
-                CAST(LEAST(t_first, 20) AS DOUBLE) +
-                CAST(steps_d AS DOUBLE), 6) END AS rmst
-            FROM agg"""))
+              t_max_followup,
+              CASE WHEN n_event_times > 0 AND 20 <= t_max_followup
+                THEN ROUND(
+                  CAST(LEAST(t_first, 20) AS DOUBLE) +
+                  CAST(steps_d AS DOUBLE), 6) END AS rmst
+            FROM agg CROSS JOIN maxfu"""))
 
   val q276 = QueryDef(
     "q276_bootstrap_uplift_ci",

@@ -169,15 +169,25 @@ class SurvivalSpec extends SparkSpecBase {
       .scanLeft(BigDecimal(0)) { case (acc, (n, d)) =>
         acc + dec12(math.log((n - d) / n)) }.drop(1)
     val sv = lnChain.map(l => r12(math.exp(l.toDouble)))
-    val tau = 8L
-    // areas: [0,1)*1 + [1,3)*S1 + [3,5)*S2 + [5,8)*S3
+    // tau = max follow-up (6, the censored tail): the largest tau the
+    // curve is defined at — areas [0,1)*1 + [1,3)*S1 + [3,5)*S2 + [5,6)*S3
+    val tau = 6L
     val want = r6(1.0 +
-      (dec12(sv(0) * 2.0) + dec12(sv(1) * 2.0) + dec12(sv(2) * 3.0)).toDouble)
+      (dec12(sv(0) * 2.0) + dec12(sv(1) * 2.0) + dec12(sv(2) * 1.0)).toDouble)
     val got = Survival.rmst(rows.toDF("dur", "ev"), "dur", "ev", tau = tau)
       .collect().head
-    assert(got.getAs[Long]("tau") === 8L)
+    assert(got.getAs[Long]("tau") === 6L)
     assert(got.getAs[Long]("n_event_times") === 3L)
+    assert(got.getAs[Long]("t_max") === 5L, "last EVENT time")
+    assert(got.getAs[Long]("t_max_followup") === 6L, "last observed unit")
     assert(got.getAs[Double]("rmst") === want)
+    // tau BEYOND max follow-up: the KM curve is undefined there — rmst
+    // NULL (never a silent flat extrapolation), follow-up still emitted
+    val beyond = Survival.rmst(rows.toDF("dur", "ev"), "dur", "ev", tau = 8L)
+      .collect().head
+    assert(beyond.getAs[Long]("t_max_followup") === 6L)
+    assert(beyond.isNullAt(beyond.fieldIndex("rmst")),
+      "tau=8 > max follow-up 6 must NULL rmst")
     assert(s1 === sv(0), "chain sanity")
     // tau clamping: tau below the first event -> rmst = tau exactly
     val clamp = Survival.rmst(rows.toDF("dur", "ev"), "dur", "ev", tau = 1L)

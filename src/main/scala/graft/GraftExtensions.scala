@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: per-key top-k heap operator (partial →
     // exchange → final), SURVEY.md §4.2's custom-SparkStrategy path
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // column pruning across the custom node (the stock rule cannot see
+    // it): without this, ANN pair vectors ride into the heap operator's
+    // row materialization only to be dropped by the caller's select
+    ext.injectOptimizerRule(_ => graft.plans.TopKPerKeyColumnPruning)
     reg(ext, "float_dot", classOf[FloatDotProduct], args => {
       require(args.length == 2, "float_dot(arrayA, arrayB)")
       FloatDotProduct(args.head, args(1))

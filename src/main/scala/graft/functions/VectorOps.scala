@@ -46,6 +46,16 @@ object VectorOps {
   def dotLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
 
+  /** Exact integer dot product over two `array<tinyint>` SQ8 code
+    * columns — the 1-byte/dim pair-screen kernel. Backed by the
+    * codegen'd [[graft.expressions.TinyIntDotProduct]]; exact Long
+    * arithmetic, bit-identical to the widened [[dotLong]] fold. */
+  def dotTiny(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(graft.expressions.TinyIntDotProduct(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
+
   /** Euclidean norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -571,6 +571,37 @@ object Similarity {
       .select("pid", "rank", "nid", "sim")
   }
 
+  /** Per-vector SQ8 screen state for the exact near-dup pair stage:
+    * symmetric per-vector 1-byte quantization (qs = 127/max|x_i|, code_i
+    * = round(x_i·qs) clamped to ±127) plus the three scalars the
+    * conservative pair bound needs — qn = ‖x̂‖ (norm of the DEQUANTIZED
+    * vector), en = ‖x − x̂‖ (the EXACT per-vector quantization error
+    * norm, not the 0.5·√d/qs worst case — ~2× tighter in practice).
+    * For any pair, Cauchy-Schwarz on dot(x,y) = dot(x̂+e_x, ŷ+e_y) gives
+    *   |dot(x,y) − dot(x̂,ŷ)| ≤ qn_x·en_y + en_x·qn_y + en_x·en_y,
+    * so approx + bound is a certified UPPER bound on the true dot — a
+    * pair can be discarded without ever touching its float vectors.
+    * All staging is linear, one pass, pure Catalyst transforms; codes
+    * are `array<tinyint>` (64 B at dim 64 vs 256 B floats) scored by
+    * the codegen'd [[graft.functions.VectorOps.dotTiny]] kernel. */
+  private[graft] def sq8ScreenStaged(df: DataFrame, vecCol: String): DataFrame = df
+    .withColumn("__mx", expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+        "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+    .withColumn("__qs", lit(127.0) / col("__mx"))
+    .withColumn("__cd", expr(
+      s"transform($vecCol, x -> CAST(greatest(-127.0D, least(127.0D, " +
+        "round(CAST(x AS DOUBLE) * __qs))) AS TINYINT))"))
+    .withColumn("__qn",
+      sqrt(graft.functions.VectorOps.dotTiny(col("__cd"), col("__cd"))
+        .cast("double")) / col("__qs"))
+    .withColumn("__en", sqrt(expr(
+      s"aggregate(zip_with($vecCol, __cd, (x, c) -> " +
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / __qs) * " +
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / __qs)), " +
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)")))
+    .drop("__mx")
+
   /** Within-group near-dup pairs (ia < ib, rounded cosine ≥ minSim) with
     * LSH-bucketed pair generation: candidates come from `bands`
     * independent hyperplane-bucket joins keyed on
@@ -612,13 +643,50 @@ object Similarity {
       roundTo: Int = 4,
       bands: Int = 0,
       planesPerBand: Int = 1,
-      saltFactor: Int = 1): DataFrame = {
+      saltFactor: Int = 1,
+      codeScreen: Boolean = false): DataFrame = {
     require(saltFactor >= 1, s"nearDupPairs: saltFactor $saltFactor must be >= 1")
     val base = withNorm(
       vectors.select(col(groupCol).as("g"), col(idCol).as("id"), col(vecCol).as("vec")),
       "vec", "norm")
     val cand =
-      if (bands == 0 && saltFactor > 1) {
+      if (bands == 0 && codeScreen) {
+        // SQ8-screened exact pair generation (the r17 in-cell pair-work
+        // remedy): the quadratic self-join carries 1-byte/dim CODES plus
+        // four doubles — never the float vectors — and each pair is
+        // screened by the certified upper bound approx + B ≥ threshold
+        // ([[sq8ScreenStaged]]); only survivors (~the true-pass fraction
+        // plus a thin margin band) reach the vector rejoin and the exact
+        // cosine below, so the dominant in-cell cost scales with
+        // SURVIVORS, not pairs. The screen threshold backs off by the
+        // rounding half-step (+ absolute fp fuzz) so any pair whose
+        // ROUNDED exact cosine could reach minSim provably survives —
+        // results are bit-identical to the unscreened path
+        // (SimilaritySpec equivalence + adversarial bound tests), and
+        // the q234 training-replay oracle is untouched.
+        val thr = minSim - 0.5 * math.pow(10.0, -roundTo) - 1e-9
+        val staged = sq8ScreenStaged(base, "vec")
+        val l = staged.select(col("g"), col("id").as("ia"),
+          col("__cd").as("__ca"), col("__qs").as("__sa"),
+          col("__qn").as("__qa"), col("__en").as("__ea"),
+          col("norm").as("__na"),
+          pmod(xxhash64(col("id")), lit(saltFactor.toLong)).as("__salt_a"))
+        val r = staged.select(col("g").as("g2"), col("id").as("ib"),
+          col("__cd").as("__cb"), col("__qs").as("__sb"),
+          col("__qn").as("__qb"), col("__en").as("__eb"),
+          col("norm").as("__nb"),
+          explode(sequence(lit(0L), lit(saltFactor.toLong - 1))).as("__salt_b"))
+        l.hint("shuffle_hash")
+          .join(r, col("g") === col("g2") && col("__salt_a") === col("__salt_b") &&
+            col("ia") < col("ib"))
+          .filter(
+            (graft.functions.VectorOps.dotTiny(col("__ca"), col("__cb"))
+                .cast("double") / (col("__sa") * col("__sb")) +
+              col("__qa") * col("__eb") + col("__ea") * col("__qb") +
+              col("__ea") * col("__eb")) >=
+              lit(thr) * col("__na") * col("__nb"))
+          .select("g", "ia", "ib")
+      } else if (bands == 0 && saltFactor > 1) {
         base.select(col("g"), col("id").as("ia"),
             pmod(xxhash64(col("id")), lit(saltFactor.toLong)).as("sa"))
           .hint("shuffle_hash")
@@ -1097,12 +1165,12 @@ object Similarity {
       // occupancy profile is skewed (natural clusters are — the r16 100×
       // adjudication's residual); the LSH branch splits hot cells by
       // band bucket already
-      val sf = if (bands != 0) 1
-        else adaptiveCellSalt(assigned.select(col("cell")), "cell")
+      val (sf, pairUnits) = if (bands != 0) (1, 0.0)
+        else cellPairProfile(assigned.select(col("cell")), "cell")
       val pairs = nearDupPairs(assigned.select(col("cell"), col("id"), col("vec")),
           groupCol = "cell", minSim = minSim, idCol = "id", vecCol = "vec",
           roundTo = roundTo, bands = bands, planesPerBand = planesPerBand,
-          saltFactor = sf)
+          saltFactor = sf, codeScreen = pairUnits >= CodeScreenMinPairs)
         .select("ia", "ib")
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val comp =
@@ -1562,20 +1630,37 @@ object Similarity {
     * collect is its single summary row — driver state is 1 row by
     * construction. occ² sums in double: this sizes task fan-out, it is
     * not a result. */
-  private def adaptiveCellSalt(cells: DataFrame, cellCol: String): Int = {
+  private def adaptiveCellSalt(cells: DataFrame, cellCol: String): Int =
+    cellPairProfile(cells, cellCol)._1
+
+  /** [[adaptiveCellSalt]] plus the TOTAL pair-unit volume Σocc² the salt
+    * rule already aggregates — the second consumer is the count-
+    * conditional SQ8 screen gate ([[nearDupPairs]] `codeScreen`): below
+    * [[CodeScreenMinPairs]] pair units the screen's staging + byte-dot
+    * overhead buys nothing, above it the quadratic stage should carry
+    * codes, not vectors. One profile, one collect, two decisions. */
+  private def cellPairProfile(
+      cells: DataFrame, cellCol: String): (Int, Double) = {
     val t = cells.sparkSession.sparkContext.defaultParallelism
     val rows = cells.groupBy(col(cellCol)).agg(count(lit(1)).as("f"))
       .agg(
         sum(col("f").cast("double") * col("f").cast("double")).as("s2"),
         max(col("f").cast("double") * col("f").cast("double")).as("mx"))
       .collect()
-    if (rows.isEmpty || rows(0).isNullAt(0) || rows(0).getDouble(0) <= 0.0) 1
+    if (rows.isEmpty || rows(0).isNullAt(0) || rows(0).getDouble(0) <= 0.0)
+      (1, 0.0)
     else {
       val s2 = rows(0).getDouble(0)
       val mx = rows(0).getDouble(1)
-      math.max(1, math.min(16.0, math.ceil(mx * t / s2)).toInt)
+      (math.max(1, math.min(16.0, math.ceil(mx * t / s2)).toInt), s2)
     }
   }
+
+  /** Pair-unit volume (Σocc² over cells) above which the exact pair
+    * stage screens with SQ8 codes: low enough that the driver's sf0.01
+    * oracle gate exercises the screened path every round (≈31k pair
+    * units there), high enough that toy spec fixtures skip it. */
+  private[graft] val CodeScreenMinPairs = 2e4
 
   /** [[knnGraph]] over a TRAINED persisted quantizer with two-level
     * routing — the production kNN-graph entry point at 100 TB geometry:

@@ -130,6 +130,35 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
+/** Column pruning across [[TopKPerKeyNode]] — the stock ColumnPruning
+  * rule does not descend into custom nodes, so without this every TopK
+  * input row carries ALL of the child's columns into the heap operator's
+  * per-row UnsafeRow materialization (the operator is not codegen'd, so
+  * its input is a real row-by-row boundary). For the ANN family that
+  * meant BOTH 256-byte float vectors rode along with every scored pair
+  * just to be dropped by the caller's select after ranking — at the 100×
+  * fixture that is ~0.5 TB of dead row traffic per query. When a parent
+  * Project uses a strict subset of the node's output, push a Project
+  * below the node keeping only (parent references ∪ key refs ∪ order
+  * refs); results are identical, only row width changes. Registered via
+  * [[graft.GraftExtensions]] into the operator-optimization batch so it
+  * composes to fixed point with the built-in pruning rules. */
+object TopKPerKeyColumnPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, t @ TopKPerKeyNode(keys, order, _, rank, child)) =>
+      val needed = AttributeSet(
+        p.references.filterNot(_.exprId == rank.exprId).toSeq ++
+          keys.flatMap(_.references) ++ order.flatMap(_.references))
+      val keep = child.output.filter(needed.contains)
+      if (keep.size < child.output.size)
+        p.copy(child = t.copy(child = Project(keep, child)))
+      else p
+  }
+}
+
 /** Plans [[TopKPerKeyNode]] as partial → (exchange via distribution
   * requirement) → final, the two-phase aggregation shape. */
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {

@@ -5879,6 +5879,144 @@ object ExtraQueries extends QueryGroup {
             FROM base CROSS JOIN cnt CROSS JOIN lo CROSS JOIN hi"""
     })
 
+  val q277 = QueryDef(
+    "q277_recall_fixed_budget",
+    "PRODUCTION recall eval - the q111 harness over a FIXED absolute " +
+      "probe budget (the r17 verdict item 4, third application of the " +
+      "q252 pattern): q111's registered geometry is quadratic BY " +
+      "HARNESS (probe sample proportional at pid%10, 324x wall for " +
+      "100x data, adjudicated r17) - a production recall eval fixes " +
+      "the probe BUDGET (50 first-by-id probes here; the fixed-budget " +
+      "brute anchor measured 2.9x for 100x data), so ground truth is " +
+      "budget x corpus LINEAR and the approximate side is the TRAINED " +
+      "persisted quantizer at cells ~targetCell (the q252 production " +
+      "routing); recall@3 per probe vs the exact brute top-3; oracle " +
+      "replays training, routing, both top-k frames and the recall " +
+      "tail",
+    (s, dir) => {
+      val S = graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = trainedQuantizer(s, emb, minCentroids = 16)
+      val flatQ = q.select(col("cid"), col("cq").cast("array<float>").as("cvec"))
+      val probes = emb.orderBy("vec_id").limit(50)
+      val approx = S.topKIvf(emb, probes, k = 3, nCentroids = 16, nProbe = 2,
+          quantizer = Some(flatQ), routeRoundTo = Some(6))
+        .select("pid", "nid")
+      val exact = S.topKBruteForce(emb, probes, k = 3).select("pid", "nid")
+      S.rankingRecall(approx, exact).orderBy("pid")
+    },
+    Some {
+      val ctes = graft.operators.Similarity.trainedIvfSqlCtes(
+        "embeddings", minCentroids = 16, nProbe = 1)
+      s"""WITH $ctes,
+         |fr AS MATERIALIZED (SELECT id, cid, rn AS crank FROM
+         |  (SELECT v.id, c.cid,
+         |     ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+         |       ROUND(list_inner_product(v.ev, CAST(c.cq AS DOUBLE[]))
+         |         / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(CAST(c.c2 AS DOUBLE))),
+         |         6) DESC, c.cid) AS rn
+         |   FROM vraw v CROSS JOIN c2 c) WHERE rn <= 2),
+         |pb AS MATERIALIZED (SELECT id FROM vraw ORDER BY id LIMIT 50),
+         |ap AS (SELECT p.id AS pid, h.id AS nid,
+         |    ROUND(list_cosine_similarity(pv.ev, hv.ev), 4) AS sim
+         |  FROM fr p JOIN pb ON p.id = pb.id
+         |  JOIN (SELECT id, cid FROM fr WHERE crank = 1) h
+         |    ON p.cid = h.cid AND p.id <> h.id
+         |  JOIN vraw pv ON pv.id = p.id JOIN vraw hv ON hv.id = h.id),
+         |approx AS (SELECT pid, nid FROM
+         |    (SELECT pid, nid, ROW_NUMBER() OVER (PARTITION BY pid
+         |       ORDER BY sim DESC, nid) AS rk FROM ap) WHERE rk <= 3),
+         |es AS (SELECT a.id AS pid, b.id AS nid,
+         |    ROUND(list_cosine_similarity(a.ev, b.ev), 4) AS sim
+         |  FROM vraw a JOIN pb ON a.id = pb.id CROSS JOIN vraw b
+         |  WHERE a.id <> b.id),
+         |er AS (SELECT pid, nid, ROW_NUMBER() OVER (PARTITION BY pid
+         |    ORDER BY sim DESC, nid) AS rank FROM es),
+         |exact AS (SELECT pid, nid FROM er WHERE rank <= 3),
+         |h AS (SELECT approx.pid, COUNT(*) AS hits
+         |  FROM approx JOIN exact
+         |    ON approx.pid = exact.pid AND approx.nid = exact.nid
+         |  GROUP BY 1),
+         |tt AS (SELECT pid, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+         |SELECT tt.pid, COALESCE(h.hits, 0) AS hits, tt.n_exact,
+         |  ROUND(COALESCE(h.hits, 0) * 1.0 / tt.n_exact, 4) AS recall
+         |FROM tt LEFT JOIN h ON tt.pid = h.pid
+         |ORDER BY tt.pid""".stripMargin
+    })
+
+  val q278 = QueryDef(
+    "q278_hard_negative_fixed_budget",
+    "PRODUCTION hard-negative mining - q255 over a FIXED absolute " +
+      "probe budget with the TRAINED-quantizer neighbor frame (the " +
+      "entry-point swap q255's own description promises): probes = 50 " +
+      "first-by-id (q255's pid%10 sample is proportional - quadratic " +
+      "by harness, 266x wall at 100x, adjudicated r17; the fixed " +
+      "anchor measured 2.9x), neighbor frame = topKIvf top-16 over the " +
+      "persisted trained centroids (cells ~targetCell so candidate " +
+      "volume per probe is bounded), then the identical RocketQA tail: " +
+      "positive = nearest same-label neighbor, top-4 negatives at " +
+      "sim <= pos_sim - 0.02; oracle replays training, routing, the " +
+      "neighbor frame and the mining tail",
+    (s, dir) => {
+      val S = graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = trainedQuantizer(s, emb, minCentroids = 16)
+      val flatQ = q.select(col("cid"), col("cq").cast("array<float>").as("cvec"))
+      val probes = emb.orderBy("vec_id").limit(50)
+      val nb = S.topKIvf(emb, probes, k = 16, nCentroids = 16, nProbe = 2,
+          quantizer = Some(flatQ), routeRoundTo = Some(6))
+        .select("pid", "nid", "sim")
+      val lab = emb.select(col("vec_id").as("nid"), col("label").as("nlabel"))
+      val plab = emb.select(col("vec_id").as("pid"), col("label").as("plabel"))
+      val pos = graft.plans.TopK.perKey(
+          nb.join(lab, "nid").join(plab, "pid")
+            .where(col("nlabel") === col("plabel")),
+          Seq(col("pid")), Seq(col("sim").desc, col("nid")), 1)
+        .select(col("pid"), col("nid").as("pos_id"))
+      graft.operators.Retrieval.hardNegativesFromNeighbors(
+          nb, pos, k = 4, margin = 0.02)
+        .orderBy("pid", "rank")
+    },
+    Some {
+      val ctes = graft.operators.Similarity.trainedIvfSqlCtes(
+        "embeddings", minCentroids = 16, nProbe = 1)
+      s"""WITH $ctes,
+         |fr AS MATERIALIZED (SELECT id, cid, rn AS crank FROM
+         |  (SELECT v.id, c.cid,
+         |     ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+         |       ROUND(list_inner_product(v.ev, CAST(c.cq AS DOUBLE[]))
+         |         / (sqrt(list_inner_product(v.ev, v.ev)) * sqrt(CAST(c.c2 AS DOUBLE))),
+         |         6) DESC, c.cid) AS rn
+         |   FROM vraw v CROSS JOIN c2 c) WHERE rn <= 2),
+         |pb AS MATERIALIZED (SELECT id FROM vraw ORDER BY id LIMIT 50),
+         |lb AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lab
+         |  FROM embeddings),
+         |ap AS (SELECT p.id AS pid, h.id AS nid,
+         |    ROUND(list_cosine_similarity(pv.ev, hv.ev), 4) AS sim
+         |  FROM fr p JOIN pb ON p.id = pb.id
+         |  JOIN (SELECT id, cid FROM fr WHERE crank = 1) h
+         |    ON p.cid = h.cid AND p.id <> h.id
+         |  JOIN vraw pv ON pv.id = p.id JOIN vraw hv ON hv.id = h.id),
+         |nb AS (SELECT pid, nid, sim FROM
+         |    (SELECT pid, nid, sim, ROW_NUMBER() OVER (PARTITION BY pid
+         |       ORDER BY sim DESC, nid) AS rnk FROM ap) WHERE rnk <= 16),
+         |nbl AS (SELECT nb.pid, pl.lab AS plabel, nb.nid, nl.lab AS nlabel,
+         |    nb.sim
+         |  FROM nb JOIN lb pl ON pl.id = nb.pid JOIN lb nl ON nl.id = nb.nid),
+         |pos AS (SELECT pid, nid AS pos_id, sim AS pos_sim FROM
+         |    (SELECT pid, nid, sim, ROW_NUMBER() OVER (PARTITION BY pid
+         |       ORDER BY sim DESC, nid) AS rp
+         |     FROM nbl WHERE nlabel = plabel) WHERE rp = 1),
+         |cand AS (SELECT nb.pid, nb.nid, nb.sim, pos.pos_id, pos.pos_sim
+         |  FROM nb JOIN pos ON nb.pid = pos.pid
+         |  WHERE nb.nid <> pos.pos_id AND nb.sim <= pos.pos_sim - 0.02),
+         |r AS (SELECT pid, nid, sim, pos_id, pos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY pid
+         |      ORDER BY sim DESC, nid) AS rank FROM cand)
+         |SELECT pid, CAST(rank AS BIGINT) AS rank, nid, sim, pos_id, pos_sim
+         |FROM r WHERE rank <= 4 ORDER BY pid, rank""".stripMargin
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -5889,5 +6027,5 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270, q271, q272, q273, q274, q275, q276)
+      q269, q270, q271, q272, q273, q274, q275, q276, q277, q278)
 }

@@ -988,4 +988,85 @@ class SimilaritySpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Similarity.topKSq8Ivf(df, df, k = 5, topC = 2))
   }
+
+  test("TinyIntDotProduct kernel is bit-identical to the widened integer fold") {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Seq[Byte](127, -127, 0, 1), Seq[Byte](-127, 127, 5, 1)),
+      (Seq[Byte](0, 0, 0, 0), Seq[Byte](127, 127, 127, 127)),
+      (Seq[Byte](-128, -128, -128, -128), Seq[Byte](-128, -128, -128, -128)),
+      (Seq[Byte](3, -7, 11, -13), Seq[Byte](-2, 5, 9, 8)))
+      .toDF("a", "b")
+    val kernel = ColumnGlue.column(graft.expressions.TinyIntDotProduct(
+      ColumnGlue.expression(col("a")), ColumnGlue.expression(col("b"))))
+    val widened = expr(
+      "aggregate(zip_with(CAST(a AS ARRAY<BIGINT>), CAST(b AS ARRAY<BIGINT>), " +
+        "(x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)")
+    val out = rows.select(kernel.as("k"), widened.as("w")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(out.head.getLong(0) === 127L * -127 + -127L * 127 + 1)
+  }
+
+  test("SQ8 screen bound certifies every pair: |approx - exact| <= B, " +
+    "including magnitude-skewed corner vectors") {
+    // corpus rows + hand-built adversaries: one dominant component with a
+    // tiny tail (worst relative quantization error) and a near-parallel
+    // twin (the boundary case a screen must never cut)
+    val s = spark
+    import s.implicits._
+    val corner = Seq(
+      (100001L, Array(100f, 0.001f, -0.0007f, 0f, 0f, 0f, 0f, 0f)),
+      (100002L, Array(100f, -0.001f, 0.0007f, 0f, 0f, 0f, 0f, 0f)),
+      (100003L, Array(1e-4f, 1e-4f, 1e-4f, 1e-4f, 1e-4f, 1e-4f, 1e-4f, 1e-4f)),
+      (100004L, Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)))
+      .toDF("vec_id", "embedding")
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(100)
+      .select(col("vec_id"),
+        expr("slice(embedding, 1, 8)").cast("array<float>").as("embedding"))
+      .unionByName(corner)
+    val staged = Similarity.sq8ScreenStaged(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")), "vec")
+    val a = staged.select(col("id").as("ia"), col("vec").as("va"),
+      col("__cd").as("ca"), col("__qs").as("sa"),
+      col("__qn").as("qa"), col("__en").as("ea"))
+    val b = staged.select(col("id").as("ib"), col("vec").as("vb"),
+      col("__cd").as("cb"), col("__qs").as("sb"),
+      col("__qn").as("qb"), col("__en").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .select(
+        (graft.functions.VectorOps.dotTiny(col("ca"), col("cb"))
+          .cast("double") / (col("sa") * col("sb"))).as("approx"),
+        graft.functions.VectorOps.dot(col("va"), col("vb")).as("exact"),
+        (col("qa") * col("eb") + col("ea") * col("qb") +
+          col("ea") * col("eb")).as("bound"))
+      .collect()
+    assert(pairs.length > 4000)
+    pairs.foreach { r =>
+      val (approx, exact, bound) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(approx - exact) <= bound * (1 + 1e-9) + 1e-12,
+        s"certified bound violated: approx=$approx exact=$exact bound=$bound")
+    }
+  }
+
+  test("nearDupPairs: SQ8 code screen is exact - screened == unscreened " +
+    "across thresholds and salt factors") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("g", pmod(col("vec_id"), lit(3L)))
+    def run(minSim: Double, salt: Int, screen: Boolean) =
+      Similarity.nearDupPairs(v, groupCol = "g", minSim = minSim,
+          saltFactor = salt, codeScreen = screen)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+    for (minSim <- Seq(0.0, 0.2, 0.35); salt <- Seq(1, 4)) {
+      val screened = run(minSim, salt, screen = true)
+      val plain = run(minSim, salt, screen = false)
+      assert(screened.toSeq === plain.toSeq,
+        s"screen must be invisible at minSim=$minSim salt=$salt")
+      assert(plain.nonEmpty || minSim > 0.3,
+        s"fixture must exercise the screen at minSim=$minSim")
+    }
+  }
 }

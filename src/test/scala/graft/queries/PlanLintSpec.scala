@@ -194,6 +194,16 @@ class PlanLintSpec extends SparkSpecBase {
     // (or empty) decision frame and the day-cells at-decision row —
     // q61's one-row class
     "q274_msprt_always_valid",
+    // q275: RMST — the 1-row max-follow-up guard frame (the r17 advisor
+    // fix: rmst NULL when tau exceeds observed follow-up) broadcast
+    // onto the 1-row step-area aggregate — q61's one-row class
+    "q275_rmst",
+    // q277/q278: fixed-budget production geometry — the nCentroids-row
+    // TRAINED quantizer frame broadcast against both staging scans for
+    // routing (the q50/q77/q252 IVF class); the candidate join itself
+    // is cell-keyed equi — no BNLJ there
+    "q277_recall_fixed_budget",
+    "q278_hard_negative_fixed_budget",
     // q273: routed SQ8 — the nCentroids-row quantizer frame broadcast
     // against both staging scans for routing (the q50/q77 IVF class)
     // plus the 1-row trained-scale broadcast; the CANDIDATE join itself

@@ -1657,10 +1657,16 @@ object Similarity {
   }
 
   /** Pair-unit volume (Σocc² over cells) above which the exact pair
-    * stage screens with SQ8 codes: low enough that the driver's sf0.01
-    * oracle gate exercises the screened path every round (≈31k pair
-    * units there), high enough that toy spec fixtures skip it. */
-  private[graft] val CodeScreenMinPairs = 2e4
+    * stage screens with SQ8 codes. The screen carries a fixed staging
+    * cost (per-vector quantization + error norms) and a wider self-join
+    * payload (codes + 4 doubles vs bare ids), so below ~10⁶ pair units
+    * it LOSES to the plain path (measured: q149/q234 at sf0.1, ~500k
+    * pair units, paid ~+1 s each at the old 2·10⁴ gate; at 25M pair
+    * units the screen wins 2.3×, at 466M it wins 4×). Oracle-equivalence
+    * of the screened path does not depend on this gate: q279 FORCES
+    * codeScreen=true at sf0.01 scale, so the driver's DuckDB gate
+    * replays the screened pipeline every round regardless. */
+  private[graft] val CodeScreenMinPairs = 1e6
 
   /** [[knnGraph]] over a TRAINED persisted quantizer with two-level
     * routing — the production kNN-graph entry point at 100 TB geometry:

@@ -6017,6 +6017,36 @@ object ExtraQueries extends QueryGroup {
          |FROM r WHERE rank <= 4 ORDER BY pid, rank""".stripMargin
     })
 
+  val q279 = QueryDef(
+    "q279_screened_neardup_pairs",
+    "SQ8-SCREENED exact near-dup pairs, screen FORCED on (the L202 " +
+      "oracle witness: semanticDedup enables the screen count-" +
+      "conditionally above 1e6 pair units, so the sf0.01 gate would " +
+      "never replay the screened pipeline - THIS query forces " +
+      "codeScreen=true at gate scale): within-label all-pairs at " +
+      "cosine >= 0.3 through the certified Cauchy-Schwarz code screen " +
+      "(1-byte/dim codes through the quadratic join, survivors-only " +
+      "exact verify) - the oracle is the PLAIN pair replay, so a green " +
+      "hash IS the proof that the screen never drops or invents a pair",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.nearDupPairs(
+          emb, groupCol = "label", minSim = 0.3, codeScreen = true)
+        .orderBy("g", "ia", "ib")
+    },
+    Some("""WITH v AS (SELECT CAST(label AS BIGINT) AS g, vec_id AS id,
+                    CAST(embedding AS DOUBLE[]) AS ev
+                  FROM embeddings
+                  WHERE NOT isnan(list_inner_product(
+                      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])) > 0)
+            SELECT a.g, a.id AS ia, b.id AS ib,
+              ROUND(list_cosine_similarity(a.ev, b.ev), 4) AS sim
+            FROM v a JOIN v b ON a.g = b.g AND a.id < b.id
+            WHERE ROUND(list_cosine_similarity(a.ev, b.ev), 4) >= 0.3
+            ORDER BY a.g, a.id, b.id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -6027,5 +6057,5 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270, q271, q272, q273, q274, q275, q276, q277, q278)
+      q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279)
 }

@@ -585,6 +585,14 @@ object Sketches {
     // plus depth·reps suffix folds (the r15 ADVICE finding)
     df.where(col(keyCol).isNotNull)
       .select(Sampling.polyFold(col(keyCol)).as("hp"))
+      // explicit fan-out before the depth·reps hash explosion: the
+      // per-row work below is ×(depth·reps) avalanche folds and the
+      // map-side combine runs INSIDE the scan stage — on a single-split
+      // input (one parquet row group, the fixture layout) that whole
+      // CPU bill lands in one task (q228 measured par≈1.9 on 32 cores).
+      // One narrow (hp)-only shuffle buys full-width parallel hashing;
+      // at production split counts this is a cheap no-op-equivalent.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(explode(array((0 until depth * reps).map { i =>
         struct(lit(i / reps).as("grp"), lit(i % reps).as("rep"),
           (lit(1L) - lit(2L) *

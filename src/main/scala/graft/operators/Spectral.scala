@@ -106,16 +106,22 @@ object Spectral {
       .collect().foreach { r =>
         sArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
       }
-    // pass 3: the Gram pairs — dim² structs per row, collapsed map-side
+    // pass 3: the Gram pairs — UPPER-TRIANGLE structs per row (the
+    // scatter matrix is symmetric, so a ≤ b pairs carry all the
+    // information and the explode volume halves: dim·(dim+1)/2 structs
+    // per row instead of dim²), collapsed map-side; the driver mirrors
     val pArr = Array.fill(dim, dim)(BigInt(0))
     staged
       .select(explode(flatten(transform(col("vq"), (xa, a) =>
-        transform(col("vq"), (xb, b) =>
-          struct(a.as("a"), b.as("b"), (xa * xb).as("pr")))))).as("t"))
+        transform(slice(col("vq"), a + 1, lit(dim) - a), (xb, b) =>
+          struct(a.as("a"), (a + b).as("b"), (xa * xb).as("pr")))))).as("t"))
       .groupBy(col("t.a").as("a"), col("t.b").as("b"))
       .agg(sum(col("t.pr").cast(DEC)).as("pab"))
       .collect().foreach { r =>
-        pArr(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+        val (a, b) = (r.getInt(0), r.getInt(1))
+        val v = BigInt(r.getDecimal(2).toBigInteger)
+        pArr(a)(b) = v
+        pArr(b)(a) = v
       }
     // driver-side exact model math (dim² integers — model state)
     val bigN = BigInt(n)

@@ -7,6 +7,21 @@ import org.apache.spark.sql.SparkSession
   * sink (not `.count()`, which would let Catalyst prune away projection work
   * and under-report). */
 object Bench {
+  /** Extract the `"queries": {name: seconds}` map from a BENCH artifact.
+    * Whitespace-tolerant on BOTH levels: BENCH_FLOORS.json is written
+    * pretty-printed (`"queries": {` / `"q02": 0.5` with spaces) while
+    * BENCH_FULL.json is compact — round 18's planted-floor end-to-end
+    * test caught the strict form silently parsing the floors file as
+    * EMPTY, which made the regression-rerun rule fire on nothing (the
+    * exact failure the r17 verdict's item 5 was about). Spec-pinned on
+    * both renderings (BenchParseSpec). */
+  private[graft] def parseQueriesMap(s: String): Map[String, Double] = {
+    val qmap = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    """"([^"]+)"\s*:\s*(-?[0-9][0-9.]*)""".r.findAllMatchIn(qmap)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,13 +93,8 @@ object Bench {
     def readQueriesMap(fileName: String): Map[String, Double] = {
       val p = java.nio.file.Paths.get(repoDir, fileName)
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else try {
-        val s = java.nio.file.Files.readString(p)
-        val qmap = """"queries":\{([^}]*)\}""".r
-          .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-        """"([^"]+)":(-?[0-9][0-9.]*)""".r.findAllMatchIn(qmap)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      else try parseQueriesMap(java.nio.file.Files.readString(p))
+      catch { case _: Throwable => Map.empty }
     }
     val prevFloors: Map[String, Double] = {
       val pinned = readQueriesMap("BENCH_FLOORS.json")

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Bench.parseQueriesMap]] on BOTH artifact renderings — the
+  * round-18 planted-floor end-to-end test caught the strict regex
+  * silently parsing the pretty-printed BENCH_FLOORS.json as EMPTY,
+  * which disarmed the regression-rerun rule (the r17 verdict item 5
+  * failure, resurfaced one level down). No Spark session needed. */
+class BenchParseSpec extends AnyFunSuite {
+
+  test("compact rendering (BENCH_FULL.json shape)") {
+    val s = """{"metric":"total","value":1.0,"queries":{"q01":0.54,"q02_agg":2.14},"errors":[]}"""
+    assert(Bench.parseQueriesMap(s) === Map("q01" -> 0.54, "q02_agg" -> 2.14))
+  }
+
+  test("pretty-printed rendering (BENCH_FLOORS.json shape)") {
+    val s =
+      """{
+        | "round": 18,
+        | "note": "floors with (parens) and {nothing nested}",
+        | "queries": {
+        |  "q02_agg_lineitem_pricing": 0.535,
+        |  "q104_token_entropy": 0.427
+        | }
+        |}""".stripMargin
+    assert(Bench.parseQueriesMap(s) ===
+      Map("q02_agg_lineitem_pricing" -> 0.535, "q104_token_entropy" -> 0.427))
+  }
+
+  test("missing queries key parses empty, not a throw") {
+    assert(Bench.parseQueriesMap("""{"round": 18}""") === Map.empty)
+    assert(Bench.parseQueriesMap("not json at all") === Map.empty)
+  }
+}

@@ -754,8 +754,17 @@ object Similarity {
       vecCol: String = "embedding",
       bands: Int = 0,
       planesPerBand: Int = 1): DataFrame = {
+    // exact path: same profile-gated protections dedupFromAssigned gets —
+    // salt the group-keyed pair join when the group profile is skewed,
+    // screen with SQ8 codes when the pair volume clears the measured
+    // crossover (both execution-only: results bit-identical, oracles
+    // untouched)
+    val (sf, pairUnits) = if (bands != 0) (1, 0.0)
+      else cellPairProfile(
+        vectors.select(col(groupCol).as("g")).where(col("g").isNotNull), "g")
     val pairs = nearDupPairs(vectors, groupCol, minSim, idCol, vecCol,
-        bands = bands, planesPerBand = planesPerBand)
+        bands = bands, planesPerBand = planesPerBand,
+        saltFactor = sf, codeScreen = pairUnits >= CodeScreenMinPairs)
       .select("ia", "ib")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // release even when connectedComponents throws (non-convergence,

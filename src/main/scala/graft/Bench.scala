@@ -18,8 +18,22 @@ object Bench {
   private[graft] def parseQueriesMap(s: String): Map[String, Double] = {
     val qmap = """"queries"\s*:\s*\{([^}]*)\}""".r
       .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-    """"([^"]+)"\s*:\s*(-?[0-9][0-9.]*)""".r.findAllMatchIn(qmap)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // exponent-tolerant (ADVICE r18): a value ever rendered as 1.0E-4
+    // must parse rather than silently re-disarm the floors rule; a
+    // value the pattern STILL can't read (hand-edit typo) is reported
+    // loudly by readQueriesMap's empty/partial-parse check below, not
+    // swallowed here.
+    """"([^"]+)"\s*:\s*(-?[0-9][0-9.]*(?:[eE][-+]?[0-9]+)?)""".r
+      .findAllMatchIn(qmap)
+      .flatMap { m =>
+        m.group(2).toDoubleOption match {
+          case Some(v) => Some(m.group(1) -> v)
+          case None =>
+            System.err.println(
+              s"[bench] WARNING unparseable floor value for '${m.group(1)}': '${m.group(2)}'")
+            None
+        }
+      }.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,8 +107,23 @@ object Bench {
     def readQueriesMap(fileName: String): Map[String, Double] = {
       val p = java.nio.file.Paths.get(repoDir, fileName)
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else try parseQueriesMap(java.nio.file.Files.readString(p))
-      catch { case _: Throwable => Map.empty }
+      else {
+        val parsed =
+          try parseQueriesMap(java.nio.file.Files.readString(p))
+          catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] WARNING $fileName exists but failed to read/parse: $e")
+              Map.empty[String, Double]
+          }
+        // ADVICE r18: an existing floors file that parses EMPTY is the
+        // exact silent-disarm failure class the planted-floor test
+        // caught twice — it must never pass quietly again.
+        if (parsed.isEmpty) System.err.println(
+          s"[bench] WARNING $fileName exists but yielded an EMPTY queries map — " +
+            "the regression-rerun rule is running without these floors")
+        parsed
+      }
     }
     val prevFloors: Map[String, Double] = {
       val pinned = readQueriesMap("BENCH_FLOORS.json")

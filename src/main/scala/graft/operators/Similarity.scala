@@ -299,6 +299,32 @@ object Similarity {
       .select("pid", "rank", "nid", "sim")
   }
 
+  /** Count-conditional probe-budget guard — the fixed-budget degrade
+    * for PROPORTIONAL probe samples (the r18 verdict item 3 / r19 item
+    * 2 closure, the `boundedBlockedPairs` / `maxBandDf` guard class
+    * applied to eval probes): a recall/mining harness whose probe set
+    * is a corpus FRACTION (e.g. `vec_id % 10 = 0`) is quadratic BY
+    * HARNESS — probes × corpus both grow with n (q111 measured 324×
+    * wall for 100× data, q255 266×). A production eval fixes the probe
+    * BUDGET instead (q277/q278 measured 4.7×/7.5× at the same 100×).
+    * This guard makes the registered proportional geometry degrade to
+    * that shape automatically: at or below `maxProbes` probes the frame
+    * is returned UNTOUCHED (gate scales: ≤ 200 probes at sf0.001–0.1,
+    * so oracles replay the un-guarded geometry bit-exactly), above it
+    * the eval runs on the first `budget` probes by `idCol` — a
+    * deterministic fixed-budget sample, budget × corpus LINEAR.
+    * The count is one job over the model-thin probe projection. */
+  def boundedProbeBudget(
+      probes: DataFrame,
+      idCol: String = "vec_id",
+      maxProbes: Long = 1024L,
+      budget: Int = 128): DataFrame = {
+    require(maxProbes >= 1L && budget >= 1 && budget <= maxProbes,
+      s"boundedProbeBudget: need 1 <= budget ($budget) <= maxProbes ($maxProbes)")
+    if (probes.select(col(idCol)).count() <= maxProbes) probes
+    else probes.orderBy(col(idCol)).limit(budget)
+  }
+
   /** Corpus kNN GRAPH — every vector's top-k neighbors, the workhorse of
     * semantic dedup / clustering / curriculum pipelines — via IVF cell
     * routing at PRODUCTION geometry (nProbe ≪ nCentroids), i.e. the
@@ -1651,6 +1677,15 @@ object Similarity {
   private def cellPairProfile(
       cells: DataFrame, cellCol: String): (Int, Double) = {
     val t = cells.sparkSession.sparkContext.defaultParallelism
+    // Small-input short-circuit (ADVICE r18): with n < √CodeScreenMinPairs
+    // rows TOTAL, even the worst skew (all rows in one cell) yields
+    // n² < CodeScreenMinPairs pair units — the screen gate cannot fire,
+    // and the whole pair stage is one sub-millisecond task where salting
+    // is noise (results are salt-invariant, spec-pinned). A LocalLimit
+    // count reads ≤ n+1 rows with no shuffle, replacing the
+    // groupBy+collect profile job on the paths small inputs hit.
+    val probe = math.sqrt(CodeScreenMinPairs).toLong
+    if (cells.limit((probe + 1).toInt).count() <= probe - 1) return (1, 0.0)
     val rows = cells.groupBy(col(cellCol)).agg(count(lit(1)).as("f"))
       .agg(
         sum(col("f").cast("double") * col("f").cast("double")).as("s2"),

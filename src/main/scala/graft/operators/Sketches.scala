@@ -583,16 +583,26 @@ object Sketches {
     // the SQL oracle's full-string fold replays unchanged), cutting the
     // per-row hash work from depth·reps full-key folds to one key fold
     // plus depth·reps suffix folds (the r15 ADVICE finding)
-    df.where(col(keyCol).isNotNull)
+    val staged = df.where(col(keyCol).isNotNull)
       .select(Sampling.polyFold(col(keyCol)).as("hp"))
-      // explicit fan-out before the depth·reps hash explosion: the
-      // per-row work below is ×(depth·reps) avalanche folds and the
-      // map-side combine runs INSIDE the scan stage — on a single-split
-      // input (one parquet row group, the fixture layout) that whole
-      // CPU bill lands in one task (q228 measured par≈1.9 on 32 cores).
-      // One narrow (hp)-only shuffle buys full-width parallel hashing;
-      // at production split counts this is a cheap no-op-equivalent.
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // explicit fan-out before the depth·reps hash explosion: the
+    // per-row work below is ×(depth·reps) avalanche folds and the
+    // map-side combine runs INSIDE the scan stage — on a single-split
+    // input (one parquet row group, the fixture layout) that whole
+    // CPU bill lands in one task (q228 measured par≈1.9 on 32 cores).
+    // One narrow (hp)-only shuffle buys full-width parallel hashing.
+    // GATED on observed input parallelism (ADVICE r18): a well-split
+    // production input (splits ≥ half the slot count) already hashes
+    // full-width, so the extra round-robin exchange of the hp column is
+    // pure cost there — skip it. getNumPartitions only PLANS the input
+    // frame (no job runs); sketch contents are partition-invariant
+    // (spec-pinned), so the gate cannot change results.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val inputParts =
+      try staged.rdd.getNumPartitions catch { case _: Throwable => 1 }
+    val fanned =
+      if (inputParts * 2 < target) staged.repartition(target) else staged
+    fanned
       .select(explode(array((0 until depth * reps).map { i =>
         struct(lit(i / reps).as("grp"), lit(i % reps).as("rep"),
           (lit(1L) - lit(2L) *

@@ -154,53 +154,70 @@ object SuffixArray {
     // Seed rank = dense rank of the distinct seed prefixes. seqByOrder
     // numbers a DISTINCT frame, so equal prefixes collapse to one row
     // first — dense by construction; the join key is the prefix itself.
-    val seedRanks = Zip.seqByOrder(
+    // The counted variant hands back the distinct-prefix count — the
+    // round-0 class count — so no max(rank) scan of the checkpoint runs.
+    val (seedRanks, seedClasses) = Zip.seqByOrderCounted(
       sfx.select(col("pfx")).distinct(), Seq(col("pfx")), "r")
     var cur = sfx.join(seedRanks.hint("shuffle_hash"), Seq("pfx"))
       .select(col("id"), col("pos").cast(LongType).as("pos"), col("r"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
 
-    def maxRank(f: DataFrame): Long = {
-      val row = f.agg(max(col("r"))).collect().head
-      if (row.isNullAt(0)) -1L else row.getLong(0)
-    }
-
+    // r18-verdict round-fusion study, all three levers MEASURED (sf0.1
+    // scoped back-to-back, see q216 doc):
+    //  (1) QUADRUPLING: each round extends the horizon ×4 via the
+    //      4-tuple (r[p], r[p+o], r[p+2o], r[p+3o]) — consecutive
+    //      o-block ranks concatenate to the first-4o-chars order, the
+    //      same argument that justifies the classic pair. Halves the
+    //      round count (the measured cost is per-round job latency, not
+    //      bytes), for a slightly wider re-rank key.
+    //  (2) LEAD, NOT SELF-JOIN: pos is dense 1..len per doc, so the
+    //      shifted ranks are lead(r, k·o) over (id, pos) — one per-doc
+    //      window exchange computes all three, where the join shape
+    //      paid one corpus-sized exchange per shift. Default −1 is the
+    //      shorter-suffix-sorts-first tiebreak, exactly the old
+    //      coalesce. Per-doc partitions are bounded by the pre-chunk
+    //      assumption above (docs ≫ 10^8 chars are out of scope).
+    //  (3) COUNTED RE-RANK: the class count IS the distinct-tuple count,
+    //      which the contiguous-numbering pass already collects —
+    //      the per-round max(rank) scan of the checkpoint is gone, and
+    //      an unchanged count (fixpoint ⇒ the refinement is a bijection
+    //      ⇒ nr == r exactly, since r is already dense and each class
+    //      maps to one tuple) exits WITHOUT materializing the identical
+    //      final frame.
+    // The fixpoint proof carries over to ×4 unchanged: a still-separable
+    // tie with first difference at d > 4o yields the shifted tied pair
+    // at s = d − 4o (equal in ≥ o chars ⇒ same class) that splits THIS
+    // round, so an unchanged count still proves every tie permanent.
     try {
       var horizon: Long = seedLen.toLong
-      var classes = maxRank(cur) + 1
+      var classes = seedClasses
       var done = classes == n
       while (!done && horizon < maxLen) {
         val o = horizon
-        // rank of the suffix `o` characters further in (same doc);
-        // absent ⇒ this suffix ends within the horizon ⇒ −1 (sorts first)
-        val shifted = cur.select(col("id"), (col("pos") - o).as("pos"),
-          col("r").as("r2"))
-        val joined = cur.join(shifted, Seq("id", "pos"), "left")
-          .select(col("id"), col("pos"), col("r"),
-            coalesce(col("r2"), lit(-1L)).as("r2"))
-        // dense re-rank of the (rank, rank2) composite: distinct pairs
-        // (≤ n rows, shrinking toward n distinct singletons) through the
-        // contiguous-numbering idiom, then joined back — the ranked side
-        // is the strictly-smaller build side. (Measured r14: persisting
-        // the distinct-pair frame to read the class count off it BEFORE
-        // the join costs MORE than this cheap checkpoint-scan max —
-        // distinct pairs stay near n until convergence, so the "small
-        // frame" assumption does not hold mid-run.)
-        val ranked = Zip.seqByOrder(
-          joined.select(col("r"), col("r2")).distinct(),
-          Seq(col("r"), col("r2")), "nr")
-        val next = joined.join(ranked.hint("shuffle_hash"), Seq("r", "r2"))
-          .select(col("id"), col("pos"), col("nr").as("r"))
-          .localCheckpoint(true, StorageLevel.DISK_ONLY)
-        val prior = cur
-        cur = next
-        org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(prior)
-        horizon = o * 2
-        val nextClasses = maxRank(cur) + 1
-        // all singletons, or fixpoint (see scaladoc: an unchanged class
-        // count proves every remaining tie byte-equal, hence permanent)
-        done = nextClasses == n || nextClasses == classes
-        classes = nextClasses
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("pos"))
+        val joined = cur.select(col("id"), col("pos"), col("r"),
+          lead(col("r"), math.toIntExact(o), -1L).over(w).as("r2"),
+          lead(col("r"), math.toIntExact(2L * o), -1L).over(w).as("r3"),
+          lead(col("r"), math.toIntExact(3L * o), -1L).over(w).as("r4"))
+        val tup = Seq(col("r"), col("r2"), col("r3"), col("r4"))
+        val (ranked, nextClasses) = Zip.seqByOrderCounted(
+          joined.select(tup: _*).distinct(), tup, "nr")
+        if (nextClasses == classes) {
+          // fixpoint: nr == r (see above) — cur already IS the answer
+          done = true
+        } else {
+          val next = joined
+            .join(ranked.hint("shuffle_hash"), Seq("r", "r2", "r3", "r4"))
+            .select(col("id"), col("pos"), col("nr").as("r"))
+            .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          val prior = cur
+          cur = next
+          org.apache.spark.sql.graftglue.PlanGlue.releaseLocalCheckpoint(prior)
+          horizon = o * 4
+          done = nextClasses == n
+          classes = nextClasses
+        }
       }
       cur
     } catch {

@@ -28,14 +28,38 @@ object Zip {
   def seqByOrder(
       df: DataFrame,
       orderCols: Seq[Column],
-      seqCol: String = "seq"): DataFrame = {
+      seqCol: String = "seq"): DataFrame =
+    seqByOrderCounted(df, orderCols, seqCol)._1
+
+  /** [[seqByOrder]] plus the TOTAL row count, driver-side for free: the
+    * two-pass contiguous numbering already collects per-partition counts
+    * (zipWithIndex's internals, reproduced here so the offsets are OURS
+    * to sum) — exposing their sum costs zero extra jobs. The consumer is
+    * [[SuffixArray.suffixRanks]]' doubling loop, where the class count
+    * per round previously needed a whole-frame max(rank) scan of the
+    * round's checkpoint; the numbering pass knows it already (r18
+    * verdict item 5 round-fusion study). */
+  private[graft] def seqByOrderCounted(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      seqCol: String = "seq"): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "seqByOrder needs at least one order column")
     require(!df.columns.contains(seqCol), s"column '$seqCol' already exists")
     val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
     val schema = sorted.schema.add(seqCol, LongType, nullable = false)
-    val withSeq = sorted.rdd.zipWithIndex()
-      .map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(withSeq, schema)
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1L }; Iterator(pi -> c)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = if (offsets.isEmpty) 0L else offsets.last
+    val withSeq = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var i = offsets(pi)
+      it.map { row => val out = Row.fromSeq(row.toSeq :+ i); i += 1L; out }
+    }
+    (sorted.sparkSession.createDataFrame(withSeq, schema), total)
   }
 
   // NOTE (r14, measured): a "pinned" variant persisting the sorted

@@ -2856,13 +2856,28 @@ object LlmQueries extends QueryGroup {
       "by (sweep nProbe, read recall vs candidate volume); probes the " +
       "approximate path missed entirely score 0, not NULL; evaluated " +
       "on the mod-10 probe SAMPLE (a recall estimate needs a sample, " +
-      "not a corpus-squared exact pass — the harness contract)",
+      "not a corpus-squared exact pass — the harness contract); the " +
+      "sample is count-conditionally BOUNDED (boundedProbeBudget): at " +
+      "gate scales (<= 200 probes) the guard is a no-op and the oracle " +
+      "replays the un-guarded geometry, above 1024 probes the eval " +
+      "degrades to a fixed 128-probe budget so the REGISTERED geometry " +
+      "is budget x corpus linear, not quadratic-by-harness (the r17 " +
+      "324x-at-100x adjudication, closed by the q277 pattern applied " +
+      "to the registered name itself)",
     (s, dir) => {
       val v = t(s, dir, "embeddings")
-      val approx = Similarity.knnGraph(v, k = 3, nCentroids = 16, nProbe = 2)
+      val probes = Similarity.boundedProbeBudget(
+        v.filter(col("vec_id") % 10 === 0))
+      // probe-restricted topKIvf == knnGraph(v).filter(pid % 10 = 0)
+      // bit-exactly: centroids derive from the CORPUS side (first-16 by
+      // id), routing/rounding are per-probe, and the crank-1 cell
+      // assignment matches keep-1 max_by — so the sf0.01 oracle replay
+      // is unchanged while the approximate side now scales with the
+      // probe budget instead of the corpus
+      val approx = Similarity.topKIvf(v, probes, k = 3, nCentroids = 16,
+          nProbe = 2, routeRoundTo = Some(6))
         .select(col("pid"), col("nid"))
-        .filter(col("pid") % 10 === 0)
-      val exact = Similarity.topKBruteForce(v, v.filter(col("vec_id") % 10 === 0), k = 3)
+      val exact = Similarity.topKBruteForce(v, probes, k = 3)
         .select(col("pid"), col("nid"))
       Similarity.rankingRecall(approx, exact).orderBy("pid")
     },

@@ -134,4 +134,58 @@ object StreamingHeavyHitters {
           rows.iterator.map(_.copy(key = key))
       }
   }
+
+  /** Drive a BATCH tick frame through the live stream and return the
+    * DRAINED window frame — the q279-style oracle-witness pattern
+    * applied to a streaming surface (r18 verdict item 4): feeds the
+    * caller's (key, tsUs, item) rows to a MemoryStream as one
+    * micro-batch (the first batch's watermark is -inf, so nothing can
+    * drop late), advances the watermark past every real slot with two
+    * sentinel ticks (the watermark a batch closes against is the
+    * PREVIOUS batch's maximum, so one sentinel only arms it), blocks
+    * until every window FINALIZES, and returns the emitted rows minus
+    * the sentinel key. With `capacity` above the per-(key, slot)
+    * distinct-item count every window drains with zero decrements —
+    * `exact = true` — and the MG contract makes the result a pure
+    * function of the tick multiset, replayable as batch GROUP-BY SQL:
+    * the registered q280 DuckDB gate. The driver-side materialization
+    * is the MemoryStream feed contract (a replay/test harness, not the
+    * production source path — that is `readStream` into the same
+    * flatMapGroupsWithState); `maxDriveRows` caps the driven prefix
+    * (first rows by (tsUs, key, item)) so the replay stays
+    * driver-feasible at 100x fixture scale — a no-op at gate scales
+    * (<= 100k events). */
+  def drainedReplay(
+      ticks: org.apache.spark.sql.DataFrame,
+      capacity: Int,
+      bucketUs: Long,
+      maxDriveRows: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val sp = ticks.sparkSession
+    import sp.implicits._
+    val typed = ticks.select(
+      col("key").cast("string").as("key"),
+      col("tsUs").cast("long").as("tsUs"),
+      col("item").cast("string").as("item")).as[HhTick]
+    val capped =
+      if (typed.count() <= maxDriveRows) typed
+      else typed.orderBy(col("tsUs"), col("key"), col("item"))
+        .limit(maxDriveRows.toInt)
+    val fed = capped.collect().sortBy(t => (t.tsUs, t.key, t.item))
+    val sentinelKey = " drain"
+    val lastTs = if (fed.isEmpty) 0L else fed.last.tsUs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[HhTick](sp)
+    val sink = "hh_drain_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = apply(ms.toDS(), capacity, bucketUs, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      if (fed.nonEmpty) { ms.addData(fed.toIndexedSeq: _*); q.processAllAvailable() }
+      ms.addData(HhTick(sentinelKey, lastTs + 2L * bucketUs, "x"))
+      q.processAllAvailable()
+      ms.addData(HhTick(sentinelKey, lastTs + 4L * bucketUs, "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    sp.table(sink).filter(col("key") =!= sentinelKey)
+  }
 }

@@ -32,4 +32,17 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.parseQueriesMap("""{"round": 18}""") === Map.empty)
     assert(Bench.parseQueriesMap("not json at all") === Map.empty)
   }
+
+  test("scientific-notation values parse (ADVICE r18)") {
+    val s = """{"queries":{"q68":1.0E-4,"q69":2.5e3,"q70":-1.2E+2,"q71":0.59}}"""
+    assert(Bench.parseQueriesMap(s) ===
+      Map("q68" -> 1.0e-4, "q69" -> 2.5e3, "q70" -> -1.2e2, "q71" -> 0.59))
+  }
+
+  test("a malformed value drops that entry, keeps the rest, no throw") {
+    // double-dot can't convert to Double; the entry is skipped loudly
+    // (stderr) instead of the whole map silently collapsing to empty
+    val s = """{"queries":{"q01":1..2,"q02":0.5}}"""
+    assert(Bench.parseQueriesMap(s) === Map("q02" -> 0.5))
+  }
 }

@@ -1069,4 +1069,39 @@ class SimilaritySpec extends SparkSpecBase {
         s"fixture must exercise the screen at minSim=$minSim")
     }
   }
+
+  test("boundedProbeBudget: no-op at or below maxProbes, fixed first-by-id " +
+    "budget above it (the q111/q255 registered-geometry guard)") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val small = v.filter(col("vec_id") % 10 === 0) // 50 probes at sf0.001
+    // below the threshold the SAME frame comes back - the gate-scale
+    // plan (and the sf0.01 oracle replay) is untouched by construction
+    assert(Similarity.boundedProbeBudget(small) eq small)
+    // above the threshold: exactly `budget` probes, the first by id
+    val capped = Similarity.boundedProbeBudget(v, maxProbes = 100, budget = 7)
+    val ids = capped.select("vec_id").collect().map(_.getLong(0)).sorted
+    val expect = v.select("vec_id").collect().map(_.getLong(0)).sorted.take(7)
+    assert(ids.toSeq === expect.toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.boundedProbeBudget(v, maxProbes = 10, budget = 11)
+    }
+  }
+
+  test("q111 probe-restricted topKIvf == knnGraph filtered to the probe ids " +
+    "(the guard rewrite preserves the registered geometry bit-exactly)") {
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val probes = v.filter(col("vec_id") % 10 === 0)
+    val direct = Similarity.topKIvf(v, probes, k = 3, nCentroids = 16,
+        nProbe = 2, routeRoundTo = Some(6))
+      .select("pid", "rank", "nid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val graph = Similarity.knnGraph(v, k = 3, nCentroids = 16, nProbe = 2)
+      .filter(col("pid") % 10 === 0)
+      .select("pid", "rank", "nid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(direct.nonEmpty)
+    assert(direct.toSeq === graph.toSeq)
+  }
 }

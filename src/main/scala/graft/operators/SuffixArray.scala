@@ -15,22 +15,23 @@ import org.apache.spark.storage.StorageLevel
   * is how Lee et al. 2022 ("Deduplicating Training Data Makes Language
   * Models Better") find the exact duplicated spans their dedup cuts.
   *
-  * Construction is prefix doubling (Manber–Myers), the shape that
-  * distributes: round k knows each suffix's rank by its first
-  * `seedLen * 2^k` characters, and one self-join at that offset plus one
-  * global dense re-rank doubles the horizon. Each round is therefore
-  *   (a) an (id, pos)-keyed equi-join against the frame shifted by the
-  *       offset (missing partner ⇒ rank −1: the shorter suffix sorts
-  *       first, exactly the suffix-order tiebreak),
-  *   (b) a DISTINCT over (rank, rank2) pairs, and
-  *   (c) [[Zip.seqByOrder]]'s range-exchange + two-pass contiguous
-  *       numbering over those distinct pairs — never a one-task
-  *       `row_number() OVER ()` window.
-  * ceil(log2(maxDocLen / seedLen)) rounds close the order (suffixes never
+  * Construction is prefix QUADRUPLING (Manber–Myers doubling with a
+  * 4-tuple composite — consecutive h-block ranks concatenate to the
+  * first-4h-chars order by the same argument that justifies the classic
+  * pair; r18-verdict round-fusion study). Each round, at horizon h:
+  *   (a) the three shifted ranks r[p+h], r[p+2h], r[p+3h] come from ONE
+  *       per-doc `lead()` window over (id, pos) — pos is dense 1..len,
+  *       so no shifted self-join and no per-shift exchange; default −1
+  *       is the shorter-suffix-sorts-first tiebreak,
+  *   (b) a DISTINCT over (r, r2, r3, r4) tuples, and
+  *   (c) [[Zip.seqByOrderCounted]]'s range-exchange + two-pass
+  *       contiguous numbering over those distinct tuples — never a
+  *       one-task `row_number() OVER ()` window — whose count pass
+  *       yields the round's class count driver-side for free.
+  * ceil(log4(maxDocLen / seedLen)) rounds close the order (suffixes never
   * cross document boundaries, matching corpus semantics where documents
   * are independent). Rounds stop early once every rank is distinct —
-  * detected by `max(rank) == n−1`, a cheap scalar scan of the round's
-  * checkpoint, since the dense re-rank is 0-based and contiguous.
+  * the class count equals n — with no extra scan of the checkpoint.
   *
   * Scale notes (the 100 TB contract):
   *   - State per round is one (id, pos, rank) row per CHARACTER of the
@@ -74,9 +75,15 @@ import org.apache.spark.storage.StorageLevel
   *     cannot move a latency-bound round either. What remains and paid:
   *     seedLen 64 (one fewer round) and fusing n = sum(length) into the
   *     maxLen agg (drops the char-frame count job): 16.3 → 14.9 s
-  *     scoped back-to-back. The residual ~15 s IS irreducible job
+  *     scoped back-to-back.
+  *   - r19 round-fusion, MEASURED (same scoped q216 harness, sf0.1,
+  *     back-to-back both ways): quadrupling + lead-window shifts +
+  *     counted re-rank + fixpoint materialization skip took the scoped
+  *     wall 18.4–19.0 s → 13.7 s (1.36×) and CPU 111 s → 78 s — fewer
+  *     rounds and ~2 fewer jobs per round, exactly the latency-bound
+  *     prediction of the r14 study. The residual IS round-trip job
   *     latency at this fixture scale — the corpus is 46 MB; a cluster
-  *     round is byte-bound and amortizes the same ~6 round-trips.
+  *     round is byte-bound and amortizes the same round-trips.
   *
   * Reference scope: the reference engine (WindowPublisher.java) has no
   * text operators at all — this extends the north-star LLM-pipeline
@@ -94,26 +101,24 @@ object SuffixArray {
     *
     * `seedLen` is the round-0 horizon: suffixes are seeded with the dense
     * rank of their first `seedLen` characters (one string sort), then
-    * each doubling round extends the horizon ×2 — a larger seed trades a
-    * slightly wider sort key for fewer rounds (on ~500-char docs, 64
-    * runs one fewer round than 32 and three fewer than 8; every round is
-    * ~4 shuffles, and at this row volume round-trip job latency, not
-    * bytes, is the measured per-round cost — r14 tuning).
+    * each round extends the horizon ×4 via the 4-tuple composite — a
+    * larger seed trades a slightly wider sort key for fewer rounds; at
+    * this row volume round-trip job latency, not bytes, is the measured
+    * per-round cost (r14 tuning, r19 fusion measurements in the object
+    * doc).
     *
     * Rounds stop at the FIRST of: every rank distinct, the horizon
     * covering the longest document, or a no-refinement fixpoint. The
-    * fixpoint exit is sound: if some tie (p, q) is still separable —
-    * first difference at character d, finite — then the tied pair
-    * (p+h', q+h') with h' = d−2h (shifted into the window where the
-    * difference lands in (h, 2h]) splits THIS round, so an unchanged
-    * class count means every remaining tie is a byte-equal suffix pair,
-    * i.e. permanent. Dense 0-based ranks make the class count simply
-    * max(rank)+1 — one cheap scalar scan per round over the round's
-    * checkpoint. (Measured r14: reading the class count off a persisted
-    * distinct-pair frame BEFORE the rank join — to skip the fixpoint
-    * round's materialization — is SLOWER: distinct pairs stay near n
-    * until convergence, so that frame is corpus-sized, not model-sized,
-    * and persisting it costs more than the scalar scan saves.) */
+    * fixpoint exit is sound at ×4 exactly as at ×2: if some tie (p, q)
+    * is still separable — first difference at character d, finite —
+    * then the shifted pair (p+s, q+s) with s = d−4h (equal in ≥ h
+    * chars, hence same class) splits THIS round, so an unchanged class
+    * count means every remaining tie is a byte-equal suffix pair, i.e.
+    * permanent; and since an unchanged count makes the refinement a
+    * bijection, the re-rank reproduces `r` exactly, so the fixpoint
+    * round's output frame is never materialized. The class count itself
+    * comes free from [[Zip.seqByOrderCounted]]'s numbering pass — no
+    * per-round scan of the checkpoint. */
   def suffixRanks(
       df: DataFrame,
       idCol: String = "doc_id",

@@ -1737,7 +1737,8 @@ object Similarity {
       vecCol: String = "embedding",
       roundTo: Int = 4,
       routeRoundTo: Int = 6,
-      saltOverride: Int = 0): DataFrame = {
+      saltOverride: Int = 0,
+      probeIds: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"knnGraphTrained(k=$k, nProbe=$nProbe)")
     require(saltOverride >= 0,
       s"knnGraphTrained: saltOverride $saltOverride must be >= 0 (0 = adaptive)")
@@ -1745,9 +1746,18 @@ object Similarity {
       corpus, quantizer, nProbe, idCol, vecCol, routeRoundTo)
     val vv = side.join(
       rk.filter(col("crank") === 1).select(col("nid"), col("cid").as("cell")), "nid")
-    val pp = side
+    // probeIds (one column `pid`): restrict the PROBE side to these ids
+    // BEFORE the candidate join — an eval harness reading only a probe
+    // subset must not pay the full corpus-squared-over-cells pair
+    // volume and filter afterwards (the custom TopK node has no filter
+    // pushdown). Per-probe rows are independent through the join and
+    // the per-pid heap, so this equals filtering the full graph's
+    // output to the same ids bit-exactly (spec-pinned).
+    val pp0 = side
       .select(col("nid").as("pid"), col("nvec").as("pvec"), col("nnorm").as("pnorm"))
       .join(rk.select(col("nid").as("pid"), col("cid").as("pcell")), "pid")
+    val pp = probeIds.fold(pp0)(ids =>
+      pp0.join(ids.select(col("pid")), Seq("pid"), "left_semi"))
     // both sides corpus-scale → force the cell-keyed shuffle-hash join
     // (the topKIvf corpusSizedProbes rule), salted when the trained-cell
     // occupancy profile says the hottest cell would straggle

@@ -4648,31 +4648,40 @@ object ExtraQueries extends QueryGroup {
       "brute-force top-3 as ONE double division of exact hit/total " +
       "counts (no per-probe double averaging - summation-order-free); " +
       "oracle replays training, both routings, all four graphs and the " +
-      "brute pass",
+      "brute pass; the probe sample is count-conditionally BOUNDED " +
+      "(boundedProbeBudget, the q111 guard - no-op at gate scales so " +
+      "the oracle replays unchanged) and ALL FIVE passes (brute + four " +
+      "graphs) are probe-restricted BEFORE their candidate joins, so " +
+      "the registered eval is budget x corpus linear (was 51x wall at " +
+      "100x when the four graphs ran corpus-wide and filtered after)",
     (s, dir) => {
       val S = graft.operators.Similarity
       val emb = t(s, dir, "embeddings")
       val q = trainedQuantizer(s, emb, minCentroids = 16)
       val flatQ = q.select(col("cid"), col("cq").cast("array<float>").as("cvec"))
+      val probes = S.boundedProbeBudget(emb.filter(col("vec_id") % 10 === 0))
+      val pidSet = probes.select(col("vec_id").as("pid"))
       // probes-x-corpus ground truth, paid ONCE for the four combos
-      val exact = S.topKBruteForce(
-          emb, emb.filter(col("vec_id") % 10 === 0), k = 3)
+      val exact = S.topKBruteForce(emb, probes, k = 3)
         .select(col("pid"), col("nid"))
         .localCheckpoint(true)
       def row(path: String, np: Int, g: org.apache.spark.sql.DataFrame) =
-        S.rankingRecall(
-            g.filter(col("pid") % 10 === 0).select("pid", "nid"), exact)
+        S.rankingRecall(g.select("pid", "nid"), exact)
           .agg(count(lit(1)).as("probes"), sum(col("hits")).as("hits"),
             sum(col("n_exact")).as("n_exact"))
           .select(lit(path).as("path"), lit(np.toLong).as("n_probe"),
             col("probes"), col("hits"), col("n_exact"),
             round(col("hits").cast("double") / col("n_exact"), 6).as("recall"))
       row("flat", 1,
-          S.knnGraph(emb, k = 3, nCentroids = 16, nProbe = 1, quantizer = Some(flatQ)))
+          S.topKIvf(emb, probes, k = 3, nCentroids = 16, nProbe = 1,
+            quantizer = Some(flatQ), routeRoundTo = Some(6)))
         .union(row("flat", 2,
-          S.knnGraph(emb, k = 3, nCentroids = 16, nProbe = 2, quantizer = Some(flatQ))))
-        .union(row("two_level", 1, S.knnGraphTrained(emb, q, k = 3, nProbe = 1)))
-        .union(row("two_level", 2, S.knnGraphTrained(emb, q, k = 3, nProbe = 2)))
+          S.topKIvf(emb, probes, k = 3, nCentroids = 16, nProbe = 2,
+            quantizer = Some(flatQ), routeRoundTo = Some(6))))
+        .union(row("two_level", 1,
+          S.knnGraphTrained(emb, q, k = 3, nProbe = 1, probeIds = Some(pidSet))))
+        .union(row("two_level", 2,
+          S.knnGraphTrained(emb, q, k = 3, nProbe = 2, probeIds = Some(pidSet))))
         .orderBy("path", "n_probe")
     },
     Some(graft.operators.Similarity.twoLevelRecallSql(

@@ -1584,13 +1584,25 @@ object LlmQueries extends QueryGroup {
       "cosine to any corpus vector within their 4 probed IVF cells " +
       "reaches 0.4 are dropped, survivors pass; rounded routing + the " +
       "deterministic quantizer make assignment, routing, candidacy, " +
-      "threshold and anti-join all SQL-replayable",
+      "threshold and anti-join all SQL-replayable; cells are COUNT-" +
+      "CONDITIONAL (the q111/q255 guard class applied to the pinned-" +
+      "cell gate): pinned 16 at gate scales so the oracle replays " +
+      "unchanged, derived via scaledCentroids once the corpus exceeds " +
+      "16*targetCell vectors - the point where a pinned cell outgrows " +
+      "targetCell and candidate volume turns quadratic (measured 68x " +
+      "wall at 100x pinned; the semanticDedupAuto production trade)",
     (s, dir) => {
       val v = t(s, dir, "embeddings")
+      val corp = v.filter(col("vec_id") % 10 =!= 0)
+      val nCent = {
+        val n = corp.count()
+        if (n <= 16L * 1024L) 16
+        else Similarity.scaledCentroids(n, minCentroids = 16, targetCell = 1024)
+      }
       Similarity.semanticNewContentOnly(
           incoming = v.filter(col("vec_id") % 10 === 0),
-          corpus = v.filter(col("vec_id") % 10 =!= 0),
-          minCos = 0.4, nCentroids = 16, nProbe = 4)
+          corpus = corp,
+          minCos = 0.4, nCentroids = nCent, nProbe = 4)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     },

@@ -1104,4 +1104,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(direct.nonEmpty)
     assert(direct.toSeq === graph.toSeq)
   }
+
+  test("knnGraphTrained probeIds == full graph filtered to the same ids " +
+    "(the q251 guard rewrite preserves the registered geometry bit-exactly)") {
+    val s = spark
+    import s.implicits._
+    val v = Tables.load(spark, sfDir, "embeddings")
+    val q = Similarity.kMeansCentroidsPortable(v, k = 8, iters = 2)
+    val ids = v.filter(col("vec_id") % 10 === 0).select(col("vec_id").as("pid"))
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2), r.getDouble(3))
+    val restricted = Similarity.knnGraphTrained(v, q, k = 3, nProbe = 2,
+        probeIds = Some(ids))
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    val filtered = Similarity.knnGraphTrained(v, q, k = 3, nProbe = 2)
+      .filter(col("pid") % 10 === 0)
+      .collect().map(norm).sortBy(t => (t._1, t._2))
+    assert(restricted.nonEmpty)
+    assert(restricted.toSeq === filtered.toSeq)
+  }
 }

@@ -40,7 +40,7 @@ fam("q02", "one corpus-keyed exchange with map-side partial aggregation, "
     "q45 q54 q61 q68 q100 q104 q105 q113 q117 q119 q123 q134 q135 q142 "
     "q148 q150 q153 q156 q167 q168 q172 q180 q182 q183 q184 q185 q187 "
     "q188 q190 q196 q197 q198 q199 q200 q202 q207 q210 q214 q231 q232 "
-    "q63 q64 q65 q91 q93 q15 q16 q17 q18 q43 q160 q162 q195 q208 q221")
+    "q63 q64 q65 q91 q93 q15 q16 q17 q18 q43 q160 q162 q195 q208 q221 q132")
 fam("q243", "n-gram vocabulary aggregation on the Heaps corpus - "
     "vocab-sized grouped state, measured 13.2x",
     "q89 q96 q118")
@@ -58,7 +58,7 @@ fam("q13", "grouping-set expansion over one grouped exchange, the "
 fam("q11", "sort/percentile over grouped numeric state, the measured "
     "approx-percentile shape", "q209")
 fam("q30", "hash-key exact dedup: one grouped exchange on the digest, "
-    "measured 4.0x", "q94 q145 q181")
+    "measured 4.0x", "q94 q145 q169 q181")
 fam("q49", "pair frame + iterative connected-components label "
     "propagation, measured 2.1x (df-bounded candidates on the Heaps "
     "corpus)", "q88 q92 q212 q218 q219")
@@ -107,6 +107,9 @@ fam("q233", "trained-quantizer routed candidate join at cells "
     "~targetCell, measured 13.6x", "q215")
 fam("q264", "survival/at-risk ordered aggregation, measured 2.9x",
     "q213")
+fam("q216", "the suffix-array pass IS the cost: q225 cuts spans from "
+    "q216's mined repeat frame (the session-handoff contract), "
+    "measured 29.6x with its adjudication", "q225")
 fam("q80", "range-exchange + two-pass contiguous numbering (seqByOrder); "
     "q80 is the r19-measured zip point",
     "q53 q73 q74 q143 q176")
@@ -136,6 +139,12 @@ OVER15 = {
         "corpus (r16 adjudication: source-parallel on a cluster)",
     "q228": "depth*reps fan-out explosion is the workload; re-measured "
         "r16 after the repartition fix",
+    "q216": "log-round global sorts over one row per CHARACTER - "
+        "byte-bound, sublinear vs 100x data; measured after the r19 "
+        "round fusion (see r19_new_100x adjudication)",
+    "q38": "128-perm minhash per-doc linear + df-capped banded join; "
+        "16.8x tracks shingle bytes x permutations, sublinear vs 100x "
+        "data (see r19_new_100x adjudication)",
 }
 
 def main():

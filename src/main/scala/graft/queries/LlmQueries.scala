@@ -5384,9 +5384,10 @@ object LlmQueries extends QueryGroup {
   val q216 = QueryDef(
     "q216_suffix_array_repeats",
     "EXACT longest repeated substrings via a distributed suffix array " +
-      "(Manber-Myers prefix doubling: log(maxDocLen) rounds of offset " +
-      "self-join + distinct + contiguous global re-rank, never a " +
-      "one-task window) - the any-length exact-repeat machinery behind " +
+      "(Manber-Myers prefix QUADRUPLING, r19 fusion: log4 rounds of " +
+      "per-doc lead() shifts + distinct 4-tuples + counted contiguous " +
+      "global re-rank, never a one-task window) - the any-length " +
+      "exact-repeat machinery behind " +
       "Lee et al. 2022's suffix-array dedup, where the span family " +
       "(q63-q65) fixes one window width; adjacent-suffix LCPs surface " +
       "every maximal repeat at once. The ORACLE builds the same array " +

@@ -123,12 +123,14 @@ OVER15 = {
     "q07": "anti-join: same shuffle-byte tracking as q06",
     "q14": "cube over orders: the 4-way grouping-set Expand multiplies "
         "rows per set - the workload itself; still 2x sublinear vs data",
-    "q77": "flat PINNED-16-cell kNN graph - candidate volume n^2/16 by "
-        "construction; the production entry point is knnGraphAuto/"
-        "q233 (trained, derived cells, 13.6x); kept registered as the "
-        "teaching geometry",
-    "q149": "flat semantic dedup over the pinned-cell graph - "
-        "production path is q234 (trained + SQ8 screen, 8.6x)",
+    "q77": "full corpus self-graph on the FLAT tier: auto-derived cells "
+        "bound per-probe candidates at ~nProbe*targetCell (the r15 fix; "
+        "pinned 16 measured 521x), but flat assignment is n*k = "
+        "n^2/1024 dots - the documented flat-tier trade; the production "
+        "tier is the trained two-level path with 2n*sqrt(k) assignment "
+        "(q233, 13.6x)",
+    "q149": "flat-tier semantic dedup: same n*k assignment term as q77; "
+        "production path is q234 (trained two-level + SQ8 screen, 8.6x)",
     "q138": "per-frame JDK GIF decode is linear per row; at sf10 the "
         "100x decode bill plus local job latency dominates (r16 "
         "adjudication: cluster-amortized)",

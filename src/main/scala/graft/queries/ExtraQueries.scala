@@ -6118,6 +6118,93 @@ object ExtraQueries extends QueryGroup {
             FROM r JOIN n ON r.key = n.key AND r.slot = n.slot
             ORDER BY r.key, r.slot, r.rank"""))
 
+  val q281 = QueryDef(
+    "q281_streaming_mix_drift_drained",
+    "DRAINED-WINDOW batch oracle for the SECOND streaming twin (the " +
+      "q280 pattern on StreamingMixDrift): the events fixture feeds " +
+      "the REAL mix monitor - MemoryStream -> watermark -> " +
+      "flatMapGroupsWithState exact per-(user-parity key, hour " +
+      "window) event_type counts - and every drained window's " +
+      "chi-squared homogeneity test (Wilson-Hilferty z at the one-" +
+      "sided 95% literal) plus bounded JSD/sqrt-JSD against a FIXED " +
+      "skewed reference mix (click 50 / view 25 / purchase 15 / " +
+      "signup 5 / error 5 per 100) is the registered result; mix " +
+      "state is exact counts (no lossy summary), so the whole surface " +
+      "- windowing, watermark finalization, state transitions, and " +
+      "the scoreOf arithmetic the batch operators q257/q263 share - " +
+      "replays as batch SQL at ANY scale; the roughly-uniform fixture " +
+      "reads as drifted against the skewed reference on well-filled " +
+      "windows, the honest positive",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val ticks = e.select(
+        when(col("user_id") % 2 === 0, "even").otherwise("odd").as("key"),
+        us(col("ts")).as("tsUs"), col("event_type").as("cat"))
+      graft.streaming.StreamingMixDrift
+        .drainedReplay(ticks,
+          reference = Map("click" -> 50L, "view" -> 25L, "purchase" -> 15L,
+            "signup" -> 5L, "error" -> 5L),
+          bucketUs = 3600000000L)
+        .orderBy("key", "slot")
+    },
+    Some("""WITH t AS (SELECT
+                    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS key,
+                    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS slot,
+                    event_type AS cat
+                  FROM events),
+            ref(cat, rc) AS (VALUES ('click', 50), ('view', 25),
+                    ('purchase', 15), ('signup', 5), ('error', 5)),
+            w AS (SELECT key, slot, cat, CAST(COUNT(*) AS BIGINT) AS c1
+                  FROM t GROUP BY 1, 2, 3),
+            ks AS (SELECT DISTINCT key, slot FROM t),
+            cells AS (SELECT ks.key, ks.slot, ref.cat,
+                    COALESCE(w.c1, 0) AS c1, CAST(ref.rc AS BIGINT) AS c2
+                  FROM ks CROSS JOIN ref
+                  LEFT JOIN w ON w.key = ks.key AND w.slot = ks.slot
+                    AND w.cat = ref.cat),
+            tots AS (SELECT key, slot, CAST(SUM(c1) AS BIGINT) AS n1,
+                    CAST(SUM(c2) AS BIGINT) AS n2,
+                    CAST(COUNT(*) AS BIGINT) AS cats
+                  FROM cells GROUP BY 1, 2),
+            termed AS (SELECT c.key, c.slot,
+                    CAST(CAST(c1 * n2 - c2 * n1 AS DOUBLE) *
+                         CAST(c1 * n2 - c2 * n1 AS DOUBLE) /
+                         CAST(c1 + c2 AS DOUBLE) AS DECIMAL(38,6)) AS term,
+                    CAST(
+                      (CASE WHEN c1 > 0 THEN 0.5 *
+                        (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+                        LN(2.0 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+                          ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+                           (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+                        ELSE 0.0 END) +
+                      (CASE WHEN c2 > 0 THEN 0.5 *
+                        (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+                        LN(2.0 * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+                          ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+                           (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+                        ELSE 0.0 END) AS DECIMAL(38,12)) AS jterm
+                  FROM cells c JOIN tots USING (key, slot)),
+            agg AS (SELECT key, slot,
+                    COALESCE(SUM(term), 0) AS tsum,
+                    COALESCE(SUM(jterm), 0) AS jsd_d
+                  FROM termed GROUP BY 1, 2),
+            fin AS (SELECT a.key, a.slot, t.n1, t.cats,
+                    CAST(a.tsum AS DOUBLE) /
+                      (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS chi2,
+                    CAST(t.cats - 1 AS DOUBLE) AS k,
+                    GREATEST(CAST(a.jsd_d AS DOUBLE), 0.0) AS jsd
+                  FROM agg a JOIN tots t USING (key, slot)),
+            z AS (SELECT key, slot, n1, cats, chi2, jsd,
+                    (CBRT(chi2 / k) - (1.0 - 2.0 / (9.0 * k))) /
+                      SQRT(2.0 / (9.0 * k)) AS zz
+                  FROM fin)
+            SELECT key, slot, n1 AS n, cats AS categories,
+              ROUND(chi2, 6) AS chi2, ROUND(zz, 6) AS z_wh,
+              zz > 1.6448536269514722 AS drifted,
+              ROUND(jsd, 6) AS jsd,
+              ROUND(SQRT(jsd / 0.6931471805599453), 6) AS js_dist
+            FROM z ORDER BY key, slot"""))
+
   override def queries: Seq[QueryDef] =
     Seq(q42, q43, q44, q45, q46, q80, q85, q86, q127, q128, q129, q130, q135,
       q136, q141, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
@@ -6128,5 +6215,6 @@ object ExtraQueries extends QueryGroup {
       q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246,
       q247, q248, q249, q250, q251, q252, q253, q254, q255, q256, q257,
       q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268,
-      q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280)
+      q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279, q280,
+      q281)
 }

@@ -171,21 +171,14 @@ object StreamingHeavyHitters {
       if (typed.count() <= maxDriveRows) typed
       else typed.orderBy(col("tsUs"), col("key"), col("item"))
         .limit(maxDriveRows.toInt)
-    val fed = capped.collect().sortBy(t => (t.tsUs, t.key, t.item))
-    val sentinelKey = " drain"
+    val fed = capped.collect().sortBy(t => (t.tsUs, t.key, t.item)).toIndexedSeq
+    val sentinelKey = " drain"
     val lastTs = if (fed.isEmpty) 0L else fed.last.tsUs
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val ms = MemoryStream[HhTick](sp)
-    val sink = "hh_drain_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = apply(ms.toDS(), capacity, bucketUs, watermarkDelay = "0 seconds")
-      .writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try {
-      if (fed.nonEmpty) { ms.addData(fed.toIndexedSeq: _*); q.processAllAvailable() }
-      ms.addData(HhTick(sentinelKey, lastTs + 2L * bucketUs, "x"))
-      q.processAllAvailable()
-      ms.addData(HhTick(sentinelKey, lastTs + 4L * bucketUs, "x"))
-      q.processAllAvailable()
-    } finally q.stop()
-    sp.table(sink).filter(col("key") =!= sentinelKey)
+    DrainFeed.run[HhTick, HhWindowRow](sp, fed,
+        Seq(HhTick(sentinelKey, lastTs + 2L * bucketUs, "x"),
+          HhTick(sentinelKey, lastTs + 4L * bucketUs, "x")),
+        ds => apply(ds, capacity, bucketUs, watermarkDelay = "0 seconds"),
+        "hh_drain_")
+      .filter(col("key") =!= sentinelKey)
   }
 }

@@ -188,4 +188,46 @@ object StreamingMixDrift {
           rows.iterator.map(_.copy(key = key))
       }
   }
+
+  /** Drive a BATCH tick frame through the live mix monitor and return
+    * the DRAINED window frame — the q280 drained-replay pattern on the
+    * SECOND streaming twin: one micro-batch feed (first-batch watermark
+    * is -inf, nothing drops late), two far-future sentinels advance and
+    * then apply the watermark, every (key, slot) window finalizes, and
+    * the result is the per-window chi-squared/JSD scoring of EXACT
+    * window counts against the fixed reference mix. Unlike the MG
+    * summary, the mix state is exact counts, so the drained frame is a
+    * pure function of the tick multiset at ANY capacity — the whole
+    * surface (windowing, watermark finalization, state, scoreOf
+    * arithmetic) replays as batch SQL: the registered q281 DuckDB gate.
+    * `maxDriveRows` caps the driven prefix exactly as in
+    * [[StreamingHeavyHitters.drainedReplay]]. */
+  def drainedReplay(
+      ticks: org.apache.spark.sql.DataFrame,
+      reference: Map[String, Long],
+      bucketUs: Long,
+      maxCategories: Int = 4096,
+      maxDriveRows: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val sp = ticks.sparkSession
+    import sp.implicits._
+    val typed = ticks.select(
+      col("key").cast("string").as("key"),
+      col("tsUs").cast("long").as("tsUs"),
+      col("cat").cast("string").as("cat")).as[MixTick]
+    val capped =
+      if (typed.count() <= maxDriveRows) typed
+      else typed.orderBy(col("tsUs"), col("key"), col("cat"))
+        .limit(maxDriveRows.toInt)
+    val fed = capped.collect().sortBy(t => (t.tsUs, t.key, t.cat)).toIndexedSeq
+    val sentinelKey = " drain"
+    val lastTs = if (fed.isEmpty) 0L else fed.last.tsUs
+    DrainFeed.run[MixTick, MixWindowRow](sp, fed,
+        Seq(MixTick(sentinelKey, lastTs + 2L * bucketUs, "x"),
+          MixTick(sentinelKey, lastTs + 4L * bucketUs, "x")),
+        ds => apply(ds, reference, bucketUs, watermarkDelay = "0 seconds",
+          maxCategories = maxCategories),
+        "mix_drain_")
+      .filter(col("key") =!= sentinelKey)
+  }
 }

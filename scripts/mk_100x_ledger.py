@@ -208,6 +208,17 @@ def main():
         print("LEDGER INCOMPLETE:\n  " + "\n  ".join(errors))
         sys.exit(1)
 
+    # The registry only grows: a rebuild that yields FEWER rows than the
+    # committed ledger means the names source is a STALE Verify dump
+    # (the exact mistake this guard was added after - rebuilding against
+    # a pre-q280/q281 dump silently dropped two rows). Point the script
+    # at a fresh dump (or --names) instead.
+    prev = d.get("r19_full_100x_ledger", {}).get("rows", 0)
+    if len(ledger) < prev:
+        print(f"REFUSING: rebuild has {len(ledger)} rows but the committed "
+              f"ledger has {prev} - the names source looks stale")
+        sys.exit(1)
+
     n_meas = sum(1 for r in ledger.values() if "ratio_100x" in r)
     d["r19_full_100x_ledger"] = {
         "note": "r19 (verdict item 1): EVERY registered query has either "

@@ -3,7 +3,11 @@
 import duckdb, os, sys
 
 a, b = sys.argv[1], sys.argv[2]
-qs = sorted(d for d in os.listdir(a) if os.path.isdir(os.path.join(a, d)))
+# Enumerate the UNION of both dumps: listing only `a` would silently skip
+# queries present only in `b` (a stale dump on either side) and report
+# full bit-identity over an under-count. A one-sided query dir is a DIFF.
+qs = sorted({d for side in (a, b) for d in os.listdir(side)
+             if os.path.isdir(os.path.join(side, d))})
 con = duckdb.connect()
 bad = []
 for q in qs:

@@ -18,12 +18,20 @@ object Bench {
   private[graft] def parseQueriesMap(s: String): Map[String, Double] = {
     val qmap = """"queries"\s*:\s*\{([^}]*)\}""".r
       .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    // An entry whose VALUE doesn't match the number pattern at all (a
+    // hand-edit typo like `1,21` or `"1.2"`) would previously vanish —
+    // or truncate to a wrong prefix — with no warning unless the WHOLE
+    // map came back empty. Count the raw keys in the block and report
+    // any shortfall loudly: a floor silently missing or wrong re-disarms
+    // the regression-rerun rule for that one query, the same failure
+    // class the planted-floor test closed for the empty-map case.
+    val rawKeys = """"([^"]+)"\s*:""".r.findAllMatchIn(qmap).size
     // exponent-tolerant (ADVICE r18): a value ever rendered as 1.0E-4
     // must parse rather than silently re-disarm the floors rule; a
     // value the pattern STILL can't read (hand-edit typo) is reported
     // loudly by readQueriesMap's empty/partial-parse check below, not
     // swallowed here.
-    """"([^"]+)"\s*:\s*(-?[0-9][0-9.]*(?:[eE][-+]?[0-9]+)?)""".r
+    val parsed = """"([^"]+)"\s*:\s*(-?[0-9][0-9.]*(?:[eE][-+]?[0-9]+)?)""".r
       .findAllMatchIn(qmap)
       .flatMap { m =>
         m.group(2).toDoubleOption match {
@@ -34,6 +42,13 @@ object Bench {
             None
         }
       }.toMap
+    if (parsed.size < rawKeys) System.err.println(
+      s"[bench] WARNING queries block has $rawKeys entries but only " +
+        s"${parsed.size} parsed — the missing floors' regression-rerun " +
+        "rule is silently disarmed (check for hand-edit typos): " +
+        (""""([^"]+)"\s*:""".r.findAllMatchIn(qmap).map(_.group(1)).toSet
+          -- parsed.keySet).take(5).mkString(", "))
+    parsed
   }
 
   def main(args: Array[String]): Unit = {

@@ -1761,7 +1761,14 @@ object Similarity {
     // both sides corpus-scale → force the cell-keyed shuffle-hash join
     // (the topKIvf corpusSizedProbes rule), salted when the trained-cell
     // occupancy profile says the hottest cell would straggle
+    // probeIds present means the probe side is BUDGET-bounded (the
+    // boundedProbeBudget eval geometry): per-cell pair volume is at most
+    // |probes in cell| x occupancy, so the hot-cell straggler the salt
+    // levels cannot occur — skip BOTH the full-corpus occupancy profile
+    // job and the saltFactor x replication of the corpus-sized vv side
+    // (results are salt-invariant, spec-pinned).
     val sf = if (saltOverride > 0) saltOverride
+      else if (probeIds.isDefined) 1
       else adaptiveCellSalt(
         rk.filter(col("crank") === 1).select(col("cid").as("cell")), "cell")
     val joined =

@@ -594,12 +594,17 @@ object Sketches {
     // GATED on observed input parallelism (ADVICE r18): a well-split
     // production input (splits ≥ half the slot count) already hashes
     // full-width, so the extra round-robin exchange of the hp column is
-    // pure cost there — skip it. getNumPartitions only PLANS the input
-    // frame (no job runs); sketch contents are partition-invariant
+    // pure cost there — skip it. The split proxy is inputFiles.length
+    // (metadata-only, never a job): Dataset.rdd is NOT safe here — under
+    // AQE it materializes the final plan, eagerly running every upstream
+    // shuffle stage of an exchange-bearing input, which the later action
+    // then pays AGAIN. A non-file input reports 0 files and keeps the
+    // fan-out (the pre-gate unconditional behavior — wasteful at worst,
+    // never wrong); sketch contents are partition-invariant
     // (spec-pinned), so the gate cannot change results.
     val target = df.sparkSession.sparkContext.defaultParallelism
     val inputParts =
-      try staged.rdd.getNumPartitions catch { case _: Throwable => 1 }
+      try math.max(df.inputFiles.length, 1) catch { case _: Throwable => 1 }
     val fanned =
       if (inputParts * 2 < target) staged.repartition(target) else staged
     fanned

@@ -45,6 +45,16 @@ import org.apache.spark.storage.StorageLevel
   *     checkpoint, prior round released once the next is materialized) —
   *     the [[Dedup.connectedComponents]] / BpeTrain loop discipline; a
   *     run leaves no session-lifetime blocks behind.
+  *   - The per-doc `lead()` windows bound the operator's document shape:
+  *     each round sorts ONE document's rows within one task (the r19
+  *     fusion's trade vs the position-keyed shifted self-join, which
+  *     distributed by (id, pos) but paid three extra exchanges per
+  *     round), and the shift distance 3·h must fit an Int
+  *     (`toIntExact` fails loud past ~715M chars, never corrupts).
+  *     Both bounds are far beyond real pre-chunked training documents
+  *     (the q216 corpus contract: documents, not concatenated dumps);
+  *     for degenerate giant-doc inputs, chunk upstream or revert to the
+  *     join shape this fusion replaced (git history, r19).
   *   - Adjudicated alternative: Larsson–Sadakane-style tied-only
   *     refinement (re-sort only classes with >1 member per round) cuts
   *     per-round DATA but not jobs, and in a shuffle engine it trades

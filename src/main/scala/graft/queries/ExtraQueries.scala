@@ -6132,7 +6132,10 @@ object ExtraQueries extends QueryGroup {
       "state is exact counts (no lossy summary), so the whole surface " +
       "- windowing, watermark finalization, state transitions, and " +
       "the scoreOf arithmetic the batch operators q257/q263 share - " +
-      "replays as batch SQL at ANY scale; the roughly-uniform fixture " +
+      "replays as batch SQL at ANY scale (per-window category set = " +
+      "observed UNION reference, the scoreOf contract - an event type " +
+      "outside the reference still counts toward n and k, c2 = 0); " +
+      "the roughly-uniform fixture " +
       "reads as drifted against the skewed reference on well-filled " +
       "windows, the honest positive",
     (s, dir) => {
@@ -6157,11 +6160,16 @@ object ExtraQueries extends QueryGroup {
             w AS (SELECT key, slot, cat, CAST(COUNT(*) AS BIGINT) AS c1
                   FROM t GROUP BY 1, 2, 3),
             ks AS (SELECT DISTINCT key, slot FROM t),
-            cells AS (SELECT ks.key, ks.slot, ref.cat,
-                    COALESCE(w.c1, 0) AS c1, CAST(ref.rc AS BIGINT) AS c2
-                  FROM ks CROSS JOIN ref
-                  LEFT JOIN w ON w.key = ks.key AND w.slot = ks.slot
-                    AND w.cat = ref.cat),
+            cats AS (SELECT DISTINCT key, slot, cat FROM t
+                  UNION
+                  SELECT ks.key, ks.slot, ref.cat FROM ks CROSS JOIN ref),
+            cells AS (SELECT ca.key, ca.slot, ca.cat,
+                    COALESCE(w.c1, 0) AS c1,
+                    CAST(COALESCE(ref.rc, 0) AS BIGINT) AS c2
+                  FROM cats ca
+                  LEFT JOIN w ON w.key = ca.key AND w.slot = ca.slot
+                    AND w.cat = ca.cat
+                  LEFT JOIN ref ON ref.cat = ca.cat),
             tots AS (SELECT key, slot, CAST(SUM(c1) AS BIGINT) AS n1,
                     CAST(SUM(c2) AS BIGINT) AS n2,
                     CAST(COUNT(*) AS BIGINT) AS cats

@@ -28,6 +28,16 @@ private[streaming] object DrainFeed {
       if (fed.nonEmpty) { ms.addData(fed: _*); q.processAllAvailable() }
       sentinels.foreach { s => ms.addData(s); q.processAllAvailable() }
     } finally q.stop()
-    spark.table(sink)
+    // Materialize the drained frame (model-sized: one row per finalized
+    // (key, window) emission — it already lives in driver memory inside
+    // the memory sink) and DROP the sink view: without this every replay
+    // leaks a UUID-named temp view holding its full result for the
+    // session lifetime — catalog.clearCache() between bench queries does
+    // not remove temp views, so a dev loop accumulates them.
+    val drained = spark.table(sink)
+    val rows = drained.collectAsList()
+    val schema = drained.schema
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -45,4 +45,13 @@ class BenchParseSpec extends AnyFunSuite {
     val s = """{"queries":{"q01":1..2,"q02":0.5}}"""
     assert(Bench.parseQueriesMap(s) === Map("q02" -> 0.5))
   }
+
+  test("an entry whose value matches no number pattern still keeps the rest") {
+    // a quoted value (hand-edit typo class): the K:V regex never matches
+    // it, so without the raw-key shortfall check it would vanish with NO
+    // signal at all; the parse must keep every well-formed neighbor and
+    // warn (stderr) on the shortfall rather than throw
+    val s = """{"queries":{"q01":"1.2","q02":0.5,"q03":1.75}}"""
+    assert(Bench.parseQueriesMap(s) === Map("q02" -> 0.5, "q03" -> 1.75))
+  }
 }

@@ -5592,10 +5592,20 @@ object LlmQueries extends QueryGroup {
       "chain (same edge CTE as q212/q218) + the modularity block, one " +
       "source of truth for the whole composition",
     (s, dir) => {
+      // persist the expensive MinHash pair producer ONCE across the two
+      // consumers (modularity's own contract note: "callers composing
+      // the two over an expensive pair producer should persist `pairs`
+      // themselves") — without this the full LSH pipeline ran twice,
+      // once into labelPropagation's edge persist and again into
+      // modularity's (r19 optimization round). Both consumers return
+      // eagerly-materialized frames, so the release below is safe.
       val edges = Dedup.portableMinHashPairs(t(s, dir, "documents"), minJaccard = 0.4)
         .select(col("ia"), col("ib"))
-      graft.operators.Graph.modularity(edges,
-        graft.operators.Graph.labelPropagation(edges, rounds = 4))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try
+        graft.operators.Graph.modularity(edges,
+          graft.operators.Graph.labelPropagation(edges, rounds = 4))
+      finally edges.unpersist()
     },
     Some(graft.operators.Graph.lpaModularitySqlCtes(ORACLE_MINHASH_EDGES, rounds = 4)))
 

@@ -191,9 +191,11 @@ object StreamingMixDrift {
 
   /** Drive a BATCH tick frame through the live mix monitor and return
     * the DRAINED window frame — the q280 drained-replay pattern on the
-    * SECOND streaming twin: one micro-batch feed (first-batch watermark
-    * is -inf, nothing drops late), two far-future sentinels advance and
-    * then apply the watermark, every (key, slot) window finalizes, and
+    * SECOND streaming twin: one micro-batch feeds the ticks plus the
+    * ARMING far-future sentinel (first-batch watermark is -inf, nothing
+    * drops late, nothing closes), one APPLYING sentinel batch closes
+    * every (key, slot) window at once ([[DrainFeed]]'s two-batch
+    * minimum), and
     * the result is the per-window chi-squared/JSD scoring of EXACT
     * window counts against the fixed reference mix. Unlike the MG
     * summary, the mix state is exact counts, so the drained frame is a
@@ -215,11 +217,15 @@ object StreamingMixDrift {
       col("key").cast("string").as("key"),
       col("tsUs").cast("long").as("tsUs"),
       col("cat").cast("string").as("cat")).as[MixTick]
-    val capped =
-      if (typed.count() <= maxDriveRows) typed
+    // one-scan drive collection (r19 optimization round): see
+    // [[StreamingHeavyHitters.drainedReplay]] — cap+1 rows in one pass,
+    // ordered-prefix job only when the cap is actually exceeded
+    val firstPass = typed.limit(math.toIntExact(maxDriveRows) + 1).collect()
+    val collected =
+      if (firstPass.length <= maxDriveRows) firstPass
       else typed.orderBy(col("tsUs"), col("key"), col("cat"))
-        .limit(maxDriveRows.toInt)
-    val fed = capped.collect().sortBy(t => (t.tsUs, t.key, t.cat)).toIndexedSeq
+        .limit(maxDriveRows.toInt).collect()
+    val fed = collected.sortBy(t => (t.tsUs, t.key, t.cat)).toIndexedSeq
     val sentinelKey = " drain"
     val lastTs = if (fed.isEmpty) 0L else fed.last.tsUs
     DrainFeed.run[MixTick, MixWindowRow](sp, fed,
@@ -227,7 +233,8 @@ object StreamingMixDrift {
           MixTick(sentinelKey, lastTs + 4L * bucketUs, "x")),
         ds => apply(ds, reference, bucketUs, watermarkDelay = "0 seconds",
           maxCategories = maxCategories),
-        "mix_drain_")
+        "mix_drain_",
+        distinctKeys = fed.iterator.map(_.key).toSet.size + 1)
       .filter(col("key") =!= sentinelKey)
   }
 }

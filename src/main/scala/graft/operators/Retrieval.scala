@@ -400,10 +400,19 @@ object Retrieval {
     * parallelism, and a SQL oracle replays every round ([[mmrSqlCtes]]).
     *
     * Scale shape: the pool is a RE-RANK candidate set by contract
-    * (≤ 65536, fail-loud) — k rounds of one model-frame pass each with a
-    * TakeOrdered(1) argmax and a running per-candidate max against the
-    * latest pick's literal vector (the kCenterSelect incremental form —
-    * never pool² materialized on the engine side). Zero-/NaN-norm pool
+    * (≤ 65536, fail-loud) — i.e. MODEL-SIZED: the engine stages and
+    * validity-filters the pool distributed, collects it ONCE, and the
+    * greedy chain runs driver-side over exact integers (r19 optimization
+    * round; the previous shape ran ~3 Spark jobs per round — a rowOf
+    * collect, a persisted running-max frame, a TakeOrdered(1) — all over
+    * a ≤65536-row frame, pure job-latency; one collect replaces ~3k+2
+    * jobs with IDENTICAL arithmetic: the micro-int cosine mirrors the
+    * column chain op-for-op — exact long dot, the same left-to-right
+    * IEEE double chain, scala BigDecimal HALF_UP = Catalyst Round — and
+    * the argmax comparator mirrors (score DESC NULLS LAST, id) with
+    * greatest()'s null-skipping max; spec-pinned against the previous
+    * engine-side shape by RetrievalSpec's sequential-reference test and
+    * hash-gated by q242's generated-SQL oracle). Zero-/NaN-norm pool
     * vectors drop (the similarity-family contract). Output:
     * (rank, id, relq, max_simq, mmr_q) — max_simq NULL at rank 1, where
     * mmr_q = lambdaNum·relq. */
@@ -439,55 +448,77 @@ object Retrieval {
           round(x.cast(DoubleType) * scale).cast(LongType)).as("vq"))
       .withColumn("n2", graft.functions.VectorOps.dotLong(col("vq"), col("vq")))
       .where(col("n2") > 0L)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    try {
-      val nPool = staged.count()
-      require(nPool >= 1, "mmrSelect: empty pool after the validity filter")
-      require(nPool <= 65536L,
-        s"mmrSelect: pool has $nPool rows — this is a RE-RANK operator " +
-          "(bound the pool with a first-stage retriever, e.g. topKIvfPq)")
-      def rowOf(id: Long): (Seq[Long], Long) = {
-        val r = staged.where(col("id") === id)
-          .select(col("vq"), col("n2")).collect().head
-        (r.getSeq[Long](0), r.getLong(1))
+    // ONE job: collect the (contractually ≤65536-row) pool; limit+1 keeps
+    // the size guard fail-loud without a separate count pass
+    val collected = staged.limit(65537).collect()
+    require(collected.nonEmpty, "mmrSelect: empty pool after the validity filter")
+    require(collected.length <= 65536,
+      s"mmrSelect: pool exceeds 65536 rows — this is a RE-RANK operator " +
+        "(bound the pool with a first-stage retriever, e.g. topKIvfPq)")
+    final case class P(id: Long, relq: Long, vq: Array[Long], n2: Long)
+    val rows = collected.map { r =>
+      P(r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3))
+    }
+    // the micro-int cosine, mirroring the previous column chain
+    // op-for-op: exact long dot (zip_with pads a length mismatch with
+    // nulls ⇒ NULL sim — mirrored as None), the same left-to-right IEEE
+    // double chain dot/(√n2·√cn2)·scale, and scala BigDecimal HALF_UP =
+    // Catalyst Round-on-double (both go through valueOf/toString)
+    def simqOf(p: P, cv: Array[Long], cn2: Long): Option[Long] =
+      if (p.vq.length != cv.length) None
+      else {
+        var i = 0; var dot = 0L
+        while (i < cv.length) { dot += p.vq(i) * cv(i); i += 1 }
+        val x = dot.toDouble /
+          (math.sqrt(p.n2.toDouble) * math.sqrt(cn2.toDouble)) * scale
+        Some(BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       }
-      val first = staged.orderBy(col("relq").desc, col("id")).limit(1)
-        .select(col("id"), col("relq")).collect().head
-      var picks = Vector((first.getLong(0), first.getLong(1),
-        Option.empty[Long], lambdaNum.toLong * first.getLong(1)))
-      var ms: DataFrame = null
-      val mu = lambdaNum.toLong
-      val nu = (lambdaDen - lambdaNum).toLong
-      for (_ <- 2 to math.min(k.toLong, nPool).toInt) {
-        val (cv, cn2) = rowOf(picks.last._1)
-        // micro-int cosine to the latest pick: exact integer dot over
-        // the quantized grid, one double chain, one round — portable
-        val simq = round(
-          graft.functions.VectorOps.dotLong(col("vq"), typedLit(cv)).cast(DoubleType) /
-            (sqrt(col("n2").cast(DoubleType)) * sqrt(lit(cn2).cast(DoubleType))) *
-            lit(scale)).cast(LongType)
-        val next = (if (ms == null) staged.select(col("id"), col("relq"), simq.as("ms"))
-          else ms.join(staged, Seq("id"))
-            .select(col("id"), ms("relq"), greatest(col("ms"), simq).as("ms")))
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        if (ms != null) ms.unpersist()
-        ms = next
-        val chosen = picks.map(_._1).toSet
-        val top = ms.where(!col("id").isInCollection(chosen))
-          .withColumn("score", lit(mu) * col("relq") - lit(nu) * col("ms"))
-          .orderBy(col("score").desc, col("id")).limit(1)
-          .select(col("id"), col("relq"), col("ms"), col("score"))
-          .collect()
-        if (top.isEmpty) throw new IllegalStateException("mmrSelect: pool exhausted")
-        val t = top.head
-        picks :+= ((t.getLong(0), t.getLong(1), Some(t.getLong(2)), t.getLong(3)))
+    // greatest() semantics: max of the non-null values, null iff both null
+    def gmax(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
+      case (Some(x), Some(y)) => Some(math.max(x, y))
+      case (x, None) => x
+      case (None, y) => y
+    }
+    val byId = rows.map(p => p.id -> p).toMap
+    val first = rows.minBy(p => (-p.relq, p.id))
+    var picks = Vector((first.id, first.relq,
+      Option.empty[Long], lambdaNum.toLong * first.relq))
+    val mu = lambdaNum.toLong
+    val nu = (lambdaDen - lambdaNum).toLong
+    val ms = scala.collection.mutable.HashMap.empty[Long, Option[Long]]
+    var chosen = Set(first.id)
+    for (_ <- 2 to math.min(k, rows.length)) {
+      val c = byId(picks.last._1)
+      rows.foreach { p =>
+        val s = simqOf(p, c.vq, c.n2)
+        ms(p.id) = if (ms.contains(p.id)) gmax(ms(p.id), s) else s
       }
-      if (ms != null) ms.unpersist()
-      import spark.implicits._
-      picks.zipWithIndex
-        .map { case ((id, relq, msq, sc), i) => (i + 1L, id, relq, msq, sc) }
-        .toDF("rank", idCol, "relq", "max_simq", "mmr_q")
-    } finally staged.unpersist()
+      // argmax by (score DESC NULLS LAST, id ASC) — the previous
+      // TakeOrdered(1) ordering verbatim
+      val cand = rows.iterator.filterNot(p => chosen.contains(p.id))
+      if (!cand.hasNext) throw new IllegalStateException("mmrSelect: pool exhausted")
+      val best = cand.map { p =>
+        (p, ms(p.id).map(m => mu * p.relq - nu * m))
+      }.reduce[(P, Option[Long])] { case (a, b) =>
+        ((a._2, b._2) match {
+          case (Some(x), Some(y)) =>
+            if (x > y || (x == y && a._1.id < b._1.id)) a else b
+          case (Some(_), None) => a
+          case (None, Some(_)) => b
+          case (None, None) => if (a._1.id < b._1.id) a else b
+        })
+      }
+      val (p, score) = best
+      // a null ms/score read back 0 through the previous Row.getLong —
+      // degenerate (mismatched-dim) pools only; mirrored exactly
+      picks :+= ((p.id, p.relq, Some(ms(p.id).getOrElse(0L)),
+        score.getOrElse(0L)))
+      chosen += p.id
+    }
+    import spark.implicits._
+    picks.zipWithIndex
+      .map { case ((id, relq, msq, sc), i) => (i + 1L, id, relq, msq, sc) }
+      .toDF("rank", idCol, "relq", "max_simq", "mmr_q")
   }
 
   /** The DuckDB replay of [[mmrSelect]], generated from the same round

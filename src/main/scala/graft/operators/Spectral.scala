@@ -98,30 +98,30 @@ object Spectral {
       s"Spectral.pcaTopComponent: quantized component magnitude $vmax " +
         s"exceeds the int64-exact product bound (3e9) — lower " +
         s"quantDecimals (currently $quantDecimals) for this value range")
-    // pass 2: exact per-dimension sums (decimal — never a wrapping long)
+    // pass 2 (fused, r19 optimization round): per-dimension sums AND the
+    // Gram pairs in ONE corpus scan — the sums ride the same explode as
+    // (a, b = −1, pr = xa) sentinel structs next to the UPPER-TRIANGLE
+    // product structs (the scatter matrix is symmetric, so a ≤ b pairs
+    // carry all the information and the explode volume halves:
+    // dim·(dim+1)/2 + dim structs per row), all collapsed map-side into
+    // one exact decimal aggregation; the driver mirrors. Previously the
+    // sums were their own posexplode pass — same exact decimal sums of
+    // the same values, one fewer full corpus scan + shuffle.
     val sArr = Array.fill(dim)(BigInt(0))
-    staged
-      .select(posexplode(col("vq")).as(Seq("pos", "v")))
-      .groupBy("pos").agg(sum(col("v").cast(DEC)).as("sd"))
-      .collect().foreach { r =>
-        sArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
-      }
-    // pass 3: the Gram pairs — UPPER-TRIANGLE structs per row (the
-    // scatter matrix is symmetric, so a ≤ b pairs carry all the
-    // information and the explode volume halves: dim·(dim+1)/2 structs
-    // per row instead of dim²), collapsed map-side; the driver mirrors
     val pArr = Array.fill(dim, dim)(BigInt(0))
     staged
       .select(explode(flatten(transform(col("vq"), (xa, a) =>
-        transform(slice(col("vq"), a + 1, lit(dim) - a), (xb, b) =>
-          struct(a.as("a"), (a + b).as("b"), (xa * xb).as("pr")))))).as("t"))
+        concat(
+          array(struct(a.as("a"), lit(-1).as("b"), xa.as("pr"))),
+          transform(slice(col("vq"), a + 1, lit(dim) - a), (xb, b) =>
+            struct(a.as("a"), (a + b).as("b"), (xa * xb).as("pr"))))))).as("t"))
       .groupBy(col("t.a").as("a"), col("t.b").as("b"))
       .agg(sum(col("t.pr").cast(DEC)).as("pab"))
       .collect().foreach { r =>
         val (a, b) = (r.getInt(0), r.getInt(1))
         val v = BigInt(r.getDecimal(2).toBigInteger)
-        pArr(a)(b) = v
-        pArr(b)(a) = v
+        if (b == -1) sArr(a) = v
+        else { pArr(a)(b) = v; pArr(b)(a) = v }
       }
     // driver-side exact model math (dim² integers — model state)
     val bigN = BigInt(n)

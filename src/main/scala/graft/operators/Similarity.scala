@@ -1536,7 +1536,11 @@ object Similarity {
     val samp = raw.orderBy("id").limit(k * sampleFactor)
       // read once per Lloyd iteration (the kMeansCentroids persist rule)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    var cents = raw.orderBy("id").limit(k)
+    // seed = first k valid vectors by id — a PREFIX of the persisted
+    // sample (k ≤ k·sampleFactor), so derive it from `samp` instead of
+    // re-scanning and re-sorting the raw corpus (r19 optimization round:
+    // one fewer corpus scan+sort per training, identical rows)
+    var cents = samp.orderBy("id").limit(k)
       .select(col("id").as("cid"), col("xq").as("cq"), col("n2").as("c2"))
     for (_ <- 0 until iters) {
       // E-step: integer-exact cosine, rounded for portable ties; the
